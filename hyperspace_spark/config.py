@@ -1,0 +1,94 @@
+"""Engine configuration, mirroring the reference's IndexConstants.
+
+Reference parity: /root/reference/src/main/scala/com/microsoft/hyperspace/index/IndexConstants.scala
+and util/HyperspaceConf.scala.  Every knob is read from the SparkSession
+conf (so users tune it the Spark way) with the same defaults as the
+reference where one exists.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:
+    from pyspark.sql import SparkSession
+
+# Conf keys (kept under the spark.hyperspace.* namespace like the reference).
+SYSTEM_PATH = "spark.hyperspace.system.path"
+APPLY_ENABLED = "spark.hyperspace.apply.enabled"
+NUM_BUCKETS = "spark.hyperspace.index.numBuckets"
+LINEAGE_ENABLED = "spark.hyperspace.index.lineage.enabled"
+HYBRIDSCAN_ENABLED = "spark.hyperspace.index.hybridscan.enabled"
+HYBRIDSCAN_APPENDED_RATIO = "spark.hyperspace.index.hybridscan.maxAppendedRatio"
+HYBRIDSCAN_DELETED_RATIO = "spark.hyperspace.index.hybridscan.maxDeletedRatio"
+OPTIMIZE_FILE_SIZE_THRESHOLD = "spark.hyperspace.index.optimize.fileSizeThreshold"
+SKIPPING_TARGET_FILE_SIZE = "spark.hyperspace.index.dataskipping.targetIndexDataFileSize"
+SKIPPING_MAX_FILE_COUNT = "spark.hyperspace.index.dataskipping.maxIndexDataFileCount"
+ZORDER_TARGET_BYTES_PER_PARTITION = "spark.hyperspace.index.zorder.targetSourceBytesPerPartition"
+ZORDER_QUANTILE_ENABLED = "spark.hyperspace.index.zorder.quantile.enabled"
+ZORDER_QUANTILE_ERROR = "spark.hyperspace.index.zorder.quantile.relativeError"
+FILTER_RULE_USE_BUCKET_SPEC = "spark.hyperspace.index.filterRule.useBucketSpec"
+CACHE_EXPIRY_SEC = "spark.hyperspace.index.cache.expiryDurationInSeconds"
+
+# Internal column names (reference: IndexConstants.scala:104, ResolverUtils.scala:86).
+DATA_FILE_ID_COLUMN = "_data_file_id"
+NESTED_PREFIX = "__hs_nested."
+FILE_NAME_COLUMN = "_hs_file_name"
+
+# Index data version directory prefix (reference: IndexConstants.scala:92).
+INDEX_VERSION_DIR_PREFIX = "v__"
+LOG_DIR = "_hyperspace_log"
+
+
+@dataclass
+class HyperspaceConf:
+    """Resolved configuration snapshot for one engine call."""
+
+    system_path: str
+    apply_enabled: bool = True
+    num_buckets: int = 200
+    lineage_enabled: bool = True
+    hybridscan_enabled: bool = True
+    hybridscan_max_appended_ratio: float = 0.3
+    hybridscan_max_deleted_ratio: float = 0.2
+    optimize_file_size_threshold: int = 256 * 1024 * 1024
+    skipping_target_file_size: int = 256 * 1024 * 1024
+    skipping_max_file_count: int = 10_000
+    zorder_target_bytes_per_partition: int = 1024 * 1024 * 1024
+    zorder_quantile_enabled: bool = True
+    zorder_quantile_error: float = 0.01
+    filter_rule_use_bucket_spec: bool = False
+    cache_expiry_sec: int = 300
+
+    @staticmethod
+    def from_session(spark: "SparkSession", system_path: str | None = None) -> "HyperspaceConf":
+        c = spark.conf
+
+        def _get(key: str, default: str) -> str:
+            try:
+                return c.get(key, default) or default
+            except Exception:
+                return default
+
+        shuffle_parts = int(_get("spark.sql.shuffle.partitions", "200"))
+        return HyperspaceConf(
+            system_path=system_path or _get(SYSTEM_PATH, "/tmp/hyperspace"),
+            apply_enabled=_get(APPLY_ENABLED, "true").lower() == "true",
+            # Reference default: spark.sql.shuffle.partitions (IndexConstants.scala:32-36).
+            num_buckets=int(_get(NUM_BUCKETS, str(shuffle_parts))),
+            lineage_enabled=_get(LINEAGE_ENABLED, "true").lower() == "true",
+            hybridscan_enabled=_get(HYBRIDSCAN_ENABLED, "true").lower() == "true",
+            hybridscan_max_appended_ratio=float(_get(HYBRIDSCAN_APPENDED_RATIO, "0.3")),
+            hybridscan_max_deleted_ratio=float(_get(HYBRIDSCAN_DELETED_RATIO, "0.2")),
+            optimize_file_size_threshold=int(_get(OPTIMIZE_FILE_SIZE_THRESHOLD, str(256 * 1024 * 1024))),
+            skipping_target_file_size=int(_get(SKIPPING_TARGET_FILE_SIZE, str(256 * 1024 * 1024))),
+            skipping_max_file_count=int(_get(SKIPPING_MAX_FILE_COUNT, "10000")),
+            zorder_target_bytes_per_partition=int(
+                _get(ZORDER_TARGET_BYTES_PER_PARTITION, str(1024 * 1024 * 1024))
+            ),
+            zorder_quantile_enabled=_get(ZORDER_QUANTILE_ENABLED, "true").lower() == "true",
+            zorder_quantile_error=float(_get(ZORDER_QUANTILE_ERROR, "0.01")),
+            filter_rule_use_bucket_spec=_get(FILTER_RULE_USE_BUCKET_SPEC, "false").lower() == "true",
+            cache_expiry_sec=int(_get(CACHE_EXPIRY_SEC, "300")),
+        )

@@ -1,0 +1,218 @@
+"""Filesystem abstraction for index metadata and data files.
+
+On a real cluster the index lives on HDFS/S3/ABFS; locally it is plain
+files.  All metadata I/O goes through this module so the storage scheme
+is swappable: local paths use ``os``; any other scheme is served through
+Spark's Hadoop FileSystem via py4j (same facility the reference uses,
+e.g. index/IndexLogManager.scala:178-194 for atomic-rename writes).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from dataclasses import dataclass
+from typing import TYPE_CHECKING, Iterable
+
+if TYPE_CHECKING:
+    from pyspark.sql import SparkSession
+
+
+@dataclass(frozen=True)
+class FileStat:
+    path: str
+    size: int
+    mtime: int  # milliseconds, to match Hadoop FileStatus.getModificationTime
+
+
+def _is_local(path: str) -> bool:
+    if "://" not in path:
+        return True
+    return path.startswith("file:")
+
+
+def _strip_scheme(path: str) -> str:
+    if path.startswith("file://"):
+        return path[len("file://"):]
+    if path.startswith("file:"):
+        return path[len("file:"):]
+    return path
+
+
+class FileSystem:
+    """Local-filesystem implementation; subclass HadoopFileSystem for remote."""
+
+    def __init__(self, spark: "SparkSession | None" = None):
+        self._spark = spark
+
+    # -- metadata I/O ----------------------------------------------------
+    def read_text(self, path: str) -> str:
+        with open(_strip_scheme(path), "r", encoding="utf-8") as f:
+            return f.read()
+
+    def write_text_atomic(self, path: str, content: str, overwrite: bool = False) -> bool:
+        """Create-if-absent + atomic rename (optimistic concurrency).
+
+        Returns False when the destination already exists and overwrite is
+        False — the caller lost the race (reference: IndexLogManager.writeLog).
+        """
+        p = _strip_scheme(path)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        if not overwrite and os.path.exists(p):
+            return False
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(p), prefix=".hs_tmp_")
+        try:
+            with os.fdopen(fd, "w", encoding="utf-8") as f:
+                f.write(content)
+            if overwrite:
+                os.replace(tmp, p)
+                return True
+            # link() fails if destination exists -> atomic create-if-absent.
+            try:
+                os.link(tmp, p)
+                return True
+            except FileExistsError:
+                return False
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(_strip_scheme(path))
+
+    def mkdirs(self, path: str) -> None:
+        os.makedirs(_strip_scheme(path), exist_ok=True)
+
+    def delete(self, path: str, recursive: bool = False) -> None:
+        p = _strip_scheme(path)
+        if not os.path.exists(p):
+            return
+        if os.path.isdir(p):
+            if recursive:
+                shutil.rmtree(p)
+            else:
+                os.rmdir(p)
+        else:
+            os.unlink(p)
+
+    def list_dir(self, path: str) -> list[str]:
+        p = _strip_scheme(path)
+        if not os.path.isdir(p):
+            return []
+        return sorted(os.path.join(p, n) for n in os.listdir(p))
+
+    def list_files_recursive(self, path: str) -> list[FileStat]:
+        """All data files under path (hidden files/dirs skipped)."""
+        p = _strip_scheme(path)
+        out: list[FileStat] = []
+        if os.path.isfile(p):
+            st = os.stat(p)
+            return [FileStat(p, st.st_size, int(st.st_mtime * 1000))]
+        for root, dirs, files in os.walk(p):
+            dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+            for name in files:
+                if name.startswith((".", "_")):
+                    continue
+                fp = os.path.join(root, name)
+                st = os.stat(fp)
+                out.append(FileStat(fp, st.st_size, int(st.st_mtime * 1000)))
+        return sorted(out, key=lambda f: f.path)
+
+    def file_sizes(self, paths: Iterable[str]) -> int:
+        return sum(os.stat(_strip_scheme(p)).st_size for p in paths)
+
+
+class HadoopFileSystem(FileSystem):
+    """Remote filesystems (hdfs://, s3a://, abfss://...) through the JVM.
+
+    Used automatically when the system path has a non-file scheme and a
+    SparkSession is available; keeps metadata semantics (atomic rename,
+    create-if-absent) identical to the reference on real lakes.
+    """
+
+    def __init__(self, spark: "SparkSession", root: str):
+        super().__init__(spark)
+        jvm = spark._jvm
+        self._jvm = jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+        self._fs = jvm.org.apache.hadoop.fs.Path(root).getFileSystem(self._conf)
+
+    def _p(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def read_text(self, path: str) -> str:
+        stream = self._fs.open(self._p(path))
+        try:
+            reader = self._jvm.java.io.BufferedReader(
+                self._jvm.java.io.InputStreamReader(stream, "UTF-8")
+            )
+            lines = []
+            line = reader.readLine()
+            while line is not None:
+                lines.append(line)
+                line = reader.readLine()
+            return "\n".join(lines)
+        finally:
+            stream.close()
+
+    def write_text_atomic(self, path: str, content: str, overwrite: bool = False) -> bool:
+        dest = self._p(path)
+        if not overwrite and self._fs.exists(dest):
+            return False
+        tmp = self._p(path + ".tmp-" + uuid.uuid4().hex)
+        out = self._fs.create(tmp, True)
+        try:
+            out.write(bytearray(content.encode("utf-8")))
+        finally:
+            out.close()
+        if overwrite and self._fs.exists(dest):
+            self._fs.delete(dest, False)
+        renamed = self._fs.rename(tmp, dest)
+        if not renamed:
+            self._fs.delete(tmp, False)
+        return bool(renamed)
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs.exists(self._p(path)))
+
+    def mkdirs(self, path: str) -> None:
+        self._fs.mkdirs(self._p(path))
+
+    def delete(self, path: str, recursive: bool = False) -> None:
+        if self._fs.exists(self._p(path)):
+            self._fs.delete(self._p(path), recursive)
+
+    def list_dir(self, path: str) -> list[str]:
+        p = self._p(path)
+        if not self._fs.exists(p):
+            return []
+        return sorted(
+            s.getPath().toString() for s in self._fs.listStatus(p)
+        )
+
+    def list_files_recursive(self, path: str) -> list[FileStat]:
+        p = self._p(path)
+        if not self._fs.exists(p):
+            return []
+        it = self._fs.listFiles(p, True)
+        out = []
+        while it.hasNext():
+            s = it.next()
+            name = s.getPath().getName()
+            if name.startswith((".", "_")):
+                continue
+            out.append(
+                FileStat(s.getPath().toString(), s.getLen(), s.getModificationTime())
+            )
+        return sorted(out, key=lambda f: f.path)
+
+    def file_sizes(self, paths: Iterable[str]) -> int:
+        return sum(self._fs.getFileStatus(self._p(p)).getLen() for p in paths)
+
+
+def filesystem_for(path: str, spark: "SparkSession | None" = None) -> FileSystem:
+    if _is_local(path) or spark is None or not hasattr(spark, "_jvm"):
+        return FileSystem(spark)
+    return HadoopFileSystem(spark, path)

@@ -1,0 +1,631 @@
+"""The user-facing engine API.
+
+Mirrors the reference's Hyperspace class + action dispatch
+(Hyperspace.scala:27-193, index/IndexCollectionManager.scala:28-206,
+actions/*) : every lifecycle op is a validate -> begin(transient state,
+log id+1) -> op -> end(final state, log id+2) transaction over the JSON
+operation log with optimistic concurrency, and query acceleration is an
+explicit ``apply``/``sql`` planner pass that swallows every failure back
+to the original DataFrame (ApplyHyperspace.scala:60-64).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import TYPE_CHECKING, Callable
+
+from hyperspace_spark.config import HyperspaceConf
+from hyperspace_spark.fs import filesystem_for
+from hyperspace_spark.metadata.entry import FileIdTracker, FileInfo, IndexLogEntry, Relation, States
+from hyperspace_spark.metadata.log_manager import IndexLogManager
+from hyperspace_spark.metadata.signature import file_based_signature
+from hyperspace_spark.planner import ir
+from hyperspace_spark.planner.candidates import Reasons, collect_candidates, live_source_files
+from hyperspace_spark.planner.optimizer import optimize
+from hyperspace_spark.planner.parser import parse_df
+from hyperspace_spark.planner.replay import replay
+from hyperspace_spark.planner.rules import RuleContext, default_rules
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+
+
+class HyperspaceException(Exception):
+    pass
+
+
+class ConcurrentModificationError(HyperspaceException):
+    pass
+
+
+class Hyperspace:
+    def __init__(self, spark: "SparkSession", system_path: str | None = None):
+        self.spark = spark
+        self._system_path = system_path
+        self._entry_cache: tuple[float, list[IndexLogEntry]] | None = None
+
+    # ------------------------------------------------------------------
+    # plumbing
+    # ------------------------------------------------------------------
+    def conf(self) -> HyperspaceConf:
+        return HyperspaceConf.from_session(self.spark, self._system_path)
+
+    def _fs(self, conf: HyperspaceConf):
+        return filesystem_for(conf.system_path, self.spark)
+
+    def _log_mgr(self, name: str, conf: HyperspaceConf) -> IndexLogManager:
+        return IndexLogManager(os.path.join(conf.system_path, name), self._fs(conf))
+
+    def _invalidate_cache(self) -> None:
+        self._entry_cache = None
+
+    def _all_latest_entries(self, conf: HyperspaceConf) -> list[IndexLogEntry]:
+        fs = self._fs(conf)
+        out = []
+        for d in fs.list_dir(conf.system_path):
+            name = os.path.basename(d.rstrip("/"))
+            e = IndexLogManager(d, fs).get_latest_stable_log()
+            if e is not None and e.name == name:
+                out.append(e)
+        return out
+
+    def _active_entries(self, conf: HyperspaceConf) -> list[IndexLogEntry]:
+        """ACTIVE index entries with a TTL cache (reference:
+        CachingIndexCollectionManager, 300 s expiry)."""
+        now = time.time()
+        if self._entry_cache is not None and now - self._entry_cache[0] < conf.cache_expiry_sec:
+            entries = self._entry_cache[1]
+        else:
+            entries = self._all_latest_entries(conf)
+            self._entry_cache = (now, entries)
+        return [e for e in entries if e.state == States.ACTIVE]
+
+    # ------------------------------------------------------------------
+    # action template (reference: actions/Action.scala:34-108)
+    # ------------------------------------------------------------------
+    def _transact(
+        self,
+        name: str,
+        conf: HyperspaceConf,
+        transient: str,
+        final: str,
+        op: Callable[[IndexLogEntry, IndexLogManager, int], IndexLogEntry],
+        base_entry: IndexLogEntry | None = None,
+    ) -> IndexLogEntry:
+        mgr = self._log_mgr(name, conf)
+        latest_id = mgr.get_latest_id()
+        base = base_entry if base_entry is not None else mgr.get_latest_log()
+        if base is None:
+            raise HyperspaceException(f"Index {name} does not exist.")
+        begin = base.with_state(transient, (latest_id if latest_id is not None else -1) + 1)
+        if not mgr.write_log(begin.id, begin):
+            raise ConcurrentModificationError(f"Concurrent modification on index {name}.")
+        new_version = begin.id  # data version namespaced by log id -> unique
+        result = op(begin, mgr, new_version)
+        result = result.with_state(final, begin.id + 1)
+        if not mgr.write_log(result.id, result):
+            raise ConcurrentModificationError(f"Concurrent modification on index {name}.")
+        if final in States.STABLE:
+            mgr.update_latest_stable(result.id)
+        self._invalidate_cache()
+        return result
+
+    # ------------------------------------------------------------------
+    # createIndex (reference: actions/CreateAction.scala, CreateActionBase.scala)
+    # ------------------------------------------------------------------
+    def create_index(self, df: "DataFrame", config) -> None:
+        conf = self.conf()
+        scan = self._source_scan(df)
+        missing = [c for c in config.referenced_columns() if c not in scan.output]
+        if missing:
+            raise HyperspaceException(f"Index config references missing columns: {missing}")
+
+        fs = self._fs(conf)
+        mgr = self._log_mgr(config.name, conf)
+        latest = mgr.get_latest_log()
+        if latest is not None and latest.state not in (States.DOESNOTEXIST,):
+            raise HyperspaceException(f"Index {config.name} already exists (state {latest.state}).")
+        base_id = (mgr.get_latest_id() if latest is not None else None) or 0
+
+        files = live_source_files(scan, fs)
+        tracker = FileIdTracker()
+        files = [
+            FileInfo(f.path, f.size, f.mtime, tracker.add_or_get(f)) for f in files
+        ]
+        relation = Relation(
+            root_paths=list(scan.normalized_paths()),
+            file_format=scan.file_format,
+            files=files,
+            options=scan.options,
+            data_schema_json=scan.data_schema_json,
+            partition_columns=scan.partition_columns,
+        )
+        begin_id = base_id + 1 if latest is not None else 0
+        entry = IndexLogEntry(
+            name=config.name,
+            derived_kind=config.kind,
+            derived_properties={},
+            relations=[relation],
+            signature=file_based_signature(files),
+            index_data_dirs=[],
+            state=States.CREATING,
+            id=begin_id,
+            data_version=0,
+            file_id_tracker=tracker,
+        )
+        if not mgr.write_log(begin_id, entry):
+            raise ConcurrentModificationError(f"Concurrent createIndex on {config.name}.")
+
+        data_dir = mgr.data_dir(0)
+        props = self._build(config.kind)(
+            self.spark, df, config, conf, files, tracker, data_dir, config.name, 0
+        )
+        entry.derived_properties = props
+        entry.index_data_dirs = [data_dir]
+        entry.content_files = [
+            FileInfo(s.path, s.size, s.mtime) for s in fs.list_files_recursive(data_dir)
+        ]
+        done = entry.with_state(States.ACTIVE, begin_id + 1)
+        if not mgr.write_log(done.id, done):
+            raise ConcurrentModificationError(f"Concurrent createIndex on {config.name}.")
+        mgr.update_latest_stable(done.id)
+        self._invalidate_cache()
+
+    def _build(self, kind: str):
+        if kind == "CI":
+            from hyperspace_spark.indexes.covering import create_index_data as b
+        elif kind == "ZCI":
+            from hyperspace_spark.indexes.zorder import create_index_data as b
+        elif kind == "DS":
+            from hyperspace_spark.indexes.dataskipping import create_index_data as b
+        else:
+            raise HyperspaceException(f"Unknown index kind {kind}")
+        return b
+
+    def _source_scan(self, df: "DataFrame") -> ir.Scan:
+        plan = parse_df(df)
+        if not isinstance(plan, ir.Scan):
+            raise HyperspaceException(
+                "createIndex requires a plain file-based source DataFrame "
+                f"(got plan root {type(plan).__name__})"
+            )
+        return plan
+
+    # ------------------------------------------------------------------
+    # acceleration (reference: ApplyHyperspace + ScoreBasedIndexPlanOptimizer)
+    # ------------------------------------------------------------------
+    def apply(self, df: "DataFrame") -> "DataFrame":
+        """Rewrite df to read index data when profitable; on ANY failure or
+        no-win, return df unchanged (reference swallows exceptions the same
+        way, ApplyHyperspace.scala:60-64)."""
+        out, _ = self._apply_with_info(df)
+        return out
+
+    def sql(self, query: str) -> "DataFrame":
+        return self.apply(self.spark.sql(query))
+
+    def _apply_with_info(self, df: "DataFrame", reasons: Reasons | None = None):
+        conf = self.conf()
+        if not conf.apply_enabled:
+            return df, []
+        try:
+            plan = parse_df(df)
+            entries = self._active_entries(conf)
+            if not entries:
+                return df, []
+            fs = self._fs(conf)
+            cands = {
+                id(s): collect_candidates(s, entries, fs, conf, reasons)
+                for s in ir.iter_scans(plan)
+            }
+            if not any(cands.values()):
+                return df, []
+            ctx = RuleContext(self.spark, conf, cands, reasons)
+            best = optimize(plan, default_rules(), ctx)
+            if best.score <= 0:
+                return df, []
+            return replay(self.spark, best.node), best.index_names
+        except Exception:
+            return df, []
+
+    # ------------------------------------------------------------------
+    # refresh (reference: actions/Refresh*.scala)
+    # ------------------------------------------------------------------
+    def refresh_index(self, name: str, mode: str = "full") -> None:
+        if mode == "full":
+            self._refresh_full(name)
+        elif mode == "incremental":
+            self._refresh_incremental(name)
+        elif mode == "quick":
+            self._refresh_quick(name)
+        else:
+            raise HyperspaceException(f"Unknown refresh mode {mode}")
+
+    def _source_df(self, entry: IndexLogEntry) -> "DataFrame":
+        from pyspark.sql.types import StructType
+        import json as _json
+
+        rel = entry.relations[0]
+        reader = self.spark.read.format(rel.file_format)
+        if rel.data_schema_json:
+            reader = reader.schema(StructType.fromJson(_json.loads(rel.data_schema_json)))
+        if rel.options:
+            reader = reader.options(**{k: v for k, v in rel.options.items() if k != "path"})
+        return reader.load(rel.root_paths)
+
+    def _config_of(self, entry: IndexLogEntry):
+        p = entry.derived_properties
+        if entry.derived_kind == "CI":
+            from hyperspace_spark.indexes.covering import CoveringIndexConfig
+
+            return CoveringIndexConfig(entry.name, p["indexedColumns"], p["includedColumns"])
+        if entry.derived_kind == "ZCI":
+            from hyperspace_spark.indexes.zorder import ZOrderCoveringIndexConfig
+
+            return ZOrderCoveringIndexConfig(entry.name, p["indexedColumns"], p["includedColumns"])
+        if entry.derived_kind == "DS":
+            from hyperspace_spark.indexes.dataskipping import DataSkippingIndexConfig
+            from hyperspace_spark.indexes.sketches import sketch_from_json
+
+            return DataSkippingIndexConfig(
+                entry.name, [sketch_from_json(s) for s in p["sketches"]]
+            )
+        raise HyperspaceException(f"Unknown kind {entry.derived_kind}")
+
+    def _refresh_full(self, name: str) -> None:
+        conf = self.conf()
+        fs = self._fs(conf)
+
+        def op(entry: IndexLogEntry, mgr: IndexLogManager, version: int) -> IndexLogEntry:
+            df = self._source_df(entry)
+            scan = self._source_scan(df)
+            files = [
+                FileInfo(f.path, f.size, f.mtime)
+                for f in live_source_files(scan, fs)
+            ]
+            tracker = entry.file_id_tracker
+            files = [FileInfo(f.path, f.size, f.mtime, tracker.add_or_get(f)) for f in files]
+            entry.relations[0].files = files
+            entry.signature = file_based_signature(files)
+            data_dir = mgr.data_dir(version)
+            config = self._config_of(entry)
+            entry.derived_properties = self._build(entry.derived_kind)(
+                self.spark, df, config, conf, files, tracker, data_dir, name, version
+            )
+            entry.index_data_dirs = [data_dir]
+            entry.data_version = version
+            entry.content_files = [
+                FileInfo(s.path, s.size, s.mtime) for s in fs.list_files_recursive(data_dir)
+            ]
+            entry.appended_files = []
+            entry.deleted_files = []
+            return entry
+
+        self._transact(name, conf, States.REFRESHING, States.ACTIVE, op)
+
+    def _refresh_incremental(self, name: str) -> None:
+        """Scan only appended files; drop rows of deleted files via the
+        lineage anti-filter (reference: RefreshIncrementalAction.scala:45-133,
+        delete via left-anti semantics J5).  At 100 TB this is the money
+        path: cost scales with the delta, not the table."""
+        conf = self.conf()
+        fs = self._fs(conf)
+
+        def op(entry: IndexLogEntry, mgr: IndexLogManager, version: int) -> IndexLogEntry:
+            from hyperspace_spark.indexes import covering as cov
+            from pyspark.sql import functions as F
+            from hyperspace_spark.config import DATA_FILE_ID_COLUMN
+
+            rel = entry.relations[0]
+            live = [
+                FileInfo(f.path, f.size, f.mtime)
+                for p in rel.root_paths
+                for f in fs.list_files_recursive(p)
+            ]
+            indexed = entry.source_files_by_key()
+            live_by_key = {f.key(): f for f in live}
+            appended = [f for k, f in live_by_key.items() if k not in indexed]
+            deleted = [f for k, f in indexed.items() if k not in live_by_key]
+            if not appended and not deleted:
+                return entry  # no-op refresh
+
+            tracker = entry.file_id_tracker
+            if entry.derived_kind == "DS":
+                from hyperspace_spark.indexes.dataskipping import refresh_incremental as ds_ri
+
+                return ds_ri(self.spark, entry, conf, appended, deleted, mgr, version, fs)
+
+            if entry.derived_kind != "CI":
+                raise HyperspaceException(
+                    f"incremental refresh not supported for kind {entry.derived_kind}; use full"
+                )
+            props = entry.derived_properties
+            if deleted and not props.get("lineage", False):
+                raise HyperspaceException("cannot handle deleted files without lineage")
+
+            old = self.spark.read.parquet(*entry.index_data_dirs)
+            if deleted:
+                ids = [tracker.get(f) for f in deleted]
+                old = old.filter(~F.col(DATA_FILE_ID_COLUMN).isin([i for i in ids if i is not None]))
+            parts = [old]
+            if appended:
+                appended = [FileInfo(f.path, f.size, f.mtime, tracker.add_or_get(f)) for f in appended]
+                src = self._source_df(entry)
+                reader = src.sparkSession.read.format(rel.file_format)
+                import json as _json
+                from pyspark.sql.types import StructType
+
+                if rel.data_schema_json:
+                    reader = reader.schema(StructType.fromJson(_json.loads(rel.data_schema_json)))
+                new_df = reader.load([f.path for f in appended])
+                cols = props["indexedColumns"] + props["includedColumns"]
+                if props.get("lineage", False):
+                    new_df = cov.with_lineage(new_df, self.spark, appended, tracker)
+                    cols = cols + [DATA_FILE_ID_COLUMN]
+                parts.append(new_df.select(*cols))
+            merged = parts[0]
+            for p in parts[1:]:
+                merged = merged.unionByName(p)
+            data_dir = mgr.data_dir(version)
+            tbl = cov.table_name(name, version)
+            cov.write_bucketed(
+                self.spark, merged, props["indexedColumns"], props["numBuckets"], data_dir, tbl
+            )
+            props["tableName"] = tbl
+            new_files = {f.key(): f for f in live}
+            entry.relations[0].files = [
+                FileInfo(f.path, f.size, f.mtime, tracker.add_or_get(f)) for f in new_files.values()
+            ]
+            entry.signature = file_based_signature(entry.relations[0].files)
+            entry.index_data_dirs = [data_dir]
+            entry.data_version = version
+            entry.content_files = [
+                FileInfo(s.path, s.size, s.mtime) for s in fs.list_files_recursive(data_dir)
+            ]
+            entry.appended_files = []
+            entry.deleted_files = []
+            return entry
+
+        self._transact(name, conf, States.REFRESHING, States.ACTIVE, op)
+
+    def _refresh_quick(self, name: str) -> None:
+        """Metadata-only refresh: record the file delta in the log; hybrid
+        scan compensates at query time (reference: RefreshQuickAction.scala:32-80)."""
+        conf = self.conf()
+        fs = self._fs(conf)
+
+        def op(entry: IndexLogEntry, mgr: IndexLogManager, version: int) -> IndexLogEntry:
+            rel = entry.relations[0]
+            live = [
+                FileInfo(f.path, f.size, f.mtime)
+                for p in rel.root_paths
+                for f in fs.list_files_recursive(p)
+            ]
+            indexed = entry.source_files_by_key()
+            live_by_key = {f.key(): f for f in live}
+            entry.appended_files = [f for k, f in live_by_key.items() if k not in indexed]
+            entry.deleted_files = [f for k, f in indexed.items() if k not in live_by_key]
+            return entry
+
+        self._transact(name, conf, States.REFRESHING, States.ACTIVE, op)
+
+    # ------------------------------------------------------------------
+    # optimize / delete / restore / vacuum / cancel
+    # ------------------------------------------------------------------
+    def optimize_index(self, name: str, mode: str = "quick") -> None:
+        """Compact index data files (reference: actions/OptimizeAction.scala:57-148).
+        quick: no-op unless some data file is below the 256 MB threshold;
+        full: always rewrite.  The rewrite re-buckets from the existing
+        index data — no source scan."""
+        conf = self.conf()
+        fs = self._fs(conf)
+
+        def op(entry: IndexLogEntry, mgr: IndexLogManager, version: int) -> IndexLogEntry:
+            if entry.derived_kind not in ("CI", "ZCI"):
+                raise HyperspaceException(f"optimizeIndex unsupported for kind {entry.derived_kind}")
+            small = [f for f in entry.content_files if f.size < conf.optimize_file_size_threshold]
+            if mode == "quick" and len(small) <= 1:
+                return entry
+            from hyperspace_spark.indexes import covering as cov
+
+            props = entry.derived_properties
+            df = self.spark.read.parquet(*entry.index_data_dirs)
+            data_dir = mgr.data_dir(version)
+            if entry.derived_kind == "CI":
+                tbl = cov.table_name(name, version)
+                cov.write_bucketed(
+                    self.spark, df, props["indexedColumns"], props["numBuckets"], data_dir, tbl
+                )
+                props["tableName"] = tbl
+            else:
+                from hyperspace_spark.indexes.zorder import rewrite_zorder_data
+
+                rewrite_zorder_data(self.spark, df, props, data_dir)
+            entry.index_data_dirs = [data_dir]
+            entry.data_version = version
+            entry.content_files = [
+                FileInfo(s.path, s.size, s.mtime) for s in fs.list_files_recursive(data_dir)
+            ]
+            return entry
+
+        self._transact(name, conf, States.OPTIMIZING, States.ACTIVE, op)
+
+    def delete_index(self, name: str) -> None:
+        conf = self.conf()
+        self._require_state(name, conf, States.ACTIVE, "deleteIndex")
+        self._transact(name, conf, States.DELETING, States.DELETED, lambda e, m, v: e)
+
+    def restore_index(self, name: str) -> None:
+        conf = self.conf()
+        self._require_state(name, conf, States.DELETED, "restoreIndex")
+        self._transact(name, conf, States.RESTORING, States.ACTIVE, lambda e, m, v: e)
+
+    def vacuum_index(self, name: str) -> None:
+        """DELETED -> DOESNOTEXIST; physically removes index data
+        (reference: actions/VacuumAction.scala)."""
+        conf = self.conf()
+        self._require_state(name, conf, States.DELETED, "vacuumIndex")
+        fs = self._fs(conf)
+
+        def op(entry: IndexLogEntry, mgr: IndexLogManager, version: int) -> IndexLogEntry:
+            for d in fs.list_dir(os.path.join(conf.system_path, name)):
+                if os.path.basename(d.rstrip("/")).startswith("v__="):
+                    fs.delete(d, recursive=True)
+            entry.index_data_dirs = []
+            entry.content_files = []
+            return entry
+
+        self._transact(name, conf, States.VACUUMING, States.DOESNOTEXIST, op)
+
+    def vacuum_outdated_indexes(self, name: str) -> None:
+        """Keep only the latest version's data files and logs
+        (reference: actions/VacuumOutdatedAction.scala:30-144)."""
+        conf = self.conf()
+        self._require_state(name, conf, States.ACTIVE, "vacuumOutdatedIndexes")
+        fs = self._fs(conf)
+
+        def op(entry: IndexLogEntry, mgr: IndexLogManager, version: int) -> IndexLogEntry:
+            keep = {os.path.basename(d.rstrip("/")) for d in entry.index_data_dirs}
+            for d in fs.list_dir(os.path.join(conf.system_path, name)):
+                base = os.path.basename(d.rstrip("/"))
+                if base.startswith("v__=") and base not in keep:
+                    fs.delete(d, recursive=True)
+            return entry
+
+        self._transact(name, conf, States.VACUUMINGOUTDATED, States.ACTIVE, op)
+
+    def cancel(self, name: str) -> None:
+        """Roll a stuck transient state back to the last stable log
+        (reference: actions/CancelAction.scala)."""
+        conf = self.conf()
+        mgr = self._log_mgr(name, conf)
+        latest = mgr.get_latest_log()
+        if latest is None:
+            raise HyperspaceException(f"Index {name} does not exist.")
+        if latest.state in States.STABLE:
+            raise HyperspaceException(f"Index {name} is in stable state {latest.state}; nothing to cancel.")
+        stable = mgr.get_latest_stable_log()
+        if stable is None:
+            raise HyperspaceException(f"Index {name} has no stable version to roll back to.")
+        rolled = stable.with_state(stable.state, latest.id + 1)
+        if not mgr.write_log(rolled.id, rolled):
+            raise ConcurrentModificationError(f"Concurrent modification on index {name}.")
+        mgr.update_latest_stable(rolled.id)
+        self._invalidate_cache()
+
+    def _require_state(self, name: str, conf: HyperspaceConf, state: str, op: str) -> None:
+        e = self._log_mgr(name, conf).get_latest_log()
+        if e is None:
+            raise HyperspaceException(f"Index {name} does not exist.")
+        if e.state != state:
+            raise HyperspaceException(f"{op} requires state {state}; {name} is {e.state}.")
+
+    # ------------------------------------------------------------------
+    # introspection (reference: IndexStatistics.scala, PlanAnalyzer.scala)
+    # ------------------------------------------------------------------
+    def indexes(self) -> "DataFrame":
+        conf = self.conf()
+        rows = []
+        for e in self._all_latest_entries(conf):
+            p = e.derived_properties
+            rows.append(
+                (
+                    e.name,
+                    e.derived_kind,
+                    p.get("indexedColumns", [c.get("columns", ["?"])[0] for c in p.get("sketches", [])]),
+                    p.get("includedColumns", []),
+                    int(p.get("numBuckets", 0)),
+                    e.state,
+                    sum(f.size for f in e.content_files),
+                    len(e.content_files),
+                    e.data_version,
+                    ",".join(e.index_data_dirs),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "name string, kind string, indexedColumns array<string>, includedColumns array<string>, "
+            "numBuckets int, state string, indexSizeBytes long, numIndexFiles int, version int, dataDirs string",
+        )
+
+    def index(self, name: str) -> "DataFrame":
+        conf = self.conf()
+        e = self._log_mgr(name, conf).get_latest_log()
+        if e is None:
+            raise HyperspaceException(f"Index {name} does not exist.")
+        p = e.derived_properties
+        row = (
+            e.name,
+            e.derived_kind,
+            str(p),
+            e.state,
+            e.signature,
+            len(e.source_files),
+            len(e.appended_files),
+            len(e.deleted_files),
+            sum(f.size for f in e.content_files),
+            e.data_version,
+        )
+        return self.spark.createDataFrame(
+            [row],
+            "name string, kind string, derivedProperties string, state string, signature string, "
+            "numSourceFiles int, numAppendedFiles int, numDeletedFiles int, indexSizeBytes long, version int",
+        )
+
+    def explain(self, df: "DataFrame", verbose: bool = False) -> str:
+        """Plans with vs without indexes + used-index list
+        (reference: plananalysis/PlanAnalyzer.scala:48-181)."""
+        accelerated, used = self._apply_with_info(df)
+        orig_plan = df._jdf.queryExecution().executedPlan().toString()
+        out = []
+        out.append("=" * 60)
+        out.append("Plan with Hyperspace indexes")
+        out.append("=" * 60)
+        if used:
+            out.append(accelerated._jdf.queryExecution().executedPlan().toString())
+        else:
+            out.append("<no index applied>")
+        out.append("=" * 60)
+        out.append("Plan without indexes")
+        out.append("=" * 60)
+        out.append(orig_plan)
+        out.append("=" * 60)
+        out.append(f"Indexes used: {', '.join(used) if used else '<none>'}")
+        if verbose and used:
+            out.append("Physical operator diff:")
+            orig_ops = _op_histogram(orig_plan)
+            new_ops = _op_histogram(accelerated._jdf.queryExecution().executedPlan().toString())
+            for op_name in sorted(set(orig_ops) | set(new_ops)):
+                a, b = orig_ops.get(op_name, 0), new_ops.get(op_name, 0)
+                if a != b:
+                    out.append(f"  {op_name}: {a} -> {b}")
+        return "\n".join(out)
+
+    def why_not(self, df: "DataFrame", index_name: str | None = None) -> str:
+        """Why didn't my index apply? (reference: Hyperspace.scala:183-192,
+        CandidateIndexAnalyzer.scala; reason catalog FilterReason.scala:33-158)."""
+        reasons = Reasons()
+        _, used = self._apply_with_info(df, reasons=reasons)
+        conf = self.conf()
+        lines = [f"Applied indexes: {', '.join(used) if used else '<none>'}"]
+        all_names = [e.name for e in self._all_latest_entries(conf)]
+        reported = {n for n, _, _ in reasons.items}
+        for n, reason, detail in reasons.items:
+            if index_name is None or n == index_name:
+                lines.append(f"  {n}: {reason}" + (f" ({detail})" if detail else ""))
+        for n in all_names:
+            if n in used or n in reported:
+                continue
+            if index_name is None or n == index_name:
+                lines.append(f"  {n}: NOT_CONSIDERED (no matching source relation in plan)")
+        return "\n".join(lines)
+
+
+def _op_histogram(plan_str: str) -> dict[str, int]:
+    import re
+
+    ops: dict[str, int] = {}
+    for m in re.finditer(r"^[\s:+*(\d)\-]*([A-Za-z]+)", plan_str, re.MULTILINE):
+        ops[m.group(1)] = ops.get(m.group(1), 0) + 1
+    return ops

@@ -1,0 +1,207 @@
+"""Covering index: a vertical slice of the source, hash-bucketed and
+sorted by the indexed columns.
+
+Substitutes for a scan in filter queries and eliminates the shuffle in
+equi-joins (reference: index/covering/CoveringIndex.scala:29-104,
+CoveringIndexTrait.scala:32-135).  Spark-first realization: the slice is
+written as a **bucketed, sorted Parquet table** (``bucketBy(n, keys)
+.sortBy(keys).saveAsTable``), so Spark's own planner exploits the layout
+— bucket pruning for selective filters, Exchange-free sort-merge joins —
+with no custom physical operators.
+
+Scale notes (100 TB): the only shuffle is the one bucketed write at
+build time (``repartition(numBuckets, keys)`` — the same shuffle every
+join on these keys would otherwise pay, paid once).  Lineage id
+attachment is a broadcast join against a (file -> id) map, never a
+shuffle.  Bucket count defaults to spark.sql.shuffle.partitions and
+should be sized so each bucket is a few hundred MB at the target scale.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import TYPE_CHECKING
+
+from hyperspace_spark.config import DATA_FILE_ID_COLUMN, HyperspaceConf
+from hyperspace_spark.indexes.base import IndexConfig
+from hyperspace_spark.metadata.entry import FileIdTracker, FileInfo
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class CoveringIndexConfig(IndexConfig):
+    indexed_columns: list[str] = field(default_factory=list)
+    included_columns: list[str] = field(default_factory=list)
+
+    @property
+    def kind(self) -> str:
+        return "CI"
+
+    def referenced_columns(self) -> list[str]:
+        return list(self.indexed_columns) + list(self.included_columns)
+
+
+def table_name(index_name: str, version: int) -> str:
+    return f"hs_{index_name}_v{version}".lower()
+
+
+def with_lineage(
+    df: "DataFrame",
+    spark: "SparkSession",
+    files: list[FileInfo],
+    tracker: FileIdTracker,
+) -> "DataFrame":
+    """Attach the _data_file_id lineage column.
+
+    input_file_name() -> broadcast join against the (path -> id) map
+    (reference: CoveringIndex.scala:152-189; join at :182-186).  The map
+    has one row per source file — always broadcastable.
+    """
+    from pyspark.sql import functions as F
+
+    rows = [(_as_uri(f.path), tracker.add_or_get(f)) for f in files]
+    idmap = spark.createDataFrame(rows, f"_hs_path string, {DATA_FILE_ID_COLUMN} long")
+    return (
+        df.withColumn("_hs_path", F.input_file_name())
+        .join(F.broadcast(idmap), "_hs_path", "left")
+        .drop("_hs_path")
+    )
+
+
+def _as_uri(path: str) -> str:
+    """Normalize to the URI form input_file_name() produces."""
+    if "://" in path or path.startswith("file:"):
+        return path
+    return "file://" + path
+
+
+def create_index_data(
+    spark: "SparkSession",
+    df: "DataFrame",
+    config: CoveringIndexConfig,
+    conf: HyperspaceConf,
+    files: list[FileInfo],
+    tracker: FileIdTracker,
+    data_dir: str,
+    index_name: str,
+    version: int,
+) -> dict:
+    """Build and write one version of covering-index data; returns derived
+    properties for the log entry."""
+    tbl = table_name(index_name, version)
+    cols = config.referenced_columns()
+    projected = df
+    if conf.lineage_enabled:
+        projected = with_lineage(df, spark, files, tracker)
+    projected = projected.select(*cols, *([DATA_FILE_ID_COLUMN] if conf.lineage_enabled else []))
+
+    write_bucketed(spark, projected, config.indexed_columns, conf.num_buckets, data_dir, tbl)
+    return {
+        "indexedColumns": list(config.indexed_columns),
+        "includedColumns": list(config.included_columns),
+        "numBuckets": conf.num_buckets,
+        "lineage": conf.lineage_enabled,
+        "schemaJson": projected.schema.json(),
+        "tableName": tbl,
+    }
+
+
+def write_bucketed(
+    spark: "SparkSession",
+    df: "DataFrame",
+    bucket_cols: list[str],
+    num_buckets: int,
+    data_dir: str,
+    tbl: str,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed + sorted Parquet write at an explicit path.
+
+    PySpark's bucketBy requires saveAsTable (the reference sidesteps this
+    with internal APIs, DataFrameWriterExtensions.scala:50-68); we register
+    an external table whose LOCATION is the index data directory — the
+    catalog entry is session-scoped scaffolding, the files on the lake are
+    the durable artifact and are re-registered on demand at query time.
+    """
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (
+        df.repartition(num_buckets, *bucket_cols)
+        .write.format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .option("path", data_dir)
+        .mode(mode)
+        .saveAsTable(tbl)
+    )
+
+
+def ensure_bucketed_table(spark: "SparkSession", entry) -> str | None:
+    """Re-register the index's external bucketed table in this session's
+    catalog (no-op if present).  Returns the table name, or None if the
+    index data is not registrable as a single bucketed location."""
+    from pyspark.sql.types import StructType
+
+    props = entry.derived_properties
+    tbl = props.get("tableName")
+    if not tbl or len(entry.index_data_dirs) != 1:
+        return None
+    if spark.catalog.tableExists(tbl):
+        return tbl
+    schema = StructType.fromJson(json.loads(props["schemaJson"]))
+    cols_ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+    keys = ", ".join(f"`{c}`" for c in props["indexedColumns"])
+    spark.sql(
+        f"CREATE TABLE {tbl} ({cols_ddl}) USING parquet "
+        f"CLUSTERED BY ({keys}) SORTED BY ({keys}) INTO {props['numBuckets']} BUCKETS "
+        f"LOCATION '{entry.index_data_dirs[0]}'"
+    )
+    return tbl
+
+
+def index_scan_df(
+    spark: "SparkSession",
+    entry,
+    output_columns: list[str],
+    appended: list[FileInfo] | None = None,
+    deleted: list[FileInfo] | None = None,
+    bucketed: bool = False,
+) -> "DataFrame":
+    """Query-time DataFrame over the index data, with hybrid-scan
+    compensation (reference: CoveringIndexRuleUtils.scala:146-288).
+
+    - deleted source files -> anti-filter on the lineage column
+      (reference :244-253); Catalyst's OptimizeIn takes it from there.
+    - appended source files -> union of a direct scan of just those files,
+      projected to the same slice (reference :280-284).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    props = entry.derived_properties
+    if bucketed:
+        tbl = ensure_bucketed_table(spark, entry)
+        df = spark.table(tbl)
+    else:
+        df = spark.read.parquet(*entry.index_data_dirs)
+
+    if deleted:
+        ids = [entry.file_id_tracker.get(f) for f in deleted]
+        ids = [i for i in ids if i is not None]
+        if ids:
+            df = df.filter(~F.col(DATA_FILE_ID_COLUMN).isin(ids))
+
+    df = df.select(*output_columns)
+
+    if appended:
+        rel = entry.relations[0]
+        reader = spark.read.format(rel.file_format)
+        if rel.data_schema_json:
+            reader = reader.schema(StructType.fromJson(json.loads(rel.data_schema_json)))
+        if rel.options:
+            reader = reader.options(**{k: v for k, v in rel.options.items() if k != "path"})
+        src = reader.load([f.path for f in appended]).select(*output_columns)
+        df = df.unionByName(src)
+    return df

@@ -1,0 +1,162 @@
+"""Candidate index collection: which ACTIVE indexes can serve which scan.
+
+Two-stage filter per source leaf, like the reference
+(rules/CandidateIndexCollector.scala:28-60): column/schema compatibility
+(ColumnSchemaFilter.scala:28-45), then source-data fingerprint match with
+hybrid-scan byte-ratio thresholds (FileSignatureFilter.scala:33-192).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from hyperspace_spark.config import HyperspaceConf
+from hyperspace_spark.fs import FileSystem
+from hyperspace_spark.metadata.entry import FileInfo, IndexLogEntry
+from hyperspace_spark.metadata.signature import file_based_signature
+from hyperspace_spark.planner import ir
+
+# whyNot reason catalog (reference: plananalysis/FilterReason.scala:33-158).
+COL_SCHEMA_MISMATCH = "COL_SCHEMA_MISMATCH"
+SOURCE_DATA_CHANGED = "SOURCE_DATA_CHANGED"
+NO_COMMON_FILES = "NO_COMMON_FILES"
+TOO_MUCH_APPENDED = "TOO_MUCH_APPENDED"
+TOO_MUCH_DELETED = "TOO_MUCH_DELETED"
+NO_DELETE_SUPPORT = "NO_DELETE_SUPPORT"
+
+
+@dataclass
+class Candidate:
+    entry: IndexLogEntry
+    appended: list[FileInfo] = field(default_factory=list)
+    deleted: list[FileInfo] = field(default_factory=list)
+    common_bytes: int = 0
+    total_bytes: int = 0
+    hybrid: bool = False
+
+    @property
+    def coverage(self) -> float:
+        """Fraction of live source bytes the index covers (1.0 = exact)."""
+        if not self.hybrid:
+            return 1.0
+        return self.common_bytes / self.total_bytes if self.total_bytes else 0.0
+
+
+@dataclass
+class Reasons:
+    """whyNot reason sink: (index_name, reason, detail)."""
+
+    items: list[tuple[str, str, str]] = field(default_factory=list)
+
+    def add(self, index_name: str, reason: str, detail: str = "") -> None:
+        self.items.append((index_name, reason, detail))
+
+
+def live_source_files(scan: ir.Scan, fs: FileSystem) -> list[FileInfo]:
+    out: list[FileInfo] = []
+    for p in scan.normalized_paths():
+        for st in fs.list_files_recursive(p):
+            out.append(FileInfo(st.path, st.size, st.mtime))
+    return out
+
+
+def collect_candidates(
+    scan: ir.Scan,
+    entries: list[IndexLogEntry],
+    fs: FileSystem,
+    conf: HyperspaceConf,
+    reasons: Reasons | None = None,
+) -> list[Candidate]:
+    live: list[FileInfo] | None = None
+    live_sig: str | None = None
+    out: list[Candidate] = []
+    scan_cols = set(scan.output)
+
+    for e in entries:
+        # Source identity: same root paths.
+        idx_roots = tuple(sorted(_norm(p) for r in e.relations for p in r.root_paths))
+        if idx_roots != scan.normalized_paths():
+            continue
+        # Column schema compatibility.
+        referenced = _referenced_columns(e)
+        if referenced and not referenced.issubset(scan_cols):
+            if reasons:
+                missing = sorted(referenced - scan_cols)
+                reasons.add(e.name, COL_SCHEMA_MISMATCH, f"missing source columns {missing}")
+            continue
+        if live is None:
+            live = live_source_files(scan, fs)
+            live_sig = file_based_signature(live)
+        if live_sig == e.signature:
+            total = sum(f.size for f in live)
+            out.append(Candidate(entry=e, common_bytes=total, total_bytes=total))
+            continue
+        if not conf.hybridscan_enabled:
+            if reasons:
+                reasons.add(e.name, SOURCE_DATA_CHANGED, "signature mismatch, hybrid scan off")
+            continue
+        cand = _hybrid_candidate(e, live, conf, reasons)
+        if cand is not None:
+            out.append(cand)
+    return out
+
+
+def _referenced_columns(e: IndexLogEntry) -> set[str]:
+    p = e.derived_properties
+    cols = set(p.get("indexedColumns", [])) | set(p.get("includedColumns", []))
+    for sk in p.get("sketches", []):
+        cols.update(sk.get("columns", []))
+    return cols
+
+
+def _hybrid_candidate(
+    e: IndexLogEntry,
+    live: list[FileInfo],
+    conf: HyperspaceConf,
+    reasons: Reasons | None,
+) -> Candidate | None:
+    """File-overlap arithmetic with the reference's byte-ratio thresholds
+    (FileSignatureFilter.scala:108-185; IndexConstants.scala:42-52)."""
+    indexed = e.source_files_by_key()
+    live_by_key = {f.key(): f for f in live}
+    common_keys = indexed.keys() & live_by_key.keys()
+    if not common_keys:
+        if reasons:
+            reasons.add(e.name, NO_COMMON_FILES, "")
+        return None
+    # Quick-refresh deltas recorded in the log count on top of live-vs-indexed.
+    appended = [f for k, f in live_by_key.items() if k not in indexed]
+    deleted = [f for k, f in indexed.items() if k not in live_by_key]
+    total = sum(f.size for f in live)
+    common = sum(live_by_key[k].size for k in common_keys)
+    appended_bytes = sum(f.size for f in appended)
+    deleted_bytes = sum(f.size for f in deleted)
+    indexed_bytes = sum(f.size for f in indexed.values())
+    if total and appended_bytes / total > conf.hybridscan_max_appended_ratio:
+        if reasons:
+            reasons.add(e.name, TOO_MUCH_APPENDED, f"{appended_bytes}/{total} bytes appended")
+        return None
+    if indexed_bytes and deleted_bytes / indexed_bytes > conf.hybridscan_max_deleted_ratio:
+        if reasons:
+            reasons.add(e.name, TOO_MUCH_DELETED, f"{deleted_bytes}/{indexed_bytes} bytes deleted")
+        return None
+    if deleted and not e.derived_properties.get("lineage", False):
+        if reasons:
+            reasons.add(e.name, NO_DELETE_SUPPORT, "index built without lineage")
+        return None
+    return Candidate(
+        entry=e,
+        appended=appended,
+        deleted=deleted,
+        common_bytes=common,
+        total_bytes=total,
+        hybrid=True,
+    )
+
+
+def _norm(p: str) -> str:
+    if p.startswith("file://"):
+        p = p[len("file://"):]
+    elif p.startswith("file:"):
+        p = p[len("file:"):]
+    return p.rstrip("/")

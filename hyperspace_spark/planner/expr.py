@@ -1,0 +1,263 @@
+"""Python-side expression AST, parsed from Catalyst expressions via py4j.
+
+The planner needs structured predicates for two jobs the raw SQL string
+can't do: (a) the covering/z-order rules' indexed-column checks
+(reference: FilterIndexRule FilterColumnFilter, covering/FilterIndexRule.scala:62-103),
+and (b) data-skipping predicate translation to sketch predicates
+(reference: DataSkippingIndex.translateFilterCondition,
+dataskipping/DataSkippingIndex.scala:143-185).
+
+Every node keeps the Catalyst-generated SQL (``Expression.sql``) so the
+plan replayer can rebuild the exact semantics through ``F.expr`` without
+us reimplementing SQL generation.  Unrecognized expressions degrade to
+``Unknown`` — still replayable, just not convertible for sketches.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# ---------------------------------------------------------------------------
+# AST nodes
+# ---------------------------------------------------------------------------
+@dataclass(frozen=True)
+class Expr:
+    sql: str
+    references: frozenset[str] = field(default_factory=frozenset)
+
+
+@dataclass(frozen=True)
+class Attr(Expr):
+    name: str = ""
+    dtype: str = ""
+
+
+@dataclass(frozen=True)
+class Lit(Expr):
+    dtype: str = ""
+    is_null: bool = False
+
+
+@dataclass(frozen=True)
+class Cmp(Expr):
+    """Binary comparison: op in {'=', '<=>', '<', '<=', '>', '>='}."""
+
+    op: str = "="
+    left: Expr | None = None
+    right: Expr | None = None
+
+
+@dataclass(frozen=True)
+class InExpr(Expr):
+    child: Expr | None = None
+    values: tuple[Lit, ...] = ()
+
+
+@dataclass(frozen=True)
+class NullTest(Expr):
+    child: Expr | None = None
+    is_null: bool = True
+
+
+@dataclass(frozen=True)
+class BoolOp(Expr):
+    op: str = "and"  # or "or"
+    children: tuple[Expr, ...] = ()
+
+
+@dataclass(frozen=True)
+class NotExpr(Expr):
+    child: Expr | None = None
+
+
+@dataclass(frozen=True)
+class TrueLit(Expr):
+    pass
+
+
+@dataclass(frozen=True)
+class Unknown(Expr):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# py4j helpers
+# ---------------------------------------------------------------------------
+def scala_seq(jseq) -> list:
+    out = []
+    for i in range(jseq.size()):
+        out.append(jseq.apply(i))
+    return out
+
+
+def scala_map(jmap) -> dict:
+    out = {}
+    it = jmap.iterator()
+    while it.hasNext():
+        kv = it.next()
+        out[str(kv._1())] = str(kv._2())
+    return out
+
+
+def jrefs(jexpr) -> frozenset[str]:
+    try:
+        names = set()
+        it = jexpr.references().iterator()
+        while it.hasNext():
+            names.add(str(it.next().name()))
+        return frozenset(names)
+    except Exception:
+        return frozenset()
+
+
+import re
+
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _quote_if_needed(name: str) -> str:
+    return name if _IDENT.match(name) else "`" + name.replace("`", "``") + "`"
+
+
+def _jsql(jexpr) -> str:
+    """Expression SQL with attribute qualifiers stripped.
+
+    Plans built over temp views render attributes as `view`.`col`; the
+    replayer registers scans under fresh view names, so qualified refs
+    would dangle.  Replace each attribute's qualified rendering with its
+    bare (quoted-if-needed) name.
+    """
+    sql = str(jexpr.sql())
+    try:
+        it = jexpr.references().iterator()
+        while it.hasNext():
+            attr = it.next()
+            qualified = str(attr.sql())
+            bare = _quote_if_needed(str(attr.name()))
+            if qualified != bare and qualified in sql:
+                sql = sql.replace(qualified, bare)
+    except Exception:
+        pass
+    return sql
+
+
+# Public alias for the parser/replayer.
+expr_sql = _jsql
+
+
+# ---------------------------------------------------------------------------
+# Parsing
+# ---------------------------------------------------------------------------
+_CMP_OPS = {
+    "EqualTo": "=",
+    "EqualNullSafe": "<=>",
+    "LessThan": "<",
+    "LessThanOrEqual": "<=",
+    "GreaterThan": ">",
+    "GreaterThanOrEqual": ">=",
+}
+
+_FLIP = {"=": "=", "<=>": "<=>", "<": ">", "<=": ">=", ">": "<", ">=": "<="}
+
+
+def parse_expr(jexpr) -> Expr:
+    """Catalyst Expression (py4j) -> Python AST.  Never raises; worst case Unknown."""
+    try:
+        return _parse(jexpr)
+    except Exception:
+        try:
+            return Unknown(sql=_jsql(jexpr), references=jrefs(jexpr))
+        except Exception:
+            return Unknown(sql="<unparseable>", references=frozenset())
+
+
+def _unwrap_cast(jexpr):
+    """Unwrap Cast/UpCast around attributes (reference normalizes casts in
+    ExpressionUtils); comparisons against a widened attribute still convert."""
+    name = jexpr.getClass().getSimpleName()
+    while name in ("Cast", "UpCast", "AnsiCast"):
+        jexpr = jexpr.child()
+        name = jexpr.getClass().getSimpleName()
+    return jexpr
+
+
+def _parse(jexpr) -> Expr:
+    cls = jexpr.getClass().getSimpleName()
+    sql = _jsql(jexpr)
+
+    if cls == "AttributeReference":
+        n = str(jexpr.name())
+        return Attr(sql=sql, references=frozenset([n]), name=n, dtype=str(jexpr.dataType().typeName()))
+
+    if cls == "Literal":
+        is_null = jexpr.value() is None
+        return Lit(sql=sql, dtype=str(jexpr.dataType().typeName()), is_null=is_null)
+
+    if cls in ("And", "Or"):
+        left, right = _parse(jexpr.left()), _parse(jexpr.right())
+        op = "and" if cls == "And" else "or"
+        kids: list[Expr] = []
+        for c in (left, right):  # flatten nested same-op chains
+            if isinstance(c, BoolOp) and c.op == op:
+                kids.extend(c.children)
+            else:
+                kids.append(c)
+        refs = frozenset().union(*[c.references for c in kids])
+        return BoolOp(sql=sql, references=refs, op=op, children=tuple(kids))
+
+    if cls == "Not":
+        child = _parse(jexpr.child())
+        return NotExpr(sql=sql, references=child.references, child=child)
+
+    if cls in _CMP_OPS:
+        jl, jr = _unwrap_cast(jexpr.left()), _unwrap_cast(jexpr.right())
+        left, right = _parse(jl), _parse(jr)
+        op = _CMP_OPS[cls]
+        # Normalize to attr-on-left when possible (reference: NormalizedExprExtractor).
+        if isinstance(right, Attr) and isinstance(left, Lit):
+            left, right, op = right, left, _FLIP[op]
+        return Cmp(
+            sql=sql,
+            references=left.references | right.references,
+            op=op,
+            left=left,
+            right=right,
+        )
+
+    if cls == "In":
+        child = _parse(_unwrap_cast(jexpr.value()))
+        vals = []
+        for jv in scala_seq(jexpr.list()):
+            v = _parse(_unwrap_cast(jv))
+            if not isinstance(v, Lit):
+                return Unknown(sql=sql, references=jrefs(jexpr))
+            vals.append(v)
+        return InExpr(sql=sql, references=child.references, child=child, values=tuple(vals))
+
+    if cls == "InSet":
+        # Post-OptimizeIn form; value set lives in a Scala Set.  Values are
+        # plain JVM objects (no Literal wrapper) — recover SQL via child's
+        # dtype-appropriate rendering is fragile, so keep it opaque but
+        # reference-complete enough for covering rules (refs known).
+        child = _parse(_unwrap_cast(jexpr.child()))
+        return Unknown(sql=sql, references=child.references)
+
+    if cls == "IsNull":
+        child = _parse(_unwrap_cast(jexpr.child()))
+        return NullTest(sql=sql, references=child.references, child=child, is_null=True)
+
+    if cls == "IsNotNull":
+        child = _parse(_unwrap_cast(jexpr.child()))
+        return NullTest(sql=sql, references=child.references, child=child, is_null=False)
+
+    return Unknown(sql=sql, references=jrefs(jexpr))
+
+
+def split_conjuncts(e: Expr) -> list[Expr]:
+    if isinstance(e, BoolOp) and e.op == "and":
+        out: list[Expr] = []
+        for c in e.children:
+            out.extend(split_conjuncts(c))
+        return out
+    return [e]

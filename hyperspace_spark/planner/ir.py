@@ -1,0 +1,153 @@
+"""Lightweight logical-plan IR the Python planner pattern-matches on.
+
+Kept deliberately shallow, mirroring how shallow the reference's rules
+match Catalyst plans (only Project/Filter/Join over leaf relations are
+ever inspected — FilterIndexRule.scala:44-53, JoinIndexRule.scala:53-119).
+Upper nodes (Aggregate/Sort/Limit/...) are carried so the replayer can
+rebuild the full query on top of a rewritten scan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from hyperspace_spark.planner.expr import Expr
+
+
+@dataclass
+class Node:
+    pass
+
+
+@dataclass
+class Scan(Node):
+    root_paths: list[str] = field(default_factory=list)
+    file_format: str = "parquet"
+    data_schema_json: str = ""
+    output: list[str] = field(default_factory=list)
+    partition_columns: list[str] = field(default_factory=list)
+    options: dict[str, str] = field(default_factory=dict)
+    # Filled by the planner when a rule rewrites this scan:
+    replacement = None  # Callable[[SparkSession], DataFrame] | None
+    applied_index: str | None = None
+
+    def normalized_paths(self) -> tuple[str, ...]:
+        return tuple(sorted(_normalize_path(p) for p in self.root_paths))
+
+
+def _normalize_path(p: str) -> str:
+    if p.startswith("file://"):
+        p = p[len("file://"):]
+    elif p.startswith("file:"):
+        p = p[len("file:"):]
+    return p.rstrip("/")
+
+
+@dataclass
+class FilterN(Node):
+    child: Node = None
+    condition: Expr = None
+
+
+@dataclass
+class ProjectN(Node):
+    child: Node = None
+    exprs: list[str] = field(default_factory=list)  # SQL incl. aliases, in order
+    output: list[str] = field(default_factory=list)
+    references: frozenset[str] = field(default_factory=frozenset)
+
+
+@dataclass
+class AggregateN(Node):
+    child: Node = None
+    grouping: list[str] = field(default_factory=list)  # SQL
+    aggs: list[str] = field(default_factory=list)  # SQL incl. aliases, full output order
+    output: list[str] = field(default_factory=list)
+    references: frozenset[str] = field(default_factory=frozenset)
+
+
+@dataclass
+class SortN(Node):
+    child: Node = None
+    orders: list[str] = field(default_factory=list)  # "expr ASC NULLS FIRST" SQL fragments
+    references: frozenset[str] = field(default_factory=frozenset)
+
+
+@dataclass
+class LimitN(Node):
+    child: Node = None
+    n: int = 0
+
+
+@dataclass
+class JoinN(Node):
+    left: Node = None
+    right: Node = None
+    join_type: str = "inner"
+    condition: Expr | None = None
+    # Equi-join key pairs resolved to sides: [(left_col, right_col), ...]
+    equi_keys: list[tuple[str, str]] = field(default_factory=list)
+    residual_sql: str | None = None  # non-equi remainder of the condition
+
+
+@dataclass
+class DistinctN(Node):
+    child: Node = None
+
+
+@dataclass
+class WindowN(Node):
+    child: Node = None
+    window_exprs: list[str] = field(default_factory=list)  # SQL incl. aliases
+    output: list[str] = field(default_factory=list)
+    references: frozenset[str] = field(default_factory=frozenset)
+
+
+def children(node: Node) -> list[Node]:
+    if isinstance(node, JoinN):
+        return [node.left, node.right]
+    child = getattr(node, "child", None)
+    return [child] if child is not None else []
+
+
+def with_children(node: Node, new_children: list[Node]) -> Node:
+    import copy
+
+    out = copy.copy(node)
+    if isinstance(node, JoinN):
+        out.left, out.right = new_children
+    elif new_children:
+        out.child = new_children[0]
+    return out
+
+
+def iter_scans(node: Node):
+    if isinstance(node, Scan):
+        yield node
+    for c in children(node):
+        yield from iter_scans(c)
+
+
+def required_columns(node: Node) -> frozenset[str]:
+    """All source columns the subtree's RESULT and internal expressions need.
+
+    For a pattern rooted at ``node`` directly above a scan, this is the
+    set a covering index must cover (reference: FilterColumnFilter,
+    covering/FilterIndexRule.scala:62-103).
+    """
+    if isinstance(node, Scan):
+        return frozenset(node.output)
+    if isinstance(node, FilterN):
+        # A Filter passes its child's FULL output upward, so everything the
+        # scan produces is still needed — plus the predicate's columns.
+        return node.condition.references | required_columns(node.child)
+    if isinstance(node, ProjectN):
+        # A Project narrows the output to its own references, but any Filter
+        # BETWEEN it and the scan still needs its predicate columns.
+        below = frozenset()
+        cur = node.child
+        while isinstance(cur, FilterN):
+            below = below | cur.condition.references
+            cur = cur.child
+        return frozenset(node.references) | below
+    raise ValueError(f"required_columns: unsupported node {type(node).__name__}")

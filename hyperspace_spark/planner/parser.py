@@ -1,0 +1,211 @@
+"""Catalyst plan (via py4j) -> planner IR.
+
+We parse ``df._jdf.queryExecution().optimizedPlan()`` — the same
+vantage point the reference's rules get, since ApplyHyperspace runs in
+``extraOptimizations`` after all standard Catalyst batches
+(reference: package.scala:82-93).  Anything unrecognized raises
+UnsupportedPlan, which the engine turns into "leave the query as-is"
+(reference swallows rule errors the same way, ApplyHyperspace.scala:60-64).
+"""
+
+from __future__ import annotations
+
+from hyperspace_spark.planner import ir
+from hyperspace_spark.planner.expr import (
+    Attr,
+    Cmp,
+    expr_sql,
+    parse_expr,
+    scala_map,
+    scala_seq,
+    split_conjuncts,
+)
+
+
+class UnsupportedPlan(Exception):
+    pass
+
+
+_FORMAT_BY_CLASS = {
+    "ParquetFileFormat": "parquet",
+    "CSVFileFormat": "csv",
+    "JsonFileFormat": "json",
+    "OrcFileFormat": "orc",
+    "TextFileFormat": "text",
+    "AvroFileFormat": "avro",
+}
+
+# WindowGroupLimit is an optimizer-inserted per-partition top-k shortcut
+# (rank pushdown); dropping it is semantics-preserving — the rank filter
+# above still applies, Catalyst re-inserts it when it re-optimizes our
+# replayed plan.
+_PASS_THROUGH = {
+    "SubqueryAlias",
+    "View",
+    "ResolvedHint",
+    "Repartition",
+    "RepartitionByExpression",
+    "WindowGroupLimit",
+}
+
+
+def parse_df(df) -> ir.Node:
+    return _parse(df._jdf.queryExecution().optimizedPlan())
+
+
+def _out_names(jnode) -> list[str]:
+    return [str(a.name()) for a in scala_seq(jnode.output())]
+
+
+def _parse(jnode) -> ir.Node:
+    cls = jnode.getClass().getSimpleName()
+
+    if cls in _PASS_THROUGH:
+        return _parse(jnode.child())
+
+    if cls == "LogicalRelation":
+        return _parse_relation(jnode)
+
+    if cls == "Project":
+        exprs = [expr_sql(e) for e in scala_seq(jnode.projectList())]
+        refs = frozenset().union(
+            *[parse_expr(e).references for e in scala_seq(jnode.projectList())]
+        ) if exprs else frozenset()
+        return ir.ProjectN(
+            child=_parse(jnode.child()), exprs=exprs, output=_out_names(jnode), references=refs
+        )
+
+    if cls == "Filter":
+        return ir.FilterN(child=_parse(jnode.child()), condition=parse_expr(jnode.condition()))
+
+    if cls == "Aggregate":
+        grouping = [expr_sql(e) for e in scala_seq(jnode.groupingExpressions())]
+        aggs = [expr_sql(e) for e in scala_seq(jnode.aggregateExpressions())]
+        refs = frozenset().union(
+            *[
+                parse_expr(e).references
+                for e in (
+                    list(scala_seq(jnode.groupingExpressions()))
+                    + list(scala_seq(jnode.aggregateExpressions()))
+                )
+            ]
+        ) if (grouping or aggs) else frozenset()
+        return ir.AggregateN(
+            child=_parse(jnode.child()),
+            grouping=grouping,
+            aggs=aggs,
+            output=_out_names(jnode),
+            references=refs,
+        )
+
+    if cls == "Sort":
+        orders = []
+        refs: frozenset[str] = frozenset()
+        for so in scala_seq(jnode.order()):
+            child_sql = expr_sql(so.child())
+            direction = "ASC" if "Ascending" in str(so.direction().getClass().getSimpleName()) else "DESC"
+            nulls = (
+                "NULLS FIRST"
+                if "NullsFirst" in str(so.nullOrdering().getClass().getSimpleName())
+                else "NULLS LAST"
+            )
+            orders.append(f"{child_sql} {direction} {nulls}")
+            refs = refs | parse_expr(so.child()).references
+        return ir.SortN(child=_parse(jnode.child()), orders=orders, references=refs)
+
+    if cls == "GlobalLimit":
+        n = int(jnode.limitExpr().value())
+        inner = jnode.child()
+        if inner.getClass().getSimpleName() == "LocalLimit":
+            inner = inner.child()
+        return ir.LimitN(child=_parse(inner), n=n)
+
+    if cls == "LocalLimit":
+        return ir.LimitN(child=_parse(jnode.child()), n=int(jnode.limitExpr().value()))
+
+    if cls == "Window":
+        wexprs = [expr_sql(e) for e in scala_seq(jnode.windowExpressions())]
+        refs = frozenset().union(
+            *[parse_expr(e).references for e in scala_seq(jnode.windowExpressions())]
+        ) if wexprs else frozenset()
+        return ir.WindowN(
+            child=_parse(jnode.child()),
+            window_exprs=wexprs,
+            output=_out_names(jnode),
+            references=refs,
+        )
+
+    if cls == "Join":
+        left = _parse(jnode.left())
+        right = _parse(jnode.right())
+        jt = str(jnode.joinType().sql()).lower().replace(" ", "_")
+        cond_opt = jnode.condition()
+        condition = None
+        equi: list[tuple[str, str]] = []
+        residual: list[str] = []
+        if cond_opt.isDefined():
+            condition = parse_expr(cond_opt.get())
+            lcols = frozenset(_names(left))
+            rcols = frozenset(_names(right))
+            for conj in split_conjuncts(condition):
+                pair = _equi_pair(conj, lcols, rcols)
+                if pair is not None:
+                    equi.append(pair)
+                else:
+                    residual.append(conj.sql)
+        return ir.JoinN(
+            left=left,
+            right=right,
+            join_type=jt,
+            condition=condition,
+            equi_keys=equi,
+            residual_sql=" AND ".join(residual) if residual else None,
+        )
+
+    raise UnsupportedPlan(cls)
+
+
+def _names(node: ir.Node) -> list[str]:
+    if isinstance(node, ir.Scan):
+        return node.output
+    if isinstance(node, (ir.ProjectN, ir.AggregateN, ir.WindowN)):
+        return node.output
+    if isinstance(node, (ir.FilterN, ir.LimitN, ir.SortN, ir.DistinctN)):
+        return _names(node.child)
+    if isinstance(node, ir.JoinN):
+        return _names(node.left) + _names(node.right)
+    return []
+
+
+def _equi_pair(conj, lcols: frozenset[str], rcols: frozenset[str]) -> tuple[str, str] | None:
+    if not (isinstance(conj, Cmp) and conj.op == "=" and isinstance(conj.left, Attr) and isinstance(conj.right, Attr)):
+        return None
+    a, b = conj.left.name, conj.right.name
+    # Require unambiguous side resolution (self-joins with shared names bail;
+    # the reference resolves those by exprId, JoinIndexRule.scala:179-317).
+    if a in lcols and b in rcols and a not in rcols and b not in lcols:
+        return (a, b)
+    if b in lcols and a in rcols and b not in rcols and a not in lcols:
+        return (b, a)
+    return None
+
+
+def _parse_relation(jnode) -> ir.Scan:
+    rel = jnode.relation()
+    rel_cls = rel.getClass().getSimpleName()
+    if rel_cls != "HadoopFsRelation":
+        raise UnsupportedPlan(f"relation:{rel_cls}")
+    fmt_cls = rel.fileFormat().getClass().getSimpleName()
+    fmt = _FORMAT_BY_CLASS.get(fmt_cls)
+    if fmt is None:
+        raise UnsupportedPlan(f"format:{fmt_cls}")
+    paths = [str(p.toString()) for p in scala_seq(rel.location().rootPaths())]
+    part_cols = [str(f.name()) for f in scala_seq(rel.partitionSchema())]
+    return ir.Scan(
+        root_paths=paths,
+        file_format=fmt,
+        data_schema_json=str(rel.dataSchema().json()),
+        output=_out_names(jnode),
+        partition_columns=part_cols,
+        options=scala_map(rel.options()),
+    )

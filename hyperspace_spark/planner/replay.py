@@ -1,0 +1,134 @@
+"""IR -> DataFrame: rebuild the query on top of (possibly rewritten) scans.
+
+Each scan leaf materializes as a DataFrame (original source read, or the
+index substitute a rule installed) registered under a unique temp view;
+the upper plan is regenerated as nested ANSI SQL and handed back to
+Catalyst — so the rewritten query still gets the full optimizer
+(pushdown into the index parquet, whole-stage codegen, AQE...).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import TYPE_CHECKING
+
+from hyperspace_spark.planner import ir
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+
+
+_VIEW_SEQ = [0]
+
+
+def default_scan_df(spark: "SparkSession", scan: ir.Scan) -> "DataFrame":
+    from pyspark.sql.types import StructType
+
+    reader = spark.read.format(scan.file_format)
+    if scan.options:
+        reader = reader.options(**{k: v for k, v in scan.options.items() if k != "path"})
+    if scan.data_schema_json:
+        reader = reader.schema(StructType.fromJson(json.loads(scan.data_schema_json)))
+    df = reader.load(scan.root_paths)
+    return df.select(*scan.output)
+
+
+def replay(spark: "SparkSession", node: ir.Node) -> "DataFrame":
+    views: list[str] = []
+    try:
+        sql = _sql(spark, node, views)
+        return spark.sql(sql)
+    finally:
+        # Temp views must outlive the returned DataFrame's execution; Spark
+        # resolves them eagerly at spark.sql() time, so dropping here is safe.
+        for v in views:
+            try:
+                spark.catalog.dropTempView(v)
+            except Exception:
+                pass
+
+
+def _register(spark: "SparkSession", df: "DataFrame", views: list[str]) -> str:
+    _VIEW_SEQ[0] += 1
+    name = f"__hs_scan_{_VIEW_SEQ[0]}"
+    df.createOrReplaceTempView(name)
+    views.append(name)
+    return name
+
+
+def _sql(spark: "SparkSession", node: ir.Node, views: list[str]) -> str:
+    if isinstance(node, ir.Scan):
+        if node.replacement is not None:
+            df = node.replacement(spark)
+        else:
+            df = default_scan_df(spark, node)
+        return _register(spark, df, views)
+
+    if isinstance(node, ir.FilterN):
+        child = _sub(spark, node.child, views)
+        return f"SELECT * FROM {child} WHERE {node.condition.sql}"
+
+    if isinstance(node, ir.ProjectN):
+        child = _sub(spark, node.child, views)
+        cols = ", ".join(node.exprs) if node.exprs else "*"
+        return f"SELECT {cols} FROM {child}"
+
+    if isinstance(node, ir.AggregateN):
+        child = _sub(spark, node.child, views)
+        cols = ", ".join(node.aggs)
+        if node.grouping:
+            return f"SELECT {cols} FROM {child} GROUP BY {', '.join(node.grouping)}"
+        return f"SELECT {cols} FROM {child}"
+
+    if isinstance(node, ir.SortN):
+        child = _sub(spark, node.child, views)
+        return f"SELECT * FROM {child} ORDER BY {', '.join(node.orders)}"
+
+    if isinstance(node, ir.LimitN):
+        child = _sub(spark, node.child, views)
+        return f"SELECT * FROM {child} LIMIT {node.n}"
+
+    if isinstance(node, ir.DistinctN):
+        child = _sub(spark, node.child, views)
+        return f"SELECT DISTINCT * FROM {child}"
+
+    if isinstance(node, ir.WindowN):
+        child = _sub(spark, node.child, views)
+        extra = ", ".join(node.window_exprs)
+        return f"SELECT *, {extra} FROM {child}"
+
+    if isinstance(node, ir.JoinN):
+        left = _sub(spark, node.left, views, alias="__hs_l")
+        right = _sub(spark, node.right, views, alias="__hs_r")
+        conds = [f"__hs_l.{_q(l)} = __hs_r.{_q(r)}" for l, r in node.equi_keys]
+        if node.residual_sql:
+            conds.append(node.residual_sql)
+        jt = {
+            "inner": "INNER JOIN",
+            "left_outer": "LEFT OUTER JOIN",
+            "right_outer": "RIGHT OUTER JOIN",
+            "full_outer": "FULL OUTER JOIN",
+            "left_semi": "LEFT SEMI JOIN",
+            "left_anti": "LEFT ANTI JOIN",
+            "cross": "CROSS JOIN",
+        }.get(node.join_type)
+        if jt is None:
+            raise ValueError(f"unsupported join type {node.join_type}")
+        on = f" ON {' AND '.join(conds)}" if conds else ""
+        return f"SELECT * FROM {left} {jt} {right}{on}"
+
+    raise ValueError(f"replay: unsupported node {type(node).__name__}")
+
+
+def _sub(spark: "SparkSession", node: ir.Node, views: list[str], alias: str | None = None) -> str:
+    inner = _sql(spark, node, views)
+    name = alias or ""
+    if " " not in inner and not name:
+        return inner  # bare view name
+    _VIEW_SEQ[0] += 1
+    name = name or f"__hs_sq_{_VIEW_SEQ[0]}"
+    return f"({inner}) AS {name}" if " " in inner else f"{inner} AS {name}"
+
+
+def _q(col: str) -> str:
+    return f"`{col}`" if not col.startswith("`") else col

@@ -1,0 +1,279 @@
+"""Index-application rules + score-based selection context.
+
+Scores follow the reference's fixed heuristic (BASELINE.md):
+filter = 50·coverage (FilterIndexRule.scala:151-173), z-order =
+60·coverage (ZOrderFilterIndexRule.scala:128-152), join = 70+70·coverage
+(JoinIndexRule.scala:689-719), data skipping = 1, always losing to any
+covering rewrite (ApplyDataSkippingIndex.scala:76-83).
+"""
+
+from __future__ import annotations
+
+import copy
+from dataclasses import dataclass, field
+
+from hyperspace_spark.config import HyperspaceConf
+from hyperspace_spark.planner import ir
+from hyperspace_spark.planner.candidates import Candidate, Reasons
+from hyperspace_spark.planner.expr import split_conjuncts
+
+# Rule-stage whyNot reasons (reference: plananalysis/FilterReason.scala).
+NO_FIRST_INDEXED_COL_COND = "NO_FIRST_INDEXED_COL_COND"
+MISSING_INDEXED_COL = "MISSING_INDEXED_COL"
+MISSING_REQUIRED_COL = "MISSING_REQUIRED_COL"
+NOT_ELIGIBLE_JOIN = "NOT_ELIGIBLE_JOIN"
+NOT_ALL_JOIN_COL_INDEXED = "NOT_ALL_JOIN_COL_INDEXED"
+NO_COMPATIBLE_JOIN_INDEX_PAIR = "NO_COMPATIBLE_JOIN_INDEX_PAIR"
+ANOTHER_INDEX_APPLIED = "ANOTHER_INDEX_APPLIED"
+INELIGIBLE_FILTER_CONDITION = "INELIGIBLE_FILTER_CONDITION"
+
+
+@dataclass
+class RuleContext:
+    spark: object
+    conf: HyperspaceConf
+    candidates: dict[int, list[Candidate]]  # id(scan) -> candidates
+    reasons: Reasons | None = None
+
+    def for_scan(self, scan: ir.Scan, kind: str) -> list[Candidate]:
+        return [c for c in self.candidates.get(id(scan), []) if c.entry.derived_kind == kind]
+
+    def tag(self, index_name: str, reason: str, detail: str = "") -> None:
+        if self.reasons is not None:
+            self.reasons.add(index_name, reason, detail)
+
+
+@dataclass
+class Applied:
+    node: ir.Node
+    score: float
+    index_names: list[str] = field(default_factory=list)
+
+
+# ---------------------------------------------------------------------------
+# pattern helpers
+# ---------------------------------------------------------------------------
+def match_filter_pattern(node: ir.Node):
+    """[Project] <- Filter <- Scan (reference FilterPlanNodeFilter,
+    covering/FilterIndexRule.scala:33-55)."""
+    project = None
+    cur = node
+    if isinstance(cur, ir.ProjectN):
+        project = cur
+        cur = cur.child
+    if not isinstance(cur, ir.FilterN):
+        return None
+    filt = cur
+    if not isinstance(filt.child, ir.Scan):
+        return None
+    return project, filt, filt.child
+
+
+def match_linear_side(node: ir.Node):
+    """[Project] <- [Filter] <- Scan (reference requires linear join children,
+    JoinIndexRule.scala:150-151).  Returns (scan, required_cols) or None."""
+    cur = node
+    if isinstance(cur, ir.ProjectN):
+        cur = cur.child
+    if isinstance(cur, ir.FilterN):
+        cur = cur.child
+    if not isinstance(cur, ir.Scan):
+        return None
+    try:
+        return cur, ir.required_columns(node)
+    except ValueError:
+        return None
+
+
+def _substitute_scan(node: ir.Node, scan: ir.Scan, replacement, index_name: str) -> ir.Node:
+    """Deep-copy the subtree with `scan.replacement` installed (copies keep
+    the un-rewritten plan reusable when another rule scores higher)."""
+
+    def clone(n: ir.Node) -> ir.Node:
+        if n is scan:
+            s = copy.copy(scan)
+            s.replacement = replacement
+            s.applied_index = index_name
+            return s
+        kids = ir.children(n)
+        if not kids:
+            return copy.copy(n)
+        return ir.with_children(n, [clone(k) for k in kids])
+
+    return clone(node)
+
+
+def _rank_smallest(cands: list[Candidate]) -> list[Candidate]:
+    """Prefer the smallest index data (reference FilterIndexRanker.scala)."""
+    return sorted(cands, key=lambda c: (sum(f.size for f in c.entry.content_files), c.entry.name))
+
+
+# ---------------------------------------------------------------------------
+# FilterIndexRule (covering) + ZOrderFilterIndexRule
+# ---------------------------------------------------------------------------
+class FilterIndexRule:
+    kind = "CI"
+    base_score = 50.0
+    require_first_indexed = True  # z-order relaxes this (any indexed col)
+
+    def apply(self, node: ir.Node, ctx: RuleContext) -> Applied | None:
+        m = match_filter_pattern(node)
+        if m is None:
+            return None
+        project, filt, scan = m
+        cands = ctx.for_scan(scan, self.kind)
+        if not cands:
+            return None
+        cond_refs = filt.condition.references
+        if not cond_refs:
+            return None
+        required = ir.required_columns(node)
+
+        eligible: list[Candidate] = []
+        for c in cands:
+            p = c.entry.derived_properties
+            indexed = p.get("indexedColumns", [])
+            covered = set(indexed) | set(p.get("includedColumns", []))
+            if self.require_first_indexed:
+                # Reference: first indexed column must appear in the predicate
+                # (FilterColumnFilter, FilterIndexRule.scala:62-103) — that's
+                # the column the bucketed/sorted layout can actually seek on.
+                if not indexed or indexed[0] not in cond_refs:
+                    ctx.tag(c.entry.name, NO_FIRST_INDEXED_COL_COND, f"first indexed {indexed[:1]} not in predicate")
+                    continue
+            else:
+                if not (set(indexed) & cond_refs):
+                    ctx.tag(c.entry.name, MISSING_INDEXED_COL, "no indexed column in predicate")
+                    continue
+            if not required.issubset(covered):
+                ctx.tag(c.entry.name, MISSING_REQUIRED_COL, f"missing {sorted(required - covered)}")
+                continue
+            eligible.append(c)
+        if not eligible:
+            return None
+        winner = _rank_smallest(eligible)[0]
+        for c in eligible[1:]:
+            ctx.tag(c.entry.name, ANOTHER_INDEX_APPLIED, f"lost to {winner.entry.name}")
+
+        out_cols = [c for c in scan.output if c in required]
+        entry = winner.entry
+        appended, deleted = winner.appended, winner.deleted
+        use_buckets = ctx.conf.filter_rule_use_bucket_spec and not appended
+
+        def replacement(spark, _e=entry, _cols=out_cols, _a=appended, _d=deleted, _b=use_buckets):
+            from hyperspace_spark.indexes.covering import index_scan_df
+
+            return index_scan_df(spark, _e, _cols, appended=_a, deleted=_d, bucketed=_b)
+
+        new_node = _substitute_scan(node, scan, replacement, entry.name)
+        return Applied(new_node, self.base_score * winner.coverage, [entry.name])
+
+
+class ZOrderFilterIndexRule(FilterIndexRule):
+    """Same shape, but any indexed column qualifies and the score is 60
+    (reference: zordercovering/ZOrderFilterIndexRule.scala:36-153) — the
+    z-clustered layout prunes parquet row-groups on every indexed column."""
+
+    kind = "ZCI"
+    base_score = 60.0
+    require_first_indexed = False
+
+
+# ---------------------------------------------------------------------------
+# JoinIndexRule
+# ---------------------------------------------------------------------------
+class JoinIndexRule:
+    """Equi-join CNF over linear children -> read both sides from covering
+    indexes bucketed on the join keys; Spark's planner then drops the
+    Exchange (reference: covering/JoinIndexRule.scala:635-720).
+
+    Hybrid-scan limits: appended files would break bucket alignment
+    (BucketUnion is a JVM-only operator, SURVEY §7 H3), so appended
+    candidates are skipped; deleted files are fine — the lineage
+    anti-filter preserves the bucketed partitioning.
+    """
+
+    def apply(self, node: ir.Node, ctx: RuleContext) -> Applied | None:
+        if not isinstance(node, ir.JoinN) or node.join_type != "inner":
+            return None
+        if not node.equi_keys or node.residual_sql is not None:
+            return None  # reference: simple CNF equi-join only (JoinIndexRule.scala:164-170)
+        lm = match_linear_side(node.left)
+        rm = match_linear_side(node.right)
+        if lm is None or rm is None:
+            return None
+        lscan, lreq = lm
+        rscan, rreq = rm
+        lkeys = [a for a, _ in node.equi_keys]
+        rkeys = [b for _, b in node.equi_keys]
+
+        lc = self._eligible(ctx, lscan, lkeys, lreq)
+        rc = self._eligible(ctx, rscan, rkeys, rreq)
+        if not lc or not rc:
+            return None
+
+        pair = self._best_pair(node, lc, rc)
+        if pair is None:
+            for c in lc + rc:
+                ctx.tag(c.entry.name, NO_COMPATIBLE_JOIN_INDEX_PAIR, "")
+            return None
+        lwin, rwin = pair
+        coverage = min(lwin.coverage, rwin.coverage)
+
+        new_node = node
+        for scan, win, req in ((lscan, lwin, lreq), (rscan, rwin, rreq)):
+            out_cols = [c for c in scan.output if c in req]
+
+            def replacement(spark, _e=win.entry, _cols=out_cols, _d=win.deleted):
+                from hyperspace_spark.indexes.covering import index_scan_df
+
+                return index_scan_df(spark, _e, _cols, deleted=_d, bucketed=True)
+
+            new_node = _substitute_scan(new_node, scan, replacement, win.entry.name)
+        return Applied(new_node, 70.0 + 70.0 * coverage, [lwin.entry.name, rwin.entry.name])
+
+    def _eligible(self, ctx, scan, keys, required):
+        out = []
+        for c in ctx.for_scan(scan, "CI"):
+            if c.appended:  # no bucket-aligned union in PySpark
+                continue
+            p = c.entry.derived_properties
+            indexed = p.get("indexedColumns", [])
+            # Reference: indexed columns must equal the join columns
+            # (JoinColumnFilter, JoinIndexRule.scala:451).
+            if set(indexed) != set(keys):
+                ctx.tag(c.entry.name, NOT_ALL_JOIN_COL_INDEXED, f"indexed {indexed} != join keys {sorted(set(keys))}")
+                continue
+            covered = set(indexed) | set(p.get("includedColumns", []))
+            if not required.issubset(covered):
+                ctx.tag(c.entry.name, MISSING_REQUIRED_COL, f"missing {sorted(required - covered)}")
+                continue
+            out.append(c)
+        return out
+
+    def _best_pair(self, node: ir.JoinN, lc: list[Candidate], rc: list[Candidate]):
+        """Compatibility: the indexed-column ORDER must agree with the join
+        condition's column mapping (JoinRankFilter.isCompatible,
+        JoinIndexRule.scala:607-616); rank pairs by equal bucket count,
+        then by more buckets (JoinIndexRanker.scala:52-90)."""
+        key_map = dict(node.equi_keys)
+        pairs = []
+        for l in lc:
+            for r in rc:
+                lcols = l.entry.derived_properties["indexedColumns"]
+                rcols = r.entry.derived_properties["indexedColumns"]
+                if len(lcols) != len(rcols):
+                    continue
+                if any(key_map.get(a) != b for a, b in zip(lcols, rcols)):
+                    continue
+                lb = l.entry.derived_properties["numBuckets"]
+                rb = r.entry.derived_properties["numBuckets"]
+                pairs.append(((0 if lb == rb else 1, -min(lb, rb)), (l, r)))
+        if not pairs:
+            return None
+        pairs.sort(key=lambda x: x[0])
+        return pairs[0][1]
+
+
+def default_rules() -> list:
+    return [FilterIndexRule(), ZOrderFilterIndexRule(), JoinIndexRule()]

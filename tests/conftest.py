@@ -1,0 +1,44 @@
+import os
+
+import pytest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("hyperspace_spark_tests")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", "/tmp/hs_test_warehouse")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR
+
+
+def table(spark, name, sf_dir=SF_DIR):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def rows_equal(df1, df2) -> bool:
+    """Order-insensitive result equality (the reference's primary oracle:
+    with/without-index result equality, E2EHyperspaceRulesTest)."""
+    if [f.name for f in df1.schema.fields] != [f.name for f in df2.schema.fields]:
+        return False
+    r1 = sorted([tuple(str(v) for v in row) for row in df1.collect()])
+    r2 = sorted([tuple(str(v) for v in row) for row in df2.collect()])
+    return r1 == r2

@@ -1,0 +1,100 @@
+"""Covering index end-to-end: create -> accelerate -> result equality.
+
+The reference's dominant E2E pattern: plan-shape assertion + result
+equality with/without index (E2EHyperspaceRulesTest.scala:107,214,524).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hyperspace_spark import CoveringIndexConfig, Hyperspace
+
+from tests.conftest import rows_equal, table
+
+
+@pytest.fixture(scope="module")
+def hs(spark, tmp_path_factory):
+    sys_path = str(tmp_path_factory.mktemp("hsidx"))
+    hs = Hyperspace(spark, system_path=sys_path)
+    orders = table(spark, "orders")
+    hs.create_index(
+        orders,
+        CoveringIndexConfig("o_cust_idx", ["o_custkey"], ["o_orderkey", "o_totalprice"]),
+    )
+    return hs
+
+
+def accelerated_plan_uses_index(hs, df, index_name):
+    out, used = hs._apply_with_info(df)
+    return index_name in used, out
+
+
+def test_filter_rewrite_result_equality(spark, hs):
+    df = (
+        table(spark, "orders")
+        .filter(F.col("o_custkey") == 421)
+        .select("o_orderkey", "o_totalprice")
+    )
+    used, fast = accelerated_plan_uses_index(hs, df, "o_cust_idx")
+    assert used, hs.why_not(df)
+    # The rewritten plan must scan index data, not source data.
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "o_cust_idx" in plan
+    assert "orders.parquet" not in plan
+    assert rows_equal(df, fast)
+
+
+def test_range_filter_rewrite(spark, hs):
+    df = (
+        table(spark, "orders")
+        .filter("o_custkey BETWEEN 100 AND 200")
+        .select("o_custkey", "o_orderkey")
+    )
+    used, fast = accelerated_plan_uses_index(hs, df, "o_cust_idx")
+    assert used, hs.why_not(df)
+    assert rows_equal(df, fast)
+
+
+def test_aggregate_above_filter_rewrite(spark, hs):
+    df = (
+        table(spark, "orders")
+        .filter("o_custkey = 421")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("total"), F.count("*").alias("cnt"))
+    )
+    used, fast = accelerated_plan_uses_index(hs, df, "o_cust_idx")
+    assert used, hs.why_not(df)
+    assert rows_equal(df, fast)
+
+
+def test_no_rewrite_when_columns_not_covered(spark, hs):
+    # o_orderdate is not in the index -> must not rewrite.
+    df = table(spark, "orders").filter("o_custkey = 421").select("o_orderkey", "o_orderdate")
+    used, fast = accelerated_plan_uses_index(hs, df, "o_cust_idx")
+    assert not used
+    assert fast is df
+
+
+def test_no_rewrite_when_first_indexed_col_absent(spark, hs):
+    df = table(spark, "orders").filter("o_totalprice > 100").select("o_custkey", "o_orderkey")
+    used, _ = accelerated_plan_uses_index(hs, df, "o_cust_idx")
+    assert not used
+    report = hs.why_not(df)
+    assert "NO_FIRST_INDEXED_COL_COND" in report
+
+
+def test_apply_is_safe_on_unsupported_plans(spark, hs):
+    df = spark.range(5)
+    assert hs.apply(df) is df
+
+
+def test_indexes_listing(spark, hs):
+    rows = hs.indexes().collect()
+    assert any(r.name == "o_cust_idx" and r.state == "ACTIVE" for r in rows)
+
+
+def test_sql_entrypoint(spark, hs):
+    table(spark, "orders").createOrReplaceTempView("v_orders")
+    fast = hs.sql("SELECT o_orderkey, o_totalprice FROM v_orders WHERE o_custkey = 421")
+    df = spark.sql("SELECT o_orderkey, o_totalprice FROM v_orders WHERE o_custkey = 421")
+    assert rows_equal(df, fast)

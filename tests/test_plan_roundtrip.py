@@ -1,0 +1,134 @@
+"""Parse->replay round-trip: the replayed DataFrame must equal the original.
+
+This is the foundation the rewrite rules stand on: if replay changes
+semantics with NO index involved, everything above is unsound.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hyperspace_spark.planner import ir
+from hyperspace_spark.planner.parser import parse_df
+from hyperspace_spark.planner.replay import replay
+
+from tests.conftest import rows_equal, table
+
+
+def roundtrip(spark, df):
+    node = parse_df(df)
+    out = replay(spark, node)
+    assert rows_equal(df, out), f"round-trip mismatch:\nplan={node}"
+    return node
+
+
+def test_project_filter(spark):
+    df = (
+        table(spark, "orders")
+        .filter(F.col("o_custkey") == 421)
+        .select("o_orderkey", "o_totalprice")
+    )
+    node = roundtrip(spark, df)
+    assert isinstance(node, ir.ProjectN)
+    assert isinstance(node.child, ir.FilterN)
+    assert isinstance(node.child.child, ir.Scan)
+
+
+def test_filter_only(spark):
+    df = table(spark, "region").filter("r_regionkey < 3")
+    roundtrip(spark, df)
+
+
+def test_aggregate(spark):
+    df = (
+        table(spark, "lineitem")
+        .filter(F.col("l_quantity") > 10)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.count("*").alias("cnt"),
+        )
+    )
+    roundtrip(spark, df)
+
+
+def test_global_aggregate_no_grouping(spark):
+    df = table(spark, "lineitem").agg(F.sum("l_quantity").alias("total"))
+    roundtrip(spark, df)
+
+
+def test_sort_limit(spark):
+    df = table(spark, "orders").orderBy(F.col("o_totalprice").desc()).limit(10)
+    roundtrip(spark, df)
+
+
+def test_join_equi(spark):
+    li = table(spark, "lineitem").select("l_orderkey", "l_quantity")
+    o = table(spark, "orders").select("o_orderkey", "o_custkey")
+    df = li.join(o, li.l_orderkey == o.o_orderkey).filter("o_custkey < 100")
+    roundtrip(spark, df)
+
+
+def test_join_agg_sort(spark):
+    li = table(spark, "lineitem")
+    o = table(spark, "orders")
+    df = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy("o_orderpriority")
+    )
+    roundtrip(spark, df)
+
+
+def test_in_and_between_predicates(spark):
+    df = table(spark, "part").filter(
+        "p_size IN (5, 10, 15) AND p_retailprice BETWEEN 100 AND 1500"
+    ).select("p_partkey", "p_size")
+    roundtrip(spark, df)
+
+
+def test_timestamp_predicate(spark):
+    df = table(spark, "lineitem").filter(
+        F.col("l_shipdate") < "1996-01-01"
+    ).select("l_orderkey", "l_shipdate")
+    roundtrip(spark, df)
+
+
+def test_window(spark):
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    df = (
+        table(spark, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 2")
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+    roundtrip(spark, df)
+
+
+def test_distinct(spark):
+    df = table(spark, "orders").select("o_orderpriority").distinct()
+    roundtrip(spark, df)
+
+
+def test_sql_entrypoint(spark):
+    table(spark, "lineitem").createOrReplaceTempView("t_lineitem")
+    df = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM t_lineitem WHERE l_shipdate <= timestamp '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+    roundtrip(spark, df)
+
+
+def test_unsupported_plan_raises(spark):
+    from hyperspace_spark.planner.parser import UnsupportedPlan
+
+    df = spark.range(10)  # Range leaf is not a file relation
+    with pytest.raises(UnsupportedPlan):
+        parse_df(df)
