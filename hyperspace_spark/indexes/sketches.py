@@ -1,34 +1,276 @@
-"""Sketches for the data-skipping index — implemented in a later milestone."""
+"""Sketches: per-file aggregates + predicate converters for data skipping.
+
+Reference: dataskipping/sketches/Sketch.scala (trait), MinMaxSketch.scala
+:45-100, PartitionSketch.scala:38-74, BloomFilterSketch.scala:30-86, and
+ValueListSketch (reference ships it as an undocumented extra sketch kind).
+
+Each sketch contributes (a) aggregate columns computed per source file
+during the build's ``groupBy(input_file_name())`` pass, and (b) a
+predicate converter: source predicate -> SQL over the sketch columns that
+is TRUE whenever the file MIGHT contain matching rows (soundness:
+conversion may only over-approximate, never drop a matching file).
+
+The Bloom filter is a pure-Python/numpy double-hashing filter evaluated
+through vectorized pandas UDFs (Arrow batches) — the build aggregates
+per file (small groups), the probe runs over the tiny index DataFrame
+(one row per source file), so Python cost is bounded by file count, not
+row count, even at 100 TB.
+"""
 
 from __future__ import annotations
 
+import hashlib
+import math
+import struct
 from dataclasses import dataclass, field
+
+from hyperspace_spark.planner.expr import Attr, Cmp, Expr, InExpr, Lit, NullTest
 
 
 @dataclass
 class Sketch:
     columns: list[str] = field(default_factory=list)
 
+    @property
+    def kind(self) -> str:
+        raise NotImplementedError
+
+    @property
+    def column(self) -> str:
+        return self.columns[0]
+
+    def prefix(self) -> str:
+        return f"{self.kind}_{self.column}"
+
+    def agg_exprs(self):
+        """[(Column, output_name)] computed per source file."""
+        raise NotImplementedError
+
+    def convert(self, e: Expr) -> str | None:
+        """Leaf predicate on self.column -> SQL over sketch columns, or None."""
+        raise NotImplementedError
+
+    def to_json(self) -> dict:
+        return {"kind": self.kind, "columns": list(self.columns)}
+
+
+def _is_attr(e: Expr, name: str | None = None) -> bool:
+    return isinstance(e, Attr) and (name is None or e.name == name)
+
 
 @dataclass
 class MinMaxSketch(Sketch):
-    pass
+    """Min/max per file (reference: MinMaxSketch.scala:45-100)."""
+
+    @property
+    def kind(self) -> str:
+        return "MinMax"
+
+    def agg_exprs(self):
+        from pyspark.sql import functions as F
+
+        c = self.column
+        return [(F.min(c), f"{self.prefix()}__min"), (F.max(c), f"{self.prefix()}__max")]
+
+    def convert(self, e: Expr) -> str | None:
+        lo, hi = f"`{self.prefix()}__min`", f"`{self.prefix()}__max`"
+        if isinstance(e, Cmp) and _is_attr(e.left, self.column) and isinstance(e.right, Lit):
+            v = e.right.sql
+            if e.op in ("=", "<=>"):
+                return f"({lo} <= {v} AND {hi} >= {v})"
+            if e.op == "<":
+                return f"{lo} < {v}"
+            if e.op == "<=":
+                return f"{lo} <= {v}"
+            if e.op == ">":
+                return f"{hi} > {v}"
+            if e.op == ">=":
+                return f"{hi} >= {v}"
+        if isinstance(e, InExpr) and _is_attr(e.child, self.column) and e.values:
+            parts = [f"({lo} <= {v.sql} AND {hi} >= {v.sql})" for v in e.values]
+            return "(" + " OR ".join(parts) + ")"
+        if isinstance(e, NullTest) and _is_attr(e.child, self.column) and not e.is_null:
+            # min is null iff the file holds no non-null value.
+            return f"{lo} IS NOT NULL"
+        return None
 
 
 @dataclass
 class ValueListSketch(Sketch):
-    pass
+    """Sorted distinct values per file; precise for low-cardinality columns."""
 
+    @property
+    def kind(self) -> str:
+        return "ValueList"
 
-@dataclass
-class BloomFilterSketch(Sketch):
-    fpp: float = 0.01
-    expected_items: int = 10000
+    def agg_exprs(self):
+        from pyspark.sql import functions as F
+
+        c = self.column
+        return [(F.sort_array(F.collect_set(c)), f"{self.prefix()}__values")]
+
+    def convert(self, e: Expr) -> str | None:
+        vals = f"`{self.prefix()}__values`"
+        if isinstance(e, Cmp) and _is_attr(e.left, self.column) and isinstance(e.right, Lit):
+            v = e.right.sql
+            if e.op in ("=", "<=>"):
+                return f"array_contains({vals}, {v})"
+            if e.op in ("<", "<=", ">", ">="):
+                # values are sorted: element_at(…,1)=min, element_at(…,-1)=max.
+                if e.op in ("<", "<="):
+                    return f"element_at({vals}, 1) {e.op} {v}"
+                return f"element_at({vals}, -1) {e.op} {v}"
+        if isinstance(e, InExpr) and _is_attr(e.child, self.column) and e.values:
+            arr = ", ".join(v.sql for v in e.values)
+            return f"arrays_overlap({vals}, array({arr}))"
+        if isinstance(e, NullTest) and _is_attr(e.child, self.column) and not e.is_null:
+            return f"size({vals}) > 0"
+        return None
 
 
 @dataclass
 class PartitionSketch(Sketch):
-    pass
+    """First (null-safe) value per file — exact for partitioning columns,
+    where every row of a file shares the value (reference:
+    PartitionSketch.scala:38-74, FirstNullSafe shim)."""
+
+    @property
+    def kind(self) -> str:
+        return "Partition"
+
+    def agg_exprs(self):
+        from pyspark.sql import functions as F
+
+        return [(F.first(self.column, ignorenulls=False), f"{self.prefix()}__value")]
+
+    def convert(self, e: Expr) -> str | None:
+        val = f"`{self.prefix()}__value`"
+        if isinstance(e, Cmp) and _is_attr(e.left, self.column) and isinstance(e.right, Lit):
+            return f"{val} {e.op} {e.right.sql}"
+        if isinstance(e, InExpr) and _is_attr(e.child, self.column) and e.values:
+            arr = ", ".join(v.sql for v in e.values)
+            return f"{val} IN ({arr})"
+        if isinstance(e, NullTest) and _is_attr(e.child, self.column):
+            return f"{val} IS {'NULL' if e.is_null else 'NOT NULL'}"
+        return None
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+def _bloom_params(expected_items: int, fpp: float) -> tuple[int, int]:
+    m = max(64, int(-expected_items * math.log(fpp) / (math.log(2) ** 2)))
+    m = (m + 63) // 64 * 64
+    k = max(1, round(m / expected_items * math.log(2)))
+    return m, k
+
+
+def _hash2(value) -> tuple[int, int]:
+    # Normalize so build (pandas may widen int columns with nulls to float)
+    # and probe (literal parsed from SQL) hash identically.
+    if isinstance(value, float) and value.is_integer():
+        value = int(value)
+    d = hashlib.md5(repr(value).encode("utf-8")).digest()
+    h1, h2 = struct.unpack("<QQ", d)
+    return h1, h2 | 1
+
+
+def bloom_build(values, m: int, k: int) -> bytes:
+    import numpy as np
+
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    for v in values:
+        if v is None:
+            continue
+        h1, h2 = _hash2(v)
+        for i in range(k):
+            idx = (h1 + i * h2) % m
+            bits[idx >> 3] |= 1 << (idx & 7)
+    return bits.tobytes()
+
+
+def bloom_might_contain(blob: bytes, value, m: int, k: int) -> bool:
+    if blob is None:
+        return True
+    h1, h2 = _hash2(value)
+    for i in range(k):
+        idx = (h1 + i * h2) % m
+        if not (blob[idx >> 3] >> (idx & 7)) & 1:
+            return False
+    return True
+
+
+@dataclass
+class BloomFilterSketch(Sketch):
+    """Per-file Bloom filter for point/IN lookups on high-cardinality
+    columns (reference: BloomFilterSketch.scala + BloomFilterAgg.scala,
+    rebuilt as a pandas grouped-agg UDF; SURVEY §7 H4)."""
+
+    fpp: float = 0.01
+    expected_items: int = 10000
+
+    @property
+    def kind(self) -> str:
+        return "Bloom"
+
+    def params(self) -> tuple[int, int]:
+        return _bloom_params(self.expected_items, self.fpp)
+
+    def agg_exprs(self):
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import BinaryType
+
+        m, k = self.params()
+
+        def _agg(s):
+            return bloom_build(s.dropna().tolist(), m, k)
+
+        bloom_agg = F.pandas_udf(_agg, BinaryType(), F.PandasUDFType.GROUPED_AGG)
+        return [(bloom_agg(self.column), f"{self.prefix()}__bloom")]
+
+    def convert(self, e: Expr) -> str | None:
+        """Bloom probes need Python values, not SQL — handled specially by
+        the translator via `probe_values`; this returns a marker."""
+        return None
+
+    def probe_values(self, e: Expr) -> list | None:
+        """Python literal values to probe, or None if not convertible."""
+        if isinstance(e, Cmp) and e.op in ("=", "<=>") and _is_attr(e.left, self.column) and isinstance(e.right, Lit):
+            return [_lit_python(e.right)]
+        if isinstance(e, InExpr) and _is_attr(e.child, self.column) and e.values:
+            return [_lit_python(v) for v in e.values]
+        return None
+
+    def to_json(self) -> dict:
+        return {
+            "kind": self.kind,
+            "columns": list(self.columns),
+            "fpp": self.fpp,
+            "expectedItems": self.expected_items,
+        }
+
+
+def _lit_python(lit: Lit):
+    """Parse a Catalyst literal's SQL rendering back to a Python value.
+
+    Build and probe must hash the SAME representation: the build side
+    hashes raw column values (int/str/float), so recover that type."""
+    s = lit.sql
+    if s.startswith("'") and s.endswith("'"):
+        return s[1:-1].replace("\\'", "'")
+    for caster in (int, float):
+        try:
+            return caster(s)
+        except ValueError:
+            pass
+    if s.endswith(("L", "S", "Y")) :
+        try:
+            return int(s[:-1])
+        except ValueError:
+            pass
+    if s.startswith(("DATE '", "TIMESTAMP '")):
+        return s.split("'", 1)[1].rstrip("'")
+    return s
 
 
 def sketch_from_json(d: dict) -> Sketch:

@@ -1,10 +1,38 @@
-"""Z-order covering index — implemented in a later milestone this round."""
+"""Z-order covering index: the covering slice, clustered by a space-
+filling curve over the indexed columns instead of hash buckets.
+
+Reference: zordercovering/ZOrderCoveringIndex.scala:28-189 (single-column
+fast path :104-113, multi-column z-address :138-153), ZOrderUDF.scala
+:32-100, per-type bit mappings ZOrderField.scala:83-564.
+
+Spark-first realization: the z-address is a vectorized pandas UDF (numpy
+bit interleave, Arrow batches — the one place Python touches row data,
+and only at build time); layout is ``repartitionByRange(_hs_zaddr)`` +
+``sortWithinPartitions`` + plain Parquet.  Query-time benefit needs no
+custom reader: after z-clustering, parquet row-group min/max stats prune
+aggressively for predicates on ANY indexed column — Spark's native
+parquet filter pushdown does the skipping.
+
+Scale: one stats pass (min/max + approxQuantile), one range shuffle
+sized by ``zorder.targetSourceBytesPerPartition`` (1 GiB default,
+reference IndexConstants.scala:59-64).
+"""
 
 from __future__ import annotations
 
+import json
+import math
 from dataclasses import dataclass, field
+from typing import TYPE_CHECKING
 
+from hyperspace_spark.config import DATA_FILE_ID_COLUMN, HyperspaceConf
 from hyperspace_spark.indexes.base import IndexConfig
+from hyperspace_spark.metadata.entry import FileIdTracker, FileInfo
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+
+ZADDR = "_hs_zaddr"
 
 
 @dataclass
@@ -20,9 +48,168 @@ class ZOrderCoveringIndexConfig(IndexConfig):
         return list(self.indexed_columns) + list(self.included_columns)
 
 
-def create_index_data(*args, **kwargs):
-    raise NotImplementedError("z-order index build lands in this round's later milestone")
+# ---------------------------------------------------------------------------
+# per-column value -> bounded integer mapping (reference: ZOrderField.scala)
+# ---------------------------------------------------------------------------
+def _collect_stats(df: "DataFrame", cols: list[str], conf: HyperspaceConf) -> dict:
+    """One aggregate job for min/max + optional approxQuantile for floats
+    (reference: ZOrderCoveringIndex.collectStats :50-95)."""
+    from pyspark.sql import functions as F
+
+    dtypes = dict(df.dtypes)
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"{c}__min"), F.max(c).alias(f"{c}__max")]
+    row = df.agg(*aggs).collect()[0].asDict()
+    stats: dict = {}
+    quantile_cols = [
+        c for c in cols if dtypes[c] in ("double", "float") and conf.zorder_quantile_enabled
+    ]
+    quantiles = {}
+    if quantile_cols:
+        probs = [i / 256 for i in range(1, 256)]
+        qs = df.approxQuantile(quantile_cols, probs, conf.zorder_quantile_error)
+        quantiles = dict(zip(quantile_cols, qs))
+    for c in cols:
+        stats[c] = {
+            "dtype": dtypes[c],
+            "min": _to_py(row[f"{c}__min"]),
+            "max": _to_py(row[f"{c}__max"]),
+            "quantiles": quantiles.get(c),
+        }
+    return stats
 
 
-def rewrite_zorder_data(*args, **kwargs):
-    raise NotImplementedError
+def _to_py(v):
+    import datetime
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return v
+
+
+def _str_to_int(s: str) -> int:
+    b = s.encode("utf-8", "ignore")[:8]
+    return int.from_bytes(b.ljust(8, b"\x00"), "big")
+
+
+def make_zaddr_udf(cols: list[str], stats: dict, bits_per_col: int):
+    """Vectorized z-address: map each column to [0, 2^bits), interleave
+    bits with numpy (reference: ZOrderUDF.scala:75-99 — a row-at-a-time
+    Scala UDF there; Arrow-batched here)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    nbits = bits_per_col
+    ncols = len(cols)
+    maxv = (1 << nbits) - 1
+
+    def scale_series(s: pd.Series, st: dict):
+        import numpy as np
+
+        dtype = st["dtype"]
+        if dtype in ("double", "float") and st.get("quantiles"):
+            q = np.asarray(st["quantiles"], dtype=np.float64)
+            vals = np.searchsorted(q, s.astype(np.float64).to_numpy(), side="left")
+            scaled = vals.astype(np.float64) * maxv / max(1, len(q))
+        else:
+            if dtype == "string":
+                lo = _str_to_int(str(st["min"])) if st["min"] is not None else 0
+                hi = _str_to_int(str(st["max"])) if st["max"] is not None else 1
+                vals = s.map(lambda x: _str_to_int(str(x)) if x is not None else lo).to_numpy(
+                    dtype=np.float64
+                )
+            elif dtype.startswith("timestamp") or dtype == "date":
+                lo_ts, hi_ts = pd.Timestamp(st["min"]), pd.Timestamp(st["max"])
+                lo, hi = lo_ts.value, hi_ts.value
+                vals = pd.to_datetime(s).astype("int64").to_numpy(dtype=np.float64)
+            elif dtype == "boolean":
+                lo, hi = 0, 1
+                vals = s.fillna(False).astype(np.float64).to_numpy()
+            else:  # integral / decimal / float without quantiles
+                lo = float(st["min"]) if st["min"] is not None else 0.0
+                hi = float(st["max"]) if st["max"] is not None else 1.0
+                vals = pd.to_numeric(s, errors="coerce").fillna(lo).to_numpy(dtype=np.float64)
+            span = max(hi - lo, 1e-300) if isinstance(lo, float) else max(hi - lo, 1)
+            scaled = (vals - float(lo)) * maxv / float(span)
+        out = np.clip(np.nan_to_num(scaled, nan=0.0), 0, maxv).astype(np.uint64)
+        return out
+
+    def _zaddr(*series):
+        import numpy as np
+
+        n = len(series[0])
+        z = np.zeros(n, dtype=np.uint64)
+        scaled = [scale_series(s, stats[c]) for s, c in zip(series, cols)]
+        for b in range(nbits):
+            for i, v in enumerate(scaled):
+                z |= ((v >> np.uint64(b)) & np.uint64(1)) << np.uint64(b * ncols + i)
+        return pd.Series(z.astype("int64"))
+
+    return F.pandas_udf(_zaddr, LongType())
+
+
+def create_index_data(
+    spark: "SparkSession",
+    df: "DataFrame",
+    config: ZOrderCoveringIndexConfig,
+    conf: HyperspaceConf,
+    files: list[FileInfo],
+    tracker: FileIdTracker,
+    data_dir: str,
+    index_name: str,
+    version: int,
+) -> dict:
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.indexes.covering import with_lineage
+
+    cols = config.referenced_columns()
+    projected = df
+    if conf.lineage_enabled:
+        projected = with_lineage(df, spark, files, tracker)
+    projected = projected.select(*cols, *([DATA_FILE_ID_COLUMN] if conf.lineage_enabled else []))
+
+    source_bytes = sum(f.size for f in files)
+    n_parts = max(1, math.ceil(source_bytes / conf.zorder_target_bytes_per_partition))
+
+    stats: dict = {}
+    if len(config.indexed_columns) == 1:
+        # Single column: plain range partition + sort (reference :104-113).
+        c = config.indexed_columns[0]
+        out = projected.repartitionByRange(n_parts, F.col(c)).sortWithinPartitions(c)
+    else:
+        stats = _collect_stats(df, config.indexed_columns, conf)
+        bits = min(16, 63 // len(config.indexed_columns))
+        zudf = make_zaddr_udf(config.indexed_columns, stats, bits)
+        out = (
+            projected.withColumn(ZADDR, zudf(*[F.col(c) for c in config.indexed_columns]))
+            .repartitionByRange(n_parts, F.col(ZADDR))
+            .sortWithinPartitions(ZADDR)
+        )
+    out.write.mode("overwrite").parquet(data_dir)
+    return {
+        "indexedColumns": list(config.indexed_columns),
+        "includedColumns": list(config.included_columns),
+        "numBuckets": n_parts,
+        "lineage": conf.lineage_enabled,
+        "schemaJson": out.schema.json(),
+        "zorderStats": stats,
+        "zorderBits": min(16, 63 // max(1, len(config.indexed_columns))),
+    }
+
+
+def rewrite_zorder_data(spark: "SparkSession", df: "DataFrame", props: dict, data_dir: str) -> None:
+    """Optimize-time compaction: re-range-partition + sort the existing
+    index data (z-address already materialized for multi-column)."""
+    from pyspark.sql import functions as F
+
+    key = ZADDR if ZADDR in df.columns else props["indexedColumns"][0]
+    n = max(1, int(props.get("numBuckets", 1)))
+    df.repartitionByRange(n, F.col(key)).sortWithinPartitions(key).write.mode(
+        "overwrite"
+    ).parquet(data_dir)
+
+
+_ = json  # reserved for future stats serialization tweaks

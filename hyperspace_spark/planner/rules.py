@@ -34,6 +34,10 @@ class RuleContext:
     conf: HyperspaceConf
     candidates: dict[int, list[Candidate]]  # id(scan) -> candidates
     reasons: Reasons | None = None
+    # Memo for skipping-index pruning jobs: the optimizer visits the same
+    # Filter<-Scan pattern at several tree levels; run the driver-side
+    # pruning job once per (index, predicate).
+    prune_memo: dict = field(default_factory=dict)
 
     def for_scan(self, scan: ir.Scan, kind: str) -> list[Candidate]:
         return [c for c in self.candidates.get(id(scan), []) if c.entry.derived_kind == kind]
@@ -85,13 +89,17 @@ def match_linear_side(node: ir.Node):
         return None
 
 
-def _substitute_scan(node: ir.Node, scan: ir.Scan, replacement, index_name: str) -> ir.Node:
-    """Deep-copy the subtree with `scan.replacement` installed (copies keep
-    the un-rewritten plan reusable when another rule scores higher)."""
+def _substitute_scans(node: ir.Node, subs: dict[int, tuple]) -> ir.Node:
+    """Deep-copy the subtree installing replacements for the scans in
+    ``subs`` (id(scan) -> (replacement_fn, index_name)) in ONE pass —
+    cloning loses object identity, so all substitutions must happen
+    against the original tree.  Copies keep the un-rewritten plan
+    reusable when another rule scores higher."""
 
     def clone(n: ir.Node) -> ir.Node:
-        if n is scan:
-            s = copy.copy(scan)
+        if id(n) in subs:
+            replacement, index_name = subs[id(n)]
+            s = copy.copy(n)
             s.replacement = replacement
             s.applied_index = index_name
             return s
@@ -101,6 +109,10 @@ def _substitute_scan(node: ir.Node, scan: ir.Scan, replacement, index_name: str)
         return ir.with_children(n, [clone(k) for k in kids])
 
     return clone(node)
+
+
+def _substitute_scan(node: ir.Node, scan: ir.Scan, replacement, index_name: str) -> ir.Node:
+    return _substitute_scans(node, {id(scan): (replacement, index_name)})
 
 
 def _rank_smallest(cands: list[Candidate]) -> list[Candidate]:
@@ -220,7 +232,7 @@ class JoinIndexRule:
         lwin, rwin = pair
         coverage = min(lwin.coverage, rwin.coverage)
 
-        new_node = node
+        subs = {}
         for scan, win, req in ((lscan, lwin, lreq), (rscan, rwin, rreq)):
             out_cols = [c for c in scan.output if c in req]
 
@@ -229,7 +241,8 @@ class JoinIndexRule:
 
                 return index_scan_df(spark, _e, _cols, deleted=_d, bucketed=True)
 
-            new_node = _substitute_scan(new_node, scan, replacement, win.entry.name)
+            subs[id(scan)] = (replacement, win.entry.name)
+        new_node = _substitute_scans(node, subs)
         return Applied(new_node, 70.0 + 70.0 * coverage, [lwin.entry.name, rwin.entry.name])
 
     def _eligible(self, ctx, scan, keys, required):
@@ -275,5 +288,78 @@ class JoinIndexRule:
         return pairs[0][1]
 
 
+# ---------------------------------------------------------------------------
+# ApplyDataSkippingIndex
+# ---------------------------------------------------------------------------
+class DataSkippingIndexRule:
+    """Filter over a scan -> scan only the files that might match,
+    according to the per-file sketch index (reference:
+    dataskipping/rules/ApplyDataSkippingIndex.scala:33-105).  Score is 1:
+    skipping always loses to a covering rewrite (:76-83) but always beats
+    doing nothing."""
+
+    def apply(self, node: ir.Node, ctx: RuleContext) -> Applied | None:
+        from hyperspace_spark.indexes.dataskipping import prune_file_ids, translate
+        from hyperspace_spark.indexes.sketches import sketch_from_json
+
+        m = match_filter_pattern(node)
+        if m is None:
+            return None
+        _, filt, scan = m
+        cands = ctx.for_scan(scan, "DS")
+        if not cands:
+            return None
+        for cand in _rank_smallest(cands):
+            entry = cand.entry
+            sketches = [sketch_from_json(s) for s in entry.derived_properties["sketches"]]
+            pred = translate(filt.condition, sketches)
+            if pred.trivial:
+                ctx.tag(entry.name, INELIGIBLE_FILTER_CONDITION, "no sketch-convertible term")
+                continue
+            memo_key = (entry.name, filt.condition.sql)
+            if memo_key in ctx.prune_memo:
+                kept_ids = ctx.prune_memo[memo_key]
+            else:
+                kept_ids = prune_file_ids(ctx.spark, entry, pred)
+                ctx.prune_memo[memo_key] = kept_ids
+            if kept_ids is None:
+                continue
+            tracker = entry.file_id_tracker
+            deleted_keys = {f.key() for f in cand.deleted}
+            common = [f for f in entry.source_files if f.key() not in deleted_keys]
+            kept = [f.path for f in common if tracker.get(f) in kept_ids]
+            kept += [f.path for f in cand.appended]  # un-indexed files: must scan
+            total_live = len(common) + len(cand.appended)
+            if len(kept) >= total_live:
+                ctx.tag(entry.name, INELIGIBLE_FILTER_CONDITION, "predicate prunes no file")
+                continue
+
+            if not kept and scan.partition_columns:
+                # Empty read can't reconstruct partition columns from paths;
+                # keep one file — the filter above still yields zero rows.
+                fallback = common or cand.appended
+                kept = [fallback[0].path] if fallback else []
+
+            def replacement(spark, _scan=scan, _kept=tuple(kept)):
+                import json as _json
+
+                from pyspark.sql.types import StructType
+
+                schema = StructType.fromJson(_json.loads(_scan.data_schema_json))
+                if not _kept:
+                    return spark.createDataFrame([], schema).select(*_scan.output)
+                reader = spark.read.format(_scan.file_format).schema(schema)
+                opts = {k: v for k, v in _scan.options.items() if k != "path"}
+                if _scan.partition_columns:
+                    opts["basePath"] = _scan.root_paths[0]
+                if opts:
+                    reader = reader.options(**opts)
+                return reader.load(list(_kept)).select(*_scan.output)
+
+            new_node = _substitute_scan(node, scan, replacement, entry.name)
+            return Applied(new_node, 1.0, [entry.name])
+        return None
+
+
 def default_rules() -> list:
-    return [FilterIndexRule(), ZOrderFilterIndexRule(), JoinIndexRule()]
+    return [FilterIndexRule(), ZOrderFilterIndexRule(), JoinIndexRule(), DataSkippingIndexRule()]

@@ -19,6 +19,8 @@ def spark():
         .config("spark.driver.memory", "8g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", "/tmp/hs_test_warehouse")
+        # events.parquet carries timestamp[ns]; Spark reads it as long.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -34,11 +36,19 @@ def table(spark, name, sf_dir=SF_DIR):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _norm(v):
+    # Float aggregation is order-dependent across physical plans; compare
+    # at 6 significant digits like the reference's approx equality.
+    if isinstance(v, float):
+        return f"{v:.6g}"
+    return str(v)
+
+
 def rows_equal(df1, df2) -> bool:
     """Order-insensitive result equality (the reference's primary oracle:
     with/without-index result equality, E2EHyperspaceRulesTest)."""
     if [f.name for f in df1.schema.fields] != [f.name for f in df2.schema.fields]:
         return False
-    r1 = sorted([tuple(str(v) for v in row) for row in df1.collect()])
-    r2 = sorted([tuple(str(v) for v in row) for row in df2.collect()])
+    r1 = sorted([tuple(_norm(v) for v in row) for row in df1.collect()])
+    r2 = sorted([tuple(_norm(v) for v in row) for row in df2.collect()])
     return r1 == r2

@@ -1,0 +1,158 @@
+"""Data-skipping index: sketch build, predicate translation, file pruning.
+
+Mirrors the reference's DataSkippingIndexIntegrationTest + sketch unit
+tests.  The pruning assertion is the reference pattern: count input
+files of the rewritten plan (SURVEY §5 rebuild strategy (b)).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hyperspace_spark import (
+    BloomFilterSketch,
+    DataSkippingIndexConfig,
+    Hyperspace,
+    MinMaxSketch,
+    ValueListSketch,
+)
+
+from tests.conftest import rows_equal, table
+
+
+@pytest.fixture(scope="module")
+def src_dir(spark, tmp_path_factory):
+    """Multi-file lineitem clustered by l_shipdate so MinMax pruning bites."""
+    d = str(tmp_path_factory.mktemp("li_src"))
+    (
+        table(spark, "lineitem")
+        .repartitionByRange(8, "l_shipdate")
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    return d
+
+
+@pytest.fixture(scope="module")
+def hs(spark, src_dir, tmp_path_factory):
+    hs = Hyperspace(spark, system_path=str(tmp_path_factory.mktemp("hsidx_ds")))
+    df = spark.read.parquet(src_dir)
+    hs.create_index(
+        df,
+        DataSkippingIndexConfig(
+            "li_skip",
+            [
+                MinMaxSketch(["l_shipdate"]),
+                MinMaxSketch(["l_orderkey"]),
+                ValueListSketch(["l_returnflag"]),
+                BloomFilterSketch(["l_partkey"], fpp=0.01, expected_items=2000),
+            ],
+        ),
+    )
+    return hs
+
+
+def n_input_files(df):
+    return len(df.inputFiles())
+
+
+def test_minmax_date_range_prunes(spark, src_dir, hs):
+    df = spark.read.parquet(src_dir)
+    q = df.filter(F.col("l_shipdate") < "1993-01-01").select("l_orderkey", "l_quantity")
+    fast, used = hs._apply_with_info(q)
+    assert used == ["li_skip"], hs.why_not(q)
+    assert n_input_files(fast) < n_input_files(q)
+    assert rows_equal(q, fast)
+
+
+def test_minmax_point_lookup(spark, src_dir, hs):
+    df = spark.read.parquet(src_dir)
+    key = df.select("l_orderkey").orderBy("l_orderkey").first()[0]
+    q = df.filter(F.col("l_shipdate") < "1992-06-01").filter(F.col("l_quantity") > 0).select("l_orderkey")
+    fast, used = hs._apply_with_info(q)
+    assert used == ["li_skip"]
+    assert rows_equal(q, fast)
+    _ = key
+
+
+def test_bloom_point_lookup_prunes_and_matches(spark, hs, tmp_path_factory):
+    """Bloom must actually prune when files are clustered by the probe
+    column (each file holds a distinct key range)."""
+    from hyperspace_spark import BloomFilterSketch, DataSkippingIndexConfig
+
+    d = str(tmp_path_factory.mktemp("li_pk"))
+    (
+        table(spark, "lineitem")
+        .repartitionByRange(8, "l_partkey")
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    df = spark.read.parquet(d)
+    hs.create_index(
+        df, DataSkippingIndexConfig("li_bloom", [BloomFilterSketch(["l_partkey"], 0.01, 500)])
+    )
+    try:
+        key = df.select("l_partkey").first()[0]
+        q = df.filter(F.col("l_partkey") == key).select("l_orderkey", "l_partkey")
+        fast, used = hs._apply_with_info(q)
+        assert used == ["li_bloom"], hs.why_not(q)
+        assert n_input_files(fast) < n_input_files(q)
+        assert rows_equal(q, fast)
+    finally:
+        hs.delete_index("li_bloom")
+        hs.vacuum_index("li_bloom")
+
+
+def test_valuelist_in_clause(spark, src_dir, hs):
+    df = spark.read.parquet(src_dir)
+    q = df.filter(F.col("l_returnflag").isin("R")).select("l_orderkey", "l_returnflag")
+    fast, used = hs._apply_with_info(q)
+    assert rows_equal(q, fast)
+
+
+def test_unconvertible_predicate_no_rewrite(spark, src_dir, hs):
+    df = spark.read.parquet(src_dir)
+    q = df.filter("l_comment_is_missing_anyway IS NULL") if "l_comment_is_missing_anyway" in df.columns else df.filter(
+        F.length("l_linestatus") > 0
+    ).select("l_orderkey")
+    fast, used = hs._apply_with_info(q)
+    assert not used
+    assert fast is q
+
+
+def test_or_predicate_sound(spark, src_dir, hs):
+    df = spark.read.parquet(src_dir)
+    q = df.filter(
+        (F.col("l_shipdate") < "1993-01-01") | (F.col("l_shipdate") > "1998-06-01")
+    ).select("l_orderkey", "l_shipdate")
+    fast, used = hs._apply_with_info(q)
+    assert used == ["li_skip"]
+    assert rows_equal(q, fast)
+
+
+def test_or_with_unconvertible_branch_is_true(spark, src_dir, hs):
+    # OR with an unconvertible branch must not prune anything (soundness).
+    df = spark.read.parquet(src_dir)
+    q = df.filter(
+        (F.col("l_shipdate") < "1993-01-01") | (F.length("l_linestatus") > 5)
+    ).select("l_orderkey")
+    fast, used = hs._apply_with_info(q)
+    assert not used  # whole predicate converts to TRUE -> no rewrite
+    assert rows_equal(q, fast)
+
+
+def test_skipping_loses_to_covering(spark, src_dir, hs, tmp_path_factory):
+    """Reference: skipping score=1 always loses to covering (R7)."""
+    from hyperspace_spark import CoveringIndexConfig
+
+    df = spark.read.parquet(src_dir)
+    hs.create_index(
+        df, CoveringIndexConfig("li_cover", ["l_shipdate"], ["l_orderkey", "l_quantity"])
+    )
+    try:
+        q = df.filter(F.col("l_shipdate") < "1993-01-01").select("l_orderkey", "l_quantity")
+        fast, used = hs._apply_with_info(q)
+        assert used == ["li_cover"]
+        assert rows_equal(q, fast)
+    finally:
+        hs.delete_index("li_cover")
+        hs.vacuum_index("li_cover")

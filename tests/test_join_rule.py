@@ -1,0 +1,103 @@
+"""Join rule: equi-join over co-bucketed covering indexes runs without
+a shuffle (reference: JoinIndexRule, E2E join tests).
+
+Plan assertion mirrors the reference's physical-operator checks: the
+accelerated SMJ must contain no Exchange (shuffle) operator.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hyperspace_spark import CoveringIndexConfig, Hyperspace
+
+from tests.conftest import rows_equal, table
+
+
+@pytest.fixture(scope="module")
+def hs(spark, tmp_path_factory):
+    hs = Hyperspace(spark, system_path=str(tmp_path_factory.mktemp("hsidx_join")))
+    li = table(spark, "lineitem")
+    o = table(spark, "orders")
+    hs.create_index(
+        li, CoveringIndexConfig("li_ok", ["l_orderkey"], ["l_quantity", "l_extendedprice"])
+    )
+    hs.create_index(
+        o, CoveringIndexConfig("o_ok", ["o_orderkey"], ["o_custkey", "o_orderpriority"])
+    )
+    return hs
+
+
+def physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_join_no_shuffle_and_equal(spark, hs):
+    # Disable auto-broadcast: at test scale Spark would broadcast the tiny
+    # side; at 100 TB both sides are large and the SMJ-without-Exchange
+    # plan is the one that matters.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = table(spark, "lineitem").select("l_orderkey", "l_quantity")
+        o = table(spark, "orders").select("o_orderkey", "o_custkey")
+        q = li.join(o, li.l_orderkey == o.o_orderkey)
+        fast, used = hs._apply_with_info(q)
+        assert sorted(used) == ["li_ok", "o_ok"], hs.why_not(q)
+        fast.collect()  # AQE finalizes the plan on execution
+        plan = physical(fast)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert rows_equal(q, fast)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_join_with_agg_above(spark, hs):
+    li = table(spark, "lineitem")
+    o = table(spark, "orders")
+    q = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.sum(F.col("l_extendedprice")).alias("rev"))
+    )
+    fast, used = hs._apply_with_info(q)
+    assert sorted(used) == ["li_ok", "o_ok"], hs.why_not(q)
+    # The only remaining exchange should be for the aggregation, not the join.
+    plan = physical(fast)
+    assert plan.count("Exchange") <= 2
+    assert rows_equal(q, fast)
+
+
+def test_join_missing_column_no_pair(spark, hs):
+    """l_shipdate is not covered -> the JOIN pair must not form (no
+    shuffle-free SMJ).  The o-side may still get a single-side filter
+    rewrite (Catalyst's inferred isnotnull(o_orderkey) matches the
+    FilterIndexRule) — that is reference behavior, and results stay equal."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = table(spark, "lineitem").select("l_orderkey", "l_shipdate")
+        o = table(spark, "orders").select("o_orderkey", "o_custkey")
+        q = li.join(o, li.l_orderkey == o.o_orderkey)
+        fast, used = hs._apply_with_info(q)
+        assert "li_ok" not in used
+        assert "MISSING_REQUIRED_COL" in hs.why_not(q)
+        fast.collect()
+        assert "Exchange" in physical(fast)  # join rule did NOT fire
+        assert rows_equal(q, fast)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_outer_join_no_pair(spark, hs):
+    """Outer joins are outside the join rule's scope (reference: inner
+    SMJ only); single-side filter rewrites may still apply safely."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = table(spark, "lineitem").select("l_orderkey", "l_quantity")
+        o = table(spark, "orders").select("o_orderkey", "o_custkey")
+        q = li.join(o, li.l_orderkey == o.o_orderkey, "left_outer")
+        fast, used = hs._apply_with_info(q)
+        fast.collect()
+        assert "Exchange" in physical(fast)  # no shuffle-free pair for outer
+        assert rows_equal(q, fast)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")

@@ -1,0 +1,160 @@
+"""Lifecycle actions + hybrid scan over mutable data.
+
+Mirrors the reference's action tests + HybridScan suites: append files
+(< 0.3 bytes ratio) and delete files (< 0.2) around an index built on a
+COPY of the source, then check query equality against live data.
+"""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from hyperspace_spark import CoveringIndexConfig, Hyperspace
+from hyperspace_spark.hyperspace import HyperspaceException
+
+from tests.conftest import rows_equal, table
+
+
+@pytest.fixture()
+def mutable_src(spark, tmp_path):
+    """orders written as 8 files we can append to / delete from."""
+    d = str(tmp_path / "orders_mut")
+    table(spark, "orders").repartition(8).write.mode("overwrite").parquet(d)
+    return d
+
+
+@pytest.fixture()
+def hs(spark, tmp_path):
+    return Hyperspace(spark, system_path=str(tmp_path / "idx"))
+
+
+def q_of(spark, d):
+    return (
+        spark.read.parquet(d)
+        .filter("o_custkey < 500")
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def _append_files(spark, d, n=1):
+    extra = spark.read.parquet(d).limit(200).withColumn("o_totalprice", F.lit(1.0))
+    extra.coalesce(n).write.mode("append").parquet(d)
+
+
+def _delete_one_file(d):
+    f = sorted(p for p in os.listdir(d) if p.endswith(".parquet"))[0]
+    os.unlink(os.path.join(d, f))
+
+
+def make_index(hs, spark, d, name="mut_idx"):
+    hs.create_index(
+        spark.read.parquet(d),
+        CoveringIndexConfig(name, ["o_custkey"], ["o_orderkey", "o_totalprice"]),
+    )
+
+
+def test_hybrid_scan_appended(spark, hs, mutable_src):
+    make_index(hs, spark, mutable_src)
+    _append_files(spark, mutable_src)
+    q = q_of(spark, mutable_src)
+    fast, used = hs._apply_with_info(q)
+    assert used == ["mut_idx"], hs.why_not(q)
+    assert rows_equal(q, fast)
+
+
+def test_hybrid_scan_deleted(spark, hs, mutable_src):
+    make_index(hs, spark, mutable_src)
+    _delete_one_file(mutable_src)
+    q = q_of(spark, mutable_src)
+    fast, used = hs._apply_with_info(q)
+    assert used == ["mut_idx"], hs.why_not(q)
+    assert rows_equal(q, fast)
+
+
+def test_hybrid_scan_append_and_delete(spark, hs, mutable_src):
+    make_index(hs, spark, mutable_src)
+    _append_files(spark, mutable_src)
+    _delete_one_file(mutable_src)
+    q = q_of(spark, mutable_src)
+    fast, used = hs._apply_with_info(q)
+    assert used == ["mut_idx"], hs.why_not(q)
+    assert rows_equal(q, fast)
+
+
+def test_too_much_appended_rejected(spark, hs, mutable_src):
+    make_index(hs, spark, mutable_src)
+    # Append ~the same volume again -> ratio >> 0.3 -> reject.
+    spark.read.parquet(mutable_src).write.mode("append").parquet(mutable_src + "_big")
+    shutil.copytree(mutable_src, mutable_src + "_orig", dirs_exist_ok=True)
+    big = spark.read.parquet(mutable_src)
+    big.write.mode("append").parquet(mutable_src)
+    q = q_of(spark, mutable_src)
+    fast, used = hs._apply_with_info(q)
+    assert used == []
+    assert "TOO_MUCH_APPENDED" in hs.why_not(q)
+    assert rows_equal(q, fast)
+
+
+def test_refresh_incremental(spark, hs, mutable_src):
+    make_index(hs, spark, mutable_src)
+    _append_files(spark, mutable_src)
+    _delete_one_file(mutable_src)
+    hs.refresh_index("mut_idx", "incremental")
+    q = q_of(spark, mutable_src)
+    fast, used = hs._apply_with_info(q)
+    assert used == ["mut_idx"], hs.why_not(q)
+    # After refresh the signature matches exactly -> no hybrid compensation.
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "orders_mut" not in plan
+    assert rows_equal(q, fast)
+
+
+def test_refresh_quick_then_hybrid(spark, hs, mutable_src):
+    make_index(hs, spark, mutable_src)
+    _append_files(spark, mutable_src)
+    hs.refresh_index("mut_idx", "quick")
+    q = q_of(spark, mutable_src)
+    fast, used = hs._apply_with_info(q)
+    assert used == ["mut_idx"]
+    assert rows_equal(q, fast)
+
+
+def test_optimize_quick_compacts(spark, hs, mutable_src):
+    make_index(hs, spark, mutable_src)
+    before = hs.index("mut_idx").collect()[0]
+    hs.optimize_index("mut_idx", "full")
+    after = hs.index("mut_idx").collect()[0]
+    assert after.version > before.version
+    q = q_of(spark, mutable_src)
+    fast, used = hs._apply_with_info(q)
+    assert used == ["mut_idx"]
+    assert rows_equal(q, fast)
+
+
+def test_cancel_rolls_back_transient(spark, hs, mutable_src):
+    make_index(hs, spark, mutable_src)
+    conf = hs.conf()
+    mgr = hs._log_mgr("mut_idx", conf)
+    stuck = mgr.get_latest_log().with_state("REFRESHING", mgr.get_latest_id() + 1)
+    assert mgr.write_log(stuck.id, stuck)
+    hs._invalidate_cache()
+    with pytest.raises(HyperspaceException):
+        hs.delete_index("mut_idx")  # not ACTIVE while stuck
+    hs.cancel("mut_idx")
+    assert hs._log_mgr("mut_idx", conf).get_latest_log().state == "ACTIVE"
+    hs.delete_index("mut_idx")
+
+
+def test_vacuum_outdated_keeps_latest(spark, hs, mutable_src):
+    make_index(hs, spark, mutable_src)
+    hs.optimize_index("mut_idx", "full")  # creates v2
+    hs.vacuum_outdated_indexes("mut_idx")
+    idx_dir = os.path.join(hs.conf().system_path, "mut_idx")
+    vdirs = [d for d in os.listdir(idx_dir) if d.startswith("v__=")]
+    assert len(vdirs) == 1
+    q = q_of(spark, mutable_src)
+    fast, used = hs._apply_with_info(q)
+    assert used == ["mut_idx"]
+    assert rows_equal(q, fast)
