@@ -1,0 +1,267 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design (100 TB):
+- exact: one hash-partitioned window (or groupBy) on the fingerprint —
+  a single shuffle of (hash, id) pairs, not documents.
+- n-gram Jaccard: the EXACT similarity join (quadratic in bucket size) —
+  used directly on small corpora and as the verify stage after LSH.
+- MinHash+LSH: shingle -> 64-bit hash -> H permutations aggregated with
+  plain `min` (map-side combined, one shuffle by doc) -> band buckets ->
+  candidate pairs only within buckets.  This is the linear-ish scale
+  path; banding keeps the join fan-out bounded.
+- SimHash: 64 per-bit sign sums as ordinary aggregates, one shuffle.
+- embedding cosine: brute pair join for verification; LSH-bucketed
+  variant in similarity.py for scale.
+
+Everything is `pyspark.sql.functions` — no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from hyperspace_spark.llm.text import fingerprint, tokens, word_shingles
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame
+
+# Fixed MinHash permutation parameters (deterministic across runs).
+# 31-bit Mersenne prime field: h < 2^31 and a < 2^31 keep h*a+b under
+# 2^63 — Spark 4 runs ANSI mode and errors on long overflow.
+_MERSENNE = (1 << 31) - 1
+
+
+def _perm_params(num_hashes: int) -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        d = hashlib.md5(f"hs-minhash-{i}".encode()).digest()
+        a = (int.from_bytes(d[:8], "big") | 1) % _MERSENNE
+        b = int.from_bytes(d[8:], "big") % _MERSENNE
+        out.append((max(a, 1), b))
+    return out
+
+
+def shingle_hash_col(shingle_col):
+    """Word-shingle string -> 60-bit integer via md5 (deterministic and
+    reproducible in any engine with md5 + hex parsing)."""
+    from pyspark.sql import functions as F
+
+    return F.conv(F.substring(F.md5(shingle_col), 1, 15), 16, 10).cast("long")
+
+
+def exact_dedup(df: "DataFrame", text_col: str = "text", id_col: str = "doc_id") -> "DataFrame":
+    """Keep the lowest-id document per normalized-text fingerprint."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    w = W.partitionBy(fingerprint(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def doc_shingles(df: "DataFrame", n: int, text_col: str = "text", id_col: str = "doc_id") -> "DataFrame":
+    """(id, shingle) pairs, distinct per document."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.select(F.col(id_col).alias("_id"), F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: "DataFrame",
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Exact word-n-gram Jaccard similarity join: pairs (a < b) with
+    |A∩B| / |A∪B| >= threshold.  Output: (id_a, id_b, jaccard)."""
+    from pyspark.sql import functions as F
+
+    sh = doc_shingles(df, n, text_col, id_col).cache()
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: "DataFrame",
+    n: int = 3,
+    num_hashes: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """(id, mh_0..mh_{H-1}) via H universal-hash permutations of shingle
+    hashes, each a plain `min` aggregate (map-side combined)."""
+    from pyspark.sql import functions as F
+
+    sh = doc_shingles(df, n, text_col, id_col).withColumn(
+        "h", shingle_hash_col(F.col("shingle")) % F.lit(_MERSENNE)
+    )
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_perm_params(num_hashes))
+    ]
+    return sh.groupBy(F.col("_id").alias(id_col)).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: "DataFrame",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    verify_threshold: float | None = None,
+) -> "DataFrame":
+    """LSH candidate pairs: documents sharing at least one band bucket.
+
+    rows/band = num_hashes/bands sets the similarity knee
+    (s-curve ~ (1/bands)^(1/rows_per_band)).  With verify_threshold set,
+    candidates are re-checked with exact Jaccard (the classic
+    LSH-then-verify pipeline).  Output: (id_a, id_b [, jaccard])."""
+    from pyspark.sql import functions as F
+
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, n, num_hashes, text_col, id_col)
+    band_cols = []
+    for bi in range(bands):
+        cols = [F.col(f"mh_{bi * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias(f"band_{bi}"))
+    banded = sigs.select(id_col, *band_cols)
+    stacked = banded.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(*[F.concat_ws("#", F.lit(str(bi)), F.col(f"band_{bi}")) for bi in range(bands)])
+        ).alias("bucket"),
+    )
+    a, b = stacked.alias("a"), stacked.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    if verify_threshold is None:
+        return pairs
+    exact = ngram_jaccard_pairs(df, n, verify_threshold, text_col, id_col)
+    return pairs.join(exact, ["id_a", "id_b"], "inner")
+
+
+def simhash(df: "DataFrame", bits: int = 60, text_col: str = "text", id_col: str = "doc_id") -> "DataFrame":
+    """Per-document SimHash: sign-sum over token-hash bits, assembled into
+    one integer via shiftleft/sum of distinct powers of two (exact in
+    64-bit arithmetic).  Near-dup detection = small hamming distance."""
+    from pyspark.sql import functions as F
+
+    tok = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .withColumn("h", shingle_hash_col(F.col("tok")))
+    )
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    per_bit = tok.groupBy(id_col).agg(*aggs)
+    sim = None
+    for b in range(bits):
+        term = F.shiftleft((F.col(f"b{b}") > 0).cast("long"), b)
+        sim = term if sim is None else sim + term
+    return per_bit.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: "DataFrame",
+    max_hamming: int = 3,
+    bits: int = 60,
+    chunks: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Near-dup pairs by SimHash: band on bit chunks (pigeonhole — any
+    pair within max_hamming < chunks shares an identical chunk), verify
+    with exact popcount hamming distance."""
+    from pyspark.sql import functions as F
+
+    per_chunk = bits // chunks
+    sigs = simhash(df, bits, text_col, id_col)
+    mask = (1 << per_chunk) - 1
+    stacked = sigs.select(
+        F.col(id_col).alias("_id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "#",
+                        F.lit(str(c)),
+                        (F.shiftright(F.col("simhash"), c * per_chunk).bitwiseAND(F.lit(mask))).cast("string"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    a, b = stacked.alias("a"), stacked.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs.select("id_a", "id_b", "hamming")
+
+
+def embedding_near_dup_pairs(
+    emb: "DataFrame",
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "DataFrame":
+    """Exact cosine near-dup pairs (a < b, cosine >= threshold).
+
+    Brute-force pair join — the verification baseline; use
+    similarity.lsh_bucketed_pairs for the 100 TB path.  Dot products run
+    through F.zip_with/F.aggregate in double precision, left-to-right."""
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.llm.similarity import cosine_expr
+
+    v = emb.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col("a._id") < F.col("b._id"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("a._v"), F.col("b._v")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), "cosine")
+    )

@@ -1,0 +1,178 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk: exact brute-force top-k — the correctness baseline.
+  Queries are broadcast; the scan side streams, so cost is one pass over
+  the corpus per batch of queries (batch your queries, not your scans).
+- lsh_bucketed_*: random-hyperplane LSH — the 100 TB path.  Buckets are
+  computed with deterministic seeded hyperplanes expressed as literal
+  arrays, dot products via F.zip_with/F.aggregate (JVM codegen;
+  no Python in the scan loop).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:
+    from pyspark.sql import Column, DataFrame
+
+
+def dot_expr(a: "Column", b: "Column") -> "Column":
+    from pyspark.sql import functions as F
+
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm_expr(a: "Column") -> "Column":
+    from pyspark.sql import functions as F
+
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_expr(a: "Column", b: "Column") -> "Column":
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_topk(
+    emb: "DataFrame",
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "DataFrame":
+    """Exact top-k neighbors (cosine) for each query id.
+
+    Output: (query_id, neighbor_id, cosine, rank), rank 1..k, self
+    excluded, ties broken by neighbor id (deterministic)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    v = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).cast("array<double>").alias("nv"))
+    q = (
+        v.filter(F.col("nid").isin(query_ids))
+        .select(F.col("nid").alias("qid"), F.col("nv").alias("qv"))
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("nid") != F.col("qid"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("qv"), F.col("nv")), 6))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
+def _hyperplanes(dim: int, nbits: int, seed: str = "hs-lsh") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1]^dim."""
+    planes = []
+    for j in range(nbits):
+        row = []
+        for i in range(dim):
+            d = hashlib.md5(f"{seed}-{j}-{i}".encode()).digest()
+            (u,) = struct.unpack("<Q", d[:8])
+            row.append(u / float(1 << 64) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_col(vec_col: "Column", dim: int, nbits: int = 12) -> "Column":
+    """Random-hyperplane signature: nbits sign bits packed into a long."""
+    from pyspark.sql import functions as F
+
+    planes = _hyperplanes(dim, nbits)
+    sig = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = (dot_expr(vec_col, p) > 0).cast("long")
+        sig = sig + F.shiftleft(bit, j)
+    return sig
+
+
+def lsh_bucketed_pairs(
+    emb: "DataFrame",
+    threshold: float = 0.9,
+    nbits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "DataFrame":
+    """Approximate near-dup pairs: exact cosine computed only WITHIN LSH
+    buckets — the join fan-out drops from N² to sum of bucket sizes²."""
+    from pyspark.sql import functions as F
+
+    dim = len(emb.select(vec_col).first()[0])
+    v = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).withColumn("bucket", lsh_bucket_col(F.col("_v"), dim, nbits))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a._id") < F.col("b._id")))
+        .withColumn("cosine", F.round(cosine_expr(F.col("a._v"), F.col("b._v")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), "cosine")
+    )
+
+
+def ivf_topk(
+    emb: "DataFrame",
+    query_ids: list[int],
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "DataFrame":
+    """IVF-style ANN: KMeans coarse quantizer (pyspark.ml), queries probe
+    only the n_probe nearest centroids' inverted lists.  At scale the
+    cluster assignment is computed once and persisted as a derived
+    dataset (same lifecycle as any index)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    feat = emb.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).cast("array<double>").alias("nv"),
+    ).withColumn("features", array_to_vector(F.col("nv")))
+    km = KMeans(k=n_clusters, seed=42, maxIter=10).fit(feat)
+    assigned = km.transform(feat).select("nid", "nv", F.col("prediction").alias("cluster"))
+
+    centroids = [list(map(float, c)) for c in km.clusterCenters()]
+    cent_df = assigned.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cluster int, cv array<double>"
+    )
+    q = assigned.filter(F.col("nid").isin(query_ids)).select(
+        F.col("nid").alias("qid"), F.col("nv").alias("qv")
+    )
+    # Each query picks its n_probe nearest centroids (tiny cross join).
+    qc = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("cdist", F.round(cosine_expr(F.col("qv"), F.col("cv")), 9))
+        .withColumn("crank", F.row_number().over(W.partitionBy("qid").orderBy(F.col("cdist").desc(), F.col("cluster"))))
+        .filter(F.col("crank") <= n_probe)
+        .select("qid", "qv", "cluster")
+    )
+    scored = (
+        assigned.join(F.broadcast(qc), "cluster")
+        .filter(F.col("nid") != F.col("qid"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("qv"), F.col("nv")), 6))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias("query_id"), F.col("nid").alias("neighbor_id"), "cosine", "rank")
+    )

@@ -1,0 +1,235 @@
+"""LLM-pipeline operators: text analysis, dedup family, similarity, multimodal.
+
+Where the operator is deterministic & SQL-expressible, we cross-check
+against DuckDB here — the same comparison the driver's oracle runs.
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from hyperspace_spark.llm import dedup, multimodal, similarity, text
+
+from tests.conftest import SF_DIR, table
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def duck(sql):
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con.execute(sql).fetchall()
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+def test_token_count_matches_duckdb(spark, docs):
+    got = {
+        r.doc_id: r.n_tokens
+        for r in docs.select("doc_id", text.token_count(F.col("text")).alias("n_tokens")).collect()
+    }
+    want = dict(
+        duck(
+            "SELECT doc_id, CASE WHEN trim(text)='' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END FROM documents"
+        )
+    )
+    assert got == want
+
+
+def test_fingerprint_matches_duckdb(spark, docs):
+    got = {
+        r.doc_id: r.fp
+        for r in docs.select("doc_id", text.fingerprint(F.col("text")).alias("fp")).collect()
+    }
+    want = dict(
+        duck(
+            "SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) FROM documents"
+        )
+    )
+    assert got == want
+
+
+def test_text_stats_shape_and_determinism(spark, docs):
+    s1 = text.text_stats(docs).orderBy("doc_id").collect()
+    s2 = text.text_stats(docs).orderBy("doc_id").collect()
+    assert s1 == s2
+    assert len(s1) == docs.count()
+    r = s1[0]
+    assert r.n_tokens > 0 and 0 <= r.quality_score <= 1 and r.lang_pred in ("en", "es", "fr", "de", "und")
+
+
+def test_language_id_english_bias(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat and the dog"), (2, "el gato es un animal y la casa es una")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.lang for r in df.select("doc_id", text.language_id(F.col("text")).alias("lang")).collect()}
+    assert rows[1] == "en"
+    assert rows[2] == "es"
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+def test_exact_dedup_removes_dupes(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a  B c"), (3, "different text")], "doc_id long, text string"
+    )
+    out = dedup.exact_dedup(df).orderBy("doc_id").collect()
+    assert [r.doc_id for r in out] == [1, 3]  # 2 is a normalized dup of 1
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6"), (2, "w1 w2 w3 w4 w5 w6"), (3, "x1 x2 x3 x4 x5 x6")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.ngram_jaccard_pairs(df, n=2, threshold=0.9).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    assert pairs[0].jaccard == 1.0
+
+
+def test_ngram_jaccard_against_duckdb(spark, docs):
+    got = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    )
+    want = sorted(
+        duck(
+            """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
+                     ELSE array_to_string(t[i:i+2], ' ') END AS shingle
+              FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-1, 2))) AS i FROM toks)
+            ), sizes AS (
+              SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+            FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+            WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+            """
+        )
+    )
+    assert got == want
+
+
+def test_minhash_lsh_finds_identical_docs(spark):
+    rows = [(i, f"tok{i} " * 3 + "common words here every doc shares nothing") for i in range(20)]
+    rows += [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+             (101, "alpha beta gamma delta epsilon zeta eta theta iota kappa")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.minhash_lsh_pairs(df, n=2, num_hashes=32, bands=8).collect()
+    assert (100, 101) in {(p.id_a, p.id_b) for p in pairs}
+
+
+def test_minhash_recall_vs_exact(spark, docs):
+    """LSH candidates must include every truly-similar pair (recall ~1 at
+    jaccard >= 0.7 with 64 hashes / 16 bands)."""
+    exact = {(r.id_a, r.id_b) for r in dedup.ngram_jaccard_pairs(docs, 3, 0.7).collect()}
+    cand = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(docs, 3, 64, 16).collect()}
+    assert exact.issubset(cand)
+
+
+def test_simhash_identical_and_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three four five six seven"), (2, "one two three four five six seven"),
+         (3, "totally different content words here")],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash(df).collect()}
+    assert sigs[1] == sigs[2] != sigs[3]
+    pairs = dedup.simhash_pairs(df, max_hamming=3).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+
+
+def test_embedding_near_dup(spark, emb):
+    pairs = dedup.embedding_near_dup_pairs(emb, threshold=0.95).collect()
+    for p in pairs:
+        assert p.cosine >= 0.95
+    # symmetric sanity: cosine(a,a)=1 if we include self-pairs -> excluded by a<b
+    assert all(p.id_a < p.id_b for p in pairs)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+def test_cosine_topk_against_duckdb(spark, emb):
+    got = sorted(
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, [0, 1, 2], k=5).collect()
+    )
+    want = sorted(
+        duck(
+            """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id IN (0,1,2)),
+            scored AS (
+              SELECT qid, vec_id AS nid,
+                     round(list_dot_product(qe, e) / (sqrt(list_dot_product(qe,qe)) * sqrt(list_dot_product(e,e))), 6) AS cosine
+              FROM v CROSS JOIN q WHERE vec_id != qid
+            )
+            SELECT qid, rank, nid FROM (
+              SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+            """
+        )
+    )
+    assert got == want
+
+
+def test_lsh_bucketed_pairs_subset_of_exact(spark, emb):
+    lsh = {(r.id_a, r.id_b) for r in similarity.lsh_bucketed_pairs(emb, 0.9, nbits=6).collect()}
+    exact = {(r.id_a, r.id_b) for r in dedup.embedding_near_dup_pairs(emb, 0.9).collect()}
+    assert lsh.issubset(exact)
+    if exact:
+        assert len(lsh) / len(exact) > 0.3  # decent recall at 6 bits
+
+
+def test_ivf_topk_mostly_agrees_with_brute(spark, emb):
+    brute = similarity.cosine_topk(emb, [0, 1], k=5).collect()
+    ivf = similarity.ivf_topk(emb, [0, 1], k=5, n_clusters=8, n_probe=3).collect()
+    b = {(r.query_id, r.neighbor_id) for r in brute}
+    i = {(r.query_id, r.neighbor_id) for r in ivf}
+    assert len(b & i) / len(b) >= 0.5  # probe recall
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+def test_multimodal_decode_and_frames(spark):
+    media = multimodal.synthetic_media_df(spark, n=30)
+    feats = multimodal.decode_features(media).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r.features) == multimodal.FEATURE_DIM
+        assert abs(sum(x * x for x in r.features) - 1.0) < 1e-5  # unit norm
+    frames = multimodal.sample_frames(media).collect()
+    assert frames and all(r.frame_index >= 0 for r in frames)
+    vids = {r.media_id for r in media.filter("kind = 'video'").collect()}
+    assert {r.media_id for r in frames} <= vids
+
+
+def test_multimodal_real_decode_raises(spark):
+    media = multimodal.synthetic_media_df(spark, n=2)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_features(media, decode="real")
