@@ -44,6 +44,10 @@ class Hyperspace:
         self.spark = spark
         self._system_path = system_path
         self._entry_cache: tuple[float, list[IndexLogEntry]] | None = None
+        # Plan cache: analyzed-plan semanticHash -> (rewritten df, indexes).
+        # Epoch bumps on any lifecycle op so stale rewrites never serve.
+        self._apply_cache: dict = {}
+        self._cache_epoch = 0
 
     # ------------------------------------------------------------------
     # plumbing
@@ -59,6 +63,8 @@ class Hyperspace:
 
     def _invalidate_cache(self) -> None:
         self._entry_cache = None
+        self._apply_cache.clear()
+        self._cache_epoch += 1
 
     def _all_latest_entries(self, conf: HyperspaceConf) -> list[IndexLogEntry]:
         fs = self._fs(conf)
@@ -209,6 +215,22 @@ class Hyperspace:
         conf = self.conf()
         if not conf.apply_enabled:
             return df, []
+        cache_key = None
+        if reasons is None:  # whyNot always re-plans to collect fresh reasons
+            try:
+                cache_key = (
+                    df._jdf.queryExecution().analyzed().semanticHash(),
+                    self._cache_epoch,
+                    str(conf),  # planning depends on the conf snapshot
+                )
+                hit = self._apply_cache.get(cache_key)
+                # TTL guards against EXTERNAL source changes (appends with
+                # no lifecycle op) serving a stale rewrite; lifecycle ops
+                # bump the epoch immediately.
+                if hit is not None and time.time() - hit[2] < min(conf.cache_expiry_sec, 60):
+                    return hit[0], hit[1]
+            except Exception:
+                cache_key = None
         try:
             plan = parse_df(df)
             entries = self._active_entries(conf)
@@ -224,8 +246,14 @@ class Hyperspace:
             ctx = RuleContext(self.spark, conf, cands, reasons)
             best = optimize(plan, default_rules(), ctx)
             if best.score <= 0:
-                return df, []
-            return replay(self.spark, best.node), best.index_names
+                result = (df, [])
+            else:
+                result = (replay(self.spark, best.node), best.index_names)
+            if cache_key is not None:
+                if len(self._apply_cache) > 256:
+                    self._apply_cache.clear()
+                self._apply_cache[cache_key] = (result[0], result[1], time.time())
+            return result
         except Exception:
             return df, []
 
@@ -573,6 +601,36 @@ class Hyperspace:
             "numSourceFiles int, numAppendedFiles int, numDeletedFiles int, indexSizeBytes long, version int",
         )
 
+    def analyze_file_distribution(self, df: "DataFrame", column: str) -> str:
+        """Per-file min/max distribution analysis for a column: estimates
+        how many files a point lookup would touch with file-level skipping
+        (reference: util/MinMaxAnalysisUtil.scala:773-778)."""
+        from pyspark.sql import functions as F
+
+        per_file = (
+            df.withColumn("_hs_file", F.input_file_name())
+            .groupBy("_hs_file")
+            .agg(F.min(column).alias("min"), F.max(column).alias("max"))
+            .collect()
+        )
+        n = len(per_file)
+        ranges = sorted((r["min"], r["max"]) for r in per_file if r["min"] is not None)
+        # For each file's range, count how many other files overlap it —
+        # the per-file estimate of lookup fan-out.
+        overlaps = [
+            sum(1 for lo2, hi2 in ranges if not (hi2 < lo or lo2 > hi)) for lo, hi in ranges
+        ]
+        avg = sum(overlaps) / len(overlaps) if overlaps else 0.0
+        mx = max(overlaps, default=0)
+        lines = [
+            f"File distribution analysis for column '{column}'",
+            f"  files analyzed:            {n}",
+            f"  avg files per point lookup: {avg:.2f}",
+            f"  max files per point lookup: {mx}",
+            f"  skipping effectiveness:     {100 * (1 - avg / n):.1f}% pruned on average" if n else "",
+        ]
+        return "\n".join(l for l in lines if l)
+
     def explain(self, df: "DataFrame", verbose: bool = False) -> str:
         """Plans with vs without indexes + used-index list
         (reference: plananalysis/PlanAnalyzer.scala:48-181)."""
@@ -611,7 +669,13 @@ class Hyperspace:
         lines = [f"Applied indexes: {', '.join(used) if used else '<none>'}"]
         all_names = [e.name for e in self._all_latest_entries(conf)]
         reported = {n for n, _, _ in reasons.items}
+        seen = set()
         for n, reason, detail in reasons.items:
+            # The optimizer visits the same pattern at several tree levels;
+            # report each (index, reason) once.
+            if (n, reason) in seen:
+                continue
+            seen.add((n, reason))
             if index_name is None or n == index_name:
                 lines.append(f"  {n}: {reason}" + (f" ({detail})" if detail else ""))
         for n in all_names:

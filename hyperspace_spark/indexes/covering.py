@@ -185,7 +185,13 @@ def index_scan_df(
         tbl = ensure_bucketed_table(spark, entry)
         df = spark.table(tbl)
     else:
-        df = spark.read.parquet(*entry.index_data_dirs)
+        # Explicit schema from the log entry: without it Spark infers by
+        # reading every data file's footer — hundreds of ms of planner
+        # latency per query for nothing.
+        reader = spark.read
+        if props.get("schemaJson"):
+            reader = reader.schema(StructType.fromJson(json.loads(props["schemaJson"])))
+        df = reader.parquet(*entry.index_data_dirs)
 
     if deleted:
         ids = [entry.file_id_tracker.get(f) for f in deleted]

@@ -37,6 +37,16 @@ def cosine_expr(a: "Column", b: "Column") -> "Column":
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def unit_expr(a: "Column") -> "Column":
+    """Pre-normalize once per row so pairwise cosine = one dot product —
+    at N² pair joins this cuts the array-lambda work 3× (a·b instead of
+    a·b, a·a, b·b per pair)."""
+    from pyspark.sql import functions as F
+
+    n = norm_expr(a)
+    return F.transform(a, lambda x: x / n)
+
+
 def cosine_topk(
     emb: "DataFrame",
     query_ids: list[int],

@@ -115,6 +115,22 @@ def _substitute_scan(node: ir.Node, scan: ir.Scan, replacement, index_name: str)
     return _substitute_scans(node, {id(scan): (replacement, index_name)})
 
 
+def _has_equality_on(cond, column: str) -> bool:
+    from hyperspace_spark.planner.expr import Attr, Cmp, InExpr
+
+    for conj in split_conjuncts(cond):
+        if (
+            isinstance(conj, Cmp)
+            and conj.op in ("=", "<=>")
+            and isinstance(conj.left, Attr)
+            and conj.left.name == column
+        ):
+            return True
+        if isinstance(conj, InExpr) and isinstance(conj.child, Attr) and conj.child.name == column:
+            return True
+    return False
+
+
 def _rank_smallest(cands: list[Candidate]) -> list[Candidate]:
     """Prefer the smallest index data (reference FilterIndexRanker.scala)."""
     return sorted(cands, key=lambda c: (sum(f.size for f in c.entry.content_files), c.entry.name))
@@ -170,7 +186,17 @@ class FilterIndexRule:
         out_cols = [c for c in scan.output if c in required]
         entry = winner.entry
         appended, deleted = winner.appended, winner.deleted
-        use_buckets = ctx.conf.filter_rule_use_bucket_spec and not appended
+        # Bucketed read only pays off when bucket PRUNING can happen — an
+        # equality/IN predicate on the first indexed column.  For range
+        # predicates a plain parquet read is better: Spark coalesces the
+        # small bucket files into fewer tasks and parquet row-group stats
+        # (the data is sorted by the indexed columns) do the pruning.
+        use_buckets = (
+            ctx.conf.filter_rule_use_bucket_spec
+            and not appended
+            and self.kind == "CI"
+            and _has_equality_on(filt.condition, entry.derived_properties.get("indexedColumns", [""])[0])
+        )
 
         def replacement(spark, _e=entry, _cols=out_cols, _a=appended, _d=deleted, _b=use_buckets):
             from hyperspace_spark.indexes.covering import index_scan_df

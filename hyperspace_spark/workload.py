@@ -1,0 +1,862 @@
+"""The driver-contract workload: every operator from SURVEY §2 (plus the
+LLM-pipeline extensions) as a named query with a DuckDB oracle.
+
+Each entry is a callable (spark, sf_dir) -> DataFrame paired with an
+ANSI-SQL oracle string the driver runs in DuckDB over the same parquet
+tables.  Column names and rounding are aligned on both sides (the
+driver's compare hashes values after sorting columns by name).
+
+Index-accelerated queries build their indexes in a per-sf workspace
+under /tmp (testdata is read-only); the workspace is cached across
+processes via the index operation log itself — if the log says ACTIVE
+and the source copy exists, the build is skipped.
+
+Float policy: any aggregated double is wrapped in round(..., 2..6) on
+BOTH sides — Spark and DuckDB accumulate in different orders, so the
+last bits differ; rounding makes the hash deterministic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import TYPE_CHECKING, Callable
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: "SparkSession", sf_dir: str, name: str) -> "DataFrame":
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _conf(spark: "SparkSession") -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+# ---------------------------------------------------------------------------
+# workspace: derived copies + indexes per sf_dir
+# ---------------------------------------------------------------------------
+class Workspace:
+    def __init__(self, spark: "SparkSession", sf_dir: str):
+        from hyperspace_spark import Hyperspace
+
+        self.spark = spark
+        self.sf_dir = sf_dir.rstrip("/")
+        tag = hashlib.md5(self.sf_dir.encode()).hexdigest()[:8]
+        self.root = f"/tmp/hs_workload_{tag}"
+        self.li_byship = f"{self.root}/li_byship"
+        self.orders_app = f"{self.root}/orders_app"
+        self.hs = Hyperspace(spark, system_path=f"{self.root}/indexes")
+
+    def ensure(self) -> "Workspace":
+        _conf(self.spark)
+        os.makedirs(self.root, exist_ok=True)
+        self._ensure_copies()
+        self._ensure_indexes()
+        return self
+
+    def _ensure_copies(self) -> None:
+        if not os.path.exists(f"{self.li_byship}/_SUCCESS"):
+            (
+                _t(self.spark, self.sf_dir, "lineitem")
+                .repartitionByRange(16, "l_shipdate")
+                .write.mode("overwrite")
+                .parquet(self.li_byship)
+            )
+        if not os.path.exists(f"{self.orders_app}/_SUCCESS"):
+            o = _t(self.spark, self.sf_dir, "orders")
+            o.repartition(4).write.mode("overwrite").parquet(self.orders_app)
+            # Deterministic "appended" delta AFTER the index build below
+            # would normally arrive later; here we pre-stage it in a side
+            # dir and move it in ensure_hybrid() so the hybrid-scan query
+            # sees index-time vs query-time file sets differ.
+            o.filter("o_orderkey % 97 = 0").coalesce(1).write.mode("overwrite").parquet(
+                f"{self.root}/orders_delta"
+            )
+
+    def _active(self, name: str) -> bool:
+        from hyperspace_spark.metadata.entry import States
+
+        mgr = self.hs._log_mgr(name, self.hs.conf())
+        e = mgr.get_latest_stable_log()
+        return e is not None and e.state == States.ACTIVE
+
+    def _ensure_indexes(self) -> None:
+        from hyperspace_spark import (
+            BloomFilterSketch,
+            CoveringIndexConfig,
+            DataSkippingIndexConfig,
+            MinMaxSketch,
+            ZOrderCoveringIndexConfig,
+        )
+
+        spark = self.spark
+        builds = [
+            (
+                "w_o_cov",
+                lambda: self.hs.create_index(
+                    _t(spark, self.sf_dir, "orders"),
+                    CoveringIndexConfig(
+                        "w_o_cov", ["o_custkey"], ["o_orderkey", "o_totalprice"]
+                    ),
+                ),
+            ),
+            (
+                "w_li_join",
+                lambda: self.hs.create_index(
+                    _t(spark, self.sf_dir, "lineitem"),
+                    CoveringIndexConfig(
+                        "w_li_join",
+                        ["l_orderkey"],
+                        ["l_quantity", "l_extendedprice", "l_discount"],
+                    ),
+                ),
+            ),
+            (
+                "w_o_join",
+                lambda: self.hs.create_index(
+                    _t(spark, self.sf_dir, "orders"),
+                    CoveringIndexConfig("w_o_join", ["o_orderkey"], ["o_orderpriority"]),
+                ),
+            ),
+            (
+                "w_li_skip",
+                lambda: self.hs.create_index(
+                    spark.read.parquet(self.li_byship),
+                    DataSkippingIndexConfig(
+                        "w_li_skip",
+                        [MinMaxSketch(["l_shipdate"]), BloomFilterSketch(["l_orderkey"], 0.01, 8000)],
+                    ),
+                ),
+            ),
+            (
+                "w_p_z",
+                lambda: self.hs.create_index(
+                    _t(spark, self.sf_dir, "part"),
+                    ZOrderCoveringIndexConfig(
+                        "w_p_z", ["p_size", "p_retailprice"], ["p_partkey", "p_brand"]
+                    ),
+                ),
+            ),
+            (
+                "w_oapp_cov",
+                lambda: self.hs.create_index(
+                    spark.read.parquet(self.orders_app),
+                    CoveringIndexConfig(
+                        "w_oapp_cov", ["o_custkey"], ["o_orderkey", "o_orderpriority"]
+                    ),
+                ),
+            ),
+        ]
+        for name, build in builds:
+            if not self._active(name):
+                build()
+        self._ensure_hybrid_delta()
+
+    def _ensure_hybrid_delta(self) -> None:
+        """Move the staged delta into orders_app AFTER w_oapp_cov exists,
+        so the live file set differs from the indexed set (hybrid scan)."""
+        import glob
+        import shutil
+
+        delta_files = glob.glob(f"{self.root}/orders_delta/*.parquet")
+        existing = glob.glob(f"{self.orders_app}/hs_delta_*.parquet")
+        if delta_files and not existing:
+            for i, f in enumerate(sorted(delta_files)):
+                shutil.copy(f, f"{self.orders_app}/hs_delta_{i}.parquet")
+
+
+_WS_CACHE: dict[tuple[int, str], Workspace] = {}
+
+
+def workspace(spark: "SparkSession", sf_dir: str) -> Workspace:
+    key = (id(spark), sf_dir)
+    if key not in _WS_CACHE:
+        _WS_CACHE[key] = Workspace(spark, sf_dir).ensure()
+    return _WS_CACHE[key]
+
+
+# ===========================================================================
+# 1. Index-accelerated queries (SURVEY §2.A)
+# ===========================================================================
+@q(
+    "covering_filter_point",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey = 42
+    """,
+)
+def covering_filter_point(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    ws = workspace(spark, sf_dir)
+    df = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") == 42).select(
+        "o_orderkey", "o_totalprice"
+    )
+    return ws.hs.apply(df)
+
+
+@q(
+    "covering_filter_agg",
+    """
+    SELECT o_custkey, round(sum(o_totalprice), 2) AS sum_total, count(*) AS cnt
+    FROM orders WHERE o_custkey BETWEEN 100 AND 200
+    GROUP BY o_custkey
+    """,
+)
+def covering_filter_agg(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    ws = workspace(spark, sf_dir)
+    df = (
+        _t(spark, sf_dir, "orders")
+        .filter("o_custkey BETWEEN 100 AND 200")
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+            F.count("*").alias("cnt"),
+        )
+    )
+    return ws.hs.apply(df)
+
+
+@q(
+    "join_cobucketed",
+    """
+    SELECT o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS cnt
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_cobucketed(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    ws = workspace(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    df = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("cnt"),
+        )
+    )
+    return ws.hs.apply(df)
+
+
+@q(
+    "dataskipping_minmax",
+    """
+    SELECT round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+    FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+    """,
+)
+def dataskipping_minmax(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    ws = workspace(spark, sf_dir)
+    df = (
+        spark.read.parquet(ws.li_byship)
+        .filter(F.col("l_shipdate") < "1996-01-01")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("cnt"))
+    )
+    return ws.hs.apply(df)
+
+
+@q(
+    "zorder_filter_2d",
+    """
+    SELECT p_partkey, p_size, p_brand FROM part
+    WHERE p_size BETWEEN 10 AND 20 AND p_retailprice < 950
+    """,
+)
+def zorder_filter_2d(spark, sf_dir):
+    ws = workspace(spark, sf_dir)
+    df = (
+        _t(spark, sf_dir, "part")
+        .filter("p_size BETWEEN 10 AND 20 AND p_retailprice < 950")
+        .select("p_partkey", "p_size", "p_brand")
+    )
+    return ws.hs.apply(df)
+
+
+@q(
+    "hybrid_scan_append",
+    """
+    SELECT o_orderpriority, count(*) AS cnt
+    FROM (
+      SELECT * FROM orders
+      UNION ALL SELECT * FROM orders WHERE o_orderkey % 97 = 0
+    ) WHERE o_custkey < 300
+    GROUP BY o_orderpriority
+    """,
+)
+def hybrid_scan_append(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    ws = workspace(spark, sf_dir)
+    df = (
+        spark.read.parquet(ws.orders_app)
+        .filter("o_custkey < 300")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return ws.hs.apply(df)
+
+
+# ===========================================================================
+# 2. Spark SQL surface (SURVEY §2.B — delegated to Spark, exposed 1:1)
+# ===========================================================================
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 2) AS avg_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    _conf(spark)
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("w_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 2) AS avg_price,
+               count(*) AS count_order
+        FROM w_lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@q(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    _conf(spark)
+    for t in ("customer", "orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"w_{t}")
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate
+        FROM w_customer JOIN w_orders ON c_custkey = o_custkey
+                        JOIN w_lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+        """
+    )
+
+
+@q(
+    "q5_region_revenue",
+    """
+    SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+    FROM region JOIN nation ON r_regionkey = n_regionkey
+                JOIN customer ON c_nationkey = n_nationkey
+                JOIN orders ON o_custkey = c_custkey
+    WHERE r_name <> 'EUROPE'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_region_revenue(spark, sf_dir):
+    _conf(spark)
+    for t in ("region", "nation", "customer", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"w_{t}")
+    return spark.sql(
+        """
+        SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        FROM w_region JOIN w_nation ON r_regionkey = n_regionkey
+                      JOIN w_customer ON c_nationkey = n_nationkey
+                      JOIN w_orders ON o_custkey = c_custkey
+        WHERE r_name <> 'EUROPE'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+        """
+    )
+
+
+@q(
+    "window_top_orders",
+    """
+    SELECT o_custkey, o_orderkey, rn FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders WHERE o_custkey < 200
+    ) WHERE rn <= 2
+    """,
+)
+def window_top_orders(spark, sf_dir):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter("o_custkey < 200")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 2")
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+@q(
+    "cube_returnflag_status",
+    """
+    SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_returnflag_status(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+@q(
+    "setop_intersect",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+    """,
+)
+def setop_intersect(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter("o_orderpriority = '1-URGENT'").select("o_custkey")
+    b = o.filter("o_totalprice > 200000").select("o_custkey")
+    return a.intersect(b)
+
+
+@q(
+    "anti_join_customers",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def anti_join_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@q(
+    "scalar_functions",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           substr(p_name, 1, 8) AS name8,
+           length(p_type) AS type_len,
+           round(p_retailprice * 1.1, 2) AS price_infl,
+           CASE WHEN p_size < 10 THEN 'S' WHEN p_size < 30 THEN 'M' ELSE 'L' END AS size_band,
+           concat(p_brand, '#', CAST(p_size AS VARCHAR)) AS brand_size,
+           abs(p_size - 25) AS size_dev
+    FROM part WHERE p_partkey <= 200
+    """,
+)
+def scalar_functions(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "part")
+        .filter("p_partkey <= 200")
+        .selectExpr(
+            "p_partkey",
+            "upper(p_brand) AS brand_u",
+            "substr(p_name, 1, 8) AS name8",
+            "length(p_type) AS type_len",
+            "round(p_retailprice * 1.1, 2) AS price_infl",
+            "CASE WHEN p_size < 10 THEN 'S' WHEN p_size < 30 THEN 'M' ELSE 'L' END AS size_band",
+            "concat(p_brand, '#', CAST(p_size AS STRING)) AS brand_size",
+            "abs(p_size - 25) AS size_dev",
+        )
+    )
+
+
+@q(
+    "events_hourly_rollup",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    WHERE event_type IN ('click', 'view', 'purchase')
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark, sf_dir):
+    _conf(spark)
+    _t(spark, sf_dir, "events").createOrReplaceTempView("w_events")
+    return spark.sql(
+        """
+        SELECT date_format(date_trunc('hour', timestamp_micros(ts div 1000)),
+                           'yyyy-MM-dd HH:00') AS hour,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM w_events
+        WHERE event_type IN ('click', 'view', 'purchase')
+        GROUP BY 1, 2
+        """
+    )
+
+
+# ===========================================================================
+# 3. LLM-pipeline operators
+# ===========================================================================
+_DUCK_TOKENS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_DUCK_RAW_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+def _duck_sw_hits(words: list[str]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({_DUCK_TOKENS}, x -> x IN ({inlist})))"
+
+
+def _text_stats_oracle() -> str:
+    from hyperspace_spark.llm.text import STOPWORDS
+
+    en_hits = _duck_sw_hits(STOPWORDS["en"])
+    ntok = f"CASE WHEN trim(text)='' THEN 0 ELSE len({_DUCK_RAW_TOKENS}) END"
+    nchars = "length(trim(text))"
+    punct = (
+        f"CASE WHEN {nchars} = 0 THEN 0.0 ELSE "
+        f"({nchars} - length(regexp_replace(trim(text), '[.,;:!?''\"()\\[\\]{{}}-]', '', 'g'))) "
+        f"* 1.0 / {nchars} END"
+    )
+    swr = f"CASE WHEN len({_DUCK_TOKENS}) <= 0 THEN 0.0 ELSE {en_hits} * 1.0 / len({_DUCK_TOKENS}) END"
+    return f"""
+    SELECT doc_id,
+           {nchars} AS n_chars_text,
+           {ntok} AS n_tokens,
+           round({punct}, 4) AS punct_ratio,
+           round({swr}, 4) AS stopword_ratio,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """
+
+
+@q("text_stats", _text_stats_oracle())
+def text_stats_query(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.llm import text
+
+    t = F.col("text")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length(F.trim(t)).alias("n_chars_text"),
+        text.token_count(t).alias("n_tokens"),
+        F.round(text.punct_ratio(t), 4).alias("punct_ratio"),
+        F.round(text.stopword_ratio(t), 4).alias("stopword_ratio"),
+        text.fingerprint(t).alias("fingerprint"),
+    )
+
+
+@q(
+    "lang_quality",
+    None,  # language/quality heuristics are Spark-side compositions; the
+    # deterministic pieces are covered by text_stats' oracle. rows-only.
+)
+def lang_quality(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.llm import text
+
+    t = F.col("text")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        text.language_id(t).alias("lang_pred"),
+        text.quality_score(t).alias("quality_score"),
+        text.shingle_fingerprint(t).alias("shingle_fp"),
+    )
+
+
+@q(
+    "dedup_exact",
+    """
+    SELECT doc_id FROM (
+      SELECT doc_id, row_number() OVER (
+        PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+        ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact_query(spark, sf_dir):
+    from hyperspace_spark.llm import dedup
+
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents")).select("doc_id")
+
+
+@q(
+    "dedup_ngram_jaccard",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+        CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
+             ELSE array_to_string(t[i:i+2], ' ') END AS shingle
+      FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-1, 2))) AS i FROM toks)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard_query(spark, sf_dir):
+    from hyperspace_spark.llm import dedup
+
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.5)
+
+
+@q("dedup_minhash_lsh", None)  # approximate by construction -> rows-only check
+def dedup_minhash_lsh_query(spark, sf_dir):
+    from hyperspace_spark.llm import dedup
+
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n=3, num_hashes=64, bands=16, verify_threshold=0.5
+    )
+
+
+def _simhash_oracle(bits: int = 60) -> str:
+    h = "('0x' || substr(md5(tok), 1, 15))::BIGINT"
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(bits)
+    )
+    assemble = " + ".join(f"(CASE WHEN b{b} > 0 THEN 1::BIGINT << {b} ELSE 0 END)" for b in range(bits))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id, {h} AS h FROM tok
+    ), per_bit AS (
+      SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, {assemble} AS simhash FROM per_bit
+    """
+
+
+@q("dedup_simhash", _simhash_oracle())
+def dedup_simhash_query(spark, sf_dir):
+    from hyperspace_spark.llm import dedup
+
+    return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "dedup_embedding_cosine",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                           CAST(embedding AS DOUBLE[])))) AS u
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.u, b.u), 6) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.u, b.u), 6) >= 0.9
+    """,
+)
+def dedup_embedding_cosine_query(spark, sf_dir):
+    from hyperspace_spark.llm import dedup
+
+    return dedup.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.9)
+
+
+@q(
+    "ann_cosine_topk",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    qv AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id IN (0, 1, 2, 3, 4)),
+    scored AS (
+      SELECT qid, vec_id AS nid,
+             round(list_dot_product(qe, e) /
+                   (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))), 6) AS cosine
+      FROM v CROSS JOIN qv WHERE vec_id != qid
+    )
+    SELECT qid AS query_id, nid AS neighbor_id, cosine, rank FROM (
+      SELECT qid, nid, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def ann_cosine_topk_query(spark, sf_dir):
+    from hyperspace_spark.llm import similarity
+
+    return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10)
+
+
+@q("ann_lsh_bucketed", None)  # approximate -> rows-only
+def ann_lsh_bucketed_query(spark, sf_dir):
+    from hyperspace_spark.llm import similarity
+
+    return similarity.lsh_bucketed_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.85, nbits=6
+    )
+
+
+@q("ann_ivf_topk", None)  # approximate (kmeans) -> rows-only
+def ann_ivf_topk_query(spark, sf_dir):
+    from hyperspace_spark.llm import similarity
+
+    return similarity.ivf_topk(
+        _t(spark, sf_dir, "embeddings"), [0, 1, 2], k=5, n_clusters=8, n_probe=3
+    )
+
+
+@q("multimodal_features", None)  # synthetic media, mapInPandas plumbing -> rows-only
+def multimodal_features_query(spark, sf_dir):
+    from hyperspace_spark.llm import multimodal
+
+    media = multimodal.synthetic_media_df(spark, n=48)
+    return multimodal.decode_features(media).select("media_id", "kind", "n_bytes", "features")
+
+
+@q(
+    "rollup_agg",
+    """
+    SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 2) AS sum_price,
+           count(*) AS cnt
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_agg(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+@q(
+    "exists_subquery",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+    """,
+)
+def exists_subquery(spark, sf_dir):
+    _conf(spark)
+    for t in ("orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"w_{t}")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM w_orders
+        WHERE EXISTS (SELECT 1 FROM w_lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        """
+    )
+
+
+@q(
+    "union_distinct",
+    """
+    SELECT DISTINCT o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      UNION ALL
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+    )
+    """,
+)
+def union_distinct(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter("o_orderpriority = '1-URGENT'").select("o_custkey")
+    b = o.filter("o_orderpriority = '2-HIGH'").select("o_custkey")
+    return a.union(b).distinct()
+
+
+@q(
+    "pivot_linestatus",
+    """
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_filled
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_linestatus(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_filled")
+    )

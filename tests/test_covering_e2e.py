@@ -98,3 +98,29 @@ def test_sql_entrypoint(spark, hs):
     fast = hs.sql("SELECT o_orderkey, o_totalprice FROM v_orders WHERE o_custkey = 421")
     df = spark.sql("SELECT o_orderkey, o_totalprice FROM v_orders WHERE o_custkey = 421")
     assert rows_equal(df, fast)
+
+
+def test_filter_rewrite_with_bucket_spec(spark, hs):
+    """filterRule.useBucketSpec=true reads the index as a bucketed table
+    -> bucket pruning on the first indexed column (reference:
+    FilterIndexRule useBucketSpec, IndexConstants.scala:54-57)."""
+    spark.conf.set("spark.hyperspace.index.filterRule.useBucketSpec", "true")
+    # Pair with autoBucketedScan=false: Spark's DisableUnnecessaryBucketedScan
+    # would otherwise drop the bucketed scan (and with it bucket pruning)
+    # because no operator above needs the hash distribution.
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        df = (
+            table(spark, "orders")
+            .filter(F.col("o_custkey") == 421)
+            .select("o_orderkey", "o_totalprice")
+        )
+        used, fast = accelerated_plan_uses_index(hs, df, "o_cust_idx")
+        assert used, hs.why_not(df)
+        fast.collect()
+        plan = fast._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount" in plan, plan
+        assert rows_equal(df, fast)
+    finally:
+        spark.conf.set("spark.hyperspace.index.filterRule.useBucketSpec", "false")
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")

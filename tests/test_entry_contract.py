@@ -1,0 +1,112 @@
+"""Replicates the driver's t2 correctness gate locally: for every
+queries() entry with an oracle, run the Spark query AND the DuckDB
+oracle at the test scale factor and compare row count + schema (column
+names) + order-insensitive values (columns sorted by name, floats at 6
+significant digits).
+
+If this file is green, CORRECTNESS_r{N}.json should be green.
+"""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+from tests.conftest import SF_DIR
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6g}"
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return f"{float(v):.6g}"
+    except Exception:
+        pass
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def normalize(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+
+
+ALL = sorted(entry_mod.queries().keys())
+WITH_ORACLE = sorted(entry_mod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_query_matches_oracle(spark, name):
+    qfn = entry_mod.queries()[name]
+    df = qfn(spark, SF_DIR)
+    spark_cols = [f.name for f in df.schema.fields]
+    spark_rows = [tuple(r) for r in df.collect()]
+
+    con = duck_con()
+    res = con.execute(entry_mod.oracle_sql()[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    ns, nd = normalize(spark_rows, spark_cols), normalize(duck_rows, duck_cols)
+    if ns != nd:
+        diff = [(a, b) for a, b in zip(ns, nd) if a != b][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diff}")
+
+
+@pytest.mark.parametrize("name", [n for n in ALL if n not in WITH_ORACLE])
+def test_rows_only_queries_run(spark, name):
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+
+
+def test_accelerated_queries_actually_use_indexes(spark):
+    """The index queries must not silently fall back to raw scans."""
+    from hyperspace_spark.workload import workspace
+
+    ws = workspace(spark, SF_DIR)
+    checks = {
+        "covering_filter_point": "w_o_cov",
+        "join_cobucketed": "w_li_join",
+        "zorder_filter_2d": "w_p_z",
+        "hybrid_scan_append": "w_oapp_cov",
+    }
+    for qname, idx in checks.items():
+        df = entry_mod.queries()[qname](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert idx in plan, f"{qname} did not use {idx}:\n{plan[:2000]}"

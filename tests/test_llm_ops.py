@@ -125,7 +125,7 @@ def test_ngram_jaccard_against_duckdb(spark, docs):
             )
             SELECT id_a, id_b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
             FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-            WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+            WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
             """
         )
     )

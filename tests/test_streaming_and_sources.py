@@ -1,0 +1,88 @@
+"""Streaming index maintenance + non-parquet source formats.
+
+- Structured Streaming: micro-batches land in the source dir, indexes
+  refresh incrementally per batch, accelerated queries stay correct.
+- CSV/JSON sources: index create + filter rewrite work for any default
+  file source (reference: DefaultFileBasedSource supports
+  avro,csv,json,orc,parquet,text).
+"""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from hyperspace_spark import CoveringIndexConfig, Hyperspace
+from hyperspace_spark.streaming.refresh import attach_index_maintenance
+
+from tests.conftest import rows_equal, table
+
+
+def test_streaming_incremental_maintenance(spark, tmp_path):
+    src_stream = str(tmp_path / "stream_in")
+    src_data = str(tmp_path / "data")
+    os.makedirs(src_stream)
+
+    # Seed the indexed table with an initial batch.
+    table(spark, "orders").limit(500).repartition(2).write.parquet(src_data)
+    hs = Hyperspace(spark, system_path=str(tmp_path / "idx"))
+    hs.create_index(
+        spark.read.parquet(src_data),
+        CoveringIndexConfig("s_idx", ["o_custkey"], ["o_orderkey", "o_totalprice"]),
+    )
+
+    # Stream two more batches of files through the maintenance sink.
+    schema = spark.read.parquet(src_data).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src_stream)
+    writer = attach_index_maintenance(
+        stream.writeStream.option("checkpointLocation", str(tmp_path / "ckpt")),
+        hs,
+        src_data,
+        ["s_idx"],
+    )
+    table(spark, "orders").limit(700).coalesce(1).write.mode("append").parquet(src_stream)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        e = hs._log_mgr("s_idx", hs.conf()).get_latest_stable_log()
+        if e is not None and len(e.source_files) > 2:
+            break
+        time.sleep(1)
+
+    query = (
+        spark.read.parquet(src_data)
+        .filter(F.col("o_custkey") < 100)
+        .select("o_orderkey", "o_totalprice")
+    )
+    fast, used = hs._apply_with_info(query)
+    assert used == ["s_idx"], hs.why_not(query)
+    assert rows_equal(query, fast)
+    # Refresh happened: indexed file count grew beyond the initial 2.
+    e = hs._log_mgr("s_idx", hs.conf()).get_latest_stable_log()
+    assert len(e.source_files) > 2
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json"])
+def test_non_parquet_source_index(spark, tmp_path, fmt):
+    src = str(tmp_path / f"orders_{fmt}")
+    o = table(spark, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    writer = o.repartition(4).write.mode("overwrite")
+    if fmt == "csv":
+        writer.option("header", "true").csv(src)
+        df = spark.read.option("header", "true").option("inferSchema", "true").csv(src)
+    else:
+        writer.json(src)
+        df = spark.read.json(src)
+
+    hs = Hyperspace(spark, system_path=str(tmp_path / "idx"))
+    hs.create_index(df, CoveringIndexConfig(f"{fmt}_idx", ["o_custkey"], ["o_orderkey"]))
+    q = df.filter(F.col("o_custkey") == 42).select("o_orderkey")
+    fast, used = hs._apply_with_info(q)
+    assert used == [f"{fmt}_idx"], hs.why_not(q)
+    # executedPlan().toString() truncates long Location paths; inputFiles
+    # gives the full scan locations.
+    assert all(f"{fmt}_idx" in f for f in fast.inputFiles())
+    assert rows_equal(q, fast)
