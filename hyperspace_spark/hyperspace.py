@@ -123,7 +123,7 @@ class Hyperspace:
     def create_index(self, df: "DataFrame", config) -> None:
         conf = self.conf()
         scan = self._source_scan(df)
-        missing = [c for c in config.referenced_columns() if c not in scan.output]
+        missing = [c for c in config.referenced_columns() if not _column_exists(scan, c)]
         if missing:
             raise HyperspaceException(f"Index config references missing columns: {missing}")
 
@@ -684,6 +684,10 @@ class Hyperspace:
             if index_name is None or n == index_name:
                 lines.append(f"  {n}: NOT_CONSIDERED (no matching source relation in plan)")
         return "\n".join(lines)
+
+
+def _column_exists(scan: ir.Scan, col: str) -> bool:
+    return ir.scan_has_column(scan, col)
 
 
 def _op_histogram(plan_str: str) -> dict[str, int]:

@@ -23,7 +23,7 @@ import json
 from dataclasses import dataclass, field
 from typing import TYPE_CHECKING
 
-from hyperspace_spark.config import DATA_FILE_ID_COLUMN, HyperspaceConf
+from hyperspace_spark.config import DATA_FILE_ID_COLUMN, NESTED_PREFIX, HyperspaceConf
 from hyperspace_spark.indexes.base import IndexConfig
 from hyperspace_spark.metadata.entry import FileIdTracker, FileInfo
 
@@ -46,6 +46,12 @@ class CoveringIndexConfig(IndexConfig):
 
 def table_name(index_name: str, version: int) -> str:
     return f"hs_{index_name}_v{version}".lower()
+
+
+def flattened_name(col: str) -> str:
+    from hyperspace_spark.config import NESTED_PREFIX as _P
+
+    return _P + col if "." in col else col
 
 
 def with_lineage(
@@ -91,14 +97,24 @@ def create_index_data(
 ) -> dict:
     """Build and write one version of covering-index data; returns derived
     properties for the log entry."""
+    from pyspark.sql import functions as F
+
     tbl = table_name(index_name, version)
     cols = config.referenced_columns()
     projected = df
     if conf.lineage_enabled:
         projected = with_lineage(df, spark, files, tracker)
-    projected = projected.select(*cols, *([DATA_FILE_ID_COLUMN] if conf.lineage_enabled else []))
+    # Nested fields flatten to top-level "__hs_nested.a.b.c" columns
+    # (reference: ResolverUtils nested prefix, util/ResolverUtils.scala:86).
+    select_exprs = [
+        F.col(c).alias(NESTED_PREFIX + c) if "." in c else F.col(c) for c in cols
+    ]
+    if conf.lineage_enabled:
+        select_exprs.append(F.col(DATA_FILE_ID_COLUMN))
+    projected = projected.select(*select_exprs)
 
-    write_bucketed(spark, projected, config.indexed_columns, conf.num_buckets, data_dir, tbl)
+    bucket_cols = [flattened_name(c) for c in config.indexed_columns]
+    write_bucketed(spark, projected, bucket_cols, conf.num_buckets, data_dir, tbl)
     return {
         "indexedColumns": list(config.indexed_columns),
         "includedColumns": list(config.included_columns),
@@ -126,9 +142,14 @@ def write_bucketed(
     catalog entry is session-scoped scaffolding, the files on the lake are
     the durable artifact and are re-registered on demand at query time.
     """
+    from pyspark.sql import functions as F
+
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    # Backtick-quote dotted (flattened-nested) column names so they are
+    # treated as names, not struct paths.
+    part_cols = [F.col(f"`{c}`") if "." in c else F.col(c) for c in bucket_cols]
     (
-        df.repartition(num_buckets, *bucket_cols)
+        df.repartition(num_buckets, *part_cols)
         .write.format("parquet")
         .bucketBy(num_buckets, *bucket_cols)
         .sortBy(*bucket_cols)
@@ -199,7 +220,7 @@ def index_scan_df(
         if ids:
             df = df.filter(~F.col(DATA_FILE_ID_COLUMN).isin(ids))
 
-    df = df.select(*output_columns)
+    df = _select_reconstructed(df, output_columns, from_index=True)
 
     if appended:
         rel = entry.relations[0]
@@ -208,6 +229,42 @@ def index_scan_df(
             reader = reader.schema(StructType.fromJson(json.loads(rel.data_schema_json)))
         if rel.options:
             reader = reader.options(**{k: v for k, v in rel.options.items() if k != "path"})
-        src = reader.load([f.path for f in appended]).select(*output_columns)
+        src = _select_reconstructed(
+            reader.load([f.path for f in appended]), output_columns, from_index=False
+        )
         df = df.unionByName(src)
     return df
+
+
+def _select_reconstructed(df, output_columns: list[str], from_index: bool):
+    """Select top-level columns directly and rebuild PARTIAL struct columns
+    for dotted (nested) outputs.  On the index side leaves live in
+    flattened `__hs_nested.a.b.c` columns; on the source side (hybrid
+    appended files) they are real struct paths."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    tops = [c for c in output_columns if "." not in c]
+    nested = [c for c in output_columns if "." in c]
+    exprs = [F.col(c) for c in tops]
+    trees: dict[str, dict] = defaultdict(dict)
+    for c in nested:
+        root, rest = c.split(".", 1)
+        cur = trees[root]
+        parts = rest.split(".")
+        for seg in parts[:-1]:
+            cur = cur.setdefault(seg, {})
+        cur[parts[-1]] = (
+            F.col(f"`{NESTED_PREFIX}{c}`") if from_index else F.col(c)
+        )
+
+    def mk(tree) -> "object":
+        fields = []
+        for k, v in tree.items():
+            fields.append((mk(v) if isinstance(v, dict) else v).alias(k))
+        return F.struct(*fields)
+
+    for root, tree in trees.items():
+        exprs.append(mk(tree).alias(root))
+    return df.select(*exprs)

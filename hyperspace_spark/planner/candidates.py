@@ -77,11 +77,15 @@ def collect_candidates(
         idx_roots = tuple(sorted(_norm(p) for r in e.relations for p in r.root_paths))
         if idx_roots != scan.normalized_paths():
             continue
-        # Column schema compatibility.
+        # Column schema compatibility.  Dotted (nested) columns check only
+        # their ROOT against the scan: Catalyst's nestedSchemaPruning
+        # rewrites the relation's dataSchema to just the accessed leaves,
+        # so unrelated index leaves would look missing; full-path existence
+        # was validated at create time against the unpruned schema.
         referenced = _referenced_columns(e)
-        if referenced and not referenced.issubset(scan_cols):
+        missing = sorted(c for c in referenced if c.split(".", 1)[0] not in scan_cols)
+        if missing:
             if reasons:
-                missing = sorted(referenced - scan_cols)
                 reasons.add(e.name, COL_SCHEMA_MISMATCH, f"missing source columns {missing}")
             continue
         if live is None:

@@ -190,6 +190,22 @@ def _parse(jexpr) -> Expr:
         n = str(jexpr.name())
         return Attr(sql=sql, references=frozenset([n]), name=n, dtype=str(jexpr.dataType().typeName()))
 
+    if cls == "GetStructField":
+        # Nested field access resolves to a DOTTED attribute name
+        # ("nested.leaf.cnt") so covering indexes can match flattened
+        # __hs_nested columns (reference: ResolverUtils.scala:44-98).
+        child = _parse(jexpr.child())
+        if isinstance(child, Attr):
+            n = f"{child.name}.{jexpr.extractFieldName()}"
+            return Attr(
+                sql=sql, references=frozenset([n]), name=n, dtype=str(jexpr.dataType().typeName())
+            )
+        return Unknown(sql=sql, references=jrefs(jexpr))
+
+    if cls == "Alias":
+        child = _parse(jexpr.child())
+        return Unknown(sql=sql, references=child.references)
+
     if cls == "Literal":
         is_null = jexpr.value() is None
         return Lit(sql=sql, dtype=str(jexpr.dataType().typeName()), is_null=is_null)

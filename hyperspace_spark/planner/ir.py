@@ -96,6 +96,11 @@ class DistinctN(Node):
 
 
 @dataclass
+class UnionN(Node):
+    kids: list[Node] = field(default_factory=list)
+
+
+@dataclass
 class WindowN(Node):
     child: Node = None
     window_exprs: list[str] = field(default_factory=list)  # SQL incl. aliases
@@ -106,6 +111,8 @@ class WindowN(Node):
 def children(node: Node) -> list[Node]:
     if isinstance(node, JoinN):
         return [node.left, node.right]
+    if isinstance(node, UnionN):
+        return list(node.kids)
     child = getattr(node, "child", None)
     return [child] if child is not None else []
 
@@ -116,9 +123,30 @@ def with_children(node: Node, new_children: list[Node]) -> Node:
     out = copy.copy(node)
     if isinstance(node, JoinN):
         out.left, out.right = new_children
+    elif isinstance(node, UnionN):
+        out.kids = list(new_children)
     elif new_children:
         out.child = new_children[0]
     return out
+
+
+def scan_has_column(scan: "Scan", col: str) -> bool:
+    """Top-level name, or dotted nested path resolved against the scan's
+    data schema (reference: ResolverUtils nested resolution)."""
+    if "." not in col:
+        return col in scan.output
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    if not scan.data_schema_json:
+        return False
+    cur = StructType.fromJson(_json.loads(scan.data_schema_json))
+    for part in col.split("."):
+        if not isinstance(cur, StructType) or part not in cur.fieldNames():
+            return False
+        cur = cur[part].dataType
+    return True
 
 
 def iter_scans(node: Node):

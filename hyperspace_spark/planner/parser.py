@@ -135,6 +135,9 @@ def _parse(jnode) -> ir.Node:
             references=refs,
         )
 
+    if cls == "Union":
+        return ir.UnionN(kids=[_parse(c) for c in scala_seq(jnode.children())])
+
     if cls == "Join":
         left = _parse(jnode.left())
         right = _parse(jnode.right())
@@ -172,6 +175,8 @@ def _names(node: ir.Node) -> list[str]:
         return node.output
     if isinstance(node, (ir.FilterN, ir.LimitN, ir.SortN, ir.DistinctN)):
         return _names(node.child)
+    if isinstance(node, ir.UnionN):
+        return _names(node.kids[0]) if node.kids else []
     if isinstance(node, ir.JoinN):
         return _names(node.left) + _names(node.right)
     return []

@@ -92,6 +92,10 @@ def _sql(spark: "SparkSession", node: ir.Node, views: list[str]) -> str:
         child = _sub(spark, node.child, views)
         return f"SELECT DISTINCT * FROM {child}"
 
+    if isinstance(node, ir.UnionN):
+        parts = [f"SELECT * FROM {_sub(spark, k, views)}" for k in node.kids]
+        return " UNION ALL ".join(parts)
+
     if isinstance(node, ir.WindowN):
         child = _sub(spark, node.child, views)
         extra = ", ".join(node.window_exprs)

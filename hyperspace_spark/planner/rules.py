@@ -183,7 +183,9 @@ class FilterIndexRule:
         for c in eligible[1:]:
             ctx.tag(c.entry.name, ANOTHER_INDEX_APPLIED, f"lost to {winner.entry.name}")
 
-        out_cols = [c for c in scan.output if c in required]
+        out_cols = [c for c in scan.output if c in required] + sorted(
+            c for c in required if "." in c
+        )
         entry = winner.entry
         appended, deleted = winner.appended, winner.deleted
         # Bucketed read only pays off when bucket PRUNING can happen — an
@@ -260,7 +262,9 @@ class JoinIndexRule:
 
         subs = {}
         for scan, win, req in ((lscan, lwin, lreq), (rscan, rwin, rreq)):
-            out_cols = [c for c in scan.output if c in req]
+            out_cols = [c for c in scan.output if c in req] + sorted(
+                c for c in req if "." in c
+            )
 
             def replacement(spark, _e=win.entry, _cols=out_cols, _d=win.deleted):
                 from hyperspace_spark.indexes.covering import index_scan_df

@@ -124,3 +124,15 @@ def test_filter_rewrite_with_bucket_spec(spark, hs):
     finally:
         spark.conf.set("spark.hyperspace.index.filterRule.useBucketSpec", "false")
         spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+
+
+def test_index_applies_inside_union(spark, hs):
+    """The optimizer recurses into Union branches: each side's
+    Project<-Filter<-Scan pattern rewrites independently."""
+    o = table(spark, "orders")
+    a = o.filter(F.col("o_custkey") == 421).select("o_orderkey", "o_totalprice")
+    b = o.filter(F.col("o_custkey") == 37).select("o_orderkey", "o_totalprice")
+    q = a.union(b)
+    fast, used = hs._apply_with_info(q)
+    assert used == ["o_cust_idx", "o_cust_idx"], hs.why_not(q)
+    assert rows_equal(q, fast)

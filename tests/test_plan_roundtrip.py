@@ -132,3 +132,16 @@ def test_unsupported_plan_raises(spark):
     df = spark.range(10)  # Range leaf is not a file relation
     with pytest.raises(UnsupportedPlan):
         parse_df(df)
+
+
+def test_union_all(spark):
+    a = table(spark, "orders").filter("o_custkey < 50").select("o_orderkey", "o_custkey")
+    b = table(spark, "orders").filter("o_custkey > 1000").select("o_orderkey", "o_custkey")
+    roundtrip(spark, a.union(b))
+
+
+def test_union_under_agg(spark):
+    a = table(spark, "orders").filter("o_custkey < 50").select("o_custkey", "o_totalprice")
+    b = table(spark, "orders").filter("o_custkey > 1000").select("o_custkey", "o_totalprice")
+    df = a.union(b).groupBy("o_custkey").agg(F.sum("o_totalprice").alias("s"))
+    roundtrip(spark, df)
