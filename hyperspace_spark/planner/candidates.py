@@ -53,11 +53,9 @@ class Reasons:
 
 
 def live_source_files(scan: ir.Scan, fs: FileSystem) -> list[FileInfo]:
-    out: list[FileInfo] = []
-    for p in scan.normalized_paths():
-        for st in fs.list_files_recursive(p):
-            out.append(FileInfo(st.path, st.size, st.mtime))
-    return out
+    from hyperspace_spark.sources import provider_for
+
+    return provider_for(scan).live_files(scan, fs)
 
 
 def collect_candidates(
@@ -89,8 +87,11 @@ def collect_candidates(
                 reasons.add(e.name, COL_SCHEMA_MISMATCH, f"missing source columns {missing}")
             continue
         if live is None:
-            live = live_source_files(scan, fs)
-            live_sig = file_based_signature(live)
+            from hyperspace_spark.sources import provider_for
+
+            provider = provider_for(scan)
+            live = provider.live_files(scan, fs)
+            live_sig = provider.signature(scan, live)
         if live_sig == e.signature:
             total = sum(f.size for f in live)
             out.append(Candidate(entry=e, common_bytes=total, total_bytes=total))

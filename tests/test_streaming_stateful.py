@@ -1,0 +1,89 @@
+"""Stateful streaming sessionization + streaming windowed aggregation.
+
+Drives real micro-batch execution (file source, availableNow trigger),
+not just batch equivalents.
+"""
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+
+def test_sessionize_stream(spark, tmp_path):
+    src = str(tmp_path / "events_in")
+    out = str(tmp_path / "sessions_out")
+    os.makedirs(src)
+
+    # Two users; user 1 has two sessions separated by a > gap pause.
+    base = 1_700_000_000
+    rows = (
+        [(1, base + i * 60, 1.0) for i in range(5)]                # session A: 5 events, 1 min apart
+        + [(1, base + 10_000 + i * 60, 2.0) for i in range(3)]     # session B after ~2.7h gap
+        + [(2, base + i * 30, 5.0) for i in range(4)]              # user 2: one session
+    )
+    df = spark.createDataFrame(rows, "user_id long, epoch long, value double").withColumn(
+        "event_ts", F.timestamp_seconds("epoch")
+    ).drop("epoch")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    from hyperspace_spark.streaming.sessionize import sessionize
+
+    stream = spark.readStream.schema(
+        "user_id long, value double, event_ts timestamp"
+    ).parquet(src)
+    q = (
+        sessionize(stream, gap_seconds=1800)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    # availableNow closes the stream after one pass; only sessions whose
+    # timeout fired emit.  Session A of user 1 must be among them (the
+    # 2.7h gap inside the data advances the watermark past its timeout).
+    sessions = {(r.user_id, r.n_events, r.total_value) for r in got.collect()}
+    assert (1, 5, 5.0) in sessions, sessions
+
+
+def test_streaming_windowed_agg(spark, tmp_path):
+    """Tumbling-window aggregation with watermark over a file stream."""
+    src = str(tmp_path / "ev_in")
+    out = str(tmp_path / "win_out")
+    os.makedirs(src)
+    base = 1_700_000_000
+    rows = [(i % 3, base + i * 10, float(i)) for i in range(360)]
+    df = spark.createDataFrame(rows, "k long, epoch long, v double").withColumn(
+        "ts", F.timestamp_seconds("epoch")
+    ).drop("epoch")
+    df.coalesce(2).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("k long, v double, ts timestamp").parquet(src)
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "10 minutes"), F.col("k"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("v"), 2).alias("sv"))
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    # Batch equivalent over the same data for closed windows.
+    batch = (
+        df.groupBy(F.window("ts", "10 minutes"), F.col("k"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("v"), 2).alias("sv"))
+    )
+    got_set = {(r.window.start, r.k, r.n, r.sv) for r in got.collect()}
+    batch_set = {(r.window.start, r.k, r.n, r.sv) for r in batch.collect()}
+    # Streaming emits only watermark-closed windows -> subset, non-empty.
+    assert got_set and got_set.issubset(batch_set)
