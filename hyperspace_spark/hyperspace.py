@@ -39,6 +39,10 @@ class ConcurrentModificationError(HyperspaceException):
     pass
 
 
+class _FallBackToFull(Exception):
+    """Internal: incremental refresh decided a full rebuild is required."""
+
+
 class Hyperspace:
     def __init__(self, spark: "SparkSession", system_path: str | None = None):
         self.spark = spark
@@ -364,6 +368,12 @@ class Hyperspace:
 
                 return ds_ri(self.spark, entry, conf, appended, deleted, mgr, version, fs)
 
+            if entry.derived_kind == "ZCI":
+                # Z-order clustering is global: merging appended rows would
+                # break the space-filling layout, so incremental falls back
+                # to a full re-cluster (documented divergence; the
+                # reference's z-order refresh is likewise rebuild-heavy).
+                raise _FallBackToFull()
             if entry.derived_kind != "CI":
                 raise HyperspaceException(
                     f"incremental refresh not supported for kind {entry.derived_kind}; use full"
@@ -415,7 +425,11 @@ class Hyperspace:
             entry.deleted_files = []
             return entry
 
-        self._transact(name, conf, States.REFRESHING, States.ACTIVE, op)
+        try:
+            self._transact(name, conf, States.REFRESHING, States.ACTIVE, op)
+        except _FallBackToFull:
+            self.cancel(name)
+            self._refresh_full(name)
 
     def _refresh_quick(self, name: str) -> None:
         """Metadata-only refresh: record the file delta in the log; hybrid
@@ -450,8 +464,6 @@ class Hyperspace:
         fs = self._fs(conf)
 
         def op(entry: IndexLogEntry, mgr: IndexLogManager, version: int) -> IndexLogEntry:
-            if entry.derived_kind not in ("CI", "ZCI"):
-                raise HyperspaceException(f"optimizeIndex unsupported for kind {entry.derived_kind}")
             small = [f for f in entry.content_files if f.size < conf.optimize_file_size_threshold]
             if mode == "quick" and len(small) <= 1:
                 return entry
@@ -460,7 +472,11 @@ class Hyperspace:
             props = entry.derived_properties
             df = self.spark.read.parquet(*entry.index_data_dirs)
             data_dir = mgr.data_dir(version)
-            if entry.derived_kind == "CI":
+            if entry.derived_kind == "DS":
+                # Skipping index data is tiny (one row per source file):
+                # compact to a single file.
+                df.coalesce(1).write.mode("overwrite").parquet(data_dir)
+            elif entry.derived_kind == "CI":
                 tbl = cov.table_name(name, version)
                 cov.write_bucketed(
                     self.spark, df, props["indexedColumns"], props["numBuckets"], data_dir, tbl

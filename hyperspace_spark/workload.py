@@ -489,12 +489,13 @@ def setop_intersect(spark, sf_dir):
     "anti_join_customers",
     """
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
     """,
 )
 def anti_join_customers(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter("o_orderpriority = '1-URGENT'")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
@@ -722,13 +723,13 @@ def dedup_simhash_query(spark, sf_dir):
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_dot_product(a.u, b.u), 6) AS cosine
     FROM v a JOIN v b ON a.vec_id < b.vec_id
-    WHERE round(list_dot_product(a.u, b.u), 6) >= 0.9
+    WHERE round(list_dot_product(a.u, b.u), 6) >= 0.5
     """,
 )
 def dedup_embedding_cosine_query(spark, sf_dir):
     from hyperspace_spark.llm import dedup
 
-    return dedup.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.9)
+    return dedup.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.5)
 
 
 @q(

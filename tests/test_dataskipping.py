@@ -156,3 +156,18 @@ def test_skipping_loses_to_covering(spark, src_dir, hs, tmp_path_factory):
     finally:
         hs.delete_index("li_cover")
         hs.vacuum_index("li_cover")
+
+
+def test_skipping_applies_under_join(spark, src_dir, hs):
+    """The optimizer recurses into join children: Filter<-Scan below a
+    join still gets file pruning (score 1 per side)."""
+    li = spark.read.parquet(src_dir)
+    o = table(spark, "orders")
+    q = (
+        li.filter(F.col("l_shipdate") < "1993-01-01")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select("l_orderkey", "o_custkey")
+    )
+    fast, used = hs._apply_with_info(q)
+    assert "li_skip" in used, hs.why_not(q)
+    assert rows_equal(q, fast)

@@ -158,3 +158,37 @@ def test_vacuum_outdated_keeps_latest(spark, hs, mutable_src):
     fast, used = hs._apply_with_info(q)
     assert used == ["mut_idx"]
     assert rows_equal(q, fast)
+
+
+def test_zorder_incremental_falls_back_to_full(spark, hs, tmp_path):
+    from hyperspace_spark import ZOrderCoveringIndexConfig
+
+    d = str(tmp_path / "part_mut")
+    table(spark, "part").repartition(4).write.mode("overwrite").parquet(d)
+    hs.create_index(
+        spark.read.parquet(d),
+        ZOrderCoveringIndexConfig("z_mut", ["p_size", "p_retailprice"], ["p_partkey"]),
+    )
+    spark.read.parquet(d).limit(50).write.mode("append").parquet(d)
+    hs.refresh_index("z_mut", "incremental")  # silently rebuilds fully
+    q = spark.read.parquet(d).filter("p_size BETWEEN 5 AND 15").select("p_partkey")
+    fast, used = hs._apply_with_info(q)
+    assert used == ["z_mut"], hs.why_not(q)
+    assert rows_equal(q, fast)
+
+
+def test_optimize_skipping_index(spark, hs, mutable_src, tmp_path):
+    from hyperspace_spark import DataSkippingIndexConfig, MinMaxSketch
+
+    hs.create_index(
+        spark.read.parquet(mutable_src),
+        DataSkippingIndexConfig("sk_opt", [MinMaxSketch(["o_custkey"])]),
+    )
+    hs.optimize_index("sk_opt", "full")
+    q = (
+        spark.read.parquet(mutable_src)
+        .filter("o_custkey < 10")
+        .select("o_orderkey")
+    )
+    fast, used = hs._apply_with_info(q)
+    assert rows_equal(q, fast)
