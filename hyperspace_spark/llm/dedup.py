@@ -164,8 +164,34 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return pairs
-    exact = ngram_jaccard_pairs(df, n, verify_threshold, text_col, id_col)
-    return pairs.join(exact, ["id_a", "id_b"], "inner")
+    # Verify ONLY the candidate pairs (that is the point of LSH): join each
+    # pair with its documents' shingles and count the intersection — cost
+    # scales with |candidates| x shingles/doc, never N².
+    from pyspark.sql import functions as F
+
+    sh = doc_shingles(df, n, text_col, id_col)
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("sz"))
+    a_sh = pairs.join(sh.select(F.col("_id").alias("id_a"), "shingle"), "id_a")
+    inter = (
+        a_sh.join(
+            sh.select(F.col("_id").alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def simhash(df: "DataFrame", bits: int = 60, text_col: str = "text", id_col: str = "doc_id") -> "DataFrame":
