@@ -265,6 +265,9 @@ class Hyperspace:
     # refresh (reference: actions/Refresh*.scala)
     # ------------------------------------------------------------------
     def refresh_index(self, name: str, mode: str = "full") -> None:
+        # Reference parity: RefreshActionBase requires ACTIVE — refreshing
+        # a DELETED index must not resurrect it.
+        self._require_state(name, self.conf(), States.ACTIVE, "refreshIndex")
         if mode == "full":
             self._refresh_full(name)
         elif mode == "incremental":
@@ -350,11 +353,7 @@ class Hyperspace:
             from hyperspace_spark.config import DATA_FILE_ID_COLUMN
 
             rel = entry.relations[0]
-            live = [
-                FileInfo(f.path, f.size, f.mtime)
-                for p in rel.root_paths
-                for f in fs.list_files_recursive(p)
-            ]
+            live = live_source_files(_scan_of(rel), fs)
             indexed = entry.source_files_by_key()
             live_by_key = {f.key(): f for f in live}
             appended = [f for k, f in live_by_key.items() if k not in indexed]
@@ -389,26 +388,40 @@ class Hyperspace:
             parts = [old]
             if appended:
                 appended = [FileInfo(f.path, f.size, f.mtime, tracker.add_or_get(f)) for f in appended]
-                src = self._source_df(entry)
-                reader = src.sparkSession.read.format(rel.file_format)
+                reader = self.spark.read.format(rel.file_format)
                 import json as _json
                 from pyspark.sql.types import StructType
 
                 if rel.data_schema_json:
                     reader = reader.schema(StructType.fromJson(_json.loads(rel.data_schema_json)))
+                if rel.partition_columns:
+                    reader = reader.option("basePath", rel.root_paths[0])
                 new_df = reader.load([f.path for f in appended])
-                cols = props["indexedColumns"] + props["includedColumns"]
                 if props.get("lineage", False):
                     new_df = cov.with_lineage(new_df, self.spark, appended, tracker)
-                    cols = cols + [DATA_FILE_ID_COLUMN]
-                parts.append(new_df.select(*cols))
+                # Flatten dotted (nested) columns exactly like the build
+                # path — the existing index data stores __hs_nested.* names.
+                from hyperspace_spark.config import NESTED_PREFIX
+
+                select_exprs = [
+                    F.col(c).alias(NESTED_PREFIX + c) if "." in c else F.col(c)
+                    for c in props["indexedColumns"] + props["includedColumns"]
+                ]
+                if props.get("lineage", False):
+                    select_exprs.append(F.col(DATA_FILE_ID_COLUMN))
+                parts.append(new_df.select(*select_exprs))
             merged = parts[0]
             for p in parts[1:]:
                 merged = merged.unionByName(p)
             data_dir = mgr.data_dir(version)
             tbl = cov.table_name(name, version)
             cov.write_bucketed(
-                self.spark, merged, props["indexedColumns"], props["numBuckets"], data_dir, tbl
+                self.spark,
+                merged,
+                [cov.flattened_name(c) for c in props["indexedColumns"]],
+                props["numBuckets"],
+                data_dir,
+                tbl,
             )
             props["tableName"] = tbl
             new_files = {f.key(): f for f in live}
@@ -439,11 +452,7 @@ class Hyperspace:
 
         def op(entry: IndexLogEntry, mgr: IndexLogManager, version: int) -> IndexLogEntry:
             rel = entry.relations[0]
-            live = [
-                FileInfo(f.path, f.size, f.mtime)
-                for p in rel.root_paths
-                for f in fs.list_files_recursive(p)
-            ]
+            live = live_source_files(_scan_of(rel), fs)
             indexed = entry.source_files_by_key()
             live_by_key = {f.key(): f for f in live}
             entry.appended_files = [f for k, f in live_by_key.items() if k not in indexed]
@@ -461,6 +470,7 @@ class Hyperspace:
         full: always rewrite.  The rewrite re-buckets from the existing
         index data — no source scan."""
         conf = self.conf()
+        self._require_state(name, conf, States.ACTIVE, "optimizeIndex")
         fs = self._fs(conf)
 
         def op(entry: IndexLogEntry, mgr: IndexLogManager, version: int) -> IndexLogEntry:
@@ -479,7 +489,12 @@ class Hyperspace:
             elif entry.derived_kind == "CI":
                 tbl = cov.table_name(name, version)
                 cov.write_bucketed(
-                    self.spark, df, props["indexedColumns"], props["numBuckets"], data_dir, tbl
+                    self.spark,
+                    df,
+                    [cov.flattened_name(c) for c in props["indexedColumns"]],
+                    props["numBuckets"],
+                    data_dir,
+                    tbl,
                 )
                 props["tableName"] = tbl
             else:
@@ -700,6 +715,19 @@ class Hyperspace:
             if index_name is None or n == index_name:
                 lines.append(f"  {n}: NOT_CONSIDERED (no matching source relation in plan)")
         return "\n".join(lines)
+
+
+def _scan_of(rel: Relation) -> ir.Scan:
+    """Minimal Scan view of a logged Relation, for provider-backed file
+    listing at refresh time (same path as create/apply)."""
+    return ir.Scan(
+        root_paths=list(rel.root_paths),
+        file_format=rel.file_format,
+        data_schema_json=rel.data_schema_json or "",
+        output=[],
+        partition_columns=list(rel.partition_columns),
+        options=dict(rel.options),
+    )
 
 
 def _column_exists(scan: ir.Scan, col: str) -> bool:

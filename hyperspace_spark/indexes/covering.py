@@ -77,11 +77,21 @@ def with_lineage(
     )
 
 
+def uri_quote_path(path: str) -> str:
+    """Percent-encode a filesystem path the way java.net.URI (and thus
+    input_file_name()) renders it: everything outside RFC-2396
+    unreserved+punct is %XX-encoded (space -> %20, '+' kept, etc.).
+    Without this, files with spaces silently miss the lineage/id joins."""
+    from urllib.parse import quote
+
+    return quote(path, safe="_-!.~'()*,;:$&+=/@")
+
+
 def _as_uri(path: str) -> str:
     """Normalize to the URI form input_file_name() produces."""
     if "://" in path or path.startswith("file:"):
         return path
-    return "file://" + path
+    return "file://" + uri_quote_path(path)
 
 
 def create_index_data(
@@ -229,6 +239,10 @@ def index_scan_df(
             reader = reader.schema(StructType.fromJson(json.loads(rel.data_schema_json)))
         if rel.options:
             reader = reader.options(**{k: v for k, v in rel.options.items() if k != "path"})
+        if rel.partition_columns:
+            # Loading files directly loses hive-partition columns unless
+            # basePath anchors the partition discovery.
+            reader = reader.option("basePath", rel.root_paths[0])
         src = _select_reconstructed(
             reader.load([f.path for f in appended]), output_columns, from_index=False
         )

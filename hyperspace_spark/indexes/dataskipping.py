@@ -44,11 +44,18 @@ class DataSkippingIndexConfig(IndexConfig):
 
 
 def _norm_file_col(col):
-    """input_file_name() returns a URI (file:///x); normalize to a plain
-    path so it joins against FileInfo paths."""
+    """input_file_name() returns a URI (file:///x); strip the scheme but
+    KEEP percent-encoding — the id map encodes its paths the same way
+    (uri_quote_path), so encoded forms join exactly."""
     from pyspark.sql import functions as F
 
     return F.regexp_replace(col, "^file:/+", "/")
+
+
+def _file_key(path: str) -> str:
+    from hyperspace_spark.indexes.covering import uri_quote_path
+
+    return uri_quote_path(path)
 
 
 def _sketch_per_file(df: "DataFrame", sketches: list[Sketch]) -> "DataFrame":
@@ -96,7 +103,7 @@ def create_index_data(
 
     per_file = _sketch_per_file(df, config.sketches)
     idmap = spark.createDataFrame(
-        [(f.path, tracker.add_or_get(f)) for f in files],
+        [(_file_key(f.path), tracker.add_or_get(f)) for f in files],
         f"_hs_file string, {DATA_FILE_ID_COLUMN} long",
     )
     index_df = per_file.join(F.broadcast(idmap), "_hs_file", "inner").drop("_hs_file")
@@ -145,10 +152,13 @@ def refresh_incremental(
         reader = spark.read.format(rel.file_format)
         if rel.data_schema_json:
             reader = reader.schema(StructType.fromJson(json.loads(rel.data_schema_json)))
+        if rel.partition_columns:
+            reader = reader.option("basePath", rel.root_paths[0])
         new_src = reader.load([f.path for f in appended])
         per_file = _sketch_per_file(new_src, config.sketches)
         idmap = spark.createDataFrame(
-            [(f.path, f.id) for f in appended], f"_hs_file string, {DATA_FILE_ID_COLUMN} long"
+            [(_file_key(f.path), f.id) for f in appended],
+            f"_hs_file string, {DATA_FILE_ID_COLUMN} long",
         )
         parts.append(per_file.join(F.broadcast(idmap), "_hs_file", "inner").drop("_hs_file"))
     merged = parts[0]
@@ -201,9 +211,10 @@ def translate(cond: Expr, sketches: list[Sketch]) -> SkipPredicate:
     """
     probes: list[tuple[BloomFilterSketch, list]] = []
 
-    def conv(e: Expr) -> str:
+    def conv(e: Expr, in_or: bool) -> str:
         if isinstance(e, BoolOp):
-            parts = [conv(c) for c in e.children]
+            inner_or = in_or or e.op == "or"
+            parts = [conv(c, inner_or) for c in e.children]
             if e.op == "and":
                 parts = [p for p in parts if p != _TRUE]
                 return "(" + " AND ".join(parts) + ")" if parts else _TRUE
@@ -216,6 +227,11 @@ def translate(cond: Expr, sketches: list[Sketch]) -> SkipPredicate:
             if isinstance(sk, BloomFilterSketch):
                 vals = sk.probe_values(e)
                 if vals is not None:
+                    if in_or:
+                        # Probes are ANDed at the top level; a probe born
+                        # inside an OR branch cannot be ANDed soundly —
+                        # the other branch's rows would be dropped.
+                        return _TRUE
                     probes.append((sk, vals))
                     return _TRUE  # probe applied separately, driver-side
             else:
@@ -224,7 +240,7 @@ def translate(cond: Expr, sketches: list[Sketch]) -> SkipPredicate:
                     return s
         return _TRUE
 
-    sql = conv(cond)
+    sql = conv(cond, in_or=False)
     return SkipPredicate(None if sql == _TRUE else sql, probes)
 
 

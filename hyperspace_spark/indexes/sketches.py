@@ -233,12 +233,32 @@ class BloomFilterSketch(Sketch):
         the translator via `probe_values`; this returns a marker."""
         return None
 
+    # Build hashes pandas-native values; probe hashes parsed SQL literals.
+    # Only types where those representations provably agree are probed —
+    # date/timestamp/binary columns arrive as pandas Timestamps at build
+    # but as strings from the literal parser, so probing them would prune
+    # EVERY file (unsound).  Unsupported types simply skip pruning.
+    _PROBE_SAFE_DTYPES = {
+        # Catalyst typeName() spellings + common aliases.
+        "byte", "short", "integer", "long", "float", "double", "string",
+        "tinyint", "smallint", "int", "bigint",
+    }
+
+    def _safe_lit(self, lit: Lit):
+        if lit.dtype not in self._PROBE_SAFE_DTYPES or lit.is_null:
+            return None
+        return _lit_python(lit)
+
     def probe_values(self, e: Expr) -> list | None:
         """Python literal values to probe, or None if not convertible."""
         if isinstance(e, Cmp) and e.op in ("=", "<=>") and _is_attr(e.left, self.column) and isinstance(e.right, Lit):
-            return [_lit_python(e.right)]
+            v = self._safe_lit(e.right)
+            return None if v is None else [v]
         if isinstance(e, InExpr) and _is_attr(e.child, self.column) and e.values:
-            return [_lit_python(v) for v in e.values]
+            vals = [self._safe_lit(v) for v in e.values]
+            if any(v is None for v in vals):
+                return None
+            return vals
         return None
 
     def to_json(self) -> dict:

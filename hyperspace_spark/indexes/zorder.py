@@ -166,6 +166,15 @@ def create_index_data(
     from hyperspace_spark.indexes.covering import with_lineage
 
     cols = config.referenced_columns()
+    nested = [c for c in cols if "." in c]
+    if nested:
+        # Query-time reconstruction expects __hs_nested.* flattened columns
+        # which this build does not produce; reject loudly rather than
+        # create an index that can never be applied.
+        raise NotImplementedError(
+            f"z-order indexes do not support nested columns yet: {nested}; "
+            "use a CoveringIndexConfig"
+        )
     projected = df
     if conf.lineage_enabled:
         projected = with_lineage(df, spark, files, tracker)

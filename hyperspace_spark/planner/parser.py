@@ -150,11 +150,19 @@ def _parse(jnode) -> ir.Node:
             condition = parse_expr(cond_opt.get())
             lcols = frozenset(_names(left))
             rcols = frozenset(_names(right))
+            shared = lcols & rcols
             for conj in split_conjuncts(condition):
                 pair = _equi_pair(conj, lcols, rcols)
                 if pair is not None:
                     equi.append(pair)
                 else:
+                    # A residual referencing a column BOTH sides expose
+                    # (e.g. df1.join(df2, "id")) cannot be replayed by
+                    # name — the SQL would be ambiguous and every sibling
+                    # rewrite would die at replay.  Bail out loudly so
+                    # apply() falls back before doing any work.
+                    if shared & conj.references:
+                        raise UnsupportedPlan("join:ambiguous-column-condition")
                     residual.append(conj.sql)
         return ir.JoinN(
             left=left,
