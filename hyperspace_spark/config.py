@@ -30,6 +30,11 @@ ZORDER_QUANTILE_ENABLED = "spark.hyperspace.index.zorder.quantile.enabled"
 ZORDER_QUANTILE_ERROR = "spark.hyperspace.index.zorder.quantile.relativeError"
 FILTER_RULE_USE_BUCKET_SPEC = "spark.hyperspace.index.filterRule.useBucketSpec"
 CACHE_EXPIRY_SEC = "spark.hyperspace.index.cache.expiryDurationInSeconds"
+# TTL of the per-plan rewrite cache.  Lifecycle ops invalidate immediately
+# (epoch bump); the TTL only bounds staleness against EXTERNAL appends that
+# bypass the lifecycle.  Set to 0 to re-plan on every query (reference
+# behavior: extraOptimizations re-plans always).
+APPLY_CACHE_TTL_SEC = "spark.hyperspace.apply.cacheTtlSeconds"
 
 # Internal column names (reference: IndexConstants.scala:104, ResolverUtils.scala:86).
 DATA_FILE_ID_COLUMN = "_data_file_id"
@@ -60,6 +65,7 @@ class HyperspaceConf:
     zorder_quantile_error: float = 0.01
     filter_rule_use_bucket_spec: bool = False
     cache_expiry_sec: int = 300
+    apply_cache_ttl_sec: float = 10.0
 
     @staticmethod
     def from_session(spark: "SparkSession", system_path: str | None = None) -> "HyperspaceConf":
@@ -91,4 +97,5 @@ class HyperspaceConf:
             zorder_quantile_error=float(_get(ZORDER_QUANTILE_ERROR, "0.01")),
             filter_rule_use_bucket_spec=_get(FILTER_RULE_USE_BUCKET_SPEC, "false").lower() == "true",
             cache_expiry_sec=int(_get(CACHE_EXPIRY_SEC, "300")),
+            apply_cache_ttl_sec=float(_get(APPLY_CACHE_TTL_SEC, "10")),
         )

@@ -131,6 +131,26 @@ class Hyperspace:
         if missing:
             raise HyperspaceException(f"Index config references missing columns: {missing}")
 
+        # PartitionSketch assumes every row of a file shares the column's
+        # first value — only true for partitioning columns.  Sketching a
+        # regular column would prune files UNSOUNDLY (wrong results), so
+        # reject at create time (reference applies partition sketches to
+        # partition columns only, PartitionSketch.scala:38-74).
+        from hyperspace_spark.indexes.dataskipping import DataSkippingIndexConfig
+        from hyperspace_spark.indexes.sketches import PartitionSketch
+
+        if isinstance(config, DataSkippingIndexConfig):
+            bad = [
+                s.column
+                for s in config.sketches
+                if isinstance(s, PartitionSketch) and s.column not in scan.partition_columns
+            ]
+            if bad:
+                raise HyperspaceException(
+                    f"PartitionSketch requires partitioning columns; {bad} are not "
+                    f"partition columns of the source (partitions: {scan.partition_columns})"
+                )
+
         fs = self._fs(conf)
         mgr = self._log_mgr(config.name, conf)
         latest = mgr.get_latest_log()
@@ -220,7 +240,9 @@ class Hyperspace:
         if not conf.apply_enabled:
             return df, []
         cache_key = None
-        if reasons is None:  # whyNot always re-plans to collect fresh reasons
+        if reasons is None and conf.apply_cache_ttl_sec > 0:
+            # whyNot always re-plans to collect fresh reasons; TTL=0 disables
+            # the cache entirely (re-plan every query, reference behavior).
             try:
                 cache_key = (
                     df._jdf.queryExecution().analyzed().semanticHash(),
@@ -231,7 +253,7 @@ class Hyperspace:
                 # TTL guards against EXTERNAL source changes (appends with
                 # no lifecycle op) serving a stale rewrite; lifecycle ops
                 # bump the epoch immediately.
-                if hit is not None and time.time() - hit[2] < min(conf.cache_expiry_sec, 60):
+                if hit is not None and time.time() - hit[2] < conf.apply_cache_ttl_sec:
                     return hit[0], hit[1]
             except Exception:
                 cache_key = None

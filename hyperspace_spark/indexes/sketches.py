@@ -58,6 +58,41 @@ def _is_attr(e: Expr, name: str | None = None) -> bool:
     return isinstance(e, Attr) and (name is None or e.name == name)
 
 
+# Casts that are exact and order-preserving, so a predicate on
+# CAST(col AS wide) translates soundly to a min/max-style probe on the raw
+# column (SQL's implicit coercion applies the same widening to the stored
+# stats at probe time).  Everything else (timestamp→date truncation,
+# string→numeric, long→double precision loss, ...) must NOT be unwrapped:
+# the converter returns None and the file falls back to TRUE (kept).
+# (typeName spellings as produced by Catalyst DataType.typeName.)
+SAFE_WIDENING = frozenset(
+    {
+        ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+        ("byte", "float"), ("byte", "double"),
+        ("short", "integer"), ("short", "long"),
+        ("short", "float"), ("short", "double"),
+        ("integer", "long"), ("integer", "double"),
+        ("float", "double"),
+        ("date", "timestamp"), ("date", "timestamp_ntz"),
+    }
+)
+
+
+def _attr_widening_ok(e: Expr, name: str) -> bool:
+    """Attr matches `name` and any wrapping cast is a safe exact widening."""
+    return (
+        isinstance(e, Attr)
+        and e.name == name
+        and (not e.cast_to or (e.dtype, e.cast_to) in SAFE_WIDENING)
+    )
+
+
+def _attr_exact_ok(e: Expr, name: str) -> bool:
+    """Attr matches `name` with NO cast — required for hash/equality sketches
+    (Bloom, Partition) whose stored representation is type-sensitive."""
+    return isinstance(e, Attr) and e.name == name and not e.cast_to
+
+
 @dataclass
 class MinMaxSketch(Sketch):
     """Min/max per file (reference: MinMaxSketch.scala:45-100)."""
@@ -74,7 +109,7 @@ class MinMaxSketch(Sketch):
 
     def convert(self, e: Expr) -> str | None:
         lo, hi = f"`{self.prefix()}__min`", f"`{self.prefix()}__max`"
-        if isinstance(e, Cmp) and _is_attr(e.left, self.column) and isinstance(e.right, Lit):
+        if isinstance(e, Cmp) and _attr_widening_ok(e.left, self.column) and isinstance(e.right, Lit):
             v = e.right.sql
             if e.op in ("=", "<=>"):
                 return f"({lo} <= {v} AND {hi} >= {v})"
@@ -86,11 +121,12 @@ class MinMaxSketch(Sketch):
                 return f"{hi} > {v}"
             if e.op == ">=":
                 return f"{hi} >= {v}"
-        if isinstance(e, InExpr) and _is_attr(e.child, self.column) and e.values:
+        if isinstance(e, InExpr) and _attr_widening_ok(e.child, self.column) and e.values:
             parts = [f"({lo} <= {v.sql} AND {hi} >= {v.sql})" for v in e.values]
             return "(" + " OR ".join(parts) + ")"
         if isinstance(e, NullTest) and _is_attr(e.child, self.column) and not e.is_null:
-            # min is null iff the file holds no non-null value.
+            # min is null iff the file holds no non-null value.  Sound under
+            # ANY cast: CAST(x) IS NOT NULL implies x IS NOT NULL.
             return f"{lo} IS NOT NULL"
         return None
 
@@ -111,18 +147,34 @@ class ValueListSketch(Sketch):
 
     def convert(self, e: Expr) -> str | None:
         vals = f"`{self.prefix()}__values`"
-        if isinstance(e, Cmp) and _is_attr(e.left, self.column) and isinstance(e.right, Lit):
+        # try_element_at: an all-NULL file stores an empty array; plain
+        # element_at throws under Spark 4 ANSI mode.  NULL result → file
+        # dropped, which is sound for range/equality (no non-null value).
+        vmin = f"try_element_at({vals}, 1)"
+        vmax = f"try_element_at({vals}, -1)"
+        if isinstance(e, Cmp) and isinstance(e.right, Lit):
             v = e.right.sql
-            if e.op in ("=", "<=>"):
-                return f"array_contains({vals}, {v})"
-            if e.op in ("<", "<=", ">", ">="):
-                # values are sorted: element_at(…,1)=min, element_at(…,-1)=max.
+            if _attr_exact_ok(e.left, self.column):
+                if e.op in ("=", "<=>"):
+                    return f"array_contains({vals}, {v})"
+            elif not _attr_widening_ok(e.left, self.column):
+                return None
+            elif e.op in ("=", "<=>"):
+                # Widened equality: membership probe would need an array
+                # cast; the min/max range form is sound and coercion-safe.
+                return f"({vmin} <= {v} AND {vmax} >= {v})"
+            if isinstance(e.left, Attr) and e.left.name == self.column:
                 if e.op in ("<", "<="):
-                    return f"element_at({vals}, 1) {e.op} {v}"
-                return f"element_at({vals}, -1) {e.op} {v}"
-        if isinstance(e, InExpr) and _is_attr(e.child, self.column) and e.values:
-            arr = ", ".join(v.sql for v in e.values)
-            return f"arrays_overlap({vals}, array({arr}))"
+                    return f"{vmin} {e.op} {v}"
+                if e.op in (">", ">="):
+                    return f"{vmax} {e.op} {v}"
+        if isinstance(e, InExpr) and e.values:
+            if _attr_exact_ok(e.child, self.column):
+                arr = ", ".join(v.sql for v in e.values)
+                return f"arrays_overlap({vals}, array({arr}))"
+            if _attr_widening_ok(e.child, self.column):
+                parts = [f"({vmin} <= {v.sql} AND {vmax} >= {v.sql})" for v in e.values]
+                return "(" + " OR ".join(parts) + ")"
         if isinstance(e, NullTest) and _is_attr(e.child, self.column) and not e.is_null:
             return f"size({vals}) > 0"
         return None
@@ -144,13 +196,16 @@ class PartitionSketch(Sketch):
         return [(F.first(self.column, ignorenulls=False), f"{self.prefix()}__value")]
 
     def convert(self, e: Expr) -> str | None:
+        # Exact type match required: the stored value is the raw column;
+        # a cast-wrapped predicate (e.g. CAST(part_date AS TIMESTAMP))
+        # could disagree with the raw comparison for truncating casts.
         val = f"`{self.prefix()}__value`"
-        if isinstance(e, Cmp) and _is_attr(e.left, self.column) and isinstance(e.right, Lit):
+        if isinstance(e, Cmp) and _attr_exact_ok(e.left, self.column) and isinstance(e.right, Lit):
             return f"{val} {e.op} {e.right.sql}"
-        if isinstance(e, InExpr) and _is_attr(e.child, self.column) and e.values:
+        if isinstance(e, InExpr) and _attr_exact_ok(e.child, self.column) and e.values:
             arr = ", ".join(v.sql for v in e.values)
             return f"{val} IN ({arr})"
-        if isinstance(e, NullTest) and _is_attr(e.child, self.column):
+        if isinstance(e, NullTest) and _attr_exact_ok(e.child, self.column):
             return f"{val} IS {'NULL' if e.is_null else 'NOT NULL'}"
         return None
 
@@ -250,11 +305,15 @@ class BloomFilterSketch(Sketch):
         return _lit_python(lit)
 
     def probe_values(self, e: Expr) -> list | None:
-        """Python literal values to probe, or None if not convertible."""
-        if isinstance(e, Cmp) and e.op in ("=", "<=>") and _is_attr(e.left, self.column) and isinstance(e.right, Lit):
+        """Python literal values to probe, or None if not convertible.
+
+        Exact type match required (no cast): the filter hashed raw column
+        values at build time; a widened/truncated probe value hashes
+        differently and would prune files that DO contain matches."""
+        if isinstance(e, Cmp) and e.op in ("=", "<=>") and _attr_exact_ok(e.left, self.column) and isinstance(e.right, Lit):
             v = self._safe_lit(e.right)
             return None if v is None else [v]
-        if isinstance(e, InExpr) and _is_attr(e.child, self.column) and e.values:
+        if isinstance(e, InExpr) and _attr_exact_ok(e.child, self.column) and e.values:
             vals = [self._safe_lit(v) for v in e.values]
             if any(v is None for v in vals):
                 return None

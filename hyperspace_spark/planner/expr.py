@@ -31,6 +31,14 @@ class Expr:
 class Attr(Expr):
     name: str = ""
     dtype: str = ""
+    # Non-empty when the attribute appeared under a Cast in the original
+    # predicate (outermost cast target typeName).  Sketch converters must
+    # treat cast-wrapped attributes conservatively: only order-preserving
+    # exact widenings are safe for min/max-style pruning, and hash-based
+    # sketches (Bloom) need the exact stored type.  The reference never
+    # converts cast-wrapped predicates at all; we allow the provably-safe
+    # subset (see sketches.SAFE_WIDENING).
+    cast_to: str = ""
 
 
 @dataclass(frozen=True)
@@ -173,13 +181,41 @@ def parse_expr(jexpr) -> Expr:
 
 
 def _unwrap_cast(jexpr):
-    """Unwrap Cast/UpCast around attributes (reference normalizes casts in
-    ExpressionUtils); comparisons against a widened attribute still convert."""
+    """Unwrap Cast/UpCast chains, remembering the OUTERMOST target type.
+
+    Returns (inner_jexpr, target_typename_or_None).  The parser records the
+    target on Attr.cast_to so sketch converters can refuse unsound
+    translations (e.g. CAST(ts AS DATE) = DATE'..' must NOT become a raw
+    min/max probe on ts — a file whose ts values all fall later in the day
+    would be pruned despite matching)."""
+    target = None
     name = jexpr.getClass().getSimpleName()
-    while name in ("Cast", "UpCast", "AnsiCast"):
+    while name in ("Cast", "UpCast", "AnsiCast", "TryCast"):
+        if target is None:
+            target = str(jexpr.dataType().typeName())
         jexpr = jexpr.child()
         name = jexpr.getClass().getSimpleName()
-    return jexpr
+    return jexpr, target
+
+
+def _parse_casted(jexpr) -> Expr:
+    """Parse an operand that may be cast-wrapped.
+
+    Attr keeps its raw name/dtype plus the cast target; a cast-wrapped
+    Literal degrades to Unknown (its inner SQL would change semantics, and
+    the optimizer constant-folds literal casts anyway, so this is rare)."""
+    inner, target = _unwrap_cast(jexpr)
+    node = _parse(inner)
+    if target is None:
+        return node
+    if isinstance(node, Attr):
+        return Attr(
+            sql=node.sql, references=node.references, name=node.name,
+            dtype=node.dtype, cast_to=target,
+        )
+    if isinstance(node, Lit):
+        return Unknown(sql=_jsql(jexpr), references=frozenset())
+    return node
 
 
 def _parse(jexpr) -> Expr:
@@ -227,8 +263,7 @@ def _parse(jexpr) -> Expr:
         return NotExpr(sql=sql, references=child.references, child=child)
 
     if cls in _CMP_OPS:
-        jl, jr = _unwrap_cast(jexpr.left()), _unwrap_cast(jexpr.right())
-        left, right = _parse(jl), _parse(jr)
+        left, right = _parse_casted(jexpr.left()), _parse_casted(jexpr.right())
         op = _CMP_OPS[cls]
         # Normalize to attr-on-left when possible (reference: NormalizedExprExtractor).
         if isinstance(right, Attr) and isinstance(left, Lit):
@@ -242,10 +277,10 @@ def _parse(jexpr) -> Expr:
         )
 
     if cls == "In":
-        child = _parse(_unwrap_cast(jexpr.value()))
+        child = _parse_casted(jexpr.value())
         vals = []
         for jv in scala_seq(jexpr.list()):
-            v = _parse(_unwrap_cast(jv))
+            v = _parse_casted(jv)
             if not isinstance(v, Lit):
                 return Unknown(sql=sql, references=jrefs(jexpr))
             vals.append(v)
@@ -256,15 +291,15 @@ def _parse(jexpr) -> Expr:
         # plain JVM objects (no Literal wrapper) — recover SQL via child's
         # dtype-appropriate rendering is fragile, so keep it opaque but
         # reference-complete enough for covering rules (refs known).
-        child = _parse(_unwrap_cast(jexpr.child()))
+        child = _parse_casted(jexpr.child())
         return Unknown(sql=sql, references=child.references)
 
     if cls == "IsNull":
-        child = _parse(_unwrap_cast(jexpr.child()))
+        child = _parse_casted(jexpr.child())
         return NullTest(sql=sql, references=child.references, child=child, is_null=True)
 
     if cls == "IsNotNull":
-        child = _parse(_unwrap_cast(jexpr.child()))
+        child = _parse_casted(jexpr.child())
         return NullTest(sql=sql, references=child.references, child=child, is_null=False)
 
     return Unknown(sql=sql, references=jrefs(jexpr))

@@ -27,6 +27,51 @@ if TYPE_CHECKING:
     from hyperspace_spark.hyperspace import Hyperspace
 
 
+def ensure_stable(hs: "Hyperspace", name: str) -> None:
+    """If a failure stranded the index in a transient state (REFRESHING /
+    OPTIMIZING / ...), cancel back to the last stable log entry so the next
+    refresh_index's ACTIVE requirement passes.  Without this, one mid-refresh
+    crash would permanently stop index maintenance: every later
+    refresh_index raises at the ACTIVE check and gets swallowed."""
+    from hyperspace_spark.metadata.entry import States
+
+    mgr = hs._log_mgr(name, hs.conf())
+    latest = mgr.get_latest_log()
+    if latest is not None and latest.state not in States.STABLE:
+        hs.cancel(name)
+
+
+def make_maintenance_handler(
+    hs: "Hyperspace",
+    source_dir: str,
+    index_names: list[str],
+    refresh_every: int = 1,
+    output_format: str = "parquet",
+):
+    """Build the foreachBatch handler (exposed separately for testability)."""
+    state = {"batches": 0}
+
+    def handle(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("append").format(output_format).save(source_dir)
+        state["batches"] += 1
+        if state["batches"] % refresh_every == 0:
+            for name in index_names:
+                try:
+                    ensure_stable(hs, name)
+                    hs.refresh_index(name, "incremental")
+                except Exception:
+                    # A failed refresh must not kill the stream; the index
+                    # stays queryable via hybrid scan.  Roll back any
+                    # transient state the failure left behind so the next
+                    # batch's retry can actually proceed.
+                    try:
+                        ensure_stable(hs, name)
+                    except Exception:
+                        pass
+
+    return handle
+
+
 def attach_index_maintenance(
     writer: "DataStreamWriter",
     hs: "Hyperspace",
@@ -37,20 +82,6 @@ def attach_index_maintenance(
 ):
     """Wrap a streaming writer: land each micro-batch under source_dir,
     then incrementally refresh the given indexes every N batches."""
-    state = {"batches": 0}
-
-    def handle(batch_df, batch_id: int) -> None:
-        batch_df.write.mode("append").format(output_format).save(source_dir)
-        state["batches"] += 1
-        if state["batches"] % refresh_every == 0:
-            for name in index_names:
-                try:
-                    hs.refresh_index(name, "incremental")
-                except Exception:
-                    # A failed refresh must not kill the stream; the index
-                    # stays queryable via hybrid scan and the next batch
-                    # retries (same swallow-and-fall-back stance as the
-                    # query planner).
-                    pass
-
-    return writer.foreachBatch(handle)
+    return writer.foreachBatch(
+        make_maintenance_handler(hs, source_dir, index_names, refresh_every, output_format)
+    )
