@@ -29,6 +29,9 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Bucketed SMJ sides with unequal (power-of-two) bucket counts
+        # still skip the Exchange by coalescing the bigger side.
+        .config("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
@@ -68,11 +71,6 @@ def main() -> None:
         "ann_cosine_topk",
     ]
 
-    # Filter rewrites read the index as a bucketed table -> bucket pruning
-    # on the first indexed column (pairs with autoBucketedScan=false, else
-    # DisableUnnecessaryBucketedScan drops the pruning).
-    spark.conf.set("spark.hyperspace.index.filterRule.useBucketSpec", "true")
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
 
     def timed(name: str, runs: int = 2) -> float:
         """min-of-N steady-state timing: first run pays codegen/page-cache,

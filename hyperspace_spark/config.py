@@ -18,6 +18,12 @@ if TYPE_CHECKING:
 SYSTEM_PATH = "spark.hyperspace.system.path"
 APPLY_ENABLED = "spark.hyperspace.apply.enabled"
 NUM_BUCKETS = "spark.hyperspace.index.numBuckets"
+# Auto bucket sizing (NUM_BUCKETS unset/"auto"): target bytes of SOURCE
+# data per bucket once the cluster is saturated, and the minimum bytes
+# below which extra buckets stop buying parallelism (avoids the tiny-
+# files trap the reference's fixed default falls into at small scale).
+BUCKET_TARGET_BYTES = "spark.hyperspace.index.bucketTargetBytes"
+BUCKET_MIN_BYTES = "spark.hyperspace.index.bucketMinBytes"
 LINEAGE_ENABLED = "spark.hyperspace.index.lineage.enabled"
 HYBRIDSCAN_ENABLED = "spark.hyperspace.index.hybridscan.enabled"
 HYBRIDSCAN_APPENDED_RATIO = "spark.hyperspace.index.hybridscan.maxAppendedRatio"
@@ -52,7 +58,10 @@ class HyperspaceConf:
 
     system_path: str
     apply_enabled: bool = True
-    num_buckets: int = 200
+    # None = auto: size bucket count to the data (resolve_num_buckets).
+    num_buckets: int | None = None
+    bucket_target_bytes: int = 256 * 1024 * 1024
+    bucket_min_bytes: int = 16 * 1024 * 1024
     lineage_enabled: bool = True
     hybridscan_enabled: bool = True
     hybridscan_max_appended_ratio: float = 0.3
@@ -63,7 +72,11 @@ class HyperspaceConf:
     zorder_target_bytes_per_partition: int = 1024 * 1024 * 1024
     zorder_quantile_enabled: bool = True
     zorder_quantile_error: float = 0.01
-    filter_rule_use_bucket_spec: bool = False
+    # Divergence from the reference default (false): here "bucket spec"
+    # means driver-side murmur3 bucket-FILE pruning for equality filters
+    # (planner/mmh3.py) — strictly fewer bytes read, no plan-shape
+    # downside — so it defaults on.
+    filter_rule_use_bucket_spec: bool = True
     cache_expiry_sec: int = 300
     apply_cache_ttl_sec: float = 10.0
 
@@ -81,8 +94,14 @@ class HyperspaceConf:
         return HyperspaceConf(
             system_path=system_path or _get(SYSTEM_PATH, "/tmp/hyperspace"),
             apply_enabled=_get(APPLY_ENABLED, "true").lower() == "true",
-            # Reference default: spark.sql.shuffle.partitions (IndexConstants.scala:32-36).
-            num_buckets=int(_get(NUM_BUCKETS, str(shuffle_parts))),
+            # Deliberate divergence from the reference's fixed default
+            # (IndexConstants.scala:32-36 uses shuffle.partitions): a fixed
+            # count is 200 tiny files at MB scale and 200 giant buckets at
+            # 100 TB.  Unset/"auto" sizes the count to the data; an explicit
+            # integer (or spark.sql.shuffle.partitions via "shuffle") pins it.
+            num_buckets=_parse_num_buckets(_get(NUM_BUCKETS, "auto"), shuffle_parts),
+            bucket_target_bytes=int(_get(BUCKET_TARGET_BYTES, str(256 * 1024 * 1024))),
+            bucket_min_bytes=int(_get(BUCKET_MIN_BYTES, str(16 * 1024 * 1024))),
             lineage_enabled=_get(LINEAGE_ENABLED, "true").lower() == "true",
             hybridscan_enabled=_get(HYBRIDSCAN_ENABLED, "true").lower() == "true",
             hybridscan_max_appended_ratio=float(_get(HYBRIDSCAN_APPENDED_RATIO, "0.3")),
@@ -95,7 +114,39 @@ class HyperspaceConf:
             ),
             zorder_quantile_enabled=_get(ZORDER_QUANTILE_ENABLED, "true").lower() == "true",
             zorder_quantile_error=float(_get(ZORDER_QUANTILE_ERROR, "0.01")),
-            filter_rule_use_bucket_spec=_get(FILTER_RULE_USE_BUCKET_SPEC, "false").lower() == "true",
+            filter_rule_use_bucket_spec=_get(FILTER_RULE_USE_BUCKET_SPEC, "true").lower() == "true",
             cache_expiry_sec=int(_get(CACHE_EXPIRY_SEC, "300")),
             apply_cache_ttl_sec=float(_get(APPLY_CACHE_TTL_SEC, "10")),
         )
+
+    def resolve_num_buckets(self, source_bytes: int, default_parallelism: int) -> int:
+        """Bucket count for an index over ``source_bytes`` of source data.
+
+        Explicit config wins.  Auto policy (power of two so mismatched
+        pairs stay joinable via spark.sql.bucketing.coalesceBucketsInJoin):
+        - scale term: ~bucket_target_bytes of source per bucket, so at
+          100 TB buckets stay a few hundred MB;
+        - parallelism term: up to default_parallelism buckets, but never
+          buckets smaller than bucket_min_bytes — at MB scale this
+          collapses to a handful of files instead of a task-overhead swarm.
+        """
+        if self.num_buckets is not None:
+            return self.num_buckets
+        import math
+
+        scale = math.ceil(source_bytes / max(1, self.bucket_target_bytes))
+        par = min(
+            max(1, default_parallelism),
+            math.ceil(source_bytes / max(1, self.bucket_min_bytes)),
+        )
+        n = max(scale, par, 1)
+        return 1 << (n - 1).bit_length()
+
+
+def _parse_num_buckets(raw: str, shuffle_parts: int) -> int | None:
+    raw = raw.strip().lower()
+    if raw in ("", "auto"):
+        return None
+    if raw == "shuffle":
+        return shuffle_parts
+    return int(raw)

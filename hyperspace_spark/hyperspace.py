@@ -316,7 +316,12 @@ class Hyperspace:
         if entry.derived_kind == "CI":
             from hyperspace_spark.indexes.covering import CoveringIndexConfig
 
-            return CoveringIndexConfig(entry.name, p["indexedColumns"], p["includedColumns"])
+            return CoveringIndexConfig(
+                entry.name,
+                p["indexedColumns"],
+                p["includedColumns"],
+                num_buckets=p.get("numBuckets"),
+            )
         if entry.derived_kind == "ZCI":
             from hyperspace_spark.indexes.zorder import ZOrderCoveringIndexConfig
 

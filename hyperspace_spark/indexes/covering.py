@@ -35,6 +35,10 @@ if TYPE_CHECKING:
 class CoveringIndexConfig(IndexConfig):
     indexed_columns: list[str] = field(default_factory=list)
     included_columns: list[str] = field(default_factory=list)
+    # Explicit bucket count for THIS index (None -> session conf / auto
+    # data-sized).  Pin equal counts on both sides of a planned join pair
+    # when their sizes diverge past coalesceBucketsInJoin's ratio.
+    num_buckets: int | None = None
 
     @property
     def kind(self) -> str:
@@ -124,11 +128,14 @@ def create_index_data(
     projected = projected.select(*select_exprs)
 
     bucket_cols = [flattened_name(c) for c in config.indexed_columns]
-    write_bucketed(spark, projected, bucket_cols, conf.num_buckets, data_dir, tbl)
+    num_buckets = getattr(config, "num_buckets", None) or conf.resolve_num_buckets(
+        sum(f.size for f in files), spark.sparkContext.defaultParallelism
+    )
+    write_bucketed(spark, projected, bucket_cols, num_buckets, data_dir, tbl)
     return {
         "indexedColumns": list(config.indexed_columns),
         "includedColumns": list(config.included_columns),
-        "numBuckets": conf.num_buckets,
+        "numBuckets": num_buckets,
         "lineage": conf.lineage_enabled,
         "schemaJson": projected.schema.json(),
         "tableName": tbl,
@@ -169,6 +176,61 @@ def write_bucketed(
     )
 
 
+import re as _re
+
+# saveAsTable bucketed file naming: part-00000-<uuid>_00003.c000.snappy.parquet
+_BUCKET_FILE_RE = _re.compile(r"_(\d{5})\.c\d+")
+
+
+def bucket_pruned_files(entry, lits) -> list[str] | None:
+    """Index data files that can contain rows matching ANY of the equality
+    literals on the (single) bucket column; None = can't prune (full read).
+
+    Driver-side Spark-compatible murmur3 (planner/mmh3.py) maps each
+    literal to its bucket id, then file names select the bucket's files —
+    conf-free bucket pruning that composes with a plain parquet read, so
+    neither autoBucketedScan nor DisableUnnecessaryBucketedScan matters.
+    At 100 TB an equality probe reads numBuckets'th of the index
+    (~bucket_target_bytes) instead of everything.
+    """
+    from hyperspace_spark.indexes.sketches import _lit_python
+    from hyperspace_spark.planner.mmh3 import bucket_id
+
+    props = entry.derived_properties
+    n = int(props.get("numBuckets", 0))
+    indexed = props.get("indexedColumns", [])
+    if n <= 1 or len(indexed) != 1 or not lits:
+        return None
+    col = flattened_name(indexed[0])
+    try:
+        schema = json.loads(props["schemaJson"])
+        dtypes = {f["name"]: f["type"] for f in schema["fields"]}
+    except Exception:
+        return None
+    dtype = dtypes.get(col)
+    if not isinstance(dtype, str):
+        return None  # nested/complex bucket column: skip
+    wanted: set[int] = set()
+    for lit in lits:
+        if lit.is_null:
+            b = bucket_id(None, dtype, n)
+        else:
+            if lit.dtype != dtype:
+                return None  # type mismatch build-vs-probe: unsound to hash
+            b = bucket_id(_lit_python(lit), dtype, n)
+        if b is None:
+            return None
+        wanted.add(b)
+    out = []
+    for f in entry.content_files:
+        m = _BUCKET_FILE_RE.search(f.path.rsplit("/", 1)[-1])
+        if m is None:
+            return None  # unexpected layout: never guess
+        if int(m.group(1)) in wanted:
+            out.append(f.path)
+    return out
+
+
 def ensure_bucketed_table(spark: "SparkSession", entry) -> str | None:
     """Re-register the index's external bucketed table in this session's
     catalog (no-op if present).  Returns the table name, or None if the
@@ -199,6 +261,7 @@ def index_scan_df(
     appended: list[FileInfo] | None = None,
     deleted: list[FileInfo] | None = None,
     bucketed: bool = False,
+    files: list[str] | None = None,
 ) -> "DataFrame":
     """Query-time DataFrame over the index data, with hybrid-scan
     compensation (reference: CoveringIndexRuleUtils.scala:146-288).
@@ -207,6 +270,8 @@ def index_scan_df(
       (reference :244-253); Catalyst's OptimizeIn takes it from there.
     - appended source files -> union of a direct scan of just those files,
       projected to the same slice (reference :280-284).
+    - ``files``: bucket-pruned subset of index data files (plain read of
+      just those paths; [] = provably-empty bucket -> empty relation).
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
@@ -219,10 +284,20 @@ def index_scan_df(
         # Explicit schema from the log entry: without it Spark infers by
         # reading every data file's footer — hundreds of ms of planner
         # latency per query for nothing.
-        reader = spark.read
-        if props.get("schemaJson"):
-            reader = reader.schema(StructType.fromJson(json.loads(props["schemaJson"])))
-        df = reader.parquet(*entry.index_data_dirs)
+        schema = (
+            StructType.fromJson(json.loads(props["schemaJson"]))
+            if props.get("schemaJson")
+            else None
+        )
+        if files is not None and schema is not None:
+            df = (
+                spark.createDataFrame([], schema)
+                if not files
+                else spark.read.schema(schema).parquet(*files)
+            )
+        else:
+            reader = spark.read.schema(schema) if schema is not None else spark.read
+            df = reader.parquet(*entry.index_data_dirs)
 
     if deleted:
         ids = [entry.file_id_tracker.get(f) for f in deleted]

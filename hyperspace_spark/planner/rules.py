@@ -116,19 +116,34 @@ def _substitute_scan(node: ir.Node, scan: ir.Scan, replacement, index_name: str)
 
 
 def _has_equality_on(cond, column: str) -> bool:
-    from hyperspace_spark.planner.expr import Attr, Cmp, InExpr
+    return equality_literals(cond, column) is not None
+
+
+def equality_literals(cond, column: str):
+    """Literals a top-level equality/IN conjunct pins ``column`` to, or
+    None when no such conjunct exists.
+
+    Sound for bucket pruning because a CONJUNCT constrains every matching
+    row: rows can only live in the buckets those literals hash to.  The
+    attribute must be cast-free (a predicate on CAST(col) says nothing
+    about which bucket the raw value hashed into) and the literal side a
+    plain Lit."""
+    from hyperspace_spark.planner.expr import Attr, Cmp, InExpr, Lit
+
+    def _attr_ok(e) -> bool:
+        return isinstance(e, Attr) and e.name == column and not e.cast_to
 
     for conj in split_conjuncts(cond):
         if (
             isinstance(conj, Cmp)
             and conj.op in ("=", "<=>")
-            and isinstance(conj.left, Attr)
-            and conj.left.name == column
+            and _attr_ok(conj.left)
+            and isinstance(conj.right, Lit)
         ):
-            return True
-        if isinstance(conj, InExpr) and isinstance(conj.child, Attr) and conj.child.name == column:
-            return True
-    return False
+            return [conj.right]
+        if isinstance(conj, InExpr) and _attr_ok(conj.child) and conj.values:
+            return list(conj.values)
+    return None
 
 
 def _rank_smallest(cands: list[Candidate]) -> list[Candidate]:
@@ -188,22 +203,27 @@ class FilterIndexRule:
         )
         entry = winner.entry
         appended, deleted = winner.appended, winner.deleted
-        # Bucketed read only pays off when bucket PRUNING can happen — an
-        # equality/IN predicate on the first indexed column.  For range
-        # predicates a plain parquet read is better: Spark coalesces the
-        # small bucket files into fewer tasks and parquet row-group stats
-        # (the data is sorted by the indexed columns) do the pruning.
-        use_buckets = (
-            ctx.conf.filter_rule_use_bucket_spec
-            and not appended
-            and self.kind == "CI"
-            and _has_equality_on(filt.condition, entry.derived_properties.get("indexedColumns", [""])[0])
-        )
+        # Bucket pruning: an equality/IN conjunct on the first indexed
+        # column pins the rows to specific bucket FILES, computed driver-
+        # side with a Spark-compatible murmur3 (planner/mmh3.py) — zero
+        # Spark jobs, composes with a plain parquet read (no bucketed-
+        # table catalog round-trip, no autoBucketedScan sensitivity).  At
+        # 100 TB a point probe reads 1/numBuckets of the index.  Range
+        # predicates read the whole index plainly: the data is sorted by
+        # the indexed columns, so parquet row-group stats do the pruning.
+        pruned: list[str] | None = None
+        if ctx.conf.filter_rule_use_bucket_spec and not appended and self.kind == "CI":
+            indexed = entry.derived_properties.get("indexedColumns", [""])
+            lits = equality_literals(filt.condition, indexed[0]) if indexed else None
+            if lits is not None:
+                from hyperspace_spark.indexes.covering import bucket_pruned_files
 
-        def replacement(spark, _e=entry, _cols=out_cols, _a=appended, _d=deleted, _b=use_buckets):
+                pruned = bucket_pruned_files(entry, lits)
+
+        def replacement(spark, _e=entry, _cols=out_cols, _a=appended, _d=deleted, _f=pruned):
             from hyperspace_spark.indexes.covering import index_scan_df
 
-            return index_scan_df(spark, _e, _cols, appended=_a, deleted=_d, bucketed=_b)
+            return index_scan_df(spark, _e, _cols, appended=_a, deleted=_d, files=_f)
 
         new_node = _substitute_scan(node, scan, replacement, entry.name)
         return Applied(new_node, self.base_score * winner.coverage, [entry.name])

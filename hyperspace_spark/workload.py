@@ -96,6 +96,28 @@ class Workspace:
         e = mgr.get_latest_stable_log()
         return e is not None and e.state == States.ACTIVE
 
+    def _bucket_counts(self) -> tuple[int, int]:
+        """(point-lookup buckets for orders, shared join-pair buckets).
+
+        Point-lookup index: buckets ARE the pruning granularity (an
+        equality probe reads 1/n of the index), so size them fine —
+        ~256 KB of source per bucket, capped.  Join pair: both sides get
+        the SAME count sized off the LARGER side (~4 MB/bucket) so the
+        sort-merge join is Exchange-free without bucket coalescing and
+        tasks stay coarse.  Both scale with the source: at 100 TB the
+        same formulas give a few hundred MB per bucket via the cap-free
+        growth, at MB scale they stay out of the tiny-file trap.
+        """
+
+        def pow2(n: int) -> int:
+            return 1 << (max(1, n) - 1).bit_length()
+
+        o_bytes = os.path.getsize(f"{self.sf_dir}/orders.parquet")
+        li_bytes = os.path.getsize(f"{self.sf_dir}/lineitem.parquet")
+        point = min(pow2(-(-o_bytes // (256 * 1024))), 256)
+        join = min(pow2(-(-li_bytes // (4 * 1024 * 1024))), 1024)
+        return point, join
+
     def _ensure_indexes(self) -> None:
         from hyperspace_spark import (
             BloomFilterSketch,
@@ -106,13 +128,17 @@ class Workspace:
         )
 
         spark = self.spark
+        nb_point, nb_join = self._bucket_counts()
         builds = [
             (
                 "w_o_cov",
                 lambda: self.hs.create_index(
                     _t(spark, self.sf_dir, "orders"),
                     CoveringIndexConfig(
-                        "w_o_cov", ["o_custkey"], ["o_orderkey", "o_totalprice"]
+                        "w_o_cov",
+                        ["o_custkey"],
+                        ["o_orderkey", "o_totalprice"],
+                        num_buckets=nb_point,
                     ),
                 ),
             ),
@@ -124,6 +150,7 @@ class Workspace:
                         "w_li_join",
                         ["l_orderkey"],
                         ["l_quantity", "l_extendedprice", "l_discount"],
+                        num_buckets=nb_join,
                     ),
                 ),
             ),
@@ -131,7 +158,12 @@ class Workspace:
                 "w_o_join",
                 lambda: self.hs.create_index(
                     _t(spark, self.sf_dir, "orders"),
-                    CoveringIndexConfig("w_o_join", ["o_orderkey"], ["o_orderpriority"]),
+                    CoveringIndexConfig(
+                        "w_o_join",
+                        ["o_orderkey"],
+                        ["o_orderpriority"],
+                        num_buckets=nb_join,
+                    ),
                 ),
             ),
             (
@@ -158,7 +190,10 @@ class Workspace:
                 lambda: self.hs.create_index(
                     spark.read.parquet(self.orders_app),
                     CoveringIndexConfig(
-                        "w_oapp_cov", ["o_custkey"], ["o_orderkey", "o_orderpriority"]
+                        "w_oapp_cov",
+                        ["o_custkey"],
+                        ["o_orderkey", "o_orderpriority"],
+                        num_buckets=nb_point,
                     ),
                 ),
             ),

@@ -1,0 +1,163 @@
+"""Driver-side bucket pruning: Python murmur3 must agree with Spark's
+Murmur3Hash (seed 42) bit-for-bit, and the pruned-file read must return
+exactly the rows a full index read returns.
+
+Reference semantics being replicated: HashPartitioning.partitionIdExpression
+= pmod(murmur3(key, 42), numBuckets) (public Spark source); the reference
+engine gets the same effect via useBucketSpec + Spark-side bucket pruning
+(covering/FilterIndexRule.scala:118-132).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from hyperspace_spark.planner.mmh3 import bucket_id, spark_hash
+
+
+@pytest.fixture(scope="module")
+def hash_rows(spark):
+    """(value, dtype, spark_hash) triples computed by Spark itself."""
+    rows = []
+    df = spark.createDataFrame(
+        [(0,), (1,), (42,), (-7,), (2**33,), (2**62 - 1,), (-(2**40),)], "v long"
+    ).select("v", F.hash("v").alias("h"))
+    rows += [(r.v, "long", r.h) for r in df.collect()]
+    df = spark.createDataFrame([(0,), (1,), (42,), (-7,), (2**31 - 1,)], "v int").select(
+        "v", F.hash("v").alias("h")
+    )
+    rows += [(r.v, "integer", r.h) for r in df.collect()]
+    df = spark.createDataFrame(
+        [("",), ("a",), ("hello",), ("héllo wörld",), ("0123456789abcdef",), ("xy\x00z",)],
+        "v string",
+    ).select("v", F.hash("v").alias("h"))
+    rows += [(r.v, "string", r.h) for r in df.collect()]
+    df = spark.createDataFrame([(True,), (False,)], "v boolean").select(
+        "v", F.hash("v").alias("h")
+    )
+    rows += [(r.v, "boolean", r.h) for r in df.collect()]
+    df = spark.createDataFrame(
+        [(datetime.date(1970, 1, 1),), (datetime.date(1995, 3, 15),), (datetime.date(2024, 12, 31),)],
+        "v date",
+    ).select("v", F.hash("v").alias("h"))
+    rows += [(r.v, "date", r.h) for r in df.collect()]
+    return rows
+
+
+def test_python_murmur3_matches_spark_hash(hash_rows):
+    for v, dtype, expected in hash_rows:
+        assert spark_hash(v, dtype) == expected, (v, dtype)
+
+
+def test_null_hash_matches_spark(spark):
+    h = spark.createDataFrame([(None,)], "v long").select(F.hash("v")).collect()[0][0]
+    assert spark_hash(None, "long") == h
+
+
+def test_unsupported_type_returns_none():
+    assert spark_hash(1.5, "double") is None
+    assert bucket_id(1.5, "double", 8) is None
+
+
+def test_bucket_id_matches_file_layout(spark, tmp_path):
+    """Rows written by write_bucketed land in the file mmh3 predicts."""
+    from hyperspace_spark.indexes.covering import _BUCKET_FILE_RE, write_bucketed
+
+    df = spark.range(0, 500).withColumn("k", F.col("id") % 37).withColumn(
+        "s", F.concat(F.lit("u"), F.col("id"))
+    )
+    write_bucketed(spark, df, ["k"], 8, str(tmp_path / "data"), "hs_test_bp")
+    # For each file, every distinct k in it must hash to that file's bucket.
+    import glob
+
+    for path in glob.glob(str(tmp_path / "data" / "*.parquet")):
+        m = _BUCKET_FILE_RE.search(path.rsplit("/", 1)[-1])
+        assert m, path
+        bucket = int(m.group(1))
+        for row in spark.read.parquet(path).select("k").distinct().collect():
+            assert bucket_id(row.k, "long", 8) == bucket
+    spark.sql("DROP TABLE IF EXISTS hs_test_bp")
+
+
+def test_filter_point_uses_pruned_files_and_is_correct(spark, tmp_path):
+    """End-to-end: equality filter reads a strict subset of index files
+    and returns exactly the raw-scan rows."""
+    from hyperspace_spark import CoveringIndexConfig, Hyperspace
+
+    src = str(tmp_path / "src")
+    spark.range(0, 2000).select(
+        (F.col("id") % 211).alias("k"),
+        F.col("id").alias("payload"),
+    ).write.mode("overwrite").parquet(src)
+    hs = Hyperspace(spark, system_path=str(tmp_path / "idx"))
+    spark.conf.set("spark.hyperspace.index.numBuckets", "8")
+    try:
+        hs.create_index(
+            spark.read.parquet(src), CoveringIndexConfig("bp_idx", ["k"], ["payload"])
+        )
+        q = spark.read.parquet(src).filter(F.col("k") == 7).select("k", "payload")
+        accel = hs.apply(q)
+        read = {f for f in accel.inputFiles()}
+        assert read, "index not applied"
+        assert all("bp_idx" in f for f in read), read
+        entry = next(e for e in hs._active_entries(hs.conf()) if e.name == "bp_idx")
+        assert len(read) < len(entry.content_files), "no file pruning happened"
+        assert sorted(r.payload for r in accel.collect()) == sorted(
+            r.payload for r in q.collect()
+        )
+    finally:
+        spark.conf.unset("spark.hyperspace.index.numBuckets")
+
+
+def test_in_list_pruning_correct(spark, tmp_path):
+    from hyperspace_spark import CoveringIndexConfig, Hyperspace
+
+    src = str(tmp_path / "src")
+    spark.range(0, 3000).select(
+        F.concat(F.lit("cat_"), (F.col("id") % 97).cast("string")).alias("k"),
+        F.col("id").alias("payload"),
+    ).write.mode("overwrite").parquet(src)
+    hs = Hyperspace(spark, system_path=str(tmp_path / "idx"))
+    spark.conf.set("spark.hyperspace.index.numBuckets", "8")
+    try:
+        hs.create_index(
+            spark.read.parquet(src), CoveringIndexConfig("bp_in", ["k"], ["payload"])
+        )
+        q = (
+            spark.read.parquet(src)
+            .filter(F.col("k").isin("cat_3", "cat_55", "cat_90"))
+            .select("k", "payload")
+        )
+        accel = hs.apply(q)
+        assert any("bp_in" in f for f in accel.inputFiles())
+        assert sorted((r.k, r.payload) for r in accel.collect()) == sorted(
+            (r.k, r.payload) for r in q.collect()
+        )
+    finally:
+        spark.conf.unset("spark.hyperspace.index.numBuckets")
+
+
+def test_empty_bucket_literal_returns_empty(spark, tmp_path):
+    """A literal whose bucket holds no rows must yield an empty (not
+    wrong) result, even when the bucket file does not exist."""
+    from hyperspace_spark import CoveringIndexConfig, Hyperspace
+
+    src = str(tmp_path / "src")
+    # Only even keys: some buckets may be row-free.
+    spark.range(0, 100).select(
+        (F.col("id") * 2).alias("k"), F.col("id").alias("payload")
+    ).write.mode("overwrite").parquet(src)
+    hs = Hyperspace(spark, system_path=str(tmp_path / "idx"))
+    spark.conf.set("spark.hyperspace.index.numBuckets", "16")
+    try:
+        hs.create_index(
+            spark.read.parquet(src), CoveringIndexConfig("bp_empty", ["k"], ["payload"])
+        )
+        for probe in (1, 3, 99999):
+            q = spark.read.parquet(src).filter(F.col("k") == probe).select("k", "payload")
+            assert hs.apply(q).count() == 0
+    finally:
+        spark.conf.unset("spark.hyperspace.index.numBuckets")

@@ -101,29 +101,35 @@ def test_sql_entrypoint(spark, hs):
 
 
 def test_filter_rewrite_with_bucket_spec(spark, hs):
-    """filterRule.useBucketSpec=true reads the index as a bucketed table
-    -> bucket pruning on the first indexed column (reference:
-    FilterIndexRule useBucketSpec, IndexConstants.scala:54-57)."""
-    spark.conf.set("spark.hyperspace.index.filterRule.useBucketSpec", "true")
-    # Pair with autoBucketedScan=false: Spark's DisableUnnecessaryBucketedScan
-    # would otherwise drop the bucketed scan (and with it bucket pruning)
-    # because no operator above needs the hash distribution.
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-    try:
-        df = (
-            table(spark, "orders")
-            .filter(F.col("o_custkey") == 421)
-            .select("o_orderkey", "o_totalprice")
+    """filterRule.useBucketSpec=true (the default) prunes index bucket
+    FILES driver-side for equality predicates (reference analogue:
+    FilterIndexRule useBucketSpec, IndexConstants.scala:54-57 — realized
+    here via planner/mmh3.py instead of a bucketed-table scan, so no
+    autoBucketedScan conf sensitivity)."""
+    df = (
+        table(spark, "orders")
+        .filter(F.col("o_custkey") == 421)
+        .select("o_orderkey", "o_totalprice")
+    )
+    used, fast = accelerated_plan_uses_index(hs, df, "o_cust_idx")
+    assert used, hs.why_not(df)
+    entry = next(e for e in hs._active_entries(hs.conf()) if e.name == "o_cust_idx")
+    read = set(fast.inputFiles())
+    if len(entry.content_files) > 1:
+        assert 0 < len(read) < len(entry.content_files), (
+            len(read),
+            len(entry.content_files),
         )
-        used, fast = accelerated_plan_uses_index(hs, df, "o_cust_idx")
-        assert used, hs.why_not(df)
-        fast.collect()
-        plan = fast._jdf.queryExecution().executedPlan().toString()
-        assert "SelectedBucketsCount" in plan, plan
-        assert rows_equal(df, fast)
+    assert rows_equal(df, fast)
+
+    # And with pruning disabled the rewrite still applies (full read).
+    spark.conf.set("spark.hyperspace.index.filterRule.useBucketSpec", "false")
+    try:
+        used2, fast2 = accelerated_plan_uses_index(hs, df, "o_cust_idx")
+        assert used2
+        assert rows_equal(df, fast2)
     finally:
-        spark.conf.set("spark.hyperspace.index.filterRule.useBucketSpec", "false")
-        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+        spark.conf.unset("spark.hyperspace.index.filterRule.useBucketSpec")
 
 
 def test_index_applies_inside_union(spark, hs):
