@@ -342,9 +342,21 @@ def _lit_python(lit: Lit):
             return caster(s)
         except ValueError:
             pass
-    if s.endswith(("L", "S", "Y")) :
+    # Catalyst typed-literal suffixes: 5L/5S/5Y (long/short/byte),
+    # 5.0D/5.0F (double/float), 5.00BD (decimal).
+    if s.endswith("BD"):
+        try:
+            return float(s[:-2])
+        except ValueError:
+            pass
+    if s.endswith(("L", "S", "Y")):
         try:
             return int(s[:-1])
+        except ValueError:
+            pass
+    if s.endswith(("D", "F")):
+        try:
+            return float(s[:-1])
         except ValueError:
             pass
     if s.startswith(("DATE '", "TIMESTAMP '")):

@@ -206,12 +206,165 @@ def create_index_data(
         "schemaJson": out.schema.json(),
         "zorderStats": stats,
         "zorderBits": min(16, 63 // max(1, len(config.indexed_columns))),
+        "fileStats": collect_file_stats(spark, data_dir, config.indexed_columns),
     }
+
+
+# ---------------------------------------------------------------------------
+# per-file min/max stats -> driver-side file pruning (zero Spark jobs at
+# query time).  The z/range-clustered layout makes per-file ranges TIGHT
+# on the indexed columns, so this is where the z-order layout pays off:
+# a filter on any indexed column reads only the files whose range
+# intersects the predicate.  The stats live in the log entry (computed
+# once at build, one tiny agg job over the index data); at 100 TB with
+# ~1 GB partitions that's ~100k rows of min/max — metadata-scale.
+# Reference analogue: composing a MinMax data-skipping index over the
+# z-ordered layout (dataskipping/sketches/MinMaxSketch.scala) — here it
+# is built in, with the prune evaluated driver-side like the bucket
+# pruning in covering.py.
+# ---------------------------------------------------------------------------
+_FILESTATS_MAX_FILES = 65536  # log-entry size guard: beyond this, skip
+
+
+def collect_file_stats(spark: "SparkSession", data_dir: str, cols: list[str]) -> dict:
+    """{file basename: {col: [min, max]}} over the written index data."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"{c}__lo"), F.max(c).alias(f"{c}__hi")]
+    rows = (
+        spark.read.parquet(data_dir)
+        .groupBy(F.element_at(F.split(F.input_file_name(), "/"), -1).alias("_f"))
+        .agg(*aggs)
+        .collect()
+    )
+    if len(rows) > _FILESTATS_MAX_FILES:
+        return {}
+    out = {}
+    for r in rows:
+        d = r.asDict()
+        out[d["_f"]] = {c: [_to_py(d[f"{c}__lo"]), _to_py(d[f"{c}__hi"])] for c in cols}
+    return out
+
+
+def _coerce(v, ref):
+    """Coerce a literal/stat value for comparison against ``ref``'s type.
+    Returns None when no sound comparison exists (caller keeps the file)."""
+    if isinstance(ref, bool) or isinstance(v, bool):
+        return v if isinstance(v, bool) else None
+    if isinstance(ref, (int, float)):
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return None
+    if isinstance(ref, str):
+        # Temporal stats are stored as ISO strings; literals arrive as
+        # "1996-01-01 00:00:00" — normalize via fromisoformat when the
+        # ref looks temporal, else compare as plain strings.
+        if _looks_temporal(ref):
+            dv = _parse_temporal(str(v))
+            dref = _parse_temporal(ref)
+            return None if dv is None or dref is None else dv
+        return str(v) if isinstance(v, str) else None
+    return None
+
+
+def _looks_temporal(s: str) -> bool:
+    return len(s) >= 10 and s[4:5] == "-" and s[7:8] == "-"
+
+
+def _parse_temporal(s: str):
+    import datetime
+
+    try:
+        if len(s) == 10:
+            return datetime.datetime.fromisoformat(s + " 00:00:00")
+        return datetime.datetime.fromisoformat(s.replace("T", " "))
+    except ValueError:
+        return None
+
+
+def _range_might_match(op: str, lo, hi, lit_v) -> bool:
+    """Can a value v in [lo, hi] satisfy ``v op lit_v``?  Conservative."""
+    if lo is None and hi is None:
+        return False  # file has no non-null values for this column
+    ref = lo if lo is not None else hi
+    v = _coerce(lit_v, ref)
+    clo = _coerce(lo, ref) if lo is not None else None
+    chi = _coerce(hi, ref) if hi is not None else None
+    if v is None or clo is None or chi is None:
+        return True  # can't compare soundly: keep the file
+    if op in ("=", "<=>"):
+        return clo <= v <= chi
+    if op == "<":
+        return clo < v
+    if op == "<=":
+        return clo <= v
+    if op == ">":
+        return chi > v
+    if op == ">=":
+        return chi >= v
+    return True
+
+
+def might_match_file(cond, col_stats: dict) -> bool:
+    """Driver-side sound over-approximation of 'this index file can
+    contain a matching row', from per-file min/max of indexed columns."""
+    from hyperspace_spark.indexes.sketches import _lit_python
+    from hyperspace_spark.planner.expr import Attr, BoolOp, Cmp, InExpr, Lit, NotExpr
+
+    def ev(e) -> bool:
+        if isinstance(e, BoolOp):
+            if e.op == "and":
+                return all(ev(c) for c in e.children)
+            return any(ev(c) for c in e.children)
+        if isinstance(e, NotExpr):
+            return True  # cannot soundly negate an over-approximation
+        if isinstance(e, Cmp) and isinstance(e.left, Attr) and isinstance(e.right, Lit):
+            if e.left.cast_to or e.left.name not in col_stats:
+                return True
+            if e.right.is_null:
+                # '= NULL' never matches; '<=> NULL' matches only null rows,
+                # which min/max stats don't track.
+                return e.op == "<=>"
+            lo, hi = col_stats[e.left.name]
+            return _range_might_match(e.op, lo, hi, _lit_python(e.right))
+        if isinstance(e, InExpr) and isinstance(e.child, Attr) and e.child.name in col_stats:
+            if e.child.cast_to:
+                return True
+            lo, hi = col_stats[e.child.name]
+            return any(
+                True if v.is_null else _range_might_match("=", lo, hi, _lit_python(v))
+                for v in e.values
+            )
+        return True
+
+    return ev(cond)
+
+
+def stats_pruned_files(entry, cond) -> list[str] | None:
+    """Index data files whose min/max ranges might satisfy ``cond``;
+    None = no stats / nothing pruned (caller does a full read)."""
+    stats = entry.derived_properties.get("fileStats") or {}
+    if not stats:
+        return None
+    kept = []
+    for f in entry.content_files:
+        base = f.path.rsplit("/", 1)[-1]
+        st = stats.get(base)
+        if st is None or might_match_file(cond, st):
+            kept.append(f.path)
+    if len(kept) >= len(entry.content_files):
+        return None
+    return kept
 
 
 def rewrite_zorder_data(spark: "SparkSession", df: "DataFrame", props: dict, data_dir: str) -> None:
     """Optimize-time compaction: re-range-partition + sort the existing
-    index data (z-address already materialized for multi-column)."""
+    index data (z-address already materialized for multi-column).
+    Recomputes fileStats — the old per-file ranges are void after the
+    rewrite."""
     from pyspark.sql import functions as F
 
     key = ZADDR if ZADDR in df.columns else props["indexedColumns"][0]
@@ -219,6 +372,7 @@ def rewrite_zorder_data(spark: "SparkSession", df: "DataFrame", props: dict, dat
     df.repartitionByRange(n, F.col(key)).sortWithinPartitions(key).write.mode(
         "overwrite"
     ).parquet(data_dir)
+    props["fileStats"] = collect_file_stats(spark, data_dir, props["indexedColumns"])
 
 
 _ = json  # reserved for future stats serialization tweaks

@@ -219,6 +219,13 @@ class FilterIndexRule:
                 from hyperspace_spark.indexes.covering import bucket_pruned_files
 
                 pruned = bucket_pruned_files(entry, lits)
+        if pruned is None and entry.derived_properties.get("fileStats"):
+            # Z-order path: per-file min/max ranges of the indexed columns
+            # (tight after z-clustering) prune index files driver-side —
+            # zero Spark jobs (indexes/zorder.py).
+            from hyperspace_spark.indexes.zorder import stats_pruned_files
+
+            pruned = stats_pruned_files(entry, filt.condition)
 
         def replacement(spark, _e=entry, _cols=out_cols, _a=appended, _d=deleted, _f=pruned):
             from hyperspace_spark.indexes.covering import index_scan_df

@@ -39,8 +39,29 @@ def q(name: str, oracle: str | None = None):
     return deco
 
 
+_SCHEMA_CACHE: dict[str, str] = {}
+
+
+def _p(spark: "SparkSession", path: str) -> "DataFrame":
+    """Parquet read with a CACHED explicit schema.
+
+    Without it every query construction pays a parquet footer-inference
+    job (~140 ms on local[32]) — pure fixed overhead that at bench scale
+    dwarfs the actual query.  At 100 TB the same applies: schema comes
+    from the catalog/log, never from listing footers."""
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    sj = _SCHEMA_CACHE.get(path)
+    if sj is None:
+        sj = spark.read.parquet(path).schema.json()
+        _SCHEMA_CACHE[path] = sj
+    return spark.read.schema(StructType.fromJson(_json.loads(sj))).parquet(path)
+
+
 def _t(spark: "SparkSession", sf_dir: str, name: str) -> "DataFrame":
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _p(spark, f"{sf_dir}/{name}.parquet")
 
 
 def _conf(spark: "SparkSession") -> None:
@@ -177,12 +198,29 @@ class Workspace:
                 ),
             ),
             (
-                "w_p_z",
-                lambda: self.hs.create_index(
-                    _t(spark, self.sf_dir, "part"),
-                    ZOrderCoveringIndexConfig(
-                        "w_p_z", ["p_size", "p_retailprice"], ["p_partkey", "p_brand"]
-                    ),
+                "w_li_z",
+                lambda: self._build_zorder(
+                    ZOrderCoveringIndexConfig,
+                    "w_li_z",
+                    "lineitem",
+                    ["l_quantity", "l_extendedprice"],
+                    ["l_orderkey"],
+                ),
+            ),
+            (
+                # Single-column z = range-clustered layout: per-file min/max
+                # stats prune RANGE predicates on o_custkey to ~1 file —
+                # the layout a hash-bucketed covering index can't prune.
+                # Included columns deliberately EXCLUDE o_orderkey so the
+                # point-lookup query (which needs it) stays on w_o_cov's
+                # bucket-pruned path and both strategies stay exercised.
+                "w_o_z",
+                lambda: self._build_zorder(
+                    ZOrderCoveringIndexConfig,
+                    "w_o_z",
+                    "orders",
+                    ["o_custkey"],
+                    ["o_totalprice"],
                 ),
             ),
             (
@@ -202,6 +240,26 @@ class Workspace:
             if not self._active(name):
                 build()
         self._ensure_hybrid_delta()
+
+    def _build_zorder(self, ZOrderCoveringIndexConfig, name, table, indexed, included) -> None:
+        """Z-order index clustered into ~12 range partitions so per-file
+        min/max stats have pruning power at every sf (at the 1 GiB default
+        the whole table is one file at small sf and there is nothing to
+        prune)."""
+        key = "spark.hyperspace.index.zorder.targetSourceBytesPerPartition"
+        target = max(16 * 1024, os.path.getsize(f"{self.sf_dir}/{table}.parquet") // 12)
+        old = self.spark.conf.get(key, None)
+        self.spark.conf.set(key, str(target))
+        try:
+            self.hs.create_index(
+                _t(self.spark, self.sf_dir, table),
+                ZOrderCoveringIndexConfig(name, indexed, included),
+            )
+        finally:
+            if old is None:
+                self.spark.conf.unset(key)
+            else:
+                self.spark.conf.set(key, old)
 
     def _ensure_hybrid_delta(self) -> None:
         """Move the staged delta into orders_app AFTER w_oapp_cov exists,
@@ -310,7 +368,7 @@ def dataskipping_minmax(spark, sf_dir):
 
     ws = workspace(spark, sf_dir)
     df = (
-        spark.read.parquet(ws.li_byship)
+        _p(spark, ws.li_byship)
         .filter(F.col("l_shipdate") < "1996-01-01")
         .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("cnt"))
     )
@@ -320,16 +378,23 @@ def dataskipping_minmax(spark, sf_dir):
 @q(
     "zorder_filter_2d",
     """
-    SELECT p_partkey, p_size, p_brand FROM part
-    WHERE p_size BETWEEN 10 AND 20 AND p_retailprice < 950
+    SELECT l_orderkey, l_quantity, round(l_extendedprice, 2) AS price
+    FROM lineitem
+    WHERE l_quantity BETWEEN 5 AND 10 AND l_extendedprice < 20000
     """,
 )
 def zorder_filter_2d(spark, sf_dir):
+    from pyspark.sql import functions as F
+
     ws = workspace(spark, sf_dir)
     df = (
-        _t(spark, sf_dir, "part")
-        .filter("p_size BETWEEN 10 AND 20 AND p_retailprice < 950")
-        .select("p_partkey", "p_size", "p_brand")
+        _t(spark, sf_dir, "lineitem")
+        .filter("l_quantity BETWEEN 5 AND 10 AND l_extendedprice < 20000")
+        .select(
+            "l_orderkey",
+            "l_quantity",
+            F.round("l_extendedprice", 2).alias("price"),
+        )
     )
     return ws.hs.apply(df)
 
@@ -350,7 +415,7 @@ def hybrid_scan_append(spark, sf_dir):
 
     ws = workspace(spark, sf_dir)
     df = (
-        spark.read.parquet(ws.orders_app)
+        _p(spark, ws.orders_app)
         .filter("o_custkey < 300")
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("cnt"))

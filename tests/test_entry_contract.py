@@ -102,8 +102,9 @@ def test_accelerated_queries_actually_use_indexes(spark):
     ws = workspace(spark, SF_DIR)
     checks = {
         "covering_filter_point": "w_o_cov",
+        "covering_filter_agg": "w_o_z",
         "join_cobucketed": "w_li_join",
-        "zorder_filter_2d": "w_p_z",
+        "zorder_filter_2d": "w_li_z",
         "hybrid_scan_append": "w_oapp_cov",
     }
     for qname, idx in checks.items():

@@ -96,3 +96,126 @@ def test_zaddr_udf_type_matrix(spark):
     # (z-order is NOT monotone in any single coordinate by design).
     again = {r.a: r.z for r in df.withColumn("z", udf("a", "b", "c", "d")).collect()}
     assert {r.a: r.z for r in out} == again
+
+
+def test_file_stats_pruning_correct(spark, tmp_path):
+    """Per-file min/max stats prune z-index files driver-side; pruned
+    reads stay row-identical to raw scans, including boundary literals."""
+    src = str(tmp_path / "src")
+    spark.range(0, 20000).select(
+        (F.col("id") % 1000).alias("a"),
+        (F.col("id") % 77).cast("double").alias("b"),
+        F.col("id").alias("payload"),
+    ).write.mode("overwrite").parquet(src)
+    hs = Hyperspace(spark, system_path=str(tmp_path / "idx"))
+    spark.conf.set(
+        "spark.hyperspace.index.zorder.targetSourceBytesPerPartition", "16384"
+    )
+    try:
+        hs.create_index(
+            spark.read.parquet(src),
+            ZOrderCoveringIndexConfig("zfs", ["a", "b"], ["payload"]),
+        )
+        entry = next(e for e in hs._active_entries(hs.conf()) if e.name == "zfs")
+        assert entry.derived_properties.get("fileStats"), "stats missing"
+        assert len(entry.content_files) > 3, "need multiple files to prune"
+        for pred in (
+            "a BETWEEN 10 AND 20 AND b < 30.0",
+            "a = 500",
+            "a >= 990",
+            "a IN (1, 2, 3)",
+            "a < 0",          # empty result, all files prunable
+            "a <= 0",         # boundary: min itself
+            "a >= 999",       # boundary: max itself
+        ):
+            q = spark.read.parquet(src).filter(pred).select("a", "b", "payload")
+            fast, used = hs._apply_with_info(q)
+            assert used == ["zfs"], (pred, hs.why_not(q))
+            got = sorted(map(tuple, fast.collect()))
+            want = sorted(map(tuple, q.collect()))
+            assert got == want, pred
+        # Evidence pruning actually happens for a selective range.
+        q = spark.read.parquet(src).filter("a BETWEEN 10 AND 20").select("a", "payload")
+        fast, _ = hs._apply_with_info(q)
+        assert 0 < len(fast.inputFiles()) < len(entry.content_files)
+    finally:
+        spark.conf.unset("spark.hyperspace.index.zorder.targetSourceBytesPerPartition")
+
+
+def test_file_stats_temporal_pruning(spark, tmp_path):
+    """Timestamp literals compare correctly against ISO-stored stats."""
+    import datetime
+
+    src = str(tmp_path / "src")
+    spark.range(0, 5000).select(
+        F.to_timestamp(
+            F.concat(F.lit("1995-01-"), F.lpad((F.col("id") % 28 + 1).cast("string"), 2, "0"))
+        ).alias("ts"),
+        F.col("id").alias("payload"),
+    ).write.mode("overwrite").parquet(src)
+    hs = Hyperspace(spark, system_path=str(tmp_path / "idx"))
+    spark.conf.set(
+        "spark.hyperspace.index.zorder.targetSourceBytesPerPartition", "8192"
+    )
+    try:
+        hs.create_index(
+            spark.read.parquet(src), ZOrderCoveringIndexConfig("zts", ["ts"], ["payload"])
+        )
+        q = (
+            spark.read.parquet(src)
+            .filter(F.col("ts") < "1995-01-05")
+            .select("ts", "payload")
+        )
+        fast, used = hs._apply_with_info(q)
+        assert used == ["zts"], hs.why_not(q)
+        assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, q.collect()))
+    finally:
+        spark.conf.unset("spark.hyperspace.index.zorder.targetSourceBytesPerPartition")
+
+
+def test_lit_python_typed_suffixes():
+    """Catalyst typed-literal suffixes (5000.0D, 1.5F, 7L, 2S, 1Y, 9.00BD)
+    must parse back to Python numbers — an unparsed '5000.0D' string made
+    file-stats pruning silently keep every file (verify-drive find, r2)."""
+    from hyperspace_spark.indexes.sketches import _lit_python
+    from hyperspace_spark.planner.expr import Lit
+
+    def lit(sql, dtype="double"):
+        return Lit(sql=sql, references=frozenset(), dtype=dtype, is_null=False)
+
+    assert _lit_python(lit("5000.0D")) == 5000.0
+    assert _lit_python(lit("1.5F", "float")) == 1.5
+    assert _lit_python(lit("7L", "long")) == 7
+    assert _lit_python(lit("2S", "short")) == 2
+    assert _lit_python(lit("1Y", "byte")) == 1
+    assert _lit_python(lit("9.00BD", "decimal(4,2)")) == 9.0
+    assert _lit_python(lit("'FOOD'", "string")) == "FOOD"
+    assert _lit_python(lit("42", "int")) == 42
+
+
+def test_file_stats_prune_double_range(spark, tmp_path):
+    """A range predicate with a double literal (rendered 'xD' by Catalyst)
+    actually prunes range-clustered index files, not just stays correct."""
+    src = str(tmp_path / "src")
+    spark.range(0, 20000).select(
+        (F.col("id") % 10000).cast("double").alias("price"),
+        F.col("id").alias("payload"),
+    ).write.mode("overwrite").parquet(src)
+    hs = Hyperspace(spark, system_path=str(tmp_path / "idx"))
+    spark.conf.set(
+        "spark.hyperspace.index.zorder.targetSourceBytesPerPartition", "16384"
+    )
+    try:
+        hs.create_index(
+            spark.read.parquet(src),
+            ZOrderCoveringIndexConfig("zdp", ["price"], ["payload"]),
+        )
+        entry = next(e for e in hs._active_entries(hs.conf()) if e.name == "zdp")
+        assert len(entry.content_files) > 2
+        q = spark.read.parquet(src).filter(F.col("price") < 500.0).select("price", "payload")
+        fast, used = hs._apply_with_info(q)
+        assert used == ["zdp"], hs.why_not(q)
+        assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, q.collect()))
+        assert 0 < len(fast.inputFiles()) < len(entry.content_files), "double literal did not prune"
+    finally:
+        spark.conf.unset("spark.hyperspace.index.zorder.targetSourceBytesPerPartition")
