@@ -114,17 +114,18 @@ def sample_frames(df: "DataFrame", every_ms: int = 1000, max_frames: int = 8) ->
 
         for pdf in batches:
             out = {"media_id": [], "frame_index": [], "frame_ms": [], "frame": []}
-            for _, row in pdf.iterrows():
-                if row["kind"] != "video":
-                    continue
-                raw = row["meta"]["duration_ms"] if row["meta"] is not None else None
+            vid = pdf[pdf["kind"] == "video"]
+            # zip over columns, not iterrows: no per-row Series
+            # construction (the slow shape inside mapInPandas).
+            for mid, data, meta in zip(vid["media_id"], vid["data"], vid["meta"]):
+                raw = meta["duration_ms"] if meta is not None else None
                 # Arrow hands nullable ints to pandas as float/NaN.
                 dur = 0 if raw is None or raw != raw else int(raw)
                 n = int(min(max_frames, max(1, dur // every_ms)))
-                data = bytes(row["data"])
+                data = bytes(data)
                 step = max(1, len(data) // max(n, 1))
                 for fi in range(n):
-                    out["media_id"].append(row["media_id"])
+                    out["media_id"].append(mid)
                     out["frame_index"].append(fi)
                     out["frame_ms"].append(fi * every_ms)
                     out["frame"].append(data[fi * step : fi * step + 16])

@@ -97,11 +97,11 @@ def _hyperplanes(dim: int, nbits: int, seed: str = "hs-lsh") -> list[list[float]
     return planes
 
 
-def lsh_bucket_col(vec_col: "Column", dim: int, nbits: int = 12) -> "Column":
+def lsh_bucket_col(vec_col: "Column", dim: int, nbits: int = 12, seed: str = "hs-lsh") -> "Column":
     """Random-hyperplane signature: nbits sign bits packed into a long."""
     from pyspark.sql import functions as F
 
-    planes = _hyperplanes(dim, nbits)
+    planes = _hyperplanes(dim, nbits, seed)
     sig = F.lit(0).cast("long")
     for j, plane in enumerate(planes):
         p = F.array(*[F.lit(float(x)) for x in plane])
@@ -112,26 +112,65 @@ def lsh_bucket_col(vec_col: "Column", dim: int, nbits: int = 12) -> "Column":
 
 def lsh_bucketed_pairs(
     emb: "DataFrame",
-    threshold: float = 0.9,
-    nbits: int = 8,
+    threshold: float = 0.4,
+    nbits: int = 4,
+    bands: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = 4096,
 ) -> "DataFrame":
-    """Approximate near-dup pairs: exact cosine computed only WITHIN LSH
-    buckets — the join fan-out drops from N² to sum of bucket sizes²."""
+    """Approximate near-dup pairs via MULTI-BAND hyperplane LSH.
+
+    Two vectors are candidates iff their nbits-bit signatures agree in ANY
+    of the ``bands`` independent bands; exact cosine is then verified on
+    candidates only, so precision is 1.0 and recall ≈ 1-(1-p^nbits)^bands
+    with p = 1 - arccos(cos)/π.  A single band (the round-1 shape) has
+    recall p^nbits — ~6% at cos 0.4 with 6 bits, i.e. vacuous.
+
+    Scale shape: the candidate join carries only (id, band, sig) — vectors
+    join back by id AFTER dedup, so the band explosion never multiplies
+    vector payloads through the shuffle.  ``max_bucket`` drops degenerate
+    buckets (a bucket of k ids emits k²/2 pairs; one hot bucket stalls the
+    stage) — recall loss is confined to pairs only co-occurring there.
+    """
     from pyspark.sql import functions as F
 
     dim = len(emb.select(vec_col).first()[0])
     v = emb.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
-    ).withColumn("bucket", lsh_bucket_col(F.col("_v"), dim, nbits))
-    a, b = v.alias("a"), v.alias("b")
+    )
+    sigs = F.array(
+        *[lsh_bucket_col(F.col("_v"), dim, nbits, seed=f"hs-lsh-band{b}") for b in range(bands)]
+    )
+    keyed = v.select("_id", F.posexplode(sigs).alias("band", "sig"))
+    if max_bucket:
+        ok = (
+            keyed.groupBy("band", "sig")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("band", "sig")
+        )
+        keyed = keyed.join(ok, ["band", "sig"])  # AQE broadcasts when small
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    va = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    vb = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a._id") < F.col("b._id")))
-        .withColumn("cosine", F.round(cosine_expr(F.col("a._v"), F.col("b._v")), 6))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6))
         .filter(F.col("cosine") >= threshold)
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), "cosine")
+        .select("id_a", "id_b", "cosine")
     )
 
 

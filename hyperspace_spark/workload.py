@@ -858,10 +858,15 @@ def ann_cosine_topk_query(spark, sf_dir):
 
 @q("ann_lsh_bucketed", None)  # approximate -> rows-only
 def ann_lsh_bucketed_query(spark, sf_dir):
+    """Multi-band LSH near-dup pairs.  Tuned to the synthetic embeddings:
+    max pairwise cosine ≈ 0.51 at sf0.01, so threshold 0.4 yields a
+    NON-EMPTY result (≈60 exact pairs; expected recall ≈0.75 with
+    4 bits × 8 bands) — a 0-row result verifies nothing.
+    Recall + subset-of-exact are pytest-asserted (tests/test_llm_ops.py)."""
     from hyperspace_spark.llm import similarity
 
     return similarity.lsh_bucketed_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.85, nbits=6
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, nbits=4, bands=8
     )
 
 
@@ -876,10 +881,21 @@ def ann_ivf_topk_query(spark, sf_dir):
 
 @q("multimodal_features", None)  # synthetic media, mapInPandas plumbing -> rows-only
 def multimodal_features_query(spark, sf_dir):
+    """Feature vectors exploded to (media_id, dim_idx, feature) scalars:
+    the driver's canonicalizer sorts/hashes column values, and a raw
+    array<float> column is unhashable (r1 harness error)."""
+    from pyspark.sql import functions as F
+
     from hyperspace_spark.llm import multimodal
 
     media = multimodal.synthetic_media_df(spark, n=48)
-    return multimodal.decode_features(media).select("media_id", "kind", "n_bytes", "features")
+    feats = multimodal.decode_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.posexplode("features").alias("dim_idx", "feature"),
+    ).withColumn("feature", F.round("feature", 5))
 
 
 @q(

@@ -198,11 +198,35 @@ def test_cosine_topk_against_duckdb(spark, emb):
 
 
 def test_lsh_bucketed_pairs_subset_of_exact(spark, emb):
-    lsh = {(r.id_a, r.id_b) for r in similarity.lsh_bucketed_pairs(emb, 0.9, nbits=6).collect()}
-    exact = {(r.id_a, r.id_b) for r in dedup.embedding_near_dup_pairs(emb, 0.9).collect()}
+    """Driver-contract settings (threshold 0.4, 4 bits × 8 bands): result
+    must be NON-EMPTY (a 0-row run verifies nothing — r1 failure), a
+    subset of the exact pairs, and recall ≥ 0.6 (expected ≈0.75)."""
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in similarity.lsh_bucketed_pairs(emb, threshold=0.4, nbits=4, bands=8).collect()
+    }
+    exact = {(r.id_a, r.id_b) for r in dedup.embedding_near_dup_pairs(emb, 0.4).collect()}
+    assert exact, "fixture embeddings must contain pairs above the threshold"
+    assert lsh, "LSH returned no pairs — vacuous result"
     assert lsh.issubset(exact)
-    if exact:
-        assert len(lsh) / len(exact) > 0.3  # decent recall at 6 bits
+    assert len(lsh) / len(exact) >= 0.6
+
+
+def test_lsh_hot_bucket_cap_drops_degenerate_buckets(spark):
+    """max_bucket caps the quadratic self-join: constant vectors all land
+    in one bucket; with the cap below that bucket's size no pair survives,
+    while distinctive pairs elsewhere are unaffected."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(50)]  # one hot bucket
+    rows += [(100, [0.0, 1.0, 0.5, 0.0]), (101, [0.0, 1.0, 0.5, 0.001])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = similarity.lsh_bucketed_pairs(
+        df, threshold=0.9, nbits=2, bands=4, max_bucket=10
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in capped}
+    assert (100, 101) in got, "pair outside the hot bucket must survive"
+    assert all(a >= 100 for a, _ in got), "hot-bucket pairs must be dropped"
 
 
 def test_ivf_topk_mostly_agrees_with_brute(spark, emb):
