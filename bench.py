@@ -60,6 +60,7 @@ def main() -> None:
         "dataskipping_minmax",
         "zorder_filter_2d",
         "hybrid_scan_append",
+        "hybrid_join_append",
         "q1_pricing_summary",
         "q3_shipping_priority",
         "q5_region_revenue",

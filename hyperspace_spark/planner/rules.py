@@ -254,10 +254,17 @@ class JoinIndexRule:
     indexes bucketed on the join keys; Spark's planner then drops the
     Exchange (reference: covering/JoinIndexRule.scala:635-720).
 
-    Hybrid-scan limits: appended files would break bucket alignment
-    (BucketUnion is a JVM-only operator, SURVEY §7 H3), so appended
-    candidates are skipped; deleted files are fine — the lineage
-    anti-filter preserves the bucketed partitioning.
+    Hybrid scan: deleted files are free — the lineage anti-filter
+    preserves the bucketed partitioning.  Appended files union a direct
+    scan of just those files onto the index side (the U5 equivalent of
+    the reference's BucketUnionExec, CoveringIndexRuleUtils.scala:357-417,
+    which repartitions appends into the index's bucketing JVM-side).  The
+    union erases the bucket-partitioning info, so Spark re-shuffles that
+    side for the SMJ — one shuffle of (slim index + small delta) instead
+    of abandoning the index wholesale between refreshes.  At 100 TB with
+    continuous ingest "no appends" is never true, so bailing out meant
+    the join acceleration was effectively always off.  Pairs with no
+    appends still rank first.
     """
 
     def apply(self, node: ir.Node, ctx: RuleContext) -> Applied | None:
@@ -293,10 +300,12 @@ class JoinIndexRule:
                 c for c in req if "." in c
             )
 
-            def replacement(spark, _e=win.entry, _cols=out_cols, _d=win.deleted):
+            def replacement(spark, _e=win.entry, _cols=out_cols, _a=win.appended, _d=win.deleted):
                 from hyperspace_spark.indexes.covering import index_scan_df
 
-                return index_scan_df(spark, _e, _cols, deleted=_d, bucketed=True)
+                return index_scan_df(
+                    spark, _e, _cols, appended=_a, deleted=_d, bucketed=not _a
+                )
 
             subs[id(scan)] = (replacement, win.entry.name)
         new_node = _substitute_scans(node, subs)
@@ -305,8 +314,6 @@ class JoinIndexRule:
     def _eligible(self, ctx, scan, keys, required):
         out = []
         for c in ctx.for_scan(scan, "CI"):
-            if c.appended:  # no bucket-aligned union in PySpark
-                continue
             p = c.entry.derived_properties
             indexed = p.get("indexedColumns", [])
             # Reference: indexed columns must equal the join columns
@@ -338,7 +345,10 @@ class JoinIndexRule:
                     continue
                 lb = l.entry.derived_properties["numBuckets"]
                 rb = r.entry.derived_properties["numBuckets"]
-                pairs.append(((0 if lb == rb else 1, -min(lb, rb)), (l, r)))
+                # Append-free pairs first: each appended side costs a
+                # union + re-shuffle (see class docstring).
+                n_app = int(bool(l.appended)) + int(bool(r.appended))
+                pairs.append(((n_app, 0 if lb == rb else 1, -min(lb, rb)), (l, r)))
         if not pairs:
             return None
         pairs.sort(key=lambda x: x[0])

@@ -235,6 +235,21 @@ class Workspace:
                     ),
                 ),
             ),
+            (
+                # Join-key index on orders_app, built BEFORE the staged
+                # delta lands -> exercises the U5-equivalent hybrid JOIN
+                # (index ∪ appended files, planner/rules.py JoinIndexRule).
+                "w_oapp_join",
+                lambda: self.hs.create_index(
+                    spark.read.parquet(self.orders_app),
+                    CoveringIndexConfig(
+                        "w_oapp_join",
+                        ["o_orderkey"],
+                        ["o_orderpriority"],
+                        num_buckets=nb_join,
+                    ),
+                ),
+            ),
         ]
         for name, build in builds:
             if not self._active(name):
@@ -394,6 +409,42 @@ def zorder_filter_2d(spark, sf_dir):
             "l_orderkey",
             "l_quantity",
             F.round("l_extendedprice", 2).alias("price"),
+        )
+    )
+    return ws.hs.apply(df)
+
+
+@q(
+    "hybrid_join_append",
+    """
+    SELECT o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS cnt
+    FROM lineitem JOIN (
+      SELECT * FROM orders
+      UNION ALL SELECT * FROM orders WHERE o_orderkey % 97 = 0
+    ) o ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def hybrid_join_append(spark, sf_dir):
+    """Join acceleration with appended files present: the orders side has
+    a staged delta newer than w_oapp_join, so the rule unions the index
+    with a direct scan of the appended files (U5 equivalent) instead of
+    abandoning the index."""
+    from pyspark.sql import functions as F
+
+    ws = workspace(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    o = _p(spark, ws.orders_app)
+    df = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("cnt"),
         )
     )
     return ws.hs.apply(df)

@@ -101,3 +101,40 @@ def test_outer_join_no_pair(spark, hs):
         assert rows_equal(q, fast)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_join_with_appended_files_hybrid_union(spark, hs, tmp_path_factory):
+    """Appended source files no longer disable the join rule: the index
+    side becomes index ∪ direct-scan(appends) (U5 equivalent of the
+    reference's BucketUnion) and results stay equal to the raw join."""
+    import shutil
+
+    root = str(tmp_path_factory.mktemp("hybrid_join"))
+    osrc = f"{root}/orders"
+    o0 = table(spark, "orders")
+    o0.repartition(2).write.mode("overwrite").parquet(osrc)
+    hj = Hyperspace(spark, system_path=f"{root}/idx")
+    hj.create_index(
+        spark.read.parquet(osrc),
+        CoveringIndexConfig("o_hj", ["o_orderkey"], ["o_orderpriority"]),
+    )
+    li = table(spark, "lineitem")
+    hj.create_index(
+        li, CoveringIndexConfig("li_hj", ["l_orderkey"], ["l_extendedprice"])
+    )
+    # Append AFTER the build: ~1% of rows as a new file.
+    o0.filter("o_orderkey % 97 = 0").coalesce(1).write.mode("append").parquet(osrc)
+
+    o = spark.read.parquet(osrc)
+    q = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+    )
+    fast, used = hj._apply_with_info(q)
+    assert sorted(used) == ["li_hj", "o_hj"], hj.why_not(q)
+    # Evidence the appended file is read directly alongside the index.
+    files = fast.inputFiles()
+    assert any("/idx/" in f or "o_hj" in f for f in files), files
+    assert any(f.startswith("file:" + osrc) or osrc in f for f in files), files
+    assert rows_equal(q, fast)
