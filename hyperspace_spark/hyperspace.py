@@ -177,7 +177,7 @@ class Hyperspace:
             derived_kind=config.kind,
             derived_properties={},
             relations=[relation],
-            signature=file_based_signature(files),
+            signature=_signature_of(scan, files),
             index_data_dirs=[],
             state=States.CREATING,
             id=begin_id,
@@ -304,6 +304,13 @@ class Hyperspace:
         import json as _json
 
         rel = entry.relations[0]
+        scan = _scan_of(rel)
+        if scan.delta_root:
+            # A directory read would pick up dead files and the log dir;
+            # the snapshot file list is the table's live content.
+            from hyperspace_spark.sources.delta import read_delta
+
+            return read_delta(self.spark, scan.delta_root)
         reader = self.spark.read.format(rel.file_format)
         if rel.data_schema_json:
             reader = reader.schema(StructType.fromJson(_json.loads(rel.data_schema_json)))
@@ -349,7 +356,7 @@ class Hyperspace:
             tracker = entry.file_id_tracker
             files = [FileInfo(f.path, f.size, f.mtime, tracker.add_or_get(f)) for f in files]
             entry.relations[0].files = files
-            entry.signature = file_based_signature(files)
+            entry.signature = _signature_of(scan, files)
             data_dir = mgr.data_dir(version)
             config = self._config_of(entry)
             entry.derived_properties = self._build(entry.derived_kind)(
@@ -455,7 +462,7 @@ class Hyperspace:
             entry.relations[0].files = [
                 FileInfo(f.path, f.size, f.mtime, tracker.add_or_get(f)) for f in new_files.values()
             ]
-            entry.signature = file_based_signature(entry.relations[0].files)
+            entry.signature = _signature_of(_scan_of(entry.relations[0]), entry.relations[0].files)
             entry.index_data_dirs = [data_dir]
             entry.data_version = version
             entry.content_files = [
@@ -747,6 +754,11 @@ class Hyperspace:
 def _scan_of(rel: Relation) -> ir.Scan:
     """Minimal Scan view of a logged Relation, for provider-backed file
     listing at refresh time (same path as create/apply)."""
+    from hyperspace_spark.sources.delta import find_delta_root
+
+    delta_root = None
+    if rel.file_format == "parquet" and len(rel.root_paths) == 1:
+        delta_root = find_delta_root(rel.root_paths[0])
     return ir.Scan(
         root_paths=list(rel.root_paths),
         file_format=rel.file_format,
@@ -754,7 +766,17 @@ def _scan_of(rel: Relation) -> ir.Scan:
         output=[],
         partition_columns=list(rel.partition_columns),
         options=dict(rel.options),
+        delta_root=delta_root,
     )
+
+
+def _signature_of(scan: ir.Scan, files: list[FileInfo]) -> str:
+    """Source signature through the scan's provider (Delta: path+version;
+    default: per-file metadata md5).  Build-time and query-time MUST agree
+    or every query takes the hybrid path."""
+    from hyperspace_spark.sources import provider_for
+
+    return provider_for(scan).signature(scan, files)
 
 
 def _column_exists(scan: ir.Scan, col: str) -> bool:

@@ -221,4 +221,24 @@ def _parse_relation(jnode) -> ir.Scan:
         output=_out_names(jnode),
         partition_columns=part_cols,
         options=scala_map(rel.options()),
+        delta_root=_detect_delta_root(fmt, paths),
     )
+
+
+def _detect_delta_root(fmt: str, paths: list[str]) -> str | None:
+    """A parquet scan whose paths all sit under one `_delta_log` table is
+    a Delta snapshot read (sources/delta.py) — identity becomes the table
+    root so indexes survive version changes."""
+    if fmt != "parquet" or not paths:
+        return None
+    from hyperspace_spark.sources.delta import find_delta_root, strip_scheme
+
+    root = find_delta_root(paths[0])
+    if root is None:
+        return None
+    sep = root.rstrip("/") + "/"
+    for p in paths:
+        sp = strip_scheme(p)
+        if sp != root and not sp.startswith(sep):
+            return None
+    return root

@@ -1,4 +1,5 @@
 from hyperspace_spark.sources.registry import (
+    DeltaLakeSourceProvider,
     FileBasedSourceProvider,
     SourceProvider,
     provider_for,
@@ -7,6 +8,7 @@ from hyperspace_spark.sources.registry import (
 
 __all__ = [
     "SourceProvider",
+    "DeltaLakeSourceProvider",
     "FileBasedSourceProvider",
     "provider_for",
     "register_provider",

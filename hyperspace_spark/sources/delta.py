@@ -1,0 +1,432 @@
+"""Delta Lake source support via the PUBLIC Delta transaction-log protocol.
+
+`delta-spark` is not installed in this environment, so instead of binding
+to the library this module reads the open on-disk protocol directly
+(https://github.com/delta-io/delta/blob/master/PROTOCOL.md): a Delta
+table is a directory of parquet data files plus `_delta_log/` holding
+one JSON action file per commit (`%020d.json`) and optional parquet
+checkpoints advertised by `_last_checkpoint`.  Replaying `add` / `remove`
+/ `metaData` actions up to a version yields that version's snapshot —
+exactly what DeltaLog.snapshot gives delta-spark users.
+
+Reference parity (index/sources/delta/DeltaLakeRelation.scala:40-215):
+
+- snapshot file enumeration comes from the LOG, never a directory
+  listing — dead (removed / compacted-away) files still present on disk
+  are invisible, and at 100 TB the log replay is O(log size), not
+  O(file count) of remote list calls;
+- the source signature is (table path + version), so an unchanged
+  version short-circuits candidate checks without any file listing;
+- time travel: `read_delta(spark, path, version=N)` pins the scan to an
+  older snapshot; the planner's hybrid-scan machinery then compensates
+  the diff between the indexed version and the queried version (files
+  added since N are excluded via the lineage anti-filter, files removed
+  since N are unioned back from a direct scan).  This replaces the
+  reference's `closestIndex` selection among retained index log versions
+  (DeltaLakeRelation.scala:179-215) — one active index version serves
+  every table version within the hybrid-scan thresholds.
+
+Write support (`write_delta`, `remove_files`, `write_checkpoint`) covers
+what tests and local pipelines need — single-writer, protocol version
+(1, 2), hive-layout partition directories.  It is NOT a full multi-writer
+commit protocol (no LogStore atomic-rename guarantees beyond O_EXCL).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+
+LOG_DIR = "_delta_log"
+
+
+def strip_scheme(p: str) -> str:
+    if p.startswith("file://"):
+        return p[len("file://"):]
+    if p.startswith("file:"):
+        return p[len("file:"):]
+    return p
+
+
+def is_delta_root(path: str) -> bool:
+    return os.path.isdir(os.path.join(strip_scheme(path), LOG_DIR))
+
+
+_ROOT_CACHE: dict[str, str | None] = {}
+
+
+def find_delta_root(path: str, max_up: int = 4) -> str | None:
+    """Nearest ancestor (or the path itself) holding `_delta_log`.
+
+    Bounded walk: scan paths are either the table root or data files at
+    most a few partition directories below it."""
+    p = strip_scheme(path).rstrip("/")
+    start = p
+    hit = _ROOT_CACHE.get(start)
+    if hit is not None and is_delta_root(hit):
+        return hit
+    for _ in range(max_up + 1):
+        if is_delta_root(p):
+            # Only positive hits are cached: a plain directory can BECOME
+            # a Delta table later in the session.
+            _ROOT_CACHE[start] = p
+            return p
+        parent = os.path.dirname(p)
+        if parent == p:
+            break
+        p = parent
+    return None
+
+
+@dataclass
+class DeltaSnapshot:
+    root: str
+    version: int
+    schema_json: str = ""
+    partition_columns: list[str] = field(default_factory=list)
+    # relative path -> (size, modificationTime ms)
+    adds: dict[str, tuple[int, int]] = field(default_factory=dict)
+
+    def file_paths(self) -> list[str]:
+        return sorted(os.path.join(self.root, p) for p in self.adds)
+
+
+class DeltaLog:
+    """Reader for one table's `_delta_log`; instances are cheap, state is
+    re-read per call (commits are immutable; only the tip moves)."""
+
+    def __init__(self, root: str):
+        self.root = strip_scheme(root).rstrip("/")
+        self.log_dir = os.path.join(self.root, LOG_DIR)
+        if not os.path.isdir(self.log_dir):
+            raise FileNotFoundError(f"not a Delta table (no {LOG_DIR}): {root}")
+
+    # -- log file enumeration ------------------------------------------
+    def _commit_versions(self) -> list[int]:
+        out = []
+        for n in os.listdir(self.log_dir):
+            if n.endswith(".json") and n[:-5].isdigit():
+                out.append(int(n[:-5]))
+        return sorted(out)
+
+    def latest_version(self) -> int:
+        versions = self._commit_versions()
+        cp = self._last_checkpoint()
+        best = versions[-1] if versions else -1
+        if cp is not None:
+            best = max(best, int(cp["version"]))
+        if best < 0:
+            raise FileNotFoundError(f"empty Delta log at {self.log_dir}")
+        return best
+
+    def _last_checkpoint(self) -> dict | None:
+        p = os.path.join(self.log_dir, "_last_checkpoint")
+        if not os.path.isfile(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def _checkpoint_paths(self, cp: dict) -> list[str]:
+        v = int(cp["version"])
+        parts = cp.get("parts")
+        if parts:
+            return [
+                os.path.join(
+                    self.log_dir, f"{v:020d}.checkpoint.{i + 1:010d}.{int(parts):010d}.parquet"
+                )
+                for i in range(int(parts))
+            ]
+        return [os.path.join(self.log_dir, f"{v:020d}.checkpoint.parquet")]
+
+    # -- snapshot replay ----------------------------------------------
+    def snapshot(self, version: int | None = None) -> DeltaSnapshot:
+        target = self.latest_version() if version is None else int(version)
+        snap = DeltaSnapshot(root=self.root, version=target)
+        start = 0
+        cp = self._last_checkpoint()
+        if cp is not None and int(cp["version"]) <= target:
+            self._apply_checkpoint(snap, cp)
+            start = int(cp["version"]) + 1
+        for v in range(start, target + 1):
+            p = os.path.join(self.log_dir, f"{v:020d}.json")
+            if not os.path.isfile(p):
+                if v <= (int(cp["version"]) if cp else -1):
+                    continue  # compacted into the checkpoint
+                raise FileNotFoundError(f"missing Delta commit {v} at {self.log_dir}")
+            with open(p) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        self._apply_action(snap, json.loads(line))
+        return snap
+
+    def _apply_checkpoint(self, snap: DeltaSnapshot, cp: dict) -> None:
+        import pyarrow.parquet as pq
+
+        for path in self._checkpoint_paths(cp):
+            tbl = pq.read_table(path)
+            cols = set(tbl.column_names)
+            for row in tbl.to_pylist():
+                for kind in ("metaData", "add", "remove"):
+                    if kind in cols and row.get(kind) is not None:
+                        self._apply_action(snap, {kind: row[kind]})
+
+    def _apply_action(self, snap: DeltaSnapshot, action: dict) -> None:
+        if "metaData" in action and action["metaData"]:
+            md = action["metaData"]
+            snap.schema_json = md.get("schemaString", snap.schema_json)
+            snap.partition_columns = list(md.get("partitionColumns") or [])
+        elif "add" in action and action["add"]:
+            a = action["add"]
+            snap.adds[a["path"]] = (int(a.get("size", 0)), int(a.get("modificationTime", 0)))
+        elif "remove" in action and action["remove"]:
+            snap.adds.pop(action["remove"]["path"], None)
+
+
+def read_delta(spark: "SparkSession", path: str, version: int | None = None) -> "DataFrame":
+    """Snapshot-pinned DataFrame over a Delta table (time travel via
+    ``version``).  The scan lists EXACTLY the snapshot's live files; the
+    schema comes from the log's metaData (no footer inference)."""
+    from pyspark.sql.types import StructType
+
+    log = DeltaLog(path)
+    snap = log.snapshot(version)
+    schema = StructType.fromJson(json.loads(snap.schema_json)) if snap.schema_json else None
+    files = snap.file_paths()
+    if not files:
+        if schema is None:
+            raise ValueError(f"empty Delta table with no schema at {path}")
+        return spark.createDataFrame([], schema)
+    reader = spark.read
+    if schema is not None:
+        # The full log schema covers partition columns too: with a user
+        # schema Spark takes partition-column TYPES from it instead of
+        # re-inferring them from directory names.
+        reader = reader.schema(schema)
+    if snap.partition_columns:
+        reader = reader.option("basePath", log.root)
+    return reader.parquet(*files)
+
+
+def table_version(path: str) -> int:
+    return DeltaLog(path).latest_version()
+
+
+# ---------------------------------------------------------------------------
+# Minimal single-writer commit support (tests / local pipelines).
+# ---------------------------------------------------------------------------
+def _commit(log_dir: str, version: int, actions: list[dict]) -> None:
+    os.makedirs(log_dir, exist_ok=True)
+    path = os.path.join(log_dir, f"{version:020d}.json")
+    # O_EXCL: two racing writers of the same version -> one loses loudly
+    # (the open protocol requires atomic put-if-absent from the LogStore).
+    fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    with os.fdopen(fd, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+
+def write_delta(
+    df: "DataFrame",
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Write ``df`` as a Delta commit; returns the committed version.
+
+    mode='append' adds files; mode='overwrite' additionally removes every
+    previously-live file.  Data files are staged with Spark's parquet
+    writer, then moved into the table (hive layout for partitions) and
+    committed as `add` actions."""
+    root = strip_scheme(path).rstrip("/")
+    log_dir = os.path.join(root, LOG_DIR)
+    exists = os.path.isdir(log_dir) and any(
+        n.endswith(".json") or n.endswith(".parquet") for n in os.listdir(log_dir)
+    )
+    if mode not in ("append", "overwrite"):
+        raise ValueError("mode must be 'append' or 'overwrite'")
+
+    staging = os.path.join(root, f".staging-{uuid.uuid4().hex}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+
+    adds = []
+    for dirpath, dirs, files in os.walk(staging):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        for name in files:
+            if name.startswith((".", "_")) or not name.endswith(".parquet"):
+                continue
+            src = os.path.join(dirpath, name)
+            rel_dir = os.path.relpath(dirpath, staging)
+            rel = name if rel_dir == "." else os.path.join(rel_dir, name)
+            dst = os.path.join(root, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(src, dst)
+            st = os.stat(dst)
+            part_vals = {}
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    k, _, v = seg.partition("=")
+                    part_vals[k] = v
+            adds.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": part_vals,
+                        "size": st.st_size,
+                        "modificationTime": int(st.st_mtime * 1000),
+                        "dataChange": True,
+                    }
+                }
+            )
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = []
+    if not exists:
+        version = 0
+        actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+        actions.append(_metadata_action(df, partition_by))
+    else:
+        log = DeltaLog(root)
+        version = log.latest_version() + 1
+        if mode == "overwrite":
+            prev = log.snapshot()
+            actions.extend(
+                {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": True}}
+                for p in sorted(prev.adds)
+            )
+            actions.append(_metadata_action(df, partition_by))
+    actions.extend(adds)
+    actions.append({"commitInfo": {"timestamp": now_ms, "operation": "WRITE", "operationParameters": {"mode": mode}}})
+    _commit(log_dir, version, actions)
+    return version
+
+
+def _metadata_action(df: "DataFrame", partition_by: list[str] | None) -> dict:
+    return {
+        "metaData": {
+            "id": str(uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": df.schema.json(),
+            "partitionColumns": list(partition_by or []),
+            "configuration": {},
+            "createdTime": int(time.time() * 1000),
+        }
+    }
+
+
+def remove_files(path: str, rel_paths: list[str]) -> int:
+    """Commit `remove` tombstones for the given relative paths (file-level
+    delete, e.g. after a compaction decided the files are dead)."""
+    root = strip_scheme(path).rstrip("/")
+    log = DeltaLog(root)
+    snap = log.snapshot()
+    missing = [p for p in rel_paths if p not in snap.adds]
+    if missing:
+        raise ValueError(f"not live in version {snap.version}: {missing}")
+    now_ms = int(time.time() * 1000)
+    version = snap.version + 1
+    _commit(
+        log.log_dir,
+        version,
+        [
+            {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": True}}
+            for p in rel_paths
+        ],
+    )
+    return version
+
+
+def write_checkpoint(path: str) -> int:
+    """Materialize the current snapshot as a parquet checkpoint and point
+    `_last_checkpoint` at it (readers then replay only later commits)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = strip_scheme(path).rstrip("/")
+    log = DeltaLog(root)
+    snap = log.snapshot()
+    # Explicit Arrow schema: parquet cannot hold child-less structs, and
+    # the protocol models partitionValues as map<string,string>.
+    cp_schema = pa.schema(
+        [
+            (
+                "protocol",
+                pa.struct(
+                    [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+                ),
+            ),
+            (
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        ("format", pa.struct([("provider", pa.string())])),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                    ]
+                ),
+            ),
+            (
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("partitionValues", pa.map_(pa.string(), pa.string())),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    rows: list[dict] = [
+        {
+            "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+            "metaData": None,
+            "add": None,
+        },
+        {
+            "protocol": None,
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet"},
+                "schemaString": snap.schema_json,
+                "partitionColumns": snap.partition_columns,
+            },
+            "add": None,
+        },
+    ]
+    for rel, (size, mtime) in sorted(snap.adds.items()):
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": {
+                    "path": rel,
+                    "partitionValues": [],
+                    "size": size,
+                    "modificationTime": mtime,
+                    "dataChange": False,
+                },
+            }
+        )
+    tbl = pa.Table.from_pylist(rows, schema=cp_schema)
+    cp_path = os.path.join(log.log_dir, f"{snap.version:020d}.checkpoint.parquet")
+    pq.write_table(tbl, cp_path)
+    with open(os.path.join(log.log_dir, "_last_checkpoint"), "w") as f:
+        json.dump({"version": snap.version, "size": len(rows)}, f)
+    return snap.version

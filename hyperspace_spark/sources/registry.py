@@ -65,23 +65,55 @@ class FileBasedSourceProvider(SourceProvider):
 
 
 class DeltaLakeSourceProvider(SourceProvider):
-    """Delta tables: signature = table version + path so time travel maps
-    index versions to table versions (reference: DeltaLakeRelation.scala
-    :40-43, closestIndex :179-215).  Requires delta-spark at runtime."""
+    """Delta tables, via the open `_delta_log` protocol (sources/delta.py
+    — no delta-spark needed).  Signature = table path + version so time
+    travel maps index versions to table versions (reference:
+    DeltaLakeRelation.scala:40-43, closestIndex :179-215).
+
+    A scan qualifies when its paths live under a `_delta_log` table root
+    (the parser marks `scan.delta_root`).  Live files come from the scan's
+    own pinned file list when the scan reads explicit files (query time,
+    possibly time-traveled), or from the latest snapshot's replay when the
+    scan is the table root (index create/refresh) — never from a directory
+    listing, so dead files are invisible and at scale enumeration is
+    O(log), not O(list calls)."""
 
     name = "delta"
 
     def supports(self, scan: "ir.Scan") -> bool:
-        return scan.file_format == "delta"
+        return bool(getattr(scan, "delta_root", None))
 
     def live_files(self, scan: "ir.Scan", fs: "FileSystem") -> list[FileInfo]:
-        raise NotImplementedError(
-            "delta-spark is not installed in this environment; install it and "
-            "this provider lists the snapshot's AddFiles via DeltaLog"
-        )
+        from hyperspace_spark.sources.delta import DeltaLog, strip_scheme
+
+        root = strip_scheme(scan.delta_root)
+        paths = [strip_scheme(p) for p in scan.root_paths]
+        if paths == [root]:
+            paths = DeltaLog(root).snapshot().file_paths()
+        out: list[FileInfo] = []
+        for p in paths:
+            for st in fs.list_files_recursive(p):
+                out.append(FileInfo(st.path, st.size, st.mtime))
+        return out
 
     def signature(self, scan: "ir.Scan", files: list[FileInfo]) -> str:
-        raise NotImplementedError("delta table version + path signature needs delta-spark")
+        """md5(root + version-whose-file-set-matches).  Walks versions from
+        the tip down, so the common un-time-traveled case is one set
+        comparison; falls back to the per-file signature for a file set no
+        single version produced."""
+        import hashlib
+
+        from hyperspace_spark.sources.delta import DeltaLog, strip_scheme
+
+        root = strip_scheme(scan.delta_root)
+        log = DeltaLog(root)
+        got = {strip_scheme(f.path) for f in files}
+        latest = log.latest_version()
+        for v in range(latest, -1, -1):
+            snap = log.snapshot(v)
+            if set(snap.file_paths()) == got:
+                return hashlib.md5(f"delta:{root}@{v}".encode()).hexdigest()
+        return file_based_signature(files)
 
 
 _PROVIDERS: list[SourceProvider] = [DeltaLakeSourceProvider(), FileBasedSourceProvider()]

@@ -82,6 +82,7 @@ class Workspace:
         self.root = f"/tmp/hs_workload_{tag}"
         self.li_byship = f"{self.root}/li_byship"
         self.orders_app = f"{self.root}/orders_app"
+        self.delta_orders = f"{self.root}/delta_orders"
         self.hs = Hyperspace(spark, system_path=f"{self.root}/indexes")
 
     def ensure(self) -> "Workspace":
@@ -109,6 +110,12 @@ class Workspace:
             o.filter("o_orderkey % 97 = 0").coalesce(1).write.mode("overwrite").parquet(
                 f"{self.root}/orders_delta"
             )
+        if not os.path.isdir(f"{self.delta_orders}/_delta_log"):
+            from hyperspace_spark.sources.delta import write_delta
+
+            o = _t(self.spark, self.sf_dir, "orders")
+            write_delta(o, self.delta_orders)  # v0: full table
+            write_delta(o.filter("o_orderkey % 89 = 0"), self.delta_orders)  # v1: ~1% append
 
     def _active(self, name: str) -> bool:
         from hyperspace_spark.metadata.entry import States
@@ -236,6 +243,13 @@ class Workspace:
                 ),
             ),
             (
+                # Covering index over a DELTA table (open-protocol log
+                # reader, sources/delta.py): version-pinned signature,
+                # snapshot-listed files.
+                "w_delta_cov",
+                lambda: self._create_delta_index(CoveringIndexConfig),
+            ),
+            (
                 # Join-key index on orders_app, built BEFORE the staged
                 # delta lands -> exercises the U5-equivalent hybrid JOIN
                 # (index ∪ appended files, planner/rules.py JoinIndexRule).
@@ -255,6 +269,16 @@ class Workspace:
             if not self._active(name):
                 build()
         self._ensure_hybrid_delta()
+
+    def _create_delta_index(self, CoveringIndexConfig) -> None:
+        from hyperspace_spark.sources.delta import read_delta
+
+        self.hs.create_index(
+            read_delta(self.spark, self.delta_orders),
+            CoveringIndexConfig(
+                "w_delta_cov", ["o_custkey"], ["o_orderkey", "o_totalprice"]
+            ),
+        )
 
     def _build_zorder(self, ZOrderCoveringIndexConfig, name, table, indexed, included) -> None:
         """Z-order index clustered into ~12 range partitions so per-file
@@ -409,6 +433,38 @@ def zorder_filter_2d(spark, sf_dir):
             "l_orderkey",
             "l_quantity",
             F.round("l_extendedprice", 2).alias("price"),
+        )
+    )
+    return ws.hs.apply(df)
+
+
+@q(
+    "delta_filter_index",
+    """
+    SELECT o_custkey, round(sum(o_totalprice), 2) AS sum_total, count(*) AS cnt
+    FROM (
+      SELECT * FROM orders
+      UNION ALL SELECT * FROM orders WHERE o_orderkey % 89 = 0
+    ) WHERE o_custkey BETWEEN 400 AND 500
+    GROUP BY o_custkey
+    """,
+)
+def delta_filter_index(spark, sf_dir):
+    """Covering-index filter over a Delta table read through the open
+    `_delta_log` protocol (no delta-spark).  The oracle reconstructs the
+    table's v1 content (v0 full orders + the ~1% v1 append)."""
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.sources.delta import read_delta
+
+    ws = workspace(spark, sf_dir)
+    df = (
+        read_delta(spark, ws.delta_orders)
+        .filter("o_custkey BETWEEN 400 AND 500")
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+            F.count("*").alias("cnt"),
         )
     )
     return ws.hs.apply(df)

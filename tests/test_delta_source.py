@@ -1,0 +1,176 @@
+"""Delta Lake source: open-protocol log reader, snapshots, time travel,
+and index lifecycle over a Delta table.
+
+Reference: index/sources/delta/DeltaLakeRelation.scala:40-215 (version
+signature, snapshot file enumeration, time-travel candidate selection).
+No delta-spark in this environment — tables are written and read via the
+public `_delta_log` JSON/checkpoint protocol (sources/delta.py).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hyperspace_spark import CoveringIndexConfig, Hyperspace
+from hyperspace_spark.sources.delta import (
+    DeltaLog,
+    read_delta,
+    remove_files,
+    table_version,
+    write_delta,
+    write_checkpoint,
+)
+
+from tests.conftest import rows_equal, table
+
+
+@pytest.fixture()
+def dtab(spark, tmp_path):
+    """orders split into two commits: v0 = ~2/3 of rows, v1 appends the rest."""
+    root = str(tmp_path / "orders_delta")
+    o = table(spark, "orders")
+    v0 = write_delta(o.filter("o_orderkey % 3 != 0"), root, mode="append")
+    v1 = write_delta(o.filter("o_orderkey % 3 = 0"), root, mode="append")
+    assert (v0, v1) == (0, 1)
+    return root
+
+
+def test_snapshot_and_read_roundtrip(spark, dtab):
+    o = table(spark, "orders")
+    got = read_delta(spark, dtab)
+    assert got.count() == o.count()
+    assert sorted(map(tuple, got.select("o_orderkey", "o_custkey").collect())) == sorted(
+        map(tuple, o.select("o_orderkey", "o_custkey").collect())
+    )
+    assert table_version(dtab) == 1
+
+
+def test_time_travel_reads_pinned_version(spark, dtab):
+    o = table(spark, "orders")
+    v0 = read_delta(spark, dtab, version=0)
+    assert v0.count() == o.filter("o_orderkey % 3 != 0").count()
+
+
+def test_remove_files_hides_rows(spark, dtab):
+    snap = DeltaLog(dtab).snapshot(0)
+    victim = sorted(snap.adds)[0]
+    remove_files(dtab, [victim])
+    latest = DeltaLog(dtab).snapshot()
+    assert victim not in latest.adds
+    # Time travel still sees the removed file.
+    assert victim in DeltaLog(dtab).snapshot(1).adds
+    assert read_delta(spark, dtab).count() < read_delta(spark, dtab, version=1).count()
+
+
+def test_checkpoint_replay_equivalent(spark, dtab):
+    before = sorted(DeltaLog(dtab).snapshot().adds)
+    cp_version = write_checkpoint(dtab)
+    assert cp_version == 1
+    # Reader starting from the checkpoint sees the same snapshot.
+    after = sorted(DeltaLog(dtab).snapshot().adds)
+    assert before == after
+    # And later commits still replay on top of the checkpoint.
+    o = table(spark, "orders")
+    write_delta(o.filter("o_orderkey = 1").limit(1), dtab, mode="append")
+    assert table_version(dtab) == 2
+
+
+def test_partitioned_table_roundtrip(spark, tmp_path):
+    root = str(tmp_path / "part_delta")
+    o = table(spark, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    write_delta(o, root, mode="append", partition_by=["o_orderpriority"])
+    got = read_delta(spark, root)
+    assert DeltaLog(root).snapshot().partition_columns == ["o_orderpriority"]
+    assert got.schema["o_orderpriority"].dataType.simpleString() == "string"
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, o.collect()))
+
+
+def test_index_on_delta_exact_version(spark, dtab, tmp_path):
+    hs = Hyperspace(spark, system_path=str(tmp_path / "idx"))
+    hs.create_index(
+        read_delta(spark, dtab),
+        CoveringIndexConfig("d_cov", ["o_custkey"], ["o_orderkey", "o_totalprice"]),
+    )
+    q = read_delta(spark, dtab).filter(F.col("o_custkey") == 14).select(
+        "o_orderkey", "o_totalprice"
+    )
+    fast, used = hs._apply_with_info(q)
+    assert used == ["d_cov"], hs.why_not(q)
+    assert rows_equal(q, fast)
+    # Version-pinned signature: the entry fingerprint is path+version, not
+    # a per-file listing hash.
+    entry = next(e for e in hs._active_entries(hs.conf()) if e.name == "d_cov")
+    import hashlib
+
+    assert entry.signature == hashlib.md5(f"delta:{dtab}@1".encode()).hexdigest()
+
+
+def test_index_survives_delta_append_hybrid(spark, dtab, tmp_path):
+    hs = Hyperspace(spark, system_path=str(tmp_path / "idx"))
+    hs.create_index(
+        read_delta(spark, dtab),
+        CoveringIndexConfig("d_app", ["o_custkey"], ["o_orderkey"]),
+    )
+    o = table(spark, "orders")
+    write_delta(o.filter("o_orderkey % 97 = 0"), dtab, mode="append")  # v2
+    q = read_delta(spark, dtab).filter("o_custkey < 100").select("o_orderkey", "o_custkey")
+    fast, used = hs._apply_with_info(q)
+    assert used == ["d_app"], hs.why_not(q)
+    assert rows_equal(q, fast)
+
+
+def test_index_serves_time_travel_query(spark, tmp_path):
+    """Index built at v1; a v0 query gets the pinned older snapshot via
+    hybrid-delete compensation (lineage anti-filter) — the PySpark-native
+    answer to the reference's closestIndex (DeltaLakeRelation.scala:179-215).
+    The version diff must stay inside the hybrid byte-ratio thresholds
+    (a ~5% append here; a 1/3 diff is correctly rejected as TOO_MUCH_DELETED)."""
+    root = str(tmp_path / "tt_delta")
+    o = table(spark, "orders")
+    write_delta(o.filter("o_orderkey % 19 != 0"), root)          # v0: ~95%
+    write_delta(o.filter("o_orderkey % 19 = 0"), root)           # v1: +5%
+    hs = Hyperspace(spark, system_path=str(tmp_path / "idx"))
+    hs.create_index(
+        read_delta(spark, root),
+        CoveringIndexConfig("d_tt", ["o_custkey"], ["o_orderkey"]),
+    )
+    q = read_delta(spark, root, version=0).filter("o_custkey < 200").select(
+        "o_orderkey", "o_custkey"
+    )
+    fast, used = hs._apply_with_info(q)
+    assert used == ["d_tt"], hs.why_not(q)
+    assert rows_equal(q, fast)
+
+
+def test_refresh_full_on_delta_uses_snapshot(spark, dtab, tmp_path):
+    """Full refresh re-reads the CURRENT snapshot (not a directory listing
+    that would resurrect dead files)."""
+    hs = Hyperspace(spark, system_path=str(tmp_path / "idx"))
+    hs.create_index(
+        read_delta(spark, dtab),
+        CoveringIndexConfig("d_rf", ["o_custkey"], ["o_orderkey"]),
+    )
+    snap = DeltaLog(dtab).snapshot(0)
+    victim = sorted(snap.adds)[0]
+    remove_files(dtab, [victim])  # v2: dead file still on disk
+    assert os.path.exists(os.path.join(dtab, victim))
+    hs.refresh_index("d_rf", "full")
+    q = read_delta(spark, dtab).filter("o_custkey < 500").select("o_orderkey", "o_custkey")
+    fast, used = hs._apply_with_info(q)
+    assert used == ["d_rf"], hs.why_not(q)
+    assert rows_equal(q, fast)
+    entry = next(e for e in hs._active_entries(hs.conf()) if e.name == "d_rf")
+    import hashlib
+
+    assert entry.signature == hashlib.md5(f"delta:{dtab}@2".encode()).hexdigest()
+
+
+def test_overwrite_mode_replaces_content(spark, tmp_path):
+    root = str(tmp_path / "ow_delta")
+    o = table(spark, "orders")
+    write_delta(o.filter("o_orderkey % 2 = 0"), root)
+    write_delta(o.filter("o_orderkey % 2 = 1"), root, mode="overwrite")
+    got = read_delta(spark, root)
+    assert got.filter("o_orderkey % 2 = 0").count() == 0
+    assert got.count() == o.filter("o_orderkey % 2 = 1").count()

@@ -107,6 +107,7 @@ def test_accelerated_queries_actually_use_indexes(spark):
         "zorder_filter_2d": "w_li_z",
         "hybrid_scan_append": "w_oapp_cov",
         "hybrid_join_append": "w_oapp_join",
+        "delta_filter_index": "w_delta_cov",
     }
     for qname, idx in checks.items():
         df = entry_mod.queries()[qname](spark, SF_DIR)

@@ -138,7 +138,9 @@ def test_join_ranker_prefers_equal_buckets():
     assert sorted(applied.index_names) == ["l16", "r16"]  # equal bucket counts win
 
 
-def test_join_rule_skips_appended_candidates():
+def test_join_rule_accepts_appended_candidates():
+    """U5 equivalent: an appended-files candidate no longer disables the
+    join rule (the scan side becomes index ∪ appended files)."""
     l, r = scan(("a", "b")), scan(("x", "y"))
     join = ir.JoinN(left=l, right=r, join_type="inner", equi_keys=[("a", "x")])
     lc = Candidate(entry=make_entry("li", indexed=("a",), included=("b",)),
@@ -146,7 +148,24 @@ def test_join_rule_skips_appended_candidates():
                    common_bytes=1, total_bytes=2)
     rc = Candidate(entry=make_entry("ri", indexed=("x",), included=("y",)))
     ctx = RuleContext(None, HyperspaceConf(system_path="/idx"), {id(l): [lc], id(r): [rc]})
-    assert JoinIndexRule().apply(join, ctx) is None
+    applied = JoinIndexRule().apply(join, ctx)
+    assert applied is not None and sorted(applied.index_names) == ["li", "ri"]
+
+
+def test_join_rule_prefers_append_free_pair():
+    """When both an exact and an appended candidate cover a side, the
+    append-free pair wins the ranking (no union/re-shuffle needed)."""
+    l, r = scan(("a", "b")), scan(("x", "y"))
+    join = ir.JoinN(left=l, right=r, join_type="inner", equi_keys=[("a", "x")])
+    lc_app = Candidate(entry=make_entry("li_app", indexed=("a",), included=("b",)),
+                       appended=[FileInfo("/src/new", 1, 1)], hybrid=True,
+                       common_bytes=1, total_bytes=2)
+    lc_ok = Candidate(entry=make_entry("li_ok", indexed=("a",), included=("b",)))
+    rc = Candidate(entry=make_entry("ri", indexed=("x",), included=("y",)))
+    ctx = RuleContext(None, HyperspaceConf(system_path="/idx"),
+                      {id(l): [lc_app, lc_ok], id(r): [rc]})
+    applied = JoinIndexRule().apply(join, ctx)
+    assert applied is not None and sorted(applied.index_names) == ["li_ok", "ri"]
 
 
 def test_optimizer_join_beats_two_filters():
@@ -187,10 +206,13 @@ def test_source_provider_registry():
     from hyperspace_spark.sources import FileBasedSourceProvider, provider_for
 
     assert isinstance(provider_for(scan()), FileBasedSourceProvider)
-    delta_scan = ir.Scan(root_paths=["/d"], file_format="delta", output=["a"])
+    # Delta scans are recognized by delta_root (set by the parser when the
+    # paths live under a `_delta_log` table), not by a format string.
+    delta_scan = ir.Scan(
+        root_paths=["/d/part-0.parquet"], file_format="parquet", output=["a"], delta_root="/d"
+    )
     assert provider_for(delta_scan).name == "delta"
-    with pytest.raises(NotImplementedError):
-        provider_for(delta_scan).live_files(delta_scan, None)
+    assert delta_scan.normalized_paths() == ("/d",)
     with pytest.raises(ValueError):
         provider_for(ir.Scan(root_paths=["/k"], file_format="kafka", output=[]))
 
