@@ -75,18 +75,39 @@ def doc_shingles(df: "DataFrame", n: int, text_col: str = "text", id_col: str = 
     )
 
 
+def cap_shingle_df(sh: "DataFrame", max_df: int) -> "DataFrame":
+    """Drop shingles whose DOCUMENT FREQUENCY exceeds ``max_df`` before any
+    shingle self-join.  A shingle in k docs emits k² join rows — one viral
+    boilerplate line produces a straggler task at 100 TB.  Similarity is
+    then computed over the filtered shingle universe (both intersection
+    and sizes), which barely moves Jaccard at threshold ≥ 0.5: hot
+    shingles are shared by near-everything, so they inflate |A∩B| and
+    |A∪B| together."""
+    from pyspark.sql import functions as F
+
+    ok = sh.groupBy("shingle").agg(F.count("*").alias("_df")).filter(
+        F.col("_df") <= max_df
+    ).select("shingle")
+    return sh.join(ok, "shingle")  # AQE broadcasts when small
+
+
 def ngram_jaccard_pairs(
     df: "DataFrame",
     n: int = 3,
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
 ) -> "DataFrame":
     """Exact word-n-gram Jaccard similarity join: pairs (a < b) with
-    |A∩B| / |A∪B| >= threshold.  Output: (id_a, id_b, jaccard)."""
+    |A∩B| / |A∪B| >= threshold.  Output: (id_a, id_b, jaccard).
+    ``max_shingle_df`` engages the hot-shingle cap (see cap_shingle_df)."""
     from pyspark.sql import functions as F
 
-    sh = doc_shingles(df, n, text_col, id_col).cache()
+    sh = doc_shingles(df, n, text_col, id_col)
+    if max_shingle_df is not None:
+        sh = cap_shingle_df(sh, max_shingle_df)
+    sh = sh.cache()
     sizes = sh.groupBy("_id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -111,12 +132,15 @@ def minhash_signatures(
     num_hashes: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingles: "DataFrame | None" = None,
 ) -> "DataFrame":
     """(id, mh_0..mh_{H-1}) via H universal-hash permutations of shingle
-    hashes, each a plain `min` aggregate (map-side combined)."""
+    hashes, each a plain `min` aggregate (map-side combined).
+    ``shingles`` reuses a precomputed (cached) doc_shingles frame so the
+    LSH pipeline shingles each document once, not once per stage."""
     from pyspark.sql import functions as F
 
-    sh = doc_shingles(df, n, text_col, id_col).withColumn(
+    sh = (shingles if shingles is not None else doc_shingles(df, n, text_col, id_col)).withColumn(
         "h", shingle_hash_col(F.col("shingle")) % F.lit(_MERSENNE)
     )
     aggs = [
@@ -144,7 +168,10 @@ def minhash_lsh_pairs(
     from pyspark.sql import functions as F
 
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, n, num_hashes, text_col, id_col)
+    # One shingle pass feeds BOTH the signature build and the verify stage
+    # (the double pass was the top cost of the whole bench, r1 verdict).
+    sh_cached = doc_shingles(df, n, text_col, id_col).cache()
+    sigs = minhash_signatures(df, n, num_hashes, text_col, id_col, shingles=sh_cached)
     band_cols = []
     for bi in range(bands):
         cols = [F.col(f"mh_{bi * rows_per_band + r}") for r in range(rows_per_band)]
@@ -169,7 +196,7 @@ def minhash_lsh_pairs(
     # scales with |candidates| x shingles/doc, never N².
     from pyspark.sql import functions as F
 
-    sh = doc_shingles(df, n, text_col, id_col)
+    sh = sh_cached
     sizes = sh.groupBy("_id").agg(F.count("*").alias("sz"))
     a_sh = pairs.join(sh.select(F.col("_id").alias("id_a"), "shingle"), "id_a")
     inter = (
@@ -271,21 +298,30 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    method: str = "blas",
+    method: str = "blocked",
+    n_blocks: int = 8,
 ) -> "DataFrame":
     """Exact cosine near-dup pairs (a < b, cosine >= threshold).
 
-    method='blas' (default): blocked matrix multiply via mapInPandas —
-    each Arrow batch of rows computes `block @ corpusᵀ` with numpy/BLAS
-    against a broadcast normalized corpus matrix.  ~100× the throughput
-    of per-pair expression evaluation; this is the all-pairs
-    verification kernel (at 100 TB the corpus side is itself blocked /
-    pre-filtered by LSH buckets — see similarity.lsh_bucketed_pairs —
-    and the broadcast holds one block, not the world).
+    method='blocked' (default): distributed block-pair matmul.  Rows hash
+    into ``n_blocks`` blocks; every unordered block pair (i ≤ j) becomes
+    one applyInPandas group whose task runs a numpy/BLAS `Lᵢ @ Lⱼᵀ`.
+    Exact semantics are O(N²) FLOPs by definition, but the work spreads
+    over B(B+1)/2 tasks with NOTHING on the driver — replication factor
+    is B per row, so pick B ~ sqrt(2 · parallelism).  (For sub-quadratic
+    approximate dedup use similarity.lsh_bucketed_pairs.)
+
+    method='blas_smallcorpus': the corpus is collect()ed to the driver,
+    normalized once, broadcast, and each Arrow batch computes
+    `block @ corpusᵀ`.  Fastest when the corpus fits driver memory —
+    and ONLY then; this is explicitly not the 100 TB path.
 
     method='sql': pure DataFrame higher-order-function pair join —
     engine-portable reference implementation."""
     from pyspark.sql import functions as F
+
+    if method == "blocked":
+        return _blocked_pairs(emb, threshold, id_col, vec_col, n_blocks)
 
     if method == "sql":
         from hyperspace_spark.llm.similarity import dot_expr, unit_expr
@@ -301,6 +337,9 @@ def embedding_near_dup_pairs(
             .filter(F.col("cosine") >= threshold)
             .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), "cosine")
         )
+
+    if method not in ("blas_smallcorpus", "blas"):
+        raise ValueError("method must be 'blocked', 'blas_smallcorpus', or 'sql'")
 
     import numpy as np
 
@@ -337,4 +376,65 @@ def embedding_near_dup_pairs(
 
     return emb.select(id_col, vec_col).mapInPandas(
         _blocks, "id_a long, id_b long, cosine double"
+    )
+
+
+def _blocked_pairs(
+    emb: "DataFrame", threshold: float, id_col: str, vec_col: str, n_blocks: int
+) -> "DataFrame":
+    """Exact all-pairs cosine over unordered block pairs (see
+    embedding_near_dup_pairs).  Each id pair lands in EXACTLY one
+    (block_a, block_b) group, so no post-dedup is needed."""
+    from pyspark.sql import functions as F
+
+    spark = emb.sparkSession
+    B = max(2, n_blocks)
+    v = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).alias("_blk"),
+    )
+    # Static replication map: a row of block b is the LEFT side of groups
+    # (b, j) for j >= b and the RIGHT side of groups (i, b) for i < b.
+    rep = [(b, b, j, "l") for b in range(B) for j in range(b, B)]
+    rep += [(b, i, b, "r") for b in range(B) for i in range(b)]
+    rep_df = spark.createDataFrame(rep, "_blk long, bi int, bj int, side string")
+    rows = v.join(F.broadcast(rep_df), "_blk").select("bi", "bj", "side", "_id", "_v")
+
+    def _group(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        bi, bj = int(key[0]), int(key[1])
+
+        def mat(frame):
+            m = np.array(frame["_v"].tolist(), dtype=np.float64)
+            nrm = np.linalg.norm(m, axis=1)
+            nrm[nrm == 0] = 1.0
+            return frame["_id"].to_numpy(), m / nrm[:, None]
+
+        empty = pd.DataFrame({"id_a": pd.array([], dtype="int64"),
+                              "id_b": pd.array([], dtype="int64"),
+                              "cosine": pd.array([], dtype="float64")})
+        left = pdf[pdf["side"] == "l"]
+        right = left if bi == bj else pdf[pdf["side"] == "r"]
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        if bi == bj:
+            ids, m = mat(left)
+            sims = np.round(m @ m.T, 6)
+            ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+            id_a, id_b = ids[ii], ids[jj]
+        else:
+            lids, lm = mat(left)
+            rids, rm = mat(right)
+            sims = np.round(lm @ rm.T, 6)
+            ii, jj = np.nonzero(sims >= threshold)
+            id_a, id_b = lids[ii], rids[jj]
+        lo = np.minimum(id_a, id_b)
+        hi = np.maximum(id_a, id_b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": sims[ii, jj]})
+
+    return rows.groupBy("bi", "bj").applyInPandas(
+        _group, "id_a long, id_b long, cosine double"
     )

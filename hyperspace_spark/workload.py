@@ -879,7 +879,13 @@ def dedup_exact_query(spark, sf_dir):
 def dedup_ngram_jaccard_query(spark, sf_dir):
     from hyperspace_spark.llm import dedup
 
-    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.5)
+    # max_shingle_df engages the hot-shingle cap; at the synthetic corpus's
+    # df ceiling (7) it drops nothing, so the exact oracle still matches —
+    # the cap is load-bearing only when boilerplate exists (tested in
+    # tests/test_llm_ops.py with an injected hot line).
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5, max_shingle_df=64
+    )
 
 
 @q("dedup_minhash_lsh", None)  # approximate by construction -> rows-only check

@@ -257,3 +257,57 @@ def test_multimodal_real_decode_raises(spark):
     media = multimodal.synthetic_media_df(spark, n=2)
     with pytest.raises(NotImplementedError):
         multimodal.decode_features(media, decode="real")
+
+
+def test_blocked_embedding_kernel_matches_sql(spark, emb):
+    """The distributed block-pair kernel (no driver collect) is exact:
+    identical pairs and cosines to the portable SQL implementation."""
+    blocked = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in dedup.embedding_near_dup_pairs(emb, 0.4, method="blocked").collect()
+    }
+    sql = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in dedup.embedding_near_dup_pairs(emb, 0.4, method="sql").collect()
+    }
+    assert blocked and blocked == sql
+
+
+def test_blocked_embedding_kernel_matches_blas(spark, emb):
+    blocked = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in dedup.embedding_near_dup_pairs(emb, 0.35, method="blocked").collect()
+    }
+    blas = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in dedup.embedding_near_dup_pairs(emb, 0.35, method="blas_smallcorpus").collect()
+    }
+    assert blocked and blocked == blas
+
+
+def test_hot_shingle_cap_output_identical_at_half(spark):
+    """A boilerplate line shared by EVERY doc: the cap drops its shingles,
+    yet the threshold-0.5 output is identical to the uncapped run — near
+    dups stay near, unrelated docs that share only boilerplate stay out."""
+    import random
+
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(500)]
+    boiler = "subscribe to our newsletter for updates today"
+    docs = []
+    for d in range(40):
+        body = " ".join(rng.choice(words) for _ in range(60))
+        docs.append((2 * d, f"{body} {boiler}"))
+        if d < 6:  # near-dup partner: one word changed
+            docs.append((2 * d + 1, f"{body} {boiler}".replace("w", "w", 1) + " extra"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(df, n=3, threshold=0.5, max_shingle_df=10).collect()
+    }
+    assert uncapped, "fixture must produce near-dup pairs"
+    assert capped == uncapped
