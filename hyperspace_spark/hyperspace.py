@@ -127,6 +127,11 @@ class Hyperspace:
     def create_index(self, df: "DataFrame", config) -> None:
         conf = self.conf()
         scan = self._source_scan(df)
+        # Resolve config columns to the source SCHEMA spelling (honoring
+        # spark.sql.caseSensitive) so the stored indexedColumns always
+        # compare cleanly with parsed plans — reference ResolverUtils.
+        cs = self.spark.conf.get("spark.sql.caseSensitive", "false") == "true"
+        _resolve_config_columns(scan, config, cs)
         missing = [c for c in config.referenced_columns() if not _column_exists(scan, c)]
         if missing:
             raise HyperspaceException(f"Index config references missing columns: {missing}")
@@ -781,6 +786,22 @@ def _signature_of(scan: ir.Scan, files: list[FileInfo]) -> str:
 
 def _column_exists(scan: ir.Scan, col: str) -> bool:
     return ir.scan_has_column(scan, col)
+
+
+def _resolve_config_columns(scan: ir.Scan, config, case_sensitive: bool) -> None:
+    """Rewrite an index config's column lists to the scan's schema
+    spelling (no-op for names that do not resolve — create_index then
+    reports them missing)."""
+
+    def res(c: str) -> str:
+        return ir.resolve_column(scan, c, case_sensitive) or c
+
+    for attr in ("indexed_columns", "included_columns"):
+        if hasattr(config, attr):
+            setattr(config, attr, [res(c) for c in getattr(config, attr)])
+    for s in getattr(config, "sketches", []) or []:
+        if hasattr(s, "columns"):
+            s.columns = [res(c) for c in s.columns]
 
 
 def _op_histogram(plan_str: str) -> dict[str, int]:

@@ -140,20 +140,44 @@ def with_children(node: Node, new_children: list[Node]) -> Node:
 def scan_has_column(scan: "Scan", col: str) -> bool:
     """Top-level name, or dotted nested path resolved against the scan's
     data schema (reference: ResolverUtils nested resolution)."""
+    return resolve_column(scan, col, case_sensitive=True) is not None
+
+
+def resolve_column(scan: "Scan", col: str, case_sensitive: bool = False) -> str | None:
+    """Resolve ``col`` against the scan and return its SCHEMA spelling, or
+    None if it does not exist.  With case_sensitive=False (Spark's
+    default) each path segment matches case-insensitively when the match
+    is unambiguous (reference: util/ResolverUtils.scala:114-234)."""
+
+    def pick(name: str, candidates) -> str | None:
+        cands = list(candidates)
+        if name in cands:
+            return name
+        if not case_sensitive:
+            hits = [c for c in cands if c.lower() == name.lower()]
+            if len(hits) == 1:
+                return hits[0]
+        return None
+
     if "." not in col:
-        return col in scan.output
+        return pick(col, scan.output)
     import json as _json
 
     from pyspark.sql.types import StructType
 
     if not scan.data_schema_json:
-        return False
+        return None
     cur = StructType.fromJson(_json.loads(scan.data_schema_json))
+    out = []
     for part in col.split("."):
-        if not isinstance(cur, StructType) or part not in cur.fieldNames():
-            return False
-        cur = cur[part].dataType
-    return True
+        if not isinstance(cur, StructType):
+            return None
+        hit = pick(part, cur.fieldNames())
+        if hit is None:
+            return None
+        out.append(hit)
+        cur = cur[hit].dataType
+    return ".".join(out)
 
 
 def iter_scans(node: Node):

@@ -50,7 +50,82 @@ _PASS_THROUGH = {
 
 
 def parse_df(df) -> ir.Node:
-    return _parse(df._jdf.queryExecution().optimizedPlan())
+    plan = _parse(df._jdf.queryExecution().optimizedPlan())
+    try:
+        cs = df.sparkSession.conf.get("spark.sql.caseSensitive", "false") == "true"
+    except Exception:
+        cs = False
+    if not cs:
+        normalize_attr_case(plan)
+    return plan
+
+
+def normalize_attr_case(plan: ir.Node) -> None:
+    """Fold every attribute reference to its scan's schema spelling.
+
+    Catalyst (caseSensitive=false, the default) resolves `O_CUSTKEY`
+    against an `o_custkey` relation but KEEPS the user's spelling in
+    Filter conditions, Project outputs, and join keys, while the Scan
+    reports schema case — so the planner's string matching would silently
+    skip indexes for mixed-case queries.  Reference honors the resolver
+    the same way (util/ResolverUtils.scala:114-234).  Only the ROOT
+    segment of dotted (nested) names folds: struct-field segments come
+    from GetStructField resolution and are already schema-cased.
+    Ambiguous lower-cased names (two scans, different spellings) are
+    left untouched — matching then requires the exact spelling, which is
+    the conservative failure mode."""
+    import dataclasses
+
+    canon: dict[str, str] = {}
+    drop: set[str] = set()
+    for scan in ir.iter_scans(plan):
+        for c in scan.output:
+            k = c.lower()
+            if canon.setdefault(k, c) != c:
+                drop.add(k)
+    for k in drop:
+        canon.pop(k, None)
+    if not canon:
+        return
+
+    def fold_name(n: str) -> str:
+        root, sep, rest = n.partition(".")
+        return canon.get(root.lower(), root) + sep + rest
+
+    def fold_refs(refs: frozenset) -> frozenset:
+        return frozenset(fold_name(r) for r in refs)
+
+    def fold_expr(e):
+        if e is None or not dataclasses.is_dataclass(e):
+            return e
+        updates = {}
+        for f in dataclasses.fields(e):
+            v = getattr(e, f.name)
+            if f.name == "references" and isinstance(v, frozenset):
+                updates[f.name] = fold_refs(v)
+            elif f.name == "name" and isinstance(e, Attr):
+                updates[f.name] = fold_name(v)
+            elif dataclasses.is_dataclass(v) and not isinstance(v, type):
+                updates[f.name] = fold_expr(v)
+            elif isinstance(v, (list, tuple)) and v and dataclasses.is_dataclass(v[0]):
+                updates[f.name] = type(v)(fold_expr(x) for x in v)
+        return dataclasses.replace(e, **updates) if updates else e
+
+    def walk(node):
+        for f in getattr(node, "__dataclass_fields__", {}):
+            v = getattr(node, f)
+            if isinstance(v, ir.Node):
+                continue  # children handled below
+            if f == "references" and isinstance(v, frozenset):
+                setattr(node, f, fold_refs(v))
+            elif f == "equi_keys" and v:
+                setattr(node, f, [(fold_name(a), fold_name(b)) for a, b in v])
+            elif v is not None and dataclasses.is_dataclass(v) and not isinstance(v, ir.Node):
+                setattr(node, f, fold_expr(v))
+        for c in ir.children(node):
+            walk(c)
+
+    walk(plan)
 
 
 def _out_names(jnode) -> list[str]:

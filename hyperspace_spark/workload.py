@@ -818,11 +818,56 @@ def text_stats_query(spark, sf_dir):
     )
 
 
-@q(
-    "lang_quality",
-    None,  # language/quality heuristics are Spark-side compositions; the
-    # deterministic pieces are covered by text_stats' oracle. rows-only.
-)
+def _lang_quality_oracle() -> str:
+    """Everything in lang_quality is deterministic SQL: stopword-hit argmax
+    with fixed tie-break (en > es > fr > de, min score 1), the banded
+    quality heuristic, and min-md5-over-5-shingles fingerprinting."""
+    from hyperspace_spark.llm.text import STOPWORDS
+
+    hits = {lang: _duck_sw_hits(sw) for lang, sw in STOPWORDS.items()}
+    lang = (
+        "CASE "
+        f"WHEN en_h >= es_h AND en_h >= fr_h AND en_h >= de_h AND en_h >= 1 THEN 'en' "
+        f"WHEN es_h >= fr_h AND es_h >= de_h AND es_h >= 1 THEN 'es' "
+        f"WHEN fr_h >= de_h AND fr_h >= 1 THEN 'fr' "
+        f"WHEN de_h >= 1 THEN 'de' ELSE 'und' END"
+    )
+    nchars = "length(trim(text))"
+    ntok = f"CASE WHEN trim(text)='' THEN 0 ELSE len({_DUCK_RAW_TOKENS}) END"
+    punct = (
+        f"CASE WHEN {nchars} = 0 THEN 0.0 ELSE "
+        f"({nchars} - length(regexp_replace(trim(text), '[.,;:!?''\"()\\[\\]{{}}-]', '', 'g'))) "
+        f"* 1.0 / {nchars} END"
+    )
+    swr = f"CASE WHEN len({_DUCK_TOKENS}) <= 0 THEN 0.0 ELSE {hits['en']} * 1.0 / len({_DUCK_TOKENS}) END"
+    mean_tok = "CASE WHEN n_tokens > 0 THEN n_chars * 1.0 / n_tokens ELSE 0.0 END"
+    quality = (
+        "round((CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 0.4 WHEN n_chars > 0 THEN 0.1 ELSE 0.0 END)"
+        " + (CASE WHEN swr >= 0.05 THEN 0.3 ELSE 0.0 END)"
+        " + (CASE WHEN pr <= 0.2 THEN 0.2 ELSE 0.0 END)"
+        f" + (CASE WHEN {mean_tok} BETWEEN 3 AND 12 THEN 0.1 ELSE 0.0 END), 4)"
+    )
+    shingle_fp = (
+        f"CASE WHEN len({_DUCK_TOKENS}) < 5 THEN md5(array_to_string({_DUCK_TOKENS}, ' ')) "
+        f"ELSE list_aggregate(list_transform(range(1, greatest(len({_DUCK_TOKENS})-3, 2)), "
+        f"i -> md5(array_to_string(({_DUCK_TOKENS})[i:i+4], ' '))), 'min') END"
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             {nchars} AS n_chars, {ntok} AS n_tokens,
+             {punct} AS pr, {swr} AS swr,
+             {hits['en']} AS en_h, {hits['es']} AS es_h,
+             {hits['fr']} AS fr_h, {hits['de']} AS de_h
+      FROM documents
+    )
+    SELECT doc_id, {lang} AS lang_pred, {quality} AS quality_score,
+           {shingle_fp} AS shingle_fp
+    FROM base
+    """
+
+
+@q("lang_quality", _lang_quality_oracle())
 def lang_quality(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1121,11 +1166,40 @@ def window_tumbling_events(spark, sf_dir):
     )
 
 
-@q("session_window_events", None)  # session windows have no closed-form SQL
+@q(
+    "session_window_events",
+    """
+    WITH e AS (
+      -- DuckDB reads the parquet ts as TIMESTAMP_NS; cast to microsecond
+      -- TIMESTAMP to match Spark's timestamp_micros(ts div 1000) exactly.
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts2, value FROM events
+    ), marked AS (
+      SELECT user_id, ts2, value,
+             CASE WHEN ts2 - lag(ts2) OVER (PARTITION BY user_id ORDER BY ts2)
+                       < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_sess
+      FROM e
+    ), sess AS (
+      SELECT user_id, ts2, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts2
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(min(ts2), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
 def session_window_events(spark, sf_dir):
     """F.session_window: gap-based sessions per user (the batch face of
     the streaming session operator; the stateful custom variant lives in
-    hyperspace_spark.streaming.sessionize)."""
+    hyperspace_spark.streaming.sessionize).
+
+    Oracle: classic gaps-and-islands — a session break is a STRICT ≥gap
+    jump (Spark's session window is [start, last+gap), so an event at
+    exactly prev+gap opens a new session); cumulative sum of breaks
+    numbers the islands."""
     from pyspark.sql import functions as F
 
     _conf(spark)

@@ -1,0 +1,69 @@
+"""Plan-stability snapshots for the index-accelerated workload queries.
+
+Mirrors the reference's gold-standard plan tests
+(goldstandard/TPCDSBase.scala:41): the PLANNER'S CHOICE — which index,
+which scan strategy, how many exchanges — is serialized to a golden file
+and compared on every run, so a planner regression (an index silently no
+longer applying, a rewrite gaining a shuffle) fails a cheap test instead
+of only showing up as a bench slowdown.
+
+Regenerate by deleting tests/golden/plan_snapshots.json and re-running;
+review the diff like any golden-file change.
+"""
+
+import json
+import os
+import re
+
+import pytest
+
+from hyperspace_spark.workload import QUERIES, workspace
+
+from tests.conftest import SF_DIR
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "plan_snapshots.json")
+
+SNAPSHOT_QUERIES = [
+    "covering_filter_point",
+    "covering_filter_agg",
+    "join_cobucketed",
+    "dataskipping_minmax",
+    "zorder_filter_2d",
+    "hybrid_scan_append",
+    "hybrid_join_append",
+    "delta_filter_index",
+]
+
+
+def _snapshot(df) -> dict:
+    """Stable fingerprint of the planner's choice: which index data dirs
+    feed the scan and the join/exchange shape of the INITIAL physical plan
+    (pre-AQE, so runtime re-planning doesn't wobble the snapshot)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    indexes = sorted(set(re.findall(r"/indexes/(\w+)/v__=\d+", plan)))
+    tables = sorted(set(re.findall(r"hs_(\w+?)_v\d+", plan)))
+    return {
+        "indexes": sorted(set(indexes) | set(tables)),
+        "exchanges": plan.count("Exchange"),
+        "smj": "SortMergeJoin" in plan,
+        "bhj": "BroadcastHashJoin" in plan,
+        "reads_raw_source": "/testdata/" in plan,
+    }
+
+
+def test_plan_snapshots(spark):
+    ws = workspace(spark, SF_DIR)
+    got = {}
+    for name in SNAPSHOT_QUERIES:
+        got[name] = _snapshot(QUERIES[name](spark, SF_DIR))
+    if not os.path.exists(GOLDEN):
+        os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
+        with open(GOLDEN, "w") as f:
+            json.dump(got, f, indent=2, sort_keys=True)
+        pytest.skip("golden plan snapshot written; re-run to compare")
+    with open(GOLDEN) as f:
+        want = json.load(f)
+    assert got == want, (
+        "planner choice drifted from tests/golden/plan_snapshots.json — "
+        "if intentional, delete the golden file and re-run to regenerate"
+    )
