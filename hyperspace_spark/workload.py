@@ -86,10 +86,18 @@ class Workspace:
         self.hs = Hyperspace(spark, system_path=f"{self.root}/indexes")
 
     def ensure(self) -> "Workspace":
+        import time as _time
+
         _conf(self.spark)
         os.makedirs(self.root, exist_ok=True)
+        t0 = _time.perf_counter()
         self._ensure_copies()
+        t1 = _time.perf_counter()
         self._ensure_indexes()
+        # Staging (layout copies, the synthetic Delta table) is test-data
+        # setup, not index-build work — report separately in bench.py.
+        self.staging_sec = t1 - t0
+        self.index_build_sec = _time.perf_counter() - t1
         return self
 
     def _ensure_copies(self) -> None:
