@@ -63,6 +63,7 @@ def main() -> None:
         "hybrid_scan_append",
         "hybrid_join_append",
         "delta_filter_index",
+        "iceberg_filter_index",
         "q1_pricing_summary",
         "q3_shipping_priority",
         "q5_region_revenue",

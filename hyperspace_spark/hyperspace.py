@@ -316,6 +316,10 @@ class Hyperspace:
             from hyperspace_spark.sources.delta import read_delta
 
             return read_delta(self.spark, scan.delta_root)
+        if scan.iceberg_root:
+            from hyperspace_spark.sources.iceberg import read_iceberg
+
+            return read_iceberg(self.spark, scan.iceberg_root)
         reader = self.spark.read.format(rel.file_format)
         if rel.data_schema_json:
             reader = reader.schema(StructType.fromJson(_json.loads(rel.data_schema_json)))
@@ -760,10 +764,13 @@ def _scan_of(rel: Relation) -> ir.Scan:
     """Minimal Scan view of a logged Relation, for provider-backed file
     listing at refresh time (same path as create/apply)."""
     from hyperspace_spark.sources.delta import find_delta_root
+    from hyperspace_spark.sources.iceberg import find_iceberg_root
 
-    delta_root = None
+    delta_root = iceberg_root = None
     if rel.file_format == "parquet" and len(rel.root_paths) == 1:
         delta_root = find_delta_root(rel.root_paths[0])
+        if delta_root is None:
+            iceberg_root = find_iceberg_root(rel.root_paths[0])
     return ir.Scan(
         root_paths=list(rel.root_paths),
         file_format=rel.file_format,
@@ -772,6 +779,7 @@ def _scan_of(rel: Relation) -> ir.Scan:
         partition_columns=list(rel.partition_columns),
         options=dict(rel.options),
         delta_root=delta_root,
+        iceberg_root=iceberg_root,
     )
 
 

@@ -27,11 +27,13 @@ class Scan(Node):
     output: list[str] = field(default_factory=list)
     partition_columns: list[str] = field(default_factory=list)
     options: dict[str, str] = field(default_factory=dict)
-    # Delta table root when the scan's paths are a Delta snapshot's files
-    # (sources/delta.py).  Source IDENTITY is then the table, not the
-    # momentary file list — two scans of different versions of the same
-    # table match the same indexes (hybrid scan bridges the diff).
+    # Delta/Iceberg table root when the scan's paths are a snapshot's
+    # files (sources/delta.py, sources/iceberg.py).  Source IDENTITY is
+    # then the table, not the momentary file list — two scans of
+    # different versions of the same table match the same indexes
+    # (hybrid scan bridges the diff).
     delta_root: str | None = None
+    iceberg_root: str | None = None
     # Filled by the planner when a rule rewrites this scan:
     replacement = None  # Callable[[SparkSession], DataFrame] | None
     applied_index: str | None = None
@@ -39,6 +41,8 @@ class Scan(Node):
     def normalized_paths(self) -> tuple[str, ...]:
         if self.delta_root:
             return (_normalize_path(self.delta_root),)
+        if self.iceberg_root:
+            return (_normalize_path(self.iceberg_root),)
         return tuple(sorted(_normalize_path(p) for p in self.root_paths))
 
 

@@ -296,19 +296,22 @@ def _parse_relation(jnode) -> ir.Scan:
         output=_out_names(jnode),
         partition_columns=part_cols,
         options=scala_map(rel.options()),
-        delta_root=_detect_delta_root(fmt, paths),
+        delta_root=_detect_table_root(fmt, paths, "delta"),
+        iceberg_root=_detect_table_root(fmt, paths, "iceberg"),
     )
 
 
-def _detect_delta_root(fmt: str, paths: list[str]) -> str | None:
-    """A parquet scan whose paths all sit under one `_delta_log` table is
-    a Delta snapshot read (sources/delta.py) — identity becomes the table
-    root so indexes survive version changes."""
+def _detect_table_root(fmt: str, paths: list[str], kind: str) -> str | None:
+    """A parquet scan whose paths all sit under one Delta (`_delta_log`)
+    or Iceberg (`metadata/*.metadata.json`) table is a snapshot read —
+    identity becomes the table root so indexes survive version changes."""
     if fmt != "parquet" or not paths:
         return None
     from hyperspace_spark.sources.delta import find_delta_root, strip_scheme
+    from hyperspace_spark.sources.iceberg import find_iceberg_root
 
-    root = find_delta_root(paths[0])
+    finder = find_delta_root if kind == "delta" else find_iceberg_root
+    root = finder(paths[0])
     if root is None:
         return None
     sep = root.rstrip("/") + "/"

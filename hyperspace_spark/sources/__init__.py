@@ -1,6 +1,7 @@
 from hyperspace_spark.sources.registry import (
     DeltaLakeSourceProvider,
     FileBasedSourceProvider,
+    IcebergSourceProvider,
     SourceProvider,
     provider_for,
     register_provider,
@@ -9,6 +10,7 @@ from hyperspace_spark.sources.registry import (
 __all__ = [
     "SourceProvider",
     "DeltaLakeSourceProvider",
+    "IcebergSourceProvider",
     "FileBasedSourceProvider",
     "provider_for",
     "register_provider",

@@ -116,7 +116,57 @@ class DeltaLakeSourceProvider(SourceProvider):
         return file_based_signature(files)
 
 
-_PROVIDERS: list[SourceProvider] = [DeltaLakeSourceProvider(), FileBasedSourceProvider()]
+class IcebergSourceProvider(SourceProvider):
+    """Iceberg tables via the open table spec (sources/iceberg.py — no
+    iceberg runtime needed).  Signature = table location + snapshot id
+    (reference: IcebergRelation.scala:65-74); live files come from the
+    scan's pinned list (query time) or the current snapshot's manifests
+    (create/refresh) — never a directory listing."""
+
+    name = "iceberg"
+
+    def supports(self, scan: "ir.Scan") -> bool:
+        return bool(getattr(scan, "iceberg_root", None))
+
+    def live_files(self, scan: "ir.Scan", fs: "FileSystem") -> list[FileInfo]:
+        from hyperspace_spark.sources.delta import strip_scheme
+        from hyperspace_spark.sources.iceberg import IcebergTable
+
+        root = strip_scheme(scan.iceberg_root)
+        paths = [strip_scheme(p) for p in scan.root_paths]
+        if paths == [root]:
+            paths = IcebergTable(root).snapshot().file_paths()
+        out: list[FileInfo] = []
+        for p in paths:
+            for st in fs.list_files_recursive(p):
+                out.append(FileInfo(st.path, st.size, st.mtime))
+        return out
+
+    def signature(self, scan: "ir.Scan", files: list[FileInfo]) -> str:
+        import hashlib
+
+        from hyperspace_spark.sources.delta import strip_scheme
+        from hyperspace_spark.sources.iceberg import IcebergTable
+
+        root = strip_scheme(scan.iceberg_root)
+        tbl = IcebergTable(root)
+        got = {strip_scheme(f.path) for f in files}
+        md = tbl.metadata()
+        ordered = sorted(
+            md.get("snapshots", []), key=lambda s: s.get("timestamp-ms", 0), reverse=True
+        )
+        for s in ordered:
+            snap = tbl.snapshot(int(s["snapshot-id"]))
+            if set(snap.file_paths()) == got:
+                return hashlib.md5(f"iceberg:{root}@{snap.snapshot_id}".encode()).hexdigest()
+        return file_based_signature(files)
+
+
+_PROVIDERS: list[SourceProvider] = [
+    DeltaLakeSourceProvider(),
+    IcebergSourceProvider(),
+    FileBasedSourceProvider(),
+]
 
 
 def register_provider(provider: SourceProvider, front: bool = True) -> None:

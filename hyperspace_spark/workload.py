@@ -83,6 +83,7 @@ class Workspace:
         self.li_byship = f"{self.root}/li_byship"
         self.orders_app = f"{self.root}/orders_app"
         self.delta_orders = f"{self.root}/delta_orders"
+        self.iceberg_orders = f"{self.root}/iceberg_orders"
         self.hs = Hyperspace(spark, system_path=f"{self.root}/indexes")
 
     def ensure(self) -> "Workspace":
@@ -124,6 +125,12 @@ class Workspace:
             o = _t(self.spark, self.sf_dir, "orders")
             write_delta(o, self.delta_orders)  # v0: full table
             write_delta(o.filter("o_orderkey % 89 = 0"), self.delta_orders)  # v1: ~1% append
+        if not os.path.isdir(f"{self.iceberg_orders}/metadata"):
+            from hyperspace_spark.sources.iceberg import write_iceberg
+
+            o = _t(self.spark, self.sf_dir, "orders")
+            write_iceberg(o, self.iceberg_orders)  # s0: full table
+            write_iceberg(o.filter("o_orderkey % 83 = 0"), self.iceberg_orders)  # s1: ~1%
 
     def _active(self, name: str) -> bool:
         from hyperspace_spark.metadata.entry import States
@@ -258,6 +265,12 @@ class Workspace:
                 lambda: self._create_delta_index(CoveringIndexConfig),
             ),
             (
+                # Covering index over an ICEBERG table (open-spec
+                # metadata/manifest reader, sources/iceberg.py).
+                "w_iceberg_cov",
+                lambda: self._create_iceberg_index(CoveringIndexConfig),
+            ),
+            (
                 # Join-key index on orders_app, built BEFORE the staged
                 # delta lands -> exercises the U5-equivalent hybrid JOIN
                 # (index ∪ appended files, planner/rules.py JoinIndexRule).
@@ -285,6 +298,16 @@ class Workspace:
             read_delta(self.spark, self.delta_orders),
             CoveringIndexConfig(
                 "w_delta_cov", ["o_custkey"], ["o_orderkey", "o_totalprice"]
+            ),
+        )
+
+    def _create_iceberg_index(self, CoveringIndexConfig) -> None:
+        from hyperspace_spark.sources.iceberg import read_iceberg
+
+        self.hs.create_index(
+            read_iceberg(self.spark, self.iceberg_orders),
+            CoveringIndexConfig(
+                "w_iceberg_cov", ["o_custkey"], ["o_orderkey", "o_totalprice"]
             ),
         )
 
@@ -469,6 +492,38 @@ def delta_filter_index(spark, sf_dir):
     df = (
         read_delta(spark, ws.delta_orders)
         .filter("o_custkey BETWEEN 400 AND 500")
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+            F.count("*").alias("cnt"),
+        )
+    )
+    return ws.hs.apply(df)
+
+
+@q(
+    "iceberg_filter_index",
+    """
+    SELECT o_custkey, round(sum(o_totalprice), 2) AS sum_total, count(*) AS cnt
+    FROM (
+      SELECT * FROM orders
+      UNION ALL SELECT * FROM orders WHERE o_orderkey % 83 = 0
+    ) WHERE o_custkey BETWEEN 700 AND 800
+    GROUP BY o_custkey
+    """,
+)
+def iceberg_filter_index(spark, sf_dir):
+    """Covering-index filter over an Iceberg table read through the open
+    table spec (no iceberg runtime).  The oracle reconstructs the current
+    snapshot's content (s0 full orders + the ~1% s1 append)."""
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.sources.iceberg import read_iceberg
+
+    ws = workspace(spark, sf_dir)
+    df = (
+        read_iceberg(spark, ws.iceberg_orders)
+        .filter("o_custkey BETWEEN 700 AND 800")
         .groupBy("o_custkey")
         .agg(
             F.round(F.sum("o_totalprice"), 2).alias("sum_total"),

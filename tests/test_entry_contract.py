@@ -108,6 +108,7 @@ def test_accelerated_queries_actually_use_indexes(spark):
         "hybrid_scan_append": "w_oapp_cov",
         "hybrid_join_append": "w_oapp_join",
         "delta_filter_index": "w_delta_cov",
+        "iceberg_filter_index": "w_iceberg_cov",
     }
     for qname, idx in checks.items():
         df = entry_mod.queries()[qname](spark, SF_DIR)

@@ -32,6 +32,7 @@ SNAPSHOT_QUERIES = [
     "hybrid_scan_append",
     "hybrid_join_append",
     "delta_filter_index",
+    "iceberg_filter_index",
 ]
 
 
