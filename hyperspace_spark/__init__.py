@@ -24,6 +24,7 @@ _EXPORTS = {
     "BloomFilterSketch": "hyperspace_spark.indexes.sketches",
     "ValueListSketch": "hyperspace_spark.indexes.sketches",
     "PartitionSketch": "hyperspace_spark.indexes.sketches",
+    "IvfIndexConfig": "hyperspace_spark.indexes.ann",
 }
 
 
@@ -47,4 +48,5 @@ __all__ = [
     "BloomFilterSketch",
     "ValueListSketch",
     "PartitionSketch",
+    "IvfIndexConfig",
 ]

@@ -214,6 +214,8 @@ class Hyperspace:
             from hyperspace_spark.indexes.zorder import create_index_data as b
         elif kind == "DS":
             from hyperspace_spark.indexes.dataskipping import create_index_data as b
+        elif kind == "ANN":
+            from hyperspace_spark.indexes.ann import create_index_data as b
         else:
             raise HyperspaceException(f"Unknown index kind {kind}")
         return b
@@ -295,6 +297,11 @@ class Hyperspace:
         # Reference parity: RefreshActionBase requires ACTIVE — refreshing
         # a DELETED index must not resurrect it.
         self._require_state(name, self.conf(), States.ACTIVE, "refreshIndex")
+        latest = self._log_mgr(name, self.conf()).get_latest_stable_log()
+        if latest is not None and latest.derived_kind == "ANN" and mode != "full":
+            # IVF centroids must be refit over the whole corpus —
+            # assignment-only increments would freeze a stale quantizer.
+            mode = "full"
         if mode == "full":
             self._refresh_full(name)
         elif mode == "incremental":
@@ -348,6 +355,15 @@ class Hyperspace:
 
             return DataSkippingIndexConfig(
                 entry.name, [sketch_from_json(s) for s in p["sketches"]]
+            )
+        if entry.derived_kind == "ANN":
+            from hyperspace_spark.indexes.ann import IvfIndexConfig
+
+            return IvfIndexConfig(
+                entry.name,
+                vec_col=p["vecCol"],
+                id_col=p["idCol"],
+                n_clusters=p["nClusters"],
             )
         raise HyperspaceException(f"Unknown kind {entry.derived_kind}")
 
@@ -705,9 +721,15 @@ class Hyperspace:
         ]
         return "\n".join(l for l in lines if l)
 
-    def explain(self, df: "DataFrame", verbose: bool = False) -> str:
+    def explain(self, df: "DataFrame", verbose: bool = False, mode: str = "plaintext") -> str:
         """Plans with vs without indexes + used-index list
-        (reference: plananalysis/PlanAnalyzer.scala:48-181)."""
+        (reference: plananalysis/PlanAnalyzer.scala:48-181).
+
+        ``mode`` mirrors the reference's DisplayMode.scala: 'plaintext'
+        (default), 'console' (ANSI-highlights used index names), or
+        'html' (a <pre> block with <b> highlights, notebook-embeddable)."""
+        if mode not in ("plaintext", "console", "html"):
+            raise HyperspaceException("explain mode must be 'plaintext', 'console', or 'html'")
         accelerated, used = self._apply_with_info(df)
         orig_plan = df._jdf.queryExecution().executedPlan().toString()
         out = []
@@ -732,24 +754,91 @@ class Hyperspace:
                 a, b = orig_ops.get(op_name, 0), new_ops.get(op_name, 0)
                 if a != b:
                     out.append(f"  {op_name}: {a} -> {b}")
-        return "\n".join(out)
+        text = "\n".join(out)
+        if mode == "plaintext":
+            return text
+        if mode == "console":
+            for n in used:
+                text = text.replace(n, f"\x1b[1m{n}\x1b[0m")
+            return text
+        import html as _html
 
-    def why_not(self, df: "DataFrame", index_name: str | None = None) -> str:
+        escaped = _html.escape(text)
+        for n in used:
+            escaped = escaped.replace(_html.escape(n), f"<b>{_html.escape(n)}</b>")
+        return f"<pre>{escaped}</pre>"
+
+    def ann_search(
+        self,
+        index_name: str,
+        query_vectors: dict[int, list[float]] | None = None,
+        query_ids: list[int] | None = None,
+        k: int = 10,
+        n_probe: int = 4,
+    ) -> "DataFrame":
+        """Top-k cosine neighbors from a persisted IVF index (kind ANN).
+
+        Pass explicit ``query_vectors`` ({id: vector}), or ``query_ids``
+        to look the vectors up in the index itself."""
+        from hyperspace_spark.indexes.ann import ann_search
+
+        conf = self.conf()
+        entry = next(
+            (e for e in self._active_entries(conf) if e.name == index_name), None
+        )
+        if entry is None or entry.derived_kind != "ANN":
+            raise HyperspaceException(f"No ACTIVE ANN index named {index_name!r}.")
+        if query_vectors is None:
+            if not query_ids:
+                raise HyperspaceException("provide query_vectors or query_ids")
+            import json as _json
+
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(_json.loads(entry.derived_properties["schemaJson"]))
+            idx = (
+                self.spark.read.schema(schema)
+                .option("basePath", entry.index_data_dirs[-1])
+                .parquet(*entry.index_data_dirs)
+            )
+            rows = idx.filter(idx.vec_id.isin(list(query_ids))).select("vec_id", "unit_vec").collect()
+            found = {r.vec_id for r in rows}
+            missing = sorted(set(query_ids) - found)
+            if missing:
+                raise HyperspaceException(f"query ids not in index: {missing}")
+            query_vectors = {r.vec_id: list(r.unit_vec) for r in rows}
+        return ann_search(self.spark, entry, query_vectors, k=k, n_probe=n_probe)
+
+    def why_not(
+        self, df: "DataFrame", index_name: str | None = None, extended: bool = False
+    ) -> str:
         """Why didn't my index apply? (reference: Hyperspace.scala:183-192,
-        CandidateIndexAnalyzer.scala; reason catalog FilterReason.scala:33-158)."""
+        CandidateIndexAnalyzer.scala; reason catalog FilterReason.scala:33-158).
+
+        ``extended=True`` additionally lists every index's state, kind and
+        source roots, and keeps EVERY reason occurrence (the optimizer
+        visits the same pattern at several tree levels; the terse form
+        dedups to one line per (index, reason))."""
         reasons = Reasons()
         _, used = self._apply_with_info(df, reasons=reasons)
         conf = self.conf()
         lines = [f"Applied indexes: {', '.join(used) if used else '<none>'}"]
-        all_names = [e.name for e in self._all_latest_entries(conf)]
+        entries = self._all_latest_entries(conf)
+        all_names = [e.name for e in entries]
+        if extended:
+            lines.append("Known indexes:")
+            for e in entries:
+                if index_name is not None and e.name != index_name:
+                    continue
+                roots = ", ".join(p for r in e.relations for p in r.root_paths)
+                lines.append(f"  {e.name} [{e.derived_kind}] state={e.state} source={roots}")
         reported = {n for n, _, _ in reasons.items}
         seen = set()
         for n, reason, detail in reasons.items:
-            # The optimizer visits the same pattern at several tree levels;
-            # report each (index, reason) once.
-            if (n, reason) in seen:
-                continue
-            seen.add((n, reason))
+            if not extended:
+                if (n, reason) in seen:
+                    continue
+                seen.add((n, reason))
             if index_name is None or n == index_name:
                 lines.append(f"  {n}: {reason}" + (f" ({detail})" if detail else ""))
         for n in all_names:

@@ -1,0 +1,136 @@
+"""IVF (inverted-file) ANN index as a PERSISTED derived dataset.
+
+Extension beyond the reference (which has no vector type): the same
+metadata-log lifecycle as every other index — create / refresh / delete /
+restore / vacuum, optimistic concurrency, signature-based staleness —
+applied to an approximate-nearest-neighbor structure:
+
+- build: KMeans coarse quantizer over the (unit-normalized) embedding
+  column; rows are written PARTITIONED BY cluster id, so a probe reads
+  only `n_probe` directories — classic IVF, expressed as Spark partition
+  pruning.  Centroids live in the log entry (metadata-scale: k × dim).
+- query: `Hyperspace.ann_search(name, query_ids, k, n_probe)` picks each
+  query's nearest centroids DRIVER-side from the logged centroids (k×dim
+  numpy — microseconds), then scans only those cluster partitions and
+  scores with the JVM-side dot product.
+
+At 100 TB: the scan cost per query batch is `n_probe/k` of the corpus,
+the shuffle is one top-k window over the probed slice, and rebuilds are
+a full refresh (centroid refit); the round-1 `ivf_topk` recomputed
+KMeans per query, which is exactly what a persisted index exists to
+avoid.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class IvfIndexConfig:
+    name: str
+    vec_col: str = "embedding"
+    id_col: str = "vec_id"
+    n_clusters: int = 16
+    kind: str = field(default="ANN", init=False)
+
+    def referenced_columns(self) -> list[str]:
+        return [self.id_col, self.vec_col]
+
+
+def create_index_data(
+    spark: "SparkSession",
+    df: "DataFrame",
+    config: IvfIndexConfig,
+    conf,
+    files,
+    tracker,
+    data_dir: str,
+    name: str,
+    version: int,
+) -> dict:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.llm.similarity import unit_expr
+
+    feat = df.select(
+        F.col(config.id_col).alias("vec_id"),
+        unit_expr(F.col(config.vec_col).cast("array<double>")).alias("unit_vec"),
+    ).withColumn("features", array_to_vector(F.col("unit_vec")))
+    km = KMeans(k=config.n_clusters, seed=42, maxIter=20).fit(feat)
+    assigned = km.transform(feat).select(
+        "vec_id", "unit_vec", F.col("prediction").alias("cluster")
+    )
+    # One directory per centroid: a probe's IO is its clusters only.
+    assigned.write.partitionBy("cluster").mode("overwrite").parquet(data_dir)
+    return {
+        "vecCol": config.vec_col,
+        "idCol": config.id_col,
+        "nClusters": config.n_clusters,
+        "centroids": [list(map(float, c)) for c in km.clusterCenters()],
+        "schemaJson": assigned.schema.json(),
+    }
+
+
+def ann_search(
+    spark: "SparkSession",
+    entry,
+    query_vectors: dict[int, list[float]],
+    k: int = 10,
+    n_probe: int = 4,
+) -> "DataFrame":
+    """(query_id, neighbor_id, cosine, rank) over the persisted IVF index.
+
+    Vectors were unit-normalized at build, so cosine = dot product."""
+    import numpy as np
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from hyperspace_spark.llm.similarity import dot_expr
+
+    props = entry.derived_properties
+    cents = np.array(props["centroids"], dtype=np.float64)
+    cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    rows = []
+    probe_clusters: set[int] = set()
+    for qid, vec in query_vectors.items():
+        v = np.asarray(vec, dtype=np.float64)
+        v = v / max(float(np.linalg.norm(v)), 1e-12)
+        order = np.argsort(-(cents @ v))[:n_probe]
+        probe_clusters.update(int(c) for c in order)
+        rows.append((int(qid), [float(x) for x in v], [int(c) for c in order]))
+    qdf = spark.createDataFrame(rows, "qid long, qv array<double>, probes array<int>")
+
+    schema = StructType.fromJson(json.loads(props["schemaJson"]))
+    idx = (
+        spark.read.schema(schema)
+        .option("basePath", entry.index_data_dirs[-1])
+        .parquet(*entry.index_data_dirs)
+        # Partition pruning: only the probed cluster directories are read.
+        .filter(F.col("cluster").isin(sorted(probe_clusters)))
+    )
+    scored = (
+        idx.join(F.broadcast(qdf), F.array_contains(F.col("probes"), F.col("cluster")))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("cosine", F.round(dot_expr(F.col("qv"), F.col("unit_vec")), 6))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )

@@ -271,6 +271,13 @@ class Workspace:
                 lambda: self._create_iceberg_index(CoveringIndexConfig),
             ),
             (
+                # Persisted IVF ANN index (kind ANN, indexes/ann.py):
+                # KMeans once at build, cluster-partitioned layout,
+                # probes prune partitions — replaces per-query KMeans.
+                "w_ann_ivf",
+                lambda: self._create_ann_index(),
+            ),
+            (
                 # Join-key index on orders_app, built BEFORE the staged
                 # delta lands -> exercises the U5-equivalent hybrid JOIN
                 # (index ∪ appended files, planner/rules.py JoinIndexRule).
@@ -299,6 +306,14 @@ class Workspace:
             CoveringIndexConfig(
                 "w_delta_cov", ["o_custkey"], ["o_orderkey", "o_totalprice"]
             ),
+        )
+
+    def _create_ann_index(self) -> None:
+        from hyperspace_spark import IvfIndexConfig
+
+        self.hs.create_index(
+            _t(self.spark, self.sf_dir, "embeddings"),
+            IvfIndexConfig("w_ann_ivf", n_clusters=8),
         )
 
     def _create_iceberg_index(self, CoveringIndexConfig) -> None:
@@ -1093,11 +1108,12 @@ def ann_lsh_bucketed_query(spark, sf_dir):
 
 @q("ann_ivf_topk", None)  # approximate (kmeans) -> rows-only
 def ann_ivf_topk_query(spark, sf_dir):
-    from hyperspace_spark.llm import similarity
-
-    return similarity.ivf_topk(
-        _t(spark, sf_dir, "embeddings"), [0, 1, 2], k=5, n_clusters=8, n_probe=3
-    )
+    """Probes the PERSISTED IVF index (w_ann_ivf): KMeans ran once at
+    build; the query only picks centroids driver-side and scans the
+    probed cluster partitions.  Recall vs brute force is pytest-asserted
+    (tests/test_ann_index.py)."""
+    ws = workspace(spark, sf_dir)
+    return ws.hs.ann_search("w_ann_ivf", query_ids=[0, 1, 2], k=5, n_probe=3)
 
 
 @q("multimodal_features", None)  # synthetic media, mapInPandas plumbing -> rows-only

@@ -142,3 +142,29 @@ def test_index_applies_inside_union(spark, hs):
     fast, used = hs._apply_with_info(q)
     assert used == ["o_cust_idx", "o_cust_idx"], hs.why_not(q)
     assert rows_equal(q, fast)
+
+
+def test_explain_display_modes(spark, hs):
+    o = table(spark, "orders")
+    q = o.filter(F.col("o_custkey") == 14).select("o_orderkey", "o_totalprice")
+    plain = hs.explain(q)
+    assert "Plan with Hyperspace indexes" in plain and "<pre>" not in plain
+    html = hs.explain(q, mode="html")
+    assert html.startswith("<pre>") and html.endswith("</pre>") and "<b>" in html
+    console = hs.explain(q, mode="console")
+    assert "\x1b[1m" in console
+    import pytest as _pytest
+
+    from hyperspace_spark.hyperspace import HyperspaceException
+
+    with _pytest.raises(HyperspaceException):
+        hs.explain(q, mode="latex")
+
+
+def test_why_not_extended_lists_index_inventory(spark, hs):
+    o = table(spark, "orders")
+    q = o.filter(F.col("o_custkey") == 14).select("o_orderkey", "o_totalprice", "o_orderdate")
+    terse = hs.why_not(q)
+    ext = hs.why_not(q, extended=True)
+    assert "Known indexes:" in ext and "Known indexes:" not in terse
+    assert "state=ACTIVE" in ext
