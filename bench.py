@@ -67,6 +67,10 @@ def main() -> None:
         "q1_pricing_summary",
         "q3_shipping_priority",
         "q5_region_revenue",
+        "q6_revenue_change",
+        "q10_returned_revenue",
+        "q12_priority_shipping",
+        "q14_promo_effect",
         "window_top_orders",
         "cube_returnflag_status",
         "events_hourly_rollup",

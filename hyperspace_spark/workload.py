@@ -714,6 +714,124 @@ def q5_region_revenue(spark, sf_dir):
 
 
 @q(
+    "q6_revenue_change",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS cnt
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_change(spark, sf_dir):
+    """TPC-H Q6 (forecast revenue change) — single-scan filter+agg; the
+    date window targets the generator's 1995-2001 shipdate span."""
+    from pyspark.sql import functions as F
+
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            "l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01' "
+            "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+@q(
+    "q10_returned_revenue",
+    """
+    SELECT c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark, sf_dir):
+    """TPC-H Q10 (returned-item revenue) — 3-way join, agg, top-N with a
+    deterministic tie-break."""
+    for t in ("customer", "orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"w_{t}")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM w_customer JOIN w_orders ON c_custkey = o_custkey
+                        JOIN w_lineitem ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+        """
+    )
+
+
+@q(
+    "q12_priority_shipping",
+    """
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q12_priority_shipping(spark, sf_dir):
+    """TPC-H Q12 shape (shipping-mode priority counts; the generator has
+    no shipmode column, so l_returnflag takes its grouping role)."""
+    for t in ("orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"w_{t}")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+        FROM w_orders JOIN w_lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
+@q(
+    "q14_promo_effect",
+    """
+    SELECT round(100.0 * round(sum(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
+                 / round(sum(l_extendedprice * (1 - l_discount)), 2), 4) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    """,
+)
+def q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14 (promotion effect).  Both sums are rounded BEFORE the
+    ratio so Spark's and DuckDB's accumulation orders cannot flip the
+    final digit."""
+    for t in ("lineitem", "part"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"w_{t}")
+    return spark.sql(
+        """
+        SELECT round(100.0 * round(sum(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
+                     / round(sum(l_extendedprice * (1 - l_discount)), 2), 4) AS promo_revenue
+        FROM w_lineitem JOIN w_part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        """
+    )
+
+
+@q(
     "window_top_orders",
     """
     SELECT o_custkey, o_orderkey, rn FROM (

@@ -168,3 +168,28 @@ def test_why_not_extended_lists_index_inventory(spark, hs):
     ext = hs.why_not(q, extended=True)
     assert "Known indexes:" in ext and "Known indexes:" not in terse
     assert "state=ACTIVE" in ext
+
+
+def test_in_subquery_accelerates_scalar_subquery_safe(spark, hs, tmp_path):
+    """Catalyst lowers IN-subqueries to semi-joins before our planner
+    sees the plan, so the outer scan still gets its index; scalar
+    subqueries are not replayable (their SQL rendering is opaque) and
+    must fall back to the original plan — never wrong results."""
+    o = table(spark, "orders")
+    li = table(spark, "lineitem")
+    o.createOrReplaceTempView("ce_ov")
+    li.createOrReplaceTempView("ce_lv")
+    q_in = spark.sql(
+        "SELECT o_orderkey, o_totalprice FROM ce_ov WHERE o_custkey = 14 "
+        "AND o_orderkey IN (SELECT l_orderkey FROM ce_lv WHERE l_quantity > 45)"
+    )
+    fast, used = hs._apply_with_info(q_in)
+    assert "o_cust_idx" in used, hs.why_not(q_in)
+    assert rows_equal(q_in, fast)
+    q_scalar = spark.sql(
+        "SELECT o_orderkey, o_totalprice FROM ce_ov WHERE o_custkey = 14 "
+        "AND o_totalprice > (SELECT avg(o_totalprice) FROM ce_ov)"
+    )
+    fast2, used2 = hs._apply_with_info(q_scalar)
+    assert used2 == []
+    assert rows_equal(q_scalar, fast2)
