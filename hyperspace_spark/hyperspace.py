@@ -261,6 +261,7 @@ class Hyperspace:
                 # no lifecycle op) serving a stale rewrite; lifecycle ops
                 # bump the epoch immediately.
                 if hit is not None and time.time() - hit[2] < conf.apply_cache_ttl_sec:
+                    _telemetry_apply(hit[1], "cache")
                     return hit[0], hit[1]
             except Exception:
                 cache_key = None
@@ -286,6 +287,7 @@ class Hyperspace:
                 if len(self._apply_cache) > 256:
                     self._apply_cache.clear()
                 self._apply_cache[cache_key] = (result[0], result[1], time.time())
+            _telemetry_apply(result[1], "planned")
             return result
         except Exception:
             return df, []
@@ -908,3 +910,60 @@ def _op_histogram(plan_str: str) -> dict[str, int]:
     for m in re.finditer(r"^[\s:+*(\d)\-]*([A-Za-z]+)", plan_str, re.MULTILINE):
         ops[m.group(1)] = ops.get(m.group(1), 0) + 1
     return ops
+
+
+# ---------------------------------------------------------------------------
+# Telemetry (reference: telemetry/HyperspaceEvent.scala + EventLogger) —
+# every lifecycle action emits a typed event with duration + success, and
+# every apply() emits a usage event listing the applied indexes.
+# ---------------------------------------------------------------------------
+def _telemetry_apply(index_names: list[str], detail: str) -> None:
+    if not index_names:
+        return
+    from hyperspace_spark.telemetry import HyperspaceEvent, emit
+
+    emit(HyperspaceEvent(kind="apply", index_name=",".join(index_names), detail=detail))
+
+
+def _event_index_name(args, kwargs) -> str:
+    for v in list(args) + list(kwargs.values()):
+        if isinstance(v, str):
+            return v
+        n = getattr(v, "name", None)
+        if isinstance(n, str):
+            return n
+    return ""
+
+
+def _instrument_lifecycle() -> None:
+    import functools
+
+    from hyperspace_spark.telemetry import timed_event
+
+    for meth, kind in [
+        ("create_index", "create"),
+        ("refresh_index", "refresh"),
+        ("optimize_index", "optimize"),
+        ("delete_index", "delete"),
+        ("restore_index", "restore"),
+        ("vacuum_index", "vacuum"),
+        ("vacuum_outdated_indexes", "vacuum"),
+        ("cancel", "cancel"),
+    ]:
+        orig = getattr(Hyperspace, meth, None)
+        if orig is None:
+            continue
+
+        def wrap(orig=orig, kind=kind):
+            @functools.wraps(orig)
+            def inner(self, *args, **kwargs):
+                detail = " ".join(str(a) for a in args[1:] if isinstance(a, (str, int)))
+                with timed_event(kind, _event_index_name(args, kwargs), detail):
+                    return orig(self, *args, **kwargs)
+
+            return inner
+
+        setattr(Hyperspace, meth, wrap())
+
+
+_instrument_lifecycle()
