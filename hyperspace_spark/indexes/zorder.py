@@ -51,6 +51,14 @@ class ZOrderCoveringIndexConfig(IndexConfig):
 # ---------------------------------------------------------------------------
 # per-column value -> bounded integer mapping (reference: ZOrderField.scala)
 # ---------------------------------------------------------------------------
+def _bq(name: str):
+    """Column by LITERAL name (backquoted): flattened nested columns
+    contain dots that plain string references would parse as paths."""
+    from pyspark.sql import functions as F
+
+    return F.col(f"`{name}`") if "." in name else F.col(name)
+
+
 def _collect_stats(df: "DataFrame", cols: list[str], conf: HyperspaceConf) -> dict:
     """One aggregate job for min/max + optional approxQuantile for floats
     (reference: ZOrderCoveringIndex.collectStats :50-95)."""
@@ -59,7 +67,7 @@ def _collect_stats(df: "DataFrame", cols: list[str], conf: HyperspaceConf) -> di
     dtypes = dict(df.dtypes)
     aggs = []
     for c in cols:
-        aggs += [F.min(c).alias(f"{c}__min"), F.max(c).alias(f"{c}__max")]
+        aggs += [F.min(_bq(c)).alias(f"{c}__min"), F.max(_bq(c)).alias(f"{c}__max")]
     row = df.agg(*aggs).collect()[0].asDict()
     stats: dict = {}
     quantile_cols = [
@@ -68,7 +76,11 @@ def _collect_stats(df: "DataFrame", cols: list[str], conf: HyperspaceConf) -> di
     quantiles = {}
     if quantile_cols:
         probs = [i / 256 for i in range(1, 256)]
-        qs = df.approxQuantile(quantile_cols, probs, conf.zorder_quantile_error)
+        # approxQuantile has no literal-name form, so dotted (flattened
+        # nested) columns go through dot-free aliases.
+        safe = [f"_hs_q{i}" for i in range(len(quantile_cols))]
+        qdf = df.select(*[_bq(c).alias(a) for c, a in zip(quantile_cols, safe)])
+        qs = qdf.approxQuantile(safe, probs, conf.zorder_quantile_error)
         quantiles = dict(zip(quantile_cols, qs))
     for c in cols:
         stats[c] = {
@@ -165,35 +177,38 @@ def create_index_data(
 
     from hyperspace_spark.indexes.covering import with_lineage
 
+    from hyperspace_spark.indexes.covering import flattened_name
+
     cols = config.referenced_columns()
-    nested = [c for c in cols if "." in c]
-    if nested:
-        # Query-time reconstruction expects __hs_nested.* flattened columns
-        # which this build does not produce; reject loudly rather than
-        # create an index that can never be applied.
-        raise NotImplementedError(
-            f"z-order indexes do not support nested columns yet: {nested}; "
-            "use a CoveringIndexConfig"
-        )
+    # Nested paths flatten to literal `__hs_nested.a.b` column names — the
+    # same physical convention as covering indexes, so query-time struct
+    # reconstruction (covering._select_reconstructed) works unchanged.
+    # The flat names CONTAIN dots, so every by-name reference below must
+    # go through _bq (backquoted Column).
     projected = df
     if conf.lineage_enabled:
         projected = with_lineage(df, spark, files, tracker)
-    projected = projected.select(*cols, *([DATA_FILE_ID_COLUMN] if conf.lineage_enabled else []))
+    projected = projected.select(
+        *[F.col(c).alias(flattened_name(c)) if "." in c else F.col(c) for c in cols],
+        *([DATA_FILE_ID_COLUMN] if conf.lineage_enabled else []),
+    )
+    idx_flat = [flattened_name(c) for c in config.indexed_columns]
 
     source_bytes = sum(f.size for f in files)
     n_parts = max(1, math.ceil(source_bytes / conf.zorder_target_bytes_per_partition))
 
     stats: dict = {}
-    if len(config.indexed_columns) == 1:
+    if len(idx_flat) == 1:
         # Single column: plain range partition + sort (reference :104-113).
-        c = config.indexed_columns[0]
-        out = projected.repartitionByRange(n_parts, F.col(c)).sortWithinPartitions(c)
+        out = projected.repartitionByRange(n_parts, _bq(idx_flat[0])).sortWithinPartitions(
+            _bq(idx_flat[0])
+        )
     else:
-        stats = _collect_stats(df, config.indexed_columns, conf)
-        bits = min(16, 63 // len(config.indexed_columns))
-        zudf = make_zaddr_udf(config.indexed_columns, stats, bits)
+        stats = _collect_stats(projected, idx_flat, conf)
+        bits = min(16, 63 // len(idx_flat))
+        zudf = make_zaddr_udf(idx_flat, stats, bits)
         out = (
-            projected.withColumn(ZADDR, zudf(*[F.col(c) for c in config.indexed_columns]))
+            projected.withColumn(ZADDR, zudf(*[_bq(c) for c in idx_flat]))
             .repartitionByRange(n_parts, F.col(ZADDR))
             .sortWithinPartitions(ZADDR)
         )
@@ -205,8 +220,8 @@ def create_index_data(
         "lineage": conf.lineage_enabled,
         "schemaJson": out.schema.json(),
         "zorderStats": stats,
-        "zorderBits": min(16, 63 // max(1, len(config.indexed_columns))),
-        "fileStats": collect_file_stats(spark, data_dir, config.indexed_columns),
+        "zorderBits": min(16, 63 // max(1, len(idx_flat))),
+        "fileStats": collect_file_stats(spark, data_dir, list(config.indexed_columns)),
     }
 
 
@@ -227,12 +242,21 @@ _FILESTATS_MAX_FILES = 65536  # log-entry size guard: beyond this, skip
 
 
 def collect_file_stats(spark: "SparkSession", data_dir: str, cols: list[str]) -> dict:
-    """{file basename: {col: [min, max]}} over the written index data."""
+    """{file basename: {col: [min, max]}} over the written index data.
+
+    Keys are the ORIGINAL (possibly dotted) indexed-column names — the
+    spelling query predicates use; physical reads go through the
+    flattened `__hs_nested.` columns."""
     from pyspark.sql import functions as F
+
+    from hyperspace_spark.indexes.covering import flattened_name
 
     aggs = []
     for c in cols:
-        aggs += [F.min(c).alias(f"{c}__lo"), F.max(c).alias(f"{c}__hi")]
+        aggs += [
+            F.min(_bq(flattened_name(c))).alias(f"{c}__lo"),
+            F.max(_bq(flattened_name(c))).alias(f"{c}__hi"),
+        ]
     rows = (
         spark.read.parquet(data_dir)
         .groupBy(F.element_at(F.split(F.input_file_name(), "/"), -1).alias("_f"))
@@ -367,9 +391,11 @@ def rewrite_zorder_data(spark: "SparkSession", df: "DataFrame", props: dict, dat
     rewrite."""
     from pyspark.sql import functions as F
 
-    key = ZADDR if ZADDR in df.columns else props["indexedColumns"][0]
+    from hyperspace_spark.indexes.covering import flattened_name
+
+    key = ZADDR if ZADDR in df.columns else flattened_name(props["indexedColumns"][0])
     n = max(1, int(props.get("numBuckets", 1)))
-    df.repartitionByRange(n, F.col(key)).sortWithinPartitions(key).write.mode(
+    df.repartitionByRange(n, _bq(key)).sortWithinPartitions(_bq(key)).write.mode(
         "overwrite"
     ).parquet(data_dir)
     props["fileStats"] = collect_file_stats(spark, data_dir, props["indexedColumns"])

@@ -121,18 +121,26 @@ def test_nested_incremental_refresh(spark, hs, tmp_path):
     assert fast.count() == 1  # the appended row is served from the index
 
 
-def test_zorder_nested_rejected_at_create(spark, hs, tmp_path):
-    """Finding 5: nested z-order would build an unusable index; reject."""
+def test_zorder_nested_now_supported(spark, hs, tmp_path):
+    """Finding 5 (r1): nested z-order used to build an unusable index and
+    was rejected; round 2 flattens nested paths like covering indexes do,
+    so the build succeeds AND the index applies."""
     from hyperspace_spark import ZOrderCoveringIndexConfig
 
     d = str(tmp_path / "nested_z")
-    rows = [(i, (i * 2,)) for i in range(10)]
+    rows = [(i, (i * 2,)) for i in range(200)]
     df = spark.createDataFrame(rows, "c1 long, n struct<v:long>")
-    df.write.parquet(d)
-    with pytest.raises(Exception):
-        hs.create_index(
-            spark.read.parquet(d), ZOrderCoveringIndexConfig("zn", ["n.v"], ["c1"])
-        )
+    df.repartition(2).write.parquet(d)
+    src = spark.read.parquet(d)
+    hs.create_index(src, ZOrderCoveringIndexConfig("zn", ["n.v"], ["c1"]))
+    try:
+        q = src.filter(F.col("n.v") < 100).select("c1", "n.v")
+        fast, used = hs._apply_with_info(q)
+        assert used == ["zn"], hs.why_not(q)
+        assert sorted(map(tuple, q.collect())) == sorted(map(tuple, fast.collect()))
+    finally:
+        hs.delete_index("zn")
+        hs.vacuum_index("zn")
 
 
 def test_space_in_path_lineage_and_skipping(spark, hs, tmp_path):
