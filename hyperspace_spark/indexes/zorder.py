@@ -94,9 +94,16 @@ def _collect_stats(df: "DataFrame", cols: list[str], conf: HyperspaceConf) -> di
 
 def _to_py(v):
     import datetime
+    import decimal
 
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        # Type-tagged so comparison stays EXACT in Decimal space (a bare
+        # string would collide with genuine string columns, whose order
+        # is lexicographic; a float would be lossy) and json-serializable
+        # (entry.to_json has no default= handler).
+        return {"__dec__": str(v)}
     return v
 
 
@@ -140,8 +147,15 @@ def make_zaddr_udf(cols: list[str], stats: dict, bits_per_col: int):
                 lo, hi = 0, 1
                 vals = s.fillna(False).astype(np.float64).to_numpy()
             else:  # integral / decimal / float without quantiles
-                lo = float(st["min"]) if st["min"] is not None else 0.0
-                hi = float(st["max"]) if st["max"] is not None else 1.0
+                def num(x, default):
+                    if x is None:
+                        return default
+                    if isinstance(x, dict):  # {"__dec__": ...} from _to_py
+                        return float(x["__dec__"])
+                    return float(x)
+
+                lo = num(st["min"], 0.0)
+                hi = num(st["max"], 1.0)
                 vals = pd.to_numeric(s, errors="coerce").fillna(lo).to_numpy(dtype=np.float64)
             span = max(hi - lo, 1e-300) if isinstance(lo, float) else max(hi - lo, 1)
             scaled = (vals - float(lo)) * maxv / float(span)
@@ -277,7 +291,22 @@ def _coerce(v, ref):
     Returns None when no sound comparison exists (caller keeps the file)."""
     if isinstance(ref, bool) or isinstance(v, bool):
         return v if isinstance(v, bool) else None
+    if isinstance(ref, dict) or isinstance(v, dict):
+        # Decimal stats ({"__dec__": "123.45"}, see _to_py): exact
+        # Decimal-space comparison against numeric literals.
+        import decimal
+
+        x = v.get("__dec__") if isinstance(v, dict) else v
+        try:
+            return decimal.Decimal(str(x))
+        except (decimal.InvalidOperation, TypeError, ValueError):
+            return None
     if isinstance(ref, (int, float)):
+        # int-vs-int compares EXACTLY: float coercion folds values above
+        # 2^53 together, which makes strict-inequality pruning unsound
+        # (a file with min == literal would be dropped for `< literal+1`).
+        if isinstance(v, int) and isinstance(ref, int):
+            return v
         try:
             return float(v)
         except (TypeError, ValueError):

@@ -302,9 +302,16 @@ def _parse_relation(jnode) -> ir.Scan:
 
 
 def _detect_table_root(fmt: str, paths: list[str], kind: str) -> str | None:
-    """A parquet scan whose paths all sit under one Delta (`_delta_log`)
+    """A parquet scan whose paths are FILES under one Delta (`_delta_log`)
     or Iceberg (`metadata/*.metadata.json`) table is a snapshot read —
-    identity becomes the table root so indexes survive version changes."""
+    identity becomes the table root so indexes survive version changes.
+
+    A scan whose path IS the bare table directory (raw
+    `spark.read.parquet(table_root)`) is deliberately NOT tagged: that
+    scan also reads files the log has removed but vacuum hasn't deleted,
+    so snapshot semantics would change its results.  It still matches
+    delta/iceberg indexes through the table-root identity and gets the
+    dead files compensated as hybrid-scan appends."""
     if fmt != "parquet" or not paths:
         return None
     from hyperspace_spark.sources.delta import find_delta_root, strip_scheme
@@ -315,8 +322,12 @@ def _detect_table_root(fmt: str, paths: list[str], kind: str) -> str | None:
     if root is None:
         return None
     sep = root.rstrip("/") + "/"
+    saw_inner = False
     for p in paths:
         sp = strip_scheme(p)
-        if sp != root and not sp.startswith(sep):
+        if sp == root.rstrip("/"):
+            continue
+        if not sp.startswith(sep):
             return None
-    return root
+        saw_inner = True
+    return root if saw_inner else None

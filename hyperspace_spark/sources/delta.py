@@ -157,15 +157,76 @@ class DeltaLog:
         for v in range(start, target + 1):
             p = os.path.join(self.log_dir, f"{v:020d}.json")
             if not os.path.isfile(p):
-                if v <= (int(cp["version"]) if cp else -1):
-                    continue  # compacted into the checkpoint
-                raise FileNotFoundError(f"missing Delta commit {v} at {self.log_dir}")
+                # A gap is tolerable ONLY below an APPLIED checkpoint
+                # (commit expired after compaction).  Asking for a
+                # version below an unapplied (newer) checkpoint whose
+                # early commits expired must raise, not return a
+                # partial snapshot.
+                raise FileNotFoundError(
+                    f"missing Delta commit {v} at {self.log_dir} "
+                    f"(target version {target} is not reconstructible)"
+                )
             with open(p) as f:
                 for line in f:
                     line = line.strip()
                     if line:
                         self._apply_action(snap, json.loads(line))
         return snap
+
+    def all_adds(self) -> dict[str, tuple[int, int]]:
+        """Every data file EVER added, path -> (size, modificationTime ms),
+        from one forward pass (checkpoint + all commits; removes ignored —
+        data files are immutable, so the metadata of a path never changes).
+        Used to build FileInfo for pinned file lists without per-file
+        filesystem calls."""
+        snap = DeltaSnapshot(root=self.root, version=-1)
+        seen: dict[str, tuple[int, int]] = {}
+        cp = self._last_checkpoint()
+        if cp is not None:
+            self._apply_checkpoint(snap, cp)
+            seen.update(snap.adds)
+        for v in self._commit_versions():
+            p = os.path.join(self.log_dir, f"{v:020d}.json")
+            with open(p) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    action = json.loads(line)
+                    a = action.get("add")
+                    if a:
+                        seen[a["path"]] = (
+                            int(a.get("size", 0)),
+                            int(a.get("modificationTime", 0)),
+                        )
+        return seen
+
+    def version_file_sets(self) -> list[tuple[int, frozenset]]:
+        """(version, live absolute-path set) for every reconstructible
+        version, from ONE forward replay — O(total log size), not
+        O(versions²) like per-version snapshot() calls."""
+        out: list[tuple[int, frozenset]] = []
+        snap = DeltaSnapshot(root=self.root, version=-1)
+        start = 0
+        cp = self._last_checkpoint()
+        if cp is not None:
+            self._apply_checkpoint(snap, cp)
+            start = int(cp["version"])
+            out.append((start, frozenset(snap.file_paths())))
+            start += 1
+        v = start
+        while True:
+            p = os.path.join(self.log_dir, f"{v:020d}.json")
+            if not os.path.isfile(p):
+                break
+            with open(p) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        self._apply_action(snap, json.loads(line))
+            out.append((v, frozenset(snap.file_paths())))
+            v += 1
+        return out
 
     def _apply_checkpoint(self, snap: DeltaSnapshot, cp: dict) -> None:
         import pyarrow.parquet as pq

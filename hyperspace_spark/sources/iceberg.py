@@ -111,8 +111,16 @@ def _jvm():
     return spark._jvm
 
 
+_AVRO_CACHE: dict[str, list] = {}
+
+
 def read_avro_records(path: str) -> list:
-    """GenericRecords from one avro file (py4j objects; use .get(name))."""
+    """GenericRecords from one avro file (py4j objects; use .get(name)).
+    Cached per path — Iceberg metadata files are immutable, and snapshots
+    share manifests, so planning-time walks stay O(distinct manifests)."""
+    hit = _AVRO_CACHE.get(path)
+    if hit is not None:
+        return hit
     jvm = _jvm()
     reader = jvm.org.apache.avro.generic.GenericDatumReader()
     dfr = jvm.org.apache.avro.file.DataFileReader(jvm.java.io.File(path), reader)
@@ -120,6 +128,9 @@ def read_avro_records(path: str) -> list:
     while dfr.hasNext():
         out.append(dfr.next())
     dfr.close()
+    if len(_AVRO_CACHE) > 4096:
+        _AVRO_CACHE.clear()
+    _AVRO_CACHE[path] = out
     return out
 
 
@@ -228,6 +239,28 @@ class IcebergTable:
     def _abs(self, p: str) -> str:
         p = strip_scheme(p)
         return p if os.path.isabs(p) else os.path.join(self.root, p)
+
+    def all_file_sizes(self) -> dict[str, int]:
+        """Every data file referenced by ANY snapshot's manifests,
+        absolute path -> size — one pass over distinct manifests (cached
+        avro reads), removes ignored (data files are immutable)."""
+        md = self.metadata()
+        manifests: set[str] = set()
+        for s in md.get("snapshots", []):
+            for mf in read_avro_records(self._abs(s["manifest-list"])):
+                manifests.add(self._abs(str(mf.get("manifest_path"))))
+        out: dict[str, int] = {}
+        for m in sorted(manifests):
+            for entry in read_avro_records(m):
+                data_file = entry.get("data_file")
+                if data_file is None:
+                    continue
+                try:
+                    size = int(str(data_file.get("file_size_in_bytes")))
+                except Exception:
+                    size = 0
+                out[self._abs(str(data_file.get("file_path")))] = size
+        return out
 
 
 _ICEBERG_TO_SPARK = {
@@ -357,7 +390,13 @@ def write_iceberg(df: "DataFrame", path: str, mode: str = "append") -> int:
     shutil.rmtree(staging, ignore_errors=True)
 
     now_ms = int(time.time() * 1000)
-    snapshot_id = now_ms * 1000 + len(adds)  # unique, monotonic enough
+    # Spec-style random 63-bit snapshot id; retry on the (astronomically
+    # unlikely) collision with an existing snapshot — a same-millisecond
+    # arithmetic id collided in practice and shadowed a snapshot.
+    existing = {int(s["snapshot-id"]) for s in (prev_md or {}).get("snapshots", [])}
+    snapshot_id = uuid.uuid4().int >> 65
+    while snapshot_id in existing:
+        snapshot_id = uuid.uuid4().int >> 65
     seq = (prev_md.get("last-sequence-number", 0) + 1) if prev_md else 1
 
     manifest_path = os.path.join(md_dir, f"{uuid.uuid4().hex}-m0.avro")
@@ -416,9 +455,9 @@ def write_iceberg(df: "DataFrame", path: str, mode: str = "append") -> int:
         "manifest-list": ml_path,
         "summary": {"operation": "append" if mode == "append" else "overwrite"},
     }
-    snapshots = list(prev_md.get("snapshots", [])) if (prev_md and mode == "append") else (
-        list(prev_md.get("snapshots", [])) if prev_md else []
-    )
+    # Snapshot HISTORY is retained in both modes (overwrite replaces the
+    # live file set, not time travel — Iceberg semantics).
+    snapshots = list(prev_md.get("snapshots", [])) if prev_md else []
     snapshots.append(new_snapshot)
     version = (int(prev_md["_hs_version"]) + 1) if prev_md and "_hs_version" in prev_md else 1
     md = {

@@ -18,6 +18,7 @@ present in this environment).
 
 from __future__ import annotations
 
+import os
 from typing import TYPE_CHECKING
 
 from hyperspace_spark.metadata.entry import FileInfo
@@ -84,34 +85,45 @@ class DeltaLakeSourceProvider(SourceProvider):
         return bool(getattr(scan, "delta_root", None))
 
     def live_files(self, scan: "ir.Scan", fs: "FileSystem") -> list[FileInfo]:
+        """FileInfo straight from the LOG's add actions — zero per-file
+        filesystem calls on either the create path (table-root scan →
+        current snapshot) or the query path (pinned file list → size/mtime
+        looked up in the one-pass all-adds map)."""
         from hyperspace_spark.sources.delta import DeltaLog, strip_scheme
 
         root = strip_scheme(scan.delta_root)
+        log = DeltaLog(root)
         paths = [strip_scheme(p) for p in scan.root_paths]
         if paths == [root]:
-            paths = DeltaLog(root).snapshot().file_paths()
+            snap = log.snapshot()
+            return [
+                FileInfo(os.path.join(root, rel), size, mtime)
+                for rel, (size, mtime) in sorted(snap.adds.items())
+            ]
+        meta = log.all_adds()
+        by_abs = {os.path.join(root, rel): sm for rel, sm in meta.items()}
         out: list[FileInfo] = []
         for p in paths:
-            for st in fs.list_files_recursive(p):
-                out.append(FileInfo(st.path, st.size, st.mtime))
+            sm = by_abs.get(p)
+            if sm is not None:
+                out.append(FileInfo(p, sm[0], sm[1]))
+            else:  # not log-tracked (shouldn't happen): stat as fallback
+                for st in fs.list_files_recursive(p):
+                    out.append(FileInfo(st.path, st.size, st.mtime))
         return out
 
     def signature(self, scan: "ir.Scan", files: list[FileInfo]) -> str:
-        """md5(root + version-whose-file-set-matches).  Walks versions from
-        the tip down, so the common un-time-traveled case is one set
-        comparison; falls back to the per-file signature for a file set no
-        single version produced."""
+        """md5(root + version-whose-file-set-matches), resolved from ONE
+        forward log replay (version_file_sets); falls back to the per-file
+        signature for a file set no single version produced."""
         import hashlib
 
         from hyperspace_spark.sources.delta import DeltaLog, strip_scheme
 
         root = strip_scheme(scan.delta_root)
-        log = DeltaLog(root)
-        got = {strip_scheme(f.path) for f in files}
-        latest = log.latest_version()
-        for v in range(latest, -1, -1):
-            snap = log.snapshot(v)
-            if set(snap.file_paths()) == got:
+        got = frozenset(strip_scheme(f.path) for f in files)
+        for v, fileset in reversed(DeltaLog(root).version_file_sets()):
+            if fileset == got:
                 return hashlib.md5(f"delta:{root}@{v}".encode()).hexdigest()
         return file_based_signature(files)
 
@@ -129,17 +141,29 @@ class IcebergSourceProvider(SourceProvider):
         return bool(getattr(scan, "iceberg_root", None))
 
     def live_files(self, scan: "ir.Scan", fs: "FileSystem") -> list[FileInfo]:
+        """FileInfo from the manifests (file_size_in_bytes; mtime pinned
+        to 0 on BOTH build and query paths — manifests carry no mtime, and
+        identity only needs build/query consistency) — zero per-file
+        filesystem calls.  Manifest avro reads are cached per path
+        (immutable files), so repeated planning is O(new manifests)."""
         from hyperspace_spark.sources.delta import strip_scheme
         from hyperspace_spark.sources.iceberg import IcebergTable
 
         root = strip_scheme(scan.iceberg_root)
+        tbl = IcebergTable(root)
         paths = [strip_scheme(p) for p in scan.root_paths]
         if paths == [root]:
-            paths = IcebergTable(root).snapshot().file_paths()
+            snap = tbl.snapshot()
+            return [FileInfo(p, snap.files[p], 0) for p in snap.file_paths()]
+        sizes = tbl.all_file_sizes()
         out: list[FileInfo] = []
         for p in paths:
-            for st in fs.list_files_recursive(p):
-                out.append(FileInfo(st.path, st.size, st.mtime))
+            size = sizes.get(p)
+            if size is not None:
+                out.append(FileInfo(p, size, 0))
+            else:  # not manifest-tracked (shouldn't happen): stat fallback
+                for st in fs.list_files_recursive(p):
+                    out.append(FileInfo(st.path, st.size, 0))
         return out
 
     def signature(self, scan: "ir.Scan", files: list[FileInfo]) -> str:
@@ -155,6 +179,8 @@ class IcebergSourceProvider(SourceProvider):
         ordered = sorted(
             md.get("snapshots", []), key=lambda s: s.get("timestamp-ms", 0), reverse=True
         )
+        # Manifest reads are cached, so walking snapshots newest-first is
+        # O(total distinct manifests), not O(snapshots × manifests).
         for s in ordered:
             snap = tbl.snapshot(int(s["snapshot-id"]))
             if set(snap.file_paths()) == got:

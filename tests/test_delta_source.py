@@ -174,3 +174,36 @@ def test_overwrite_mode_replaces_content(spark, tmp_path):
     got = read_delta(spark, root)
     assert got.filter("o_orderkey % 2 = 0").count() == 0
     assert got.count() == o.filter("o_orderkey % 2 = 1").count()
+
+
+def test_raw_root_read_keeps_dead_files_and_correctness(spark, dtab, tmp_path):
+    """A raw spark.read.parquet(<table root>) is NOT a snapshot read: it
+    sees files the log removed but vacuum left on disk.  The planner must
+    not rewrite it to snapshot semantics (r2 review finding) — results
+    with and without the index stay identical."""
+    snap = DeltaLog(dtab).snapshot(0)
+    victim = sorted(snap.adds)[0]
+    remove_files(dtab, [victim])  # dead file remains on disk
+    raw = spark.read.parquet(dtab)
+    live = read_delta(spark, dtab)
+    assert raw.count() > live.count(), "dead file must still be visible to raw reads"
+    hs = Hyperspace(spark, system_path=str(tmp_path / "idx"))
+    hs.create_index(
+        live, CoveringIndexConfig("d_raw", ["o_custkey"], ["o_orderkey"])
+    )
+    q = spark.read.parquet(dtab).filter("o_custkey < 300").select("o_orderkey", "o_custkey")
+    fast, used = hs._apply_with_info(q)
+    # Whether or not the index applies (hybrid compensation may serve the
+    # dead files as appends), results MUST equal the raw scan.
+    assert sorted(map(tuple, q.collect())) == sorted(map(tuple, fast.collect()))
+
+
+def test_snapshot_below_unapplied_checkpoint_with_expired_commits_raises(spark, dtab):
+    """Commits expired after a checkpoint: versions at/after the
+    checkpoint reconstruct; versions BELOW it must raise, not silently
+    return a partial snapshot (r2 review finding)."""
+    write_checkpoint(dtab)  # checkpoint at v1
+    os.remove(os.path.join(dtab, "_delta_log", f"{0:020d}.json"))
+    assert DeltaLog(dtab).snapshot(1).adds  # from the checkpoint: fine
+    with pytest.raises(FileNotFoundError):
+        DeltaLog(dtab).snapshot(0)

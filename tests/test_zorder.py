@@ -219,3 +219,42 @@ def test_file_stats_prune_double_range(spark, tmp_path):
         assert 0 < len(fast.inputFiles()) < len(entry.content_files), "double literal did not prune"
     finally:
         spark.conf.unset("spark.hyperspace.index.zorder.targetSourceBytesPerPartition")
+
+
+def test_file_stats_huge_int_strict_inequality_sound():
+    """Ints above 2^53 must compare exactly: float-folding lo==lit for
+    `< lit+1` would prune a file whose min row matches (r2 review)."""
+    from hyperspace_spark.indexes.zorder import _range_might_match
+
+    big = 1 << 60
+    assert _range_might_match("<", big, big + 10, big + 1) is True
+    assert _range_might_match(">", big - 10, big, big - 1) is True
+    assert _range_might_match("<", big + 1, big + 10, big) is False  # still prunes
+
+
+def test_file_stats_decimal_column_roundtrip(spark, tmp_path):
+    """Decimal min/max stats must json-serialize (type-tagged) and prune
+    exactly (r2 review: Decimal crashed entry.to_json)."""
+    import json as _json
+
+    src = str(tmp_path / "src")
+    spark.range(0, 20000).select(
+        (F.col("id") % 10000).cast("decimal(12,2)").alias("price"),
+        F.col("id").alias("payload"),
+    ).write.parquet(src)
+    hs = Hyperspace(spark, system_path=str(tmp_path / "idx"))
+    spark.conf.set("spark.hyperspace.index.zorder.targetSourceBytesPerPartition", "16384")
+    try:
+        hs.create_index(
+            spark.read.parquet(src),
+            ZOrderCoveringIndexConfig("zdec", ["price"], ["payload"]),
+        )
+        entry = next(e for e in hs._active_entries(hs.conf()) if e.name == "zdec")
+        _json.dumps(entry.derived_properties["fileStats"])  # must serialize
+        q = spark.read.parquet(src).filter("price < 500").select("price", "payload")
+        fast, used = hs._apply_with_info(q)
+        assert used == ["zdec"], hs.why_not(q)
+        assert sorted(map(tuple, q.collect())) == sorted(map(tuple, fast.collect()))
+        assert 0 < len(fast.inputFiles()) < len(entry.content_files), "decimal stats did not prune"
+    finally:
+        spark.conf.unset("spark.hyperspace.index.zorder.targetSourceBytesPerPartition")
