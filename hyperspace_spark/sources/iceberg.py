@@ -165,6 +165,7 @@ class IcebergSnapshot:
     root: str
     snapshot_id: int
     schema_json: str = ""  # Spark StructType json ('' = infer from footers)
+    partition_columns: list[str] = field(default_factory=list)
     files: dict[str, int] = field(default_factory=dict)  # abs path -> size
 
     def file_paths(self) -> list[str]:
@@ -219,6 +220,7 @@ class IcebergTable:
             raise FileNotFoundError(f"snapshot {sid} not in {sorted(snaps)} at {self.root}")
         snap = IcebergSnapshot(root=self.root, snapshot_id=sid)
         snap.schema_json = _spark_schema_json(md)
+        snap.partition_columns = _identity_partition_columns(md)
         ml = self._abs(snaps[sid]["manifest-list"])
         for mf in read_avro_records(ml):
             mpath = self._abs(str(mf.get("manifest_path")))
@@ -279,6 +281,20 @@ _ICEBERG_TO_SPARK = {
 }
 
 
+def _identity_partition_columns(md: dict) -> list[str]:
+    """Identity-transform partition field names of the default spec.
+    (Bucket/truncate/temporal transforms are not supported by this subset
+    reader — tables using them read as unpartitioned file lists, which is
+    still correct when the data files carry the source columns.)"""
+    specs = {s.get("spec-id"): s for s in md.get("partition-specs", [])}
+    spec = specs.get(md.get("default-spec-id", 0)) or {"fields": md.get("partition-spec", [])}
+    out = []
+    for f in spec.get("fields", []):
+        if f.get("transform", "identity") == "identity":
+            out.append(f["name"])
+    return out
+
+
 def _spark_schema_json(md: dict) -> str:
     """Iceberg schema -> Spark StructType json; '' when the table uses
     types this subset reader does not map (caller infers from footers)."""
@@ -325,6 +341,9 @@ def read_iceberg(spark: "SparkSession", path: str, snapshot_id: int | None = Non
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
+    if snap.partition_columns:
+        # Hive-layout partition directories; types come from the schema.
+        reader = reader.option("basePath", tbl.root)
     return reader.parquet(*files)
 
 
@@ -360,12 +379,16 @@ def _iceberg_type(spark_type: str) -> str:
     return t
 
 
-def write_iceberg(df: "DataFrame", path: str, mode: str = "append") -> int:
+def write_iceberg(
+    df: "DataFrame", path: str, mode: str = "append", partition_by: list[str] | None = None
+) -> int:
     """Commit ``df`` as a new snapshot; returns the snapshot id.
 
     mode='append' keeps previous data files; mode='overwrite' drops them
     (previous manifests are simply not carried into the new manifest
-    list — Iceberg's snapshot isolation makes that a complete replace)."""
+    list — Iceberg's snapshot isolation makes that a complete replace).
+    ``partition_by`` writes identity-partitioned hive-layout directories
+    under data/ and records the matching identity partition spec."""
     if mode not in ("append", "overwrite"):
         raise ValueError("mode must be 'append' or 'overwrite'")
     root = strip_scheme(path).rstrip("/")
@@ -377,14 +400,22 @@ def write_iceberg(df: "DataFrame", path: str, mode: str = "append") -> int:
     prev_md = IcebergTable(root).metadata() if exists else None
 
     staging = os.path.join(root, f".staging-{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(staging)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
     adds = []
-    for name in sorted(os.listdir(staging)):
-        if name.startswith((".", "_")) or not name.endswith(".parquet"):
-            continue
-        dst = os.path.join(data_dir, f"{uuid.uuid4().hex}-{name}")
-        os.rename(os.path.join(staging, name), dst)
-        adds.append((dst, os.stat(dst).st_size))
+    for dirpath, dirs, names in os.walk(staging):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        for name in sorted(names):
+            if name.startswith((".", "_")) or not name.endswith(".parquet"):
+                continue
+            rel_dir = os.path.relpath(dirpath, staging)
+            out_dir = data_dir if rel_dir == "." else os.path.join(data_dir, rel_dir)
+            os.makedirs(out_dir, exist_ok=True)
+            dst = os.path.join(out_dir, f"{uuid.uuid4().hex}-{name}")
+            os.rename(os.path.join(dirpath, name), dst)
+            adds.append((dst, os.stat(dst).st_size))
     import shutil
 
     shutil.rmtree(staging, ignore_errors=True)
@@ -448,6 +479,16 @@ def write_iceberg(df: "DataFrame", path: str, mode: str = "append") -> int:
         }
         for i, f in enumerate(df.schema.fields)
     ]
+    field_ids = {f["name"]: f["id"] for f in fields}
+    spec_fields = [
+        {
+            "name": c,
+            "transform": "identity",
+            "source-id": field_ids[c],
+            "field-id": 1000 + i,
+        }
+        for i, c in enumerate(partition_by or [])
+    ]
     new_snapshot = {
         "snapshot-id": snapshot_id,
         "timestamp-ms": now_ms,
@@ -470,8 +511,8 @@ def write_iceberg(df: "DataFrame", path: str, mode: str = "append") -> int:
         "schema": {"type": "struct", "schema-id": 0, "fields": fields},
         "schemas": [{"type": "struct", "schema-id": 0, "fields": fields}],
         "current-schema-id": 0,
-        "partition-spec": [],
-        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "partition-spec": spec_fields,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
         "default-spec-id": 0,
         "properties": {},
         "current-snapshot-id": snapshot_id,

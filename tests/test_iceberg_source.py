@@ -136,3 +136,21 @@ def test_refresh_full_reads_current_snapshot(spark, itab, tmp_path):
     import hashlib
 
     assert entry.signature == hashlib.md5(f"iceberg:{root}@{new_sid}".encode()).hexdigest()
+
+
+def test_partitioned_table_roundtrip(spark, tmp_path):
+    """Identity-partitioned tables: hive-layout data dirs, partition spec
+    recorded, partition-column types from the metadata schema."""
+    root = str(tmp_path / "part_iceberg")
+    o = table(spark, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    write_iceberg(o, root, partition_by=["o_orderpriority"])
+    snap = IcebergTable(root).snapshot()
+    assert snap.partition_columns == ["o_orderpriority"]
+    got = read_iceberg(spark, root)
+    assert got.schema["o_orderpriority"].dataType.simpleString() == "string"
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, o.collect()))
+    # Partition append keeps layout + reads whole
+    write_iceberg(
+        o.filter("o_orderkey % 97 = 0"), root, partition_by=["o_orderpriority"]
+    )
+    assert read_iceberg(spark, root).count() == o.count() + o.filter("o_orderkey % 97 = 0").count()
