@@ -950,7 +950,7 @@ def events_hourly_rollup(spark, sf_dir):
     _t(spark, sf_dir, "events").createOrReplaceTempView("w_events")
     return spark.sql(
         """
-        SELECT date_format(date_trunc('hour', timestamp_micros(ts div 1000)),
+        SELECT date_format(date_trunc('hour', ts),
                            'yyyy-MM-dd HH:00') AS hour,
                event_type,
                count(*) AS n_events,
@@ -1349,9 +1349,7 @@ def window_tumbling_events(spark, sf_dir):
     from pyspark.sql import functions as F
 
     _conf(spark)
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "ts2", F.expr("timestamp_micros(ts div 1000)")
-    )
+    ev = _t(spark, sf_dir, "events").withColumn("ts2", F.col("ts"))
     return (
         ev.groupBy(F.window("ts2", "1 hour"))
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv"))
@@ -1367,8 +1365,6 @@ def window_tumbling_events(spark, sf_dir):
     "session_window_events",
     """
     WITH e AS (
-      -- DuckDB reads the parquet ts as TIMESTAMP_NS; cast to microsecond
-      -- TIMESTAMP to match Spark's timestamp_micros(ts div 1000) exactly.
       SELECT user_id, CAST(ts AS TIMESTAMP) AS ts2, value FROM events
     ), marked AS (
       SELECT user_id, ts2, value,
@@ -1400,9 +1396,7 @@ def session_window_events(spark, sf_dir):
     from pyspark.sql import functions as F
 
     _conf(spark)
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "ts2", F.expr("timestamp_micros(ts div 1000)")
-    )
+    ev = _t(spark, sf_dir, "events").withColumn("ts2", F.col("ts"))
     return (
         ev.groupBy(F.session_window("ts2", "30 minutes"), F.col("user_id"))
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))

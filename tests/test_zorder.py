@@ -21,7 +21,7 @@ def hs(spark, tmp_path_factory):
             "p_z", ["p_size", "p_retailprice"], ["p_partkey", "p_brand"]
         ),
     )
-    ev = table(spark, "events")  # ts reads as long (nanosAsLong)
+    ev = table(spark, "events")  # ts is TIMESTAMP_NTZ (micros)
     hs.create_index(ev, ZOrderCoveringIndexConfig("ev_z", ["ts"], ["event_id", "value"]))
     return hs
 
@@ -49,7 +49,7 @@ def test_zorder_second_column_only(spark, hs):
 
 def test_zorder_single_column_timestamp(spark, hs):
     ev = table(spark, "events")
-    cutoff = 1706745600 * 10**9  # 2024-02-01 as epoch nanos
+    cutoff = "2024-01-15 00:00:00"
     q = ev.filter(F.col("ts") < cutoff).select("event_id", "value")
     fast, used = hs._apply_with_info(q)
     assert used == ["ev_z"], hs.why_not(q)
