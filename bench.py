@@ -38,7 +38,12 @@ def main() -> None:
         .config("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Moderate heap beats a huge one in local mode: with 48g the
+        # single JVM (driver+executors) shows erratic multi-second GC /
+        # heap-management stalls (measured 3-28s swings on identical
+        # queries); at 8g the same queries run stable.  Executor-side
+        # needs at this scale are tiny; override via env for bigger runs.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", "/tmp/hs_bench_warehouse")
         .getOrCreate()

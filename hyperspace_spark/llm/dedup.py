@@ -6,11 +6,12 @@ Scale design (100 TB):
   a single shuffle of (hash, id) pairs, not documents.
 - n-gram Jaccard: the EXACT similarity join (quadratic in bucket size) —
   used directly on small corpora and as the verify stage after LSH.
-- MinHash+LSH: shingle -> 64-bit hash -> H permutations aggregated with
-  plain `min` (map-side combined, one shuffle by doc) -> band buckets ->
-  candidate pairs only within buckets.  This is the linear-ish scale
-  path; banding keeps the join fan-out bounded.
-- SimHash: 64 per-bit sign sums as ordinary aggregates, one shuffle.
+- MinHash / SimHash signatures are PER-DOCUMENT reductions, so they are
+  computed with array higher-order functions inside the row (transform /
+  aggregate / array_min) — a narrow map stage with NO shuffle and no
+  wide-aggregate codegen.  Only the tiny signature frame (one row per
+  doc) ever shuffles: band buckets -> candidate pairs within buckets ->
+  verify on the persisted shingle arrays via array_intersect.
 - embedding cosine: brute pair join for verification; LSH-bucketed
   variant in similarity.py for scale.
 
@@ -65,13 +66,33 @@ def exact_dedup(df: "DataFrame", text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def doc_shingle_arrays(
+    df: "DataFrame", n: int, text_col: str = "text", id_col: str = "doc_id"
+) -> "DataFrame":
+    """(_id, sh: array<string>) — each document's DISTINCT word n-gram
+    shingles as one array row.  Per-document dedup happens inside the row
+    (array_distinct), so deriving this frame is a pure narrow map stage:
+    no explode, no distinct shuffle.
+
+    The parallelism guard matters: a compact text corpus arrives in few
+    byte-sized scan partitions, but shingling is CPU-bound — without it
+    the whole regex pipeline runs on a fraction of the cores (measured
+    4.0s -> 0.6s at sf0.1 on local[32])."""
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.scale import ensure_min_parallelism
+
+    return ensure_min_parallelism(df.select(F.col(id_col).alias("_id"), text_col)).select(
+        "_id", F.array_distinct(word_shingles(F.col(text_col), n)).alias("sh")
+    )
+
+
 def doc_shingles(df: "DataFrame", n: int, text_col: str = "text", id_col: str = "doc_id") -> "DataFrame":
     """(id, shingle) pairs, distinct per document."""
     from pyspark.sql import functions as F
 
-    return (
-        df.select(F.col(id_col).alias("_id"), F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
-        .distinct()
+    return doc_shingle_arrays(df, n, text_col, id_col).select(
+        "_id", F.explode("sh").alias("shingle")
     )
 
 
@@ -104,9 +125,15 @@ def ngram_jaccard_pairs(
     ``max_shingle_df`` engages the hot-shingle cap (see cap_shingle_df)."""
     from pyspark.sql import functions as F
 
-    # No .cache(): recomputing the exploded shingles inside codegen beats
-    # materializing them (~4.8s vs ~6-9s at sf0.1) — see minhash_lsh_pairs.
-    sh = doc_shingles(df, n, text_col, id_col)
+    # Persist the per-doc shingle arrays: they feed four consumers (both
+    # join sides, the size aggregate, and the hot-shingle df count) and
+    # without persistence Catalyst duplicates the whole scan->regex
+    # pipeline into each subtree.  The frame is ~the tokenized corpus;
+    # MEMORY_AND_DISK spills rather than OOMs at scale, and for truly
+    # huge corpora the signature checkpoint pattern (write shingles to
+    # storage once) replaces this pipeline anyway.
+    docs = doc_shingle_arrays(df, n, text_col, id_col).persist()
+    sh = docs.select("_id", F.explode("sh").alias("shingle"))
     if max_shingle_df is not None:
         sh = cap_shingle_df(sh, max_shingle_df)
     sizes = sh.groupBy("_id").agg(F.count("*").alias("sz"))
@@ -133,22 +160,38 @@ def minhash_signatures(
     num_hashes: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
-    shingles: "DataFrame | None" = None,
+    shingle_arrays: "DataFrame | None" = None,
 ) -> "DataFrame":
     """(id, mh_0..mh_{H-1}) via H universal-hash permutations of shingle
-    hashes, each a plain `min` aggregate (map-side combined).
-    ``shingles`` reuses a precomputed (cached) doc_shingles frame so the
-    LSH pipeline shingles each document once, not once per stage."""
+    hashes.
+
+    The signature is a PER-DOCUMENT reduction, so it is computed entirely
+    inside the row with array HOFs (transform + array_min): a narrow map
+    stage — no explode, no 64-aggregate groupBy, no shuffle at all.  At
+    100 TB this shuffles nothing; the old explode+groupBy shape shuffled
+    the whole exploded shingle set.  ``shingle_arrays`` reuses a
+    precomputed (persisted) doc_shingle_arrays frame."""
     from pyspark.sql import functions as F
 
-    sh = (shingles if shingles is not None else doc_shingles(df, n, text_col, id_col)).withColumn(
-        "h", shingle_hash_col(F.col("shingle")) % F.lit(_MERSENNE)
+    docs = (
+        shingle_arrays
+        if shingle_arrays is not None
+        else doc_shingle_arrays(df, n, text_col, id_col)
     )
-    aggs = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"mh_{i}")
+    # Two-step select: _h is non-cheap and referenced num_hashes times,
+    # so CollapseProject keeps it as its own projection — each shingle
+    # is md5-hashed exactly once.
+    hashed = docs.select(
+        "_id",
+        F.transform(F.col("sh"), lambda s: shingle_hash_col(s) % F.lit(_MERSENNE)).alias("_h"),
+    )
+    mh_cols = [
+        F.array_min(
+            F.transform(F.col("_h"), lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE))
+        ).alias(f"mh_{i}")
         for i, (a, b) in enumerate(_perm_params(num_hashes))
     ]
-    return sh.groupBy(F.col("_id").alias(id_col)).agg(*aggs)
+    return hashed.select(F.col("_id").alias(id_col), *mh_cols)
 
 
 def minhash_lsh_pairs(
@@ -169,14 +212,10 @@ def minhash_lsh_pairs(
     from pyspark.sql import functions as F
 
     rows_per_band = num_hashes // bands
-    # One LOGICAL shingle frame feeds both the signature build and the
-    # verify stage.  Deliberately NOT .cache()d: materializing the
-    # exploded (id, shingle) rows costs ~2× more than recomputing them
-    # from the source inside whole-stage codegen (measured at sf0.1 —
-    # 12.7s cached vs 5.9s recomputed), and caching also blocks
-    # projection pushdown into each consumer.
-    sh_cached = doc_shingles(df, n, text_col, id_col)
-    sigs = minhash_signatures(df, n, num_hashes, text_col, id_col, shingles=sh_cached)
+    # One persisted shingle-array frame feeds the signature build and
+    # the verify joins — see ngram_jaccard_pairs for the rationale.
+    docs = doc_shingle_arrays(df, n, text_col, id_col).persist()
+    sigs = minhash_signatures(df, n, num_hashes, text_col, id_col, shingle_arrays=docs)
     band_cols = []
     for bi in range(bands):
         cols = [F.col(f"mh_{bi * rows_per_band + r}") for r in range(rows_per_band)]
@@ -196,30 +235,24 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return pairs
-    # Verify ONLY the candidate pairs (that is the point of LSH): join each
-    # pair with its documents' shingles and count the intersection — cost
-    # scales with |candidates| x shingles/doc, never N².
-    from pyspark.sql import functions as F
-
-    sh = sh_cached
-    sizes = sh.groupBy("_id").agg(F.count("*").alias("sz"))
-    a_sh = pairs.join(sh.select(F.col("_id").alias("id_a"), "shingle"), "id_a")
-    inter = (
-        a_sh.join(
-            sh.select(F.col("_id").alias("id_b"), "shingle"),
-            ["id_b", "shingle"],
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    # Verify ONLY the candidate pairs (that is the point of LSH): fetch
+    # each pair's shingle arrays (two equi-joins on id — broadcast or
+    # shuffle, Spark's choice) and intersect INSIDE the row.  Cost scales
+    # with |candidates| x shingles/doc, never N², and needs no
+    # shingle-level join at all.
+    a_docs = docs.select(F.col("_id").alias("id_a"), F.col("sh").alias("_sh_a"))
+    b_docs = docs.select(F.col("_id").alias("id_b"), F.col("sh").alias("_sh_b"))
+    inter = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        pairs.join(a_docs, "id_a")
+        .join(b_docs, "id_b")
         .withColumn(
             "jaccard",
-            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+            F.round(
+                inter
+                / (F.size(F.col("_sh_a")) + F.size(F.col("_sh_b")) - inter),
+                6,
+            ),
         )
         .filter(F.col("jaccard") >= verify_threshold)
         .select("id_a", "id_b", "jaccard")
@@ -227,25 +260,40 @@ def minhash_lsh_pairs(
 
 
 def simhash(df: "DataFrame", bits: int = 60, text_col: str = "text", id_col: str = "doc_id") -> "DataFrame":
-    """Per-document SimHash: sign-sum over token-hash bits, assembled into
-    one integer via shiftleft/sum of distinct powers of two (exact in
-    64-bit arithmetic).  Near-dup detection = small hamming distance."""
+    """Per-document SimHash: sign-sum over token-hash bits (tokens keep
+    their multiplicity), assembled into one integer via shiftleft/sum of
+    distinct powers of two (exact in 64-bit arithmetic).  Near-dup
+    detection = small hamming distance.
+
+    Like the MinHash signature this is a per-document reduction, so it
+    runs entirely inside the row (aggregate + zip_with over the token
+    hashes): a narrow no-shuffle map stage instead of an exploded
+    60-aggregate groupBy."""
     from pyspark.sql import functions as F
 
-    tok = (
-        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
-        .withColumn("h", shingle_hash_col(F.col("tok")))
+    from hyperspace_spark.scale import ensure_min_parallelism
+
+    hashes = F.transform(tokens(F.col(text_col)), lambda t: shingle_hash_col(t))
+
+    def signs(h):
+        return F.array(
+            *[
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                for b in range(bits)
+            ]
+        )
+
+    bitcounts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(acc, signs(h), lambda a, s: a + s),
     )
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(bits)
-    ]
-    per_bit = tok.groupBy(id_col).agg(*aggs)
+    per_bit = ensure_min_parallelism(df.select(F.col(id_col), text_col)).select(
+        F.col(id_col), bitcounts.alias("_bc")
+    )
     sim = None
     for b in range(bits):
-        term = F.shiftleft((F.col(f"b{b}") > 0).cast("long"), b)
+        term = F.shiftleft((F.element_at(F.col("_bc"), b + 1) > 0).cast("long"), b)
         sim = term if sim is None else sim + term
     return per_bit.select(F.col(id_col), sim.alias("simhash"))
 
@@ -264,7 +312,9 @@ def simhash_pairs(
     from pyspark.sql import functions as F
 
     per_chunk = bits // chunks
-    sigs = simhash(df, bits, text_col, id_col)
+    # sigs feeds both sides of the bucket self-join; persist so the
+    # token-hash aggregation runs once.
+    sigs = simhash(df, bits, text_col, id_col).persist()
     mask = (1 << per_chunk) - 1
     stacked = sigs.select(
         F.col(id_col).alias("_id"),

@@ -1,0 +1,119 @@
+"""Deterministic, engine-portable sampling for training-data pipelines.
+
+At 100 TB, `df.sample()` is the wrong tool for building training
+mixtures: it is non-reproducible across retries (task replay can see
+different rows), not stable across engines, and unusable as a join key
+(you cannot re-derive "was this row sampled?" later).  These operators
+instead hash a stable key column into integer buckets and select
+buckets:
+
+- the same row lands in the same bucket in every run, on every engine
+  that has md5 (Spark, DuckDB, Trino, ...), regardless of partitioning;
+- a sample is a narrow `Filter` over the scan — no shuffle, composes
+  with predicate pushdown and column pruning, and scales linearly;
+- nested samples are consistent: a 1% sample is a strict subset of a
+  10% sample of the same key (both are prefix ranges of the bucket
+  space), which is exactly what you want for data-scaling ladders.
+
+The bucket hash is the first 32 bits of md5(key) — uniform, and
+reproducible as plain SQL in any oracle engine:
+
+    Spark:  conv(substring(md5(cast(key as string)), 1, 8), 16, 10) % B
+    DuckDB: cast('0x' || substr(md5(cast(key as varchar)), 1, 8) as bigint) % B
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Mapping
+
+if TYPE_CHECKING:
+    from pyspark.sql import Column, DataFrame
+
+#: Bucket-space size.  1e6 buckets keeps rate granularity at 1e-6 while
+#: the 32-bit hash (4.3e9 values) still spreads ~4300 hash values per
+#: bucket, so quantization error stays negligible.
+NUM_BUCKETS = 1_000_000
+
+
+def hash_bucket(key: "Column", num_buckets: int = NUM_BUCKETS) -> "Column":
+    """Deterministic bucket in [0, num_buckets) from a stable key column."""
+    from pyspark.sql import functions as F
+
+    h32 = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+    return h32 % num_buckets
+
+
+def deterministic_sample(
+    df: "DataFrame",
+    key_col: str,
+    fraction: float,
+    num_buckets: int = NUM_BUCKETS,
+) -> "DataFrame":
+    """Keep rows whose bucket falls in the prefix range [0, fraction*B).
+
+    Prefix ranges make samples at different fractions nested subsets."""
+    from pyspark.sql import functions as F
+
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    threshold = int(round(fraction * num_buckets))
+    return df.filter(hash_bucket(F.col(key_col), num_buckets) < threshold)
+
+
+def stratified_sample(
+    df: "DataFrame",
+    key_col: str,
+    strata_col: str,
+    rates: Mapping[str, float],
+    default_rate: float = 0.0,
+    num_buckets: int = NUM_BUCKETS,
+) -> "DataFrame":
+    """Per-stratum deterministic sampling (training-mixture construction).
+
+    `rates` maps stratum value -> keep fraction.  The rate lookup is a
+    chained CASE (stays inside whole-stage codegen); with thousands of
+    strata switch to a broadcast join against a rates table instead."""
+    from pyspark.sql import functions as F
+
+    thr = F.lit(int(round(default_rate * num_buckets)))
+    for value, rate in rates.items():
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for {value!r} must be in [0, 1], got {rate}")
+        thr = F.when(F.col(strata_col) == value, int(round(rate * num_buckets))).otherwise(thr)
+    return df.filter(hash_bucket(F.col(key_col), num_buckets) < thr)
+
+
+def train_val_test_split(
+    df: "DataFrame",
+    key_col: str,
+    val_fraction: float = 0.1,
+    test_fraction: float = 0.1,
+    split_col: str = "split",
+    num_buckets: int = NUM_BUCKETS,
+) -> "DataFrame":
+    """Deterministic disjoint split: buckets [0, val) -> 'val',
+    [val, val+test) -> 'test', rest -> 'train'.
+
+    Being keyed on content ids (not row position) the split survives
+    re-partitioning, incremental appends, and engine migrations — a row
+    can never leak from train to val because the assignment is a pure
+    function of its key."""
+    from pyspark.sql import functions as F
+
+    if val_fraction + test_fraction >= 1.0:
+        raise ValueError("val_fraction + test_fraction must be < 1")
+    b = hash_bucket(F.col(key_col), num_buckets)
+    val_hi = int(round(val_fraction * num_buckets))
+    test_hi = val_hi + int(round(test_fraction * num_buckets))
+    return df.withColumn(
+        split_col,
+        F.when(b < val_hi, "val").when(b < test_hi, "test").otherwise("train"),
+    )
+
+
+def duckdb_bucket_sql(key_sql: str, num_buckets: int = NUM_BUCKETS) -> str:
+    """The oracle-side rendering of `hash_bucket` (for tests/drivers)."""
+    return (
+        f"(CAST('0x' || substr(md5(CAST({key_sql} AS VARCHAR)), 1, 8) AS BIGINT)"
+        f" % {num_buckets})"
+    )

@@ -153,6 +153,9 @@ def text_stats(df: "DataFrame", text_col: str = "text", id_col: str = "doc_id") 
     """One row per document with the full stats vector."""
     from pyspark.sql import functions as F
 
+    from hyperspace_spark.scale import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     t = F.col(text_col)
     return df.select(
         F.col(id_col),

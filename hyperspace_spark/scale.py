@@ -98,3 +98,24 @@ def salted_join(
     )
     joined = b.join(s, (b[big_key] == s[small_key]) & (b["_hs_salt"] == s["_hs_salt"]), how)
     return joined.drop("_hs_salt")
+
+
+def ensure_min_parallelism(df: "DataFrame", target: int | None = None) -> "DataFrame":
+    """Spread a narrow input across at least ``target`` partitions before
+    a CPU-heavy per-row derivation (regex tokenization, shingling,
+    vector math).
+
+    Spark sizes scan partitions by BYTES (spark.sql.files.maxPartitionBytes),
+    which is right for IO-bound plans but wrong for derivations whose cost
+    per byte is high: a 1 GiB corpus arrives as ~8 partitions and the
+    other cores idle.  At 100 TB inputs already split into far more tasks
+    than cores, so the guard is a no-op there (getNumPartitions >= target
+    -> return df unchanged, no shuffle); it only engages for small inputs,
+    where the round-robin shuffle it adds costs less than the idle cores.
+    """
+    spark = df.sparkSession
+    if target is None:
+        target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

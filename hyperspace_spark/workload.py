@@ -1253,6 +1253,93 @@ def multimodal_features_query(spark, sf_dir):
     ).withColumn("feature", F.round("feature", 5))
 
 
+# --- deterministic sampling / mixture / split (llm.sampling) ---------------
+_MIXTURE_RATES = {"en": 1.0, "de": 0.5, "es": 0.5, "fr": 0.25, "zh": 0.1}
+
+
+def _bucket_oracle(key_sql: str = "doc_id") -> str:
+    from hyperspace_spark.llm.sampling import NUM_BUCKETS
+
+    return (
+        f"(CAST('0x' || substr(md5(CAST({key_sql} AS VARCHAR)), 1, 8) AS BIGINT)"
+        f" % {NUM_BUCKETS})"
+    )
+
+
+@q(
+    "sample_hash_deterministic",
+    f"""
+    SELECT doc_id, source, n_chars
+    FROM documents
+    WHERE {_bucket_oracle()} < 100000
+    """,
+)
+def sample_hash_deterministic(spark, sf_dir):
+    """10% deterministic hash-bucket sample: reproducible across runs,
+    engines, and partitionings (unlike df.sample), and a narrow filter
+    over the scan — no shuffle at any scale."""
+    from hyperspace_spark.llm import sampling
+
+    return sampling.deterministic_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", 0.10
+    ).select("doc_id", "source", "n_chars")
+
+
+@q(
+    "mixture_stratified_sample",
+    f"""
+    WITH kept AS (
+      SELECT lang, n_chars FROM documents
+      WHERE {_bucket_oracle()} <
+            CASE lang WHEN 'en' THEN 1000000 WHEN 'de' THEN 500000
+                      WHEN 'es' THEN 500000 WHEN 'fr' THEN 250000
+                      WHEN 'zh' THEN 100000 ELSE 0 END
+    )
+    SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+    FROM kept GROUP BY lang
+    """,
+)
+def mixture_stratified_sample(spark, sf_dir):
+    """Training-mixture construction: per-language keep rates applied as
+    deterministic hash sampling, then the mixture census."""
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.llm import sampling
+
+    kept = sampling.stratified_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", "lang", _MIXTURE_RATES
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+@q(
+    "split_train_val_test",
+    f"""
+    SELECT CASE WHEN {_bucket_oracle()} < 100000 THEN 'val'
+                WHEN {_bucket_oracle()} < 200000 THEN 'test'
+                ELSE 'train' END AS split,
+           count(*) AS n_docs, sum(n_chars) AS total_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def split_train_val_test(spark, sf_dir):
+    """Deterministic content-keyed train/val/test split census: a row's
+    split is a pure function of its id, so it survives repartitioning and
+    incremental appends (no train/val leakage)."""
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.llm import sampling
+
+    split = sampling.train_val_test_split(
+        _t(spark, sf_dir, "documents"), "doc_id", val_fraction=0.1, test_fraction=0.1
+    )
+    return split.groupBy("split").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
 @q(
     "rollup_agg",
     """
