@@ -67,6 +67,10 @@ def _t(spark: "SparkSession", sf_dir: str, name: str) -> "DataFrame":
 def _conf(spark: "SparkSession") -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The dedup pipelines persist small short-lived intermediates (shingle
+    # arrays, signatures); columnar-cache compression costs ~3x the
+    # materialization CPU to save memory we don't need at these sizes.
+    spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", "false")
 
 
 # ---------------------------------------------------------------------------
