@@ -73,9 +73,15 @@ def main() -> None:
         "q3_shipping_priority",
         "q5_region_revenue",
         "q6_revenue_change",
+        "q7_nation_volume",
         "q10_returned_revenue",
         "q12_priority_shipping",
+        "q13_customer_distribution",
         "q14_promo_effect",
+        "q17_small_quantity_revenue",
+        "q18_large_volume_customer",
+        "q19_discounted_revenue",
+        "q22_dormant_customers",
         "window_top_orders",
         "cube_returnflag_status",
         "events_hourly_rollup",

@@ -24,6 +24,7 @@ MISSING_REQUIRED_COL = "MISSING_REQUIRED_COL"
 NOT_ELIGIBLE_JOIN = "NOT_ELIGIBLE_JOIN"
 NOT_ALL_JOIN_COL_INDEXED = "NOT_ALL_JOIN_COL_INDEXED"
 NO_COMPATIBLE_JOIN_INDEX_PAIR = "NO_COMPATIBLE_JOIN_INDEX_PAIR"
+NO_AVAIL_JOIN_INDEX_PAIR = "NO_AVAIL_JOIN_INDEX_PAIR"
 ANOTHER_INDEX_APPLIED = "ANOTHER_INDEX_APPLIED"
 INELIGIBLE_FILTER_CONDITION = "INELIGIBLE_FILTER_CONDITION"
 
@@ -284,6 +285,15 @@ class JoinIndexRule:
         lc = self._eligible(ctx, lscan, lkeys, lreq)
         rc = self._eligible(ctx, rscan, rkeys, rreq)
         if not lc or not rc:
+            # One side has eligible indexes but the other has none: tag
+            # the orphans (reference FilterReason NO_AVAIL_JOIN_INDEX_PAIR,
+            # FilterReason.scala) so whyNot explains the miss.
+            for c in lc or rc:
+                ctx.tag(
+                    c.entry.name,
+                    NO_AVAIL_JOIN_INDEX_PAIR,
+                    "no eligible index on the other join side",
+                )
             return None
 
         pair = self._best_pair(node, lc, rc)

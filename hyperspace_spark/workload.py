@@ -297,9 +297,19 @@ class Workspace:
                 ),
             ),
         ]
-        for name, build in builds:
-            if not self._active(name):
-                build()
+        # Builds are independent (each index owns its log dir and data
+        # path), so run them as concurrent Spark jobs: any one build's
+        # stages under-fill the cluster (local[32] here, likewise a real
+        # cluster), and the scheduler interleaves them.  4 workers ≈ the
+        # point of diminishing returns at this scale.
+        from concurrent.futures import ThreadPoolExecutor
+
+        pending = [(name, build) for name, build in builds if not self._active(name)]
+        if pending:
+            with ThreadPoolExecutor(max_workers=4) as pool:
+                futures = [(name, pool.submit(build)) for name, build in pending]
+                for name, fut in futures:
+                    fut.result()  # propagate the first failure with its name visible
         self._ensure_hybrid_delta()
 
     def _create_delta_index(self, CoveringIndexConfig) -> None:
@@ -831,6 +841,205 @@ def q14_promo_effect(spark, sf_dir):
         FROM w_lineitem JOIN w_part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        """
+    )
+
+
+@q(
+    "q7_nation_volume",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN orders ON o_orderkey = l_orderkey
+                  JOIN customer ON c_custkey = o_custkey
+                  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 (volume shipping) adapted to the reduced schema: 5-way
+    join with the nation dimension joined twice (supplier and customer
+    sides).  Both nation joins broadcast (25 rows)."""
+    for t in ("lineitem", "supplier", "orders", "customer", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"w_{t}")
+    return spark.sql(
+        """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM w_lineitem JOIN w_supplier ON s_suppkey = l_suppkey
+                        JOIN w_orders ON o_orderkey = l_orderkey
+                        JOIN w_customer ON c_custkey = o_custkey
+                        JOIN w_nation n1 ON s_nationkey = n1.n_nationkey
+                        JOIN w_nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        GROUP BY 1, 2, 3
+        """
+    )
+
+
+@q(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+           ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 (customer distribution): LEFT OUTER join with an extra
+    join-side predicate, count(nullable) semantics, then a histogram of
+    the counts."""
+    for t in ("customer", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"w_{t}")
+    return spark.sql(
+        """
+        SELECT c_count, count(*) AS custdist FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM w_customer LEFT JOIN w_orders
+               ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey
+        ) GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+        """
+    )
+
+
+@q(
+    "q17_small_quantity_revenue",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (
+        SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+      )
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): correlated scalar
+    subquery (per-part average) — Catalyst decorrelates it into an
+    aggregate + join."""
+    for t in ("lineitem", "part"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"w_{t}")
+    return spark.sql(
+        """
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM w_lineitem JOIN w_part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23'
+          AND l_quantity < (
+            SELECT 0.5 * avg(l2.l_quantity) FROM w_lineitem l2
+            WHERE l2.l_partkey = p_partkey
+          )
+        """
+    )
+
+
+@q(
+    "q18_large_volume_customer",
+    """
+    SELECT c_name, o_orderkey, round(o_totalprice, 2) AS total_price,
+           sum(l_quantity) AS sum_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_name, o_orderkey, o_totalprice
+    HAVING sum(l_quantity) > 150
+    ORDER BY sum_qty DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q18_large_volume_customer(spark, sf_dir):
+    """TPC-H Q18 (large-volume customer): aggregate-HAVING over a 3-way
+    join with top-k."""
+    for t in ("orders", "lineitem", "customer"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"w_{t}")
+    return spark.sql(
+        """
+        SELECT c_name, o_orderkey, round(o_totalprice, 2) AS total_price,
+               sum(l_quantity) AS sum_qty
+        FROM w_orders JOIN w_lineitem ON o_orderkey = l_orderkey
+                      JOIN w_customer ON c_custkey = o_custkey
+        GROUP BY c_name, o_orderkey, o_totalprice
+        HAVING sum(l_quantity) > 150
+        ORDER BY sum_qty DESC, o_orderkey
+        LIMIT 20
+        """
+    )
+
+
+@q(
+    "q19_discounted_revenue",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue) adapted: disjunction of
+    conjunctive range predicates spanning both join sides."""
+    for t in ("lineitem", "part"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"w_{t}")
+    return spark.sql(
+        """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_lines
+        FROM w_lineitem JOIN w_part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+        """
+    )
+
+
+@q(
+    "q22_dormant_customers",
+    """
+    WITH avg_bal AS (
+      SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c_acctbal > a
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY c_nationkey
+    """,
+)
+def q22_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 (global sales opportunity) adapted: above-average
+    balance (uncorrelated scalar subquery) and NOT EXISTS anti-join
+    against recent orders, grouped by nation instead of phone prefix."""
+    for t in ("customer", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"w_{t}")
+    return spark.sql(
+        """
+        SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+        FROM w_customer c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM w_customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (
+            SELECT 1 FROM w_orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+          )
+        GROUP BY c_nationkey
         """
     )
 

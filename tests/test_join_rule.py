@@ -138,3 +138,22 @@ def test_join_with_appended_files_hybrid_union(spark, hs, tmp_path_factory):
     assert any("/idx/" in f or "o_hj" in f for f in files), files
     assert any(f.startswith("file:" + osrc) or osrc in f for f in files), files
     assert rows_equal(q, fast)
+
+
+def test_one_sided_index_tags_no_avail_pair(spark, tmp_path_factory):
+    """Only one join side has an eligible index -> whyNot must surface
+    NO_AVAIL_JOIN_INDEX_PAIR on it (reference FilterReason catalog)."""
+    hs1 = Hyperspace(spark, system_path=str(tmp_path_factory.mktemp("hsidx_1side")))
+    li = table(spark, "lineitem")
+    hs1.create_index(
+        li, CoveringIndexConfig("li_only", ["l_orderkey"], ["l_quantity"])
+    )
+    o = table(spark, "orders").select("o_orderkey", "o_custkey")
+    q = (
+        table(spark, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    # The scan-replacement rule may still apply li_only to the bare scan;
+    # the point here is the JOIN rule's explanation for the missing pair.
+    assert "NO_AVAIL_JOIN_INDEX_PAIR" in hs1.why_not(q)
