@@ -1661,6 +1661,60 @@ def window_tumbling_events(spark, sf_dir):
     )
 
 
+_STREAM_SEQ = {"n": 0}
+
+
+@q(
+    "streaming_tumbling_rollup",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS window_start,
+           count(*) AS n, round(sum(value), 2) AS sv
+    FROM events GROUP BY 1
+    """,
+)
+def streaming_tumbling_rollup(spark, sf_dir):
+    """The same hourly rollup as window_tumbling_events, but executed as
+    an actual Structured Streaming query: file-source readStream ->
+    watermarked tumbling-window aggregation -> memory sink, run to
+    completion with Trigger.AvailableNow.  complete output mode emits
+    every window, so the result is deterministic and the batch oracle
+    applies verbatim.  Exercises the real micro-batch engine + state
+    store, not just the batch expression of F.window."""
+    from pyspark.sql import functions as F
+
+    _conf(spark)
+    schema = _t(spark, sf_dir, "events").schema
+    _STREAM_SEQ["n"] += 1
+    qn = f"w_stream_rollup_{_STREAM_SEQ['n']}"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # Watermarks require TIMESTAMP (tz-aware); the session runs in UTC so
+    # the cast from TIMESTAMP_NTZ preserves wall-clock values.
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:00").alias("window_start"),
+            "n",
+            "sv",
+        )
+    )
+    q_handle = (
+        agg.writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_handle.awaitTermination()
+    return spark.table(qn)
+
+
 @q(
     "session_window_events",
     """
