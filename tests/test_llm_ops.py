@@ -311,3 +311,22 @@ def test_hot_shingle_cap_output_identical_at_half(spark):
     }
     assert uncapped, "fixture must produce near-dup pairs"
     assert capped == uncapped
+
+
+def test_prefix_filter_identical_to_plain_join(spark, docs):
+    """PPJoin prefix filtering is an EXACT optimization: output must be
+    identical to the naive shingle self-join, with and without the
+    hot-shingle cap."""
+    for cap in (None, 6):
+        plain = sorted(
+            map(tuple, dedup.ngram_jaccard_pairs(docs, 3, 0.5, max_shingle_df=cap).collect())
+        )
+        pref = sorted(
+            map(
+                tuple,
+                dedup.ngram_jaccard_pairs(
+                    docs, 3, 0.5, max_shingle_df=cap, prefix_filter=True
+                ).collect(),
+            )
+        )
+        assert plain == pref
