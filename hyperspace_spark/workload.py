@@ -1342,7 +1342,62 @@ def dedup_ngram_jaccard_query(spark, sf_dir):
     )
 
 
-@q("dedup_minhash_lsh", None)  # approximate by construction -> rows-only check
+def _minhash_lsh_oracle(num_hashes: int = 64, bands: int = 16, threshold: float = 0.5) -> str:
+    """Exact DuckDB replica of the MinHash+LSH pipeline.  The pipeline is
+    approximate as a SIMILARITY JOIN but fully deterministic as a
+    FUNCTION (md5 shingle hashes, fixed permutation constants, md5 band
+    buckets), so the oracle reproduces it bit-for-bit: same signatures,
+    same candidate buckets, same exact-Jaccard verification."""
+    from hyperspace_spark.llm.dedup import _MERSENNE, _perm_params
+
+    rows = num_hashes // bands
+    perms = _perm_params(num_hashes)
+    mh = ", ".join(
+        f"min((h * {a} + {b}) % {_MERSENNE}) AS mh_{i}" for i, (a, b) in enumerate(perms)
+    )
+    band_cases = " ".join(
+        "WHEN {b} THEN md5(concat_ws('_', {cols}))".format(
+            b=b,
+            cols=", ".join(f"mh_{b * rows + r}::VARCHAR" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+        CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
+             ELSE array_to_string(t[i:i+2], ' ') END AS shingle
+      FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-1, 2))) AS i FROM toks)
+    ), hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {_MERSENNE} AS h
+      FROM sh
+    ), sig AS (
+      SELECT doc_id, {mh} FROM hashed GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, band, CASE band {band_cases} END AS bsig
+      FROM sig CROSS JOIN (SELECT unnest(range({bands})) AS band)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT id_a, id_b, count(*) AS i
+      FROM cand JOIN sh sa ON sa.doc_id = id_a
+                JOIN sh sb ON sb.doc_id = id_b AND sa.shingle = sb.shingle
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+               JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(i / (sa.sz + sb.sz - i), 6) >= {threshold}
+    """
+
+
+@q("dedup_minhash_lsh", _minhash_lsh_oracle())
 def dedup_minhash_lsh_query(spark, sf_dir):
     from hyperspace_spark.llm import dedup
 
@@ -1423,7 +1478,54 @@ def ann_cosine_topk_query(spark, sf_dir):
     return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10)
 
 
-@q("ann_lsh_bucketed", None)  # approximate -> rows-only
+def _ann_lsh_oracle(
+    threshold: float = 0.4,
+    nbits: int = 4,
+    bands: int = 8,
+    max_bucket: int = 4096,
+    dim: int = 64,
+) -> str:
+    """Exact DuckDB replica of the multi-band hyperplane LSH: the seeded
+    hyperplanes are rendered as literal DOUBLE arrays, so bucket
+    signatures (and therefore candidates) are identical; verification is
+    the same double-precision cosine rounded to 6 digits."""
+    from hyperspace_spark.llm.similarity import _hyperplanes
+
+    sig_cases = []
+    for b in range(bands):
+        planes = _hyperplanes(dim, nbits, seed=f"hs-lsh-band{b}")
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {[float(x) for x in plane]}) > 0"
+            f" THEN {1 << j} ELSE 0 END)"
+            for j, plane in enumerate(planes)
+        )
+        sig_cases.append(f"WHEN {b} THEN ({bits})")
+    cos = (
+        "round(list_dot_product(va.v, vb.v) / "
+        "(sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))), 6)"
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), keyed AS (
+      SELECT vec_id, band, CASE band {' '.join(sig_cases)} END AS sig
+      FROM v CROSS JOIN (SELECT unnest(range({bands})) AS band)
+    ), kept AS (
+      SELECT band, sig FROM keyed GROUP BY 1, 2 HAVING count(*) <= {max_bucket}
+    ), k2 AS (
+      SELECT keyed.* FROM keyed JOIN kept USING (band, sig)
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM k2 a JOIN k2 b
+        ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, {cos} AS cosine
+    FROM cand JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b
+    WHERE {cos} >= {threshold}
+    """
+
+
+@q("ann_lsh_bucketed", _ann_lsh_oracle())
 def ann_lsh_bucketed_query(spark, sf_dir):
     """Multi-band LSH near-dup pairs.  Tuned to the synthetic embeddings:
     max pairwise cosine ≈ 0.51 at sf0.01, so threshold 0.4 yields a
