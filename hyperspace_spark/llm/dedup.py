@@ -562,3 +562,84 @@ def _blocked_pairs(
     return rows.groupBy("bi", "bj").applyInPandas(
         _group, "id_a long, id_b long, cosine double"
     )
+
+
+def connected_components(
+    pairs: "DataFrame",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> "DataFrame":
+    """Cluster near-duplicate pairs: (node, cluster) with cluster = the
+    minimum id reachable through the pair graph (connected components).
+
+    Iterative min-label propagation — the standard large-graph shape
+    (one join + min-aggregate per round, all data-parallel; the driver
+    only controls ITERATION, never touches rows).  Rounds needed = graph
+    diameter; near-dup graphs are piles of small cliques, so it
+    converges in a handful of rounds.  Each round persists its label
+    frame and unpersists the previous one, keeping lineage flat (the
+    classic iterative-join pitfall at scale).
+    """
+    from pyspark.sql import functions as F
+
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        # candidate label for each node: min over neighbors' labels
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("cluster"))
+
+
+def keep_canonical(
+    df: "DataFrame",
+    pairs: "DataFrame",
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> "DataFrame":
+    """Deduplicated corpus: one document per near-dup cluster (the
+    minimum id), all untouched documents kept.  The drop-list is the set
+    of nodes whose cluster label differs from their own id — an anti-join
+    against the corpus."""
+    from pyspark.sql import functions as F
+
+    dupes = (
+        connected_components(pairs, id_a, id_b)
+        .filter(F.col("node") != F.col("cluster"))
+        .select(F.col("node").alias(id_col))
+    )
+    return df.join(dupes, id_col, "left_anti")

@@ -1308,9 +1308,7 @@ def dedup_exact_query(spark, sf_dir):
     return dedup.exact_dedup(_t(spark, sf_dir, "documents")).select("doc_id")
 
 
-@q(
-    "dedup_ngram_jaccard",
-    """
+_NGRAM_PAIRS_SQL = """
     WITH toks AS (
       SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents
     ), sh AS (
@@ -1328,8 +1326,10 @@ def dedup_exact_query(spark, sf_dir):
     SELECT id_a, id_b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
     FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
     WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
-    """,
-)
+    """
+
+
+@q("dedup_ngram_jaccard", _NGRAM_PAIRS_SQL)
 def dedup_ngram_jaccard_query(spark, sf_dir):
     from hyperspace_spark.llm import dedup
 
@@ -1340,6 +1340,36 @@ def dedup_ngram_jaccard_query(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), n=3, threshold=0.5, max_shingle_df=64
     )
+
+
+@q(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    closure(a, b) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT closure.a, s.dst FROM closure JOIN sym s ON closure.b = s.src
+    )
+    SELECT a AS node, least(a, min(b)) AS cluster
+    FROM closure GROUP BY a
+    """,
+)
+def dedup_clusters_query(spark, sf_dir):
+    """Near-dup clustering: connected components over the exact Jaccard
+    pair graph (iterative min-label propagation Spark-side; transitive
+    closure via recursive CTE in the oracle)."""
+    from hyperspace_spark.llm import dedup
+
+    pairs = dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5, max_shingle_df=64
+    )
+    return dedup.connected_components(pairs)
 
 
 def _minhash_lsh_oracle(num_hashes: int = 64, bands: int = 16, threshold: float = 0.5) -> str:

@@ -330,3 +330,18 @@ def test_prefix_filter_identical_to_plain_join(spark, docs):
             )
         )
         assert plain == pref
+
+
+def test_connected_components_and_canonical(spark):
+    # two components: a chain 1-2-3-4 (diameter 3) and a pair 10-11;
+    # node 99 untouched by any pair.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    labels = {r.node: r.cluster for r in dedup.connected_components(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 4, 10, 11, 99)], ["doc_id", "text"]
+    )
+    kept = sorted(r.doc_id for r in dedup.keep_canonical(corpus, pairs).collect())
+    assert kept == [1, 10, 99]
