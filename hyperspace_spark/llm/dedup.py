@@ -643,3 +643,36 @@ def keep_canonical(
         .select(F.col("node").alias(id_col))
     )
     return df.join(dupes, id_col, "left_anti")
+
+
+def contamination_check(
+    train: "DataFrame",
+    eval_df: "DataFrame",
+    n: int = 8,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Benchmark-contamination detection: training documents sharing at
+    least ``min_shared`` distinct word n-gram shingles with any eval
+    document.  Long shingles (n=8 default — the common contamination
+    heuristic) make coincidental overlap vanishingly rare, so a single
+    shared shingle is a strong signal.
+
+    Output: (train_id, eval_id, shared).  Shape at scale: one equi-join
+    keyed on shingle — the eval side is tiny (benchmarks), so Spark
+    broadcasts it and the check is one pass over the training corpus."""
+    from pyspark.sql import functions as F
+
+    tr = doc_shingles(train, n, text_col, id_col).select(
+        F.col("_id").alias("train_id"), "shingle"
+    )
+    ev = doc_shingles(eval_df, n, text_col, id_col).select(
+        F.col("_id").alias("eval_id"), "shingle"
+    )
+    return (
+        tr.join(ev, "shingle")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

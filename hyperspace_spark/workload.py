@@ -1372,6 +1372,42 @@ def dedup_clusters_query(spark, sf_dir):
     return dedup.connected_components(pairs)
 
 
+@q(
+    "contamination_check",
+    """
+    WITH shingled AS (
+      SELECT doc_id, source,
+        CASE WHEN len(t) < 8 THEN array_to_string(t, ' ')
+             ELSE array_to_string(t[i:i+7], ' ') END AS shingle
+      FROM (
+        SELECT doc_id, source, t, unnest(range(1, greatest(len(t)-6, 2))) AS i
+        FROM (SELECT doc_id, source,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+              FROM documents)
+      )
+      GROUP BY ALL
+    ),
+    tr AS (SELECT doc_id AS train_id, shingle FROM shingled WHERE source NOT IN ('src0', 'src1')),
+    ev AS (SELECT doc_id AS eval_id, shingle FROM shingled WHERE source IN ('src0', 'src1'))
+    SELECT train_id, eval_id, count(*) AS shared
+    FROM tr JOIN ev USING (shingle)
+    GROUP BY 1, 2
+    HAVING count(*) >= 1
+    """,
+)
+def contamination_check_query(spark, sf_dir):
+    """Benchmark contamination: src0/src1 documents stand in for an eval
+    set; flag overlapping 8-gram shingles from the remaining corpus."""
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.llm import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(~F.col("source").isin("src0", "src1"))
+    ev = docs.filter(F.col("source").isin("src0", "src1"))
+    return dedup.contamination_check(train, ev, n=8, min_shared=1)
+
+
 def _minhash_lsh_oracle(num_hashes: int = 64, bands: int = 16, threshold: float = 0.5) -> str:
     """Exact DuckDB replica of the MinHash+LSH pipeline.  The pipeline is
     approximate as a SIMILARITY JOIN but fully deterministic as a
