@@ -91,7 +91,13 @@ def main() -> None:
         "dedup_minhash_lsh",
         "dedup_simhash",
         "dedup_embedding_cosine",
+        "dedup_clusters",
+        "contamination_check",
         "ann_cosine_topk",
+        "sample_hash_deterministic",
+        "mixture_stratified_sample",
+        "split_train_val_test",
+        "streaming_tumbling_rollup",
     ]
 
 

@@ -583,12 +583,29 @@ def connected_components(
     """
     from pyspark.sql import functions as F
 
+    # Symmetrize via explode, not union: a union's two branches would
+    # each recompute the (expensive) pairs input — one pass emits both
+    # directions.
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                    F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .persist()
     )
+    # Near-dup graphs are usually tiny relative to the corpus (only the
+    # duplicated slice appears).  When the edge list is small, collapse
+    # it to one partition so each propagation round is a single task
+    # instead of a fleet of empty shuffle tasks; big graphs keep the
+    # parallel layout.
+    if edges.count() < 1_000_000:
+        edges = edges.coalesce(1).persist()
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

@@ -36,7 +36,11 @@ NUM_BUCKETS = 1_000_000
 
 
 def hash_bucket(key: "Column", num_buckets: int = NUM_BUCKETS) -> "Column":
-    """Deterministic bucket in [0, num_buckets) from a stable key column."""
+    """Deterministic bucket in [0, num_buckets) from a stable key column.
+
+    NULL keys hash to NULL: they are dropped by the sample filters and
+    land in 'train' in the split (the CASE otherwise-branch).  Feed a
+    non-null key (surrogate or coalesced) if nulls are possible."""
     from pyspark.sql import functions as F
 
     h32 = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
