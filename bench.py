@@ -71,16 +71,22 @@ def main() -> None:
         "iceberg_filter_index",
         "q1_pricing_summary",
         "q3_shipping_priority",
+        "q4_order_priority",
         "q5_region_revenue",
         "q6_revenue_change",
         "q7_nation_volume",
+        "q8_market_share",
+        "q9_product_profit",
         "q10_returned_revenue",
         "q12_priority_shipping",
         "q13_customer_distribution",
         "q14_promo_effect",
+        "q15_top_supplier",
+        "q16_supplier_cnt",
         "q17_small_quantity_revenue",
         "q18_large_volume_customer",
         "q19_discounted_revenue",
+        "q21_waiting_supplier",
         "q22_dormant_customers",
         "window_top_orders",
         "cube_returnflag_status",

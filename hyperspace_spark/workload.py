@@ -885,6 +885,171 @@ def q7_nation_volume(spark, sf_dir):
 
 
 @q(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 (order priority checking) adapted: the late-delivery
+    predicate (commitdate < receiptdate) becomes shipped-60-days-late,
+    keeping the correlated-EXISTS-with-date-arithmetic shape."""
+    for t in ("orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"w_{t}")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM w_orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM w_lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+_Q8_SQL = """
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM {p}lineitem JOIN {p}orders ON l_orderkey = o_orderkey
+           JOIN {p}customer ON c_custkey = o_custkey
+           JOIN {p}nation n1 ON c_nationkey = n1.n_nationkey
+           JOIN {p}region ON n1.n_regionkey = r_regionkey
+           JOIN {p}supplier ON s_suppkey = l_suppkey
+           JOIN {p}nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA'
+    ) GROUP BY o_year
+    """
+
+
+@q("q8_market_share", _Q8_SQL.format(p=""))
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 (national market share): 7-way join through both the
+    customer-geography and supplier-nation dimensions, conditional
+    aggregation for the share ratio."""
+    for t in ("lineitem", "orders", "customer", "nation", "region", "supplier"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"w_{t}")
+    return spark.sql(_Q8_SQL.format(p="w_"))
+
+
+_Q9_SQL = """
+    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit FROM (
+      SELECT n_name AS nation, year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) - l_quantity * 10.0 AS amount
+      FROM {p}lineitem JOIN {p}supplier ON s_suppkey = l_suppkey
+           JOIN {p}part ON p_partkey = l_partkey
+           JOIN {p}orders ON o_orderkey = l_orderkey
+           JOIN {p}nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    ) GROUP BY nation, o_year
+    """
+
+
+@q("q9_product_profit", _Q9_SQL.format(p=""))
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 (product type profit) adapted: no partsupp table, so
+    supply cost becomes a per-unit constant — the join tree and
+    nation/year profit rollup keep their shape."""
+    for t in ("lineitem", "supplier", "part", "orders", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"w_{t}")
+    return spark.sql(_Q9_SQL.format(p="w_"))
+
+
+_Q15_SQL = """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM {p}lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM {p}supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """
+
+
+@q("q15_top_supplier", _Q15_SQL.format(p=""))
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 (top supplier): CTE reused by both the join and the
+    scalar max subquery."""
+    for t in ("lineitem", "supplier"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"w_{t}")
+    return spark.sql(_Q15_SQL.format(p="w_"))
+
+
+_Q16_SQL = """
+    SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM {p}lineitem JOIN {p}part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM {p}supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_size
+    """
+
+
+@q("q16_supplier_cnt", _Q16_SQL.format(p=""))
+def q16_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16 (parts/supplier relationship) adapted: supplier
+    exclusion via NOT IN subquery, distinct-count aggregation."""
+    for t in ("lineitem", "part", "supplier"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"w_{t}")
+    return spark.sql(_Q16_SQL.format(p="w_"))
+
+
+_Q21_SQL = """
+    SELECT s_name, count(*) AS numwait
+    FROM {p}supplier JOIN {p}lineitem l1 ON s_suppkey = l1.l_suppkey
+         JOIN {p}orders ON o_orderkey = l1.l_orderkey
+         JOIN {p}nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R' AND n_name = 'NATION_5'
+      AND EXISTS (
+        SELECT 1 FROM {p}lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM {p}lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """
+
+
+@q("q21_waiting_supplier", _Q21_SQL.format(p=""))
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting) adapted: the
+    late-flag becomes l_returnflag='R'; keeps the EXISTS + NOT EXISTS
+    double-correlation on the same fact table."""
+    for t in ("supplier", "lineitem", "orders", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"w_{t}")
+    return spark.sql(_Q21_SQL.format(p="w_"))
+
+
+@q(
     "q13_customer_distribution",
     """
     SELECT c_count, count(*) AS custdist FROM (
