@@ -32,6 +32,35 @@ if TYPE_CHECKING:
 # 2^63 — Spark 4 runs ANSI mode and errors on long overflow.
 _MERSENNE = (1 << 31) - 1
 
+# Pipeline-scoped persisted frames.  The dedup pipelines persist small
+# intermediates (shingle arrays, signatures) that must stay cached until
+# the RESULT frame is collected — so they cannot be unpersisted inside
+# the builder.  Every persist is registered here and released by
+# release_caches(); long-lived drivers (bench loops, the contract
+# runner) call it between queries so caches don't accumulate.
+_ACTIVE_PERSISTS: list = []
+
+
+def _persist(df: "DataFrame") -> "DataFrame":
+    out = df.persist()
+    _ACTIVE_PERSISTS.append(out)
+    return out
+
+
+def release_caches() -> int:
+    """Unpersist every pipeline-scoped cached frame; returns the count.
+    Safe to call at any time — already-collected results are unaffected
+    (unpersist only drops cached blocks, never data)."""
+    n = 0
+    for df in _ACTIVE_PERSISTS:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    _ACTIVE_PERSISTS.clear()
+    return n
+
 
 def _perm_params(num_hashes: int) -> list[tuple[int, int]]:
     import hashlib
@@ -82,8 +111,15 @@ def doc_shingle_arrays(
 
     from hyperspace_spark.scale import ensure_min_parallelism
 
-    return ensure_min_parallelism(df.select(F.col(id_col).alias("_id"), text_col)).select(
-        "_id", F.array_distinct(word_shingles(F.col(text_col), n)).alias("sh")
+    # NULL text -> NULL shingle array.  Such rows carry no content to
+    # compare, and downstream band buckets built with concat_ws would
+    # otherwise collapse every null-text doc into ONE bucket per band —
+    # an O(N_null²) candidate blowup.  Drop them here (empty-string text
+    # is kept: identical empties ARE duplicates and hash consistently).
+    return (
+        ensure_min_parallelism(df.select(F.col(id_col).alias("_id"), text_col))
+        .select("_id", F.array_distinct(word_shingles(F.col(text_col), n)).alias("sh"))
+        .filter(F.col("sh").isNotNull())
     )
 
 
@@ -145,7 +181,7 @@ def ngram_jaccard_pairs(
     # MEMORY_AND_DISK spills rather than OOMs at scale, and for truly
     # huge corpora the signature checkpoint pattern (write shingles to
     # storage once) replaces this pipeline anyway.
-    docs = doc_shingle_arrays(df, n, text_col, id_col).persist()
+    docs = _persist(doc_shingle_arrays(df, n, text_col, id_col))
     sh = docs.select("_id", F.explode("sh").alias("shingle"))
     if max_shingle_df is not None:
         sh = cap_shingle_df(sh, max_shingle_df)
@@ -158,9 +194,14 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    # No broadcast hint on the sizes frames: they have ONE ROW PER
+    # DOCUMENT, so a forced broadcast is unbounded at corpus scale
+    # (billions of rows to every executor).  AQE picks broadcast when
+    # the surviving frame is actually small, shuffle join otherwise —
+    # the same policy as the verify join in minhash_lsh_pairs.
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -186,13 +227,13 @@ def ngram_jaccard_pairs_prefix(
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
-    docs = doc_shingle_arrays(df, n, text_col, id_col).persist()
+    docs = _persist(doc_shingle_arrays(df, n, text_col, id_col))
     sh = docs.select("_id", F.explode("sh").alias("shingle"))
     if max_shingle_df is not None:
         sh = cap_shingle_df(sh, max_shingle_df)
         # The cap changes the similarity universe: recompute arrays from
         # the capped pairs so verification matches the capped semantics.
-        docs = sh.groupBy("_id").agg(F.collect_list("shingle").alias("sh")).persist()
+        docs = _persist(sh.groupBy("_id").agg(F.collect_list("shingle").alias("sh")))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
     ranked = (
         sh.join(dfreq, "shingle")
@@ -283,7 +324,7 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     # One persisted shingle-array frame feeds the signature build and
     # the verify joins — see ngram_jaccard_pairs for the rationale.
-    docs = doc_shingle_arrays(df, n, text_col, id_col).persist()
+    docs = _persist(doc_shingle_arrays(df, n, text_col, id_col))
     sigs = minhash_signatures(df, n, num_hashes, text_col, id_col, shingle_arrays=docs)
     band_cols = []
     for bi in range(bands):
@@ -382,8 +423,13 @@ def simhash_pairs(
 
     per_chunk = bits // chunks
     # sigs feeds both sides of the bucket self-join; persist so the
-    # token-hash aggregation runs once.
-    sigs = simhash(df, bits, text_col, id_col).persist()
+    # token-hash aggregation runs once.  Null signatures (null text: no
+    # tokens to hash) are dropped — they would otherwise share every
+    # chunk bucket ("c#" after the null-skipping concat) and emit
+    # O(N_null²) candidate rows that verification then discards.
+    sigs = _persist(
+        simhash(df, bits, text_col, id_col).filter(F.col("simhash").isNotNull())
+    )
     mask = (1 << per_chunk) - 1
     stacked = sigs.select(
         F.col(id_col).alias("_id"),
@@ -605,13 +651,17 @@ def connected_components(
     # instead of a fleet of empty shuffle tasks; big graphs keep the
     # parallel layout.
     if edges.count() < 1_000_000:
-        edges = edges.coalesce(1).persist()
+        small = edges.coalesce(1).persist()
+        small.count()  # materialize from the old cache before dropping it
+        edges.unpersist()
+        edges = small
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
         .persist()
     )
+    changed = 0
     for _ in range(max_iter):
         # candidate label for each node: min over neighbors' labels
         neighbor_min = (
@@ -638,6 +688,21 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # Unconverged labels are WRONG (a long chain's far end still
+        # carries a stale cluster id) — never return them silently.
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge within max_iter={max_iter} "
+            f"({changed} labels still changing); cluster ids are partial — "
+            "raise max_iter (rounds needed = graph diameter)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    # The final labels frame stays cached for the caller's collection;
+    # register it for scoped cleanup like every other pipeline persist.
+    _ACTIVE_PERSISTS.append(labels)
     return labels.select(F.col("node"), F.col("label").alias("cluster"))
 
 

@@ -345,3 +345,47 @@ def test_connected_components_and_canonical(spark):
     )
     kept = sorted(r.doc_id for r in dedup.keep_canonical(corpus, pairs).collect())
     assert kept == [1, 10, 99]
+
+
+def test_connected_components_warns_when_unconverged(spark):
+    # chain of diameter 5 with max_iter=1: labels can't propagate to the
+    # far end — returning silently would hand back WRONG cluster ids.
+    import warnings
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], ["id_a", "id_b"]
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        dedup.connected_components(pairs, max_iter=1).collect()
+    assert any("did not converge" in str(w.message) for w in caught)
+
+
+def test_null_text_docs_do_not_pair_or_blow_up(spark):
+    # ADVICE r2: null-text docs used to share EVERY band bucket (concat_ws
+    # skips nulls) -> O(N²) candidates.  They must be excluded outright.
+    rows = [(i, None) for i in range(20)] + [
+        (100, "the quick brown fox jumps over the lazy dog"),
+        (101, "the quick brown fox jumps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    mh = dedup.minhash_lsh_pairs(df, n=3, num_hashes=16, bands=4, verify_threshold=None)
+    got = {(r.id_a, r.id_b) for r in mh.collect()}
+    assert got == {(100, 101)}  # no null-null candidate pairs at all
+    sh_pairs = dedup.simhash_pairs(df)
+    got = {(r.id_a, r.id_b) for r in sh_pairs.collect()}
+    assert got == {(100, 101)}
+    jac = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in jac.collect()}
+    assert got == {(100, 101)}
+    dedup.release_caches()
+
+
+def test_release_caches_clears_registry(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f")], ["doc_id", "text"]
+    )
+    dedup.minhash_lsh_pairs(df, n=3, num_hashes=16, bands=4, verify_threshold=0.5).collect()
+    assert len(dedup._ACTIVE_PERSISTS) > 0
+    n = dedup.release_caches()
+    assert n > 0 and dedup._ACTIVE_PERSISTS == []
