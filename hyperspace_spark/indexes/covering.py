@@ -234,24 +234,37 @@ def bucket_pruned_files(entry, lits) -> list[str] | None:
 def ensure_bucketed_table(spark: "SparkSession", entry) -> str | None:
     """Re-register the index's external bucketed table in this session's
     catalog (no-op if present).  Returns the table name, or None if the
-    index data is not registrable as a single bucketed location."""
+    index data is not registrable as a single bucketed location.
+
+    The registered name is suffixed with a hash of the DATA LOCATION:
+    index names repeat across Hyperspace system paths (two workspaces
+    each build a "w_li_join" v0), and the bare build-time name is
+    session-global — reusing a same-named catalog entry registered by
+    another workspace would silently serve THAT workspace's data (a
+    wrong-results bug, observed across scale-factor workspaces in one
+    session).  Location-keyed names make the catalog entry 1:1 with the
+    files it fronts."""
+    import hashlib
+
     from pyspark.sql.types import StructType
 
     props = entry.derived_properties
     tbl = props.get("tableName")
     if not tbl or len(entry.index_data_dirs) != 1:
         return None
-    if spark.catalog.tableExists(tbl):
-        return tbl
+    loc = entry.index_data_dirs[0]
+    reg = f"{tbl}_{hashlib.md5(loc.encode()).hexdigest()[:8]}"
+    if spark.catalog.tableExists(reg):
+        return reg
     schema = StructType.fromJson(json.loads(props["schemaJson"]))
     cols_ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
     keys = ", ".join(f"`{c}`" for c in props["indexedColumns"])
     spark.sql(
-        f"CREATE TABLE {tbl} ({cols_ddl}) USING parquet "
+        f"CREATE TABLE {reg} ({cols_ddl}) USING parquet "
         f"CLUSTERED BY ({keys}) SORTED BY ({keys}) INTO {props['numBuckets']} BUCKETS "
-        f"LOCATION '{entry.index_data_dirs[0]}'"
+        f"LOCATION '{loc}'"
     )
-    return tbl
+    return reg
 
 
 def index_scan_df(

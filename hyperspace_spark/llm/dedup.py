@@ -325,7 +325,12 @@ def minhash_lsh_pairs(
     # One persisted shingle-array frame feeds the signature build and
     # the verify joins — see ngram_jaccard_pairs for the rationale.
     docs = _persist(doc_shingle_arrays(df, n, text_col, id_col))
-    sigs = minhash_signatures(df, n, num_hashes, text_col, id_col, shingle_arrays=docs)
+    # Persist the signature frame as well: the banded bucket frame
+    # self-joins, and without this the 64-permutation transform subtree
+    # is evaluated once per join side.  One row per doc — tiny.
+    sigs = _persist(
+        minhash_signatures(df, n, num_hashes, text_col, id_col, shingle_arrays=docs)
+    )
     band_cols = []
     for bi in range(bands):
         cols = [F.col(f"mh_{bi * rows_per_band + r}") for r in range(rows_per_band)]

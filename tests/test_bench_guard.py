@@ -1,0 +1,101 @@
+"""Acceleration regression guards.
+
+Round 1 shipped indexes that DECELERATED queries (speedup 0.74-1.12x)
+and nothing failed: the bench records speedups but never judges them.
+These tests make that class of regression a red test instead of a
+footnote in BENCH_r{N}.json.
+
+- test_accelerated_speedups: the five accelerated headline queries must
+  be at least as fast WITH their index as without, at sf0.01 with a
+  min-of-3 protocol (first run pays codegen; min reflects warm
+  execution).
+- test_cobucketed_join_survives_aqe: AQE can demote a bucketed SMJ and
+  re-introduce the Exchange the whole design exists to remove (known
+  Spark foot-gun); assert the executed (AQE-finalized) plan keeps the
+  join shuffle-free.
+"""
+
+import time
+
+import pytest
+
+GUARD_SF_DIR = "/root/testdata/sf0.01"
+
+ACCELERATED = [
+    "covering_filter_point",
+    "covering_filter_agg",
+    "join_cobucketed",
+    "dataskipping_minmax",
+    "zorder_filter_2d",
+]
+
+
+def _timed(spark, name, sf_dir, runs=3):
+    from hyperspace_spark.workload import QUERIES
+
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).collect()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+@pytest.mark.slow
+def test_accelerated_speedups(spark):
+    """Each accelerated query >= 1.0x vs the unindexed plan, and the
+    geomean comfortably above (the reference's envelope is ~2x at real
+    scale; at sf0.01 plan-overhead eats some margin but never all).
+
+    Interleaved accel/raw timing keeps page-cache state comparable —
+    the bench's own protocol (bench.py)."""
+    import math
+
+    from hyperspace_spark.workload import workspace
+
+    workspace(spark, GUARD_SF_DIR)  # build once, outside the timings
+    speedups = {}
+    for name in ACCELERATED:
+        accel = _timed(spark, name, GUARD_SF_DIR)
+        spark.conf.set("spark.hyperspace.apply.enabled", "false")
+        try:
+            raw = _timed(spark, name, GUARD_SF_DIR)
+        finally:
+            spark.conf.set("spark.hyperspace.apply.enabled", "true")
+        speedups[name] = raw / accel
+    geomean = math.exp(sum(math.log(s) for s in speedups.values()) / len(speedups))
+    slow = {n: round(s, 2) for n, s in speedups.items() if s < 1.0}
+    assert not slow, f"indexes decelerate queries: {slow} (all: {speedups})"
+    assert geomean >= 1.2, f"geomean speedup collapsed: {geomean:.2f} ({speedups})"
+
+
+def test_cobucketed_join_survives_aqe(spark):
+    """The co-bucketed SMJ must stay Exchange-free through AQE
+    re-planning (executed plan, after collect forces finalization).
+    Auto-broadcast is disabled: at guard scale Spark would broadcast the
+    small side, which hides exactly the regression this guards."""
+    from hyperspace_spark.workload import QUERIES, workspace
+
+    workspace(spark, GUARD_SF_DIR)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
+    # Bust the apply-plan cache: a cached DataFrame carries the
+    # executedPlan finalized under whatever broadcast conf was active
+    # when it first ran (e.g. in the speedups test above).
+    spark.conf.set("spark.hyperspace.apply.cacheTtlSeconds", "0")
+    try:
+        df = QUERIES["join_cobucketed"](spark, GUARD_SF_DIR)
+        df.collect()  # AQE finalizes the plan on execution
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # AdaptiveSparkPlan's toString repeats the tree under "== Initial
+        # Plan =="; judge only the final (executed) section.
+        final = plan.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" in final, final[:2000]
+        # The single allowed Exchange is the post-join aggregation's;
+        # neither JOIN INPUT may re-shuffle (that is the bucket layout's
+        # whole contribution).
+        assert final.count("Exchange") <= 1, final[:3000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.unset("spark.hyperspace.apply.cacheTtlSeconds")

@@ -191,3 +191,33 @@ def test_partitioned_incremental_refresh(spark, hs, tmp_path):
     fast, used = hs._apply_with_info(q)
     assert used == ["pinc"], hs.why_not(q)
     assert rows_equal(q, fast)
+
+
+def test_bucketed_table_registration_is_location_keyed(spark, tmp_path):
+    """Round-3 finding: the query-time catalog registration used the bare
+    build-time table name (hs_<index>_v<version>), which is session-global
+    while index names repeat across Hyperspace system paths — a workspace
+    could silently serve ANOTHER workspace's same-named index data
+    (observed as wrong join results across scale-factor workspaces in one
+    session).  Registration must be keyed by data location."""
+    from hyperspace_spark.indexes.covering import ensure_bucketed_table
+
+    srcs = []
+    for i, n in enumerate((100, 50)):
+        d = str(tmp_path / f"src{i}")
+        spark.range(0, n).selectExpr("id AS k", f"id * {i + 2} AS v").write.parquet(d)
+        srcs.append(d)
+
+    entries = []
+    for i, d in enumerate(srcs):
+        hs_i = Hyperspace(spark, system_path=str(tmp_path / f"sys{i}"))
+        hs_i.create_index(
+            spark.read.parquet(d), CoveringIndexConfig("dup_idx", ["k"], ["v"])
+        )
+        entries.append(hs_i._log_mgr("dup_idx", hs_i.conf()).get_latest_stable_log())
+
+    t0 = ensure_bucketed_table(spark, entries[0])
+    t1 = ensure_bucketed_table(spark, entries[1])
+    assert t0 != t1, "same catalog name for two different index locations"
+    assert spark.table(t0).count() == 100
+    assert spark.table(t1).count() == 50
