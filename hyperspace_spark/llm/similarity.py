@@ -98,16 +98,28 @@ def _hyperplanes(dim: int, nbits: int, seed: str = "hs-lsh") -> list[list[float]
 
 
 def lsh_bucket_col(vec_col: "Column", dim: int, nbits: int = 12, seed: str = "hs-lsh") -> "Column":
-    """Random-hyperplane signature: nbits sign bits packed into a long."""
+    """Random-hyperplane signature: nbits sign bits packed into a long.
+
+    The plane matrix is ONE nested-array Literal node (`F.lit` of a
+    nested list), not nbits×dim scalar literals glued with `F.array` —
+    the per-element form made a multi-thousand-node expression tree that
+    dominated wall time with Catalyst/codegen work (12.7 s for a 500-row
+    corpus).  Bit packing stays exact: `bit * 2^j` on longs equals the
+    former `shiftleft(bit, j)` sum, and the dot product keeps the same
+    sequential fp-add order, so signatures are bit-identical."""
     from pyspark.sql import functions as F
 
     planes = _hyperplanes(dim, nbits, seed)
-    sig = F.lit(0).cast("long")
-    for j, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        bit = (dot_expr(vec_col, p) > 0).cast("long")
-        sig = sig + F.shiftleft(bit, j)
-    return sig
+    planes_lit = F.lit([[float(x) for x in row] for row in planes])
+    return F.aggregate(
+        F.transform(
+            planes_lit,
+            lambda p, j: (dot_expr(vec_col, p) > 0).cast("long")
+            * F.pow(F.lit(2.0), j).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def lsh_bucketed_pairs(
@@ -143,7 +155,14 @@ def lsh_bucketed_pairs(
     sigs = F.array(
         *[lsh_bucket_col(F.col("_v"), dim, nbits, seed=f"hs-lsh-band{b}") for b in range(bands)]
     )
-    keyed = v.select("_id", F.posexplode(sigs).alias("band", "sig"))
+    # Persist the (id, band, sig) frame: it feeds the bucket-size cap,
+    # BOTH sides of the candidate self-join, and is tiny (3 longs per
+    # band-row) — without the cache the signature dot products run up to
+    # four times.  Registered with the pipeline cache registry so bench /
+    # contract drivers release it between queries.
+    from hyperspace_spark.llm.dedup import _persist
+
+    keyed = _persist(v.select("_id", F.posexplode(sigs).alias("band", "sig")))
     if max_bucket:
         ok = (
             keyed.groupBy("band", "sig")
