@@ -111,24 +111,43 @@ def doc_shingle_arrays(
 
     from hyperspace_spark.scale import ensure_min_parallelism
 
-    # NULL text -> NULL shingle array.  Such rows carry no content to
-    # compare, and downstream band buckets built with concat_ws would
-    # otherwise collapse every null-text doc into ONE bucket per band —
-    # an O(N_null²) candidate blowup.  Drop them here (empty-string text
-    # is kept: identical empties ARE duplicates and hash consistently).
+    # NULL text -> no row.  Such rows carry no content to compare, and
+    # downstream band buckets built with concat_ws would otherwise
+    # collapse every null-text doc into ONE bucket per band — an
+    # O(N_null²) candidate blowup.  Filter on TEXT, not on the shingle
+    # array: `sh` is null iff `text` is null (split/array_join propagate
+    # null; empty-string text yields [''] and is kept — identical
+    # empties ARE duplicates and hash consistently), and a filter on the
+    # computed array gets predicate-pushed below the repartition
+    # exchange, re-evaluating the whole tokenize+shingle expression
+    # serially in the scan task (measured: the entire sf0.1 shingling ran
+    # single-threaded, 3.3 s vs 0.9 s).
     return (
-        ensure_min_parallelism(df.select(F.col(id_col).alias("_id"), text_col))
+        ensure_min_parallelism(
+            df.select(F.col(id_col).alias("_id"), text_col).filter(
+                F.col(text_col).isNotNull()
+            )
+        )
         .select("_id", F.array_distinct(word_shingles(F.col(text_col), n)).alias("sh"))
-        .filter(F.col("sh").isNotNull())
     )
 
 
 def doc_shingles(df: "DataFrame", n: int, text_col: str = "text", id_col: str = "doc_id") -> "DataFrame":
-    """(id, shingle) pairs, distinct per document."""
+    """(id, shingle) pairs, distinct per document.
+
+    explode_outer, NOT explode: the non-outer form triggers Spark's
+    InferFiltersFromGenerate rule, which adds `size(sh)>0 AND
+    isnotnull(sh)` below the Generate — and predicate pushdown then
+    carries those through the parallelism Exchange to the scan, where
+    they re-evaluate the ENTIRE tokenize+shingle expression serially in
+    the (often single) scan task.  Measured at sf0.1: 3.3 s -> 0.5 s.
+    The outer form is exempt from the rule and is semantically identical
+    here: `sh` is never null (null text is filtered on input) and never
+    empty (the CASE always yields >= 1 element)."""
     from pyspark.sql import functions as F
 
     return doc_shingle_arrays(df, n, text_col, id_col).select(
-        "_id", F.explode("sh").alias("shingle")
+        "_id", F.explode_outer("sh").alias("shingle")
     )
 
 
@@ -182,7 +201,9 @@ def ngram_jaccard_pairs(
     # huge corpora the signature checkpoint pattern (write shingles to
     # storage once) replaces this pipeline anyway.
     docs = _persist(doc_shingle_arrays(df, n, text_col, id_col))
-    sh = docs.select("_id", F.explode("sh").alias("shingle"))
+    # explode_outer: see doc_shingles — avoids InferFiltersFromGenerate
+    # re-deriving the shingle expression below the exchange/cache.
+    sh = docs.select("_id", F.explode_outer("sh").alias("shingle"))
     if max_shingle_df is not None:
         sh = cap_shingle_df(sh, max_shingle_df)
     sizes = sh.groupBy("_id").agg(F.count("*").alias("sz"))
@@ -228,7 +249,9 @@ def ngram_jaccard_pairs_prefix(
     from pyspark.sql import functions as F
 
     docs = _persist(doc_shingle_arrays(df, n, text_col, id_col))
-    sh = docs.select("_id", F.explode("sh").alias("shingle"))
+    # explode_outer: see doc_shingles — avoids InferFiltersFromGenerate
+    # re-deriving the shingle expression below the exchange/cache.
+    sh = docs.select("_id", F.explode_outer("sh").alias("shingle"))
     if max_shingle_df is not None:
         sh = cap_shingle_df(sh, max_shingle_df)
         # The cap changes the similarity universe: recompute arrays from
@@ -338,7 +361,9 @@ def minhash_lsh_pairs(
     banded = sigs.select(id_col, *band_cols)
     stacked = banded.select(
         F.col(id_col).alias("_id"),
-        F.explode(
+        # outer: sidesteps InferFiltersFromGenerate (see doc_shingles);
+        # the band array is a literal-length array of non-null md5s.
+        F.explode_outer(
             F.array(*[F.concat_ws("#", F.lit(str(bi)), F.col(f"band_{bi}")) for bi in range(bands)])
         ).alias("bucket"),
     )
@@ -428,18 +453,24 @@ def simhash_pairs(
 
     per_chunk = bits // chunks
     # sigs feeds both sides of the bucket self-join; persist so the
-    # token-hash aggregation runs once.  Null signatures (null text: no
-    # tokens to hash) are dropped — they would otherwise share every
-    # chunk bucket ("c#" after the null-skipping concat) and emit
-    # O(N_null²) candidate rows that verification then discards.
+    # token-hash aggregation runs once.  Null-text docs are dropped (no
+    # tokens to hash) — they would otherwise share every chunk bucket
+    # ("c#" after the null-skipping concat) and emit O(N_null²)
+    # candidate rows that verification then discards.  Filter the INPUT
+    # text, not the computed signature: simhash is null iff text is null,
+    # and a filter on the computed column gets predicate-pushed below the
+    # parallelism repartition, re-running the whole 60-bit aggregation
+    # serially in the scan task.
     sigs = _persist(
-        simhash(df, bits, text_col, id_col).filter(F.col("simhash").isNotNull())
+        simhash(df.filter(F.col(text_col).isNotNull()), bits, text_col, id_col)
     )
     mask = (1 << per_chunk) - 1
     stacked = sigs.select(
         F.col(id_col).alias("_id"),
         F.col("simhash"),
-        F.explode(
+        # outer: sidesteps InferFiltersFromGenerate (see doc_shingles);
+        # chunk keys are non-null for every non-null signature.
+        F.explode_outer(
             F.array(
                 *[
                     F.concat_ws(
@@ -639,7 +670,10 @@ def connected_components(
     # directions.
     edges = (
         pairs.select(
-            F.explode(
+            # outer: see doc_shingles — the 2-struct array is never
+            # null/empty, and non-outer explode would push an inferred
+            # filter into the (expensive) pairs input.
+            F.explode_outer(
                 F.array(
                     F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
                     F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),

@@ -102,6 +102,64 @@ def decode_features(df: "DataFrame", decode: str = "fake") -> "DataFrame":
     return df.mapInPandas(_decode_batches, DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id long, kind string, width int, height int, data binary, "
+    "meta struct<width:int, height:int, sample_rate:int, duration_ms:int, format:string>"
+)
+
+
+def resize_images(df: "DataFrame", width: int = 224, height: int = 224) -> "DataFrame":
+    """Image rows -> fixed-size thumbnails; non-image rows pass through
+    untouched (width/height echo the metadata).
+
+    The pixel resampling is STUBBED deterministically — output bytes are
+    a content-derived fixed-length payload of exactly width*height//64
+    bytes, so downstream batch-shape and size accounting behave like a
+    real thumbnail column.  The plumbing is the real thing: Arrow-batched
+    `mapInPandas`, one output row per input row, binary column replaced
+    in place, metadata struct rebuilt with the new dimensions.  A real
+    decoder (PIL etc.) plugs into `_resize_one`."""
+    target_len = max(16, width * height // 64)
+
+    def _resize_one(data: bytes) -> bytes:
+        # Deterministic fake: stretch/shrink the content hash to the
+        # target thumbnail byte length (stable across runs/engines).
+        seed = hashlib.sha256(data).digest()
+        reps = -(-target_len // len(seed))
+        return (seed * reps)[:target_len]
+
+    def _batches(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out_data, out_w, out_h, out_meta = [], [], [], []
+            for kind, data, meta in zip(pdf["kind"], pdf["data"], pdf["meta"]):
+                if kind == "image":
+                    out_data.append(_resize_one(bytes(data)))
+                    out_w.append(width)
+                    out_h.append(height)
+                    m = dict(meta) if meta is not None else {}
+                    m["width"], m["height"] = width, height
+                    out_meta.append(m)
+                else:
+                    out_data.append(bytes(data))
+                    out_w.append(meta["width"] if meta is not None else None)
+                    out_h.append(meta["height"] if meta is not None else None)
+                    out_meta.append(meta)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "width": pd.array(out_w, dtype="Int32"),
+                    "height": pd.array(out_h, dtype="Int32"),
+                    "data": out_data,
+                    "meta": out_meta,
+                }
+            )
+
+    return df.mapInPandas(_batches, RESIZED_SCHEMA)
+
+
 def sample_frames(df: "DataFrame", every_ms: int = 1000, max_frames: int = 8) -> "DataFrame":
     """Video rows -> (media_id, frame_index, frame_ms, frame) rows.
 

@@ -162,7 +162,12 @@ def lsh_bucketed_pairs(
     # contract drivers release it between queries.
     from hyperspace_spark.llm.dedup import _persist
 
-    keyed = _persist(v.select("_id", F.posexplode(sigs).alias("band", "sig")))
+    # posexplode_outer, not posexplode: the non-outer form triggers
+    # InferFiltersFromGenerate, whose size/isnotnull predicates get
+    # pushed below the cache into the scan and re-evaluate all 8 band
+    # signatures serially (see dedup.doc_shingles).  The band array is a
+    # fixed-length literal array of non-null longs, so outer ≡ inner.
+    keyed = _persist(v.select("_id", F.posexplode_outer(sigs).alias("band", "sig")))
     if max_bucket:
         ok = (
             keyed.groupBy("band", "sig")

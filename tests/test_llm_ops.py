@@ -253,6 +253,27 @@ def test_multimodal_decode_and_frames(spark):
     assert {r.media_id for r in frames} <= vids
 
 
+def test_multimodal_resize_images(spark):
+    media = multimodal.synthetic_media_df(spark, n=30)
+    out = multimodal.resize_images(media, width=64, height=64).collect()
+    assert len(out) == 30  # one row per input, all kinds
+    target = max(16, 64 * 64 // 64)
+    by_id = {r.media_id: r for r in out}
+    for r in media.collect():
+        o = by_id[r.media_id]
+        assert o.kind == r.kind
+        if r.kind == "image":
+            assert (o.width, o.height) == (64, 64)
+            assert len(o.data) == target  # fixed thumbnail byte length
+            assert o.meta.width == 64 and o.meta.height == 64
+        else:
+            assert bytes(o.data) == bytes(r.data)  # pass-through untouched
+            assert o.width == (r.meta.width if r.meta else None)
+    # deterministic: same input -> same thumbnail bytes
+    again = {r.media_id: bytes(r.data) for r in multimodal.resize_images(media, 64, 64).collect()}
+    assert {r.media_id: bytes(r.data) for r in out} == again
+
+
 def test_multimodal_real_decode_raises(spark):
     media = multimodal.synthetic_media_df(spark, n=2)
     with pytest.raises(NotImplementedError):
