@@ -2048,6 +2048,44 @@ def multimodal_meta_query(spark, sf_dir):
     )
 
 
+@q(
+    "multimodal_resize",
+    """
+    SELECT i AS media_id,
+           CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           CASE WHEN i % 3 = 0 THEN 96
+                WHEN i % 3 = 1 THEN NULL
+                ELSE CAST(64 + (i % 8) * 16 AS INT) END AS width,
+           CASE WHEN i % 3 = 0 THEN 64
+                WHEN i % 3 = 1 THEN NULL
+                ELSE CAST(48 + (i % 8) * 12 AS INT) END AS height,
+           CASE WHEN i % 3 = 0 THEN CAST(96 AS BIGINT)
+                ELSE CAST(32 * (4 + i % 5) AS BIGINT) END AS n_bytes
+    FROM range(48) t(i)
+    """,
+)
+def multimodal_resize_query(spark, sf_dir):
+    """Thumbnail pipeline, oracle-checked on every deterministic column:
+    images are resized to 96x64 (stub resampler emits exactly
+    width*height/64 = 96 bytes), non-image rows pass through with their
+    original payload and metadata dimensions.  n_bytes is measured from
+    the ACTUAL post-resize binary column, so the oracle pins the
+    mapInPandas in-place binary replacement, the pass-through branch, and
+    the metadata rebuild — only pixel values are faked."""
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.llm import multimodal
+
+    media = multimodal.synthetic_media_df(spark, n=48)
+    return multimodal.resize_images(media, width=96, height=64).select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        F.length("data").cast("long").alias("n_bytes"),
+    )
+
+
 @q("multimodal_features", None)  # decoded feature values (stubbed codec) -> rows-only
 def multimodal_features_query(spark, sf_dir):
     """Feature vectors exploded to (media_id, dim_idx, feature) scalars:
@@ -2457,6 +2495,7 @@ _VERIFY_PRIORITY = [
     # new this round
     "pii_detect",
     "multimodal_meta",
+    "multimodal_resize",
     "multimodal_features",
     "ann_ivf_topk",
     "q2_min_cost_supplier",

@@ -1,0 +1,170 @@
+"""Scale probe: does the engine's plan shape survive a 10x scale-up?
+
+Synthesizes an sf1-equivalent dataset (10x sf0.1, deterministic key
+strides so replica 0 is the original data and every fixed query literal
+still hits), builds the FULL index workspace on it, and verifies the two
+things that must stay true as data grows:
+
+1. the co-bucketed join's AQE-finalized executed plan keeps both join
+   inputs Exchange-free (AQE is known to demote bucketed SMJs — the
+   regression the sf0.01 guard in tests/test_bench_guard.py catches is
+   re-checked here at 100x that scale), and
+2. index acceleration GROWS with scale: each accelerated query's
+   speedup_vs_unindexed at sf1 >= its sf0.1 value (a fixed-selectivity
+   probe over 10x data should lean harder on pruning, not less).
+
+Run:  python scripts/scale_probe.py        (~3-4 min cold, seconds warm)
+Output: one JSON line {"sf1_speedups": ..., "aqe_exchange_free": ...}.
+
+The synthetic tables live in /tmp/hs_scale_sf1; delete the directory to
+regenerate.  Small dimension tables are symlinked unchanged.
+"""
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/hs_scale_sf1"
+REPLICAS = 10
+
+# Per-table key columns that must not collide across replicas.  Stride =
+# (max+1) of the column at sf0.1, so replica 0 is byte-identical to the
+# source and fixed literals (o_custkey = 421, ...) keep their original
+# match set while the corpus grows 10x around them.
+KEYED = {
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "events": ["event_id"],
+}
+PASSTHROUGH = ["region", "nation", "customer", "supplier", "part"]
+
+ACCELERATED = [
+    "covering_filter_point",
+    "covering_filter_agg",
+    "join_cobucketed",
+    "dataskipping_minmax",
+    "zorder_filter_2d",
+]
+
+
+def build_session():
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", "/tmp/hs_scale_wh")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def generate(spark) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(DST, exist_ok=True)
+    for name in PASSTHROUGH:
+        link = f"{DST}/{name}.parquet"
+        if not os.path.exists(link):
+            os.symlink(f"{SRC}/{name}.parquet", link)
+    for name, keys in KEYED.items():
+        out = f"{DST}/{name}.parquet"
+        if os.path.exists(out):
+            continue
+        df = spark.read.parquet(f"{SRC}/{name}.parquet")
+        cols = [f.name for f in df.schema.fields]
+        keys = [k for k in keys if k in cols]
+        strides = {
+            k: int(df.agg(F.max(k)).first()[0]) + 1 for k in keys
+        }
+        rep = df.withColumn(
+            "_r", F.explode_outer(F.lit(list(range(REPLICAS))))
+        )
+        for k in keys:
+            rep = rep.withColumn(k, F.col(k) + F.col("_r") * F.lit(strides[k]))
+        # Single file so Workspace._bucket_counts' os.path.getsize sizing
+        # sees real bytes (it expects a file, as the driver data is).
+        tmp = f"{DST}/_tmp_{name}"
+        rep.select(*cols).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [p for p in os.listdir(tmp) if p.endswith(".parquet")][0]
+        os.replace(f"{tmp}/{part}", out)
+        shutil.rmtree(tmp)
+        print(f"generated {name}: {REPLICAS}x, strides {strides}", file=sys.stderr)
+
+
+def timed(spark, name, runs=3):
+    from hyperspace_spark.workload import QUERIES
+
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        QUERIES[name](spark, DST).collect()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    spark = build_session()
+    t0 = time.perf_counter()
+    generate(spark)
+    gen_sec = time.perf_counter() - t0
+
+    from hyperspace_spark.workload import QUERIES, workspace
+
+    t0 = time.perf_counter()
+    ws = workspace(spark, DST)
+    build_sec = time.perf_counter() - t0
+
+    # --- probe 1: AQE keeps the co-bucketed SMJ exchange-free at sf1 ---
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
+    spark.conf.set("spark.hyperspace.apply.cacheTtlSeconds", "0")
+    df = QUERIES["join_cobucketed"](spark, DST)
+    df.collect()
+    final = (
+        df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    )
+    aqe_ok = "SortMergeJoin" in final and final.count("Exchange") <= 1
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.unset("spark.hyperspace.apply.cacheTtlSeconds")
+
+    # --- probe 2: per-query speedup vs unindexed at sf1 ---
+    speedups = {}
+    for name in ACCELERATED:
+        accel = timed(spark, name)
+        spark.conf.set("spark.hyperspace.apply.enabled", "false")
+        try:
+            raw = timed(spark, name)
+        finally:
+            spark.conf.set("spark.hyperspace.apply.enabled", "true")
+        speedups[name] = round(raw / accel, 2)
+
+    print(
+        json.dumps(
+            {
+                "sf": "sf1(synthetic 10x sf0.1)",
+                "gen_sec": round(gen_sec, 1),
+                "index_build_sec": round(build_sec, 1),
+                "aqe_exchange_free_join": aqe_ok,
+                "sf1_speedups": speedups,
+            }
+        )
+    )
+    sys.exit(0 if aqe_ok and all(s >= 1.0 for s in speedups.values()) else 1)
+
+
+if __name__ == "__main__":
+    main()
