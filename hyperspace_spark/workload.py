@@ -1448,6 +1448,51 @@ def setop_intersect(spark, sf_dir):
 
 
 @q(
+    "setop_except_all",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+    """,
+)
+def setop_except_all(spark, sf_dir):
+    """EXCEPT ALL — multiplicity-preserving set difference (each urgent
+    order's custkey survives once per unmatched occurrence), the §2.B
+    set-op family member INTERSECT/UNION queries don't cover."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter("o_orderpriority = '1-URGENT'").select("o_custkey")
+    b = o.filter("o_totalprice > 150000").select("o_custkey")
+    return a.exceptAll(b)
+
+
+@q(
+    "grouping_sets_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           count(*) AS cnt
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_agg(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form cube/rollup specialize):
+    per-returnflag totals, per-linestatus totals, and the grand total in
+    one pass — Spark expands to a single Expand+Aggregate, no re-scan."""
+    _conf(spark)
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("w_lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               count(*) AS cnt
+        FROM w_lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@q(
     "anti_join_customers",
     """
     SELECT c_custkey, c_name FROM customer
@@ -2532,6 +2577,8 @@ _VERIFY_PRIORITY = [
     # batch SQL surface variety
     "events_hourly_rollup",
     "window_top_orders",
+    "grouping_sets_agg",
+    "setop_except_all",
     "cube_returnflag_status",
     "setop_intersect",
     "anti_join_customers",
