@@ -168,3 +168,44 @@ def text_stats(df: "DataFrame", text_col: str = "text", id_col: str = "doc_id") 
         language_id(t).alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def chunk_text_udtf(size: int = 64, overlap: int = 16):
+    """Python UDTF (Spark 3.5+ table function) that splits each document
+    into overlapping context-window chunks of at most ``size`` whitespace
+    words, stepping ``size - overlap`` words — the standard shape for
+    RAG / training-example windowing.
+
+    This is the §2.B UDTF surface: genuinely generative row logic (one
+    input row -> a data-dependent number of output rows with computed
+    payloads) where a table function is the idiomatic tool.  It is
+    row-at-a-time Python — the deliberate slow path; every hot-loop
+    operator in this package stays in JVM expressions or Arrow batches.
+    Usage::
+
+        spark.udtf.register("chunk_text", chunk_text_udtf(64, 16))
+        spark.sql("SELECT * FROM chunk_text(TABLE(docs))")
+
+    Deterministic and engine-portable: ``str.split()`` (whitespace runs,
+    empties dropped) + slice bounds match a SQL replica via
+    regexp_split_to_array + list slices, so the driver contract verifies
+    it against a DuckDB oracle (workload.py ``udtf_chunk_text``).
+    """
+    from pyspark.sql.functions import udtf
+
+    step = max(1, size - overlap)
+
+    @udtf(returnType="doc_id bigint, chunk_idx int, n_words int, chunk string")
+    class ChunkText:
+        def eval(self, row):
+            text = row["text"]
+            if text is None:
+                return
+            words = text.split()
+            for ci, start in enumerate(range(0, max(len(words), 1), step)):
+                w = words[start : start + size]
+                if not w:
+                    break
+                yield row["doc_id"], ci, len(w), " ".join(w)
+
+    return ChunkText

@@ -1667,6 +1667,42 @@ def _lang_quality_oracle() -> str:
     """
 
 
+@q(
+    "udtf_chunk_text",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words
+      FROM documents WHERE doc_id < 200 AND text IS NOT NULL
+    ), s AS (
+      SELECT doc_id, words,
+             unnest(range(0, CAST(greatest(len(words), 1) AS BIGINT), 48)) AS start,
+             generate_subscripts(range(0, CAST(greatest(len(words), 1) AS BIGINT), 48), 1) AS ord
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(ord - 1 AS INT) AS chunk_idx,
+           CAST(len(words[start+1:start+64]) AS INT) AS n_words,
+           array_to_string(words[start+1:start+64], ' ') AS chunk
+    FROM s
+    WHERE len(words[start+1:start+64]) > 0
+    """,
+)
+def udtf_chunk_text(spark, sf_dir):
+    """Python UDTF surface (§2.B): context-window chunking (64-word
+    windows, 16-word overlap) as a registered table function invoked
+    through SQL with a TABLE() argument, verified row-exact against a
+    pure-SQL replica.  doc_id < 200 bounds the slow-path Python cost."""
+    from hyperspace_spark.llm.text import chunk_text_udtf
+
+    _conf(spark)
+    spark.udtf.register("w_chunk_text", chunk_text_udtf(64, 16))
+    _t(spark, sf_dir, "documents").filter("doc_id < 200").createOrReplaceTempView(
+        "w_docs_chunk"
+    )
+    return spark.sql("SELECT * FROM w_chunk_text(TABLE(w_docs_chunk))")
+
+
 @q("lang_quality", _lang_quality_oracle())
 def lang_quality(spark, sf_dir):
     from pyspark.sql import functions as F
@@ -2561,6 +2597,7 @@ _VERIFY_PRIORITY = [
     "hybrid_join_append",
     "hybrid_scan_append",
     # LLM pipeline
+    "udtf_chunk_text",
     "text_stats",
     "lang_quality",
     "dedup_exact",

@@ -410,3 +410,26 @@ def test_release_caches_clears_registry(spark):
     assert len(dedup._ACTIVE_PERSISTS) > 0
     n = dedup.release_caches()
     assert n > 0 and dedup._ACTIVE_PERSISTS == []
+
+
+def test_chunk_text_udtf_shapes(spark):
+    from hyperspace_spark.llm.text import chunk_text_udtf
+
+    spark.udtf.register("t_chunk", chunk_text_udtf(8, 2))
+    spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(20))), (2, "a b"), (3, None), (4, "")],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("t_chunk_in")
+    rows = spark.sql("SELECT * FROM t_chunk(TABLE(t_chunk_in))").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 20 words, size 8 step 6 -> starts 0,6,12,18 -> 4 chunks
+    assert len(by_doc[1]) == 4
+    assert [r.n_words for r in sorted(by_doc[1], key=lambda r: r.chunk_idx)] == [8, 8, 8, 2]
+    # overlap: chunk i starts at i*step, so consecutive chunks share 2 words
+    c = {r.chunk_idx: r.chunk.split() for r in by_doc[1]}
+    assert c[0][-2:] == c[1][:2]
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_words == 2
+    assert 3 not in by_doc  # null text -> no rows
+    assert 4 not in by_doc  # empty text -> words==[] -> no rows
