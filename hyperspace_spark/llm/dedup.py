@@ -287,6 +287,69 @@ def ngram_jaccard_pairs_prefix(
     )
 
 
+def ngram_jaccard_pairs_incremental(
+    df: "DataFrame",
+    new_ids: "DataFrame",
+    old_pairs: "DataFrame",
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Incremental refresh of a materialized near-dup pair graph after an
+    append: returns ``old_pairs`` UNION the pairs that involve at least
+    one appended document — identical to a full recompute over ``df``
+    (proven by ``test_ngram_incremental_equals_full``), but the shingle
+    self-join is restricted to one new-docs side, so the cost is
+    O(|new| x df) instead of O(|corpus| x df).  This is the pair-graph
+    analog of RefreshIncrementalAction (reference
+    actions/RefreshIncrementalAction.scala:45-133): at 100 TB the pair
+    graph is a derived dataset refreshed with the corpus, never
+    recomputed per query (see Workspace._ensure_ngram_pairs).
+
+    ``df`` is the FULL post-append corpus; ``new_ids`` a one-column
+    frame of appended ids.  No hot-shingle cap here: the cap's document
+    frequencies are corpus-global, so a capped pair graph must be
+    refreshed full (the same universe-shift rule the skipping index
+    applies to sketch refreshes).
+    """
+    from pyspark.sql import functions as F
+
+    docs = _persist(doc_shingle_arrays(df, n, text_col, id_col))
+    sh = docs.select("_id", F.explode_outer("sh").alias("shingle"))
+    new_key = new_ids.select(F.col(new_ids.columns[0]).alias("_id")).distinct()
+    sh_new = sh.join(new_key, "_id")  # AQE broadcasts the id list when small
+    # One-sided candidate join: every pair with >=1 new member appears —
+    # old-new once (from the old side row), new-new twice (both
+    # directions) — so shared shingles are counted DISTINCT per
+    # normalized pair instead of per row.
+    a, b = sh.alias("a"), sh_new.alias("b")
+    cand = a.join(
+        b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") != F.col("b._id"))
+    ).select(
+        F.least(F.col("a._id"), F.col("b._id")).alias("id_a"),
+        F.greatest(F.col("a._id"), F.col("b._id")).alias("id_b"),
+        F.col("a.shingle").alias("shingle"),
+    )
+    inter = cand.groupBy("id_a", "id_b").agg(
+        F.countDistinct("shingle").alias("inter")
+    )
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("sz"))
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    fresh = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return old_pairs.select("id_a", "id_b", "jaccard").unionByName(fresh)
+
+
 def minhash_signatures(
     df: "DataFrame",
     n: int = 3,

@@ -433,3 +433,21 @@ def test_chunk_text_udtf_shapes(spark):
     assert len(by_doc[2]) == 1 and by_doc[2][0].n_words == 2
     assert 3 not in by_doc  # null text -> no rows
     assert 4 not in by_doc  # empty text -> words==[] -> no rows
+
+
+def test_ngram_incremental_equals_full(spark, docs):
+    """Appending docs and refreshing the pair graph incrementally must
+    reproduce the full recompute exactly (no cap: cap df counts are
+    corpus-global, see the function docstring)."""
+    full = docs.filter("doc_id < 300")
+    old = full.filter("doc_id < 250")
+    new_ids = full.filter("doc_id >= 250").select("doc_id")
+    old_pairs = dedup.ngram_jaccard_pairs(old, n=3, threshold=0.5)
+    got = sorted(
+        map(tuple, dedup.ngram_jaccard_pairs_incremental(
+            full, new_ids, old_pairs, n=3, threshold=0.5
+        ).collect())
+    )
+    want = sorted(map(tuple, dedup.ngram_jaccard_pairs(full, n=3, threshold=0.5).collect()))
+    dedup.release_caches()
+    assert got == want and len(want) > 0
