@@ -2463,6 +2463,39 @@ def window_tumbling_events(spark, sf_dir):
     )
 
 
+@q(
+    "window_sliding_events",
+    """
+    SELECT strftime(ws, '%Y-%m-%d %H:00') AS window_start,
+           count(*) AS n, round(sum(value), 2) AS sv
+    FROM (
+      SELECT date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS ws, value
+      FROM events, (SELECT unnest([0, 1]) AS k)
+    )
+    GROUP BY 1
+    """,
+)
+def window_sliding_events(spark, sf_dir):
+    """Sliding (hopping) windows — 2-hour windows every 1 hour, so each
+    event belongs to exactly two epoch-aligned windows; the oracle
+    replicates membership by fanning each event to window starts
+    trunc(ts) and trunc(ts)-1h.  Completes the window family next to
+    tumbling (window_tumbling_events) and session (session_window_events)."""
+    from pyspark.sql import functions as F
+
+    _conf(spark)
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:00").alias("window_start"),
+            "n",
+            "sv",
+        )
+    )
+
+
 _STREAM_SEQ = {"n": 0}
 
 
@@ -2578,6 +2611,7 @@ _VERIFY_PRIORITY = [
     "session_window_events",
     "streaming_tumbling_rollup",
     "window_tumbling_events",
+    "window_sliding_events",
     "pivot_linestatus",
     "rollup_agg",
     "exists_subquery",
