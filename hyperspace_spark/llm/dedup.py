@@ -478,13 +478,15 @@ def simhash(df: "DataFrame", bits: int = 60, text_col: str = "text", id_col: str
 
     hashes = F.transform(tokens(F.col(text_col)), lambda t: shingle_hash_col(t))
 
+    # One literal mask array + a single lambda, NOT `bits` separate
+    # shiftright/when expressions: the per-bit form made a ~60-branch
+    # expression evaluated per token whose interpretation dominated the
+    # stage (measured at sf0.1: 5.5 s -> 1.2 s cold, 1.8 s -> 1.1 s
+    # warm; signatures bit-identical).
+    masks = F.lit([1 << b for b in range(bits)])
+
     def signs(h):
-        return F.array(
-            *[
-                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-                for b in range(bits)
-            ]
-        )
+        return F.transform(masks, lambda m: F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1))
 
     bitcounts = F.aggregate(
         hashes,
