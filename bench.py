@@ -139,14 +139,9 @@ def main() -> None:
     # planner disabled, interleaved right after the accelerated runs so
     # page-cache state is comparable.
     speedups: dict[str, float] = {}
-    accelerated = [
-        "covering_filter_point",
-        "covering_filter_agg",
-        "join_cobucketed",
-        "dataskipping_minmax",
-        "zorder_filter_2d",
-    ]
-    for name in accelerated:
+    from hyperspace_spark.workload import ACCELERATED_QUERIES
+
+    for name in ACCELERATED_QUERIES:
         accel = timed(name, runs=3)
         spark.conf.set("spark.hyperspace.apply.enabled", "false")
         try:

@@ -28,6 +28,27 @@ if TYPE_CHECKING:
 QUERIES: dict[str, Callable] = {}
 ORACLES: dict[str, str] = {}
 
+# The index-accelerated headline queries whose speedup_vs_unindexed the
+# bench records and the guards assert — ONE definition shared by
+# bench.py, tests/test_bench_guard.py, and scripts/scale_probe.py so the
+# three surfaces can never drift apart.
+ACCELERATED_QUERIES = [
+    "covering_filter_point",
+    "covering_filter_agg",
+    "join_cobucketed",
+    "dataskipping_minmax",
+    "zorder_filter_2d",
+]
+
+
+def executed_plan_final(df) -> str:
+    """The AQE-finalized executed plan text (the section BEFORE
+    '== Initial Plan ==' — AdaptiveSparkPlan's toString repeats the
+    pre-adaptive tree after that marker).  Collect the frame first so
+    AQE has finalized.  Shared by the sf0.01 guard and the sf1 probe."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
 
 def q(name: str, oracle: str | None = None):
     def deco(fn):
@@ -1087,12 +1108,14 @@ _PARTSUPP_REGISTERED: dict = {}
 def _partsupp_view(spark, sf_dir) -> None:
     """Registers w_partsupp: the Spark twin of _PARTSUPP_SQL (DataFrame
     API; supplier count resolved driver-side — a dim-table count).
-    Memoized per (session, sf_dir): three TPC-H shapes share the view,
-    and the supplier-count job need not rerun per query."""
+    Memoized on the sf_dir LAST REGISTERED per session — temp-view names
+    are session-global, so switching sf_dir must re-register (the same
+    cross-workspace collision class fixed for bucketed tables in
+    indexes/covering.py); repeat queries on the same sf_dir skip the
+    supplier-count job."""
     from pyspark.sql import functions as F
 
-    memo_key = (id(spark), sf_dir)
-    if _PARTSUPP_REGISTERED.get(memo_key):
+    if _PARTSUPP_REGISTERED.get(id(spark)) == sf_dir:
         return
     ns = _t(spark, sf_dir, "supplier").count()
     p = _t(spark, sf_dir, "part")
@@ -1108,7 +1131,7 @@ def _partsupp_view(spark, sf_dir) -> None:
             "ps_supplycost"
         ),
     ).createOrReplaceTempView("w_partsupp")
-    _PARTSUPP_REGISTERED[memo_key] = True
+    _PARTSUPP_REGISTERED[id(spark)] = sf_dir
 
 
 @q(
@@ -1802,7 +1825,6 @@ def dedup_clusters_query(spark, sf_dir):
     computed once."""
     from hyperspace_spark.llm import dedup
 
-    dedup.release_caches()
     ws = workspace(spark, sf_dir)
     return dedup.connected_components(_p(spark, ws.ngram_pairs))
 

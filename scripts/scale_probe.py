@@ -32,26 +32,24 @@ SRC = "/root/testdata/sf0.1"
 DST = "/tmp/hs_scale_sf1"
 REPLICAS = 10
 
-# Per-table key columns that must not collide across replicas.  Stride =
-# (max+1) of the column at sf0.1, so replica 0 is byte-identical to the
-# source and fixed literals (o_custkey = 421, ...) keep their original
-# match set while the corpus grows 10x around them.
-KEYED = {
-    "orders": ["o_orderkey", "o_custkey"],
-    "lineitem": ["l_orderkey"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
-    "events": ["event_id"],
+# Key DOMAINS that must not collide across replicas.  A domain's stride
+# is (max over every member column)+1, computed once and shared by all
+# tables carrying that domain — orderkey appears in BOTH orders and
+# lineitem, and per-table strides would silently mis-attach replica
+# lineitems to wrong orders whenever max(l_orderkey) != max(o_orderkey).
+# Replica 0 stays byte-identical to the source, so fixed literals
+# (o_custkey = 421, ...) keep their original match set while the corpus
+# grows 10x around them.
+DOMAINS = {
+    "orderkey": {"orders": "o_orderkey", "lineitem": "l_orderkey"},
+    "custkey": {"orders": "o_custkey"},
+    "docid": {"documents": "doc_id"},
+    "vecid": {"embeddings": "vec_id"},
+    "eventid": {"events": "event_id"},
 }
+KEYED_TABLES = sorted({t for d in DOMAINS.values() for t in d})
 PASSTHROUGH = ["region", "nation", "customer", "supplier", "part"]
 
-ACCELERATED = [
-    "covering_filter_point",
-    "covering_filter_agg",
-    "join_cobucketed",
-    "dataskipping_minmax",
-    "zorder_filter_2d",
-]
 
 
 def build_session():
@@ -80,20 +78,32 @@ def generate(spark) -> None:
         link = f"{DST}/{name}.parquet"
         if not os.path.exists(link):
             os.symlink(f"{SRC}/{name}.parquet", link)
-    for name, keys in KEYED.items():
+    # Domain strides first: one shared stride per key domain across all
+    # its member tables (see DOMAINS comment).
+    domain_stride = {}
+    table_cols = {}
+    for dom, members in DOMAINS.items():
+        hi = 0
+        for tname, col in members.items():
+            df = spark.read.parquet(f"{SRC}/{tname}.parquet")
+            if col in [f.name for f in df.schema.fields]:
+                hi = max(hi, int(df.agg(F.max(col)).first()[0]))
+                table_cols.setdefault(tname, {})[col] = dom
+        domain_stride[dom] = hi + 1
+    for name in KEYED_TABLES:
         out = f"{DST}/{name}.parquet"
         if os.path.exists(out):
             continue
         df = spark.read.parquet(f"{SRC}/{name}.parquet")
         cols = [f.name for f in df.schema.fields]
-        keys = [k for k in keys if k in cols]
         strides = {
-            k: int(df.agg(F.max(k)).first()[0]) + 1 for k in keys
+            k: domain_stride[dom]
+            for k, dom in table_cols.get(name, {}).items()
         }
         rep = df.withColumn(
             "_r", F.explode_outer(F.lit(list(range(REPLICAS))))
         )
-        for k in keys:
+        for k in strides:
             rep = rep.withColumn(k, F.col(k) + F.col("_r") * F.lit(strides[k]))
         # Single file so Workspace._bucket_counts' os.path.getsize sizing
         # sees real bytes (it expects a file, as the driver data is).
@@ -122,7 +132,10 @@ def main():
     generate(spark)
     gen_sec = time.perf_counter() - t0
 
-    from hyperspace_spark.workload import QUERIES, workspace
+    from hyperspace_spark.workload import (
+        ACCELERATED_QUERIES as ACCELERATED,
+    )
+    from hyperspace_spark.workload import QUERIES, executed_plan_final, workspace
 
     t0 = time.perf_counter()
     ws = workspace(spark, DST)
@@ -134,9 +147,7 @@ def main():
     spark.conf.set("spark.hyperspace.apply.cacheTtlSeconds", "0")
     df = QUERIES["join_cobucketed"](spark, DST)
     df.collect()
-    final = (
-        df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
-    )
+    final = executed_plan_final(df)
     aqe_ok = "SortMergeJoin" in final and final.count("Exchange") <= 1
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     spark.conf.unset("spark.hyperspace.apply.cacheTtlSeconds")

@@ -8,32 +8,15 @@ Not collected by pytest (no test_ prefix); run manually:
     python tests/driver_sim.py [sf_dir]
 """
 
-import math
 import sys
 import time
 
+sys.path.insert(0, "/root/repo")
 
-def norm_cell(v):
-    if v is None:
-        return "NULL"
-    if isinstance(v, bool):
-        return str(int(v))
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.6g}"
-    import decimal
-
-    if isinstance(v, decimal.Decimal):
-        return f"{float(v):.6g}"
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
-    return str(v)
-
-
-def normalize(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+# ONE normalization implementation of the comparison contract: reuse the
+# contract test's helpers so the sim can never diverge from the pytest
+# gate's canonicalization rules.
+from tests.test_entry_contract import TABLES, norm_cell, normalize  # noqa: E402,F401
 
 
 def main():
@@ -41,7 +24,6 @@ def main():
     import duckdb
     from pyspark.sql import SparkSession
 
-    sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry_mod
 
     spark = (
@@ -59,10 +41,7 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
-    for t in [
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    ]:
+    for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )

@@ -19,15 +19,10 @@ import time
 
 import pytest
 
-GUARD_SF_DIR = "/root/testdata/sf0.01"
+from hyperspace_spark.workload import ACCELERATED_QUERIES as ACCELERATED
+from hyperspace_spark.workload import executed_plan_final
 
-ACCELERATED = [
-    "covering_filter_point",
-    "covering_filter_agg",
-    "join_cobucketed",
-    "dataskipping_minmax",
-    "zorder_filter_2d",
-]
+GUARD_SF_DIR = "/root/testdata/sf0.01"
 
 
 def _timed(spark, name, sf_dir, runs=3):
@@ -47,8 +42,10 @@ def test_accelerated_speedups(spark):
     geomean comfortably above (the reference's envelope is ~2x at real
     scale; at sf0.01 plan-overhead eats some margin but never all).
 
-    Interleaved accel/raw timing keeps page-cache state comparable —
-    the bench's own protocol (bench.py)."""
+    Per query, 3 accelerated runs then 3 raw runs back-to-back (the
+    bench's own protocol): min-of-3 absorbs the raw side's first-run
+    codegen/page-cache cost, and both sides scan the same source files
+    within the same window."""
     import math
 
     from hyperspace_spark.workload import workspace
@@ -87,10 +84,7 @@ def test_cobucketed_join_survives_aqe(spark):
     try:
         df = QUERIES["join_cobucketed"](spark, GUARD_SF_DIR)
         df.collect()  # AQE finalizes the plan on execution
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        # AdaptiveSparkPlan's toString repeats the tree under "== Initial
-        # Plan =="; judge only the final (executed) section.
-        final = plan.split("== Initial Plan ==")[0]
+        final = executed_plan_final(df)
         assert "SortMergeJoin" in final, final[:2000]
         # The single allowed Exchange is the post-join aggregation's;
         # neither JOIN INPUT may re-shuffle (that is the bucket layout's
