@@ -65,7 +65,7 @@ def test_streaming_incremental_maintenance(spark, tmp_path):
     assert len(e.source_files) > 2
 
 
-@pytest.mark.parametrize("fmt", ["csv", "json"])
+@pytest.mark.parametrize("fmt", ["csv", "json", "orc", "text"])
 def test_non_parquet_source_index(spark, tmp_path, fmt):
     src = str(tmp_path / f"orders_{fmt}")
     o = table(spark, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
@@ -73,13 +73,28 @@ def test_non_parquet_source_index(spark, tmp_path, fmt):
     if fmt == "csv":
         writer.option("header", "true").csv(src)
         df = spark.read.option("header", "true").option("inferSchema", "true").csv(src)
-    else:
+    elif fmt == "json":
         writer.json(src)
         df = spark.read.json(src)
+    elif fmt == "orc":
+        writer.orc(src)
+        df = spark.read.orc(src)
+    else:  # text: the source exposes ONE string column (value); index it
+        # directly — createIndex correctly rejects derived-column frames
+        # (same plain-source-scan restriction as the reference).
+        o.selectExpr(
+            "concat_ws(',', o_custkey, o_orderkey, o_totalprice) AS value"
+        ).repartition(4).write.mode("overwrite").text(src)
+        df = spark.read.text(src)
 
     hs = Hyperspace(spark, system_path=str(tmp_path / "idx"))
-    hs.create_index(df, CoveringIndexConfig(f"{fmt}_idx", ["o_custkey"], ["o_orderkey"]))
-    q = df.filter(F.col("o_custkey") == 42).select("o_orderkey")
+    if fmt == "text":
+        probe = df.first()["value"]
+        hs.create_index(df, CoveringIndexConfig(f"{fmt}_idx", ["value"], []))
+        q = df.filter(F.col("value") == probe)
+    else:
+        hs.create_index(df, CoveringIndexConfig(f"{fmt}_idx", ["o_custkey"], ["o_orderkey"]))
+        q = df.filter(F.col("o_custkey") == 42).select("o_orderkey")
     fast, used = hs._apply_with_info(q)
     assert used == [f"{fmt}_idx"], hs.why_not(q)
     # executedPlan().toString() truncates long Location paths; inputFiles
