@@ -96,27 +96,41 @@ def quality_score(text_col: "Column") -> "Column":
 def language_id(text_col: "Column") -> "Column":
     """N-gram/stopword-heuristic language ID over latin-script languages;
     returns 'und' (undetermined) when no list scores > 0.  Deterministic
-    argmax with fixed language order for ties."""
+    argmax with fixed priority order (en, es, fr, de) for ties.
+
+    Shape: ONE pass over the token array accumulating all four stopword
+    hit counts (zip_with against a nested stopword-list literal), then a
+    strict-> argmax fold that keeps the earliest index on ties.  The
+    previous chained-when formulation embedded each per-language filter
+    (and therefore the tokenization) up to ~16x in one expression tree —
+    measured 3.3 s -> 1.3 s at sf0.1 on identical outputs."""
     from pyspark.sql import functions as F
 
     toks = tokens(text_col)
-
-    def _hits(sw_list):
-        # Closure factory (NOT a default arg — F.filter treats a 2-arg
-        # lambda as (element, index)).
-        arr = F.array(*[F.lit(w) for w in sw_list])
-        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
-
-    scores = {lang: _hits(sw) for lang, sw in STOPWORDS.items()}
     order = ["en", "es", "fr", "de"]  # tie-break priority
-    best = F.lit("und")
-    best_score = F.lit(0)
-    for lang in reversed(order):
-        s = scores[lang]
-        cond = s >= F.greatest(best_score, F.lit(1))
-        best = F.when(cond, F.lit(lang)).otherwise(best)
-        best_score = F.when(cond, s).otherwise(best_score)
-    return best
+    sw_lit = F.lit([list(STOPWORDS[lang]) for lang in order])
+    counts = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), len(order)),
+        lambda acc, x: F.zip_with(
+            acc,
+            F.transform(sw_lit, lambda sw: F.array_contains(sw, x).cast("int")),
+            lambda a, c: a + c,
+        ),
+    )
+    best = F.aggregate(
+        F.zip_with(
+            counts,
+            F.lit(list(range(len(order)))),
+            lambda c, i: F.struct(c.alias("c"), i.alias("i")),
+        ),
+        F.struct(F.lit(0).alias("c"), F.lit(-1).alias("i")),
+        lambda acc, x: F.when(x["c"] > acc["c"], x).otherwise(acc),
+    )
+    return (
+        F.when(best["c"] >= 1, F.element_at(F.lit(order), best["i"] + 1))
+        .otherwise(F.lit("und"))
+    )
 
 
 def fingerprint(text_col: "Column") -> "Column":

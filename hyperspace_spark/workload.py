@@ -1740,9 +1740,10 @@ def lang_quality(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from hyperspace_spark.llm import text
+    from hyperspace_spark.scale import ensure_min_parallelism
 
     t = F.col("text")
-    return _t(spark, sf_dir, "documents").select(
+    return ensure_min_parallelism(_t(spark, sf_dir, "documents")).select(
         "doc_id",
         text.language_id(t).alias("lang_pred"),
         text.quality_score(t).alias("quality_score"),
