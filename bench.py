@@ -109,6 +109,23 @@ def main() -> None:
         "q2_min_cost_supplier",
         "q11_important_stock",
         "q20_excess_stock",
+        "window_tumbling_events",
+        "window_sliding_events",
+        "session_window_events",
+        "rollup_agg",
+        "grouping_sets_agg",
+        "pivot_linestatus",
+        "exists_subquery",
+        "union_distinct",
+        "setop_intersect",
+        "setop_except_all",
+        "anti_join_customers",
+        "scalar_functions",
+        "lang_quality",
+        "multimodal_meta",
+        "multimodal_resize",
+        "udtf_chunk_text",
+        "dedup_keep_canonical",
     ]
 
 
