@@ -126,6 +126,8 @@ def main() -> None:
         "multimodal_resize",
         "udtf_chunk_text",
         "dedup_keep_canonical",
+        "salted_skew_agg",
+        "unpivot_measures",
     ]
 
 

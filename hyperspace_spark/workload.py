@@ -1525,6 +1525,76 @@ def grouping_sets_agg(spark, sf_dir):
 
 
 @q(
+    "unpivot_measures",
+    """
+    WITH a AS (
+      SELECT l_returnflag,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS amount FROM a
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS measure, sum_price AS amount FROM a
+    """,
+)
+def unpivot_measures(spark, sf_dir):
+    """Wide-to-long unpivot (melt) — the inverse of pivot_linestatus;
+    Spark plans it as a single Expand, the oracle replicates via UNION
+    ALL (engine-portable, no UNPIVOT dialect dependence)."""
+    from pyspark.sql import functions as F
+
+    agg = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+    return agg.unpivot(["l_returnflag"], ["sum_qty", "sum_price"], "measure", "amount")
+
+
+@q(
+    "salted_skew_agg",
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sv,
+           round(min(value), 6) AS mn, round(max(value), 6) AS mx
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_skew_agg(spark, sf_dir):
+    """Skew-resistant two-phase aggregation (scale.salted_agg) in the
+    driver contract: a 5-value grouping key is the worst case for
+    reducer skew (5 reducers own the whole table); the salted first
+    phase spreads every key over 16 partitions and the second phase
+    combines partials.  Result provably identical to plain groupBy —
+    here checked against the plain-SQL oracle."""
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.scale import salted_agg
+
+    _conf(spark)
+    out = salted_agg(
+        _t(spark, sf_dir, "events"),
+        ["event_type"],
+        {
+            "n": ("count", "*"),
+            "sv": ("sum", "value"),
+            "mn": ("min", "value"),
+            "mx": ("max", "value"),
+        },
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("sv", 2).alias("sv"),
+        F.round("mn", 6).alias("mn"),
+        F.round("mx", 6).alias("mx"),
+    )
+
+
+@q(
     "anti_join_customers",
     """
     SELECT c_custkey, c_name FROM customer
@@ -2682,6 +2752,8 @@ _VERIFY_PRIORITY = [
     "window_top_orders",
     "grouping_sets_agg",
     "setop_except_all",
+    "salted_skew_agg",
+    "unpivot_measures",
     "cube_returnflag_status",
     "setop_intersect",
     "anti_join_customers",
