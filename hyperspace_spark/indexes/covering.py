@@ -210,6 +210,14 @@ def bucket_pruned_files(entry, lits) -> list[str] | None:
     dtype = dtypes.get(col)
     if not isinstance(dtype, str):
         return None  # nested/complex bucket column: skip
+    # Catalyst renders TIMESTAMP literals as wall-clock text in the
+    # session timezone; the hasher needs it to recover physical micros.
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    session_tz = (
+        active.conf.get("spark.sql.session.timeZone", "UTC") if active else "UTC"
+    )
     wanted: set[int] = set()
     for lit in lits:
         if lit.is_null:
@@ -217,7 +225,7 @@ def bucket_pruned_files(entry, lits) -> list[str] | None:
         else:
             if lit.dtype != dtype:
                 return None  # type mismatch build-vs-probe: unsound to hash
-            b = bucket_id(_lit_python(lit), dtype, n)
+            b = bucket_id(_lit_python(lit), dtype, n, session_tz=session_tz)
         if b is None:
             return None
         wanted.add(b)

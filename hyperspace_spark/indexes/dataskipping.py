@@ -167,7 +167,6 @@ def refresh_incremental(
     data_dir = mgr.data_dir(version)
     merged.repartition(1).write.mode("overwrite").parquet(data_dir)
 
-    live = {f.key(): f for f in ([*entry.source_files] if not (appended or deleted) else [])}
     indexed = entry.source_files_by_key()
     for f in deleted:
         indexed.pop(f.key(), None)
@@ -180,7 +179,6 @@ def refresh_incremental(
     entry.content_files = [
         FileInfo(s.path, s.size, s.mtime) for s in fs.list_files_recursive(data_dir)
     ]
-    _ = live
     return entry
 
 

@@ -292,10 +292,14 @@ class BloomFilterSketch(Sketch):
     # Only types where those representations provably agree are probed —
     # date/timestamp/binary columns arrive as pandas Timestamps at build
     # but as strings from the literal parser, so probing them would prune
-    # EVERY file (unsound).  Unsupported types simply skip pruning.
+    # EVERY file (unsound).  float32 is excluded too: at build pandas
+    # widens float32 values to float64 (0.1f -> 0.10000000149011612)
+    # while the parsed literal is the clean double (0.1), so the probe
+    # hashes a different value and prunes files that DO contain matches.
+    # Unsupported types simply skip pruning.
     _PROBE_SAFE_DTYPES = {
         # Catalyst typeName() spellings + common aliases.
-        "byte", "short", "integer", "long", "float", "double", "string",
+        "byte", "short", "integer", "long", "double", "string",
         "tinyint", "smallint", "int", "bigint",
     }
 

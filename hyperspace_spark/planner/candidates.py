@@ -145,7 +145,15 @@ def _hybrid_candidate(
         if reasons:
             reasons.add(e.name, TOO_MUCH_DELETED, f"{deleted_bytes}/{indexed_bytes} bytes deleted")
         return None
-    if deleted and not e.derived_properties.get("lineage", False):
+    # Covering-family indexes materialize ROWS, so deleted files require
+    # the lineage column to filter their rows out.  Data-skipping indexes
+    # hold one row per FILE and the rule intersects with the LIVE file
+    # set at query time (rules.py deleted_keys), so deletes need no
+    # lineage — the reference likewise has
+    # DataSkippingIndex.canHandleDeletedFiles = true.
+    if deleted and e.derived_kind != "DS" and not e.derived_properties.get(
+        "lineage", False
+    ):
         if reasons:
             reasons.add(e.name, NO_DELETE_SUPPORT, "index built without lineage")
         return None

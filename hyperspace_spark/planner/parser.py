@@ -235,8 +235,13 @@ def _parse(jnode) -> ir.Node:
                     # (e.g. df1.join(df2, "id")) cannot be replayed by
                     # name — the SQL would be ambiguous and every sibling
                     # rewrite would die at replay.  Bail out loudly so
-                    # apply() falls back before doing any work.
-                    if shared & conj.references:
+                    # apply() falls back before doing any work.  Compared
+                    # case-insensitively: references carry the USER's
+                    # spelling (over-bailing under caseSensitive=true is
+                    # the safe direction — plain fallback, never a wrong
+                    # replay).
+                    shared_ci = {c.lower() for c in shared}
+                    if any(r.lower() in shared_ci for r in conj.references):
                         raise UnsupportedPlan("join:ambiguous-column-condition")
                     residual.append(conj.sql)
         return ir.JoinN(
@@ -265,16 +270,33 @@ def _names(node: ir.Node) -> list[str]:
     return []
 
 
+def _resolve_side(name: str, cols: frozenset[str]) -> str | None:
+    """Resolve an attribute against one join side's schema-cased output:
+    exact match first, then unique case-insensitive match (Catalyst keeps
+    the USER's spelling in join conditions while scans report schema
+    case — a mixed-case `ON O_CUSTKEY = C_CUSTKEY` must still find the
+    equi pair or the join rule silently never fires).  Ambiguous
+    case-folded matches return None — the conservative failure mode."""
+    if name in cols:
+        return name
+    hits = [c for c in cols if c.lower() == name.lower()]
+    return hits[0] if len(hits) == 1 else None
+
+
 def _equi_pair(conj, lcols: frozenset[str], rcols: frozenset[str]) -> tuple[str, str] | None:
     if not (isinstance(conj, Cmp) and conj.op == "=" and isinstance(conj.left, Attr) and isinstance(conj.right, Attr)):
         return None
     a, b = conj.left.name, conj.right.name
     # Require unambiguous side resolution (self-joins with shared names bail;
     # the reference resolves those by exprId, JoinIndexRule.scala:179-317).
-    if a in lcols and b in rcols and a not in rcols and b not in lcols:
-        return (a, b)
-    if b in lcols and a in rcols and b not in rcols and a not in lcols:
-        return (b, a)
+    # Returned names are SCHEMA-cased, so downstream matching and the
+    # later normalize_attr_case fold agree.
+    a_l, a_r = _resolve_side(a, lcols), _resolve_side(a, rcols)
+    b_l, b_r = _resolve_side(b, lcols), _resolve_side(b, rcols)
+    if a_l and b_r and a_r is None and b_l is None:
+        return (a_l, b_r)
+    if b_l and a_r and b_r is None and a_l is None:
+        return (b_l, a_r)
     return None
 
 

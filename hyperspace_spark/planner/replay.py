@@ -18,7 +18,14 @@ if TYPE_CHECKING:
     from pyspark.sql import DataFrame, SparkSession
 
 
-_VIEW_SEQ = [0]
+# itertools.count: next() is a single C call, atomic under the GIL, so
+# concurrent apply() calls on different threads can never mint the same
+# temp-view name (a list[int] += was a non-atomic read-modify-write —
+# two threads could both register __hs_scan_N and silently read each
+# other's scan data).
+import itertools as _itertools
+
+_VIEW_SEQ = _itertools.count(1)
 
 
 def default_scan_df(spark: "SparkSession", scan: ir.Scan) -> "DataFrame":
@@ -49,8 +56,7 @@ def replay(spark: "SparkSession", node: ir.Node) -> "DataFrame":
 
 
 def _register(spark: "SparkSession", df: "DataFrame", views: list[str]) -> str:
-    _VIEW_SEQ[0] += 1
-    name = f"__hs_scan_{_VIEW_SEQ[0]}"
+    name = f"__hs_scan_{next(_VIEW_SEQ)}"
     df.createOrReplaceTempView(name)
     views.append(name)
     return name
@@ -129,8 +135,7 @@ def _sub(spark: "SparkSession", node: ir.Node, views: list[str], alias: str | No
     name = alias or ""
     if " " not in inner and not name:
         return inner  # bare view name
-    _VIEW_SEQ[0] += 1
-    name = name or f"__hs_sq_{_VIEW_SEQ[0]}"
+    name = name or f"__hs_sq_{next(_VIEW_SEQ)}"
     return f"({inner}) AS {name}" if " " in inner else f"{inner} AS {name}"
 
 

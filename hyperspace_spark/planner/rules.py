@@ -195,8 +195,12 @@ class FilterIndexRule:
             eligible.append(c)
         if not eligible:
             return None
-        winner = _rank_smallest(eligible)[0]
-        for c in eligible[1:]:
+        ranked = _rank_smallest(eligible)
+        winner = ranked[0]
+        # Tag the RANKED tail, not eligible[1:]: with eligible unsorted
+        # the winner could tag itself as "lost to <winner>" while the
+        # real loser got no reason (whyNot diagnostics only).
+        for c in ranked[1:]:
             ctx.tag(c.entry.name, ANOTHER_INDEX_APPLIED, f"lost to {winner.entry.name}")
 
         out_cols = [c for c in scan.output if c in required] + sorted(

@@ -161,3 +161,63 @@ def test_empty_bucket_literal_returns_empty(spark, tmp_path):
             assert hs.apply(q).count() == 0
     finally:
         spark.conf.unset("spark.hyperspace.index.numBuckets")
+
+
+def test_epoch_micros_is_exact():
+    """total_seconds()*1e6 routed through float64 and was off by 1us for
+    ~1% of timestamps — the hash then picked the wrong bucket and the
+    matching file was silently pruned."""
+    from hyperspace_spark.planner.mmh3 import _EPOCH_TS, _epoch_micros
+
+    dt = datetime.datetime(2038, 10, 8, 19, 4, 37, 412461, tzinfo=datetime.timezone.utc)
+    assert _epoch_micros(dt) % 1000 == 461
+    # sweep: reconstruct each timestamp from its exact micros and demand
+    # the round trip is lossless
+    import random
+
+    rnd = random.Random(7)
+    for _ in range(2000):
+        micros = rnd.randrange(0, 4102444800_000_000)  # through 2100
+        dt = _EPOCH_TS + datetime.timedelta(microseconds=micros)
+        assert _epoch_micros(dt) == micros
+
+
+def test_timestamp_bucket_pruning_respects_session_timezone(spark, tmp_path):
+    """Catalyst renders TIMESTAMP literals as session-timezone wall time;
+    hashing them as UTC picks the wrong bucket for any non-UTC session
+    and silently drops matching rows."""
+    from hyperspace_spark import CoveringIndexConfig, Hyperspace
+
+    src = str(tmp_path / "src_ts")
+    spark.sql(
+        "SELECT timestampadd(HOUR, CAST(id AS INT), TIMESTAMP '2024-01-01 00:00:00') AS ts,"
+        " id AS payload FROM range(500)"
+    ).write.mode("overwrite").parquet(src)
+    hs = Hyperspace(spark, system_path=str(tmp_path / "idx_ts"))
+    spark.conf.set("spark.hyperspace.index.numBuckets", "8")
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        hs.create_index(
+            spark.read.parquet(src), CoveringIndexConfig("ts_idx", ["ts"], ["payload"])
+        )
+        # Kolkata is +5:30, so its wall-clock literal needs :30 to land
+        # back on the data's hour grid.
+        for tz, wall in [
+            ("UTC", "2024-01-05 07:00:00"),
+            ("America/New_York", "2024-01-05 07:00:00"),
+            ("Asia/Kolkata", "2024-01-05 07:30:00"),
+        ]:
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            spark.conf.set("spark.hyperspace.apply.cacheTtlSeconds", "0")
+            probe = spark.read.parquet(src).filter(
+                F.col("ts") == F.lit(wall).cast("timestamp")
+            ).select("payload")
+            accel = hs.apply(probe)
+            assert [r.payload for r in accel.collect()] == [
+                r.payload for r in probe.collect()
+            ], f"wrong rows under session tz {tz}"
+            assert len(probe.collect()) == 1  # non-vacuous
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+        spark.conf.unset("spark.hyperspace.index.numBuckets")
+        spark.conf.unset("spark.hyperspace.apply.cacheTtlSeconds")

@@ -171,3 +171,76 @@ def test_skipping_applies_under_join(spark, src_dir, hs):
     fast, used = hs._apply_with_info(q)
     assert "li_skip" in used, hs.why_not(q)
     assert rows_equal(q, fast)
+
+
+def test_bloom_float32_probe_not_converted():
+    """float32 build values widen to different doubles than the parsed
+    literal (0.1f -> 0.10000000149011612 vs 0.1), so probing float
+    columns would prune files that DO contain matches — the dtype must
+    be probe-unsafe."""
+    from hyperspace_spark import BloomFilterSketch
+    from hyperspace_spark.planner.expr import Lit
+
+    sk = BloomFilterSketch(["f"], 0.01, 100)
+    assert sk._safe_lit(Lit(sql="0.1", dtype="float")) is None
+    assert sk._safe_lit(Lit(sql="0.1", dtype="double")) is not None
+
+
+def test_bloom_float32_equality_still_correct(spark, hs, tmp_path_factory):
+    """End-to-end: with float probes disabled the index simply doesn't
+    prune on the float conjunct — results must equal the raw scan."""
+    from hyperspace_spark import BloomFilterSketch, DataSkippingIndexConfig
+
+    d = str(tmp_path_factory.mktemp("f32"))
+    spark.sql(
+        "SELECT CAST(id AS INT) AS k, CAST(CAST(id AS FLOAT) / 10 AS FLOAT) AS f FROM range(1000)"
+    ).repartitionByRange(4, "k").write.mode("overwrite").parquet(d)
+    df = spark.read.parquet(d)
+    hs.create_index(
+        df, DataSkippingIndexConfig("f32_bloom", [BloomFilterSketch(["f"], 0.01, 500)])
+    )
+    try:
+        q = df.filter(F.col("f") == F.lit(0.1).cast("float")).select("k", "f")
+        fast, _used = hs._apply_with_info(q)
+        assert rows_equal(q, fast)
+        assert q.count() >= 1  # non-vacuous: 0.1f exists in the data
+    finally:
+        hs.delete_index("f32_bloom")
+        hs.vacuum_index("f32_bloom")
+
+
+def test_dataskipping_applies_after_source_delete(spark, hs, tmp_path_factory):
+    """DS indexes hold one row per FILE and the rule intersects with the
+    live file set, so a source delete must NOT veto the candidate (the
+    reference's DataSkippingIndex.canHandleDeletedFiles = true).  Before
+    the fix, any delete disabled all data-skipping until full refresh."""
+    import os
+
+    from hyperspace_spark import DataSkippingIndexConfig, MinMaxSketch
+
+    d = str(tmp_path_factory.mktemp("ds_del"))
+    (
+        table(spark, "lineitem")
+        .repartitionByRange(6, "l_orderkey")
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    df = spark.read.parquet(d)
+    hs.create_index(
+        df, DataSkippingIndexConfig("ds_del_idx", [MinMaxSketch(["l_orderkey"])])
+    )
+    try:
+        parts = sorted(
+            f for f in os.listdir(d) if f.endswith(".parquet")
+        )
+        os.remove(os.path.join(d, parts[-1]))  # delete one source file
+        df2 = spark.read.parquet(d)
+        lo = df2.agg(F.min("l_orderkey")).first()[0]
+        q = df2.filter(F.col("l_orderkey") <= lo).select("l_orderkey")
+        fast, used = hs._apply_with_info(q)
+        assert used == ["ds_del_idx"], hs.why_not(q)
+        assert n_input_files(fast) < n_input_files(q)
+        assert rows_equal(q, fast)
+    finally:
+        hs.delete_index("ds_del_idx")
+        hs.vacuum_index("ds_del_idx")

@@ -157,3 +157,23 @@ def test_one_sided_index_tags_no_avail_pair(spark, tmp_path_factory):
     # The scan-replacement rule may still apply li_only to the bare scan;
     # the point here is the JOIN rule's explanation for the missing pair.
     assert "NO_AVAIL_JOIN_INDEX_PAIR" in hs1.why_not(q)
+
+
+def test_join_mixed_case_condition_accelerates(spark, hs):
+    """Catalyst keeps the user's spelling in the join condition (the scan
+    reports schema case), so `ON L_ORDERKEY = O_ORDERKEY` must still
+    resolve the equi pair — before the parser's case-insensitive side
+    resolution, mixed-case joins silently never accelerated."""
+    table(spark, "lineitem").select("l_orderkey", "l_quantity").createOrReplaceTempView(
+        "jli_mc"
+    )
+    table(spark, "orders").select("o_orderkey", "o_custkey").createOrReplaceTempView(
+        "jo_mc"
+    )
+    q = spark.sql(
+        "SELECT L_ORDERKEY, l_quantity, o_custkey FROM jli_mc "
+        "JOIN jo_mc ON L_ORDERKEY = O_ORDERKEY"
+    )
+    fast, used = hs._apply_with_info(q)
+    assert sorted(used) == ["li_ok", "o_ok"], hs.why_not(q)
+    assert rows_equal(q, fast)
