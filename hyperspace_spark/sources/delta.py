@@ -62,17 +62,22 @@ def is_delta_root(path: str) -> bool:
 _ROOT_CACHE: dict[str, str | None] = {}
 
 
-def find_delta_root(path: str, max_up: int = 4) -> str | None:
+def find_delta_root(path: str, max_up: int = 6) -> str | None:
     """Nearest ancestor (or the path itself) holding `_delta_log`.
 
     Bounded walk: scan paths are either the table root or data files at
-    most a few partition directories below it."""
+    most a few partition directories below it.  ``max_up`` counts
+    ancestors of the DATA FILE's directory — the walk burns one check on
+    the file path itself, so the bound must cover partition depth + 1
+    (a y=/m=/d=/h= layout needs 5 checks above the file; the old bound
+    of 4 stopped one short of the root and silently disabled the
+    table's index acceleration)."""
     p = strip_scheme(path).rstrip("/")
     start = p
     hit = _ROOT_CACHE.get(start)
     if hit is not None and is_delta_root(hit):
         return hit
-    for _ in range(max_up + 1):
+    for _ in range(max_up + 2):
         if is_delta_root(p):
             # Only positive hits are cached: a plain directory can BECOME
             # a Delta table later in the session.
@@ -91,11 +96,28 @@ class DeltaSnapshot:
     version: int
     schema_json: str = ""
     partition_columns: list[str] = field(default_factory=list)
-    # relative path -> (size, modificationTime ms)
+    # DECODED relative path -> (size, modificationTime ms).  The protocol
+    # stores add.path URL-encoded; keys here are real filesystem paths.
     adds: dict[str, tuple[int, int]] = field(default_factory=dict)
+    # DECODED relative path -> partitionValues (map<string,string>);
+    # retained so checkpoints round-trip partition metadata for
+    # protocol-compliant external readers (delta-spark takes partition
+    # column values from the checkpoint, not from directory names).
+    part_values: dict[str, dict] = field(default_factory=dict)
 
     def file_paths(self) -> list[str]:
         return sorted(os.path.join(self.root, p) for p in self.adds)
+
+
+# Full-log replay results keyed by (root, log tip): every query-planning
+# pass calls all_adds()/version_file_sets() on Delta scans, and without a
+# cache each call re-parsed the checkpoint + every commit JSON (O(total
+# log size) IO per PLANNING pass — the Iceberg provider already cached
+# its manifest reads).  The tip (newest commit name + mtime + checkpoint
+# marker mtime) changes whenever the table changes, so stale entries can
+# never serve.
+_REPLAY_CACHE: dict = {}
+_REPLAY_CACHE_MAX = 64
 
 
 class DeltaLog:
@@ -173,12 +195,38 @@ class DeltaLog:
                         self._apply_action(snap, json.loads(line))
         return snap
 
+    def _tip(self) -> tuple:
+        """Identity of the log's current state for replay caching."""
+        try:
+            names = sorted(n for n in os.listdir(self.log_dir) if n.endswith(".json"))
+            last = names[-1] if names else ""
+            last_mt = os.path.getmtime(os.path.join(self.log_dir, last)) if last else 0.0
+            cp = os.path.join(self.log_dir, "_last_checkpoint")
+            cp_mt = os.path.getmtime(cp) if os.path.isfile(cp) else 0.0
+            return (last, last_mt, cp_mt)
+        except OSError:
+            return (None,)
+
+    def _replay_cached(self, kind: str, compute):
+        key = (self.root, kind, self._tip())
+        hit = _REPLAY_CACHE.get(key)
+        if hit is not None:
+            return hit
+        out = compute()
+        while len(_REPLAY_CACHE) >= _REPLAY_CACHE_MAX:
+            _REPLAY_CACHE.pop(next(iter(_REPLAY_CACHE)))
+        _REPLAY_CACHE[key] = out
+        return out
+
     def all_adds(self) -> dict[str, tuple[int, int]]:
         """Every data file EVER added, path -> (size, modificationTime ms),
         from one forward pass (checkpoint + all commits; removes ignored —
         data files are immutable, so the metadata of a path never changes).
         Used to build FileInfo for pinned file lists without per-file
-        filesystem calls."""
+        filesystem calls.  Replay-cached per log tip."""
+        return self._replay_cached("all_adds", self._all_adds_uncached)
+
+    def _all_adds_uncached(self) -> dict[str, tuple[int, int]]:
         snap = DeltaSnapshot(root=self.root, version=-1)
         seen: dict[str, tuple[int, int]] = {}
         cp = self._last_checkpoint()
@@ -195,7 +243,9 @@ class DeltaLog:
                     action = json.loads(line)
                     a = action.get("add")
                     if a:
-                        seen[a["path"]] = (
+                        from urllib.parse import unquote
+
+                        seen[unquote(a["path"])] = (
                             int(a.get("size", 0)),
                             int(a.get("modificationTime", 0)),
                         )
@@ -204,7 +254,11 @@ class DeltaLog:
     def version_file_sets(self) -> list[tuple[int, frozenset]]:
         """(version, live absolute-path set) for every reconstructible
         version, from ONE forward replay — O(total log size), not
-        O(versions²) like per-version snapshot() calls."""
+        O(versions²) like per-version snapshot() calls.  Replay-cached
+        per log tip."""
+        return self._replay_cached("vfs", self._version_file_sets_uncached)
+
+    def _version_file_sets_uncached(self) -> list[tuple[int, frozenset]]:
         out: list[tuple[int, frozenset]] = []
         snap = DeltaSnapshot(root=self.root, version=-1)
         start = 0
@@ -240,15 +294,27 @@ class DeltaLog:
                         self._apply_action(snap, {kind: row[kind]})
 
     def _apply_action(self, snap: DeltaSnapshot, action: dict) -> None:
+        from urllib.parse import unquote
+
         if "metaData" in action and action["metaData"]:
             md = action["metaData"]
             snap.schema_json = md.get("schemaString", snap.schema_json)
             snap.partition_columns = list(md.get("partitionColumns") or [])
         elif "add" in action and action["add"]:
             a = action["add"]
-            snap.adds[a["path"]] = (int(a.get("size", 0)), int(a.get("modificationTime", 0)))
+            # add.path is URL-encoded per the protocol (delta-spark writes
+            # x=a%20b/part-... for a partition value with a space); decode
+            # to the real filesystem path or reads of such tables fail
+            # with file-not-found.
+            rel = unquote(a["path"])
+            snap.adds[rel] = (int(a.get("size", 0)), int(a.get("modificationTime", 0)))
+            pv = a.get("partitionValues")
+            if pv:
+                snap.part_values[rel] = dict(pv)
         elif "remove" in action and action["remove"]:
-            snap.adds.pop(action["remove"]["path"], None)
+            rel = unquote(action["remove"]["path"])
+            snap.adds.pop(rel, None)
+            snap.part_values.pop(rel, None)
 
 
 def read_delta(spark: "SparkSession", path: str, version: int | None = None) -> "DataFrame":
@@ -341,7 +407,8 @@ def write_delta(
             adds.append(
                 {
                     "add": {
-                        "path": rel,
+                        # URL-encoded per the protocol ("/" and "=" stay)
+                        "path": __import__("urllib.parse", fromlist=["quote"]).quote(rel, safe="/="),
                         "partitionValues": part_vals,
                         "size": st.st_size,
                         "modificationTime": int(st.st_mtime * 1000),
@@ -471,14 +538,20 @@ def write_checkpoint(path: str) -> int:
             "add": None,
         },
     ]
+    from urllib.parse import quote
+
     for rel, (size, mtime) in sorted(snap.adds.items()):
         rows.append(
             {
                 "protocol": None,
                 "metaData": None,
                 "add": {
-                    "path": rel,
-                    "partitionValues": [],
+                    # re-encode: snapshot keys are decoded fs paths, the
+                    # protocol stores URL-encoded ("/" and "=" stay).
+                    "path": quote(rel, safe="/="),
+                    "partitionValues": sorted(
+                        snap.part_values.get(rel, {}).items()
+                    ),
                     "size": size,
                     "modificationTime": mtime,
                     "dataChange": False,

@@ -87,9 +87,11 @@ def is_iceberg_root(path: str) -> bool:
     return any(n.endswith(".metadata.json") for n in os.listdir(md))
 
 
-def find_iceberg_root(path: str, max_up: int = 4) -> str | None:
+def find_iceberg_root(path: str, max_up: int = 6) -> str | None:
+    # max_up counts ancestors of the data file's directory; +2 covers
+    # the file-path check itself (see find_delta_root).
     p = strip_scheme(path).rstrip("/")
-    for _ in range(max_up + 1):
+    for _ in range(max_up + 2):
         if is_iceberg_root(p):
             return p
         parent = os.path.dirname(p)
@@ -111,25 +113,69 @@ def _jvm():
     return spark._jvm
 
 
-_AVRO_CACHE: dict[str, list] = {}
+from collections import OrderedDict
+
+_AVRO_CACHE: "OrderedDict[str, list]" = OrderedDict()
+_AVRO_CACHE_MAX = 4096
+_META_CACHE: dict = {}
+_SNAP_CACHE: dict = {}
+
+
+def _avro_value_to_py(v):
+    """GenericRecord field value -> plain Python.  Converting at read
+    time (instead of caching py4j handles) removes every per-field JVM
+    round-trip from manifest walks AND makes cache entries independent
+    of the SparkSession gateway that produced them — cached handles
+    from a stopped session raised py4j errors on reuse."""
+    if v is None or isinstance(v, (bool, int, float, str, bytes, bytearray)):
+        return v
+    try:
+        cls = v.getClass().getName()
+    except Exception:
+        return v
+    if cls == "org.apache.avro.util.Utf8":
+        return str(v)
+    if cls.endswith("GenericData$Record"):
+        return _avro_record_to_dict(v)
+    try:  # avro arrays / java lists iterate via py4j
+        return [_avro_value_to_py(x) for x in v]
+    except Exception:
+        pass
+    try:  # java maps
+        return {
+            str(e.getKey()): _avro_value_to_py(e.getValue())
+            for e in v.entrySet().toArray()
+        }
+    except Exception:
+        return str(v)  # ByteBuffer/fixed etc. — unused by consumers
+
+
+def _avro_record_to_dict(rec) -> dict:
+    out = {}
+    for f in rec.getSchema().getFields():
+        name = str(f.name())
+        out[name] = _avro_value_to_py(rec.get(name))
+    return out
 
 
 def read_avro_records(path: str) -> list:
-    """GenericRecords from one avro file (py4j objects; use .get(name)).
-    Cached per path — Iceberg metadata files are immutable, and snapshots
-    share manifests, so planning-time walks stay O(distinct manifests)."""
+    """Records from one avro file as plain dicts (use .get(name)).
+    Cached per path with LRU eviction — Iceberg metadata files are
+    immutable, and snapshots share manifests, so planning-time walks
+    stay O(distinct manifests)."""
     hit = _AVRO_CACHE.get(path)
     if hit is not None:
+        _AVRO_CACHE.move_to_end(path)
         return hit
     jvm = _jvm()
     reader = jvm.org.apache.avro.generic.GenericDatumReader()
     dfr = jvm.org.apache.avro.file.DataFileReader(jvm.java.io.File(path), reader)
     out = []
     while dfr.hasNext():
-        out.append(dfr.next())
+        out.append(_avro_record_to_dict(dfr.next()))
     dfr.close()
-    if len(_AVRO_CACHE) > 4096:
-        _AVRO_CACHE.clear()
+    while len(_AVRO_CACHE) >= _AVRO_CACHE_MAX:
+        _AVRO_CACHE.popitem(last=False)  # LRU, not clear-all
     _AVRO_CACHE[path] = out
     return out
 
@@ -199,8 +245,25 @@ class IcebergTable:
         return os.path.join(self.md_dir, sorted(cands, key=key)[-1])
 
     def metadata(self) -> dict:
-        with open(self._current_metadata_path()) as f:
-            return json.load(f)
+        # (path, mtime)-keyed cache: the signature walk and per-snapshot
+        # reconstruction call metadata() repeatedly on every planning
+        # pass; metadata files are immutable (a new table version writes
+        # a NEW vN.metadata.json), so mtime only guards replacement.
+        path = self._current_metadata_path()
+        try:
+            mtime = os.path.getmtime(path)
+        except OSError:
+            mtime = 0.0
+        key = (path, mtime)
+        hit = _META_CACHE.get(key)
+        if hit is not None:
+            return hit
+        with open(path) as f:
+            md = json.load(f)
+        if len(_META_CACHE) > 64:
+            _META_CACHE.clear()
+        _META_CACHE[key] = md
+        return md
 
     def current_snapshot_id(self) -> int:
         md = self.metadata()
@@ -218,6 +281,12 @@ class IcebergTable:
         snaps = {int(s["snapshot-id"]): s for s in md.get("snapshots", [])}
         if sid not in snaps:
             raise FileNotFoundError(f"snapshot {sid} not in {sorted(snaps)} at {self.root}")
+        # A snapshot's manifest list is immutable once recorded; key on
+        # the current metadata identity so schema evolution invalidates.
+        cache_key = (self._current_metadata_path(), sid)
+        hit = _SNAP_CACHE.get(cache_key)
+        if hit is not None:
+            return hit
         snap = IcebergSnapshot(root=self.root, snapshot_id=sid)
         snap.schema_json = _spark_schema_json(md)
         snap.partition_columns = _identity_partition_columns(md)
@@ -236,6 +305,9 @@ class IcebergTable:
                     except Exception:
                         size = 0
                     snap.files[fpath] = size
+        if len(_SNAP_CACHE) > 256:
+            _SNAP_CACHE.clear()
+        _SNAP_CACHE[cache_key] = snap
         return snap
 
     def _abs(self, p: str) -> str:

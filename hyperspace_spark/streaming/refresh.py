@@ -27,18 +27,39 @@ if TYPE_CHECKING:
     from hyperspace_spark.hyperspace import Hyperspace
 
 
-def ensure_stable(hs: "Hyperspace", name: str) -> None:
+def ensure_stable(hs: "Hyperspace", name: str, stale_after_sec: float = 600.0) -> None:
     """If a failure stranded the index in a transient state (REFRESHING /
     OPTIMIZING / ...), cancel back to the last stable log entry so the next
     refresh_index's ACTIVE requirement passes.  Without this, one mid-refresh
     crash would permanently stop index maintenance: every later
-    refresh_index raises at the ACTIVE check and gets swallowed."""
+    refresh_index raises at the ACTIVE check and gets swallowed.
+
+    Only entries older than ``stale_after_sec`` are cancelled: a FRESH
+    transient entry is very likely a legitimate concurrent maintenance op
+    (a user's optimize/refresh racing the stream) — cancelling it would
+    consume the next log id and make the racer's completing write fail
+    with ConcurrentModificationError, discarding its work.  A crashed
+    op's entry, by contrast, only grows older.  Pass 0 to cancel
+    unconditionally (the crash-recovery path in the batch handler's
+    except clause, where the failed op is provably OURS)."""
+    import os
+    import time
+
     from hyperspace_spark.metadata.entry import States
 
     mgr = hs._log_mgr(name, hs.conf())
     latest = mgr.get_latest_log()
-    if latest is not None and latest.state not in States.STABLE:
-        hs.cancel(name)
+    if latest is None or latest.state in States.STABLE:
+        return
+    if stale_after_sec > 0:
+        try:
+            path = mgr.log_path(latest.id)
+            age = time.time() - os.path.getmtime(path)
+        except Exception:
+            age = float("inf")  # can't date it: treat as stale (old behavior)
+        if age < stale_after_sec:
+            return  # fresh transient state: assume a live op, leave it alone
+    hs.cancel(name)
 
 
 def make_maintenance_handler(
@@ -52,7 +73,35 @@ def make_maintenance_handler(
     state = {"batches": 0}
 
     def handle(batch_df, batch_id: int) -> None:
-        batch_df.write.mode("append").format(output_format).save(source_dir)
+        # foreachBatch is AT-LEAST-ONCE: a crash between the write and the
+        # stream's checkpoint commit re-delivers the same batch_id on
+        # restart.  A plain mode("append") would then land the same rows
+        # twice and every downstream query silently double-counts.  Make
+        # redelivery idempotent: write to a hidden staging dir (the "_"
+        # prefix keeps Spark listings away from partial output), delete
+        # any files a previous delivery of THIS batch_id left behind,
+        # then move the new files in under deterministic
+        # batch<id>-<n>-... names.  os-level ops suffice for the local
+        # filesystems this repo targets; an object-store deployment would
+        # route the same delete+rename through a FileSystem shim.
+        import glob
+        import os
+        import shutil
+
+        staging = os.path.join(source_dir, f"_hs_stage_{batch_id}")
+        batch_df.write.mode("overwrite").format(output_format).save(staging)
+        for old in glob.glob(os.path.join(source_dir, f"batch{batch_id:010d}-*")):
+            os.remove(old)
+        moved = 0
+        for f in sorted(os.listdir(staging)):
+            if f.startswith(("_", ".")):
+                continue
+            os.replace(
+                os.path.join(staging, f),
+                os.path.join(source_dir, f"batch{batch_id:010d}-{moved:04d}-{f}"),
+            )
+            moved += 1
+        shutil.rmtree(staging, ignore_errors=True)
         state["batches"] += 1
         if state["batches"] % refresh_every == 0:
             for name in index_names:
@@ -60,12 +109,19 @@ def make_maintenance_handler(
                     ensure_stable(hs, name)
                     hs.refresh_index(name, "incremental")
                 except Exception:
-                    # A failed refresh must not kill the stream; the index
-                    # stays queryable via hybrid scan.  Roll back any
-                    # transient state the failure left behind so the next
-                    # batch's retry can actually proceed.
+                    # A failed refresh must not kill the stream; the
+                    # index stays queryable via hybrid scan.  Roll the
+                    # transient state back UNCONDITIONALLY and retry once
+                    # in this batch: a maintenance stream owns its
+                    # indexes' lifecycle, so a non-ACTIVE state at this
+                    # point is either our own crash leftover or a
+                    # colliding manual op — self-healing in one batch is
+                    # the contract (the staleness guard above still stops
+                    # the COMMON case of cancelling a live op when no
+                    # refresh failure occurred).
                     try:
-                        ensure_stable(hs, name)
+                        ensure_stable(hs, name, stale_after_sec=0)
+                        hs.refresh_index(name, "incremental")
                     except Exception:
                         pass
 

@@ -19,6 +19,8 @@ from typing import TYPE_CHECKING, Any, Iterable, Iterator, Tuple
 if TYPE_CHECKING:
     from pyspark.sql import DataFrame
 
+# Default schemas (key "user_id" of long type); sessionize() derives the
+# actual schemas from the input frame so any key column name/type works.
 SESSION_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events int, total_value double"
@@ -38,8 +40,35 @@ def sessionize(
     State per user: (start, last, n, total) in epoch seconds.  Timeout is
     event-time based: when the watermark passes last+gap the session
     emits and the state clears.
+
+    Late events admitted by the watermark but OLDER than the open
+    session's start are handled explicitly: within ``gap_seconds`` of
+    the start they extend the session backwards (start moves down);
+    farther out they emit immediately as their own single-event session
+    (no future event can join them — anything later is newer).  The
+    previous behavior glued them onto the current session regardless of
+    gap, corrupting session boundaries and totals.
+
+    Output/state schemas are DERIVED from the input: the key column
+    keeps its name and type; the value column must be numeric.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_type = dict((f.name, f.dataType.simpleString()) for f in events.schema.fields)[
+        key_col
+    ]
+    val_type = dict((f.name, f.dataType.simpleString()) for f in events.schema.fields)[
+        value_col
+    ]
+    if val_type not in ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal"):
+        if not val_type.startswith("decimal"):
+            raise ValueError(
+                f"value column {value_col!r} must be numeric, got {val_type}"
+            )
+    session_schema = (
+        f"{key_col} {key_type}, session_start timestamp, session_end timestamp, "
+        "n_events int, total_value double"
+    )
 
     gap_ms = gap_seconds * 1000
 
@@ -54,7 +83,7 @@ def sessionize(
             state.remove()
             yield pd.DataFrame(
                 {
-                    "user_id": [user_id],
+                    key_col: [user_id],
                     "session_start": [pd.Timestamp(start, unit="ms")],
                     "session_end": [pd.Timestamp(last, unit="ms")],
                     "n_events": [n],
@@ -72,7 +101,15 @@ def sessionize(
         else:
             start, last, n, total = ts_ms[0], ts_ms[0], 0, 0.0
         for t, v in zip(ts_ms, vals):
-            if t - last > gap_ms and n > 0:
+            if t < start:
+                # Cross-batch late event older than the open session.
+                if start - t <= gap_ms:
+                    start = t  # within gap: session extends backwards
+                else:
+                    # Isolated: emit as its own closed session now.
+                    out.append((user_id, t, t, 1, float(v)))
+                    continue
+            elif t - last > gap_ms and n > 0:
                 out.append((user_id, start, last, n, total))
                 start, n, total = t, 0, 0.0
             last = max(last, t)
@@ -83,7 +120,7 @@ def sessionize(
         if out:
             yield pd.DataFrame(
                 {
-                    "user_id": [o[0] for o in out],
+                    key_col: [o[0] for o in out],
                     "session_start": [pd.Timestamp(o[1], unit="ms") for o in out],
                     "session_end": [pd.Timestamp(o[2], unit="ms") for o in out],
                     "n_events": [o[3] for o in out],
@@ -96,7 +133,7 @@ def sessionize(
         .groupBy(key_col)
         .applyInPandasWithState(
             fn,
-            outputStructType=SESSION_SCHEMA,
+            outputStructType=session_schema,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,

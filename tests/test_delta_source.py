@@ -207,3 +207,50 @@ def test_snapshot_below_unapplied_checkpoint_with_expired_commits_raises(spark, 
     assert DeltaLog(dtab).snapshot(1).adds  # from the checkpoint: fine
     with pytest.raises(FileNotFoundError):
         DeltaLog(dtab).snapshot(0)
+
+
+def test_partitioned_encoded_paths_and_checkpoint_roundtrip(spark, tmp_path):
+    """Protocol parity: add.path is URL-encoded (a partition value with a
+    space encodes as %20), and checkpoints must retain partitionValues —
+    protocol-compliant readers take partition columns from the
+    checkpoint, not from directory names."""
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "enc_tab")
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "plain")], "id long, cat string"
+    )
+    write_delta(df, d, partition_by=["cat"])
+    # read side: files resolve on disk (decoded paths), rows intact
+    back = read_delta(spark, d)
+    assert sorted(r.id for r in back.collect()) == [1, 2, 3]
+    snap = DeltaLog(d).snapshot()
+    assert any("a b" in p for p in snap.adds), snap.adds  # decoded keys
+    assert any(pv.get("cat") == "a b" for pv in snap.part_values.values())
+    # log JSON holds the ENCODED form
+    import glob as _glob
+    import json as _json
+
+    log_files = sorted(_glob.glob(f"{d}/_delta_log/*.json"))
+    encoded = [
+        a["add"]["path"]
+        for lf in log_files
+        for line in open(lf)
+        if line.strip()
+        for a in [_json.loads(line)]
+        if a.get("add")
+    ]
+    assert any("a%20b" in p for p in encoded), encoded
+    # checkpoint: partitionValues survive and paths stay encoded
+    write_checkpoint(d)
+    cp = sorted(_glob.glob(f"{d}/_delta_log/*.checkpoint.parquet"))[-1]
+    tbl = pq.read_table(cp).to_pylist()
+    adds = [r["add"] for r in tbl if r.get("add")]
+    assert any(
+        a["partitionValues"] and dict(a["partitionValues"]).get("cat") == "a b"
+        for a in adds
+    ), adds
+    assert any("a%20b" in a["path"] for a in adds)
+    # replay FROM the checkpoint reconstructs the same snapshot
+    snap2 = DeltaLog(d).snapshot()
+    assert snap2.adds == snap.adds and snap2.part_values == snap.part_values

@@ -87,3 +87,73 @@ def test_streaming_windowed_agg(spark, tmp_path):
     batch_set = {(r.window.start, r.k, r.n, r.sv) for r in batch.collect()}
     # Streaming emits only watermark-closed windows -> subset, non-empty.
     assert got_set and got_set.issubset(batch_set)
+
+
+def test_sessionize_string_key_and_late_isolated_event(spark, tmp_path):
+    """Schema derivation: a string key column must work (the schemas were
+    previously hardcoded to user_id:long).  Late-event semantics: an
+    admitted event older than the open session by more than the gap
+    emits as its own single-event session instead of being glued onto
+    the current one."""
+    src = str(tmp_path / "ev_str")
+    out = str(tmp_path / "sess_str")
+    os.makedirs(src)
+    base = 1_700_000_000
+    rows = (
+        # device A: an early isolated event, then (after > gap) a 3-event
+        # session, then a > gap pause inside the data so the watermark
+        # closes the 3-event session too.
+        [("devA", base, 1.0)]
+        + [("devA", base + 7200 + i * 60, 2.0) for i in range(3)]
+        + [("devA", base + 20000, 9.0)]
+        + [("devB", base + i * 30, 5.0) for i in range(2)]
+    )
+    df = spark.createDataFrame(rows, "device string, epoch long, value double").withColumn(
+        "event_ts", F.timestamp_seconds("epoch")
+    ).drop("epoch")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    from hyperspace_spark.streaming.sessionize import sessionize
+
+    stream = spark.readStream.schema(
+        "device string, value double, event_ts timestamp"
+    ).parquet(src)
+    q = (
+        sessionize(stream, gap_seconds=1800, key_col="device")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt_str"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert "device" in got.columns
+    sessions = {(r.device, r.n_events, r.total_value) for r in got.collect()}
+    # the isolated early event and the 3-event session both closed
+    assert ("devA", 1, 1.0) in sessions, sessions
+    assert ("devA", 3, 6.0) in sessions, sessions
+
+
+def test_sessionize_late_event_unit():
+    """Pure-logic check of the late-event branches via the state machine
+    (mirrors the loop in sessionize.fn)."""
+    gap_ms = 1800 * 1000
+    start = last = 10_000_000
+    n, total = 3, 3.0
+    out = []
+    for t, v in [(start - gap_ms - 1, 9.0), (start - 60_000, 1.0)]:
+        if t < start:
+            if start - t <= gap_ms:
+                start = t
+            else:
+                out.append((t, t, 1, v))
+                continue
+        elif t - last > gap_ms and n > 0:
+            out.append((start, last, n, total))
+            start, n, total = t, 0, 0.0
+        last = max(last, t)
+        n += 1
+        total += float(v)
+    assert out == [(10_000_000 - gap_ms - 1,) * 2 + (1, 9.0)]
+    assert start == 10_000_000 - 60_000 and n == 4 and total == 4.0
