@@ -193,9 +193,25 @@ class Hyperspace:
             raise ConcurrentModificationError(f"Concurrent createIndex on {config.name}.")
 
         data_dir = mgr.data_dir(0)
-        props = self._build(config.kind)(
-            self.spark, df, config, conf, files, tracker, data_dir, config.name, 0
-        )
+        try:
+            props = self._build(config.kind)(
+                self.spark, df, config, conf, files, tracker, data_dir, config.name, 0
+            )
+        except BaseException:
+            # Roll the name back to DOESNOTEXIST before re-raising: a
+            # build failure (bad column type, executor OOM, KMeans error)
+            # otherwise strands the CREATING log with NO stable version —
+            # retry hits "already exists", cancel has nothing to roll
+            # back to, delete requires ACTIVE, and the name is bricked
+            # until someone hand-deletes the index directory.
+            gone = entry.with_state(States.DOESNOTEXIST, begin_id + 1)
+            try:
+                if mgr.write_log(gone.id, gone):
+                    mgr.update_latest_stable(gone.id)
+                self._invalidate_cache()
+            except Exception:
+                pass
+            raise
         entry.derived_properties = props
         entry.index_data_dirs = [data_dir]
         entry.content_files = [
@@ -455,6 +471,15 @@ class Hyperspace:
 
                 if rel.data_schema_json:
                     reader = reader.schema(StructType.fromJson(_json.loads(rel.data_schema_json)))
+                if rel.options:
+                    # Same reader options as the build scan (_source_df):
+                    # without them an appended CSV with header=true would
+                    # be parsed with defaults — header rows become data
+                    # rows and the corrupt rows get unioned into the
+                    # index.
+                    reader = reader.options(
+                        **{k: v for k, v in rel.options.items() if k != "path"}
+                    )
                 if rel.partition_columns:
                     reader = reader.option("basePath", rel.root_paths[0])
                 new_df = reader.load([f.path for f in appended])
@@ -531,6 +556,20 @@ class Hyperspace:
         full: always rewrite.  The rewrite re-buckets from the existing
         index data — no source scan."""
         conf = self.conf()
+        if mode not in ("quick", "full"):
+            # Mirror refresh_index: a typo must not silently trigger the
+            # expensive full rewrite the quick guard exists to avoid.
+            raise HyperspaceException(f"unknown optimize mode: {mode!r}")
+        entry0 = self._log_mgr(name, conf).get_latest_stable_log()
+        if entry0 is not None and entry0.derived_kind == "ANN":
+            # The z-order else-branch below would KeyError mid-transaction
+            # AND destroy the partitionBy(cluster) layout ann_search's
+            # partition pruning depends on.  Rejected cleanly BEFORE any
+            # transient log state is written.
+            raise HyperspaceException(
+                "optimize is not supported for ANN indexes; run a full "
+                "refresh to re-cluster"
+            )
         self._require_state(name, conf, States.ACTIVE, "optimizeIndex")
         fs = self._fs(conf)
 
@@ -790,6 +829,10 @@ class Hyperspace:
         )
         if entry is None or entry.derived_kind != "ANN":
             raise HyperspaceException(f"No ACTIVE ANN index named {index_name!r}.")
+        # Self-exclusion only applies when queries ARE corpus vectors
+        # (query_ids path); external query_vectors ids are an unrelated
+        # namespace and must not shadow same-numbered corpus vectors.
+        exclude_self = query_vectors is None
         if query_vectors is None:
             if not query_ids:
                 raise HyperspaceException("provide query_vectors or query_ids")
@@ -809,7 +852,14 @@ class Hyperspace:
             if missing:
                 raise HyperspaceException(f"query ids not in index: {missing}")
             query_vectors = {r.vec_id: list(r.unit_vec) for r in rows}
-        return ann_search(self.spark, entry, query_vectors, k=k, n_probe=n_probe)
+        return ann_search(
+            self.spark,
+            entry,
+            query_vectors,
+            exclude_self=exclude_self,
+            k=k,
+            n_probe=n_probe,
+        )
 
     def why_not(
         self, df: "DataFrame", index_name: str | None = None, extended: bool = False

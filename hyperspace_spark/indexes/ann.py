@@ -83,6 +83,7 @@ def ann_search(
     spark: "SparkSession",
     entry,
     query_vectors: dict[int, list[float]],
+    exclude_self: bool = False,
     k: int = 10,
     n_probe: int = 4,
 ) -> "DataFrame":
@@ -118,10 +119,18 @@ def ann_search(
         # Partition pruning: only the probed cluster directories are read.
         .filter(F.col("cluster").isin(sorted(probe_clusters)))
     )
-    scored = (
-        idx.join(F.broadcast(qdf), F.array_contains(F.col("probes"), F.col("cluster")))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .withColumn("cosine", F.round(dot_expr(F.col("qv"), F.col("unit_vec")), 6))
+    scored = idx.join(
+        F.broadcast(qdf), F.array_contains(F.col("probes"), F.col("cluster"))
+    )
+    if exclude_self:
+        # Only for query_ids lookups, where qid IS a corpus vec_id.  For
+        # EXTERNAL query_vectors the caller's ids are an unrelated
+        # namespace — filtering would silently drop the corpus vector
+        # that happens to share the number (possibly the true nearest
+        # neighbor).
+        scored = scored.filter(F.col("vec_id") != F.col("qid"))
+    scored = scored.withColumn(
+        "cosine", F.round(dot_expr(F.col("qv"), F.col("unit_vec")), 6)
     )
     w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (

@@ -83,14 +83,21 @@ def shingle_hash_col(shingle_col):
 
 
 def exact_dedup(df: "DataFrame", text_col: str = "text", id_col: str = "doc_id") -> "DataFrame":
-    """Keep the lowest-id document per normalized-text fingerprint."""
+    """Keep the lowest-id document per normalized-text fingerprint.
+
+    NULL-text documents are all kept: fingerprint(NULL) is NULL, and a
+    window partitioned on it would lump every null-text doc into ONE
+    partition and keep a single row — silently deleting documents that
+    are not duplicates of anything (media-only / not-yet-fetched docs).
+    Empty-string text still dedups normally: identical empties ARE
+    duplicates."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
     w = W.partitionBy(fingerprint(F.col(text_col))).orderBy(F.col(id_col))
     return (
         df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        .filter(F.col(text_col).isNull() | (F.col("_rn") == 1))
         .drop("_rn")
     )
 
@@ -407,6 +414,13 @@ def minhash_lsh_pairs(
     LSH-then-verify pipeline).  Output: (id_a, id_b [, jaccard])."""
     from pyspark.sql import functions as F
 
+    if bands < 1 or num_hashes % bands != 0:
+        # bands=0 rows_per_band would hash every doc into ONE md5('')
+        # bucket per band (all-pairs output); a non-divisible combo
+        # silently discards trailing hashes and shifts the s-curve.
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
     rows_per_band = num_hashes // bands
     # One persisted shingle-array frame feeds the signature build and
     # the verify joins — see ngram_jaccard_pairs for the rationale.

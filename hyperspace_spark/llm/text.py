@@ -216,9 +216,18 @@ def chunk_text_udtf(size: int = 64, overlap: int = 16):
             if text is None:
                 return
             words = text.split()
-            for ci, start in enumerate(range(0, max(len(words), 1), step)):
+            n = len(words)
+            for ci, start in enumerate(range(0, max(n, 1), step)):
                 w = words[start : start + size]
                 if not w:
+                    break
+                # A trailing chunk whose end does not pass the PREVIOUS
+                # chunk's end (prev covers [start-step, start-step+size),
+                # i.e. through start+overlap) is fully contained in it —
+                # emitting it would inject exact sub-duplicate windows
+                # into the training corpus.  Starts increase, so the
+                # first contained chunk ends the loop.
+                if start > 0 and start + len(w) <= start + (size - step):
                     break
                 yield row["doc_id"], ci, len(w), " ".join(w)
 

@@ -1788,6 +1788,7 @@ def _lang_quality_oracle() -> str:
            array_to_string(words[start+1:start+64], ' ') AS chunk
     FROM s
     WHERE len(words[start+1:start+64]) > 0
+      AND (start = 0 OR start + len(words[start+1:start+64]) > start + 16)
     """,
 )
 def udtf_chunk_text(spark, sf_dir):
@@ -1825,11 +1826,11 @@ def lang_quality(spark, sf_dir):
     "dedup_exact",
     """
     SELECT doc_id FROM (
-      SELECT doc_id, row_number() OVER (
+      SELECT doc_id, text, row_number() OVER (
         PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
         ORDER BY doc_id) AS rn
       FROM documents
-    ) WHERE rn = 1
+    ) WHERE text IS NULL OR rn = 1
     """,
 )
 def dedup_exact_query(spark, sf_dir):

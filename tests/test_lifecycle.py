@@ -192,3 +192,78 @@ def test_optimize_skipping_index(spark, hs, mutable_src, tmp_path):
     )
     fast, used = hs._apply_with_info(q)
     assert rows_equal(q, fast)
+
+
+def test_create_failure_leaves_name_reusable(spark, tmp_path):
+    """A build-phase failure must roll the name back to DOESNOTEXIST —
+    previously the stranded CREATING log bricked the name (retry said
+    'already exists', cancel had no stable version, delete required
+    ACTIVE)."""
+    from hyperspace_spark import CoveringIndexConfig, Hyperspace
+    from hyperspace_spark.hyperspace import HyperspaceException
+
+    hs = Hyperspace(spark, system_path=str(tmp_path / "idx"))
+    src = str(tmp_path / "src")
+    spark.range(100).selectExpr("id AS k", "id * 2 AS v").write.parquet(src)
+    df = spark.read.parquet(src)
+    with pytest.raises(Exception):
+        # nonexistent included column -> builder raises mid-create
+        hs.create_index(df, CoveringIndexConfig("fail_idx", ["k"], ["no_such_col"]))
+    # the name is immediately reusable
+    hs.create_index(df, CoveringIndexConfig("fail_idx", ["k"], ["v"]))
+    q = df.filter("k = 7").select("k", "v")
+    fast, used = hs._apply_with_info(q)
+    assert used == ["fail_idx"], hs.why_not(q)
+
+
+def test_optimize_rejects_bad_mode_and_ann(spark, tmp_path):
+    from hyperspace_spark import CoveringIndexConfig, Hyperspace
+    from hyperspace_spark.hyperspace import HyperspaceException
+    from hyperspace_spark.indexes.ann import IvfIndexConfig
+
+    hs = Hyperspace(spark, system_path=str(tmp_path / "idx2"))
+    src = str(tmp_path / "src2")
+    spark.range(100).selectExpr("id AS k", "id * 2 AS v").write.parquet(src)
+    df = spark.read.parquet(src)
+    hs.create_index(df, CoveringIndexConfig("m_idx", ["k"], ["v"]))
+    with pytest.raises(HyperspaceException):
+        hs.optimize_index("m_idx", mode="Quick")  # typo must not full-rewrite
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    hs.create_index(emb, IvfIndexConfig("ann_opt", n_clusters=2))
+    with pytest.raises(HyperspaceException):
+        hs.optimize_index("ann_opt")  # would destroy the cluster layout
+    # both indexes still ACTIVE and usable
+    q = df.filter("k = 3").select("k", "v")
+    _, used = hs._apply_with_info(q)
+    assert used == ["m_idx"]
+
+
+def test_refresh_incremental_preserves_reader_options(spark, tmp_path):
+    """Appended files must be read with the SAME reader options as the
+    build scan: a header=true CSV appended without options would parse
+    header rows as data and union corrupt rows into the index."""
+    import shutil
+
+    from hyperspace_spark import CoveringIndexConfig, Hyperspace
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "csv_src")
+    spark.range(0, 50).selectExpr("id AS k", "id * 10 AS v").coalesce(1).write.option(
+        "header", "true"
+    ).csv(src)
+    df = spark.read.option("header", "true").option("inferSchema", "true").csv(src)
+    hs = Hyperspace(spark, system_path=str(tmp_path / "idx3"))
+    hs.create_index(df, CoveringIndexConfig("csv_idx", ["k"], ["v"]))
+    # append another header'd CSV file
+    spark.range(50, 80).selectExpr("id AS k", "id * 10 AS v").coalesce(1).write.option(
+        "header", "true"
+    ).mode("append").csv(src)
+    hs.refresh_index("csv_idx", "incremental")
+    df2 = spark.read.option("header", "true").option("inferSchema", "true").csv(src)
+    q = df2.filter(F.col("k") == 60).select("k", "v")
+    fast, used = hs._apply_with_info(q)
+    assert used == ["csv_idx"], hs.why_not(q)
+    assert [(r.k, r.v) for r in fast.collect()] == [(60, 600)]
+    # no header-row garbage made it into the index
+    allrows = hs.apply(df2.select("k", "v")).collect()
+    assert len(allrows) == 80 and all(isinstance(r.k, int) for r in allrows)

@@ -424,9 +424,10 @@ def test_chunk_text_udtf_shapes(spark):
     by_doc = {}
     for r in rows:
         by_doc.setdefault(r.doc_id, []).append(r)
-    # 20 words, size 8 step 6 -> starts 0,6,12,18 -> 4 chunks
-    assert len(by_doc[1]) == 4
-    assert [r.n_words for r in sorted(by_doc[1], key=lambda r: r.chunk_idx)] == [8, 8, 8, 2]
+    # 20 words, size 8 step 6 -> starts 0,6,12 (the chunk at 18 covers
+    # words 18..19, fully contained in chunk@12's 12..19 -> skipped)
+    assert len(by_doc[1]) == 3
+    assert [r.n_words for r in sorted(by_doc[1], key=lambda r: r.chunk_idx)] == [8, 8, 8]
     # overlap: chunk i starts at i*step, so consecutive chunks share 2 words
     c = {r.chunk_idx: r.chunk.split() for r in by_doc[1]}
     assert c[0][-2:] == c[1][:2]
@@ -451,3 +452,46 @@ def test_ngram_incremental_equals_full(spark, docs):
     want = sorted(map(tuple, dedup.ngram_jaccard_pairs(full, n=3, threshold=0.5).collect()))
     dedup.release_caches()
     assert got == want and len(want) > 0
+
+
+def test_exact_dedup_keeps_all_null_text_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, None), (4, None), (5, None)],
+        "doc_id long, text string",
+    )
+    out = sorted(r.doc_id for r in dedup.exact_dedup(df).collect())
+    # dup of 1 collapses; every null-text doc survives (they are not
+    # duplicates of each other)
+    assert out == [1, 3, 4, 5]
+
+
+def test_minhash_rejects_bad_band_split():
+    import pytest as _pytest
+
+    df = None  # never touched: validation precedes any Spark work
+    with _pytest.raises(ValueError):
+        dedup.minhash_lsh_pairs(df, num_hashes=64, bands=100)
+    with _pytest.raises(ValueError):
+        dedup.minhash_lsh_pairs(df, num_hashes=64, bands=24)
+
+
+def test_lsh_bucketed_pairs_empty_corpus(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert similarity.lsh_bucketed_pairs(empty).count() == 0
+
+
+def test_ann_external_query_id_collides_with_corpus_id(spark, tmp_path):
+    """External query_vectors use their own id namespace: an external id
+    equal to a corpus vec_id must NOT drop that corpus vector from the
+    candidates (it may be the true nearest neighbor)."""
+    from hyperspace_spark import Hyperspace
+    from hyperspace_spark.indexes.ann import IvfIndexConfig
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    hs = Hyperspace(spark, system_path=str(tmp_path / "annx"))
+    hs.create_index(emb, IvfIndexConfig("annx", n_clusters=4))
+    vec0 = emb.filter("vec_id = 0").first().embedding
+    # query labeled 0 IS corpus vector 0: with all clusters probed its
+    # nearest neighbor must be vec_id 0 itself at cosine ~1.
+    got = hs.ann_search("annx", query_vectors={0: list(vec0)}, k=1, n_probe=4).collect()
+    assert got and got[0].neighbor_id == 0 and got[0].cosine > 0.999, got
