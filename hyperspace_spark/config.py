@@ -90,7 +90,23 @@ class HyperspaceConf:
             except Exception:
                 return default
 
-        shuffle_parts = int(_get("spark.sql.shuffle.partitions", "200"))
+        def _int(key: str, default: str) -> int:
+            """Defensive parse: deployments set values like
+            spark.sql.shuffle.partitions="auto" (Databricks AOS), and a
+            raw int() would make EVERY engine call crash on conf read —
+            fall back to the default instead."""
+            try:
+                return int(_get(key, default))
+            except (TypeError, ValueError):
+                return int(default)
+
+        def _float(key: str, default: str) -> float:
+            try:
+                return float(_get(key, default))
+            except (TypeError, ValueError):
+                return float(default)
+
+        shuffle_parts = _int("spark.sql.shuffle.partitions", "200")
         return HyperspaceConf(
             system_path=system_path or _get(SYSTEM_PATH, "/tmp/hyperspace"),
             apply_enabled=_get(APPLY_ENABLED, "true").lower() == "true",
@@ -100,23 +116,23 @@ class HyperspaceConf:
             # 100 TB.  Unset/"auto" sizes the count to the data; an explicit
             # integer (or spark.sql.shuffle.partitions via "shuffle") pins it.
             num_buckets=_parse_num_buckets(_get(NUM_BUCKETS, "auto"), shuffle_parts),
-            bucket_target_bytes=int(_get(BUCKET_TARGET_BYTES, str(256 * 1024 * 1024))),
-            bucket_min_bytes=int(_get(BUCKET_MIN_BYTES, str(16 * 1024 * 1024))),
+            bucket_target_bytes=_int(BUCKET_TARGET_BYTES, str(256 * 1024 * 1024)),
+            bucket_min_bytes=_int(BUCKET_MIN_BYTES, str(16 * 1024 * 1024)),
             lineage_enabled=_get(LINEAGE_ENABLED, "true").lower() == "true",
             hybridscan_enabled=_get(HYBRIDSCAN_ENABLED, "true").lower() == "true",
-            hybridscan_max_appended_ratio=float(_get(HYBRIDSCAN_APPENDED_RATIO, "0.3")),
-            hybridscan_max_deleted_ratio=float(_get(HYBRIDSCAN_DELETED_RATIO, "0.2")),
-            optimize_file_size_threshold=int(_get(OPTIMIZE_FILE_SIZE_THRESHOLD, str(256 * 1024 * 1024))),
-            skipping_target_file_size=int(_get(SKIPPING_TARGET_FILE_SIZE, str(256 * 1024 * 1024))),
-            skipping_max_file_count=int(_get(SKIPPING_MAX_FILE_COUNT, "10000")),
-            zorder_target_bytes_per_partition=int(
-                _get(ZORDER_TARGET_BYTES_PER_PARTITION, str(1024 * 1024 * 1024))
+            hybridscan_max_appended_ratio=_float(HYBRIDSCAN_APPENDED_RATIO, "0.3"),
+            hybridscan_max_deleted_ratio=_float(HYBRIDSCAN_DELETED_RATIO, "0.2"),
+            optimize_file_size_threshold=_int(OPTIMIZE_FILE_SIZE_THRESHOLD, str(256 * 1024 * 1024)),
+            skipping_target_file_size=_int(SKIPPING_TARGET_FILE_SIZE, str(256 * 1024 * 1024)),
+            skipping_max_file_count=_int(SKIPPING_MAX_FILE_COUNT, "10000"),
+            zorder_target_bytes_per_partition=_int(
+                ZORDER_TARGET_BYTES_PER_PARTITION, str(1024 * 1024 * 1024)
             ),
             zorder_quantile_enabled=_get(ZORDER_QUANTILE_ENABLED, "true").lower() == "true",
-            zorder_quantile_error=float(_get(ZORDER_QUANTILE_ERROR, "0.01")),
+            zorder_quantile_error=_float(ZORDER_QUANTILE_ERROR, "0.01"),
             filter_rule_use_bucket_spec=_get(FILTER_RULE_USE_BUCKET_SPEC, "true").lower() == "true",
-            cache_expiry_sec=int(_get(CACHE_EXPIRY_SEC, "300")),
-            apply_cache_ttl_sec=float(_get(APPLY_CACHE_TTL_SEC, "10")),
+            cache_expiry_sec=_int(CACHE_EXPIRY_SEC, "300"),
+            apply_cache_ttl_sec=_float(APPLY_CACHE_TTL_SEC, "10"),
         )
 
     def resolve_num_buckets(self, source_bytes: int, default_parallelism: int) -> int:

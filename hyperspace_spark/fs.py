@@ -167,12 +167,29 @@ class HadoopFileSystem(FileSystem):
             out.write(bytearray(content.encode("utf-8")))
         finally:
             out.close()
+        backup = None
         if overwrite and self._fs.exists(dest):
-            self._fs.delete(dest, False)
+            # Hadoop rename refuses an existing destination, and a bare
+            # delete-then-rename destroys the old value if the rename
+            # then fails (and opens a window where readers see NO
+            # pointer).  Park the old file under a backup name (rename is
+            # atomic), swap in the new one, then drop the backup; restore
+            # on failure.  Not a true atomic replace (HDFS lacks one
+            # without FileContext), but failure-safe: some valid value
+            # always survives.
+            backup = self._p(path + ".bak-" + uuid.uuid4().hex)
+            if not self._fs.rename(dest, backup):
+                self._fs.delete(tmp, False)
+                return False
         renamed = self._fs.rename(tmp, dest)
         if not renamed:
             self._fs.delete(tmp, False)
-        return bool(renamed)
+            if backup is not None:
+                self._fs.rename(backup, dest)  # restore the old value
+            return False
+        if backup is not None:
+            self._fs.delete(backup, False)
+        return True
 
     def exists(self, path: str) -> bool:
         return bool(self._fs.exists(self._p(path)))

@@ -366,7 +366,12 @@ class Hyperspace:
         if entry.derived_kind == "ZCI":
             from hyperspace_spark.indexes.zorder import ZOrderCoveringIndexConfig
 
-            return ZOrderCoveringIndexConfig(entry.name, p["indexedColumns"], p["includedColumns"])
+            return ZOrderCoveringIndexConfig(
+                entry.name,
+                p["indexedColumns"],
+                p["includedColumns"],
+                target_bytes_per_partition=p.get("targetBytesPerPartition"),
+            )
         if entry.derived_kind == "DS":
             from hyperspace_spark.indexes.dataskipping import DataSkippingIndexConfig
             from hyperspace_spark.indexes.sketches import sketch_from_json

@@ -39,6 +39,13 @@ ZADDR = "_hs_zaddr"
 class ZOrderCoveringIndexConfig(IndexConfig):
     indexed_columns: list[str] = field(default_factory=list)
     included_columns: list[str] = field(default_factory=list)
+    # Per-index override of spark.hyperspace.index.zorder.
+    # targetSourceBytesPerPartition.  Preferred over mutating the
+    # session conf around create_index: conf is session-GLOBAL, so two
+    # concurrent z-order builds racing on the same key could size each
+    # other's range partitioning (and leak a stale value back into the
+    # session from the loser's restore).
+    target_bytes_per_partition: int | None = None
 
     @property
     def kind(self) -> str:
@@ -209,7 +216,11 @@ def create_index_data(
     idx_flat = [flattened_name(c) for c in config.indexed_columns]
 
     source_bytes = sum(f.size for f in files)
-    n_parts = max(1, math.ceil(source_bytes / conf.zorder_target_bytes_per_partition))
+    target = (
+        getattr(config, "target_bytes_per_partition", None)
+        or conf.zorder_target_bytes_per_partition
+    )
+    n_parts = max(1, math.ceil(source_bytes / target))
 
     stats: dict = {}
     if len(idx_flat) == 1:
@@ -235,6 +246,9 @@ def create_index_data(
         "schemaJson": out.schema.json(),
         "zorderStats": stats,
         "zorderBits": min(16, 63 // max(1, len(idx_flat))),
+        # Persisted so refresh-full rebuilds with the SAME partition
+        # sizing the index was created with (not the session default).
+        "targetBytesPerPartition": target,
         "fileStats": collect_file_stats(spark, data_dir, list(config.indexed_columns)),
     }
 

@@ -103,7 +103,11 @@ class Workspace:
 
         self.spark = spark
         self.sf_dir = sf_dir.rstrip("/")
-        tag = hashlib.md5(self.sf_dir.encode()).hexdigest()[:8]
+        # uid in the tag: /tmp is host-shared, and two users running the
+        # bench against the same sf_dir would otherwise collide on one
+        # directory full of the first user's 0600-mode log files.
+        uid = os.getuid() if hasattr(os, "getuid") else 0
+        tag = hashlib.md5(f"{self.sf_dir}:{uid}".encode()).hexdigest()[:8]
         self.root = f"/tmp/hs_workload_{tag}"
         self.li_byship = f"{self.root}/li_byship"
         self.orders_app = f"{self.root}/orders_app"
@@ -112,15 +116,48 @@ class Workspace:
         self.ngram_pairs = f"{self.root}/ngram_pairs"
         self.hs = Hyperspace(spark, system_path=f"{self.root}/indexes")
 
+    def _source_fingerprint(self) -> str:
+        parts = []
+        for name in sorted(os.listdir(self.sf_dir)):
+            if not name.endswith(".parquet"):
+                continue
+            st = os.stat(os.path.join(self.sf_dir, name))
+            parts.append(f"{name}:{st.st_size}:{int(st.st_mtime)}")
+        return hashlib.md5("|".join(parts).encode()).hexdigest()
+
     def ensure(self) -> "Workspace":
+        import json as _json
+        import shutil as _shutil
         import time as _time
 
         _conf(self.spark)
+        # Workspace validity gate: every staging/build step below is
+        # individually idempotent via artifact-existence checks, but (a)
+        # regenerated testdata at the same sf_dir would be served from
+        # STALE copies (the oracle reads the new files, the queries the
+        # old — silent mismatches), and (b) a crash between staging
+        # steps leaves a half-staged workspace those existence checks
+        # can never repair (e.g. a Delta v0 without its v1 append).  The
+        # marker is written only after EVERYTHING succeeded and embeds a
+        # source fingerprint; anything else wipes and rebuilds.
+        marker = os.path.join(self.root, "_WORKSPACE_OK.json")
+        fp = self._source_fingerprint()
+        if os.path.isdir(self.root) and os.listdir(self.root):
+            ok = False
+            try:
+                with open(marker) as f:
+                    ok = _json.load(f).get("fp") == fp
+            except Exception:
+                ok = False
+            if not ok:
+                _shutil.rmtree(self.root, ignore_errors=True)
         os.makedirs(self.root, exist_ok=True)
         t0 = _time.perf_counter()
         self._ensure_copies()
         t1 = _time.perf_counter()
         self._ensure_indexes()
+        with open(marker, "w") as f:
+            _json.dump({"fp": fp}, f)
         # Staging (layout copies, the synthetic Delta table) is test-data
         # setup, not index-build work — report separately in bench.py.
         self.staging_sec = t1 - t0
@@ -383,21 +420,18 @@ class Workspace:
         """Z-order index clustered into ~12 range partitions so per-file
         min/max stats have pruning power at every sf (at the 1 GiB default
         the whole table is one file at small sf and there is nothing to
-        prune)."""
-        key = "spark.hyperspace.index.zorder.targetSourceBytesPerPartition"
+        prune).  The target is passed ON THE CONFIG, not via session
+        conf: builds run concurrently in a thread pool, and a
+        session-global set/unset raced between the two z-order builds —
+        one could snapshot the other's target (or the 1 GiB default,
+        collapsing the table into a single unprunable partition)."""
         target = max(16 * 1024, os.path.getsize(f"{self.sf_dir}/{table}.parquet") // 12)
-        old = self.spark.conf.get(key, None)
-        self.spark.conf.set(key, str(target))
-        try:
-            self.hs.create_index(
-                _t(self.spark, self.sf_dir, table),
-                ZOrderCoveringIndexConfig(name, indexed, included),
-            )
-        finally:
-            if old is None:
-                self.spark.conf.unset(key)
-            else:
-                self.spark.conf.set(key, old)
+        self.hs.create_index(
+            _t(self.spark, self.sf_dir, table),
+            ZOrderCoveringIndexConfig(
+                name, indexed, included, target_bytes_per_partition=target
+            ),
+        )
 
     def _ensure_hybrid_delta(self) -> None:
         """Move the staged delta into orders_app AFTER w_oapp_cov exists,
@@ -1102,7 +1136,13 @@ _PARTSUPP_SQL = """
 """
 
 
-_PARTSUPP_REGISTERED: dict = {}
+# WeakKeyDictionary keyed on the SESSION OBJECT (not id(spark)): a bare
+# id can be recycled by the allocator after a session is stopped and
+# GC'd, which would silently skip re-registering the view for the new
+# session.
+import weakref as _weakref  # noqa: E402
+
+_PARTSUPP_REGISTERED: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
 
 
 def _partsupp_view(spark, sf_dir) -> None:
@@ -1115,7 +1155,7 @@ def _partsupp_view(spark, sf_dir) -> None:
     supplier-count job."""
     from pyspark.sql import functions as F
 
-    if _PARTSUPP_REGISTERED.get(id(spark)) == sf_dir:
+    if _PARTSUPP_REGISTERED.get(spark) == sf_dir:
         return
     ns = _t(spark, sf_dir, "supplier").count()
     p = _t(spark, sf_dir, "part")
@@ -1131,7 +1171,7 @@ def _partsupp_view(spark, sf_dir) -> None:
             "ps_supplycost"
         ),
     ).createOrReplaceTempView("w_partsupp")
-    _PARTSUPP_REGISTERED[id(spark)] = sf_dir
+    _PARTSUPP_REGISTERED[spark] = sf_dir
 
 
 @q(
@@ -2364,15 +2404,24 @@ def pii_detect(spark, sf_dir):
 
 # --- deterministic sampling / mixture / split (llm.sampling) ---------------
 _MIXTURE_RATES = {"en": 1.0, "de": 0.5, "es": 0.5, "fr": 0.25, "zh": 0.1}
+# Shared with llm.sampling: oracle thresholds derive from the SAME
+# constants the Spark queries use, so changing rates/fractions/buckets
+# in one place can never silently desynchronize query and oracle.
+from hyperspace_spark.llm.sampling import NUM_BUCKETS as _NUM_BUCKETS  # noqa: E402
+
+_SPLIT_VAL_FRACTION = 0.1
+_SPLIT_TEST_FRACTION = 0.1
+_SPLIT_VAL_HI = int(round(_SPLIT_VAL_FRACTION * _NUM_BUCKETS))
+_SPLIT_TEST_HI = _SPLIT_VAL_HI + int(round(_SPLIT_TEST_FRACTION * _NUM_BUCKETS))
 
 
 def _bucket_oracle(key_sql: str = "doc_id") -> str:
-    from hyperspace_spark.llm.sampling import NUM_BUCKETS
+    # ONE rendering of the bucket hash (sampling.duckdb_bucket_sql is
+    # the engine-blessed oracle form) — a drifting local copy would
+    # silently diverge from the Spark-side hash_bucket it mirrors.
+    from hyperspace_spark.llm.sampling import duckdb_bucket_sql
 
-    return (
-        f"(CAST('0x' || substr(md5(CAST({key_sql} AS VARCHAR)), 1, 8) AS BIGINT)"
-        f" % {NUM_BUCKETS})"
-    )
+    return duckdb_bucket_sql(key_sql)
 
 
 @q(
@@ -2400,9 +2449,7 @@ def sample_hash_deterministic(spark, sf_dir):
     WITH kept AS (
       SELECT lang, n_chars FROM documents
       WHERE {_bucket_oracle()} <
-            CASE lang WHEN 'en' THEN 1000000 WHEN 'de' THEN 500000
-                      WHEN 'es' THEN 500000 WHEN 'fr' THEN 250000
-                      WHEN 'zh' THEN 100000 ELSE 0 END
+            CASE lang {' '.join(f"WHEN '{lang}' THEN {int(round(rate * _NUM_BUCKETS))}" for lang, rate in _MIXTURE_RATES.items())} ELSE 0 END
     )
     SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM kept GROUP BY lang
@@ -2426,8 +2473,8 @@ def mixture_stratified_sample(spark, sf_dir):
 @q(
     "split_train_val_test",
     f"""
-    SELECT CASE WHEN {_bucket_oracle()} < 100000 THEN 'val'
-                WHEN {_bucket_oracle()} < 200000 THEN 'test'
+    SELECT CASE WHEN {_bucket_oracle()} < {_SPLIT_VAL_HI} THEN 'val'
+                WHEN {_bucket_oracle()} < {_SPLIT_TEST_HI} THEN 'test'
                 ELSE 'train' END AS split,
            count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY 1
@@ -2442,7 +2489,10 @@ def split_train_val_test(spark, sf_dir):
     from hyperspace_spark.llm import sampling
 
     split = sampling.train_val_test_split(
-        _t(spark, sf_dir, "documents"), "doc_id", val_fraction=0.1, test_fraction=0.1
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        val_fraction=_SPLIT_VAL_FRACTION,
+        test_fraction=_SPLIT_TEST_FRACTION,
     )
     return split.groupBy("split").agg(
         F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
