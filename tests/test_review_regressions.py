@@ -221,3 +221,49 @@ def test_bucketed_table_registration_is_location_keyed(spark, tmp_path):
     assert t0 != t1, "same catalog name for two different index locations"
     assert spark.table(t0).count() == 100
     assert spark.table(t1).count() == 50
+
+
+def test_concurrent_apply_threads_no_view_collision(spark, tmp_path):
+    """Concurrent apply() calls from multiple threads must never serve
+    each other's scan data: the replay temp-view counter was a
+    non-atomic list increment, so two threads could mint the same
+    __hs_scan_N name and one query silently read the other's table."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark import CoveringIndexConfig, Hyperspace
+
+    hs = Hyperspace(spark, system_path=str(tmp_path / "idx"))
+    src1, src2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    spark.range(500).selectExpr("id AS k", "id*2 AS v").write.parquet(src1)
+    spark.range(500).selectExpr("id AS k", "id*3 AS w").write.parquet(src2)
+    d1, d2 = spark.read.parquet(src1), spark.read.parquet(src2)
+    hs.create_index(d1, CoveringIndexConfig("cc1", ["k"], ["v"]))
+    hs.create_index(d2, CoveringIndexConfig("cc2", ["k"], ["w"]))
+    spark.conf.set("spark.hyperspace.apply.cacheTtlSeconds", "0")
+    errors = []
+
+    def worker(df, col, mult):
+        try:
+            for i in range(10):
+                key = (i * 37) % 500
+                rows = hs.apply(
+                    df.filter(F.col("k") == key).select("k", col)
+                ).collect()
+                assert len(rows) == 1 and rows[0][1] == key * mult, (key, rows)
+        except Exception as e:  # pragma: no cover - failure reporting
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=worker, args=(d1, "v", 2)),
+        threading.Thread(target=worker, args=(d2, "w", 3)),
+        threading.Thread(target=worker, args=(d1, "v", 2)),
+        threading.Thread(target=worker, args=(d2, "w", 3)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    spark.conf.unset("spark.hyperspace.apply.cacheTtlSeconds")
+    assert not errors, errors[:3]
