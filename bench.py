@@ -45,6 +45,10 @@ def main() -> None:
         # needs at this scale are tiny; override via env for bigger runs.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Stage-progress bars write \r-spam to stdout; the driver captures
+        # only the stdout TAIL, so progress output can front-truncate the
+        # JSON result line.  Keep the JSON as effectively the only stdout.
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.warehouse.dir", "/tmp/hs_bench_warehouse")
         .getOrCreate()
     )

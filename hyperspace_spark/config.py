@@ -41,6 +41,14 @@ CACHE_EXPIRY_SEC = "spark.hyperspace.index.cache.expiryDurationInSeconds"
 # bypass the lifecycle.  Set to 0 to re-plan on every query (reference
 # behavior: extraOptimizations re-plans always).
 APPLY_CACHE_TTL_SEC = "spark.hyperspace.apply.cacheTtlSeconds"
+# Age after which streaming maintenance treats a transient log entry
+# (REFRESHING/OPTIMIZING/...) as a crash leftover and cancels it.  MUST
+# exceed the worst-case duration of any legitimate maintenance op on the
+# deployment's largest index, or a long-running concurrent optimize gets
+# cancelled mid-run and its completing write discarded
+# (ConcurrentModificationError).  Long ops can also heartbeat-touch their
+# transient log file (metadata/log_manager.py heartbeat) to stay fresh.
+MAINTENANCE_STALE_AFTER_SEC = "spark.hyperspace.maintenance.staleAfterSeconds"
 
 # Internal column names (reference: IndexConstants.scala:104, ResolverUtils.scala:86).
 DATA_FILE_ID_COLUMN = "_data_file_id"
@@ -79,6 +87,7 @@ class HyperspaceConf:
     filter_rule_use_bucket_spec: bool = True
     cache_expiry_sec: int = 300
     apply_cache_ttl_sec: float = 10.0
+    maintenance_stale_after_sec: float = 600.0
 
     @staticmethod
     def from_session(spark: "SparkSession", system_path: str | None = None) -> "HyperspaceConf":
@@ -133,6 +142,7 @@ class HyperspaceConf:
             filter_rule_use_bucket_spec=_get(FILTER_RULE_USE_BUCKET_SPEC, "true").lower() == "true",
             cache_expiry_sec=_int(CACHE_EXPIRY_SEC, "300"),
             apply_cache_ttl_sec=_float(APPLY_CACHE_TTL_SEC, "10"),
+            maintenance_stale_after_sec=_float(MAINTENANCE_STALE_AFTER_SEC, "600"),
         )
 
     def resolve_num_buckets(self, source_bytes: int, default_parallelism: int) -> int:

@@ -215,8 +215,12 @@ def bucket_pruned_files(entry, lits) -> list[str] | None:
     from pyspark.sql import SparkSession
 
     active = SparkSession.getActiveSession()
+    # No active session => the wall-clock zone of a TIMESTAMP literal is
+    # unknowable; assuming UTC would hash the wrong instant and prune a
+    # matching file (the unsound direction).  Skip pruning instead —
+    # timestamp_ntz is zone-free and stays prunable.
     session_tz = (
-        active.conf.get("spark.sql.session.timeZone", "UTC") if active else "UTC"
+        active.conf.get("spark.sql.session.timeZone", "UTC") if active else None
     )
     wanted: set[int] = set()
     for lit in lits:
@@ -225,7 +229,9 @@ def bucket_pruned_files(entry, lits) -> list[str] | None:
         else:
             if lit.dtype != dtype:
                 return None  # type mismatch build-vs-probe: unsound to hash
-            b = bucket_id(_lit_python(lit), dtype, n, session_tz=session_tz)
+            if session_tz is None and dtype == "timestamp":
+                return None
+            b = bucket_id(_lit_python(lit), dtype, n, session_tz=session_tz or "UTC")
         if b is None:
             return None
         wanted.add(b)

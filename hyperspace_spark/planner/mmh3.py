@@ -162,6 +162,18 @@ def spark_hash(value, dtype: str, seed: int = SEED, session_tz: str = "UTC") -> 
                         if tzinfo is None:
                             return None
                     value = value.replace(tzinfo=tzinfo)
+                    # DST spring-forward gap: Python resolves nonexistent
+                    # wall times with the pre-gap offset (PEP 495
+                    # fold=0), Java/Catalyst's ZonedDateTime.ofLocal
+                    # shifts them forward by the gap — the hashes would
+                    # diverge and prune a matching file.  Detect via the
+                    # UTC round-trip: only a nonexistent local time
+                    # changes its wall clock; skip pruning for those.
+                    # (Ambiguous fall-back times are fine: both sides
+                    # pick the earlier offset.)
+                    rt = value.astimezone(datetime.timezone.utc).astimezone(tzinfo)
+                    if rt.replace(tzinfo=None) != value.replace(tzinfo=None):
+                        return None
                 value = _epoch_micros(value)
         return hash_long(int(value), seed)
     if dtype == "string":

@@ -116,6 +116,14 @@ def ensure_min_parallelism(df: "DataFrame", target: int | None = None) -> "DataF
     spark = df.sparkSession
     if target is None:
         target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    # Partition count via the JVM DataFrame's RDD: df.rdd (the Python
+    # wrapper) additionally builds the Arrow/pickle serializer lineage on
+    # every call, and this guard sits on the hot build path of every text
+    # pipeline.
+    try:
+        n = df._jdf.rdd().getNumPartitions()
+    except Exception:  # e.g. Spark Connect: no _jdf
+        n = df.rdd.getNumPartitions()
+    if n >= target:
         return df
     return df.repartition(target)

@@ -27,7 +27,7 @@ if TYPE_CHECKING:
     from hyperspace_spark.hyperspace import Hyperspace
 
 
-def ensure_stable(hs: "Hyperspace", name: str, stale_after_sec: float = 600.0) -> None:
+def ensure_stable(hs: "Hyperspace", name: str, stale_after_sec: float | None = None) -> None:
     """If a failure stranded the index in a transient state (REFRESHING /
     OPTIMIZING / ...), cancel back to the last stable log entry so the next
     refresh_index's ACTIVE requirement passes.  Without this, one mid-refresh
@@ -41,12 +41,19 @@ def ensure_stable(hs: "Hyperspace", name: str, stale_after_sec: float = 600.0) -
     with ConcurrentModificationError, discarding its work.  A crashed
     op's entry, by contrast, only grows older.  Pass 0 to cancel
     unconditionally (the crash-recovery path in the batch handler's
-    except clause, where the failed op is provably OURS)."""
+    except clause, where the failed op is provably OURS).
+
+    ``None`` (default) reads spark.hyperspace.maintenance.staleAfterSeconds
+    (default 600) — deployments whose maintenance ops can legitimately run
+    longer than 10 minutes MUST raise it above the worst-case op duration
+    (or have long ops heartbeat their transient log file's mtime)."""
     import os
     import time
 
     from hyperspace_spark.metadata.entry import States
 
+    if stale_after_sec is None:
+        stale_after_sec = hs.conf().maintenance_stale_after_sec
     mgr = hs._log_mgr(name, hs.conf())
     latest = mgr.get_latest_log()
     if latest is None or latest.state in States.STABLE:

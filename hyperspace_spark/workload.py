@@ -140,24 +140,42 @@ class Workspace:
         # can never repair (e.g. a Delta v0 without its v1 append).  The
         # marker is written only after EVERYTHING succeeded and embeds a
         # source fingerprint; anything else wipes and rebuilds.
+        #
+        # The whole check-wipe-rebuild sequence runs under an exclusive
+        # flock: /tmp is shared, and two concurrent processes of the same
+        # user on the same sf_dir (parallel pytest + bench) could
+        # otherwise rmtree the directory while the other is mid-build.
+        # The lockfile lives OUTSIDE self.root so the wipe can't delete
+        # the lock out from under us.
         marker = os.path.join(self.root, "_WORKSPACE_OK.json")
         fp = self._source_fingerprint()
-        if os.path.isdir(self.root) and os.listdir(self.root):
-            ok = False
+        lock_path = f"{self.root}.lock"
+        lock_f = open(lock_path, "a+")
+        try:
             try:
-                with open(marker) as f:
-                    ok = _json.load(f).get("fp") == fp
-            except Exception:
+                import fcntl
+
+                fcntl.flock(lock_f.fileno(), fcntl.LOCK_EX)
+            except ImportError:  # non-POSIX: best-effort, prior behavior
+                pass
+            if os.path.isdir(self.root) and os.listdir(self.root):
                 ok = False
-            if not ok:
-                _shutil.rmtree(self.root, ignore_errors=True)
-        os.makedirs(self.root, exist_ok=True)
-        t0 = _time.perf_counter()
-        self._ensure_copies()
-        t1 = _time.perf_counter()
-        self._ensure_indexes()
-        with open(marker, "w") as f:
-            _json.dump({"fp": fp}, f)
+                try:
+                    with open(marker) as f:
+                        ok = _json.load(f).get("fp") == fp
+                except Exception:
+                    ok = False
+                if not ok:
+                    _shutil.rmtree(self.root, ignore_errors=True)
+            os.makedirs(self.root, exist_ok=True)
+            t0 = _time.perf_counter()
+            self._ensure_copies()
+            t1 = _time.perf_counter()
+            self._ensure_indexes()
+            with open(marker, "w") as f:
+                _json.dump({"fp": fp}, f)
+        finally:
+            lock_f.close()  # releases the flock
         # Staging (layout copies, the synthetic Delta table) is test-data
         # setup, not index-build work — report separately in bench.py.
         self.staging_sec = t1 - t0
