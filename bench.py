@@ -174,23 +174,60 @@ def main() -> None:
         timings[name] = min(timings[name], accel)
         speedups[name] = round(raw / timings[name], 2)
 
+    # Cold-build probe: full create_index cost from scratch (throwaway
+    # system path), vs. the warm log-reuse number above.  Runs AFTER the
+    # query timings so its page-cache churn can't skew them.
+    cold_build_sec = None
+    if os.environ.get("SPARK_GRAFT_COLD_PROBE", "1") == "1":
+        cold_build_sec = round(ws.cold_build_probe(), 3)
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "index_build_sec": round(build_sec, 3),
-                "data_staging_sec": round(staging_sec, 3),
-                "speedup_vs_unindexed": speedups,
-                "cpus": cpus,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "index_build_sec": round(build_sec, 3),
+        "index_build_cold_sec": cold_build_sec,
+        "data_staging_sec": round(staging_sec, 3),
+        "speedup_vs_unindexed": speedups,
+        "cpus": cpus,
+    }
+    # Full per-query payload to a file; stdout gets a COMPACT line.  The
+    # driver captures only the LAST ~2000 chars of stdout, and the full
+    # 66-query dict (~2.9 kB) front-truncates past the window — the r2-r4
+    # BENCH files all have parsed=null for exactly this reason.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+    compact_keys = [
+        "covering_filter_point",
+        "covering_filter_agg",
+        "join_cobucketed",
+        "dataskipping_minmax",
+        "zorder_filter_2d",
+        "hybrid_scan_append",
+        "hybrid_join_append",
+        "delta_filter_index",
+        "iceberg_filter_index",
+        "q1_pricing_summary",
+        "q18_large_volume_customer",
+        "dedup_minhash_lsh",
+        "streaming_tumbling_rollup",
+    ]
+    geomean = 1.0
+    for v in speedups.values():
+        geomean *= v
+    geomean = round(geomean ** (1.0 / max(1, len(speedups))), 2)
+    compact = dict(payload)
+    compact["queries"] = {k: timings[k] for k in compact_keys if k in timings}
+    compact["n_queries"] = len(timings)
+    compact["geomean_speedup"] = geomean
+    compact["full"] = "BENCH_FULL.json"
+    line = json.dumps(compact)
+    assert len(line) < 1900, f"bench JSON line too long for driver tail: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -17,6 +17,9 @@ __version__ = "0.1.0"
 _EXPORTS = {
     "HyperspaceConf": "hyperspace_spark.config",
     "Hyperspace": "hyperspace_spark.hyperspace",
+    "enable_hyperspace": "hyperspace_spark.hyperspace",
+    "disable_hyperspace": "hyperspace_spark.hyperspace",
+    "is_hyperspace_enabled": "hyperspace_spark.hyperspace",
     "CoveringIndexConfig": "hyperspace_spark.indexes.covering",
     "ZOrderCoveringIndexConfig": "hyperspace_spark.indexes.zorder",
     "DataSkippingIndexConfig": "hyperspace_spark.indexes.dataskipping",
@@ -40,6 +43,9 @@ def __getattr__(name):
 
 __all__ = [
     "Hyperspace",
+    "enable_hyperspace",
+    "disable_hyperspace",
+    "is_hyperspace_enabled",
     "HyperspaceConf",
     "CoveringIndexConfig",
     "ZOrderCoveringIndexConfig",

@@ -258,6 +258,57 @@ class Hyperspace:
     def sql(self, query: str) -> "DataFrame":
         return self.apply(self.spark.sql(query))
 
+    # ------------------------------------------------------------------
+    # session-level enable (reference: package.scala:40-93 /
+    # HyperspaceSparkSessionExtension.scala:44-69).  The reference injects
+    # an optimizer rule into the session's extensions so EVERY query is
+    # index-aware; a Python-side engine can't register Catalyst rules, so
+    # the equivalent ergonomic surface routes SparkSession.sql through
+    # apply() via an instance-attribute patch.  DataFrame-API queries
+    # still need explicit hs.apply(df) — documented divergence (SURVEY §7
+    # H1); SQL is the surface the reference's enableHyperspace() demo
+    # targets.
+    # ------------------------------------------------------------------
+    def enable(self) -> None:
+        """Route plain ``spark.sql(...)`` on this session through the
+        index planner.  Idempotent; re-enabling from a different
+        Hyperspace instance re-routes to that instance (latest wins).
+        The ``spark.hyperspace.apply.enabled`` conf kill switch still
+        short-circuits apply() per query."""
+        import threading
+
+        spark = self.spark
+        if getattr(spark, "_hs_original_sql", None) is None:
+            spark._hs_original_sql = spark.sql  # bound class method
+        orig = spark._hs_original_sql
+        hs = self
+        guard = threading.local()  # reentrancy: apply()'s own DDL
+
+        def routed_sql(query, *args, **kwargs):
+            df = orig(query, *args, **kwargs)
+            if getattr(guard, "active", False):
+                # Internal statement issued from inside apply()'s replay
+                # (e.g. bucketed-table re-registration DDL): planning it
+                # would be wasted work at best.
+                return df
+            guard.active = True
+            try:
+                return hs.apply(df)
+            finally:
+                guard.active = False
+
+        spark.sql = routed_sql
+
+    def disable(self) -> None:
+        """Restore stock ``spark.sql`` behavior (no-op if not enabled)."""
+        spark = self.spark
+        if getattr(spark, "_hs_original_sql", None) is not None:
+            spark.__dict__.pop("sql", None)  # un-shadow the class method
+            spark._hs_original_sql = None
+
+    def is_enabled(self) -> bool:
+        return getattr(self.spark, "_hs_original_sql", None) is not None
+
     def _apply_with_info(self, df: "DataFrame", reasons: Reasons | None = None):
         conf = self.conf()
         if not conf.apply_enabled:
@@ -1022,3 +1073,28 @@ def _instrument_lifecycle() -> None:
 
 
 _instrument_lifecycle()
+
+
+# ---------------------------------------------------------------------------
+# Session-level helpers mirroring the reference's implicit-class surface
+# (package.scala:40-93: spark.enableHyperspace() / disableHyperspace() /
+# isHyperspaceEnabled()).  Python has no implicits; these are plain
+# functions over the session.
+# ---------------------------------------------------------------------------
+def enable_hyperspace(spark, hs: "Hyperspace | None" = None) -> "Hyperspace":
+    """Route ``spark.sql`` through the index planner.  Returns the
+    Hyperspace instance doing the routing (a default-system-path instance
+    is created when ``hs`` is not given)."""
+    hs = hs or Hyperspace(spark)
+    hs.enable()
+    return hs
+
+
+def disable_hyperspace(spark) -> None:
+    if getattr(spark, "_hs_original_sql", None) is not None:
+        spark.__dict__.pop("sql", None)
+        spark._hs_original_sql = None
+
+
+def is_hyperspace_enabled(spark) -> bool:
+    return getattr(spark, "_hs_original_sql", None) is not None

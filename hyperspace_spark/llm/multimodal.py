@@ -59,10 +59,17 @@ def synthetic_media_df(spark: "SparkSession", n: int = 64, seed: str = "hs-media
 
 
 def _fake_features(data: bytes, dim: int = FEATURE_DIM) -> list[float]:
-    """Deterministic unit-norm feature vector from content bytes."""
+    """Deterministic unit-norm feature vector from content bytes.
+
+    Hashes the lowercase-hex TEXT of the payload (md5 of "<hex>-<j>"),
+    not the raw bytes: every step is then expressible in engines whose
+    md5 only takes VARCHAR (DuckDB), so the full feature VALUES are
+    cross-engine verifiable — see workload.multimodal_features_query's
+    oracle.  Same distribution/determinism as hashing bytes directly."""
+    hx = data.hex()
     out = []
     for j in range(dim):
-        d = hashlib.md5(data + bytes([j])).digest()
+        d = hashlib.md5(f"{hx}-{j}".encode()).digest()
         out.append(int.from_bytes(d[:4], "big") / float(1 << 32) - 0.5)
     norm = sum(x * x for x in out) ** 0.5 or 1.0
     return [float(x / norm) for x in out]

@@ -162,15 +162,20 @@ def spark_hash(value, dtype: str, seed: int = SEED, session_tz: str = "UTC") -> 
                         if tzinfo is None:
                             return None
                     value = value.replace(tzinfo=tzinfo)
-                    # DST spring-forward gap: Python resolves nonexistent
-                    # wall times with the pre-gap offset (PEP 495
-                    # fold=0), Java/Catalyst's ZonedDateTime.ofLocal
-                    # shifts them forward by the gap — the hashes would
-                    # diverge and prune a matching file.  Detect via the
-                    # UTC round-trip: only a nonexistent local time
-                    # changes its wall clock; skip pruning for those.
-                    # (Ambiguous fall-back times are fine: both sides
-                    # pick the earlier offset.)
+                    # DST spring-forward gap: a nonexistent wall time
+                    # resolves to the SAME instant on both sides —
+                    # Python PEP 495 fold=0 applies the pre-gap offset,
+                    # and Java's ZonedDateTime.ofLocal shifts the wall
+                    # clock forward by the gap then applies the post-gap
+                    # offset, which is instant-equivalent (verified:
+                    # 2026-03-08 02:30 America/New_York -> 07:30Z both
+                    # ways).  The round-trip check below is therefore
+                    # defense-in-depth, not a correctness requirement:
+                    # it costs two tz conversions on gap literals only
+                    # and shields against zoneinfo/JVM tzdata skew by
+                    # skipping pruning for any wall time the zone can't
+                    # represent.  (Ambiguous fall-back times are fine:
+                    # both sides pick the earlier offset.)
                     rt = value.astimezone(datetime.timezone.utc).astimezone(tzinfo)
                     if rt.replace(tzinfo=None) != value.replace(tzinfo=None):
                         return None

@@ -52,9 +52,10 @@ def ensure_stable(hs: "Hyperspace", name: str, stale_after_sec: float | None = N
 
     from hyperspace_spark.metadata.entry import States
 
+    conf = hs.conf()  # from_session re-reads every conf key: bind once
     if stale_after_sec is None:
-        stale_after_sec = hs.conf().maintenance_stale_after_sec
-    mgr = hs._log_mgr(name, hs.conf())
+        stale_after_sec = conf.maintenance_stale_after_sec
+    mgr = hs._log_mgr(name, conf)
     latest = mgr.get_latest_log()
     if latest is None or latest.state in States.STABLE:
         return

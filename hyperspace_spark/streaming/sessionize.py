@@ -28,6 +28,58 @@ SESSION_SCHEMA = (
 STATE_SCHEMA = "start long, last long, n int, total double"
 
 
+def _advance(
+    start: int,
+    last: int,
+    n: int,
+    total: float,
+    ts_ms: list,
+    vals: list,
+    gap_ms: int,
+) -> tuple:
+    """Pure session state machine for one sorted micro-batch of one key.
+
+    Input state (start, last, n, total) is the OPEN session (n == 0 means
+    no state existed: start/last seeded from the first event).  Returns
+    (new_state, closed) where closed is a list of (start, last, n, total)
+    sessions emitted by this batch.
+
+    Late events (t < start) are a sorted prefix of the batch.  They are
+    gap-clustered against EACH OTHER into runs — two late events within
+    gap of one another form ONE session, not two isolated ones; runs
+    other than the newest close immediately (nothing later can join
+    them), and the newest run bridges into the open session when within
+    gap of its start (session extends backwards and absorbs the run)."""
+    closed = []
+    i = 0
+    lrun = None  # open late run: [lstart, llast, ln, ltotal]
+    while i < len(ts_ms) and ts_ms[i] < start:
+        t, v = ts_ms[i], vals[i]
+        if lrun is None:
+            lrun = [t, t, 1, float(v)]
+        elif t - lrun[1] <= gap_ms:
+            lrun[1], lrun[2], lrun[3] = t, lrun[2] + 1, lrun[3] + float(v)
+        else:
+            closed.append(tuple(lrun))
+            lrun = [t, t, 1, float(v)]
+        i += 1
+    if lrun is not None:
+        if start - lrun[1] <= gap_ms:
+            start = lrun[0]
+            n += lrun[2]
+            total += lrun[3]
+        else:
+            closed.append(tuple(lrun))
+    for t, v in zip(ts_ms[i:], vals[i:]):
+        if t - last > gap_ms and n > 0:
+            closed.append((start, last, n, total))
+            start, n, total = t, 0, 0.0
+        last = max(last, t)
+        n += 1
+        total += float(v)
+    return (start, last, n, total), closed
+
+
 def sessionize(
     events: "DataFrame",
     gap_seconds: int = 1800,
@@ -42,12 +94,13 @@ def sessionize(
     emits and the state clears.
 
     Late events admitted by the watermark but OLDER than the open
-    session's start are handled explicitly: within ``gap_seconds`` of
-    the start they extend the session backwards (start moves down);
-    farther out they emit immediately as their own single-event session
-    (no future event can join them — anything later is newer).  The
-    previous behavior glued them onto the current session regardless of
-    gap, corrupting session boundaries and totals.
+    session's start are handled explicitly: the sorted late prefix is
+    gap-clustered against EACH OTHER into runs (two late events within
+    ``gap_seconds`` of one another form one session, not two); runs
+    other than the newest emit immediately as closed sessions (no future
+    event can join them — anything later is newer), and the newest run
+    bridges into the open session when within ``gap_seconds`` of its
+    start (the session extends backwards and absorbs the run).
 
     Output/state schemas are DERIVED from the input: the key column
     keeps its name and type; the value column must be numeric.
@@ -95,26 +148,14 @@ def sessionize(
         rows = pd.concat(list(pdfs)).sort_values(ts_col)
         ts_ms = (rows[ts_col].astype("int64") // 1_000_000).tolist()
         vals = rows[value_col].tolist()
-        out = []
         if state.exists:
             start, last, n, total = state.get
         else:
             start, last, n, total = ts_ms[0], ts_ms[0], 0, 0.0
-        for t, v in zip(ts_ms, vals):
-            if t < start:
-                # Cross-batch late event older than the open session.
-                if start - t <= gap_ms:
-                    start = t  # within gap: session extends backwards
-                else:
-                    # Isolated: emit as its own closed session now.
-                    out.append((user_id, t, t, 1, float(v)))
-                    continue
-            elif t - last > gap_ms and n > 0:
-                out.append((user_id, start, last, n, total))
-                start, n, total = t, 0, 0.0
-            last = max(last, t)
-            n += 1
-            total += float(v)
+        (start, last, n, total), closed = _advance(
+            start, last, n, total, ts_ms, vals, gap_ms
+        )
+        out = [(user_id, s, e, c, v) for s, e, c, v in closed]
         state.update((start, last, n, total))
         state.setTimeoutTimestamp(last + gap_ms)
         if out:

@@ -156,7 +156,10 @@ class Workspace:
                 import fcntl
 
                 fcntl.flock(lock_f.fileno(), fcntl.LOCK_EX)
-            except ImportError:  # non-POSIX: best-effort, prior behavior
+            except (ImportError, OSError):
+                # non-POSIX (no fcntl) or a filesystem without flock
+                # support (some network mounts): best-effort, prior
+                # lock-free behavior.
                 pass
             if os.path.isdir(self.root) and os.listdir(self.root):
                 ok = False
@@ -462,6 +465,34 @@ class Workspace:
         if delta_files and not existing:
             for i, f in enumerate(sorted(delta_files)):
                 shutil.copy(f, f"{self.orders_app}/hs_delta_{i}.parquet")
+
+
+    def cold_build_probe(self) -> float:
+        """Build the FULL index set from scratch into a throwaway system
+        path and return the wall seconds — the cold `create_index` cost a
+        new deployment pays, vs. the warm log-reuse number `ensure()`
+        reports when the workspace already exists.  The probe reuses the
+        staged sources (staging is test-data setup, not index work) and
+        is deleted afterwards; build-time catalog table names collide
+        with the real workspace's but are harmless — the query path
+        re-registers location-keyed names (covering.ensure_bucketed_table)."""
+        import shutil as _shutil
+        import time as _time
+
+        from hyperspace_spark import Hyperspace
+
+        probe_path = f"{self.root}/indexes_coldprobe"
+        _shutil.rmtree(probe_path, ignore_errors=True)
+        real_hs = self.hs
+        self.hs = Hyperspace(self.spark, system_path=probe_path)
+        try:
+            t0 = _time.perf_counter()
+            self._ensure_indexes()
+            sec = _time.perf_counter() - t0
+        finally:
+            self.hs = real_hs
+            _shutil.rmtree(probe_path, ignore_errors=True)
+        return sec
 
 
 _WS_CACHE: dict[tuple[int, str], Workspace] = {}
@@ -1653,6 +1684,40 @@ def salted_skew_agg(spark, sf_dir):
 
 
 @q(
+    "salted_join_orders",
+    """
+    SELECT o_orderpriority, count(*) AS n, round(sum(l_quantity), 2) AS sq
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def salted_join_orders(spark, sf_dir):
+    """Skew-resistant salted join (scale.salted_join) in the driver
+    contract: the big side (lineitem) is salted over 8 buckets and the
+    small side (orders key+priority slice) replicated per salt, so no
+    single hot join key can own a reducer.  Result provably identical to
+    the plain equi-join — here checked against the plain-SQL oracle.
+    AQE may still broadcast the small side at test scale; the salting is
+    semantics-neutral either way, which is exactly what the oracle pins."""
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.scale import salted_join
+
+    _conf(spark)
+    j = salted_join(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        "l_orderkey",
+        "o_orderkey",
+        salt_buckets=8,
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sq"),
+    )
+
+
+@q(
     "anti_join_customers",
     """
     SELECT c_custkey, c_name FROM customer
@@ -2328,11 +2393,40 @@ def multimodal_resize_query(spark, sf_dir):
     )
 
 
-@q("multimodal_features", None)  # decoded feature values (stubbed codec) -> rows-only
+@q(
+    "multimodal_features",
+    """
+    WITH d AS (
+      SELECT i AS media_id,
+             CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             CAST(32 * (4 + i % 5) AS BIGINT) AS n_bytes,
+             repeat(sha256('hs-media-' || i), CAST(4 + i % 5 AS INT)) AS hx
+      FROM range(48) t(i)
+    ), raw AS (
+      SELECT media_id, kind, n_bytes, CAST(j AS INT) AS dim_idx,
+             ('0x' || substr(md5(hx || '-' || j), 1, 8))::BIGINT / 4294967296.0 - 0.5 AS f
+      FROM d, range(16) r(j)
+    ), normed AS (
+      SELECT media_id, kind, n_bytes, dim_idx,
+             f / sqrt(sum(f * f) OVER (PARTITION BY media_id)) AS u
+      FROM raw
+    )
+    SELECT media_id, kind, n_bytes, dim_idx,
+           round(CAST(CAST(u AS REAL) AS DOUBLE), 5) AS feature
+    FROM normed
+    """,
+)
 def multimodal_features_query(spark, sf_dir):
-    """Feature vectors exploded to (media_id, dim_idx, feature) scalars:
-    the driver's canonicalizer sorts/hashes column values, and a raw
-    array<float> column is unhashable (r1 harness error)."""
+    """Feature vectors exploded to (media_id, dim_idx, feature) scalars —
+    arrays are unhashable by the driver's canonicalizer (r1 harness error).
+
+    Fully oracle-checked since r5: _fake_features hashes the payload's
+    lowercase-hex text (md5 of "<hex>-<j>", float64 math, unit-norm,
+    float32 storage), every step of which DuckDB reproduces — the hex of
+    the synthetic payload is repeat(sha256_hex, 4+i%5), and the stored
+    float32 value is pinned on both sides by casting through REAL before
+    the 5-decimal round (the cast absorbs sub-ulp float64 summation-order
+    differences in the norm)."""
     from pyspark.sql import functions as F
 
     from hyperspace_spark.llm import multimodal
@@ -2344,7 +2438,7 @@ def multimodal_features_query(spark, sf_dir):
         "kind",
         "n_bytes",
         F.posexplode("features").alias("dim_idx", "feature"),
-    ).withColumn("feature", F.round("feature", 5))
+    ).withColumn("feature", F.round(F.col("feature").cast("double"), 5))
 
 
 # --- PII detection / redaction (llm.pii) -----------------------------------
@@ -2763,35 +2857,43 @@ def session_window_events(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Contract ordering: the driver's correctness run verifies the FIRST ~50
 # queries() entries, so registration order is verification priority.
-# Never-yet-verified entries (r2's unchecked tail + this round's new
-# queries) go first; the 12 TPC-H shapes pushed past the cap each carry
-# two rounds of green CORRECTNESS history (r1+r2) and a live local gate
-# (tests/test_entry_contract.py runs ALL of them every session).
+# Rotation policy (per round): (1) entries whose last green row is OLDEST
+# lead, (2) new/changed entries next, (3) the always-on core (index
+# acceleration + LLM pipeline — the headline claims), (4) entries verified
+# LAST round ride that one-round-old evidence past the cap.  Every entry
+# also has a live local gate (tests/test_entry_contract.py runs ALL of
+# them every session).
+#
+# r5 window: the 20 entries whose last green row is r02 lead; the r04-green
+# batch-SQL/streaming/window tail rides r04 evidence and rotates back in r6.
 # ---------------------------------------------------------------------------
 _VERIFY_PRIORITY = [
-    # r2's unchecked tail
-    "session_window_events",
-    "streaming_tumbling_rollup",
-    "window_tumbling_events",
-    "window_sliding_events",
-    "pivot_linestatus",
-    "rollup_agg",
-    "exists_subquery",
-    "union_distinct",
-    # new this round
-    "pii_detect",
-    "multimodal_meta",
-    "multimodal_resize",
+    # last green row r02 — oldest first
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_region_revenue",
+    "q6_revenue_change",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_revenue",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "q21_waiting_supplier",
+    "q22_dormant_customers",
+    "anti_join_customers",
+    "scalar_functions",
+    # new / newly-oracled this round
     "multimodal_features",
-    "ann_ivf_topk",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q20_excess_stock",
-    # oracle-type fixes to re-verify
-    "q12_priority_shipping",
-    "mixture_stratified_sample",
-    "split_train_val_test",
-    # index-accelerated core
+    "salted_join_orders",
+    "delta_time_travel_index",
+    # index-accelerated core (headline claims: verify every round)
     "covering_filter_point",
     "covering_filter_agg",
     "join_cobucketed",
@@ -2801,7 +2903,7 @@ _VERIFY_PRIORITY = [
     "iceberg_filter_index",
     "hybrid_join_append",
     "hybrid_scan_append",
-    # LLM pipeline
+    # LLM pipeline core
     "udtf_chunk_text",
     "text_stats",
     "lang_quality",
@@ -2816,7 +2918,26 @@ _VERIFY_PRIORITY = [
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "sample_hash_deterministic",
-    # batch SQL surface variety
+    "ann_ivf_topk",
+    "pii_detect",
+    "multimodal_meta",
+    "multimodal_resize",
+    # --- past the ~50 cap: all green in r04, rotate back into the window
+    # in r6 ---
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q20_excess_stock",
+    "q12_priority_shipping",
+    "session_window_events",
+    "streaming_tumbling_rollup",
+    "window_tumbling_events",
+    "window_sliding_events",
+    "pivot_linestatus",
+    "rollup_agg",
+    "exists_subquery",
+    "union_distinct",
+    "mixture_stratified_sample",
+    "split_train_val_test",
     "events_hourly_rollup",
     "window_top_orders",
     "grouping_sets_agg",
@@ -2825,15 +2946,6 @@ _VERIFY_PRIORITY = [
     "unpivot_measures",
     "cube_returnflag_status",
     "setop_intersect",
-    "anti_join_customers",
-    "scalar_functions",
-    # diverse TPC-H representatives
-    "q1_pricing_summary",
-    "q6_revenue_change",
-    "q9_product_profit",
-    "q14_promo_effect",
-    "q18_large_volume_customer",
-    "q21_waiting_supplier",
 ]
 
 

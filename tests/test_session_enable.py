@@ -1,0 +1,87 @@
+"""Session-level enable: plain ``spark.sql`` on an enabled session routes
+through the index planner (reference package.scala:40-93 ergonomics);
+disable restores stock behavior.  DataFrame-API queries still need
+explicit hs.apply() — documented divergence (no Catalyst rule injection
+from Python)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hyperspace_spark import (
+    CoveringIndexConfig,
+    Hyperspace,
+    disable_hyperspace,
+    enable_hyperspace,
+    is_hyperspace_enabled,
+)
+
+
+@pytest.fixture
+def indexed(spark, tmp_path):
+    src = str(tmp_path / "src")
+    spark.range(0, 2000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).alias("g"),
+        (F.col("id") * 2.5).alias("v"),
+    ).repartition(4).write.parquet(src)
+    hs = Hyperspace(spark, system_path=str(tmp_path / "idx"))
+    hs.create_index(
+        spark.read.parquet(src),
+        CoveringIndexConfig("sess_idx", ["g"], ["k", "v"], num_buckets=4),
+    )
+    yield hs, src
+    hs.disable()
+
+
+def test_enable_routes_spark_sql(indexed, spark, tmp_path):
+    hs, src = indexed
+    spark.read.parquet(src).createOrReplaceTempView("sess_t")
+    q = "SELECT k, v FROM sess_t WHERE g = 13"
+    baseline = sorted(map(tuple, spark.sql(q).collect()))
+
+    assert not is_hyperspace_enabled(spark)
+    hs.enable()
+    assert is_hyperspace_enabled(spark)
+    df = spark.sql(q)
+    # The index's lineage column only exists in index data, so its
+    # presence in the scan relation proves the rewrite (FileScan location
+    # strings truncate long /tmp paths, so don't grep for the path).
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "_data_file_id" in plan, plan
+    assert sorted(map(tuple, df.collect())) == baseline
+
+    # conf kill switch still wins over enable()
+    spark.conf.set("spark.hyperspace.apply.enabled", "false")
+    try:
+        plan_off = spark.sql(q)._jdf.queryExecution().optimizedPlan().toString()
+        assert "_data_file_id" not in plan_off
+    finally:
+        spark.conf.set("spark.hyperspace.apply.enabled", "true")
+
+    hs.disable()
+    assert not is_hyperspace_enabled(spark)
+    plan2 = spark.sql(q)._jdf.queryExecution().optimizedPlan().toString()
+    assert "_data_file_id" not in plan2
+    # restored to the CLASS method, not a wrapper
+    assert "sql" not in spark.__dict__
+
+
+def test_enable_idempotent_and_nonquery_sql(indexed, spark):
+    hs, src = indexed
+    hs.enable()
+    hs.enable()  # no stacking: still one level of routing
+    # DDL/commands through routed sql must not raise (apply falls back)
+    spark.sql("CREATE TABLE IF NOT EXISTS sess_ddl_probe (a INT) USING parquet")
+    spark.sql("DROP TABLE IF EXISTS sess_ddl_probe")
+    hs.disable()
+    hs.disable()  # double disable is a no-op
+
+
+def test_module_level_helpers(indexed, spark, tmp_path):
+    hs, src = indexed
+    got = enable_hyperspace(spark, hs)
+    assert got is hs and is_hyperspace_enabled(spark)
+    disable_hyperspace(spark)
+    assert not is_hyperspace_enabled(spark)

@@ -136,24 +136,45 @@ def test_sessionize_string_key_and_late_isolated_event(spark, tmp_path):
 
 
 def test_sessionize_late_event_unit():
-    """Pure-logic check of the late-event branches via the state machine
-    (mirrors the loop in sessionize.fn)."""
+    """Pure-logic checks of the late-event branches via the extracted
+    state machine (sessionize._advance)."""
+    from hyperspace_spark.streaming.sessionize import _advance
+
     gap_ms = 1800 * 1000
-    start = last = 10_000_000
-    n, total = 3, 3.0
-    out = []
-    for t, v in [(start - gap_ms - 1, 9.0), (start - 60_000, 1.0)]:
-        if t < start:
-            if start - t <= gap_ms:
-                start = t
-            else:
-                out.append((t, t, 1, v))
-                continue
-        elif t - last > gap_ms and n > 0:
-            out.append((start, last, n, total))
-            start, n, total = t, 0, 0.0
-        last = max(last, t)
-        n += 1
-        total += float(v)
-    assert out == [(10_000_000 - gap_ms - 1,) * 2 + (1, 9.0)]
-    assert start == 10_000_000 - 60_000 and n == 4 and total == 4.0
+    S = 10_000_000
+
+    # Two late events within gap of EACH OTHER, the newer one within gap
+    # of the open session: the whole chain is ONE session — the run
+    # bridges backwards, nothing closes.  (Pre-r5 the older event was
+    # wrongly emitted as an isolated single-event session: the gap check
+    # only ever compared each late event against the session start.)
+    (start, last, n, total), closed = _advance(
+        S, S, 3, 3.0, [S - gap_ms - 1, S - 60_000], [9.0, 1.0], gap_ms
+    )
+    assert closed == []
+    assert (start, last, n, total) == (S - gap_ms - 1, S, 5, 13.0)
+
+    # Two late events within gap of each other but the run NOT within gap
+    # of the open session: one merged 2-event closed session (the r4
+    # defect emitted two isolated 1-event sessions here).
+    (start, last, n, total), closed = _advance(
+        S, S, 3, 3.0,
+        [S - 3 * gap_ms, S - 3 * gap_ms + 60_000], [9.0, 1.0], gap_ms,
+    )
+    assert closed == [(S - 3 * gap_ms, S - 3 * gap_ms + 60_000, 2, 10.0)]
+    assert (start, last, n, total) == (S, S, 3, 3.0)
+
+    # Two late RUNS separated by > gap: older run closes, newer bridges.
+    (start, last, n, total), closed = _advance(
+        S, S, 2, 2.0,
+        [S - 3 * gap_ms, S - gap_ms + 1, S - 60_000], [9.0, 4.0, 1.0], gap_ms,
+    )
+    assert closed == [(S - 3 * gap_ms, S - 3 * gap_ms, 1, 9.0)]
+    assert (start, last, n, total) == (S - gap_ms + 1, S, 4, 7.0)
+
+    # Forward path unchanged: a > gap jump closes the open session.
+    (start, last, n, total), closed = _advance(
+        S, S, 2, 2.0, [S + 2 * gap_ms], [5.0], gap_ms
+    )
+    assert closed == [(S, S, 2, 2.0)]
+    assert (start, last, n, total) == (S + 2 * gap_ms, S + 2 * gap_ms, 1, 5.0)
