@@ -123,6 +123,24 @@ class FileSystem:
     def file_sizes(self, paths: Iterable[str]) -> int:
         return sum(os.stat(_strip_scheme(p)).st_size for p in paths)
 
+    def link_or_copy(self, src: str, dst: str) -> None:
+        """Carry an immutable data file into a new index version directory
+        WITHOUT rewriting its bytes: hardlink where the filesystem supports
+        it (O(1) metadata — both version dirs then reference the same
+        inode, and vacuuming the old dir just drops one name), copy as the
+        fallback (cross-device, FAT, ...).  This is what makes per-bucket
+        optimize and append-only incremental refresh scale: at 100 TB the
+        retained gigabytes move between versions for free.  On HDFS the
+        equivalent O(1) primitive is FileContext rename-with-snapshot /
+        hardlink-less retention via multi-dir content lists; the Hadoop
+        subclass below conservatively copies."""
+        s, d = _strip_scheme(src), _strip_scheme(dst)
+        os.makedirs(os.path.dirname(d), exist_ok=True)
+        try:
+            os.link(s, d)
+        except OSError:
+            shutil.copy2(s, d)
+
 
 class HadoopFileSystem(FileSystem):
     """Remote filesystems (hdfs://, s3a://, abfss://...) through the JVM.
@@ -227,6 +245,15 @@ class HadoopFileSystem(FileSystem):
 
     def file_sizes(self, paths: Iterable[str]) -> int:
         return sum(self._fs.getFileStatus(self._p(p)).getLen() for p in paths)
+
+    def link_or_copy(self, src: str, dst: str) -> None:
+        # No hardlinks on HDFS/object stores: server-side copy (S3 COPY,
+        # HDFS FileUtil.copy) is the conservative equivalent.  Callers
+        # treating this as free should note it is O(bytes) here.
+        FileUtil = self._jvm.org.apache.hadoop.fs.FileUtil
+        FileUtil.copy(
+            self._fs, self._p(src), self._fs, self._p(dst), False, False, self._conf
+        )
 
 
 def filesystem_for(path: str, spark: "SparkSession | None" = None) -> FileSystem:

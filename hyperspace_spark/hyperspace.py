@@ -514,11 +514,23 @@ class Hyperspace:
             if deleted and not props.get("lineage", False):
                 raise HyperspaceException("cannot handle deleted files without lineage")
 
-            old = self.spark.read.parquet(*entry.index_data_dirs)
-            if deleted:
-                ids = [tracker.get(f) for f in deleted]
-                old = old.filter(~F.col(DATA_FILE_ID_COLUMN).isin([i for i in ids if i is not None]))
-            parts = [old]
+            # Append-only delta (the common 100 TB shape: new files land,
+            # nothing deleted): write ONLY the appended rows as additional
+            # bucket files and hardlink the existing index files into the
+            # new version dir — zero read or write amplification on the
+            # already-indexed data.  Multiple files per bucket are fine
+            # for Spark's bucketed scan (it groups by the bucket id in the
+            # file name); quick optimize later compacts the accumulation.
+            append_only = bool(appended) and not deleted
+            parts = []
+            if not append_only:
+                old = self.spark.read.parquet(*entry.index_data_dirs)
+                if deleted:
+                    ids = [tracker.get(f) for f in deleted]
+                    old = old.filter(
+                        ~F.col(DATA_FILE_ID_COLUMN).isin([i for i in ids if i is not None])
+                    )
+                parts = [old]
             if appended:
                 appended = [FileInfo(f.path, f.size, f.mtime, tracker.add_or_get(f)) for f in appended]
                 reader = self.spark.read.format(rel.file_format)
@@ -566,6 +578,11 @@ class Hyperspace:
                 tbl,
             )
             props["tableName"] = tbl
+            if append_only:
+                for f in entry.content_files:
+                    fs.link_or_copy(
+                        f.path, os.path.join(data_dir, f.path.rsplit("/", 1)[-1])
+                    )
             new_files = {f.key(): f for f in live}
             entry.relations[0].files = [
                 FileInfo(f.path, f.size, f.mtime, tracker.add_or_get(f)) for f in new_files.values()
@@ -608,9 +625,11 @@ class Hyperspace:
     # ------------------------------------------------------------------
     def optimize_index(self, name: str, mode: str = "quick") -> None:
         """Compact index data files (reference: actions/OptimizeAction.scala:57-148).
-        quick: no-op unless some data file is below the 256 MB threshold;
-        full: always rewrite.  The rewrite re-buckets from the existing
-        index data — no source scan."""
+        quick (CI): PER-BUCKET — only buckets with >1 sub-threshold file are
+        rewritten; every other file is hardlinked into the new version dir
+        untouched, so cost scales with the fragmentation, not the index.
+        quick (DS/Z): no-op unless some data file is below the threshold.
+        full: always rewrite everything.  Neither mode scans the source."""
         conf = self.conf()
         if mode not in ("quick", "full"):
             # Mirror refresh_index: a typo must not silently trigger the
@@ -636,8 +655,68 @@ class Hyperspace:
             from hyperspace_spark.indexes import covering as cov
 
             props = entry.derived_properties
-            df = self.spark.read.parquet(*entry.index_data_dirs)
             data_dir = mgr.data_dir(version)
+
+            if mode == "quick" and entry.derived_kind == "CI":
+                # Per-bucket compaction (reference OptimizeAction.scala:
+                # 96-114): rewrite ONLY buckets holding >1 sub-threshold
+                # file; every other file — the large ones that dominate a
+                # 100 TB index — is carried into the new version dir by an
+                # O(1) hardlink (fs.link_or_copy), never re-read or
+                # re-written.  Rows from bucket b re-hash to bucket b
+                # (same murmur3, same numBuckets), so a bucketBy write of
+                # just the small files' rows produces correctly-named
+                # replacement files for exactly the affected buckets.
+                by_bucket: dict[int, list[FileInfo]] = {}
+                parseable = True
+                for f in small:
+                    m = cov._BUCKET_FILE_RE.search(f.path.rsplit("/", 1)[-1])
+                    if m is None:
+                        parseable = False  # unexpected layout: never guess
+                        break
+                    by_bucket.setdefault(int(m.group(1)), []).append(f)
+                if parseable:
+                    to_compact = [
+                        f for fl in by_bucket.values() if len(fl) > 1 for f in fl
+                    ]
+                    if not to_compact:
+                        return entry  # every bucket already has ≤1 small file
+                    compact_set = {f.path for f in to_compact}
+                    retained = [
+                        f for f in entry.content_files if f.path not in compact_set
+                    ]
+                    from pyspark.sql.types import StructType
+                    import json as _json
+
+                    schema = StructType.fromJson(_json.loads(props["schemaJson"]))
+                    df = self.spark.read.schema(schema).parquet(
+                        *sorted(compact_set)
+                    )
+                    tbl = cov.table_name(name, version)
+                    cov.write_bucketed(
+                        self.spark,
+                        df,
+                        [cov.flattened_name(c) for c in props["indexedColumns"]],
+                        props["numBuckets"],
+                        data_dir,
+                        tbl,
+                    )
+                    props["tableName"] = tbl
+                    for f in retained:
+                        fs.link_or_copy(
+                            f.path,
+                            os.path.join(data_dir, f.path.rsplit("/", 1)[-1]),
+                        )
+                    entry.index_data_dirs = [data_dir]
+                    entry.data_version = version
+                    entry.content_files = [
+                        FileInfo(s.path, s.size, s.mtime)
+                        for s in fs.list_files_recursive(data_dir)
+                    ]
+                    return entry
+                # fall through: unparseable file names -> full rewrite
+
+            df = self.spark.read.parquet(*entry.index_data_dirs)
             if entry.derived_kind == "DS":
                 # Skipping index data is tiny (one row per source file):
                 # compact to a single file.

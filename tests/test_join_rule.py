@@ -177,3 +177,45 @@ def test_join_mixed_case_condition_accelerates(spark, hs):
     fast, used = hs._apply_with_info(q)
     assert sorted(used) == ["li_ok", "o_ok"], hs.why_not(q)
     assert rows_equal(q, fast)
+
+
+def test_join_no_shuffle_after_incremental_refresh(spark, tmp_path_factory):
+    """Append-only incremental refresh leaves MULTIPLE files per bucket
+    (delta files next to linked originals); the co-bucketed SMJ must stay
+    Exchange-free — Spark groups bucket files by the bucket id in the
+    file name, multi-file buckets included."""
+    base = tmp_path_factory.mktemp("join_inc")
+    li_d, o_d = str(base / "li"), str(base / "o")
+    table(spark, "lineitem").repartition(4).write.parquet(li_d)
+    table(spark, "orders").repartition(4).write.parquet(o_d)
+    hs = Hyperspace(spark, system_path=str(base / "idx"))
+    hs.create_index(
+        spark.read.parquet(li_d),
+        CoveringIndexConfig("li_inc", ["l_orderkey"], ["l_quantity"], num_buckets=8),
+    )
+    hs.create_index(
+        spark.read.parquet(o_d),
+        CoveringIndexConfig("o_inc", ["o_orderkey"], ["o_custkey"], num_buckets=8),
+    )
+    # append to BOTH sides, refresh incrementally -> fragmented buckets
+    table(spark, "lineitem").limit(300).coalesce(1).write.mode("append").parquet(li_d)
+    table(spark, "orders").limit(100).coalesce(1).write.mode("append").parquet(o_d)
+    hs.refresh_index("li_inc", "incremental")
+    hs.refresh_index("o_inc", "incremental")
+    e = hs._log_mgr("li_inc", hs.conf()).get_latest_stable_log()
+    assert len(e.content_files) > 8  # multi-file buckets, not a rewrite
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = spark.read.parquet(li_d).select("l_orderkey", "l_quantity")
+        o = spark.read.parquet(o_d).select("o_orderkey", "o_custkey")
+        q = li.join(o, li.l_orderkey == o.o_orderkey)
+        fast, used = hs._apply_with_info(q)
+        assert sorted(used) == ["li_inc", "o_inc"], hs.why_not(q)
+        fast.collect()
+        plan = physical(fast)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert rows_equal(q, fast)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")

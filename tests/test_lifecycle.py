@@ -267,3 +267,97 @@ def test_refresh_incremental_preserves_reader_options(spark, tmp_path):
     # no header-row garbage made it into the index
     allrows = hs.apply(df2.select("k", "v")).collect()
     assert len(allrows) == 80 and all(isinstance(r.k, int) for r in allrows)
+
+
+def test_incremental_refresh_appends_only_new_bucket_files(spark, hs, mutable_src, tmp_path):
+    """Append-only incremental refresh must NOT rewrite the existing index:
+    every pre-refresh data file is carried into the new version dir as a
+    hardlink (same inode — zero bytes moved), and only the appended rows
+    land as additional per-bucket files."""
+    hs.create_index(
+        spark.read.parquet(mutable_src),
+        CoveringIndexConfig("inc_idx", ["o_custkey"], ["o_orderkey", "o_totalprice"], num_buckets=4),
+    )
+    e0 = hs._log_mgr("inc_idx", hs.conf()).get_latest_stable_log()
+    before_paths = {f.path.rsplit("/", 1)[-1]: os.stat(f.path).st_ino for f in e0.content_files}
+
+    _append_files(spark, mutable_src)
+    hs.refresh_index("inc_idx", "incremental")
+
+    e1 = hs._log_mgr("inc_idx", hs.conf()).get_latest_stable_log()
+    after = {f.path.rsplit("/", 1)[-1]: f for f in e1.content_files}
+    # every old file is present by NAME in the new version, same inode
+    for name, ino in before_paths.items():
+        assert name in after, f"{name} dropped by append-only refresh"
+        assert os.stat(after[name].path).st_ino == ino, "old file was rewritten, not linked"
+    # and new delta files exist on top
+    assert len(e1.content_files) > len(e0.content_files)
+
+    # acceleration + correctness against live source
+    q = q_of(spark, mutable_src)
+    fast, used = hs._apply_with_info(q)
+    assert used == ["inc_idx"], hs.why_not(q)
+    assert rows_equal(q, fast)
+
+
+def test_optimize_quick_per_bucket(spark, hs, mutable_src):
+    """Quick optimize compacts ONLY buckets with >1 sub-threshold file;
+    files at/above the threshold are hardlinked through untouched."""
+    from collections import Counter
+
+    from hyperspace_spark.indexes.covering import _BUCKET_FILE_RE
+
+    hs.create_index(
+        spark.read.parquet(mutable_src),
+        CoveringIndexConfig("pb_idx", ["o_custkey"], ["o_orderkey", "o_totalprice"], num_buckets=4),
+    )
+    # two append-only incremental refreshes -> each bucket accumulates
+    # small delta files next to its original (larger) file
+    for _ in range(2):
+        _append_files(spark, mutable_src)
+        hs.refresh_index("pb_idx", "incremental")
+    e1 = hs._log_mgr("pb_idx", hs.conf()).get_latest_stable_log()
+    sizes = sorted(f.size for f in e1.content_files)
+    assert len(e1.content_files) >= 8  # 4 originals + >=4 deltas
+    # threshold between the delta files and the originals: the original
+    # per-bucket files are the 4 largest
+    threshold = sorted((f.size for f in e1.content_files), reverse=True)[3]
+    big = {f.path.rsplit("/", 1)[-1]: os.stat(f.path).st_ino
+           for f in e1.content_files if f.size >= threshold}
+    assert len(big) == 4
+
+    spark.conf.set("spark.hyperspace.index.optimize.fileSizeThreshold", str(threshold))
+    try:
+        hs.optimize_index("pb_idx", "quick")
+    finally:
+        spark.conf.unset("spark.hyperspace.index.optimize.fileSizeThreshold")
+
+    e2 = hs._log_mgr("pb_idx", hs.conf()).get_latest_stable_log()
+    after = {f.path.rsplit("/", 1)[-1]: f for f in e2.content_files}
+    # the 4 big files survive by name with the SAME inode (linked, not rewritten)
+    for name, ino in big.items():
+        assert name in after, f"big file {name} was rewritten by quick optimize"
+        assert os.stat(after[name].path).st_ino == ino
+    # each bucket now has at most 1 sub-threshold file
+    small_per_bucket = Counter()
+    for f in e2.content_files:
+        if f.size < threshold:
+            m = _BUCKET_FILE_RE.search(f.path.rsplit("/", 1)[-1])
+            small_per_bucket[int(m.group(1))] += 1
+    assert all(v <= 1 for v in small_per_bucket.values()), small_per_bucket
+
+    # results unchanged and still accelerated
+    q = q_of(spark, mutable_src)
+    fast, used = hs._apply_with_info(q)
+    assert used == ["pb_idx"], hs.why_not(q)
+    assert rows_equal(q, fast)
+
+    # idempotence: a second quick optimize finds nothing to compact and
+    # leaves the data version's file set unchanged
+    spark.conf.set("spark.hyperspace.index.optimize.fileSizeThreshold", str(threshold))
+    try:
+        hs.optimize_index("pb_idx", "quick")
+    finally:
+        spark.conf.unset("spark.hyperspace.index.optimize.fileSizeThreshold")
+    e3 = hs._log_mgr("pb_idx", hs.conf()).get_latest_stable_log()
+    assert {f.path for f in e3.content_files} == {f.path for f in e2.content_files}
