@@ -381,20 +381,58 @@ def minhash_signatures(
         if shingle_arrays is not None
         else doc_shingle_arrays(df, n, text_col, id_col)
     )
-    # Two-step select: _h is non-cheap and referenced num_hashes times,
-    # so CollapseProject keeps it as its own projection — each shingle
-    # is md5-hashed exactly once.
+    # Two-step select: _h is non-cheap and referenced by the signature
+    # UDF, so CollapseProject keeps it as its own projection — each
+    # shingle is md5-hashed exactly once (JVM-side, codegen).
     hashed = docs.select(
         "_id",
         F.transform(F.col("sh"), lambda s: shingle_hash_col(s) % F.lit(_MERSENNE)).alias("_h"),
     )
-    mh_cols = [
-        F.array_min(
-            F.transform(F.col("_h"), lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE))
-        ).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(_perm_params(num_hashes))
-    ]
-    return hashed.select(F.col("_id").alias(id_col), *mh_cols)
+    # The H permutations are ONE Arrow-batched numpy kernel, not H
+    # interpreted HOF passes: Catalyst evaluates transform() lambdas per
+    # element with no codegen, and H=64 such passes measured ~1.4 s for
+    # 5k docs at sf0.1 — the whole pipeline's dominant cost.  All values
+    # are < 2^31 (_MERSENNE = 2^31-1), so h*a+b < 2^63 is EXACT in
+    # uint64 — the kernel reproduces the JVM arithmetic bit-for-bit
+    # (asserted in tests), it is purely an execution-strategy change.
+    # The batch is flattened to one (total_shingles x H) matrix and
+    # segment-reduced, so per-row Python overhead is ~zero.
+    import numpy as np
+    import pandas as pd
+
+    params = _perm_params(num_hashes)
+    a_vec = np.array([a for a, _ in params], dtype=np.uint64)
+    b_vec = np.array([b for _, b in params], dtype=np.uint64)
+    mersenne = np.uint64(_MERSENNE)
+
+    # No type-hint inference: module-level `from __future__ import
+    # annotations` stringifies hints and `pd` is function-local, so the
+    # eval type is passed explicitly.
+    @F.pandas_udf("array<long>", F.PandasUDFType.SCALAR)
+    def _sig(h_col):
+        out: list = [None] * len(h_col)
+        arrs = []
+        idxs = []
+        for i, arr in enumerate(h_col):
+            if arr is not None and len(arr) > 0:
+                idxs.append(i)
+                arrs.append(np.asarray(arr, dtype=np.uint64))
+        if not arrs:
+            return pd.Series(out)
+        flat = np.concatenate(arrs)
+        big = (flat[:, None] * a_vec + b_vec) % mersenne
+        starts = np.zeros(len(arrs), dtype=np.int64)
+        np.cumsum([len(a) for a in arrs[:-1]], out=starts[1:])
+        minima = np.minimum.reduceat(big, starts, axis=0)
+        for row, i in enumerate(idxs):
+            out[i] = minima[row].astype(np.int64)
+        return pd.Series(out)
+
+    sig = hashed.select("_id", _sig(F.col("_h")).alias("_sig"))
+    return sig.select(
+        F.col("_id").alias(id_col),
+        *[F.element_at("_sig", i + 1).alias(f"mh_{i}") for i in range(num_hashes)],
+    )
 
 
 def minhash_lsh_pairs(
