@@ -76,6 +76,21 @@ class IndexLogManager:
                 return e
         return None
 
+    def stable_history(self) -> list[IndexLogEntry]:
+        """Every stable entry, newest first.  Old entries (and their
+        v__=N data dirs) are retained until vacuum_outdated — the pool
+        the planner's closest-version fallback selects from for
+        time-travel queries (reference: DeltaLakeRelation.scala:179-215)."""
+        latest = self.get_latest_id()
+        if latest is None:
+            return []
+        out = []
+        for log_id in range(latest, -1, -1):
+            e = self.get_log(log_id)
+            if e is not None and e.state in States.STABLE:
+                out.append(e)
+        return out
+
     # -- writes ----------------------------------------------------------
     def write_log(self, log_id: int, entry: IndexLogEntry) -> bool:
         entry.id = log_id

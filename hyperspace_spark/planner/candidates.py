@@ -12,7 +12,7 @@ from dataclasses import dataclass, field
 
 from hyperspace_spark.config import HyperspaceConf
 from hyperspace_spark.fs import FileSystem
-from hyperspace_spark.metadata.entry import FileInfo, IndexLogEntry
+from hyperspace_spark.metadata.entry import FileInfo, IndexLogEntry, States
 from hyperspace_spark.metadata.signature import file_based_signature
 from hyperspace_spark.planner import ir
 
@@ -101,9 +101,60 @@ def collect_candidates(
                 reasons.add(e.name, SOURCE_DATA_CHANGED, "signature mismatch, hybrid scan off")
             continue
         cand = _hybrid_candidate(e, live, conf, reasons)
+        if cand is None and (scan.delta_root or scan.iceberg_root):
+            # Closest-version fallback (reference: DeltaLakeRelation.scala:
+            # 179-215 closestIndex): a time-travel query pinned to an old
+            # snapshot can diverge from the LATEST index version beyond the
+            # hybrid thresholds while an OLDER retained index version (log
+            # entries + v__=N dirs survive until vacuum_outdated) still
+            # matches it closely.  Only snapshot sources get this — plain
+            # file sources have one live state, so the latest entry is
+            # always the closest.  This path only runs after a threshold
+            # rejection, so the extra log reads are off the hot path.
+            cand = _closest_history_candidate(e, live, live_sig, conf, fs, reasons)
         if cand is not None:
             out.append(cand)
     return out
+
+
+def _closest_history_candidate(
+    latest_entry: IndexLogEntry,
+    live: list[FileInfo],
+    live_sig: str | None,
+    conf: HyperspaceConf,
+    fs: FileSystem,
+    reasons: Reasons | None,
+) -> Candidate | None:
+    """Best retained OLD version of this index for the queried snapshot:
+    exact signature match wins, else the highest-coverage entry inside
+    the hybrid thresholds.  Entries whose data dirs were vacuumed are
+    skipped."""
+    import os as _os
+
+    from hyperspace_spark.metadata.log_manager import IndexLogManager
+
+    mgr = IndexLogManager(_os.path.join(conf.system_path, latest_entry.name), fs)
+    best: Candidate | None = None
+    for old in mgr.stable_history():
+        if old.id == latest_entry.id or old.state != States.ACTIVE:
+            continue
+        if not old.index_data_dirs or not all(
+            fs.exists(d) for d in old.index_data_dirs
+        ):
+            continue  # vacuumed
+        if live_sig == old.signature:
+            total = sum(f.size for f in live)
+            return Candidate(entry=old, common_bytes=total, total_bytes=total)
+        cand = _hybrid_candidate(old, live, conf, None)
+        if cand is not None and (best is None or cand.coverage > best.coverage):
+            best = cand
+    if best is not None and reasons:
+        reasons.add(
+            latest_entry.name,
+            SOURCE_DATA_CHANGED,
+            f"latest version over hybrid thresholds; using retained log id {best.entry.id}",
+        )
+    return best
 
 
 def _referenced_columns(e: IndexLogEntry) -> set[str]:

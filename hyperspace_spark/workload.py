@@ -653,6 +653,40 @@ def delta_filter_index(spark, sf_dir):
 
 
 @q(
+    "delta_time_travel_index",
+    """
+    SELECT o_custkey, round(sum(o_totalprice), 2) AS sum_total, count(*) AS cnt
+    FROM orders
+    WHERE o_custkey BETWEEN 400 AND 500
+    GROUP BY o_custkey
+    """,
+)
+def delta_time_travel_index(spark, sf_dir):
+    """Time-travel query pinned to Delta v0, still index-accelerated: the
+    w_delta_cov index was built at v1, and the planner bridges the diff —
+    hybrid-delete compensation (lineage anti-filter over the v1-only
+    files) inside the thresholds, or a RETAINED older index version
+    beyond them (planner/candidates.py _closest_history_candidate,
+    reference DeltaLakeRelation.scala:179-215).  v0 of the staged table
+    is exactly the full orders table, which is the oracle."""
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.sources.delta import read_delta
+
+    ws = workspace(spark, sf_dir)
+    df = (
+        read_delta(spark, ws.delta_orders, version=0)
+        .filter("o_custkey BETWEEN 400 AND 500")
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+            F.count("*").alias("cnt"),
+        )
+    )
+    return ws.hs.apply(df)
+
+
+@q(
     "iceberg_filter_index",
     """
     SELECT o_custkey, round(sum(o_totalprice), 2) AS sum_total, count(*) AS cnt

@@ -254,3 +254,47 @@ def test_partitioned_encoded_paths_and_checkpoint_roundtrip(spark, tmp_path):
     # replay FROM the checkpoint reconstructs the same snapshot
     snap2 = DeltaLog(d).snapshot()
     assert snap2.adds == snap.adds and snap2.part_values == snap.part_values
+
+
+def test_closest_index_version_for_time_travel(spark, tmp_path):
+    """Version-history selection (reference DeltaLakeRelation.scala:179-215
+    closestIndex): when the LATEST index version diverges from a pinned
+    time-travel snapshot beyond the hybrid thresholds, a RETAINED older
+    index version that matches the snapshot exactly still accelerates."""
+    root = str(tmp_path / "ci_delta")
+    o = table(spark, "orders")
+    write_delta(o.filter("o_orderkey % 3 = 0"), root)   # v0: ~1/3
+    hs = Hyperspace(spark, system_path=str(tmp_path / "idx"))
+    hs.create_index(
+        read_delta(spark, root),
+        CoveringIndexConfig("d_ci", ["o_custkey"], ["o_orderkey"]),
+    )
+    # v1 doubles the table (~2/3 new bytes) and the index refreshes to it:
+    # the LATEST entry is now far beyond the 0.2 deleted-ratio threshold
+    # for a v0-pinned query.
+    write_delta(o.filter("o_orderkey % 3 != 0"), root)  # v1
+    hs.refresh_index("d_ci", "full")
+
+    q0 = read_delta(spark, root, version=0).filter("o_custkey < 300").select(
+        "o_orderkey", "o_custkey"
+    )
+    fast, used = hs._apply_with_info(q0)
+    assert used == ["d_ci"], hs.why_not(q0)
+    assert rows_equal(q0, fast)
+    # it used the RETAINED v0-built entry: exact match, no source-file
+    # union in the plan
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "ci_delta" not in plan  # no fallback union over the delta table files
+
+    # the latest snapshot keeps using the latest entry
+    q1 = read_delta(spark, root).filter("o_custkey < 300").select("o_orderkey", "o_custkey")
+    fast1, used1 = hs._apply_with_info(q1)
+    assert used1 == ["d_ci"], hs.why_not(q1)
+    assert rows_equal(q1, fast1)
+
+    # after vacuuming outdated versions the old entry's data is gone:
+    # the v0 query must fall back gracefully (no index, correct rows)
+    hs.vacuum_outdated_indexes("d_ci")
+    fast2, used2 = hs._apply_with_info(q0)
+    assert used2 == []
+    assert rows_equal(q0, fast2)
