@@ -18,13 +18,15 @@ Reference parity (index/sources/delta/DeltaLakeRelation.scala:40-215):
 - the source signature is (table path + version), so an unchanged
   version short-circuits candidate checks without any file listing;
 - time travel: `read_delta(spark, path, version=N)` pins the scan to an
-  older snapshot; the planner's hybrid-scan machinery then compensates
-  the diff between the indexed version and the queried version (files
-  added since N are excluded via the lineage anti-filter, files removed
-  since N are unioned back from a direct scan).  This replaces the
-  reference's `closestIndex` selection among retained index log versions
-  (DeltaLakeRelation.scala:179-215) — one active index version serves
-  every table version within the hybrid-scan thresholds.
+  older snapshot; the planner's hybrid-scan machinery compensates the
+  diff between the indexed version and the queried version (files added
+  since N are excluded via the lineage anti-filter, files removed since
+  N are unioned back from a direct scan).  Beyond the hybrid byte-ratio
+  thresholds, candidate collection falls back to the RETAINED older
+  index versions and picks the one closest to the queried snapshot —
+  the reference's `closestIndex` selection
+  (DeltaLakeRelation.scala:179-215; planner/candidates.py
+  `_closest_history_candidate`).
 
 Write support (`write_delta`, `remove_files`, `write_checkpoint`) covers
 what tests and local pipelines need — single-writer, protocol version
