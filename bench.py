@@ -132,6 +132,9 @@ def main() -> None:
         "dedup_keep_canonical",
         "salted_skew_agg",
         "unpivot_measures",
+        "salted_join_orders",
+        "delta_time_travel_index",
+        "sequence_packing",
     ]
 
 

@@ -1837,6 +1837,43 @@ def _duck_sw_hits(words: list[str]) -> str:
     return f"len(list_filter({_DUCK_TOKENS}, x -> x IN ({inlist})))"
 
 
+@q(
+    "sequence_packing",
+    """
+    WITH c AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+      FROM documents
+    ), o AS (
+      SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS off
+      FROM c
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(off // 512 AS BIGINT) AS pack_id,
+           CAST(off % 512 AS BIGINT) AS pack_offset
+    FROM o
+    """,
+)
+def sequence_packing_query(spark, sf_dir):
+    """Concat-and-chunk sequence packing (llm/packing.py): deterministic
+    md5 shard, within-shard doc-id order, token stream cut every 512
+    tokens.  The oracle replays the identical layout with SQL window
+    functions — placement is fully engine-portable (no RNG, no
+    partitioning dependence), which is the property that makes packed
+    pretraining data reproducible."""
+    from hyperspace_spark.llm.packing import pack_sequences
+
+    _conf(spark)
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), budget_tokens=512, shards=8
+    )
+
+
 def _text_stats_oracle() -> str:
     from hyperspace_spark.llm.text import STOPWORDS
 
@@ -2927,6 +2964,7 @@ _VERIFY_PRIORITY = [
     "multimodal_features",
     "salted_join_orders",
     "delta_time_travel_index",
+    "sequence_packing",
     # index-accelerated core (headline claims: verify every round)
     "covering_filter_point",
     "covering_filter_agg",

@@ -495,3 +495,50 @@ def test_ann_external_query_id_collides_with_corpus_id(spark, tmp_path):
     # nearest neighbor must be vec_id 0 itself at cosine ~1.
     got = hs.ann_search("annx", query_vectors={0: list(vec0)}, k=1, n_probe=4).collect()
     assert got and got[0].neighbor_id == 0 and got[0].cosine > 0.999, got
+
+
+def test_sequence_packing_invariants(spark):
+    """Concat-and-chunk layout invariants: offsets stay inside the budget,
+    within-shard placement is gapless (each doc starts where the previous
+    ended), and pack_stats shows every pack except a shard's LAST exactly
+    full."""
+    from hyperspace_spark.llm.packing import pack_sequences, pack_stats
+
+    docs = table(spark, "documents")
+    budget = 256
+    packed = pack_sequences(docs, budget_tokens=budget, shards=4)
+    rows = packed.collect()
+    assert len(rows) == docs.count()
+    assert all(0 <= r.pack_offset < budget for r in rows)
+
+    # gapless stream per shard, in doc_id order
+    by_shard = {}
+    for r in sorted(rows, key=lambda r: (r.shard, r.doc_id)):
+        expected = by_shard.get(r.shard, 0)
+        assert r.pack_id * budget + r.pack_offset == expected, r
+        by_shard[r.shard] = expected + r.n_tokens
+
+    # every non-last pack is exactly full; straddling tails credited
+    stats = pack_stats(packed, budget).collect()
+    last = {}
+    for s in stats:
+        last[s.shard] = max(last.get(s.shard, -1), s.pack_id)
+    for s in stats:
+        if s.pack_id < last[s.shard]:
+            assert s.tokens_in_pack == budget, s
+        else:
+            assert 0 < s.tokens_in_pack <= budget, s
+
+    # determinism: same placement on re-computation with different partitioning
+    again = pack_sequences(docs.repartition(7), budget_tokens=budget, shards=4)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
+def test_sequence_packing_rejects_bad_params(spark):
+    from hyperspace_spark.llm.packing import pack_sequences
+
+    docs = table(spark, "documents")
+    with pytest.raises(ValueError):
+        pack_sequences(docs, budget_tokens=0)
+    with pytest.raises(ValueError):
+        pack_sequences(docs, shards=0)
