@@ -530,29 +530,44 @@ def simhash(df: "DataFrame", bits: int = 60, text_col: str = "text", id_col: str
 
     hashes = F.transform(tokens(F.col(text_col)), lambda t: shingle_hash_col(t))
 
-    # One literal mask array + a single lambda, NOT `bits` separate
-    # shiftright/when expressions: the per-bit form made a ~60-branch
-    # expression evaluated per token whose interpretation dominated the
-    # stage (measured at sf0.1: 5.5 s -> 1.2 s cold, 1.8 s -> 1.1 s
-    # warm; signatures bit-identical).
-    masks = F.lit([1 << b for b in range(bits)])
+    # The per-token bit-sign reduction is ONE Arrow-batched numpy kernel
+    # (same rationale and uint-safety as minhash_signatures: Catalyst
+    # HOF lambdas are interpreted per element; history of this hot spot —
+    # 60 per-bit when-expressions 5.5 s -> mask-array aggregate 1.2 s ->
+    # this kernel).  Token hashes are < 2^60, shifts/sums are exact
+    # integer math, so the output is bit-identical to the expression
+    # form (asserted in tests/test_llm_ops.py).
+    import numpy as np
+    import pandas as pd
 
-    def signs(h):
-        return F.transform(masks, lambda m: F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1))
+    shifts = np.arange(bits, dtype=np.uint64)
+    weights = (np.uint64(1) << shifts).astype(np.int64)
 
-    bitcounts = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0), bits),
-        lambda acc, h: F.zip_with(acc, signs(h), lambda a, s: a + s),
+    @F.pandas_udf("long", F.PandasUDFType.SCALAR)
+    def _simhash(h_col):
+        out = np.zeros(len(h_col), dtype=np.int64)
+        arrs, idxs = [], []
+        for i, arr in enumerate(h_col):
+            if arr is not None and len(arr) > 0:
+                idxs.append(i)
+                arrs.append(np.asarray(arr, dtype=np.uint64))
+        if not arrs:
+            return pd.Series(out)
+        flat = np.concatenate(arrs)
+        # (T x bits) sign matrix in int8 (values ±1), segment-summed per doc
+        signs = (((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int8) << 1) - 1
+        starts = np.zeros(len(arrs), dtype=np.int64)
+        np.cumsum([len(a) for a in arrs[:-1]], out=starts[1:])
+        sums = np.add.reduceat(signs.astype(np.int32), starts, axis=0)
+        sims = ((sums > 0).astype(np.int64) * weights).sum(axis=1)
+        for row, i in enumerate(idxs):
+            out[i] = sims[row]
+        return pd.Series(out)
+
+    per_doc = ensure_min_parallelism(df.select(F.col(id_col), text_col)).select(
+        F.col(id_col), hashes.alias("_h")
     )
-    per_bit = ensure_min_parallelism(df.select(F.col(id_col), text_col)).select(
-        F.col(id_col), bitcounts.alias("_bc")
-    )
-    sim = None
-    for b in range(bits):
-        term = F.shiftleft((F.element_at(F.col("_bc"), b + 1) > 0).cast("long"), b)
-        sim = term if sim is None else sim + term
-    return per_bit.select(F.col(id_col), sim.alias("simhash"))
+    return per_doc.select(F.col(id_col), _simhash(F.col("_h")).alias("simhash"))
 
 
 def simhash_pairs(

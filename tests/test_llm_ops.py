@@ -542,3 +542,68 @@ def test_sequence_packing_rejects_bad_params(spark):
         pack_sequences(docs, budget_tokens=0)
     with pytest.raises(ValueError):
         pack_sequences(docs, shards=0)
+
+
+def test_simhash_kernel_matches_expression_form(spark):
+    """The Arrow numpy simhash kernel must be bit-identical to the
+    Catalyst expression form it replaced (exact integer math both ways)."""
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.llm import dedup
+
+    docs = table(spark, "documents").limit(100)
+    bits = 60
+    hashes = F.transform(dedup.tokens(F.col("text")), lambda t: dedup.shingle_hash_col(t))
+    masks = F.lit([1 << b for b in range(bits)])
+
+    def signs(h):
+        return F.transform(masks, lambda m: F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1))
+
+    bitcounts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(acc, signs(h), lambda a, s: a + s),
+    )
+    sim = None
+    for b in range(bits):
+        term = F.shiftleft((F.element_at(F.col("_bc"), b + 1) > 0).cast("long"), b)
+        sim = term if sim is None else sim + term
+    expr_form = {
+        r.doc_id: r.s
+        for r in docs.select(F.col("doc_id"), bitcounts.alias("_bc"))
+        .select("doc_id", sim.alias("s"))
+        .collect()
+    }
+    kernel = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    assert expr_form == kernel
+
+
+def test_minhash_kernel_matches_expression_form(spark):
+    """Same guarantee for the minhash permutation kernel."""
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.llm import dedup
+
+    docs = table(spark, "documents").limit(100)
+    sh = dedup.doc_shingle_arrays(docs, 3)
+    hashed = sh.select(
+        "_id",
+        F.transform(
+            F.col("sh"), lambda s: dedup.shingle_hash_col(s) % F.lit(dedup._MERSENNE)
+        ).alias("_h"),
+    )
+    old_cols = [
+        F.array_min(
+            F.transform(F.col("_h"), lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(dedup._MERSENNE))
+        ).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(dedup._perm_params(16))
+    ]
+    expr_form = {
+        r["_id"]: tuple(r[f"mh_{i}"] for i in range(16))
+        for r in hashed.select("_id", *old_cols).collect()
+    }
+    kernel = {
+        r["doc_id"]: tuple(r[f"mh_{i}"] for i in range(16))
+        for r in dedup.minhash_signatures(docs, 3, 16).collect()
+    }
+    assert expr_form == kernel
