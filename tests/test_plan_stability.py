@@ -33,6 +33,7 @@ SNAPSHOT_QUERIES = [
     "hybrid_join_append",
     "delta_filter_index",
     "iceberg_filter_index",
+    "delta_time_travel_index",
 ]
 
 
