@@ -154,3 +154,33 @@ def test_partitioned_table_roundtrip(spark, tmp_path):
         o.filter("o_orderkey % 97 = 0"), root, partition_by=["o_orderpriority"]
     )
     assert read_iceberg(spark, root).count() == o.count() + o.filter("o_orderkey % 97 = 0").count()
+
+
+def test_closest_index_version_for_time_travel(spark, tmp_path):
+    """Closest-version selection over Iceberg snapshots (shared code path
+    with Delta: planner/candidates.py _closest_history_candidate) — a
+    snapshot-pinned query beyond the hybrid thresholds uses a RETAINED
+    older index version that matches it exactly."""
+    root = str(tmp_path / "ci_iceberg")
+    o = table(spark, "orders")
+    s0 = write_iceberg(o.filter("o_orderkey % 3 = 0"), root)   # ~1/3
+    hs = Hyperspace(spark, system_path=str(tmp_path / "idx"))
+    hs.create_index(
+        read_iceberg(spark, root),
+        CoveringIndexConfig("i_ci", ["o_custkey"], ["o_orderkey"]),
+    )
+    s1 = write_iceberg(o.filter("o_orderkey % 3 != 0"), root)  # triples it
+    assert s1 != s0
+    hs.refresh_index("i_ci", "full")
+
+    q0 = read_iceberg(spark, root, snapshot_id=s0).filter("o_custkey < 300").select(
+        "o_orderkey", "o_custkey"
+    )
+    fast, used = hs._apply_with_info(q0)
+    assert used == ["i_ci"], hs.why_not(q0)
+    assert rows_equal(q0, fast)
+
+    q1 = read_iceberg(spark, root).filter("o_custkey < 300").select("o_orderkey", "o_custkey")
+    fast1, used1 = hs._apply_with_info(q1)
+    assert used1 == ["i_ci"], hs.why_not(q1)
+    assert rows_equal(q1, fast1)

@@ -178,3 +178,56 @@ def test_sessionize_late_event_unit():
     )
     assert closed == [(S, S, 2, 2.0)]
     assert (start, last, n, total) == (S + 2 * gap_ms, S + 2 * gap_ms, 1, 5.0)
+
+
+def test_streaming_ingest_dedup(spark, tmp_path):
+    """Duplicate keys and duplicate CONTENT arriving within the watermark
+    delay collapse to one row; distinct rows all pass."""
+    import os
+
+    src = str(tmp_path / "ingest_src")
+    os.makedirs(src)
+    base = 1_700_000_000
+    rows = [
+        (1, "hello  world", base),
+        (1, "hello  world", base + 5),      # same id: retry/replay
+        (2, "Hello world", base + 10),      # different id, same normalized text
+        (3, "something else", base + 20),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, epoch long").withColumn(
+        "event_ts", F.timestamp_seconds("epoch")
+    ).drop("epoch")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    from hyperspace_spark.streaming.dedup import dedup_stream, dedup_stream_by_content
+
+    stream = spark.readStream.schema("doc_id long, text string, event_ts timestamp").parquet(src)
+
+    out1 = str(tmp_path / "by_key")
+    q = (
+        dedup_stream(stream, ["doc_id"], delay="1 minute")
+        .writeStream.format("parquet")
+        .option("path", out1)
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    by_key = spark.read.parquet(out1)
+    assert by_key.count() == 3  # ids 1 (once), 2, 3
+    assert sorted(r.doc_id for r in by_key.collect()) == [1, 2, 3]
+
+    out2 = str(tmp_path / "by_content")
+    q2 = (
+        dedup_stream_by_content(stream, delay="1 minute")
+        .writeStream.format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    by_content = spark.read.parquet(out2)
+    # "hello  world" x2 and "Hello world" all share one fingerprint
+    assert by_content.count() == 2
+    assert "_hs_fp" not in by_content.columns
