@@ -135,6 +135,7 @@ def main() -> None:
         "salted_join_orders",
         "delta_time_travel_index",
         "sequence_packing",
+        "dedup_paragraph",
     ]
 
 

@@ -929,3 +929,59 @@ def contamination_check(
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
+
+
+def paragraph_dedup(
+    df: "DataFrame",
+    sep: str = "\n\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Paragraph-level exact dedup: split each document on ``sep``, keep
+    only the globally FIRST occurrence of every distinct paragraph
+    (ordered by (doc id, position) — deterministic, engine-portable),
+    and reassemble documents from their surviving paragraphs.
+
+    This is the within-corpus boilerplate killer used by web-scale
+    pretraining pipelines (headers, footers, nav blocks repeated across
+    pages): document-level dedup never catches them, paragraph-level
+    does.  Empty paragraphs are dropped; a document whose every
+    paragraph was seen before survives as an EMPTY string (row count is
+    preserved, lineage joins keep working).
+
+    Scale shape: explode -> one hash shuffle on the paragraph string for
+    the global first-occurrence window -> one shuffle back on the doc id
+    for reassembly.  No driver state; paragraph skew (one paragraph
+    repeated everywhere) lands on a single reducer only for the window's
+    rank, which is a count-like O(occurrences) pass.
+
+    Returns (id_col, text_col) with the deduplicated text."""
+    import re as _re
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    parts = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias("_pos", "_para"),
+    ).filter(F.col("_para") != "")
+    w = Window.partitionBy("_para").orderBy(id_col, "_pos")
+    kept = (
+        parts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_para"))),
+                lambda s: s["_para"],
+            ),
+        ).alias(text_col)
+    )
+    return (
+        df.select(id_col)
+        .join(reassembled, id_col, "left")
+        .select(F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
+    )

@@ -1838,6 +1838,38 @@ def _duck_sw_hits(words: list[str]) -> str:
 
 
 @q(
+    "dedup_paragraph",
+    """
+    WITH p AS (
+      SELECT doc_id, parts[i] AS para, i AS pos
+      FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents) d,
+           LATERAL (SELECT unnest(generate_series(1, len(d.parts))) AS i) g
+    ), kept AS (
+      SELECT doc_id, para, pos,
+             row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+      FROM p WHERE para <> ''
+    )
+    SELECT d.doc_id,
+           coalesce(string_agg(k.para, ' ' ORDER BY k.pos), '') AS text
+    FROM documents d LEFT JOIN (SELECT * FROM kept WHERE rn = 1) k USING (doc_id)
+    GROUP BY d.doc_id
+    """,
+)
+def dedup_paragraph_query(spark, sf_dir):
+    """Paragraph-level exact dedup (llm/dedup.py paragraph_dedup): keep
+    the globally first occurrence of every distinct paragraph, reassemble
+    docs from survivors.  The synthetic documents have no real paragraph
+    breaks, so the contract run uses the DEGENERATE single-space
+    separator (every word a 'paragraph') — maximal explode fan-out and
+    window pressure, verified value-for-value; real pipelines pass
+    sep='\\n\\n' (pytest covers that shape)."""
+    from hyperspace_spark.llm.dedup import paragraph_dedup
+
+    _conf(spark)
+    return paragraph_dedup(_t(spark, sf_dir, "documents"), sep=" ")
+
+
+@q(
     "sequence_packing",
     """
     WITH c AS (
@@ -2965,6 +2997,7 @@ _VERIFY_PRIORITY = [
     "salted_join_orders",
     "delta_time_travel_index",
     "sequence_packing",
+    "dedup_paragraph",
     # index-accelerated core (headline claims: verify every round)
     "covering_filter_point",
     "covering_filter_agg",

@@ -607,3 +607,30 @@ def test_minhash_kernel_matches_expression_form(spark):
         for r in dedup.minhash_signatures(docs, 3, 16).collect()
     }
     assert expr_form == kernel
+
+
+def test_paragraph_dedup_real_separator(spark):
+    """Boilerplate paragraphs repeated across docs are removed globally
+    (first occurrence wins); within-doc repeats dedup too; row count is
+    preserved, fully-duplicated docs become empty strings."""
+    from hyperspace_spark.llm.dedup import paragraph_dedup
+
+    rows = [
+        (1, "intro one\n\nshared footer\n\nbody A"),
+        (2, "body B\n\nshared footer"),            # footer seen in doc 1
+        (3, "shared footer"),                      # nothing left
+        (4, "dup para\n\ndup para\n\ntail"),       # within-doc repeat
+        (5, ""),                                   # empty stays empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in paragraph_dedup(df, sep="\n\n").collect()}
+    assert got == {
+        1: "intro one\n\nshared footer\n\nbody A",
+        2: "body B",
+        3: "",
+        4: "dup para\n\ntail",
+        5: "",
+    }
+    # determinism under different partitioning
+    again = {r.doc_id: r.text for r in paragraph_dedup(df.repartition(5), sep="\n\n").collect()}
+    assert again == got
