@@ -136,6 +136,7 @@ def main() -> None:
         "delta_time_travel_index",
         "sequence_packing",
         "dedup_paragraph",
+        "iceberg_time_travel_index",
     ]
 
 

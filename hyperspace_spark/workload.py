@@ -1838,6 +1838,38 @@ def _duck_sw_hits(words: list[str]) -> str:
 
 
 @q(
+    "iceberg_time_travel_index",
+    """
+    SELECT o_custkey, round(sum(o_totalprice), 2) AS sum_total, count(*) AS cnt
+    FROM orders
+    WHERE o_custkey BETWEEN 400 AND 500
+    GROUP BY o_custkey
+    """,
+)
+def iceberg_time_travel_index(spark, sf_dir):
+    """Snapshot-pinned Iceberg query, index-accelerated — the Iceberg
+    twin of delta_time_travel_index (shared closest-version machinery,
+    distinct snapshot/signature plumbing through the open table spec).
+    s0 of the staged table is exactly the full orders table = oracle."""
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.sources.iceberg import IcebergTable, read_iceberg
+
+    ws = workspace(spark, sf_dir)
+    s0 = IcebergTable(ws.iceberg_orders).snapshot_ids()[0]
+    df = (
+        read_iceberg(spark, ws.iceberg_orders, snapshot_id=s0)
+        .filter("o_custkey BETWEEN 400 AND 500")
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+            F.count("*").alias("cnt"),
+        )
+    )
+    return ws.hs.apply(df)
+
+
+@q(
     "dedup_paragraph",
     """
     WITH p AS (
@@ -2998,6 +3030,7 @@ _VERIFY_PRIORITY = [
     "delta_time_travel_index",
     "sequence_packing",
     "dedup_paragraph",
+    "iceberg_time_travel_index",
     # index-accelerated core (headline claims: verify every round)
     "covering_filter_point",
     "covering_filter_agg",
