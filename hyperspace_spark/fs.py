@@ -138,8 +138,25 @@ class FileSystem:
         os.makedirs(os.path.dirname(d), exist_ok=True)
         try:
             os.link(s, d)
-        except OSError:
-            shutil.copy2(s, d)
+        except OSError as exc:
+            # Copy only when linking genuinely can't work (cross-device,
+            # no-hardlink filesystem, link-count cap).  Anything else —
+            # notably FileExistsError from a version-dir collision — must
+            # stay loud: a silent copy-over-existing would mask the
+            # collision with O(bytes) I/O, and would diverge from the
+            # Hadoop override (FileUtil.copy overwrite=False throws).
+            import errno
+
+            if exc.errno in (
+                errno.EXDEV,
+                errno.EPERM,
+                errno.ENOTSUP,
+                errno.EMLINK,
+                errno.ENOSYS,
+            ):
+                shutil.copy2(s, d)
+            else:
+                raise
 
 
 class HadoopFileSystem(FileSystem):

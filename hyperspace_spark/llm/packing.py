@@ -60,10 +60,18 @@ def pack_sequences(
     if shards < 1:
         raise ValueError(f"shards must be >= 1, got {shards}")
 
+    # token_count(NULL) is NULL (or -1 under legacy sizeOfNull) — either
+    # would poison the cumsum and produce NULL/negative placements.  A
+    # NULL-text doc packs exactly like an empty one: 0 tokens, still
+    # placed (the docstring's lineage invariant).
+    n_tokens = F.greatest(
+        F.lit(0).cast("long"),
+        F.coalesce(token_count(F.col(text_col)).cast("long"), F.lit(0).cast("long")),
+    )
     with_counts = df.select(
         F.col(id_col),
         hash_bucket(F.col(id_col), shards).alias("shard"),
-        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        n_tokens.alias("n_tokens"),
     )
     w = (
         Window.partitionBy("shard")
@@ -78,7 +86,10 @@ def pack_sequences(
             id_col,
             "shard",
             "n_tokens",
-            (F.col("_off") / budget_tokens).cast("long").alias("pack_id"),
+            # SQL DIV: exact integral division — `/` on longs routes
+            # through double and goes wrong past 2^53 total tokens,
+            # breaking pack_id*budget+pack_offset == offset silently.
+            F.expr(f"_off DIV {int(budget_tokens)}").alias("pack_id"),
             (F.col("_off") % budget_tokens).alias("pack_offset"),
         )
     )
@@ -93,10 +104,13 @@ def pack_stats(packed: "DataFrame", budget_tokens: int) -> "DataFrame":
     for docs longer than the budget), then a group-by."""
     from pyspark.sql import functions as F
 
+    b = int(budget_tokens)
     doc_start = F.col("pack_id") * budget_tokens + F.col("pack_offset")
     doc_end = doc_start + F.col("n_tokens")  # exclusive
     last_pack = F.when(
-        F.col("n_tokens") > 0, ((doc_end - 1) / budget_tokens).cast("long")
+        F.col("n_tokens") > 0,
+        # integral DIV for the same 2^53 exactness reason as pack_sequences
+        F.expr(f"(pack_id * {b} + pack_offset + n_tokens - 1) DIV {b}"),
     ).otherwise(F.col("pack_id"))
     spanned = packed.select(
         "shard",

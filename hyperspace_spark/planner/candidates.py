@@ -96,25 +96,81 @@ def collect_candidates(
             total = sum(f.size for f in live)
             out.append(Candidate(entry=e, common_bytes=total, total_bytes=total))
             continue
+        # Closest-version fallback eligibility (reference:
+        # DeltaLakeRelation.scala:179-215 closestIndex): a time-travel
+        # query pinned to an old snapshot can diverge from the LATEST
+        # index version while an OLDER retained index version (log
+        # entries + v__=N dirs survive until vacuum_outdated) matches it
+        # better — exactly, or within the hybrid thresholds.  Only
+        # snapshot sources pinned AWAY from the current snapshot get the
+        # O(versions) index-log walk: a latest-snapshot query can never
+        # find a closer OLD version, so gating on pinnedness (one cached
+        # table-metadata read, _scan_is_pinned) keeps the walk off the
+        # steady-state planning path even when the index is badly stale.
+        pinned = (scan.delta_root or scan.iceberg_root) and _scan_is_pinned(
+            scan, live_sig
+        )
         if not conf.hybridscan_enabled:
-            if reasons:
-                reasons.add(e.name, SOURCE_DATA_CHANGED, "signature mismatch, hybrid scan off")
+            # An exact-signature retained version needs NO hybrid
+            # machinery, so it stays usable with hybrid scan off.
+            cand = None
+            if pinned:
+                cand = _closest_history_candidate(
+                    e, live, live_sig, conf, fs, reasons, exact_only=True
+                )
+            if cand is None:
+                if reasons:
+                    reasons.add(
+                        e.name, SOURCE_DATA_CHANGED, "signature mismatch, hybrid scan off"
+                    )
+                continue
+            out.append(cand)
             continue
         cand = _hybrid_candidate(e, live, conf, reasons)
-        if cand is None and (scan.delta_root or scan.iceberg_root):
-            # Closest-version fallback (reference: DeltaLakeRelation.scala:
-            # 179-215 closestIndex): a time-travel query pinned to an old
-            # snapshot can diverge from the LATEST index version beyond the
-            # hybrid thresholds while an OLDER retained index version (log
-            # entries + v__=N dirs survive until vacuum_outdated) still
-            # matches it closely.  Only snapshot sources get this — plain
-            # file sources have one live state, so the latest entry is
-            # always the closest.  This path only runs after a threshold
-            # rejection, so the extra log reads are off the hot path.
-            cand = _closest_history_candidate(e, live, live_sig, conf, fs, reasons)
+        if pinned and (cand is None or cand.coverage < 1.0):
+            # When the latest version already passes hybrid, only an
+            # EXACT old match (zero compensation) is worth preferring
+            # over it; when it was rejected, any in-threshold old
+            # version beats nothing.
+            hist = _closest_history_candidate(
+                e, live, live_sig, conf, fs, reasons, exact_only=cand is not None
+            )
+            if hist is not None and (cand is None or hist.coverage > cand.coverage):
+                cand = hist
         if cand is not None:
             out.append(cand)
     return out
+
+
+def _scan_is_pinned(scan: ir.Scan, live_sig: str | None) -> bool:
+    """True when a delta/iceberg scan reads a snapshot OTHER than the
+    table's current one (time travel).  One metadata read against the
+    already-cached log/metadata — the guard that keeps the O(versions)
+    index-log history walk off the plain latest-snapshot planning path."""
+    import hashlib
+
+    try:
+        from hyperspace_spark.sources.delta import strip_scheme
+
+        if scan.delta_root:
+            from hyperspace_spark.sources.delta import DeltaLog
+
+            root = strip_scheme(scan.delta_root)
+            cur = hashlib.md5(
+                f"delta:{root}@{DeltaLog(root).latest_version()}".encode()
+            ).hexdigest()
+        elif scan.iceberg_root:
+            from hyperspace_spark.sources.iceberg import IcebergTable
+
+            root = strip_scheme(scan.iceberg_root)
+            cur = hashlib.md5(
+                f"iceberg:{root}@{IcebergTable(root).current_snapshot_id()}".encode()
+            ).hexdigest()
+        else:
+            return False
+    except Exception:
+        return True  # can't tell -> keep the fallback reachable
+    return live_sig != cur
 
 
 def _closest_history_candidate(
@@ -124,11 +180,12 @@ def _closest_history_candidate(
     conf: HyperspaceConf,
     fs: FileSystem,
     reasons: Reasons | None,
+    exact_only: bool = False,
 ) -> Candidate | None:
     """Best retained OLD version of this index for the queried snapshot:
-    exact signature match wins, else the highest-coverage entry inside
-    the hybrid thresholds.  Entries whose data dirs were vacuumed are
-    skipped."""
+    exact signature match wins, else (unless ``exact_only``) the
+    highest-coverage entry inside the hybrid thresholds.  Entries whose
+    data dirs were vacuumed are skipped."""
     import os as _os
 
     from hyperspace_spark.metadata.log_manager import IndexLogManager
@@ -145,6 +202,8 @@ def _closest_history_candidate(
         if live_sig == old.signature:
             total = sum(f.size for f in live)
             return Candidate(entry=old, common_bytes=total, total_bytes=total)
+        if exact_only:
+            continue
         cand = _hybrid_candidate(old, live, conf, None)
         if cand is not None and (best is None or cand.coverage > best.coverage):
             best = cand

@@ -51,10 +51,23 @@ def dedup_stream_by_content(
 ) -> "DataFrame":
     """Content-keyed ingest dedup: identical text (after whitespace/case
     normalization) collapses regardless of id.  The fingerprint column
-    (``_hs_fp``) is dropped on the way out."""
+    (``_hs_fp``) is dropped on the way out.
+
+    NULL-text records (media-only / not-yet-fetched docs) are NOT
+    duplicates of each other: ``fingerprint(NULL)`` is NULL and
+    ``dropDuplicatesWithinWatermark`` treats NULL keys as equal, which
+    would silently collapse every such record within the delay window to
+    one — the same trap llm/dedup.py's exact_dedup documents.  They get
+    a per-row unique fingerprint instead, so they always pass through."""
     from pyspark.sql import functions as F
 
     from hyperspace_spark.llm.text import fingerprint
 
-    with_fp = df.withColumn("_hs_fp", fingerprint(F.col(text_col)))
+    with_fp = df.withColumn(
+        "_hs_fp",
+        F.coalesce(
+            fingerprint(F.col(text_col)),
+            F.concat(F.lit("__hs_null__:"), F.expr("uuid()")),
+        ),
+    )
     return dedup_stream(with_fp, ["_hs_fp"], ts_col, delay).drop("_hs_fp")

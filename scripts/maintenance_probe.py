@@ -7,9 +7,9 @@ r5 changed two maintenance paths:
 - optimize(quick) compacts per bucket (was: full index rewrite).
 
 This probe measures both against full refresh on the same table at two
-sizes (sf0.1 lineitem, and 4x that), appending a fixed ~1% delta.  If
+sizes (sf0.1 lineitem, and 10x that), appending a fixed ~1% delta.  If
 the fix holds, incremental wall time stays roughly FLAT as the table
-grows 4x (cost ~ delta + linking) while full refresh grows ~linearly.
+grows 10x (cost ~ delta + linking) while full refresh grows ~linearly.
 
 Run:  python scripts/maintenance_probe.py
 Output: one JSON line; prose summary belongs in SCALE.md.

@@ -298,3 +298,40 @@ def test_closest_index_version_for_time_travel(spark, tmp_path):
     fast2, used2 = hs._apply_with_info(q0)
     assert used2 == []
     assert rows_equal(q0, fast2)
+
+
+def test_closest_version_exact_match_with_hybrid_scan_off(spark, tmp_path):
+    """hybridscan.enabled=false disables COMPENSATION, not exact matches:
+    a time-travel query whose snapshot exactly matches a RETAINED old
+    index version still accelerates (no hybrid machinery needed), while
+    the in-threshold-but-inexact path stays off."""
+    root = str(tmp_path / "ho_delta")
+    o = table(spark, "orders")
+    write_delta(o.filter("o_orderkey % 3 = 0"), root)   # v0
+    hs = Hyperspace(spark, system_path=str(tmp_path / "idx"))
+    hs.create_index(
+        read_delta(spark, root),
+        CoveringIndexConfig("ho_ci", ["o_custkey"], ["o_orderkey"]),
+    )
+    write_delta(o.filter("o_orderkey % 3 != 0"), root)  # v1, index refreshes
+    hs.refresh_index("ho_ci", "full")
+
+    spark.conf.set("spark.hyperspace.index.hybridscan.enabled", "false")
+    try:
+        q0 = read_delta(spark, root, version=0).filter("o_custkey < 300").select(
+            "o_orderkey", "o_custkey"
+        )
+        fast, used = hs._apply_with_info(q0)
+        assert used == ["ho_ci"], hs.why_not(q0)
+        assert rows_equal(q0, fast)
+
+        # a slightly-diverged snapshot (v1 vs a v0-built latest... here:
+        # latest-snapshot query against the refreshed index) still works
+        q1 = read_delta(spark, root).filter("o_custkey < 300").select(
+            "o_orderkey", "o_custkey"
+        )
+        fast1, used1 = hs._apply_with_info(q1)
+        assert used1 == ["ho_ci"]
+        assert rows_equal(q1, fast1)
+    finally:
+        spark.conf.set("spark.hyperspace.index.hybridscan.enabled", "true")

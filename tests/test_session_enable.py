@@ -85,3 +85,34 @@ def test_module_level_helpers(indexed, spark, tmp_path):
     assert got is hs and is_hyperspace_enabled(spark)
     disable_hyperspace(spark)
     assert not is_hyperspace_enabled(spark)
+
+
+def test_disable_restores_third_party_sql_wrapper(indexed, spark):
+    """If another library instance-patched ``spark.sql`` BEFORE enable(),
+    disable() must reinstall that wrapper, not pop down to the bare class
+    method (which would silently uninstall the third party's hook)."""
+    hs, src = indexed
+    orig_cls_method = spark.sql
+    calls = []
+
+    def audit_sql(query, *a, **kw):
+        calls.append(query)
+        return orig_cls_method(query, *a, **kw)
+
+    spark.sql = audit_sql
+    try:
+        hs.enable()
+        assert hs.is_enabled()
+        spark.sql("SELECT 1").collect()
+        assert calls, "enable() must route through the saved wrapper"
+        hs.disable()
+        assert not hs.is_enabled()
+        assert spark.__dict__.get("sql") is audit_sql, (
+            "disable() must restore the pre-enable instance wrapper"
+        )
+        n = len(calls)
+        spark.sql("SELECT 2").collect()
+        assert len(calls) == n + 1
+    finally:
+        spark.__dict__.pop("sql", None)
+        spark._hs_original_sql = None

@@ -231,3 +231,48 @@ def test_streaming_ingest_dedup(spark, tmp_path):
     # "hello  world" x2 and "Hello world" all share one fingerprint
     assert by_content.count() == 2
     assert "_hs_fp" not in by_content.columns
+
+
+def test_ingest_dedup_null_text_passthrough(spark, tmp_path):
+    """NULL-text records are not duplicates of anything: content dedup
+    must pass them ALL through (fingerprint(NULL) is NULL and
+    dropDuplicatesWithinWatermark treats NULL keys as equal — without the
+    per-row fallback key they'd collapse to one)."""
+    import os
+
+    src = str(tmp_path / "null_src")
+    os.makedirs(src)
+    base = 1_700_000_000
+    rows = [
+        (10, None, base),
+        (11, None, base + 5),
+        (12, None, base + 9),
+        (13, "real text", base + 12),
+        (14, "real text", base + 15),  # genuine duplicate content
+    ]
+    df = (
+        spark.createDataFrame(rows, "doc_id long, text string, epoch long")
+        .withColumn("event_ts", F.timestamp_seconds("epoch"))
+        .drop("epoch")
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    from hyperspace_spark.streaming.dedup import dedup_stream_by_content
+
+    stream = spark.readStream.schema("doc_id long, text string, event_ts timestamp").parquet(src)
+    out = str(tmp_path / "null_out")
+    q = (
+        dedup_stream_by_content(stream, delay="1 minute")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "null_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    ids = sorted(r.doc_id for r in got.collect())
+    # all three NULL-text docs survive; the real duplicate still collapses
+    assert 10 in ids and 11 in ids and 12 in ids
+    assert len([i for i in ids if i >= 13]) == 1
+    assert got.count() == 4
