@@ -49,6 +49,11 @@ APPLY_CACHE_TTL_SEC = "spark.hyperspace.apply.cacheTtlSeconds"
 # (ConcurrentModificationError).  Long ops can also heartbeat-touch their
 # transient log file (metadata/log_manager.py heartbeat) to stay fresh.
 MAINTENANCE_STALE_AFTER_SEC = "spark.hyperspace.maintenance.staleAfterSeconds"
+# ANN incremental refresh: appended-bytes ratio above which assign-only
+# refresh (frozen centroids) falls back to a full refit.  Mirrors the
+# hybrid-scan appended-ratio philosophy: small appends ride the cheap
+# path, big drift forces the correct-but-expensive one.
+ANN_MAX_ASSIGN_RATIO = "spark.hyperspace.index.ann.maxAssignOnlyRatio"
 
 # Internal column names (reference: IndexConstants.scala:104, ResolverUtils.scala:86).
 DATA_FILE_ID_COLUMN = "_data_file_id"
@@ -88,6 +93,7 @@ class HyperspaceConf:
     cache_expiry_sec: int = 300
     apply_cache_ttl_sec: float = 10.0
     maintenance_stale_after_sec: float = 600.0
+    ann_max_assign_only_ratio: float = 0.3
 
     @staticmethod
     def from_session(spark: "SparkSession", system_path: str | None = None) -> "HyperspaceConf":
@@ -143,6 +149,7 @@ class HyperspaceConf:
             cache_expiry_sec=_int(CACHE_EXPIRY_SEC, "300"),
             apply_cache_ttl_sec=_float(APPLY_CACHE_TTL_SEC, "10"),
             maintenance_stale_after_sec=_float(MAINTENANCE_STALE_AFTER_SEC, "600"),
+            ann_max_assign_only_ratio=_float(ANN_MAX_ASSIGN_RATIO, "0.3"),
         )
 
     def resolve_num_buckets(self, source_bytes: int, default_parallelism: int) -> int:

@@ -300,11 +300,8 @@ class Hyperspace:
         spark.sql = routed_sql
 
     def disable(self) -> None:
-        """Restore stock ``spark.sql`` behavior (no-op if not enabled)."""
-        spark = self.spark
-        if getattr(spark, "_hs_original_sql", None) is not None:
-            spark.__dict__.pop("sql", None)  # un-shadow the class method
-            spark._hs_original_sql = None
+        """Restore the pre-enable ``spark.sql`` (no-op if not enabled)."""
+        _disable_session_sql(self.spark)
 
     def is_enabled(self) -> bool:
         return getattr(self.spark, "_hs_original_sql", None) is not None
@@ -367,10 +364,13 @@ class Hyperspace:
         # a DELETED index must not resurrect it.
         self._require_state(name, self.conf(), States.ACTIVE, "refreshIndex")
         latest = self._log_mgr(name, self.conf()).get_latest_stable_log()
-        if latest is not None and latest.derived_kind == "ANN" and mode != "full":
-            # IVF centroids must be refit over the whole corpus —
-            # assignment-only increments would freeze a stale quantizer.
-            mode = "full"
+        if latest is not None and latest.derived_kind == "ANN" and mode == "quick":
+            # Quick (metadata-only) refresh relies on query-time hybrid
+            # compensation, which ann_search doesn't do — the appended
+            # vectors would silently never be searchable.  Incremental IS
+            # supported (assign-only against frozen centroids, drift-
+            # guarded — see _refresh_incremental); quick promotes to it.
+            mode = "incremental"
         if mode == "full":
             self._refresh_full(name)
         elif mode == "incremental":
@@ -506,6 +506,75 @@ class Hyperspace:
                 # to a full re-cluster (documented divergence; the
                 # reference's z-order refresh is likewise rebuild-heavy).
                 raise _FallBackToFull()
+
+            if entry.derived_kind == "ANN":
+                # Assign-only IVF increment (standard FAISS/Milvus append
+                # path): new vectors join the FROZEN quantizer's clusters,
+                # only their rows are written, existing cluster files
+                # hardlink through.  Guarded: deletes (no source-file ->
+                # vector lineage) or appends beyond maxAssignOnlyRatio of
+                # the corpus force a full refit — a drifted quantizer
+                # degrades recall silently.
+                total_bytes = sum(f.size for f in live) or 1
+                app_bytes = sum(f.size for f in appended)
+                if deleted or app_bytes / total_bytes > conf.ann_max_assign_only_ratio:
+                    raise _FallBackToFull()
+                from hyperspace_spark.indexes.ann import assign_to_centroids
+
+                props = entry.derived_properties
+                appended = [
+                    FileInfo(f.path, f.size, f.mtime, tracker.add_or_get(f))
+                    for f in appended
+                ]
+                import json as _json
+
+                from pyspark.sql.types import StructType
+
+                reader = self.spark.read.format(rel.file_format)
+                if rel.data_schema_json:
+                    reader = reader.schema(
+                        StructType.fromJson(_json.loads(rel.data_schema_json))
+                    )
+                if rel.options:
+                    reader = reader.options(
+                        **{k: v for k, v in rel.options.items() if k != "path"}
+                    )
+                if rel.partition_columns:
+                    reader = reader.option("basePath", rel.root_paths[0])
+                new_df = reader.load([f.path for f in appended])
+                assigned = assign_to_centroids(
+                    new_df, props["centroids"], props["idCol"], props["vecCol"]
+                )
+                data_dir = mgr.data_dir(version)
+                assigned.write.partitionBy("cluster").mode("overwrite").parquet(data_dir)
+                # Hardlink the old cluster files into the new version,
+                # PRESERVING the cluster=N partition subpath (unlike the
+                # flat bucketed-CI layout).
+                old_base = entry.index_data_dirs[-1].rstrip("/")
+                for f in entry.content_files:
+                    rel_path = (
+                        f.path[len(old_base) + 1 :]
+                        if f.path.startswith(old_base + "/")
+                        else f.path.rsplit("/", 1)[-1]
+                    )
+                    fs.link_or_copy(f.path, os.path.join(data_dir, rel_path))
+                new_files = {f.key(): f for f in live}
+                entry.relations[0].files = [
+                    FileInfo(f.path, f.size, f.mtime, tracker.add_or_get(f))
+                    for f in new_files.values()
+                ]
+                entry.signature = _signature_of(
+                    _scan_of(entry.relations[0]), entry.relations[0].files
+                )
+                entry.index_data_dirs = [data_dir]
+                entry.data_version = version
+                entry.content_files = [
+                    FileInfo(s.path, s.size, s.mtime)
+                    for s in fs.list_files_recursive(data_dir)
+                ]
+                entry.appended_files = []
+                entry.deleted_files = []
+                return entry
             if entry.derived_kind != "CI":
                 raise HyperspaceException(
                     f"incremental refresh not supported for kind {entry.derived_kind}; use full"
@@ -628,6 +697,7 @@ class Hyperspace:
         quick (CI): PER-BUCKET — only buckets with >1 sub-threshold file are
         rewritten; every other file is hardlinked into the new version dir
         untouched, so cost scales with the fragmentation, not the index.
+        quick (ANN): PER-CLUSTER — same shape over the cluster=N layout.
         quick (DS/Z): no-op unless some data file is below the threshold.
         full: always rewrite everything.  Neither mode scans the source."""
         conf = self.conf()
@@ -635,16 +705,6 @@ class Hyperspace:
             # Mirror refresh_index: a typo must not silently trigger the
             # expensive full rewrite the quick guard exists to avoid.
             raise HyperspaceException(f"unknown optimize mode: {mode!r}")
-        entry0 = self._log_mgr(name, conf).get_latest_stable_log()
-        if entry0 is not None and entry0.derived_kind == "ANN":
-            # The z-order else-branch below would KeyError mid-transaction
-            # AND destroy the partitionBy(cluster) layout ann_search's
-            # partition pruning depends on.  Rejected cleanly BEFORE any
-            # transient log state is written.
-            raise HyperspaceException(
-                "optimize is not supported for ANN indexes; run a full "
-                "refresh to re-cluster"
-            )
         self._require_state(name, conf, States.ACTIVE, "optimizeIndex")
         fs = self._fs(conf)
 
@@ -656,6 +716,75 @@ class Hyperspace:
 
             props = entry.derived_properties
             data_dir = mgr.data_dir(version)
+
+            if entry.derived_kind == "ANN":
+                # Per-CLUSTER compaction — the ANN analog of per-bucket:
+                # assign-only incremental refreshes accumulate one small
+                # file per touched cluster per refresh; quick rewrites
+                # only clusters holding >1 sub-threshold file (the rest
+                # hardlink through with their cluster=N subpath), full
+                # rewrites everything to one file per cluster.  Rows never
+                # change cluster, so ann_search's partition pruning is
+                # preserved by construction.
+                import json as _json
+
+                from pyspark.sql.types import StructType
+
+                old_base = entry.index_data_dirs[-1].rstrip("/")
+                schema = StructType.fromJson(_json.loads(props["schemaJson"]))
+                by_cluster: dict[str, list[FileInfo]] | None = {}
+                for f in small:
+                    rel_path = (
+                        f.path[len(old_base) + 1 :]
+                        if f.path.startswith(old_base + "/")
+                        else ""
+                    )
+                    if "/" not in rel_path:
+                        by_cluster = None  # unexpected layout: never guess
+                        break
+                    by_cluster.setdefault(rel_path.split("/", 1)[0], []).append(f)
+                if mode == "quick" and by_cluster is not None:
+                    to_compact = [
+                        f for fl in by_cluster.values() if len(fl) > 1 for f in fl
+                    ]
+                    if not to_compact:
+                        return entry  # every cluster already has <=1 small file
+                    compact_set = {f.path for f in to_compact}
+                    retained = [
+                        f for f in entry.content_files if f.path not in compact_set
+                    ]
+                    df = (
+                        self.spark.read.schema(schema)
+                        .option("basePath", old_base)
+                        .parquet(*sorted(compact_set))
+                    )
+                    # sub-threshold files by definition: one task suffices
+                    df.coalesce(1).write.partitionBy("cluster").mode(
+                        "overwrite"
+                    ).parquet(data_dir)
+                    for f in retained:
+                        rel_path = (
+                            f.path[len(old_base) + 1 :]
+                            if f.path.startswith(old_base + "/")
+                            else f.path.rsplit("/", 1)[-1]
+                        )
+                        fs.link_or_copy(f.path, os.path.join(data_dir, rel_path))
+                else:
+                    df = (
+                        self.spark.read.schema(schema)
+                        .option("basePath", old_base)
+                        .parquet(*entry.index_data_dirs)
+                    )
+                    df.repartition("cluster").write.partitionBy("cluster").mode(
+                        "overwrite"
+                    ).parquet(data_dir)
+                entry.index_data_dirs = [data_dir]
+                entry.data_version = version
+                entry.content_files = [
+                    FileInfo(s.path, s.size, s.mtime)
+                    for s in fs.list_files_recursive(data_dir)
+                ]
+                return entry
 
             if mode == "quick" and entry.derived_kind == "CI":
                 # Per-bucket compaction (reference OptimizeAction.scala:
@@ -1169,10 +1298,26 @@ def enable_hyperspace(spark, hs: "Hyperspace | None" = None) -> "Hyperspace":
     return hs
 
 
+def _disable_session_sql(spark) -> None:
+    """Shared disable: put back exactly what enable() saved.  If some
+    OTHER library had instance-patched ``spark.sql`` before enable()
+    (query-audit wrappers etc.), the saved original is that wrapper —
+    restore it rather than popping down to the bare class method, which
+    would silently uninstall the third party's hook."""
+    saved = getattr(spark, "_hs_original_sql", None)
+    if saved is None:
+        return
+    if getattr(saved, "__func__", None) is type(spark).sql and getattr(
+        saved, "__self__", None
+    ) is spark:
+        spark.__dict__.pop("sql", None)  # was the bound class method: un-shadow
+    else:
+        spark.sql = saved  # was an instance-level wrapper: reinstall it
+    spark._hs_original_sql = None
+
+
 def disable_hyperspace(spark) -> None:
-    if getattr(spark, "_hs_original_sql", None) is not None:
-        spark.__dict__.pop("sql", None)
-        spark._hs_original_sql = None
+    _disable_session_sql(spark)
 
 
 def is_hyperspace_enabled(spark) -> bool:

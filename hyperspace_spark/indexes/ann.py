@@ -15,10 +15,16 @@ applied to an approximate-nearest-neighbor structure:
   scores with the JVM-side dot product.
 
 At 100 TB: the scan cost per query batch is `n_probe/k` of the corpus,
-the shuffle is one top-k window over the probed slice, and rebuilds are
-a full refresh (centroid refit); the round-1 `ivf_topk` recomputed
-KMeans per query, which is exactly what a persisted index exists to
-avoid.
+the shuffle is one top-k window over the probed slice, and maintenance
+follows the standard IVF split (FAISS/Milvus practice): APPEND-ONLY
+deltas refresh incrementally by assigning new vectors to the FROZEN
+centroids and writing only their rows (existing cluster files hardlink
+into the new version — zero rewrite of indexed data), while deletes or
+appends beyond `spark.hyperspace.index.ann.maxAssignOnlyRatio` of the
+corpus force a full refit — assignment against a badly drifted
+quantizer degrades recall silently, which is worse than paying for the
+rebuild.  The round-1 `ivf_topk` recomputed KMeans per query, which is
+exactly what a persisted index exists to avoid.
 """
 
 from __future__ import annotations
@@ -77,6 +83,40 @@ def create_index_data(
         "centroids": [list(map(float, c)) for c in km.clusterCenters()],
         "schemaJson": assigned.schema.json(),
     }
+
+
+def assign_to_centroids(
+    df: "DataFrame", centroids: list[list[float]], id_col: str, vec_col: str
+) -> "DataFrame":
+    """(vec_id, unit_vec, cluster) for new rows against FROZEN centroids —
+    the assign-only half of IVF incremental refresh.  One Arrow-batched
+    numpy matmul per batch (k x dim is metadata-scale, shipped as a
+    closure constant, no broadcast variable churn); nearest centroid by
+    dot product over unit vectors = same objective KMeans assigned with
+    at build time (its centers are refit means, so argmin euclidean —
+    ties broken identically via argmax of the dot on unit vectors)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.llm.similarity import unit_expr
+
+    cents = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+
+    @F.pandas_udf("int", F.PandasUDFType.SCALAR)
+    def _nearest(vecs):
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])  # (n, dim)
+        # unit vectors: argmin ||v - c||^2 == argmax(v.c - ||c||^2/2)
+        scores = m @ cents.T - 0.5 * (cents * cents).sum(axis=1)
+        return pd.Series(np.argmax(scores, axis=1).astype(np.int32))
+
+    feat = df.select(
+        F.col(id_col).alias("vec_id"),
+        unit_expr(F.col(vec_col).cast("array<double>")).alias("unit_vec"),
+    )
+    return feat.withColumn("cluster", _nearest(F.col("unit_vec")))
 
 
 def ann_search(

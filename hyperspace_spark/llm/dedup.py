@@ -545,10 +545,17 @@ def simhash(df: "DataFrame", bits: int = 60, text_col: str = "text", id_col: str
 
     @F.pandas_udf("long", F.PandasUDFType.SCALAR)
     def _simhash(h_col):
-        out = np.zeros(len(h_col), dtype=np.int64)
+        # NULL token array (NULL text) -> NULL simhash, matching the
+        # expression form: a 0 here would give every NULL-text doc the
+        # SAME valid signature and flag unrelated docs as near-dups.
+        # (Empty ARRAY -> 0, also matching; note empty TEXT never
+        # produces one — it tokenizes to a single empty-string token.)
+        out = pd.array(np.zeros(len(h_col), dtype=np.int64), dtype="Int64")
         arrs, idxs = [], []
         for i, arr in enumerate(h_col):
-            if arr is not None and len(arr) > 0:
+            if arr is None:
+                out[i] = pd.NA
+            elif len(arr) > 0:
                 idxs.append(i)
                 arrs.append(np.asarray(arr, dtype=np.uint64))
         if not arrs:
@@ -562,7 +569,7 @@ def simhash(df: "DataFrame", bits: int = 60, text_col: str = "text", id_col: str
         sims = ((sums > 0).astype(np.int64) * weights).sum(axis=1)
         for row, i in enumerate(idxs):
             out[i] = sims[row]
-        return pd.Series(out)
+        return pd.Series(out, dtype="Int64")
 
     per_doc = ensure_min_parallelism(df.select(F.col(id_col), text_col)).select(
         F.col(id_col), hashes.alias("_h")

@@ -80,7 +80,7 @@ def test_lifecycle_delete_restore_refresh(spark, hs, emb):
         hs.ann_search("ann_ivf", query_ids=[0])
     hs.restore_index("ann_ivf")
     assert hs.ann_search("ann_ivf", query_ids=[0], k=2).count() == 2
-    # incremental silently upgrades to full (centroid refit required)
+    # incremental with no source delta is a no-op refresh
     hs.refresh_index("ann_ivf", "incremental")
     assert hs.ann_search("ann_ivf", query_ids=[0], k=2).count() == 2
 
@@ -90,3 +90,105 @@ def test_explicit_query_vectors(spark, hs, emb):
     got = hs.ann_search("ann_ivf", query_vectors={999: list(vec)}, k=1, n_probe=8).collect()
     # nearest neighbor of vec_id 7's own vector is vec_id 7 itself
     assert got[0].neighbor_id == 7 and got[0].cosine == 1.0
+
+
+def test_incremental_assign_only_refresh(spark, emb, tmp_path):
+    """Append-only ANN incremental: new vectors assign to the FROZEN
+    centroids, only their rows are written, and every pre-existing
+    cluster file hardlinks into the new version (same inode, cluster=N
+    subpath preserved).  Searches then find the appended vectors."""
+    import os
+
+    src = str(tmp_path / "vec_src")
+    base = emb.filter("vec_id < 400")
+    extra = emb.filter("vec_id >= 400 and vec_id < 430")  # <30% by bytes
+    base.coalesce(1).write.parquet(src)
+
+    hs = Hyperspace(spark, system_path=str(tmp_path / "idx"))
+    hs.create_index(spark.read.parquet(src), IvfIndexConfig("inc_ivf", n_clusters=6))
+    e0 = next(e for e in hs._active_entries(hs.conf()) if e.name == "inc_ivf")
+    cents0 = e0.derived_properties["centroids"]
+    old_base = e0.index_data_dirs[-1].rstrip("/")
+    inodes0 = {
+        f.path[len(old_base) + 1 :]: os.stat(f.path).st_ino for f in e0.content_files
+    }
+
+    extra.coalesce(1).write.mode("append").parquet(src)
+    hs.refresh_index("inc_ivf", "incremental")
+
+    e1 = next(e for e in hs._active_entries(hs.conf()) if e.name == "inc_ivf")
+    assert e1.data_version > e0.data_version
+    # frozen quantizer: centroids byte-identical
+    assert e1.derived_properties["centroids"] == cents0
+    new_base = e1.index_data_dirs[-1].rstrip("/")
+    after = {f.path[len(new_base) + 1 :]: f.path for f in e1.content_files}
+    for rel_path, ino in inodes0.items():
+        assert rel_path in after, f"old file {rel_path} missing from new version"
+        assert os.stat(after[rel_path]).st_ino == ino, "old cluster file was rewritten"
+    assert len(after) > len(inodes0), "no appended-vector files written"
+
+    # appended vectors are searchable: probing all clusters with vec
+    # 401's own embedding must return the appended vec 401 at cosine 1
+    v401 = emb.filter("vec_id = 401").select("embedding").first()[0]
+    got = hs.ann_search(
+        "inc_ivf", query_vectors={99999: list(v401)}, k=3, n_probe=6
+    ).collect()
+    assert got and got[0].neighbor_id == 401 and got[0].cosine == 1.0
+
+    # drift guard: a >30%-of-corpus append falls back to a full refit
+    emb.filter("vec_id < 200").selectExpr(
+        "vec_id + 10000 as vec_id", "embedding"
+    ).write.mode("append").parquet(src)
+    hs.refresh_index("inc_ivf", "incremental")
+    e2 = next(e for e in hs._active_entries(hs.conf()) if e.name == "inc_ivf")
+    assert e2.derived_properties["centroids"] != cents0, "drift append must refit"
+
+
+def test_optimize_per_cluster_compaction(spark, emb, tmp_path):
+    """ANN quick optimize = per-CLUSTER compaction: after an assign-only
+    incremental refresh leaves >1 small file in the touched clusters,
+    quick rewrites ONLY those clusters; single-file clusters hardlink
+    through untouched, and searches stay exact."""
+    import os
+    from collections import Counter
+
+    src = str(tmp_path / "vec_src")
+    emb.filter("vec_id < 400").coalesce(1).write.parquet(src)
+    hs = Hyperspace(spark, system_path=str(tmp_path / "idx"))
+    hs.create_index(spark.read.parquet(src), IvfIndexConfig("opt_ivf", n_clusters=6))
+    emb.filter("vec_id >= 400 and vec_id < 430").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    hs.refresh_index("opt_ivf", "incremental")
+
+    e1 = next(e for e in hs._active_entries(hs.conf()) if e.name == "opt_ivf")
+    base1 = e1.index_data_dirs[-1].rstrip("/")
+    cluster_of = lambda p, b: p[len(b) + 1 :].split("/", 1)[0]
+    counts1 = Counter(cluster_of(f.path, base1) for f in e1.content_files)
+    multi = {c for c, n in counts1.items() if n > 1}
+    single = {c for c, n in counts1.items() if n == 1}
+    assert multi, "incremental refresh should have left multi-file clusters"
+    inodes1 = {
+        f.path[len(base1) + 1 :]: os.stat(f.path).st_ino
+        for f in e1.content_files
+        if cluster_of(f.path, base1) in single
+    }
+
+    hs.optimize_index("opt_ivf", "quick")
+    e2 = next(e for e in hs._active_entries(hs.conf()) if e.name == "opt_ivf")
+    base2 = e2.index_data_dirs[-1].rstrip("/")
+    counts2 = Counter(cluster_of(f.path, base2) for f in e2.content_files)
+    assert all(n == 1 for n in counts2.values()), counts2
+    # untouched clusters carried by hardlink
+    after = {f.path[len(base2) + 1 :]: f.path for f in e2.content_files}
+    for rel_path, ino in inodes1.items():
+        assert rel_path in after and os.stat(after[rel_path]).st_ino == ino
+
+    v = emb.filter("vec_id = 405").select("embedding").first()[0]
+    got = hs.ann_search("opt_ivf", query_vectors={1: list(v)}, k=1, n_probe=6).collect()
+    assert got[0].neighbor_id == 405 and got[0].cosine == 1.0
+
+    # idempotent: a second quick optimize is a no-op (no new version)
+    hs.optimize_index("opt_ivf", "quick")
+    e3 = next(e for e in hs._active_entries(hs.conf()) if e.name == "opt_ivf")
+    assert e3.data_version == e2.data_version

@@ -216,10 +216,9 @@ def test_create_failure_leaves_name_reusable(spark, tmp_path):
     assert used == ["fail_idx"], hs.why_not(q)
 
 
-def test_optimize_rejects_bad_mode_and_ann(spark, tmp_path):
+def test_optimize_rejects_bad_mode(spark, tmp_path):
     from hyperspace_spark import CoveringIndexConfig, Hyperspace
     from hyperspace_spark.hyperspace import HyperspaceException
-    from hyperspace_spark.indexes.ann import IvfIndexConfig
 
     hs = Hyperspace(spark, system_path=str(tmp_path / "idx2"))
     src = str(tmp_path / "src2")
@@ -228,11 +227,7 @@ def test_optimize_rejects_bad_mode_and_ann(spark, tmp_path):
     hs.create_index(df, CoveringIndexConfig("m_idx", ["k"], ["v"]))
     with pytest.raises(HyperspaceException):
         hs.optimize_index("m_idx", mode="Quick")  # typo must not full-rewrite
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    hs.create_index(emb, IvfIndexConfig("ann_opt", n_clusters=2))
-    with pytest.raises(HyperspaceException):
-        hs.optimize_index("ann_opt")  # would destroy the cluster layout
-    # both indexes still ACTIVE and usable
+    # index still ACTIVE and usable
     q = df.filter("k = 3").select("k", "v")
     _, used = hs._apply_with_info(q)
     assert used == ["m_idx"]
@@ -361,3 +356,22 @@ def test_optimize_quick_per_bucket(spark, hs, mutable_src):
         spark.conf.unset("spark.hyperspace.index.optimize.fileSizeThreshold")
     e3 = hs._log_mgr("pb_idx", hs.conf()).get_latest_stable_log()
     assert {f.path for f in e3.content_files} == {f.path for f in e2.content_files}
+
+
+def test_link_or_copy_collision_is_loud(tmp_path):
+    """link_or_copy falls back to a byte copy only for can't-link errnos
+    (cross-device, unsupported FS); a dst that ALREADY EXISTS is a version
+    -dir collision and must raise, not silently overwrite."""
+    import pytest as _pytest
+
+    from hyperspace_spark.fs import FileSystem
+
+    fs = FileSystem()
+    src = tmp_path / "src.bin"
+    dst = tmp_path / "out" / "dst.bin"
+    src.write_bytes(b"payload")
+    fs.link_or_copy(str(src), str(dst))
+    assert dst.read_bytes() == b"payload"
+    assert os.stat(src).st_ino == os.stat(dst).st_ino
+    with _pytest.raises(FileExistsError):
+        fs.link_or_copy(str(src), str(dst))
