@@ -137,6 +137,7 @@ def main() -> None:
         "sequence_packing",
         "dedup_paragraph",
         "iceberg_time_travel_index",
+        "repetition_stats",
     ]
 
 

@@ -1907,7 +1907,7 @@ def dedup_paragraph_query(spark, sf_dir):
     WITH c AS (
       SELECT doc_id,
              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard,
-             CAST(CASE WHEN trim(text) = '' THEN 0
+             CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
       FROM documents
     ), o AS (
@@ -1936,6 +1936,58 @@ def sequence_packing_query(spark, sf_dir):
     return pack_sequences(
         _t(spark, sf_dir, "documents"), budget_tokens=512, shards=8
     )
+
+
+@q(
+    "repetition_stats",
+    """
+    WITH lines AS (
+      SELECT d.doc_id, trim(l.ln) AS line
+      FROM documents d, unnest(str_split(d.text, chr(10))) AS l(ln)
+      WHERE trim(l.ln) <> ''
+    ), ls AS (
+      SELECT doc_id, count(*) AS n_lines,
+             round(1.0 - count(DISTINCT line) / count(*), 6) AS dup_line_frac
+      FROM lines GROUP BY doc_id
+    ), toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ), grams AS (
+      SELECT doc_id, w[i] || ' ' || w[i + 1] AS g
+      FROM toks, unnest(generate_series(1, len(w) - 1)) AS s(i)
+      WHERE len(w) >= 2
+    ), gc AS (
+      SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
+    ), gs AS (
+      SELECT doc_id,
+             round(max(c) / sum(c), 6) AS top_2gram_frac,
+             round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) / sum(c), 6)
+               AS dup_2gram_frac
+      FROM gc GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+      CASE WHEN d.text IS NULL THEN NULL
+           ELSE CAST(coalesce(ls.n_lines, 0) AS BIGINT) END AS n_lines,
+      CASE WHEN d.text IS NULL THEN NULL
+           ELSE coalesce(ls.dup_line_frac, 0.0) END AS dup_line_frac,
+      CASE WHEN d.text IS NULL THEN NULL
+           ELSE coalesce(gs.top_2gram_frac, 0.0) END AS top_2gram_frac,
+      CASE WHEN d.text IS NULL THEN NULL
+           ELSE coalesce(gs.dup_2gram_frac, 0.0) END AS dup_2gram_frac
+    FROM documents d
+    LEFT JOIN ls USING (doc_id)
+    LEFT JOIN gs USING (doc_id)
+    """,
+)
+def repetition_stats_query(spark, sf_dir):
+    """Gopher-style intra-document repetition metrics
+    (llm/repetition.py): duplicate-line fraction and 2-gram repetition,
+    one zero-shuffle Arrow kernel pass; the oracle replays line/2-gram
+    tokenization with SQL unnest + group-bys."""
+    from hyperspace_spark.llm.repetition import repetition_stats
+
+    _conf(spark)
+    return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
 def _text_stats_oracle() -> str:
@@ -3031,6 +3083,7 @@ _VERIFY_PRIORITY = [
     "sequence_packing",
     "dedup_paragraph",
     "iceberg_time_travel_index",
+    "repetition_stats",
     # index-accelerated core (headline claims: verify every round)
     "covering_filter_point",
     "covering_filter_agg",

@@ -634,3 +634,73 @@ def test_paragraph_dedup_real_separator(spark):
     # determinism under different partitioning
     again = {r.doc_id: r.text for r in paragraph_dedup(df.repartition(5), sep="\n\n").collect()}
     assert again == got
+
+
+def test_simhash_null_text_yields_null_not_zero(spark):
+    """NULL-text docs must get a NULL simhash (expression-form semantics),
+    not signature 0 — a shared 0 would make every NULL-text doc a mutual
+    hamming-distance-0 'near duplicate' of the others.  Empty text
+    tokenizes to one empty-string token and keeps its own valid non-NULL
+    signature — all-empty docs ARE identical, so that's sound."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, ""), (4, "a real document body here")],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash(df).collect()}
+    assert sigs[1] is None and sigs[2] is None
+    assert sigs[3] is not None
+    assert sigs[4] is not None and sigs[4] != 0
+    # and no NULL-text pair ever surfaces as a near-dup
+    pairs = dedup.simhash_pairs(df, max_hamming=3).collect()
+    flagged = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) not in flagged and (2, 1) not in flagged
+
+
+def test_pack_sequences_null_text_placed_at_zero_tokens(spark):
+    """A NULL-text doc packs like an empty one: 0 tokens, non-NULL
+    placement (the lineage-join invariant), and exact integer pack ids."""
+    from hyperspace_spark.llm.packing import pack_sequences, pack_stats
+
+    df = spark.createDataFrame(
+        [(1, "one two three"), (2, None), (3, "four five"), (4, "")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pack_sequences(df, budget_tokens=4, shards=1).collect()}
+    assert rows[2].n_tokens == 0 and rows[4].n_tokens == 0
+    for r in rows.values():
+        assert r.pack_id is not None and r.pack_offset is not None
+        assert r.pack_id >= 0 and 0 <= r.pack_offset < 4
+        # placement identity: pack_id*budget + pack_offset is the stream offset
+    total = sum(r.n_tokens for r in rows.values())
+    stats = pack_stats(
+        pack_sequences(df, budget_tokens=4, shards=1), budget_tokens=4
+    ).collect()
+    assert sum(r.tokens_in_pack for r in stats) == total
+
+
+def test_repetition_stats_and_filter(spark):
+    from hyperspace_spark.llm.repetition import repetition_filter, repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "menu\nmenu\nmenu\nabout us"),              # 3/4 dup lines
+            (2, "buy now buy now buy now buy now"),          # dominant 2-gram
+            (3, "a perfectly normal unique sentence here"),  # clean
+            (4, None),                                       # NULL text
+            (5, "   \n  \n"),                                # whitespace only
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert rows[1].n_lines == 4 and abs(rows[1].dup_line_frac - 0.5) < 1e-9
+    # doc 1: 4 lines, 2 distinct -> 1 - 2/4 = 0.5
+    # doc 2 grams: (buy,now) x4, (now,buy) x3 of 7 -> top 4/7, dup 7/7
+    assert abs(rows[2].top_2gram_frac - round(4 / 7, 6)) < 1e-9
+    assert rows[2].dup_2gram_frac == 1.0
+    assert rows[3].dup_line_frac == 0.0 and rows[3].dup_2gram_frac == 0.0
+    assert rows[4].n_lines is None and rows[4].top_2gram_frac is None
+    assert rows[5].n_lines == 0 and rows[5].top_2gram_frac == 0.0
+
+    kept = sorted(r.doc_id for r in repetition_filter(df).collect())
+    # 1 fails dup_line, 2 fails top_2gram, 4 (NULL) dropped, 3 and 5 pass
+    assert kept == [3, 5]
