@@ -6,11 +6,12 @@ r5 changed two maintenance paths:
   bucket files and hardlinks the rest (was: full index rewrite), and
 - optimize(quick) compacts per bucket (was: full index rewrite).
 
-This probe measures both against full refresh on the same table at two
+This probe measures those against full refresh on the same table at two
 sizes (sf0.1 lineitem, and 10x that), appending a fixed ~1% delta.  If
 the fix holds, incremental wall time stays roughly FLAT as the table
 grows 10x (cost ~ delta + linking) while full refresh grows ~linearly.
 
+It also probes the ANN analog (assign-only incremental vs full refit).
 Run:  python scripts/maintenance_probe.py
 Output: one JSON line; prose summary belongs in SCALE.md.
 """
@@ -106,6 +107,52 @@ def probe(spark, scale: int, out: dict) -> None:
         spark.conf.unset("spark.hyperspace.index.optimize.fileSizeThreshold")
 
 
+def probe_ann(spark, scale: int, out: dict) -> None:
+    """Same question for the IVF index: assign-only incremental refresh
+    (frozen centroids + hardlinks) vs full refit, as the corpus grows.
+    Base = sf0.1 embeddings replicated `scale`x with jittered copies (so
+    KMeans sees distinct points), append a fixed ~1% delta."""
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark import Hyperspace, IvfIndexConfig
+
+    tag = f"x{scale}"
+    src = f"{WORK}/vec_{tag}"
+    base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    n = base.count()
+    if not os.path.exists(f"{src}/_SUCCESS"):
+        parts = [
+            base.select(
+                (F.col("vec_id") + F.lit(i * 1_000_000)).alias("vec_id"),
+                F.transform(
+                    "embedding", lambda x: x * (1.0 + 0.001 * F.lit(i))
+                ).alias("embedding"),
+            )
+            for i in range(scale)
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df.repartition(max(4, scale)).write.mode("overwrite").parquet(src)
+
+    hs = Hyperspace(spark, system_path=f"{WORK}/annidx_{tag}")
+    t0 = time.perf_counter()
+    hs.create_index(spark.read.parquet(src), IvfIndexConfig(f"a_{tag}", n_clusters=16))
+    out[f"ann_build_{tag}_sec"] = round(time.perf_counter() - t0, 2)
+
+    delta = base.limit(max(1, n // 100)).select(
+        (F.col("vec_id") + F.lit(90_000_000)).alias("vec_id"), "embedding"
+    )
+    delta.coalesce(1).write.mode("append").parquet(src)
+    t0 = time.perf_counter()
+    hs.refresh_index(f"a_{tag}", "incremental")
+    out[f"ann_refresh_incremental_{tag}_sec"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    hs.refresh_index(f"a_{tag}", "full")
+    out[f"ann_refresh_full_{tag}_sec"] = round(time.perf_counter() - t0, 2)
+
+
 def main():
     os.makedirs(WORK, exist_ok=True)
     spark = build_session()
@@ -113,6 +160,8 @@ def main():
     out = {}
     for scale in (1, 10):
         probe(spark, scale, out)
+    for scale in (1, 10):
+        probe_ann(spark, scale, out)
     print(json.dumps(out))
 
 

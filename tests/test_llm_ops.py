@@ -704,3 +704,44 @@ def test_repetition_stats_and_filter(spark):
     kept = sorted(r.doc_id for r in repetition_filter(df).collect())
     # 1 fails dup_line, 2 fails top_2gram, 4 (NULL) dropped, 3 and 5 pass
     assert kept == [3, 5]
+
+
+def test_pack_sequences_placement_invariants(spark):
+    """The packing contract, end-to-end on randomized docs: every doc
+    placed, offsets in range, and the placement identity
+    pack_id*budget + pack_offset == within-shard stream offset (exact
+    integer math — the property the DIV fix protects)."""
+    import random
+
+    from hyperspace_spark.llm.packing import pack_sequences, pack_stats
+
+    rng = random.Random(7)
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(rng.randrange(0, 40))) or None)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    budget = 64
+    packed = pack_sequences(df, budget_tokens=budget, shards=4).collect()
+    assert len(packed) == 300
+    by_shard = {}
+    for r in packed:
+        assert r.pack_id is not None and r.pack_offset is not None
+        assert 0 <= r.pack_offset < budget and r.pack_id >= 0
+        by_shard.setdefault(r.shard, []).append(r)
+    total = 0
+    for shard_rows in by_shard.values():
+        off = 0
+        for r in sorted(shard_rows, key=lambda r: r.doc_id):
+            assert r.pack_id * budget + r.pack_offset == off, r
+            off += r.n_tokens
+        total += off
+    stats = pack_stats(
+        pack_sequences(df, budget_tokens=budget, shards=4), budget_tokens=budget
+    ).collect()
+    assert sum(r.tokens_in_pack for r in stats) == total
+    # every pack except each shard's LAST is exactly full
+    last = {r.shard: max(x.pack_id for x in stats if x.shard == r.shard) for r in stats}
+    for r in stats:
+        if r.pack_id < last[r.shard]:
+            assert r.tokens_in_pack == budget, r
