@@ -138,6 +138,8 @@ def main() -> None:
         "dedup_paragraph",
         "iceberg_time_travel_index",
         "repetition_stats",
+        "source_token_quota",
+        "json_props_extract",
     ]
 
 

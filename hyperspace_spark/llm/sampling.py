@@ -121,3 +121,54 @@ def duckdb_bucket_sql(key_sql: str, num_buckets: int = NUM_BUCKETS) -> str:
         f"(CAST('0x' || substr(md5(CAST({key_sql} AS VARCHAR)), 1, 8) AS BIGINT)"
         f" % {num_buckets})"
     )
+
+
+def token_quota_per_source(
+    df: "DataFrame",
+    quota_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Cap each source's contribution to ``quota_tokens`` tokens — the
+    mixture-construction step that stops one giant crawl domain from
+    dominating a pretraining mix by VOLUME (a per-row sampling rate
+    can't express "at most N tokens from this source").
+
+    Selection is deterministic and unbiased: docs are ordered by
+    md5(doc_id) WITHIN each source (hash order = a reproducible shuffle,
+    independent of ingest order) and kept while the source's running
+    token total before the doc is under the quota — so every source
+    keeps at least one document, runs are identical across engines and
+    retries, and raising the quota strictly grows the kept set (prefix
+    property, same as deterministic_sample).
+
+    Scale shape: one hash-partitioned window cumsum per source — no
+    driver state, no second pass.  NULL text counts 0 tokens (kept, like
+    pack_sequences).  Skewed sources (one domain = half the corpus) make
+    a skewed window partition: at that shape, pre-filter with
+    deterministic_sample to an over-estimate of the quota first, then
+    apply the exact cap to the survivors."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.llm.text import token_count
+
+    if quota_tokens < 1:
+        raise ValueError(f"quota_tokens must be >= 1, got {quota_tokens}")
+    n_tokens = F.greatest(
+        F.lit(0).cast("long"),
+        F.coalesce(token_count(F.col(text_col)).cast("long"), F.lit(0).cast("long")),
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_off = df.withColumn("_hs_nt", n_tokens).withColumn(
+        "_hs_off", F.sum("_hs_nt").over(w) - F.col("_hs_nt")
+    )
+    return (
+        with_off.filter(F.col("_hs_off") < quota_tokens)
+        .drop("_hs_nt", "_hs_off")
+    )

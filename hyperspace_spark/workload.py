@@ -2799,6 +2799,74 @@ def split_train_val_test(spark, sf_dir):
 
 
 @q(
+    "source_token_quota",
+    """
+    WITH c AS (
+      SELECT doc_id, source, n_chars,
+             CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                  AS BIGINT) AS nt,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), o AS (
+      SELECT doc_id, source, n_chars, nt,
+             sum(nt) OVER (PARTITION BY source ORDER BY h, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - nt AS off
+      FROM c
+    )
+    SELECT doc_id, source, n_chars FROM o WHERE off < 800
+    """,
+)
+def source_token_quota_query(spark, sf_dir):
+    """Token-budget mixture cap (llm/sampling.py token_quota_per_source):
+    each source contributes at most 800 tokens, chosen in deterministic
+    md5 order — the volume-based counterpart of per-row rate sampling.
+    One window cumsum per source; the oracle replays the identical
+    order + cumsum in SQL."""
+    from hyperspace_spark.llm.sampling import token_quota_per_source
+
+    _conf(spark)
+    return token_quota_per_source(
+        _t(spark, sf_dir, "documents"), quota_tokens=800
+    ).select("doc_id", "source", "n_chars")
+
+
+@q(
+    "json_props_extract",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_props_extract_query(spark, sf_dir):
+    """Semi-structured surface: extract a typed field from the events
+    JSON props column (Spark get_json_object — JVM-side JsonPath, no
+    UDF) and aggregate per event type; DuckDB replays with
+    json_extract_string.  At scale this is a scan + partial agg — the
+    JSON parse stays inside whole-stage codegen."""
+    from pyspark.sql import functions as F
+
+    _conf(spark)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.max(k).alias("max_k"),
+        )
+    )
+
+
+@q(
     "rollup_agg",
     """
     SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 2) AS sum_price,
@@ -3084,6 +3152,8 @@ _VERIFY_PRIORITY = [
     "dedup_paragraph",
     "iceberg_time_travel_index",
     "repetition_stats",
+    "source_token_quota",
+    "json_props_extract",
     # index-accelerated core (headline claims: verify every round)
     "covering_filter_point",
     "covering_filter_agg",

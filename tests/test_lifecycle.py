@@ -375,3 +375,31 @@ def test_link_or_copy_collision_is_loud(tmp_path):
     assert os.stat(src).st_ino == os.stat(dst).st_ino
     with _pytest.raises(FileExistsError):
         fs.link_or_copy(str(src), str(dst))
+
+
+def test_vacuum_old_version_preserves_hardlinked_files(spark, hs, mutable_src):
+    """Hardlink safety: after an append-only incremental refresh links the
+    old version's files into the new one, vacuuming outdated versions
+    deletes the OLD directory — which only drops one name per inode.  The
+    latest version must stay fully readable and correct."""
+    hs.create_index(
+        spark.read.parquet(mutable_src),
+        CoveringIndexConfig(
+            "vac_idx", ["o_custkey"], ["o_orderkey", "o_totalprice"], num_buckets=4
+        ),
+    )
+    e0 = hs._log_mgr("vac_idx", hs.conf()).get_latest_stable_log()
+    old_dir = e0.index_data_dirs[-1]
+    _append_files(spark, mutable_src)
+    hs.refresh_index("vac_idx", "incremental")
+    assert os.path.exists(old_dir)
+
+    hs.vacuum_outdated_indexes("vac_idx")
+    assert not os.path.exists(old_dir), "outdated version dir must be removed"
+    e1 = hs._log_mgr("vac_idx", hs.conf()).get_latest_stable_log()
+    for f in e1.content_files:
+        assert os.path.exists(f.path), f"linked file lost by vacuum: {f.path}"
+    q = q_of(spark, mutable_src)
+    fast, used = hs._apply_with_info(q)
+    assert used == ["vac_idx"], hs.why_not(q)
+    assert rows_equal(q, fast)

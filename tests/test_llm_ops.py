@@ -745,3 +745,34 @@ def test_pack_sequences_placement_invariants(spark):
     for r in stats:
         if r.pack_id < last[r.shard]:
             assert r.tokens_in_pack == budget, r
+
+
+def test_token_quota_per_source(spark, docs):
+    from hyperspace_spark.llm.sampling import token_quota_per_source
+
+    kept = token_quota_per_source(docs, quota_tokens=500).collect()
+    n_tok = {
+        r.doc_id: r.nt
+        for r in docs.selectExpr(
+            "doc_id",
+            "CAST(CASE WHEN text IS NULL OR trim(text)='' THEN 0 "
+            "ELSE size(split(trim(text), '\\\\s+')) END AS LONG) AS nt",
+        ).collect()
+    }
+    sources = {r.source for r in docs.select("source").distinct().collect()}
+    by_source = {}
+    for r in kept:
+        by_source.setdefault(r.source, []).append(r.doc_id)
+    # every source represented (at least one doc each)
+    assert set(by_source) == sources
+    # each source's PRE-doc offsets stayed under quota: total minus its
+    # largest doc is < quota (the last admitted doc may straddle)
+    for src, ids in by_source.items():
+        total = sum(n_tok[i] for i in ids)
+        assert total - max(n_tok[i] for i in ids) < 500, (src, total)
+    # prefix property: a smaller quota keeps a strict subset
+    small = {r.doc_id for r in token_quota_per_source(docs, quota_tokens=200).collect()}
+    assert small.issubset({r.doc_id for r in kept})
+    # determinism across runs
+    again = {r.doc_id for r in token_quota_per_source(docs, quota_tokens=500).collect()}
+    assert again == {r.doc_id for r in kept}
