@@ -140,6 +140,7 @@ def main() -> None:
         "repetition_stats",
         "source_token_quota",
         "json_props_extract",
+        "recursive_month_series",
     ]
 
 

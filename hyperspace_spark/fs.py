@@ -150,6 +150,7 @@ class FileSystem:
             if exc.errno in (
                 errno.EXDEV,
                 errno.EPERM,
+                errno.EACCES,  # e.g. CIFS/NFS root-squash denying link(2)
                 errno.ENOTSUP,
                 errno.EMLINK,
                 errno.ENOSYS,

@@ -381,9 +381,6 @@ class Hyperspace:
             raise HyperspaceException(f"Unknown refresh mode {mode}")
 
     def _source_df(self, entry: IndexLogEntry) -> "DataFrame":
-        from pyspark.sql.types import StructType
-        import json as _json
-
         rel = entry.relations[0]
         scan = _scan_of(rel)
         if scan.delta_root:
@@ -396,12 +393,7 @@ class Hyperspace:
             from hyperspace_spark.sources.iceberg import read_iceberg
 
             return read_iceberg(self.spark, scan.iceberg_root)
-        reader = self.spark.read.format(rel.file_format)
-        if rel.data_schema_json:
-            reader = reader.schema(StructType.fromJson(_json.loads(rel.data_schema_json)))
-        if rel.options:
-            reader = reader.options(**{k: v for k, v in rel.options.items() if k != "path"})
-        return reader.load(rel.root_paths)
+        return _relation_reader(self.spark, rel).load(rel.root_paths)
 
     def _config_of(self, entry: IndexLogEntry):
         p = entry.derived_properties
@@ -526,22 +518,9 @@ class Hyperspace:
                     FileInfo(f.path, f.size, f.mtime, tracker.add_or_get(f))
                     for f in appended
                 ]
-                import json as _json
-
-                from pyspark.sql.types import StructType
-
-                reader = self.spark.read.format(rel.file_format)
-                if rel.data_schema_json:
-                    reader = reader.schema(
-                        StructType.fromJson(_json.loads(rel.data_schema_json))
-                    )
-                if rel.options:
-                    reader = reader.options(
-                        **{k: v for k, v in rel.options.items() if k != "path"}
-                    )
-                if rel.partition_columns:
-                    reader = reader.option("basePath", rel.root_paths[0])
-                new_df = reader.load([f.path for f in appended])
+                new_df = _relation_reader(self.spark, rel, with_base_path=True).load(
+                    [f.path for f in appended]
+                )
                 assigned = assign_to_centroids(
                     new_df, props["centroids"], props["idCol"], props["vecCol"]
                 )
@@ -602,24 +581,9 @@ class Hyperspace:
                 parts = [old]
             if appended:
                 appended = [FileInfo(f.path, f.size, f.mtime, tracker.add_or_get(f)) for f in appended]
-                reader = self.spark.read.format(rel.file_format)
-                import json as _json
-                from pyspark.sql.types import StructType
-
-                if rel.data_schema_json:
-                    reader = reader.schema(StructType.fromJson(_json.loads(rel.data_schema_json)))
-                if rel.options:
-                    # Same reader options as the build scan (_source_df):
-                    # without them an appended CSV with header=true would
-                    # be parsed with defaults — header rows become data
-                    # rows and the corrupt rows get unioned into the
-                    # index.
-                    reader = reader.options(
-                        **{k: v for k, v in rel.options.items() if k != "path"}
-                    )
-                if rel.partition_columns:
-                    reader = reader.option("basePath", rel.root_paths[0])
-                new_df = reader.load([f.path for f in appended])
+                new_df = _relation_reader(self.spark, rel, with_base_path=True).load(
+                    [f.path for f in appended]
+                )
                 if props.get("lineage", False):
                     new_df = cov.with_lineage(new_df, self.spark, appended, tracker)
                 # Flatten dotted (nested) columns exactly like the build
@@ -1195,6 +1159,28 @@ def _signature_of(scan: ir.Scan, files: list[FileInfo]) -> str:
     from hyperspace_spark.sources import provider_for
 
     return provider_for(scan).signature(scan, files)
+
+
+def _relation_reader(spark, rel: Relation, with_base_path: bool = False):
+    """DataFrameReader configured exactly like the relation's build scan:
+    stored schema + reader options (minus path).  Shared by the build
+    source and BOTH incremental-refresh appended-file readers — without
+    the options, an appended CSV with header=true would be parsed with
+    defaults, header rows becoming index data.  ``with_base_path`` adds
+    basePath for partitioned sources when loading an explicit file
+    subset (keeps partition columns resolvable)."""
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    reader = spark.read.format(rel.file_format)
+    if rel.data_schema_json:
+        reader = reader.schema(StructType.fromJson(_json.loads(rel.data_schema_json)))
+    if rel.options:
+        reader = reader.options(**{k: v for k, v in rel.options.items() if k != "path"})
+    if with_base_path and rel.partition_columns:
+        reader = reader.option("basePath", rel.root_paths[0])
+    return reader
 
 
 def _column_exists(scan: ir.Scan, col: str) -> bool:

@@ -41,23 +41,32 @@ from typing import TYPE_CHECKING
 if TYPE_CHECKING:
     from pyspark.sql import Column, DataFrame
 
-_SCHEMA = (
-    "doc_id long, n_lines long, dup_line_frac double, "
-    "top_2gram_frac double, dup_2gram_frac double"
-)
-
-
 def repetition_stats(
     df: "DataFrame", text_col: str = "text", id_col: str = "doc_id"
 ) -> "DataFrame":
-    """-> (doc_id, n_lines, dup_line_frac, top_2gram_frac, dup_2gram_frac).
+    """-> (doc_id, n_lines, dup_line_frac, top_2gram_frac, dup_2gram_frac);
+    ``doc_id`` keeps the source id column's type (string ids work).
 
     Fractions are rounded to 6 dp (engine-portable comparison)."""
     import re
 
     from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-    ws = re.compile(r"\s+")
+    schema = StructType(
+        [
+            StructField("doc_id", df.schema[id_col].dataType),
+            StructField("n_lines", LongType()),
+            StructField("dup_line_frac", DoubleType()),
+            StructField("top_2gram_frac", DoubleType()),
+            StructField("dup_2gram_frac", DoubleType()),
+        ]
+    )
+    # Whitespace parity with llm/text.py tokens() (Spark trim = SPACES
+    # only; Java regex \\s = [ \\t\\n\\x0b\\f\\r]) — NOT Python str.strip/
+    # \\s, which also eat NBSP etc. and would diverge from the rest of
+    # the pipeline's token definition and the SQL oracle on tab/CR text.
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     def kernel(batches):
         import pandas as pd
@@ -78,13 +87,13 @@ def repetition_stats(
                     out["top_2gram_frac"].append(None)
                     out["dup_2gram_frac"].append(None)
                     continue
-                lines = [ln.strip() for ln in text.split("\n")]
+                lines = [ln.strip(" ") for ln in text.split("\n")]
                 lines = [ln for ln in lines if ln]
                 n_lines = len(lines)
                 dup_line = (
                     round(1.0 - len(set(lines)) / n_lines, 6) if n_lines else 0.0
                 )
-                t = text.strip().lower()
+                t = text.strip(" ").lower()
                 words = ws.split(t) if t else []
                 grams = Counter(
                     (words[i], words[i + 1]) for i in range(len(words) - 1)
@@ -104,7 +113,7 @@ def repetition_stats(
             yield pd.DataFrame(out)
 
     src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    return src.mapInPandas(kernel, _SCHEMA)
+    return src.mapInPandas(kernel, schema)
 
 
 def repetition_filter(

@@ -67,6 +67,7 @@ def collect_candidates(
 ) -> list[Candidate]:
     live: list[FileInfo] | None = None
     live_sig: str | None = None
+    pinned: bool | None = None  # lazy, computed once per scan like live/live_sig
     out: list[Candidate] = []
     scan_cols = set(scan.output)
 
@@ -107,9 +108,10 @@ def collect_candidates(
         # find a closer OLD version, so gating on pinnedness (one cached
         # table-metadata read, _scan_is_pinned) keeps the walk off the
         # steady-state planning path even when the index is badly stale.
-        pinned = (scan.delta_root or scan.iceberg_root) and _scan_is_pinned(
-            scan, live_sig
-        )
+        if pinned is None:
+            pinned = bool(scan.delta_root or scan.iceberg_root) and _scan_is_pinned(
+                scan, live_sig
+            )
         if not conf.hybridscan_enabled:
             # An exact-signature retained version needs NO hybrid
             # machinery, so it stays usable with hybrid scan off.
@@ -127,15 +129,20 @@ def collect_candidates(
             out.append(cand)
             continue
         cand = _hybrid_candidate(e, live, conf, reasons)
-        if pinned and (cand is None or cand.coverage < 1.0):
-            # When the latest version already passes hybrid, only an
-            # EXACT old match (zero compensation) is worth preferring
-            # over it; when it was rejected, any in-threshold old
-            # version beats nothing.
+        if pinned and (cand is None or cand.hybrid):
+            # When the latest version already passes hybrid (ANY
+            # compensation — note a deletes-only delta still shows
+            # coverage 1.0), only an EXACT old match (zero compensation)
+            # is worth preferring over it; when it was rejected, any
+            # in-threshold old version beats nothing.
             hist = _closest_history_candidate(
                 e, live, live_sig, conf, fs, reasons, exact_only=cand is not None
             )
-            if hist is not None and (cand is None or hist.coverage > cand.coverage):
+            if hist is not None and (
+                cand is None
+                or (not hist.hybrid and cand.hybrid)
+                or hist.coverage > cand.coverage
+            ):
                 cand = hist
         if cand is not None:
             out.append(cand)

@@ -2909,6 +2909,48 @@ def exists_subquery(spark, sf_dir):
 
 
 @q(
+    "recursive_month_series",
+    """
+    WITH RECURSIVE months(m) AS (
+      SELECT DATE '1996-01-01'
+      UNION ALL
+      SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+      WHERE m < DATE '1996-12-01'
+    )
+    SELECT m AS month_start,
+           count(o_orderkey) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS total_price
+    FROM months
+    LEFT JOIN orders ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+    GROUP BY m
+    """,
+)
+def recursive_month_series(spark, sf_dir):
+    """Recursive CTE surface (Spark 4 WITH RECURSIVE): generate the 1996
+    month ladder recursively, then aggregate orders per month through an
+    equi-join on the truncated date (broadcastable 12-row side).  DuckDB
+    replays the identical recursion."""
+    _conf(spark)
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("w_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT DATE '1996-01-01'
+          UNION ALL
+          SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+          WHERE m < DATE '1996-12-01'
+        )
+        SELECT m AS month_start,
+               count(o_orderkey) AS n_orders,
+               round(coalesce(sum(o_totalprice), 0), 2) AS total_price
+        FROM months
+        LEFT JOIN w_orders ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+        GROUP BY m
+        """
+    )
+
+
+@q(
     "union_distinct",
     """
     SELECT DISTINCT o_custkey FROM (
@@ -3154,6 +3196,7 @@ _VERIFY_PRIORITY = [
     "repetition_stats",
     "source_token_quota",
     "json_props_extract",
+    "recursive_month_series",
     # index-accelerated core (headline claims: verify every round)
     "covering_filter_point",
     "covering_filter_agg",

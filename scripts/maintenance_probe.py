@@ -121,11 +121,17 @@ def probe_ann(spark, scale: int, out: dict) -> None:
     base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     n = base.count()
     if not os.path.exists(f"{src}/_SUCCESS"):
+        # Component-DEPENDENT jitter: a scalar multiple of the whole
+        # vector would be cancelled exactly by the build's unit
+        # normalization, leaving KMeans clustering `scale` exact copies
+        # of each point.  Perturbing per component changes direction,
+        # which survives normalization.
         parts = [
             base.select(
                 (F.col("vec_id") + F.lit(i * 1_000_000)).alias("vec_id"),
                 F.transform(
-                    "embedding", lambda x: x * (1.0 + 0.001 * F.lit(i))
+                    "embedding",
+                    lambda x, j: x + 0.01 * F.lit(i) * F.cos(j.cast("double")),
                 ).alias("embedding"),
             )
             for i in range(scale)

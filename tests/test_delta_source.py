@@ -335,3 +335,37 @@ def test_closest_version_exact_match_with_hybrid_scan_off(spark, tmp_path):
         assert rows_equal(q1, fast1)
     finally:
         spark.conf.set("spark.hyperspace.index.hybridscan.enabled", "true")
+
+
+def test_closest_version_beats_in_threshold_hybrid_for_pinned_query(spark, tmp_path):
+    """Deletes-only divergence shows hybrid coverage 1.0 (live is a
+    subset of indexed), so an in-threshold hybrid candidate on the
+    LATEST version would win by default — but a v0-pinned query has an
+    EXACT retained v0-built version needing zero compensation, and the
+    planner must prefer it (no lineage anti-join, no source union)."""
+    root = str(tmp_path / "sub_delta")
+    o = table(spark, "orders")
+    write_delta(o.filter("o_orderkey % 10 != 0"), root)   # v0: ~90%
+    hs = Hyperspace(spark, system_path=str(tmp_path / "idx"))
+    hs.create_index(
+        read_delta(spark, root),
+        CoveringIndexConfig("sub_ci", ["o_custkey"], ["o_orderkey"]),
+    )
+    # v1 appends the remaining ~10% (< 0.2 deleted-ratio from v1's view),
+    # index refreshes to it: the v0 query now sees an in-threshold
+    # hybrid candidate on the latest entry AND an exact v0 match.
+    write_delta(o.filter("o_orderkey % 10 = 0"), root)    # v1
+    hs.refresh_index("sub_ci", "full")
+
+    q0 = read_delta(spark, root, version=0).filter("o_custkey < 300").select(
+        "o_orderkey", "o_custkey"
+    )
+    fast, used = hs._apply_with_info(q0)
+    assert used == ["sub_ci"], hs.why_not(q0)
+    assert rows_equal(q0, fast)
+    # plan toString truncates long paths; inputFiles is exact
+    files = fast.inputFiles()
+    assert files and all("v__=0" in f for f in files), (
+        "must read ONLY the retained v0-built index version",
+        files,
+    )

@@ -699,11 +699,15 @@ def test_repetition_stats_and_filter(spark):
     assert rows[2].dup_2gram_frac == 1.0
     assert rows[3].dup_line_frac == 0.0 and rows[3].dup_2gram_frac == 0.0
     assert rows[4].n_lines is None and rows[4].top_2gram_frac is None
-    assert rows[5].n_lines == 0 and rows[5].top_2gram_frac == 0.0
+    # whitespace-only doc: space-only trim (tokens() parity) leaves the
+    # newlines, which split into two EMPTY tokens -> one ('','') gram at
+    # fraction 1.0 — the same answer tokens()/token_count and the DuckDB
+    # oracle give, which is the point of the parity rule
+    assert rows[5].n_lines == 0 and rows[5].top_2gram_frac == 1.0
 
     kept = sorted(r.doc_id for r in repetition_filter(df).collect())
-    # 1 fails dup_line, 2 fails top_2gram, 4 (NULL) dropped, 3 and 5 pass
-    assert kept == [3, 5]
+    # 1 fails dup_line, 2 and 5 fail top_2gram, 4 (NULL) dropped, 3 passes
+    assert kept == [3]
 
 
 def test_pack_sequences_placement_invariants(spark):
@@ -776,3 +780,22 @@ def test_token_quota_per_source(spark, docs):
     # determinism across runs
     again = {r.doc_id for r in token_quota_per_source(docs, quota_tokens=500).collect()}
     assert again == {r.doc_id for r in kept}
+
+
+def test_repetition_stats_string_ids_and_tab_parity(spark):
+    """String id columns work (schema follows the id column's type), and
+    tab/CR text follows tokens()/oracle whitespace semantics: space-only
+    trim keeps the leading tab as an empty first token."""
+    from hyperspace_spark.llm.repetition import repetition_stats
+
+    df = spark.createDataFrame(
+        [("http://a", "\tmenu\nmenu"), ("http://b", "plain text")],
+        "url string, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df, id_col="url").collect()}
+    assert set(rows) == {"http://a", "http://b"}
+    a = rows["http://a"]
+    # lines: ['\tmenu', 'menu'] after space-only trim -> 2 distinct lines
+    assert a.n_lines == 2 and a.dup_line_frac == 0.0
+    # words: ['', 'menu', 'menu'] -> grams ('','menu'), ('menu','menu')
+    assert a.top_2gram_frac == 0.5 and a.dup_2gram_frac == 0.0
