@@ -141,6 +141,7 @@ def main() -> None:
         "source_token_quota",
         "json_props_extract",
         "recursive_month_series",
+        "clean_corpus_census",
     ]
 
 

@@ -112,7 +112,14 @@ def repetition_stats(
                 out["dup_2gram_frac"].append(dup)
             yield pd.DataFrame(out)
 
-    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    from hyperspace_spark.scale import ensure_min_parallelism
+
+    # Same guard as the simhash/minhash kernels: byte-sized scan splits
+    # under-parallelize CPU-heavy kernels on small inputs; no-op (no
+    # shuffle) once the scan already splits past core count.
+    src = ensure_min_parallelism(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    )
     return src.mapInPandas(kernel, schema)
 
 

@@ -2116,6 +2116,84 @@ def udtf_chunk_text(spark, sf_dir):
     return spark.sql("SELECT * FROM w_chunk_text(TABLE(w_docs_chunk))")
 
 
+def _clean_corpus_oracle() -> str:
+    """clean_corpus composes already-oracled pieces: the repetition CTEs
+    (repetition_stats oracle) + the quality expressions (_lang_quality
+    oracle) + the length rules, folded into one first-hit-wins CASE."""
+    from hyperspace_spark.llm.text import STOPWORDS
+
+    hits_en = _duck_sw_hits(STOPWORDS["en"])
+    nchars = "length(trim(text))"
+    ntok = f"CASE WHEN trim(text)='' THEN 0 ELSE len({_DUCK_RAW_TOKENS}) END"
+    punct = (
+        f"CASE WHEN {nchars} = 0 THEN 0.0 ELSE "
+        f"({nchars} - length(regexp_replace(trim(text), '[.,;:!?''\"()\\[\\]{{}}-]', '', 'g'))) "
+        f"* 1.0 / {nchars} END"
+    )
+    swr = f"CASE WHEN len({_DUCK_TOKENS}) <= 0 THEN 0.0 ELSE {hits_en} * 1.0 / len({_DUCK_TOKENS}) END"
+    mean_tok = "CASE WHEN n_tokens > 0 THEN n_chars * 1.0 / n_tokens ELSE 0.0 END"
+    quality = (
+        "round((CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 0.4 WHEN n_chars > 0 THEN 0.1 ELSE 0.0 END)"
+        " + (CASE WHEN swr >= 0.05 THEN 0.3 ELSE 0.0 END)"
+        " + (CASE WHEN pr <= 0.2 THEN 0.2 ELSE 0.0 END)"
+        f" + (CASE WHEN {mean_tok} BETWEEN 3 AND 12 THEN 0.1 ELSE 0.0 END), 4)"
+    )
+    return f"""
+    WITH lines AS (
+      SELECT d.doc_id, trim(l.ln) AS line
+      FROM documents d, unnest(str_split(d.text, chr(10))) AS l(ln)
+      WHERE trim(l.ln) <> ''
+    ), ls AS (
+      SELECT doc_id, round(1.0 - count(DISTINCT line) / count(*), 6) AS dup_line_frac
+      FROM lines GROUP BY doc_id
+    ), tk AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ), grams AS (
+      SELECT doc_id, w[i] || ' ' || w[i + 1] AS g
+      FROM tk, unnest(generate_series(1, len(w) - 1)) AS s(i)
+      WHERE len(w) >= 2
+    ), gc AS (
+      SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
+    ), gs AS (
+      SELECT doc_id, round(max(c) / sum(c), 6) AS top_2gram_frac
+      FROM gc GROUP BY doc_id
+    ), base AS (
+      SELECT doc_id, text, {nchars} AS n_chars, {ntok} AS n_tokens,
+             {punct} AS pr, {swr} AS swr
+      FROM documents
+    ), tagged AS (
+      SELECT b.doc_id,
+        CASE WHEN b.text IS NULL THEN 'null_text'
+             WHEN b.n_chars < 100 THEN 'too_short'
+             WHEN b.n_chars > 20000 THEN 'too_long'
+             WHEN coalesce(ls.dup_line_frac, 0) > 0.3
+                  OR coalesce(gs.top_2gram_frac, 0) > 0.2 THEN 'repetitive'
+             WHEN {quality} < 0.5 THEN 'low_quality'
+             ELSE 'kept' END AS reason
+      FROM base b LEFT JOIN ls USING (doc_id) LEFT JOIN gs USING (doc_id)
+    )
+    SELECT reason, count(*) AS n_docs FROM tagged GROUP BY reason
+    """
+
+
+@q("clean_corpus_census", _clean_corpus_oracle())
+def clean_corpus_census(spark, sf_dir):
+    """C4/Gopher-style corpus-cleaning filter chain (llm/pipeline.py):
+    every document tagged with its first failing rule, censused by
+    reason — the artifact a data team reviews before committing a
+    corpus.  JVM expressions + one Arrow kernel + one doc_id join."""
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.llm.pipeline import clean_corpus
+
+    _conf(spark)
+    tagged = clean_corpus(_t(spark, sf_dir, "documents"))
+    return tagged.groupBy(
+        F.coalesce(F.col("drop_reason"), F.lit("kept")).alias("reason")
+    ).agg(F.count("*").alias("n_docs"))
+
+
 @q("lang_quality", _lang_quality_oracle())
 def lang_quality(spark, sf_dir):
     from pyspark.sql import functions as F
@@ -3197,6 +3275,7 @@ _VERIFY_PRIORITY = [
     "source_token_quota",
     "json_props_extract",
     "recursive_month_series",
+    "clean_corpus_census",
     # index-accelerated core (headline claims: verify every round)
     "covering_filter_point",
     "covering_filter_agg",

@@ -799,3 +799,39 @@ def test_repetition_stats_string_ids_and_tab_parity(spark):
     assert a.n_lines == 2 and a.dup_line_frac == 0.0
     # words: ['', 'menu', 'menu'] -> grams ('','menu'), ('menu','menu')
     assert a.top_2gram_frac == 0.5 and a.dup_2gram_frac == 0.0
+
+
+def test_clean_corpus_reasons(spark):
+    from hyperspace_spark.llm.pipeline import clean_corpus
+
+    good = (
+        "The quick brown fox jumps over the lazy dog and then walks home. " * 3
+    )
+    df = spark.createDataFrame(
+        [
+            (1, None),                          # null_text
+            (2, "tiny"),                        # too_short
+            (3, "x" * 30000),                   # too_long
+            (4, ("menu\n" * 9) + good),         # repetitive (dup lines)
+            (5, good),                          # kept
+            (6, "zq " * 80),                    # low quality? top gram 1.0 -> repetitive
+        ],
+        "doc_id long, text string",
+    )
+    tagged = {r.doc_id: r.drop_reason for r in clean_corpus(df).collect()}
+    assert tagged[1] == "null_text"
+    assert tagged[2] == "too_short"
+    assert tagged[3] == "too_long"
+    assert tagged[4] == "repetitive"
+    assert tagged[5] is None
+    assert tagged[6] == "repetitive"  # single repeated 2-gram dominates
+
+    # language gate, when enabled, sits between length and repetition
+    df2 = spark.createDataFrame(
+        [(7, "el gato es un animal y la casa es una cosa bonita de verdad. " * 3)],
+        "doc_id long, text string",
+    )
+    out = clean_corpus(df2, allowed_langs=["en"]).collect()[0]
+    assert out.drop_reason == "bad_lang"
+    out2 = clean_corpus(df2, allowed_langs=["en", "es"]).collect()[0]
+    assert out2.drop_reason is None
