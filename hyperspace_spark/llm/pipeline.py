@@ -20,10 +20,12 @@ to most expensive to EXPLAIN, though all are computed in one pass):
 6. ``low_quality``  quality_score < min_quality
 
 Scale shape: the length/lang/quality rules are pure JVM expressions on
-the scan; the repetition metrics are one zero-shuffle Arrow kernel; the
-only shuffle is the doc_id equi-join stitching the two back together
-(broadcastable when the corpus-side survives pre-filters; AQE picks).
-Nothing iterates, nothing collects.
+the scan; the repetition metrics are one zero-shuffle Arrow kernel run
+ONLY over rows surviving the cheap gates; the only shuffles are the
+per-id metric aggregate (which also makes duplicate ids safe — the
+join side is unique, so rows can't multiply) and the doc_id equi-join
+stitching the two back together (broadcastable when few rows survive
+the cheap gates; AQE picks).  Nothing iterates, nothing collects.
 
 Reference note: microsoft/hyperspace has no document operators; this is
 part of the LLM-training extension surface (SURVEY §2 extensions).
@@ -58,27 +60,43 @@ def clean_corpus(
 
     t = F.col(text_col)
     n = F.length(F.trim(t))
-    rep = repetition_stats(df, text_col, id_col).select(
-        F.col("doc_id").alias(id_col), "dup_line_frac", "top_2gram_frac"
-    )
-    joined = df.join(rep, id_col, "left")
 
-    reason = F.when(t.isNull(), "null_text").when(n < min_chars, "too_short").when(
+    # Cheap JVM gates first; the repetition kernel then runs ONLY over
+    # rows that survive them (first-hit-wins means its metrics are never
+    # consulted for already-rejected rows — skipping them is
+    # result-identical and shrinks both the kernel input and the join).
+    cheap = F.when(t.isNull(), "null_text").when(n < min_chars, "too_short").when(
         n > max_chars, "too_long"
     )
     if allowed_langs is not None:
-        reason = reason.when(
-            ~language_id(t).isin(list(allowed_langs)), "bad_lang"
+        cheap = cheap.when(~language_id(t).isin(list(allowed_langs)), "bad_lang")
+    cheap = cheap.otherwise(F.lit(None).cast("string"))
+    with_cheap = df.withColumn("_hs_cheap", cheap)
+
+    # Reserved-name aliases so caller columns can't collide; max per id
+    # (worst-case repetition) so duplicate ids — clean_corpus runs
+    # BEFORE dedup — can't multiply rows through the join.
+    rep = (
+        repetition_stats(
+            with_cheap.filter(F.col("_hs_cheap").isNull()), text_col, id_col
         )
-    reason = (
-        reason.when(
-            (F.coalesce(F.col("dup_line_frac"), F.lit(0.0)) > max_dup_line_frac)
-            | (F.coalesce(F.col("top_2gram_frac"), F.lit(0.0)) > max_top_2gram_frac),
+        .groupBy("doc_id")
+        .agg(
+            F.max("dup_line_frac").alias("_hs_dlf"),
+            F.max("top_2gram_frac").alias("_hs_t2f"),
+        )
+        .withColumnRenamed("doc_id", id_col)
+    )
+    joined = with_cheap.join(rep, id_col, "left")
+
+    reason = F.coalesce(
+        F.col("_hs_cheap"),
+        F.when(
+            (F.coalesce(F.col("_hs_dlf"), F.lit(0.0)) > max_dup_line_frac)
+            | (F.coalesce(F.col("_hs_t2f"), F.lit(0.0)) > max_top_2gram_frac),
             "repetitive",
-        )
-        .when(quality_score(t) < min_quality, "low_quality")
-        .otherwise(F.lit(None).cast("string"))
+        ).when(quality_score(t) < min_quality, "low_quality"),
     )
     return joined.withColumn("drop_reason", reason).drop(
-        "dup_line_frac", "top_2gram_frac"
+        "_hs_cheap", "_hs_dlf", "_hs_t2f"
     )

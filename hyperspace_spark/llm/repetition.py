@@ -66,6 +66,9 @@ def repetition_stats(
     # only; Java regex \\s = [ \\t\\n\\x0b\\f\\r]) — NOT Python str.strip/
     # \\s, which also eat NBSP etc. and would diverge from the rest of
     # the pipeline's token definition and the SQL oracle on tab/CR text.
+    # Known residual gap shared by EVERY _DUCK_TOKENS oracle in
+    # workload.py: RE2's \\s omits \\x0b (vertical tab), so a \\x0b
+    # between words splits here/in Spark but not in DuckDB.
     ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     def kernel(batches):

@@ -1837,6 +1837,68 @@ def _duck_sw_hits(words: list[str]) -> str:
     return f"len(list_filter({_DUCK_TOKENS}, x -> x IN ({inlist})))"
 
 
+def _duck_text_exprs() -> dict:
+    """nchars/ntok/punct/swr SQL shared by the text_stats, lang_quality
+    and clean_corpus oracles — ONE source, so a weights/regex change
+    can't silently diverge one contract oracle from another."""
+    from hyperspace_spark.llm.text import STOPWORDS
+
+    en_hits = _duck_sw_hits(STOPWORDS["en"])
+    nchars = "length(trim(text))"
+    return {
+        "nchars": nchars,
+        "ntok": f"CASE WHEN trim(text)='' THEN 0 ELSE len({_DUCK_RAW_TOKENS}) END",
+        "punct": (
+            f"CASE WHEN {nchars} = 0 THEN 0.0 ELSE "
+            f"({nchars} - length(regexp_replace(trim(text), '[.,;:!?''\"()\\[\\]{{}}-]', '', 'g'))) "
+            f"* 1.0 / {nchars} END"
+        ),
+        "swr": f"CASE WHEN len({_DUCK_TOKENS}) <= 0 THEN 0.0 ELSE {en_hits} * 1.0 / len({_DUCK_TOKENS}) END",
+    }
+
+
+# quality_score over a base CTE exposing n_chars/n_tokens/pr/swr aliases
+# (mirrors llm/text.py quality_score weights; shared by lang_quality and
+# clean_corpus oracles).
+_DUCK_QUALITY = (
+    "round((CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 0.4 WHEN n_chars > 0 THEN 0.1 ELSE 0.0 END)"
+    " + (CASE WHEN swr >= 0.05 THEN 0.3 ELSE 0.0 END)"
+    " + (CASE WHEN pr <= 0.2 THEN 0.2 ELSE 0.0 END)"
+    " + (CASE WHEN (CASE WHEN n_tokens > 0 THEN n_chars * 1.0 / n_tokens ELSE 0.0 END)"
+    " BETWEEN 3 AND 12 THEN 0.1 ELSE 0.0 END), 4)"
+)
+
+
+def _duck_repetition_ctes() -> str:
+    """The lines/ls + tk/grams/gc/gs CTE chain (kernel-parity line and
+    2-gram tokenization) shared by the repetition_stats and
+    clean_corpus_census oracles."""
+    return """lines AS (
+      SELECT d.doc_id, trim(l.ln) AS line
+      FROM documents d, unnest(str_split(d.text, chr(10))) AS l(ln)
+      WHERE trim(l.ln) <> ''
+    ), ls AS (
+      SELECT doc_id, count(*) AS n_lines,
+             round(1.0 - count(DISTINCT line) / count(*), 6) AS dup_line_frac
+      FROM lines GROUP BY doc_id
+    ), tk AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ), grams AS (
+      SELECT doc_id, w[i] || ' ' || w[i + 1] AS g
+      FROM tk, unnest(generate_series(1, len(w) - 1)) AS s(i)
+      WHERE len(w) >= 2
+    ), gc AS (
+      SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
+    ), gs AS (
+      SELECT doc_id,
+             round(max(c) / sum(c), 6) AS top_2gram_frac,
+             round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) / sum(c), 6)
+               AS dup_2gram_frac
+      FROM gc GROUP BY doc_id
+    )"""
+
+
 @q(
     "iceberg_time_travel_index",
     """
@@ -1938,33 +2000,9 @@ def sequence_packing_query(spark, sf_dir):
     )
 
 
-@q(
-    "repetition_stats",
-    """
-    WITH lines AS (
-      SELECT d.doc_id, trim(l.ln) AS line
-      FROM documents d, unnest(str_split(d.text, chr(10))) AS l(ln)
-      WHERE trim(l.ln) <> ''
-    ), ls AS (
-      SELECT doc_id, count(*) AS n_lines,
-             round(1.0 - count(DISTINCT line) / count(*), 6) AS dup_line_frac
-      FROM lines GROUP BY doc_id
-    ), toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
-      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
-    ), grams AS (
-      SELECT doc_id, w[i] || ' ' || w[i + 1] AS g
-      FROM toks, unnest(generate_series(1, len(w) - 1)) AS s(i)
-      WHERE len(w) >= 2
-    ), gc AS (
-      SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
-    ), gs AS (
-      SELECT doc_id,
-             round(max(c) / sum(c), 6) AS top_2gram_frac,
-             round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) / sum(c), 6)
-               AS dup_2gram_frac
-      FROM gc GROUP BY doc_id
-    )
+def _repetition_oracle() -> str:
+    return f"""
+    WITH {_duck_repetition_ctes()}
     SELECT d.doc_id,
       CASE WHEN d.text IS NULL THEN NULL
            ELSE CAST(coalesce(ls.n_lines, 0) AS BIGINT) END AS n_lines,
@@ -1977,8 +2015,10 @@ def sequence_packing_query(spark, sf_dir):
     FROM documents d
     LEFT JOIN ls USING (doc_id)
     LEFT JOIN gs USING (doc_id)
-    """,
-)
+    """
+
+
+@q("repetition_stats", _repetition_oracle())
 def repetition_stats_query(spark, sf_dir):
     """Gopher-style intra-document repetition metrics
     (llm/repetition.py): duplicate-line fraction and 2-gram repetition,
@@ -1991,23 +2031,13 @@ def repetition_stats_query(spark, sf_dir):
 
 
 def _text_stats_oracle() -> str:
-    from hyperspace_spark.llm.text import STOPWORDS
-
-    en_hits = _duck_sw_hits(STOPWORDS["en"])
-    ntok = f"CASE WHEN trim(text)='' THEN 0 ELSE len({_DUCK_RAW_TOKENS}) END"
-    nchars = "length(trim(text))"
-    punct = (
-        f"CASE WHEN {nchars} = 0 THEN 0.0 ELSE "
-        f"({nchars} - length(regexp_replace(trim(text), '[.,;:!?''\"()\\[\\]{{}}-]', '', 'g'))) "
-        f"* 1.0 / {nchars} END"
-    )
-    swr = f"CASE WHEN len({_DUCK_TOKENS}) <= 0 THEN 0.0 ELSE {en_hits} * 1.0 / len({_DUCK_TOKENS}) END"
+    e = _duck_text_exprs()
     return f"""
     SELECT doc_id,
-           {nchars} AS n_chars_text,
-           {ntok} AS n_tokens,
-           round({punct}, 4) AS punct_ratio,
-           round({swr}, 4) AS stopword_ratio,
+           {e["nchars"]} AS n_chars_text,
+           {e["ntok"]} AS n_tokens,
+           round({e["punct"]}, 4) AS punct_ratio,
+           round({e["swr"]}, 4) AS stopword_ratio,
            md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
     FROM documents
     """
@@ -2036,6 +2066,7 @@ def _lang_quality_oracle() -> str:
     quality heuristic, and min-md5-over-5-shingles fingerprinting."""
     from hyperspace_spark.llm.text import STOPWORDS
 
+    e = _duck_text_exprs()
     hits = {lang: _duck_sw_hits(sw) for lang, sw in STOPWORDS.items()}
     lang = (
         "CASE "
@@ -2043,21 +2074,6 @@ def _lang_quality_oracle() -> str:
         f"WHEN es_h >= fr_h AND es_h >= de_h AND es_h >= 1 THEN 'es' "
         f"WHEN fr_h >= de_h AND fr_h >= 1 THEN 'fr' "
         f"WHEN de_h >= 1 THEN 'de' ELSE 'und' END"
-    )
-    nchars = "length(trim(text))"
-    ntok = f"CASE WHEN trim(text)='' THEN 0 ELSE len({_DUCK_RAW_TOKENS}) END"
-    punct = (
-        f"CASE WHEN {nchars} = 0 THEN 0.0 ELSE "
-        f"({nchars} - length(regexp_replace(trim(text), '[.,;:!?''\"()\\[\\]{{}}-]', '', 'g'))) "
-        f"* 1.0 / {nchars} END"
-    )
-    swr = f"CASE WHEN len({_DUCK_TOKENS}) <= 0 THEN 0.0 ELSE {hits['en']} * 1.0 / len({_DUCK_TOKENS}) END"
-    mean_tok = "CASE WHEN n_tokens > 0 THEN n_chars * 1.0 / n_tokens ELSE 0.0 END"
-    quality = (
-        "round((CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 0.4 WHEN n_chars > 0 THEN 0.1 ELSE 0.0 END)"
-        " + (CASE WHEN swr >= 0.05 THEN 0.3 ELSE 0.0 END)"
-        " + (CASE WHEN pr <= 0.2 THEN 0.2 ELSE 0.0 END)"
-        f" + (CASE WHEN {mean_tok} BETWEEN 3 AND 12 THEN 0.1 ELSE 0.0 END), 4)"
     )
     shingle_fp = (
         f"CASE WHEN len({_DUCK_TOKENS}) < 5 THEN md5(array_to_string({_DUCK_TOKENS}, ' ')) "
@@ -2067,13 +2083,13 @@ def _lang_quality_oracle() -> str:
     return f"""
     WITH base AS (
       SELECT doc_id, text,
-             {nchars} AS n_chars, {ntok} AS n_tokens,
-             {punct} AS pr, {swr} AS swr,
+             {e["nchars"]} AS n_chars, {e["ntok"]} AS n_tokens,
+             {e["punct"]} AS pr, {e["swr"]} AS swr,
              {hits['en']} AS en_h, {hits['es']} AS es_h,
              {hits['fr']} AS fr_h, {hits['de']} AS de_h
       FROM documents
     )
-    SELECT doc_id, {lang} AS lang_pred, {quality} AS quality_score,
+    SELECT doc_id, {lang} AS lang_pred, {_DUCK_QUALITY} AS quality_score,
            {shingle_fp} AS shingle_fp
     FROM base
     """
@@ -2117,50 +2133,14 @@ def udtf_chunk_text(spark, sf_dir):
 
 
 def _clean_corpus_oracle() -> str:
-    """clean_corpus composes already-oracled pieces: the repetition CTEs
-    (repetition_stats oracle) + the quality expressions (_lang_quality
-    oracle) + the length rules, folded into one first-hit-wins CASE."""
-    from hyperspace_spark.llm.text import STOPWORDS
-
-    hits_en = _duck_sw_hits(STOPWORDS["en"])
-    nchars = "length(trim(text))"
-    ntok = f"CASE WHEN trim(text)='' THEN 0 ELSE len({_DUCK_RAW_TOKENS}) END"
-    punct = (
-        f"CASE WHEN {nchars} = 0 THEN 0.0 ELSE "
-        f"({nchars} - length(regexp_replace(trim(text), '[.,;:!?''\"()\\[\\]{{}}-]', '', 'g'))) "
-        f"* 1.0 / {nchars} END"
-    )
-    swr = f"CASE WHEN len({_DUCK_TOKENS}) <= 0 THEN 0.0 ELSE {hits_en} * 1.0 / len({_DUCK_TOKENS}) END"
-    mean_tok = "CASE WHEN n_tokens > 0 THEN n_chars * 1.0 / n_tokens ELSE 0.0 END"
-    quality = (
-        "round((CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 0.4 WHEN n_chars > 0 THEN 0.1 ELSE 0.0 END)"
-        " + (CASE WHEN swr >= 0.05 THEN 0.3 ELSE 0.0 END)"
-        " + (CASE WHEN pr <= 0.2 THEN 0.2 ELSE 0.0 END)"
-        f" + (CASE WHEN {mean_tok} BETWEEN 3 AND 12 THEN 0.1 ELSE 0.0 END), 4)"
-    )
+    """clean_corpus composes already-oracled pieces: the shared
+    repetition CTEs + shared quality expressions + the length rules,
+    folded into one first-hit-wins CASE."""
+    e = _duck_text_exprs()
     return f"""
-    WITH lines AS (
-      SELECT d.doc_id, trim(l.ln) AS line
-      FROM documents d, unnest(str_split(d.text, chr(10))) AS l(ln)
-      WHERE trim(l.ln) <> ''
-    ), ls AS (
-      SELECT doc_id, round(1.0 - count(DISTINCT line) / count(*), 6) AS dup_line_frac
-      FROM lines GROUP BY doc_id
-    ), tk AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
-      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
-    ), grams AS (
-      SELECT doc_id, w[i] || ' ' || w[i + 1] AS g
-      FROM tk, unnest(generate_series(1, len(w) - 1)) AS s(i)
-      WHERE len(w) >= 2
-    ), gc AS (
-      SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
-    ), gs AS (
-      SELECT doc_id, round(max(c) / sum(c), 6) AS top_2gram_frac
-      FROM gc GROUP BY doc_id
-    ), base AS (
-      SELECT doc_id, text, {nchars} AS n_chars, {ntok} AS n_tokens,
-             {punct} AS pr, {swr} AS swr
+    WITH {_duck_repetition_ctes()}, base AS (
+      SELECT doc_id, text, {e["nchars"]} AS n_chars, {e["ntok"]} AS n_tokens,
+             {e["punct"]} AS pr, {e["swr"]} AS swr
       FROM documents
     ), tagged AS (
       SELECT b.doc_id,
@@ -2169,7 +2149,7 @@ def _clean_corpus_oracle() -> str:
              WHEN b.n_chars > 20000 THEN 'too_long'
              WHEN coalesce(ls.dup_line_frac, 0) > 0.3
                   OR coalesce(gs.top_2gram_frac, 0) > 0.2 THEN 'repetitive'
-             WHEN {quality} < 0.5 THEN 'low_quality'
+             WHEN {_DUCK_QUALITY} < 0.5 THEN 'low_quality'
              ELSE 'kept' END AS reason
       FROM base b LEFT JOIN ls USING (doc_id) LEFT JOIN gs USING (doc_id)
     )

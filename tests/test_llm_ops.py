@@ -835,3 +835,30 @@ def test_clean_corpus_reasons(spark):
     assert out.drop_reason == "bad_lang"
     out2 = clean_corpus(df2, allowed_langs=["en", "es"]).collect()[0]
     assert out2.drop_reason is None
+
+
+def test_clean_corpus_duplicate_ids_do_not_multiply_rows(spark):
+    """clean_corpus runs BEFORE dedup, so duplicate ids are a legal
+    input: the per-id metric aggregate keeps the join side unique and
+    row counts exact (no quadratic blowup), with the worst-case
+    (max) repetition deciding the shared id's fate."""
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.llm.pipeline import clean_corpus
+
+    good = "The quick brown fox jumps over the lazy dog and walks home. " * 3
+    df = spark.createDataFrame(
+        [(7, good), (7, ("menu\n" * 9) + good), (8, good)],
+        "doc_id long, text string",
+    )
+    out = clean_corpus(df).collect()
+    assert len(out) == 3, "rows must not multiply through the metrics join"
+    reasons = sorted((r.doc_id, r.drop_reason) for r in out)
+    # both id-7 rows share the aggregated (max) metrics -> both repetitive
+    assert reasons == [(7, "repetitive"), (7, "repetitive"), (8, None)]
+    # caller columns named like the internal metrics don't collide
+    df2 = spark.createDataFrame(
+        [(1, good, 0.9)], "doc_id long, text string, dup_line_frac double"
+    )
+    out2 = clean_corpus(df2).collect()[0]
+    assert out2.drop_reason is None and out2.dup_line_frac == 0.9
