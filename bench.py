@@ -142,6 +142,8 @@ def main() -> None:
         "json_props_extract",
         "recursive_month_series",
         "clean_corpus_census",
+        "percentile_stats",
+        "window_lag_lead",
     ]
 
 

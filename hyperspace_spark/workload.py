@@ -1571,6 +1571,43 @@ def window_top_orders(spark, sf_dir):
 
 
 @q(
+    "window_lag_lead",
+    """
+    SELECT user_id, event_id,
+           round(value - coalesce(lag(value) OVER w, value), 6) AS delta_prev,
+           round(coalesce(lead(value) OVER w, value) - value, 6) AS delta_next,
+           ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id)
+             AS value_quartile
+    FROM events WHERE user_id < 40
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead(spark, sf_dir):
+    """Offset/ntile window surface (lag/lead/ntile — the window family
+    window_top_orders' row_number doesn't touch): per-user event-value
+    deltas in time order and value quartiles.  ORDER BY includes
+    event_id so ties are deterministic in both engines."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    _conf(spark)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wq = W.partitionBy("user_id").orderBy("value", "event_id")
+    v = F.col("value")
+    return (
+        _t(spark, sf_dir, "events")
+        .filter("user_id < 40")
+        .select(
+            "user_id",
+            "event_id",
+            F.round(v - F.coalesce(F.lag(v).over(w), v), 6).alias("delta_prev"),
+            F.round(F.coalesce(F.lead(v).over(w), v) - v, 6).alias("delta_next"),
+            F.ntile(4).over(wq).alias("value_quartile"),
+        )
+    )
+
+
+@q(
     "cube_returnflag_status",
     """
     SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty
@@ -3009,6 +3046,40 @@ def recursive_month_series(spark, sf_dir):
 
 
 @q(
+    "percentile_stats",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99,
+           round(stddev_samp(value), 4) AS sd
+    FROM events GROUP BY event_type
+    """,
+)
+def percentile_stats(spark, sf_dir):
+    """EXACT interpolated percentiles per group (Spark `percentile`, the
+    non-approx aggregate — both engines use linear interpolation over
+    the sorted values, so results are bit-comparable after rounding).
+    The 100 TB path is `approx_percentile` (t-digest, non-oracle-able by
+    construction); this query verifies the exact surface."""
+    from pyspark.sql import functions as F
+
+    _conf(spark)
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+            F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+            F.round(F.stddev_samp("value"), 4).alias("sd"),
+        )
+    )
+
+
+@q(
     "union_distinct",
     """
     SELECT DISTINCT o_custkey FROM (
@@ -3256,6 +3327,8 @@ _VERIFY_PRIORITY = [
     "json_props_extract",
     "recursive_month_series",
     "clean_corpus_census",
+    "percentile_stats",
+    "window_lag_lead",
     # index-accelerated core (headline claims: verify every round)
     "covering_filter_point",
     "covering_filter_agg",
