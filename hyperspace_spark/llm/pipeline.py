@@ -58,13 +58,23 @@ def clean_corpus(
     from hyperspace_spark.llm.repetition import repetition_stats
     from hyperspace_spark.llm.text import language_id, quality_score
 
+    reserved = {"_hs_cheap", "_hs_dlf", "_hs_t2f"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"clean_corpus reserves column names {sorted(clash)}; rename them"
+        )
+
     t = F.col(text_col)
     n = F.length(F.trim(t))
 
     # Cheap JVM gates first; the repetition kernel then runs ONLY over
-    # rows that survive them (first-hit-wins means its metrics are never
-    # consulted for already-rejected rows — skipping them is
-    # result-identical and shrinks both the kernel input and the join).
+    # rows that survive them — their metrics are never consulted for
+    # already-rejected rows, which shrinks the kernel input and the
+    # join.  (With DUPLICATE ids this is also a semantic choice, not
+    # just an optimization: a twin row rejected for length does not feed
+    # the shared per-id max, so it can't drag its sibling into
+    # 'repetitive'.)
     cheap = F.when(t.isNull(), "null_text").when(n < min_chars, "too_short").when(
         n > max_chars, "too_long"
     )
@@ -73,7 +83,7 @@ def clean_corpus(
     cheap = cheap.otherwise(F.lit(None).cast("string"))
     with_cheap = df.withColumn("_hs_cheap", cheap)
 
-    # Reserved-name aliases so caller columns can't collide; max per id
+    # Internal aliases (validated against the input above); max per id
     # (worst-case repetition) so duplicate ids — clean_corpus runs
     # BEFORE dedup — can't multiply rows through the join.
     rep = (

@@ -862,3 +862,11 @@ def test_clean_corpus_duplicate_ids_do_not_multiply_rows(spark):
     )
     out2 = clean_corpus(df2).collect()[0]
     assert out2.drop_reason is None and out2.dup_line_frac == 0.9
+
+
+def test_clean_corpus_rejects_reserved_columns(spark):
+    from hyperspace_spark.llm.pipeline import clean_corpus
+
+    df = spark.createDataFrame([(1, "x", 1.0)], "doc_id long, text string, _hs_dlf double")
+    with pytest.raises(ValueError, match="_hs_dlf"):
+        clean_corpus(df)
