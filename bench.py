@@ -144,6 +144,7 @@ def main() -> None:
         "clean_corpus_census",
         "percentile_stats",
         "window_lag_lead",
+        "unigram_logprob",
     ]
 
 

@@ -232,3 +232,46 @@ def chunk_text_udtf(size: int = 64, overlap: int = 16):
                 yield row["doc_id"], ci, len(w), " ".join(w)
 
     return ChunkText
+
+
+def unigram_logprob(
+    df: "DataFrame", text_col: str = "text", id_col: str = "doc_id"
+) -> "DataFrame":
+    """-> (doc_id, n_tokens, mean_neg_logprob): per-document mean
+    negative log-probability under the CORPUS'S OWN unigram model — the
+    deterministic core of the CCNet/KenLM-style perplexity filter
+    (documents whose tokens are improbable under the corpus distribution
+    are gibberish, boilerplate, or wrong-language; high score = filter
+    candidate).  A real deployment swaps the self-model for a reference
+    LM's frequency table; the plumbing (model build, score join) is
+    identical and this version needs no external model file.
+
+    Scale shape: building the model is one explode + token-keyed
+    groupBy — a corpus shuffle, same cost class as an index build, paid
+    once (persist the freq table as a derived dataset for reuse).  The
+    scoring pass joins exploded tokens against the frequency table
+    (vocab after min-count pruning fits executor memory at any corpus
+    size — Heaps' law; AQE broadcasts it) and reduces per doc.  No
+    driver-side state: the corpus total rides along as a 1-row
+    broadcast, never a collect().
+
+    Docs with NULL text (no tokens) are absent from the output —
+    upstream gates (clean_corpus null_text) own that case."""
+    from pyspark.sql import functions as F
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    freqs = toks.groupBy("tok").agg(F.count("*").alias("_hs_c"))
+    total = freqs.agg(F.sum("_hs_c").alias("_hs_tot"))
+    return (
+        toks.join(freqs, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("_hs_c") / F.col("_hs_tot"))), 4
+            ).alias("mean_neg_logprob"),
+        )
+    )

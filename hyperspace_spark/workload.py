@@ -2211,6 +2211,36 @@ def clean_corpus_census(spark, sf_dir):
     ).agg(F.count("*").alias("n_docs"))
 
 
+@q(
+    "unigram_logprob",
+    """
+    WITH tk AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+      FROM documents WHERE text IS NOT NULL
+    ), f AS (
+      SELECT tok, count(*) AS c FROM tk GROUP BY tok
+    ), t AS (
+      SELECT sum(c) AS tot FROM f
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           round(avg(-ln(c * 1.0 / tot)), 4) AS mean_neg_logprob
+    FROM tk JOIN f USING (tok) CROSS JOIN t
+    GROUP BY doc_id
+    """,
+)
+def unigram_logprob_query(spark, sf_dir):
+    """CCNet/KenLM-style LM quality proxy (llm/text.py unigram_logprob):
+    per-document mean -ln p(token) under the corpus's own unigram
+    distribution.  Model build = one token-keyed groupBy; scoring joins
+    the exploded tokens against it — the oracle replays the identical
+    arithmetic (ln is IEEE-double in both engines; avg+round(4) absorbs
+    summation-order ulps)."""
+    from hyperspace_spark.llm.text import unigram_logprob
+
+    _conf(spark)
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 @q("lang_quality", _lang_quality_oracle())
 def lang_quality(spark, sf_dir):
     from pyspark.sql import functions as F
@@ -3329,6 +3359,7 @@ _VERIFY_PRIORITY = [
     "clean_corpus_census",
     "percentile_stats",
     "window_lag_lead",
+    "unigram_logprob",
     # index-accelerated core (headline claims: verify every round)
     "covering_filter_point",
     "covering_filter_agg",

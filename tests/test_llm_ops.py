@@ -870,3 +870,23 @@ def test_clean_corpus_rejects_reserved_columns(spark):
     df = spark.createDataFrame([(1, "x", 1.0)], "doc_id long, text string, _hs_dlf double")
     with pytest.raises(ValueError, match="_hs_dlf"):
         clean_corpus(df)
+
+
+def test_unigram_logprob_direction(spark):
+    """Rare-token documents must score HIGHER (more surprising) than
+    documents made of corpus-common tokens, and the mean is exact."""
+    import math
+
+    from hyperspace_spark.llm.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "the the the"), (2, "the zyxw")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in unigram_logprob(df).collect()}
+    # corpus: the x4, zyxw x1, total 5
+    assert rows[1].n_tokens == 3 and rows[2].n_tokens == 2
+    exp1 = round(-math.log(4 / 5), 4)
+    exp2 = round((-math.log(4 / 5) - math.log(1 / 5)) / 2, 4)
+    assert abs(rows[1].mean_neg_logprob - exp1) < 1e-9
+    assert abs(rows[2].mean_neg_logprob - exp2) < 1e-9
+    assert rows[2].mean_neg_logprob > rows[1].mean_neg_logprob
