@@ -38,6 +38,10 @@ ACCELERATED_QUERIES = [
     "join_cobucketed",
     "dataskipping_minmax",
     "zorder_filter_2d",
+    # snapshot sources: same covering rewrite, but the raw-side baseline
+    # pays the log/manifest-driven file enumeration too
+    "delta_filter_index",
+    "iceberg_filter_index",
 ]
 
 
