@@ -890,3 +890,35 @@ def test_unigram_logprob_direction(spark):
     assert abs(rows[1].mean_neg_logprob - exp1) < 1e-9
     assert abs(rows[2].mean_neg_logprob - exp2) < 1e-9
     assert rows[2].mean_neg_logprob > rows[1].mean_neg_logprob
+
+
+def test_write_training_shards_deterministic(spark, docs, tmp_path):
+    """Shard export: content-addressed membership (same doc -> same
+    shard across runs), one file per shard directory, and a manifest
+    that matches both the written files and an independent recount."""
+    import os
+
+    from hyperspace_spark.llm.export import write_training_shards
+
+    out1, out2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    m1 = {r.shard: (r.n_docs, r.n_tokens) for r in write_training_shards(docs, out1, shards=8).collect()}
+    m2 = {r.shard: (r.n_docs, r.n_tokens) for r in write_training_shards(docs, out2, shards=8).collect()}
+    assert m1 == m2, "export must be reproducible run-to-run"
+    assert sum(n for n, _ in m1.values()) == docs.count()
+
+    # one data file per shard dir, and the files agree with the manifest
+    for shard, (n_docs, _) in m1.items():
+        d = os.path.join(out1, f"shard={shard}")
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, files
+    back = spark.read.parquet(out1)
+    counted = {r.shard: r.n for r in back.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    assert counted == {s: n for s, (n, _) in m1.items()}
+    # membership is the md5 bucket, not task placement
+    from hyperspace_spark.llm.sampling import hash_bucket
+    expect = {r.doc_id: r.s for r in docs.select("doc_id", hash_bucket(F.col("doc_id"), 8).alias("s")).collect()}
+    got = {r.doc_id: r.shard for r in back.select("doc_id", "shard").collect()}
+    assert got == expect
+
+    with pytest.raises(ValueError, match="shard"):
+        write_training_shards(back, str(tmp_path / "s3"))
