@@ -263,18 +263,28 @@ class Hyperspace:
     # HyperspaceSparkSessionExtension.scala:44-69).  The reference injects
     # an optimizer rule into the session's extensions so EVERY query is
     # index-aware; a Python-side engine can't register Catalyst rules, so
-    # the equivalent ergonomic surface routes SparkSession.sql through
-    # apply() via an instance-attribute patch.  DataFrame-API queries
-    # still need explicit hs.apply(df) — documented divergence (SURVEY §7
-    # H1); SQL is the surface the reference's enableHyperspace() demo
-    # targets.
+    # the equivalent ergonomic surface is two instance/class patches:
+    # SparkSession.sql routes its result through apply(), and (since r6)
+    # DataFrame ACTIONS (collect/count/show/toPandas/...) on an enabled
+    # session apply() the frame first, so
+    # ``spark.read.parquet(p).filter(...).collect()`` is accelerated with
+    # no explicit hs.apply() — closing the DataFrame-API half of the
+    # reference's ApplyHyperspace.scala:32-76 coverage.  Writes
+    # (``df.write``) and RDD-side actions are NOT routed (a property
+    # patch on the pyspark class would be required); call apply()
+    # explicitly before writing if the producing query should be
+    # accelerated.
     # ------------------------------------------------------------------
-    def enable(self) -> None:
-        """Route plain ``spark.sql(...)`` on this session through the
-        index planner.  Idempotent; re-enabling from a different
-        Hyperspace instance re-routes to that instance (latest wins).
-        The ``spark.hyperspace.apply.enabled`` conf kill switch still
-        short-circuits apply() per query."""
+    def enable(self, dataframe_api: bool = True) -> None:
+        """Route this session's queries through the index planner:
+        plain ``spark.sql(...)`` always; DataFrame actions too when
+        ``dataframe_api`` (default).  Idempotent; re-enabling from a
+        different Hyperspace instance re-routes to that instance (latest
+        wins).  The ``spark.hyperspace.apply.enabled`` conf kill switch
+        still short-circuits apply() per query.  Child sessions from
+        ``spark.newSession()`` are auto-enabled with their own Hyperspace
+        instance on the same system path (disable the child session
+        individually to opt it out)."""
         import threading
 
         spark = self.spark
@@ -286,7 +296,7 @@ class Hyperspace:
 
         def routed_sql(query, *args, **kwargs):
             df = orig(query, *args, **kwargs)
-            if getattr(guard, "active", False):
+            if getattr(guard, "active", False) or getattr(_DF_ROUTE_GUARD, "active", False):
                 # Internal statement issued from inside apply()'s replay
                 # (e.g. bucketed-table re-registration DDL): planning it
                 # would be wasted work at best.
@@ -298,9 +308,28 @@ class Hyperspace:
                 guard.active = False
 
         spark.sql = routed_sql
+        if dataframe_api:
+            _install_df_action_routing()
+            _DF_ROUTES[spark] = self
+        # newSession() children are distinct SparkSession objects: the
+        # instance patch above and the route registry would both miss
+        # them.  Patch newSession so children inherit the routing.
+        if getattr(spark, "_hs_original_newSession", None) is None:
+            spark._hs_original_newSession = spark.newSession
+        orig_ns = spark._hs_original_newSession
+        sys_path = self._system_path
+
+        def routed_newSession():
+            child = orig_ns()
+            type(hs)(child, system_path=sys_path).enable(dataframe_api=dataframe_api)
+            return child
+
+        spark.newSession = routed_newSession
 
     def disable(self) -> None:
-        """Restore the pre-enable ``spark.sql`` (no-op if not enabled)."""
+        """Restore the pre-enable session surface (no-op if not
+        enabled): ``spark.sql``, ``spark.newSession``, and this
+        session's DataFrame-action routing."""
         _disable_session_sql(self.spark)
 
     def is_enabled(self) -> bool:
@@ -346,7 +375,13 @@ class Hyperspace:
             if best.score <= 0:
                 result = (df, [])
             else:
-                result = (replay(self.spark, best.node), best.index_names)
+                rewritten = replay(self.spark, best.node)
+                # The rewritten frame must not be re-planned when a
+                # DataFrame-action route (session enable) executes it:
+                # its scans read index data, which never matches a
+                # candidate, so a second pass is pure wasted planning.
+                rewritten._hs_no_reroute = True
+                result = (rewritten, best.index_names)
             if cache_key is not None:
                 if len(self._apply_cache) > 256:
                     self._apply_cache.clear()
@@ -1275,10 +1310,99 @@ _instrument_lifecycle()
 # isHyperspaceEnabled()).  Python has no implicits; these are plain
 # functions over the session.
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# DataFrame-action routing for session-level enable: a CLASS-level patch
+# on pyspark's DataFrame action methods, gated per-session by a weak
+# registry, so frames built with the DataFrame API (spark.read.* +
+# transformations) hit the index planner on execution with no explicit
+# apply().  Equivalent surface to the reference's ApplyHyperspace
+# optimizer rule for DataFrame queries (ApplyHyperspace.scala:32-76).
+#
+# Safety properties:
+# - sessions not in _DF_ROUTES pass straight through (one dict probe);
+# - _DF_ROUTE_GUARD (thread-local) stops recursion — apply()'s own
+#   planning/replay work runs actions on the same session;
+# - frames apply() already rewrote carry _hs_no_reroute and skip the
+#   second planning pass;
+# - patching collect() transitively covers take/head/first/toLocalIterator
+#   paths that funnel through it in pyspark; count/show/toPandas have
+#   their own JVM entry points and are patched individually.
+# ---------------------------------------------------------------------------
+import threading as _threading
+import weakref as _weakref
+
+_DF_ROUTES: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+_DF_ROUTE_GUARD = _threading.local()
+_DF_PATCHED: dict = {}
+_DF_ACTION_METHODS = ("collect", "count", "show", "toPandas")
+
+
+def _route_for(df):
+    if not _DF_ROUTES:
+        return None
+    try:
+        return _DF_ROUTES.get(df.sparkSession)
+    except Exception:
+        return None
+
+
+def _make_routed_action(orig):
+    import functools
+
+    @functools.wraps(orig)
+    def routed(self, *args, **kwargs):
+        hs = _route_for(self)
+        if (
+            hs is None
+            or getattr(_DF_ROUTE_GUARD, "active", False)
+            or getattr(self, "_hs_no_reroute", False)
+        ):
+            return orig(self, *args, **kwargs)
+        _DF_ROUTE_GUARD.active = True
+        try:
+            rewritten = hs.apply(self)
+        finally:
+            _DF_ROUTE_GUARD.active = False
+        return orig(rewritten, *args, **kwargs)
+
+    return routed
+
+
+def _df_impl_class():
+    """The CONCRETE DataFrame class local sessions instantiate.  Since
+    Spark 4, ``pyspark.sql.DataFrame`` is an abstract facade and the
+    classic engine's subclass overrides every action method — patching
+    the facade would never be reached via the MRO."""
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame  # Spark >= 4
+    except ImportError:
+        from pyspark.sql import DataFrame  # Spark 3.x: one concrete class
+    return DataFrame
+
+
+def _install_df_action_routing() -> None:
+    if _DF_PATCHED:
+        return
+    cls = _df_impl_class()
+    for name in _DF_ACTION_METHODS:
+        orig = getattr(cls, name)
+        _DF_PATCHED[name] = orig
+        setattr(cls, name, _make_routed_action(orig))
+
+
+def _uninstall_df_action_routing() -> None:
+    if not _DF_PATCHED:
+        return
+    cls = _df_impl_class()
+    for name, orig in _DF_PATCHED.items():
+        setattr(cls, name, orig)
+    _DF_PATCHED.clear()
+
+
 def enable_hyperspace(spark, hs: "Hyperspace | None" = None) -> "Hyperspace":
-    """Route ``spark.sql`` through the index planner.  Returns the
-    Hyperspace instance doing the routing (a default-system-path instance
-    is created when ``hs`` is not given)."""
+    """Route ``spark.sql`` and DataFrame actions through the index
+    planner.  Returns the Hyperspace instance doing the routing (a
+    default-system-path instance is created when ``hs`` is not given)."""
     hs = hs or Hyperspace(spark)
     hs.enable()
     return hs
@@ -1290,6 +1414,19 @@ def _disable_session_sql(spark) -> None:
     (query-audit wrappers etc.), the saved original is that wrapper —
     restore it rather than popping down to the bare class method, which
     would silently uninstall the third party's hook."""
+    _DF_ROUTES.pop(spark, None)
+    if not _DF_ROUTES:
+        # last enabled session gone: restore the pristine DataFrame class
+        _uninstall_df_action_routing()
+    saved_ns = getattr(spark, "_hs_original_newSession", None)
+    if saved_ns is not None:
+        if getattr(saved_ns, "__func__", None) is type(spark).newSession and getattr(
+            saved_ns, "__self__", None
+        ) is spark:
+            spark.__dict__.pop("newSession", None)
+        else:
+            spark.newSession = saved_ns
+        spark._hs_original_newSession = None
     saved = getattr(spark, "_hs_original_sql", None)
     if saved is None:
         return

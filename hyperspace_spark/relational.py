@@ -1,0 +1,249 @@
+"""Relational operators Spark's DataFrame API lacks, rebuilt Spark-first
+for 100 TB scale:
+
+- ``asof_join``: temporal as-of join (each left row matched to the most
+  recent right row at-or-before its timestamp, per key).  Spark has no
+  ASOF JOIN; the naive spelling — a theta-join on ``l.ts >= r.ts`` plus a
+  per-left-row argmax — is a broadcast-nested-loop over the full cross
+  product per key.  The distributed shape used here is the classic
+  union-and-window trick: tag both inputs, union them, sort each key
+  partition once by time, and carry the right side's payload forward with
+  ``last(..., ignorenulls=True)`` over an unbounded-preceding window.
+  ONE shuffle on the key, no pair explosion, pure JVM window execution —
+  the same cost profile as a windowed aggregation over the union.
+
+- ``range_join``: point-in-interval join (points table × intervals
+  table).  Spark plans a non-equi join condition as a broadcast/cartesian
+  nested loop — O(|points|·|intervals|) comparisons.  Bucketizing turns
+  it into an equi-join: every interval is exploded to the fixed-width
+  buckets it overlaps, every point maps to exactly one bucket, and the
+  bucket ids equi-join (hash shuffle or broadcast, AQE's choice) with the
+  exact range predicate re-applied as a post-filter.  Comparisons drop to
+  O(|points| + Σ interval_width/bucket_width), the standard interval-
+  bucketing scheme (cf. Spark's own range-join hints on Databricks and
+  the interval-join of Flink's DataStream API — public designs; rebuilt
+  here from the description).
+
+- ``distinct_count_sketch``: deterministic distinct-count estimation by
+  value-hash thresholding (distinct sampling, Gibbons VLDB'01): a value
+  survives iff the first ``prefix_len`` hex chars of ``md5(value)`` fall
+  below a threshold, so each *distinct* value is kept with a fixed
+  probability independent of its multiplicity, and
+  ``count_distinct(survivors) / p`` estimates the true cardinality.
+  Unlike HyperLogLog (Spark's ``approx_count_distinct``), the estimate
+  is a pure deterministic function of the value set — the same answer on
+  any engine with md5 — which makes it cross-engine verifiable (the
+  DuckDB oracle reproduces it bit-for-bit) and mergeable by union.  The
+  scale win: the filter runs BEFORE the distinct shuffle, so the
+  exchange carries only ~p of the distinct keys.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Sequence
+
+if TYPE_CHECKING:
+    from pyspark.sql import Column, DataFrame
+
+
+def asof_join(
+    left: "DataFrame",
+    right: "DataFrame",
+    on: str,
+    by: Sequence[str],
+    value_cols: Sequence[str],
+    how: str = "inner",
+    tolerance_seconds: float | None = None,
+    suffix: str = "_right",
+) -> "DataFrame":
+    """As-of (backward) join: for every left row, attach the payload of
+    the latest right row with ``right.on <= left.on`` and equal ``by``
+    keys.
+
+    Semantics match DuckDB's ``ASOF JOIN`` (and pandas ``merge_asof``
+    with ``direction='backward'``): ties on the timestamp match (a right
+    row AT the left row's timestamp is eligible); among multiple right
+    rows at the same instant the last in ``(on)`` order wins.
+
+    Output: all left columns, plus ``<on><suffix>`` (the matched right
+    timestamp) and each of ``value_cols`` renamed ``<col><suffix>``.
+    ``how='inner'`` drops unmatched left rows; ``'left'`` keeps them with
+    NULL payloads.  ``tolerance_seconds`` additionally unmatches rows
+    whose matched right timestamp is older than the tolerance.
+
+    Scale shape: one hash shuffle on ``by`` + one per-partition sort —
+    identical to any windowed aggregation; no join pair explosion.  Skewed
+    keys behave exactly like skewed window partitions (AQE does not split
+    windows; pre-filter a pathological key if one holds >~1 partition's
+    worth of rows).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    by = list(by)
+    value_cols = list(value_cols)
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    overlap = set(left.columns) & ({f"{c}{suffix}" for c in value_cols} | {f"{on}{suffix}"})
+    if overlap:
+        raise ValueError(f"left columns collide with output names: {sorted(overlap)}")
+
+    # Tag and union: right rows carry the payload, left rows carry NULLs.
+    # _hs_side sorts right BEFORE left at an equal timestamp so an exact-
+    # tie right row is visible to the left row (<= semantics).
+    r = right.select(
+        *by,
+        F.col(on).alias("_hs_ts"),
+        F.lit(0).alias("_hs_side"),
+        F.col(on).alias(f"{on}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+    )
+    l = left.select(
+        *by,
+        F.col(on).alias("_hs_ts"),
+        F.lit(1).alias("_hs_side"),
+        F.lit(None).cast(r.schema[f"{on}{suffix}"].dataType).alias(f"{on}{suffix}"),
+        *[
+            F.lit(None).cast(r.schema[f"{c}{suffix}"].dataType).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+        *[F.col(c) for c in left.columns if c not in by and c != on],
+    )
+    unioned = r.select(*[F.lit(None).cast(l.schema[c].dataType).alias(c) if c not in r.columns else F.col(c) for c in l.columns]).unionByName(l)
+
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("_hs_ts").asc(), F.col("_hs_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [f"{on}{suffix}"] + [f"{c}{suffix}" for c in value_cols]
+    out = unioned.select(
+        *[c for c in unioned.columns if c not in carried],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+    )
+    out = out.filter(F.col("_hs_side") == 1)
+    if tolerance_seconds is not None:
+        within = (
+            F.col("_hs_ts").cast("double") - F.col(f"{on}{suffix}").cast("double")
+        ) <= F.lit(float(tolerance_seconds))
+        if how == "left":
+            out = out.select(
+                *[c for c in out.columns if c not in carried],
+                *[F.when(within, F.col(c)).alias(c) for c in carried],
+            )
+        else:
+            out = out.filter(within)
+    if how == "inner":
+        out = out.filter(F.col(f"{on}{suffix}").isNotNull())
+    # Restore the left-facing shape: by, on, other left cols, payload.
+    left_cols = [c for c in left.columns]
+    return out.select(
+        *[F.col("_hs_ts").alias(on) if c == on else F.col(c) for c in left_cols],
+        f"{on}{suffix}",
+        *[f"{c}{suffix}" for c in value_cols],
+    )
+
+
+def range_join(
+    points: "DataFrame",
+    intervals: "DataFrame",
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    by: Sequence[str] = (),
+    closed: str = "left",
+) -> "DataFrame":
+    """Join each point row to every interval row whose ``[lo, hi)`` (or
+    ``[lo, hi]`` with ``closed='both'``) contains the point, optionally
+    also matching ``by`` equi-keys.
+
+    Spark has no range-join optimization: the non-equi condition alone
+    plans as a nested-loop join.  Bucketizing by ``bucket_width`` makes
+    it an equi-join on the bucket id — intervals explode to the buckets
+    they overlap (``sequence(floor(lo/w), floor(hi/w))``), points map to
+    ``floor(p/w)`` — with the exact predicate re-checked after the join.
+    Matches are found exactly once per (point, interval) pair: a point's
+    single bucket intersects an interval's bucket list at most once.
+
+    Pick ``bucket_width`` near the typical interval length: the explode
+    factor is ``1 + len/width`` per interval, while a too-wide bucket
+    degrades toward comparing every point against every interval in the
+    bucket.  Catalyst/AQE still choose the join strategy — a small
+    interval table broadcasts, a large one hash-shuffles on
+    ``(bucket, *by)``.
+    """
+    from pyspark.sql import functions as F
+
+    if closed not in ("left", "both"):
+        raise ValueError(f"closed must be 'left' or 'both', got {closed!r}")
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    by = list(by)
+    w = float(bucket_width)
+
+    iv = intervals.withColumn(
+        "_hs_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / w).cast("long"),
+                F.floor(F.col(hi_col) / w).cast("long"),
+            )
+        ),
+    )
+    pt = points.withColumn("_hs_bucket", F.floor(F.col(point_col) / w).cast("long"))
+    upper = (
+        F.col(point_col) < F.col(hi_col)
+        if closed == "left"
+        else F.col(point_col) <= F.col(hi_col)
+    )
+    cond = (F.col(point_col) >= F.col(lo_col)) & upper
+    joined = pt.join(iv, on=["_hs_bucket", *by], how="inner").filter(cond)
+    return joined.drop("_hs_bucket")
+
+
+def distinct_count_sketch(
+    df: "DataFrame",
+    col: str,
+    group_cols: Sequence[str] = (),
+    prefix_len: int = 2,
+    keep_below: str = "04",
+    out_col: str = "approx_distinct",
+) -> "DataFrame":
+    """Deterministic distinct-count estimate per group.
+
+    A value survives iff ``substr(md5(cast(value as string)), 1,
+    prefix_len) < keep_below`` — a fixed fraction ``p = int(keep_below,
+    16) / 16^prefix_len`` of the *distinct* values, independent of row
+    multiplicity.  The estimate is ``count_distinct(survivors) / p``,
+    rounded to a long.  Standard error ≈ ``sqrt((1-p)/(p·D))`` (D = true
+    distinct count): with the defaults (p = 1/64) about 8% at D = 1000
+    and 2.6% at D = 10 000 — tune ``keep_below`` up for small groups.
+
+    Why not HyperLogLog: ``approx_count_distinct`` is cheaper per byte,
+    but its estimate depends on Spark's internal hash and register
+    layout — no other engine reproduces it.  This sketch is a pure
+    function of the value set (md5 is everywhere), so results are
+    cross-engine checkable and stable across Spark versions, and the
+    survivor sets of disjoint partitions union losslessly.
+
+    Scale shape: the hash filter runs before the distinct aggregation,
+    so the exchange carries only ~p of the distinct keys; the aggregation
+    itself is Spark's ordinary two-phase distinct.  Groups with zero
+    surviving values are absent from the output (their estimate is 0).
+    """
+    from pyspark.sql import functions as F
+
+    if not (1 <= prefix_len <= 8) or len(keep_below) != prefix_len:
+        raise ValueError("keep_below must be a hex string of length prefix_len (1..8)")
+    p = int(keep_below, 16) / (16 ** prefix_len)
+    if p <= 0:
+        raise ValueError("keep_below must be > 0")
+    group_cols = list(group_cols)
+
+    h = F.substring(F.md5(F.col(col).cast("string")), 1, prefix_len)
+    survivors = df.filter(h < F.lit(keep_below))
+    agg = F.round(F.count_distinct(F.col(col)) / F.lit(p)).cast("long").alias(out_col)
+    if group_cols:
+        return survivors.groupBy(*group_cols).agg(agg)
+    return survivors.agg(agg)

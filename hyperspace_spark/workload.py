@@ -115,13 +115,20 @@ class Workspace:
         self.root = f"/tmp/hs_workload_{tag}"
         self.li_byship = f"{self.root}/li_byship"
         self.orders_app = f"{self.root}/orders_app"
+        self.orders_nested = f"{self.root}/orders_nested"
         self.delta_orders = f"{self.root}/delta_orders"
         self.iceberg_orders = f"{self.root}/iceberg_orders"
         self.ngram_pairs = f"{self.root}/ngram_pairs"
         self.hs = Hyperspace(spark, system_path=f"{self.root}/indexes")
 
+    # Bumped whenever the staged copies or index-build configs change:
+    # the workspace marker folds it into the fingerprint, so a layout
+    # left by an older code version is wiped and rebuilt instead of
+    # serving indexes built under the old configs.
+    _WS_VERSION = 6
+
     def _source_fingerprint(self) -> str:
-        parts = []
+        parts = [f"v{self._WS_VERSION}"]
         for name in sorted(os.listdir(self.sf_dir)):
             if not name.endswith(".parquet"):
                 continue
@@ -206,6 +213,21 @@ class Workspace:
             # sees index-time vs query-time file sets differ.
             o.filter("o_orderkey % 97 = 0").coalesce(1).write.mode("overwrite").parquet(
                 f"{self.root}/orders_delta"
+            )
+        if not os.path.exists(f"{self.orders_nested}/_SUCCESS"):
+            # Struct-column variant of orders: exercises the nested
+            # covering-index path (P1 flattening + struct rebuild,
+            # reference ResolverUtils.scala:44-98) end-to-end.
+            (
+                _t(self.spark, self.sf_dir, "orders")
+                .selectExpr(
+                    "o_orderkey",
+                    "named_struct('custkey', o_custkey, 'totalprice', o_totalprice) AS info",
+                    "o_orderdate",
+                )
+                .repartition(4)
+                .write.mode("overwrite")
+                .parquet(self.orders_nested)
             )
         if not os.path.isdir(f"{self.delta_orders}/_delta_log"):
             from hyperspace_spark.sources.delta import write_delta
@@ -299,12 +321,8 @@ class Workspace:
             ),
             (
                 "w_li_skip",
-                lambda: self.hs.create_index(
-                    spark.read.parquet(self.li_byship),
-                    DataSkippingIndexConfig(
-                        "w_li_skip",
-                        [MinMaxSketch(["l_shipdate"]), BloomFilterSketch(["l_orderkey"], 0.01, 8000)],
-                    ),
+                lambda: self._build_skipping(
+                    DataSkippingIndexConfig, MinMaxSketch, BloomFilterSketch
                 ),
             ),
             (
@@ -331,6 +349,21 @@ class Workspace:
                     "orders",
                     ["o_custkey"],
                     ["o_totalprice"],
+                ),
+            ),
+            (
+                # Covering index keyed on a NESTED struct field: dotted
+                # path flattens at build, query-time rewrite rebuilds the
+                # partial struct (P1/C1 nested path).
+                "w_nested_cov",
+                lambda: self.hs.create_index(
+                    spark.read.parquet(self.orders_nested),
+                    CoveringIndexConfig(
+                        "w_nested_cov",
+                        ["info.custkey"],
+                        ["o_orderkey", "info.totalprice"],
+                        num_buckets=nb_point,
+                    ),
                 ),
             ),
             (
@@ -438,6 +471,27 @@ class Workspace:
             read_iceberg(self.spark, self.iceberg_orders),
             CoveringIndexConfig(
                 "w_iceberg_cov", ["o_custkey"], ["o_orderkey", "o_totalprice"]
+            ),
+        )
+
+    def _build_skipping(self, DataSkippingIndexConfig, MinMaxSketch, BloomFilterSketch) -> None:
+        """Skipping index over li_byship: min/max on the layout key plus a
+        Bloom on l_orderkey sized from the ACTUAL per-file row count — a
+        fixed expected-items constant saturates at larger sf (a filter
+        sized for 8k keys holding 37k has fpp ≈ 1 and prunes nothing),
+        exactly the failure mode a 100 TB deployment hits with hardcoded
+        sketch parameters.  The count() is metadata-only on parquet and
+        runs once per cold build."""
+        rows = self.spark.read.parquet(self.li_byship).count()
+        n_files = max(
+            1, len([f for f in os.listdir(self.li_byship) if f.endswith(".parquet")])
+        )
+        expected = max(2000, -(-rows // n_files))
+        self.hs.create_index(
+            self.spark.read.parquet(self.li_byship),
+            DataSkippingIndexConfig(
+                "w_li_skip",
+                [MinMaxSketch(["l_shipdate"]), BloomFilterSketch(["l_orderkey"], 0.01, expected)],
             ),
         )
 
@@ -1973,6 +2027,164 @@ def iceberg_time_travel_index(spark, sf_dir):
 
 
 @q(
+    "dataskipping_bloom",
+    """
+    SELECT l_orderkey, count(*) AS cnt, round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem WHERE l_orderkey IN (257, 1022, 4242, 9999)
+    GROUP BY l_orderkey
+    """,
+)
+def dataskipping_bloom(spark, sf_dir):
+    """Bloom-sketch file pruning (P8): an IN probe on l_orderkey against
+    li_byship, whose layout key is l_shipdate — per-file min/max on the
+    ORDER key has no pruning power (keys scatter uniformly across the
+    date-ranged files), so any file elimination is the Bloom sketch's
+    (indexes/sketches.py BloomFilterSketch.probe_values -> dataskipping
+    prune_file_ids driver probe).  Reference analog:
+    BloomFilterSketchTest.scala / DataSkippingIndexIntegrationTest.scala.
+    A pruned-file-count assertion lives in tests/test_workload_extras.py."""
+    from pyspark.sql import functions as F
+
+    ws = workspace(spark, sf_dir)
+    df = (
+        _p(spark, ws.li_byship)
+        .filter(F.col("l_orderkey").isin(257, 1022, 4242, 9999))
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+    return ws.hs.apply(df)
+
+
+@q(
+    "nested_filter_index",
+    """
+    SELECT o_orderkey, o_totalprice AS totalprice
+    FROM orders WHERE o_custkey BETWEEN 300 AND 350
+    """,
+)
+def nested_filter_index(spark, sf_dir):
+    """Covering-index filter keyed on a NESTED struct field (P1/C1): the
+    staged orders_nested copy packs (custkey, totalprice) into a struct,
+    w_nested_cov indexes info.custkey with flattened __hs_nested columns,
+    and the rewrite rebuilds the partial struct at query time (reference
+    ResolverUtils.scala:44-98).  The oracle re-derives the same result
+    from the flat orders table the nested copy was built from — the same
+    reconstruction pattern the delta/iceberg oracles use."""
+    from pyspark.sql import functions as F
+
+    ws = workspace(spark, sf_dir)
+    df = (
+        _p(spark, ws.orders_nested)
+        .filter("info.custkey BETWEEN 300 AND 350")
+        .select("o_orderkey", F.col("info.totalprice").alias("totalprice"))
+    )
+    return ws.hs.apply(df)
+
+
+@q(
+    "asof_join_events",
+    """
+    WITH marks AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT c.user_id, count(*) AS n_clicks,
+           round(sum(m.value), 2) AS sum_prior_purchase
+    FROM clicks c ASOF JOIN marks m
+      ON c.user_id = m.user_id AND c.ts >= m.ts
+    GROUP BY c.user_id
+    """,
+)
+def asof_join_events(spark, sf_dir):
+    """Temporal as-of join (relational.asof_join): every click matched to
+    the user's most recent at-or-before purchase.  Spark has no ASOF
+    JOIN; the union-and-window realization pays ONE shuffle on user_id
+    and zero pair explosion.  Oracle: DuckDB's native ASOF JOIN —
+    independent semantics, same answer."""
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.relational import asof_join
+
+    _conf(spark)
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter("event_type = 'click'").select("user_id", "ts")
+    marks = ev.filter("event_type = 'purchase'").select("user_id", "ts", "value")
+    j = asof_join(clicks, marks, on="ts", by=["user_id"], value_cols=["value"], how="inner")
+    return j.groupBy("user_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.round(F.sum("value_right"), 2).alias("sum_prior_purchase"),
+    )
+
+
+@q(
+    "range_join_buckets",
+    """
+    SELECT band, count(*) AS cnt, round(sum(value), 2) AS sum_value
+    FROM events e
+    JOIN (VALUES ('low', 0.0, 5.0), ('mid', 5.0, 20.0),
+                 ('high', 20.0, 100.0), ('xl', 100.0, 500.0)) b(band, lo, hi)
+      ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY band
+    """,
+)
+def range_join_buckets(spark, sf_dir):
+    """Point-in-interval join (relational.range_join): events bucketed
+    into value bands WITHOUT the nested-loop join Spark would plan for
+    the raw non-equi condition — intervals explode to fixed-width
+    buckets, points equi-join their single bucket, exact range re-checked
+    post-join.  The tiny band table broadcasts (AQE); a large interval
+    table would hash-shuffle on the bucket id instead — same code path."""
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.relational import range_join
+
+    _conf(spark)
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 5.0), ("mid", 5.0, 20.0), ("high", 20.0, 100.0), ("xl", 100.0, 500.0)],
+        "band string, lo double, hi double",
+    )
+    j = range_join(ev, bands, "value", "lo", "hi", bucket_width=5.0, closed="left")
+    return j.groupBy("band").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@q(
+    "distinct_count_sketch",
+    """
+    SELECT l_returnflag,
+           CAST(round(count(DISTINCT l_orderkey) * 64.0) AS BIGINT) AS approx_distinct
+    FROM lineitem
+    WHERE substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 2) < '04'
+    GROUP BY l_returnflag
+    """,
+)
+def distinct_count_sketch_query(spark, sf_dir):
+    """Deterministic distinct-count estimation
+    (relational.distinct_count_sketch, distinct sampling à la Gibbons
+    VLDB'01): a value survives iff its md5 prefix is below a threshold
+    (p = 4/256 = 1/64 of DISTINCT values, multiplicity-independent);
+    count_distinct(survivors)/p estimates the cardinality.  Unlike HLL
+    the estimate is a pure function of the value set — DuckDB reproduces
+    it bit-for-bit, which is exactly why it is the contract entry.  The
+    filter runs BEFORE the distinct shuffle: the exchange carries ~1/64
+    of the keys."""
+    from hyperspace_spark.relational import distinct_count_sketch
+
+    _conf(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return distinct_count_sketch(
+        li, "l_orderkey", group_cols=["l_returnflag"], prefix_len=2, keep_below="04"
+    )
+
+
+@q(
     "dedup_paragraph",
     """
     WITH p AS (
@@ -3324,11 +3536,67 @@ def session_window_events(spark, sf_dir):
 # also has a live local gate (tests/test_entry_contract.py runs ALL of
 # them every session).
 #
-# r5 window: the 20 entries whose last green row is r02 lead; the r04-green
-# batch-SQL/streaming/window tail rides r04 evidence and rotates back in r6.
+# r6 window: the 33 entries whose last green row is r04 lead (the
+# minhash/simhash/embedding/ANN/multimodal/pii/sampling block + the
+# q2/q11/q12/q20 + window/setop/pivot/streaming tail); new r6 entries
+# next; the index-accelerated core re-verifies every round; the 50
+# r05-green entries ride that one-round-old evidence and rotate back
+# in r7.
 # ---------------------------------------------------------------------------
 _VERIFY_PRIORITY = [
-    # last green row r02 — oldest first
+    # last green row r04 — oldest first
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q12_priority_shipping",
+    "q20_excess_stock",
+    "session_window_events",
+    "streaming_tumbling_rollup",
+    "window_tumbling_events",
+    "window_sliding_events",
+    "window_top_orders",
+    "pivot_linestatus",
+    "unpivot_measures",
+    "rollup_agg",
+    "cube_returnflag_status",
+    "grouping_sets_agg",
+    "exists_subquery",
+    "union_distinct",
+    "setop_intersect",
+    "setop_except_all",
+    "salted_skew_agg",
+    "events_hourly_rollup",
+    "mixture_stratified_sample",
+    "split_train_val_test",
+    "sample_hash_deterministic",
+    "contamination_check",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "ann_ivf_topk",
+    "pii_detect",
+    "multimodal_meta",
+    "multimodal_resize",
+    # new / newly-oracled this round
+    "dataskipping_bloom",
+    "nested_filter_index",
+    "asof_join_events",
+    "range_join_buckets",
+    "distinct_count_sketch",
+    "text_stats",
+    # index-accelerated core (headline claims: verify every round)
+    "covering_filter_point",
+    "covering_filter_agg",
+    "join_cobucketed",
+    "dataskipping_minmax",
+    "zorder_filter_2d",
+    "delta_filter_index",
+    "iceberg_filter_index",
+    "hybrid_join_append",
+    "hybrid_scan_append",
+    # --- past the ~50 cap: all green in r05, rotate back into the window
+    # in r7 ---
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",
@@ -3349,7 +3617,6 @@ _VERIFY_PRIORITY = [
     "q22_dormant_customers",
     "anti_join_customers",
     "scalar_functions",
-    # new / newly-oracled this round
     "multimodal_features",
     "salted_join_orders",
     "delta_time_travel_index",
@@ -3364,59 +3631,12 @@ _VERIFY_PRIORITY = [
     "percentile_stats",
     "window_lag_lead",
     "unigram_logprob",
-    # index-accelerated core (headline claims: verify every round)
-    "covering_filter_point",
-    "covering_filter_agg",
-    "join_cobucketed",
-    "dataskipping_minmax",
-    "zorder_filter_2d",
-    "delta_filter_index",
-    "iceberg_filter_index",
-    "hybrid_join_append",
-    "hybrid_scan_append",
-    # LLM pipeline core
     "udtf_chunk_text",
-    "text_stats",
     "lang_quality",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "dedup_keep_canonical",
-    "contamination_check",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "ann_cosine_topk",
-    "ann_lsh_bucketed",
-    "sample_hash_deterministic",
-    "ann_ivf_topk",
-    "pii_detect",
-    "multimodal_meta",
-    "multimodal_resize",
-    # --- past the ~50 cap: all green in r04, rotate back into the window
-    # in r6 ---
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q20_excess_stock",
-    "q12_priority_shipping",
-    "session_window_events",
-    "streaming_tumbling_rollup",
-    "window_tumbling_events",
-    "window_sliding_events",
-    "pivot_linestatus",
-    "rollup_agg",
-    "exists_subquery",
-    "union_distinct",
-    "mixture_stratified_sample",
-    "split_train_val_test",
-    "events_hourly_rollup",
-    "window_top_orders",
-    "grouping_sets_agg",
-    "setop_except_all",
-    "salted_skew_agg",
-    "unpivot_measures",
-    "cube_returnflag_status",
-    "setop_intersect",
 ]
 
 

@@ -87,6 +87,80 @@ def test_module_level_helpers(indexed, spark, tmp_path):
     assert not is_hyperspace_enabled(spark)
 
 
+def test_enable_routes_dataframe_actions(indexed, spark):
+    """r6: ``spark.read.parquet(...).filter(...).collect()`` on an
+    enabled session hits the index with NO explicit hs.apply() — the
+    DataFrame-API half of the reference's ApplyHyperspace coverage."""
+    from hyperspace_spark.hyperspace import _df_impl_class
+
+    DataFrame = _df_impl_class()
+    pristine_collect = DataFrame.collect
+    hs, src = indexed
+    q = spark.read.parquet(src).filter("g = 13").select("k", "v")
+    baseline = sorted(map(tuple, q.collect()))  # before enable: raw scan
+
+    hs.enable()
+    try:
+        q2 = spark.read.parquet(src).filter("g = 13").select("k", "v")
+        hs._apply_cache.clear()
+        assert sorted(map(tuple, q2.collect())) == baseline
+        # The route planned this frame and chose the index (the cache
+        # records the chosen index names per analyzed-plan hash).
+        assert any(v[1] == ["sess_idx"] for v in hs._apply_cache.values()), (
+            "collect() did not route through the planner"
+        )
+        # count/toPandas route too
+        assert q2.count() == len(baseline)
+        assert len(q2.toPandas()) == len(baseline)
+    finally:
+        hs.disable()
+    # last enabled session disabled -> pristine class restored
+    assert DataFrame.collect is pristine_collect
+    hs._apply_cache.clear()
+    spark.read.parquet(src).filter("g = 13").select("k", "v").collect()
+    assert not hs._apply_cache, "routing survived disable()"
+
+
+def test_enable_dataframe_api_optout(indexed, spark):
+    hs, src = indexed
+    hs.enable(dataframe_api=False)
+    try:
+        hs._apply_cache.clear()
+        spark.read.parquet(src).filter("g = 13").select("k", "v").collect()
+        assert not hs._apply_cache, "dataframe_api=False must not route actions"
+    finally:
+        hs.disable()
+
+
+def test_newsession_child_inherits_enable(indexed, spark):
+    """r6 (closes the r5-documented hole): ``spark.newSession()`` on an
+    enabled session returns a child that is itself enabled — same system
+    path, own Hyperspace instance."""
+    from hyperspace_spark import hyperspace as hsmod
+
+    hs, src = indexed
+    hs.enable()
+    child = None
+    try:
+        child = spark.newSession()
+        assert child is not spark
+        assert is_hyperspace_enabled(child)
+        assert child in hsmod._DF_ROUTES
+        # the child's routing instance targets the same index store
+        assert hsmod._DF_ROUTES[child]._system_path == hs._system_path
+        # and its sql path plans against the parent's indexes
+        plan = (
+            child.read.parquet(src).filter("g = 13").select("k", "v")
+        )
+        fast, used = hsmod._DF_ROUTES[child]._apply_with_info(plan)
+        assert used == ["sess_idx"]
+    finally:
+        if child is not None:
+            disable_hyperspace(child)
+        hs.disable()
+    assert "newSession" not in spark.__dict__
+
+
 def test_disable_restores_third_party_sql_wrapper(indexed, spark):
     """If another library instance-patched ``spark.sql`` BEFORE enable(),
     disable() must reinstall that wrapper, not pop down to the bare class
