@@ -129,6 +129,9 @@ def token_quota_per_source(
     source_col: str = "source",
     text_col: str = "text",
     id_col: str = "doc_id",
+    auto_prefilter: bool = True,
+    prefilter_min_docs: int = 1_000_000,
+    safety_factor: float = 8.0,
 ) -> "DataFrame":
     """Cap each source's contribution to ``quota_tokens`` tokens — the
     mixture-construction step that stops one giant crawl domain from
@@ -144,11 +147,31 @@ def token_quota_per_source(
     property, same as deterministic_sample).
 
     Scale shape: one hash-partitioned window cumsum per source — no
-    driver state, no second pass.  NULL text counts 0 tokens (kept, like
+    driver state.  NULL text counts 0 tokens (kept, like
     pack_sequences).  Skewed sources (one domain = half the corpus) make
-    a skewed window partition: at that shape, pre-filter with
-    deterministic_sample to an over-estimate of the quota first, then
-    apply the exact cap to the survivors."""
+    a skewed window partition; with ``auto_prefilter`` (default) the
+    function bounds it AUTOMATICALLY and exactly:
+
+    1. one cheap aggregate computes per-source doc/token totals;
+    2. a source whose cap binds hard (docs ≥ ``prefilter_min_docs`` and
+       expected kept fraction < 1/2 even after ``safety_factor``×
+       over-estimation) gets a hash-PREFIX pre-filter: because the exact
+       pass orders by the full md5 hex string, keeping only rows whose
+       leading-32-bit hash value is under a cut is keeping a PREFIX of
+       that same order — a strict superset of the final kept set
+       whenever the surviving prefix still holds ≥ quota tokens;
+    3. that superset condition is verified with a second small
+       aggregate; a source that fails it (pathological token skew inside
+       the hash prefix) is re-run WITHOUT the pre-filter, so the kept
+       set is always identical to the un-prefiltered result (pytest
+       asserts equality on a 50%-skewed corpus).
+
+    The window partition for a capped hot source then holds
+    ~``safety_factor × quota/avg_tokens`` rows instead of the source's
+    full doc count — at 100 TB the difference between a straggler task
+    and a bounded one.  auto_prefilter adds two driver-side aggregates
+    (triggering jobs at call time); pass ``auto_prefilter=False`` for a
+    fully-lazy single-pass plan when sources are known to be balanced."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -165,10 +188,51 @@ def token_quota_per_source(
         .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    with_off = df.withColumn("_hs_nt", n_tokens).withColumn(
-        "_hs_off", F.sum("_hs_nt").over(w) - F.col("_hs_nt")
+
+    def exact_cap(frame: "DataFrame") -> "DataFrame":
+        with_off = frame.withColumn("_hs_nt", n_tokens).withColumn(
+            "_hs_off", F.sum("_hs_nt").over(w) - F.col("_hs_nt")
+        )
+        return with_off.filter(F.col("_hs_off") < quota_tokens).drop("_hs_nt", "_hs_off")
+
+    if not auto_prefilter:
+        return exact_cap(df)
+
+    stats = (
+        df.groupBy(source_col)
+        .agg(F.count("*").alias("_docs"), F.sum(n_tokens).alias("_tok"))
+        .collect()
     )
-    return (
-        with_off.filter(F.col("_hs_off") < quota_tokens)
-        .drop("_hs_nt", "_hs_off")
+    # leading 8 hex chars of the ordering hash as a uniform 32-bit value
+    h32 = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("long")
+    cuts: dict = {}
+    for r in stats:
+        docs, tok = r["_docs"], r["_tok"] or 0
+        if docs < prefilter_min_docs or tok <= quota_tokens:
+            continue
+        avg = max(1.0, tok / docs)
+        frac = min(1.0, safety_factor * (quota_tokens / avg) / docs)
+        if frac < 0.5:
+            cuts[r[source_col]] = int(frac * (1 << 32)) + 1
+    if not cuts:
+        return exact_cap(df)
+
+    cut_expr = F.create_map(
+        *[F.lit(x) for kv in cuts.items() for x in kv]
+    )[F.col(source_col)]
+    pre = df.filter(cut_expr.isNull() | (h32 < cut_expr))
+    # Superset check: a pre-filtered source must still hold >= quota
+    # tokens, else its final kept set could extend past the prefix.
+    chk = (
+        pre.filter(F.col(source_col).isin(list(cuts)))
+        .groupBy(source_col)
+        .agg(F.sum(n_tokens).alias("_tok"))
+        .collect()
     )
+    surviving = {r[source_col]: r["_tok"] or 0 for r in chk}
+    bad = [s for s in cuts if surviving.get(s, 0) < quota_tokens]
+    if not bad:
+        return exact_cap(pre)
+    good_part = exact_cap(pre.filter(~F.col(source_col).isin(bad)))
+    bad_part = exact_cap(df.filter(F.col(source_col).isin(bad)))
+    return good_part.unionByName(bad_part)

@@ -2298,18 +2298,39 @@ def _text_stats_oracle() -> str:
 
 @q("text_stats", _text_stats_oracle())
 def text_stats_query(spark, sf_dir):
+    """Two-step select: materialize trim(text) and the token array ONCE
+    in an inner projection, derive every stat from those.  The one-level
+    spelling embedded trim/lower/split up to 4x in a single expression
+    tree and Catalyst's subexpression elimination only recovered part of
+    it — measured 0.451 -> 0.374 s at sf0.1 on identical outputs (the r5
+    +22% drift flag; see SCALE.md)."""
     from pyspark.sql import functions as F
 
     from hyperspace_spark.llm import text
 
     t = F.col("text")
-    return _t(spark, sf_dir, "documents").select(
+    base = _t(spark, sf_dir, "documents").select(
         "doc_id",
-        F.length(F.trim(t)).alias("n_chars_text"),
-        text.token_count(t).alias("n_tokens"),
-        F.round(text.punct_ratio(t), 4).alias("punct_ratio"),
-        F.round(text.stopword_ratio(t), 4).alias("stopword_ratio"),
-        text.fingerprint(t).alias("fingerprint"),
+        F.trim(t).alias("_t"),
+        text.tokens(t).alias("_toks"),
+        t.alias("text"),
+    )
+    sw = F.array(*[F.lit(w) for w in text.STOPWORDS["en"]])
+    n = F.length(F.col("_t"))
+    toks = F.col("_toks")
+    n_punct = n - F.length(F.regexp_replace(F.col("_t"), r"[.,;:!?'\"()\[\]{}-]", ""))
+    hits = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    return base.select(
+        "doc_id",
+        n.alias("n_chars_text"),
+        F.when(n == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.col("_t"), r"\s+")))
+        .alias("n_tokens"),
+        F.round(F.when(n == 0, F.lit(0.0)).otherwise(n_punct / n), 4).alias("punct_ratio"),
+        F.round(
+            F.when(F.size(toks) <= 0, F.lit(0.0)).otherwise(hits / F.size(toks)), 4
+        ).alias("stopword_ratio"),
+        text.fingerprint(F.col("text")).alias("fingerprint"),
     )
 
 

@@ -782,6 +782,57 @@ def test_token_quota_per_source(spark, docs):
     assert again == {r.doc_id for r in kept}
 
 
+def test_token_quota_auto_prefilter_skewed_source(spark):
+    """r6: a 50%-skewed source auto-engages the hash-prefix pre-filter
+    (one cheap agg decides) and the kept set is IDENTICAL to the exact
+    un-prefiltered pass — including under a deliberately-broken safety
+    factor, where the superset check must trip and fall back."""
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.llm.sampling import token_quota_per_source
+
+    big = spark.range(4000).select(
+        F.concat(F.lit("b"), F.col("id")).alias("doc_id"),
+        F.lit("giant_crawl").alias("source"),
+        F.lit("ten tokens of filler text pad pad pad pad end").alias("text"),
+    )
+    small = spark.range(200).select(
+        F.concat(F.lit("s"), F.col("id")).alias("doc_id"),
+        F.lit("curated").alias("source"),
+        F.lit("five neat little words").alias("text"),
+    )
+    corpus = big.unionByName(small)
+
+    exact = {
+        r.doc_id
+        for r in token_quota_per_source(
+            corpus, quota_tokens=300, auto_prefilter=False
+        ).collect()
+    }
+    # engaged path: min_docs low enough that giant_crawl qualifies
+    # (needed ~= 30 docs of 4000 -> frac ~= 0.06 << 0.5)
+    auto = {
+        r.doc_id
+        for r in token_quota_per_source(
+            corpus, quota_tokens=300, prefilter_min_docs=1000
+        ).collect()
+    }
+    assert auto == exact
+    # fallback path: safety_factor so small the surviving prefix holds
+    # fewer than quota tokens -> superset check fails -> re-run exact
+    fallback = {
+        r.doc_id
+        for r in token_quota_per_source(
+            corpus, quota_tokens=300, prefilter_min_docs=1000, safety_factor=0.2
+        ).collect()
+    }
+    assert fallback == exact
+    # balanced corpora never engage (min_docs default high): same set too
+    assert {
+        r.doc_id for r in token_quota_per_source(corpus, quota_tokens=300).collect()
+    } == exact
+
+
 def test_repetition_stats_string_ids_and_tab_parity(spark):
     """String id columns work (schema follows the id column's type), and
     tab/CR text follows tokens()/oracle whitespace semantics: space-only
