@@ -145,6 +145,13 @@ def main() -> None:
         "percentile_stats",
         "window_lag_lead",
         "unigram_logprob",
+        # r6
+        "dataskipping_bloom",
+        "nested_filter_index",
+        "zorder_range_agg",
+        "asof_join_events",
+        "range_join_buckets",
+        "distinct_count_sketch",
     ]
 
 

@@ -42,6 +42,10 @@ ACCELERATED_QUERIES = [
     # pays the log/manifest-driven file enumeration too
     "delta_filter_index",
     "iceberg_filter_index",
+    # r6: bloom-sketch file pruning (IN probe on the non-layout key)
+    "dataskipping_bloom",
+    # r6: scan-isolated z-order range speedup (see zorder_range_agg doc)
+    "zorder_range_agg",
 ]
 
 
@@ -125,7 +129,7 @@ class Workspace:
     # the workspace marker folds it into the fingerprint, so a layout
     # left by an older code version is wiped and rebuilt instead of
     # serving indexes built under the old configs.
-    _WS_VERSION = 6
+    _WS_VERSION = 7
 
     def _source_fingerprint(self) -> str:
         parts = [f"v{self._WS_VERSION}"]
@@ -496,15 +500,24 @@ class Workspace:
         )
 
     def _build_zorder(self, ZOrderCoveringIndexConfig, name, table, indexed, included) -> None:
-        """Z-order index clustered into ~12 range partitions so per-file
-        min/max stats have pruning power at every sf (at the 1 GiB default
-        the whole table is one file at small sf and there is nothing to
-        prune).  The target is passed ON THE CONFIG, not via session
-        conf: builds run concurrently in a thread pool, and a
-        session-global set/unset raced between the two z-order builds —
+        """Z-order index clustered into ~sqrt(bytes/64KB) range partitions
+        (clamped to [12, 4096]) so per-file min/max stats have pruning
+        power at every sf — at the 1 GiB default the whole table is one
+        file at small sf and there is nothing to prune.  The sqrt rule
+        (r6) makes BOTH axes grow with the data: partition count scales
+        up (finer min/max boxes — the r5 fixed ~12 count let the sf1
+        zorder speedup erode, 1.79x -> 1.48x) while bytes/partition also
+        scales up (no tiny-file explosion; at 100 TB it lands at ~40k
+        partitions of ~2.5 GB).  The target is passed ON THE CONFIG, not
+        via session conf: builds run concurrently in a thread pool, and
+        a session-global set/unset raced between the two z-order builds —
         one could snapshot the other's target (or the 1 GiB default,
         collapsing the table into a single unprunable partition)."""
-        target = max(16 * 1024, os.path.getsize(f"{self.sf_dir}/{table}.parquet") // 12)
+        import math
+
+        size = os.path.getsize(f"{self.sf_dir}/{table}.parquet")
+        n = min(4096, max(12, round(math.sqrt(size / (64 * 1024)))))
+        target = max(16 * 1024, size // n)
         self.hs.create_index(
             _t(self.spark, self.sf_dir, table),
             ZOrderCoveringIndexConfig(
@@ -673,6 +686,39 @@ def zorder_filter_2d(spark, sf_dir):
             "l_orderkey",
             "l_quantity",
             F.round("l_extendedprice", 2).alias("price"),
+        )
+    )
+    return ws.hs.apply(df)
+
+
+@q(
+    "zorder_range_agg",
+    """
+    SELECT count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    WHERE l_quantity BETWEEN 5 AND 10 AND l_extendedprice < 20000
+    """,
+)
+def zorder_range_agg(spark, sf_dir):
+    """The same 2-D range predicate as zorder_filter_2d but AGGREGATED —
+    the realistic consumption shape at scale.  zorder_filter_2d returns
+    every matching row to the driver, so its measured speedup is bounded
+    by result materialization (identical on both sides: at sf1 the
+    180k-row collect costs ~0.3 s while the pruned scan itself costs
+    ~0.1 s, compressing a ~4x scan win to ~1.5x end-to-end — SCALE.md
+    r6).  This entry isolates the scan: 3 of 27 files survive the
+    z-address min/max boxes and the one-row result makes collect noise."""
+    from pyspark.sql import functions as F
+
+    ws = workspace(spark, sf_dir)
+    df = (
+        _t(spark, sf_dir, "lineitem")
+        .filter("l_quantity BETWEEN 5 AND 10 AND l_extendedprice < 20000")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         )
     )
     return ws.hs.apply(df)
@@ -3605,6 +3651,7 @@ _VERIFY_PRIORITY = [
     "asof_join_events",
     "range_join_buckets",
     "distinct_count_sketch",
+    "zorder_range_agg",
     "text_stats",
     # index-accelerated core (headline claims: verify every round)
     "covering_filter_point",

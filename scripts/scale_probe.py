@@ -153,7 +153,7 @@ def main():
     spark.conf.unset("spark.hyperspace.apply.cacheTtlSeconds")
 
     # --- probe 2: per-query speedup vs unindexed at sf1 ---
-    speedups = {}
+    speedups, accel_secs = {}, {}
     for name in ACCELERATED:
         accel = timed(spark, name)
         spark.conf.set("spark.hyperspace.apply.enabled", "false")
@@ -161,19 +161,40 @@ def main():
             raw = timed(spark, name)
         finally:
             spark.conf.set("spark.hyperspace.apply.enabled", "true")
+        accel_secs[name] = round(accel, 3)
         speedups[name] = round(raw / accel, 2)
 
-    print(
-        json.dumps(
-            {
-                "sf": "sf1(synthetic 10x sf0.1)",
-                "gen_sec": round(gen_sec, 1),
-                "index_build_sec": round(build_sec, 1),
-                "aqe_exchange_free_join": aqe_ok,
-                "sf1_speedups": speedups,
-            }
-        )
+    import math
+
+    geomean = round(
+        math.exp(sum(math.log(s) for s in speedups.values()) / len(speedups)), 2
     )
+    summary = {
+        "sf": "sf1(synthetic 10x sf0.1)",
+        "gen_sec": round(gen_sec, 1),
+        "index_build_sec": round(build_sec, 1),
+        "aqe_exchange_free_join": aqe_ok,
+        "sf1_speedups": speedups,
+        "geomean_speedup": geomean,
+    }
+    print(json.dumps(summary))
+    # Driver-visible artifact in bench.py's compact-summary format, so
+    # the scale claim is a measured file, not SCALE.md prose.
+    bench_artifact = {
+        "metric": "accelerated_queries_total_time",
+        "value": round(sum(accel_secs.values()), 3),
+        "unit": "sec",
+        "queries": accel_secs,
+        "sf": "sf1(synthetic 10x sf0.1)",
+        "index_build_sec": round(build_sec, 1),
+        "speedup_vs_unindexed": speedups,
+        "geomean_speedup": geomean,
+        "aqe_exchange_free_join": aqe_ok,
+        "cpus": 32,
+    }
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "BENCH_sf1.json"), "w") as f:
+        json.dump(bench_artifact, f, indent=1)
     sys.exit(0 if aqe_ok and all(s >= 1.0 for s in speedups.values()) else 1)
 
 
