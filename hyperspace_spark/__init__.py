@@ -28,6 +28,9 @@ _EXPORTS = {
     "ValueListSketch": "hyperspace_spark.indexes.sketches",
     "PartitionSketch": "hyperspace_spark.indexes.sketches",
     "IvfIndexConfig": "hyperspace_spark.indexes.ann",
+    "asof_join": "hyperspace_spark.relational",
+    "range_join": "hyperspace_spark.relational",
+    "distinct_count_sketch": "hyperspace_spark.relational",
 }
 
 
@@ -55,4 +58,7 @@ __all__ = [
     "ValueListSketch",
     "PartitionSketch",
     "IvfIndexConfig",
+    "asof_join",
+    "range_join",
+    "distinct_count_sketch",
 ]

@@ -103,23 +103,33 @@ class Hyperspace:
         op: Callable[[IndexLogEntry, IndexLogManager, int], IndexLogEntry],
         base_entry: IndexLogEntry | None = None,
     ) -> IndexLogEntry:
-        mgr = self._log_mgr(name, conf)
-        latest_id = mgr.get_latest_id()
-        base = base_entry if base_entry is not None else mgr.get_latest_log()
-        if base is None:
-            raise HyperspaceException(f"Index {name} does not exist.")
-        begin = base.with_state(transient, (latest_id if latest_id is not None else -1) + 1)
-        if not mgr.write_log(begin.id, begin):
-            raise ConcurrentModificationError(f"Concurrent modification on index {name}.")
-        new_version = begin.id  # data version namespaced by log id -> unique
-        result = op(begin, mgr, new_version)
-        result = result.with_state(final, begin.id + 1)
-        if not mgr.write_log(result.id, result):
-            raise ConcurrentModificationError(f"Concurrent modification on index {name}.")
-        if final in States.STABLE:
-            mgr.update_latest_stable(result.id)
-        self._invalidate_cache()
-        return result
+        # Lifecycle ops build internal frames over the user's source
+        # (lineage projections with input_file_name(), stats scans,
+        # index-data writes); under session enable() those frames must
+        # NEVER route back through the planner — hold the action-routing
+        # guard for the whole transaction.
+        prev_guard = getattr(_DF_ROUTE_GUARD, "active", False)
+        _DF_ROUTE_GUARD.active = True
+        try:
+            mgr = self._log_mgr(name, conf)
+            latest_id = mgr.get_latest_id()
+            base = base_entry if base_entry is not None else mgr.get_latest_log()
+            if base is None:
+                raise HyperspaceException(f"Index {name} does not exist.")
+            begin = base.with_state(transient, (latest_id if latest_id is not None else -1) + 1)
+            if not mgr.write_log(begin.id, begin):
+                raise ConcurrentModificationError(f"Concurrent modification on index {name}.")
+            new_version = begin.id  # data version namespaced by log id -> unique
+            result = op(begin, mgr, new_version)
+            result = result.with_state(final, begin.id + 1)
+            if not mgr.write_log(result.id, result):
+                raise ConcurrentModificationError(f"Concurrent modification on index {name}.")
+            if final in States.STABLE:
+                mgr.update_latest_stable(result.id)
+            self._invalidate_cache()
+            return result
+        finally:
+            _DF_ROUTE_GUARD.active = prev_guard
 
     # ------------------------------------------------------------------
     # createIndex (reference: actions/CreateAction.scala, CreateActionBase.scala)
@@ -1380,6 +1390,25 @@ def _df_impl_class():
     return DataFrame
 
 
+def _make_routed_write(orig_prop):
+    def routed(self):
+        hs = _route_for(self)
+        if (
+            hs is None
+            or getattr(_DF_ROUTE_GUARD, "active", False)
+            or getattr(self, "_hs_no_reroute", False)
+        ):
+            return orig_prop.fget(self)
+        _DF_ROUTE_GUARD.active = True
+        try:
+            rewritten = hs.apply(self)
+        finally:
+            _DF_ROUTE_GUARD.active = False
+        return orig_prop.fget(rewritten)
+
+    return property(routed, doc=orig_prop.__doc__)
+
+
 def _install_df_action_routing() -> None:
     if _DF_PATCHED:
         return
@@ -1388,6 +1417,14 @@ def _install_df_action_routing() -> None:
         orig = getattr(cls, name)
         _DF_PATCHED[name] = orig
         setattr(cls, name, _make_routed_action(orig))
+    # df.write is a property returning DataFrameWriter(self): build the
+    # writer over the REWRITTEN frame so ETL sinks are accelerated too.
+    # (writeStream is untouched — streaming plans always fall back and
+    # would pay a wasted planning pass per access.)
+    orig_write = cls.__dict__.get("write")
+    if isinstance(orig_write, property):
+        _DF_PATCHED["write"] = orig_write
+        setattr(cls, "write", _make_routed_write(orig_write))
 
 
 def _uninstall_df_action_routing() -> None:

@@ -132,6 +132,54 @@ def test_enable_dataframe_api_optout(indexed, spark):
         hs.disable()
 
 
+def test_enable_routes_dataframe_write(indexed, spark, tmp_path):
+    """r6: df.write on an enabled session builds the writer over the
+    rewritten frame — ETL jobs get index acceleration without apply()."""
+    hs, src = indexed
+    out = str(tmp_path / "routed_write_out")
+    q = spark.read.parquet(src).filter("g = 13").select("k", "v")
+    baseline = sorted(map(tuple, q.collect()))
+    hs.enable()
+    try:
+        hs._apply_cache.clear()
+        spark.read.parquet(src).filter("g = 13").select("k", "v").write.parquet(out)
+        assert any(v[1] == ["sess_idx"] for v in hs._apply_cache.values()), (
+            "write did not route through the planner"
+        )
+    finally:
+        hs.disable()
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == baseline
+
+
+def test_lifecycle_ops_safe_while_enabled(indexed, spark, tmp_path):
+    """Engine-internal frames (lineage projections with
+    input_file_name(), index-data writes) must NOT route back through
+    the planner while a session is enabled — _transact holds the guard.
+    A create_index under enable() must produce a working, correct
+    second index."""
+    from pyspark.sql import functions as F
+
+    hs, src = indexed
+    src2 = str(tmp_path / "src2")
+    spark.range(0, 500).select(
+        F.col("id").alias("k2"), (F.col("id") % 11).alias("g2"), (F.col("id") * 3.0).alias("v2")
+    ).repartition(2).write.parquet(src2)
+    hs.enable()
+    try:
+        hs.create_index(
+            spark.read.parquet(src2),
+            CoveringIndexConfig("sess_idx2", ["g2"], ["k2", "v2"], num_buckets=2),
+        )
+        q = spark.read.parquet(src2).filter("g2 = 3").select("k2", "v2")
+        fast, used = hs._apply_with_info(q)
+        assert used == ["sess_idx2"], hs.why_not(q)
+        assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, q.collect()))
+    finally:
+        hs.delete_index("sess_idx2")
+        hs.vacuum_index("sess_idx2")
+        hs.disable()
+
+
 def test_newsession_child_inherits_enable(indexed, spark):
     """r6 (closes the r5-documented hole): ``spark.newSession()`` on an
     enabled session returns a child that is itself enabled — same system
