@@ -147,6 +147,7 @@ def main() -> None:
         "unigram_logprob",
         # r6
         "dataskipping_bloom",
+        "dataskipping_valuelist",
         "nested_filter_index",
         "zorder_range_agg",
         "asof_join_events",

@@ -46,6 +46,8 @@ ACCELERATED_QUERIES = [
     "dataskipping_bloom",
     # r6: scan-isolated z-order range speedup (see zorder_range_agg doc)
     "zorder_range_agg",
+    # r6: ValueList-sketch pruning (IN probe on the layout-correlated year)
+    "dataskipping_valuelist",
 ]
 
 
@@ -129,7 +131,7 @@ class Workspace:
     # the workspace marker folds it into the fingerprint, so a layout
     # left by an older code version is wiped and rebuilt instead of
     # serving indexes built under the old configs.
-    _WS_VERSION = 7
+    _WS_VERSION = 8
 
     def _source_fingerprint(self) -> str:
         parts = [f"v{self._WS_VERSION}"]
@@ -202,8 +204,15 @@ class Workspace:
 
     def _ensure_copies(self) -> None:
         if not os.path.exists(f"{self.li_byship}/_SUCCESS"):
+            from pyspark.sql import functions as F
+
+            # l_shipyear rides the l_shipdate range layout, giving a
+            # low-cardinality column with per-file locality — the shape
+            # the ValueList sketch exists for (each file holds 1-2
+            # distinct years; arrays_overlap prunes IN probes).
             (
                 _t(self.spark, self.sf_dir, "lineitem")
+                .withColumn("l_shipyear", F.year("l_shipdate"))
                 .repartitionByRange(16, "l_shipdate")
                 .write.mode("overwrite")
                 .parquet(self.li_byship)
@@ -486,6 +495,8 @@ class Workspace:
         exactly the failure mode a 100 TB deployment hits with hardcoded
         sketch parameters.  The count() is metadata-only on parquet and
         runs once per cold build."""
+        from hyperspace_spark import ValueListSketch
+
         rows = self.spark.read.parquet(self.li_byship).count()
         n_files = max(
             1, len([f for f in os.listdir(self.li_byship) if f.endswith(".parquet")])
@@ -495,7 +506,13 @@ class Workspace:
             self.spark.read.parquet(self.li_byship),
             DataSkippingIndexConfig(
                 "w_li_skip",
-                [MinMaxSketch(["l_shipdate"]), BloomFilterSketch(["l_orderkey"], 0.01, expected)],
+                [
+                    MinMaxSketch(["l_shipdate"]),
+                    BloomFilterSketch(["l_orderkey"], 0.01, expected),
+                    # low-cardinality layout-correlated column: exact
+                    # distinct list per file, In -> arrays_overlap
+                    ValueListSketch(["l_shipyear"]),
+                ],
             ),
         )
 
@@ -686,6 +703,35 @@ def zorder_filter_2d(spark, sf_dir):
             "l_orderkey",
             "l_quantity",
             F.round("l_extendedprice", 2).alias("price"),
+        )
+    )
+    return ws.hs.apply(df)
+
+
+@q(
+    "dataskipping_valuelist",
+    """
+    SELECT count(*) AS cnt, round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem WHERE year(l_shipdate) IN (1996, 1999)
+    """,
+)
+def dataskipping_valuelist(spark, sf_dir):
+    """ValueList-sketch file pruning (O4 surface): an IN probe on
+    l_shipyear, a low-cardinality column that rides li_byship's
+    l_shipdate range layout (each file holds 1-2 distinct years).  The
+    sketch stores the sorted distinct list per file; the probe compiles
+    to arrays_overlap over the tiny per-file index
+    (indexes/sketches.py ValueListSketch.convert).  The oracle derives
+    the same column with year(l_shipdate) on the flat lineitem view."""
+    from pyspark.sql import functions as F
+
+    ws = workspace(spark, sf_dir)
+    df = (
+        _p(spark, ws.li_byship)
+        .filter(F.col("l_shipyear").isin(1996, 1999))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         )
     )
     return ws.hs.apply(df)
@@ -3652,6 +3698,7 @@ _VERIFY_PRIORITY = [
     "range_join_buckets",
     "distinct_count_sketch",
     "zorder_range_agg",
+    "dataskipping_valuelist",
     "text_stats",
     # index-accelerated core (headline claims: verify every round)
     "covering_filter_point",

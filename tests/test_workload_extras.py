@@ -37,6 +37,22 @@ def test_dataskipping_bloom_prunes_files(spark):
     assert kept <= total * 0.75, f"bloom nearly saturated: {kept}/{total}"
 
 
+def test_dataskipping_valuelist_prunes_files(spark):
+    """The ValueList IN-probe on l_shipyear (layout-correlated with the
+    l_shipdate range partitioning) must eliminate the files whose
+    distinct-year lists don't overlap {1996, 1999} — 2 of ~7 years means
+    well under half of the 16 files survive."""
+    from hyperspace_spark.workload import _p, workspace
+
+    ws = workspace(spark, GUARD_SF_DIR)
+    raw = _p(spark, ws.li_byship).filter(F.col("l_shipyear").isin(1996, 1999))
+    total = len(spark.read.parquet(ws.li_byship).inputFiles())
+    fast, used = ws.hs._apply_with_info(raw)
+    assert used == ["w_li_skip"], ws.hs.why_not(raw)
+    kept = len(fast.inputFiles())
+    assert kept < total * 0.6, f"valuelist pruned too little: {kept}/{total}"
+
+
 def test_nested_contract_query_uses_index(spark):
     from hyperspace_spark.workload import _p, workspace
 
