@@ -153,6 +153,7 @@ def main() -> None:
         "asof_join_events",
         "range_join_buckets",
         "distinct_count_sketch",
+        "streaming_ingest_dedup",
     ]
 
 

@@ -24,6 +24,7 @@ reproducible as plain SQL in any oracle engine:
 
 from __future__ import annotations
 
+import os
 from typing import TYPE_CHECKING, Mapping
 
 if TYPE_CHECKING:
@@ -197,6 +198,25 @@ def token_quota_per_source(
 
     if not auto_prefilter:
         return exact_cap(df)
+
+    # Free large-corpus gate: the deciding aggregate is worth its extra
+    # scan only when a source COULD hold prefilter_min_docs docs.  For
+    # file-backed frames the input bytes are driver metadata (no job);
+    # below ~64 bytes/doc * prefilter_min_docs the corpus cannot qualify
+    # and the single-pass lazy plan is returned untouched.  Unknown
+    # sources (no file list) fall through to the aggregate — safe, just
+    # not free.
+    try:
+        files = df.inputFiles()
+        if files:
+            nbytes = 0
+            for f in files:
+                pf = f[7:] if f.startswith("file://") else f[5:] if f.startswith("file:") else f
+                nbytes += os.path.getsize(pf)
+            if nbytes < 64 * prefilter_min_docs:
+                return exact_cap(df)
+    except Exception:
+        pass
 
     stats = (
         df.groupBy(source_col)

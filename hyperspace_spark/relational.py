@@ -87,6 +87,9 @@ def asof_join(
     overlap = set(left.columns) & ({f"{c}{suffix}" for c in value_cols} | {f"{on}{suffix}"})
     if overlap:
         raise ValueError(f"left columns collide with output names: {sorted(overlap)}")
+    reserved = {"_hs_ts", "_hs_side"} & (set(left.columns) | set(right.columns))
+    if reserved:
+        raise ValueError(f"reserved column names in input: {sorted(reserved)}")
 
     # Tag and union: right rows carry the payload, left rows carry NULLs.
     # _hs_side sorts right BEFORE left at an equal timestamp so an exact-
@@ -181,6 +184,8 @@ def range_join(
         raise ValueError("bucket_width must be positive")
     by = list(by)
     w = float(bucket_width)
+    if "_hs_bucket" in set(points.columns) | set(intervals.columns):
+        raise ValueError("reserved column name in input: _hs_bucket")
 
     iv = intervals.withColumn(
         "_hs_bucket",

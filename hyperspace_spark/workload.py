@@ -122,6 +122,7 @@ class Workspace:
         self.li_byship = f"{self.root}/li_byship"
         self.orders_app = f"{self.root}/orders_app"
         self.orders_nested = f"{self.root}/orders_nested"
+        self.docs_stream = f"{self.root}/docs_stream"
         self.delta_orders = f"{self.root}/delta_orders"
         self.iceberg_orders = f"{self.root}/iceberg_orders"
         self.ngram_pairs = f"{self.root}/ngram_pairs"
@@ -131,7 +132,7 @@ class Workspace:
     # the workspace marker folds it into the fingerprint, so a layout
     # left by an older code version is wiped and rebuilt instead of
     # serving indexes built under the old configs.
-    _WS_VERSION = 8
+    _WS_VERSION = 9
 
     def _source_fingerprint(self) -> str:
         parts = [f"v{self._WS_VERSION}"]
@@ -241,6 +242,16 @@ class Workspace:
                 .repartition(4)
                 .write.mode("overwrite")
                 .parquet(self.orders_nested)
+            )
+        if not os.path.exists(f"{self.docs_stream}/_SUCCESS"):
+            # Streaming-ingest fixture: the full corpus plus a replayed
+            # ~5% subset (re-crawl / retry shape) in one directory, so
+            # the ingest dedup gate has real duplicates to collapse at
+            # EVERY sf (the synthetic documents are unique at small sf).
+            d = _t(self.spark, self.sf_dir, "documents")
+            d.coalesce(1).write.mode("overwrite").parquet(self.docs_stream)
+            d.filter("doc_id % 20 = 0").coalesce(1).write.mode("append").parquet(
+                self.docs_stream
             )
         if not os.path.isdir(f"{self.delta_orders}/_delta_log"):
             from hyperspace_spark.sources.delta import write_delta
@@ -3592,6 +3603,57 @@ def streaming_tumbling_rollup(spark, sf_dir):
 
 
 @q(
+    "streaming_ingest_dedup",
+    """
+    SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def streaming_ingest_dedup(spark, sf_dir):
+    """Content-keyed ingest dedup run on the REAL micro-batch engine
+    (streaming/dedup.py dedup_stream_by_content): file-source readStream
+    over the docs_stream fixture — the corpus PLUS a replayed ~5% subset
+    (re-crawl/retry shape), so the gate collapses real duplicates at
+    every sf — -> whole-document fingerprint ->
+    dropDuplicatesWithinWatermark -> append-mode memory sink (dedup
+    emits first arrivals immediately; the watermark only bounds state).
+    The output projects ONLY the fingerprint: which copy of a duplicate
+    survives is engine order and not deterministic, but the surviving
+    fingerprint SET is — the replayed subset collapses back out, leaving
+    exactly SELECT DISTINCT over documents, which is the oracle."""
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.llm.text import fingerprint
+    from hyperspace_spark.streaming.dedup import dedup_stream_by_content
+
+    _conf(spark)
+    ws = workspace(spark, sf_dir)
+    schema = _t(spark, sf_dir, "documents").schema
+    _STREAM_SEQ["n"] += 1
+    qn = f"w_stream_ingest_dedup_{_STREAM_SEQ['n']}"
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(ws.docs_stream)
+        .withColumn("event_ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    )
+    survivors = dedup_stream_by_content(
+        stream, text_col="text", ts_col="event_ts", delay="10 minutes"
+    )
+    out = survivors.filter(F.col("text").isNotNull()).select(
+        fingerprint(F.col("text")).alias("fp")
+    )
+    handle = (
+        out.writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    handle.awaitTermination()
+    return spark.table(qn)
+
+
+@q(
     "session_window_events",
     """
     WITH e AS (
@@ -3651,10 +3713,13 @@ def session_window_events(spark, sf_dir):
 #
 # r6 window: the 33 entries whose last green row is r04 lead (the
 # minhash/simhash/embedding/ANN/multimodal/pii/sampling block + the
-# q2/q11/q12/q20 + window/setop/pivot/streaming tail); new r6 entries
-# next; the index-accelerated core re-verifies every round; the 50
-# r05-green entries ride that one-round-old evidence and rotate back
-# in r7.
+# q2/q11/q12/q20 + window/setop/pivot/streaming tail); the 9 new r6
+# entries next (text_stats counts as new: its body changed this round);
+# then the index-accelerated core.  At 33+9+9 = 51 the ~50-entry window
+# cuts one core entry — hybrid_scan_append, unchanged and r05-green,
+# deliberately placed last so the CHANGED query re-verifies instead.
+# The r05-green tail rides one-round-old evidence and rotates back in
+# r7.
 # ---------------------------------------------------------------------------
 _VERIFY_PRIORITY = [
     # last green row r04 — oldest first
@@ -3699,6 +3764,7 @@ _VERIFY_PRIORITY = [
     "distinct_count_sketch",
     "zorder_range_agg",
     "dataskipping_valuelist",
+    "streaming_ingest_dedup",
     "text_stats",
     # index-accelerated core (headline claims: verify every round)
     "covering_filter_point",
