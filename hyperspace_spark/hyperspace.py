@@ -279,11 +279,13 @@ class Hyperspace:
     # session apply() the frame first, so
     # ``spark.read.parquet(p).filter(...).collect()`` is accelerated with
     # no explicit hs.apply() — closing the DataFrame-API half of the
-    # reference's ApplyHyperspace.scala:32-76 coverage.  Writes
-    # (``df.write``) and RDD-side actions are NOT routed (a property
-    # patch on the pyspark class would be required); call apply()
-    # explicitly before writing if the producing query should be
-    # accelerated.
+    # reference's ApplyHyperspace.scala:32-76 coverage.  ``df.write``
+    # IS routed too (r6: a property patch on the DataFrame class).
+    # Still NOT routed: ``df.writeStream`` and RDD-side actions
+    # (``df.rdd``, foreach/foreachPartition) — an enabled session that
+    # sees one emits a one-time telemetry warning so the lost
+    # acceleration is visible; call apply() explicitly before those if
+    # the producing query should be accelerated.
     # ------------------------------------------------------------------
     def enable(self, dataframe_api: bool = True) -> None:
         """Route this session's queries through the index planner:
@@ -321,6 +323,13 @@ class Hyperspace:
         if dataframe_api:
             _install_df_action_routing()
             _DF_ROUTES[spark] = self
+        else:
+            # Explicit opt-out must win over a prior enable(dataframe_api=
+            # True) on the same session — "latest wins" applies to the
+            # flag, not just the instance.
+            _DF_ROUTES.pop(spark, None)
+            if not _DF_ROUTES:
+                _uninstall_df_action_routing()
         # newSession() children are distinct SparkSession objects: the
         # instance patch above and the route registry would both miss
         # them.  Patch newSession so children inherit the routing.
@@ -1409,6 +1418,53 @@ def _make_routed_write(orig_prop):
     return property(routed, doc=orig_prop.__doc__)
 
 
+# Sessions already warned about an unrouted .rdd / .writeStream access —
+# one breadcrumb per (session, surface), mirroring the reference's
+# everything-is-rewritten coverage (ApplyHyperspace covers every query via
+# Catalyst, package.scala:40-93) by at least making the divergence VISIBLE.
+_UNROUTED_WARNED: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+
+def _warn_unrouted(df, surface: str) -> None:
+    hs = _route_for(df)
+    if (
+        hs is None
+        or getattr(_DF_ROUTE_GUARD, "active", False)
+        or getattr(df, "_hs_no_reroute", False)
+    ):
+        return
+    try:
+        spark = df.sparkSession
+        seen = _UNROUTED_WARNED.setdefault(spark, set())
+        if surface in seen:
+            return
+        seen.add(surface)
+        from hyperspace_spark.telemetry import HyperspaceEvent, emit, log as _tlog
+
+        msg = (
+            f"DataFrame.{surface} does not route through the Hyperspace "
+            "planner on an enabled session; call hs.apply(df) explicitly "
+            "before it if the producing query should be accelerated"
+        )
+        _tlog.warning(msg)
+        emit(HyperspaceEvent(kind="unrouted", detail=surface, success=True))
+    except Exception:
+        pass  # a breadcrumb must never break the action itself
+
+
+def _make_warned_prop(orig_prop, surface: str):
+    # Handles both plain ``property`` (writeStream) and
+    # ``functools.cached_property`` (rdd since Spark 4): delegating to the
+    # original descriptor's __get__ preserves cached_property's
+    # instance-dict caching (the wrapper property is a data descriptor,
+    # so the cached instance attribute never shadows it).
+    def warned(self):
+        _warn_unrouted(self, surface)
+        return orig_prop.__get__(self, type(self))
+
+    return property(warned, doc=getattr(orig_prop, "__doc__", None))
+
+
 def _install_df_action_routing() -> None:
     if _DF_PATCHED:
         return
@@ -1419,12 +1475,21 @@ def _install_df_action_routing() -> None:
         setattr(cls, name, _make_routed_action(orig))
     # df.write is a property returning DataFrameWriter(self): build the
     # writer over the REWRITTEN frame so ETL sinks are accelerated too.
-    # (writeStream is untouched — streaming plans always fall back and
-    # would pay a wasted planning pass per access.)
     orig_write = cls.__dict__.get("write")
     if isinstance(orig_write, property):
         _DF_PATCHED["write"] = orig_write
         setattr(cls, "write", _make_routed_write(orig_write))
+    # .rdd and .writeStream are NOT routed (streaming plans always fall
+    # back; .rdd exits the Catalyst world entirely) — but an enabled
+    # session silently losing acceleration there is a support trap, so
+    # emit a one-time-per-session telemetry warning instead.
+    import functools as _functools
+
+    for name in ("rdd", "writeStream"):
+        orig_prop = cls.__dict__.get(name)
+        if isinstance(orig_prop, (property, _functools.cached_property)):
+            _DF_PATCHED[name] = orig_prop
+            setattr(cls, name, _make_warned_prop(orig_prop, name))
 
 
 def _uninstall_df_action_routing() -> None:

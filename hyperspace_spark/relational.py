@@ -7,8 +7,10 @@ for 100 TB scale:
   per-left-row argmax — is a broadcast-nested-loop over the full cross
   product per key.  The distributed shape used here is the classic
   union-and-window trick: tag both inputs, union them, sort each key
-  partition once by time, and carry the right side's payload forward with
-  ``last(..., ignorenulls=True)`` over an unbounded-preceding window.
+  partition once by time, and carry the right side's payload forward as
+  ONE struct per right row with ``last(..., ignorenulls=True)`` over an
+  unbounded-preceding window — so NULL payload *fields* travel with their
+  row instead of back-filling from older rows.
   ONE shuffle on the key, no pair explosion, pure JVM window execution —
   the same cost profile as a windowed aggregation over the union.
 
@@ -87,29 +89,36 @@ def asof_join(
     overlap = set(left.columns) & ({f"{c}{suffix}" for c in value_cols} | {f"{on}{suffix}"})
     if overlap:
         raise ValueError(f"left columns collide with output names: {sorted(overlap)}")
-    reserved = {"_hs_ts", "_hs_side"} & (set(left.columns) | set(right.columns))
+    reserved = {"_hs_ts", "_hs_side", "_hs_payload"} & (set(left.columns) | set(right.columns))
     if reserved:
         raise ValueError(f"reserved column names in input: {sorted(reserved)}")
 
-    # Tag and union: right rows carry the payload, left rows carry NULLs.
-    # _hs_side sorts right BEFORE left at an equal timestamp so an exact-
-    # tie right row is visible to the left row (<= semantics).
-    r = right.select(
+    # Tag and union: right rows carry the payload as ONE struct, left rows
+    # carry a NULL struct.  The whole payload must travel as a single
+    # value: carrying each column independently with last(ignorenulls)
+    # would back-fill a NULL field of the matched right row from an OLDER
+    # right row — wrong vs DuckDB ASOF / pandas merge_asof, where the
+    # entire payload (NULL fields included) comes from the one matched
+    # row.  _hs_side sorts right BEFORE left at an equal timestamp so an
+    # exact-tie right row is visible to the left row (<= semantics).
+    payload = F.struct(
+        F.col(on).alias(f"{on}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+    )
+    # A right row with a NULL timestamp can never be "the most recent row
+    # at-or-before" anything (merge_asof rejects NaT keys; DuckDB ASOF
+    # never matches NULL) — drop it so it can't shadow real matches.
+    r = right.filter(F.col(on).isNotNull()).select(
         *by,
         F.col(on).alias("_hs_ts"),
         F.lit(0).alias("_hs_side"),
-        F.col(on).alias(f"{on}{suffix}"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        payload.alias("_hs_payload"),
     )
     l = left.select(
         *by,
         F.col(on).alias("_hs_ts"),
         F.lit(1).alias("_hs_side"),
-        F.lit(None).cast(r.schema[f"{on}{suffix}"].dataType).alias(f"{on}{suffix}"),
-        *[
-            F.lit(None).cast(r.schema[f"{c}{suffix}"].dataType).alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
+        F.lit(None).cast(r.schema["_hs_payload"].dataType).alias("_hs_payload"),
         *[F.col(c) for c in left.columns if c not in by and c != on],
     )
     unioned = r.select(*[F.lit(None).cast(l.schema[c].dataType).alias(c) if c not in r.columns else F.col(c) for c in l.columns]).unionByName(l)
@@ -120,9 +129,10 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = [f"{on}{suffix}"] + [f"{c}{suffix}" for c in value_cols]
+    matched = F.last("_hs_payload", ignorenulls=True).over(w)
     out = unioned.select(
-        *[c for c in unioned.columns if c not in carried],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+        *[c for c in unioned.columns if c != "_hs_payload"],
+        *[matched[c].alias(c) for c in carried],
     )
     out = out.filter(F.col("_hs_side") == 1)
     if tolerance_seconds is not None:
@@ -241,6 +251,11 @@ def distinct_count_sketch(
 
     if not (1 <= prefix_len <= 8) or len(keep_below) != prefix_len:
         raise ValueError("keep_below must be a hex string of length prefix_len (1..8)")
+    # md5 digests are lowercase hex; the survivor filter compares strings
+    # lexicographically, where digits sort below 'a'-'f'.  An uppercase
+    # threshold like 'A4' would make p disagree with the fraction actually
+    # kept — normalize before computing either.
+    keep_below = keep_below.lower()
     p = int(keep_below, 16) / (16 ** prefix_len)
     if p <= 0:
         raise ValueError("keep_below must be > 0")

@@ -132,6 +132,67 @@ def test_enable_dataframe_api_optout(indexed, spark):
         hs.disable()
 
 
+def test_enable_dataframe_api_optout_after_optin(indexed, spark):
+    """r7: enable(dataframe_api=False) AFTER enable(dataframe_api=True)
+    on the same session must stop action routing — 'latest wins' applies
+    to the flag, not just the instance."""
+    from hyperspace_spark import hyperspace as hsmod
+
+    hs, src = indexed
+    hs.enable(dataframe_api=True)
+    hs.enable(dataframe_api=False)
+    try:
+        assert spark not in hsmod._DF_ROUTES
+        hs._apply_cache.clear()
+        spark.read.parquet(src).filter("g = 13").select("k", "v").collect()
+        assert not hs._apply_cache, "explicit opt-out must unroute actions"
+    finally:
+        hs.disable()
+
+
+def test_unrouted_rdd_and_writestream_warn_once(indexed, spark):
+    """r7: .rdd / .writeStream on an enabled session are NOT planner-
+    routed; each emits ONE telemetry breadcrumb per session so the lost
+    acceleration is visible (reference rewrites every query via Catalyst,
+    ApplyHyperspace covers all surfaces — this is the divergence's
+    whyNot)."""
+    from hyperspace_spark import telemetry
+    from hyperspace_spark.hyperspace import _df_impl_class
+
+    DataFrame = _df_impl_class()
+    pristine_rdd = DataFrame.__dict__.get("rdd")
+    pristine_ws = DataFrame.__dict__.get("writeStream")
+    hs, src = indexed
+    events = []
+    handler = lambda ev: events.append(ev) if ev.kind == "unrouted" else None
+    telemetry.on_event(handler)
+    hs.enable()
+    try:
+        df = spark.read.parquet(src).filter("g = 13")
+        df.rdd.count()
+        df.rdd  # second access: no second event
+        spark.read.parquet(src).rdd  # other frame, same session: still once
+        stream = spark.readStream.format("rate").load()
+        _ = stream.writeStream
+        _ = stream.writeStream
+        surfaces = [ev.detail for ev in events]
+        assert sorted(surfaces) == ["rdd", "writeStream"], surfaces
+    finally:
+        telemetry.off_event(handler)
+        hs.disable()
+    # pristine descriptors restored (cached_property for rdd on Spark 4)
+    assert DataFrame.__dict__.get("rdd") is pristine_rdd
+    assert DataFrame.__dict__.get("writeStream") is pristine_ws
+    # and results through .rdd remain correct while enabled
+    hs.enable()
+    try:
+        got = sorted(spark.read.parquet(src).filter("g = 13").select("k").rdd.map(lambda r: r[0]).collect())
+        want = sorted(r[0] for r in spark.read.parquet(src).filter("g = 13").select("k").collect())
+        assert got == want
+    finally:
+        hs.disable()
+
+
 def test_enable_routes_dataframe_write(indexed, spark, tmp_path):
     """r6: df.write on an enabled session builds the writer over the
     rewritten frame — ETL jobs get index acceleration without apply()."""

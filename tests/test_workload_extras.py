@@ -162,6 +162,37 @@ def test_asof_matches_pandas_merge_asof(spark):
     assert key(got) == key(exp[["k", "ts", "v"]])
 
 
+def test_asof_null_payload_field_not_backfilled(spark):
+    """r7 (ADVICE): when the matched right row has a NULL value_col, the
+    output must carry that NULL — not back-fill the column from an OLDER
+    right row.  The payload travels as one struct per right row, matching
+    DuckDB ASOF / pandas merge_asof semantics."""
+    left = spark.createDataFrame(
+        [("a", 10.0, "L1"), ("a", 30.0, "L2")], "k string, ts double, tag string"
+    )
+    right = spark.createDataFrame(
+        [("a", 5.0, 1.0, "old"), ("a", 25.0, None, "new")],
+        "k string, ts double, v double, w string",
+    )
+    out = asof_join(left, right, on="ts", by=["k"], value_cols=["v", "w"], how="inner")
+    got = {r.tag: (r.ts_right, r.v_right, r.w_right) for r in out.collect()}
+    # L2's match is ts 25 whose v is NULL: v_right must be NULL (the old
+    # per-column last(ignorenulls) carried 1.0 from ts 5 — wrong).
+    assert got == {"L1": (5.0, 1.0, "old"), "L2": (25.0, None, "new")}
+
+
+def test_asof_null_right_timestamp_never_matches(spark):
+    """A right row with a NULL ``on`` timestamp is not a match candidate
+    (merge_asof rejects NaT keys; DuckDB ASOF never matches NULL)."""
+    left = spark.createDataFrame([("a", 10.0, "L1")], "k string, ts double, tag string")
+    right = spark.createDataFrame(
+        [("a", None, 9.0), ("a", 4.0, 1.0)], "k string, ts double, v double"
+    )
+    out = asof_join(left, right, on="ts", by=["k"], value_cols=["v"], how="inner")
+    got = [(r.ts_right, r.v_right) for r in out.collect()]
+    assert got == [(4.0, 1.0)]
+
+
 def test_asof_plan_single_shuffle_no_nested_loop(spark, asof_frames):
     left, right = asof_frames
     out = asof_join(left, right, on="ts", by=["k"], value_cols=["v"], how="inner")
@@ -254,3 +285,15 @@ def test_distinct_sketch_grouped_params_validated(spark):
         distinct_count_sketch(df, "v", keep_below="zz4", prefix_len=2)
     out = distinct_count_sketch(df, "v", group_cols=["g"], prefix_len=1, keep_below="8")
     assert set(out.columns) == {"g", "approx_distinct"}
+
+
+def test_distinct_sketch_uppercase_threshold_normalized(spark):
+    """r7 (ADVICE): md5 digests are lowercase, and the survivor filter is
+    a lexicographic string compare where digits sort below 'a'-'f' — an
+    uppercase threshold like 'A4' would silently bias p.  Normalize-to-
+    lower must make 'A4' and 'a4' identical."""
+    df = spark.range(20000).select((F.col("id") % 7919).alias("v"))
+    up = distinct_count_sketch(df, "v", keep_below="A4").collect()[0][0]
+    lo = distinct_count_sketch(df, "v", keep_below="a4").collect()[0][0]
+    assert up == lo
+    assert abs(lo - 7919) / 7919 < 0.25, lo
