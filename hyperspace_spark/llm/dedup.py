@@ -443,13 +443,29 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     verify_threshold: float | None = None,
+    max_bucket_size: int | None = None,
 ) -> "DataFrame":
     """LSH candidate pairs: documents sharing at least one band bucket.
 
     rows/band = num_hashes/bands sets the similarity knee
     (s-curve ~ (1/bands)^(1/rows_per_band)).  With verify_threshold set,
     candidates are re-checked with exact Jaccard (the classic
-    LSH-then-verify pipeline).  Output: (id_a, id_b [, jaccard])."""
+    LSH-then-verify pipeline).  Output: (id_a, id_b [, jaccard]).
+
+    ``max_bucket_size`` is the hot-bucket cap — SET IT for any large run.
+    A clique of k near-identical documents (web boilerplate) lands in the
+    same bucket in EVERY band and the self-join emits O(k²) candidate
+    rows in one task; k = 10⁶ exact copies at web scale is a 10¹²-row
+    straggler.  Buckets larger than the cap switch from all-pairs to a
+    STAR: each member pairs with the bucket's minimum id only — k-1
+    candidates instead of k(k-1)/2 — so the downstream duplicate CLUSTER
+    (connected components over verified pairs) is preserved whenever the
+    hot bucket really is a near-duplicate clique, which is what an
+    oversized bucket means at honest band widths.  Transitive pair rows
+    within a hot bucket are intentionally not emitted (they carry no
+    extra information for dedup); small buckets are exact all-pairs as
+    before.  Same discipline as cap_shingle_df and the skipping index's
+    file-count caps (reference IndexConstants.scala:149-161)."""
     from pyspark.sql import functions as F
 
     if bands < 1 or num_hashes % bands != 0:
@@ -482,12 +498,38 @@ def minhash_lsh_pairs(
             F.array(*[F.concat_ws("#", F.lit(str(bi)), F.col(f"band_{bi}")) for bi in range(bands)])
         ).alias("bucket"),
     )
-    a, b = stacked.alias("a"), stacked.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a._id") < F.col("b._id")))
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .distinct()
-    )
+    if max_bucket_size is not None:
+        if max_bucket_size < 2:
+            raise ValueError("max_bucket_size must be >= 2")
+        # One cheap agg over the (doc x bands) frame classifies buckets;
+        # AQE broadcasts the size table when small.  Hot buckets emit a
+        # star to the bucket min; the quadratic join runs only on the
+        # capped remainder.
+        sizes = stacked.groupBy("bucket").agg(
+            F.count("*").alias("_bsz"), F.min("_id").alias("_bmin")
+        )
+        tagged = stacked.join(sizes, "bucket")
+        cold = tagged.filter(F.col("_bsz") <= max_bucket_size).select("_id", "bucket")
+        star = (
+            tagged.filter(
+                (F.col("_bsz") > max_bucket_size) & (F.col("_id") != F.col("_bmin"))
+            )
+            .select(F.col("_bmin").alias("id_a"), F.col("_id").alias("id_b"))
+        )
+        a, b = cold.alias("a"), cold.alias("b")
+        pairs = (
+            a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a._id") < F.col("b._id")))
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .unionByName(star)
+            .distinct()
+        )
+    else:
+        a, b = stacked.alias("a"), stacked.alias("b")
+        pairs = (
+            a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a._id") < F.col("b._id")))
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .distinct()
+        )
     if verify_threshold is None:
         return pairs
     # Verify ONLY the candidate pairs (that is the point of LSH): fetch
@@ -638,6 +680,31 @@ def simhash_pairs(
     return pairs.select("id_a", "id_b", "hamming")
 
 
+def _file_input_bytes(df: "DataFrame") -> int | None:
+    """Total bytes of a file-backed frame's inputs — driver metadata, no
+    job.  None when the source exposes no file list (views, in-memory
+    frames) or any path is unreadable."""
+    import os
+
+    try:
+        files = df.inputFiles()
+        if not files:
+            return None
+        nbytes = 0
+        for f in files:
+            pf = f[7:] if f.startswith("file://") else f[5:] if f.startswith("file:") else f
+            nbytes += os.path.getsize(pf)
+        return nbytes
+    except Exception:
+        return None
+
+
+# Exact all-pairs cosine is O(N²) FLOPs; past this input size the job is
+# an accident, not a choice (≈1 GiB of fp32 embeddings at dim 128 is
+# ~2M vectors → 2·10¹² similarity evaluations).
+_EXACT_PAIRS_MAX_BYTES = 1 << 30
+
+
 def embedding_near_dup_pairs(
     emb: "DataFrame",
     threshold: float = 0.95,
@@ -645,8 +712,19 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     method: str = "blocked",
     n_blocks: int = 8,
+    force: bool = False,
+    max_exact_bytes: int = _EXACT_PAIRS_MAX_BYTES,
 ) -> "DataFrame":
     """Exact cosine near-dup pairs (a < b, cosine >= threshold).
+
+    EVERY method here is exact all-pairs — O(N²) compute by definition —
+    so a file-backed input larger than ``max_exact_bytes`` (default
+    1 GiB) raises unless ``force=True``: at corpus scale use the
+    sub-quadratic paths instead (``similarity.lsh_bucketed_pairs`` for
+    bucketed near-dup pairs, ``similarity.ann_ivf_topk`` / the persisted
+    ANN index for top-k).  The guard reads only driver-side file
+    metadata (zero jobs) and cannot see through views or in-memory
+    frames — those pass unchecked.
 
     method='blocked' (default): distributed block-pair matmul.  Rows hash
     into ``n_blocks`` blocks; every unordered block pair (i ≤ j) becomes
@@ -664,6 +742,16 @@ def embedding_near_dup_pairs(
     method='sql': pure DataFrame higher-order-function pair join —
     engine-portable reference implementation."""
     from pyspark.sql import functions as F
+
+    if not force:
+        nbytes = _file_input_bytes(emb)
+        if nbytes is not None and nbytes > max_exact_bytes:
+            raise ValueError(
+                f"embedding_near_dup_pairs is exact all-pairs (O(N²)); input is "
+                f"{nbytes / 2**20:.0f} MiB > max_exact_bytes={max_exact_bytes / 2**20:.0f} MiB. "
+                "Use similarity.lsh_bucketed_pairs (sub-quadratic near-dup pairs) or "
+                "the ANN index (indexes/ann.py) for top-k; pass force=True to run anyway."
+            )
 
     if method == "blocked":
         return _blocked_pairs(emb, threshold, id_col, vec_col, n_blocks)

@@ -141,6 +141,45 @@ def test_minhash_lsh_finds_identical_docs(spark):
     assert (100, 101) in {(p.id_a, p.id_b) for p in pairs}
 
 
+def test_minhash_hot_bucket_cap_bounds_candidates(spark):
+    """r7: a clique of 1,000 identical documents must NOT explode into
+    ~500k candidate pairs — with max_bucket_size set, the hot bucket
+    emits a star to the bucket min (k-1 candidates), the duplicate
+    cluster stays connected, verified edges all pass at jaccard 1.0, and
+    pairs from ordinary-sized buckets are unchanged."""
+    k = 1000
+    clique_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, clique_text) for i in range(k)]
+    # an ordinary near-dup pair far from the clique ids
+    rows += [(5000, "one two three four five six seven eight"),
+             (5001, "one two three four five six seven eight")]
+    # and unique background docs
+    rows += [(6000 + i, f"unique{i} filler{i} words{i} nothing shared {i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = dedup.minhash_lsh_pairs(
+        df, n=2, num_hashes=32, bands=8, verify_threshold=0.8, max_bucket_size=16
+    ).collect()
+    got = {(p.id_a, p.id_b) for p in capped}
+    # clique: exactly the star edges (0, x) — bounded at k-1, not k(k-1)/2
+    clique_edges = {(a, b) for a, b in got if b < k}
+    assert clique_edges == {(0, i) for i in range(1, k)}
+    assert all(p.jaccard == 1.0 for p in capped if p.id_b < k)
+    # the ordinary pair (small bucket) is still found, all-pairs path
+    assert (5000, 5001) in got
+    # star connectivity: one connected component over the clique
+    pairs_df = spark.createDataFrame(
+        [(a, b) for a, b in got if b < k], "id_a long, id_b long"
+    )
+    comps = dedup.connected_components(pairs_df)
+    assert comps.select("cluster").distinct().count() == 1
+    assert comps.count() == k
+
+    # cap must reject degenerate sizes
+    with pytest.raises(ValueError):
+        dedup.minhash_lsh_pairs(df, max_bucket_size=1)
+
+
 def test_minhash_recall_vs_exact(spark, docs):
     """LSH candidates must include every truly-similar pair (recall ~1 at
     jaccard >= 0.7 with 64 hashes / 16 bands)."""
@@ -167,6 +206,23 @@ def test_embedding_near_dup(spark, emb):
         assert p.cosine >= 0.95
     # symmetric sanity: cosine(a,a)=1 if we include self-pairs -> excluded by a<b
     assert all(p.id_a < p.id_b for p in pairs)
+
+
+def test_embedding_near_dup_size_guard(spark, emb):
+    """r7: exact all-pairs refuses file-backed inputs above
+    max_exact_bytes unless force=True — protects a 100 TB user from an
+    accidental O(N²) job; the error points at the sub-quadratic paths."""
+    for method in ("blocked", "sql", "blas_smallcorpus"):
+        with pytest.raises(ValueError, match="lsh_bucketed_pairs"):
+            dedup.embedding_near_dup_pairs(emb, method=method, max_exact_bytes=1)
+    # force=True runs; default threshold (1 GiB) passes sf-test data
+    forced = dedup.embedding_near_dup_pairs(emb, threshold=0.95, max_exact_bytes=1, force=True)
+    normal = dedup.embedding_near_dup_pairs(emb, threshold=0.95)
+    assert sorted(map(tuple, forced.collect())) == sorted(map(tuple, normal.collect()))
+    # in-memory frames have no file list: guard passes them unchecked
+    tiny = spark.createDataFrame([(1, [1.0, 0.0]), (2, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    got = dedup.embedding_near_dup_pairs(tiny, threshold=0.9, max_exact_bytes=1).collect()
+    assert {(p.id_a, p.id_b) for p in got} == {(1, 2)}
 
 
 # ---------------------------------------------------------------------------
