@@ -101,6 +101,23 @@ class MinMaxSketch(Sketch):
     def kind(self) -> str:
         return "MinMax"
 
+    # IN lists up to this size emit the short-circuiting OR-chain (codegen
+    # friendly); above it, one array literal + an exists() lambda keeps the
+    # expression tree bounded (~n literals in ONE constructor vs ~4n
+    # AND/OR/cmp nodes).  Equivalent role to the reference's binary-search
+    # expression (SortedArrayLowerBound.scala:30-102): the probe is linear,
+    # but it runs once per FILE row of sketch data — thousands of rows —
+    # so tree size, not probe cost, is what matters at 1,000 literals.
+    _INSET_CHAIN_MAX = 64
+
+    @staticmethod
+    def _any_literal_in_range(values, lo: str, hi: str) -> str:
+        if len(values) <= MinMaxSketch._INSET_CHAIN_MAX:
+            parts = [f"({lo} <= {v.sql} AND {hi} >= {v.sql})" for v in values]
+            return "(" + " OR ".join(parts) + ")"
+        arr = ", ".join(v.sql for v in values)
+        return f"exists(array({arr}), _hs_x -> {lo} <= _hs_x AND {hi} >= _hs_x)"
+
     def agg_exprs(self):
         from pyspark.sql import functions as F
 
@@ -122,8 +139,7 @@ class MinMaxSketch(Sketch):
             if e.op == ">=":
                 return f"{hi} >= {v}"
         if isinstance(e, InExpr) and _attr_widening_ok(e.child, self.column) and e.values:
-            parts = [f"({lo} <= {v.sql} AND {hi} >= {v.sql})" for v in e.values]
-            return "(" + " OR ".join(parts) + ")"
+            return self._any_literal_in_range(e.values, lo, hi)
         if isinstance(e, NullTest) and _is_attr(e.child, self.column) and not e.is_null:
             # min is null iff the file holds no non-null value.  Sound under
             # ANY cast: CAST(x) IS NOT NULL implies x IS NOT NULL.
@@ -173,8 +189,7 @@ class ValueListSketch(Sketch):
                 arr = ", ".join(v.sql for v in e.values)
                 return f"arrays_overlap({vals}, array({arr}))"
             if _attr_widening_ok(e.child, self.column):
-                parts = [f"({vmin} <= {v.sql} AND {vmax} >= {v.sql})" for v in e.values]
-                return "(" + " OR ".join(parts) + ")"
+                return MinMaxSketch._any_literal_in_range(e.values, vmin, vmax)
         if isinstance(e, NullTest) and _is_attr(e.child, self.column) and not e.is_null:
             return f"size({vals}) > 0"
         return None

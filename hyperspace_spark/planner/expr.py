@@ -123,9 +123,67 @@ import re
 
 _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
+# InSet literal recovery cap: see the InSet branch of _parse.
+_INSET_PARSE_MAX = 10_000
+
 
 def _quote_if_needed(name: str) -> str:
     return name if _IDENT.match(name) else "`" + name.replace("`", "``") + "`"
+
+
+# typeName -> SQL cast target for exact re-rendering of internal values.
+_CAST_NAME = {
+    "byte": "TINYINT",
+    "short": "SMALLINT",
+    "integer": "INT",
+    "long": "BIGINT",
+    "float": "FLOAT",
+    "double": "DOUBLE",
+}
+
+
+def _render_internal_literal(jv, tn: str, dt) -> str | None:
+    """SQL for one INTERNAL Catalyst value (an InSet element), or None if
+    the type can't be rendered exactly.
+
+    Primitives arrive as exact Python numbers (py4j's JVM->Python
+    conversion is lossless) and are rendered here; internal date (days
+    since epoch) and timestamp (UTC micros) integers go through the
+    timezone-independent DATE_FROM_UNIX_DATE / TIMESTAMP_MICROS
+    constructors; non-primitive objects (UTF8String, Decimal) stay
+    JavaObjects, so Catalyst's own Literal.sql renders them — string
+    escaping included."""
+    if jv is None:
+        return "NULL"
+    if tn in ("byte", "short", "integer", "long"):
+        return f"CAST({int(jv)} AS {_CAST_NAME[tn]})"
+    if tn == "boolean":
+        return "true" if jv else "false"
+    if tn in ("float", "double"):
+        x = float(jv)
+        if x != x:
+            s = "'NaN'"
+        elif x == float("inf"):
+            s = "'Infinity'"
+        elif x == float("-inf"):
+            s = "'-Infinity'"
+        else:
+            s = repr(x)
+        return f"CAST({s} AS {_CAST_NAME[tn]})"
+    if tn == "date":
+        return f"DATE_FROM_UNIX_DATE({int(jv)})"
+    if tn == "timestamp":
+        return f"TIMESTAMP_MICROS({int(jv)})"
+    if tn in ("string", "char", "varchar") or tn.startswith("decimal"):
+        try:
+            from pyspark.sql import SparkSession
+
+            jvm = SparkSession.getActiveSession()._jvm
+            jlit = jvm.org.apache.spark.sql.catalyst.expressions.Literal
+            return str(jlit(jv, dt).sql())
+        except Exception:
+            return None
+    return None
 
 
 def _jsql(jexpr) -> str:
@@ -287,12 +345,33 @@ def _parse(jexpr) -> Expr:
         return InExpr(sql=sql, references=child.references, child=child, values=tuple(vals))
 
     if cls == "InSet":
-        # Post-OptimizeIn form; value set lives in a Scala Set.  Values are
-        # plain JVM objects (no Literal wrapper) — recover SQL via child's
-        # dtype-appropriate rendering is fragile, so keep it opaque but
-        # reference-complete enough for covering rules (refs known).
+        # Post-OptimizeIn form (Catalyst rewrites In -> InSet above
+        # spark.sql.optimizer.inSetConversionThreshold = 10, so every
+        # non-trivial IN list arrives here).  The value set holds INTERNAL
+        # Catalyst objects with no Literal wrapper; primitives are
+        # rendered Python-side (py4j's unboxing of Scala Long/Int/Double
+        # to Python numbers is exact, but round-tripping them back to the
+        # JVM re-boxes by SIZE and Literal rejects the mismatch), and
+        # non-primitive objects (UTF8String, Decimal — py4j leaves them
+        # as JavaObjects) go through Catalyst's own Literal.sql.  A set
+        # beyond _INSET_PARSE_MAX stays opaque (the emitted sketch
+        # predicate would bloat past any pruning win).
         child = _parse_casted(jexpr.child())
-        return Unknown(sql=sql, references=child.references)
+        try:
+            jset = jexpr.hset()
+            if jset.size() > _INSET_PARSE_MAX:
+                return Unknown(sql=sql, references=child.references)
+            dt = jexpr.child().dataType()
+            tn = dt.typeName()
+            vals = []
+            for jv in scala_seq(jset.toSeq()):
+                lit_sql = _render_internal_literal(jv, tn, dt)
+                if lit_sql is None:
+                    return Unknown(sql=sql, references=child.references)
+                vals.append(Lit(sql=lit_sql, is_null=jv is None))
+            return InExpr(sql=sql, references=child.references, child=child, values=tuple(vals))
+        except Exception:
+            return Unknown(sql=sql, references=child.references)
 
     if cls == "IsNull":
         child = _parse_casted(jexpr.child())

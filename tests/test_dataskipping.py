@@ -244,3 +244,55 @@ def test_dataskipping_applies_after_source_delete(spark, hs, tmp_path_factory):
     finally:
         hs.delete_index("ds_del_idx")
         hs.vacuum_index("ds_del_idx")
+
+
+def test_minmax_inset_large_list_bounded_expression():
+    """r7: above _INSET_CHAIN_MAX literals the emitted sketch predicate is
+    ONE array literal probed by an exists() lambda — not a 1,000-branch
+    OR-chain (role of the reference's SortedArrayLowerBound binary-search
+    expression, SortedArrayLowerBound.scala:30-102)."""
+    from hyperspace_spark.planner.expr import Attr, InExpr, Lit
+
+    mm = MinMaxSketch(["k"])
+    attr = Attr(sql="k", name="k")
+    small = InExpr(sql="", child=attr, values=tuple(Lit(sql=str(i)) for i in range(10)))
+    out_small = mm.convert(small)
+    assert " OR " in out_small and "exists(" not in out_small
+    big = InExpr(sql="", child=attr, values=tuple(Lit(sql=str(i)) for i in range(1000)))
+    out_big = mm.convert(big)
+    assert out_big.count(" OR ") == 0 and out_big.startswith("exists(array(")
+    # same shape for the widened ValueList path
+    vl = ValueListSketch(["k"])
+    wide = Attr(sql="k", name="k", dtype="integer", cast_to="long")
+    out_vl = vl.convert(InExpr(sql="", child=wide, values=tuple(Lit(sql=str(i)) for i in range(1000))))
+    assert out_vl.count(" OR ") == 0 and out_vl.startswith("exists(array(")
+
+
+def test_minmax_large_in_list_prunes(spark, hs, tmp_path_factory):
+    """End-to-end: a 1,000-element IN list on a range-clustered column
+    prunes files and returns exact rows."""
+    d = str(tmp_path_factory.mktemp("li_ok"))
+    (
+        table(spark, "lineitem")
+        .repartitionByRange(8, "l_orderkey")
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    df = spark.read.parquet(d)
+    hs.create_index(
+        df, DataSkippingIndexConfig("li_inset", [MinMaxSketch(["l_orderkey"])])
+    )
+    try:
+        keys = [
+            r[0]
+            for r in df.select("l_orderkey").distinct().orderBy("l_orderkey").limit(1000).collect()
+        ]
+        assert len(keys) > 64  # must take the exists() path
+        q = df.filter(F.col("l_orderkey").isin(keys)).select("l_orderkey", "l_quantity")
+        fast, used = hs._apply_with_info(q)
+        assert used == ["li_inset"], hs.why_not(q)
+        assert n_input_files(fast) < n_input_files(q)
+        assert rows_equal(q, fast)
+    finally:
+        hs.delete_index("li_inset")
+        hs.vacuum_index("li_inset")
