@@ -175,6 +175,51 @@ def main() -> None:
     # Warm the JVM/codegen once with a light query.
     QUERIES["covering_filter_point"](spark, sf_dir).collect()
 
+    # Drift canary: a fixed, index-free, IO-free compute kernel timed
+    # min-of-3.  Absolute per-query times drift 1.3-1.6x between rounds
+    # on shared hardware with no code change (r5/r6 both burned triage on
+    # this); the canary measures the MACHINE, so round-over-round
+    # comparisons can divide it out.  canary_drift = this round's canary
+    # over the most recent prior round that recorded one (>1 = this
+    # machine/session is slower; normalize absolute times by it before
+    # calling anything a regression).
+    def _canary() -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(200_000_000).selectExpr(
+                "sum(id % 7919) AS s", "count(if(id % 13 = 0, 1, null)) AS c"
+            ).collect()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    canary_sec = _canary()
+
+    def _prev_canary() -> float | None:
+        import glob
+        import re as _re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = []
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+            m = _re.search(r"BENCH_r(\d+)\.json$", p)
+            if m:
+                rounds.append((int(m.group(1)), p))
+        for _, p in sorted(rounds, reverse=True):
+            try:
+                with open(p) as f:
+                    data = json.load(f)
+                # driver files may nest the parsed payload
+                for d in (data, data.get("parsed") or {}):
+                    if isinstance(d, dict) and isinstance(d.get("canary_sec"), (int, float)):
+                        return float(d["canary_sec"])
+            except Exception:
+                continue
+        return None
+
+    prev = _prev_canary()
+    canary_drift = round(canary_sec / prev, 3) if prev else None
+
     timings: dict[str, float] = {}
     for name in headline:
         timings[name] = timed(name)
@@ -216,6 +261,8 @@ def main() -> None:
         "data_staging_sec": round(staging_sec, 3),
         "speedup_vs_unindexed": speedups,
         "cpus": cpus,
+        "canary_sec": canary_sec,
+        "canary_drift": canary_drift,
     }
     # Full per-query payload to a file; stdout gets a COMPACT line.  The
     # driver captures only the LAST ~2000 chars of stdout, and the full

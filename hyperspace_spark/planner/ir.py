@@ -102,6 +102,24 @@ class JoinN(Node):
 
 
 @dataclass
+class OpaqueN(Node):
+    """A subtree the parser cannot model (r7) — replayed VERBATIM from
+    the original optimized JVM plan via Dataset.ofRows, registered as a
+    temp view like a scan.  Scans inside are invisible to rules (no
+    rewrite, no hybrid scan) — sound, since the user's own subtree
+    executes unchanged — but the REST of the query around it can still
+    be accelerated, where before one unparseable corner (e.g. the
+    LeftSemi self-join an IN-subquery decorrelates to, whose condition
+    is name-ambiguous) failed the whole apply().  Reference parity: a
+    JVM Catalyst rule never has this problem (it rewrites relation nodes
+    in place, ApplyHyperspace.scala:32-76); this is the Python planner's
+    closest equivalent."""
+
+    jplan: object = None  # JVM LogicalPlan
+    output: list[str] = field(default_factory=list)
+
+
+@dataclass
 class DistinctN(Node):
     child: Node = None
 

@@ -132,6 +132,27 @@ def _out_names(jnode) -> list[str]:
     return [str(a.name()) for a in scala_seq(jnode.output())]
 
 
+def _opaque(jnode) -> ir.Node:
+    """Degrade an unparseable subtree to an OpaqueN leaf (replayed
+    verbatim).  Refused when the subtree's output has case-folded
+    duplicate names: ancestors attribute columns by name, and a
+    duplicate would make the replayed SQL ambiguous (or worse, let a
+    parent join mis-attribute a key) — fall back entirely instead."""
+    names = _out_names(jnode)
+    if len({n.lower() for n in names}) != len(names):
+        raise UnsupportedPlan(
+            f"opaque:duplicate-output:{jnode.getClass().getSimpleName()}"
+        )
+    return ir.OpaqueN(jplan=jnode, output=names)
+
+
+def _parse_or_opaque(jnode) -> ir.Node:
+    try:
+        return _parse(jnode)
+    except UnsupportedPlan:
+        return _opaque(jnode)
+
+
 def _parse(jnode) -> ir.Node:
     cls = jnode.getClass().getSimpleName()
 
@@ -147,11 +168,11 @@ def _parse(jnode) -> ir.Node:
             *[parse_expr(e).references for e in scala_seq(jnode.projectList())]
         ) if exprs else frozenset()
         return ir.ProjectN(
-            child=_parse(jnode.child()), exprs=exprs, output=_out_names(jnode), references=refs
+            child=_parse_or_opaque(jnode.child()), exprs=exprs, output=_out_names(jnode), references=refs
         )
 
     if cls == "Filter":
-        return ir.FilterN(child=_parse(jnode.child()), condition=parse_expr(jnode.condition()))
+        return ir.FilterN(child=_parse_or_opaque(jnode.child()), condition=parse_expr(jnode.condition()))
 
     if cls == "Aggregate":
         grouping = [expr_sql(e) for e in scala_seq(jnode.groupingExpressions())]
@@ -166,7 +187,7 @@ def _parse(jnode) -> ir.Node:
             ]
         ) if (grouping or aggs) else frozenset()
         return ir.AggregateN(
-            child=_parse(jnode.child()),
+            child=_parse_or_opaque(jnode.child()),
             grouping=grouping,
             aggs=aggs,
             output=_out_names(jnode),
@@ -186,17 +207,17 @@ def _parse(jnode) -> ir.Node:
             )
             orders.append(f"{child_sql} {direction} {nulls}")
             refs = refs | parse_expr(so.child()).references
-        return ir.SortN(child=_parse(jnode.child()), orders=orders, references=refs)
+        return ir.SortN(child=_parse_or_opaque(jnode.child()), orders=orders, references=refs)
 
     if cls == "GlobalLimit":
         n = int(jnode.limitExpr().value())
         inner = jnode.child()
         if inner.getClass().getSimpleName() == "LocalLimit":
             inner = inner.child()
-        return ir.LimitN(child=_parse(inner), n=n)
+        return ir.LimitN(child=_parse_or_opaque(inner), n=n)
 
     if cls == "LocalLimit":
-        return ir.LimitN(child=_parse(jnode.child()), n=int(jnode.limitExpr().value()))
+        return ir.LimitN(child=_parse_or_opaque(jnode.child()), n=int(jnode.limitExpr().value()))
 
     if cls == "Window":
         wexprs = [expr_sql(e) for e in scala_seq(jnode.windowExpressions())]
@@ -204,18 +225,18 @@ def _parse(jnode) -> ir.Node:
             *[parse_expr(e).references for e in scala_seq(jnode.windowExpressions())]
         ) if wexprs else frozenset()
         return ir.WindowN(
-            child=_parse(jnode.child()),
+            child=_parse_or_opaque(jnode.child()),
             window_exprs=wexprs,
             output=_out_names(jnode),
             references=refs,
         )
 
     if cls == "Union":
-        return ir.UnionN(kids=[_parse(c) for c in scala_seq(jnode.children())])
+        return ir.UnionN(kids=[_parse_or_opaque(c) for c in scala_seq(jnode.children())])
 
     if cls == "Join":
-        left = _parse(jnode.left())
-        right = _parse(jnode.right())
+        left = _parse_or_opaque(jnode.left())
+        right = _parse_or_opaque(jnode.right())
         jt = str(jnode.joinType().sql()).lower().replace(" ", "_")
         cond_opt = jnode.condition()
         condition = None
@@ -258,6 +279,8 @@ def _parse(jnode) -> ir.Node:
 
 def _names(node: ir.Node) -> list[str]:
     if isinstance(node, ir.Scan):
+        return node.output
+    if isinstance(node, ir.OpaqueN):
         return node.output
     if isinstance(node, (ir.ProjectN, ir.AggregateN, ir.WindowN)):
         return node.output

@@ -70,6 +70,18 @@ def _sql(spark: "SparkSession", node: ir.Node, views: list[str]) -> str:
             df = default_scan_df(spark, node)
         return _register(spark, df, views)
 
+    if isinstance(node, ir.OpaqueN):
+        # Verbatim replay of a subtree the parser could not model: wrap
+        # the original optimized JVM plan back into a DataFrame.  The
+        # classic Dataset.ofRows round-trip re-runs analysis over an
+        # already-resolved plan — a no-op semantically.
+        from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+        jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            spark._jsparkSession, node.jplan
+        )
+        return _register(spark, _CDF(jdf, spark), views)
+
     if isinstance(node, ir.FilterN):
         child = _sub(spark, node.child, views)
         return f"SELECT * FROM {child} WHERE {node.condition.sql}"

@@ -145,3 +145,37 @@ def test_union_under_agg(spark):
     b = table(spark, "orders").filter("o_custkey > 1000").select("o_custkey", "o_totalprice")
     df = a.union(b).groupBy("o_custkey").agg(F.sum("o_totalprice").alias("s"))
     roundtrip(spark, df)
+
+
+def test_opaque_subtree_roundtrip(spark):
+    """r7: a subtree the parser cannot model (IN-subquery -> name-
+    ambiguous LeftSemi self-join) degrades to an OpaqueN leaf replayed
+    verbatim — the query round-trips instead of raising, and scans
+    OUTSIDE the opaque corner stay visible to the rules."""
+    li = table(spark, "lineitem")
+    pa = table(spark, "part")
+    li.createOrReplaceTempView("rt_lineitem")
+    pa.createOrReplaceTempView("rt_part")
+    df = spark.sql(
+        """
+        SELECT l_orderkey, l_extendedprice
+        FROM rt_lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM rt_part WHERE p_size IN
+                            (SELECT p_size FROM rt_part WHERE p_type LIKE 'SMALL%'))
+          AND l_quantity > 30
+        """
+    )
+    node = roundtrip(spark, df)
+    kinds = {type(n).__name__ for n in _walk(node)}
+    assert "OpaqueN" in kinds, kinds
+    # the lineitem scan is still a visible, rewritable Scan
+    assert any(
+        isinstance(n, ir.Scan) and any("lineitem" in p for p in n.root_paths)
+        for n in _walk(node)
+    )
+
+
+def _walk(node):
+    yield node
+    for c in ir.children(node):
+        yield from _walk(c)
