@@ -3711,73 +3711,18 @@ def session_window_events(spark, sf_dir):
 # also has a live local gate (tests/test_entry_contract.py runs ALL of
 # them every session).
 #
-# r6 window: the 33 entries whose last green row is r04 lead (the
-# minhash/simhash/embedding/ANN/multimodal/pii/sampling block + the
-# q2/q11/q12/q20 + window/setop/pivot/streaming tail); the 9 new r6
-# entries next (text_stats counts as new: its body changed this round);
-# then the index-accelerated core.  At 33+9+9 = 51 the ~50-entry window
-# cuts one core entry — hybrid_scan_append, unchanged and r05-green,
-# deliberately placed last so the CHANGED query re-verifies instead.
-# The r05-green tail rides one-round-old evidence and rotates back in
-# r7.
+# r7 window: the 42 entries whose last green row is r05 lead (the full
+# TPC-H tail, the text/dedup/sampling/source block, and
+# hybrid_scan_append — the one core entry r6's 51>50 overflow cut);
+# then the 6 entries whose CODE changed this round (as-of struct-payload
+# carry, distinct-sketch threshold normalization, MinHash hot-bucket
+# cap, embedding size guard, MinMax/ValueList InSet exists() form); the
+# remaining 2 slots go to the two heaviest headline claims.  Everything
+# else was verified in r06 and rides one-round-old evidence; it rotates
+# back in r8.
 # ---------------------------------------------------------------------------
 _VERIFY_PRIORITY = [
-    # last green row r04 — oldest first
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q12_priority_shipping",
-    "q20_excess_stock",
-    "session_window_events",
-    "streaming_tumbling_rollup",
-    "window_tumbling_events",
-    "window_sliding_events",
-    "window_top_orders",
-    "pivot_linestatus",
-    "unpivot_measures",
-    "rollup_agg",
-    "cube_returnflag_status",
-    "grouping_sets_agg",
-    "exists_subquery",
-    "union_distinct",
-    "setop_intersect",
-    "setop_except_all",
-    "salted_skew_agg",
-    "events_hourly_rollup",
-    "mixture_stratified_sample",
-    "split_train_val_test",
-    "sample_hash_deterministic",
-    "contamination_check",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "ann_cosine_topk",
-    "ann_lsh_bucketed",
-    "ann_ivf_topk",
-    "pii_detect",
-    "multimodal_meta",
-    "multimodal_resize",
-    # new / newly-oracled this round
-    "dataskipping_bloom",
-    "nested_filter_index",
-    "asof_join_events",
-    "range_join_buckets",
-    "distinct_count_sketch",
-    "zorder_range_agg",
-    "dataskipping_valuelist",
-    "streaming_ingest_dedup",
-    "text_stats",
-    # index-accelerated core (headline claims: verify every round)
-    "covering_filter_point",
-    "covering_filter_agg",
-    "join_cobucketed",
-    "dataskipping_minmax",
-    "zorder_filter_2d",
-    "delta_filter_index",
-    "iceberg_filter_index",
-    "hybrid_join_append",
-    "hybrid_scan_append",
-    # --- past the ~50 cap: all green in r05, rotate back into the window
-    # in r7 ---
+    # last green row r05 — oldest first
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",
@@ -3818,6 +3763,61 @@ _VERIFY_PRIORITY = [
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "dedup_keep_canonical",
+    "hybrid_scan_append",
+    # code changed in r7 — re-verify even though r06-green
+    "asof_join_events",
+    "distinct_count_sketch",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "dataskipping_valuelist",
+    "dataskipping_minmax",
+    # headline claims topping off the ~50-entry window (zorder_filter_2d
+    # is the r6 weak-perf flag — re-measure with fresh correctness too)
+    "covering_filter_point",
+    "join_cobucketed",
+    "zorder_filter_2d",
+    # --- past the ~50 cap: all green in r06, rotate back in r8 ---
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q12_priority_shipping",
+    "q20_excess_stock",
+    "session_window_events",
+    "streaming_tumbling_rollup",
+    "window_tumbling_events",
+    "window_sliding_events",
+    "window_top_orders",
+    "pivot_linestatus",
+    "unpivot_measures",
+    "rollup_agg",
+    "cube_returnflag_status",
+    "grouping_sets_agg",
+    "exists_subquery",
+    "union_distinct",
+    "setop_intersect",
+    "setop_except_all",
+    "salted_skew_agg",
+    "events_hourly_rollup",
+    "mixture_stratified_sample",
+    "split_train_val_test",
+    "sample_hash_deterministic",
+    "contamination_check",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "ann_ivf_topk",
+    "pii_detect",
+    "multimodal_meta",
+    "multimodal_resize",
+    "dataskipping_bloom",
+    "nested_filter_index",
+    "range_join_buckets",
+    "zorder_range_agg",
+    "streaming_ingest_dedup",
+    "text_stats",
+    "covering_filter_agg",
+    "delta_filter_index",
+    "iceberg_filter_index",
+    "hybrid_join_append",
 ]
 
 

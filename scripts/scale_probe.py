@@ -198,5 +198,240 @@ def main():
     sys.exit(0 if aqe_ok and all(s >= 1.0 for s in speedups.values()) else 1)
 
 
+# ---------------------------------------------------------------------------
+# sf10 mode (r7 stretch): 100x sf0.1 for the three headline join/filter
+# probes ONLY — orders + lineitem, minimal index build mirroring the
+# workspace's configs (same pow2 bucket sizing, same skipping layout), no
+# full workload staging.  Asserts the co-bucketed join stays Exchange-free
+# after AQE and that per-probe speedups do not erode vs the sf1 artifact.
+# Run:  python scripts/scale_probe.py --sf10     (~5-10 min cold)
+# ---------------------------------------------------------------------------
+DST10 = "/tmp/hs_scale_sf10"
+REPLICAS10 = 100
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def generate_sf10(spark) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(DST10, exist_ok=True)
+    o = spark.read.parquet(f"{SRC}/orders.parquet")
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    strides = {
+        "orderkey": int(
+            max(o.agg(F.max("o_orderkey")).first()[0], li.agg(F.max("l_orderkey")).first()[0])
+        )
+        + 1,
+        "custkey": int(o.agg(F.max("o_custkey")).first()[0]) + 1,
+    }
+    plans = [
+        ("orders", o, {"o_orderkey": "orderkey", "o_custkey": "custkey"}),
+        ("lineitem", li, {"l_orderkey": "orderkey"}),
+    ]
+    for name, df, colmap in plans:
+        out = f"{DST10}/{name}.parquet"
+        if os.path.exists(f"{out}/_SUCCESS"):
+            continue
+        cols = df.columns
+        rep = df.withColumn("_r", F.explode_outer(F.lit(list(range(REPLICAS10)))))
+        for col, dom in colmap.items():
+            rep = rep.withColumn(col, F.col(col) + F.col("_r") * F.lit(strides[dom]))
+        rep.select(*cols).repartition(32).write.mode("overwrite").parquet(out)
+        print(f"sf10: generated {name} ({REPLICAS10}x)", file=sys.stderr)
+    byship = f"{DST10}/li_byship"
+    if not os.path.exists(f"{byship}/_SUCCESS"):
+        # 64 range files (vs 16 at sf0.1): file count grows ~sqrt with
+        # data so per-file pruning granularity keeps pace with volume.
+        (
+            spark.read.parquet(f"{DST10}/lineitem.parquet")
+            .repartitionByRange(64, "l_shipdate")
+            .write.mode("overwrite")
+            .parquet(byship)
+        )
+        print("sf10: staged li_byship (64 range files)", file=sys.stderr)
+
+
+def main_sf10():
+    import math
+
+    from pyspark.sql import functions as F
+
+    spark = build_session()
+    t0 = time.perf_counter()
+    generate_sf10(spark)
+    gen_sec = time.perf_counter() - t0
+
+    from hyperspace_spark import (
+        CoveringIndexConfig,
+        DataSkippingIndexConfig,
+        Hyperspace,
+        MinMaxSketch,
+    )
+    from hyperspace_spark.workload import executed_plan_final
+
+    hs = Hyperspace(spark, system_path=f"{DST10}/indexes")
+
+    def pow2(n: int) -> int:
+        return 1 << (max(1, n) - 1).bit_length()
+
+    o_bytes = _dir_bytes(f"{DST10}/orders.parquet")
+    li_bytes = _dir_bytes(f"{DST10}/lineitem.parquet")
+    nb_point = min(pow2(-(-o_bytes // (256 * 1024))), 256)
+    nb_join = min(pow2(-(-li_bytes // (4 * 1024 * 1024))), 1024)
+
+    t0 = time.perf_counter()
+    try:
+        have = {r["name"] for r in hs.indexes().collect()}
+    except Exception:
+        have = set()
+    orders = spark.read.parquet(f"{DST10}/orders.parquet")
+    lineitem = spark.read.parquet(f"{DST10}/lineitem.parquet")
+    byship = spark.read.parquet(f"{DST10}/li_byship")
+    if "s10_o_cov" not in have:
+        hs.create_index(
+            orders,
+            CoveringIndexConfig(
+                "s10_o_cov", ["o_custkey"], ["o_orderkey", "o_totalprice"], num_buckets=nb_point
+            ),
+        )
+    if "s10_li_join" not in have:
+        hs.create_index(
+            lineitem,
+            CoveringIndexConfig(
+                "s10_li_join",
+                ["l_orderkey"],
+                ["l_quantity", "l_extendedprice", "l_discount"],
+                num_buckets=nb_join,
+            ),
+        )
+    if "s10_o_join" not in have:
+        hs.create_index(
+            orders,
+            CoveringIndexConfig(
+                "s10_o_join", ["o_orderkey"], ["o_orderpriority"], num_buckets=nb_join
+            ),
+        )
+    if "s10_li_skip" not in have:
+        hs.create_index(
+            byship, DataSkippingIndexConfig("s10_li_skip", [MinMaxSketch(["l_shipdate"])])
+        )
+    build_sec = time.perf_counter() - t0
+
+    def q_point():
+        return hs.apply(
+            orders.filter(F.col("o_custkey") == 42).select("o_orderkey", "o_totalprice")
+        )
+
+    def q_join():
+        return hs.apply(
+            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                    "revenue"
+                ),
+                F.count("*").alias("cnt"),
+            )
+        )
+
+    def q_minmax():
+        return hs.apply(
+            byship.filter(F.col("l_shipdate") < "1996-01-01").agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.count("*").alias("cnt"),
+            )
+        )
+
+    probes = {
+        "covering_filter_point": q_point,
+        "join_cobucketed": q_join,
+        "dataskipping_minmax": q_minmax,
+    }
+
+    # plan probe: co-bucketed SMJ stays Exchange-free under AQE at sf10
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
+    spark.conf.set("spark.hyperspace.apply.cacheTtlSeconds", "0")
+    df = q_join()
+    df.collect()
+    final = executed_plan_final(df)
+    aqe_ok = "SortMergeJoin" in final and final.count("Exchange") <= 1
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.unset("spark.hyperspace.apply.cacheTtlSeconds")
+
+    def timed_fn(fn, runs=3):
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn().collect()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    speedups, accel_secs = {}, {}
+    for name, fn in probes.items():
+        accel = timed_fn(fn)
+        spark.conf.set("spark.hyperspace.apply.enabled", "false")
+        try:
+            raw = timed_fn(fn)
+        finally:
+            spark.conf.set("spark.hyperspace.apply.enabled", "true")
+        accel_secs[name] = round(accel, 3)
+        speedups[name] = round(raw / accel, 2)
+
+    # erosion check vs the sf1 artifact (allow 20% measurement slack)
+    sf1_speedups = {}
+    try:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(root, "BENCH_sf1.json")) as f:
+            sf1_speedups = json.load(f).get("speedup_vs_unindexed", {})
+    except Exception:
+        pass
+    eroded = {
+        n: (speedups[n], sf1_speedups[n])
+        for n in speedups
+        if n in sf1_speedups and speedups[n] < 0.8 * sf1_speedups[n]
+    }
+
+    geomean = round(
+        math.exp(sum(math.log(s) for s in speedups.values()) / len(speedups)), 2
+    )
+    summary = {
+        "sf": f"sf10(synthetic {REPLICAS10}x sf0.1)",
+        "gen_sec": round(gen_sec, 1),
+        "index_build_sec": round(build_sec, 1),
+        "aqe_exchange_free_join": aqe_ok,
+        "sf10_speedups": speedups,
+        "geomean_speedup": geomean,
+        "eroded_vs_sf1": eroded,
+    }
+    print(json.dumps(summary))
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bench_artifact = {
+        "metric": "accelerated_probe_total_time",
+        "value": round(sum(accel_secs.values()), 3),
+        "unit": "sec",
+        "queries": accel_secs,
+        "sf": f"sf10(synthetic {REPLICAS10}x sf0.1)",
+        "index_build_sec": round(build_sec, 1),
+        "speedup_vs_unindexed": speedups,
+        "geomean_speedup": geomean,
+        "aqe_exchange_free_join": aqe_ok,
+        "cpus": 32,
+    }
+    with open(os.path.join(root, "BENCH_sf10.json"), "w") as f:
+        json.dump(bench_artifact, f, indent=1)
+    sys.exit(0 if aqe_ok and not eroded else 1)
+
+
 if __name__ == "__main__":
-    main()
+    if "--sf10" in sys.argv:
+        main_sf10()
+    else:
+        main()

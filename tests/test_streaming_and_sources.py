@@ -101,3 +101,33 @@ def test_non_parquet_source_index(spark, tmp_path, fmt):
     # gives the full scan locations.
     assert all(f"{fmt}_idx" in f for f in fast.inputFiles())
     assert rows_equal(q, fast)
+
+
+def _avro_available(spark) -> bool:
+    try:
+        spark.range(1).write.mode("overwrite").format("avro").save("/tmp/_hs_avro_probe")
+        return True
+    except Exception:
+        return False
+
+
+def test_avro_source_index(spark, tmp_path):
+    """r7: S1 avro parity (reference lists avro as a default supported
+    format, util/HyperspaceConf.scala:110-115).  The external spark-avro
+    module isn't deployed in this container, so this test self-skips;
+    it lights up and runs the full create->apply->compare cycle the
+    moment the jar is on the classpath (the registry-level unit coverage
+    of the avro mapping lives in the sources registry tests)."""
+    if not _avro_available(spark):
+        pytest.skip("spark-avro module not on the classpath in this environment")
+    src = str(tmp_path / "orders_avro")
+    o = table(spark, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    o.repartition(4).write.mode("overwrite").format("avro").save(src)
+    df = spark.read.format("avro").load(src)
+    hs = Hyperspace(spark, system_path=str(tmp_path / "idx_avro"))
+    hs.create_index(df, CoveringIndexConfig("avro_idx", ["o_custkey"], ["o_orderkey"]))
+    q = df.filter(F.col("o_custkey") == 42).select("o_orderkey")
+    fast, used = hs._apply_with_info(q)
+    assert used == ["avro_idx"], hs.why_not(q)
+    assert all("avro_idx" in f for f in fast.inputFiles())
+    assert rows_equal(q, fast)
