@@ -154,6 +154,9 @@ def main() -> None:
         "range_join_buckets",
         "distinct_count_sketch",
         "streaming_ingest_dedup",
+        # r7
+        "dataskipping_inset",
+        "opaque_union_accel",
     ]
 
 

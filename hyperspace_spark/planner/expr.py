@@ -131,15 +131,11 @@ def _quote_if_needed(name: str) -> str:
     return name if _IDENT.match(name) else "`" + name.replace("`", "``") + "`"
 
 
-# typeName -> SQL cast target for exact re-rendering of internal values.
-_CAST_NAME = {
-    "byte": "TINYINT",
-    "short": "SMALLINT",
-    "integer": "INT",
-    "long": "BIGINT",
-    "float": "FLOAT",
-    "double": "DOUBLE",
-}
+# typeName -> Catalyst typed-literal suffix ("5L" = bigint, "1.5D" =
+# double, ...), the same rendering Literal.sql itself emits — so
+# downstream consumers (the Bloom probe's _lit_python, F.expr replay)
+# see exactly the shape they already handle for small In lists.
+_LIT_SUFFIX = {"byte": "Y", "short": "S", "integer": "", "long": "L"}
 
 
 def _render_internal_literal(jv, tn: str, dt) -> str | None:
@@ -147,33 +143,35 @@ def _render_internal_literal(jv, tn: str, dt) -> str | None:
     the type can't be rendered exactly.
 
     Primitives arrive as exact Python numbers (py4j's JVM->Python
-    conversion is lossless) and are rendered here; internal date (days
-    since epoch) and timestamp (UTC micros) integers go through the
-    timezone-independent DATE_FROM_UNIX_DATE / TIMESTAMP_MICROS
-    constructors; non-primitive objects (UTF8String, Decimal) stay
-    JavaObjects, so Catalyst's own Literal.sql renders them — string
-    escaping included."""
+    conversion is lossless) and are rendered in Catalyst's own
+    typed-literal suffix style; internal date (days since epoch) and
+    timestamp (UTC micros) integers go through the timezone-independent
+    DATE_FROM_UNIX_DATE / TIMESTAMP_MICROS constructors; non-primitive
+    objects (UTF8String, Decimal) stay JavaObjects, so Catalyst's own
+    Literal.sql renders them — string escaping included."""
     if jv is None:
         return "NULL"
-    if tn in ("byte", "short", "integer", "long"):
-        return f"CAST({int(jv)} AS {_CAST_NAME[tn]})"
+    if tn in _LIT_SUFFIX:
+        return f"{int(jv)}{_LIT_SUFFIX[tn]}"
     if tn == "boolean":
         return "true" if jv else "false"
     if tn in ("float", "double"):
         x = float(jv)
-        if x != x:
-            s = "'NaN'"
-        elif x == float("inf"):
-            s = "'Infinity'"
-        elif x == float("-inf"):
-            s = "'-Infinity'"
-        else:
-            s = repr(x)
-        return f"CAST({s} AS {_CAST_NAME[tn]})"
+        if x != x or x in (float("inf"), float("-inf")):
+            return None  # non-finite IN-list members: stay opaque (rare)
+        return f"{x!r}{'D' if tn == 'double' else 'F'}"
     if tn == "date":
         return f"DATE_FROM_UNIX_DATE({int(jv)})"
     if tn == "timestamp":
         return f"TIMESTAMP_MICROS({int(jv)})"
+    if tn == "timestamp_ntz":
+        # internal micros since epoch with NO timezone: render the exact
+        # wall-clock literal (TIMESTAMP_MICROS would attach the session
+        # zone and shift the instant under any non-UTC session).
+        import datetime as _dt
+
+        t = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=int(jv))
+        return "TIMESTAMP_NTZ '" + t.strftime("%Y-%m-%d %H:%M:%S.%f") + "'"
     if tn in ("string", "char", "varchar") or tn.startswith("decimal"):
         try:
             from pyspark.sql import SparkSession
@@ -368,7 +366,7 @@ def _parse(jexpr) -> Expr:
                 lit_sql = _render_internal_literal(jv, tn, dt)
                 if lit_sql is None:
                     return Unknown(sql=sql, references=child.references)
-                vals.append(Lit(sql=lit_sql, is_null=jv is None))
+                vals.append(Lit(sql=lit_sql, dtype=tn, is_null=jv is None))
             return InExpr(sql=sql, references=child.references, child=child, values=tuple(vals))
         except Exception:
             return Unknown(sql=sql, references=child.references)

@@ -48,6 +48,8 @@ ACCELERATED_QUERIES = [
     "zorder_range_agg",
     # r6: ValueList-sketch pruning (IN probe on the layout-correlated year)
     "dataskipping_valuelist",
+    # r7: 96-literal InSet recovery -> bloom probes (bounded predicate)
+    "dataskipping_inset",
 ]
 
 
@@ -744,6 +746,90 @@ def dataskipping_valuelist(spark, sf_dir):
             F.count("*").alias("cnt"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         )
+    )
+    return ws.hs.apply(df)
+
+
+# 96 deterministic probe days — above both Catalyst's In->InSet rewrite
+# threshold (10) and the sketch converters' OR-chain cap (64), so this
+# list exercises the r7 InSet literal recovery (planner/expr.py,
+# timestamp internal-micros path) AND the bounded exists()-over-array
+# predicate form end-to-end.  Consecutive days cluster on li_byship's
+# l_shipdate range layout, so the MinMax sketch genuinely prunes.
+# String literals, not datetimes: l_shipdate is TIMESTAMP_NTZ, and
+# datetime arguments would make Catalyst cast the ATTRIBUTE to
+# session-zoned timestamp (a cast the sketch converters soundly refuse);
+# strings cast on the literal side, leaving the attribute clean.
+import datetime as _datetime
+
+_INSET_SHIP_DAYS = [
+    (_datetime.datetime(1997, 3, 1) + _datetime.timedelta(days=i)).strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
+    for i in range(96)
+]
+
+
+@q(
+    "dataskipping_inset",
+    f"""
+    SELECT count(*) AS cnt, round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem WHERE l_shipdate IN (
+      {", ".join("TIMESTAMP '" + d + "'" for d in _INSET_SHIP_DAYS)}
+    )
+    """,
+)
+def dataskipping_inset(spark, sf_dir):
+    """Large-IN file pruning (r7, O4/P7 surface): 96 timestamp literals
+    force Catalyst's InSet form, whose internal value set the planner
+    now recovers into typed literals (planner/expr.py InSet branch,
+    TIMESTAMP_MICROS rendering); the MinMax sketch emits ONE
+    exists()-over-array probe instead of a 96-branch OR-chain — the
+    reference's SortedArrayLowerBound territory
+    (SortedArrayLowerBound.scala:30-102)."""
+    from pyspark.sql import functions as F
+
+    ws = workspace(spark, sf_dir)
+    df = (
+        _p(spark, ws.li_byship)
+        .filter(F.col("l_shipdate").isin(_INSET_SHIP_DAYS))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+    return ws.hs.apply(df)
+
+
+@q(
+    "opaque_union_accel",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey = 42
+    UNION ALL
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+      AND o_orderkey % 10 = 3
+    """,
+)
+def opaque_union_accel(spark, sf_dir):
+    """Partial acceleration around an unparseable corner (r7 OpaqueN):
+    the second UNION branch's IN-subquery decorrelates to a LeftSemi
+    self-join on orders whose condition is name-ambiguous — the Python
+    IR degrades just that subtree to a verbatim-replayed opaque leaf —
+    while the first branch's point filter still rewrites onto the
+    covering index.  Reference parity: a JVM Catalyst rule rewrites
+    relations in place and never loses the rest of the query
+    (ApplyHyperspace.scala:32-76)."""
+    ws = workspace(spark, sf_dir)
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("w_orders_opq")
+    df = spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM w_orders_opq WHERE o_custkey = 42
+        UNION ALL
+        SELECT o_orderkey, o_totalprice FROM w_orders_opq
+        WHERE o_custkey IN (SELECT o_custkey FROM w_orders_opq WHERE o_totalprice > 400000)
+          AND o_orderkey % 10 = 3
+        """
     )
     return ws.hs.apply(df)
 
@@ -3771,12 +3857,15 @@ _VERIFY_PRIORITY = [
     "dedup_embedding_cosine",
     "dataskipping_valuelist",
     "dataskipping_minmax",
-    # headline claims topping off the ~50-entry window (zorder_filter_2d
-    # is the r6 weak-perf flag — re-measure with fresh correctness too)
+    # NEW in r7 — never driver-verified
+    "dataskipping_inset",
+    "opaque_union_accel",
+    # --- past the ~50 cap: all green in r06 (incl. the headline core,
+    # whose perf is re-measured by bench.py every round regardless);
+    # rotates back in r8 ---
     "covering_filter_point",
     "join_cobucketed",
     "zorder_filter_2d",
-    # --- past the ~50 cap: all green in r06, rotate back in r8 ---
     "q2_min_cost_supplier",
     "q11_important_stock",
     "q12_priority_shipping",

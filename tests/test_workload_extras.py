@@ -53,6 +53,40 @@ def test_dataskipping_valuelist_prunes_files(spark):
     assert kept < total * 0.6, f"valuelist pruned too little: {kept}/{total}"
 
 
+def test_dataskipping_inset_prunes_with_bounded_predicate(spark):
+    """r7: the 96-timestamp IN list arrives as Catalyst InSet, gets its
+    internal micros recovered as typed literals, and the MinMax sketch's
+    single exists()-probe prunes — 96 consecutive days cover ~4% of the
+    shipdate range, so most of the 16 date-ranged files drop."""
+    from hyperspace_spark.workload import _INSET_SHIP_DAYS, _p, workspace
+
+    assert len(_INSET_SHIP_DAYS) > 64  # must exceed the OR-chain cap
+    ws = workspace(spark, GUARD_SF_DIR)
+    raw = _p(spark, ws.li_byship).filter(F.col("l_shipdate").isin(_INSET_SHIP_DAYS))
+    total = len(spark.read.parquet(ws.li_byship).inputFiles())
+    fast, used = ws.hs._apply_with_info(raw)
+    assert used == ["w_li_skip"], ws.hs.why_not(raw)
+    from tests.conftest import rows_equal
+
+    kept = len(fast.inputFiles())
+    assert kept < total * 0.5, f"inset pruned too little: {kept}/{total}"
+    assert rows_equal(raw, fast)
+
+
+def test_opaque_union_accel_uses_index(spark):
+    """r7: the opaque_union_accel contract query applies the covering
+    index to the parseable branch while the IN-subquery branch rides an
+    OpaqueN verbatim replay."""
+    from hyperspace_spark.workload import QUERIES, workspace
+
+    ws = workspace(spark, GUARD_SF_DIR)
+    ws.hs._apply_cache.clear()
+    df = QUERIES["opaque_union_accel"](spark, GUARD_SF_DIR)
+    assert any(v[1] == ["w_o_cov"] for v in ws.hs._apply_cache.values()) or any(
+        "w_o_cov" in f for f in df.inputFiles()
+    ), "covering index not applied to the parseable union branch"
+
+
 def test_nested_contract_query_uses_index(spark):
     from hyperspace_spark.workload import _p, workspace
 
