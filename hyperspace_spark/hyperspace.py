@@ -1180,6 +1180,25 @@ class Hyperspace:
                 continue
             if index_name is None or n == index_name:
                 lines.append(f"  {n}: NOT_CONSIDERED (no matching source relation in plan)")
+        # r7: opaque subtrees are the one place a JVM Catalyst rule would
+        # see relations this planner cannot — surface them so "my index
+        # didn't apply" inside an IN-subquery isn't a silent mystery.
+        try:
+            def _walk(n):
+                yield n
+                for c in ir.children(n):
+                    yield from _walk(c)
+
+            opaque = [n for n in _walk(parse_df(df)) if isinstance(n, ir.OpaqueN)]
+            if opaque:
+                kinds = sorted({str(o.jplan.getClass().getSimpleName()) for o in opaque})
+                lines.append(
+                    f"  note: {len(opaque)} plan subtree(s) not modeled by the Python "
+                    f"planner (replayed verbatim; relations inside them are not "
+                    f"index candidates): {', '.join(kinds)}"
+                )
+        except Exception:
+            pass
         return "\n".join(lines)
 
 

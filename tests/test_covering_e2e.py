@@ -170,6 +170,23 @@ def test_why_not_extended_lists_index_inventory(spark, hs):
     assert "state=ACTIVE" in ext
 
 
+def test_why_not_reports_opaque_subtrees(spark, hs):
+    """r7: an IN-subquery self-join (name-ambiguous, degraded to an
+    OpaqueN verbatim replay) must show up in whyNot — 'my index did not
+    apply inside the subquery' should never be a silent mystery."""
+    o = table(spark, "orders")
+    o.createOrReplaceTempView("ce_opq")
+    q = spark.sql(
+        "SELECT o_orderkey FROM ce_opq "
+        "WHERE o_custkey IN (SELECT o_custkey FROM ce_opq WHERE o_totalprice > 100000)"
+    )
+    report = hs.why_not(q)
+    assert "not modeled by the Python planner" in report, report
+    # ordinary queries carry no such note
+    plain = hs.why_not(o.filter(F.col("o_custkey") == 14).select("o_orderkey"))
+    assert "not modeled" not in plain
+
+
 def test_in_subquery_accelerates_scalar_subquery_safe(spark, hs, tmp_path):
     """Catalyst lowers IN-subqueries to semi-joins before our planner
     sees the plan, so the outer scan still gets its index; scalar
