@@ -379,6 +379,19 @@ class Hyperspace:
                 cache_key = None
         try:
             plan = parse_df(df)
+            if reasons is not None:
+                def _walk_nodes(n):
+                    yield n
+                    for c in ir.children(n):
+                        yield from _walk_nodes(c)
+
+                reasons.opaque_kinds = sorted(
+                    {
+                        str(n.jplan.getClass().getSimpleName())
+                        for n in _walk_nodes(plan)
+                        if isinstance(n, ir.OpaqueN)
+                    }
+                )
             entries = self._active_entries(conf)
             if not entries:
                 return df, []
@@ -1183,22 +1196,14 @@ class Hyperspace:
         # r7: opaque subtrees are the one place a JVM Catalyst rule would
         # see relations this planner cannot — surface them so "my index
         # didn't apply" inside an IN-subquery isn't a silent mystery.
-        try:
-            def _walk(n):
-                yield n
-                for c in ir.children(n):
-                    yield from _walk(c)
-
-            opaque = [n for n in _walk(parse_df(df)) if isinstance(n, ir.OpaqueN)]
-            if opaque:
-                kinds = sorted({str(o.jplan.getClass().getSimpleName()) for o in opaque})
-                lines.append(
-                    f"  note: {len(opaque)} plan subtree(s) not modeled by the Python "
-                    f"planner (replayed verbatim; relations inside them are not "
-                    f"index candidates): {', '.join(kinds)}"
-                )
-        except Exception:
-            pass
+        # (Recorded by _apply_with_info's parse above — no second plan walk.)
+        kinds = getattr(reasons, "opaque_kinds", [])
+        if kinds:
+            lines.append(
+                f"  note: {len(kinds)} plan subtree kind(s) not modeled by the Python "
+                f"planner (replayed verbatim; relations inside them are not "
+                f"index candidates): {', '.join(kinds)}"
+            )
         return "\n".join(lines)
 
 

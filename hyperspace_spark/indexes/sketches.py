@@ -348,14 +348,54 @@ class BloomFilterSketch(Sketch):
         }
 
 
+def _unescape_sql_string(s: str) -> str:
+    """Reverse Catalyst's escapeSingleQuotedString: a left-to-right scan
+    folding ``\\\\`` -> ``\\`` and ``\\'`` -> ``'`` (verified against
+    Literal.sql output — those are the only two escapes it emits; control
+    characters pass through raw).  A naive ``.replace("\\\\'", "'")``
+    mangles strings containing backslashes, and the mis-recovered value
+    hashes to the wrong Bloom/bucket probe — pruning files that DO hold
+    matches."""
+    out = []
+    i = 0
+    while i < len(s):
+        if s[i] == "\\" and i + 1 < len(s) and s[i + 1] in ("\\", "'"):
+            out.append(s[i + 1])
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
+
+
 def _lit_python(lit: Lit):
     """Parse a Catalyst literal's SQL rendering back to a Python value.
 
     Build and probe must hash the SAME representation: the build side
-    hashes raw column values (int/str/float), so recover that type."""
+    hashes raw column values (int/str/float), so recover that type.
+    Also understands the planner's InSet-recovery renderings (r7):
+    DATE_FROM_UNIX_DATE(days), TIMESTAMP_MICROS(utc_micros, returned as
+    an AWARE datetime so no session-zone reinterpretation happens), and
+    TIMESTAMP_NTZ '<wall time>'."""
+    import datetime as _dt
+
     s = lit.sql
     if s.startswith("'") and s.endswith("'"):
-        return s[1:-1].replace("\\'", "'")
+        return _unescape_sql_string(s[1:-1])
+    if s.startswith("DATE_FROM_UNIX_DATE(") and s.endswith(")"):
+        try:
+            return _dt.date(1970, 1, 1) + _dt.timedelta(days=int(s[20:-1]))
+        except ValueError:
+            return s
+    if s.startswith("TIMESTAMP_MICROS(") and s.endswith(")"):
+        try:
+            return _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc) + _dt.timedelta(
+                microseconds=int(s[17:-1])
+            )
+        except ValueError:
+            return s
+    if s.startswith("TIMESTAMP_NTZ '") and s.endswith("'"):
+        return s[len("TIMESTAMP_NTZ '"):-1]
     for caster in (int, float):
         try:
             return caster(s)

@@ -682,21 +682,43 @@ def simhash_pairs(
 
 def _file_input_bytes(df: "DataFrame") -> int | None:
     """Total bytes of a file-backed frame's inputs — driver metadata, no
-    job.  None when the source exposes no file list (views, in-memory
-    frames) or any path is unreadable."""
+    job.  None when the source exposes no file list at all (views,
+    in-memory frames); **-1** when files exist but cannot be sized (the
+    caller must treat that as "assume big", not "assume small" — a
+    500 GiB s3:// corpus silently passing the O(N²) guard is exactly the
+    accident the guard exists for).  Remote schemes go through the
+    session's Hadoop FileSystem; above 256 files the size is
+    extrapolated from a 256-file sample (good enough for a threshold
+    check, no metadata stampede)."""
     import os
 
     try:
         files = df.inputFiles()
-        if not files:
-            return None
-        nbytes = 0
-        for f in files:
-            pf = f[7:] if f.startswith("file://") else f[5:] if f.startswith("file:") else f
-            nbytes += os.path.getsize(pf)
-        return nbytes
     except Exception:
         return None
+    if not files:
+        return None
+
+    def one(f: str) -> int:
+        if f.startswith("file://"):
+            return os.path.getsize(f[7:])
+        if f.startswith("file:"):
+            return os.path.getsize(f[5:])
+        if "://" not in f and not f.startswith(("hdfs:", "s3:", "s3a:", "abfss:", "gs:", "dbfs:")):
+            return os.path.getsize(f)
+        spark = df.sparkSession
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(f)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return int(fs.getFileStatus(jpath).getLen())
+
+    try:
+        sample = files if len(files) <= 256 else files[:256]
+        total = sum(one(f) for f in sample)
+        if len(files) > len(sample):
+            total = int(total / len(sample) * len(files))
+        return total
+    except Exception:
+        return -1
 
 
 # Exact all-pairs cosine is O(N²) FLOPs; past this input size the job is
@@ -723,8 +745,11 @@ def embedding_near_dup_pairs(
     sub-quadratic paths instead (``similarity.lsh_bucketed_pairs`` for
     bucketed near-dup pairs, ``similarity.ann_ivf_topk`` / the persisted
     ANN index for top-k).  The guard reads only driver-side file
-    metadata (zero jobs) and cannot see through views or in-memory
-    frames — those pass unchecked.
+    metadata (zero jobs; remote schemes via the Hadoop FileSystem,
+    sampled above 256 files) and cannot see through views or in-memory
+    frames — those pass unchecked.  File-backed inputs that cannot be
+    SIZED fail closed: refuse rather than silently launching the
+    quadratic job.
 
     method='blocked' (default): distributed block-pair matmul.  Rows hash
     into ``n_blocks`` blocks; every unordered block pair (i ≤ j) becomes
@@ -745,10 +770,14 @@ def embedding_near_dup_pairs(
 
     if not force:
         nbytes = _file_input_bytes(emb)
-        if nbytes is not None and nbytes > max_exact_bytes:
+        if nbytes is not None and (nbytes < 0 or nbytes > max_exact_bytes):
+            size_msg = (
+                "input size could not be determined (file-backed but unsized paths)"
+                if nbytes < 0
+                else f"input is {nbytes / 2**20:.0f} MiB > max_exact_bytes={max_exact_bytes / 2**20:.0f} MiB"
+            )
             raise ValueError(
-                f"embedding_near_dup_pairs is exact all-pairs (O(N²)); input is "
-                f"{nbytes / 2**20:.0f} MiB > max_exact_bytes={max_exact_bytes / 2**20:.0f} MiB. "
+                f"embedding_near_dup_pairs is exact all-pairs (O(N²)); {size_msg}. "
                 "Use similarity.lsh_bucketed_pairs (sub-quadratic near-dup pairs) or "
                 "the ANN index (indexes/ann.py) for top-k; pass force=True to run anyway."
             )

@@ -123,8 +123,13 @@ import re
 
 _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
-# InSet literal recovery cap: see the InSet branch of _parse.
-_INSET_PARSE_MAX = 10_000
+# InSet literal recovery cap: each recovered element costs ~1-2 py4j
+# round trips (~0.2-1 ms), paid on EVERY parse of the predicate — on an
+# enable()d session that is every cache-missed action, index or not.
+# Pruning value saturates far below this (a 1,000-member probe already
+# touches most files of any realistic layout), so beyond the cap the
+# set stays opaque and the planner simply doesn't convert it.
+_INSET_PARSE_MAX = 1_000
 
 
 def _quote_if_needed(name: str) -> str:
@@ -172,7 +177,8 @@ def _render_internal_literal(jv, tn: str, dt) -> str | None:
 
         t = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=int(jv))
         return "TIMESTAMP_NTZ '" + t.strftime("%Y-%m-%d %H:%M:%S.%f") + "'"
-    if tn in ("string", "char", "varchar") or tn.startswith("decimal"):
+    # char/varchar typeNames carry their length ("char(5)") — match by prefix.
+    if tn == "string" or tn.startswith(("char", "varchar", "decimal")):
         try:
             from pyspark.sql import SparkSession
 

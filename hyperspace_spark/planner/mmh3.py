@@ -142,10 +142,16 @@ def spark_hash(value, dtype: str, seed: int = SEED, session_tz: str = "UTC") -> 
     if dtype in _INT_TYPES:
         if dtype == "date":
             if isinstance(value, str):
-                value = datetime.date.fromisoformat(value)
+                try:
+                    value = datetime.date.fromisoformat(value)
+                except ValueError:
+                    return None  # unparseable rendering: skip pruning, sound
             if isinstance(value, datetime.date):
                 value = (value - _EPOCH_DATE).days
-        return hash_int(int(value), seed)
+        try:
+            return hash_int(int(value), seed)
+        except (TypeError, ValueError):
+            return None
     if dtype in _LONG_TYPES:
         if dtype.startswith("timestamp"):
             if isinstance(value, str):
@@ -180,7 +186,10 @@ def spark_hash(value, dtype: str, seed: int = SEED, session_tz: str = "UTC") -> 
                     if rt.replace(tzinfo=None) != value.replace(tzinfo=None):
                         return None
                 value = _epoch_micros(value)
-        return hash_long(int(value), seed)
+        try:
+            return hash_long(int(value), seed)
+        except (TypeError, ValueError):
+            return None  # unparseable rendering: skip pruning, sound
     if dtype == "string":
         return hash_bytes(str(value).encode("utf-8"), seed)
     # float/double/decimal/binary: representation subtleties (-0.0

@@ -409,7 +409,12 @@ def main_sf10():
         and speedups[n] < 0.8 * sf1_speedups[n]
         and n not in overhead_bound
     }
-    still_wins = all(s >= 1.2 for s in speedups.values())
+    # Overhead-bound probes only need to be a net non-loss (>= 1.0);
+    # ratio expectations apply to the probes whose timing actually
+    # measures scan work.
+    still_wins = all(
+        s >= (1.0 if n in overhead_bound else 1.2) for n, s in speedups.items()
+    )
 
     geomean = round(
         math.exp(sum(math.log(s) for s in speedups.values()) / len(speedups)), 2

@@ -221,3 +221,75 @@ def test_timestamp_bucket_pruning_respects_session_timezone(spark, tmp_path):
         spark.conf.set("spark.sql.session.timeZone", old_tz)
         spark.conf.unset("spark.hyperspace.index.numBuckets")
         spark.conf.unset("spark.hyperspace.apply.cacheTtlSeconds")
+
+
+def test_lit_python_recovers_inset_renderings():
+    """r7: the InSet-recovery literal forms must round-trip through
+    _lit_python into the exact Python values the hash/bucket layer
+    expects — a raw passthrough string here silently disables (or,
+    worse, mis-targets) pruning."""
+    import datetime as dt
+
+    from hyperspace_spark.indexes.sketches import _lit_python
+    from hyperspace_spark.planner.expr import Lit
+
+    assert _lit_python(Lit(sql="DATE_FROM_UNIX_DATE(9190)")) == dt.date(1970, 1, 1) + dt.timedelta(days=9190)
+    ts = _lit_python(Lit(sql="TIMESTAMP_MICROS(864864000000000)"))
+    assert ts == dt.datetime(1997, 5, 29, tzinfo=dt.timezone.utc)
+    assert ts.tzinfo is not None  # aware: no session-zone reinterpretation
+    assert _lit_python(Lit(sql="TIMESTAMP_NTZ '1997-03-01 00:00:00.000000'")) == "1997-03-01 00:00:00.000000"
+    # escaping: backslash + quote both fold correctly (Catalyst escapes
+    # exactly these two), and the old naive replace's failure case works
+    assert _lit_python(Lit(sql=r"'a\\b'")) == "a\\b"
+    assert _lit_python(Lit(sql=r"'a\'b'")) == "a'b"
+    assert _lit_python(Lit(sql=r"'a\\\'b'")) == "a\\'b"
+
+
+def test_date_inset_bucket_pruning_end_to_end(spark, tmp_path):
+    """r7 review fix: a >10-literal date IN list (Catalyst InSet) on a
+    date-bucketed covering index must still accelerate AND bucket-prune
+    correctly — the recovered DATE_FROM_UNIX_DATE literals used to crash
+    the bucket hash and silently drop the rewrite."""
+    import datetime as dt
+
+    from hyperspace_spark import CoveringIndexConfig, Hyperspace
+
+    src = str(tmp_path / "dsrc")
+    days = [dt.date(1994, 1, 1) + dt.timedelta(days=i) for i in range(400)]
+    spark.createDataFrame(
+        [(d, i, float(i) * 1.5) for i, d in enumerate(days)], "d date, k int, v double"
+    ).repartition(4).write.parquet(src)
+    df = spark.read.parquet(src)
+    hs = Hyperspace(spark, system_path=str(tmp_path / "didx"))
+    hs.create_index(df, CoveringIndexConfig("d_cov", ["d"], ["k", "v"], num_buckets=8))
+    probe = [dt.date(1994, 2, 1) + dt.timedelta(days=i) for i in range(12)]  # InSet (>10)
+    q = df.filter(F.col("d").isin(probe)).select("d", "k", "v")
+    fast, used = hs._apply_with_info(q)
+    assert used == ["d_cov"], hs.why_not(q)
+    got = sorted(map(tuple, fast.collect()))
+    want = sorted(map(tuple, q.collect()))
+    assert got == want and len(got) == 12
+
+
+def test_backslash_string_bloom_probe_no_wrong_pruning(spark, tmp_path):
+    """r7 review fix: Bloom probes on strings containing backslashes must
+    hash the true value — the naive unescape pruned files that DO hold
+    matches (silent wrong results)."""
+    from hyperspace_spark import BloomFilterSketch, DataSkippingIndexConfig, Hyperspace
+
+    src = str(tmp_path / "bsrc")
+    vals = ["a\\b", "a'b", "plain", "x\\'y"] + [f"filler{i}" for i in range(200)]
+    spark.createDataFrame([(v, i) for i, v in enumerate(vals)], "s string, k int").coalesce(
+        1
+    ).write.parquet(src)
+    df = spark.read.parquet(src)
+    hs = Hyperspace(spark, system_path=str(tmp_path / "bidx"))
+    hs.create_index(
+        df, DataSkippingIndexConfig("b_skip", [BloomFilterSketch(["s"], 0.01, 300)])
+    )
+    probes = ["a\\b", "a'b", "x\\'y"] + [f"zmiss{i}" for i in range(10)]  # InSet (>10)
+    q = df.filter(F.col("s").isin(probes)).select("s", "k")
+    fast, used = hs._apply_with_info(q)
+    got = sorted(map(tuple, fast.collect()))
+    want = sorted(map(tuple, q.collect()))
+    assert got == want and len(got) == 3, (used, got)

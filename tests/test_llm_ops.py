@@ -225,6 +225,22 @@ def test_embedding_near_dup_size_guard(spark, emb):
     assert {(p.id_a, p.id_b) for p in got} == {(1, 2)}
 
 
+def test_embedding_near_dup_guard_fails_closed_when_unsized(spark, emb, monkeypatch):
+    """r7 review fix: a file-backed input whose paths cannot be sized
+    (e.g. remote storage with no reachable FS) must REFUSE, not silently
+    launch the O(N²) job."""
+    import os
+
+    def boom(_):
+        raise OSError("no such filesystem")
+
+    monkeypatch.setattr(os.path, "getsize", boom)
+    with pytest.raises(ValueError, match="could not be determined"):
+        dedup.embedding_near_dup_pairs(emb)
+    # force=True still overrides
+    dedup.embedding_near_dup_pairs(emb, force=True)
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
