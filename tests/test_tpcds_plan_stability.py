@@ -2,8 +2,9 @@
 gold-standard harness (goldstandard/PlanStabilitySuite.scala:83-290).
 The reference ships the full approved-plans-v1_4 corpus with ONE query
 enabled by default (TPCDSBase.scala:41 — q1); r7 widens this port to
-q1 + q3/q42/q52/q55 (the fact-dim star shapes) + q33 (three-channel
-union of multi-joins, the heaviest approved plan exercised here).
+q1 + q3/q42/q52/q55 (fact-dim star shapes) + q7 (5-table star over
+demographics and promotion) + q33 (three-channel union of multi-joins,
+the heaviest approved plan exercised here).
 
 Shape mirrored from the reference: a deterministic TPC-DS fixture schema,
 covering indexes over fact and dim tables, the official query texts run
@@ -114,6 +115,27 @@ ORDER BY ext_price DESC, brand_id
 LIMIT 100
 """
 
+TPCDS_Q7 = """
+SELECT i_item_id,
+       avg(ss_quantity) agg1,
+       avg(ss_list_price) agg2,
+       avg(ss_coupon_amt) agg3,
+       avg(ss_sales_price) agg4
+FROM store_sales, customer_demographics, date_dim, item, promotion
+WHERE ss_sold_date_sk = d_date_sk AND
+  ss_item_sk = i_item_sk AND
+  ss_cdemo_sk = cd_demo_sk AND
+  ss_promo_sk = p_promo_sk AND
+  cd_gender = 'M' AND
+  cd_marital_status = 'S' AND
+  cd_education_status = 'College' AND
+  (p_channel_email = 'N' OR p_channel_event = 'N') AND
+  d_year = 2000
+GROUP BY i_item_id
+ORDER BY i_item_id
+LIMIT 100
+"""
+
 TPCDS_Q33 = """
 WITH ss AS (
   SELECT i_manufact_id, sum(ss_ext_sales_price) total_sales
@@ -163,14 +185,24 @@ def _sales(spark, prefix: str, n: int, salt: int):
         .when(F.col("id") % 3 == 1, windows[1] + (F.col("id") % 29))
         .otherwise(windows[2] + (F.col("id") % 29))
     )
-    return spark.range(n).select(
+    cols = [
         date_sk.alias(f"{prefix}_sold_date_sk"),
         (F.col("id") % 500).alias(f"{prefix}_item_sk"),
         (F.col("id") % 100).alias(
             f"{prefix}_addr_sk" if prefix == "ss" else f"{prefix}_bill_addr_sk"
         ),
         (((F.col("id") * 7 + salt) % 997) / 4.0).alias(f"{prefix}_ext_sales_price"),
-    )
+    ]
+    if prefix == "ss":  # q7 demographic/promo star columns
+        cols += [
+            (F.col("id") % 50).alias("ss_cdemo_sk"),
+            (F.col("id") % 20).alias("ss_promo_sk"),
+            (F.col("id") % 100 + 1).alias("ss_quantity"),
+            (((F.col("id") * 3 + 11) % 499) / 2.0).alias("ss_list_price"),
+            (((F.col("id") * 5 + 3) % 97) / 4.0).alias("ss_coupon_amt"),
+            (((F.col("id") * 2 + 7) % 463) / 2.0).alias("ss_sales_price"),
+        ]
+    return spark.range(n).select(*cols)
 
 
 @pytest.fixture(scope="module")
@@ -213,12 +245,24 @@ def tpcds(spark, tmp_path_factory):
     # star tables for q3/q42/q52/q55/q33
     it = spark.range(500).select(
         F.col("id").alias("i_item_sk"),
+        F.concat(F.lit("I"), F.lpad(F.col("id").cast("string"), 5, "0")).alias("i_item_id"),
         (F.col("id") % 37).alias("i_brand_id"),
         F.concat(F.lit("B"), F.lpad((F.col("id") % 37).cast("string"), 3, "0")).alias("i_brand"),
         (F.col("id") % 10).alias("i_category_id"),
         F.when(F.col("id") % 10 == 0, "Electronics").otherwise("Other").alias("i_category"),
         (F.col("id") % 200).alias("i_manufact_id"),
         (F.col("id") % 40).alias("i_manager_id"),
+    )
+    cd = spark.range(50).select(
+        F.col("id").alias("cd_demo_sk"),
+        F.when(F.col("id") % 2 == 0, "M").otherwise("F").alias("cd_gender"),
+        F.when(F.col("id") % 3 == 0, "S").otherwise("M").alias("cd_marital_status"),
+        F.when(F.col("id") % 4 == 0, "College").otherwise("Other").alias("cd_education_status"),
+    )
+    pr = spark.range(20).select(
+        F.col("id").alias("p_promo_sk"),
+        F.when(F.col("id") % 2 == 0, "N").otherwise("Y").alias("p_channel_email"),
+        F.when(F.col("id") % 3 == 0, "N").otherwise("Y").alias("p_channel_event"),
     )
     ca = spark.range(100).select(
         F.col("id").alias("ca_address_sk"),
@@ -231,6 +275,7 @@ def tpcds(spark, tmp_path_factory):
     tables = [
         ("store_returns", sr, 4), ("date_dim", dd, 1), ("store", st, 1),
         ("customer", cu, 1), ("item", it, 1), ("customer_address", ca, 1),
+        ("customer_demographics", cd, 1), ("promotion", pr, 1),
         ("store_sales", ss, 4), ("catalog_sales", cs, 4), ("web_sales", ws, 4),
     ]
     paths = {}
@@ -262,7 +307,11 @@ def tpcds(spark, tmp_path_factory):
         CoveringIndexConfig(
             "tpcds_ss_cov",
             ["ss_sold_date_sk"],
-            ["ss_item_sk", "ss_ext_sales_price", "ss_addr_sk"],
+            [
+                "ss_item_sk", "ss_ext_sales_price", "ss_addr_sk",
+                "ss_cdemo_sk", "ss_promo_sk", "ss_quantity",
+                "ss_list_price", "ss_coupon_amt", "ss_sales_price",
+            ],
             num_buckets=4,
         ),
     )
@@ -341,6 +390,7 @@ def test_tpcds_q1_plan_stability(spark, tpcds):
         ("q42", TPCDS_Q42),
         ("q52", TPCDS_Q52),
         ("q55", TPCDS_Q55),
+        ("q7", TPCDS_Q7),
     ],
 )
 def test_tpcds_star_plan_stability(spark, tpcds, qname, sql):
