@@ -378,6 +378,13 @@ class Hyperspace:
             except Exception:
                 cache_key = None
         try:
+            # Cheap early-out BEFORE the plan parse: parse_df costs py4j
+            # round trips proportional to plan size (up to ~1000 for a
+            # capped InSet recovery), which a session with no active
+            # indexes should never pay.
+            entries = self._active_entries(conf)
+            if not entries:
+                return df, []
             plan = parse_df(df)
             if reasons is not None:
                 def _walk_nodes(n):
@@ -392,9 +399,6 @@ class Hyperspace:
                         if isinstance(n, ir.OpaqueN)
                     }
                 )
-            entries = self._active_entries(conf)
-            if not entries:
-                return df, []
             fs = self._fs(conf)
             cands = {
                 id(s): collect_candidates(s, entries, fs, conf, reasons)

@@ -382,6 +382,13 @@ def _lit_python(lit: Lit):
     s = lit.sql
     if s.startswith("'") and s.endswith("'"):
         return _unescape_sql_string(s[1:-1])
+    # Unquoted true/false only ever renders a BOOLEAN literal; returning
+    # the raw string would be truthy for 'false' and hash into the wrong
+    # bucket (silent row loss via bucket pruning).
+    if s == "true":
+        return True
+    if s == "false":
+        return False
     if s.startswith("DATE_FROM_UNIX_DATE(") and s.endswith(")"):
         try:
             return _dt.date(1970, 1, 1) + _dt.timedelta(days=int(s[20:-1]))

@@ -362,16 +362,22 @@ def _range_might_match(op: str, lo, hi, lit_v) -> bool:
     chi = _coerce(hi, ref) if hi is not None else None
     if v is None or clo is None or chi is None:
         return True  # can't compare soundly: keep the file
-    if op in ("=", "<=>"):
-        return clo <= v <= chi
-    if op == "<":
-        return clo < v
-    if op == "<=":
-        return clo <= v
-    if op == ">":
-        return chi > v
-    if op == ">=":
-        return chi >= v
+    try:
+        if op in ("=", "<=>"):
+            return clo <= v <= chi
+        if op == "<":
+            return clo < v
+        if op == "<=":
+            return clo <= v
+        if op == ">":
+            return chi > v
+        if op == ">=":
+            return chi >= v
+    except TypeError:
+        # e.g. aware datetime probe vs naive stored stats: incomparable
+        # representations must KEEP the file (and never kill the whole
+        # rewrite via the caller's catch-all), not crash.
+        return True
     return True
 
 

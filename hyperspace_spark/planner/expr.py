@@ -176,7 +176,9 @@ def _render_internal_literal(jv, tn: str, dt) -> str | None:
         import datetime as _dt
 
         t = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=int(jv))
-        return "TIMESTAMP_NTZ '" + t.strftime("%Y-%m-%d %H:%M:%S.%f") + "'"
+        # isoformat, not strftime: strftime("%Y") does not zero-pad years
+        # below 1000, and a 1-3 digit year is an INVALID_TYPED_LITERAL.
+        return "TIMESTAMP_NTZ '" + t.isoformat(sep=" ", timespec="microseconds") + "'"
     # char/varchar typeNames carry their length ("char(5)") — match by prefix.
     if tn == "string" or tn.startswith(("char", "varchar", "decimal")):
         try:

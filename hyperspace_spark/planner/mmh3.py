@@ -138,6 +138,11 @@ def spark_hash(value, dtype: str, seed: int = SEED, session_tz: str = "UTC") -> 
         # Murmur3Hash skips null children: the hash stays the seed.
         return _signed32(seed)
     if dtype == "boolean":
+        if isinstance(value, str):
+            # a leaked rendering ('false' is truthy!) must never pick a bucket
+            if value not in ("true", "false"):
+                return None
+            value = value == "true"
         return hash_int(1 if value else 0, seed)
     if dtype in _INT_TYPES:
         if dtype == "date":

@@ -293,3 +293,31 @@ def test_backslash_string_bloom_probe_no_wrong_pruning(spark, tmp_path):
     got = sorted(map(tuple, fast.collect()))
     want = sorted(map(tuple, q.collect()))
     assert got == want and len(got) == 3, (used, got)
+
+
+def test_boolean_literal_rendering_hashes_correctly():
+    """r7 review fix: _lit_python('false') must be Python False — the raw
+    string is TRUTHY and would hash a false-probe into the true bucket
+    (silent row loss).  spark_hash also refuses leaked non-bool strings."""
+    from hyperspace_spark.indexes.sketches import _lit_python
+    from hyperspace_spark.planner.expr import Lit
+
+    assert _lit_python(Lit(sql="false")) is False
+    assert _lit_python(Lit(sql="true")) is True
+    assert spark_hash("false", "boolean") == spark_hash(False, "boolean")
+    assert spark_hash("true", "boolean") == spark_hash(True, "boolean")
+    assert spark_hash("junk", "boolean") is None
+
+
+def test_ntz_literal_year_padding():
+    """r7 review fix: TIMESTAMP_NTZ renderings must zero-pad the year
+    (strftime('%Y') emits '1-01-01' for year 1 — an invalid literal that
+    would kill the whole rewrite via the apply() catch-all)."""
+    from hyperspace_spark.planner.expr import _render_internal_literal
+
+    # year 1: ~ -62135596800000000 micros from epoch
+    import datetime as dt
+
+    micros = int((dt.datetime(5, 1, 1) - dt.datetime(1970, 1, 1)).total_seconds()) * 1_000_000
+    s = _render_internal_literal(micros, "timestamp_ntz", None)
+    assert s == "TIMESTAMP_NTZ '0005-01-01 00:00:00.000000'", s
