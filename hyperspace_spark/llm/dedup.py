@@ -1104,8 +1104,17 @@ def paragraph_dedup(
             ),
         ).alias(text_col)
     )
+    # NULL text stays NULL: collapsing it to '' would make every
+    # media-only / unfetched doc a mutual exact duplicate downstream —
+    # the precise trap exact_dedup's contract defends against.  Only a
+    # doc whose (non-null) paragraphs were ALL seen before becomes ''.
     return (
-        df.select(id_col)
+        df.select(id_col, F.col(text_col).isNull().alias("_hs_nulltext"))
         .join(reassembled, id_col, "left")
-        .select(F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
+        .select(
+            F.col(id_col),
+            F.when(F.col("_hs_nulltext"), F.lit(None).cast("string"))
+            .otherwise(F.coalesce(F.col(text_col), F.lit("")))
+            .alias(text_col),
+        )
     )

@@ -42,10 +42,15 @@ def write_training_shards(
     """Write df as ``out_dir/shard=N/*.parquet`` (one file per shard)
     and return the manifest frame (shard, n_docs, n_tokens, n_chars).
 
-    The manifest is computed from the same frame that was written (one
-    extra group-by over the sharded data, not a re-read), and shard
-    assignment is engine-portable md5 — re-running the export over the
-    same corpus reproduces both layout and manifest bit-for-bit."""
+    The manifest is aggregated from the WRITTEN shard directories (a
+    re-read of the output, which is cheap columnar metadata + the text
+    column), never from the input lineage: recomputing the lineage
+    would re-run the whole upstream pipeline — hashing + tokenization
+    over the full corpus a second time at the largest-data stage — and
+    could even disagree with what was written if any upstream stage is
+    nondeterministic.  Shard assignment is engine-portable md5 —
+    re-running the export over the same corpus reproduces both layout
+    and manifest bit-for-bit."""
     from pyspark.sql import functions as F
 
     from hyperspace_spark.llm.sampling import hash_bucket
@@ -62,9 +67,10 @@ def write_training_shards(
     sharded.repartition(shards, "shard").write.partitionBy("shard").mode(
         mode
     ).parquet(out_dir)
+    written = df.sparkSession.read.parquet(out_dir)
     n_tokens = F.coalesce(token_count(F.col(text_col)).cast("long"), F.lit(0))
     return (
-        sharded.groupBy("shard")
+        written.groupBy("shard")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(n_tokens).alias("n_tokens"),

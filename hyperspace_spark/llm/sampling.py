@@ -206,17 +206,11 @@ def token_quota_per_source(
     # and the single-pass lazy plan is returned untouched.  Unknown
     # sources (no file list) fall through to the aggregate — safe, just
     # not free.
-    try:
-        files = df.inputFiles()
-        if files:
-            nbytes = 0
-            for f in files:
-                pf = f[7:] if f.startswith("file://") else f[5:] if f.startswith("file:") else f
-                nbytes += os.path.getsize(pf)
-            if nbytes < 64 * prefilter_min_docs:
-                return exact_cap(df)
-    except Exception:
-        pass
+    from hyperspace_spark.llm.dedup import _file_input_bytes
+
+    nbytes = _file_input_bytes(df)  # None = no file list, -1 = unsized
+    if nbytes is not None and 0 <= nbytes < 64 * prefilter_min_docs:
+        return exact_cap(df)
 
     stats = (
         df.groupBy(source_col)
@@ -228,6 +222,11 @@ def token_quota_per_source(
     cuts: dict = {}
     for r in stats:
         docs, tok = r["_docs"], r["_tok"] or 0
+        if r[source_col] is None:
+            # NULL is not a legal map key (NULL_MAP_KEY at runtime); the
+            # null-source group skips the prefilter and is capped by the
+            # exact pass like any small source — never crashes the job.
+            continue
         if docs < prefilter_min_docs or tok <= quota_tokens:
             continue
         avg = max(1.0, tok / docs)

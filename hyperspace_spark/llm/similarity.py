@@ -34,7 +34,19 @@ def norm_expr(a: "Column") -> "Column":
 
 
 def cosine_expr(a: "Column", b: "Column") -> "Column":
-    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+    """Zero-norm guard matches the numpy kernels (norms[norms==0]=1.0):
+    a zero vector's cosine is 0.0 everywhere, not a DIVIDE_BY_ZERO crash
+    under ANSI mode.  The denominator is let-bound via the same
+    single-element-aggregate trick as unit_expr so the guard's second
+    reference costs nothing."""
+    from pyspark.sql import functions as F
+
+    den = norm_expr(a) * norm_expr(b)
+    return F.aggregate(
+        F.array(den),
+        F.lit(None).cast("double"),
+        lambda acc, d: dot_expr(a, b) / F.when(d == 0.0, F.lit(1.0)).otherwise(d),
+    )
 
 
 def unit_expr(a: "Column") -> "Column":
@@ -53,7 +65,11 @@ def unit_expr(a: "Column") -> "Column":
     return F.aggregate(
         F.array(norm_expr(a)),
         F.lit(None).cast("array<double>"),
-        lambda acc, n: F.transform(a, lambda x: x / n),
+        # zero-norm guard: keep the zero vector instead of dividing by 0
+        # (ANSI crash) — same semantics as the numpy paths' norms[..]=1.
+        lambda acc, n: F.transform(
+            a, lambda x: x / F.when(n == 0.0, F.lit(1.0)).otherwise(n)
+        ),
     )
 
 

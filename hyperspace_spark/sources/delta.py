@@ -432,9 +432,15 @@ def write_delta(
         log = DeltaLog(root)
         version = log.latest_version() + 1
         if mode == "overwrite":
+            from urllib.parse import quote
+
             prev = log.snapshot()
+            # snapshot keys are DECODED; the log stores URL-encoded paths
+            # (same encoding the add writer uses) — a raw remove would
+            # fail to match its add on replay for any '%' in a partition
+            # value and leave the overwritten file live forever.
             actions.extend(
-                {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": True}}
+                {"remove": {"path": quote(p, safe="/="), "deletionTimestamp": now_ms, "dataChange": True}}
                 for p in sorted(prev.adds)
             )
             actions.append(_metadata_action(df, partition_by))
@@ -468,11 +474,13 @@ def remove_files(path: str, rel_paths: list[str]) -> int:
         raise ValueError(f"not live in version {snap.version}: {missing}")
     now_ms = int(time.time() * 1000)
     version = snap.version + 1
+    from urllib.parse import quote
+
     _commit(
         log.log_dir,
         version,
         [
-            {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": True}}
+            {"remove": {"path": quote(p, safe="/="), "deletionTimestamp": now_ms, "dataChange": True}}
             for p in rel_paths
         ],
     )

@@ -98,7 +98,12 @@ def make_maintenance_handler(
 
         staging = os.path.join(source_dir, f"_hs_stage_{batch_id}")
         batch_df.write.mode("overwrite").format(output_format).save(staging)
-        for old in glob.glob(os.path.join(source_dir, f"batch{batch_id:010d}-*")):
+        # glob.escape: a '[', '?' or '*' in source_dir would otherwise be
+        # treated as a pattern, silently matching nothing and leaving a
+        # prior partial delivery's files to double-count downstream.
+        for old in glob.glob(
+            os.path.join(glob.escape(source_dir), f"batch{batch_id:010d}-*")
+        ):
             os.remove(old)
         moved = 0
         for f in sorted(os.listdir(staging)):

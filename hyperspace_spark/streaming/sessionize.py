@@ -124,6 +124,18 @@ def sessionize(
     )
 
     gap_ms = gap_seconds * 1000
+    # Arrow hands applyInPandasWithState batches with timestamps
+    # converted to spark.sql.session.timeZone and made tz-NAIVE, while
+    # the watermark clock setTimeoutTimestamp is compared against is
+    # true UTC epoch millis.  Naive astype('int64') would read the wall
+    # clock AS UTC — offset by the session zone — making the timeout
+    # land below the watermark (streaming query dies) west of UTC, or
+    # hours late east of it.  Localize in, convert back out.
+    session_tz = "UTC"
+    try:
+        session_tz = events.sparkSession.conf.get("spark.sql.session.timeZone") or "UTC"
+    except Exception:
+        pass
 
     def fn(
         key: Tuple[Any, ...], pdfs: Iterator["Any"], state: "GroupState"
@@ -131,14 +143,21 @@ def sessionize(
         import pandas as pd
 
         (user_id,) = key
+        def out_ts(ms):
+            return (
+                pd.Timestamp(ms, unit="ms", tz="UTC")
+                .tz_convert(session_tz)
+                .tz_localize(None)
+            )
+
         if state.hasTimedOut:
             start, last, n, total = state.get
             state.remove()
             yield pd.DataFrame(
                 {
                     key_col: [user_id],
-                    "session_start": [pd.Timestamp(start, unit="ms")],
-                    "session_end": [pd.Timestamp(last, unit="ms")],
+                    "session_start": [out_ts(start)],
+                    "session_end": [out_ts(last)],
                     "n_events": [n],
                     "total_value": [total],
                 }
@@ -146,7 +165,10 @@ def sessionize(
             return
 
         rows = pd.concat(list(pdfs)).sort_values(ts_col)
-        ts_ms = (rows[ts_col].astype("int64") // 1_000_000).tolist()
+        ts = rows[ts_col]
+        if ts.dt.tz is None:
+            ts = ts.dt.tz_localize(session_tz)
+        ts_ms = (ts.dt.tz_convert("UTC").astype("int64") // 1_000_000).tolist()
         vals = rows[value_col].tolist()
         if state.exists:
             start, last, n, total = state.get
@@ -162,8 +184,8 @@ def sessionize(
             yield pd.DataFrame(
                 {
                     key_col: [o[0] for o in out],
-                    "session_start": [pd.Timestamp(o[1], unit="ms") for o in out],
-                    "session_end": [pd.Timestamp(o[2], unit="ms") for o in out],
+                    "session_start": [out_ts(o[1]) for o in out],
+                    "session_end": [out_ts(o[2]) for o in out],
                     "n_events": [o[3] for o in out],
                     "total_value": [o[4] for o in out],
                 }

@@ -1045,3 +1045,46 @@ def test_write_training_shards_deterministic(spark, docs, tmp_path):
 
     with pytest.raises(ValueError, match="shard"):
         write_training_shards(back, str(tmp_path / "s3"))
+
+
+def test_paragraph_dedup_preserves_null_text(spark):
+    """r7 review fix: NULL-text docs stay NULL — collapsing them to ''
+    would make unrelated media-only docs mutual exact duplicates."""
+    from hyperspace_spark.llm.dedup import exact_dedup, paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(1, "shared para\n\nunique one"), (2, "shared para"), (3, None), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.text for r in paragraph_dedup(df, sep="\n\n").collect()}
+    assert got[3] is None and got[4] is None
+    assert got[1] == "shared para\n\nunique one"
+    assert got[2] == ""  # all paragraphs seen before: empty, NOT NULL
+    # downstream exact dedup keeps both NULL docs (its documented contract)
+    kept = exact_dedup(
+        spark.createDataFrame([(k, v) for k, v in got.items()], "doc_id long, text string")
+    )
+    assert {r.doc_id for r in kept.collect()} >= {3, 4}
+
+
+def test_cosine_zero_vector_no_crash(spark):
+    """r7 review fix: a zero embedding must not DIVIDE_BY_ZERO the SQL
+    cosine paths (ANSI mode) — semantics match the numpy kernels:
+    cosine 0 everywhere, zero vector stays zero under unit_expr."""
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.llm import similarity
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.8, 0.6])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = similarity.cosine_topk(emb, [0], k=2).collect()
+    sims = {r.neighbor_id: r.cosine for r in rows}
+    assert sims[1] == 0.0  # zero vector: defined, not a crash
+    u = emb.select(
+        similarity.unit_expr(F.col("embedding").cast("array<double>")).alias("u")
+    ).collect()
+    assert u[1].u == [0.0, 0.0]
+    pairs = dedup.embedding_near_dup_pairs(emb, threshold=0.9, method="sql").collect()
+    assert all(p.cosine <= 1.0 for p in pairs)
