@@ -157,6 +157,8 @@ def main() -> None:
         # r7
         "dataskipping_inset",
         "opaque_union_accel",
+        "boilerplate_line_removal",
+        "dsir_importance_en",
     ]
 
 

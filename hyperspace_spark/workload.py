@@ -2667,6 +2667,102 @@ def unigram_logprob_query(spark, sf_dir):
     return unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+@q(
+    "boilerplate_line_removal",
+    """
+    WITH l AS (
+      SELECT doc_id, i AS pos, parts[i] AS line
+      FROM (SELECT doc_id, string_split(text, ' ') AS parts
+            FROM documents WHERE text IS NOT NULL) d,
+           LATERAL (SELECT unnest(generate_series(1, len(d.parts))) AS i) g
+    ), n AS (
+      SELECT doc_id, pos, line,
+             lower(trim(regexp_replace(line, '\\s+', ' ', 'g'))) AS norm
+      FROM l
+    ), hot AS (
+      SELECT md5(norm) AS k FROM n WHERE len(norm) >= 1
+      GROUP BY 1 HAVING count(DISTINCT doc_id) >= 200
+    ), kept AS (
+      SELECT doc_id, pos, line FROM n
+      WHERE md5(norm) NOT IN (SELECT k FROM hot)
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE coalesce(string_agg(k.line, ' ' ORDER BY k.pos), '')
+           END AS text
+    FROM documents d LEFT JOIN kept k USING (doc_id)
+    GROUP BY d.doc_id, d.text
+    """,
+)
+def boilerplate_line_removal_query(spark, sf_dir):
+    """CCNet/RefinedWeb-style corpus-frequency boilerplate removal
+    (llm/boilerplate.py): a line occurring in >= 200 DISTINCT documents
+    is chrome (cookie banners, nav, license footers) and is stripped
+    from EVERY document — the cross-document complement of the
+    per-document repetition filter.  The synthetic documents have no
+    real newlines, so the contract uses the degenerate single-space
+    separator (words as lines — same stress as dedup_paragraph);
+    removal then behaves like corpus-frequency stopword stripping,
+    non-trivial at sf0.01's 500 docs.  Scale shape: explode +
+    distinct-(doc,key) + key-keyed count, hot set enters a broadcast
+    ANTI join (dropped, never pair-joined — no quadratic risk), one
+    doc-keyed reassembly shuffle."""
+    from hyperspace_spark.llm.boilerplate import remove_boilerplate_lines
+
+    _conf(spark)
+    return remove_boilerplate_lines(
+        _t(spark, sf_dir, "documents"), min_doc_freq=200, sep=" "
+    )
+
+
+@q(
+    "dsir_importance_en",
+    """
+    WITH tk AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+      FROM documents WHERE text IS NOT NULL
+    ), cr AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+    ct AS (
+      SELECT tok, count(*) AS c FROM tk
+      JOIN (SELECT doc_id FROM documents WHERE lang = 'en') e USING (doc_id)
+      GROUP BY tok
+    ), j AS (
+      SELECT cr.tok, cr.c AS craw, coalesce(ct.c, 0) AS ctgt
+      FROM cr LEFT JOIN ct USING (tok)
+    ), t AS (
+      SELECT sum(craw) AS nr, sum(ctgt) AS nt, count(*) AS v FROM j
+    ), lr AS (
+      SELECT tok,
+             ln((ctgt + 0.5) / (nt + 0.5 * v))
+             - ln((craw + 0.5) / (nr + 0.5 * v)) AS logratio
+      FROM j CROSS JOIN t
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           round(sum(logratio), 4) + 0.0 AS importance,
+           round(avg(logratio), 4) + 0.0 AS importance_per_token
+    FROM tk JOIN lr USING (tok) GROUP BY doc_id
+    """,
+)
+def dsir_importance_query(spark, sf_dir):
+    """DSIR data selection (llm/selection.py, Xie et al. NeurIPS'23):
+    score every document by sum log(p_target/p_raw) under add-0.5
+    unigram models over the joint vocabulary; target = the corpus's
+    English slice, so English-like documents score high and the oracle
+    replays the arithmetic exactly (ln over exact integer counts;
+    round(4) absorbs summation-order ulps — the unigram_logprob
+    convention).  Scale shape: two token-keyed counts, vocab-sized
+    log-ratio table broadcast by AQE, one explode + join + doc-keyed
+    sum; totals ride as a 1-row broadcast, no driver collect."""
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.llm.selection import dsir_importance
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_importance(docs, docs.where(F.col("lang") == "en"))
+
+
 @q("lang_quality", _lang_quality_oracle())
 def lang_quality(spark, sf_dir):
     from pyspark.sql import functions as F
@@ -3860,9 +3956,16 @@ _VERIFY_PRIORITY = [
     # NEW in r7 — never driver-verified
     "dataskipping_inset",
     "opaque_union_accel",
-    # --- past the ~50 cap: all green in r06 (incl. the headline core,
-    # whose perf is re-measured by bench.py every round regardless);
-    # rotates back in r8 ---
+    # --- past the ~50 cap.  First: the two doc-pipeline queries added
+    # late in r7 (boilerplate removal, DSIR) — the r7 window was already
+    # committed to re-verifying every r05-evidence entry, so these ride
+    # their local DuckDB-replay pytest gate (the IDENTICAL comparison,
+    # tests/test_selection_boilerplate.py) and LEAD the r8 window ---
+    "boilerplate_line_removal",
+    "dsir_importance_en",
+    # --- then: all green in r06 (incl. the headline core, whose perf
+    # is re-measured by bench.py every round regardless); rotates back
+    # in r8 ---
     "covering_filter_point",
     "join_cobucketed",
     "zorder_filter_2d",
