@@ -4,7 +4,9 @@ The reference ships the full approved-plans-v1_4 corpus with ONE query
 enabled by default (TPCDSBase.scala:41 — q1); r7 widens this port to
 q1 + q3/q42/q52/q55 (fact-dim star shapes) + q7 (5-table star over
 demographics and promotion) + q33 (three-channel union of multi-joins,
-the heaviest approved plan exercised here).
+the heaviest approved plan exercised here) + q98 (window function atop
+the accelerated star) + q65 (the same fact-dim join aggregated twice
+and self-joined — index reuse inside one query).
 
 Shape mirrored from the reference: a deterministic TPC-DS fixture schema,
 covering indexes over fact and dim tables, the official query texts run
@@ -175,6 +177,77 @@ LIMIT 100
 """
 
 
+TPCDS_Q98 = """
+SELECT
+  i_item_desc,
+  i_category,
+  i_class,
+  i_current_price,
+  sum(ss_ext_sales_price) AS itemrevenue,
+  sum(ss_ext_sales_price) * 100 / sum(sum(ss_ext_sales_price))
+  OVER
+  (PARTITION BY i_class) AS revenueratio
+FROM
+  store_sales, item, date_dim
+WHERE
+  ss_item_sk = i_item_sk
+    AND i_category IN ('Sports', 'Books', 'Home')
+    AND ss_sold_date_sk = d_date_sk
+    AND d_date BETWEEN cast('1999-02-22' AS DATE)
+  AND (cast('1999-02-22' AS DATE) + INTERVAL 30 days)
+GROUP BY
+  i_item_id, i_item_desc, i_category, i_class, i_current_price
+ORDER BY
+  i_category, i_class, i_item_id, i_item_desc, revenueratio
+"""
+
+# The official q65 text joins two derived tables that BOTH expose a
+# column named ss_store_sk (sb.ss_store_sk = sc.ss_store_sk).  Catalyst
+# attributes by exprId, so the JVM reference rule handles that natively;
+# this planner attributes by NAME, and a join whose sides share the key
+# name cannot be replayed as unambiguous SQL (parser.py
+# join:ambiguous-column-condition — apply() falls back, safe but
+# unaccelerated).  The harness therefore aliases the aggregate side's
+# key (ss_store_sk AS sb_store_sk) — semantically identical, and the
+# same documented name-vs-exprId divergence as q1's correlated
+# subquery above.
+TPCDS_Q65 = """
+SELECT
+  s_store_name,
+  i_item_desc,
+  sc.revenue,
+  i_current_price,
+  i_wholesale_cost,
+  i_brand
+FROM store, item,
+  (SELECT
+    ss_store_sk AS sb_store_sk,
+    avg(revenue) AS ave
+  FROM
+    (SELECT
+      ss_store_sk,
+      ss_item_sk,
+      sum(ss_sales_price) AS revenue
+    FROM store_sales, date_dim
+    WHERE ss_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 1176 AND 1176 + 11
+    GROUP BY ss_store_sk, ss_item_sk) sa
+  GROUP BY ss_store_sk) sb,
+  (SELECT
+    ss_store_sk,
+    ss_item_sk,
+    sum(ss_sales_price) AS revenue
+  FROM store_sales, date_dim
+  WHERE ss_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 1176 AND 1176 + 11
+  GROUP BY ss_store_sk, ss_item_sk) sc
+WHERE sb.sb_store_sk = sc.ss_store_sk AND
+  sc.revenue <= 0.1 * sb.ave AND
+  s_store_sk = sc.ss_store_sk AND
+  i_item_sk = sc.ss_item_sk
+ORDER BY s_store_name, i_item_desc
+LIMIT 100
+"""
+
+
 def _sales(spark, prefix: str, n: int, salt: int):
     """Deterministic fact table: date keys target the 1998-05 / 1999-11 /
     2000-11 windows the queries filter (date_dim sk 1..1460 maps
@@ -193,7 +266,7 @@ def _sales(spark, prefix: str, n: int, salt: int):
         ),
         (((F.col("id") * 7 + salt) % 997) / 4.0).alias(f"{prefix}_ext_sales_price"),
     ]
-    if prefix == "ss":  # q7 demographic/promo star columns
+    if prefix == "ss":  # q7 demographic/promo star columns + q65 store key
         cols += [
             (F.col("id") % 50).alias("ss_cdemo_sk"),
             (F.col("id") % 20).alias("ss_promo_sk"),
@@ -201,6 +274,7 @@ def _sales(spark, prefix: str, n: int, salt: int):
             (((F.col("id") * 3 + 11) % 499) / 2.0).alias("ss_list_price"),
             (((F.col("id") * 5 + 3) % 97) / 4.0).alias("ss_coupon_amt"),
             (((F.col("id") * 2 + 7) % 463) / 2.0).alias("ss_sales_price"),
+            (F.col("id") % 7).alias("ss_store_sk"),
         ]
     return spark.range(n).select(*cols)
 
@@ -231,10 +305,26 @@ def tpcds(spark, tmp_path_factory):
         F.col("id").alias("d_date_sk"),
         (F.lit(1998) + F.floor((F.col("id") - 1) / 365)).cast("int").alias("d_year"),
         (F.floor(((F.col("id") - 1) % 365) / 31) + 1).cast("int").alias("d_moy"),
+        # q98's calendar date and q65's month sequence — deterministic
+        # functions of the sk, anchored so the official queries' literal
+        # ranges land on the 1999-11 fact window (sk 676..705):
+        #   d_date = 1997-04-22 + sk days  -> sk 671..701 covers
+        #   1999-02-22 .. +30 days;
+        #   d_month_seq = 1164 + (sk-1)//31 -> [1176, 1187] covers
+        #   sk 373..744.
+        F.date_add(F.lit("1997-04-22").cast("date"), F.col("id").cast("int")).alias(
+            "d_date"
+        ),
+        (F.lit(1164) + F.floor((F.col("id") - 1) / 31)).cast("int").alias(
+            "d_month_seq"
+        ),
     )
     st = spark.range(7).select(
         F.col("id").alias("s_store_sk"),
         F.when(F.col("id") % 2 == 0, "TN").otherwise("CA").alias("s_state"),
+        F.concat(F.lit("Store"), F.lpad(F.col("id").cast("string"), 2, "0")).alias(
+            "s_store_name"
+        ),
     )
     cu = spark.range(97).select(
         F.col("id").alias("c_customer_sk"),
@@ -249,9 +339,21 @@ def tpcds(spark, tmp_path_factory):
         (F.col("id") % 37).alias("i_brand_id"),
         F.concat(F.lit("B"), F.lpad((F.col("id") % 37).cast("string"), 3, "0")).alias("i_brand"),
         (F.col("id") % 10).alias("i_category_id"),
-        F.when(F.col("id") % 10 == 0, "Electronics").otherwise("Other").alias("i_category"),
+        F.when(F.col("id") % 10 == 0, "Electronics")
+        .when(F.col("id") % 10 == 1, "Sports")
+        .when(F.col("id") % 10 == 2, "Books")
+        .when(F.col("id") % 10 == 3, "Home")
+        .otherwise("Other")
+        .alias("i_category"),
         (F.col("id") % 200).alias("i_manufact_id"),
         (F.col("id") % 40).alias("i_manager_id"),
+        # q98/q65 item detail columns
+        F.concat(F.lit("Desc"), F.lpad(F.col("id").cast("string"), 5, "0")).alias(
+            "i_item_desc"
+        ),
+        F.concat(F.lit("CL"), (F.col("id") % 16).cast("string")).alias("i_class"),
+        ((F.col("id") % 100) / 2.0).alias("i_current_price"),
+        ((F.col("id") % 80) / 2.0).alias("i_wholesale_cost"),
     )
     cd = spark.range(50).select(
         F.col("id").alias("cd_demo_sk"),
@@ -300,7 +402,12 @@ def tpcds(spark, tmp_path_factory):
     # so the JoinIndexRule can make the join Exchange-free on d_date_sk.
     hs.create_index(
         rd("date_dim"),
-        CoveringIndexConfig("tpcds_dd_cov", ["d_date_sk"], ["d_year", "d_moy"], num_buckets=4),
+        CoveringIndexConfig(
+            "tpcds_dd_cov",
+            ["d_date_sk"],
+            ["d_year", "d_moy", "d_date", "d_month_seq"],
+            num_buckets=4,
+        ),
     )
     hs.create_index(
         rd("store_sales"),
@@ -311,6 +418,7 @@ def tpcds(spark, tmp_path_factory):
                 "ss_item_sk", "ss_ext_sales_price", "ss_addr_sk",
                 "ss_cdemo_sk", "ss_promo_sk", "ss_quantity",
                 "ss_list_price", "ss_coupon_amt", "ss_sales_price",
+                "ss_store_sk",
             ],
             num_buckets=4,
         ),
@@ -396,6 +504,25 @@ def test_tpcds_q1_plan_stability(spark, tpcds):
 def test_tpcds_star_plan_stability(spark, tpcds, qname, sql):
     hs, _ = tpcds
     _check_plan_stability(spark, hs, qname, sql, expect_indexes=True)
+
+
+def test_tpcds_q98_plan_stability(spark, tpcds):
+    """Window function over the accelerated star: revenueratio is
+    sum() OVER (PARTITION BY i_class) ON TOP of the grouped join — the
+    planner must accelerate the underlying fact-dim date join while the
+    Window/Sort pair above it survives the rewrite untouched."""
+    hs, _ = tpcds
+    _check_plan_stability(spark, hs, "q98", TPCDS_Q98, expect_indexes=True)
+
+
+def test_tpcds_q65_plan_stability(spark, tpcds):
+    """Two aggregations of the SAME fact-dim join (per-store-item
+    revenue, then its per-store average) joined back together — the
+    planner should apply the store_sales/date_dim covering pair to BOTH
+    derived subqueries (index reuse inside one query), then the
+    store/item dims join the filtered result."""
+    hs, _ = tpcds
+    _check_plan_stability(spark, hs, "q65", TPCDS_Q65, expect_indexes=True)
 
 
 def test_tpcds_q33_plan_stability(spark, tpcds):
