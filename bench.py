@@ -159,6 +159,7 @@ def main() -> None:
         "opaque_union_accel",
         "boilerplate_line_removal",
         "dsir_importance_en",
+        "selfjoin_agg_cobucketed",
     ]
 
 

@@ -412,6 +412,15 @@ class Hyperspace:
                 result = (df, [])
             else:
                 rewritten = replay(self.spark, best.node)
+                # Replay is name-based SQL regeneration; a rewrite must
+                # never change the frame's visible column list (e.g. an
+                # inner-join key dedup when the join IS the root and the
+                # user expected both copies).  Name check only — analysis
+                # cost, no execution.
+                if [f.name for f in rewritten.schema.fields] != [
+                    f.name for f in df.schema.fields
+                ]:
+                    raise RuntimeError("replay changed the output schema")
                 # The rewritten frame must not be re-planned when a
                 # DataFrame-action route (session enable) executes it:
                 # its scans read index data, which never matches a

@@ -99,6 +99,14 @@ class JoinN(Node):
     # Equi-join key pairs resolved to sides: [(left_col, right_col), ...]
     equi_keys: list[tuple[str, str]] = field(default_factory=list)
     residual_sql: str | None = None  # non-equi remainder of the condition
+    # Inner-join self-key dedup (r7): when an equi key has the SAME name
+    # on both sides (resolved by exprId, parser._equi_pair_by_exprid),
+    # replaying `SELECT *` would expose the name twice and make every
+    # ancestor reference ambiguous.  For an INNER equi join the two
+    # copies are value-equal on every surviving row, so replay projects
+    # `__hs_l.*` plus exactly these right-side columns (the right key
+    # copies dropped).  None = normal `SELECT *` replay.
+    right_keep: list[str] | None = None
 
 
 @dataclass

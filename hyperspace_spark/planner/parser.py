@@ -120,6 +120,8 @@ def normalize_attr_case(plan: ir.Node) -> None:
                 setattr(node, f, fold_refs(v))
             elif f == "equi_keys" and v:
                 setattr(node, f, [(fold_name(a), fold_name(b)) for a, b in v])
+            elif f == "right_keep" and v:
+                setattr(node, f, [fold_name(c) for c in v])
             elif v is not None and dataclasses.is_dataclass(v) and not isinstance(v, ir.Node):
                 setattr(node, f, fold_expr(v))
         for c in ir.children(node):
@@ -242,13 +244,35 @@ def _parse(jnode) -> ir.Node:
         condition = None
         equi: list[tuple[str, str]] = []
         residual: list[str] = []
+        shared_keys: list[str] = []
         if cond_opt.isDefined():
             condition = parse_expr(cond_opt.get())
             lcols = frozenset(_names(left))
             rcols = frozenset(_names(right))
             shared = lcols & rcols
-            for conj in split_conjuncts(condition):
+            for jconj in _java_conjuncts(cond_opt.get()):
+                conj = parse_expr(jconj)
                 pair = _equi_pair(conj, lcols, rcols)
+                if pair is None:
+                    # Name resolution failed — the reference resolves by
+                    # exprId (JoinIndexRule.scala:179-317); we have the
+                    # JVM conjunct in hand, so do the same.  This is how
+                    # a self-join whose key has the SAME name on both
+                    # sides (TPC-DS q65's sb.ss_store_sk =
+                    # sc.ss_store_sk) still yields an attributed pair.
+                    pair = _equi_pair_by_exprid(jconj, jnode)
+                    if pair is not None and pair[0].lower() == pair[1].lower():
+                        # The replayed join must not expose the name
+                        # twice; only an INNER equi join guarantees the
+                        # two copies are value-equal so the right copy
+                        # can be dropped (left_semi/left_anti never
+                        # expose right columns at all — nothing to drop).
+                        if jt == "inner":
+                            shared_keys.append(pair[1])
+                        elif jt not in ("left_semi", "left_anti"):
+                            raise UnsupportedPlan(
+                                "join:shared-name-key-non-inner"
+                            )
                 if pair is not None:
                     equi.append(pair)
                 else:
@@ -265,6 +289,10 @@ def _parse(jnode) -> ir.Node:
                     if any(r.lower() in shared_ci for r in conj.references):
                         raise UnsupportedPlan("join:ambiguous-column-condition")
                     residual.append(conj.sql)
+        right_keep = None
+        if shared_keys:
+            drop = {c.lower() for c in shared_keys}
+            right_keep = [c for c in _names(right) if c.lower() not in drop]
         return ir.JoinN(
             left=left,
             right=right,
@@ -272,6 +300,7 @@ def _parse(jnode) -> ir.Node:
             condition=condition,
             equi_keys=equi,
             residual_sql=" AND ".join(residual) if residual else None,
+            right_keep=right_keep,
         )
 
     raise UnsupportedPlan(cls)
@@ -289,8 +318,57 @@ def _names(node: ir.Node) -> list[str]:
     if isinstance(node, ir.UnionN):
         return _names(node.kids[0]) if node.kids else []
     if isinstance(node, ir.JoinN):
+        # Semi/anti joins expose ONLY the left side (Catalyst semantics
+        # and the replayed SQL agree); a dedup'd inner self-join drops
+        # the right key copies.
+        if node.join_type in ("left_semi", "left_anti"):
+            return _names(node.left)
+        if node.right_keep is not None:
+            return _names(node.left) + node.right_keep
         return _names(node.left) + _names(node.right)
     return []
+
+
+def _java_conjuncts(jcond) -> list:
+    """Split a JVM condition on And nodes, left-to-right — the same
+    order expr.split_conjuncts produces on the parsed tree."""
+    if jcond.getClass().getSimpleName() == "And":
+        return _java_conjuncts(jcond.left()) + _java_conjuncts(jcond.right())
+    return [jcond]
+
+
+def _equi_pair_by_exprid(jconj, jnode) -> tuple[str, str] | None:
+    """Attribute an EqualTo(attr, attr) conjunct to join sides by exprId
+    membership in the JVM children's outputSet — the reference rule's
+    own resolution (JoinIndexRule.scala:179-317), reachable here because
+    the raw Catalyst conjunct is still in hand.  Name-based resolution
+    (_equi_pair) cannot attribute a key that exists on BOTH sides; the
+    exprId is unambiguous by construction.  Returns (left_col,
+    right_col) in schema case, or None."""
+    if jconj.getClass().getSimpleName() != "EqualTo":
+        return None
+    a, b = jconj.left(), jconj.right()
+    if (
+        a.getClass().getSimpleName() != "AttributeReference"
+        or b.getClass().getSimpleName() != "AttributeReference"
+    ):
+        return None
+    lset, rset = jnode.left().outputSet(), jnode.right().outputSet()
+
+    def side(attr):
+        in_l, in_r = lset.contains(attr), rset.contains(attr)
+        if in_l and not in_r:
+            return "l"
+        if in_r and not in_l:
+            return "r"
+        return None
+
+    sa, sb = side(a), side(b)
+    if sa == "l" and sb == "r":
+        return (str(a.name()), str(b.name()))
+    if sa == "r" and sb == "l":
+        return (str(b.name()), str(a.name()))
+    return None
 
 
 def _resolve_side(name: str, cols: frozenset[str]) -> str | None:

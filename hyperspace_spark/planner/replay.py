@@ -137,6 +137,16 @@ def _sql(spark: "SparkSession", node: ir.Node, views: list[str]) -> str:
         if jt is None:
             raise ValueError(f"unsupported join type {node.join_type}")
         on = f" ON {' AND '.join(conds)}" if conds else ""
+        if node.right_keep is not None:
+            # Inner self-join on a same-named key (parser resolved the
+            # pair by exprId): `SELECT *` would expose the key twice and
+            # break every ancestor reference.  The copies are value-
+            # equal on an inner equi join, so keep the left one and
+            # enumerate the surviving right columns explicitly (no
+            # `* EXCEPT` — explicit lists are portable and exact).
+            keep = ", ".join(f"__hs_r.{_q(c)}" for c in node.right_keep)
+            sel = f"__hs_l.*, {keep}" if keep else "__hs_l.*"
+            return f"SELECT {sel} FROM {left} {jt} {right}{on}"
         return f"SELECT * FROM {left} {jt} {right}{on}"
 
     raise ValueError(f"replay: unsupported node {type(node).__name__}")

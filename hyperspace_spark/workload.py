@@ -50,6 +50,9 @@ ACCELERATED_QUERIES = [
     "dataskipping_valuelist",
     # r7: 96-literal InSet recovery -> bloom probes (bounded predicate)
     "dataskipping_inset",
+    # r7: exprId-attributed self-join (q65 skeleton) — both aggregates
+    # and the join ride the index's bucketing
+    "selfjoin_agg_cobucketed",
 ]
 
 
@@ -674,6 +677,50 @@ def join_cobucketed(spark, sf_dir):
             ),
             F.count("*").alias("cnt"),
         )
+    )
+    return ws.hs.apply(df)
+
+
+@q(
+    "selfjoin_agg_cobucketed",
+    """
+    SELECT a.l_orderkey, a.qty, b.rev
+    FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS qty
+          FROM lineitem GROUP BY l_orderkey) a
+    JOIN (SELECT l_orderkey,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+          FROM lineitem GROUP BY l_orderkey) b
+      ON a.l_orderkey = b.l_orderkey
+    WHERE a.qty > 150
+    """,
+)
+def selfjoin_agg_cobucketed(spark, sf_dir):
+    """TPC-DS q65 skeleton over TPC-H data: the SAME fact table
+    aggregated twice and self-joined on the identically named group key.
+    Name-based attribution cannot resolve `a.l_orderkey = b.l_orderkey`;
+    the parser attributes it by exprId on the raw Catalyst conjunct
+    (r7, parser._equi_pair_by_exprid — the reference rule's own
+    resolution, JoinIndexRule.scala:179-317) and the replay drops the
+    value-equal right key copy.  Both derived sides then read the
+    bucketed w_li_join index, so BOTH per-key aggregations and the join
+    itself reuse the index's hash partitioning — the unindexed plan pays
+    three exchanges of the full fact table, the indexed plan zero."""
+    from pyspark.sql import functions as F
+
+    ws = workspace(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("w_selfjoin_li")
+    df = spark.sql(
+        """
+        SELECT a.l_orderkey, a.qty, b.rev
+        FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS qty
+              FROM w_selfjoin_li GROUP BY l_orderkey) a
+        JOIN (SELECT l_orderkey,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+              FROM w_selfjoin_li GROUP BY l_orderkey) b
+          ON a.l_orderkey = b.l_orderkey
+        WHERE a.qty > 150
+        """
     )
     return ws.hs.apply(df)
 
@@ -3963,6 +4010,7 @@ _VERIFY_PRIORITY = [
     # tests/test_selection_boilerplate.py) and LEAD the r8 window ---
     "boilerplate_line_removal",
     "dsir_importance_en",
+    "selfjoin_agg_cobucketed",
     # --- then: all green in r06 (incl. the headline core, whose perf
     # is re-measured by bench.py every round regardless); rotates back
     # in r8 ---

@@ -171,20 +171,42 @@ def test_why_not_extended_lists_index_inventory(spark, hs):
 
 
 def test_why_not_reports_opaque_subtrees(spark, hs):
-    """r7: an IN-subquery self-join (name-ambiguous, degraded to an
-    OpaqueN verbatim replay) must show up in whyNot — 'my index did not
-    apply inside the subquery' should never be a silent mystery."""
+    """r7: a plan subtree the IR cannot model (here a NON-equi
+    self-comparison on a shared column name — `a.key < b.key` has no
+    unambiguous name-based replay) must show up in whyNot — 'my index
+    did not apply inside the subquery' should never be a silent
+    mystery.  The IN-subquery self-join that used to exercise this path
+    now parses fully via exprId key attribution (see
+    test_in_self_subquery_fully_modeled below)."""
     o = table(spark, "orders")
     o.createOrReplaceTempView("ce_opq")
     q = spark.sql(
-        "SELECT o_orderkey FROM ce_opq "
-        "WHERE o_custkey IN (SELECT o_custkey FROM ce_opq WHERE o_totalprice > 100000)"
+        "SELECT count(*) AS n FROM ce_opq a JOIN ce_opq b "
+        "ON a.o_custkey < b.o_custkey AND a.o_orderkey = b.o_orderkey"
     )
     report = hs.why_not(q)
     assert "not modeled by the Python planner" in report, report
     # ordinary queries carry no such note
     plain = hs.why_not(o.filter(F.col("o_custkey") == 14).select("o_orderkey"))
     assert "not modeled" not in plain
+
+
+def test_in_self_subquery_fully_modeled(spark, hs):
+    """r7 follow-up: the IN-subquery SELF-join (shared o_custkey name on
+    both semi-join sides) used to degrade to an opaque subtree; exprId
+    key attribution now models it fully — whyNot gives a real per-index
+    reason instead of the unmodeled-subtree note, and results stay
+    equal under apply()."""
+    o = table(spark, "orders")
+    o.createOrReplaceTempView("ce_opq2")
+    q = spark.sql(
+        "SELECT o_orderkey FROM ce_opq2 "
+        "WHERE o_custkey IN (SELECT o_custkey FROM ce_opq2 WHERE o_totalprice > 100000)"
+    )
+    report = hs.why_not(q)
+    assert "not modeled" not in report, report
+    fast, _ = hs._apply_with_info(q)
+    assert rows_equal(q, fast)
 
 
 def test_in_subquery_accelerates_scalar_subquery_safe(spark, hs, tmp_path):

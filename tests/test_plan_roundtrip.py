@@ -148,10 +148,11 @@ def test_union_under_agg(spark):
 
 
 def test_opaque_subtree_roundtrip(spark):
-    """r7: a subtree the parser cannot model (IN-subquery -> name-
-    ambiguous LeftSemi self-join) degrades to an OpaqueN leaf replayed
-    verbatim — the query round-trips instead of raising, and scans
-    OUTSIDE the opaque corner stay visible to the rules."""
+    """r7: a subtree the parser cannot model (here a NON-equi self-
+    comparison on a shared column name, which has no unambiguous
+    name-based replay) degrades to an OpaqueN leaf replayed verbatim —
+    the query round-trips instead of raising, and scans OUTSIDE the
+    opaque corner stay visible to the rules."""
     li = table(spark, "lineitem")
     pa = table(spark, "part")
     li.createOrReplaceTempView("rt_lineitem")
@@ -160,8 +161,8 @@ def test_opaque_subtree_roundtrip(spark):
         """
         SELECT l_orderkey, l_extendedprice
         FROM rt_lineitem
-        WHERE l_partkey IN (SELECT p_partkey FROM rt_part WHERE p_size IN
-                            (SELECT p_size FROM rt_part WHERE p_type LIKE 'SMALL%'))
+        WHERE l_partkey IN (SELECT a.p_partkey FROM rt_part a JOIN rt_part b
+                            ON a.p_partkey = b.p_partkey AND a.p_size < b.p_size)
           AND l_quantity > 30
         """
     )
@@ -173,6 +174,29 @@ def test_opaque_subtree_roundtrip(spark):
         isinstance(n, ir.Scan) and any("lineitem" in p for p in n.root_paths)
         for n in _walk(node)
     )
+
+
+def test_in_subquery_selfjoin_now_fully_modeled(spark):
+    """r7 follow-up: the nested IN-subquery self-join that used to be
+    the opaque example now parses fully — exprId key attribution
+    (parser._equi_pair_by_exprid) resolves the shared-name semi-join
+    keys, so every scan is visible to the rules."""
+    li = table(spark, "lineitem")
+    pa = table(spark, "part")
+    li.createOrReplaceTempView("rt2_lineitem")
+    pa.createOrReplaceTempView("rt2_part")
+    df = spark.sql(
+        """
+        SELECT l_orderkey, l_extendedprice
+        FROM rt2_lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM rt2_part WHERE p_size IN
+                            (SELECT p_size FROM rt2_part WHERE p_type LIKE 'SMALL%'))
+          AND l_quantity > 30
+        """
+    )
+    node = roundtrip(spark, df)
+    kinds = {type(n).__name__ for n in _walk(node)}
+    assert "OpaqueN" not in kinds, kinds
 
 
 def _walk(node):

@@ -163,8 +163,13 @@ def test_space_in_path_lineage_and_skipping(spark, hs, tmp_path):
 
 
 def test_same_named_join_keys_safe_fallback(spark, hs, tmp_path):
-    """Finding 6: df1.join(df2, 'id')-style shared names must fall back
-    cleanly (no broken replay), results equal."""
+    """Finding 6 (updated for r7 exprId attribution): df1.join(df2,
+    'id')-style shared names must never produce a broken replay.
+    Originally that meant an explicit bail; the parser now resolves the
+    key pair by exprId and dedups the inner join's right copy, so the
+    query ACCELERATES — with identical columns and values.  An OUTER
+    join on the shared name (right copy not value-equal) must still
+    fall back cleanly."""
     d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
     table(spark, "orders").select(F.col("o_orderkey").alias("id"), "o_custkey").write.parquet(d1)
     table(spark, "lineitem").select(F.col("l_orderkey").alias("id"), "l_quantity").write.parquet(d2)
@@ -172,8 +177,14 @@ def test_same_named_join_keys_safe_fallback(spark, hs, tmp_path):
     hs.create_index(a, CoveringIndexConfig("aid", ["id"], ["o_custkey"]))
     q = a.join(b, "id").select("id", "o_custkey", "l_quantity")
     fast, used = hs._apply_with_info(q)
-    assert used == []  # explicit bail, no half-broken rewrite
-    assert fast is q
+    assert used == ["aid"], hs.why_not(q)
+    assert fast.columns == q.columns
+    assert rows_equal(q, fast)
+    # outer join: right key copy can be NULL -> dedup unsound -> fall back
+    q_outer = a.join(b, a.id == b.id, "left_outer")
+    fast2, used2 = hs._apply_with_info(q_outer)
+    assert fast2.columns == q_outer.columns
+    assert rows_equal(q_outer, fast2)
 
 
 def test_partitioned_incremental_refresh(spark, hs, tmp_path):

@@ -201,16 +201,12 @@ ORDER BY
   i_category, i_class, i_item_id, i_item_desc, revenueratio
 """
 
-# The official q65 text joins two derived tables that BOTH expose a
-# column named ss_store_sk (sb.ss_store_sk = sc.ss_store_sk).  Catalyst
-# attributes by exprId, so the JVM reference rule handles that natively;
-# this planner attributes by NAME, and a join whose sides share the key
-# name cannot be replayed as unambiguous SQL (parser.py
-# join:ambiguous-column-condition — apply() falls back, safe but
-# unaccelerated).  The harness therefore aliases the aggregate side's
-# key (ss_store_sk AS sb_store_sk) — semantically identical, and the
-# same documented name-vs-exprId divergence as q1's correlated
-# subquery above.
+# Official text VERBATIM — including sb.ss_store_sk = sc.ss_store_sk,
+# an equi key named the same on BOTH sides.  Name-based attribution
+# cannot resolve that; the parser falls back to exprId resolution on
+# the raw Catalyst conjunct (parser._equi_pair_by_exprid, r7) and the
+# replay drops the value-equal right copy, so the official spelling
+# accelerates like the reference's JVM rule does.
 TPCDS_Q65 = """
 SELECT
   s_store_name,
@@ -221,7 +217,7 @@ SELECT
   i_brand
 FROM store, item,
   (SELECT
-    ss_store_sk AS sb_store_sk,
+    ss_store_sk,
     avg(revenue) AS ave
   FROM
     (SELECT
@@ -239,7 +235,7 @@ FROM store, item,
   FROM store_sales, date_dim
   WHERE ss_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 1176 AND 1176 + 11
   GROUP BY ss_store_sk, ss_item_sk) sc
-WHERE sb.sb_store_sk = sc.ss_store_sk AND
+WHERE sb.ss_store_sk = sc.ss_store_sk AND
   sc.revenue <= 0.1 * sb.ave AND
   s_store_sk = sc.ss_store_sk AND
   i_item_sk = sc.ss_item_sk
