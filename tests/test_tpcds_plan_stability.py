@@ -31,29 +31,28 @@ from tests.conftest import rows_equal
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 
-# The official q1 text expresses the per-store average as a CORRELATED
-# subquery; Spark decorrelates it into a self-join whose condition the
-# Python planner's IR cannot attribute (parse_df rejects it as
-# join:ambiguous-column-condition and apply() falls back — safe but
-# unaccelerated).  The harness therefore runs the standard hand-
-# decorrelated spelling — per-store average as a window over the CTE —
-# which is semantically identical and is the form Catalyst itself
-# produces after decorrelation.  Documented divergence: a JVM Catalyst
-# rule sees the decorrelated plan natively; a Python planner sees only
-# what parse_df can model.
+# Official q1 text VERBATIM — the CORRELATED per-store-average
+# subquery included.  Spark decorrelates it into a self-join of the CTE
+# on ctr_store_sk (same name, both sides); until r7 that bailed as
+# join:ambiguous-column-condition, now the parser attributes the key by
+# exprId on the raw Catalyst conjunct (_equi_pair_by_exprid) and both
+# CTE instantiations accelerate — the same coverage the reference's JVM
+# rule gets (it resolves by exprId natively).
 TPCDS_Q1 = """
-WITH customer_total_return AS (
-  SELECT sr_customer_sk AS ctr_customer_sk, sr_store_sk AS ctr_store_sk,
-         sum(sr_return_amt) AS ctr_total_return
+WITH customer_total_return AS
+( SELECT
+    sr_customer_sk AS ctr_customer_sk,
+    sr_store_sk AS ctr_store_sk,
+    sum(sr_return_amt) AS ctr_total_return
   FROM store_returns, date_dim
   WHERE sr_returned_date_sk = d_date_sk AND d_year = 2000
-  GROUP BY sr_customer_sk, sr_store_sk),
-ctr_with_avg AS (
-  SELECT *, avg(ctr_total_return) OVER (PARTITION BY ctr_store_sk) AS store_avg
-  FROM customer_total_return)
+  GROUP BY sr_customer_sk, sr_store_sk)
 SELECT c_customer_id
-FROM ctr_with_avg ctr1, store, customer
-WHERE ctr1.ctr_total_return > ctr1.store_avg * 1.2
+FROM customer_total_return ctr1, store, customer
+WHERE ctr1.ctr_total_return >
+  (SELECT avg(ctr_total_return) * 1.2
+  FROM customer_total_return ctr2
+  WHERE ctr1.ctr_store_sk = ctr2.ctr_store_sk)
   AND s_store_sk = ctr1.ctr_store_sk
   AND s_state = 'TN'
   AND ctr1.ctr_customer_sk = c_customer_sk
@@ -523,10 +522,11 @@ def test_tpcds_q65_plan_stability(spark, tpcds):
 
 def test_tpcds_q33_plan_stability(spark, tpcds):
     """Three-channel union of 4-table joins + IN-subquery — the heaviest
-    approved plan exercised here.  The IN-subquery decorrelates to a
-    name-ambiguous LeftSemi self-join that the IR cannot attribute; r7's
-    OpaqueN degrades just that subtree to a verbatim-replayed leaf, so
-    all three fact-dim date joins still go Exchange-free on their
-    covering indexes."""
+    approved plan exercised here.  The IN-subquery lowers to a LeftSemi
+    self-join of item on the same-named i_manufact_id; originally that
+    degraded to an OpaqueN verbatim leaf, since r7's exprId attribution
+    it parses fully — either way all three fact-dim date joins go
+    Exchange-free on their covering indexes (the golden op skeleton is
+    identical)."""
     hs, _ = tpcds
     _check_plan_stability(spark, hs, "q33", TPCDS_Q33, expect_indexes=True)
