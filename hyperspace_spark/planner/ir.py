@@ -239,4 +239,18 @@ def required_columns(node: Node) -> frozenset[str]:
             below = below | cur.condition.references
             cur = cur.child
         return frozenset(node.references) | below
+    if isinstance(node, AggregateN):
+        # An Aggregate narrows to its grouping + aggregate references;
+        # like Project, any Filter below still needs its predicate
+        # columns (AggBucketedIndexRule matches Aggregate over a linear
+        # [Project] <- [Filter] <- Scan chain).
+        below = frozenset()
+        cur = node.child
+        while isinstance(cur, (FilterN, ProjectN)):
+            if isinstance(cur, FilterN):
+                below = below | cur.condition.references
+            else:
+                below = below | frozenset(cur.references)
+            cur = cur.child
+        return frozenset(node.references) | below
     raise ValueError(f"required_columns: unsupported node {type(node).__name__}")

@@ -252,6 +252,101 @@ class ZOrderFilterIndexRule(FilterIndexRule):
 
 
 # ---------------------------------------------------------------------------
+# AggBucketedIndexRule
+# ---------------------------------------------------------------------------
+def _plain_column(sql_expr: str) -> str | None:
+    """Bare column name of a grouping-expression SQL string, or None for
+    anything computed ('round(x)', 'a + b', struct paths)."""
+    s = sql_expr.strip().strip("`")
+    if not s or any(ch in s for ch in "(). +-*/,'\""):
+        return None
+    return s
+
+
+class AggBucketedIndexRule:
+    """Aggregate whose grouping keys cover ALL of a covering index's
+    bucket keys -> read the index through its BUCKETED catalog table so
+    the aggregation inherits the hash distribution and Spark drops the
+    agg Exchange entirely.
+
+    This is the aggregation analog of JoinIndexRule's shuffle
+    elimination, and the selective form of the reference's global
+    `spark.hyperspace.index.filterRule.useBucketSpec` switch
+    (HyperspaceConf.scala:80-87, CoveringIndexRuleUtils.scala:51-120):
+    the reference makes bucketed filter-scans an all-or-nothing session
+    conf because a bucketed read caps scan parallelism at numBuckets;
+    here the planner enables it exactly when an Aggregate keyed on the
+    bucket columns sits above the scan — the one shape where the saved
+    corpus-wide shuffle always dominates the lost file-split
+    parallelism.  At 100 TB a GROUP BY over a fact table is a full
+    shuffle of the projected data; this rule makes it shuffle-free.
+
+    Pattern: Aggregate <- [Project] <- [Filter] <- Scan with every
+    indexed (bucket) column present in the grouping keys and all
+    required columns covered.  Candidates with appended source files are
+    left to FilterIndexRule — the hybrid union erases the bucketing, so
+    the score advantage would be unearned.  Spark's native bucket
+    pruning still applies on top for equality/IN predicates on the key.
+    Score 55·coverage: above FilterIndexRule's 50 (strictly more work
+    eliminated), below ZOrder's 60 and the join rule's 70 ladder.
+    """
+
+    def apply(self, node: ir.Node, ctx: RuleContext) -> Applied | None:
+        if not isinstance(node, ir.AggregateN) or not node.grouping:
+            return None
+        m = match_linear_side(node.child)
+        if m is None:
+            return None
+        scan, _ = m
+        cands = ctx.for_scan(scan, "CI")
+        if not cands:
+            return None
+        group_cols = {
+            c.lower() for c in (_plain_column(g) for g in node.grouping) if c
+        }
+        if not group_cols:
+            return None
+        try:
+            required = ir.required_columns(node)
+        except ValueError:
+            return None
+
+        eligible: list[Candidate] = []
+        for c in cands:
+            p = c.entry.derived_properties
+            indexed = p.get("indexedColumns", [])
+            covered = set(indexed) | set(p.get("includedColumns", []))
+            if not indexed or not {i.lower() for i in indexed} <= group_cols:
+                continue
+            if not required.issubset(covered):
+                ctx.tag(c.entry.name, MISSING_REQUIRED_COL, f"missing {sorted(required - covered)}")
+                continue
+            if c.appended:
+                continue  # hybrid union erases bucketing; FilterIndexRule's turf
+            if not p.get("tableName") or len(c.entry.index_data_dirs) != 1:
+                continue  # not registrable as a single bucketed location
+            eligible.append(c)
+        if not eligible:
+            return None
+        ranked = _rank_smallest(eligible)
+        winner = ranked[0]
+        for c in ranked[1:]:
+            ctx.tag(c.entry.name, ANOTHER_INDEX_APPLIED, f"lost to {winner.entry.name}")
+
+        out_cols = [c for c in scan.output if c in required] + sorted(
+            c for c in required if "." in c
+        )
+
+        def replacement(spark, _e=winner.entry, _cols=out_cols, _d=winner.deleted):
+            from hyperspace_spark.indexes.covering import index_scan_df
+
+            return index_scan_df(spark, _e, _cols, deleted=_d, bucketed=True)
+
+        new_node = _substitute_scan(node, scan, replacement, winner.entry.name)
+        return Applied(new_node, 55.0 * winner.coverage, [winner.entry.name])
+
+
+# ---------------------------------------------------------------------------
 # JoinIndexRule
 # ---------------------------------------------------------------------------
 class JoinIndexRule:
@@ -443,4 +538,10 @@ class DataSkippingIndexRule:
 
 
 def default_rules() -> list:
-    return [FilterIndexRule(), ZOrderFilterIndexRule(), JoinIndexRule(), DataSkippingIndexRule()]
+    return [
+        FilterIndexRule(),
+        ZOrderFilterIndexRule(),
+        AggBucketedIndexRule(),
+        JoinIndexRule(),
+        DataSkippingIndexRule(),
+    ]
