@@ -160,6 +160,7 @@ def main() -> None:
         "boilerplate_line_removal",
         "dsir_importance_en",
         "selfjoin_agg_cobucketed",
+        "window_latest_lineitem",
     ]
 
 

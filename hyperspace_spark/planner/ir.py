@@ -143,6 +143,10 @@ class WindowN(Node):
     window_exprs: list[str] = field(default_factory=list)  # SQL incl. aliases
     output: list[str] = field(default_factory=list)
     references: frozenset[str] = field(default_factory=frozenset)
+    # PARTITION BY column names when every partition expression is a
+    # plain attribute; None when any is computed (r7, consumed by
+    # WindowBucketedIndexRule for shuffle-free windows on bucket keys).
+    partition_cols: list[str] | None = None
 
 
 def children(node: Node) -> list[Node]:
@@ -239,6 +243,10 @@ def required_columns(node: Node) -> frozenset[str]:
             below = below | cur.condition.references
             cur = cur.child
         return frozenset(node.references) | below
+    if isinstance(node, WindowN):
+        # A Window passes its child's FULL output upward plus the new
+        # window columns — like Filter, everything below is still needed.
+        return node.references | required_columns(node.child)
     if isinstance(node, AggregateN):
         # An Aggregate narrows to its grouping + aggregate references;
         # like Project, any Filter below still needs its predicate

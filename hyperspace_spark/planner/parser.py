@@ -122,6 +122,8 @@ def normalize_attr_case(plan: ir.Node) -> None:
                 setattr(node, f, [(fold_name(a), fold_name(b)) for a, b in v])
             elif f == "right_keep" and v:
                 setattr(node, f, [fold_name(c) for c in v])
+            elif f == "partition_cols" and v:
+                setattr(node, f, [fold_name(c) for c in v])
             elif v is not None and dataclasses.is_dataclass(v) and not isinstance(v, ir.Node):
                 setattr(node, f, fold_expr(v))
         for c in ir.children(node):
@@ -226,11 +228,22 @@ def _parse(jnode) -> ir.Node:
         refs = frozenset().union(
             *[parse_expr(e).references for e in scala_seq(jnode.windowExpressions())]
         ) if wexprs else frozenset()
+        # Plain-attribute PARTITION BY keys (None if any is computed):
+        # lets WindowBucketedIndexRule serve the window's clustered
+        # distribution from the index's bucketing.
+        part_cols: list[str] | None = []
+        for pe in scala_seq(jnode.partitionSpec()):
+            if pe.getClass().getSimpleName() == "AttributeReference":
+                part_cols.append(str(pe.name()))
+            else:
+                part_cols = None
+                break
         return ir.WindowN(
             child=_parse_or_opaque(jnode.child()),
             window_exprs=wexprs,
             output=_out_names(jnode),
             references=refs,
+            partition_cols=part_cols,
         )
 
     if cls == "Union":

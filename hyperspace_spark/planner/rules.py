@@ -294,17 +294,22 @@ class AggBucketedIndexRule:
     def apply(self, node: ir.Node, ctx: RuleContext) -> Applied | None:
         if not isinstance(node, ir.AggregateN) or not node.grouping:
             return None
+        group_cols = {
+            c.lower() for c in (_plain_column(g) for g in node.grouping) if c
+        }
+        if not group_cols:
+            return None
+        return self._apply_keyed(node, group_cols, ctx)
+
+    def _apply_keyed(
+        self, node: ir.Node, key_cols: set[str], ctx: RuleContext
+    ) -> Applied | None:
         m = match_linear_side(node.child)
         if m is None:
             return None
         scan, _ = m
         cands = ctx.for_scan(scan, "CI")
         if not cands:
-            return None
-        group_cols = {
-            c.lower() for c in (_plain_column(g) for g in node.grouping) if c
-        }
-        if not group_cols:
             return None
         try:
             required = ir.required_columns(node)
@@ -316,7 +321,7 @@ class AggBucketedIndexRule:
             p = c.entry.derived_properties
             indexed = p.get("indexedColumns", [])
             covered = set(indexed) | set(p.get("includedColumns", []))
-            if not indexed or not {i.lower() for i in indexed} <= group_cols:
+            if not indexed or not {i.lower() for i in indexed} <= key_cols:
                 continue
             if not required.issubset(covered):
                 ctx.tag(c.entry.name, MISSING_REQUIRED_COL, f"missing {sorted(required - covered)}")
@@ -344,6 +349,26 @@ class AggBucketedIndexRule:
 
         new_node = _substitute_scan(node, scan, replacement, winner.entry.name)
         return Applied(new_node, 55.0 * winner.coverage, [winner.entry.name])
+
+
+class WindowBucketedIndexRule(AggBucketedIndexRule):
+    """Window functions partitioned by the index's bucket keys — the
+    `row_number() OVER (PARTITION BY key ORDER BY ts)` latest-record
+    pattern that at 100 TB costs a full shuffle of the fact table.  A
+    bucketed read satisfies the window's clustered distribution the
+    same way it satisfies the aggregate's, so the window Exchange
+    disappears (the in-partition sort remains — that is the window's
+    own work).  Same eligibility and score class as the aggregate rule;
+    partition keys were captured as plain attributes at parse time
+    (ir.WindowN.partition_cols — None for computed expressions, which
+    never match)."""
+
+    def apply(self, node: ir.Node, ctx: RuleContext) -> Applied | None:
+        if not isinstance(node, ir.WindowN) or not node.partition_cols:
+            return None
+        return self._apply_keyed(
+            node, {c.lower() for c in node.partition_cols}, ctx
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -542,6 +567,7 @@ def default_rules() -> list:
         FilterIndexRule(),
         ZOrderFilterIndexRule(),
         AggBucketedIndexRule(),
+        WindowBucketedIndexRule(),
         JoinIndexRule(),
         DataSkippingIndexRule(),
     ]

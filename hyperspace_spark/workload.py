@@ -53,6 +53,8 @@ ACCELERATED_QUERIES = [
     # r7: exprId-attributed self-join (q65 skeleton) — both aggregates
     # and the join ride the index's bucketing
     "selfjoin_agg_cobucketed",
+    # r7: shuffle-free latest-record window off the bucketed index
+    "window_latest_lineitem",
 ]
 
 
@@ -137,7 +139,7 @@ class Workspace:
     # the workspace marker folds it into the fingerprint, so a layout
     # left by an older code version is wiped and rebuilt instead of
     # serving indexes built under the old configs.
-    _WS_VERSION = 9
+    _WS_VERSION = 10
 
     def _source_fingerprint(self) -> str:
         parts = [f"v{self._WS_VERSION}"]
@@ -331,7 +333,10 @@ class Workspace:
                     CoveringIndexConfig(
                         "w_li_join",
                         ["l_orderkey"],
-                        ["l_quantity", "l_extendedprice", "l_discount"],
+                        # l_linenumber: unique within an order, the
+                        # deterministic tiebreak the window contract
+                        # query's ORDER BY needs (r7)
+                        ["l_quantity", "l_extendedprice", "l_discount", "l_linenumber"],
                         num_buckets=nb_join,
                     ),
                 ),
@@ -721,6 +726,44 @@ def selfjoin_agg_cobucketed(spark, sf_dir):
           ON a.l_orderkey = b.l_orderkey
         WHERE a.qty > 150
         """
+    )
+    return ws.hs.apply(df)
+
+
+@q(
+    "window_latest_lineitem",
+    """
+    WITH r AS (
+      SELECT l_orderkey, l_quantity, l_linenumber,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_quantity DESC, l_linenumber) AS rn
+      FROM lineitem)
+    SELECT l_orderkey, l_quantity, l_linenumber FROM r WHERE rn = 1
+    """,
+)
+def window_latest_lineitem(spark, sf_dir):
+    """Latest-record-per-key via row_number() OVER (PARTITION BY key) —
+    THE canonical dedup/upsert-compaction pattern, which at 100 TB costs
+    a full shuffle of the fact table.  WindowBucketedIndexRule (r7)
+    serves the window's clustered distribution from the w_li_join
+    index's bucketing, so the Exchange disappears and only the
+    in-partition sort remains (plan-asserted in
+    tests/test_agg_bucketed_rule.py).  ORDER BY ends on l_linenumber
+    (unique within an order) so the row_number choice is total and the
+    DuckDB oracle reproduces it exactly."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ws = workspace(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_quantity"), "l_linenumber"
+    )
+    df = (
+        li.select("l_orderkey", "l_quantity", "l_linenumber")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
     )
     return ws.hs.apply(df)
 
@@ -4011,6 +4054,7 @@ _VERIFY_PRIORITY = [
     "boilerplate_line_removal",
     "dsir_importance_en",
     "selfjoin_agg_cobucketed",
+    "window_latest_lineitem",
     # --- then: all green in r06 (incl. the headline core, whose perf
     # is re-measured by bench.py every round regardless); rotates back
     # in r8 ---

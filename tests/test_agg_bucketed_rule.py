@@ -86,6 +86,47 @@ def test_groupby_on_non_key_not_rewritten_by_agg_rule(spark, hs):
     assert rows_equal(q, fast)
 
 
+def test_window_on_bucket_key_is_exchange_free(spark, hs):
+    """row_number() OVER (PARTITION BY bucket_key ORDER BY ...) — the
+    latest-record dedup pattern — inherits the index's bucketing too
+    (WindowBucketedIndexRule): the window Exchange disappears, only the
+    in-partition sort remains."""
+    from pyspark.sql.window import Window
+
+    li = table(spark, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_quantity"), "l_linenumber"
+    )
+    q = (
+        li.select("l_orderkey", "l_quantity", "l_linenumber")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    fast, used = hs._apply_with_info(q)
+    assert used == ["li_agg"], hs.why_not(q)
+    plan = final_plan(fast)
+    assert "Exchange" not in plan, plan
+    assert "v__=" in plan
+    assert rows_equal(q, fast)
+
+
+def test_window_on_computed_partition_not_claimed(spark, hs):
+    """A computed PARTITION BY expression (pmod of the key) can't be
+    served by the bucketing — the rule must not fire on it; results
+    stay equal under whatever rewrite (or none) applies."""
+    from pyspark.sql.window import Window
+
+    li = table(spark, "lineitem")
+    w = Window.partitionBy((F.col("l_orderkey") % 7)).orderBy("l_linenumber")
+    q = li.select("l_orderkey", "l_linenumber").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    fast, used = hs._apply_with_info(q)
+    assert "Exchange" in final_plan(fast)
+    assert rows_equal(q, fast)
+
+
 def test_appended_files_defer_to_plain_rewrite(spark, tmp_path_factory):
     """Appended source files break the bucketing (hybrid union side is
     unbucketed), so the agg rule must NOT claim the scan; the plain

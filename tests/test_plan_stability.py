@@ -34,14 +34,25 @@ SNAPSHOT_QUERIES = [
     "delta_filter_index",
     "iceberg_filter_index",
     "delta_time_travel_index",
+    # r7: shuffle-elimination rules
+    "selfjoin_agg_cobucketed",
+    "window_latest_lineitem",
 ]
 
 
 def _snapshot(df) -> dict:
     """Stable fingerprint of the planner's choice: which index data dirs
     feed the scan and the join/exchange shape of the INITIAL physical plan
-    (pre-AQE, so runtime re-planning doesn't wobble the snapshot)."""
+    (pre-AQE, so runtime re-planning doesn't wobble the snapshot).
+
+    The apply CACHE can hand back a frame an earlier test already
+    executed; a finalized AdaptiveSparkPlan prints its runtime stages
+    first and the initial plan after an '== Initial Plan ==' header —
+    take the LAST section so the fingerprint is the initial plan in both
+    the fresh and the cache-hit case (pre-execution strings have no
+    header, so [-1] is the whole plan)."""
     plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[-1]
     indexes = sorted(set(re.findall(r"/indexes/(\w+)/v__=\d+", plan)))
     tables = sorted(set(re.findall(r"hs_(\w+?)_v\d+", plan)))
     return {
