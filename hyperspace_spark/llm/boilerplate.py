@@ -152,9 +152,18 @@ def remove_boilerplate_lines(
             df.where(F.col(text_col).isNotNull())
             .agg(F.count("*").alias("_hs_ndocs"))
         )
+        # Same >=2 floor the absolute path validates: on a tiny corpus
+        # ndocs * frac can drop to <=1, and doc_freq >= 1 holds for
+        # EVERY line — the scale-free threshold must never blank the
+        # whole corpus just because it is small.
         hot = (
             freq_df.crossJoin(F.broadcast(ndocs))
-            .where(F.col("doc_freq") >= F.col("_hs_ndocs") * F.lit(min_doc_frac))
+            .where(
+                F.col("doc_freq")
+                >= F.greatest(
+                    F.lit(2.0), F.col("_hs_ndocs") * F.lit(min_doc_frac)
+                )
+            )
         )
     hot = hot.select("line_key")
 
@@ -172,24 +181,15 @@ def remove_boilerplate_lines(
         "line_key", F.md5(_norm_line(F.col("_hs_line")))
     ).join(hot, "line_key", "left_anti")
 
-    rebuilt = kept.groupBy("_hs_doc").agg(
+    rebuilt = kept.groupBy(F.col("_hs_doc").alias(id_col)).agg(
         F.concat_ws(
             sep,
             F.transform(
                 F.array_sort(F.collect_list(F.struct("_hs_pos", "_hs_line"))),
                 lambda x: x["_hs_line"],
             ),
-        ).alias("_hs_text")
+        ).alias(text_col)
     )
-    return (
-        df.select(
-            F.col(id_col), F.col(text_col).isNull().alias("_hs_nulltext")
-        )
-        .join(rebuilt, F.col(id_col) == F.col("_hs_doc"), "left")
-        .select(
-            F.col(id_col),
-            F.when(F.col("_hs_nulltext"), F.lit(None).cast("string"))
-            .otherwise(F.coalesce(F.col("_hs_text"), F.lit("")))
-            .alias(text_col),
-        )
-    )
+    from hyperspace_spark.llm.dedup import rejoin_text_preserving_null
+
+    return rejoin_text_preserving_null(df, rebuilt, id_col, text_col)

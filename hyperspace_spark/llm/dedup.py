@@ -1055,6 +1055,31 @@ def contamination_check(
     )
 
 
+def rejoin_text_preserving_null(
+    df: "DataFrame", rebuilt: "DataFrame", id_col: str, text_col: str
+) -> "DataFrame":
+    """Re-attach per-document rebuilt text to the full id set with the
+    shared NULL contract: NULL input text stays NULL (collapsing it to
+    '' would make every media-only / unfetched doc a mutual exact
+    duplicate downstream — the precise trap exact_dedup's contract
+    defends against), while a non-null doc missing from ``rebuilt``
+    (every line/paragraph removed) becomes ''.  Used by both
+    paragraph_dedup and boilerplate.remove_boilerplate_lines so the
+    documented contract cannot fork."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.select(id_col, F.col(text_col).isNull().alias("_hs_nulltext"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("_hs_nulltext"), F.lit(None).cast("string"))
+            .otherwise(F.coalesce(F.col(text_col), F.lit("")))
+            .alias(text_col),
+        )
+    )
+
+
 def paragraph_dedup(
     df: "DataFrame",
     sep: str = "\n\n",
@@ -1104,17 +1129,4 @@ def paragraph_dedup(
             ),
         ).alias(text_col)
     )
-    # NULL text stays NULL: collapsing it to '' would make every
-    # media-only / unfetched doc a mutual exact duplicate downstream —
-    # the precise trap exact_dedup's contract defends against.  Only a
-    # doc whose (non-null) paragraphs were ALL seen before becomes ''.
-    return (
-        df.select(id_col, F.col(text_col).isNull().alias("_hs_nulltext"))
-        .join(reassembled, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.when(F.col("_hs_nulltext"), F.lit(None).cast("string"))
-            .otherwise(F.coalesce(F.col(text_col), F.lit("")))
-            .alias(text_col),
-        )
-    )
+    return rejoin_text_preserving_null(df, reassembled, id_col, text_col)

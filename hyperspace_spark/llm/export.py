@@ -42,15 +42,18 @@ def write_training_shards(
     """Write df as ``out_dir/shard=N/*.parquet`` (one file per shard)
     and return the manifest frame (shard, n_docs, n_tokens, n_chars).
 
-    The manifest is aggregated from the WRITTEN shard directories (a
-    re-read of the output, which is cheap columnar metadata + the text
-    column), never from the input lineage: recomputing the lineage
+    The manifest is aggregated from the files THIS CALL wrote (a
+    re-read of just those paths, which is cheap columnar metadata + the
+    text column), never from the input lineage: recomputing the lineage
     would re-run the whole upstream pipeline — hashing + tokenization
     over the full corpus a second time at the largest-data stage — and
     could even disagree with what was written if any upstream stage is
-    nondeterministic.  Shard assignment is engine-portable md5 —
-    re-running the export over the same corpus reproduces both layout
-    and manifest bit-for-bit."""
+    nondeterministic.  Under ``mode='append'`` the manifest therefore
+    describes ONLY this batch (sum manifests across calls for the
+    directory total); under overwrite/error it equals the directory.
+    Shard assignment is engine-portable md5 — re-running the export
+    over the same corpus reproduces both layout and manifest
+    bit-for-bit."""
     from pyspark.sql import functions as F
 
     from hyperspace_spark.llm.sampling import hash_bucket
@@ -61,13 +64,47 @@ def write_training_shards(
     if "shard" in df.columns:
         raise ValueError("write_training_shards reserves the 'shard' column")
 
+    spark = df.sparkSession
+
+    def _data_files() -> set[str]:
+        # Hadoop FS, not os.listdir: out_dir is an object-store URI at
+        # scale, and this is the same driver-side metadata listing Spark
+        # itself performs at planning — one RPC sweep, no data read.
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(out_dir)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return set()
+        out: set[str] = set()
+        it = fs.listFiles(jpath, True)
+        while it.hasNext():
+            st = it.next()
+            if st.getPath().getName().startswith(("_", ".")):
+                continue
+            out.add(str(st.getPath().toString()))
+        return out
+
+    before = _data_files()
     sharded = df.withColumn("shard", hash_bucket(F.col(id_col), shards))
     # one file per shard: repartition BY the shard column so each task
     # owns whole shards, then partitionBy splits directories
     sharded.repartition(shards, "shard").write.partitionBy("shard").mode(
         mode
     ).parquet(out_dir)
-    written = df.sparkSession.read.parquet(out_dir)
+    # Subtracting `before` is correct for every mode: append keeps old
+    # files (manifest = this batch), overwrite deletes them and part
+    # names are job-unique (manifest = everything), error implies an
+    # empty dir, and ignore-with-existing-dir writes nothing (manifest
+    # = explicitly empty, not a description of old data).
+    new_files = sorted(_data_files() - before)
+    if not new_files:
+        # mode='ignore' with a pre-existing dir: nothing was written —
+        # an explicitly EMPTY manifest, not a description of old data.
+        written = (
+            spark.read.option("basePath", out_dir).parquet(out_dir).limit(0)
+        )
+    else:
+        written = spark.read.option("basePath", out_dir).parquet(*new_files)
     n_tokens = F.coalesce(token_count(F.col(text_col)).cast("long"), F.lit(0))
     return (
         written.groupBy("shard")

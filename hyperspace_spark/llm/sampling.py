@@ -252,6 +252,11 @@ def token_quota_per_source(
     bad = [s for s in cuts if surviving.get(s, 0) < quota_tokens]
     if not bad:
         return exact_cap(pre)
-    good_part = exact_cap(pre.filter(~F.col(source_col).isin(bad)))
+    # NULL-source rows: ~isin(bad) is NULL (not true) for them, so the
+    # good side must keep NULLs explicitly — they were never prefiltered
+    # (no legal map key) and belong with the exact pass, not dropped.
+    good_part = exact_cap(
+        pre.filter(~F.col(source_col).isin(bad) | F.col(source_col).isNull())
+    )
     bad_part = exact_cap(df.filter(F.col(source_col).isin(bad)))
     return good_part.unionByName(bad_part)

@@ -42,11 +42,22 @@ import time
 import uuid
 from dataclasses import dataclass, field
 from typing import TYPE_CHECKING
+from urllib.parse import quote
 
 if TYPE_CHECKING:
     from pyspark.sql import DataFrame, SparkSession
 
 LOG_DIR = "_delta_log"
+
+
+def encode_path(rel: str) -> str:
+    """URL-encode a relative file path for a Delta action, per the
+    protocol's RFC 2396 rule ("/" and partition "=" stay literal).
+    EVERY action writer (add, remove, checkpoint re-add) must go through
+    this one helper: a single raw-path emitter desynchronizes from the
+    encoded adds on replay and leaves files live forever — the exact bug
+    a missed remove-site once had."""
+    return quote(rel, safe="/=")
 
 
 def strip_scheme(p: str) -> str:
@@ -410,7 +421,7 @@ def write_delta(
                 {
                     "add": {
                         # URL-encoded per the protocol ("/" and "=" stay)
-                        "path": __import__("urllib.parse", fromlist=["quote"]).quote(rel, safe="/="),
+                        "path": encode_path(rel),
                         "partitionValues": part_vals,
                         "size": st.st_size,
                         "modificationTime": int(st.st_mtime * 1000),
@@ -432,15 +443,13 @@ def write_delta(
         log = DeltaLog(root)
         version = log.latest_version() + 1
         if mode == "overwrite":
-            from urllib.parse import quote
-
             prev = log.snapshot()
             # snapshot keys are DECODED; the log stores URL-encoded paths
             # (same encoding the add writer uses) — a raw remove would
             # fail to match its add on replay for any '%' in a partition
             # value and leave the overwritten file live forever.
             actions.extend(
-                {"remove": {"path": quote(p, safe="/="), "deletionTimestamp": now_ms, "dataChange": True}}
+                {"remove": {"path": encode_path(p), "deletionTimestamp": now_ms, "dataChange": True}}
                 for p in sorted(prev.adds)
             )
             actions.append(_metadata_action(df, partition_by))
@@ -474,13 +483,11 @@ def remove_files(path: str, rel_paths: list[str]) -> int:
         raise ValueError(f"not live in version {snap.version}: {missing}")
     now_ms = int(time.time() * 1000)
     version = snap.version + 1
-    from urllib.parse import quote
-
     _commit(
         log.log_dir,
         version,
         [
-            {"remove": {"path": quote(p, safe="/="), "deletionTimestamp": now_ms, "dataChange": True}}
+            {"remove": {"path": encode_path(p), "deletionTimestamp": now_ms, "dataChange": True}}
             for p in rel_paths
         ],
     )
@@ -548,8 +555,6 @@ def write_checkpoint(path: str) -> int:
             "add": None,
         },
     ]
-    from urllib.parse import quote
-
     for rel, (size, mtime) in sorted(snap.adds.items()):
         rows.append(
             {
@@ -558,7 +563,7 @@ def write_checkpoint(path: str) -> int:
                 "add": {
                     # re-encode: snapshot keys are decoded fs paths, the
                     # protocol stores URL-encoded ("/" and "=" stay).
-                    "path": quote(rel, safe="/="),
+                    "path": encode_path(rel),
                     "partitionValues": sorted(
                         snap.part_values.get(rel, {}).items()
                     ),

@@ -164,11 +164,25 @@ def sessionize(
             )
             return
 
-        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        rows = pd.concat(list(pdfs))
         ts = rows[ts_col]
         if ts.dt.tz is None:
-            ts = ts.dt.tz_localize(session_tz)
-        ts_ms = (ts.dt.tz_convert("UTC").astype("int64") // 1_000_000).tolist()
+            # DST edges: the fall-back hour repeats on the naive wall
+            # clock (ambiguous) and the spring-forward hour never exists
+            # (nonexistent).  pandas' default raises and would kill the
+            # streaming query twice a year in any non-UTC session zone —
+            # resolve deterministically instead (standard time for the
+            # repeated hour, shift forward out of the gap).
+            ts = ts.dt.tz_localize(
+                session_tz, ambiguous=False, nonexistent="shift_forward"
+            )
+        # Sort by the UTC instant, not the naive wall clock: across a
+        # fall-back transition wall-clock order and event order disagree,
+        # and _advance requires ts_ms sorted.
+        rows = rows.assign(
+            _hs_utc_ms=(ts.dt.tz_convert("UTC").astype("int64") // 1_000_000)
+        ).sort_values("_hs_utc_ms")
+        ts_ms = rows["_hs_utc_ms"].tolist()
         vals = rows[value_col].tolist()
         if state.exists:
             start, last, n, total = state.get

@@ -873,7 +873,15 @@ def test_token_quota_auto_prefilter_skewed_source(spark):
         F.lit("curated").alias("source"),
         F.lit("five neat little words").alias("text"),
     )
-    corpus = big.unionByName(small)
+    # NULL source group: must ride the exact pass on EVERY code path —
+    # including the superset-check fallback's good/bad split, where
+    # ~isin(bad) is NULL for them (r7 regression).
+    nulls = spark.range(30).select(
+        F.concat(F.lit("n"), F.col("id")).alias("doc_id"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit("three short words").alias("text"),
+    )
+    corpus = big.unionByName(small).unionByName(nulls)
 
     exact = {
         r.doc_id
@@ -899,6 +907,9 @@ def test_token_quota_auto_prefilter_skewed_source(spark):
         ).collect()
     }
     assert fallback == exact
+    # the NULL-source docs survived every path (30 of them, all under quota)
+    assert sum(1 for d in exact if d.startswith("n")) == 30
+    assert sum(1 for d in fallback if d.startswith("n")) == 30
     # balanced corpora never engage (min_docs default high): same set too
     assert {
         r.doc_id for r in token_quota_per_source(corpus, quota_tokens=300).collect()
@@ -1045,6 +1056,26 @@ def test_write_training_shards_deterministic(spark, docs, tmp_path):
 
     with pytest.raises(ValueError, match="shard"):
         write_training_shards(back, str(tmp_path / "s3"))
+
+
+def test_write_training_shards_append_manifest_is_per_batch(spark, docs, tmp_path):
+    """r7 review fix: under mode='append' the manifest must describe
+    ONLY this call's batch (summing manifests across calls gives the
+    directory total); ignore-with-existing-dir yields an EMPTY manifest,
+    never a description of old data."""
+    from hyperspace_spark.llm.export import write_training_shards
+
+    out = str(tmp_path / "ap")
+    b1 = docs.limit(30)
+    b2 = docs.subtract(b1).limit(20)
+    m1 = write_training_shards(b1, out, shards=4).collect()
+    m2 = write_training_shards(b2, out, shards=4, mode="append").collect()
+    assert sum(r.n_docs for r in m1) == 30
+    assert sum(r.n_docs for r in m2) == 20  # this batch, not 50
+    total = spark.read.parquet(out).count()
+    assert total == 50  # directory holds both batches
+    m3 = write_training_shards(b1, out, shards=4, mode="ignore").collect()
+    assert m3 == []  # nothing written, nothing described
 
 
 def test_paragraph_dedup_preserves_null_text(spark):

@@ -155,6 +155,24 @@ def test_remove_boilerplate_matches_duckdb_on_documents(spark, docs):
     )
 
 
+def test_remove_boilerplate_frac_floor_on_tiny_corpus(spark):
+    """r7 review fix: on a tiny corpus ndocs*frac can drop to <= 1,
+    where doc_freq >= threshold holds for EVERY line — the scale-free
+    path needs the same >= 2 floor the absolute path validates, so
+    unique lines survive and only genuinely shared ones go."""
+    df = spark.createDataFrame(
+        [(1, "shared\nunique one"), (2, "shared\nunique two")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.text
+        for r in remove_boilerplate_lines(df, min_doc_frac=0.4).collect()
+    }
+    # threshold = max(2, 2*0.4=0.8) = 2: 'shared' (df=2) removed,
+    # uniques (df=1) kept — NOT a blanked corpus
+    assert got[1] == "unique one" and got[2] == "unique two"
+
+
 def test_remove_boilerplate_identity_when_threshold_unreachable(spark, docs):
     """doc_freq can never reach corpus_size+1, so the op must be a
     bit-exact identity on text — catches any reassembly bug (line

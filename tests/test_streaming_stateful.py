@@ -50,6 +50,61 @@ def test_sessionize_stream(spark, tmp_path):
     assert (1, 5, 5.0) in sessions, sessions
 
 
+def test_sessionize_survives_dst_fall_back(spark, tmp_path):
+    """r7 review fix: in a non-UTC session zone the fall-back hour
+    repeats on the naive wall clock Arrow hands the state function —
+    pandas' default tz_localize(ambiguous='raise') killed the streaming
+    query twice a year.  Events spanning the 2024-11-03 America/New_York
+    transition must sessionize without error and in true event order."""
+    src = str(tmp_path / "dst_in")
+    out = str(tmp_path / "dst_out")
+    os.makedirs(src)
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        # UTC instants: 05:30 and 06:30 UTC both render as 01:30 on the
+        # NY wall clock that day (EDT then EST) — the ambiguous hour.
+        base = 1730611800  # 2024-11-03 05:30:00 UTC == 01:30 EDT
+        rows = [
+            (1, base, 1.0),
+            (1, base + 3600, 2.0),       # 01:30 EST — same wall clock!
+            (1, base + 3600 + 600, 3.0),
+            (1, base + 20_000, 9.0),     # later event closes the session
+        ]
+        df = (
+            spark.createDataFrame(rows, "user_id long, epoch long, value double")
+            .withColumn("event_ts", F.timestamp_seconds("epoch"))
+            .drop("epoch")
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(src)
+
+        from hyperspace_spark.streaming.sessionize import sessionize
+
+        stream = spark.readStream.schema(
+            "user_id long, value double, event_ts timestamp"
+        ).parquet(src)
+        q = (
+            sessionize(stream, gap_seconds=1800)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "dst_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None, q.exception()
+        got = {
+            (r.user_id, r.n_events, r.total_value)
+            for r in spark.read.parquet(out).collect()
+        }
+        # the three ambiguous-hour events are ONE session (gaps 60 and
+        # 10 min in true time), closed by the later event
+        assert (1, 3, 6.0) in got, got
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
 def test_streaming_windowed_agg(spark, tmp_path):
     """Tumbling-window aggregation with watermark over a file stream."""
     src = str(tmp_path / "ev_in")
