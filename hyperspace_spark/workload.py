@@ -2476,9 +2476,11 @@ def distinct_count_sketch_query(spark, sf_dir):
       FROM p WHERE para <> ''
     )
     SELECT d.doc_id,
-           coalesce(string_agg(k.para, ' ' ORDER BY k.pos), '') AS text
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE coalesce(string_agg(k.para, ' ' ORDER BY k.pos), '')
+           END AS text
     FROM documents d LEFT JOIN (SELECT * FROM kept WHERE rn = 1) k USING (doc_id)
-    GROUP BY d.doc_id
+    GROUP BY d.doc_id, d.text
     """,
 )
 def dedup_paragraph_query(spark, sf_dir):

@@ -86,6 +86,21 @@ def test_groupby_on_non_key_not_rewritten_by_agg_rule(spark, hs):
     assert rows_equal(q, fast)
 
 
+def test_dropduplicates_on_bucket_key_is_exchange_free(spark, hs):
+    """dropDuplicates(subset) lowers to an Aggregate grouped on the
+    subset — when the subset covers the bucket key the same rule
+    applies and the dedup runs shuffle-free."""
+    li = table(spark, "lineitem")
+    q = li.select("l_orderkey", "l_quantity").dropDuplicates(
+        ["l_orderkey", "l_quantity"]
+    )
+    fast, used = hs._apply_with_info(q)
+    assert used == ["li_agg"], hs.why_not(q)
+    plan = final_plan(fast)
+    assert "Exchange" not in plan, plan
+    assert rows_equal(q, fast)
+
+
 def test_window_on_bucket_key_is_exchange_free(spark, hs):
     """row_number() OVER (PARTITION BY bucket_key ORDER BY ...) — the
     latest-record dedup pattern — inherits the index's bucketing too
