@@ -51,8 +51,15 @@ def write_training_shards(
     nondeterministic.  Under ``mode='append'`` the manifest therefore
     describes ONLY this batch (sum manifests across calls for the
     directory total); under overwrite/error it equals the directory.
-    Shard assignment is engine-portable md5 — re-running the export
-    over the same corpus reproduces both layout and manifest
+    Caveats to both claims: the batch is identified by a before/after
+    listing diff, so it assumes a SINGLE writer per out_dir (a
+    concurrent appender's files landing mid-write would be attributed
+    to this manifest), and under
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` an overwrite
+    only replaces the shard directories this batch touches — the
+    manifest then describes the rewritten shards, not untouched stale
+    ones.  Shard assignment is engine-portable md5 — re-running the
+    export over the same corpus reproduces both layout and manifest
     bit-for-bit."""
     from pyspark.sql import functions as F
 
@@ -67,22 +74,16 @@ def write_training_shards(
     spark = df.sparkSession
 
     def _data_files() -> set[str]:
-        # Hadoop FS, not os.listdir: out_dir is an object-store URI at
-        # scale, and this is the same driver-side metadata listing Spark
-        # itself performs at planning — one RPC sweep, no data read.
-        jvm = spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(out_dir)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        if not fs.exists(jpath):
-            return set()
-        out: set[str] = set()
-        it = fs.listFiles(jpath, True)
-        while it.hasNext():
-            st = it.next()
-            if st.getPath().getName().startswith(("_", ".")):
-                continue
-            out.add(str(st.getPath().toString()))
-        return out
+        # The shared FS abstraction (fs.py): local fast path when
+        # out_dir is a local dir, Hadoop FileSystem RPC sweep for
+        # object-store URIs — one driver-side metadata listing, the
+        # same class of op Spark performs at planning.
+        from hyperspace_spark.fs import filesystem_for
+
+        return {
+            st.path
+            for st in filesystem_for(out_dir, spark).list_files_recursive(out_dir)
+        }
 
     before = _data_files()
     sharded = df.withColumn("shard", hash_bucket(F.col(id_col), shards))
@@ -98,13 +99,14 @@ def write_training_shards(
     # = explicitly empty, not a description of old data).
     new_files = sorted(_data_files() - before)
     if not new_files:
-        # mode='ignore' with a pre-existing dir: nothing was written —
-        # an explicitly EMPTY manifest, not a description of old data.
-        written = (
-            spark.read.option("basePath", out_dir).parquet(out_dir).limit(0)
+        # Nothing was written (mode='ignore' on an existing dir, or an
+        # empty input batch): an explicitly EMPTY manifest with the
+        # contract schema — never a read of the (possibly file-less)
+        # directory, which would raise UNABLE_TO_INFER_SCHEMA.
+        return spark.createDataFrame(
+            [], "shard int, n_docs long, n_tokens long, n_chars long"
         )
-    else:
-        written = spark.read.option("basePath", out_dir).parquet(*new_files)
+    written = spark.read.option("basePath", out_dir).parquet(*new_files)
     n_tokens = F.coalesce(token_count(F.col(text_col)).cast("long"), F.lit(0))
     return (
         written.groupBy("shard")

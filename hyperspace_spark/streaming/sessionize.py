@@ -127,10 +127,16 @@ def sessionize(
     # Arrow hands applyInPandasWithState batches with timestamps
     # converted to spark.sql.session.timeZone and made tz-NAIVE, while
     # the watermark clock setTimeoutTimestamp is compared against is
-    # true UTC epoch millis.  Naive astype('int64') would read the wall
-    # clock AS UTC — offset by the session zone — making the timeout
-    # land below the watermark (streaming query dies) west of UTC, or
-    # hours late east of it.  Localize in, convert back out.
+    # true UTC epoch millis.  Reading the wall clock AS UTC would make
+    # the timeout land below the watermark (streaming query dies) west
+    # of UTC, and re-localizing wall times python-side is AMBIGUOUS in
+    # the DST fall-back hour (any fixed resolution injects a false
+    # ~1h gap that splits continuous sessions).  So the epoch millis are
+    # computed JVM-SIDE before the stateful apply — a timestamp cast to
+    # double is zone-independent true epoch seconds — and ride along as
+    # a hidden column; the state function never touches a wall clock on
+    # the input side.  Output conversion (instant -> session-zone wall
+    # clock) is the unambiguous direction.
     session_tz = "UTC"
     try:
         session_tz = events.sparkSession.conf.get("spark.sql.session.timeZone") or "UTC"
@@ -164,24 +170,11 @@ def sessionize(
             )
             return
 
-        rows = pd.concat(list(pdfs))
-        ts = rows[ts_col]
-        if ts.dt.tz is None:
-            # DST edges: the fall-back hour repeats on the naive wall
-            # clock (ambiguous) and the spring-forward hour never exists
-            # (nonexistent).  pandas' default raises and would kill the
-            # streaming query twice a year in any non-UTC session zone —
-            # resolve deterministically instead (standard time for the
-            # repeated hour, shift forward out of the gap).
-            ts = ts.dt.tz_localize(
-                session_tz, ambiguous=False, nonexistent="shift_forward"
-            )
-        # Sort by the UTC instant, not the naive wall clock: across a
-        # fall-back transition wall-clock order and event order disagree,
-        # and _advance requires ts_ms sorted.
-        rows = rows.assign(
-            _hs_utc_ms=(ts.dt.tz_convert("UTC").astype("int64") // 1_000_000)
-        ).sort_values("_hs_utc_ms")
+        # _hs_utc_ms was computed JVM-side (timestamp cast to double =
+        # true epoch seconds, zone- and DST-independent); sort by the
+        # instant — across a fall-back transition wall-clock order and
+        # event order disagree, and _advance requires ts_ms sorted.
+        rows = pd.concat(list(pdfs)).sort_values("_hs_utc_ms")
         ts_ms = rows["_hs_utc_ms"].tolist()
         vals = rows[value_col].tolist()
         if state.exists:
@@ -205,8 +198,13 @@ def sessionize(
                 }
             )
 
+    from pyspark.sql import functions as F
+
+    with_ms = events.withColumn(
+        "_hs_utc_ms", (F.col(ts_col).cast("double") * 1000).cast("long")
+    )
     return (
-        events.withWatermark(ts_col, f"{gap_seconds * 2} seconds")
+        with_ms.withWatermark(ts_col, f"{gap_seconds * 2} seconds")
         .groupBy(key_col)
         .applyInPandasWithState(
             fn,

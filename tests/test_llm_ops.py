@@ -1076,6 +1076,15 @@ def test_write_training_shards_append_manifest_is_per_batch(spark, docs, tmp_pat
     assert total == 50  # directory holds both batches
     m3 = write_training_shards(b1, out, shards=4, mode="ignore").collect()
     assert m3 == []  # nothing written, nothing described
+    # r7 review fix: an EMPTY batch to a fresh dir (upstream filter
+    # matched nothing) returns an empty manifest with the contract
+    # schema instead of crashing on a file-less directory read
+    empty = docs.where("doc_id < 0")
+    m4 = write_training_shards(empty, str(tmp_path / "fresh"), shards=4)
+    assert m4.collect() == []
+    assert [f.name for f in m4.schema.fields] == [
+        "shard", "n_docs", "n_tokens", "n_chars",
+    ]
 
 
 def test_paragraph_dedup_preserves_null_text(spark):

@@ -65,12 +65,18 @@ def test_sessionize_survives_dst_fall_back(spark, tmp_path):
     try:
         # UTC instants: 05:30 and 06:30 UTC both render as 01:30 on the
         # NY wall clock that day (EDT then EST) — the ambiguous hour.
+        # The first two events straddle the ENTRY to that hour 2 real
+        # minutes apart (00:59 / 01:01 EDT): any wall-clock-based
+        # resolution injects a false ~1h gap there and splits the
+        # session; the JVM-side epoch column must keep them together.
         base = 1730611800  # 2024-11-03 05:30:00 UTC == 01:30 EDT
         rows = [
-            (1, base, 1.0),
-            (1, base + 3600, 2.0),       # 01:30 EST — same wall clock!
-            (1, base + 3600 + 600, 3.0),
-            (1, base + 20_000, 9.0),     # later event closes the session
+            (1, base - 1860, 1.0),       # 00:59:00 EDT
+            (1, base - 1740, 2.0),       # 01:01:00 EDT — 2 min later
+            (1, base, 3.0),              # 01:30 EDT — 29 min later, same session
+            (1, base + 3600, 4.0),       # 01:30 EST (same wall clock!) — 60 min gap: NEW session
+            (1, base + 3600 + 600, 5.0),
+            (1, base + 20_000, 9.0),     # later event closes both via watermark
         ]
         df = (
             spark.createDataFrame(rows, "user_id long, epoch long, value double")
@@ -98,9 +104,11 @@ def test_sessionize_survives_dst_fall_back(spark, tmp_path):
             (r.user_id, r.n_events, r.total_value)
             for r in spark.read.parquet(out).collect()
         }
-        # the three ambiguous-hour events are ONE session (gaps 60 and
-        # 10 min in true time), closed by the later event
+        # session 1: 00:59 EDT + 01:01 EDT + 01:30 EDT (true gaps 2 and
+        # 29 min) — NOT split by the DST transition; session 2: the two
+        # EST-side events an hour later
         assert (1, 3, 6.0) in got, got
+        assert (1, 2, 9.0) in got, got
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
 
