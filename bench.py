@@ -161,6 +161,7 @@ def main() -> None:
         "dsir_importance_en",
         "selfjoin_agg_cobucketed",
         "window_latest_lineitem",
+        "streaming_stateful_sessionize",
     ]
 
 
