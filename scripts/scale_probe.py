@@ -291,6 +291,14 @@ def main_sf10():
         have = {r["name"] for r in hs.indexes().collect()}
     except Exception:
         have = set()
+    # r7: the window probe needs l_linenumber covered; a layout built by
+    # an older probe version lacks it — wipe and rebuild once.
+    if "s10_li_join" in have:
+        info = [r for r in hs.indexes().collect() if r["name"] == "s10_li_join"]
+        if info and "l_linenumber" not in str(info[0].asDict()):
+            shutil.rmtree(f"{DST10}/indexes", ignore_errors=True)
+            hs = Hyperspace(spark, system_path=f"{DST10}/indexes")
+            have = set()
     orders = spark.read.parquet(f"{DST10}/orders.parquet")
     lineitem = spark.read.parquet(f"{DST10}/lineitem.parquet")
     byship = spark.read.parquet(f"{DST10}/li_byship")
@@ -307,7 +315,7 @@ def main_sf10():
             CoveringIndexConfig(
                 "s10_li_join",
                 ["l_orderkey"],
-                ["l_quantity", "l_extendedprice", "l_discount"],
+                ["l_quantity", "l_extendedprice", "l_discount", "l_linenumber"],
                 num_buckets=nb_join,
             ),
         )
@@ -349,10 +357,50 @@ def main_sf10():
             )
         )
 
+    def q_selfjoin():
+        # q65 skeleton: two aggregates of the same fact self-joined on
+        # the group key (exprId attribution + bucket-key agg rule).
+        # Agg-wrapped so the timing measures the pipeline, not a
+        # multi-million-row driver collect.
+        lineitem.createOrReplaceTempView("s10_li")
+        j = spark.sql(
+            """
+            SELECT a.l_orderkey, a.qty, b.rev
+            FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS qty
+                  FROM s10_li GROUP BY l_orderkey) a
+            JOIN (SELECT l_orderkey,
+                         round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+                  FROM s10_li GROUP BY l_orderkey) b
+              ON a.l_orderkey = b.l_orderkey
+            WHERE a.qty > 150
+            """
+        )
+        return hs.apply(j).agg(
+            F.count("*").alias("n"), F.round(F.sum("rev"), 2).alias("rev")
+        )
+
+    def q_window():
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("l_orderkey").orderBy(
+            F.desc("l_quantity"), "l_linenumber"
+        )
+        latest = (
+            lineitem.select("l_orderkey", "l_quantity", "l_linenumber")
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        return hs.apply(latest).agg(
+            F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("q")
+        )
+
     probes = {
         "covering_filter_point": q_point,
         "join_cobucketed": q_join,
         "dataskipping_minmax": q_minmax,
+        "selfjoin_agg_cobucketed": q_selfjoin,
+        "window_latest_lineitem": q_window,
     }
 
     # plan probe: co-bucketed SMJ stays Exchange-free under AQE at sf10
