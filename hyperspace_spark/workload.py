@@ -130,7 +130,6 @@ class Workspace:
         self.orders_app = f"{self.root}/orders_app"
         self.orders_nested = f"{self.root}/orders_nested"
         self.docs_stream = f"{self.root}/docs_stream"
-        self.events_stream = f"{self.root}/events_stream"
         self.delta_orders = f"{self.root}/delta_orders"
         self.iceberg_orders = f"{self.root}/iceberg_orders"
         self.ngram_pairs = f"{self.root}/ngram_pairs"
@@ -261,18 +260,6 @@ class Workspace:
             d.filter("doc_id % 20 = 0").coalesce(1).write.mode("append").parquet(
                 self.docs_stream
             )
-        if not os.path.exists(f"{self.events_stream}/_staged"):
-            # file-source streams need a DIRECTORY; hardlink the single
-            # events parquet file into one (no data copy on local fs)
-            from hyperspace_spark.fs import filesystem_for
-
-            os.makedirs(self.events_stream, exist_ok=True)
-            filesystem_for(self.sf_dir).link_or_copy(
-                os.path.join(self.sf_dir, "events.parquet"),
-                os.path.join(self.events_stream, "events.parquet"),
-            )
-            with open(f"{self.events_stream}/_staged", "w") as f:
-                f.write("ok")
         if not os.path.isdir(f"{self.delta_orders}/_delta_log"):
             from hyperspace_spark.sources.delta import write_delta
 
@@ -3970,7 +3957,7 @@ def streaming_ingest_dedup(spark, sf_dir):
            strftime(en, '%Y-%m-%d %H:%M:%S') AS session_end,
            n_events, total_value
     FROM r
-    WHERE rn > 1 OR epoch(en) + 1800 <= epoch(mx) - 3600
+    WHERE rn > 1 OR epoch(en) + 1800 < epoch(mx) - 3600
     """,
 )
 def streaming_stateful_sessionize(spark, sf_dir):
@@ -3984,24 +3971,30 @@ def streaming_stateful_sessionize(spark, sf_dir):
     event superseded (gaps-and-islands, break when the gap EXCEEDS
     1800 s — `_advance`'s `<=` keeps the boundary event), and the
     trailing timeout batch closes each user's final session iff its end
-    + gap has fallen behind the watermark (max event time − 2·gap).
-    The oracle replays exactly that: all non-final islands, plus finals
-    past the watermark cutoff.  Session timestamps render in the UTC
-    session zone; value sums round(2) to absorb accumulation-order
-    ulps.  Verified against the engine at sf0.001 (944 sessions = 931
-    superseded + 13 timeout-closed) before the oracle was written."""
+    + gap is STRICTLY below the watermark (max event time − 2·gap) —
+    Spark's event-time timeout eviction uses `timeoutTimestamp <
+    watermark` (FlatMapGroupsWithStateExec), so the oracle's cutoff is
+    `<`, not `<=`.  The oracle replays exactly that: all non-final
+    islands, plus finals past the cutoff.  Session timestamps render in
+    the UTC session zone; value sums round(2) to absorb accumulation-
+    order ulps.  Verified against the engine at sf0.001 (944 sessions =
+    931 superseded + 13 timeout-closed) before the oracle was
+    written."""
     from pyspark.sql import functions as F
 
     from hyperspace_spark.streaming.sessionize import sessionize
 
     _conf(spark)
-    ws = workspace(spark, sf_dir)
     schema = _t(spark, sf_dir, "events").schema
     _STREAM_SEQ["n"] += 1
     qn = f"w_stream_sessionize_{_STREAM_SEQ['n']}"
+    # same single-file stream-read pattern as streaming_tumbling_rollup:
+    # pathGlobFilter turns the sf_dir into a directory source containing
+    # exactly events.parquet — no staging copy needed
     stream = (
         spark.readStream.schema(schema)
-        .parquet(ws.events_stream)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
         .select(
             "user_id",
             F.col("ts").cast("timestamp").alias("event_ts"),

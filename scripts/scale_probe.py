@@ -288,17 +288,22 @@ def main_sf10():
 
     t0 = time.perf_counter()
     try:
-        have = {r["name"] for r in hs.indexes().collect()}
+        rows = hs.indexes().collect()
     except Exception:
-        have = set()
+        rows = []
+    have = {r["name"] for r in rows}
     # r7: the window probe needs l_linenumber covered; a layout built by
     # an older probe version lacks it — wipe and rebuild once.
-    if "s10_li_join" in have:
-        info = [r for r in hs.indexes().collect() if r["name"] == "s10_li_join"]
-        if info and "l_linenumber" not in str(info[0].asDict()):
-            shutil.rmtree(f"{DST10}/indexes", ignore_errors=True)
-            hs = Hyperspace(spark, system_path=f"{DST10}/indexes")
-            have = set()
+    stale = [
+        r
+        for r in rows
+        if r["name"] == "s10_li_join"
+        and "l_linenumber" not in (r["includedColumns"] or [])
+    ]
+    if stale:
+        shutil.rmtree(f"{DST10}/indexes", ignore_errors=True)
+        hs = Hyperspace(spark, system_path=f"{DST10}/indexes")
+        have = set()
     orders = spark.read.parquet(f"{DST10}/orders.parquet")
     lineitem = spark.read.parquet(f"{DST10}/lineitem.parquet")
     byship = spark.read.parquet(f"{DST10}/li_byship")
