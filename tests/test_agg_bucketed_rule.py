@@ -86,6 +86,22 @@ def test_groupby_on_non_key_not_rewritten_by_agg_rule(spark, hs):
     assert rows_equal(q, fast)
 
 
+def test_count_distinct_on_bucket_key_is_exchange_free(spark, hs):
+    """count(DISTINCT x) GROUP BY key lowers to a two-level aggregate;
+    the INNER aggregate groups by (key, x) ⊇ bucket key, so the rule
+    rewrites it at its own subtree and the outer aggregate inherits the
+    partitioning — the whole distinct-count is shuffle-free."""
+    li = table(spark, "lineitem")
+    q = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_quantity").alias("n_qty")
+    )
+    fast, used = hs._apply_with_info(q)
+    assert used == ["li_agg"], hs.why_not(q)
+    plan = final_plan(fast)
+    assert "Exchange" not in plan, plan
+    assert rows_equal(q, fast)
+
+
 def test_dropduplicates_on_bucket_key_is_exchange_free(spark, hs):
     """dropDuplicates(subset) lowers to an Aggregate grouped on the
     subset — when the subset covers the bucket key the same rule
