@@ -162,6 +162,7 @@ def main() -> None:
         "selfjoin_agg_cobucketed",
         "window_latest_lineitem",
         "streaming_stateful_sessionize",
+        "semantic_dedup",
     ]
 
 

@@ -1022,6 +1022,48 @@ def keep_canonical(
     return df.join(dupes, id_col, "left_anti")
 
 
+def semantic_dedup(
+    emb: "DataFrame",
+    threshold: float = 0.4,
+    nbits: int = 4,
+    bands: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int | None = 4096,
+) -> "DataFrame":
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023 —
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): documents whose EMBEDDINGS are near-identical are
+    semantic duplicates even when their text differs (translations,
+    paraphrases, templated rewrites exact/fuzzy text dedup misses).
+    Pipeline: multi-band hyperplane LSH buckets candidate pairs (the
+    paper clusters with k-means; seeded hyperplanes are the
+    engine-replayable equivalent — deterministic, oracle-checkable, no
+    iterative fitting), cosine-verify above ``threshold``, connect
+    components, keep the minimum-id representative per semantic
+    cluster.
+
+    Scale shape: every stage is an existing bounded primitive —
+    ``similarity.lsh_bucketed_pairs`` (banded buckets, ``max_bucket``
+    cap against boilerplate cliques), ``connected_components``
+    (iterative min-label propagation, driver controls only the loop),
+    ``keep_canonical`` (anti-join).  No all-pairs anywhere.
+
+    Returns the surviving rows of ``emb`` (all columns)."""
+    from hyperspace_spark.llm.similarity import lsh_bucketed_pairs
+
+    pairs = lsh_bucketed_pairs(
+        emb,
+        threshold=threshold,
+        nbits=nbits,
+        bands=bands,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_bucket=max_bucket,
+    )
+    return keep_canonical(emb, pairs, id_col=id_col)
+
+
 def contamination_check(
     train: "DataFrame",
     eval_df: "DataFrame",

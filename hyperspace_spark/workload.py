@@ -3208,6 +3208,45 @@ def _ann_lsh_oracle(
     """
 
 
+@q(
+    "semantic_dedup",
+    f"""
+    WITH RECURSIVE pairs AS ({_ann_lsh_oracle()}),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    closure(a, b) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT closure.a, s.dst FROM closure JOIN sym s ON closure.b = s.src
+    ),
+    clusters AS (
+      SELECT a AS node, least(a, min(b)) AS cluster FROM closure GROUP BY a
+    )
+    SELECT e.vec_id, e.label
+    FROM embeddings e LEFT JOIN clusters c ON e.vec_id = c.node
+    WHERE c.node IS NULL OR c.node = c.cluster
+    """,
+)
+def semantic_dedup_query(spark, sf_dir):
+    """SemDeDup-style semantic dedup (llm/dedup.py semantic_dedup):
+    LSH-bucketed embedding near-dup pairs -> connected components ->
+    minimum-id survivor per semantic cluster.  The oracle chains the
+    two already-proven replicas — the seeded-hyperplane LSH pair SQL
+    (ann_lsh_bucketed) and the recursive-CTE transitive closure
+    (dedup_clusters) — then anti-joins non-representatives away.
+    Output projects (vec_id, label): the survivor SET is deterministic,
+    the embedding arrays ride along unprojected."""
+    from hyperspace_spark.llm.dedup import semantic_dedup
+
+    _conf(spark)
+    return semantic_dedup(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label"
+    )
+
+
 @q("ann_lsh_bucketed", _ann_lsh_oracle())
 def ann_lsh_bucketed_query(spark, sf_dir):
     """Multi-band LSH near-dup pairs.  Tuned to the synthetic embeddings:
@@ -4150,6 +4189,7 @@ _VERIFY_PRIORITY = [
     "selfjoin_agg_cobucketed",
     "window_latest_lineitem",
     "streaming_stateful_sessionize",
+    "semantic_dedup",
     # --- then: all green in r06 (incl. the headline core, whose perf
     # is re-measured by bench.py every round regardless); rotates back
     # in r8 ---

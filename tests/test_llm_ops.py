@@ -1107,6 +1107,23 @@ def test_paragraph_dedup_preserves_null_text(spark):
     assert {r.doc_id for r in kept.collect()} >= {3, 4}
 
 
+def test_semantic_dedup_keeps_min_id_per_cluster(spark):
+    """SemDeDup-style semantic dedup: near-identical embeddings collapse
+    to the minimum id; orthogonal ones all survive."""
+    import math
+
+    dim = 64
+    a = [1.0 if i == 0 else 0.0 for i in range(dim)]
+    a2 = [math.cos(0.05) if i == 0 else (math.sin(0.05) if i == 1 else 0.0) for i in range(dim)]
+    b = [1.0 if i == 7 else 0.0 for i in range(dim)]
+    emb = spark.createDataFrame(
+        [(10, a, "x"), (11, a2, "x"), (12, b, "y")],
+        "vec_id long, embedding array<float>, label string",
+    )
+    kept = {r.vec_id for r in dedup.semantic_dedup(emb, threshold=0.9).collect()}
+    assert kept == {10, 12}, kept  # 11 is a's semantic duplicate; min id wins
+
+
 def test_cosine_zero_vector_no_crash(spark):
     """r7 review fix: a zero embedding must not DIVIDE_BY_ZERO the SQL
     cosine paths (ANSI mode) — semantics match the numpy kernels:
