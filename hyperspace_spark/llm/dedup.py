@@ -915,9 +915,14 @@ def connected_components(
     (one join + min-aggregate per round, all data-parallel; the driver
     only controls ITERATION, never touches rows).  Rounds needed = graph
     diameter; near-dup graphs are piles of small cliques, so it
-    converges in a handful of rounds.  Each round persists its label
-    frame and unpersists the previous one, keeping lineage flat (the
-    classic iterative-join pitfall at scale).
+    converges in a handful of rounds.  Each round CHECKPOINTS its label
+    frame (localCheckpoint — materialize AND truncate the logical
+    plan): a persist alone keeps the lineage, and because every round
+    references the previous labels twice (neighbor join + change count)
+    the plan tree DOUBLES per round — a long-diameter graph OOMs the
+    driver on plan strings long before any data pressure (the classic
+    iterative-join pitfall at scale; hit for real by semantic_dedup's
+    chain-shaped cosine graph at sf0.1).
     """
     from pyspark.sql import functions as F
 
@@ -954,7 +959,7 @@ def connected_components(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     changed = 0
     for _ in range(max_iter):
@@ -964,13 +969,32 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
+        stepped = labels.join(
+            neighbor_min, labels.node == neighbor_min.src, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+            ).alias("label"),
+        )
+        # Pointer jumping: also adopt the label OF my label.  Neighbor
+        # propagation alone needs diameter rounds — a 2,000-link chain
+        # of transitive near-dups (real at low thresholds) is 2,000
+        # sequential Spark jobs; following the label's own label halves
+        # the remaining chain every round, so convergence is
+        # O(log diameter) with one extra self-join per round.
+        parents = stepped.select(
+            F.col("node").alias("label"), F.col("label").alias("_plabel")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            stepped.join(parents, "label", "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_plabel"), F.col("label"))
+                ).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -978,7 +1002,6 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
@@ -1061,6 +1084,15 @@ def semantic_dedup(
         vec_col=vec_col,
         max_bucket=max_bucket,
     )
+    # Materialize the pair graph and CUT its lineage before the
+    # iterative clustering: the LSH plan embeds nbits*bands hyperplane
+    # literal arrays, and connected_components' label-propagation loop
+    # would otherwise re-embed that plan per iteration — plan-STRING
+    # growth alone OOMs a long-lived driver.  This also mirrors the
+    # production shape (the n-gram pipeline materializes its pair graph
+    # to parquet for exactly this reason); the pair graph is tiny
+    # relative to the corpus (near-dup pairs only).
+    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
     return keep_canonical(emb, pairs, id_col=id_col)
 
 
