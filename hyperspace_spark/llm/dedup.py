@@ -911,20 +911,35 @@ def connected_components(
     """Cluster near-duplicate pairs: (node, cluster) with cluster = the
     minimum id reachable through the pair graph (connected components).
 
-    Iterative min-label propagation — the standard large-graph shape
-    (one join + min-aggregate per round, all data-parallel; the driver
-    only controls ITERATION, never touches rows).  Rounds needed = graph
-    diameter; near-dup graphs are piles of small cliques, so it
-    converges in a handful of rounds.  Each round CHECKPOINTS its label
-    frame (localCheckpoint — materialize AND truncate the logical
-    plan): a persist alone keeps the lineage, and because every round
-    references the previous labels twice (neighbor join + change count)
-    the plan tree DOUBLES per round — a long-diameter graph OOMs the
-    driver on plan strings long before any data pressure (the classic
-    iterative-join pitfall at scale; hit for real by semantic_dedup's
-    chain-shaped cosine graph at sf0.1).
+    Iterative min-label propagation WITH POINTER JUMPING (each round a
+    node also adopts the label of its current label) — convergence is
+    O(log diameter) rounds, so even a million-link transitive chain
+    needs ~20 rounds; the driver only controls iteration, never touches
+    rows.  NOTE this function runs eagerly (the loop is driver-steered
+    actions), unlike the lazy pair-builders upstream.
+
+    Each round CHECKPOINTS its label frame (materialize AND truncate
+    the logical plan): a persist alone keeps the lineage, and because
+    every round references the previous labels twice (neighbor join +
+    change count) the plan tree DOUBLES per round — a long-diameter
+    graph OOMs the driver on plan strings long before any data pressure
+    (the classic iterative-join pitfall at scale; hit for real by
+    semantic_dedup's chain-shaped cosine graph at sf0.1).  When the
+    session has a RELIABLE checkpoint dir configured
+    (``sc.setCheckpointDir``) it is used — recoverable if an executor
+    dies mid-loop; otherwise localCheckpoint (executor-local blocks,
+    faster, NOT recomputable on executor loss — on a preemptible
+    cluster set a checkpoint dir).  Intermediate round frames are freed
+    by Spark's ContextCleaner as their references drop; they hold only
+    pair-graph labels, tiny relative to the corpus.
     """
     from pyspark.sql import functions as F
+
+    sc = pairs.sparkSession.sparkContext
+    reliable = sc._jsc.sc().checkpointDir().isDefined()
+
+    def _cut(df):
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
 
     # Symmetrize via explode, not union: a union's two branches would
     # each recompute the (expensive) pairs input — one pass emits both
@@ -955,46 +970,47 @@ def connected_components(
         small.count()  # materialize from the old cache before dropping it
         edges.unpersist()
         edges = small
-    labels = (
+    labels = _cut(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     changed = 0
     for _ in range(max_iter):
         # candidate label for each node: min over neighbors' labels
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nmin"))
-        )
-        stepped = labels.join(
-            neighbor_min, labels.node == neighbor_min.src, "left"
-        ).select(
-            "node",
-            F.least(
-                F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-            ).alias("label"),
+        stepped = _cut(
+            labels.join(
+                edges.join(labels, edges.dst == labels.node)
+                .groupBy("src")
+                .agg(F.min("label").alias("nmin")),
+                labels.node == F.col("src"),
+                "left",
+            ).select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
         )
         # Pointer jumping: also adopt the label OF my label.  Neighbor
         # propagation alone needs diameter rounds — a 2,000-link chain
         # of transitive near-dups (real at low thresholds) is 2,000
         # sequential Spark jobs; following the label's own label halves
         # the remaining chain every round, so convergence is
-        # O(log diameter) with one extra self-join per round.
+        # O(log diameter) with one extra self-join per round.  `stepped`
+        # is checkpointed too: the self-join references it twice, and
+        # without materialization the neighbor join would recompute in
+        # both branches.
         parents = stepped.select(
             F.col("node").alias("label"), F.col("label").alias("_plabel")
         )
-        new_labels = (
-            stepped.join(parents, "label", "left")
-            .select(
+        new_labels = _cut(
+            stepped.join(parents, "label", "left").select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce(F.col("_plabel"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -1014,14 +1030,18 @@ def connected_components(
         warnings.warn(
             f"connected_components did not converge within max_iter={max_iter} "
             f"({changed} labels still changing); cluster ids are partial — "
-            "raise max_iter (rounds needed = graph diameter)",
+            "raise max_iter (rounds needed ~ log2 of the graph diameter "
+            "with pointer jumping)",
             RuntimeWarning,
             stacklevel=2,
         )
-    # The final labels frame stays cached for the caller's collection;
-    # register it for scoped cleanup like every other pipeline persist.
-    _ACTIVE_PERSISTS.append(labels)
-    return labels.select(F.col("node"), F.col("label").alias("cluster"))
+    # Re-expose the result through a REGISTERED persist so
+    # release_caches() can free it: unpersist() on a checkpointed frame
+    # is a CacheManager no-op (checkpoint blocks are RDD storage, freed
+    # by the ContextCleaner when references drop).
+    return _persist(
+        labels.select(F.col("node"), F.col("label").alias("cluster"))
+    )
 
 
 def keep_canonical(
@@ -1047,7 +1067,7 @@ def keep_canonical(
 
 def semantic_dedup(
     emb: "DataFrame",
-    threshold: float = 0.4,
+    threshold: float = 0.95,
     nbits: int = 4,
     bands: int = 8,
     id_col: str = "vec_id",
@@ -1066,11 +1086,20 @@ def semantic_dedup(
     components, keep the minimum-id representative per semantic
     cluster.
 
+    The default ``threshold=0.95`` is the paper's near-identical
+    regime: this operator DELETES data, and a looser cutoff chains
+    merely-related documents into giant transitive clusters and drops
+    most of a legitimate corpus (the contract query passes 0.4
+    EXPLICITLY because the synthetic embeddings top out near 0.51 —
+    tuned for non-empty verification, not a production setting).
+
     Scale shape: every stage is an existing bounded primitive —
     ``similarity.lsh_bucketed_pairs`` (banded buckets, ``max_bucket``
     cap against boilerplate cliques), ``connected_components``
-    (iterative min-label propagation, driver controls only the loop),
-    ``keep_canonical`` (anti-join).  No all-pairs anywhere.
+    (pointer-jumping min-label propagation, driver controls only the
+    loop), ``keep_canonical`` (anti-join).  No all-pairs anywhere.
+    Note the clustering stage runs EAGERLY at call time (an iterative
+    driver-steered loop, unlike this module's lazy pair-builders).
 
     Returns the surviving rows of ``emb`` (all columns)."""
     from hyperspace_spark.llm.similarity import lsh_bucketed_pairs

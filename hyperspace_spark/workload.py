@@ -3238,13 +3238,16 @@ def semantic_dedup_query(spark, sf_dir):
     (ann_lsh_bucketed) and the recursive-CTE transitive closure
     (dedup_clusters) — then anti-joins non-representatives away.
     Output projects (vec_id, label): the survivor SET is deterministic,
-    the embedding arrays ride along unprojected."""
+    the embedding arrays ride along unprojected.  threshold=0.4 is the
+    SYNTHETIC-data tuning (max pairwise cosine ~0.51 — the library
+    default 0.95 would verify nothing); real corpora use the
+    near-identical default."""
     from hyperspace_spark.llm.dedup import semantic_dedup
 
     _conf(spark)
-    return semantic_dedup(_t(spark, sf_dir, "embeddings")).select(
-        "vec_id", "label"
-    )
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4
+    ).select("vec_id", "label")
 
 
 @q("ann_lsh_bucketed", _ann_lsh_oracle())
