@@ -712,7 +712,14 @@ def _file_input_bytes(df: "DataFrame") -> int | None:
         return int(fs.getFileStatus(jpath).getLen())
 
     try:
-        sample = files if len(files) <= 256 else files[:256]
+        # Stride-sample rather than taking the FIRST 256: listing order
+        # often correlates with size (e.g. one small early partition),
+        # and a head sample would let a large corpus underestimate its
+        # way past the O(N^2) guard.
+        if len(files) <= 256:
+            sample = files
+        else:
+            sample = files[:: max(1, len(files) // 256)]
         total = sum(one(f) for f in sample)
         if len(files) > len(sample):
             total = int(total / len(sample) * len(files))
@@ -1120,8 +1127,16 @@ def semantic_dedup(
     # growth alone OOMs a long-lived driver.  This also mirrors the
     # production shape (the n-gram pipeline materializes its pair graph
     # to parquet for exactly this reason); the pair graph is tiny
-    # relative to the corpus (near-dup pairs only).
-    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    # relative to the corpus (near-dup pairs only).  Same checkpoint
+    # policy as connected_components' _cut: prefer the reliable
+    # checkpoint dir when the session has one (survives executor loss
+    # on preemptible clusters), localCheckpoint otherwise.
+    pairs = pairs.select("id_a", "id_b")
+    sc = pairs.sparkSession.sparkContext
+    if sc._jsc.sc().checkpointDir().isDefined():
+        pairs = pairs.checkpoint(eager=True)
+    else:
+        pairs = pairs.localCheckpoint(eager=True)
     return keep_canonical(emb, pairs, id_col=id_col)
 
 

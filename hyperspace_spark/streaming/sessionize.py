@@ -200,9 +200,11 @@ def sessionize(
 
     from pyspark.sql import functions as F
 
-    with_ms = events.withColumn(
-        "_hs_utc_ms", (F.col(ts_col).cast("double") * 1000).cast("long")
-    )
+    # unix_millis is exact integer arithmetic on the internal micros;
+    # a double round-trip could land epsilon below a whole millisecond
+    # and truncate 1 ms early, flipping a gap comparison exactly at the
+    # session boundary for sub-second event times.
+    with_ms = events.withColumn("_hs_utc_ms", F.unix_millis(F.col(ts_col)))
     return (
         with_ms.withWatermark(ts_col, f"{gap_seconds * 2} seconds")
         .groupBy(key_col)

@@ -4130,72 +4130,14 @@ def session_window_events(spark, sf_dir):
 # back in r8.
 # ---------------------------------------------------------------------------
 _VERIFY_PRIORITY = [
-    # last green row r05 — oldest first
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_region_revenue",
-    "q6_revenue_change",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_revenue",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q19_discounted_revenue",
-    "q21_waiting_supplier",
-    "q22_dormant_customers",
-    "anti_join_customers",
-    "scalar_functions",
-    "multimodal_features",
-    "salted_join_orders",
-    "delta_time_travel_index",
-    "sequence_packing",
-    "dedup_paragraph",
-    "iceberg_time_travel_index",
-    "repetition_stats",
-    "source_token_quota",
-    "json_props_extract",
-    "recursive_month_series",
-    "clean_corpus_census",
-    "percentile_stats",
-    "window_lag_lead",
-    "unigram_logprob",
-    "udtf_chunk_text",
-    "lang_quality",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_keep_canonical",
-    "hybrid_scan_append",
-    # code changed in r7 — re-verify even though r06-green
-    "asof_join_events",
-    "distinct_count_sketch",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "dataskipping_valuelist",
-    "dataskipping_minmax",
-    # NEW in r7 — never driver-verified
-    "dataskipping_inset",
-    "opaque_union_accel",
-    # --- past the ~50 cap.  First: the two doc-pipeline queries added
-    # late in r7 (boilerplate removal, DSIR) — the r7 window was already
-    # committed to re-verifying every r05-evidence entry, so these ride
-    # their local DuckDB-replay pytest gate (the IDENTICAL comparison,
-    # tests/test_selection_boilerplate.py) and LEAD the r8 window ---
-    "boilerplate_line_removal",
+    # --- r8 window (~50 cap): everything whose last driver-green row is
+    # r06 or whose only gate so far is the local DuckDB-replay pytest.
+    # New-in-r8 queries are inserted at the head as they are added. ---
     "dsir_importance_en",
     "selfjoin_agg_cobucketed",
     "window_latest_lineitem",
     "streaming_stateful_sessionize",
     "semantic_dedup",
-    # --- then: all green in r06 (incl. the headline core, whose perf
-    # is re-measured by bench.py every round regardless); rotates back
-    # in r8 ---
     "covering_filter_point",
     "join_cobucketed",
     "zorder_filter_2d",
@@ -4240,6 +4182,58 @@ _VERIFY_PRIORITY = [
     "delta_filter_index",
     "iceberg_filter_index",
     "hybrid_join_append",
+    # --- verified green in r07 (CORRECTNESS_r07.json, 50/50) — rotate
+    # back in r9 ---
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_region_revenue",
+    "q6_revenue_change",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_revenue",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "q21_waiting_supplier",
+    "q22_dormant_customers",
+    "anti_join_customers",
+    "scalar_functions",
+    "multimodal_features",
+    "salted_join_orders",
+    "delta_time_travel_index",
+    "sequence_packing",
+    "dedup_paragraph",
+    "iceberg_time_travel_index",
+    "repetition_stats",
+    "source_token_quota",
+    "json_props_extract",
+    "recursive_month_series",
+    "clean_corpus_census",
+    "percentile_stats",
+    "window_lag_lead",
+    "unigram_logprob",
+    "udtf_chunk_text",
+    "lang_quality",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_keep_canonical",
+    "hybrid_scan_append",
+    "asof_join_events",
+    "distinct_count_sketch",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "dataskipping_valuelist",
+    "dataskipping_minmax",
+    "dataskipping_inset",
+    "opaque_union_accel",
+    "boilerplate_line_removal",
 ]
 
 
