@@ -27,6 +27,8 @@ _EXPORTS = {
     "BloomFilterSketch": "hyperspace_spark.indexes.sketches",
     "ValueListSketch": "hyperspace_spark.indexes.sketches",
     "PartitionSketch": "hyperspace_spark.indexes.sketches",
+    "RowCountSketch": "hyperspace_spark.indexes.sketches",
+    "SumSketch": "hyperspace_spark.indexes.sketches",
     "IvfIndexConfig": "hyperspace_spark.indexes.ann",
     "asof_join": "hyperspace_spark.relational",
     "range_join": "hyperspace_spark.relational",
@@ -57,6 +59,8 @@ __all__ = [
     "BloomFilterSketch",
     "ValueListSketch",
     "PartitionSketch",
+    "RowCountSketch",
+    "SumSketch",
     "IvfIndexConfig",
     "asof_join",
     "range_join",

@@ -225,6 +225,61 @@ class PartitionSketch(Sketch):
         return None
 
 
+@dataclass
+class RowCountSketch(Sketch):
+    """Per-file row count.  Never a skip predicate — it powers the
+    metadata-only aggregation rewrite (``count(*)`` answered from the
+    index without touching the source), the generalization of the
+    manifest-level count Delta/Iceberg serve from metadata.  Extension
+    beyond the reference: its sketches are filter-only
+    (dataskipping/sketches/*.scala); per-file counts make deletes
+    exactly subtractable (drop the file's row) and appends exactly
+    additive (raw partial over just the new files)."""
+
+    @property
+    def kind(self) -> str:
+        return "RowCount"
+
+    @property
+    def column(self) -> str:
+        return ""
+
+    def prefix(self) -> str:
+        return "RowCount"
+
+    def agg_exprs(self):
+        from pyspark.sql import functions as F
+
+        return [(F.count(F.lit(1)), "RowCount__cnt")]
+
+    def convert(self, e: Expr) -> str | None:
+        return None
+
+
+@dataclass
+class SumSketch(Sketch):
+    """Per-file sum + non-null count of one column.  Never a skip
+    predicate — powers metadata-only ``sum(col)`` / ``count(col)`` /
+    ``avg(col)`` rewrites (sum of per-file sums is the global sum; the
+    pair gives avg).  Same extension rationale as RowCountSketch."""
+
+    @property
+    def kind(self) -> str:
+        return "Sum"
+
+    def agg_exprs(self):
+        from pyspark.sql import functions as F
+
+        c = self.column
+        return [
+            (F.sum(c), f"{self.prefix()}__sum"),
+            (F.count(c), f"{self.prefix()}__cnt"),
+        ]
+
+    def convert(self, e: Expr) -> str | None:
+        return None
+
+
 # ---------------------------------------------------------------------------
 # Bloom filter
 # ---------------------------------------------------------------------------
@@ -441,4 +496,8 @@ def sketch_from_json(d: dict) -> Sketch:
         return BloomFilterSketch(cols, d.get("fpp", 0.01), d.get("expectedItems", 10000))
     if kind == "Partition":
         return PartitionSketch(cols)
+    if kind == "RowCount":
+        return RowCountSketch(cols)
+    if kind == "Sum":
+        return SumSketch(cols)
     raise ValueError(f"unknown sketch kind {kind}")

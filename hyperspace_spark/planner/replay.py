@@ -44,6 +44,11 @@ def replay(spark: "SparkSession", node: ir.Node) -> "DataFrame":
     views: list[str] = []
     try:
         sql = _sql(spark, node, views)
+        if isinstance(node, (ir.Scan, ir.OpaqueN)):
+            # A leaf at the plan ROOT (e.g. MetadataOnlyAggRule replaces
+            # the whole Aggregate with one replacement scan): _sql
+            # returned a bare view name, which is not a statement.
+            sql = f"SELECT * FROM {sql}"
         return spark.sql(sql)
     finally:
         # Temp views must outlive the returned DataFrame's execution; Spark

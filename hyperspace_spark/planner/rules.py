@@ -562,12 +562,273 @@ class DataSkippingIndexRule:
         return None
 
 
+import re as _re
+
+# Aggregate CALLS inside a resolved Catalyst output expression:
+# "min(l_shipdate)", "count(1)", "sum(l_quantity)" — possibly wrapped in
+# scalar expressions ("round(sum(l_quantity), 2) AS s", "(count(1) +
+# CAST(1 AS BIGINT)) AS c1": Catalyst collapses post-agg projects into
+# the Aggregate).  Only plain-column / star arguments match; DISTINCT
+# aggregates, computed arguments, and FILTER clauses deliberately do NOT
+# — their leftovers then reference source columns that don't exist in
+# the fold frame, replay fails analysis, and apply() declines (the
+# documented swallow path), never producing a wrong answer.
+_META_AGG_CALL_RX = _re.compile(
+    r"\b(min|max|sum|count|avg)\(\s*(\*|1|`?[A-Za-z_][A-Za-z0-9_]*`?)\s*\)",
+    _re.IGNORECASE,
+)
+
+_META_ALIAS_RX = _re.compile(r"^(.+)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$", _re.S)
+
+
+class MetadataOnlyAggRule:
+    """Global (no GROUP BY, no WHERE) min/max/sum/count/avg over a scan
+    -> answered ENTIRELY from the data-skipping sketch index: per-file
+    min/max (MinMaxSketch), per-file sum + non-null count (SumSketch),
+    per-file row count (RowCountSketch).  This is the 'metadata-only
+    query' Delta/Iceberg serve from manifests, generalized to any column
+    a sketch was declared on — at 100 TB it turns a full-corpus scan
+    into a read of a few thousand sketch rows.
+
+    Hybrid scan is exact, not approximate: per-file sketch rows make
+    deletes subtractable (drop the deleted file's row) and appends
+    additive (one raw partial aggregate over ONLY the appended files,
+    unioned with the sketch partials before the final fold).
+
+    Extension beyond the reference — its sketches only ever SKIP files
+    (dataskipping/rules/ApplyDataSkippingIndex.scala:33-105); the same
+    per-file aggregates, read the other way, ANSWER the query.  Score
+    95: eliminating the entire scan outranks every covering rewrite
+    (filter 50, z-order 60, agg-bucketed 55)."""
+
+    base_score = 95.0
+
+    def apply(self, node: ir.Node, ctx: RuleContext) -> Applied | None:
+        if not isinstance(node, ir.AggregateN) or node.grouping:
+            return None
+        # Linear child: pass-through projects of plain columns, NO filter.
+        cur = node.child
+        while isinstance(cur, ir.ProjectN):
+            if any(_plain_column(e) is None for e in cur.exprs):
+                return None
+            cur = cur.child
+        if not isinstance(cur, ir.Scan):
+            return None
+        scan = cur
+
+        # Extract every aggregate call from every output expression.  A
+        # quote anywhere declines the whole node: the call regex cannot
+        # tell code from string-literal content, and rewriting inside a
+        # literal would silently corrupt it.
+        calls: dict[tuple[str, str | None], str] = {}  # (fn, col) -> fold alias
+        outputs: list[tuple[str, list, str]] = []  # (expr, [spans], alias)
+        for a in node.aggs:
+            a = a.strip()
+            if "'" in a or '"' in a:
+                return None
+            am = _META_ALIAS_RX.match(a)
+            if am is None:
+                return None
+            expr, alias = am.group(1), am.group(2)
+            spans = []
+            for m in _META_AGG_CALL_RX.finditer(expr):
+                fn, arg = m.group(1).lower(), m.group(2).strip("`")
+                if arg in ("*", "1"):
+                    if fn != "count":
+                        # sum(1)/min(1)... left in place would re-aggregate
+                        # the one-row fold frame — decline outright.
+                        return None
+                    key = ("count_star", None)
+                else:
+                    col = ir.resolve_column(scan, arg)
+                    if col is None:
+                        return None
+                    key = (fn, col)
+                if key not in calls:
+                    calls[key] = f"_hs_f{len(calls)}"
+                spans.append((m.start(), m.end(), calls[key]))
+            outputs.append((expr, spans, alias))
+        if not calls:
+            return None
+
+        cands = ctx.for_scan(scan, "DS")
+        if not cands:
+            return None
+        for cand in _rank_smallest(cands):
+            entry = cand.entry
+            plan = self._map_specs(entry, calls)
+            if plan is None:
+                ctx.tag(
+                    entry.name,
+                    MISSING_REQUIRED_COL,
+                    "no sketch for some aggregate (need MinMax/Sum/RowCount)",
+                )
+                continue
+            tracker = entry.file_id_tracker
+            deleted_ids = tuple(
+                i for i in (tracker.get(f) for f in cand.deleted) if i is not None
+            )
+            appended_paths = tuple(f.path for f in cand.appended)
+            schema_json = entry.derived_properties["schemaJson"]
+            dirs = tuple(entry.index_data_dirs)
+            # Re-evaluate the scalar wrappers over the fold aliases, in
+            # output order.
+            final_exprs = []
+            for expr, spans, alias in outputs:
+                for start, end, fold_alias in reversed(spans):
+                    expr = expr[:start] + fold_alias + expr[end:]
+                final_exprs.append(f"{expr} AS `{alias}`")
+
+            def replacement(
+                spark,
+                _plan=tuple(plan),
+                _dirs=dirs,
+                _schema=schema_json,
+                _del=deleted_ids,
+                _app=appended_paths,
+                _scan=scan,
+                _out=tuple(final_exprs),
+            ):
+                return _metadata_only_agg_df(
+                    spark, _plan, _dirs, _schema, _del, _app, _scan, _out
+                )
+
+            sub = ir.Scan(output=list(node.output))
+            sub.replacement = replacement
+            sub.applied_index = entry.name
+            return Applied(sub, self.base_score, [entry.name])
+        return None
+
+    @staticmethod
+    def _map_specs(entry, calls):
+        """[(fn, sketch_col(s), source_col, fold_alias)] over the index
+        schema, or None if any aggregate has no backing sketch column."""
+        import json as _json
+
+        fields = {
+            f["name"].lower(): f
+            for f in _json.loads(entry.derived_properties["schemaJson"])["fields"]
+        }
+        plan = []
+        for (fn, col), alias in calls.items():
+            lc = col.lower() if col else None
+            if fn == "count_star":
+                if "rowcount__cnt" not in fields:
+                    return None
+                plan.append(("count_star", (fields["rowcount__cnt"]["name"],), None, alias))
+            elif fn in ("min", "max"):
+                key = f"minmax_{lc}__{fn}"
+                if key not in fields:
+                    return None
+                plan.append((fn, (fields[key]["name"],), col, alias))
+            elif fn == "count":
+                key = f"sum_{lc}__cnt"
+                if key not in fields:
+                    return None
+                plan.append(("count_col", (fields[key]["name"],), col, alias))
+            elif fn == "sum":
+                key = f"sum_{lc}__sum"
+                if key not in fields:
+                    return None
+                plan.append(("sum", (fields[key]["name"],), col, alias))
+            elif fn == "avg":
+                ks, kc = f"sum_{lc}__sum", f"sum_{lc}__cnt"
+                if ks not in fields or kc not in fields:
+                    return None
+                # avg(decimal) has engine-specific result scale (s+4) the
+                # sum/count fold wouldn't reproduce — decline.
+                t = fields[ks]["type"]
+                if isinstance(t, dict) or str(t).startswith("decimal"):
+                    return None
+                plan.append(("avg", (fields[ks]["name"], fields[kc]["name"]), col, alias))
+            else:
+                return None
+        return plan
+
+
+def _metadata_only_agg_df(
+    spark, plan, dirs, schema_json, deleted_ids, appended, scan, out_exprs
+):
+    """Fold per-file sketch partials (+ a raw partial over appended files)
+    into the final one-row aggregate, then re-evaluate the original
+    scalar wrappers (``out_exprs``) over the fold aliases.  Types match
+    the original agg exactly: min/max keep the source column type, count
+    folds to BIGINT, sum(sum) is cast back to the per-file sum type
+    (= Spark's sum result type for the source column), avg is
+    try_divide(Σsum, Σcnt) — NULL on an all-null or empty input, like
+    the built-in."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from hyperspace_spark.config import DATA_FILE_ID_COLUMN
+
+    idx_schema = StructType.fromJson(_json.loads(schema_json))
+    idx = spark.read.schema(idx_schema).parquet(*dirs)
+    if deleted_ids:
+        idx = idx.filter(~F.col(DATA_FILE_ID_COLUMN).isin(list(deleted_ids)))
+
+    # Per-aggregate slot names keep the union schema positional-proof.
+    def slots(i):
+        return f"_hs_p{i}", f"_hs_p{i}b"
+
+    idx_cols, raw_aggs = [], []
+    for i, (fn, sk_cols, col, _alias) in enumerate(plan):
+        s, sb = slots(i)
+        idx_cols.append(F.col(sk_cols[0]).alias(s))
+        if fn == "count_star":
+            raw_aggs.append(F.count(F.lit(1)).alias(s))
+        elif fn in ("min", "max"):
+            raw_aggs.append(getattr(F, fn)(col).alias(s))
+        elif fn == "count_col":
+            raw_aggs.append(F.count(col).alias(s))
+        elif fn == "sum":
+            raw_aggs.append(F.sum(col).alias(s))
+        elif fn == "avg":
+            idx_cols.append(F.col(sk_cols[1]).alias(sb))
+            raw_aggs.append(F.sum(col).alias(s))
+            raw_aggs.append(F.count(col).alias(sb))
+    parts = idx.select(*idx_cols)
+
+    if appended:
+        reader = spark.read.format(scan.file_format)
+        if scan.data_schema_json:
+            reader = reader.schema(
+                StructType.fromJson(_json.loads(scan.data_schema_json))
+            )
+        opts = {k: v for k, v in scan.options.items() if k != "path"}
+        if scan.partition_columns:
+            opts["basePath"] = scan.root_paths[0]
+        if opts:
+            reader = reader.options(**opts)
+        raw = reader.load(list(appended)).agg(*raw_aggs)
+        parts = parts.unionByName(raw)
+
+    finals = []
+    for i, (fn, sk_cols, _col, alias) in enumerate(plan):
+        s, sb = slots(i)
+        if fn in ("min", "max"):
+            finals.append(getattr(F, fn)(s).alias(alias))
+        elif fn in ("count_star", "count_col"):
+            finals.append(F.coalesce(F.sum(s), F.lit(0)).cast("long").alias(alias))
+        elif fn == "sum":
+            sum_type = idx_schema[sk_cols[0]].dataType
+            finals.append(F.sum(s).cast(sum_type).alias(alias))
+        elif fn == "avg":
+            finals.append(
+                F.try_divide(F.sum(s).cast("double"), F.sum(sb)).alias(alias)
+            )
+    return parts.agg(*finals).selectExpr(*out_exprs)
+
+
 def default_rules() -> list:
     return [
         FilterIndexRule(),
         ZOrderFilterIndexRule(),
         AggBucketedIndexRule(),
         WindowBucketedIndexRule(),
+        MetadataOnlyAggRule(),
         JoinIndexRule(),
         DataSkippingIndexRule(),
     ]

@@ -55,6 +55,8 @@ ACCELERATED_QUERIES = [
     "selfjoin_agg_cobucketed",
     # r7: shuffle-free latest-record window off the bucketed index
     "window_latest_lineitem",
+    # r8: metadata-only aggregation (global agg answered from sketches)
+    "metadata_only_agg",
 ]
 
 
@@ -308,6 +310,8 @@ class Workspace:
             CoveringIndexConfig,
             DataSkippingIndexConfig,
             MinMaxSketch,
+            RowCountSketch,
+            SumSketch,
             ZOrderCoveringIndexConfig,
         )
 
@@ -431,6 +435,25 @@ class Workspace:
                 # probes prune partitions — replaces per-query KMeans.
                 "w_ann_ivf",
                 lambda: self._create_ann_index(),
+            ),
+            (
+                # Sketch index powering the metadata-only aggregation
+                # rewrite (planner/rules.py MetadataOnlyAggRule): per-file
+                # min/max + sum/non-null-count + row count answer global
+                # aggregates from the index alone — no source scan.
+                "w_li_meta",
+                lambda: self.hs.create_index(
+                    _t(spark, self.sf_dir, "lineitem"),
+                    DataSkippingIndexConfig(
+                        "w_li_meta",
+                        [
+                            MinMaxSketch(["l_shipdate"]),
+                            RowCountSketch(),
+                            SumSketch(["l_quantity"]),
+                            SumSketch(["l_extendedprice"]),
+                        ],
+                    ),
+                ),
             ),
             (
                 # Join-key index on orders_app, built BEFORE the staged
@@ -783,6 +806,36 @@ def dataskipping_minmax(spark, sf_dir):
         _p(spark, ws.li_byship)
         .filter(F.col("l_shipdate") < "1996-01-01")
         .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("cnt"))
+    )
+    return ws.hs.apply(df)
+
+
+@q(
+    "metadata_only_agg",
+    """
+    SELECT min(l_shipdate) AS min_sd, max(l_shipdate) AS max_sd,
+           count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           count(l_extendedprice) AS cnt_price
+    FROM lineitem
+    """,
+)
+def metadata_only_agg(spark, sf_dir):
+    """Global aggregates answered from the skipping-index sketches alone
+    (planner/rules.py MetadataOnlyAggRule): the rewritten plan reads the
+    per-file sketch rows, never the lineitem scan — the Delta/Iceberg
+    'metadata-only query' generalized to any sketched column.  At 100 TB
+    this turns a full-corpus pass into a few thousand sketch rows."""
+    from pyspark.sql import functions as F
+
+    ws = workspace(spark, sf_dir)
+    df = _t(spark, sf_dir, "lineitem").agg(
+        F.min("l_shipdate").alias("min_sd"),
+        F.max("l_shipdate").alias("max_sd"),
+        F.count("*").alias("cnt"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.count("l_extendedprice").alias("cnt_price"),
     )
     return ws.hs.apply(df)
 
@@ -4133,6 +4186,7 @@ _VERIFY_PRIORITY = [
     # --- r8 window (~50 cap): everything whose last driver-green row is
     # r06 or whose only gate so far is the local DuckDB-replay pytest.
     # New-in-r8 queries are inserted at the head as they are added. ---
+    "metadata_only_agg",
     "dsir_importance_en",
     "selfjoin_agg_cobucketed",
     "window_latest_lineitem",

@@ -1,0 +1,186 @@
+"""MetadataOnlyAggRule: global min/max/sum/count/avg answered from the
+data-skipping sketch index without scanning the source — the
+manifest-level 'metadata-only query' Delta/Iceberg perform, generalized
+to any sketched column (extension beyond the reference, whose sketches
+only ever skip files: dataskipping/rules/ApplyDataSkippingIndex.scala).
+
+Covers: plain aggregates, scalar wrappers (Catalyst collapses post-agg
+projects INTO the Aggregate), hybrid appends/deletes (exactly additive /
+subtractable on per-file rows), and the decline paths that must never
+produce a wrong answer (DISTINCT, string literals, unsupported
+aggregates, filters present).
+"""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hyperspace_spark import (
+    DataSkippingIndexConfig,
+    Hyperspace,
+    MinMaxSketch,
+    RowCountSketch,
+    SumSketch,
+)
+
+from tests.conftest import table
+
+
+@pytest.fixture(scope="module")
+def src_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("li_meta_src"))
+    (
+        table(spark, "lineitem")
+        .repartitionByRange(8, "l_shipdate")
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    return d
+
+
+@pytest.fixture(scope="module")
+def hs(spark, src_dir, tmp_path_factory):
+    hs = Hyperspace(spark, system_path=str(tmp_path_factory.mktemp("hsidx_meta")))
+    hs.create_index(
+        spark.read.parquet(src_dir),
+        DataSkippingIndexConfig(
+            "li_meta",
+            [
+                MinMaxSketch(["l_shipdate"]),
+                RowCountSketch(),
+                SumSketch(["l_quantity"]),
+                SumSketch(["l_orderkey"]),
+            ],
+        ),
+    )
+    return hs
+
+
+def _assert_same(q, fast):
+    assert [f.dataType for f in fast.schema.fields] == [
+        f.dataType for f in q.schema.fields
+    ], (fast.schema, q.schema)
+    exp, got = q.collect(), fast.collect()
+    assert len(exp) == len(got)
+    for re_, rg in zip(exp, got):
+        for k in re_.asDict():
+            e, g = re_[k], rg[k]
+            if isinstance(e, float):
+                assert abs(e - g) < 1e-9 * max(1, abs(e)), (k, e, g)
+            else:
+                assert e == g, (k, e, g)
+
+
+def test_plain_aggregates_from_index(spark, src_dir, hs):
+    df = spark.read.parquet(src_dir)
+    q = df.agg(
+        F.min("l_shipdate").alias("min_sd"),
+        F.max("l_shipdate").alias("max_sd"),
+        F.count("*").alias("cnt"),
+        F.sum("l_quantity").alias("sum_q"),
+        F.count("l_quantity").alias("cnt_q"),
+        F.avg("l_quantity").alias("avg_q"),
+        F.sum("l_orderkey").alias("sum_ok"),
+    )
+    fast, used = hs._apply_with_info(q)
+    assert used == ["li_meta"], hs.why_not(q)
+    # The whole point: the rewritten plan reads the tiny index, not the
+    # 8-file source.
+    assert len(fast.inputFiles()) < len(q.inputFiles())
+    _assert_same(q, fast)
+
+
+def test_scalar_wrappers_and_collapsed_project(spark, src_dir, hs):
+    df = spark.read.parquet(src_dir)
+    q = df.agg(F.round(F.sum("l_quantity"), 2).alias("s2"), F.count("*").alias("cnt"))
+    fast, used = hs._apply_with_info(q)
+    assert used == ["li_meta"]
+    _assert_same(q, fast)
+    # A select on top of the agg is collapsed into the Aggregate by
+    # Catalyst; the rule must still fire.
+    q2 = (
+        df.agg(F.count("*").alias("cnt"), F.min("l_shipdate").alias("min_sd"))
+        .select((F.col("cnt") + 1).alias("cnt1"), "min_sd")
+    )
+    fast2, used2 = hs._apply_with_info(q2)
+    assert used2 == ["li_meta"]
+    _assert_same(q2, fast2)
+
+
+def test_declines_never_wrong(spark, src_dir, hs):
+    df = spark.read.parquet(src_dir)
+    # DISTINCT aggregate: no rewrite.
+    _, u = hs._apply_with_info(df.agg(F.countDistinct("l_orderkey").alias("d")))
+    assert u == []
+    # String literal in an output expression: no rewrite (the call regex
+    # cannot tell code from literal content).
+    q = df.agg(F.concat(F.lit("n="), F.count("*").cast("string")).alias("s"))
+    f, u = hs._apply_with_info(q)
+    assert u == [] and f.collect() == q.collect()
+    # Unsupported aggregate alongside a supported one: no rewrite.
+    q2 = df.agg(F.count("*").alias("c"), F.stddev("l_quantity").alias("sd"))
+    _, u2 = hs._apply_with_info(q2)
+    assert u2 == []
+    # Filter present: metadata-only is ineligible (skipping path instead).
+    q3 = df.filter("l_quantity > 10").agg(F.count("*").alias("c"))
+    f3, u3 = hs._apply_with_info(q3)
+    assert "li_meta" not in u3 or f3.collect() == q3.collect()
+    assert f3.collect() == q3.collect()
+
+
+def test_hybrid_append_and_delete_exact(spark, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("li_meta_hybrid"))
+    table(spark, "lineitem").repartitionByRange(6, "l_orderkey").write.mode(
+        "overwrite"
+    ).parquet(src)
+    hs = Hyperspace(spark, system_path=str(tmp_path_factory.mktemp("hsidx_meta_h")))
+    hs.create_index(
+        spark.read.parquet(src),
+        DataSkippingIndexConfig(
+            "li_meta_h",
+            [MinMaxSketch(["l_shipdate"]), RowCountSketch(), SumSketch(["l_quantity"])],
+        ),
+    )
+    # Appends are exactly additive (raw partial over ONLY the new files),
+    # deletes exactly subtractable (the file's sketch row is dropped).
+    table(spark, "lineitem").limit(500).repartition(2).write.mode("append").parquet(src)
+    os.remove(sorted(glob.glob(f"{src}/part-0000*"))[0])
+    df = spark.read.parquet(src)
+    q = df.agg(
+        F.count("*").alias("cnt"),
+        F.sum("l_quantity").alias("sum_q"),
+        F.min("l_shipdate").alias("min_sd"),
+        F.avg("l_quantity").alias("avg_q"),
+    )
+    fast, used = hs._apply_with_info(q)
+    assert used == ["li_meta_h"], hs.why_not(q)
+    _assert_same(q, fast)
+
+
+def test_sketch_roundtrip_and_refresh(spark, tmp_path_factory):
+    """New sketch kinds survive to_json/from_json and incremental refresh."""
+    from hyperspace_spark.indexes.sketches import sketch_from_json
+
+    rc = sketch_from_json(RowCountSketch().to_json())
+    assert isinstance(rc, RowCountSketch) and rc.prefix() == "RowCount"
+    sm = sketch_from_json(SumSketch(["l_quantity"]).to_json())
+    assert isinstance(sm, SumSketch) and sm.prefix() == "Sum_l_quantity"
+
+    src = str(tmp_path_factory.mktemp("li_meta_refresh"))
+    table(spark, "lineitem").repartition(4).write.mode("overwrite").parquet(src)
+    hs = Hyperspace(spark, system_path=str(tmp_path_factory.mktemp("hsidx_meta_r")))
+    hs.create_index(
+        spark.read.parquet(src),
+        DataSkippingIndexConfig(
+            "li_meta_r", [RowCountSketch(), SumSketch(["l_quantity"])]
+        ),
+    )
+    table(spark, "lineitem").limit(300).repartition(1).write.mode("append").parquet(src)
+    hs.refresh_index("li_meta_r", mode="incremental")
+    df = spark.read.parquet(src)
+    q = df.agg(F.count("*").alias("cnt"), F.sum("l_quantity").alias("s"))
+    fast, used = hs._apply_with_info(q)
+    assert used == ["li_meta_r"], hs.why_not(q)
+    _assert_same(q, fast)
