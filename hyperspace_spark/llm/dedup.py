@@ -102,6 +102,50 @@ def exact_dedup(df: "DataFrame", text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def corpus_fingerprints(df: "DataFrame", text_col: str = "text") -> "DataFrame":
+    """``(_fp)`` — the DISTINCT content fingerprints of a corpus: the
+    incremental-dedup LEDGER.  One hash-partitioned distinct over md5
+    hashes (32-byte rows, uniform keys — no skew at any scale).  Persist
+    it once (ideally bucketed by ``_fp``) and a daily crawl batch joins
+    against it without ever re-reading the corpus; append the surviving
+    batch's fingerprints to keep it current."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(fingerprint(F.col(text_col)).alias("_fp"))
+        .distinct()
+    )
+
+
+def incremental_dedup(
+    batch_df: "DataFrame",
+    ledger_df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Documents of a NEW batch that are not already in the corpus: the
+    daily-crawl-vs-corpus operation.  Within-batch exact dedup first
+    (keep the lowest id, NULL text always kept — exact_dedup's policy),
+    then a fingerprint LEFT ANTI join against the ledger
+    (corpus_fingerprints output: one ``_fp`` column).
+
+    100 TB shape: the batch is hashed once (narrow), the anti join
+    shuffles only (fp, id)-sized rows on a uniform md5 key — never
+    document bodies, never the corpus.  The ledger side is |corpus|
+    hashes: broadcast by AQE when small; persisted BUCKETED by ``_fp``
+    it joins shuffle-free on the ledger side for every subsequent batch.
+    NULL-text rows carry a NULL fingerprint and a left-anti join keeps
+    unmatched rows, so the NULL-keep policy costs no extra branch."""
+    from pyspark.sql import functions as F
+
+    if ledger_df.columns != ["_fp"]:
+        ledger_df = ledger_df.select(F.col(ledger_df.columns[0]).alias("_fp"))
+    batch = exact_dedup(batch_df, text_col, id_col)
+    keyed = batch.withColumn("_fp", fingerprint(F.col(text_col)))
+    return keyed.join(ledger_df, "_fp", "left_anti").drop("_fp")
+
+
 def doc_shingle_arrays(
     df: "DataFrame", n: int, text_col: str = "text", id_col: str = "doc_id"
 ) -> "DataFrame":
@@ -1248,3 +1292,107 @@ def paragraph_dedup(
         ).alias(text_col)
     )
     return rejoin_text_preserving_null(df, reassembled, id_col, text_col)
+
+
+def remove_repeated_spans(
+    df: "DataFrame", n: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> "DataFrame":
+    """Exact repeated-substring removal at word n-gram granularity (the
+    ExactSubstr discipline of Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", re-expressed relationally): any
+    n-token span occurring >= 2 times in the corpus is cut from every
+    occurrence except the globally FIRST one (ordered by (doc_id,
+    position)); surviving tokens re-join with single spaces.
+
+    Returns ``(id_col, n_tokens, n_removed, cleaned_text)`` for every
+    non-NULL-text document (short documents pass through with
+    n_removed = 0).
+
+    100 TB shape:
+    - the one corpus-sized stage is the n-gram groupBy — partial-
+      aggregated map-side (count + min(occurrence key), NO window), so a
+      boilerplate gram occurring 10^9 times folds into one row without a
+      skewed sort;
+    - only grams with count >= 2 survive, so the join back to
+      occurrences carries just the duplicated-gram dictionary (AQE
+      broadcasts it when small);
+    - removal positions regroup per DOCUMENT (rows ~ duplicated spans,
+      not corpus tokens) and expand to covered token indexes IN-ROW
+      (flatten/transform — no explode);
+    - the final pass joins the per-doc removal array back to the token
+      array and filters each row locally with higher-order functions.
+
+    Occurrence keys are ``doc_id * 1_000_000 + position``: documents are
+    assumed under one million whitespace tokens (≈ 4 MB of text) — far
+    above any sane training-document length.
+    """
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.llm.text import tokens
+    from hyperspace_spark.scale import ensure_min_parallelism
+
+    toks = _persist(
+        ensure_min_parallelism(
+            df.select(F.col(id_col).alias("_id"), text_col).filter(
+                F.col(text_col).isNotNull()
+            )
+        ).select("_id", tokens(F.col(text_col)).alias("_t"))
+    )
+
+    occ = (
+        toks.filter(F.size("_t") >= n)
+        .select(
+            "_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_t") - n + 1),
+                    lambda i: F.struct(
+                        i.cast("long").alias("pos"),
+                        F.array_join(F.slice("_t", i, n), " ").alias("g"),
+                    ),
+                )
+            ).alias("o"),
+        )
+        .select(
+            "_id",
+            F.col("o.pos").alias("pos"),
+            F.col("o.g").alias("g"),
+            (F.col("_id") * F.lit(1_000_000) + F.col("o.pos")).alias("okey"),
+        )
+    )
+    hot = (
+        occ.groupBy("g")
+        .agg(F.count("*").alias("cnt"), F.min("okey").alias("fk"))
+        .filter(F.col("cnt") >= 2)
+        .select("g", "fk")
+    )
+    removed = occ.join(hot, "g").filter(F.col("okey") != F.col("fk")).select("_id", "pos")
+    remsets = removed.groupBy("_id").agg(F.collect_set("pos").alias("_starts"))
+    covered = F.array_distinct(
+        F.flatten(F.transform(F.col("_starts"), lambda p: F.sequence(p, p + n - 1)))
+    )
+    return (
+        toks.join(remsets, "_id", "left")
+        .withColumn("_cov", covered)
+        .withColumn(
+            "_kept",
+            F.filter(
+                F.transform(
+                    F.col("_t"),
+                    lambda x, i: F.struct(
+                        (i + 1).cast("long").alias("p"), x.alias("tok")
+                    ),
+                ),
+                lambda s: F.col("_cov").isNull()
+                | ~F.array_contains(F.col("_cov"), s["p"]),
+            ),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.size("_t").cast("long").alias("n_tokens"),
+            (F.size("_t") - F.size("_kept")).cast("long").alias("n_removed"),
+            F.array_join(F.transform("_kept", lambda s: s["tok"]), " ").alias(
+                "cleaned_text"
+            ),
+        )
+    )

@@ -2941,6 +2941,100 @@ def dedup_exact_query(spark, sf_dir):
     return dedup.exact_dedup(_t(spark, sf_dir, "documents")).select("doc_id")
 
 
+_INCR_FP = "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))"
+
+
+@q(
+    "dedup_incremental",
+    f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 < 4),
+    batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 200000, text FROM documents WHERE doc_id % 25 = 4
+    ),
+    b AS (
+      SELECT doc_id, text, {_INCR_FP} AS fp,
+             row_number() OVER (PARTITION BY {_INCR_FP} ORDER BY doc_id) AS rn
+      FROM batch
+    )
+    SELECT doc_id FROM b
+    WHERE text IS NULL OR (rn = 1 AND fp NOT IN (
+      SELECT {_INCR_FP} FROM corpus WHERE text IS NOT NULL))
+    """,
+)
+def dedup_incremental_query(spark, sf_dir):
+    """Daily-crawl-vs-corpus dedup (llm/dedup.py incremental_dedup): the
+    batch is the %5=4 slice plus synthetic re-crawls — copies of corpus
+    docs under new ids (must be rejected by the fingerprint ledger) and
+    copies of batch docs (must lose the within-batch dedup).  Only
+    fingerprints ever shuffle; the ledger is corpus_fingerprints()."""
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.llm import dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = (
+        docs.filter("doc_id % 5 = 4")
+        .unionByName(
+            docs.filter("doc_id % 10 = 0").select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.filter("doc_id % 25 = 4").select(
+                (F.col("doc_id") + 200000).alias("doc_id"), "text"
+            )
+        )
+    )
+    ledger = dedup.corpus_fingerprints(docs.filter("doc_id % 5 < 4"))
+    return dedup.incremental_dedup(batch, ledger).select("doc_id")
+
+
+@q(
+    "dedup_repeated_spans",
+    r"""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                  FROM documents WHERE text IS NOT NULL),
+    occ AS (
+      SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS g,
+             doc_id*1000000 + i AS okey
+      FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
+      WHERE len(t) >= 8
+    ),
+    hot AS (SELECT g, min(okey) AS fk FROM occ GROUP BY g HAVING count(*) >= 2),
+    rem AS (SELECT occ.doc_id, pos FROM occ JOIN hot USING (g) WHERE okey <> fk),
+    cov AS (SELECT DISTINCT doc_id, pos + d AS tp FROM rem, unnest(range(0, 8)) AS dd(d)),
+    tok AS (SELECT doc_id, t[i] AS tok, i AS ord
+            FROM toks, unnest(range(1, len(t)+1)) AS u(i)),
+    kept AS (
+      SELECT tk.doc_id, tk.tok, tk.ord FROM tok tk
+      LEFT JOIN cov c ON c.doc_id = tk.doc_id AND c.tp = tk.ord
+      WHERE c.doc_id IS NULL
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_kept, string_agg(tok, ' ' ORDER BY ord) AS cleaned_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT toks.doc_id, len(t) AS n_tokens,
+           len(t) - coalesce(n_kept, 0) AS n_removed,
+           coalesce(cleaned_text, '') AS cleaned_text
+    FROM toks LEFT JOIN agg USING (doc_id)
+    """,
+)
+def dedup_repeated_spans_query(spark, sf_dir):
+    """Exact repeated-substring removal at 8-token spans (llm/dedup.py
+    remove_repeated_spans — the Lee et al. 2022 ExactSubstr discipline,
+    relationally: duplicated spans cut everywhere but their global first
+    occurrence).  The one corpus-sized stage is a partial-aggregated
+    n-gram groupBy; removals regroup per doc and apply in-row."""
+    from hyperspace_spark.llm import dedup
+
+    return dedup.remove_repeated_spans(_t(spark, sf_dir, "documents"), n=8)
+
+
 _NGRAM_PAIRS_SQL = """
     WITH toks AS (
       SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents
@@ -4187,6 +4281,8 @@ _VERIFY_PRIORITY = [
     # r06 or whose only gate so far is the local DuckDB-replay pytest.
     # New-in-r8 queries are inserted at the head as they are added. ---
     "metadata_only_agg",
+    "dedup_incremental",
+    "dedup_repeated_spans",
     "dsir_importance_en",
     "selfjoin_agg_cobucketed",
     "window_latest_lineitem",

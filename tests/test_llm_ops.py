@@ -91,6 +91,67 @@ def test_exact_dedup_removes_dupes(spark):
     assert [r.doc_id for r in out] == [1, 3]  # 2 is a normalized dup of 1
 
 
+def test_incremental_dedup_against_ledger(spark):
+    corpus = spark.createDataFrame(
+        [(1, "seen before"), (2, "also seen")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "brand new"),
+            (11, "seen  BEFORE"),   # normalized re-crawl of corpus doc 1 -> drop
+            (12, "brand NEW"),      # within-batch dup of 10 -> drop (higher id)
+            (13, None),             # NULL text -> always kept
+        ],
+        "doc_id long, text string",
+    )
+    ledger = dedup.corpus_fingerprints(corpus)
+    assert ledger.columns == ["_fp"] and ledger.count() == 2
+    out = dedup.incremental_dedup(batch, ledger).orderBy("doc_id").collect()
+    assert [r.doc_id for r in out] == [10, 13]
+    # Batch schema passes through untouched.
+    assert [r.text for r in out] == ["brand new", None]
+
+
+def test_incremental_dedup_empty_ledger_keeps_batch(spark):
+    batch = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    ledger = dedup.corpus_fingerprints(
+        spark.createDataFrame([], "doc_id long, text string")
+    )
+    out = dedup.incremental_dedup(batch, ledger)
+    assert sorted(r.doc_id for r in out.collect()) == [1, 2]
+
+
+def test_remove_repeated_spans_first_occurrence_survives(spark):
+    span = "s1 s2 s3 s4 s5 s6 s7 s8"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro {span} outro"),          # first occurrence: kept whole
+            (2, f"other words here {span}"),     # repeat: span removed
+            (3, "too short"),                    # < n tokens: untouched
+            (4, span),                           # repeat: fully removed
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.remove_repeated_spans(df, n=8).collect()}
+    assert out[1].n_removed == 0 and out[1].cleaned_text == f"intro {span} outro"
+    assert out[2].n_removed == 8 and out[2].cleaned_text == "other words here"
+    assert out[3].n_removed == 0 and out[3].cleaned_text == "too short"
+    assert out[4].n_removed == 8 and out[4].cleaned_text == ""
+    assert out[4].n_tokens == 8
+
+
+def test_remove_repeated_spans_overlapping_spans_union(spark):
+    # 9 tokens shared -> two overlapping duplicated 8-grams in the repeat;
+    # covered positions union to all 9, not 16.
+    nine = "a1 a2 a3 a4 a5 a6 a7 a8 a9"
+    df = spark.createDataFrame(
+        [(1, nine), (2, f"x {nine} y")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in dedup.remove_repeated_spans(df, n=8).collect()}
+    assert out[1].n_removed == 0
+    assert out[2].n_removed == 9 and out[2].cleaned_text == "x y"
+
+
 def test_ngram_jaccard_identical_docs(spark):
     df = spark.createDataFrame(
         [(1, "w1 w2 w3 w4 w5 w6"), (2, "w1 w2 w3 w4 w5 w6"), (3, "x1 x2 x3 x4 x5 x6")],
