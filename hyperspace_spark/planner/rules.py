@@ -595,6 +595,12 @@ class MetadataOnlyAggRule:
     additive (one raw partial aggregate over ONLY the appended files,
     unioned with the sketch partials before the final fold).
 
+    GROUP BY is supported when every grouping key is a PARTITION column
+    with a PartitionSketch in the same index: partition values are
+    constant per file, so the per-file sketch rows regroup exactly —
+    `SELECT dt, count(*) FROM events GROUP BY dt` (the daily-counts
+    query every pipeline dashboard runs) never touches the events data.
+
     Extension beyond the reference — its sketches only ever SKIP files
     (dataskipping/rules/ApplyDataSkippingIndex.scala:33-105); the same
     per-file aggregates, read the other way, ANSWER the query.  Score
@@ -604,7 +610,7 @@ class MetadataOnlyAggRule:
     base_score = 95.0
 
     def apply(self, node: ir.Node, ctx: RuleContext) -> Applied | None:
-        if not isinstance(node, ir.AggregateN) or node.grouping:
+        if not isinstance(node, ir.AggregateN):
             return None
         # Linear child: pass-through projects of plain columns, NO filter.
         cur = node.child
@@ -615,6 +621,20 @@ class MetadataOnlyAggRule:
         if not isinstance(cur, ir.Scan):
             return None
         scan = cur
+
+        # Grouping keys: each must be a plain PARTITION column (constant
+        # per file — the only columns whose per-file sketch value
+        # regroups exactly).
+        part_cols = {c.lower() for c in scan.partition_columns}
+        group_cols: list[str] = []
+        for g in node.grouping:
+            c = _plain_column(g)
+            if c is None:
+                return None
+            rc = ir.resolve_column(scan, c)
+            if rc is None or rc.lower() not in part_cols:
+                return None
+            group_cols.append(rc)
 
         # Extract every aggregate call from every output expression.  A
         # quote anywhere declines the whole node: the call regex cannot
@@ -627,9 +647,15 @@ class MetadataOnlyAggRule:
             if "'" in a or '"' in a:
                 return None
             am = _META_ALIAS_RX.match(a)
-            if am is None:
-                return None
-            expr, alias = am.group(1), am.group(2)
+            if am is not None:
+                expr, alias = am.group(1), am.group(2)
+            else:
+                # Un-aliased output: only a grouping-key passthrough
+                # (Catalyst emits the bare attribute, e.g. "o_year").
+                c = _plain_column(a)
+                if c is None:
+                    return None
+                expr = alias = c
             spans = []
             for m in _META_AGG_CALL_RX.finditer(expr):
                 fn, arg = m.group(1).lower(), m.group(2).strip("`")
@@ -648,7 +674,7 @@ class MetadataOnlyAggRule:
                     calls[key] = f"_hs_f{len(calls)}"
                 spans.append((m.start(), m.end(), calls[key]))
             outputs.append((expr, spans, alias))
-        if not calls:
+        if not calls and not group_cols:
             return None
 
         cands = ctx.for_scan(scan, "DS")
@@ -657,11 +683,13 @@ class MetadataOnlyAggRule:
         for cand in _rank_smallest(cands):
             entry = cand.entry
             plan = self._map_specs(entry, calls)
-            if plan is None:
+            groups = self._map_groups(entry, group_cols)
+            if plan is None or groups is None:
                 ctx.tag(
                     entry.name,
                     MISSING_REQUIRED_COL,
-                    "no sketch for some aggregate (need MinMax/Sum/RowCount)",
+                    "no sketch for some aggregate/grouping key "
+                    "(need MinMax/Sum/RowCount/Partition)",
                 )
                 continue
             tracker = entry.file_id_tracker
@@ -682,6 +710,7 @@ class MetadataOnlyAggRule:
             def replacement(
                 spark,
                 _plan=tuple(plan),
+                _groups=tuple(groups),
                 _dirs=dirs,
                 _schema=schema_json,
                 _del=deleted_ids,
@@ -690,7 +719,7 @@ class MetadataOnlyAggRule:
                 _out=tuple(final_exprs),
             ):
                 return _metadata_only_agg_df(
-                    spark, _plan, _dirs, _schema, _del, _app, _scan, _out
+                    spark, _plan, _groups, _dirs, _schema, _del, _app, _scan, _out
                 )
 
             sub = ir.Scan(output=list(node.output))
@@ -745,14 +774,34 @@ class MetadataOnlyAggRule:
                 return None
         return plan
 
+    @staticmethod
+    def _map_groups(entry, group_cols):
+        """[(sketch_field, source_col)] for each grouping key's
+        PartitionSketch value column, or None if any is missing."""
+        import json as _json
+
+        fields = {
+            f["name"].lower(): f["name"]
+            for f in _json.loads(entry.derived_properties["schemaJson"])["fields"]
+        }
+        out = []
+        for c in group_cols:
+            key = f"partition_{c.lower()}__value"
+            if key not in fields:
+                return None
+            out.append((fields[key], c))
+        return out
+
 
 def _metadata_only_agg_df(
-    spark, plan, dirs, schema_json, deleted_ids, appended, scan, out_exprs
+    spark, plan, groups, dirs, schema_json, deleted_ids, appended, scan, out_exprs
 ):
     """Fold per-file sketch partials (+ a raw partial over appended files)
-    into the final one-row aggregate, then re-evaluate the original
-    scalar wrappers (``out_exprs``) over the fold aliases.  Types match
-    the original agg exactly: min/max keep the source column type, count
+    into the final aggregate — one row, or one row per partition-value
+    group (``groups``: PartitionSketch value columns re-aliased to the
+    source partition columns) — then re-evaluate the original scalar
+    wrappers (``out_exprs``) over the fold aliases.  Types match the
+    original agg exactly: min/max keep the source column type, count
     folds to BIGINT, sum(sum) is cast back to the per-file sum type
     (= Spark's sum result type for the source column), avg is
     try_divide(Σsum, Σcnt) — NULL on an all-null or empty input, like
@@ -773,7 +822,9 @@ def _metadata_only_agg_df(
     def slots(i):
         return f"_hs_p{i}", f"_hs_p{i}b"
 
-    idx_cols, raw_aggs = [], []
+    idx_cols = [F.col(field).alias(col) for field, col in groups]
+    raw_aggs = []
+    gcols = [col for _field, col in groups]
     for i, (fn, sk_cols, col, _alias) in enumerate(plan):
         s, sb = slots(i)
         idx_cols.append(F.col(sk_cols[0]).alias(s))
@@ -802,7 +853,11 @@ def _metadata_only_agg_df(
             opts["basePath"] = scan.root_paths[0]
         if opts:
             reader = reader.options(**opts)
-        raw = reader.load(list(appended)).agg(*raw_aggs)
+        loaded = reader.load(list(appended))
+        if raw_aggs:
+            raw = loaded.groupBy(*gcols).agg(*raw_aggs) if gcols else loaded.agg(*raw_aggs)
+        else:
+            raw = loaded.select(*gcols).distinct()
         parts = parts.unionByName(raw)
 
     finals = []
@@ -819,7 +874,15 @@ def _metadata_only_agg_df(
             finals.append(
                 F.try_divide(F.sum(s).cast("double"), F.sum(sb)).alias(alias)
             )
-    return parts.agg(*finals).selectExpr(*out_exprs)
+    if not finals:
+        # Pure `SELECT pcol FROM t GROUP BY pcol` — a distinct over the
+        # partition values.
+        folded = parts.select(*gcols).distinct()
+    elif gcols:
+        folded = parts.groupBy(*gcols).agg(*finals)
+    else:
+        folded = parts.agg(*finals)
+    return folded.selectExpr(*out_exprs)
 
 
 def default_rules() -> list:

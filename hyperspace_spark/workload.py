@@ -57,6 +57,9 @@ ACCELERATED_QUERIES = [
     "window_latest_lineitem",
     # r8: metadata-only aggregation (global agg answered from sketches)
     "metadata_only_agg",
+    # r8: partition-grouped metadata aggregation (GROUP BY o_year from
+    # PartitionSketch rows)
+    "metadata_group_agg",
 ]
 
 
@@ -130,6 +133,7 @@ class Workspace:
         self.root = f"/tmp/hs_workload_{tag}"
         self.li_byship = f"{self.root}/li_byship"
         self.orders_app = f"{self.root}/orders_app"
+        self.orders_bypart = f"{self.root}/orders_bypart"
         self.orders_nested = f"{self.root}/orders_nested"
         self.docs_stream = f"{self.root}/docs_stream"
         self.delta_orders = f"{self.root}/delta_orders"
@@ -141,7 +145,7 @@ class Workspace:
     # the workspace marker folds it into the fingerprint, so a layout
     # left by an older code version is wiped and rebuilt instead of
     # serving indexes built under the old configs.
-    _WS_VERSION = 11
+    _WS_VERSION = 12  # r8: orders_bypart copy + w_part_meta/w_li_meta indexes
 
     def _source_fingerprint(self) -> str:
         parts = [f"v{self._WS_VERSION}"]
@@ -237,6 +241,18 @@ class Workspace:
             o.filter("o_orderkey % 97 = 0").coalesce(1).write.mode("overwrite").parquet(
                 f"{self.root}/orders_delta"
             )
+        if not os.path.exists(f"{self.orders_bypart}/_SUCCESS"):
+            from pyspark.sql import functions as F
+
+            # Hive-partitioned orders: the layout whose PartitionSketch
+            # makes GROUP BY o_year a metadata-only query.
+            (
+                _t(self.spark, self.sf_dir, "orders")
+                .withColumn("o_year", F.year("o_orderdate"))
+                .write.mode("overwrite")
+                .partitionBy("o_year")
+                .parquet(self.orders_bypart)
+            )
         if not os.path.exists(f"{self.orders_nested}/_SUCCESS"):
             # Struct-column variant of orders: exercises the nested
             # covering-index path (P1 flattening + struct rebuild,
@@ -310,6 +326,7 @@ class Workspace:
             CoveringIndexConfig,
             DataSkippingIndexConfig,
             MinMaxSketch,
+            PartitionSketch,
             RowCountSketch,
             SumSketch,
             ZOrderCoveringIndexConfig,
@@ -435,6 +452,23 @@ class Workspace:
                 # probes prune partitions — replaces per-query KMeans.
                 "w_ann_ivf",
                 lambda: self._create_ann_index(),
+            ),
+            (
+                # Partition-grouped metadata aggregation: PartitionSketch
+                # keys the per-file rows by o_year, so GROUP BY o_year
+                # folds from the index (MetadataOnlyAggRule grouped path).
+                "w_part_meta",
+                lambda: self.hs.create_index(
+                    spark.read.parquet(self.orders_bypart),
+                    DataSkippingIndexConfig(
+                        "w_part_meta",
+                        [
+                            PartitionSketch(["o_year"]),
+                            RowCountSketch(),
+                            SumSketch(["o_totalprice"]),
+                        ],
+                    ),
+                ),
             ),
             (
                 # Sketch index powering the metadata-only aggregation
@@ -836,6 +870,33 @@ def metadata_only_agg(spark, sf_dir):
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
         F.count("l_extendedprice").alias("cnt_price"),
+    )
+    return ws.hs.apply(df)
+
+
+@q(
+    "metadata_group_agg",
+    """
+    SELECT year(o_orderdate) AS o_year, count(*) AS cnt,
+           round(sum(o_totalprice), 2) AS tot
+    FROM orders GROUP BY year(o_orderdate)
+    """,
+)
+def metadata_group_agg(spark, sf_dir):
+    """GROUP BY a partition column answered from the sketch index alone
+    (MetadataOnlyAggRule grouped path): PartitionSketch keys the per-file
+    rows by o_year, RowCount/Sum fold per group — the daily-counts
+    dashboard query with zero source scan."""
+    from pyspark.sql import functions as F
+
+    ws = workspace(spark, sf_dir)
+    df = (
+        _p(spark, ws.orders_bypart)
+        .groupBy("o_year")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("tot"),
+        )
     )
     return ws.hs.apply(df)
 
@@ -4281,6 +4342,7 @@ _VERIFY_PRIORITY = [
     # r06 or whose only gate so far is the local DuckDB-replay pytest.
     # New-in-r8 queries are inserted at the head as they are added. ---
     "metadata_only_agg",
+    "metadata_group_agg",
     "dedup_incremental",
     "dedup_repeated_spans",
     "dsir_importance_en",

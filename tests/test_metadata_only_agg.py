@@ -159,6 +159,61 @@ def test_hybrid_append_and_delete_exact(spark, tmp_path_factory):
     _assert_same(q, fast)
 
 
+def test_grouped_by_partition_column(spark, tmp_path_factory):
+    """GROUP BY a partition column folds from PartitionSketch-keyed rows;
+    non-partition grouping keys decline (their per-file value is not
+    constant, so sketch rows cannot regroup exactly)."""
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark import PartitionSketch
+
+    src = str(tmp_path_factory.mktemp("orders_part_meta"))
+    (
+        table(spark, "orders")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(src)
+    )
+    hs = Hyperspace(spark, system_path=str(tmp_path_factory.mktemp("hsidx_meta_g")))
+    hs.create_index(
+        spark.read.parquet(src),
+        DataSkippingIndexConfig(
+            "part_meta",
+            [PartitionSketch(["o_year"]), RowCountSketch(), SumSketch(["o_totalprice"])],
+        ),
+    )
+    df = spark.read.parquet(src)
+    q = df.groupBy("o_year").agg(
+        F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("tot")
+    )
+    fast, used = hs._apply_with_info(q)
+    assert used == ["part_meta"], hs.why_not(q)
+    _assert_same(q.orderBy("o_year"), fast.orderBy("o_year"))
+    # df.select(pcol).distinct() is a grouping-only Aggregate: also served.
+    qd = df.select("o_year").distinct()
+    fastd, usedd = hs._apply_with_info(qd)
+    assert usedd == ["part_meta"]
+    assert sorted(r[0] for r in fastd.collect()) == sorted(r[0] for r in qd.collect())
+    # Non-partition grouping key: decline.
+    _, u = hs._apply_with_info(df.groupBy("o_orderpriority").agg(F.count("*").alias("c")))
+    assert u == []
+    # Hybrid: a NEW partition value appended after the build stays exact.
+    (
+        table(spark, "orders")
+        .limit(100)
+        .withColumn("o_year", F.lit(2099))
+        .write.mode("append")
+        .partitionBy("o_year")
+        .parquet(src)
+    )
+    df2 = spark.read.parquet(src)
+    q2 = df2.groupBy("o_year").agg(F.count("*").alias("cnt"))
+    fast2, used2 = hs._apply_with_info(q2)
+    assert used2 == ["part_meta"], hs.why_not(q2)
+    _assert_same(q2.orderBy("o_year"), fast2.orderBy("o_year"))
+
+
 def test_sketch_roundtrip_and_refresh(spark, tmp_path_factory):
     """New sketch kinds survive to_json/from_json and incremental refresh."""
     from hyperspace_spark.indexes.sketches import sketch_from_json
