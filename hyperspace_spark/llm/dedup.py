@@ -118,6 +118,68 @@ def corpus_fingerprints(df: "DataFrame", text_col: str = "text") -> "DataFrame":
     )
 
 
+def _ledger_table_name(path: str) -> str:
+    import hashlib
+
+    return f"hs_fp_ledger_{hashlib.md5(path.encode()).hexdigest()[:8]}"
+
+
+def write_fingerprint_ledger(
+    spark, ledger_df: "DataFrame", path: str, num_buckets: int = 64
+) -> str:
+    """Persist a fingerprint ledger BUCKETED by ``_fp`` (external table at
+    ``path``; the location-hashed catalog name is session scaffolding,
+    the files are the durable artifact — same discipline as the covering
+    index's bucketed sink, indexes/covering.py write_bucketed).  A
+    bucketed ledger makes every subsequent incremental_dedup anti join
+    Exchange-free on the ledger side: only the (small) daily batch ever
+    shuffles.  Returns the registered table name."""
+    from hyperspace_spark.indexes.covering import write_bucketed
+
+    tbl = _ledger_table_name(path)
+    write_bucketed(spark, ledger_df.select("_fp"), ["_fp"], num_buckets, path, tbl)
+    return tbl
+
+
+def read_fingerprint_ledger(spark, path: str, num_buckets: int = 64) -> "DataFrame":
+    """Open a persisted fingerprint ledger THROUGH its bucketed catalog
+    entry (re-registered on demand — new sessions see the same files),
+    so joins against it keep the bucket distribution."""
+    tbl = _ledger_table_name(path)
+    if not spark.catalog.tableExists(tbl):
+        spark.sql(
+            f"CREATE TABLE {tbl} (`_fp` string) USING parquet "
+            f"CLUSTERED BY (`_fp`) SORTED BY (`_fp`) INTO {num_buckets} BUCKETS "
+            f"LOCATION '{path}'"
+        )
+    return spark.table(tbl)
+
+
+def append_fingerprint_ledger(
+    spark, accepted_df: "DataFrame", path: str, num_buckets: int = 64,
+    text_col: str = "text",
+) -> None:
+    """Fold an accepted batch's fingerprints into a persisted ledger
+    (call after incremental_dedup so tomorrow's batch sees today's
+    docs).  The append writes per-bucket files under the SAME bucket
+    spec — no rewrite of the existing ledger, and the bucketing
+    metadata stays valid for the next anti join."""
+    from pyspark.sql import functions as F
+
+    read_fingerprint_ledger(spark, path, num_buckets)  # ensure registered
+    tbl = _ledger_table_name(path)
+    fps = corpus_fingerprints(accepted_df, text_col)
+    (
+        fps.repartition(num_buckets, F.col("_fp"))
+        .write.format("parquet")
+        .mode("append")
+        .bucketBy(num_buckets, "_fp")
+        .sortBy("_fp")
+        .option("path", path)
+        .saveAsTable(tbl)
+    )
+
+
 def incremental_dedup(
     batch_df: "DataFrame",
     ledger_df: "DataFrame",

@@ -112,6 +112,39 @@ def test_incremental_dedup_against_ledger(spark):
     assert [r.text for r in out] == ["brand new", None]
 
 
+def test_fingerprint_ledger_bucketed_lifecycle(spark, tmp_path_factory):
+    """Persisted ledger: bucketed write -> anti join with NO Exchange on
+    the ledger side -> per-bucket append -> re-run rejects yesterday's
+    accepted docs."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.llm.text import fingerprint
+
+    path = str(tmp_path_factory.mktemp("fp_ledger")) + "/ledger"
+    corpus = spark.createDataFrame(
+        [(i, f"doc body number {i}") for i in range(50)], "doc_id long, text string"
+    )
+    dedup.write_fingerprint_ledger(spark, dedup.corpus_fingerprints(corpus), path, 4)
+    led = dedup.read_fingerprint_ledger(spark, path, 4)
+    assert led.count() == 50
+    batch = corpus.limit(10).select((F.col("doc_id") + 500).alias("doc_id"), "text").unionByName(
+        spark.createDataFrame([(999, "unseen body")], "doc_id long, text string")
+    )
+    out = dedup.incremental_dedup(batch, led)
+    assert sorted(r.doc_id for r in out.collect()) == [999]
+    # Ledger side rides its bucketing: the executed anti join carries at
+    # most ONE hash Exchange (the batch side).
+    keyed = dedup.exact_dedup(batch).withColumn("_fp", fingerprint(F.col("text")))
+    j = keyed.join(led, "_fp", "left_anti")
+    j.collect()
+    plan = j._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1, plan
+    dedup.append_fingerprint_ledger(spark, out, path, 4)
+    assert dedup.incremental_dedup(batch, dedup.read_fingerprint_ledger(spark, path, 4)).count() == 0
+
+
 def test_incremental_dedup_empty_ledger_keeps_batch(spark):
     batch = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
     ledger = dedup.corpus_fingerprints(
