@@ -163,6 +163,12 @@ def main() -> None:
         "window_latest_lineitem",
         "streaming_stateful_sessionize",
         "semantic_dedup",
+        # r8
+        "metadata_only_agg",
+        "metadata_group_agg",
+        "dedup_incremental",
+        "dedup_repeated_spans",
+        "streaming_ledger_dedup",
     ]
 
 
@@ -293,6 +299,7 @@ def main() -> None:
         "q18_large_volume_customer",
         "dedup_minhash_lsh",
         "streaming_tumbling_rollup",
+        "metadata_only_agg",
     ]
     geomean = 1.0
     for v in speedups.values():

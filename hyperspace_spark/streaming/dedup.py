@@ -71,3 +71,65 @@ def dedup_stream_by_content(
         ),
     )
     return dedup_stream(with_fp, ["_hs_fp"], ts_col, delay).drop("_hs_fp")
+
+
+def dedup_stream_against_ledger(
+    df: "DataFrame",
+    ledger_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "event_ts",
+    delay: str = "10 minutes",
+    num_buckets: int = 64,
+):
+    """Ingest dedup with UNBOUNDED history: the watermark gate handles
+    retries/replays in-stream, then every micro-batch anti-joins the
+    PERSISTED fingerprint ledger (llm/dedup.py) — documents seen in any
+    prior batch, or any prior RUN of the pipeline, are dropped even
+    though no streaming state remembers them.  Survivors append to
+    ``output_path`` and their fingerprints fold into the ledger
+    (per-bucket append, no rewrite).
+
+    This is the missing half of dedup_stream_by_content's documented
+    boundary ("exactly-once dedup across arbitrary time distances needs
+    unbounded state — the batch layer's job"): corpus history lives as
+    md5 hashes ON THE LAKE, bucketed by fingerprint, so each micro-batch
+    pays one small shuffle of its own rows and zero shuffle on the
+    ledger side — state size in the STREAM stays watermark-bounded
+    regardless of corpus age.
+
+    Failure semantics: output is written before the ledger append, so a
+    crash between the two re-emits that batch's survivors on restart
+    (at-least-once into ``output_path``); a downstream exact_dedup — or
+    an idempotent consumer — absorbs it.  The opposite order would
+    silently DROP documents instead.  Returns the started
+    StreamingQuery (caller awaits termination)."""
+    import os
+
+    from hyperspace_spark.llm import dedup as batch_dedup
+
+    os.makedirs(ledger_path, exist_ok=True)
+    gated = dedup_stream_by_content(df, text_col, ts_col, delay)
+
+    def _sink(batch_df, _batch_id):
+        spark = batch_df.sparkSession
+        ledger = batch_dedup.read_fingerprint_ledger(spark, ledger_path, num_buckets)
+        fresh = batch_dedup.incremental_dedup(batch_df, ledger, text_col, id_col)
+        fresh = fresh.persist()
+        try:
+            fresh.write.mode("append").parquet(output_path)
+            batch_dedup.append_fingerprint_ledger(
+                spark, fresh, ledger_path, num_buckets, text_col
+            )
+        finally:
+            fresh.unpersist()
+
+    return (
+        gated.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -4178,6 +4178,61 @@ def streaming_ingest_dedup(spark, sf_dir):
 
 
 @q(
+    "streaming_ledger_dedup",
+    """
+    SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+    WHERE text IS NOT NULL
+      AND md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) NOT IN (
+        SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+        FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL)
+    """,
+)
+def streaming_ledger_dedup(spark, sf_dir):
+    """Ingest dedup with UNBOUNDED history on the real micro-batch engine
+    (streaming/dedup.py dedup_stream_against_ledger): a fingerprint
+    ledger primed with the even-doc_id half of the corpus, then the
+    docs_stream fixture (corpus + ~5% replay) streamed against it — the
+    even half and the replays are rejected by the LEDGER (zero streaming
+    state for them), leaving exactly the odd half's distinct
+    fingerprints, which is the oracle."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.llm import dedup
+    from hyperspace_spark.llm.text import fingerprint
+    from hyperspace_spark.streaming.dedup import dedup_stream_against_ledger
+
+    _conf(spark)
+    ws = workspace(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="hs_sled_")
+    docs = _t(spark, sf_dir, "documents")
+    dedup.write_fingerprint_ledger(
+        spark,
+        dedup.corpus_fingerprints(docs.filter("doc_id % 2 = 0")),
+        f"{work}/ledger",
+        8,
+    )
+    schema = docs.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(ws.docs_stream)
+        .withColumn("event_ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    )
+    handle = dedup_stream_against_ledger(
+        stream, f"{work}/ledger", f"{work}/out", f"{work}/ckpt", num_buckets=8
+    )
+    handle.awaitTermination()
+    return (
+        spark.read.parquet(f"{work}/out")
+        .filter(F.col("text").isNotNull())
+        .select(fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+    )
+
+
+@q(
     "streaming_stateful_sessionize",
     """
     WITH e AS (
@@ -4345,6 +4400,7 @@ _VERIFY_PRIORITY = [
     "metadata_group_agg",
     "dedup_incremental",
     "dedup_repeated_spans",
+    "streaming_ledger_dedup",
     "dsir_importance_en",
     "selfjoin_agg_cobucketed",
     "window_latest_lineitem",

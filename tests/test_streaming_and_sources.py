@@ -65,6 +65,60 @@ def test_streaming_incremental_maintenance(spark, tmp_path):
     assert len(e.source_files) > 2
 
 
+def test_streaming_dedup_against_ledger_cross_run(spark, tmp_path):
+    """Ledger-backed ingest dedup: the watermark gate handles in-stream
+    replays, the persisted ledger remembers EVERYTHING — including
+    across a pipeline restart with a fresh checkpoint, where streaming
+    state is gone but the ledger is not."""
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.llm import dedup as bdedup
+    from hyperspace_spark.streaming.dedup import dedup_stream_against_ledger
+
+    work = str(tmp_path)
+    docs = spark.createDataFrame(
+        [(i, f"body {i}") for i in range(30)], "doc_id long, text string"
+    )
+    bdedup.write_fingerprint_ledger(
+        spark, bdedup.corpus_fingerprints(docs.filter("doc_id < 10")), f"{work}/ledger", 4
+    )
+    src = f"{work}/src"
+    docs.write.parquet(src)
+    # replayed copies under new ids: must collapse in-stream
+    docs.filter("doc_id % 6 = 0").select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    ).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("event_ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    )
+    q = dedup_stream_against_ledger(
+        stream, f"{work}/ledger", f"{work}/out", f"{work}/ckpt", num_buckets=4
+    )
+    q.awaitTermination()
+    ids = sorted(r.doc_id for r in spark.read.parquet(f"{work}/out").collect())
+    assert ids == list(range(10, 30)), ids
+    # Restart: overlapping docs rejected by the LEDGER (new checkpoint, no
+    # streaming state), new docs accepted.
+    more = spark.createDataFrame(
+        [(i, f"body {i}") for i in range(25, 40)], "doc_id long, text string"
+    )
+    more.write.parquet(f"{work}/src2")
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(f"{work}/src2")
+        .withColumn("event_ts", F.lit("2024-01-02 00:00:00").cast("timestamp"))
+    )
+    q2 = dedup_stream_against_ledger(
+        stream2, f"{work}/ledger", f"{work}/out2", f"{work}/ckpt2", num_buckets=4
+    )
+    q2.awaitTermination()
+    ids2 = sorted(r.doc_id for r in spark.read.parquet(f"{work}/out2").collect())
+    assert ids2 == list(range(30, 40)), ids2
+
+
 @pytest.mark.parametrize("fmt", ["csv", "json", "orc", "text"])
 def test_non_parquet_source_index(spark, tmp_path, fmt):
     src = str(tmp_path / f"orders_{fmt}")
