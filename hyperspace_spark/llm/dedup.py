@@ -180,6 +180,47 @@ def append_fingerprint_ledger(
     )
 
 
+def compact_fingerprint_ledger(
+    spark, path: str, num_buckets: int = 64
+) -> int:
+    """Ledger maintenance: rewrite the ledger as DISTINCT fingerprints in
+    fresh bucketed files.  Daily appends accumulate one small file per
+    bucket per batch, and an at-least-once retry (see
+    streaming/dedup.py dedup_stream_against_ledger's failure note) can
+    land the same fingerprint twice — neither affects anti-join RESULTS
+    (a duplicate hash rejects the same docs), but both grow the ledger
+    scan.  Compaction is the n-file -> num_buckets-file rewrite.
+
+    Not atomic: the staging swap (write aside, swap directories) leaves
+    a window where a reader sees no ledger — run it when no batch is in
+    flight, like any index OPTIMIZE.  Returns the distinct fingerprint
+    count."""
+    import os
+    import shutil
+
+    staging = f"{path}__compact"
+    shutil.rmtree(staging, ignore_errors=True)
+    distinct = spark.read.parquet(path).select("_fp").distinct()
+    n = distinct.count()
+    tbl = _ledger_table_name(path)
+    # Rebuild through a staging table, then swap the directories and
+    # re-register the canonical name over the compacted files.
+    from hyperspace_spark.indexes.covering import write_bucketed
+
+    write_bucketed(
+        spark, distinct, ["_fp"], num_buckets, staging, f"{tbl}__compact"
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}__compact")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    old = f"{path}__old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
+    read_fingerprint_ledger(spark, path, num_buckets)  # re-register
+    return n
+
+
 def incremental_dedup(
     batch_df: "DataFrame",
     ledger_df: "DataFrame",

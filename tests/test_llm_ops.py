@@ -145,6 +145,36 @@ def test_fingerprint_ledger_bucketed_lifecycle(spark, tmp_path_factory):
     assert dedup.incremental_dedup(batch, dedup.read_fingerprint_ledger(spark, path, 4)).count() == 0
 
 
+def test_fingerprint_ledger_compaction(spark, tmp_path_factory):
+    """Compaction collapses per-batch small files and duplicate hashes
+    into num_buckets files with identical anti-join behavior."""
+    import glob
+
+    path = str(tmp_path_factory.mktemp("fp_compact")) + "/ledger"
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(20)], "doc_id long, text string"
+    )
+    dedup.write_fingerprint_ledger(spark, dedup.corpus_fingerprints(docs), path, 4)
+    # Three appends (one duplicates existing fps - the at-least-once shape).
+    for lo in (20, 30, 20):
+        batch = spark.createDataFrame(
+            [(i, f"text {i}") for i in range(lo, lo + 10)], "doc_id long, text string"
+        )
+        dedup.append_fingerprint_ledger(spark, batch, path, 4)
+    files_before = len(glob.glob(f"{path}/*.parquet"))
+    n = dedup.compact_fingerprint_ledger(spark, path, 4)
+    assert n == 40  # 0..39 distinct, duplicate append collapsed
+    files_after = len(glob.glob(f"{path}/*.parquet"))
+    assert files_after < files_before and files_after <= 4
+    led = dedup.read_fingerprint_ledger(spark, path, 4)
+    assert led.count() == 40
+    probe = spark.createDataFrame(
+        [(1, "text 5"), (2, "text 99")], "doc_id long, text string"
+    )
+    out = dedup.incremental_dedup(probe, led)
+    assert [r.doc_id for r in out.collect()] == [2]
+
+
 def test_incremental_dedup_empty_ledger_keeps_batch(spark):
     batch = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
     ledger = dedup.corpus_fingerprints(
