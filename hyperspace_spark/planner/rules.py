@@ -682,7 +682,7 @@ class MetadataOnlyAggRule:
             return None
         for cand in _rank_smallest(cands):
             entry = cand.entry
-            plan = self._map_specs(entry, calls)
+            plan = self._map_specs(entry, calls, part_cols)
             groups = self._map_groups(entry, group_cols)
             if plan is None or groups is None:
                 ctx.tag(
@@ -729,7 +729,7 @@ class MetadataOnlyAggRule:
         return None
 
     @staticmethod
-    def _map_specs(entry, calls):
+    def _map_specs(entry, calls, part_cols=frozenset()):
         """[(fn, sketch_col(s), source_col, fold_alias)] over the index
         schema, or None if any aggregate has no backing sketch column."""
         import json as _json
@@ -748,6 +748,14 @@ class MetadataOnlyAggRule:
             elif fn in ("min", "max"):
                 key = f"minmax_{lc}__{fn}"
                 if key not in fields:
+                    # A PARTITION column's per-file value IS its per-file
+                    # min and max (constant within the file), so
+                    # `SELECT max(dt) FROM t` — the freshness query —
+                    # works off PartitionSketch with no MinMax declared.
+                    pkey = f"partition_{lc}__value"
+                    if lc in part_cols and pkey in fields:
+                        plan.append((fn, (fields[pkey]["name"],), col, alias))
+                        continue
                     return None
                 plan.append((fn, (fields[key]["name"],), col, alias))
             elif fn == "count":

@@ -335,6 +335,16 @@ def main_sf10():
         hs.create_index(
             byship, DataSkippingIndexConfig("s10_li_skip", [MinMaxSketch(["l_shipdate"])])
         )
+    if "s10_li_meta" not in have:
+        from hyperspace_spark import RowCountSketch, SumSketch
+
+        hs.create_index(
+            lineitem,
+            DataSkippingIndexConfig(
+                "s10_li_meta",
+                [MinMaxSketch(["l_shipdate"]), RowCountSketch(), SumSketch(["l_quantity"])],
+            ),
+        )
     build_sec = time.perf_counter() - t0
 
     def q_point():
@@ -400,12 +410,26 @@ def main_sf10():
             F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("q")
         )
 
+    def q_meta():
+        # Metadata-only aggregation (r8): the raw side is a full 60M-row
+        # scan, the accelerated side folds |files| sketch rows — the
+        # probe where the flat-cost curve shows steepest.
+        return hs.apply(
+            lineitem.agg(
+                F.min("l_shipdate").alias("min_sd"),
+                F.max("l_shipdate").alias("max_sd"),
+                F.count("*").alias("cnt"),
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            )
+        )
+
     probes = {
         "covering_filter_point": q_point,
         "join_cobucketed": q_join,
         "dataskipping_minmax": q_minmax,
         "selfjoin_agg_cobucketed": q_selfjoin,
         "window_latest_lineitem": q_window,
+        "metadata_only_agg": q_meta,
     }
 
     # plan probe: co-bucketed SMJ stays Exchange-free under AQE at sf10

@@ -198,6 +198,12 @@ def test_grouped_by_partition_column(spark, tmp_path_factory):
     # Non-partition grouping key: decline.
     _, u = hs._apply_with_info(df.groupBy("o_orderpriority").agg(F.count("*").alias("c")))
     assert u == []
+    # min/max of the PARTITION column works off PartitionSketch alone
+    # (no MinMax declared on o_year) — the freshness query.
+    qf = df.agg(F.max("o_year").alias("latest"), F.min("o_year").alias("first"))
+    fastf, usedf = hs._apply_with_info(qf)
+    assert usedf == ["part_meta"], hs.why_not(qf)
+    _assert_same(qf, fastf)
     # Hybrid: a NEW partition value appended after the build stays exact.
     (
         table(spark, "orders")
