@@ -166,6 +166,7 @@ def main() -> None:
         # r8
         "metadata_only_agg",
         "metadata_group_agg",
+        "metadata_count_distinct",
         "dedup_incremental",
         "dedup_repeated_spans",
         "streaming_ledger_dedup",

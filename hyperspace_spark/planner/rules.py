@@ -574,7 +574,7 @@ import re as _re
 # the fold frame, replay fails analysis, and apply() declines (the
 # documented swallow path), never producing a wrong answer.
 _META_AGG_CALL_RX = _re.compile(
-    r"\b(min|max|sum|count|avg)\(\s*(\*|1|`?[A-Za-z_][A-Za-z0-9_]*`?)\s*\)",
+    r"\b(min|max|sum|count|avg)\(\s*(DISTINCT\s+)?(\*|1|`?[A-Za-z_][A-Za-z0-9_]*`?)\s*\)",
     _re.IGNORECASE,
 )
 
@@ -658,9 +658,16 @@ class MetadataOnlyAggRule:
                 expr = alias = c
             spans = []
             for m in _META_AGG_CALL_RX.finditer(expr):
-                fn, arg = m.group(1).lower(), m.group(2).strip("`")
+                fn, distinct, arg = (
+                    m.group(1).lower(),
+                    bool(m.group(2)),
+                    m.group(3).strip("`"),
+                )
+                if distinct and fn != "count":
+                    # sum/avg DISTINCT are not foldable from sketches.
+                    return None
                 if arg in ("*", "1"):
-                    if fn != "count":
+                    if fn != "count" or distinct:
                         # sum(1)/min(1)... left in place would re-aggregate
                         # the one-row fold frame — decline outright.
                         return None
@@ -669,7 +676,7 @@ class MetadataOnlyAggRule:
                     col = ir.resolve_column(scan, arg)
                     if col is None:
                         return None
-                    key = (fn, col)
+                    key = ("count_distinct" if distinct else fn, col)
                 if key not in calls:
                     calls[key] = f"_hs_f{len(calls)}"
                 spans.append((m.start(), m.end(), calls[key]))
@@ -689,7 +696,7 @@ class MetadataOnlyAggRule:
                     entry.name,
                     MISSING_REQUIRED_COL,
                     "no sketch for some aggregate/grouping key "
-                    "(need MinMax/Sum/RowCount/Partition)",
+                    "(need MinMax/Sum/RowCount/Partition/ValueList)",
                 )
                 continue
             tracker = entry.file_id_tracker
@@ -763,6 +770,14 @@ class MetadataOnlyAggRule:
                 if key not in fields:
                     return None
                 plan.append(("count_col", (fields[key]["name"],), col, alias))
+            elif fn == "count_distinct":
+                # ValueListSketch holds the EXACT distinct values per file
+                # (null-free collect_set) — the global distinct count is
+                # the distinct of the per-file unions.
+                key = f"valuelist_{lc}__values"
+                if key not in fields:
+                    return None
+                plan.append(("count_distinct", (fields[key]["name"],), col, alias))
             elif fn == "sum":
                 key = f"sum_{lc}__sum"
                 if key not in fields:
@@ -842,6 +857,8 @@ def _metadata_only_agg_df(
             raw_aggs.append(getattr(F, fn)(col).alias(s))
         elif fn == "count_col":
             raw_aggs.append(F.count(col).alias(s))
+        elif fn == "count_distinct":
+            raw_aggs.append(F.collect_set(col).alias(s))
         elif fn == "sum":
             raw_aggs.append(F.sum(col).alias(s))
         elif fn == "avg":
@@ -875,6 +892,15 @@ def _metadata_only_agg_df(
             finals.append(getattr(F, fn)(s).alias(alias))
         elif fn in ("count_star", "count_col"):
             finals.append(F.coalesce(F.sum(s), F.lit(0)).cast("long").alias(alias))
+        elif fn == "count_distinct":
+            # collect_list skips null arrays (a full_outer sketch-join
+            # row); cardinality is bounded — ValueList only exists on
+            # low-cardinality columns.
+            finals.append(
+                F.size(F.array_distinct(F.flatten(F.collect_list(s))))
+                .cast("long")
+                .alias(alias)
+            )
         elif fn == "sum":
             sum_type = idx_schema[sk_cols[0]].dataType
             finals.append(F.sum(s).cast(sum_type).alias(alias))

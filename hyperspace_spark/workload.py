@@ -60,6 +60,8 @@ ACCELERATED_QUERIES = [
     # r8: partition-grouped metadata aggregation (GROUP BY o_year from
     # PartitionSketch rows)
     "metadata_group_agg",
+    # r8: count(DISTINCT) from ValueListSketch per-file value lists
+    "metadata_count_distinct",
 ]
 
 
@@ -897,6 +899,31 @@ def metadata_group_agg(spark, sf_dir):
             F.count("*").alias("cnt"),
             F.round(F.sum("o_totalprice"), 2).alias("tot"),
         )
+    )
+    return ws.hs.apply(df)
+
+
+@q(
+    "metadata_count_distinct",
+    """
+    SELECT count(DISTINCT year(l_shipdate)) AS n_years,
+           min(l_shipdate) AS min_sd, max(l_shipdate) AS max_sd
+    FROM lineitem
+    """,
+)
+def metadata_count_distinct(spark, sf_dir):
+    """count(DISTINCT low-card-col) answered from ValueListSketch's exact
+    per-file value lists (MetadataOnlyAggRule): the global distinct count
+    is the distinct of per-file unions — no scan, no distinct shuffle.
+    Rides w_li_skip's existing ValueList(l_shipyear) + MinMax(l_shipdate)
+    sketches."""
+    from pyspark.sql import functions as F
+
+    ws = workspace(spark, sf_dir)
+    df = _p(spark, ws.li_byship).agg(
+        F.countDistinct("l_shipyear").alias("n_years"),
+        F.min("l_shipdate").alias("min_sd"),
+        F.max("l_shipdate").alias("max_sd"),
     )
     return ws.hs.apply(df)
 
@@ -4398,6 +4425,7 @@ _VERIFY_PRIORITY = [
     # New-in-r8 queries are inserted at the head as they are added. ---
     "metadata_only_agg",
     "metadata_group_agg",
+    "metadata_count_distinct",
     "dedup_incremental",
     "dedup_repeated_spans",
     "streaming_ledger_dedup",

@@ -159,6 +159,43 @@ def test_hybrid_append_and_delete_exact(spark, tmp_path_factory):
     _assert_same(q, fast)
 
 
+def test_count_distinct_from_valuelist(spark, tmp_path_factory):
+    """count(DISTINCT col) folds from ValueListSketch's exact per-file
+    value lists; columns without a ValueList decline."""
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark import ValueListSketch
+
+    src = str(tmp_path_factory.mktemp("li_cd_src"))
+    (
+        table(spark, "lineitem")
+        .repartitionByRange(6, "l_orderkey")
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    hs = Hyperspace(spark, system_path=str(tmp_path_factory.mktemp("hsidx_cd")))
+    hs.create_index(
+        spark.read.parquet(src),
+        DataSkippingIndexConfig(
+            "li_cd", [ValueListSketch(["l_returnflag"]), RowCountSketch()]
+        ),
+    )
+    df = spark.read.parquet(src)
+    q = df.agg(
+        F.countDistinct("l_returnflag").alias("d"), F.count("*").alias("c")
+    )
+    fast, used = hs._apply_with_info(q)
+    assert used == ["li_cd"], hs.why_not(q)
+    _assert_same(q, fast)
+    # no ValueList on l_quantity -> decline
+    _, u = hs._apply_with_info(df.agg(F.countDistinct("l_quantity").alias("d")))
+    assert u == []
+    # sum(DISTINCT ...) never rewrites
+    q3 = df.agg(F.sum_distinct(F.col("l_quantity")).alias("sd"), F.count("*").alias("c"))
+    f3, u3 = hs._apply_with_info(q3)
+    assert u3 == [] and f3.collect() == q3.collect()
+
+
 def test_grouped_by_partition_column(spark, tmp_path_factory):
     """GROUP BY a partition column folds from PartitionSketch-keyed rows;
     non-partition grouping keys decline (their per-file value is not
