@@ -167,6 +167,7 @@ def main() -> None:
         "metadata_only_agg",
         "metadata_group_agg",
         "metadata_count_distinct",
+        "metadata_filtered_agg",
         "dedup_incremental",
         "dedup_repeated_spans",
         "streaming_ledger_dedup",

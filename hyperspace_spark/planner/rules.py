@@ -600,6 +600,10 @@ class MetadataOnlyAggRule:
     constant per file, so the per-file sketch rows regroup exactly —
     `SELECT dt, count(*) FROM events GROUP BY dt` (the daily-counts
     query every pipeline dashboard runs) never touches the events data.
+    A WHERE clause referencing only partition columns folds the same way
+    (`... WHERE dt >= DATE'2024-01-01'`): the predicate applies verbatim
+    to the partition-valued sketch rows — an exact file filter, not a
+    might-contain approximation.
 
     Extension beyond the reference — its sketches only ever SKIP files
     (dataskipping/rules/ApplyDataSkippingIndex.scala:33-105); the same
@@ -612,11 +616,23 @@ class MetadataOnlyAggRule:
     def apply(self, node: ir.Node, ctx: RuleContext) -> Applied | None:
         if not isinstance(node, ir.AggregateN):
             return None
-        # Linear child: pass-through projects of plain columns, NO filter.
+        # Linear child: pass-through projects of plain columns, plus at
+        # most ONE filter — which must reference ONLY partition columns
+        # (checked below, once the scan is known): a partition value is
+        # constant per file, so such a predicate keeps or drops whole
+        # files and filtering the per-file sketch ROWS is exact, not a
+        # might-contain approximation.  `SELECT count(*) FROM t WHERE
+        # dt >= X` — the dashboard query — folds from the index.
         cur = node.child
-        while isinstance(cur, ir.ProjectN):
-            if any(_plain_column(e) is None for e in cur.exprs):
-                return None
+        filt: ir.FilterN | None = None
+        while isinstance(cur, (ir.ProjectN, ir.FilterN)):
+            if isinstance(cur, ir.ProjectN):
+                if any(_plain_column(e) is None for e in cur.exprs):
+                    return None
+            else:
+                if filt is not None:
+                    return None
+                filt = cur
             cur = cur.child
         if not isinstance(cur, ir.Scan):
             return None
@@ -626,6 +642,21 @@ class MetadataOnlyAggRule:
         # per file — the only columns whose per-file sketch value
         # regroups exactly).
         part_cols = {c.lower() for c in scan.partition_columns}
+        filter_sql: str | None = None
+        filter_refs: list[str] = []
+        if filt is not None:
+            refs = filt.condition.references
+            if not refs or not {r.lower() for r in refs} <= part_cols:
+                return None
+            # Applied VERBATIM to a frame exposing only partition-named
+            # columns (+ fold slots) — a reference the parser missed
+            # fails analysis at replay and apply() declines; it can
+            # never fold wrong.
+            filter_sql = filt.condition.sql
+            filter_refs = [
+                c for c in scan.partition_columns
+                if c.lower() in {r.lower() for r in refs}
+            ]
         group_cols: list[str] = []
         for g in node.grouping:
             c = _plain_column(g)
@@ -691,7 +722,8 @@ class MetadataOnlyAggRule:
             entry = cand.entry
             plan = self._map_specs(entry, calls, part_cols)
             groups = self._map_groups(entry, group_cols)
-            if plan is None or groups is None:
+            fcols = self._map_groups(entry, filter_refs)
+            if plan is None or groups is None or fcols is None:
                 ctx.tag(
                     entry.name,
                     MISSING_REQUIRED_COL,
@@ -724,9 +756,12 @@ class MetadataOnlyAggRule:
                 _app=appended_paths,
                 _scan=scan,
                 _out=tuple(final_exprs),
+                _fsql=filter_sql,
+                _fcols=tuple(fcols),
             ):
                 return _metadata_only_agg_df(
-                    spark, _plan, _groups, _dirs, _schema, _del, _app, _scan, _out
+                    spark, _plan, _groups, _dirs, _schema, _del, _app, _scan, _out,
+                    _fsql, _fcols,
                 )
 
             sub = ir.Scan(output=list(node.output))
@@ -817,7 +852,8 @@ class MetadataOnlyAggRule:
 
 
 def _metadata_only_agg_df(
-    spark, plan, groups, dirs, schema_json, deleted_ids, appended, scan, out_exprs
+    spark, plan, groups, dirs, schema_json, deleted_ids, appended, scan, out_exprs,
+    filter_sql=None, fcols=(),
 ):
     """Fold per-file sketch partials (+ a raw partial over appended files)
     into the final aggregate — one row, or one row per partition-value
@@ -845,9 +881,13 @@ def _metadata_only_agg_df(
     def slots(i):
         return f"_hs_p{i}", f"_hs_p{i}b"
 
-    idx_cols = [F.col(field).alias(col) for field, col in groups]
-    raw_aggs = []
     gcols = [col for _field, col in groups]
+    idx_cols = [F.col(field).alias(col) for field, col in groups]
+    # Partition columns the filter references but the grouping doesn't:
+    # exposed for the verbatim filter, dropped before the fold.
+    fonly = [(field, col) for field, col in fcols if col not in gcols]
+    idx_cols += [F.col(field).alias(col) for field, col in fonly]
+    raw_aggs = []
     for i, (fn, sk_cols, col, _alias) in enumerate(plan):
         s, sb = slots(i)
         idx_cols.append(F.col(sk_cols[0]).alias(s))
@@ -866,6 +906,13 @@ def _metadata_only_agg_df(
             raw_aggs.append(F.sum(col).alias(s))
             raw_aggs.append(F.count(col).alias(sb))
     parts = idx.select(*idx_cols)
+    if filter_sql:
+        # Verbatim: the frame exposes the referenced partition columns
+        # under their source names, and partition values are constant
+        # per file, so the row filter IS the exact file filter.
+        parts = parts.filter(filter_sql)
+    if fonly:
+        parts = parts.drop(*[col for _field, col in fonly])
 
     if appended:
         reader = spark.read.format(scan.file_format)
@@ -879,6 +926,8 @@ def _metadata_only_agg_df(
         if opts:
             reader = reader.options(**opts)
         loaded = reader.load(list(appended))
+        if filter_sql:
+            loaded = loaded.filter(filter_sql)
         if raw_aggs:
             raw = loaded.groupBy(*gcols).agg(*raw_aggs) if gcols else loaded.agg(*raw_aggs)
         else:

@@ -62,6 +62,8 @@ ACCELERATED_QUERIES = [
     "metadata_group_agg",
     # r8: count(DISTINCT) from ValueListSketch per-file value lists
     "metadata_count_distinct",
+    # r8: partition-predicate WHERE folded exactly from sketch rows
+    "metadata_filtered_agg",
 ]
 
 
@@ -895,6 +897,32 @@ def metadata_group_agg(spark, sf_dir):
     df = (
         _p(spark, ws.orders_bypart)
         .groupBy("o_year")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("tot"),
+        )
+    )
+    return ws.hs.apply(df)
+
+
+@q(
+    "metadata_filtered_agg",
+    """
+    SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS tot
+    FROM orders WHERE year(o_orderdate) BETWEEN 1996 AND 1998
+    """,
+)
+def metadata_filtered_agg(spark, sf_dir):
+    """Partition-predicate dashboard query answered from the index
+    (MetadataOnlyAggRule filtered path): WHERE on the partition column
+    filters the PartitionSketch-valued rows — an exact file filter, so
+    count/sum fold with zero source scan."""
+    from pyspark.sql import functions as F
+
+    ws = workspace(spark, sf_dir)
+    df = (
+        _p(spark, ws.orders_bypart)
+        .filter("o_year BETWEEN 1996 AND 1998")
         .agg(
             F.count("*").alias("cnt"),
             F.round(F.sum("o_totalprice"), 2).alias("tot"),
@@ -4426,6 +4454,7 @@ _VERIFY_PRIORITY = [
     "metadata_only_agg",
     "metadata_group_agg",
     "metadata_count_distinct",
+    "metadata_filtered_agg",
     "dedup_incremental",
     "dedup_repeated_spans",
     "streaming_ledger_dedup",

@@ -257,6 +257,57 @@ def test_grouped_by_partition_column(spark, tmp_path_factory):
     _assert_same(q2.orderBy("o_year"), fast2.orderBy("o_year"))
 
 
+def test_partition_filter_folds_exactly(spark, tmp_path_factory):
+    """A WHERE referencing only partition columns filters the sketch ROWS
+    (exact — partition values are constant per file); a filter touching
+    any data column must NOT metadata-fold (the skipping rule may still
+    prune source files, which keeps the source scan and exact values)."""
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark import PartitionSketch
+
+    src = str(tmp_path_factory.mktemp("orders_pfilter"))
+    (
+        table(spark, "orders")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(src)
+    )
+    hs = Hyperspace(spark, system_path=str(tmp_path_factory.mktemp("hsidx_pf")))
+    hs.create_index(
+        spark.read.parquet(src),
+        DataSkippingIndexConfig(
+            "pm_f",
+            [PartitionSketch(["o_year"]), RowCountSketch(), SumSketch(["o_totalprice"])],
+        ),
+    )
+    df = spark.read.parquet(src)
+    for pred in (
+        "o_year >= 1998",
+        "o_year BETWEEN 1996 AND 1998",
+        "o_year IN (1995, 1999)",
+        "o_year % 2 = 0",
+    ):
+        q = df.filter(pred).agg(
+            F.count("*").alias("c"), F.round(F.sum("o_totalprice"), 2).alias("t")
+        )
+        fast, used = hs._apply_with_info(q)
+        assert used == ["pm_f"], (pred, hs.why_not(q))
+        assert all("hsidx_pf" in f for f in fast.inputFiles()), pred
+        _assert_same(q, fast)
+    # filtered + grouped together
+    qg = df.filter("o_year >= 1997").groupBy("o_year").agg(F.count("*").alias("c"))
+    fastg, usedg = hs._apply_with_info(qg)
+    assert usedg == ["pm_f"]
+    _assert_same(qg.orderBy("o_year"), fastg.orderBy("o_year"))
+    # data-column predicate: values exact, source still scanned (no fold)
+    qm = df.filter("o_year > 1996 AND o_totalprice > 0").agg(F.count("*").alias("c"))
+    fastm, _ = hs._apply_with_info(qm)
+    assert fastm.collect() == qm.collect()
+    assert not all("hsidx_pf" in f for f in fastm.inputFiles())
+
+
 def test_sketch_roundtrip_and_refresh(spark, tmp_path_factory):
     """New sketch kinds survive to_json/from_json and incremental refresh."""
     from hyperspace_spark.indexes.sketches import sketch_from_json
