@@ -198,6 +198,10 @@ def compact_fingerprint_ledger(
     import os
     import shutil
 
+    import glob as _glob
+
+    if not _glob.glob(os.path.join(path, "*.parquet")):
+        return 0  # empty/new ledger: nothing to compact
     staging = f"{path}__compact"
     shutil.rmtree(staging, ignore_errors=True)
     distinct = spark.read.parquet(path).select("_fp").distinct()
@@ -242,8 +246,19 @@ def incremental_dedup(
     unmatched rows, so the NULL-keep policy costs no extra branch."""
     from pyspark.sql import functions as F
 
-    if ledger_df.columns != ["_fp"]:
+    if "_fp" in ledger_df.columns:
+        ledger_df = ledger_df.select("_fp")
+    elif len(ledger_df.columns) == 1:
         ledger_df = ledger_df.select(F.col(ledger_df.columns[0]).alias("_fp"))
+    else:
+        # A multi-column frame without _fp is almost certainly the raw
+        # corpus passed by mistake — joining on its first column would
+        # silently keep everything.
+        raise ValueError(
+            "ledger_df must be a fingerprint frame (one `_fp` column, "
+            "from corpus_fingerprints/read_fingerprint_ledger); got "
+            f"columns {ledger_df.columns}"
+        )
     batch = exact_dedup(batch_df, text_col, id_col)
     keyed = batch.withColumn("_fp", fingerprint(F.col(text_col)))
     return keyed.join(ledger_df, "_fp", "left_anti").drop("_fp")

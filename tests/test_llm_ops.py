@@ -182,6 +182,20 @@ def test_incremental_dedup_empty_ledger_keeps_batch(spark):
     )
     out = dedup.incremental_dedup(batch, ledger)
     assert sorted(r.doc_id for r in out.collect()) == [1, 2]
+    # A raw corpus passed as the ledger is a hard error, not a silent
+    # keep-everything.
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="_fp"):
+        dedup.incremental_dedup(batch, batch)
+
+
+def test_compact_empty_ledger_is_noop(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("fp_empty")) + "/ledger"
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    assert dedup.compact_fingerprint_ledger(spark, path, 4) == 0
 
 
 def test_remove_repeated_spans_first_occurrence_survives(spark):
