@@ -124,6 +124,50 @@ def _ledger_table_name(path: str) -> str:
     return f"hs_fp_ledger_{hashlib.md5(path.encode()).hexdigest()[:8]}"
 
 
+def _ledger_local(path: str) -> str:
+    """The ledger LIFECYCLE helpers (meta sidecar, compaction swap) use
+    driver-local filesystem calls; a remote URI would silently no-op or
+    corrupt.  The anti join itself is engine-native and works anywhere —
+    only these maintenance entry points are local-path-bound (same
+    boundary as the index workspace's /tmp staging)."""
+    if "://" in path and not path.startswith("file://"):
+        raise NotImplementedError(
+            f"fingerprint-ledger lifecycle helpers need a driver-local "
+            f"(or mounted) path; got {path!r}"
+        )
+    return path[len("file://"):] if path.startswith("file://") else path
+
+
+def _ledger_meta_path(path: str) -> str:
+    import os
+
+    return os.path.join(_ledger_local(path), "_LEDGER_META.json")
+
+
+def _write_ledger_meta(path: str, num_buckets: int) -> None:
+    import json
+    import os
+
+    os.makedirs(_ledger_local(path), exist_ok=True)
+    with open(_ledger_meta_path(path), "w") as f:
+        json.dump({"num_buckets": num_buckets}, f)
+
+
+def _ledger_buckets(path: str, default: int) -> int:
+    """The bucket count the ledger files were WRITTEN with — a reader
+    registering a different count would silently route batch rows to the
+    wrong buckets in the Exchange-free anti join (missed matches =
+    duplicates passing dedup).  The sidecar is authoritative; the
+    parameter is only the fallback for pre-sidecar ledgers."""
+    import json
+
+    try:
+        with open(_ledger_meta_path(path)) as f:
+            return int(json.load(f)["num_buckets"])
+    except (OSError, ValueError, KeyError):
+        return default
+
+
 def write_fingerprint_ledger(
     spark, ledger_df: "DataFrame", path: str, num_buckets: int = 64
 ) -> str:
@@ -138,18 +182,22 @@ def write_fingerprint_ledger(
 
     tbl = _ledger_table_name(path)
     write_bucketed(spark, ledger_df.select("_fp"), ["_fp"], num_buckets, path, tbl)
+    _write_ledger_meta(path, num_buckets)
     return tbl
 
 
 def read_fingerprint_ledger(spark, path: str, num_buckets: int = 64) -> "DataFrame":
     """Open a persisted fingerprint ledger THROUGH its bucketed catalog
     entry (re-registered on demand — new sessions see the same files),
-    so joins against it keep the bucket distribution."""
+    so joins against it keep the bucket distribution.  The bucket count
+    comes from the ledger's own sidecar (written at create time);
+    ``num_buckets`` is only the fallback for pre-sidecar ledgers."""
     tbl = _ledger_table_name(path)
+    n = _ledger_buckets(path, num_buckets)
     if not spark.catalog.tableExists(tbl):
         spark.sql(
             f"CREATE TABLE {tbl} (`_fp` string) USING parquet "
-            f"CLUSTERED BY (`_fp`) SORTED BY (`_fp`) INTO {num_buckets} BUCKETS "
+            f"CLUSTERED BY (`_fp`) SORTED BY (`_fp`) INTO {n} BUCKETS "
             f"LOCATION '{path}'"
         )
     return spark.table(tbl)
@@ -167,13 +215,14 @@ def append_fingerprint_ledger(
     from pyspark.sql import functions as F
 
     read_fingerprint_ledger(spark, path, num_buckets)  # ensure registered
+    n = _ledger_buckets(path, num_buckets)
     tbl = _ledger_table_name(path)
     fps = corpus_fingerprints(accepted_df, text_col)
     (
-        fps.repartition(num_buckets, F.col("_fp"))
+        fps.repartition(n, F.col("_fp"))
         .write.format("parquet")
         .mode("append")
-        .bucketBy(num_buckets, "_fp")
+        .bucketBy(n, "_fp")
         .sortBy("_fp")
         .option("path", path)
         .saveAsTable(tbl)
@@ -195,33 +244,38 @@ def compact_fingerprint_ledger(
     a window where a reader sees no ledger — run it when no batch is in
     flight, like any index OPTIMIZE.  Returns the distinct fingerprint
     count."""
+    import glob as _glob
     import os
     import shutil
 
-    import glob as _glob
-
-    if not _glob.glob(os.path.join(path, "*.parquet")):
+    lpath = _ledger_local(path)
+    if not _glob.glob(os.path.join(lpath, "*.parquet")):
         return 0  # empty/new ledger: nothing to compact
-    staging = f"{path}__compact"
+    n_buckets = _ledger_buckets(path, num_buckets)
+    staging = f"{lpath}__compact"
     shutil.rmtree(staging, ignore_errors=True)
-    distinct = spark.read.parquet(path).select("_fp").distinct()
-    n = distinct.count()
+    distinct = spark.read.parquet(lpath).select("_fp").distinct()
     tbl = _ledger_table_name(path)
     # Rebuild through a staging table, then swap the directories and
     # re-register the canonical name over the compacted files.
     from hyperspace_spark.indexes.covering import write_bucketed
 
     write_bucketed(
-        spark, distinct, ["_fp"], num_buckets, staging, f"{tbl}__compact"
+        spark, distinct, ["_fp"], n_buckets, staging, f"{tbl}__compact"
     )
+    # Count the STAGED output (one pass total — counting the lazy
+    # distinct before the write would re-execute the whole scan, and an
+    # append racing in between would make the two disagree).
+    n = spark.read.parquet(staging).count()
     spark.sql(f"DROP TABLE IF EXISTS {tbl}__compact")
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-    old = f"{path}__old"
+    old = f"{lpath}__old"
     shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(staging, path)
+    os.rename(lpath, old)
+    os.rename(staging, lpath)
     shutil.rmtree(old, ignore_errors=True)
-    read_fingerprint_ledger(spark, path, num_buckets)  # re-register
+    _write_ledger_meta(path, n_buckets)
+    read_fingerprint_ledger(spark, path, n_buckets)  # re-register
     return n
 
 
@@ -248,14 +302,12 @@ def incremental_dedup(
 
     if "_fp" in ledger_df.columns:
         ledger_df = ledger_df.select("_fp")
-    elif len(ledger_df.columns) == 1:
-        ledger_df = ledger_df.select(F.col(ledger_df.columns[0]).alias("_fp"))
     else:
-        # A multi-column frame without _fp is almost certainly the raw
-        # corpus passed by mistake — joining on its first column would
-        # silently keep everything.
+        # Anything without an _fp column — the raw corpus, a text or id
+        # projection — would anti-join raw values against md5 hashes and
+        # silently keep every previously-seen document.
         raise ValueError(
-            "ledger_df must be a fingerprint frame (one `_fp` column, "
+            "ledger_df must be a fingerprint frame (an `_fp` column, "
             "from corpus_fingerprints/read_fingerprint_ledger); got "
             f"columns {ledger_df.columns}"
         )
@@ -1427,10 +1479,13 @@ def remove_repeated_spans(
     n_removed = 0).
 
     100 TB shape:
-    - the one corpus-sized stage is the n-gram groupBy — partial-
+    - the one corpus-sized SHUFFLE is the n-gram groupBy — partial-
       aggregated map-side (count + min(occurrence key), NO window), so a
       boilerplate gram occurring 10^9 times folds into one row without a
-      skewed sort;
+      skewed sort.  The n-gram EXPANSION itself runs twice (once feeding
+      the groupBy, once for the join back) — a deliberate recompute-over-
+      cache choice: persisting the expansion would hold ~n× the corpus
+      bytes, while re-expanding is a narrow CPU-only map stage;
     - only grams with count >= 2 survive, so the join back to
       occurrences carries just the duplicated-gram dictionary (AQE
       broadcasts it when small);
@@ -1440,9 +1495,10 @@ def remove_repeated_spans(
     - the final pass joins the per-doc removal array back to the token
       array and filters each row locally with higher-order functions.
 
-    Occurrence keys are ``doc_id * 1_000_000 + position``: documents are
-    assumed under one million whitespace tokens (≈ 4 MB of text) — far
-    above any sane training-document length.
+    Occurrence order is ``struct(doc_id, position)`` — numeric ids order
+    numerically, string ids lexicographically (the same ordering
+    exact_dedup uses), with no arithmetic encoding to overflow or NULL
+    out on non-numeric ids.
     """
     from pyspark.sql import functions as F
 
@@ -1475,16 +1531,20 @@ def remove_repeated_spans(
             "_id",
             F.col("o.pos").alias("pos"),
             F.col("o.g").alias("g"),
-            (F.col("_id") * F.lit(1_000_000) + F.col("o.pos")).alias("okey"),
         )
     )
+    # Occurrence ordering by struct(_id, pos): lexicographic on the id's
+    # own type (numeric ids numerically, string ids lexicographically —
+    # consistent with exact_dedup's ORDER BY id_col), no arithmetic
+    # encoding to overflow or NULL out on non-numeric ids.
+    okey = F.struct(F.col("_id"), F.col("pos"))
     hot = (
         occ.groupBy("g")
-        .agg(F.count("*").alias("cnt"), F.min("okey").alias("fk"))
+        .agg(F.count("*").alias("cnt"), F.min(okey).alias("fk"))
         .filter(F.col("cnt") >= 2)
         .select("g", "fk")
     )
-    removed = occ.join(hot, "g").filter(F.col("okey") != F.col("fk")).select("_id", "pos")
+    removed = occ.join(hot, "g").filter(okey != F.col("fk")).select("_id", "pos")
     remsets = removed.groupBy("_id").agg(F.collect_set("pos").alias("_starts"))
     covered = F.array_distinct(
         F.flatten(F.transform(F.col("_starts"), lambda p: F.sequence(p, p + n - 1)))

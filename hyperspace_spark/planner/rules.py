@@ -714,6 +714,18 @@ class MetadataOnlyAggRule:
             outputs.append((expr, spans, alias))
         if not calls and not group_cols:
             return None
+        # Span-less outputs in a GROUPED query must be plain grouping-key
+        # references: anything else (first(pcol), an uncaptured agg...)
+        # would re-evaluate over the fold frame — the structural guard in
+        # _metadata_only_agg_df catches the general case, this declines
+        # the common one before planning.
+        if group_cols:
+            gset = {c.lower() for c in group_cols}
+            for expr, spans, _alias in outputs:
+                if not spans:
+                    c = _plain_column(expr)
+                    if c is None or c.lower() not in gset:
+                        return None
 
         cands = ctx.for_scan(scan, "DS")
         if not cands:
@@ -965,7 +977,22 @@ def _metadata_only_agg_df(
         folded = parts.groupBy(*gcols).agg(*finals)
     else:
         folded = parts.agg(*finals)
-    return folded.selectExpr(*out_exprs)
+    result = folded.selectExpr(*out_exprs)
+    # Structural guard: the final projection must be a pure SCALAR step.
+    # An aggregate the span regex did not capture (first(pcol),
+    # sum(pcol*2), an unknown agg over a grouping column...) analyzes as
+    # an IMPLICIT GLOBAL aggregate over the fold frame — legal SQL, one
+    # wrong row, no error.  selectExpr over `folded` adds exactly one
+    # node, so if that node is an Aggregate the rewrite is unsound:
+    # raise, and apply()'s documented swallow path returns the original
+    # DataFrame untouched.
+    top = result._jdf.queryExecution().analyzed().getClass().getSimpleName()
+    if top == "Aggregate":
+        raise ValueError(
+            "metadata-only fold left an uncaptured aggregate in the "
+            f"output projection: {list(out_exprs)}"
+        )
+    return result
 
 
 def default_rules() -> list:

@@ -110,7 +110,10 @@ def dedup_stream_against_ledger(
 
     from hyperspace_spark.llm import dedup as batch_dedup
 
-    os.makedirs(ledger_path, exist_ok=True)
+    # The ledger lifecycle helpers are driver-local-path-bound (sidecar
+    # + compaction swap); fail fast on a remote URI rather than creating
+    # a bogus local directory.
+    os.makedirs(batch_dedup._ledger_local(ledger_path), exist_ok=True)
     gated = dedup_stream_by_content(df, text_col, ts_col, delay)
 
     def _sink(batch_df, _batch_id):

@@ -4279,12 +4279,20 @@ def streaming_ledger_dedup(spark, sf_dir):
         stream, f"{work}/ledger", f"{work}/out", f"{work}/ckpt", num_buckets=8
     )
     handle.awaitTermination()
-    return (
+    # Materialize the (small) fingerprint set and remove the run dir —
+    # bench times this query repeatedly, and leaked per-run copies of
+    # half the corpus would both fill /tmp and skew warm-run timings.
+    rows = (
         spark.read.parquet(f"{work}/out")
         .filter(F.col("text").isNotNull())
         .select(fingerprint(F.col("text")).alias("fp"))
         .distinct()
+        .collect()
     )
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, "fp string")
 
 
 @q(

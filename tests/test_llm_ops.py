@@ -217,6 +217,45 @@ def test_remove_repeated_spans_first_occurrence_survives(spark):
     assert out[4].n_tokens == 8
 
 
+def test_remove_repeated_spans_string_ids(spark):
+    """Regression (r8 review): string doc ids must dedup too — the old
+    arithmetic occurrence key NULLed out on non-numeric ids and silently
+    removed nothing."""
+    span = "s1 s2 s3 s4 s5 s6 s7 s8"
+    df = spark.createDataFrame(
+        [("doc-a", span), ("doc-b", f"x {span}")], "doc_id string, text string"
+    )
+    out = {r.doc_id: r for r in dedup.remove_repeated_spans(df, n=8).collect()}
+    assert out["doc-a"].n_removed == 0          # lexicographic first
+    assert out["doc-b"].n_removed == 8 and out["doc-b"].cleaned_text == "x"
+
+
+def test_ledger_bucket_count_from_sidecar(spark, tmp_path_factory):
+    """Regression (r8 review): a reader supplying the wrong num_buckets
+    must not silently mis-bucket the anti join — the sidecar written at
+    create time wins."""
+    path = str(tmp_path_factory.mktemp("fp_meta")) + "/ledger"
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    dedup.write_fingerprint_ledger(spark, dedup.corpus_fingerprints(docs), path, 8)
+    # Reader lies about the bucket count: the registered table must still
+    # say 8 (matches tell dedup works end-to-end).
+    led = dedup.read_fingerprint_ledger(spark, path, num_buckets=2)
+    batch = docs.limit(5).selectExpr("doc_id + 100 AS doc_id", "text")
+    assert dedup.incremental_dedup(batch, led).count() == 0
+    # Appends with a wrong hint also land under the true bucket spec.
+    newdocs = spark.createDataFrame([(900, "fresh doc")], "doc_id long, text string")
+    dedup.append_fingerprint_ledger(spark, newdocs, path, num_buckets=3)
+    led2 = dedup.read_fingerprint_ledger(spark, path, num_buckets=5)
+    assert dedup.incremental_dedup(newdocs, led2).count() == 0
+    # Remote URI: lifecycle helpers fail fast instead of no-op.
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        dedup.compact_fingerprint_ledger(spark, "s3://bucket/ledger", 4)
+
+
 def test_remove_repeated_spans_overlapping_spans_union(spark):
     # 9 tokens shared -> two overlapping duplicated 8-grams in the repeat;
     # covered positions union to all 9, not 16.

@@ -257,6 +257,50 @@ def test_grouped_by_partition_column(spark, tmp_path_factory):
     _assert_same(q2.orderBy("o_year"), fast2.orderBy("o_year"))
 
 
+def test_uncaptured_aggregate_over_grouping_key_never_folds(spark, tmp_path_factory):
+    """Regression (r8 review, CONFIRMED wrong-results repro): an output
+    aggregate the span regex does not capture but which references only
+    grouping columns — first(pcol), sum(pcol*2) — would re-evaluate as an
+    implicit GLOBAL aggregate over the fold frame (legal SQL, one wrong
+    row, no error).  Both the plan-time span-less check and the
+    structural Aggregate-on-top guard must force a decline with exact
+    results."""
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark import PartitionSketch
+
+    src = str(tmp_path_factory.mktemp("orders_uncaptured"))
+    (
+        table(spark, "orders")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(src)
+    )
+    hs = Hyperspace(spark, system_path=str(tmp_path_factory.mktemp("hsidx_unc")))
+    hs.create_index(
+        spark.read.parquet(src),
+        DataSkippingIndexConfig(
+            "pm_u",
+            [PartitionSketch(["o_year"]), RowCountSketch(), SumSketch(["o_totalprice"])],
+        ),
+    )
+    df = spark.read.parquet(src)
+    cases = [
+        df.groupBy("o_year").agg(F.first("o_year").alias("y")),
+        df.groupBy("o_year").agg(F.sum(F.col("o_year") * 2).alias("s")),
+        # captured span + uncaptured aggregate in the SAME query: passes
+        # the span-less check, must hit the structural guard
+        df.groupBy("o_year").agg(
+            (F.count("*") + F.sum(F.col("o_year") * 2)).alias("mix")
+        ),
+    ]
+    for i, q in enumerate(cases):
+        fast, used = hs._apply_with_info(q)
+        assert used == [], (i, used)
+        assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, q.collect())), i
+
+
 def test_partition_filter_folds_exactly(spark, tmp_path_factory):
     """A WHERE referencing only partition columns filters the sketch ROWS
     (exact — partition values are constant per file); a filter touching
