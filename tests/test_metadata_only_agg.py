@@ -352,6 +352,42 @@ def test_partition_filter_folds_exactly(spark, tmp_path_factory):
     assert not all("hsidx_pf" in f for f in fastm.inputFiles())
 
 
+def test_metadata_fold_over_delta_source(spark, tmp_path_factory):
+    """The fold composes with snapshot sources: a skipping index over a
+    Delta table answers global aggregates, and a Delta APPEND after the
+    build flows through the hybrid raw-partial path exactly."""
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.sources.delta import read_delta, write_delta
+
+    root = str(tmp_path_factory.mktemp("delta_meta")) + "/dtab"
+    orders = table(spark, "orders")
+    write_delta(orders.repartition(4), root)
+    hs = Hyperspace(spark, system_path=str(tmp_path_factory.mktemp("hsidx_dm")))
+    hs.create_index(
+        read_delta(spark, root),
+        DataSkippingIndexConfig(
+            "dmeta",
+            [RowCountSketch(), SumSketch(["o_totalprice"]), MinMaxSketch(["o_orderdate"])],
+        ),
+    )
+    q = read_delta(spark, root).agg(
+        F.count("*").alias("c"),
+        F.round(F.sum("o_totalprice"), 2).alias("t"),
+        F.max("o_orderdate").alias("mx"),
+    )
+    fast, used = hs._apply_with_info(q)
+    assert used == ["dmeta"], hs.why_not(q)
+    _assert_same(q, fast)
+    write_delta(orders.limit(200), root, mode="append")
+    q2 = read_delta(spark, root).agg(
+        F.count("*").alias("c"), F.round(F.sum("o_totalprice"), 2).alias("t")
+    )
+    fast2, used2 = hs._apply_with_info(q2)
+    assert used2 == ["dmeta"], hs.why_not(q2)
+    _assert_same(q2, fast2)
+
+
 def test_sketch_roundtrip_and_refresh(spark, tmp_path_factory):
     """New sketch kinds survive to_json/from_json and incremental refresh."""
     from hyperspace_spark.indexes.sketches import sketch_from_json
