@@ -145,10 +145,18 @@ def _ledger_meta_path(path: str) -> str:
 
 
 def _write_ledger_meta(path: str, num_buckets: int) -> None:
+    """Best-effort on remote paths: the data write itself is engine-native
+    and fine anywhere; a remote ledger simply has no sidecar, so every
+    caller must keep passing the same num_buckets (documented on
+    write_fingerprint_ledger)."""
     import json
     import os
 
-    os.makedirs(_ledger_local(path), exist_ok=True)
+    try:
+        local = _ledger_local(path)
+    except NotImplementedError:
+        return
+    os.makedirs(local, exist_ok=True)
     with open(_ledger_meta_path(path), "w") as f:
         json.dump({"num_buckets": num_buckets}, f)
 
@@ -158,13 +166,14 @@ def _ledger_buckets(path: str, default: int) -> int:
     registering a different count would silently route batch rows to the
     wrong buckets in the Exchange-free anti join (missed matches =
     duplicates passing dedup).  The sidecar is authoritative; the
-    parameter is only the fallback for pre-sidecar ledgers."""
+    parameter is only the fallback for pre-sidecar (or remote — no
+    sidecar possible) ledgers.  Malformed sidecars fall back too."""
     import json
 
     try:
         with open(_ledger_meta_path(path)) as f:
             return int(json.load(f)["num_buckets"])
-    except (OSError, ValueError, KeyError):
+    except (NotImplementedError, OSError, ValueError, KeyError, TypeError):
         return default
 
 
@@ -177,7 +186,11 @@ def write_fingerprint_ledger(
     index's bucketed sink, indexes/covering.py write_bucketed).  A
     bucketed ledger makes every subsequent incremental_dedup anti join
     Exchange-free on the ledger side: only the (small) daily batch ever
-    shuffles.  Returns the registered table name."""
+    shuffles.  Returns the registered table name.
+
+    On a REMOTE path (s3://, hdfs://) the data write works but no
+    num_buckets sidecar can be written — pass the SAME num_buckets to
+    every read/append, and note compaction is local-path-only."""
     from hyperspace_spark.indexes.covering import write_bucketed
 
     tbl = _ledger_table_name(path)
@@ -216,6 +229,10 @@ def append_fingerprint_ledger(
 
     read_fingerprint_ledger(spark, path, num_buckets)  # ensure registered
     n = _ledger_buckets(path, num_buckets)
+    # First append on a fresh dir (the streaming sink starts this way):
+    # pin the bucket count NOW so later sessions with a different default
+    # can't mis-bucket the join.
+    _write_ledger_meta(path, n)
     tbl = _ledger_table_name(path)
     fps = corpus_fingerprints(accepted_df, text_col)
     (

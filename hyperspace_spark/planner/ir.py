@@ -58,6 +58,11 @@ def _normalize_path(p: str) -> str:
 class FilterN(Node):
     child: Node = None
     condition: Expr = None
+    # Catalyst's Expression.deterministic for the WHOLE condition.  A
+    # non-deterministic term (rand(), uuid()...) contributes no column
+    # references, so reference-based eligibility checks alone would let
+    # MetadataOnlyAggRule evaluate it once per FILE instead of per row.
+    deterministic: bool = True
 
 
 @dataclass

@@ -176,7 +176,15 @@ def _parse(jnode) -> ir.Node:
         )
 
     if cls == "Filter":
-        return ir.FilterN(child=_parse_or_opaque(jnode.child()), condition=parse_expr(jnode.condition()))
+        try:
+            det = bool(jnode.condition().deterministic())
+        except Exception:
+            det = False  # unknown -> treat as non-deterministic (safe)
+        return ir.FilterN(
+            child=_parse_or_opaque(jnode.child()),
+            condition=parse_expr(jnode.condition()),
+            deterministic=det,
+        )
 
     if cls == "Aggregate":
         grouping = [expr_sql(e) for e in scala_seq(jnode.groupingExpressions())]

@@ -646,6 +646,11 @@ class MetadataOnlyAggRule:
         filter_refs: list[str] = []
         if filt is not None:
             refs = filt.condition.references
+            if not filt.deterministic:
+                # rand()/uuid()-style terms carry no references but must
+                # run once per ROW; folding would evaluate them once per
+                # file sketch row (confirmed wrong-results repro, r8).
+                return None
             if not refs or not {r.lower() for r in refs} <= part_cols:
                 return None
             # Applied VERBATIM to a frame exposing only partition-named

@@ -110,10 +110,15 @@ def dedup_stream_against_ledger(
 
     from hyperspace_spark.llm import dedup as batch_dedup
 
-    # The ledger lifecycle helpers are driver-local-path-bound (sidecar
-    # + compaction swap); fail fast on a remote URI rather than creating
-    # a bogus local directory.
-    os.makedirs(batch_dedup._ledger_local(ledger_path), exist_ok=True)
+    # Local ledgers get their directory (and later the num_buckets
+    # sidecar) up front; remote ledgers skip both — Spark writers create
+    # remote dirs themselves, and the sidecar is best-effort-local
+    # (callers then pass a consistent num_buckets, see
+    # write_fingerprint_ledger).
+    try:
+        os.makedirs(batch_dedup._ledger_local(ledger_path), exist_ok=True)
+    except NotImplementedError:
+        pass
     gated = dedup_stream_by_content(df, text_col, ts_col, delay)
 
     def _sink(batch_df, _batch_id):

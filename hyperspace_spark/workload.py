@@ -4263,7 +4263,7 @@ def streaming_ledger_dedup(spark, sf_dir):
     ws = workspace(spark, sf_dir)
     work = tempfile.mkdtemp(prefix="hs_sled_")
     docs = _t(spark, sf_dir, "documents")
-    dedup.write_fingerprint_ledger(
+    ledger_tbl = dedup.write_fingerprint_ledger(
         spark,
         dedup.corpus_fingerprints(docs.filter("doc_id % 2 = 0")),
         f"{work}/ledger",
@@ -4291,6 +4291,10 @@ def streaming_ledger_dedup(spark, sf_dir):
     )
     import shutil
 
+    # Drop the catalog entry BEFORE deleting its location — bench times
+    # this query repeatedly and dead external tables over vanished paths
+    # poison later catalog-wide operations.
+    spark.sql(f"DROP TABLE IF EXISTS {ledger_tbl}")
     shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, "fp string")
 

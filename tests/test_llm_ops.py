@@ -249,11 +249,37 @@ def test_ledger_bucket_count_from_sidecar(spark, tmp_path_factory):
     dedup.append_fingerprint_ledger(spark, newdocs, path, num_buckets=3)
     led2 = dedup.read_fingerprint_ledger(spark, path, num_buckets=5)
     assert dedup.incremental_dedup(newdocs, led2).count() == 0
-    # Remote URI: lifecycle helpers fail fast instead of no-op.
+    # Remote URI: compaction fails fast instead of silently no-op'ing.
     import pytest as _pytest
 
     with _pytest.raises(NotImplementedError):
         dedup.compact_fingerprint_ledger(spark, "s3://bucket/ledger", 4)
+    # Malformed sidecar falls back to the default instead of crashing.
+    import json as _json
+
+    with open(dedup._ledger_meta_path(path), "w") as f:
+        _json.dump({"num_buckets": None}, f)
+    assert dedup._ledger_buckets(path, 8) == 8
+
+
+def test_append_created_ledger_pins_bucket_count(spark, tmp_path_factory):
+    """Regression (r8 review): a ledger whose FIRST write is an append
+    (the streaming sink's fresh-dir start) must still pin num_buckets in
+    the sidecar, or a later session with a different default would
+    register a mismatched bucket spec and miss matches."""
+    import os
+
+    path = str(tmp_path_factory.mktemp("fp_appendfirst")) + "/ledger"
+    os.makedirs(path, exist_ok=True)
+    docs = spark.createDataFrame(
+        [(i, f"seed {i}") for i in range(20)], "doc_id long, text string"
+    )
+    dedup.append_fingerprint_ledger(spark, docs, path, num_buckets=4)
+    assert dedup._ledger_buckets(path, 64) == 4
+    # A reader using the (different) default still matches everything.
+    led = dedup.read_fingerprint_ledger(spark, path)  # default 64 ignored
+    probe = docs.selectExpr("doc_id + 100 AS doc_id", "text")
+    assert dedup.incremental_dedup(probe, led).count() == 0
 
 
 def test_remove_repeated_spans_overlapping_spans_union(spark):

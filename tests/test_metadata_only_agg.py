@@ -352,6 +352,45 @@ def test_partition_filter_folds_exactly(spark, tmp_path_factory):
     assert not all("hsidx_pf" in f for f in fastm.inputFiles())
 
 
+def test_nondeterministic_filter_never_folds(spark, tmp_path_factory):
+    """Regression (r8 review, CONFIRMED wrong-results repro): rand()-style
+    terms carry no column references, so the refs-subset check alone let
+    the predicate evaluate once per FILE sketch row instead of per data
+    row (repro: 5074 -> 2500 rows).  The FilterN.deterministic flag must
+    decline the fold."""
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark import PartitionSketch
+
+    src = str(tmp_path_factory.mktemp("orders_nondet"))
+    (
+        table(spark, "orders")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(src)
+    )
+    hs = Hyperspace(spark, system_path=str(tmp_path_factory.mktemp("hsidx_nd")))
+    hs.create_index(
+        spark.read.parquet(src),
+        DataSkippingIndexConfig(
+            "pm_nd", [PartitionSketch(["o_year"]), RowCountSketch()]
+        ),
+    )
+    df = spark.read.parquet(src)
+    q = df.filter("o_year >= 1995 AND rand(42) < 0.5").agg(F.count("*").alias("c"))
+    fast, used = hs._apply_with_info(q)
+    assert used == [], used
+    # Sanity: the count must be row-scale, not file-scale.
+    n_all = df.filter("o_year >= 1995").count()
+    got = fast.collect()[0]["c"]
+    assert 0.3 * n_all < got < 0.7 * n_all, (got, n_all)
+    # The deterministic version still folds.
+    q2 = df.filter("o_year >= 1995").agg(F.count("*").alias("c"))
+    fast2, used2 = hs._apply_with_info(q2)
+    assert used2 == ["pm_nd"] and fast2.collect()[0]["c"] == n_all
+
+
 def test_metadata_fold_over_delta_source(spark, tmp_path_factory):
     """The fold composes with snapshot sources: a skipping index over a
     Delta table answers global aggregates, and a Delta APPEND after the
