@@ -526,8 +526,95 @@ def main_sf10():
     sys.exit(0 if aqe_ok and not eroded and still_wins else 1)
 
 
+def main_dedup():
+    """Dedup-operator probe over the sf1 synthetic documents (50k docs,
+    ~10x exact replication — the generator copies text verbatim under
+    strided ids, which is exactly the web-crawl duplicate shape).
+    Measures the r8 operators at 100x the unit-test corpus and asserts
+    the plan shapes that must survive scale: ONE Exchange in the
+    ledger anti join (ledger side rides its bucketing), and row-exact
+    dedup math."""
+    import re as _re
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    spark = build_session()
+    generate(spark)
+    docs = spark.read.parquet(f"{DST}/documents.parquet")
+    n_docs = docs.count()
+
+    from hyperspace_spark.llm import dedup
+
+    out = {"sf": "sf1(synthetic 10x sf0.1)", "n_docs": n_docs}
+
+    # exact dedup: 10 replicas collapse to the distinct-text count
+    t0 = time.perf_counter()
+    n_kept = dedup.exact_dedup(docs).count()
+    out["exact_dedup_sec"] = round(time.perf_counter() - t0, 2)
+    out["exact_kept"] = n_kept
+
+    # incremental dedup vs a persisted bucketed ledger: batch = 20% slice
+    # re-crawled under new ids (all rejected) + 1k genuinely new docs
+    ledger_path = f"{DST}/fp_ledger"
+    shutil.rmtree(ledger_path, ignore_errors=True)
+    t0 = time.perf_counter()
+    dedup.write_fingerprint_ledger(
+        spark, dedup.corpus_fingerprints(docs), ledger_path, 32
+    )
+    out["ledger_build_sec"] = round(time.perf_counter() - t0, 2)
+    led = dedup.read_fingerprint_ledger(spark, ledger_path)
+    recrawl = docs.filter("doc_id % 5 = 0").select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    fresh = docs.limit(1000).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.concat(F.lit("genuinely new: "), F.col("text")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    batch = recrawl.unionByName(fresh)
+    # limit(1000) rows still carry the corpus's ~10x text replication, so
+    # the number of genuinely-new DOCUMENTS is the distinct-text count of
+    # the fresh slice, not 1000.
+    expected_new = dedup.corpus_fingerprints(fresh).count()
+    t0 = time.perf_counter()
+    accepted = dedup.incremental_dedup(batch, led)
+    n_new = accepted.count()
+    out["incremental_dedup_sec"] = round(time.perf_counter() - t0, 2)
+    out["batch_rows"] = batch.count()
+    out["accepted"] = n_new
+    # plan shape: at most ONE hash Exchange (the batch side)
+    j = accepted
+    plan = j._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    out["anti_join_exchanges"] = len(_re.findall(r"Exchange hashpartitioning", plan))
+
+    # repeated-span removal over the replicated corpus
+    t0 = time.perf_counter()
+    spans = dedup.remove_repeated_spans(docs, n=8)
+    stats = spans.agg(
+        F.sum("n_removed").alias("rm"), F.sum("n_tokens").alias("tok")
+    ).collect()[0]
+    out["span_dedup_sec"] = round(time.perf_counter() - t0, 2)
+    out["span_tokens_removed"] = int(stats["rm"])
+    out["span_tokens_total"] = int(stats["tok"])
+    dedup.release_caches()
+
+    out["expected_new"] = expected_new
+    ok = (
+        out["anti_join_exchanges"] <= 1
+        and out["accepted"] == expected_new
+        and out["exact_kept"] < n_docs * 0.2
+        and out["span_tokens_removed"] > 0
+    )
+    out["ok"] = ok
+    print(json.dumps(out))
+    sys.exit(0 if ok else 1)
+
+
 if __name__ == "__main__":
     if "--sf10" in sys.argv:
         main_sf10()
+    elif "--dedup" in sys.argv:
+        main_dedup()
     else:
         main()
