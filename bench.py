@@ -171,6 +171,7 @@ def main() -> None:
         "dedup_incremental",
         "dedup_repeated_spans",
         "streaming_ledger_dedup",
+        "pipeline_end_to_end",
     ]
 
 

@@ -2881,6 +2881,94 @@ def _clean_corpus_oracle() -> str:
     """
 
 
+def _pipeline_e2e_oracle() -> str:
+    """End-to-end pipeline = the composition of three already-oracled
+    stages: the clean_corpus CASE chain -> exact dedup (row_number over
+    the normalized-text fingerprint) -> repeated-span removal over the
+    SURVIVING corpus, censused per source."""
+    e = _duck_text_exprs()
+    fp = "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))"
+    return f"""
+    WITH {_duck_repetition_ctes()}, base AS (
+      SELECT doc_id, text, {e["nchars"]} AS n_chars, {e["ntok"]} AS n_tokens,
+             {e["punct"]} AS pr, {e["swr"]} AS swr
+      FROM documents
+    ), tagged AS (
+      SELECT b.doc_id,
+        CASE WHEN b.text IS NULL THEN 'null_text'
+             WHEN b.n_chars < 100 THEN 'too_short'
+             WHEN b.n_chars > 20000 THEN 'too_long'
+             WHEN coalesce(ls.dup_line_frac, 0) > 0.3
+                  OR coalesce(gs.top_2gram_frac, 0) > 0.2 THEN 'repetitive'
+             WHEN {_DUCK_QUALITY} < 0.5 THEN 'low_quality'
+             ELSE 'kept' END AS reason
+      FROM base b LEFT JOIN ls USING (doc_id) LEFT JOIN gs USING (doc_id)
+    ), kept AS (
+      SELECT d.doc_id, d.text, d.source FROM documents d
+      JOIN tagged USING (doc_id) WHERE reason = 'kept'
+    ), deduped AS (
+      SELECT doc_id, text, source FROM (
+        SELECT *, row_number() OVER (PARTITION BY {fp} ORDER BY doc_id) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    ), toks AS (
+      SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM deduped
+    ), occ AS (
+      SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS g,
+             doc_id*1000000 + i AS okey
+      FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
+      WHERE len(t) >= 8
+    ), hot AS (SELECT g, min(okey) AS fk FROM occ GROUP BY g HAVING count(*) >= 2),
+    rem AS (SELECT occ.doc_id, pos FROM occ JOIN hot USING (g) WHERE okey <> fk),
+    cov AS (SELECT DISTINCT doc_id, pos + dd.d AS tp FROM rem, unnest(range(0, 8)) AS dd(d)),
+    per_doc AS (
+      SELECT toks.doc_id, toks.source, len(t) AS n_tokens,
+             coalesce(c.n_cov, 0) AS n_removed
+      FROM toks LEFT JOIN (
+        SELECT doc_id, count(*) AS n_cov FROM cov GROUP BY doc_id
+      ) c USING (doc_id)
+    )
+    SELECT source, count(*) AS n_docs,
+           sum(n_tokens) AS total_tokens, sum(n_removed) AS removed_tokens
+    FROM per_doc GROUP BY source
+    """
+
+
+@q("pipeline_end_to_end", _pipeline_e2e_oracle())
+def pipeline_end_to_end(spark, sf_dir):
+    """The FLAGSHIP composition: the actual training-data pipeline run as
+    one chained job — C4/Gopher cleaning (llm/pipeline.py clean_corpus)
+    -> exact dedup (llm/dedup.py) -> repeated-span removal (Lee et al.
+    ExactSubstr) — censused per source.  Every stage is an independently
+    oracled operator; this query proves the COMPOSITION matches the same
+    chain replayed in SQL, the property a user migrating a real pipeline
+    cares about."""
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.llm import dedup
+    from hyperspace_spark.llm.pipeline import clean_corpus
+
+    _conf(spark)
+    docs = _t(spark, sf_dir, "documents")
+    kept = (
+        clean_corpus(docs)
+        .filter(F.col("drop_reason").isNull())
+        .select("doc_id", "text", "source")
+    )
+    deduped = dedup.exact_dedup(kept)
+    spans = dedup.remove_repeated_spans(deduped, n=8)
+    return (
+        spans.join(deduped.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_removed").alias("removed_tokens"),
+        )
+    )
+
+
 @q("clean_corpus_census", _clean_corpus_oracle())
 def clean_corpus_census(spark, sf_dir):
     """C4/Gopher-style corpus-cleaning filter chain (llm/pipeline.py):
@@ -4463,6 +4551,7 @@ _VERIFY_PRIORITY = [
     # --- r8 window (~50 cap): everything whose last driver-green row is
     # r06 or whose only gate so far is the local DuckDB-replay pytest.
     # New-in-r8 queries are inserted at the head as they are added. ---
+    "pipeline_end_to_end",
     "metadata_only_agg",
     "metadata_group_agg",
     "metadata_count_distinct",
