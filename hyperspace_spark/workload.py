@@ -4550,7 +4550,13 @@ def session_window_events(spark, sf_dir):
 _VERIFY_PRIORITY = [
     # --- r8 window (~50 cap): everything whose last driver-green row is
     # r06 or whose only gate so far is the local DuckDB-replay pytest.
-    # New-in-r8 queries are inserted at the head as they are added. ---
+    # New-in-r8 queries are inserted at the head as they are added.
+    # The 8 new entries push 7 r06-era ones (zorder_range_agg ...
+    # hybrid_join_append, positions 51-57) past the driver's 50-cap:
+    # they sit immediately after the cap so they lead the r9 window, and
+    # each is independently re-verified EVERY round by the local contract
+    # pytest (identical DuckDB comparison) plus the bench-guard speedup
+    # assertions. ---
     "pipeline_end_to_end",
     "metadata_only_agg",
     "metadata_group_agg",
