@@ -1482,13 +1482,18 @@ def paragraph_dedup(
 
 
 def remove_repeated_spans(
-    df: "DataFrame", n: int = 8, text_col: str = "text", id_col: str = "doc_id"
+    df: "DataFrame",
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
 ) -> "DataFrame":
     """Exact repeated-substring removal at word n-gram granularity (the
     ExactSubstr discipline of Lee et al. 2022, "Deduplicating Training
     Data Makes Language Models Better", re-expressed relationally): any
-    n-token span occurring >= 2 times in the corpus is cut from every
-    occurrence except the globally FIRST one (ordered by (doc_id,
+    n-token span occurring >= ``min_count`` times in the corpus (default
+    2, the paper's setting; web-scale runs often raise it) is cut from
+    every occurrence except the globally FIRST one (ordered by (doc_id,
     position)); surviving tokens re-join with single spaces.
 
     Returns ``(id_col, n_tokens, n_removed, cleaned_text)`` for every
@@ -1558,7 +1563,7 @@ def remove_repeated_spans(
     hot = (
         occ.groupBy("g")
         .agg(F.count("*").alias("cnt"), F.min(okey).alias("fk"))
-        .filter(F.col("cnt") >= 2)
+        .filter(F.col("cnt") >= max(2, int(min_count)))
         .select("g", "fk")
     )
     removed = occ.join(hot, "g").filter(okey != F.col("fk")).select("_id", "pos")

@@ -217,6 +217,23 @@ def test_remove_repeated_spans_first_occurrence_survives(spark):
     assert out[4].n_tokens == 8
 
 
+def test_remove_repeated_spans_min_count(spark):
+    """min_count raises the duplication bar: a span occurring twice
+    survives min_count=3; three occurrences do not."""
+    span = "m1 m2 m3 m4 m5 m6 m7 m8"
+    df = spark.createDataFrame(
+        [(1, span), (2, f"pad {span}"), (3, f"pad pad {span}")],
+        "doc_id long, text string",
+    )
+    # doc3 also shares the overlapping "pad m1..m7" gram with doc2 (whose
+    # occurrence is globally first), so doc3 loses 9 tokens, not 8.
+    out2 = {r.doc_id: r.n_removed for r in dedup.remove_repeated_spans(df, n=8).collect()}
+    assert out2 == {1: 0, 2: 8, 3: 9}
+    df2 = df.filter("doc_id < 3")
+    out3 = {r.doc_id: r.n_removed for r in dedup.remove_repeated_spans(df2, n=8, min_count=3).collect()}
+    assert out3 == {1: 0, 2: 0}
+
+
 def test_remove_repeated_spans_string_ids(spark):
     """Regression (r8 review): string doc ids must dedup too — the old
     arithmetic occurrence key NULLed out on non-numeric ids and silently
