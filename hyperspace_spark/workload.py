@@ -2856,13 +2856,12 @@ def udtf_chunk_text(spark, sf_dir):
     return spark.sql("SELECT * FROM w_chunk_text(TABLE(w_docs_chunk))")
 
 
-def _clean_corpus_oracle() -> str:
-    """clean_corpus composes already-oracled pieces: the shared
-    repetition CTEs + shared quality expressions + the length rules,
-    folded into one first-hit-wins CASE."""
+def _duck_clean_tagged_ctes() -> str:
+    """The repetition CTEs + base + first-hit-wins tagged CASE shared by
+    the clean_corpus_census and pipeline_end_to_end oracles — ONE copy of
+    the thresholds, so the two can never drift apart."""
     e = _duck_text_exprs()
-    return f"""
-    WITH {_duck_repetition_ctes()}, base AS (
+    return f"""{_duck_repetition_ctes()}, base AS (
       SELECT doc_id, text, {e["nchars"]} AS n_chars, {e["ntok"]} AS n_tokens,
              {e["punct"]} AS pr, {e["swr"]} AS swr
       FROM documents
@@ -2876,34 +2875,28 @@ def _clean_corpus_oracle() -> str:
              WHEN {_DUCK_QUALITY} < 0.5 THEN 'low_quality'
              ELSE 'kept' END AS reason
       FROM base b LEFT JOIN ls USING (doc_id) LEFT JOIN gs USING (doc_id)
-    )
+    )"""
+
+
+def _clean_corpus_oracle() -> str:
+    """clean_corpus composes already-oracled pieces: the shared
+    repetition CTEs + shared quality expressions + the length rules,
+    folded into one first-hit-wins CASE."""
+    return f"""
+    WITH {_duck_clean_tagged_ctes()}
     SELECT reason, count(*) AS n_docs FROM tagged GROUP BY reason
     """
 
 
 def _pipeline_e2e_oracle() -> str:
     """End-to-end pipeline = the composition of three already-oracled
-    stages: the clean_corpus CASE chain -> exact dedup (row_number over
-    the normalized-text fingerprint) -> repeated-span removal over the
+    stages: the clean_corpus CASE chain (shared CTE builder — one copy
+    of the thresholds) -> exact dedup (row_number over the
+    normalized-text fingerprint) -> repeated-span removal over the
     SURVIVING corpus, censused per source."""
-    e = _duck_text_exprs()
     fp = "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))"
     return f"""
-    WITH {_duck_repetition_ctes()}, base AS (
-      SELECT doc_id, text, {e["nchars"]} AS n_chars, {e["ntok"]} AS n_tokens,
-             {e["punct"]} AS pr, {e["swr"]} AS swr
-      FROM documents
-    ), tagged AS (
-      SELECT b.doc_id,
-        CASE WHEN b.text IS NULL THEN 'null_text'
-             WHEN b.n_chars < 100 THEN 'too_short'
-             WHEN b.n_chars > 20000 THEN 'too_long'
-             WHEN coalesce(ls.dup_line_frac, 0) > 0.3
-                  OR coalesce(gs.top_2gram_frac, 0) > 0.2 THEN 'repetitive'
-             WHEN {_DUCK_QUALITY} < 0.5 THEN 'low_quality'
-             ELSE 'kept' END AS reason
-      FROM base b LEFT JOIN ls USING (doc_id) LEFT JOIN gs USING (doc_id)
-    ), kept AS (
+    WITH {_duck_clean_tagged_ctes()}, kept AS (
       SELECT d.doc_id, d.text, d.source FROM documents d
       JOIN tagged USING (doc_id) WHERE reason = 'kept'
     ), deduped AS (
@@ -2956,7 +2949,10 @@ def pipeline_end_to_end(spark, sf_dir):
         .filter(F.col("drop_reason").isNull())
         .select("doc_id", "text", "source")
     )
-    deduped = dedup.exact_dedup(kept)
+    # Persist the survivors: BOTH the span stage and the census join fan
+    # out from here — without it the repetition kernel + dedup window
+    # execute twice per run (r8 review finding).
+    deduped = dedup._persist(dedup.exact_dedup(kept))
     spans = dedup.remove_repeated_spans(deduped, n=8)
     return (
         spans.join(deduped.select("doc_id", "source"), "doc_id")

@@ -567,7 +567,7 @@ def main_dedup():
     recrawl = docs.filter("doc_id % 5 = 0").select(
         (F.col("doc_id") + 10_000_000).alias("doc_id"), "text", "lang", "source", "n_chars"
     )
-    fresh = docs.limit(1000).select(
+    fresh = docs.orderBy("doc_id").limit(1000).select(
         (F.col("doc_id") + 20_000_000).alias("doc_id"),
         F.concat(F.lit("genuinely new: "), F.col("text")).alias("text"),
         "lang", "source", "n_chars",
@@ -583,9 +583,14 @@ def main_dedup():
     out["incremental_dedup_sec"] = round(time.perf_counter() - t0, 2)
     out["batch_rows"] = batch.count()
     out["accepted"] = n_new
-    # plan shape: at most ONE hash Exchange (the batch side)
-    j = accepted
-    plan = j._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    # plan shape: at most ONE hash Exchange (the batch side).  Collect
+    # THIS dataframe first — count() finalizes a different
+    # QueryExecution, and an uncollected frame reports the initial
+    # (pre-AQE) plan, which is not what the probe claims to assert.
+    accepted.collect()
+    plan = accepted._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
     out["anti_join_exchanges"] = len(_re.findall(r"Exchange hashpartitioning", plan))
 
     # repeated-span removal over the replicated corpus
