@@ -299,3 +299,45 @@ def test_disable_restores_third_party_sql_wrapper(indexed, spark):
     finally:
         spark.__dict__.pop("sql", None)
         spark._hs_original_sql = None
+
+
+def test_enable_routes_metadata_fold(spark, tmp_path):
+    """r8 integration: a plain DataFrame action on an ENABLED session
+    (no explicit hs.apply) rides the metadata-only aggregation rewrite,
+    and whyNot explains ineligible indexes with the r8 reason text."""
+    from hyperspace_spark import (
+        DataSkippingIndexConfig,
+        MinMaxSketch,
+        RowCountSketch,
+        SumSketch,
+    )
+
+    src = str(tmp_path / "meta_src")
+    spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") * 1.5).alias("v")
+    ).repartition(4).write.parquet(src)
+    hs = Hyperspace(spark, system_path=str(tmp_path / "meta_idx"))
+    hs.create_index(
+        spark.read.parquet(src),
+        DataSkippingIndexConfig(
+            "sess_meta", [RowCountSketch(), SumSketch(["v"]), MinMaxSketch(["k"])]
+        ),
+    )
+    hs.enable()
+    try:
+        row = (
+            spark.read.parquet(src)
+            .agg(F.count("*").alias("c"), F.round(F.sum("v"), 2).alias("s"))
+            .collect()[0]
+        )
+        assert row["c"] == 5000 and abs(row["s"] - 1.5 * sum(range(5000))) < 1e-6
+        # The routed action applied the index (telemetry breadcrumb).
+        q = spark.read.parquet(src).agg(F.count("*").alias("c"))
+        _, used = hs._apply_with_info(q)
+        assert used == ["sess_meta"]
+        # whyNot names the r8 reason when the sketch is missing.
+        q2 = spark.read.parquet(src).agg(F.sum("k").alias("s"))  # no Sum(k)
+        why = hs.why_not(q2)
+        assert "sess_meta" in why
+    finally:
+        hs.disable()
