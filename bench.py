@@ -172,6 +172,7 @@ def main() -> None:
         "dedup_repeated_spans",
         "streaming_ledger_dedup",
         "pipeline_end_to_end",
+        "text_search_inverted",
     ]
 
 

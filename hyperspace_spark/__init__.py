@@ -30,6 +30,7 @@ _EXPORTS = {
     "RowCountSketch": "hyperspace_spark.indexes.sketches",
     "SumSketch": "hyperspace_spark.indexes.sketches",
     "IvfIndexConfig": "hyperspace_spark.indexes.ann",
+    "InvertedTextIndexConfig": "hyperspace_spark.indexes.inverted",
     "asof_join": "hyperspace_spark.relational",
     "range_join": "hyperspace_spark.relational",
     "distinct_count_sketch": "hyperspace_spark.relational",
@@ -62,6 +63,7 @@ __all__ = [
     "RowCountSketch",
     "SumSketch",
     "IvfIndexConfig",
+    "InvertedTextIndexConfig",
     "asof_join",
     "range_join",
     "distinct_count_sketch",

@@ -242,6 +242,8 @@ class Hyperspace:
             from hyperspace_spark.indexes.dataskipping import create_index_data as b
         elif kind == "ANN":
             from hyperspace_spark.indexes.ann import create_index_data as b
+        elif kind == "TXT":
+            from hyperspace_spark.indexes.inverted import create_index_data as b
         else:
             raise HyperspaceException(f"Unknown index kind {kind}")
         return b
@@ -617,6 +619,95 @@ class Hyperspace:
                         else f.path.rsplit("/", 1)[-1]
                     )
                     fs.link_or_copy(f.path, os.path.join(data_dir, rel_path))
+                new_files = {f.key(): f for f in live}
+                entry.relations[0].files = [
+                    FileInfo(f.path, f.size, f.mtime, tracker.add_or_get(f))
+                    for f in new_files.values()
+                ]
+                entry.signature = _signature_of(
+                    _scan_of(entry.relations[0]), entry.relations[0].files
+                )
+                entry.index_data_dirs = [data_dir]
+                entry.data_version = version
+                entry.content_files = [
+                    FileInfo(s.path, s.size, s.mtime)
+                    for s in fs.list_files_recursive(data_dir)
+                ]
+                entry.appended_files = []
+                entry.deleted_files = []
+                return entry
+            if entry.derived_kind == "TXT":
+                # Append-only posting increment: retained bucket files
+                # hardlink into the new version (flat bucketed layout),
+                # the NEW docs' postings append as extra per-bucket files
+                # under the same bucket spec.  Deletes fall back to a
+                # full rebuild — but a STALE index still answers exactly:
+                # text_search anti-filters deleted files' postings by
+                # lineage id at query time.
+                if deleted:
+                    raise _FallBackToFull()
+                from hyperspace_spark.indexes.covering import table_name
+                from hyperspace_spark.indexes.inverted import (
+                    InvertedTextIndexConfig,
+                    postings_df,
+                )
+
+                props = entry.derived_properties
+                appended = [
+                    FileInfo(f.path, f.size, f.mtime, tracker.add_or_get(f))
+                    for f in appended
+                ]
+                cfg = InvertedTextIndexConfig(
+                    entry.name, props["textCol"], props["idCol"]
+                )
+                new_df = _relation_reader(self.spark, rel, with_base_path=True).load(
+                    [f.path for f in appended]
+                )
+                new_postings = postings_df(
+                    self.spark, new_df, cfg, appended, tracker
+                )
+                data_dir = mgr.data_dir(version)
+                os.makedirs(data_dir, exist_ok=True)
+                old_base = entry.index_data_dirs[-1].rstrip("/")
+                for f in entry.content_files:
+                    rel_path = (
+                        f.path[len(old_base) + 1 :]
+                        if f.path.startswith(old_base + "/")
+                        else f.path.rsplit("/", 1)[-1]
+                    )
+                    fs.link_or_copy(f.path, os.path.join(data_dir, rel_path))
+                nb = props["numBuckets"]
+                tbl = table_name(entry.name, version)
+                import json as _json
+
+                from pyspark.sql import functions as _F
+                from pyspark.sql.types import StructType as _ST
+
+                # Register the new version's external bucketed table over
+                # the hardlinked files FIRST: saveAsTable(mode=append) on
+                # a NON-existent table is CTAS and CLEARS the target
+                # directory, silently dropping the retained postings.
+                # Appending to the pre-registered table keeps them.
+                self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+                schema = _ST.fromJson(_json.loads(props["schemaJson"]))
+                cols_ddl = ", ".join(
+                    f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+                )
+                self.spark.sql(
+                    f"CREATE TABLE {tbl} ({cols_ddl}) USING parquet "
+                    f"CLUSTERED BY (`token`) SORTED BY (`token`) "
+                    f"INTO {nb} BUCKETS LOCATION '{data_dir}'"
+                )
+                (
+                    new_postings.repartition(nb, _F.col("token"))
+                    .write.format("parquet")
+                    .mode("append")
+                    .bucketBy(nb, "token")
+                    .sortBy("token")
+                    .option("path", data_dir)
+                    .saveAsTable(tbl)
+                )
+                props["tableName"] = tbl
                 new_files = {f.key(): f for f in live}
                 entry.relations[0].files = [
                     FileInfo(f.path, f.size, f.mtime, tracker.add_or_get(f))
@@ -1116,6 +1207,38 @@ class Hyperspace:
         for n in used:
             escaped = escaped.replace(_html.escape(n), f"<b>{_html.escape(n)}</b>")
         return f"<pre>{escaped}</pre>"
+
+    def text_search(
+        self,
+        index_name: str,
+        terms,
+        mode: str = "all",
+    ) -> "DataFrame":
+        """Doc ids whose text contains ALL (default) or ANY of ``terms``,
+        from a persisted inverted text index (kind TXT) — a bucket-pruned
+        read of only the probed tokens' postings, never the corpus text.
+
+        Hybrid-exact against live source state: source files appended
+        since the index build are tokenized on the fly (raw read of only
+        those files); deleted files' postings drop via the lineage
+        anti-filter."""
+        from hyperspace_spark.indexes.inverted import text_search
+
+        conf = self.conf()
+        entry = next(
+            (e for e in self._active_entries(conf) if e.name == index_name), None
+        )
+        if entry is None or entry.derived_kind != "TXT":
+            raise HyperspaceException(f"No ACTIVE TXT index named {index_name!r}.")
+        fs = self._fs(conf)
+        live = live_source_files(_scan_of(entry.relations[0]), fs)
+        indexed = entry.source_files_by_key()
+        live_by_key = {f.key(): f for f in live}
+        appended = [f for k, f in live_by_key.items() if k not in indexed]
+        deleted = [f for k, f in indexed.items() if k not in live_by_key]
+        return text_search(
+            self.spark, entry, terms, mode, appended=appended, deleted=deleted
+        )
 
     def ann_search(
         self,

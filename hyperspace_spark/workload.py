@@ -149,7 +149,7 @@ class Workspace:
     # the workspace marker folds it into the fingerprint, so a layout
     # left by an older code version is wiped and rebuilt instead of
     # serving indexes built under the old configs.
-    _WS_VERSION = 12  # r8: orders_bypart copy + w_part_meta/w_li_meta indexes
+    _WS_VERSION = 13  # r8: + w_doc_txt inverted text index
 
     def _source_fingerprint(self) -> str:
         parts = [f"v{self._WS_VERSION}"]
@@ -491,6 +491,19 @@ class Workspace:
                             SumSketch(["l_extendedprice"]),
                         ],
                     ),
+                ),
+            ),
+            (
+                # Inverted text index (kind TXT): token -> bucketed
+                # postings; keyword search reads only the probed tokens'
+                # buckets, never the corpus text.
+                "w_doc_txt",
+                lambda: self.hs.create_index(
+                    _t(spark, self.sf_dir, "documents"),
+                    __import__(
+                        "hyperspace_spark.indexes.inverted",
+                        fromlist=["InvertedTextIndexConfig"],
+                    ).InvertedTextIndexConfig("w_doc_txt", num_buckets=16),
                 ),
             ),
             (
@@ -929,6 +942,27 @@ def metadata_filtered_agg(spark, sf_dir):
         )
     )
     return ws.hs.apply(df)
+
+
+@q(
+    "text_search_inverted",
+    r"""
+    WITH tk AS (
+      SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS token
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id FROM tk WHERE token IN ('data', 'join', 'scan')
+    GROUP BY doc_id HAVING count(*) = 3
+    """,
+)
+def text_search_inverted(spark, sf_dir):
+    """Keyword search from the persisted inverted text index
+    (indexes/inverted.py, kind TXT): docs containing ALL of three terms,
+    answered by a bucket-pruned read of the probed tokens' postings —
+    the corpus text is never scanned.  The oracle replays the same
+    tokenize -> distinct -> IN -> HAVING chain over raw documents."""
+    ws = workspace(spark, sf_dir)
+    return ws.hs.text_search("w_doc_txt", ["data", "join", "scan"], mode="all")
 
 
 @q(
@@ -4554,6 +4588,7 @@ _VERIFY_PRIORITY = [
     # pytest (identical DuckDB comparison) plus the bench-guard speedup
     # assertions. ---
     "pipeline_end_to_end",
+    "text_search_inverted",
     "metadata_only_agg",
     "metadata_group_agg",
     "metadata_count_distinct",

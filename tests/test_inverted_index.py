@@ -1,0 +1,111 @@
+"""Inverted text index (kind TXT): build, bucket-pruned search, term
+normalization, hybrid append/delete exactness, incremental refresh
+(hardlinked retained buckets + per-bucket appends), lifecycle.
+"""
+
+import glob
+import os
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from hyperspace_spark import Hyperspace, InvertedTextIndexConfig
+
+from tests.conftest import table
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("txt_src")) + "/data"
+    spark.createDataFrame(
+        [
+            (1, "The quick brown fox jumps"),
+            (2, "a quick test of the index"),
+            (3, "brown bears eat fish"),
+            (4, None),
+            (5, "QUICK   brown sugar"),
+        ],
+        "doc_id long, text string",
+    ).repartition(2).write.parquet(src)
+    hs = Hyperspace(spark, system_path=str(tmp_path_factory.mktemp("hsidx_txt")))
+    hs.create_index(spark.read.parquet(src), InvertedTextIndexConfig("txt1", num_buckets=4))
+    return hs, src
+
+
+def test_search_all_any_and_normalization(spark, built):
+    hs, _ = built
+    assert sorted(r.doc_id for r in hs.text_search("txt1", ["quick", "brown"]).collect()) == [1, 5]
+    # term normalization mirrors indexing (trim + lower)
+    assert sorted(r.doc_id for r in hs.text_search("txt1", ["Quick", " BROWN "]).collect()) == [1, 5]
+    assert sorted(
+        r.doc_id for r in hs.text_search("txt1", ["quick", "brown"], mode="any").collect()
+    ) == [1, 2, 3, 5]
+    with pytest.raises(Exception):
+        hs.text_search("txt1", ["   "])
+
+
+def test_bucket_pruning_engages(spark, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("txt_docs")) + "/data"
+    table(spark, "documents").repartition(2).write.parquet(src)
+    hs = Hyperspace(spark, system_path=str(tmp_path_factory.mktemp("hsidx_txtp")))
+    hs.create_index(spark.read.parquet(src), InvertedTextIndexConfig("txtp", num_buckets=16))
+    df = hs.text_search("txtp", ["the"], mode="any")
+    # Driver-side bucket-file pruning: a one-term probe reads ~1/16 of
+    # the posting files (conf-independent — Spark's own bucketed-scan
+    # pruning is disabled by autoBucketedScan for this plan shape).
+    import glob as _glob
+
+    total = len(
+        [p for p in _glob.glob(f"{hs._system_path}/txtp/v__=*/*.parquet")]
+    )
+    probed = len(df.inputFiles())
+    assert 0 < probed < total, (probed, total)
+    assert df.count() > 0
+
+
+def test_hybrid_append_delete_and_incremental_refresh(spark, built):
+    hs, src = built
+    # Append WITHOUT refresh: searched on the fly (raw read of only the
+    # new files).
+    spark.createDataFrame(
+        [(9, "fresh quick brown doc")], "doc_id long, text string"
+    ).write.mode("append").parquet(src)
+    assert sorted(r.doc_id for r in hs.text_search("txt1", ["quick", "brown"]).collect()) == [1, 5, 9]
+    # Incremental refresh: retained bucket files hardlink through; the
+    # result set is unchanged but now index-served.
+    hs.refresh_index("txt1", mode="incremental")
+    assert sorted(r.doc_id for r in hs.text_search("txt1", ["quick", "brown"]).collect()) == [1, 5, 9]
+    # Delete a source file: the STALE index still answers exactly via the
+    # lineage anti-filter (compare against a raw recompute).
+    os.remove(sorted(glob.glob(f"{src}/part-*"))[0])
+    raw = spark.read.parquet(src).filter("text is not null")
+    want = sorted(
+        r.doc_id
+        for r in raw.collect()
+        if {"quick", "brown"} <= set(r.text.lower().split())
+    )
+    got = sorted(r.doc_id for r in hs.text_search("txt1", ["quick", "brown"]).collect())
+    assert got == want
+
+
+def test_matches_raw_tokenization_on_corpus(spark, tmp_path_factory):
+    """Index-served results equal a raw tokenize-and-filter over the
+    documents fixture (the contract oracle's property, engine-local)."""
+    src = str(tmp_path_factory.mktemp("txt_corpus")) + "/data"
+    table(spark, "documents").repartition(4).write.parquet(src)
+    hs = Hyperspace(spark, system_path=str(tmp_path_factory.mktemp("hsidx_txtc")))
+    hs.create_index(spark.read.parquet(src), InvertedTextIndexConfig("txtc", num_buckets=8))
+    terms = ["data", "join"]
+    got = sorted(r.doc_id for r in hs.text_search("txtc", terms).collect())
+    from hyperspace_spark.llm.text import tokens
+
+    raw = (
+        spark.read.parquet(src)
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.array_distinct(tokens(F.col("text"))).alias("t"))
+        .filter(F.arrays_overlap(F.col("t"), F.array(F.lit("data"))))
+        .filter(F.arrays_overlap(F.col("t"), F.array(F.lit("join"))))
+    )
+    want = sorted(r.doc_id for r in raw.collect())
+    assert got == want and len(got) > 0
