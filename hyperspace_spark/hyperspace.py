@@ -513,6 +513,15 @@ class Hyperspace:
                 id_col=p["idCol"],
                 n_clusters=p["nClusters"],
             )
+        if entry.derived_kind == "TXT":
+            from hyperspace_spark.indexes.inverted import InvertedTextIndexConfig
+
+            return InvertedTextIndexConfig(
+                entry.name,
+                text_col=p["textCol"],
+                id_col=p["idCol"],
+                num_buckets=p["numBuckets"],
+            )
         raise HyperspaceException(f"Unknown kind {entry.derived_kind}")
 
     def _refresh_full(self, name: str) -> None:
@@ -921,9 +930,11 @@ class Hyperspace:
                 ]
                 return entry
 
-            if mode == "quick" and entry.derived_kind == "CI":
+            if mode == "quick" and entry.derived_kind in ("CI", "TXT"):
                 # Per-bucket compaction (reference OptimizeAction.scala:
-                # 96-114): rewrite ONLY buckets holding >1 sub-threshold
+                # 96-114; TXT postings share the CI's flat bucketed
+                # layout, so the same path compacts the small per-refresh
+                # posting files): rewrite ONLY buckets holding >1 sub-threshold
                 # file; every other file — the large ones that dominate a
                 # 100 TB index — is carried into the new version dir by an
                 # O(1) hardlink (fs.link_or_copy), never re-read or
@@ -985,7 +996,7 @@ class Hyperspace:
                 # Skipping index data is tiny (one row per source file):
                 # compact to a single file.
                 df.coalesce(1).write.mode("overwrite").parquet(data_dir)
-            elif entry.derived_kind == "CI":
+            elif entry.derived_kind in ("CI", "TXT"):
                 tbl = cov.table_name(name, version)
                 cov.write_bucketed(
                     self.spark,

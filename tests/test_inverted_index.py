@@ -89,6 +89,26 @@ def test_hybrid_append_delete_and_incremental_refresh(spark, built):
     assert got == want
 
 
+def test_optimize_compacts_posting_files(spark, built):
+    """TXT rides the CI per-bucket compaction: after incremental appends
+    accumulate small per-refresh posting files, optimize reduces the
+    file count with identical search results."""
+    hs, src = built
+    spark.createDataFrame(
+        [(20, "another quick brown entry")], "doc_id long, text string"
+    ).write.mode("append").parquet(src)
+    hs.refresh_index("txt1", mode="incremental")
+    before = sorted(r.doc_id for r in hs.text_search("txt1", ["quick", "brown"]).collect())
+    e = next(x for x in hs._active_entries(hs.conf()) if x.name == "txt1")
+    files_before = len([f for f in e.content_files if f.path.endswith(".parquet")])
+    hs.optimize_index("txt1", mode="full")
+    e2 = next(x for x in hs._active_entries(hs.conf()) if x.name == "txt1")
+    files_after = len([f for f in e2.content_files if f.path.endswith(".parquet")])
+    assert files_after <= files_before
+    after = sorted(r.doc_id for r in hs.text_search("txt1", ["quick", "brown"]).collect())
+    assert after == before and 20 in after
+
+
 def test_matches_raw_tokenization_on_corpus(spark, tmp_path_factory):
     """Index-served results equal a raw tokenize-and-filter over the
     documents fixture (the contract oracle's property, engine-local)."""
