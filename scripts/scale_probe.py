@@ -605,11 +605,41 @@ def main_dedup():
     dedup.release_caches()
 
     out["expected_new"] = expected_new
+
+    # Inverted text index at sf1: build over 50k docs, then a 3-term
+    # ALL search must read a strict subset of the posting files and
+    # match the raw tokenize-and-filter recompute.
+    from hyperspace_spark import Hyperspace, InvertedTextIndexConfig
+    from hyperspace_spark.llm.text import tokens as _tok
+
+    shutil.rmtree(f"{DST}/txt_idx", ignore_errors=True)
+    hs = Hyperspace(spark, system_path=f"{DST}/txt_idx")
+    t0 = time.perf_counter()
+    hs.create_index(docs, InvertedTextIndexConfig("s1_txt", num_buckets=32))
+    out["txt_build_sec"] = round(time.perf_counter() - t0, 2)
+    terms = ["data", "join", "scan"]
+    t0 = time.perf_counter()
+    sr = hs.text_search("s1_txt", terms)
+    n_hits = sr.count()
+    out["txt_search_sec"] = round(time.perf_counter() - t0, 2)
+    out["txt_hits"] = n_hits
+    out["txt_files_probed"] = len(sr.inputFiles())
+    t0 = time.perf_counter()
+    raw = docs.filter("text is not null").select(
+        "doc_id", F.array_distinct(_tok(F.col("text"))).alias("t")
+    )
+    for t in terms:
+        raw = raw.filter(F.array_contains("t", t))
+    n_raw = raw.count()
+    out["txt_rawscan_sec"] = round(time.perf_counter() - t0, 2)
+
     ok = (
         out["anti_join_exchanges"] <= 1
         and out["accepted"] == expected_new
         and out["exact_kept"] < n_docs * 0.2
         and out["span_tokens_removed"] > 0
+        and n_hits == n_raw
+        and out["txt_files_probed"] < 32
     )
     out["ok"] = ok
     print(json.dumps(out))
