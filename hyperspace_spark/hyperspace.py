@@ -555,6 +555,34 @@ class Hyperspace:
 
         self._transact(name, conf, States.REFRESHING, States.ACTIVE, op)
 
+    @staticmethod
+    def _source_delta(entry, fs):
+        """(live, appended, deleted) of the entry's source files vs its
+        indexed snapshot — the ONE copy of the key()-based diff shared by
+        incremental refresh and the hybrid-aware search APIs."""
+        rel = entry.relations[0]
+        live = live_source_files(_scan_of(rel), fs)
+        indexed = entry.source_files_by_key()
+        live_by_key = {f.key(): f for f in live}
+        appended = [f for k, f in live_by_key.items() if k not in indexed]
+        deleted = [f for k, f in indexed.items() if k not in live_by_key]
+        return live, appended, deleted
+
+    @staticmethod
+    def _carry_index_files(fs, entry, data_dir: str) -> None:
+        """Hardlink every current index content file into a new version
+        dir, preserving subpaths (cluster=N partitions and flat bucketed
+        layouts alike) — the O(1)-per-file carry both the ANN and TXT
+        incremental refreshes rely on."""
+        old_base = entry.index_data_dirs[-1].rstrip("/")
+        for f in entry.content_files:
+            rel_path = (
+                f.path[len(old_base) + 1 :]
+                if f.path.startswith(old_base + "/")
+                else f.path.rsplit("/", 1)[-1]
+            )
+            fs.link_or_copy(f.path, os.path.join(data_dir, rel_path))
+
     def _refresh_incremental(self, name: str) -> None:
         """Scan only appended files; drop rows of deleted files via the
         lineage anti-filter (reference: RefreshIncrementalAction.scala:45-133,
@@ -569,11 +597,8 @@ class Hyperspace:
             from hyperspace_spark.config import DATA_FILE_ID_COLUMN
 
             rel = entry.relations[0]
-            live = live_source_files(_scan_of(rel), fs)
-            indexed = entry.source_files_by_key()
+            live, appended, deleted = self._source_delta(entry, fs)
             live_by_key = {f.key(): f for f in live}
-            appended = [f for k, f in live_by_key.items() if k not in indexed]
-            deleted = [f for k, f in indexed.items() if k not in live_by_key]
             if not appended and not deleted:
                 return entry  # no-op refresh
 
@@ -618,16 +643,8 @@ class Hyperspace:
                 data_dir = mgr.data_dir(version)
                 assigned.write.partitionBy("cluster").mode("overwrite").parquet(data_dir)
                 # Hardlink the old cluster files into the new version,
-                # PRESERVING the cluster=N partition subpath (unlike the
-                # flat bucketed-CI layout).
-                old_base = entry.index_data_dirs[-1].rstrip("/")
-                for f in entry.content_files:
-                    rel_path = (
-                        f.path[len(old_base) + 1 :]
-                        if f.path.startswith(old_base + "/")
-                        else f.path.rsplit("/", 1)[-1]
-                    )
-                    fs.link_or_copy(f.path, os.path.join(data_dir, rel_path))
+                # PRESERVING the cluster=N partition subpath.
+                self._carry_index_files(fs, entry, data_dir)
                 new_files = {f.key(): f for f in live}
                 entry.relations[0].files = [
                     FileInfo(f.path, f.size, f.mtime, tracker.add_or_get(f))
@@ -677,14 +694,7 @@ class Hyperspace:
                 )
                 data_dir = mgr.data_dir(version)
                 os.makedirs(data_dir, exist_ok=True)
-                old_base = entry.index_data_dirs[-1].rstrip("/")
-                for f in entry.content_files:
-                    rel_path = (
-                        f.path[len(old_base) + 1 :]
-                        if f.path.startswith(old_base + "/")
-                        else f.path.rsplit("/", 1)[-1]
-                    )
-                    fs.link_or_copy(f.path, os.path.join(data_dir, rel_path))
+                self._carry_index_files(fs, entry, data_dir)
                 nb = props["numBuckets"]
                 tbl = table_name(entry.name, version)
                 import json as _json
@@ -1242,11 +1252,7 @@ class Hyperspace:
         if entry is None or entry.derived_kind != "TXT":
             raise HyperspaceException(f"No ACTIVE TXT index named {index_name!r}.")
         fs = self._fs(conf)
-        live = live_source_files(_scan_of(entry.relations[0]), fs)
-        indexed = entry.source_files_by_key()
-        live_by_key = {f.key(): f for f in live}
-        appended = [f for k, f in live_by_key.items() if k not in indexed]
-        deleted = [f for k, f in indexed.items() if k not in live_by_key]
+        _live, appended, deleted = self._source_delta(entry, fs)
         return text_search(
             self.spark, entry, terms, mode, appended=appended, deleted=deleted
         )

@@ -40,9 +40,21 @@ class InvertedTextIndexConfig:
 
 
 def normalize_terms(terms: Iterable) -> list[str]:
-    """Search terms through the SAME normalization as indexed tokens."""
+    """Search terms through the SAME normalization as indexed tokens.
+    A term containing whitespace is an ERROR, not a silent drop: under
+    mode='all', dropping one conjunct would return a superset of the
+    requested result (phrase search is not what a token index answers —
+    split the phrase into its tokens explicitly)."""
+    import re
+
     out = sorted({str(t).strip().lower() for t in terms if t is not None})
-    return [t for t in out if t and " " not in t]
+    bad = [t for t in out if re.search(r"\s", t)]
+    if bad:
+        raise ValueError(
+            f"terms must be single tokens (whitespace in {bad!r}); "
+            "split phrases into their tokens"
+        )
+    return [t for t in out if t]
 
 
 def postings_df(
@@ -137,32 +149,36 @@ def text_search(
         raise ValueError("mode must be 'all' or 'any'")
 
     props = entry.derived_properties
-    # Driver-side bucket-FILE pruning (the skipping index's discipline):
-    # Spark's own bucketed-scan pruning is disabled by
+    # Driver-side bucket-FILE pruning (the covering index's own
+    # discipline — planner/mmh3.py is the Spark-compatible murmur3 and
+    # covering._BUCKET_FILE_RE the one copy of the bucket-name
+    # contract): Spark's bucketed-scan pruning is disabled by
     # autoBucketedScan whenever no operator consumes the token-hash
     # distribution — which is every probe, since the aggregate keys on
-    # _doc.  Bucket ids are pmod(murmur3-hash, n), exactly F.hash, so the
-    # probe terms' buckets are computed with the engine's own hash (one
-    # tiny job) and only those files are read.  Probing k terms reads
-    # <= k/numBuckets of the postings regardless of session confs.
-    import re as _re
+    # _doc.  Probing k terms reads <= k/numBuckets of the postings with
+    # NO extra Spark job; an unparseable file name falls back to a full
+    # posting read (never guess — silently excluding a file would drop
+    # matches).
+    from hyperspace_spark.indexes.covering import _BUCKET_FILE_RE
+    from hyperspace_spark.planner.mmh3 import bucket_id
 
     nb = int(props["numBuckets"])
-    term_rows = spark.createDataFrame([(t,) for t in norm], "token string")
-    bucket_ids = {
-        r[0] for r in term_rows.select(F.expr(f"pmod(hash(token), {nb})")).collect()
-    }
-
-    def _bucket_of(path: str):
-        m = _re.search(r"_(\d{5})\.", path.rsplit("/", 1)[-1])
-        return int(m.group(1)) if m else None
-
+    wanted = {bucket_id(t, "string", nb) for t in norm}
+    pq = [f for f in entry.content_files if f.path.endswith(".parquet")]
+    files: list[str] | None = []
+    if None in wanted:
+        files = None
+    else:
+        for f in pq:
+            m = _BUCKET_FILE_RE.search(f.path.rsplit("/", 1)[-1])
+            if m is None:
+                files = None  # unexpected layout: full read
+                break
+            if int(m.group(1)) in wanted:
+                files.append(f.path)
+    if files is None:
+        files = [f.path for f in pq]
     schema = StructType.fromJson(_json.loads(props["schemaJson"]))
-    files = [
-        f.path
-        for f in entry.content_files
-        if f.path.endswith(".parquet") and _bucket_of(f.path) in bucket_ids
-    ]
     if files:
         idx = spark.read.schema(schema).parquet(*files)
     else:

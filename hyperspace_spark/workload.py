@@ -329,6 +329,7 @@ class Workspace:
             BloomFilterSketch,
             CoveringIndexConfig,
             DataSkippingIndexConfig,
+            InvertedTextIndexConfig,
             MinMaxSketch,
             PartitionSketch,
             RowCountSketch,
@@ -500,10 +501,7 @@ class Workspace:
                 "w_doc_txt",
                 lambda: self.hs.create_index(
                     _t(spark, self.sf_dir, "documents"),
-                    __import__(
-                        "hyperspace_spark.indexes.inverted",
-                        fromlist=["InvertedTextIndexConfig"],
-                    ).InvertedTextIndexConfig("w_doc_txt", num_buckets=16),
+                    InvertedTextIndexConfig("w_doc_txt", num_buckets=16),
                 ),
             ),
             (
@@ -952,7 +950,7 @@ def metadata_filtered_agg(spark, sf_dir):
       FROM documents WHERE text IS NOT NULL
     )
     SELECT doc_id FROM tk WHERE token IN ('data', 'join', 'scan')
-    GROUP BY doc_id HAVING count(*) = 3
+    GROUP BY doc_id HAVING count(DISTINCT token) = 3
     """,
 )
 def text_search_inverted(spark, sf_dir):

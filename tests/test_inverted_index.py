@@ -43,6 +43,9 @@ def test_search_all_any_and_normalization(spark, built):
     ) == [1, 2, 3, 5]
     with pytest.raises(Exception):
         hs.text_search("txt1", ["   "])
+    # A phrase is an error, not a silently-weakened conjunction.
+    with pytest.raises(ValueError, match="single tokens"):
+        hs.text_search("txt1", ["new york", "data"])
 
 
 def test_bucket_pruning_engages(spark, tmp_path_factory):
