@@ -765,7 +765,9 @@ def join_cobucketed(spark, sf_dir):
     FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS qty
           FROM lineitem GROUP BY l_orderkey) a
     JOIN (SELECT l_orderkey,
-                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+                 CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                                * (1 - CAST(l_discount AS DECIMAL(14,2)))), 2)
+                      AS DOUBLE) AS rev
           FROM lineitem GROUP BY l_orderkey) b
       ON a.l_orderkey = b.l_orderkey
     WHERE a.qty > 150
@@ -781,7 +783,14 @@ def selfjoin_agg_cobucketed(spark, sf_dir):
     value-equal right key copy.  Both derived sides then read the
     bucketed w_li_join index, so BOTH per-key aggregations and the join
     itself reuse the index's hash partitioning — the unindexed plan pays
-    three exchanges of the full fact table, the indexed plan zero."""
+    three exchanges of the full fact table, the indexed plan zero.
+
+    The revenue sum runs in exact DECIMAL arithmetic (per-row terms cast
+    to DECIMAL(14,2) before multiplying): r8's driver row missed by one
+    cent on 1 of 2,911 rows because round(sum(double), 2) straddled a
+    .xx5 boundary under different accumulation orders.  Decimal sums are
+    order-insensitive, and both engines round decimal ties half-up for
+    positive values, so the contract is now accumulation-order-proof."""
     from pyspark.sql import functions as F
 
     ws = workspace(spark, sf_dir)
@@ -793,7 +802,9 @@ def selfjoin_agg_cobucketed(spark, sf_dir):
         FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS qty
               FROM w_selfjoin_li GROUP BY l_orderkey) a
         JOIN (SELECT l_orderkey,
-                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+                     CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                                    * (1 - CAST(l_discount AS DECIMAL(14,2)))), 2)
+                          AS DOUBLE) AS rev
               FROM w_selfjoin_li GROUP BY l_orderkey) b
           ON a.l_orderkey = b.l_orderkey
         WHERE a.qty > 150
@@ -2955,7 +2966,8 @@ def _pipeline_e2e_oracle() -> str:
       ) c USING (doc_id)
     )
     SELECT source, count(*) AS n_docs,
-           sum(n_tokens) AS total_tokens, sum(n_removed) AS removed_tokens
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_removed) AS BIGINT) AS removed_tokens
     FROM per_doc GROUP BY source
     """
 

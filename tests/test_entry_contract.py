@@ -1,8 +1,16 @@
 """Replicates the driver's t2 correctness gate locally: for every
 queries() entry with an oracle, run the Spark query AND the DuckDB
 oracle at the test scale factor and compare row count + schema (column
-names) + order-insensitive values (columns sorted by name, floats at 6
-significant digits).
+names) + order-insensitive values (columns sorted by name, floats at
+FULL precision — shortest round-trip repr).
+
+The float compare is exact on purpose: the driver hashes exact values,
+and r8 proved a lenient compare is worthless as a pre-gate — the old
+6-significant-digit normalization collapsed 461871.08 and 461871.09 to
+the same string, so the local sim could never have caught the
+selfjoin_agg_cobucketed cent-level driver miss.  Queries whose float
+outputs are legitimately accumulation-order-sensitive must round/cast
+INSIDE the query contract (both sides), not lean on the comparator.
 
 If this file is green, CORRECTNESS_r{N}.json should be green.
 """
@@ -37,12 +45,12 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        return repr(v)
     try:
         import decimal
 
         if isinstance(v, decimal.Decimal):
-            return f"{float(v):.6g}"
+            return repr(float(v))
     except Exception:
         pass
     if isinstance(v, (list, tuple)):
@@ -81,6 +89,33 @@ def test_query_matches_oracle(spark, name):
     if ns != nd:
         diff = [(a, b) for a, b in zip(ns, nd) if a != b][:5]
         raise AssertionError(f"{name}: value mismatch, first diffs: {diff}")
+
+
+def test_no_oracle_outputs_hugeint():
+    """DuckDB sum(BIGINT) returns HUGEINT — a type with NO Arrow
+    equivalent, which DuckDB exports to Arrow/pandas as float64.  A
+    driver that fetches oracle results through Arrow then hashes
+    `1524.0` against Spark's long `1524` and misses — the r8
+    pipeline_end_to_end red row, invisible locally because fetchall()
+    maps hugeint to exact Python int.  Contract: every integer output
+    column must be CAST to BIGINT in the oracle SQL."""
+    con = duck_con()
+    offenders = {}
+    for name, sql in entry_mod.oracle_sql().items():
+        try:
+            rows = con.execute(f"DESCRIBE {sql}").fetchall()
+        except Exception:
+            # DESCRIBE chokes on some recursive-CTE shapes; bind via
+            # LIMIT 0 execution instead.
+            rows = []
+            res = con.execute(f"SELECT * FROM ({sql}) _q LIMIT 0")
+            arr = res.arrow()
+            for f in arr.schema:
+                rows.append((f.name, str(f.type)))
+        bad = [r[0] for r in rows if "HUGEINT" in str(r[1]).upper()]
+        if bad:
+            offenders[name] = bad
+    assert offenders == {}, f"hugeint (Arrow-lossy) oracle outputs: {offenders}"
 
 
 def test_every_query_has_an_oracle():
