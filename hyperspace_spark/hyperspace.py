@@ -691,7 +691,7 @@ class Hyperspace:
                 )
                 new_postings = postings_df(
                     self.spark, new_df, cfg, appended, tracker
-                )
+                ).persist()
                 data_dir = mgr.data_dir(version)
                 os.makedirs(data_dir, exist_ok=True)
                 self._carry_index_files(fs, entry, data_dir)
@@ -727,6 +727,26 @@ class Hyperspace:
                     .saveAsTable(tbl)
                 )
                 props["tableName"] = tbl
+                # Merge the appended files' BM25 corpus stats (docs with
+                # >= 1 token, total tokens) into the per-file stats map —
+                # one tiny aggregate over the (persisted) posting delta,
+                # so ranked retrieval stays exact after refresh.
+                from hyperspace_spark.config import DATA_FILE_ID_COLUMN as _FID
+
+                stat_rows = (
+                    new_postings.groupBy(_FID)
+                    .agg(
+                        _F.count_distinct("_doc").alias("_nd"),
+                        _F.sum("tf").cast("long").alias("_nt"),
+                    )
+                    .collect()
+                )
+                merged = dict(props.get("fileDocStats") or {})
+                merged.update(
+                    {str(r[0]): [int(r["_nd"]), int(r["_nt"])] for r in stat_rows}
+                )
+                props["fileDocStats"] = merged
+                new_postings.unpersist()
                 new_files = {f.key(): f for f in live}
                 entry.relations[0].files = [
                     FileInfo(f.path, f.size, f.mtime, tracker.add_or_get(f))
@@ -1245,6 +1265,54 @@ class Hyperspace:
         anti-filter."""
         from hyperspace_spark.indexes.inverted import text_search
 
+        entry, appended, deleted = self._txt_entry(index_name)
+        return text_search(
+            self.spark, entry, terms, mode, appended=appended, deleted=deleted
+        )
+
+    def text_search_ranked(
+        self,
+        index_name: str,
+        terms,
+        k: int = 10,
+        k1: float = 1.2,
+        b: float = 0.75,
+    ) -> "DataFrame":
+        """BM25 top-k retrieval from a persisted TXT index: docs matching
+        ANY term, ranked by the Lucene-default BM25 score computed over
+        the probed tokens' postings only (tf/dl ride the postings; N and
+        avgdl come from per-file stats in the entry — no corpus job).
+        Returns (id_col, score) with ties ranked by id.  Hybrid-exact:
+        appended source files score on the fly, deleted files' postings
+        and corpus stats are subtracted."""
+        from hyperspace_spark.indexes.inverted import text_search_ranked
+
+        entry, appended, deleted = self._txt_entry(index_name)
+        return text_search_ranked(
+            self.spark,
+            entry,
+            terms,
+            k=k,
+            k1=k1,
+            b=b,
+            appended=appended,
+            deleted=deleted,
+        )
+
+    def text_search_phrase(self, index_name: str, phrase: str) -> "DataFrame":
+        """Exact consecutive-token phrase match from the TXT index's
+        positional postings: candidates come from the bucket-pruned
+        all-terms probe, adjacency verifies in-row on the positions
+        arrays of the candidate docs ONLY — the corpus text is never
+        read.  Hybrid-exact like text_search."""
+        from hyperspace_spark.indexes.inverted import text_search_phrase
+
+        entry, appended, deleted = self._txt_entry(index_name)
+        return text_search_phrase(
+            self.spark, entry, phrase, appended=appended, deleted=deleted
+        )
+
+    def _txt_entry(self, index_name: str):
         conf = self.conf()
         entry = next(
             (e for e in self._active_entries(conf) if e.name == index_name), None
@@ -1253,9 +1321,7 @@ class Hyperspace:
             raise HyperspaceException(f"No ACTIVE TXT index named {index_name!r}.")
         fs = self._fs(conf)
         _live, appended, deleted = self._source_delta(entry, fs)
-        return text_search(
-            self.spark, entry, terms, mode, appended=appended, deleted=deleted
-        )
+        return entry, appended, deleted
 
     def ann_search(
         self,

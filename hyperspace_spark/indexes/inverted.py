@@ -43,8 +43,7 @@ def normalize_terms(terms: Iterable) -> list[str]:
     """Search terms through the SAME normalization as indexed tokens.
     A term containing whitespace is an ERROR, not a silent drop: under
     mode='all', dropping one conjunct would return a superset of the
-    requested result (phrase search is not what a token index answers —
-    split the phrase into its tokens explicitly)."""
+    requested result (use text_search_phrase for multi-token phrases)."""
     import re
 
     out = sorted({str(t).strip().lower() for t in terms if t is not None})
@@ -52,40 +51,107 @@ def normalize_terms(terms: Iterable) -> list[str]:
     if bad:
         raise ValueError(
             f"terms must be single tokens (whitespace in {bad!r}); "
-            "split phrases into their tokens"
+            "use text_search_phrase for phrases"
         )
     return [t for t in out if t]
+
+
+def normalize_phrase(phrase: str) -> list[str]:
+    """A phrase through the SAME normalization as indexed tokens:
+    trimmed, lowercased, whitespace-split — token ORDER and duplicates
+    preserved (unlike normalize_terms' sorted set)."""
+    import re
+
+    if phrase is None:
+        raise ValueError("phrase must be a non-empty string")
+    toks = [t for t in re.split(r"\s+", str(phrase).strip().lower()) if t]
+    if not toks:
+        raise ValueError("no usable tokens in phrase after normalization")
+    return toks
+
+
+def _doc_postings(doc_df: "DataFrame", id_col: str, text_col: str, *extra_cols):
+    """Shared tokenize->postings kernel over a (id, text, *extra) frame:
+    one output row per DISTINCT token per doc carrying the full r9
+    payload — ``tf`` (occurrences in doc), ``positions`` (sorted 1-based
+    token indexes, the phrase-search payload), ``_dl`` (doc token
+    length, the BM25 normalizer, denormalized onto every posting so
+    scoring never joins a second dataset).
+
+    One corpus-token shuffle (the groupBy) — count/collect_list are
+    partial-aggregated map-side, so a boilerplate token repeated 10^6
+    times in one doc folds before the exchange."""
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.llm.text import tokens
+
+    toks = doc_df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_doc"),
+        *[F.col(c) for c in extra_cols],
+        tokens(F.col(text_col)).alias("_t"),
+    )
+    occ = toks.select(
+        "_doc",
+        *extra_cols,
+        F.size("_t").alias("_dl"),
+        F.posexplode_outer("_t").alias("_pos", "token"),
+    ).filter(F.col("token") != "")
+    return (
+        occ.groupBy("token", "_doc")
+        .agg(
+            F.count("*").cast("int").alias("tf"),
+            F.sort_array(F.collect_list(F.col("_pos") + 1)).alias("positions"),
+            F.first("_dl").alias("_dl"),
+            *[F.first(c).alias(c) for c in extra_cols],
+        )
+        .select("token", "_doc", "tf", "positions", "_dl", *extra_cols)
+    )
 
 
 def postings_df(
     spark: "SparkSession", df: "DataFrame", config, files, tracker
 ) -> "DataFrame":
-    """(token, _doc, _data_file_id) — one row per DISTINCT token per doc.
-    array_distinct happens in-row before the explode (narrow), and
-    explode_outer sidesteps InferFiltersFromGenerate re-evaluating the
-    tokenizer in the scan task (same lesson as llm/dedup.py
-    doc_shingles).  Lineage is always on: postings carry no row payload,
-    so the only way to subtract a deleted source file exactly is by
-    file id."""
+    """(token, _doc, tf, positions, _dl, _data_file_id) — one row per
+    DISTINCT token per doc.  tf/positions/_dl are the ranked-retrieval
+    and phrase payloads (standard postings-list design: Zobel & Moffat,
+    "Inverted files for text search engines", CSUR 2006).  Lineage is
+    always on: postings carry no row payload from the source, so the
+    only way to subtract a deleted source file exactly is by file id."""
     from pyspark.sql import functions as F
 
     from hyperspace_spark.config import DATA_FILE_ID_COLUMN
     from hyperspace_spark.indexes.covering import with_lineage
-    from hyperspace_spark.llm.text import tokens
 
     src = with_lineage(df, spark, files, tracker)
-    return (
-        src.filter(F.col(config.text_col).isNotNull())
-        .select(
-            F.col(config.id_col).alias("_doc"),
-            F.col(DATA_FILE_ID_COLUMN),
-            F.explode_outer(
-                F.array_distinct(tokens(F.col(config.text_col)))
-            ).alias("token"),
+    return _doc_postings(src, config.id_col, config.text_col, DATA_FILE_ID_COLUMN)
+
+
+def file_doc_stats(spark: "SparkSession", data_dir: str, schema_json: str) -> dict:
+    """Per-source-file corpus statistics from the WRITTEN postings:
+    ``{file_id: [n_docs, n_tokens]}`` (docs with >= 1 token; total token
+    occurrences).  Read back from the index files — one tiny aggregate
+    over postings, never the corpus — so BM25's N and avgdl come from
+    the entry properties with NO query-time job, and stay exactly
+    adjustable per deleted/appended source file."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from hyperspace_spark.config import DATA_FILE_ID_COLUMN
+
+    schema = StructType.fromJson(_json.loads(schema_json))
+    rows = (
+        spark.read.schema(schema)
+        .parquet(data_dir)
+        .groupBy(DATA_FILE_ID_COLUMN)
+        .agg(
+            F.count_distinct("_doc").alias("_nd"),
+            F.sum("tf").cast("long").alias("_nt"),
         )
-        .filter(F.col("token") != "")
-        .select("token", "_doc", DATA_FILE_ID_COLUMN)
+        .collect()
     )
+    return {str(r[0]): [int(r["_nd"]), int(r["_nt"])] for r in rows}
 
 
 def create_index_data(
@@ -107,61 +173,56 @@ def create_index_data(
     )
     postings = postings_df(spark, df, config, files, tracker)
     write_bucketed(spark, postings, ["token"], nb, data_dir, tbl)
+    schema_json = postings.schema.json()
     return {
         "indexedColumns": ["token"],
-        "includedColumns": ["_doc"],
+        "includedColumns": ["_doc", "tf", "positions", "_dl"],
         "numBuckets": nb,
         "lineage": True,
-        "schemaJson": postings.schema.json(),
+        "schemaJson": schema_json,
         "tableName": tbl,
         "textCol": config.text_col,
         "idCol": config.id_col,
+        # {file_id: [n_docs, n_tokens]} — exact BM25 corpus stats,
+        # adjustable per-file at query time for hybrid appends/deletes.
+        "fileDocStats": file_doc_stats(spark, data_dir, schema_json),
     }
 
 
-def text_search(
+def _probe_hits(
     spark: "SparkSession",
     entry,
-    terms: Iterable,
-    mode: str = "all",
+    norm: list[str],
     appended=None,
     deleted=None,
 ) -> "DataFrame":
-    """Doc ids containing ALL (default) or ANY of the normalized terms.
+    """Bucket-pruned posting rows for the normalized terms, hybrid-exact
+    against source drift: (token, _doc, tf, positions, _dl).
 
-    Hybrid-exact against source drift, the covering index's discipline:
+    Driver-side bucket-FILE pruning (the covering index's own
+    discipline — planner/mmh3.py is the Spark-compatible murmur3 and
+    covering._BUCKET_FILE_RE the one copy of the bucket-name contract):
+    Spark's bucketed-scan pruning is disabled by autoBucketedScan
+    whenever no operator consumes the token-hash distribution — which
+    is every probe, since downstream work keys on _doc.  Probing k
+    terms reads <= k/numBuckets of the postings with NO extra Spark
+    job; an unparseable file name falls back to a full posting read
+    (never guess — silently excluding a file would drop matches).
+
     ``deleted`` source files' postings drop via the lineage anti-filter
     (the stale index still answers exactly); ``appended`` files' docs
-    are tokenized on the fly (raw read of ONLY those files) and unioned
-    in.  Both lists are computed by Hyperspace.text_search from live
-    source state."""
+    are tokenized on the fly (raw read of ONLY those files, through the
+    SAME _doc_postings kernel as the build) and unioned in."""
     import json as _json
 
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
     from hyperspace_spark.config import DATA_FILE_ID_COLUMN
-
-    norm = normalize_terms(terms)
-    if not norm:
-        raise ValueError("no usable search terms after normalization")
-    if mode not in ("all", "any"):
-        raise ValueError("mode must be 'all' or 'any'")
-
-    props = entry.derived_properties
-    # Driver-side bucket-FILE pruning (the covering index's own
-    # discipline — planner/mmh3.py is the Spark-compatible murmur3 and
-    # covering._BUCKET_FILE_RE the one copy of the bucket-name
-    # contract): Spark's bucketed-scan pruning is disabled by
-    # autoBucketedScan whenever no operator consumes the token-hash
-    # distribution — which is every probe, since the aggregate keys on
-    # _doc.  Probing k terms reads <= k/numBuckets of the postings with
-    # NO extra Spark job; an unparseable file name falls back to a full
-    # posting read (never guess — silently excluding a file would drop
-    # matches).
     from hyperspace_spark.indexes.covering import _BUCKET_FILE_RE
     from hyperspace_spark.planner.mmh3 import bucket_id
 
+    props = entry.derived_properties
     nb = int(props["numBuckets"])
     wanted = {bucket_id(t, "string", nb) for t in norm}
     pq = [f for f in entry.content_files if f.path.endswith(".parquet")]
@@ -189,30 +250,88 @@ def text_search(
         ids = [i for i in (tracker.get(f) for f in deleted) if i is not None]
         if ids:
             hits = hits.filter(~F.col(DATA_FILE_ID_COLUMN).isin(ids))
-    hits = hits.select("token", "_doc")
+    hits = hits.select("token", "_doc", "tf", "positions", "_dl")
 
     if appended:
-        from hyperspace_spark.llm.text import tokens as _tokens
-
-        rel = entry.relations[0]
         from hyperspace_spark.hyperspace import _relation_reader
 
+        rel = entry.relations[0]
         raw = _relation_reader(spark, rel, with_base_path=True).load(
             [f.path for f in appended]
         )
         raw_hits = (
-            raw.filter(F.col(props["textCol"]).isNotNull())
-            .select(
-                F.col(props["idCol"]).alias("_doc"),
-                F.explode_outer(
-                    F.array_distinct(_tokens(F.col(props["textCol"])))
-                ).alias("token"),
-            )
+            _doc_postings(raw, props["idCol"], props["textCol"])
             .filter(F.col("token").isin(norm))
-            .select("token", "_doc")
+            .select("token", "_doc", "tf", "positions", "_dl")
         )
         hits = hits.unionByName(raw_hits)
+    return hits
 
+
+def _corpus_stats(spark: "SparkSession", entry, appended=None, deleted=None):
+    """(N, avgdl) adjusted to live source state: stored per-file stats
+    minus deleted files, plus an on-the-fly aggregate over appended
+    files (one 1-row collect, only when appends exist)."""
+    from pyspark.sql import functions as F
+
+    props = entry.derived_properties
+    stats = props.get("fileDocStats") or {}
+    tracker = entry.file_id_tracker
+    dead = set()
+    if deleted:
+        dead = {i for i in (tracker.get(f) for f in deleted) if i is not None}
+    n_docs = 0
+    n_tokens = 0
+    for fid, (nd, nt) in stats.items():
+        if int(fid) in dead:
+            continue
+        n_docs += int(nd)
+        n_tokens += int(nt)
+    if appended:
+        from hyperspace_spark.hyperspace import _relation_reader
+        from hyperspace_spark.llm.text import tokens
+
+        rel = entry.relations[0]
+        raw = _relation_reader(spark, rel, with_base_path=True).load(
+            [f.path for f in appended]
+        )
+        row = (
+            raw.filter(F.col(props["textCol"]).isNotNull())
+            .select(
+                F.filter(
+                    tokens(F.col(props["textCol"])), lambda t: t != ""
+                ).alias("_t")
+            )
+            .filter(F.size("_t") > 0)
+            .agg(F.count("*").alias("_nd"), F.sum(F.size("_t")).alias("_nt"))
+            .collect()[0]
+        )
+        n_docs += int(row["_nd"] or 0)
+        n_tokens += int(row["_nt"] or 0)
+    avgdl = (float(n_tokens) / float(n_docs)) if n_docs else 1.0
+    return n_docs, avgdl
+
+
+def text_search(
+    spark: "SparkSession",
+    entry,
+    terms: Iterable,
+    mode: str = "all",
+    appended=None,
+    deleted=None,
+) -> "DataFrame":
+    """Doc ids containing ALL (default) or ANY of the normalized terms
+    (see _probe_hits for the bucket-pruned, hybrid-exact probe)."""
+    from pyspark.sql import functions as F
+
+    norm = normalize_terms(terms)
+    if not norm:
+        raise ValueError("no usable search terms after normalization")
+    if mode not in ("all", "any"):
+        raise ValueError("mode must be 'all' or 'any'")
+
+    props = entry.derived_properties
+    hits = _probe_hits(spark, entry, norm, appended=appended, deleted=deleted)
     id_col = props["idCol"]
     if mode == "any":
         return hits.select(F.col("_doc").alias(id_col)).distinct()
@@ -222,3 +341,129 @@ def text_search(
         .filter(F.col("_n") == len(norm))
         .select(F.col("_doc").alias(id_col))
     )
+
+
+def text_search_ranked(
+    spark: "SparkSession",
+    entry,
+    terms: Iterable,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    appended=None,
+    deleted=None,
+) -> "DataFrame":
+    """BM25-scored top-k retrieval (Robertson & Zaragoza 2009, the
+    Lucene-default scoring): docs matching ANY term ranked by
+    sum over terms of  idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)),
+    idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1).
+
+    Everything runs over the probed tokens' postings only: df per term
+    is a k-row aggregate of the hits broadcast back; N and avgdl come
+    from per-file stats stored in the entry (no corpus job).  The
+    per-doc score sums its k term contributions in SORTED-term order via
+    a pivot — a fixed floating-point association order, so the score is
+    reproducible in any engine (the oracle replays the same order).
+
+    Returns (id_col, score) with score rounded to 4 digits; ties rank by
+    id.  Top-k is a TakeOrdered over |hits| rows — no full sort."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    norm = normalize_terms(terms)
+    if not norm:
+        raise ValueError("no usable search terms after normalization")
+    if k <= 0:
+        raise ValueError("k must be positive")
+
+    props = entry.derived_properties
+    hits = _probe_hits(spark, entry, norm, appended=appended, deleted=deleted)
+    n_docs, avgdl = _corpus_stats(spark, entry, appended=appended, deleted=deleted)
+
+    dfc = hits.groupBy("token").agg(F.count_distinct("_doc").alias("_df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0
+    )
+    score = (
+        idf
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * ((1.0 - b) + b * F.col("_dl") / F.lit(float(avgdl))))
+    )
+    # Pivot on the term's INDEX in the sorted term list, not the raw
+    # token string: pivot values become column names, and a token is
+    # arbitrary user text (backquotes, dots, even "_doc" collide).
+    ti = F.lit(None).cast("int")
+    for i in range(len(norm) - 1, -1, -1):
+        ti = F.when(F.col("token") == norm[i], i).otherwise(ti)
+    scored = (
+        hits.join(F.broadcast(dfc), "token")
+        .withColumn("_s", score)
+        .withColumn("_ti", ti)
+    )
+    per_doc = scored.groupBy("_doc").pivot("_ti", list(range(len(norm)))).agg(
+        F.first("_s")
+    )
+    total = reduce(
+        lambda a, c: a + c,
+        [F.coalesce(F.col(str(i)), F.lit(0.0)) for i in range(len(norm))],
+    )
+    id_col = props["idCol"]
+    return (
+        per_doc.select(
+            F.col("_doc").alias(id_col), F.round(total, 4).alias("score")
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(int(k))
+    )
+
+
+def text_search_phrase(
+    spark: "SparkSession",
+    entry,
+    phrase: str,
+    appended=None,
+    deleted=None,
+) -> "DataFrame":
+    """Exact phrase match from positional postings: candidate docs are
+    the ones containing ALL the phrase's distinct tokens (bucket-pruned
+    probe), and adjacency is verified ONLY on those candidates with an
+    in-row exists() over the positions arrays — the standard positional-
+    postings phrase algorithm (Zobel & Moffat CSUR 2006 §6); the corpus
+    text is never read.
+
+    Returns (id_col) of docs containing the normalized phrase as
+    consecutive tokens."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    toks = normalize_phrase(phrase)
+    uniq = sorted(set(toks))
+    props = entry.derived_properties
+    hits = _probe_hits(spark, entry, uniq, appended=appended, deleted=deleted)
+    id_col = props["idCol"]
+
+    cand = (
+        hits.groupBy("_doc")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("token", "positions"))
+            ).alias("_m")
+        )
+        .filter(F.size("_m") == len(uniq))
+    )
+    if len(toks) == 1:
+        return cand.select(F.col("_doc").alias(id_col))
+    first = F.col("_m")[F.lit(toks[0])]
+    match = F.exists(
+        first,
+        lambda p: reduce(
+            lambda a, c: a & c,
+            [
+                F.array_contains(F.col("_m")[F.lit(t)], p + i)
+                for i, t in enumerate(toks[1:], start=1)
+            ],
+        ),
+    )
+    return cand.filter(match).select(F.col("_doc").alias(id_col))

@@ -149,7 +149,7 @@ class Workspace:
     # the workspace marker folds it into the fingerprint, so a layout
     # left by an older code version is wiped and rebuilt instead of
     # serving indexes built under the old configs.
-    _WS_VERSION = 13  # r8: + w_doc_txt inverted text index
+    _WS_VERSION = 14  # r9: TXT postings carry tf/positions/_dl (BM25 + phrase)
 
     def _source_fingerprint(self) -> str:
         parts = [f"v{self._WS_VERSION}"]
@@ -972,6 +972,71 @@ def text_search_inverted(spark, sf_dir):
     tokenize -> distinct -> IN -> HAVING chain over raw documents."""
     ws = workspace(spark, sf_dir)
     return ws.hs.text_search("w_doc_txt", ["data", "join", "scan"], mode="all")
+
+
+@q(
+    "text_search_ranked",
+    r"""
+    WITH tk AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents WHERE text IS NOT NULL
+    ), tok AS (SELECT doc_id, token FROM tk WHERE token <> ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    corpus AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+           WHERE token IN ('data', 'query', 'scan') GROUP BY doc_id, token),
+    dfc AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+    sc AS (
+      SELECT tf.doc_id, tf.token,
+             (ln((n - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE) + 1.0::DOUBLE)
+              * (tf * 2.2::DOUBLE))
+             / (tf + 1.2::DOUBLE * (0.25::DOUBLE + (0.75::DOUBLE * dl) / avgdl)) AS s
+      FROM tf JOIN dfc USING (token) JOIN dl USING (doc_id) CROSS JOIN corpus
+    ), tot AS (
+      SELECT doc_id,
+             coalesce(sum(CASE WHEN token = 'data' THEN s END), 0.0::DOUBLE)
+             + coalesce(sum(CASE WHEN token = 'query' THEN s END), 0.0::DOUBLE)
+             + coalesce(sum(CASE WHEN token = 'scan' THEN s END), 0.0::DOUBLE) AS score
+      FROM sc GROUP BY doc_id
+    )
+    SELECT doc_id, round(score, 4) AS score FROM tot
+    ORDER BY round(score, 4) DESC, doc_id LIMIT 25
+    """,
+)
+def text_search_ranked_query(spark, sf_dir):
+    """BM25 top-25 from the TXT index (indexes/inverted.py
+    text_search_ranked): tf and dl ride the postings, df is a k-row
+    aggregate of the probed postings, N/avgdl come from per-file stats
+    in the index entry — the scoring job touches ONLY the three probed
+    tokens' bucket files, never the corpus.  The oracle replays the
+    identical formula with every constant cast to DOUBLE (DuckDB parses
+    bare decimal literals as DECIMAL — exact-decimal intermediate
+    arithmetic would diverge from Spark's float) and sums the three term
+    contributions in the same sorted-term association order the pivot
+    uses."""
+    ws = workspace(spark, sf_dir)
+    return ws.hs.text_search_ranked("w_doc_txt", ["data", "query", "scan"], k=25)
+
+
+@q(
+    "text_search_phrase",
+    r"""
+    SELECT doc_id FROM documents
+    WHERE text IS NOT NULL
+      AND strpos(' ' || regexp_replace(trim(lower(text)), '\s+', ' ', 'g') || ' ',
+                 ' table hash ') > 0
+    """,
+)
+def text_search_phrase_query(spark, sf_dir):
+    """Exact phrase match from the TXT index's positional postings
+    (indexes/inverted.py text_search_phrase): candidates = docs holding
+    ALL phrase tokens (bucket-pruned probe), adjacency verified in-row
+    on the candidates' positions arrays only.  The oracle rebuilds the
+    whitespace-normalized token string and finds the phrase with
+    token-boundary padding — no LIKE wildcards, so phrase text needs no
+    escaping."""
+    ws = workspace(spark, sf_dir)
+    return ws.hs.text_search_phrase("w_doc_txt", "table hash")
 
 
 @q(

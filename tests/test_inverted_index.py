@@ -65,6 +65,13 @@ def test_bucket_pruning_engages(spark, tmp_path_factory):
     probed = len(df.inputFiles())
     assert 0 < probed < total, (probed, total)
     assert df.count() > 0
+    # Ranked retrieval and phrase search ride the SAME pruned probe:
+    # the scoring/verify jobs read only the probed tokens' bucket files.
+    ranked = hs.text_search_ranked("txtp", ["the"], k=5)
+    assert 0 < len(ranked.inputFiles()) < total
+    assert ranked.count() == 5
+    ph = hs.text_search_phrase("txtp", "the data")
+    assert 0 < len(ph.inputFiles()) < total
 
 
 def test_hybrid_append_delete_and_incremental_refresh(spark, built):
@@ -110,6 +117,103 @@ def test_optimize_compacts_posting_files(spark, built):
     assert files_after <= files_before
     after = sorted(r.doc_id for r in hs.text_search("txt1", ["quick", "brown"]).collect())
     assert after == before and 20 in after
+
+
+def _bm25_reference(docs, terms, k1=1.2, b=0.75):
+    """Pure-python BM25 replay over {doc_id: text}: the oracle for the
+    tiny corpora below, summing term scores in sorted-term order (the
+    operator's documented association order)."""
+    import math
+
+    toks = {d: t.lower().split() for d, t in docs.items() if t is not None}
+    toks = {d: t for d, t in toks.items() if t}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    out = {}
+    for d, t in toks.items():
+        s = 0.0
+        for term in sorted(set(terms)):
+            tf = t.count(term)
+            if not tf:
+                continue
+            df = sum(1 for tt in toks.values() if term in tt)
+            idf = math.log((float(n) - df + 0.5) / (df + 0.5) + 1.0)
+            s = s + idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * ((1.0 - b) + b * len(t) / float(avgdl))
+            )
+        if s:
+            out[d] = round(s, 4)
+    return out
+
+
+def test_ranked_search_bm25(spark, built):
+    hs, src = built
+    docs = {
+        r.doc_id: r.text for r in spark.read.parquet(src).collect()
+    }
+    want = _bm25_reference(docs, ["quick", "brown"])
+    got = {
+        r.doc_id: r.score
+        for r in hs.text_search_ranked("txt1", ["quick", "brown"], k=10).collect()
+    }
+    assert got == pytest.approx(want, abs=1e-4), (got, want)
+    # top-1 ranks the doc where both rarer terms concentrate; k truncates
+    top = hs.text_search_ranked("txt1", ["quick", "brown"], k=1).collect()
+    assert len(top) == 1
+    assert top[0].doc_id == max(want, key=lambda d: (want[d], -d))
+    # ties rank by id and scores are descending
+    rows = hs.text_search_ranked("txt1", ["quick", "brown"], k=10).collect()
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_ranked_search_tracks_hybrid_state(spark, built):
+    """Appends/deletes adjust N, avgdl, df and the posting set — the
+    ranked result must equal a from-scratch replay over the LIVE corpus
+    (the `built` fixture's earlier tests already appended docs 9/20 and
+    deleted a source file)."""
+    hs, src = built
+    live = {r.doc_id: r.text for r in spark.read.parquet(src).collect()}
+    want = _bm25_reference(live, ["quick", "brown"])
+    got = {
+        r.doc_id: r.score
+        for r in hs.text_search_ranked("txt1", ["quick", "brown"], k=20).collect()
+    }
+    assert got == pytest.approx(want, abs=1e-4), (got, want)
+
+
+def test_phrase_search(spark, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("txt_ph")) + "/data"
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "brown quick the"),           # all terms, wrong order
+            (3, "a QUICK   Brown bear"),      # normalization + multi-space
+            (4, "quick brown quick brown"),   # repeated phrase
+            (5, "quick of brown"),            # gap breaks adjacency
+            (6, None),
+            (7, "sugar quick brown quick"),   # match not at start
+        ],
+        "doc_id long, text string",
+    ).repartition(2).write.parquet(src)
+    hs = Hyperspace(spark, system_path=str(tmp_path_factory.mktemp("hsidx_ph")))
+    hs.create_index(spark.read.parquet(src), InvertedTextIndexConfig("ph1", num_buckets=4))
+    got = sorted(r.doc_id for r in hs.text_search_phrase("ph1", "Quick  Brown").collect())
+    assert got == [1, 3, 4, 7]
+    # single-token phrase degrades to containment
+    assert sorted(r.doc_id for r in hs.text_search_phrase("ph1", "sugar").collect()) == [7]
+    # 3-token phrase with a repeated token
+    assert sorted(
+        r.doc_id for r in hs.text_search_phrase("ph1", "quick brown quick").collect()
+    ) == [4, 7]
+    # hybrid append: new docs phrase-match on the fly
+    spark.createDataFrame(
+        [(9, "totally quick brown again")], "doc_id long, text string"
+    ).write.mode("append").parquet(src)
+    got2 = sorted(r.doc_id for r in hs.text_search_phrase("ph1", "quick brown").collect())
+    assert got2 == [1, 3, 4, 7, 9]
+    with pytest.raises(ValueError, match="usable tokens"):
+        hs.text_search_phrase("ph1", "   ")
 
 
 def test_matches_raw_tokenization_on_corpus(spark, tmp_path_factory):
