@@ -409,20 +409,40 @@ class Hyperspace:
             if not any(cands.values()):
                 return df, []
             ctx = RuleContext(self.spark, conf, cands, reasons)
-            best = optimize(plan, default_rules(), ctx)
-            if best.score <= 0:
-                result = (df, [])
-            else:
-                rewritten = replay(self.spark, best.node)
-                # Replay is name-based SQL regeneration; a rewrite must
-                # never change the frame's visible column list (e.g. an
-                # inner-join key dedup when the join IS the root and the
-                # user expected both copies).  Name check only — analysis
-                # cost, no execution.
-                if [f.name for f in rewritten.schema.fields] != [
-                    f.name for f in df.schema.fields
-                ]:
-                    raise RuntimeError("replay changed the output schema")
+            # A rule can win planning but decline LATE — its replacement's
+            # structural guard raises during replay (e.g. metadata-only
+            # fold meets a shape the cheap planner check admitted).  That
+            # must not discard lower-scoring rewrites that still apply
+            # (data skipping under a failed metadata fold): retry the
+            # whole optimize with the failing rule(s) excluded until a
+            # plan replays cleanly or no rewrite wins.
+            excluded: set[str] = set()
+            result = None
+            while result is None:
+                rules = [
+                    r for r in default_rules() if type(r).__name__ not in excluded
+                ]
+                best = optimize(plan, rules, ctx)
+                if best.score <= 0:
+                    result = (df, [])
+                    break
+                try:
+                    rewritten = replay(self.spark, best.node)
+                    # Replay is name-based SQL regeneration; a rewrite must
+                    # never change the frame's visible column list (e.g. an
+                    # inner-join key dedup when the join IS the root and the
+                    # user expected both copies).  Name check only — analysis
+                    # cost, no execution.
+                    if [f.name for f in rewritten.schema.fields] != [
+                        f.name for f in df.schema.fields
+                    ]:
+                        raise RuntimeError("replay changed the output schema")
+                except Exception:
+                    fresh = set(best.rule_names) - excluded
+                    if not fresh:
+                        raise  # nothing left to exclude — outer fallback
+                    excluded |= fresh
+                    continue
                 # The rewritten frame must not be re-planned when a
                 # DataFrame-action route (session enable) executes it:
                 # its scans read index data, which never matches a

@@ -207,6 +207,14 @@ def read_fingerprint_ledger(spark, path: str, num_buckets: int = 64) -> "DataFra
     ``num_buckets`` is only the fallback for pre-sidecar ledgers."""
     tbl = _ledger_table_name(path)
     n = _ledger_buckets(path, num_buckets)
+    if spark.catalog.tableExists(tbl) and _registered_bucket_count(spark, tbl) != n:
+        # A table registered earlier in the session (e.g. a read against a
+        # then-empty dir that fell back to the default bucket count) would
+        # otherwise never be re-validated against the sidecar, wedging
+        # every later append with a bucket-spec mismatch until the table
+        # is manually dropped.  The files are the durable artifact; the
+        # catalog entry is scaffolding — drop and re-create it.
+        spark.sql(f"DROP TABLE {tbl}")
     if not spark.catalog.tableExists(tbl):
         spark.sql(
             f"CREATE TABLE {tbl} (`_fp` string) USING parquet "
@@ -214,6 +222,17 @@ def read_fingerprint_ledger(spark, path: str, num_buckets: int = 64) -> "DataFra
             f"LOCATION '{path}'"
         )
     return spark.table(tbl)
+
+
+def _registered_bucket_count(spark, tbl: str):
+    """Bucket count of an existing catalog table (None if unreadable)."""
+    try:
+        for row in spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect():
+            if row[0] == "Num Buckets":
+                return int(row[1])
+    except Exception:
+        pass
+    return None
 
 
 def append_fingerprint_ledger(
@@ -1571,28 +1590,52 @@ def remove_repeated_spans(
     covered = F.array_distinct(
         F.flatten(F.transform(F.col("_starts"), lambda p: F.sequence(p, p + n - 1)))
     )
+    # Surviving positions via a LINEAR gap walk, not per-token membership:
+    # filter(tokens, p -> array_contains(_cov, p)) is O(n_tokens x n_cov)
+    # in one row — a highly self-repetitive doc (one token repeated 10^6
+    # times) turns that into 10^12 comparisons on a single executor
+    # thread.  Instead sort the covered set once and emit the KEPT
+    # positions as the gaps between consecutive covered positions
+    # (bounded by sentinels 0 and n+1): O(cov log cov + n) per doc, and
+    # every intermediate array is <= n+2 elements.
+    #
+    # The sorted bounds array is materialized as its OWN column and the
+    # consecutive pairs come from zip_with over two slice()s — both
+    # evaluated once per row as lambda ARGUMENTS.  (A first cut did
+    # element_at(<bounds expression>, j) inside the transform lambda;
+    # Catalyst re-evaluates a lambda-body subtree per element, so the
+    # concat+sort re-ran n times — measured 147 s on a 40k-token
+    # self-repetitive doc vs <10 s for this shape.)
+    cov_sorted = F.sort_array(F.coalesce(F.col("_cov"), F.array().cast("array<bigint>")))
+    n_toks = F.size("_t")
+    bounds = F.concat(
+        F.array(F.lit(0).cast("bigint")),
+        cov_sorted,
+        F.array((n_toks + 1).cast("bigint")),
+    )
+    gaps = F.filter(
+        F.zip_with(
+            F.slice(F.col("_bounds"), 1, F.size("_bounds") - 1),
+            F.slice(F.col("_bounds"), 2, F.size("_bounds") - 1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        ),
+        lambda g: g["b"] - g["a"] >= 2,  # sequence() would count DOWN on empty gaps
+    )
+    kept_pos = F.flatten(
+        F.transform(gaps, lambda g: F.sequence(g["a"] + 1, g["b"] - 1))
+    )
     return (
         toks.join(remsets, "_id", "left")
         .withColumn("_cov", covered)
-        .withColumn(
-            "_kept",
-            F.filter(
-                F.transform(
-                    F.col("_t"),
-                    lambda x, i: F.struct(
-                        (i + 1).cast("long").alias("p"), x.alias("tok")
-                    ),
-                ),
-                lambda s: F.col("_cov").isNull()
-                | ~F.array_contains(F.col("_cov"), s["p"]),
-            ),
-        )
+        .withColumn("_bounds", bounds)
+        .withColumn("_kept", kept_pos)
         .select(
             F.col("_id").alias(id_col),
             F.size("_t").cast("long").alias("n_tokens"),
             (F.size("_t") - F.size("_kept")).cast("long").alias("n_removed"),
-            F.array_join(F.transform("_kept", lambda s: s["tok"]), " ").alias(
-                "cleaned_text"
-            ),
+            F.array_join(
+                F.transform("_kept", lambda p: F.element_at(F.col("_t"), p.cast("int"))),
+                " ",
+            ).alias("cleaned_text"),
         )
     )

@@ -22,6 +22,10 @@ class Optimized:
     node: ir.Node
     score: float
     index_names: list[str] = field(default_factory=list)
+    # Rule classes that produced the winning rewrites — lets the caller
+    # retry planning WITHOUT a rule whose replacement declines late
+    # (raises during replay), instead of discarding every rewrite.
+    rule_names: list[str] = field(default_factory=list)
 
 
 def optimize(node: ir.Node, rules: list, ctx: RuleContext) -> Optimized:
@@ -33,6 +37,7 @@ def optimize(node: ir.Node, rules: list, ctx: RuleContext) -> Optimized:
             ir.with_children(node, [o.node for o in opt_kids]),
             sum(o.score for o in opt_kids),
             [n for o in opt_kids for n in o.index_names],
+            [n for o in opt_kids for n in o.rule_names],
         )
     else:
         best = Optimized(node, 0.0)
@@ -41,5 +46,10 @@ def optimize(node: ir.Node, rules: list, ctx: RuleContext) -> Optimized:
     for rule in rules:
         applied: Applied | None = rule.apply(node, ctx)
         if applied is not None and applied.score > best.score:
-            best = Optimized(applied.node, applied.score, applied.index_names)
+            best = Optimized(
+                applied.node,
+                applied.score,
+                applied.index_names,
+                [type(rule).__name__],
+            )
     return best

@@ -1069,16 +1069,27 @@ def metadata_count_distinct(spark, sf_dir):
     """
     SELECT l_orderkey, l_quantity, round(l_extendedprice, 2) AS price
     FROM lineitem
-    WHERE l_quantity BETWEEN 5 AND 10 AND l_extendedprice < 20000
+    WHERE l_quantity BETWEEN 5 AND 6 AND l_extendedprice < 8000
     """,
 )
 def zorder_filter_2d(spark, sf_dir):
+    """2-D range probe on the quantile-z-clustered w_li_z index.  The
+    predicate is a FIXED ~0.25%-selectivity rectangle (r9; the old
+    qty 5-10 x price<20k one selected ~2.2% of rows): a row-returning
+    probe's speedup is bounded by the driver collect of the matching
+    rows, identical work on both paths — at sf1 the old probe shipped
+    132k rows (0.28s both sides) and capped the ratio at 1.46x while
+    the underlying scans ran 2.3x apart.  The narrow rectangle keeps
+    the output collect under ~10% of either path at every measured sf,
+    so the row is evidence about CLUSTERING, not about Arrow transfer;
+    zorder_range_agg (same index, aggregated consumption) remains the
+    fully scan-isolated companion row."""
     from pyspark.sql import functions as F
 
     ws = workspace(spark, sf_dir)
     df = (
         _t(spark, sf_dir, "lineitem")
-        .filter("l_quantity BETWEEN 5 AND 10 AND l_extendedprice < 20000")
+        .filter("l_quantity BETWEEN 5 AND 6 AND l_extendedprice < 8000")
         .select(
             "l_orderkey",
             "l_quantity",
@@ -4653,65 +4664,22 @@ def session_window_events(spark, sf_dir):
 # back in r8.
 # ---------------------------------------------------------------------------
 _VERIFY_PRIORITY = [
-    # --- r8 window (~50 cap): everything whose last driver-green row is
-    # r06 or whose only gate so far is the local DuckDB-replay pytest.
-    # New-in-r8 queries are inserted at the head as they are added.
-    # The 8 new entries push 7 r06-era ones (zorder_range_agg ...
-    # hybrid_join_append, positions 51-57) past the driver's 50-cap:
-    # they sit immediately after the cap so they lead the r9 window, and
-    # each is independently re-verified EVERY round by the local contract
-    # pytest (identical DuckDB comparison) plus the bench-guard speedup
-    # assertions. ---
+    # --- r9 window (driver verifies the FIRST ~50): ordered by evidence
+    # need.  (1) the two queries that have never driver-hash-greened
+    # (pipeline_end_to_end r8 hash miss; selfjoin_agg_cobucketed now
+    # DECIMAL-hardened, commit 4988bc9), (2) new-in-r9 operators,
+    # (3) queries whose IMPLEMENTATION changed this round
+    # (zorder_filter_2d's narrowed probe, dedup_repeated_spans' linear
+    # gap walk), (4) the 8 whose last green row is r6, (5) the r7-greens
+    # now two rounds old.  The r8-verified 48 sit past the cap and lead
+    # the r10 window; every query is ALSO re-verified each round by the
+    # local contract pytest (same DuckDB compare, exact float repr). ---
     "pipeline_end_to_end",
-    "text_search_inverted",
-    "metadata_only_agg",
-    "metadata_group_agg",
-    "metadata_count_distinct",
-    "metadata_filtered_agg",
-    "dedup_incremental",
-    "dedup_repeated_spans",
-    "streaming_ledger_dedup",
-    "dsir_importance_en",
     "selfjoin_agg_cobucketed",
-    "window_latest_lineitem",
-    "streaming_stateful_sessionize",
-    "semantic_dedup",
-    "covering_filter_point",
-    "join_cobucketed",
+    "text_search_ranked",
+    "text_search_phrase",
     "zorder_filter_2d",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q12_priority_shipping",
-    "q20_excess_stock",
-    "session_window_events",
-    "streaming_tumbling_rollup",
-    "window_tumbling_events",
-    "window_sliding_events",
-    "window_top_orders",
-    "pivot_linestatus",
-    "unpivot_measures",
-    "rollup_agg",
-    "cube_returnflag_status",
-    "grouping_sets_agg",
-    "exists_subquery",
-    "union_distinct",
-    "setop_intersect",
-    "setop_except_all",
-    "salted_skew_agg",
-    "events_hourly_rollup",
-    "mixture_stratified_sample",
-    "split_train_val_test",
-    "sample_hash_deterministic",
-    "contamination_check",
-    "dedup_simhash",
-    "ann_cosine_topk",
-    "ann_lsh_bucketed",
-    "ann_ivf_topk",
-    "pii_detect",
-    "multimodal_meta",
-    "multimodal_resize",
-    "dataskipping_bloom",
-    "nested_filter_index",
+    "dedup_repeated_spans",
     "range_join_buckets",
     "zorder_range_agg",
     "streaming_ingest_dedup",
@@ -4720,8 +4688,7 @@ _VERIFY_PRIORITY = [
     "delta_filter_index",
     "iceberg_filter_index",
     "hybrid_join_append",
-    # --- verified green in r07 (CORRECTNESS_r07.json, 50/50) — rotate
-    # back in r9 ---
+    # --- verified green in r07, rotating back (oldest evidence first) ---
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",
@@ -4772,6 +4739,54 @@ _VERIFY_PRIORITY = [
     "dataskipping_inset",
     "opaque_union_accel",
     "boilerplate_line_removal",
+    # --- verified green in r08 (CORRECTNESS_r08.json) — freshest
+    # evidence, past the r9 cap; they lead the r10 window. ---
+    "text_search_inverted",
+    "metadata_only_agg",
+    "metadata_group_agg",
+    "metadata_count_distinct",
+    "metadata_filtered_agg",
+    "dedup_incremental",
+    "streaming_ledger_dedup",
+    "dsir_importance_en",
+    "window_latest_lineitem",
+    "streaming_stateful_sessionize",
+    "semantic_dedup",
+    "covering_filter_point",
+    "join_cobucketed",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q12_priority_shipping",
+    "q20_excess_stock",
+    "session_window_events",
+    "streaming_tumbling_rollup",
+    "window_tumbling_events",
+    "window_sliding_events",
+    "window_top_orders",
+    "pivot_linestatus",
+    "unpivot_measures",
+    "rollup_agg",
+    "cube_returnflag_status",
+    "grouping_sets_agg",
+    "exists_subquery",
+    "union_distinct",
+    "setop_intersect",
+    "setop_except_all",
+    "salted_skew_agg",
+    "events_hourly_rollup",
+    "mixture_stratified_sample",
+    "split_train_val_test",
+    "sample_hash_deterministic",
+    "contamination_check",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "ann_ivf_topk",
+    "pii_detect",
+    "multimodal_meta",
+    "multimodal_resize",
+    "dataskipping_bloom",
+    "nested_filter_index",
 ]
 
 

@@ -62,8 +62,12 @@ def test_accelerated_speedups(spark):
         speedups[name] = raw / accel
     # Sub-100ms accelerated timings flake under a long shared session
     # (observed ~1-in-5 full-suite runs): re-measure any apparent
-    # deceleration ONCE before failing.  A real regression fails both
-    # passes; a scheduler hiccup doesn't.
+    # deceleration ONCE before failing.  The RETRY measurement replaces
+    # the first (it runs on a warmed session, so it is strictly the more
+    # trustworthy of the two), and must clear 1.02x — not merely flip
+    # past 1.0 — to overturn a first-pass deceleration.  Keeping
+    # max(old, new) instead would let a genuine ~0.95x regression pass
+    # whenever either of two noisy samples lands above 1.0.
     for name in [n for n, s in speedups.items() if s < 1.0]:
         accel = _timed(spark, name, GUARD_SF_DIR)
         spark.conf.set("spark.hyperspace.apply.enabled", "false")
@@ -71,7 +75,8 @@ def test_accelerated_speedups(spark):
             raw = _timed(spark, name, GUARD_SF_DIR)
         finally:
             spark.conf.set("spark.hyperspace.apply.enabled", "true")
-        speedups[name] = max(speedups[name], raw / accel)
+        retry = raw / accel
+        speedups[name] = retry if retry >= 1.02 else min(speedups[name], retry)
     geomean = math.exp(sum(math.log(s) for s in speedups.values()) / len(speedups))
     slow = {n: round(s, 2) for n, s in speedups.items() if s < 1.0}
     assert not slow, f"indexes decelerate queries: {slow} (all: {speedups})"

@@ -299,6 +299,32 @@ def test_append_created_ledger_pins_bucket_count(spark, tmp_path_factory):
     assert dedup.incremental_dedup(probe, led).count() == 0
 
 
+def test_stale_catalog_bucket_spec_revalidated(spark, tmp_path_factory):
+    """Regression (r8 advice): a table registered EARLIER in the session
+    with the fallback bucket count (a read against a then-empty dir) used
+    to wedge every later append with a bucket-spec mismatch until the
+    table was manually dropped.  read_fingerprint_ledger now compares the
+    catalog entry's bucket count to the sidecar and re-registers on
+    mismatch."""
+    import os
+
+    path = str(tmp_path_factory.mktemp("fp_stale")) + "/ledger"
+    os.makedirs(path, exist_ok=True)
+    # 1) Read against the empty dir: registers the table at the 64 default.
+    dedup.read_fingerprint_ledger(spark, path)
+    assert dedup._registered_bucket_count(spark, dedup._ledger_table_name(path)) == 64
+    # 2) First real write uses 4 buckets — must not hit a catalog
+    #    bucket-spec mismatch, and must end registered at 4.
+    docs = spark.createDataFrame(
+        [(i, f"stale {i}") for i in range(12)], "doc_id long, text string"
+    )
+    dedup.append_fingerprint_ledger(spark, docs, path, num_buckets=4)
+    assert dedup._registered_bucket_count(spark, dedup._ledger_table_name(path)) == 4
+    led = dedup.read_fingerprint_ledger(spark, path)
+    probe = docs.selectExpr("doc_id + 50 AS doc_id", "text")
+    assert dedup.incremental_dedup(probe, led).count() == 0
+
+
 def test_remove_repeated_spans_overlapping_spans_union(spark):
     # 9 tokens shared -> two overlapping duplicated 8-grams in the repeat;
     # covered positions union to all 9, not 16.

@@ -352,6 +352,58 @@ def test_partition_filter_folds_exactly(spark, tmp_path_factory):
     assert not all("hsidx_pf" in f for f in fastm.inputFiles())
 
 
+def test_late_decline_retries_lower_scoring_rule(spark, tmp_path_factory, monkeypatch):
+    """Regression (r8 advice, rules.py): when MetadataOnlyAggRule wins
+    planning but its replacement raises during replay (late structural
+    decline), apply() must RE-OPTIMIZE with the failing rule excluded and
+    keep the lower-scoring DataSkipping rewrite — not fall back to the
+    raw plan and lose every acceleration."""
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark import PartitionSketch
+    from hyperspace_spark.planner import rules as rules_mod
+
+    src = str(tmp_path_factory.mktemp("orders_latedecline"))
+    (
+        table(spark, "orders")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(src)
+    )
+    hs = Hyperspace(spark, system_path=str(tmp_path_factory.mktemp("hsidx_ld")))
+    hs.create_index(
+        spark.read.parquet(src),
+        DataSkippingIndexConfig(
+            "pm_ld",
+            [PartitionSketch(["o_year"]), RowCountSketch(), SumSketch(["o_totalprice"])],
+        ),
+    )
+    df = spark.read.parquet(src)
+    q = df.filter("o_year >= 1998").agg(
+        F.count("*").alias("c"), F.round(F.sum("o_totalprice"), 2).alias("t")
+    )
+    # Baseline: the metadata fold wins and reads only index files.
+    fast, used = hs._apply_with_info(q)
+    assert used == ["pm_ld"] and all("hsidx_ld" in f for f in fast.inputFiles())
+
+    # Sabotage the fold's replacement: every call now declines late.
+    def _boom(*a, **k):
+        raise RuntimeError("structural guard: decline late")
+
+    monkeypatch.setattr(rules_mod, "_metadata_only_agg_df", _boom)
+    spark.conf.set("spark.hyperspace.apply.cacheTtlSeconds", "0")
+    try:
+        fast2, used2 = hs._apply_with_info(q)
+    finally:
+        spark.conf.unset("spark.hyperspace.apply.cacheTtlSeconds")
+    # The skipping rewrite (score 1) must survive the retry: index still
+    # used, but as file pruning over the SOURCE scan, not a fold.
+    assert used2 == ["pm_ld"], used2
+    assert not all("hsidx_ld" in f for f in fast2.inputFiles())
+    _assert_same(q, fast2)
+
+
 def test_nondeterministic_filter_never_folds(spark, tmp_path_factory):
     """Regression (r8 review, CONFIRMED wrong-results repro): rand()-style
     terms carry no column references, so the refs-subset check alone let

@@ -72,3 +72,32 @@ def test_remove_repeated_spans_matches_reference(spark, corpus):
     }
     want = reference_span_dedup(norm, N)
     assert got == want
+
+
+def test_remove_repeated_spans_self_repetitive_doc_is_linear(spark):
+    """A pathologically self-repetitive document (one token repeated 40k
+    times) must complete fast: the r9 gap-walk rebuild is O(n log n)
+    per row, where the old per-token array_contains was O(n^2) (~1.6e9
+    comparisons on one executor thread for this doc)."""
+    import time
+
+    from hyperspace_spark.llm import dedup
+
+    n_rep = 40_000
+    df = spark.createDataFrame(
+        [(1, " ".join(["tok"] * n_rep)), (2, "a unique document here")],
+        "doc_id long, text string",
+    )
+    t0 = time.perf_counter()
+    rows = {r.doc_id: r for r in dedup.remove_repeated_spans(df, n=8).collect()}
+    wall = time.perf_counter() - t0
+    dedup.release_caches()
+    # every 8-gram repeats; only the globally-first occurrence's span
+    # survives uncovered... all positions from 2..n are covered starts,
+    # so tokens 1..8 of the first span survive? No: spans at 2..n-7 are
+    # non-first occurrences -> covered positions 2..n. Kept = position 1.
+    assert rows[1].n_tokens == n_rep
+    assert rows[1].n_removed == n_rep - 1
+    assert rows[1].cleaned_text == "tok"
+    assert rows[2].n_removed == 0
+    assert wall < 60, f"self-repetitive doc took {wall:.1f}s — quadratic path?"
