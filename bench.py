@@ -173,6 +173,8 @@ def main() -> None:
         "streaming_ledger_dedup",
         "pipeline_end_to_end",
         "text_search_inverted",
+        "text_search_ranked",
+        "text_search_phrase",
         # r9 — the two rows r8's audit found untimed, plus new operators
         "ann_lsh_bucketed",
         "multimodal_features",

@@ -54,6 +54,15 @@ MAINTENANCE_STALE_AFTER_SEC = "spark.hyperspace.maintenance.staleAfterSeconds"
 # hybrid-scan appended-ratio philosophy: small appends ride the cheap
 # path, big drift forces the correct-but-expensive one.
 ANN_MAX_ASSIGN_RATIO = "spark.hyperspace.index.ann.maxAssignOnlyRatio"
+# Above the assign-only ratio but at-or-below this one, incremental
+# refresh PARTIALLY re-clusters: only clusters grown past
+# reclusterOversizeFactor x the per-cluster average are re-KMeans'd
+# (split), every other cluster's files hardlink through — the
+# OptimizeAction per-bucket discipline applied to quantizer drift.
+# Beyond it, a full refit (global KMeans) is cheaper than splitting
+# nearly every cluster one at a time.
+ANN_MAX_RECLUSTER_RATIO = "spark.hyperspace.index.ann.maxReclusterRatio"
+ANN_RECLUSTER_OVERSIZE_FACTOR = "spark.hyperspace.index.ann.reclusterOversizeFactor"
 
 # Internal column names (reference: IndexConstants.scala:104, ResolverUtils.scala:86).
 DATA_FILE_ID_COLUMN = "_data_file_id"
@@ -94,6 +103,8 @@ class HyperspaceConf:
     apply_cache_ttl_sec: float = 10.0
     maintenance_stale_after_sec: float = 600.0
     ann_max_assign_only_ratio: float = 0.3
+    ann_max_recluster_ratio: float = 1.0
+    ann_recluster_oversize_factor: float = 2.0
 
     @staticmethod
     def from_session(spark: "SparkSession", system_path: str | None = None) -> "HyperspaceConf":
@@ -150,6 +161,10 @@ class HyperspaceConf:
             apply_cache_ttl_sec=_float(APPLY_CACHE_TTL_SEC, "10"),
             maintenance_stale_after_sec=_float(MAINTENANCE_STALE_AFTER_SEC, "600"),
             ann_max_assign_only_ratio=_float(ANN_MAX_ASSIGN_RATIO, "0.3"),
+            ann_max_recluster_ratio=_float(ANN_MAX_RECLUSTER_RATIO, "1.0"),
+            ann_recluster_oversize_factor=_float(
+                ANN_RECLUSTER_OVERSIZE_FACTOR, "2.0"
+            ),
         )
 
     def resolve_num_buckets(self, source_bytes: int, default_parallelism: int) -> int:

@@ -589,18 +589,23 @@ class Hyperspace:
         return live, appended, deleted
 
     @staticmethod
-    def _carry_index_files(fs, entry, data_dir: str) -> None:
+    def _carry_index_files(fs, entry, data_dir: str, skip_subdirs=()) -> None:
         """Hardlink every current index content file into a new version
         dir, preserving subpaths (cluster=N partitions and flat bucketed
         layouts alike) — the O(1)-per-file carry both the ANN and TXT
-        incremental refreshes rely on."""
+        incremental refreshes rely on.  ``skip_subdirs`` drops files under
+        the named first-level subpaths (e.g. re-clustered ``cluster=3``
+        partitions whose rows were rewritten elsewhere)."""
         old_base = entry.index_data_dirs[-1].rstrip("/")
+        skip = tuple(s.rstrip("/") + "/" for s in skip_subdirs)
         for f in entry.content_files:
             rel_path = (
                 f.path[len(old_base) + 1 :]
                 if f.path.startswith(old_base + "/")
                 else f.path.rsplit("/", 1)[-1]
             )
+            if skip and rel_path.startswith(skip):
+                continue
             fs.link_or_copy(f.path, os.path.join(data_dir, rel_path))
 
     def _refresh_incremental(self, name: str) -> None:
@@ -639,15 +644,29 @@ class Hyperspace:
                 # Assign-only IVF increment (standard FAISS/Milvus append
                 # path): new vectors join the FROZEN quantizer's clusters,
                 # only their rows are written, existing cluster files
-                # hardlink through.  Guarded: deletes (no source-file ->
-                # vector lineage) or appends beyond maxAssignOnlyRatio of
-                # the corpus force a full refit — a drifted quantizer
-                # degrades recall silently.
-                total_bytes = sum(f.size for f in live) or 1
+                # hardlink through.  Drift escalation: appends beyond
+                # maxAssignOnlyRatio of the corpus PARTIALLY re-cluster —
+                # only clusters grown past reclusterOversizeFactor x the
+                # average are re-KMeans'd (split), the rest still
+                # hardlink (bounded rewrite bytes, OptimizeAction.scala's
+                # per-bucket discipline).  Deletes (no source-file ->
+                # vector lineage) or appends beyond maxReclusterRatio
+                # force a full refit — a badly drifted quantizer degrades
+                # recall silently, which is worse than the rebuild.
+                # Ratio = appended bytes vs the PREVIOUSLY INDEXED corpus
+                # (live minus appended): "how much did the corpus the
+                # quantizer was fit on grow".  Dividing by live-total
+                # would asymptote below 1.0 no matter how much lands, so
+                # maxReclusterRatio could never trigger the full refit.
                 app_bytes = sum(f.size for f in appended)
-                if deleted or app_bytes / total_bytes > conf.ann_max_assign_only_ratio:
+                indexed_bytes = max(1, sum(f.size for f in live) - app_bytes)
+                app_ratio = app_bytes / indexed_bytes
+                if deleted or app_ratio > conf.ann_max_recluster_ratio:
                     raise _FallBackToFull()
-                from hyperspace_spark.indexes.ann import assign_to_centroids
+                from hyperspace_spark.indexes.ann import (
+                    assign_to_centroids,
+                    partial_recluster,
+                )
 
                 props = entry.derived_properties
                 appended = [
@@ -657,14 +676,37 @@ class Hyperspace:
                 new_df = _relation_reader(self.spark, rel, with_base_path=True).load(
                     [f.path for f in appended]
                 )
-                assigned = assign_to_centroids(
-                    new_df, props["centroids"], props["idCol"], props["vecCol"]
-                )
                 data_dir = mgr.data_dir(version)
-                assigned.write.partitionBy("cluster").mode("overwrite").parquet(data_dir)
-                # Hardlink the old cluster files into the new version,
-                # PRESERVING the cluster=N partition subpath.
-                self._carry_index_files(fs, entry, data_dir)
+                if app_ratio > conf.ann_max_assign_only_ratio:
+                    new_centroids, split_ids = partial_recluster(
+                        self.spark,
+                        entry,
+                        new_df,
+                        data_dir,
+                        oversize_factor=conf.ann_recluster_oversize_factor,
+                    )
+                    # nClusters stays the CONFIGURED target (actual k =
+                    # len(centroids)): a later full refresh re-balances
+                    # the grown quantizer back to the configured k.
+                    props["centroids"] = new_centroids
+                    # Hardlink only the UNTOUCHED clusters' old files in;
+                    # split clusters were rewritten by partial_recluster.
+                    self._carry_index_files(
+                        fs,
+                        entry,
+                        data_dir,
+                        skip_subdirs=[f"cluster={c}" for c in split_ids],
+                    )
+                else:
+                    assigned = assign_to_centroids(
+                        new_df, props["centroids"], props["idCol"], props["vecCol"]
+                    )
+                    assigned.write.partitionBy("cluster").mode("overwrite").parquet(
+                        data_dir
+                    )
+                    # Hardlink the old cluster files into the new version,
+                    # PRESERVING the cluster=N partition subpath.
+                    self._carry_index_files(fs, entry, data_dir)
                 new_files = {f.key(): f for f in live}
                 entry.relations[0].files = [
                     FileInfo(f.path, f.size, f.mtime, tracker.add_or_get(f))
@@ -1742,17 +1784,100 @@ def _install_df_action_routing() -> None:
     if isinstance(orig_write, property):
         _DF_PATCHED["write"] = orig_write
         setattr(cls, "write", _make_routed_write(orig_write))
-    # .rdd and .writeStream are NOT routed (streaming plans always fall
-    # back; .rdd exits the Catalyst world entirely) — but an enabled
-    # session silently losing acceleration there is a support trap, so
-    # emit a one-time-per-session telemetry warning instead.
+    # .rdd is NOT routed (it exits the Catalyst world entirely) — an
+    # enabled session silently losing acceleration there is a support
+    # trap, so emit a one-time-per-session telemetry warning instead.
     import functools as _functools
 
-    for name in ("rdd", "writeStream"):
+    for name in ("rdd",):
         orig_prop = cls.__dict__.get(name)
         if isinstance(orig_prop, (property, _functools.cached_property)):
             _DF_PATCHED[name] = orig_prop
             setattr(cls, name, _make_warned_prop(orig_prop, name))
+    # .writeStream IS routed — not for plan acceleration (streaming plans
+    # fall back by design) but for index MAINTENANCE: a file sink whose
+    # path is the source root of active indexes gets automatic
+    # incremental refresh per micro-batch (streaming/refresh.py).
+    _install_stream_sink_routing()
+
+
+_STREAM_PATCHED: dict = {}
+
+
+def _stream_writer_class():
+    from pyspark.sql.streaming.readwriter import DataStreamWriter
+
+    return DataStreamWriter
+
+
+def _install_stream_sink_routing() -> None:
+    """Patch DataStreamWriter so start() enrols file sinks that target an
+    active index's source root for automatic incremental maintenance.
+    The reference gets every plan (incl. streaming sinks) for free via
+    Catalyst injection (package.scala:40-93); this is the writeStream
+    half of that coverage a session-level patch can honestly provide —
+    the streaming PLAN still executes unrewritten, but the indexes over
+    the sunk data no longer stale silently."""
+    if _STREAM_PATCHED:
+        return
+    cls = _stream_writer_class()
+    orig_option = cls.option
+    orig_options = cls.options
+    orig_start = cls.start
+
+    def routed_option(self, key, value):
+        if isinstance(key, str) and key.lower() == "path":
+            self._hs_sink_path = value
+        return orig_option(self, key, value)
+
+    def routed_options(self, **opts):
+        for k, v in opts.items():
+            if k.lower() == "path":
+                self._hs_sink_path = v
+        return orig_options(self, **opts)
+
+    def routed_start(self, path=None, *args, **kwargs):
+        q = orig_start(self, path, *args, **kwargs)
+        try:
+            sink = path or kwargs.get("path") or getattr(self, "_hs_sink_path", None)
+            df = getattr(self, "_df", None)
+            spark = df.sparkSession if df is not None else None
+            hs = _DF_ROUTES.get(spark) if spark is not None else None
+            if hs is not None and sink:
+                from hyperspace_spark.streaming.refresh import (
+                    indexes_rooted_at,
+                    register_auto_maintenance,
+                )
+
+                names = indexes_rooted_at(hs, sink)
+                if names:
+                    register_auto_maintenance(spark, q, hs, names)
+                    from hyperspace_spark.telemetry import HyperspaceEvent, emit
+
+                    emit(
+                        HyperspaceEvent(
+                            kind="stream_maintenance",
+                            detail=",".join(sorted(names)),
+                            success=True,
+                        )
+                    )
+        except Exception:
+            pass  # maintenance enrolment must never break the stream
+        return q
+
+    _STREAM_PATCHED.update(option=orig_option, options=orig_options, start=orig_start)
+    cls.option = routed_option
+    cls.options = routed_options
+    cls.start = routed_start
+
+
+def _uninstall_stream_sink_routing() -> None:
+    if not _STREAM_PATCHED:
+        return
+    cls = _stream_writer_class()
+    for name, orig in _STREAM_PATCHED.items():
+        setattr(cls, name, orig)
+    _STREAM_PATCHED.clear()
 
 
 def _uninstall_df_action_routing() -> None:
@@ -1761,6 +1886,7 @@ def _uninstall_df_action_routing() -> None:
     cls = _df_impl_class()
     for name, orig in _DF_PATCHED.items():
         setattr(cls, name, orig)
+    _uninstall_stream_sink_routing()
     _DF_PATCHED.clear()
 
 
@@ -1783,6 +1909,12 @@ def _disable_session_sql(spark) -> None:
     if not _DF_ROUTES:
         # last enabled session gone: restore the pristine DataFrame class
         _uninstall_df_action_routing()
+    try:
+        from hyperspace_spark.streaming.refresh import unregister_session
+
+        unregister_session(spark)
+    except Exception:
+        pass
     saved_ns = getattr(spark, "_hs_original_newSession", None)
     if saved_ns is not None:
         if getattr(saved_ns, "__func__", None) is type(spark).newSession and getattr(

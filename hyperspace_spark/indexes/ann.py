@@ -119,6 +119,116 @@ def assign_to_centroids(
     return feat.withColumn("cluster", _nearest(F.col("unit_vec")))
 
 
+def partial_recluster(
+    spark: "SparkSession",
+    entry,
+    new_df: "DataFrame",
+    data_dir: str,
+    oversize_factor: float = 2.0,
+) -> tuple[list[list[float]], list[int]]:
+    """Split-only partial re-clustering of a drifted IVF quantizer — the
+    per-bucket OPTIMIZE discipline (reference OptimizeAction.scala:96-114,
+    which rewrites only the buckets holding small files) applied to
+    centroid maintenance: only clusters whose row count (existing + newly
+    assigned) exceeds ``oversize_factor`` x the per-cluster average are
+    re-KMeans'd, and ONLY their rows are rewritten; every other cluster's
+    rows are written/hardlinked unchanged, so rewrite bytes are bounded
+    by the drifted fraction of the corpus, not its size.
+
+    Cluster-id discipline: a split cluster keeps its id for sub-cluster 0
+    and appends fresh ids for the rest, so untouched ``cluster=N``
+    directories keep their meaning (they are hardlinked by path).  The
+    quantizer only ever REFINES under this path — k grows, cells shrink —
+    and a later full refresh re-balances k back to nClusters.
+
+    Returns ``(new_centroids, split_cluster_ids)``.  Writes the NEW and
+    re-clustered rows under ``data_dir``; the caller hardlinks the
+    untouched clusters' old files in and updates the log entry.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    props = entry.derived_properties
+    centroids = [list(map(float, c)) for c in props["centroids"]]
+    schema = StructType.fromJson(json.loads(props["schemaJson"]))
+    old = (
+        spark.read.schema(schema)
+        .option("basePath", entry.index_data_dirs[-1])
+        .parquet(*entry.index_data_dirs)
+    )
+    assigned_new = assign_to_centroids(
+        new_df, centroids, props["idCol"], props["vecCol"]
+    ).persist()
+
+    old_counts = {
+        r["cluster"]: r["cnt"]
+        for r in old.groupBy("cluster").agg(F.count("*").alias("cnt")).collect()
+    }
+    new_counts = {
+        r["cluster"]: r["cnt"]
+        for r in assigned_new.groupBy("cluster").agg(F.count("*").alias("cnt")).collect()
+    }
+    k = len(centroids)
+    total = sum(old_counts.values()) + sum(new_counts.values())
+    target = max(1.0, total / max(1, k))
+    combined = {
+        c: old_counts.get(c, 0) + new_counts.get(c, 0)
+        for c in set(old_counts) | set(new_counts)
+    }
+    split_ids = sorted(c for c, n in combined.items() if n > oversize_factor * target)
+
+    # Rows of untouched clusters: only the NEW arrivals write (old files
+    # hardlink through by the caller).
+    (
+        assigned_new.filter(~F.col("cluster").isin(split_ids))
+        .write.partitionBy("cluster")
+        .mode("overwrite")
+        .parquet(data_dir)
+    )
+
+    next_id = k
+    for c in split_ids:
+        rows = (
+            old.filter(F.col("cluster") == c)
+            .select("vec_id", "unit_vec")
+            .unionByName(
+                assigned_new.filter(F.col("cluster") == c).select("vec_id", "unit_vec")
+            )
+        )
+        # Split back toward the per-cluster average; never below 2,
+        # never above the cluster's own row count (tiny-cluster guard).
+        n_sub = max(2, min(int(round(combined[c] / target)), combined[c]))
+        feat = rows.withColumn("features", array_to_vector(F.col("unit_vec"))).persist()
+        km = KMeans(k=n_sub, seed=42 + c, maxIter=20).fit(feat)
+        ids = [c] + list(range(next_id, next_id + n_sub - 1))
+        next_id += n_sub - 1
+        id_map = F.array(*[F.lit(int(i)) for i in ids])
+        (
+            km.transform(feat)
+            .select(
+                "vec_id",
+                "unit_vec",
+                F.element_at(id_map, F.col("prediction") + 1).alias("cluster"),
+            )
+            .write.partitionBy("cluster")
+            .mode("append")
+            .parquet(data_dir)
+        )
+        feat.unpersist()
+        centers = km.clusterCenters()
+        centers = [
+            np.asarray(cc, dtype=np.float64) for cc in centers
+        ]
+        centroids[c] = [float(x) for x in centers[0]]
+        for cc in centers[1:]:
+            centroids.append([float(x) for x in cc])
+    assigned_new.unpersist()
+    return centroids, split_ids
+
+
 def ann_search(
     spark: "SparkSession",
     entry,

@@ -29,6 +29,71 @@ if TYPE_CHECKING:
     from hyperspace_spark.planner import ir
 
 
+def _strip_file_scheme(p: str) -> str:
+    if p.startswith("file://"):
+        return p[len("file://"):]
+    if p.startswith("file:"):
+        return p[len("file:"):]
+    return p
+
+
+def _stream_sink_manifest_files(root: str) -> "list[FileInfo] | None":
+    """Committed files of a Structured-Streaming FileStreamSink dir, or
+    None when ``root`` is a plain directory (no ``_spark_metadata``).
+
+    Replays the sink's own log the way Spark's FileStreamSinkLog does:
+    start from the latest ``.compact`` snapshot (if any), then apply the
+    later per-batch files in id order; each non-header line is one JSON
+    SinkFileStatus whose ``action`` is add (or delete, from compaction
+    retention).  Size/modificationTime come from the MANIFEST, not a
+    stat — the same values every other live_files call sees, so file
+    keys (path, size, mtime) stay stable across create/refresh/query.
+
+    Local-filesystem implementation (this repo's FileSystem targets);
+    any parse failure falls back to plain listing via None... except a
+    present-but-unreadable log, where returning None would silently
+    widen the file set beyond what Spark reads — raise instead."""
+    meta = os.path.join(_strip_file_scheme(root), "_spark_metadata")
+    if not os.path.isdir(meta):
+        return None
+    import json
+
+    batches = []
+    for name in os.listdir(meta):
+        if name.startswith((".", "_")):
+            continue
+        base = name[:-len(".compact")] if name.endswith(".compact") else name
+        try:
+            bid = int(base)
+        except ValueError:
+            continue
+        batches.append((bid, name.endswith(".compact"), name))
+    if not batches:
+        return []
+    compacts = [b for b in batches if b[1]]
+    latest_compact = max(compacts) if compacts else None
+    start = latest_compact[0] if latest_compact else -1
+    selected = ([latest_compact] if latest_compact else []) + sorted(
+        b for b in batches if not b[1] and b[0] > start
+    )
+    files: dict[str, FileInfo] = {}
+    for _bid, _isc, name in selected:
+        with open(os.path.join(meta, name)) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("v"):
+                    continue
+                d = json.loads(line)
+                p = _strip_file_scheme(d["path"])
+                if d.get("action") == "delete":
+                    files.pop(p, None)
+                else:
+                    files[p] = FileInfo(
+                        p, int(d.get("size", 0)), int(d.get("modificationTime", 0))
+                    )
+    return sorted(files.values(), key=lambda f: f.path)
+
+
 class SourceProvider:
     """One source family's behavior; chain order decides precedence."""
 
@@ -57,6 +122,15 @@ class FileBasedSourceProvider(SourceProvider):
     def live_files(self, scan: "ir.Scan", fs: "FileSystem") -> list[FileInfo]:
         out: list[FileInfo] = []
         for p in scan.normalized_paths():
+            manifest = _stream_sink_manifest_files(p)
+            if manifest is not None:
+                # FileStreamSink output dir: Spark's own reads are
+                # manifest-scoped (only files the sink COMMITTED exist;
+                # pre-existing files and orphans from failed tasks are
+                # invisible).  The index must adopt the same view or its
+                # scan returns rows the raw plan would never produce.
+                out.extend(manifest)
+                continue
             for st in fs.list_files_recursive(p):
                 out.append(FileInfo(st.path, st.size, st.mtime))
         return out

@@ -154,3 +154,102 @@ def attach_index_maintenance(
     return writer.foreachBatch(
         make_maintenance_handler(hs, source_dir, index_names, refresh_every, output_format)
     )
+
+
+# ---------------------------------------------------------------------------
+# enable()-routed writeStream: automatic index maintenance (r9).
+#
+# A session-enabled user who writeStream.start(path)s into a directory
+# that IS the source of active indexes used to get only a one-time
+# "unrouted" telemetry breadcrumb — the indexes silently staled (hybrid
+# scan compensated until the 0.3 appended-byte threshold, then queries
+# lost acceleration entirely).  Now Hyperspace.enable() patches
+# DataStreamWriter.start to look the sink path up against every active
+# index's source roots and, on a match, registers the query with a
+# StreamingQueryListener that runs an incremental refresh after each
+# micro-batch that moved rows — the same self-healing discipline as the
+# foreachBatch handler above, without the user wiring anything.
+# ---------------------------------------------------------------------------
+
+_AUTO_MAINT: dict = {}  # streaming query id (str) -> (hs, [index names])
+
+
+def _norm_sink_path(p: str) -> str:
+    import os
+
+    if p.startswith("file://"):
+        p = p[len("file://"):]
+    elif p.startswith("file:"):
+        p = p[len("file:"):]
+    return os.path.abspath(p).rstrip("/")
+
+
+def indexes_rooted_at(hs: "Hyperspace", sink_path: str) -> list[str]:
+    """Names of ACTIVE indexes whose source root is ``sink_path``."""
+    target = _norm_sink_path(sink_path)
+    names = []
+    for entry in hs._active_entries(hs.conf()):
+        try:
+            roots = entry.relations[0].root_paths
+        except Exception:
+            continue
+        if any(_norm_sink_path(r) == target for r in roots):
+            names.append(entry.name)
+    return names
+
+
+def _make_listener():
+    from pyspark.sql.streaming.listener import StreamingQueryListener
+
+    class _AutoMaintenanceListener(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            reg = _AUTO_MAINT.get(str(event.progress.id))
+            if not reg:
+                return
+            if not event.progress.numInputRows:
+                return  # empty trigger: nothing landed, nothing to refresh
+            hs, names = reg
+            for name in names:
+                try:
+                    ensure_stable(hs, name)
+                    hs.refresh_index(name, "incremental")
+                except Exception:
+                    # Same self-heal contract as make_maintenance_handler:
+                    # a failed refresh must neither kill the stream nor
+                    # permanently strand the index in a transient state.
+                    try:
+                        ensure_stable(hs, name, stale_after_sec=0)
+                        hs.refresh_index(name, "incremental")
+                    except Exception:
+                        pass
+
+        def onQueryTerminated(self, event):
+            _AUTO_MAINT.pop(str(event.id), None)
+
+    return _AutoMaintenanceListener()
+
+
+def register_auto_maintenance(spark, query, hs: "Hyperspace", index_names: list[str]) -> None:
+    """Attach the per-session listener (once) and enrol ``query``."""
+    if getattr(spark, "_hs_maint_listener", None) is None:
+        listener = _make_listener()
+        spark.streams.addListener(listener)
+        spark._hs_maint_listener = listener
+    _AUTO_MAINT[str(query.id)] = (hs, list(index_names))
+
+
+def unregister_session(spark) -> None:
+    """disable() hook: detach the listener and forget its queries."""
+    listener = getattr(spark, "_hs_maint_listener", None)
+    if listener is not None:
+        try:
+            spark.streams.removeListener(listener)
+        except Exception:
+            pass
+        spark._hs_maint_listener = None

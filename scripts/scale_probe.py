@@ -152,6 +152,43 @@ def main():
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     spark.conf.unset("spark.hyperspace.apply.cacheTtlSeconds")
 
+    # --- probe 1b (r9): metadata-only DECLINE paths stay correct at sf1.
+    # A WHERE touching a DATA column must not fold (the skipping path may
+    # still prune, keeping the source scan); a fold here returns file-
+    # grain rows instead of data-grain rows — the r8 wrong-results class.
+    # Guarded at sf0.01 by pytest; this asserts the same at 10x. ---
+    from pyspark.sql import functions as F
+
+    sys_path = ws.hs._system_path
+    decline_ok = True
+    part = spark.read.parquet(ws.orders_bypart)
+    for pred, must_fold in (
+        ("o_year >= 1997", True),                       # partition-only: folds
+        ("o_year >= 1997 AND o_totalprice > 0", False), # data column: declines
+        ("o_totalprice > 100000", False),               # data column only
+    ):
+        qd = part.filter(pred).agg(
+            F.count("*").alias("c"), F.round(F.sum("o_totalprice"), 2).alias("t")
+        )
+        fast = ws.hs.apply(qd)
+        folded = bool(fast.inputFiles()) and all(
+            sys_path in f for f in fast.inputFiles()
+        )
+        exact = fast.collect() == qd.collect()
+        if folded != must_fold or not exact:
+            decline_ok = False
+            print(
+                json.dumps(
+                    {
+                        "probe": "metadata_decline",
+                        "pred": pred,
+                        "folded": folded,
+                        "must_fold": must_fold,
+                        "exact": exact,
+                    }
+                )
+            )
+
     # --- probe 2: per-query speedup vs unindexed at sf1 ---
     speedups, accel_secs = {}, {}
     for name in ACCELERATED:
@@ -174,6 +211,7 @@ def main():
         "gen_sec": round(gen_sec, 1),
         "index_build_sec": round(build_sec, 1),
         "aqe_exchange_free_join": aqe_ok,
+        "metadata_decline_ok": decline_ok,
         "sf1_speedups": speedups,
         "geomean_speedup": geomean,
     }
@@ -190,12 +228,13 @@ def main():
         "speedup_vs_unindexed": speedups,
         "geomean_speedup": geomean,
         "aqe_exchange_free_join": aqe_ok,
+        "metadata_decline_ok": decline_ok,
         "cpus": 32,
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "BENCH_sf1.json"), "w") as f:
         json.dump(bench_artifact, f, indent=1)
-    sys.exit(0 if aqe_ok and all(s >= 1.0 for s in speedups.values()) else 1)
+    sys.exit(0 if aqe_ok and decline_ok and all(s >= 1.0 for s in speedups.values()) else 1)
 
 
 # ---------------------------------------------------------------------------

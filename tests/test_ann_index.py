@@ -135,13 +135,110 @@ def test_incremental_assign_only_refresh(spark, emb, tmp_path):
     ).collect()
     assert got and got[0].neighbor_id == 401 and got[0].cosine == 1.0
 
-    # drift guard: a >30%-of-corpus append falls back to a full refit
+    # drift escalation: a >30%-of-corpus append takes the PARTIAL
+    # re-cluster path (r9) — only oversized clusters split; an evenly
+    # distributed append may split none, but the vectors must land and
+    # stay searchable either way.
     emb.filter("vec_id < 200").selectExpr(
         "vec_id + 10000 as vec_id", "embedding"
     ).write.mode("append").parquet(src)
     hs.refresh_index("inc_ivf", "incremental")
     e2 = next(e for e in hs._active_entries(hs.conf()) if e.name == "inc_ivf")
-    assert e2.derived_properties["centroids"] != cents0, "drift append must refit"
+    k2 = len(e2.derived_properties["centroids"])
+    v10001 = emb.filter("vec_id = 1").select("embedding").first()[0]
+    got2 = hs.ann_search(
+        "inc_ivf", query_vectors={77777: list(v10001)}, k=3, n_probe=k2
+    ).collect()
+    assert got2 and got2[0].cosine == 1.0
+    # beyond maxReclusterRatio: full refit (global KMeans, k back to 6)
+    emb.selectExpr("vec_id + 20000 as vec_id", "embedding").write.mode(
+        "append"
+    ).parquet(src)
+    emb.selectExpr("vec_id + 30000 as vec_id", "embedding").write.mode(
+        "append"
+    ).parquet(src)
+    hs.refresh_index("inc_ivf", "incremental")
+    e3 = next(e for e in hs._active_entries(hs.conf()) if e.name == "inc_ivf")
+    assert e3.derived_properties["centroids"] != cents0, "drift append must refit"
+    assert len(e3.derived_properties["centroids"]) == 6
+
+
+def test_partial_recluster_splits_only_oversized(spark, emb, tmp_path):
+    """Drifted append (30%-100% of corpus bytes, concentrated in one
+    region): ONLY the oversized cluster re-KMeans into sub-clusters; every
+    other cluster's files hardlink through (same inode — bounded rewrite
+    bytes), k grows by the split, and search stays exact when probing all
+    clusters."""
+    import os
+
+    src = str(tmp_path / "vec_src")
+    base = emb.filter("vec_id < 400")
+    base.coalesce(1).write.parquet(src)
+    hs = Hyperspace(spark, system_path=str(tmp_path / "idx"))
+    hs.create_index(spark.read.parquet(src), IvfIndexConfig("pr_ivf", n_clusters=6))
+    e0 = next(e for e in hs._active_entries(hs.conf()) if e.name == "pr_ivf")
+    cents0 = e0.derived_properties["centroids"]
+    base0 = e0.index_data_dirs[-1].rstrip("/")
+    cluster_of = lambda rel: rel.split("/", 1)[0]
+    inodes0 = {
+        f.path[len(base0) + 1 :]: os.stat(f.path).st_ino for f in e0.content_files
+    }
+
+    # 300 near-copies of ONE vector (tiny per-row perturbation so parquet
+    # can't RLE them away — the drift ratio is measured in BYTES): all
+    # assign to a single frozen cluster, pushing it past
+    # oversize_factor x average.
+    seed = list(emb.filter("vec_id = 7").select("embedding").first()[0])
+    drift = spark.createDataFrame(
+        [
+            (50000 + i, [seed[0] + (i % 97) * 1e-4] + seed[1:])
+            for i in range(300)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    drift.coalesce(1).write.mode("append").parquet(src)
+    # Pin the escalation ladder so the test exercises the PARTIAL path
+    # regardless of parquet compression ratios.
+    spark.conf.set("spark.hyperspace.index.ann.maxAssignOnlyRatio", "0.01")
+    spark.conf.set("spark.hyperspace.index.ann.maxReclusterRatio", "10")
+    try:
+        hs.refresh_index("pr_ivf", "incremental")
+    finally:
+        spark.conf.unset("spark.hyperspace.index.ann.maxAssignOnlyRatio")
+        spark.conf.unset("spark.hyperspace.index.ann.maxReclusterRatio")
+
+    e1 = next(e for e in hs._active_entries(hs.conf()) if e.name == "pr_ivf")
+    cents1 = e1.derived_properties["centroids"]
+    assert len(cents1) > len(cents0), "oversized cluster must split (k grows)"
+    # Untouched centroids are byte-identical at their original positions.
+    changed = [i for i, c in enumerate(cents0) if cents1[i] != c]
+    assert len(changed) <= 2, f"only the oversized cluster(s) may move: {changed}"
+    # Bounded rewrite: every old file OUTSIDE the split cluster(s)
+    # hardlinks through with the same inode.
+    split_dirs = {f"cluster={i}" for i in changed}
+    base1 = e1.index_data_dirs[-1].rstrip("/")
+    after = {f.path[len(base1) + 1 :]: f.path for f in e1.content_files}
+    carried = rewritten = 0
+    for rel, ino in inodes0.items():
+        if cluster_of(rel) in split_dirs:
+            continue  # split cluster: rows rewritten under new ids
+        assert rel in after and os.stat(after[rel]).st_ino == ino, rel
+        carried += 1
+    assert carried > 0, "no hardlinked survivors — rewrite was not bounded"
+
+    # Search exactness on the grown quantizer: probing all clusters
+    # reproduces brute-force top-k for an OLD vector and finds the
+    # drifted copies at cosine 1.0.
+    k1 = len(cents1)
+    got = hs.ann_search("pr_ivf", query_ids=[11], k=5, n_probe=k1).collect()
+    brute = similarity.cosine_topk(
+        spark.read.parquet(src), query_ids=[11], k=5
+    ).collect()
+    assert [r.neighbor_id for r in got] == [r.neighbor_id for r in brute]
+    gd = hs.ann_search(
+        "pr_ivf", query_vectors={9: list(seed)}, k=3, n_probe=k1
+    ).collect()
+    assert gd and gd[0].cosine == 1.0
 
 
 def test_optimize_per_cluster_compaction(spark, emb, tmp_path):

@@ -150,18 +150,26 @@ def test_enable_dataframe_api_optout_after_optin(indexed, spark):
         hs.disable()
 
 
-def test_unrouted_rdd_and_writestream_warn_once(indexed, spark):
-    """r7: .rdd / .writeStream on an enabled session are NOT planner-
-    routed; each emits ONE telemetry breadcrumb per session so the lost
-    acceleration is visible (reference rewrites every query via Catalyst,
-    ApplyHyperspace covers all surfaces — this is the divergence's
-    whyNot)."""
+def test_unrouted_rdd_warns_once_and_writestream_is_routed(indexed, spark):
+    """r7/r9: .rdd on an enabled session is NOT planner-routed and emits
+    ONE telemetry breadcrumb per session so the lost acceleration is
+    visible (reference rewrites every query via Catalyst, ApplyHyperspace
+    covers all surfaces).  .writeStream no longer warns: since r9 it IS
+    routed — DataStreamWriter.start enrols file sinks over indexed
+    source roots for automatic incremental maintenance (see
+    test_streaming_and_sources.py::
+    test_enabled_writestream_sink_auto_refreshes_index)."""
     from hyperspace_spark import telemetry
-    from hyperspace_spark.hyperspace import _df_impl_class
+    from hyperspace_spark.hyperspace import (
+        _df_impl_class,
+        _stream_writer_class,
+        _STREAM_PATCHED,
+    )
 
     DataFrame = _df_impl_class()
     pristine_rdd = DataFrame.__dict__.get("rdd")
-    pristine_ws = DataFrame.__dict__.get("writeStream")
+    Writer = _stream_writer_class()
+    pristine_start = Writer.__dict__.get("start")
     hs, src = indexed
     events = []
     handler = lambda ev: events.append(ev) if ev.kind == "unrouted" else None
@@ -176,13 +184,17 @@ def test_unrouted_rdd_and_writestream_warn_once(indexed, spark):
         _ = stream.writeStream
         _ = stream.writeStream
         surfaces = [ev.detail for ev in events]
-        assert sorted(surfaces) == ["rdd", "writeStream"], surfaces
+        assert sorted(surfaces) == ["rdd"], surfaces
+        # writeStream routing installed while enabled
+        assert _STREAM_PATCHED, "stream sink routing not installed"
+        assert Writer.__dict__.get("start") is not pristine_start
     finally:
         telemetry.off_event(handler)
         hs.disable()
-    # pristine descriptors restored (cached_property for rdd on Spark 4)
+    # pristine descriptors restored (cached_property for rdd on Spark 4;
+    # DataStreamWriter.start back to the stock implementation)
     assert DataFrame.__dict__.get("rdd") is pristine_rdd
-    assert DataFrame.__dict__.get("writeStream") is pristine_ws
+    assert Writer.__dict__.get("start") is pristine_start
     # and results through .rdd remain correct while enabled
     hs.enable()
     try:

@@ -65,6 +65,125 @@ def test_streaming_incremental_maintenance(spark, tmp_path):
     assert len(e.source_files) > 2
 
 
+def test_enabled_writestream_sink_auto_refreshes_index(spark, tmp_path):
+    """r9: an enable()d session's writeStream file sink targeting an
+    index's SOURCE root enrols the query for automatic incremental
+    maintenance (no attach_index_maintenance wiring) — after the
+    micro-batches land, the index has refreshed to cover the streamed
+    files and still accelerates exactly.
+
+    The sink dir carries a ``_spark_metadata`` FileStreamSink manifest,
+    so Spark reads (and therefore the index, via the manifest-aware
+    default provider) see COMMITTED files only — the index is created
+    after the first batch, when the manifest already governs the dir."""
+    src_stream = str(tmp_path / "stream_in")
+    sink = str(tmp_path / "data")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src_stream)
+
+    orders = table(spark, "orders")
+    schema = orders.limit(1).schema
+
+    def run_stream():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_stream)
+            .writeStream.option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start(sink)
+        )
+        q.awaitTermination(120)
+        return q
+
+    # Batch 1 seeds the sink (and its manifest); index over the result.
+    orders.limit(500).coalesce(1).write.mode("append").parquet(src_stream)
+    run_stream().stop()
+    hs = Hyperspace(spark, system_path=str(tmp_path / "idx"))
+    hs.create_index(
+        spark.read.parquet(sink),
+        CoveringIndexConfig("ws_idx", ["o_custkey"], ["o_orderkey", "o_totalprice"]),
+    )
+    e0 = hs._log_mgr("ws_idx", hs.conf()).get_latest_stable_log()
+    n0 = len(e0.source_files)
+
+    # Two more files -> two more micro-batches under enable(): the sink
+    # routing must refresh the index with NO explicit wiring.
+    orders.limit(700).coalesce(1).write.mode("append").parquet(src_stream)
+    orders.filter("o_custkey >= 100").limit(300).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_stream)
+    hs.enable()
+    try:
+        q = run_stream()
+        # The maintenance listener fires ASYNCHRONOUSLY after each batch:
+        # poll for the refreshed log entry.
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            e = hs._log_mgr("ws_idx", hs.conf()).get_latest_stable_log()
+            if e is not None and len(e.source_files) >= n0 + 2:
+                break
+            time.sleep(1)
+        q.stop()
+    finally:
+        hs.disable()
+
+    e1 = hs._log_mgr("ws_idx", hs.conf()).get_latest_stable_log()
+    assert len(e1.source_files) >= n0 + 2, "sink batches never refreshed the index"
+    query = (
+        spark.read.parquet(sink)
+        .filter(F.col("o_custkey") < 100)
+        .select("o_orderkey", "o_totalprice")
+    )
+    fast, used = hs._apply_with_info(query)
+    assert used == ["ws_idx"], hs.why_not(query)
+    assert rows_equal(query, fast)
+
+
+def test_stream_sink_manifest_replay(tmp_path):
+    """FileStreamSinkLog replay: latest .compact wins as the base state,
+    later batch files apply on top, delete actions drop entries, and a
+    plain dir (no _spark_metadata) returns None so listing still rules."""
+    import json
+
+    from hyperspace_spark.sources.registry import _stream_sink_manifest_files
+
+    root = str(tmp_path / "sinkdir")
+    meta = os.path.join(root, "_spark_metadata")
+    os.makedirs(meta)
+
+    def write_batch(name, entries):
+        with open(os.path.join(meta, name), "w") as f:
+            f.write("v1\n")
+            for e in entries:
+                f.write(json.dumps(e) + "\n")
+
+    def add(p, size=10, mt=1000):
+        return {
+            "path": f"file://{root}/{p}", "size": size, "isDir": False,
+            "modificationTime": mt, "blockReplication": 1,
+            "blockSize": 1, "action": "add",
+        }
+
+    # Batches 0..2 with a compact at 1: batch 0's content must come from
+    # the COMPACT (which dropped a.parquet via retention), not batch 0.
+    write_batch("0", [add("a.parquet"), add("b.parquet")])
+    write_batch("1.compact", [add("b.parquet"), add("c.parquet")])
+    write_batch("2", [add("d.parquet", size=77, mt=2222)])
+    got = _stream_sink_manifest_files(root)
+    assert [f.path.rsplit("/", 1)[-1] for f in got] == [
+        "b.parquet", "c.parquet", "d.parquet",
+    ]
+    d = next(f for f in got if f.path.endswith("d.parquet"))
+    assert d.size == 77 and d.mtime == 2222  # manifest values, not stat
+    # Delete action in a later batch removes the entry.
+    write_batch("3", [dict(add("c.parquet"), action="delete")])
+    got2 = _stream_sink_manifest_files(root)
+    assert [f.path.rsplit("/", 1)[-1] for f in got2] == ["b.parquet", "d.parquet"]
+    # Plain directory: manifest route declines, listing applies.
+    assert _stream_sink_manifest_files(str(tmp_path / "plain")) is None
+
+
 def test_streaming_dedup_against_ledger_cross_run(spark, tmp_path):
     """Ledger-backed ingest dedup: the watermark gate handles in-stream
     replays, the persisted ledger remembers EVERYTHING — including
