@@ -175,6 +175,9 @@ def main() -> None:
         "text_search_inverted",
         "text_search_ranked",
         "text_search_phrase",
+        "quality_weighted_sample",
+        "ngram_topk_by_lang",
+        "cross_source_overlap",
         # r9 — the two rows r8's audit found untimed, plus new operators
         "ann_lsh_bucketed",
         "multimodal_features",

@@ -1639,3 +1639,58 @@ def remove_repeated_spans(
             ).alias("cleaned_text"),
         )
     )
+
+
+def cross_source_overlap(
+    df: "DataFrame",
+    n: int = 8,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Pairwise source-contamination matrix: for every pair of sources,
+    how many DISTINCT word n-gram shingles they share — the triage view
+    run before mixing crawls into one training corpus (a hot pair means
+    mirrored content; contamination_check then names the documents).
+
+    Output: (source_a, source_b, shared), source_a < source_b.
+
+    Shape at 100 TB — no shingle self-join: distinct (source, shingle)
+    pairs aggregate to a sorted source-set per shingle (set size bounded
+    by the SOURCE count, not the corpus), and the pairs expand IN-ROW
+    from that set — a shingle shared by s sources emits C(s,2) pair rows
+    with s <= #sources, where the naive self-join would emit the same
+    rows from a corpus-sized probe side.  Short docs (< n tokens)
+    contribute their whole text as one shingle (doc_shingles contract,
+    same as contamination_check)."""
+    from pyspark.sql import functions as F
+
+    src_shingles = (
+        doc_shingles(
+            df.filter(F.col(text_col).isNotNull()), n, text_col, source_col
+        )
+        .select(F.col("_id").alias("_src"), "shingle")
+        .distinct()
+        .groupBy("shingle")
+        .agg(F.sort_array(F.collect_set("_src")).alias("_ss"))
+        .filter(F.size("_ss") >= 2)
+    )
+    # In-row pair expansion over the ATTRIBUTE column _ss (O(1)
+    # element_at per pair — not an embedded expression tree, see
+    # remove_repeated_spans' lambda re-evaluation note).
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_ss") - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size("_ss")),
+                lambda j: F.struct(
+                    F.element_at(F.col("_ss"), i.cast("int")).alias("a"),
+                    F.element_at(F.col("_ss"), j.cast("int")).alias("b"),
+                ),
+            ),
+        )
+    )
+    return (
+        src_shingles.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b"))
+        .agg(F.count("*").alias("shared"))
+    )

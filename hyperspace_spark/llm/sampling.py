@@ -260,3 +260,32 @@ def token_quota_per_source(
     )
     bad_part = exact_cap(df.filter(F.col(source_col).isin(bad)))
     return good_part.unionByName(bad_part)
+
+
+def weighted_sample(
+    df: "DataFrame",
+    key_col: str,
+    weight_col: str,
+    rate: float,
+    num_buckets: int = NUM_BUCKETS,
+) -> "DataFrame":
+    """Quality-weighted deterministic sampling: each row's keep
+    probability is ``rate x clamp(weight, 0, 1)``, realized as
+    ``bucket(key) < floor(p * B)`` over the same md5 bucket hash as
+    deterministic_sample — reproducible across engines and retries,
+    still a narrow Filter over the scan (no shuffle), and a row's fate
+    is a pure function of (key, weight), so the sample can be re-derived
+    as a join predicate later.
+
+    floor, not round, on the threshold: both engines floor identically
+    on doubles, while round half-up (DuckDB) vs half-even (some engines)
+    desyncs at .5 boundaries.  weight=1 rows degenerate to
+    deterministic_sample's prefix range (same bucket space, so a
+    weighted sample is still a subset of any plain sample at >= rate)."""
+    from pyspark.sql import functions as F
+
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0))
+    thr = F.floor(w * F.lit(float(rate)) * F.lit(float(num_buckets))).cast("long")
+    return df.filter(hash_bucket(F.col(key_col), num_buckets) < thr)

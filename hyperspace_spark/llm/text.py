@@ -275,3 +275,46 @@ def unigram_logprob(
             ).alias("mean_neg_logprob"),
         )
     )
+
+
+def top_ngrams(
+    df: "DataFrame",
+    n: int = 2,
+    k: int = 5,
+    by: str = "lang",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Top-k most frequent word n-grams per group — the corpus
+    diagnostic run before boilerplate stripping and contamination
+    triage (a gram that tops every group is template text; one that
+    tops a single source is that crawler's furniture).
+
+    Output: (by, gram, cnt, rn), rn = 1..k per group, ties broken
+    lexicographically on the gram for determinism.
+
+    Shape at 100 TB: the exploded grams feed ONE map-side-combined
+    groupBy (the only corpus-sized shuffle; a gram occurring 10^9 times
+    folds into one row per partition before the exchange), and the
+    top-k window runs over per-group aggregates — rows ~ distinct grams,
+    not corpus tokens.  explode_outer for the same
+    InferFiltersFromGenerate reason as doc_shingles."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    grams = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(by), tokens(F.col(text_col)).alias("_t"))
+        .filter(F.size("_t") >= n)
+        .select(
+            by,
+            F.explode_outer(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_t") - n + 1),
+                    lambda i: F.array_join(F.slice("_t", i, n), " "),
+                )
+            ).alias("gram"),
+        )
+    )
+    counted = grams.groupBy(by, "gram").agg(F.count("*").alias("cnt"))
+    w = W.partitionBy(by).orderBy(F.col("cnt").desc(), "gram")
+    return counted.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

@@ -4018,6 +4018,99 @@ def mixture_stratified_sample(spark, sf_dir):
 
 
 @q(
+    "quality_weighted_sample",
+    f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE {_bucket_oracle()} <
+          CAST(floor(least(greatest(n_chars / 200.0, 0.0), 1.0)
+                     * 0.5 * {_NUM_BUCKETS}) AS BIGINT)
+    """,
+)
+def quality_weighted_sample(spark, sf_dir):
+    """Quality-weighted deterministic sampling (llm/sampling.py
+    weighted_sample): keep probability = 0.5 x a length-based quality
+    weight (clamped n_chars/200 — long-enough docs keep at the full
+    rate, fragments proportionally less).  Pure Filter over the scan,
+    reproducible across engines; the DuckDB oracle replays the same
+    md5-bucket threshold bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.llm import sampling
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_w", F.col("n_chars") / F.lit(200.0)
+    )
+    return sampling.weighted_sample(docs, "doc_id", "_w", 0.5).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@q(
+    "ngram_topk_by_lang",
+    r"""
+    WITH t AS (
+      SELECT lang, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+      SELECT lang,
+             unnest(list_transform(range(1, len(w)),
+                                   i -> w[i] || ' ' || w[i+1])) AS gram
+      FROM t WHERE len(w) >= 2
+    ),
+    c AS (
+      SELECT lang, gram, count(*) AS cnt,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY count(*) DESC, gram) AS rn
+      FROM g GROUP BY lang, gram
+    )
+    SELECT lang, gram, cnt, rn FROM c WHERE rn <= 5
+    """,
+)
+def ngram_topk_by_lang(spark, sf_dir):
+    """Top-5 bigrams per language (llm/text.py top_ngrams): the corpus
+    diagnostic run before boilerplate stripping — a gram topping every
+    language is template text.  One map-side-combined groupBy over the
+    exploded grams; the top-k window sees per-group aggregates only."""
+    from hyperspace_spark.llm import text as t
+
+    return t.top_ngrams(_t(spark, sf_dir, "documents"), n=2, k=5, by="lang")
+
+
+@q(
+    "cross_source_overlap",
+    r"""
+    WITH shingled AS (
+      SELECT source,
+        CASE WHEN len(t) < 8 THEN array_to_string(t, ' ')
+             ELSE array_to_string(t[i:i+7], ' ') END AS shingle
+      FROM (
+        SELECT source, t, unnest(range(1, greatest(len(t)-6, 2))) AS i
+        FROM (SELECT source,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS t
+              FROM documents WHERE text IS NOT NULL)
+      )
+      GROUP BY ALL
+    )
+    SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared
+    FROM shingled a JOIN shingled b
+      ON a.shingle = b.shingle AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def cross_source_overlap_query(spark, sf_dir):
+    """Pairwise source-contamination matrix (llm/dedup.py
+    cross_source_overlap): distinct 8-gram shingles shared per source
+    pair.  The Spark plan expands pairs IN-ROW from a per-shingle
+    source set (bounded by the source count) — the oracle's self-join
+    states the same semantics the O(sources^2)-safe way DuckDB likes."""
+    from hyperspace_spark.llm import dedup
+
+    return dedup.cross_source_overlap(_t(spark, sf_dir, "documents"), n=8)
+
+
+@q(
     "split_train_val_test",
     f"""
     SELECT CASE WHEN {_bucket_oracle()} < {_SPLIT_VAL_HI} THEN 'val'
@@ -4678,6 +4771,9 @@ _VERIFY_PRIORITY = [
     "selfjoin_agg_cobucketed",
     "text_search_ranked",
     "text_search_phrase",
+    "quality_weighted_sample",
+    "ngram_topk_by_lang",
+    "cross_source_overlap",
     "zorder_filter_2d",
     "dedup_repeated_spans",
     "range_join_buckets",

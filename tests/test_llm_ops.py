@@ -1391,3 +1391,71 @@ def test_cosine_zero_vector_no_crash(spark):
     assert u[1].u == [0.0, 0.0]
     pairs = dedup.embedding_near_dup_pairs(emb, threshold=0.9, method="sql").collect()
     assert all(p.cosine <= 1.0 for p in pairs)
+
+
+def test_weighted_sample_clamps_and_nests(spark):
+    """weighted_sample: weight clamps to [0,1]; a weighted sample is a
+    SUBSET of the plain deterministic sample at the same rate (same
+    bucket space, threshold scaled down by weight); weight=1 rows match
+    deterministic_sample's prefix range."""
+    from hyperspace_spark.llm import sampling
+
+    df = spark.createDataFrame(
+        [(i, float(w)) for i, w in zip(range(4000), [2.0, 1.0, 0.4, -3.0] * 1000)],
+        "k long, w double",
+    )
+    plain = {r.k for r in sampling.deterministic_sample(df, "k", 0.5).collect()}
+    weighted = {r.k for r in sampling.weighted_sample(df, "k", "w", 0.5).collect()}
+    assert weighted <= plain
+    # clamped weights: w>=1 behaves as 1 (kept iff in the plain sample),
+    # w<=0 keeps nothing.
+    heavy = {k for k in weighted if k % 4 in (0, 1)}
+    assert heavy == {k for k in plain if k % 4 in (0, 1)}
+    assert not any(k % 4 == 3 for k in weighted)
+    # intermediate weight thins proportionally (0.4x of rate): loose band
+    mid = sum(1 for k in weighted if k % 4 == 2)
+    mid_plain = sum(1 for k in plain if k % 4 == 2)
+    assert 0 < mid < mid_plain
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sampling.weighted_sample(df, "k", "w", 1.5)
+
+
+def test_top_ngrams_basic(spark):
+    from hyperspace_spark.llm import text as t
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b", "en"),
+            (2, "a b c d", "en"),
+            (3, "x y", "de"),
+            (4, None, "de"),
+            (5, "solo", "de"),  # < n tokens: contributes nothing
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {(r.lang, r.rn): (r.gram, r.cnt) for r in t.top_ngrams(df, n=2, k=2).collect()}
+    assert out[("en", 1)] == ("a b", 4)   # 3 in doc1 + 1 in doc2
+    assert out[("en", 2)] == ("b a", 2)
+    assert out[("de", 1)] == ("x y", 1)
+    assert ("de", 2) not in out
+
+
+def test_cross_source_overlap_counts_distinct_shingles(spark):
+    from hyperspace_spark.llm import dedup
+
+    eight = "t1 t2 t3 t4 t5 t6 t7 t8"
+    df = spark.createDataFrame(
+        [
+            (1, eight, "a"),
+            (2, f"{eight} x", "b"),       # shares the 8-gram with a
+            (3, eight, "b"),              # duplicate within b: counted once
+            (4, "totally different text here now ok fine yes", "c"),
+            (5, None, "c"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {(r.source_a, r.source_b): r.shared
+           for r in dedup.cross_source_overlap(df, n=8).collect()}
+    assert got == {("a", "b"): 1}
