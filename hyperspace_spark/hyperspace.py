@@ -437,11 +437,21 @@ class Hyperspace:
                         f.name for f in df.schema.fields
                     ]:
                         raise RuntimeError("replay changed the output schema")
-                except Exception:
+                except Exception as exc:
                     fresh = set(best.rule_names) - excluded
                     if not fresh:
                         raise  # nothing left to exclude — outer fallback
                     excluded |= fresh
+                    # A late decline is sometimes legitimate (structural
+                    # guard met a shape the cheap planner check admitted)
+                    # but can also be a hard bug the retry would
+                    # otherwise hide COMPLETELY (r9: a NameError in the
+                    # fold surfaced only through this breadcrumb's
+                    # absence of... nothing at all).  Make it visible.
+                    try:
+                        _telemetry_rule_excluded(sorted(fresh), exc)
+                    except Exception:
+                        pass
                     continue
                 # The rewritten frame must not be re-planned when a
                 # DataFrame-action route (session enable) executes it:
@@ -1582,6 +1592,27 @@ def _telemetry_apply(index_names: list[str], detail: str) -> None:
     from hyperspace_spark.telemetry import HyperspaceEvent, emit
 
     emit(HyperspaceEvent(kind="apply", index_name=",".join(index_names), detail=detail))
+
+
+def _telemetry_rule_excluded(rule_names: list[str], exc: BaseException) -> None:
+    """Breadcrumb for a rule dropped after its replacement failed during
+    replay: planning retried without it (possibly losing score), and the
+    failure would otherwise be COMPLETELY silent."""
+    from hyperspace_spark.telemetry import HyperspaceEvent, emit, log as _tlog
+
+    msg = f"{type(exc).__name__}: {exc}"
+    _tlog.warning(
+        "rule(s) %s declined late during replay (%s); re-planned without them",
+        ",".join(rule_names),
+        msg,
+    )
+    emit(
+        HyperspaceEvent(
+            kind="rule_excluded",
+            detail=f"{','.join(rule_names)}: {msg}"[:500],
+            success=False,
+        )
+    )
 
 
 def _event_index_name(args, kwargs) -> str:

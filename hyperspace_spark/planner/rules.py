@@ -868,6 +868,38 @@ class MetadataOnlyAggRule:
         return out
 
 
+# Sketch frames pinned in memory per index VERSION (the v__=N dirs are
+# immutable once written — a refresh writes a new dir, so the key can
+# never serve stale rows).  Sketch data is per-FILE rows — metadata-
+# scale by construction — and every metadata-only fold re-reads it;
+# keeping it Spark-persisted turns the fold's dominant cost (sketch
+# parquet IO, ~constant per query) into a memory hit, exactly the way
+# lakehouse engines pin snapshot/statistics state.  Bounded LRU-ish:
+# oldest entries unpersist on overflow.
+_SKETCH_FRAMES: dict = {}
+
+
+def _sketch_frame(spark, dirs, schema_json):
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    key = (id(spark._jsparkSession) if hasattr(spark, "_jsparkSession") else id(spark), tuple(dirs))
+    df = _SKETCH_FRAMES.get(key)
+    if df is None:
+        idx_schema = StructType.fromJson(_json.loads(schema_json))
+        df = spark.read.schema(idx_schema).parquet(*dirs).persist()
+        while len(_SKETCH_FRAMES) >= 64:
+            _k, old = next(iter(_SKETCH_FRAMES.items()))
+            try:
+                old.unpersist(blocking=False)
+            except Exception:
+                pass
+            _SKETCH_FRAMES.pop(_k)
+        _SKETCH_FRAMES[key] = df
+    return df
+
+
 def _metadata_only_agg_df(
     spark, plan, groups, dirs, schema_json, deleted_ids, appended, scan, out_exprs,
     filter_sql=None, fcols=(),
@@ -890,7 +922,7 @@ def _metadata_only_agg_df(
     from hyperspace_spark.config import DATA_FILE_ID_COLUMN
 
     idx_schema = StructType.fromJson(_json.loads(schema_json))
-    idx = spark.read.schema(idx_schema).parquet(*dirs)
+    idx = _sketch_frame(spark, dirs, schema_json)
     if deleted_ids:
         idx = idx.filter(~F.col(DATA_FILE_ID_COLUMN).isin(list(deleted_ids)))
 

@@ -171,9 +171,13 @@ def main():
             F.count("*").alias("c"), F.round(F.sum("o_totalprice"), 2).alias("t")
         )
         fast = ws.hs.apply(qd)
-        folded = bool(fast.inputFiles()) and all(
-            sys_path in f for f in fast.inputFiles()
-        )
+        # Folded = the plan reads NO source file: either every input file
+        # is index data, or the input list is empty because the sketch
+        # frame is served from the per-version persisted cache
+        # (InMemoryTableScan reports no files).  A declined fold always
+        # scans the source, so its input list is non-empty and non-index.
+        infiles = fast.inputFiles()
+        folded = all(sys_path in f for f in infiles) if infiles else True
         exact = fast.collect() == qd.collect()
         if folded != must_fold or not exact:
             decline_ok = False

@@ -393,10 +393,21 @@ def test_late_decline_retries_lower_scoring_rule(spark, tmp_path_factory, monkey
 
     monkeypatch.setattr(rules_mod, "_metadata_only_agg_df", _boom)
     spark.conf.set("spark.hyperspace.apply.cacheTtlSeconds", "0")
+    from hyperspace_spark import telemetry
+
+    events = []
+    handler = lambda ev: events.append(ev) if ev.kind == "rule_excluded" else None
+    telemetry.on_event(handler)
     try:
         fast2, used2 = hs._apply_with_info(q)
     finally:
+        telemetry.off_event(handler)
         spark.conf.unset("spark.hyperspace.apply.cacheTtlSeconds")
+    # The silent-masking trap (r9: a NameError in the fold was invisible
+    # behind the retry): a late decline MUST leave a breadcrumb naming
+    # the excluded rule and the exception.
+    assert events and "MetadataOnlyAggRule" in events[0].detail, events
+    assert "decline late" in events[0].detail
     # The skipping rewrite (score 1) must survive the retry: index still
     # used, but as file pruning over the SOURCE scan, not a fold.
     assert used2 == ["pm_ld"], used2
