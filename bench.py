@@ -178,6 +178,7 @@ def main() -> None:
         "quality_weighted_sample",
         "ngram_topk_by_lang",
         "cross_source_overlap",
+        "ann_pq_topk",
         # r9 — the two rows r8's audit found untimed, plus new operators
         "ann_lsh_bucketed",
         "multimodal_features",

@@ -542,6 +542,7 @@ class Hyperspace:
                 vec_col=p["vecCol"],
                 id_col=p["idCol"],
                 n_clusters=p["nClusters"],
+                pq_m=p.get("pqM"),
             )
         if entry.derived_kind == "TXT":
             from hyperspace_spark.indexes.inverted import InvertedTextIndexConfig
@@ -673,6 +674,14 @@ class Hyperspace:
                 app_ratio = app_bytes / indexed_bytes
                 if deleted or app_ratio > conf.ann_max_recluster_ratio:
                     raise _FallBackToFull()
+                if entry.derived_properties.get("pqM") and (
+                    app_ratio > conf.ann_max_assign_only_ratio
+                ):
+                    # PQ rows carry codes, not vectors: partial
+                    # re-clustering would need the originals back from
+                    # the source (a corpus-scale read) — the full refit
+                    # is the honest cost at that drift level.
+                    raise _FallBackToFull()
                 from hyperspace_spark.indexes.ann import (
                     assign_to_centroids,
                     partial_recluster,
@@ -711,6 +720,20 @@ class Hyperspace:
                     assigned = assign_to_centroids(
                         new_df, props["centroids"], props["idCol"], props["vecCol"]
                     )
+                    if props.get("pqM"):
+                        # Frozen-codebook encode: the appended vectors get
+                        # the same m-byte codes the build would assign, so
+                        # old and new rows score identically at query time.
+                        from hyperspace_spark.indexes.ann import _encode_udf
+                        from pyspark.sql import functions as F
+
+                        assigned = assigned.select(
+                            "vec_id",
+                            _encode_udf(props["codebooks"])(
+                                F.col("unit_vec")
+                            ).alias("codes"),
+                            "cluster",
+                        )
                     assigned.write.partitionBy("cluster").mode("overwrite").parquet(
                         data_dir
                     )
@@ -1402,11 +1425,15 @@ class Hyperspace:
         query_ids: list[int] | None = None,
         k: int = 10,
         n_probe: int = 4,
+        refine_factor: int = 4,
     ) -> "DataFrame":
         """Top-k cosine neighbors from a persisted IVF index (kind ANN).
 
         Pass explicit ``query_vectors`` ({id: vector}), or ``query_ids``
-        to look the vectors up in the index itself."""
+        to look the vectors up in the index itself (for IVF-PQ entries,
+        in the source — PQ rows carry codes, not vectors).
+        ``refine_factor`` applies to IVF-PQ only: the exact re-rank pool
+        is ``k x refine_factor`` ADC candidates per query."""
         from hyperspace_spark.indexes.ann import ann_search
 
         conf = self.conf()
@@ -1419,20 +1446,37 @@ class Hyperspace:
         # (query_ids path); external query_vectors ids are an unrelated
         # namespace and must not shadow same-numbered corpus vectors.
         exclude_self = query_vectors is None
+        props = entry.derived_properties
+        pq = bool(props.get("pqM"))
         if query_vectors is None:
             if not query_ids:
                 raise HyperspaceException("provide query_vectors or query_ids")
-            import json as _json
+            if pq:
+                # PQ rows carry codes, not vectors: look the query
+                # vectors up in the SOURCE (id-filter pushdown, pruned).
+                from pyspark.sql import functions as F
 
-            from pyspark.sql.types import StructType
+                src = self._source_df(entry)
+                rows = (
+                    src.filter(F.col(props["idCol"]).isin(list(query_ids)))
+                    .select(
+                        F.col(props["idCol"]).alias("vec_id"),
+                        F.col(props["vecCol"]).alias("unit_vec"),
+                    )
+                    .collect()
+                )
+            else:
+                import json as _json
 
-            schema = StructType.fromJson(_json.loads(entry.derived_properties["schemaJson"]))
-            idx = (
-                self.spark.read.schema(schema)
-                .option("basePath", entry.index_data_dirs[-1])
-                .parquet(*entry.index_data_dirs)
-            )
-            rows = idx.filter(idx.vec_id.isin(list(query_ids))).select("vec_id", "unit_vec").collect()
+                from pyspark.sql.types import StructType
+
+                schema = StructType.fromJson(_json.loads(props["schemaJson"]))
+                idx = (
+                    self.spark.read.schema(schema)
+                    .option("basePath", entry.index_data_dirs[-1])
+                    .parquet(*entry.index_data_dirs)
+                )
+                rows = idx.filter(idx.vec_id.isin(list(query_ids))).select("vec_id", "unit_vec").collect()
             found = {r.vec_id for r in rows}
             missing = sorted(set(query_ids) - found)
             if missing:
@@ -1445,6 +1489,8 @@ class Hyperspace:
             exclude_self=exclude_self,
             k=k,
             n_probe=n_probe,
+            source_df=self._source_df(entry) if pq else None,
+            refine_factor=refine_factor,
         )
 
     def why_not(

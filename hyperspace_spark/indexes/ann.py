@@ -39,14 +39,93 @@ if TYPE_CHECKING:
 
 @dataclass
 class IvfIndexConfig:
+    """``pq_m`` > 0 switches the index to IVF-PQ: rows store an m-byte
+    product-quantization code instead of the full vector (dim must be
+    divisible by m), cutting index bytes ~dim*4/m — the standard
+    billion-vector layout (FAISS IVF,PQm).  Search scores codes with
+    asymmetric distance (per-query lookup tables) and re-ranks the
+    candidate pool EXACTLY against the source vectors, so the quality
+    knobs stay (n_probe, refine pool size).  pq_m=None (default) keeps
+    the exact IVF-Flat layout."""
+
     name: str
     vec_col: str = "embedding"
     id_col: str = "vec_id"
     n_clusters: int = 16
+    pq_m: int | None = None
     kind: str = field(default="ANN", init=False)
 
     def referenced_columns(self) -> list[str]:
         return [self.id_col, self.vec_col]
+
+
+PQ_K = 256  # codebook size per subspace: one uint8 code byte
+_PQ_TRAIN_SAMPLE = 100_000  # codebooks train on a driver-side sample (FAISS practice)
+
+
+def _train_codebooks(mat, m: int, seed: int = 42, iters: int = 20):
+    """Per-subspace Lloyd k-means on a sample matrix (n, dim) -> list of
+    m codebooks, each (k, dim/m).  Driver-side numpy: codebooks are
+    metadata (m x 256 x dsub floats), training input is a bounded
+    sample, and one vectorized Lloyd loop beats m Spark KMeans jobs at
+    any scale."""
+    import numpy as np
+
+    n, dim = mat.shape
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = []
+    for j in range(m):
+        sub = mat[:, j * dsub : (j + 1) * dsub]
+        k = min(PQ_K, n)
+        cents = sub[rng.choice(n, size=k, replace=False)].copy()
+        for _ in range(iters):
+            # (n, k) distances via ||x||^2 - 2x.c + ||c||^2; argmin rows
+            d = (
+                (sub * sub).sum(1)[:, None]
+                - 2.0 * sub @ cents.T
+                + (cents * cents).sum(1)[None, :]
+            )
+            assign = d.argmin(1)
+            for c in range(k):
+                pts = sub[assign == c]
+                if len(pts):
+                    cents[c] = pts.mean(0)
+        if k < PQ_K:  # pad so codes are always one full byte of range
+            cents = np.vstack([cents, np.repeat(cents[:1], PQ_K - k, axis=0)])
+        books.append(cents)
+    return books
+
+
+def _encode_udf(codebooks):
+    """unit_vec -> m uint8 codes (stored as array<int> for parquet
+    friendliness).  Arrow-batched; one (batch x k) matmul per subspace."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    dsub = books[0].shape[1]
+
+    @F.pandas_udf("array<int>", F.PandasUDFType.SCALAR)
+    def _encode(vecs):
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        codes = np.empty((mat.shape[0], m), dtype=np.int64)
+        for j in range(m):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            cb = books[j]
+            d = (
+                (sub * sub).sum(1)[:, None]
+                - 2.0 * sub @ cb.T
+                + (cb * cb).sum(1)[None, :]
+            )
+            codes[:, j] = d.argmin(1)
+        return pd.Series(list(codes.astype("int32")))
+
+    return _encode
 
 
 def create_index_data(
@@ -74,15 +153,39 @@ def create_index_data(
     assigned = km.transform(feat).select(
         "vec_id", "unit_vec", F.col("prediction").alias("cluster")
     )
-    # One directory per centroid: a probe's IO is its clusters only.
-    assigned.write.partitionBy("cluster").mode("overwrite").parquet(data_dir)
-    return {
+    props = {
         "vecCol": config.vec_col,
         "idCol": config.id_col,
         "nClusters": config.n_clusters,
         "centroids": [list(map(float, c)) for c in km.clusterCenters()],
-        "schemaJson": assigned.schema.json(),
     }
+    if config.pq_m:
+        import numpy as np
+
+        m = int(config.pq_m)
+        sample = [
+            r[0]
+            for r in assigned.select("unit_vec").limit(_PQ_TRAIN_SAMPLE).collect()
+        ]
+        if not sample:
+            raise ValueError("cannot train PQ codebooks on an empty input")
+        dim = len(sample[0])
+        if dim % m != 0:
+            raise ValueError(f"pq_m={m} must divide the vector dim {dim}")
+        books = _train_codebooks(np.stack(sample), m)
+        assigned = assigned.select(
+            "vec_id",
+            _encode_udf(books)(F.col("unit_vec")).alias("codes"),
+            "cluster",
+        )
+        props["pqM"] = m
+        props["codebooks"] = [
+            [[float(x) for x in row] for row in b] for b in books
+        ]
+    # One directory per centroid: a probe's IO is its clusters only.
+    assigned.write.partitionBy("cluster").mode("overwrite").parquet(data_dir)
+    props["schemaJson"] = assigned.schema.json()
+    return props
 
 
 def assign_to_centroids(
@@ -229,6 +332,33 @@ def partial_recluster(
     return centroids, split_ids
 
 
+def _adc_udf(codebooks):
+    """(query_vec, codes) -> approximate dot product via asymmetric
+    distance computation: score = sum_j q_sub_j . codebook_j[code_j].
+    Fully vectorized per Arrow batch (one gather + one elementwise
+    product), no per-query lookup-table state."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    books = np.stack([np.asarray(b, dtype=np.float64) for b in codebooks])
+    m, _k, dsub = books.shape
+
+    @F.pandas_udf("double", F.PandasUDFType.SCALAR)
+    def _adc(qvs, codes):
+        if len(qvs) == 0:
+            return pd.Series([], dtype="float64")
+        q = np.stack([np.asarray(v, dtype=np.float64) for v in qvs])
+        c = np.stack([np.asarray(v, dtype=np.int64) for v in codes])
+        n = q.shape[0]
+        gathered = np.stack(
+            [books[j][c[:, j]] for j in range(m)], axis=1
+        )  # (n, m, dsub)
+        return pd.Series((q.reshape(n, m, dsub) * gathered).sum(axis=(1, 2)))
+
+    return _adc
+
+
 def ann_search(
     spark: "SparkSession",
     entry,
@@ -236,16 +366,26 @@ def ann_search(
     exclude_self: bool = False,
     k: int = 10,
     n_probe: int = 4,
+    source_df: "DataFrame | None" = None,
+    refine_factor: int = 4,
 ) -> "DataFrame":
     """(query_id, neighbor_id, cosine, rank) over the persisted IVF index.
 
-    Vectors were unit-normalized at build, so cosine = dot product."""
+    Vectors were unit-normalized at build, so cosine = dot product.
+
+    IVF-PQ entries (``pqM`` in the log) score their m-byte codes with
+    asymmetric distance, keep a pool of ``k x refine_factor`` candidates
+    per query, and re-rank the pool EXACTLY against the source vectors
+    (``source_df``) — the candidate ids are collected (tiny) and pushed
+    down as an IN filter, so the refine read is row-group-pruned, never
+    a corpus scan.  Without ``source_df`` the ADC score itself is
+    returned (column still named cosine; it approximates the dot)."""
     import numpy as np
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
-    from hyperspace_spark.llm.similarity import dot_expr
+    from hyperspace_spark.llm.similarity import dot_expr, unit_expr
 
     props = entry.derived_properties
     cents = np.array(props["centroids"], dtype=np.float64)
@@ -279,10 +419,66 @@ def ann_search(
         # that happens to share the number (possibly the true nearest
         # neighbor).
         scored = scored.filter(F.col("vec_id") != F.col("qid"))
+    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+
+    pq_m = props.get("pqM")
+    if pq_m:
+        adc = _adc_udf(props["codebooks"])
+        pool_n = max(int(k) * max(int(refine_factor), 1), int(k))
+        wa = W.partitionBy("qid").orderBy(F.col("_adc").desc(), F.col("vec_id"))
+        pool = (
+            scored.withColumn("_adc", adc(F.col("qv"), F.col("codes")))
+            .withColumn("_r", F.row_number().over(wa))
+            .filter(F.col("_r") <= pool_n)
+            .select("qid", "qv", "vec_id", "_adc")
+        )
+        if source_df is None:
+            approx = pool.withColumn("cosine", F.round(F.col("_adc"), 6))
+            return (
+                approx.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select(
+                    F.col("qid").alias("query_id"),
+                    F.col("vec_id").alias("neighbor_id"),
+                    "cosine",
+                    "rank",
+                )
+            )
+        pool = pool.persist()
+        try:
+            pool_ids = [r.vec_id for r in pool.select("vec_id").distinct().collect()]
+            src = (
+                source_df.filter(F.col(props["idCol"]).isin(pool_ids))
+                .select(
+                    F.col(props["idCol"]).alias("vec_id"),
+                    unit_expr(F.col(props["vecCol"]).cast("array<double>")).alias(
+                        "unit_vec"
+                    ),
+                )
+            )
+            refined = (
+                pool.join(src, "vec_id")
+                .withColumn(
+                    "cosine", F.round(dot_expr(F.col("qv"), F.col("unit_vec")), 6)
+                )
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select(
+                    F.col("qid").alias("query_id"),
+                    F.col("vec_id").alias("neighbor_id"),
+                    "cosine",
+                    "rank",
+                )
+            )
+            # Materialize before unpersisting the pool the plan hangs off.
+            out = refined.localCheckpoint(eager=True)
+        finally:
+            pool.unpersist()
+        return out
+
     scored = scored.withColumn(
         "cosine", F.round(dot_expr(F.col("qv"), F.col("unit_vec")), 6)
     )
-    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

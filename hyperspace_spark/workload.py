@@ -149,7 +149,7 @@ class Workspace:
     # the workspace marker folds it into the fingerprint, so a layout
     # left by an older code version is wiped and rebuilt instead of
     # serving indexes built under the old configs.
-    _WS_VERSION = 14  # r9: TXT postings carry tf/positions/_dl (BM25 + phrase)
+    _WS_VERSION = 15  # r9: + w_ann_pq IVF-PQ index (8-byte codes, ADC + refine)
 
     def _source_fingerprint(self) -> str:
         parts = [f"v{self._WS_VERSION}"]
@@ -459,6 +459,15 @@ class Workspace:
                 lambda: self._create_ann_index(),
             ),
             (
+                # IVF-PQ variant (pq_m=8): rows store an 8-byte product-
+                # quantization code instead of the 64-dim vector (~14x
+                # smaller on the synthetic embeddings); search = ADC over
+                # codes -> exact re-rank of the candidate pool against
+                # the source vectors.
+                "w_ann_pq",
+                lambda: self._create_ann_pq_index(),
+            ),
+            (
                 # Partition-grouped metadata aggregation: PartitionSketch
                 # keys the per-file rows by o_year, so GROUP BY o_year
                 # folds from the index (MetadataOnlyAggRule grouped path).
@@ -568,6 +577,14 @@ class Workspace:
         self.hs.create_index(
             _t(self.spark, self.sf_dir, "embeddings"),
             IvfIndexConfig("w_ann_ivf", n_clusters=8),
+        )
+
+    def _create_ann_pq_index(self) -> None:
+        from hyperspace_spark import IvfIndexConfig
+
+        self.hs.create_index(
+            _t(self.spark, self.sf_dir, "embeddings"),
+            IvfIndexConfig("w_ann_pq", n_clusters=8, pq_m=8),
         )
 
     def _create_iceberg_index(self, CoveringIndexConfig) -> None:
@@ -3765,6 +3782,43 @@ def ann_ivf_topk_query(spark, sf_dir):
 
 
 @q(
+    "ann_pq_topk",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                           CAST(embedding AS DOUBLE[])))) AS u
+      FROM embeddings
+    ), qv AS (SELECT vec_id AS qid, u AS qu FROM v WHERE vec_id IN (0, 1, 2)),
+    scored AS (
+      SELECT qid, vec_id AS nid, round(list_dot_product(qu, u), 6) AS cosine
+      FROM v CROSS JOIN qv WHERE vec_id != qid
+    )
+    SELECT qid AS query_id, nid AS neighbor_id, cosine, rank FROM (
+      SELECT qid, nid, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def ann_pq_topk_query(spark, sf_dir):
+    """Probes the PERSISTED IVF-PQ index (w_ann_pq, 8-byte codes): ADC
+    scores the codes, then the pool re-ranks EXACTLY against the source
+    vectors.  Contract entry probes ALL clusters with a pool covering
+    the corpus (k x 1000 >= every test sf's vector count), where
+    PQ+refine degenerates to exact brute force — so DuckDB verifies the
+    full encode -> ADC -> pool -> refine plumbing bit-for-bit.
+    Realistic small-pool recall (0.95+ at pool=4k on the synthetic
+    embeddings) and the ~14x size cut are pytest-asserted
+    (tests/test_ann_index.py)."""
+    ws = workspace(spark, sf_dir)
+    return ws.hs.ann_search(
+        "w_ann_pq", query_ids=[0, 1, 2], k=5, n_probe=8, refine_factor=1000
+    )
+
+
+@q(
     "multimodal_meta",
     """
     SELECT i AS media_id,
@@ -4774,6 +4828,7 @@ _VERIFY_PRIORITY = [
     "quality_weighted_sample",
     "ngram_topk_by_lang",
     "cross_source_overlap",
+    "ann_pq_topk",
     "zorder_filter_2d",
     "dedup_repeated_spans",
     "range_join_buckets",
