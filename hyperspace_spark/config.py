@@ -32,6 +32,11 @@ OPTIMIZE_FILE_SIZE_THRESHOLD = "spark.hyperspace.index.optimize.fileSizeThreshol
 SKIPPING_TARGET_FILE_SIZE = "spark.hyperspace.index.dataskipping.targetIndexDataFileSize"
 SKIPPING_MAX_FILE_COUNT = "spark.hyperspace.index.dataskipping.maxIndexDataFileCount"
 ZORDER_TARGET_BYTES_PER_PARTITION = "spark.hyperspace.index.zorder.targetSourceBytesPerPartition"
+# Z-order incremental refresh: appended-bytes ratio (vs the indexed
+# corpus) below which appends z-cluster LOCALLY into their own files
+# (frozen build-time scaling; per-file min/max pruning stays exact).
+# Beyond it — or on any delete — the full re-cluster runs.
+ZORDER_MAX_INCREMENTAL_RATIO = "spark.hyperspace.index.zorder.maxIncrementalRatio"
 ZORDER_QUANTILE_ENABLED = "spark.hyperspace.index.zorder.quantile.enabled"
 ZORDER_QUANTILE_ERROR = "spark.hyperspace.index.zorder.quantile.relativeError"
 FILTER_RULE_USE_BUCKET_SPEC = "spark.hyperspace.index.filterRule.useBucketSpec"
@@ -92,6 +97,7 @@ class HyperspaceConf:
     skipping_target_file_size: int = 256 * 1024 * 1024
     skipping_max_file_count: int = 10_000
     zorder_target_bytes_per_partition: int = 1024 * 1024 * 1024
+    zorder_max_incremental_ratio: float = 0.3
     zorder_quantile_enabled: bool = True
     zorder_quantile_error: float = 0.01
     # Divergence from the reference default (false): here "bucket spec"
@@ -151,6 +157,7 @@ class HyperspaceConf:
             optimize_file_size_threshold=_int(OPTIMIZE_FILE_SIZE_THRESHOLD, str(256 * 1024 * 1024)),
             skipping_target_file_size=_int(SKIPPING_TARGET_FILE_SIZE, str(256 * 1024 * 1024)),
             skipping_max_file_count=_int(SKIPPING_MAX_FILE_COUNT, "10000"),
+            zorder_max_incremental_ratio=_float(ZORDER_MAX_INCREMENTAL_RATIO, "0.3"),
             zorder_target_bytes_per_partition=_int(
                 ZORDER_TARGET_BYTES_PER_PARTITION, str(1024 * 1024 * 1024)
             ),

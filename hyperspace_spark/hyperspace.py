@@ -645,11 +645,53 @@ class Hyperspace:
                 return ds_ri(self.spark, entry, conf, appended, deleted, mgr, version, fs)
 
             if entry.derived_kind == "ZCI":
-                # Z-order clustering is global: merging appended rows would
-                # break the space-filling layout, so incremental falls back
-                # to a full re-cluster (documented divergence; the
-                # reference's z-order refresh is likewise rebuild-heavy).
-                raise _FallBackToFull()
+                # r9: bounded appends z-cluster LOCALLY into their own
+                # files (frozen build-time scaling, like the ANN
+                # quantizer); retained files hardlink through and their
+                # per-file min/max pruning stays exact — the locally-
+                # clustered-delta-over-clustered-base layout production
+                # table formats ship between OPTIMIZE runs.  Deletes
+                # (rows must leave specific z-files) or drift beyond
+                # zorder.maxIncrementalRatio still re-cluster fully; a
+                # later FULL refresh restores one global interleave.
+                app_bytes = sum(f.size for f in appended)
+                indexed_bytes = max(1, sum(f.size for f in live) - app_bytes)
+                if deleted or app_bytes / indexed_bytes > conf.zorder_max_incremental_ratio:
+                    raise _FallBackToFull()
+                from hyperspace_spark.indexes import zorder as zo
+
+                props = entry.derived_properties
+                appended = [
+                    FileInfo(f.path, f.size, f.mtime, tracker.add_or_get(f))
+                    for f in appended
+                ]
+                new_df = _relation_reader(self.spark, rel, with_base_path=True).load(
+                    [f.path for f in appended]
+                )
+                data_dir = mgr.data_dir(version)
+                new_stats = zo.append_index_data(
+                    self.spark, new_df, entry, conf, appended, tracker, data_dir
+                )
+                self._carry_index_files(fs, entry, data_dir)
+                if props.get("fileStats"):
+                    props["fileStats"].update(new_stats)
+                new_files = {f.key(): f for f in live}
+                entry.relations[0].files = [
+                    FileInfo(f.path, f.size, f.mtime, tracker.add_or_get(f))
+                    for f in new_files.values()
+                ]
+                entry.signature = _signature_of(
+                    _scan_of(entry.relations[0]), entry.relations[0].files
+                )
+                entry.index_data_dirs = [data_dir]
+                entry.data_version = version
+                entry.content_files = [
+                    FileInfo(s.path, s.size, s.mtime)
+                    for s in fs.list_files_recursive(data_dir)
+                ]
+                entry.appended_files = []
+                entry.deleted_files = []
+                return entry
 
             if entry.derived_kind == "ANN":
                 # Assign-only IVF increment (standard FAISS/Milvus append

@@ -253,6 +253,63 @@ def create_index_data(
     }
 
 
+def append_index_data(
+    spark: "SparkSession",
+    df: "DataFrame",
+    entry,
+    conf: HyperspaceConf,
+    files: list[FileInfo],
+    tracker: FileIdTracker,
+    data_dir: str,
+) -> dict:
+    """Incremental ZCI refresh: z-cluster ONLY the appended rows into
+    their own files under the new version dir (the caller hardlinks the
+    retained files in afterwards).  Returns the new files' min/max
+    stats, to merge into the entry's fileStats.
+
+    Scaling uses the PERSISTED build-time stats (frozen, like the ANN
+    quantizer): appended values outside the original [min, max] clip to
+    the boundary z-cells, which degrades CLUSTERING for those rows but
+    never CORRECTNESS — query-time pruning compares predicates against
+    per-file min/max of the ACTUAL values, computed fresh here.  Global
+    interleave quality is restored by the next full refresh; until then
+    the layout is exactly what production table formats ship (locally
+    clustered deltas over a clustered base).  Deletes and drift beyond
+    zorder.maxIncrementalRatio still take the full re-cluster."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.indexes.covering import flattened_name, with_lineage
+
+    props = entry.derived_properties
+    cols = list(props["indexedColumns"]) + list(props["includedColumns"])
+    projected = df
+    if props.get("lineage"):
+        projected = with_lineage(df, spark, files, tracker)
+    projected = projected.select(
+        *[F.col(c).alias(flattened_name(c)) if "." in c else F.col(c) for c in cols],
+        *([DATA_FILE_ID_COLUMN] if props.get("lineage") else []),
+    )
+    idx_flat = [flattened_name(c) for c in props["indexedColumns"]]
+    target = props.get("targetBytesPerPartition") or conf.zorder_target_bytes_per_partition
+    n_parts = max(1, math.ceil(sum(f.size for f in files) / target))
+    if len(idx_flat) == 1:
+        out = projected.repartitionByRange(
+            n_parts, _bq(idx_flat[0])
+        ).sortWithinPartitions(_bq(idx_flat[0]))
+    else:
+        zudf = make_zaddr_udf(idx_flat, props["zorderStats"], props["zorderBits"])
+        out = (
+            projected.withColumn(ZADDR, zudf(*[_bq(c) for c in idx_flat]))
+            .repartitionByRange(n_parts, F.col(ZADDR))
+            .sortWithinPartitions(ZADDR)
+        )
+    out.write.mode("overwrite").parquet(data_dir)
+    # Stats over ONLY the new files (the dir holds nothing else yet).
+    return collect_file_stats(spark, data_dir, list(props["indexedColumns"]))
+
+
 # ---------------------------------------------------------------------------
 # per-file min/max stats -> driver-side file pruning (zero Spark jobs at
 # query time).  The z/range-clustered layout makes per-file ranges TIGHT

@@ -258,3 +258,88 @@ def test_file_stats_decimal_column_roundtrip(spark, tmp_path):
         assert 0 < len(fast.inputFiles()) < len(entry.content_files), "decimal stats did not prune"
     finally:
         spark.conf.unset("spark.hyperspace.index.zorder.targetSourceBytesPerPartition")
+
+
+def test_zorder_incremental_append_local_cluster(spark, tmp_path):
+    """r9: a bounded append refreshes a z-order index INCREMENTALLY —
+    appended rows z-cluster locally into their own files (frozen
+    build-time scaling), retained files hardlink through (same inode),
+    fileStats gains the new files, and pruned queries stay row-exact
+    over the grown corpus.  Deletes or drift beyond
+    zorder.maxIncrementalRatio still re-cluster fully."""
+    import os
+
+    src = str(tmp_path / "src")
+    spark.range(0, 20000).select(
+        (F.col("id") % 1000).alias("a"),
+        (F.col("id") % 77).cast("double").alias("b"),
+        F.col("id").alias("payload"),
+    ).write.mode("overwrite").parquet(src)
+    hs = Hyperspace(spark, system_path=str(tmp_path / "idx"))
+    spark.conf.set(
+        "spark.hyperspace.index.zorder.targetSourceBytesPerPartition", "16384"
+    )
+    try:
+        hs.create_index(
+            spark.read.parquet(src),
+            ZOrderCoveringIndexConfig("zinc", ["a", "b"], ["payload"]),
+        )
+        e0 = next(e for e in hs._active_entries(hs.conf()) if e.name == "zinc")
+        base0 = e0.index_data_dirs[-1].rstrip("/")
+        inodes0 = {
+            f.path[len(base0) + 1 :]: os.stat(f.path).st_ino for f in e0.content_files
+        }
+        nstats0 = len(e0.derived_properties["fileStats"])
+
+        # Bounded append (values inside AND outside the original ranges:
+        # a in 0..1499 stretches past max(a)=999 — clipped z-cells are a
+        # clustering, not correctness, concern).
+        spark.range(20000, 24000).select(
+            (F.col("id") % 1500).alias("a"),
+            (F.col("id") % 77).cast("double").alias("b"),
+            F.col("id").alias("payload"),
+        ).coalesce(1).write.mode("append").parquet(src)
+        # Small-file parquet overhead can push the BYTE ratio past the
+        # 0.3 default even for a 20% row append — pin it for the test.
+        spark.conf.set("spark.hyperspace.index.zorder.maxIncrementalRatio", "0.6")
+        hs.refresh_index("zinc", "incremental")
+
+        e1 = next(e for e in hs._active_entries(hs.conf()) if e.name == "zinc")
+        assert e1.data_version > e0.data_version
+        base1 = e1.index_data_dirs[-1].rstrip("/")
+        after = {f.path[len(base1) + 1 :]: f.path for f in e1.content_files}
+        for rel, ino in inodes0.items():
+            assert rel in after and os.stat(after[rel]).st_ino == ino, rel
+        assert len(after) > len(inodes0), "no appended z-files written"
+        assert len(e1.derived_properties["fileStats"]) > nstats0
+
+        # Row-exactness incl. the out-of-range region, and pruning still
+        # engages for a selective range.
+        for pred in ("a BETWEEN 10 AND 20", "a >= 1200", "a = 1400 AND b < 50.0"):
+            q = spark.read.parquet(src).filter(pred).select("a", "b", "payload")
+            fast, used = hs._apply_with_info(q)
+            assert used == ["zinc"], (pred, hs.why_not(q))
+            assert sorted(map(tuple, fast.collect())) == sorted(
+                map(tuple, q.collect())
+            ), pred
+        q = spark.read.parquet(src).filter("a BETWEEN 10 AND 20").select("a", "payload")
+        fast, _ = hs._apply_with_info(q)
+        assert 0 < len(fast.inputFiles()) < len(e1.content_files)
+
+        # Drift beyond the ratio: full re-cluster (fresh stats, no
+        # hardlink guarantee) — and still exact.
+        spark.range(24000, 80000).select(
+            (F.col("id") % 1500).alias("a"),
+            (F.col("id") % 77).cast("double").alias("b"),
+            F.col("id").alias("payload"),
+        ).write.mode("append").parquet(src)
+        hs.refresh_index("zinc", "incremental")
+        e2 = next(e for e in hs._active_entries(hs.conf()) if e.name == "zinc")
+        assert e2.derived_properties["zorderStats"]["a"]["max"] == 1499
+        q = spark.read.parquet(src).filter("a BETWEEN 10 AND 20").select("a", "payload")
+        fast, used = hs._apply_with_info(q)
+        assert used == ["zinc"]
+        assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, q.collect()))
+    finally:
+        spark.conf.unset("spark.hyperspace.index.zorder.targetSourceBytesPerPartition")
+        spark.conf.unset("spark.hyperspace.index.zorder.maxIncrementalRatio")
