@@ -179,6 +179,8 @@ def main() -> None:
         "ngram_topk_by_lang",
         "cross_source_overlap",
         "ann_pq_topk",
+        "funnel_view_click_purchase",
+        "retention_weekly_cohorts",
         # r9 — the two rows r8's audit found untimed, plus new operators
         "ann_lsh_bucketed",
         "multimodal_features",

@@ -267,3 +267,79 @@ def distinct_count_sketch(
     if group_cols:
         return survivors.groupBy(*group_cols).agg(agg)
     return survivors.agg(agg)
+
+
+def funnel_steps(
+    df: "DataFrame",
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> "DataFrame":
+    """Ordered-funnel analysis: how many users reached each step, where a
+    step counts only when it happens STRICTLY AFTER the user's earliest
+    completion of the previous step (the standard product-analytics
+    funnel, not mere set membership).
+
+    Output: (step, event_type, users) — step is 1-based position.
+
+    Shape at 100 TB: one filtered scan per step (the ``type_col``
+    equality pushes into the source scan) feeding a per-user min —
+    map-side combined, user-cardinality output — then an equi-join
+    against the previous step's frame on the user key.  No per-user
+    event arrays are ever materialized, so a single hyperactive user
+    cannot skew a task; intermediates scale with USERS, not events, and
+    AQE broadcasts them whenever they fit."""
+    from pyspark.sql import functions as F
+
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    counts = []
+    prev = None  # (user, reach_ts) of the previous step
+    for s in steps:
+        cur = df.filter(F.col(type_col) == s)
+        if prev is not None:
+            cur = cur.join(prev, user_col).filter(F.col(ts_col) > F.col("_hs_reach"))
+        cur = cur.groupBy(user_col).agg(F.min(ts_col).alias("_hs_reach"))
+        counts.append(cur.count())
+        prev = cur
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(i + 1, s, int(n)) for i, (s, n) in enumerate(zip(steps, counts))],
+        "step int, event_type string, users bigint",
+    )
+
+
+def retention_cohorts(
+    df: "DataFrame",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> "DataFrame":
+    """Weekly retention cohorts: users grouped by the week of their FIRST
+    event; for each (cohort week, week offset) the count of cohort users
+    active that week.  The classic growth-accounting triangle.
+
+    Output: (cohort_week 'yyyy-MM-dd', week_offset, users).
+
+    Shape: two per-user aggregates (first-seen week; distinct active
+    weeks — both map-side combined, user-scale outputs) and one
+    user-keyed equi-join.  Weeks truncate to ISO Mondays on both engines,
+    so the day difference is an exact multiple of 7."""
+    from pyspark.sql import functions as F
+
+    first = df.groupBy(user_col).agg(
+        F.date_trunc("week", F.min(ts_col)).alias("_hs_cw")
+    )
+    act = df.select(
+        user_col, F.date_trunc("week", F.col(ts_col)).alias("_hs_w")
+    ).distinct()
+    return (
+        act.join(first, user_col)
+        .groupBy(
+            F.date_format("_hs_cw", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("_hs_w"), F.col("_hs_cw")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("users"))
+    )

@@ -2504,6 +2504,58 @@ def events_hourly_rollup(spark, sf_dir):
     )
 
 
+@q(
+    "funnel_view_click_purchase",
+    """
+    WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+    SELECT 1 AS step, 'view' AS event_type, (SELECT count(*) FROM s1) AS users
+    UNION ALL
+    SELECT 2, 'click', (SELECT count(*) FROM s2)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+    """,
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    """Ordered funnel (relational.py funnel_steps): users reaching each
+    step strictly after their earliest completion of the previous one.
+    Per-step filtered scan -> per-user min -> user-keyed join; no
+    per-user event arrays, so a hyperactive user cannot skew a task."""
+    from hyperspace_spark.relational import funnel_steps
+
+    return funnel_steps(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+@q(
+    "retention_weekly_cohorts",
+    """
+    WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+               FROM events GROUP BY 1),
+    act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events)
+    SELECT strftime(f.cw, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', f.cw, act.w) / 7 AS INT) AS week_offset,
+           count(*) AS users
+    FROM act JOIN f ON act.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def retention_weekly_cohorts(spark, sf_dir):
+    """Weekly retention triangle (relational.py retention_cohorts):
+    cohort = ISO week of first event; users active per (cohort, offset).
+    Two user-scale aggregates + one user-keyed join."""
+    from hyperspace_spark.relational import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"))
+
+
 # ===========================================================================
 # 3. LLM-pipeline operators
 # ===========================================================================
@@ -4829,6 +4881,8 @@ _VERIFY_PRIORITY = [
     "ngram_topk_by_lang",
     "cross_source_overlap",
     "ann_pq_topk",
+    "funnel_view_click_purchase",
+    "retention_weekly_cohorts",
     "zorder_filter_2d",
     "dedup_repeated_spans",
     "range_join_buckets",

@@ -331,3 +331,53 @@ def test_distinct_sketch_uppercase_threshold_normalized(spark):
     lo = distinct_count_sketch(df, "v", keep_below="a4").collect()[0][0]
     assert up == lo
     assert abs(lo - 7919) / 7919 < 0.25, lo
+
+
+def test_funnel_strictly_after_semantics(spark):
+    """funnel_steps counts a step only STRICTLY AFTER the user's earliest
+    completion of the previous step — set membership is not enough."""
+    from datetime import datetime as dt
+
+    from hyperspace_spark.relational import funnel_steps
+
+    rows = [
+        # u1: full ordered funnel
+        (1, dt(2024, 1, 1, 0), "view"), (1, dt(2024, 1, 1, 1), "click"),
+        (1, dt(2024, 1, 1, 2), "purchase"),
+        # u2: clicked BEFORE viewing -> stops at step 1
+        (2, dt(2024, 1, 2, 0), "click"), (2, dt(2024, 1, 2, 1), "view"),
+        # u3: view+click, purchase SIMULTANEOUS with click -> not strictly
+        # after -> stops at step 2
+        (3, dt(2024, 1, 3, 0), "view"), (3, dt(2024, 1, 3, 1), "click"),
+        (3, dt(2024, 1, 3, 1), "purchase"),
+        # u4: never viewed
+        (4, dt(2024, 1, 4, 0), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r.step: (r.event_type, r.users) for r in funnel_steps(
+        df, ["view", "click", "purchase"]).collect()}
+    assert got == {1: ("view", 3), 2: ("click", 2), 3: ("purchase", 1)}
+
+
+def test_retention_cohort_triangle(spark):
+    from datetime import datetime as dt
+
+    from hyperspace_spark.relational import retention_cohorts
+
+    rows = [
+        # u1 first seen week of Mon 2024-01-01; active weeks 0 and 2
+        (1, dt(2024, 1, 2, 10)), (1, dt(2024, 1, 17, 9)),
+        # u2 same cohort, only week 0 (two events, one distinct week)
+        (2, dt(2024, 1, 3, 8)), (2, dt(2024, 1, 5, 8)),
+        # u3 cohort of Mon 2024-01-08, active weeks 0 and 1
+        (3, dt(2024, 1, 9, 8)), (3, dt(2024, 1, 16, 8)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(r.cohort_week, r.week_offset): r.users
+           for r in retention_cohorts(df).collect()}
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+        ("2024-01-08", 1): 1,
+    }
