@@ -1269,7 +1269,17 @@ class Hyperspace:
                 (
                     e.name,
                     e.derived_kind,
-                    p.get("indexedColumns", [c.get("columns", ["?"])[0] for c in p.get("sketches", [])]),
+                    # (c.get("columns") or ["?"]): a column-less sketch
+                    # (RowCount) serializes columns=[], and dict.get
+                    # returns that EXISTING empty list, not the default —
+                    # [0] then raised for any index carrying one.
+                    p.get(
+                        "indexedColumns",
+                        [
+                            (c.get("columns") or ["?"])[0]
+                            for c in p.get("sketches", [])
+                        ],
+                    ),
                     p.get("includedColumns", []),
                     int(p.get("numBuckets", 0)),
                     e.state,

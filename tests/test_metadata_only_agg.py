@@ -352,6 +352,18 @@ def test_partition_filter_folds_exactly(spark, tmp_path_factory):
     assert not all("hsidx_pf" in f for f in fastm.inputFiles())
 
 
+def test_indexes_listing_with_columnless_sketch(spark, src_dir, hs):
+    """Regression (r9, found by the sf10 probe): RowCountSketch
+    serializes columns=[], and dict.get returns that EXISTING empty
+    list — indexes() raised IndexError for any skipping index carrying
+    a column-less sketch, which silently cascaded into probe scripts
+    treating the whole catalog as absent."""
+    rows = hs.indexes().collect()
+    row = next(r for r in rows if r["name"] == "li_meta")
+    cols = list(row["indexedColumns"])
+    assert "l_shipdate" in cols and "?" in cols  # RowCount shows as '?'
+
+
 def test_late_decline_retries_lower_scoring_rule(spark, tmp_path_factory, monkeypatch):
     """Regression (r8 advice, rules.py): when MetadataOnlyAggRule wins
     planning but its replacement raises during replay (late structural
