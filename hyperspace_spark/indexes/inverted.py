@@ -250,7 +250,15 @@ def _probe_hits(
         ids = [i for i in (tracker.get(f) for f in deleted) if i is not None]
         if ids:
             hits = hits.filter(~F.col(DATA_FILE_ID_COLUMN).isin(ids))
-    hits = hits.select("token", "_doc", "tf", "positions", "_dl")
+    # _src = which physical COPY of the doc a posting came from.  A doc
+    # id can legitimately appear twice in live state (a corrected copy
+    # re-appended under the same id before refresh): downstream per-doc
+    # maps/pivots must key on (_doc, _src) or they hit duplicate-key
+    # errors (phrase) or arbitrary-pick merges (ranked).
+    hits = hits.select(
+        "token", "_doc", "tf", "positions", "_dl",
+        F.col(DATA_FILE_ID_COLUMN).cast("long").alias("_src"),
+    )
 
     if appended:
         from hyperspace_spark.hyperspace import _relation_reader
@@ -262,9 +270,20 @@ def _probe_hits(
         raw_hits = (
             _doc_postings(raw, props["idCol"], props["textCol"])
             .filter(F.col("token").isin(norm))
-            .select("token", "_doc", "tf", "positions", "_dl")
+            .select(
+                "token", "_doc", "tf", "positions", "_dl",
+                # Appended files have no tracker id yet: derive a copy key
+                # from the file name (xxhash64 over the full long range —
+                # a collision with a small tracker id would only merge
+                # two copies' postings, never lose a doc).
+                F.xxhash64(F.input_file_name()).alias("_src"),
+            )
         )
         hits = hits.unionByName(raw_hits)
+        # The ranked path consumes hits TWICE (df aggregate + score join)
+        # and each execution would re-tokenize every appended file;
+        # materialize the (tiny, probed-terms-only) hit set once.
+        hits = hits.localCheckpoint(eager=False)
     return hits
 
 
@@ -401,18 +420,22 @@ def text_search_ranked(
         .withColumn("_s", score)
         .withColumn("_ti", ti)
     )
-    per_doc = scored.groupBy("_doc").pivot("_ti", list(range(len(norm)))).agg(
-        F.first("_s")
-    )
+    # Pivot per (_doc, _src): a doc id live under TWO physical copies
+    # (re-appended before refresh) scores each copy independently and the
+    # BEST copy represents the id — F.first across copies would pick an
+    # arbitrary tf.  With unique ids (the normal state) this is a no-op.
+    per_copy = scored.groupBy("_doc", "_src").pivot(
+        "_ti", list(range(len(norm)))
+    ).agg(F.first("_s"))
     total = reduce(
         lambda a, c: a + c,
         [F.coalesce(F.col(str(i)), F.lit(0.0)) for i in range(len(norm))],
     )
     id_col = props["idCol"]
     return (
-        per_doc.select(
-            F.col("_doc").alias(id_col), F.round(total, 4).alias("score")
-        )
+        per_copy.select(F.col("_doc").alias(id_col), total.alias("_t"))
+        .groupBy(id_col)
+        .agg(F.round(F.max("_t"), 4).alias("score"))
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(int(k))
     )
@@ -444,8 +467,14 @@ def text_search_phrase(
     hits = _probe_hits(spark, entry, uniq, appended=appended, deleted=deleted)
     id_col = props["idCol"]
 
+    # Candidates per (_doc, _src): a doc id live under TWO physical
+    # copies (re-appended before refresh) would otherwise feed the same
+    # token key into map_from_entries twice — a runtime 'duplicate map
+    # key' error under Spark's default dedup policy.  Each copy verifies
+    # independently; a doc matches when ANY of its copies contains the
+    # phrase.
     cand = (
-        hits.groupBy("_doc")
+        hits.groupBy("_doc", "_src")
         .agg(
             F.map_from_entries(
                 F.collect_list(F.struct("token", "positions"))
@@ -454,7 +483,7 @@ def text_search_phrase(
         .filter(F.size("_m") == len(uniq))
     )
     if len(toks) == 1:
-        return cand.select(F.col("_doc").alias(id_col))
+        return cand.select(F.col("_doc").alias(id_col)).distinct()
     first = F.col("_m")[F.lit(toks[0])]
     match = F.exists(
         first,
@@ -466,4 +495,4 @@ def text_search_phrase(
             ],
         ),
     )
-    return cand.filter(match).select(F.col("_doc").alias(id_col))
+    return cand.filter(match).select(F.col("_doc").alias(id_col)).distinct()

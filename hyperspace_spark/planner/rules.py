@@ -881,10 +881,30 @@ _SKETCH_FRAMES: dict = {}
 
 def _sketch_frame(spark, dirs, schema_json):
     import json as _json
+    import os
 
     from pyspark.sql.types import StructType
 
-    key = (id(spark._jsparkSession) if hasattr(spark, "_jsparkSession") else id(spark), tuple(dirs))
+    # Key includes each dir's mtime: v__=N dirs are immutable under the
+    # NORMAL lifecycle, but a wipe-and-rebuild of the whole system path
+    # (log ids restart, so the same v__=1 path returns with different
+    # content — the Workspace fingerprint discipline does exactly this)
+    # must never serve the deleted index's rows from the cache.
+    def _m(p):
+        if p.startswith("file://"):
+            p = p[len("file://"):]
+        elif p.startswith("file:"):
+            p = p[len("file:"):]
+        try:
+            return int(os.path.getmtime(p) * 1000)
+        except OSError:
+            return -1
+
+    key = (
+        id(spark._jsparkSession) if hasattr(spark, "_jsparkSession") else id(spark),
+        tuple(dirs),
+        tuple(_m(d) for d in dirs),
+    )
     df = _SKETCH_FRAMES.get(key)
     if df is None:
         idx_schema = StructType.fromJson(_json.loads(schema_json))

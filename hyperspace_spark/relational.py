@@ -295,14 +295,28 @@ def funnel_steps(
     if not steps:
         raise ValueError("steps must be non-empty")
     counts = []
-    prev = None  # (user, reach_ts) of the previous step
-    for s in steps:
-        cur = df.filter(F.col(type_col) == s)
-        if prev is not None:
-            cur = cur.join(prev, user_col).filter(F.col(ts_col) > F.col("_hs_reach"))
-        cur = cur.groupBy(user_col).agg(F.min(ts_col).alias("_hs_reach"))
-        counts.append(cur.count())
-        prev = cur
+    prev = None  # (user, reach_ts) of the previous step, persisted
+    persisted = []
+    try:
+        for s in steps:
+            cur = df.filter(F.col(type_col) == s)
+            if prev is not None:
+                cur = cur.join(prev, user_col).filter(
+                    F.col(ts_col) > F.col("_hs_reach")
+                )
+            # Persist each step frame: step i's plan hangs off step i-1,
+            # so without it step s re-runs every earlier step's scan and
+            # aggregation — O(steps^2) corpus scans instead of O(steps).
+            cur = cur.groupBy(user_col).agg(F.min(ts_col).alias("_hs_reach")).persist()
+            persisted.append(cur)
+            counts.append(cur.count())
+            prev = cur
+    finally:
+        for f in persisted:
+            try:
+                f.unpersist()
+            except Exception:
+                pass
     spark = df.sparkSession
     return spark.createDataFrame(
         [(i + 1, s, int(n)) for i, (s, n) in enumerate(zip(steps, counts))],

@@ -177,11 +177,12 @@ _AUTO_MAINT: dict = {}  # streaming query id (str) -> (hs, [index names])
 def _norm_sink_path(p: str) -> str:
     import os
 
-    if p.startswith("file://"):
-        p = p[len("file://"):]
-    elif p.startswith("file:"):
-        p = p[len("file:"):]
-    return os.path.abspath(p).rstrip("/")
+    # ONE copy of the file:-scheme contract (sources/registry.py owns
+    # it) — a scheme-handling fix applied to a private duplicate would
+    # desync sink matching from source listing.
+    from hyperspace_spark.sources.registry import _strip_file_scheme
+
+    return os.path.abspath(_strip_file_scheme(p)).rstrip("/")
 
 
 def indexes_rooted_at(hs: "Hyperspace", sink_path: str) -> list[str]:
@@ -245,7 +246,13 @@ def register_auto_maintenance(spark, query, hs: "Hyperspace", index_names: list[
 
 
 def unregister_session(spark) -> None:
-    """disable() hook: detach the listener and forget its queries."""
+    """disable() hook: detach the listener and forget its queries.
+
+    The enrolment entries MUST go too: with the listener gone,
+    onQueryTerminated never fires for in-flight queries, so their
+    entries would leak forever — and a later enable() with a DIFFERENT
+    Hyperspace instance would resume maintenance through the stale hs
+    the user thought was disabled."""
     listener = getattr(spark, "_hs_maint_listener", None)
     if listener is not None:
         try:
@@ -253,3 +260,6 @@ def unregister_session(spark) -> None:
         except Exception:
             pass
         spark._hs_maint_listener = None
+    for qid, (hs, _names) in list(_AUTO_MAINT.items()):
+        if getattr(hs, "spark", None) is spark:
+            _AUTO_MAINT.pop(qid, None)

@@ -3857,16 +3857,22 @@ def ann_ivf_topk_query(spark, sf_dir):
 def ann_pq_topk_query(spark, sf_dir):
     """Probes the PERSISTED IVF-PQ index (w_ann_pq, 8-byte codes): ADC
     scores the codes, then the pool re-ranks EXACTLY against the source
-    vectors.  Contract entry probes ALL clusters with a pool covering
-    the corpus (k x 1000 >= every test sf's vector count), where
-    PQ+refine degenerates to exact brute force — so DuckDB verifies the
-    full encode -> ADC -> pool -> refine plumbing bit-for-bit.
-    Realistic small-pool recall (0.95+ at pool=4k on the synthetic
-    embeddings) and the ~14x size cut are pytest-asserted
-    (tests/test_ann_index.py)."""
+    vectors.  Contract entry probes ALL clusters with a pool sized to
+    COVER the corpus (refine_factor scales with the vector count — a
+    fixed 1000 would silently stop covering past 5k vectors and the
+    brute-force oracle would mismatch), where PQ+refine degenerates to
+    exact brute force — so DuckDB verifies the full encode -> ADC ->
+    pool -> refine plumbing bit-for-bit.  Realistic small-pool recall
+    (0.9+ at pool=4k on the synthetic embeddings) and the >5x size cut
+    are pytest-asserted (tests/test_ann_index.py)."""
     ws = workspace(spark, sf_dir)
+    n = _t(spark, sf_dir, "embeddings").count()  # parquet-metadata count
     return ws.hs.ann_search(
-        "w_ann_pq", query_ids=[0, 1, 2], k=5, n_probe=8, refine_factor=1000
+        "w_ann_pq",
+        query_ids=[0, 1, 2],
+        k=5,
+        n_probe=8,
+        refine_factor=max(1000, -(-int(n) // 5)),
     )
 
 

@@ -236,3 +236,37 @@ def test_matches_raw_tokenization_on_corpus(spark, tmp_path_factory):
     )
     want = sorted(r.doc_id for r in raw.collect())
     assert got == want and len(got) > 0
+
+
+def test_reappended_same_doc_id_all_search_surfaces(spark, tmp_path_factory):
+    """Regression (r9 review): a doc id live under TWO physical copies
+    (a corrected copy re-appended before refresh) used to crash
+    text_search_phrase with 'Duplicate map key' and let
+    text_search_ranked pick an arbitrary copy's tf.  Per-(doc, copy)
+    verification fixes both: phrase matches when ANY copy contains the
+    phrase; ranked scores each copy and the best one represents the id."""
+    src = str(tmp_path_factory.mktemp("txt_dup")) + "/data"
+    spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "unrelated words here")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(src)
+    hs = Hyperspace(spark, system_path=str(tmp_path_factory.mktemp("hsidx_dup")))
+    hs.create_index(
+        spark.read.parquet(src), InvertedTextIndexConfig("txtd", num_buckets=4)
+    )
+    # Corrected copy of doc 1, same id, appended WITHOUT refresh: the
+    # probe now sees doc 1 from the index AND from the appended file.
+    spark.createDataFrame(
+        [(1, "beta alpha gamma")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    # phrase: old copy has "alpha beta", new has "beta alpha" — both
+    # phrases match doc 1 through their respective copies, no crash.
+    assert [r.doc_id for r in hs.text_search_phrase("txtd", "alpha beta").collect()] == [1]
+    assert [r.doc_id for r in hs.text_search_phrase("txtd", "beta alpha").collect()] == [1]
+    assert hs.text_search_phrase("txtd", "gamma alpha").collect() == []
+    # ranked: one row per doc id, deterministic
+    rows = hs.text_search_ranked("txtd", ["alpha", "beta"], k=10).collect()
+    assert [r.doc_id for r in rows] == [1] and len(rows) == 1
+    # keyword search unaffected
+    assert sorted(r.doc_id for r in hs.text_search("txtd", ["alpha", "beta"]).collect()) == [1]

@@ -527,3 +527,47 @@ def test_sketch_roundtrip_and_refresh(spark, tmp_path_factory):
     fast, used = hs._apply_with_info(q)
     assert used == ["li_meta_r"], hs.why_not(q)
     _assert_same(q, fast)
+
+
+def test_sketch_cache_invalidated_by_wipe_and_rebuild(spark, tmp_path):
+    """Regression (r9 review): the per-version sketch-frame cache keys on
+    the v__=N dirs, but a wipe-and-rebuild of the whole system path
+    (log ids restart, so the SAME v__=1 path returns with different
+    content — the Workspace fingerprint discipline) must not serve the
+    deleted index's rows.  The dir mtime in the cache key forces a
+    re-read."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    sp = str(tmp_path / "idx")
+    spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v").coalesce(1).write.parquet(src)
+    hs = Hyperspace(spark, system_path=sp)
+    hs.create_index(
+        spark.read.parquet(src),
+        DataSkippingIndexConfig("wr", [RowCountSketch(), SumSketch(["v"])]),
+    )
+    spark.conf.set("spark.hyperspace.apply.cacheTtlSeconds", "0")
+    try:
+        q = spark.read.parquet(src).agg(F.count("*").alias("c"), F.sum("v").alias("s"))
+        fast, used = hs._apply_with_info(q)
+        assert used == ["wr"] and fast.collect()[0]["c"] == 100
+
+        # Wipe BOTH the index system path and the source; rebuild with
+        # different data under the same paths (v__=1 path reused).
+        shutil.rmtree(sp)
+        shutil.rmtree(src)
+        spark.range(0, 250).selectExpr("id AS k", "id * 3 AS v").coalesce(1).write.parquet(src)
+        hs2 = Hyperspace(spark, system_path=sp)
+        hs2.create_index(
+            spark.read.parquet(src),
+            DataSkippingIndexConfig("wr", [RowCountSketch(), SumSketch(["v"])]),
+        )
+        q2 = spark.read.parquet(src).agg(F.count("*").alias("c"), F.sum("v").alias("s"))
+        fast2, used2 = hs2._apply_with_info(q2)
+        got = fast2.collect()[0]
+        assert used2 == ["wr"] and got["c"] == 250, got
+        assert got["s"] == sum(i * 3 for i in range(250))
+    finally:
+        spark.conf.unset("spark.hyperspace.apply.cacheTtlSeconds")
