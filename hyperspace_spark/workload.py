@@ -3866,7 +3866,10 @@ def ann_pq_topk_query(spark, sf_dir):
     (0.9+ at pool=4k on the synthetic embeddings) and the >5x size cut
     are pytest-asserted (tests/test_ann_index.py)."""
     ws = workspace(spark, sf_dir)
-    n = _t(spark, sf_dir, "embeddings").count()  # parquet-metadata count
+    n = _EMB_COUNT_CACHE.get(sf_dir)
+    if n is None:
+        n = _t(spark, sf_dir, "embeddings").count()  # parquet-metadata count
+        _EMB_COUNT_CACHE[sf_dir] = n
     return ws.hs.ann_search(
         "w_ann_pq",
         query_ids=[0, 1, 2],
@@ -3874,6 +3877,9 @@ def ann_pq_topk_query(spark, sf_dir):
         n_probe=8,
         refine_factor=max(1000, -(-int(n) // 5)),
     )
+
+
+_EMB_COUNT_CACHE: dict = {}
 
 
 @q(
