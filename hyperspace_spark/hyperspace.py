@@ -669,12 +669,27 @@ class Hyperspace:
                     [f.path for f in appended]
                 )
                 data_dir = mgr.data_dir(version)
-                new_stats = zo.append_index_data(
+                new_stats, n_new_parts = zo.append_index_data(
                     self.spark, new_df, entry, conf, appended, tracker, data_dir
                 )
                 self._carry_index_files(fs, entry, data_dir)
                 if props.get("fileStats"):
-                    props["fileStats"].update(new_stats)
+                    merged = dict(props["fileStats"])
+                    merged.update(new_stats)
+                    # Same log-size guard collect_file_stats enforces at
+                    # build: past the cap, drop the stats (pruning
+                    # disables, correctness unaffected) rather than bloat
+                    # every future log entry.
+                    props["fileStats"] = (
+                        merged if len(merged) <= zo._FILESTATS_MAX_FILES else {}
+                    )
+                # OPTIMIZE sizes its per-layout compaction from
+                # numBuckets: account for the appended partitions or the
+                # grown index compacts back into the build-time count
+                # (files ~2x target after repeated appends).
+                props["numBuckets"] = int(props.get("numBuckets", 0)) + int(
+                    n_new_parts
+                )
                 new_files = {f.key(): f for f in live}
                 entry.relations[0].files = [
                     FileInfo(f.path, f.size, f.mtime, tracker.add_or_get(f))

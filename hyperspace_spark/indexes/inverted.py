@@ -96,13 +96,19 @@ def _doc_postings(doc_df: "DataFrame", id_col: str, text_col: str, *extra_cols):
         F.size("_t").alias("_dl"),
         F.posexplode_outer("_t").alias("_pos", "token"),
     ).filter(F.col("token") != "")
+    # extra_cols are GROUP KEYS, not first()-picked payload: the build
+    # passes the lineage file id here, and a doc id present in TWO
+    # source files must produce separate per-file postings — first()
+    # would attribute the merged posting to an arbitrary file, making
+    # delete-by-lineage subtract the wrong rows and merging tf/positions
+    # across physical copies (r9 review: the merged positions fabricate
+    # phrase matches no single copy contains).
     return (
-        occ.groupBy("token", "_doc")
+        occ.groupBy("token", "_doc", *extra_cols)
         .agg(
             F.count("*").cast("int").alias("tf"),
             F.sort_array(F.collect_list(F.col("_pos") + 1)).alias("positions"),
             F.first("_dl").alias("_dl"),
-            *[F.first(c).alias(c) for c in extra_cols],
         )
         .select("token", "_doc", "tf", "positions", "_dl", *extra_cols)
     )
@@ -267,16 +273,20 @@ def _probe_hits(
         raw = _relation_reader(spark, rel, with_base_path=True).load(
             [f.path for f in appended]
         )
+        # Appended files have no tracker id yet: derive the copy key from
+        # the file name AT THE SCAN (input_file_name() is empty after any
+        # exchange, and _doc_postings' groupBy must key on it so two
+        # appended copies of the same doc id never merge tf/positions).
+        # xxhash64 spans the full long range — a collision with a small
+        # tracker id would only merge two copies' postings, never lose a
+        # doc.
+        raw = raw.withColumn("_hs_copy", F.xxhash64(F.input_file_name()))
         raw_hits = (
-            _doc_postings(raw, props["idCol"], props["textCol"])
+            _doc_postings(raw, props["idCol"], props["textCol"], "_hs_copy")
             .filter(F.col("token").isin(norm))
             .select(
                 "token", "_doc", "tf", "positions", "_dl",
-                # Appended files have no tracker id yet: derive a copy key
-                # from the file name (xxhash64 over the full long range —
-                # a collision with a small tracker id would only merge
-                # two copies' postings, never lose a doc).
-                F.xxhash64(F.input_file_name()).alias("_src"),
+                F.col("_hs_copy").alias("_src"),
             )
         )
         hits = hits.unionByName(raw_hits)
@@ -290,7 +300,11 @@ def _probe_hits(
 def _corpus_stats(spark: "SparkSession", entry, appended=None, deleted=None):
     """(N, avgdl) adjusted to live source state: stored per-file stats
     minus deleted files, plus an on-the-fly aggregate over appended
-    files (one 1-row collect, only when appends exist)."""
+    files (one 1-row collect, only when appends exist).
+
+    N counts physical doc ROWS, so a doc id live under two copies
+    contributes twice — the same answer a raw BM25 replay over the live
+    files would give (each row is a document to the corpus)."""
     from pyspark.sql import functions as F
 
     props = entry.derived_properties
@@ -340,7 +354,14 @@ def text_search(
     deleted=None,
 ) -> "DataFrame":
     """Doc ids containing ALL (default) or ANY of the normalized terms
-    (see _probe_hits for the bucket-pruned, hybrid-exact probe)."""
+    (see _probe_hits for the bucket-pruned, hybrid-exact probe).
+
+    Duplicate-id note: when a doc id is live under several physical
+    copies (re-appended before refresh), 'all' matches against the id's
+    COMBINED content across copies — deliberately, because that is what
+    the raw-corpus replay (GROUP BY doc_id HAVING count(DISTINCT token))
+    computes; phrase/ranked search, whose raw replays are per-row,
+    verify per COPY instead."""
     from pyspark.sql import functions as F
 
     norm = normalize_terms(terms)

@@ -264,8 +264,10 @@ def append_index_data(
 ) -> dict:
     """Incremental ZCI refresh: z-cluster ONLY the appended rows into
     their own files under the new version dir (the caller hardlinks the
-    retained files in afterwards).  Returns the new files' min/max
-    stats, to merge into the entry's fileStats.
+    retained files in afterwards).  Returns ``(new_file_stats,
+    n_new_partitions)`` — the stats merge into the entry's fileStats and
+    the partition count adds to numBuckets so a later OPTIMIZE sizes
+    its compaction to the GROWN data, not the build-time layout.
 
     Scaling uses the PERSISTED build-time stats (frozen, like the ANN
     quantizer): appended values outside the original [min, max] clip to
@@ -307,7 +309,7 @@ def append_index_data(
         )
     out.write.mode("overwrite").parquet(data_dir)
     # Stats over ONLY the new files (the dir holds nothing else yet).
-    return collect_file_stats(spark, data_dir, list(props["indexedColumns"]))
+    return collect_file_stats(spark, data_dir, list(props["indexedColumns"])), n_parts
 
 
 # ---------------------------------------------------------------------------

@@ -890,13 +890,15 @@ def _sketch_frame(spark, dirs, schema_json):
     # (log ids restart, so the same v__=1 path returns with different
     # content — the Workspace fingerprint discipline does exactly this)
     # must never serve the deleted index's rows from the cache.
+    # Limitation: getmtime only protects LOCAL system paths (the repo's
+    # target); on a remote fs it returns the constant -1 and the guard
+    # degrades to the plain (session, dirs) key.  A same-millisecond
+    # local rebuild has the same (vanishingly small) hole.
+    from hyperspace_spark.sources.registry import _strip_file_scheme
+
     def _m(p):
-        if p.startswith("file://"):
-            p = p[len("file://"):]
-        elif p.startswith("file:"):
-            p = p[len("file:"):]
         try:
-            return int(os.path.getmtime(p) * 1000)
+            return int(os.path.getmtime(_strip_file_scheme(p)) * 1000)
         except OSError:
             return -1
 

@@ -270,3 +270,18 @@ def test_reappended_same_doc_id_all_search_surfaces(spark, tmp_path_factory):
     assert [r.doc_id for r in rows] == [1] and len(rows) == 1
     # keyword search unaffected
     assert sorted(r.doc_id for r in hs.text_search("txtd", ["alpha", "beta"]).collect()) == [1]
+
+    # TWO appended files each carrying doc 3 with different text (review
+    # round 2's repro): the copy key must exist AT THE SCAN, before the
+    # postings groupBy — a post-aggregation input_file_name() is empty
+    # and the merged positions (alpha@[1] from fileA, beta@[2] from
+    # fileB) would fabricate an adjacency no physical copy contains.
+    spark.createDataFrame(
+        [(3, "alpha x")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(3, "y beta")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    assert hs.text_search_phrase("txtd", "alpha x").collect()[0].doc_id == 3
+    got = {r.doc_id for r in hs.text_search_phrase("txtd", "alpha beta").collect()}
+    assert 3 not in got, "cross-copy merged positions fabricated a phrase match"
