@@ -600,15 +600,18 @@ class Hyperspace:
         return live, appended, deleted
 
     @staticmethod
-    def _carry_index_files(fs, entry, data_dir: str, skip_subdirs=()) -> None:
+    def _carry_index_files(fs, entry, data_dir: str, skip_subdirs=(), skip_files=()) -> None:
         """Hardlink every current index content file into a new version
         dir, preserving subpaths (cluster=N partitions and flat bucketed
         layouts alike) — the O(1)-per-file carry both the ANN and TXT
         incremental refreshes rely on.  ``skip_subdirs`` drops files under
         the named first-level subpaths (e.g. re-clustered ``cluster=3``
-        partitions whose rows were rewritten elsewhere)."""
+        partitions whose rows were rewritten elsewhere); ``skip_files``
+        drops individual files by absolute old path (e.g. the files a
+        delete-refresh rewrote elsewhere)."""
         old_base = entry.index_data_dirs[-1].rstrip("/")
         skip = tuple(s.rstrip("/") + "/" for s in skip_subdirs)
+        skip_f = {os.path.normpath(p) for p in skip_files}
         for f in entry.content_files:
             rel_path = (
                 f.path[len(old_base) + 1 :]
@@ -616,6 +619,8 @@ class Hyperspace:
                 else f.path.rsplit("/", 1)[-1]
             )
             if skip and rel_path.startswith(skip):
+                continue
+            if skip_f and os.path.normpath(f.path) in skip_f:
                 continue
             fs.link_or_copy(f.path, os.path.join(data_dir, rel_path))
 
@@ -717,10 +722,15 @@ class Hyperspace:
                 # only clusters grown past reclusterOversizeFactor x the
                 # average are re-KMeans'd (split), the rest still
                 # hardlink (bounded rewrite bytes, OptimizeAction.scala's
-                # per-bucket discipline).  Deletes (no source-file ->
-                # vector lineage) or appends beyond maxReclusterRatio
+                # per-bucket discipline).  Appends beyond maxReclusterRatio
                 # force a full refit — a badly drifted quantizer degrades
                 # recall silently, which is worse than the rebuild.
+                # DELETES never touch the quantizer: lineage-built indexes
+                # drop the deleted files' rows from exactly the index
+                # files holding them (ann.drop_deleted_rows — centroids
+                # and codebooks frozen, recall untouched by construction);
+                # only lineage-free (legacy) indexes, or a delete landing
+                # together with recluster-scale appends, pay the refit.
                 # Ratio = appended bytes vs the PREVIOUSLY INDEXED corpus
                 # (live minus appended): "how much did the corpus the
                 # quantizer was fit on grow".  Dividing by live-total
@@ -729,7 +739,14 @@ class Hyperspace:
                 app_bytes = sum(f.size for f in appended)
                 indexed_bytes = max(1, sum(f.size for f in live) - app_bytes)
                 app_ratio = app_bytes / indexed_bytes
-                if deleted or app_ratio > conf.ann_max_recluster_ratio:
+                if deleted and not entry.derived_properties.get("lineage"):
+                    raise _FallBackToFull()
+                if app_ratio > conf.ann_max_recluster_ratio:
+                    raise _FallBackToFull()
+                if deleted and app_ratio > conf.ann_max_assign_only_ratio:
+                    # Delete + recluster-scale appends in one refresh:
+                    # splitting clusters while also dropping rows makes
+                    # the rewrite-bytes bound meaningless — full refit.
                     raise _FallBackToFull()
                 if entry.derived_properties.get("pqM") and (
                     app_ratio > conf.ann_max_assign_only_ratio
@@ -741,6 +758,7 @@ class Hyperspace:
                     raise _FallBackToFull()
                 from hyperspace_spark.indexes.ann import (
                     assign_to_centroids,
+                    drop_deleted_rows,
                     partial_recluster,
                 )
 
@@ -749,11 +767,32 @@ class Hyperspace:
                     FileInfo(f.path, f.size, f.mtime, tracker.add_or_get(f))
                     for f in appended
                 ]
-                new_df = _relation_reader(self.spark, rel, with_base_path=True).load(
-                    [f.path for f in appended]
-                )
+                new_df = None
+                if appended:
+                    new_df = _relation_reader(
+                        self.spark, rel, with_base_path=True
+                    ).load([f.path for f in appended])
+                    if props.get("lineage"):
+                        from hyperspace_spark.indexes.covering import with_lineage
+
+                        new_df = with_lineage(
+                            new_df, self.spark, appended, tracker
+                        )
                 data_dir = mgr.data_dir(version)
-                if app_ratio > conf.ann_max_assign_only_ratio:
+                skip_files: list[str] = []
+                if deleted:
+                    del_ids = [tracker.get(f) for f in deleted]
+                    skip_files = drop_deleted_rows(
+                        self.spark,
+                        entry,
+                        [i for i in del_ids if i is not None],
+                        data_dir,
+                    )
+                if not appended:
+                    self._carry_index_files(
+                        fs, entry, data_dir, skip_files=skip_files
+                    )
+                elif app_ratio > conf.ann_max_assign_only_ratio:
                     new_centroids, split_ids = partial_recluster(
                         self.spark,
                         entry,
@@ -781,22 +820,34 @@ class Hyperspace:
                         # Frozen-codebook encode: the appended vectors get
                         # the same m-byte codes the build would assign, so
                         # old and new rows score identically at query time.
+                        from hyperspace_spark.config import DATA_FILE_ID_COLUMN
                         from hyperspace_spark.indexes.ann import _encode_udf
                         from pyspark.sql import functions as F
 
+                        _lin = (
+                            [DATA_FILE_ID_COLUMN]
+                            if DATA_FILE_ID_COLUMN in assigned.columns
+                            else []
+                        )
                         assigned = assigned.select(
                             "vec_id",
                             _encode_udf(props["codebooks"])(
                                 F.col("unit_vec")
                             ).alias("codes"),
+                            *_lin,
                             "cluster",
                         )
-                    assigned.write.partitionBy("cluster").mode("overwrite").parquet(
+                    # append: a delete-rewrite may already have written
+                    # surviving rows under this version dir.
+                    assigned.write.partitionBy("cluster").mode("append").parquet(
                         data_dir
                     )
                     # Hardlink the old cluster files into the new version,
-                    # PRESERVING the cluster=N partition subpath.
-                    self._carry_index_files(fs, entry, data_dir)
+                    # PRESERVING the cluster=N partition subpath (minus
+                    # any files the delete-rewrite replaced).
+                    self._carry_index_files(
+                        fs, entry, data_dir, skip_files=skip_files
+                    )
                 new_files = {f.key(): f for f in live}
                 entry.relations[0].files = [
                     FileInfo(f.path, f.size, f.mtime, tracker.add_or_get(f))
@@ -1607,6 +1658,19 @@ class Hyperspace:
                 f"  note: {len(kinds)} plan subtree kind(s) not modeled by the Python "
                 f"planner (replayed verbatim; relations inside them are not "
                 f"index candidates): {', '.join(kinds)}"
+            )
+        # r10: .rdd / .writeStream bypass the planner entirely (the
+        # reference's Catalyst injection covers them for free,
+        # package.scala:40-93) — if this session hit one, say so HERE,
+        # where the user comes asking, not only in the one-time log
+        # breadcrumb they may have missed.
+        unrouted = _UNROUTED_WARNED.get(self.spark) or ()
+        if unrouted:
+            surfaces = ", ".join(sorted(f"DataFrame.{s}" for s in unrouted))
+            lines.append(
+                f"  note: UNROUTED_SURFACE — this session accessed {surfaces}, "
+                f"which never routes through the planner; call hs.apply(df) on "
+                f"the producing query before dropping to that surface"
             )
         return "\n".join(lines)
 

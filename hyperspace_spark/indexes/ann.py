@@ -61,6 +61,13 @@ class IvfIndexConfig:
 
 PQ_K = 256  # codebook size per subspace: one uint8 code byte
 _PQ_TRAIN_SAMPLE = 100_000  # codebooks train on a driver-side sample (FAISS practice)
+# PQ refine: candidate ids push down as an IN literal only while the pool
+# is small (IN reaches parquet row-group pruning); past this many DISTINCT
+# ids the literal list is a plan-size/analysis hazard (10^4-query batches
+# would inline k*refine*queries ids), so the refine switches to a
+# broadcast LEFT SEMI join on vec_id — bounded plan, one broadcast of the
+# id set, at the cost of losing row-group pushdown on the source scan.
+REFINE_IN_MAX = 1024
 
 
 def _train_codebooks(mat, m: int, seed: int = 42, iters: int = 20):
@@ -143,20 +150,34 @@ def create_index_data(
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql import functions as F
 
+    from hyperspace_spark.config import DATA_FILE_ID_COLUMN
     from hyperspace_spark.llm.similarity import unit_expr
 
-    feat = df.select(
+    # Lineage (source-file id per row) is what lets DELETES drop rows
+    # from specific index files with the quantizer FROZEN — the same
+    # discipline as covering/skipping deletes (DataSkippingIndex.scala:
+    # 90-103); without it a delete forces a full KMeans refit.
+    lineage = bool(getattr(conf, "lineage_enabled", True))
+    carry = [F.col(DATA_FILE_ID_COLUMN)] if lineage else []
+    src = df
+    if lineage:
+        from hyperspace_spark.indexes.covering import with_lineage
+
+        src = with_lineage(df, spark, files, tracker)
+    feat = src.select(
         F.col(config.id_col).alias("vec_id"),
         unit_expr(F.col(config.vec_col).cast("array<double>")).alias("unit_vec"),
+        *carry,
     ).withColumn("features", array_to_vector(F.col("unit_vec")))
     km = KMeans(k=config.n_clusters, seed=42, maxIter=20).fit(feat)
     assigned = km.transform(feat).select(
-        "vec_id", "unit_vec", F.col("prediction").alias("cluster")
+        "vec_id", "unit_vec", *carry, F.col("prediction").alias("cluster")
     )
     props = {
         "vecCol": config.vec_col,
         "idCol": config.id_col,
         "nClusters": config.n_clusters,
+        "lineage": lineage,
         "centroids": [list(map(float, c)) for c in km.clusterCenters()],
     }
     if config.pq_m:
@@ -176,6 +197,7 @@ def create_index_data(
         assigned = assigned.select(
             "vec_id",
             _encode_udf(books)(F.col("unit_vec")).alias("codes"),
+            *carry,
             "cluster",
         )
         props["pqM"] = m
@@ -215,9 +237,15 @@ def assign_to_centroids(
         scores = m @ cents.T - 0.5 * (cents * cents).sum(axis=1)
         return pd.Series(np.argmax(scores, axis=1).astype(np.int32))
 
+    from hyperspace_spark.config import DATA_FILE_ID_COLUMN
+
+    # Lineage rides along when the caller attached it (with_lineage on
+    # the appended files) so delete-refresh keeps working after appends.
+    carry = [F.col(DATA_FILE_ID_COLUMN)] if DATA_FILE_ID_COLUMN in df.columns else []
     feat = df.select(
         F.col(id_col).alias("vec_id"),
         unit_expr(F.col(vec_col).cast("array<double>")).alias("unit_vec"),
+        *carry,
     )
     return feat.withColumn("cluster", _nearest(F.col("unit_vec")))
 
@@ -292,13 +320,18 @@ def partial_recluster(
         .parquet(data_dir)
     )
 
+    from hyperspace_spark.config import DATA_FILE_ID_COLUMN
+
+    lin = [DATA_FILE_ID_COLUMN] if DATA_FILE_ID_COLUMN in old.columns else []
     next_id = k
     for c in split_ids:
         rows = (
             old.filter(F.col("cluster") == c)
-            .select("vec_id", "unit_vec")
+            .select("vec_id", "unit_vec", *lin)
             .unionByName(
-                assigned_new.filter(F.col("cluster") == c).select("vec_id", "unit_vec")
+                assigned_new.filter(F.col("cluster") == c).select(
+                    "vec_id", "unit_vec", *lin
+                )
             )
         )
         # Split back toward the per-cluster average; never below 2,
@@ -314,6 +347,7 @@ def partial_recluster(
             .select(
                 "vec_id",
                 "unit_vec",
+                *lin,
                 F.element_at(id_map, F.col("prediction") + 1).alias("cluster"),
             )
             .write.partitionBy("cluster")
@@ -330,6 +364,70 @@ def partial_recluster(
             centroids.append([float(x) for x in cc])
     assigned_new.unpersist()
     return centroids, split_ids
+
+
+def drop_deleted_rows(
+    spark: "SparkSession", entry, deleted_ids: list[int], data_dir: str
+) -> list[str]:
+    """Delete-refresh WITHOUT touching the quantizer: rewrite only the
+    index files that contain rows of deleted source files, dropping
+    those rows via the lineage anti-filter — centroids (and PQ
+    codebooks) are frozen, so probe selection and scoring for every
+    surviving vector are bit-identical to the pre-delete index; recall
+    is untouched by construction.  The covering/skipping delete
+    discipline (DataSkippingIndex.scala:90-103) applied to IVF.
+
+    Affected-file detection is one column-pruned scan of the lineage
+    column grouped by input file (driver result is file-count-scale,
+    same bound as the kept-file pruning in DataSkippingFileIndex.scala:
+    40-61).  Surviving rows of ONLY those files are rewritten under
+    ``data_dir``; returns the affected files' OLD paths so the caller's
+    hardlink carry skips them — rewrite bytes are bounded by the files
+    the deleted rows actually live in, not the index size.
+    """
+    from urllib.parse import unquote
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from hyperspace_spark.config import DATA_FILE_ID_COLUMN
+
+    props = entry.derived_properties
+    schema = StructType.fromJson(json.loads(props["schemaJson"]))
+    base = entry.index_data_dirs[-1]
+    idx = (
+        spark.read.schema(schema)
+        .option("basePath", base)
+        .parquet(*entry.index_data_dirs)
+    )
+    ids = [int(i) for i in deleted_ids if i is not None]
+    affected_uris = [
+        r[0]
+        for r in idx.filter(F.col(DATA_FILE_ID_COLUMN).isin(ids))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    ]
+    if not affected_uris:
+        return []
+    # input_file_name() yields file: URIs with %XX-escapes; normalize to
+    # plain paths to match entry.content_files.
+    paths = []
+    for u in affected_uris:
+        p = unquote(u)
+        if p.startswith("file://"):
+            p = p[len("file://") :]
+        elif p.startswith("file:"):
+            p = p[len("file:") :]
+        paths.append(p)
+    surviving = (
+        spark.read.schema(schema)
+        .option("basePath", base)
+        .parquet(*paths)
+        .filter(~F.col(DATA_FILE_ID_COLUMN).isin(ids))
+    )
+    surviving.write.partitionBy("cluster").mode("append").parquet(data_dir)
+    return paths
 
 
 def _adc_udf(codebooks):
@@ -445,16 +543,42 @@ def ann_search(
                 )
             )
         pool = pool.persist()
+        ids = None
         try:
-            pool_ids = [r.vec_id for r in pool.select("vec_id").distinct().collect()]
-            src = (
-                source_df.filter(F.col(props["idCol"]).isin(pool_ids))
-                .select(
-                    F.col(props["idCol"]).alias("vec_id"),
-                    unit_expr(F.col(props["vecCol"]).cast("array<double>")).alias(
-                        "unit_vec"
+            from hyperspace_spark.telemetry import HyperspaceEvent, emit
+
+            ids = pool.select("vec_id").distinct().persist()
+            n_pool = ids.count()
+            emit(
+                HyperspaceEvent(
+                    kind="ann_refine",
+                    index_name=entry.name,
+                    detail=(
+                        f"path={'in' if n_pool <= REFINE_IN_MAX else 'semi'} "
+                        f"n_pool={n_pool}"
                     ),
                 )
+            )
+            if n_pool <= REFINE_IN_MAX:
+                # Small pool (the point-lookup API shape): IN literal
+                # pushes into parquet row-group pruning on the source.
+                pool_ids = [r.vec_id for r in ids.collect()]
+                src = source_df.filter(F.col(props["idCol"]).isin(pool_ids))
+            else:
+                # Large query batch: bounded plan via broadcast semi-join
+                # on the (persisted, counted) id frame — inlining 10^4+
+                # literals explodes analysis time and plan size; the ids
+                # never roundtrip through the driver on this path.
+                src = source_df.join(
+                    F.broadcast(ids.withColumnRenamed("vec_id", props["idCol"])),
+                    props["idCol"],
+                    "left_semi",
+                )
+            src = src.select(
+                F.col(props["idCol"]).alias("vec_id"),
+                unit_expr(F.col(props["vecCol"]).cast("array<double>")).alias(
+                    "unit_vec"
+                ),
             )
             refined = (
                 pool.join(src, "vec_id")
@@ -474,6 +598,8 @@ def ann_search(
             out = refined.localCheckpoint(eager=True)
         finally:
             pool.unpersist()
+            if ids is not None:
+                ids.unpersist()
         return out
 
     scored = scored.withColumn(

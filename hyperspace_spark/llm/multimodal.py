@@ -75,25 +75,206 @@ def _fake_features(data: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return [float(x / norm) for x in out]
 
 
+# ---------------------------------------------------------------------------
+# r10: REAL decoders for the uncompressed formats — pure numpy + struct,
+# no external media library.  BMP (24-bit uncompressed), PPM (P6 binary),
+# WAV (PCM16 RIFF) cover the "raw bytes with a fixed header" family;
+# JPEG/PNG/video stay env-blocked (entropy coding needs a codec library)
+# and keep the NotImplementedError below.  Encoders exist so tests and
+# contract queries can round-trip deterministic fixtures.
+# ---------------------------------------------------------------------------
+
+REAL_DECODABLE = ("bmp", "ppm", "wav")
+
+
+def encode_bmp(pixels) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bit uncompressed BMP (BITMAPINFOHEADER,
+    bottom-up rows, BGR byte order, rows padded to 4 bytes)."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    row_bytes = (w * 3 + 3) & ~3
+    data_size = row_bytes * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + data_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0)
+    body = np.zeros((h, row_bytes), dtype=np.uint8)
+    body[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    return header + info + body.tobytes()
+
+
+def decode_bmp(data: bytes):
+    """24-bit uncompressed BMP -> (h, w, 3) uint8 RGB numpy array."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    offset = struct.unpack_from("<I", data, 10)[0]
+    size, w, h, _planes, bpp, compression = struct.unpack_from("<IiiHHI", data, 14)
+    if size < 40 or bpp != 24 or compression != 0:
+        raise NotImplementedError("only 24-bit uncompressed BMP is supported")
+    flip = h > 0  # positive height = bottom-up storage
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    body = np.frombuffer(data, dtype=np.uint8, count=row_bytes * h, offset=offset)
+    px = body.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR->RGB
+    return (px[::-1] if flip else px).copy()
+
+
+def encode_ppm(pixels) -> bytes:
+    """(h, w, 3) uint8 RGB -> binary PPM (P6, maxval 255, top-down)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def decode_ppm(data: bytes):
+    """Binary PPM (P6) -> (h, w, 3) uint8 RGB numpy array.  Handles
+    whitespace/comment-bearing headers per the netpbm spec."""
+    import numpy as np
+
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM stream")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":  # comment to end-of-line
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError("only maxval=255 PPM is supported")
+    px = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return px.reshape(h, w, 3).copy()
+
+
+def encode_wav(samples, sample_rate: int = 16000) -> bytes:
+    """int16 mono samples -> canonical 44-byte-header PCM WAV."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype="<i2")
+    body = s.tobytes()
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(body), b"WAVE")
+        + struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+        )
+        + struct.pack("<4sI", b"data", len(body))
+        + body
+    )
+
+
+def decode_wav(data: bytes):
+    """PCM16 RIFF WAV -> ((n, channels) int16 numpy array, sample_rate).
+    Walks the chunk list (fmt / data may be preceded by LIST etc.)."""
+    import struct
+
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, rate, channels, bits, body = 12, None, None, None, None
+    while pos + 8 <= len(data):
+        cid, size = struct.unpack_from("<4sI", data, pos)
+        pos += 8
+        if cid == b"fmt ":
+            fmt_code, channels, rate = struct.unpack_from("<HHI", data, pos)
+            bits = struct.unpack_from("<H", data, pos + 14)[0]
+            if fmt_code != 1 or bits != 16:
+                raise NotImplementedError("only PCM16 WAV is supported")
+        elif cid == b"data":
+            body = data[pos : pos + size]
+        pos += size + (size & 1)  # chunks are word-aligned
+    if rate is None or body is None:
+        raise ValueError("missing fmt/data chunk")
+    s = np.frombuffer(body, dtype="<i2")
+    return s.reshape(-1, channels).copy(), int(rate)
+
+
+def real_media_stats(data: bytes, fmt: str) -> dict:
+    """Decode one blob with the pure-numpy codecs and reduce it to
+    deterministic stats: images -> dims + per-channel means (RGB order),
+    audio -> sample count/rate + mean sample value.  The reduction is
+    what contract queries verify against a DuckDB oracle."""
+    import numpy as np
+
+    if fmt in ("bmp", "ppm"):
+        px = decode_bmp(data) if fmt == "bmp" else decode_ppm(data)
+        h, w, _ = px.shape
+        means = px.reshape(-1, 3).astype(np.float64).mean(axis=0)
+        return {
+            "width": int(w),
+            "height": int(h),
+            "sample_rate": None,
+            "n_samples": int(w * h),
+            "channel_means": [float(m) for m in means],
+        }
+    if fmt == "wav":
+        s, rate = decode_wav(data)
+        return {
+            "width": None,
+            "height": None,
+            "sample_rate": int(rate),
+            "n_samples": int(s.shape[0]),
+            "channel_means": [float(s[:, c].astype(np.float64).mean()) for c in range(s.shape[1])],
+        }
+    raise NotImplementedError(
+        f"real decoding of {fmt!r} requires a codec library not present in "
+        f"this environment; supported pure-numpy formats: {REAL_DECODABLE}"
+    )
+
+
 def decode_features(df: "DataFrame", decode: str = "fake") -> "DataFrame":
     """media rows -> per-item feature vectors via Arrow-batched mapInPandas.
 
-    ``decode='real'`` is the integration point for PIL/torchaudio/av —
-    not available in this environment, so it raises NotImplementedError.
+    ``decode='real'`` decodes BMP / PPM / WAV payloads with the
+    pure-numpy codecs above (features = per-channel means; width/height
+    from the DECODED header, not the metadata); any other format raises
+    NotImplementedError — JPEG/PNG/video need codec libraries this
+    environment doesn't ship.
     """
-    if decode == "real":
-        raise NotImplementedError(
-            "real media decoding requires image/audio libraries not present in "
-            "this environment; plug a decoder into _decode_batches and pass "
-            "decode='real'"
-        )
-    if decode != "fake":
+    if decode not in ("fake", "real"):
         raise ValueError("decode must be 'fake' or 'real'")
 
     def _decode_batches(batches: Iterator["object"]) -> Iterator["object"]:
         import pandas as pd
 
         for pdf in batches:
+            if decode == "real":
+                stats = [
+                    real_media_stats(
+                        bytes(b), (m["format"] if m is not None else "") or ""
+                    )
+                    for b, m in zip(pdf["data"], pdf["meta"])
+                ]
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "kind": pdf["kind"],
+                        "n_bytes": pdf["data"].map(len).astype("int64"),
+                        "width": pd.array([s["width"] for s in stats], dtype="Int32"),
+                        "height": pd.array([s["height"] for s in stats], dtype="Int32"),
+                        "features": [
+                            [float(x) for x in s["channel_means"]] for s in stats
+                        ],
+                    }
+                )
+                continue
             feats = [_fake_features(bytes(b)) for b in pdf["data"]]
             yield pd.DataFrame(
                 {

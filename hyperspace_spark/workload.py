@@ -3994,6 +3994,95 @@ def multimodal_features_query(spark, sf_dir):
     ).withColumn("feature", F.round(F.col("feature").cast("double"), 5))
 
 
+@q(
+    "multimodal_decode_real",
+    """
+    WITH v AS (
+      SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS idx
+      FROM embeddings
+    ), px AS (
+      SELECT vec_id, idx, floor(least(abs(CAST(x AS DOUBLE)), 1.0) * 255) AS p
+      FROM v WHERE idx <= 48
+    ), bmp AS (
+      SELECT vec_id,
+             count(*) // 3 AS n_px,
+             avg(CASE WHEN (idx - 1) % 3 = 0 THEN p END) AS c0,
+             avg(CASE WHEN (idx - 1) % 3 = 1 THEN p END) AS c1,
+             avg(CASE WHEN (idx - 1) % 3 = 2 THEN p END) AS c2
+      FROM px GROUP BY vec_id
+    ), wav AS (
+      SELECT vec_id, count(*) AS n, avg(floor(CAST(x AS DOUBLE) * 10000)) AS c0
+      FROM v GROUP BY vec_id
+    )
+    SELECT vec_id AS media_id, 'bmp' AS format, 4 AS width, 4 AS height,
+           CAST(NULL AS INT) AS sample_rate, CAST(n_px AS BIGINT) AS n_samples,
+           round(c0, 6) AS c0_mean, round(c1, 6) AS c1_mean, round(c2, 6) AS c2_mean
+    FROM bmp
+    UNION ALL
+    SELECT vec_id, 'wav', NULL, NULL, 16000, CAST(n AS BIGINT),
+           round(c0, 6), NULL, NULL
+    FROM wav
+    """,
+)
+def multimodal_decode_real_query(spark, sf_dir):
+    """REAL (pure-numpy) media decode, end-to-end verified (r10): each
+    embeddings row is rendered into a 4x4 24-bit BMP (pixels = the first
+    48 dims quantized floor(|v|*255)) and a PCM16 WAV (samples =
+    floor(v*10000)), DECODED back with llm.multimodal's header-parsing
+    codecs, and reduced to dims + per-channel means.  The oracle computes
+    the same stats straight from the embedding values — any decoder bug
+    (pixel offset, BGR/RGB order, bottom-up rows, row padding, chunk walk,
+    sample width) shifts a mean and hash-mismatches.  JPEG/PNG/video stay
+    env-blocked (codec libraries absent); BMP/PPM/WAV need none."""
+    from pyspark.sql import functions as F
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    schema = (
+        "media_id long, format string, width int, height int, sample_rate int, "
+        "n_samples long, c0_mean double, c1_mean double, c2_mean double"
+    )
+
+    def _roundtrip(batches):
+        import numpy as np
+        import pandas as pd
+
+        from hyperspace_spark.llm import multimodal as mm
+
+        for pdf in batches:
+            rows = []
+            for mid, vec in zip(pdf["vec_id"], pdf["embedding"]):
+                v = np.asarray(vec, dtype=np.float64)
+                pix = (
+                    np.floor(np.minimum(np.abs(v[:48]), 1.0) * 255)
+                    .astype(np.uint8)
+                    .reshape(4, 4, 3)
+                )
+                st = mm.real_media_stats(mm.encode_bmp(pix), "bmp")
+                rows.append(
+                    (int(mid), "bmp", st["width"], st["height"], None,
+                     st["n_samples"], *st["channel_means"])
+                )
+                samples = np.floor(v * 10000).astype(np.int16)
+                st = mm.real_media_stats(mm.encode_wav(samples, 16000), "wav")
+                rows.append(
+                    (int(mid), "wav", None, None, st["sample_rate"],
+                     st["n_samples"], st["channel_means"][0], None, None)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "format", "width", "height", "sample_rate",
+                         "n_samples", "c0_mean", "c1_mean", "c2_mean"],
+            )
+
+    out = emb.mapInPandas(_roundtrip, schema)
+    # Round JVM-side (Spark HALF_UP == DuckDB round), never in Python
+    # (banker's rounding would diverge on exact half-ulp boundaries).
+    return out.select(
+        "media_id", "format", "width", "height", "sample_rate", "n_samples",
+        *[F.round(F.col(c), 6).alias(c) for c in ("c0_mean", "c1_mean", "c2_mean")],
+    )
+
+
 # --- PII detection / redaction (llm.pii) -----------------------------------
 _PII_SEED_SQL = (
     "text"
@@ -4863,79 +4952,19 @@ def session_window_events(spark, sf_dir):
 # LAST round ride that one-round-old evidence past the cap.  Every entry
 # also has a live local gate (tests/test_entry_contract.py runs ALL of
 # them every session).
-#
-# r7 window: the 42 entries whose last green row is r05 lead (the full
-# TPC-H tail, the text/dedup/sampling/source block, and
-# hybrid_scan_append — the one core entry r6's 51>50 overflow cut);
-# then the 6 entries whose CODE changed this round (as-of struct-payload
-# carry, distinct-sketch threshold normalization, MinHash hot-bucket
-# cap, embedding size guard, MinMax/ValueList InSet exists() form); the
-# remaining 2 slots go to the two heaviest headline claims.  Everything
-# else was verified in r06 and rides one-round-old evidence; it rotates
-# back in r8.
 # ---------------------------------------------------------------------------
 _VERIFY_PRIORITY = [
-    # --- r9 window (driver verifies the FIRST ~50): ordered by evidence
-    # need.  (1) the two queries that have never driver-hash-greened
-    # (pipeline_end_to_end r8 hash miss; selfjoin_agg_cobucketed now
-    # DECIMAL-hardened, commit 4988bc9), (2) new-in-r9 operators,
-    # (3) queries whose IMPLEMENTATION changed this round
-    # (zorder_filter_2d's narrowed probe, dedup_repeated_spans' linear
-    # gap walk), (4) the 8 whose last green row is r6, (5) the r7-greens
-    # now two rounds old.  The r8-verified 48 sit past the cap and lead
-    # the r10 window; every query is ALSO re-verified each round by the
-    # local contract pytest (same DuckDB compare, exact float repr). ---
-    "pipeline_end_to_end",
-    "selfjoin_agg_cobucketed",
-    "text_search_ranked",
-    "text_search_phrase",
-    "quality_weighted_sample",
-    "ngram_topk_by_lang",
-    "cross_source_overlap",
-    "ann_pq_topk",
-    "funnel_view_click_purchase",
-    "retention_weekly_cohorts",
-    "zorder_filter_2d",
-    "dedup_repeated_spans",
-    "range_join_buckets",
-    "zorder_range_agg",
-    "streaming_ingest_dedup",
-    "text_stats",
-    "covering_filter_agg",
-    "delta_filter_index",
-    "iceberg_filter_index",
-    "hybrid_join_append",
-    # --- verified green in r07, rotating back (oldest evidence first) ---
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_region_revenue",
-    "q6_revenue_change",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_revenue",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q19_discounted_revenue",
-    "q21_waiting_supplier",
-    "q22_dormant_customers",
-    "anti_join_customers",
-    "scalar_functions",
-    "multimodal_features",
-    "salted_join_orders",
-    "delta_time_travel_index",
-    "sequence_packing",
-    "dedup_paragraph",
-    "iceberg_time_travel_index",
-    "repetition_stats",
-    "source_token_quota",
-    "json_props_extract",
-    "recursive_month_series",
+    # --- r10 window (driver verifies the FIRST ~50): (1) the 20 entries
+    # whose last green row is r07 — now three rounds old, the oldest
+    # evidence in the contract (includes dedup_minhash_lsh, whose kernel
+    # is under the r9 verdict's regression triage this round),
+    # (2) multimodal_decode_real, NEW in r10 (pure-numpy BMP/PPM/WAV
+    # decode), (3) the first 29 of the 46 r8-greens, in their r8 order.
+    # The remaining 17 r8-greens (setop_intersect .. nested_filter_index)
+    # plus the 50 r9-greens ride past the cap; the 17 LEAD the r11
+    # window so no entry's evidence ever exceeds three rounds.  Every
+    # entry is ALSO re-verified each session by the local contract
+    # pytest (same DuckDB compare, exact float repr). ---
     "clean_corpus_census",
     "percentile_stats",
     "window_lag_lead",
@@ -4956,8 +4985,9 @@ _VERIFY_PRIORITY = [
     "dataskipping_inset",
     "opaque_union_accel",
     "boilerplate_line_removal",
-    # --- verified green in r08 (CORRECTNESS_r08.json) — freshest
-    # evidence, past the r9 cap; they lead the r10 window. ---
+    # --- new in r10 ---
+    "multimodal_decode_real",
+    # --- last green r08, rotating back (r8 order preserved) ---
     "text_search_inverted",
     "metadata_only_agg",
     "metadata_group_agg",
@@ -5004,6 +5034,58 @@ _VERIFY_PRIORITY = [
     "multimodal_resize",
     "dataskipping_bloom",
     "nested_filter_index",
+    # --- verified green in r09 (CORRECTNESS_r09.json) — freshest
+    # evidence, past the cap; they follow the 17 r8 riders in r11. ---
+    "pipeline_end_to_end",
+    "selfjoin_agg_cobucketed",
+    "text_search_ranked",
+    "text_search_phrase",
+    "quality_weighted_sample",
+    "ngram_topk_by_lang",
+    "cross_source_overlap",
+    "ann_pq_topk",
+    "funnel_view_click_purchase",
+    "retention_weekly_cohorts",
+    "zorder_filter_2d",
+    "dedup_repeated_spans",
+    "range_join_buckets",
+    "zorder_range_agg",
+    "streaming_ingest_dedup",
+    "text_stats",
+    "covering_filter_agg",
+    "delta_filter_index",
+    "iceberg_filter_index",
+    "hybrid_join_append",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_region_revenue",
+    "q6_revenue_change",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_revenue",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "q21_waiting_supplier",
+    "q22_dormant_customers",
+    "anti_join_customers",
+    "scalar_functions",
+    "multimodal_features",
+    "salted_join_orders",
+    "delta_time_travel_index",
+    "sequence_packing",
+    "dedup_paragraph",
+    "iceberg_time_travel_index",
+    "repetition_stats",
+    "source_token_quota",
+    "json_props_extract",
+    "recursive_month_series",
 ]
 
 

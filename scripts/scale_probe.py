@@ -689,10 +689,92 @@ def main_dedup():
     sys.exit(0 if ok else 1)
 
 
+def main_events():
+    """Event-operator probe (r10): funnel + retention at sf1 (10x the
+    sf0.1 events under strided event_ids — users and timestamps repeat,
+    so the corpus grows 10x while the user population stays fixed, the
+    exact shape the operators' scale claim is about).  Verifies:
+
+    1. VALUE-exact results vs the same DuckDB oracle the driver runs at
+       sf0.01 (the oracle SQL is reused verbatim from workload.ORACLES);
+    2. the user-scale-intermediate claim: every funnel step frame (its
+       row count IS the step's ``users`` output) and the retention
+       cohort frame stay bounded by the DISTINCT-USER count while events
+       grew 10x — no intermediate is event-scale;
+    3. wall time for both, appended to BENCH_sf1.json's queries map.
+    """
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    spark = build_session()
+    generate(spark)
+    from hyperspace_spark.workload import ORACLES, QUERIES
+
+    events = spark.read.parquet(f"{DST}/events.parquet")
+    n_events = events.count()
+    n_users = events.select("user_id").distinct().count()
+    out = {"sf": "sf1(synthetic 10x sf0.1)", "n_events": n_events, "n_users": n_users}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{DST}/events.parquet'")
+
+    timings = {}
+    for name in ("funnel_view_click_purchase", "retention_weekly_cohorts"):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rows = QUERIES[name](spark, DST).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        got = sorted(tuple(r) for r in rows)
+        want = sorted(tuple(r) for r in con.execute(ORACLES[name]).fetchall())
+        # normalize timestamps/strings to str for the compare
+        norm = lambda rs: [tuple(str(x) for x in r) for r in rs]
+        assert norm(got) == norm(want), f"{name} sf1 mismatch: {got[:3]} vs {want[:3]}"
+        out[f"{name}_rows"] = len(got)
+        out[f"{name}_sec"] = timings[name]
+
+    # user-scale intermediates: funnel step frames' row counts are the
+    # step outputs; retention's act frame is (user x active-week).
+    funnel_rows = QUERIES["funnel_view_click_purchase"](spark, DST).collect()
+    max_step_frame = max(r.users for r in funnel_rows)
+    act_rows = (
+        events.select("user_id", F.date_trunc("week", F.col("ts")).alias("w"))
+        .distinct()
+        .count()
+    )
+    n_weeks = events.select(F.date_trunc("week", F.col("ts"))).distinct().count()
+    out["max_funnel_step_frame"] = int(max_step_frame)
+    out["retention_act_frame"] = act_rows
+    out["n_weeks"] = n_weeks
+    ok = (
+        max_step_frame <= n_users
+        and act_rows <= n_users * n_weeks
+        and act_rows < n_events / 2  # events grew 10x; frames did not
+    )
+    out["ok"] = bool(ok)
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bench_path = os.path.join(root, "BENCH_sf1.json")
+    try:
+        with open(bench_path) as f:
+            bench = json.load(f)
+        bench.setdefault("queries", {}).update(timings)
+        with open(bench_path, "w") as f:
+            json.dump(bench, f, indent=1)
+    except FileNotFoundError:
+        pass
+    print(json.dumps(out))
+    sys.exit(0 if ok else 1)
+
+
 if __name__ == "__main__":
     if "--sf10" in sys.argv:
         main_sf10()
     elif "--dedup" in sys.argv:
         main_dedup()
+    elif "--events" in sys.argv:
+        main_events()
     else:
         main()

@@ -385,3 +385,166 @@ def test_pq_incremental_assign_encodes_with_frozen_codebooks(spark, emb, tmp_pat
     e2 = hs._log_mgr("pq_inc", hs.conf()).get_latest_stable_log()
     assert e2.derived_properties["codebooks"] != books0
     assert len(e2.derived_properties["centroids"]) == 6
+
+
+def test_delete_refresh_drops_rows_without_refit(spark, emb, tmp_path):
+    """Deletes never touch the quantizer (r10): the deleted source
+    file's rows leave via the lineage anti-filter, rewriting ONLY the
+    index files that hold them — every other index file hardlinks
+    (inode-asserted), centroids stay byte-identical, and the surviving
+    corpus's search results are EXACTLY brute force when all clusters
+    are probed (recall untouched by construction)."""
+    import os
+
+    src = str(tmp_path / "vec_src")
+    base = emb.filter("vec_id < 400")
+    base.coalesce(1).write.parquet(src)
+    hs = Hyperspace(spark, system_path=str(tmp_path / "idx"))
+    hs.create_index(spark.read.parquet(src), IvfIndexConfig("del_ivf", n_clusters=6))
+    before_append = set(os.listdir(src))
+
+    # Append a retractable file, assign-only refresh.
+    emb.filter("vec_id >= 400 and vec_id < 430").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    hs.refresh_index("del_ivf", "incremental")
+    e1 = next(e for e in hs._active_entries(hs.conf()) if e.name == "del_ivf")
+    cents1 = e1.derived_properties["centroids"]
+    base1 = e1.index_data_dirs[-1].rstrip("/")
+    # Index files holding ONLY base rows (the build files carried into
+    # v1) vs the append-job files holding the retractable rows.
+    idx1 = spark.read.option("basePath", base1).parquet(base1)
+    holding_deleted = {
+        r[0]
+        for r in idx1.filter(F.col("vec_id") >= 400)
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    assert holding_deleted, "appended rows not in the index"
+    inodes1 = {
+        f.path[len(base1) + 1 :]: os.stat(f.path).st_ino
+        for f in e1.content_files
+        if f.path.endswith(".parquet")
+    }
+
+    # Retract the appended source file; refresh must NOT refit.
+    for fn in set(os.listdir(src)) - before_append:
+        os.remove(os.path.join(src, fn))
+    hs.refresh_index("del_ivf", "incremental")
+    e2 = next(e for e in hs._active_entries(hs.conf()) if e.name == "del_ivf")
+    assert e2.data_version > e1.data_version
+    assert e2.derived_properties["centroids"] == cents1, "delete must not refit"
+    base2 = e2.index_data_dirs[-1].rstrip("/")
+    from urllib.parse import unquote
+
+    affected_rel = {
+        unquote(u)[len("file://") :][len(base1) + 1 :]
+        for u in holding_deleted
+    }
+    after = {
+        f.path[len(base2) + 1 :]: f.path
+        for f in e2.content_files
+        if f.path.endswith(".parquet")
+    }
+    for rel, ino in inodes1.items():
+        if rel in affected_rel:
+            continue  # rewritten (or dropped) by the delete path
+        assert rel in after, f"untouched file {rel} missing after delete-refresh"
+        assert os.stat(after[rel]).st_ino == ino, f"untouched file {rel} rewritten"
+
+    # Recall equality: all-probe search over the survivors == brute
+    # force over the surviving corpus, and no deleted id surfaces.
+    k2 = len(e2.derived_properties["centroids"])
+    got = hs.ann_search("del_ivf", query_ids=[0, 1, 2], k=5, n_probe=k2).collect()
+    assert all(r.neighbor_id < 400 for r in got)
+    brute = similarity.cosine_topk(base, [0, 1, 2], k=5).collect()
+    assert {(r.query_id, r.rank, r.neighbor_id, r.cosine) for r in got} == {
+        (r.query_id, r.rank, r.neighbor_id, r.cosine) for r in brute
+    }
+
+    # Delete + assign-only append in ONE refresh: still no refit, new
+    # vectors land, retracted vectors stay gone.
+    pre = set(os.listdir(src))
+    emb.filter("vec_id >= 400 and vec_id < 410").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    appended_now = set(os.listdir(src)) - pre
+    assert appended_now
+    hs.refresh_index("del_ivf", "incremental")  # 400-409 joins the snapshot
+    # ONE refresh that both retracts 400-409 and lands 440-449:
+    emb.filter("vec_id >= 440 and vec_id < 450").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    for fn in appended_now:
+        os.remove(os.path.join(src, fn))
+    hs.refresh_index("del_ivf", "incremental")
+    e3 = next(e for e in hs._active_entries(hs.conf()) if e.name == "del_ivf")
+    assert e3.derived_properties["centroids"] == cents1, "delete+append must not refit"
+    v440 = emb.filter("vec_id = 440").select("embedding").first()[0]
+    got3 = hs.ann_search(
+        "del_ivf", query_vectors={90001: list(v440)}, k=1, n_probe=len(cents1)
+    ).collect()
+    assert got3 and got3[0].neighbor_id == 440 and got3[0].cosine == 1.0
+    all3 = hs.ann_search(
+        "del_ivf", query_ids=[0, 1, 2], k=5, n_probe=len(cents1)
+    ).collect()
+    assert all(not (400 <= r.neighbor_id < 410) for r in all3)
+
+
+def test_pq_refine_semi_join_for_large_batches(spark, emb, tmp_path):
+    """10^4-query PQ batch (r10): past REFINE_IN_MAX distinct pool ids
+    the exact-refine read switches from an IN-literal pushdown to a
+    broadcast LEFT SEMI join — bounded plan, no 10^4-element IN literal
+    (telemetry records the chosen path) — with top-k results identical
+    to the IN path."""
+    from hyperspace_spark import IvfIndexConfig as Cfg
+    from hyperspace_spark.indexes import ann as ann_mod
+    from hyperspace_spark import telemetry
+
+    src = str(tmp_path / "vec_src")
+    emb.coalesce(1).write.parquet(src)
+    hs = Hyperspace(spark, system_path=str(tmp_path / "idx"))
+    hs.create_index(spark.read.parquet(src), Cfg("pq_big", n_clusters=8, pq_m=8))
+
+    vecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    queries = {i: vecs[i % 500] for i in range(10_000)}
+
+    events = []
+    telemetry.on_event(events.append)
+    try:
+        old = ann_mod.REFINE_IN_MAX
+        ann_mod.REFINE_IN_MAX = 64
+        try:
+            big = hs.ann_search(
+                "pq_big", query_vectors=queries, k=3, n_probe=2, refine_factor=2
+            )
+            big_rows = {
+                (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+                for r in big.collect()
+            }
+        finally:
+            ann_mod.REFINE_IN_MAX = old
+        refine_evts = [e for e in events if e.kind == "ann_refine"]
+        assert refine_evts and "path=semi" in refine_evts[-1].detail
+        n_pool = int(refine_evts[-1].detail.split("n_pool=")[1])
+        assert n_pool > 64
+
+        # Unchanged top-k: the same queries through the IN path (small
+        # chunk, default threshold) must agree exactly.
+        sample = {i: queries[i] for i in range(25)}
+        small = hs.ann_search(
+            "pq_big", query_vectors=sample, k=3, n_probe=2, refine_factor=2
+        )
+        small_rows = {
+            (r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in small.collect()
+        }
+        in_evts = [e for e in events if e.kind == "ann_refine"]
+        assert "path=in" in in_evts[-1].detail
+        for key, val in small_rows.items():
+            assert big_rows[key] == val, key
+    finally:
+        telemetry.off_event(events.append)

@@ -592,10 +592,62 @@ def test_multimodal_resize_images(spark):
     assert {r.media_id: bytes(r.data) for r in out} == again
 
 
-def test_multimodal_real_decode_raises(spark):
-    media = multimodal.synthetic_media_df(spark, n=2)
+def test_codec_roundtrips():
+    """Pure-numpy BMP/PPM/WAV codecs (r10): encode -> decode is exact,
+    including BMP row padding (w=7 -> 21-byte rows padded to 24),
+    bottom-up row order, BGR<->RGB swap, PPM comment headers, and WAV
+    chunk walking."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    assert (multimodal.decode_bmp(multimodal.encode_bmp(px)) == px).all()
+    assert (multimodal.decode_ppm(multimodal.encode_ppm(px)) == px).all()
+    commented = b"P6\n# c\n7 5\n255\n" + px.tobytes()
+    assert (multimodal.decode_ppm(commented) == px).all()
+    s = rng.integers(-32768, 32767, 64).astype(np.int16)
+    dec, rate = multimodal.decode_wav(multimodal.encode_wav(s, 22050))
+    assert rate == 22050 and (dec[:, 0] == s).all()
+    # WAV with an extra chunk between fmt and data still parses
+    wav = multimodal.encode_wav(s, 8000)
+    padded = wav[:36] + b"LIST\x04\x00\x00\x00INFO" + wav[36:]
+    import struct
+
+    padded = padded[:4] + struct.pack("<I", len(padded) - 8) + padded[8:]
+    dec2, rate2 = multimodal.decode_wav(padded)
+    assert rate2 == 8000 and (dec2[:, 0] == s).all()
     with pytest.raises(NotImplementedError):
-        multimodal.decode_features(media, decode="real")
+        multimodal.real_media_stats(b"\x89PNG\r\n", "png")
+
+
+def test_multimodal_real_decode(spark):
+    """decode='real' decodes BMP/PPM/WAV via the pure-numpy codecs —
+    dims come from the DECODED headers, features are per-channel means —
+    and still refuses codec-bound formats (png/mp4) with a clear error."""
+    import numpy as np
+
+    px = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    s = (np.arange(32) * 100 - 1600).astype(np.int16)
+    rows = [
+        (0, "image", bytearray(multimodal.encode_bmp(px)),
+         {"width": None, "height": None, "sample_rate": None, "duration_ms": None, "format": "bmp"}),
+        (1, "image", bytearray(multimodal.encode_ppm(px)),
+         {"width": None, "height": None, "sample_rate": None, "duration_ms": None, "format": "ppm"}),
+        (2, "audio", bytearray(multimodal.encode_wav(s, 16000)),
+         {"width": None, "height": None, "sample_rate": None, "duration_ms": None, "format": "wav"}),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in multimodal.decode_features(media, decode="real").collect()}
+    for mid in (0, 1):
+        assert (got[mid].width, got[mid].height) == (4, 4)
+        expect = px.reshape(-1, 3).mean(axis=0)
+        assert np.allclose(got[mid].features, expect)
+    assert got[2].width is None
+    assert np.allclose(got[2].features, [float(s.mean())])
+    # codec-bound format: loud failure, not silent garbage
+    png = multimodal.synthetic_media_df(spark, n=3).filter("meta.format = 'png'")
+    with pytest.raises(Exception, match="NotImplementedError|real decoding"):
+        multimodal.decode_features(png, decode="real").collect()
 
 
 def test_blocked_embedding_kernel_matches_sql(spark, emb):

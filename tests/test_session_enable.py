@@ -185,6 +185,10 @@ def test_unrouted_rdd_warns_once_and_writestream_is_routed(indexed, spark):
         _ = stream.writeStream
         surfaces = [ev.detail for ev in events]
         assert sorted(surfaces) == ["rdd"], surfaces
+        # r10: why_not reports the bypass for the rest of the session —
+        # where the user actually asks, not only in the one-time log line
+        note = hs.why_not(df)
+        assert "UNROUTED_SURFACE" in note and "DataFrame.rdd" in note, note
         # writeStream routing installed while enabled
         assert _STREAM_PATCHED, "stream sink routing not installed"
         assert Writer.__dict__.get("start") is not pristine_start
