@@ -476,12 +476,17 @@ class Hyperspace:
         # a DELETED index must not resurrect it.
         self._require_state(name, self.conf(), States.ACTIVE, "refreshIndex")
         latest = self._log_mgr(name, self.conf()).get_latest_stable_log()
-        if latest is not None and latest.derived_kind == "ANN" and mode == "quick":
-            # Quick (metadata-only) refresh relies on query-time hybrid
-            # compensation, which ann_search doesn't do — the appended
-            # vectors would silently never be searchable.  Incremental IS
-            # supported (assign-only against frozen centroids, drift-
-            # guarded — see _refresh_incremental); quick promotes to it.
+        if (
+            latest is not None
+            and latest.derived_kind == "ANN"
+            and mode == "quick"
+            and not latest.derived_properties.get("lineage")
+        ):
+            # Legacy lineage-free ANN entries cannot compensate deletes
+            # at query time, so quick promotes to incremental for them.
+            # Lineage-built entries (r10 default) take quick verbatim:
+            # ann_search assigns/encodes appended vectors on the fly
+            # against the frozen quantizer and anti-filters deleted rows.
             mode = "incremental"
         if mode == "full":
             self._refresh_full(name)
@@ -1548,10 +1553,18 @@ class Hyperspace:
         """Top-k cosine neighbors from a persisted IVF index (kind ANN).
 
         Pass explicit ``query_vectors`` ({id: vector}), or ``query_ids``
-        to look the vectors up in the index itself (for IVF-PQ entries,
-        in the source — PQ rows carry codes, not vectors).
+        to look the vectors up in the LIVE corpus (for IVF-PQ entries in
+        the source — PQ rows carry codes, not vectors; for flat entries
+        in the index, falling back to appended source files for ids the
+        index hasn't absorbed yet).
         ``refine_factor`` applies to IVF-PQ only: the exact re-rank pool
-        is ``k x refine_factor`` ADC candidates per query."""
+        is ``k x refine_factor`` ADC candidates per query.
+
+        Hybrid-exact on a stale index (r10): deleted source files'
+        vectors anti-filter out by lineage, appended files' vectors
+        assign/encode on the fly against the frozen quantizer — results
+        equal an incrementally refreshed index's exactly, so searches
+        between refreshes never see ghosts or miss new data."""
         from hyperspace_spark.indexes.ann import ann_search
 
         conf = self.conf()
@@ -1560,6 +1573,8 @@ class Hyperspace:
         )
         if entry is None or entry.derived_kind != "ANN":
             raise HyperspaceException(f"No ACTIVE ANN index named {index_name!r}.")
+        fs = self._fs(conf)
+        _live, appended, deleted = self._source_delta(entry, fs)
         # Self-exclusion only applies when queries ARE corpus vectors
         # (query_ids path); external query_vectors ids are an unrelated
         # namespace and must not shadow same-numbered corpus vectors.
@@ -1569,11 +1584,13 @@ class Hyperspace:
         if query_vectors is None:
             if not query_ids:
                 raise HyperspaceException("provide query_vectors or query_ids")
+            from pyspark.sql import functions as F
+
             if pq:
                 # PQ rows carry codes, not vectors: look the query
-                # vectors up in the SOURCE (id-filter pushdown, pruned).
-                from pyspark.sql import functions as F
-
+                # vectors up in the SOURCE (id-filter pushdown, pruned;
+                # the source IS the live corpus, so appends/deletes are
+                # already reflected).
                 src = self._source_df(entry)
                 rows = (
                     src.filter(F.col(props["idCol"]).isin(list(query_ids)))
@@ -1586,6 +1603,7 @@ class Hyperspace:
             else:
                 import json as _json
 
+                from hyperspace_spark.config import DATA_FILE_ID_COLUMN
                 from pyspark.sql.types import StructType
 
                 schema = StructType.fromJson(_json.loads(props["schemaJson"]))
@@ -1594,7 +1612,33 @@ class Hyperspace:
                     .option("basePath", entry.index_data_dirs[-1])
                     .parquet(*entry.index_data_dirs)
                 )
+                if deleted and props.get("lineage"):
+                    # a deleted vector must not resolve as a query anchor
+                    tracker = entry.file_id_tracker
+                    dead = [tracker.get(f) for f in deleted]
+                    idx = idx.filter(
+                        ~F.col(DATA_FILE_ID_COLUMN).isin(
+                            [i for i in dead if i is not None]
+                        )
+                    )
                 rows = idx.filter(idx.vec_id.isin(list(query_ids))).select("vec_id", "unit_vec").collect()
+                found0 = {r.vec_id for r in rows}
+                still = [q for q in set(query_ids) - found0]
+                if still and appended:
+                    # ids that landed since the last refresh live only in
+                    # the appended source files — same normalization as
+                    # the index build (unit_expr applies in ann_search).
+                    raw = _relation_reader(
+                        self.spark, entry.relations[0], with_base_path=True
+                    ).load([f.path for f in appended])
+                    rows += (
+                        raw.filter(F.col(props["idCol"]).isin(still))
+                        .select(
+                            F.col(props["idCol"]).alias("vec_id"),
+                            F.col(props["vecCol"]).alias("unit_vec"),
+                        )
+                        .collect()
+                    )
             found = {r.vec_id for r in rows}
             missing = sorted(set(query_ids) - found)
             if missing:
@@ -1609,6 +1653,8 @@ class Hyperspace:
             n_probe=n_probe,
             source_df=self._source_df(entry) if pq else None,
             refine_factor=refine_factor,
+            appended=appended,
+            deleted=deleted,
         )
 
     def why_not(

@@ -466,6 +466,8 @@ def ann_search(
     n_probe: int = 4,
     source_df: "DataFrame | None" = None,
     refine_factor: int = 4,
+    appended=None,
+    deleted=None,
 ) -> "DataFrame":
     """(query_id, neighbor_id, cosine, rank) over the persisted IVF index.
 
@@ -477,12 +479,22 @@ def ann_search(
     (``source_df``) — the candidate ids are collected (tiny) and pushed
     down as an IN filter, so the refine read is row-group-pruned, never
     a corpus scan.  Without ``source_df`` the ADC score itself is
-    returned (column still named cosine; it approximates the dot)."""
+    returned (column still named cosine; it approximates the dot).
+
+    HYBRID-exact on a stale index (r10, mirroring TXT's discipline):
+    ``deleted`` source files' rows leave via the lineage anti-filter
+    (quantizer frozen, surviving scores untouched); ``appended`` files'
+    vectors assign to the FROZEN centroids (and encode with the frozen
+    codebooks for PQ) on the fly — exactly what incremental refresh
+    would persist — then flow through the same probe/score path, so the
+    results equal a refreshed index's bit-for-bit.
+    """
     import numpy as np
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
+    from hyperspace_spark.config import DATA_FILE_ID_COLUMN
     from hyperspace_spark.llm.similarity import dot_expr, unit_expr
 
     props = entry.derived_properties
@@ -500,13 +512,54 @@ def ann_search(
     qdf = spark.createDataFrame(rows, "qid long, qv array<double>, probes array<int>")
 
     schema = StructType.fromJson(json.loads(props["schemaJson"]))
-    idx = (
-        spark.read.schema(schema)
-        .option("basePath", entry.index_data_dirs[-1])
-        .parquet(*entry.index_data_dirs)
-        # Partition pruning: only the probed cluster directories are read.
-        .filter(F.col("cluster").isin(sorted(probe_clusters)))
-    )
+    idx = spark.read.schema(schema).option(
+        "basePath", entry.index_data_dirs[-1]
+    ).parquet(*entry.index_data_dirs)
+    if deleted:
+        if not props.get("lineage"):
+            from hyperspace_spark.hyperspace import HyperspaceException
+
+            raise HyperspaceException(
+                f"ANN index {entry.name!r} predates lineage and cannot "
+                f"compensate for deleted source files at query time; run "
+                f"refresh_index({entry.name!r}, 'full')"
+            )
+        tracker = entry.file_id_tracker
+        ids = [tracker.get(f) for f in deleted]
+        idx = idx.filter(
+            ~F.col(DATA_FILE_ID_COLUMN).isin([i for i in ids if i is not None])
+        )
+    payload = "codes" if props.get("pqM") else "unit_vec"
+    idx = idx.select("vec_id", payload, "cluster")
+    if appended:
+        from hyperspace_spark.hyperspace import _relation_reader
+
+        new_df = _relation_reader(spark, entry.relations[0], with_base_path=True).load(
+            [f.path for f in appended]
+        )
+        ap = assign_to_centroids(
+            new_df, props["centroids"], props["idCol"], props["vecCol"]
+        )
+        if props.get("pqM"):
+            ap = ap.select(
+                "vec_id",
+                _encode_udf(props["codebooks"])(F.col("unit_vec")).alias("codes"),
+                "cluster",
+            )
+        else:
+            ap = ap.select("vec_id", "unit_vec", "cluster")
+        # Checkpoint the on-the-fly assignment: the probe join references
+        # `cluster` inside its condition, where a pandas-UDF-derived
+        # column cannot be evaluated (Spark collapses the projection into
+        # the join otherwise -> INTERNAL_ERROR "Cannot evaluate
+        # expression: _nearest(...)").  The appended side is small by the
+        # refresh-ratio discipline, and this also evaluates the UDFs once
+        # instead of per downstream consumer.
+        ap = ap.localCheckpoint(eager=False)
+        idx = idx.unionByName(ap)
+    # Partition pruning: only the probed cluster directories are read
+    # (the appended on-the-fly rows filter to the same probe set).
+    idx = idx.filter(F.col("cluster").isin(sorted(probe_clusters)))
     scored = idx.join(
         F.broadcast(qdf), F.array_contains(F.col("probes"), F.col("cluster"))
     )

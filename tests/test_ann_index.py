@@ -548,3 +548,81 @@ def test_pq_refine_semi_join_for_large_batches(spark, emb, tmp_path):
             assert big_rows[key] == val, key
     finally:
         telemetry.off_event(events.append)
+
+
+def test_hybrid_search_stale_index_exact(spark, emb, tmp_path):
+    """r10: searches between refreshes are HYBRID-exact — appended files'
+    vectors assign/encode on the fly against the frozen quantizer and
+    deleted files' rows anti-filter by lineage, so a stale-index search
+    equals (a) brute force over the live corpus when all clusters are
+    probed and (b) the post-incremental-refresh search bit-for-bit at
+    any probe count.  query_ids resolve against the LIVE corpus."""
+    import os
+
+    src = str(tmp_path / "vec_src")
+    emb.filter("vec_id < 200").coalesce(1).write.parquet(src)
+    keep_a = set(os.listdir(src))
+    emb.filter("vec_id >= 200 and vec_id < 400").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    victim = set(os.listdir(src)) - keep_a
+    hs = Hyperspace(spark, system_path=str(tmp_path / "idx"))
+    hs.create_index(spark.read.parquet(src), IvfIndexConfig("hyb_ivf", n_clusters=6))
+
+    # mutate the source WITHOUT refreshing: drop 200-399, add 400-430
+    for fn in victim:
+        os.remove(os.path.join(src, fn))
+    emb.filter("vec_id >= 400 and vec_id < 430").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    live = emb.filter("vec_id < 200 or (vec_id >= 400 and vec_id < 430)")
+    stale_all = hs.ann_search("hyb_ivf", query_ids=[0, 1, 405], k=5, n_probe=6).collect()
+    brute = similarity.cosine_topk(live, [0, 1, 405], k=5).collect()
+    key = lambda rows: sorted((r.query_id, r.rank, r.neighbor_id, r.cosine) for r in rows)
+    assert key(stale_all) == key(brute)
+    # appended vector searchable at its own embedding; deleted ids gone
+    assert all(not (200 <= r.neighbor_id < 400) for r in stale_all)
+    with pytest.raises(Exception, match="not in index"):
+        hs.ann_search("hyb_ivf", query_ids=[250], k=2, n_probe=6)
+
+    # partial-probe parity with the refreshed index (frozen quantizer ->
+    # identical probe selection and scores)
+    stale_p2 = hs.ann_search("hyb_ivf", query_ids=[0, 1, 405], k=5, n_probe=2).collect()
+    hs.refresh_index("hyb_ivf", "incremental")
+    fresh_p2 = hs.ann_search("hyb_ivf", query_ids=[0, 1, 405], k=5, n_probe=2).collect()
+    assert key(stale_p2) == key(fresh_p2)
+
+
+def test_hybrid_search_stale_pq_exact(spark, emb, tmp_path):
+    """Same discipline for IVF-PQ: appended vectors encode with the
+    FROZEN codebooks on the fly, so the stale search equals the
+    post-refresh search exactly, and all-probe + corpus-covering refine
+    equals brute force over the live corpus."""
+    import os
+
+    from hyperspace_spark import IvfIndexConfig as Cfg
+
+    src = str(tmp_path / "vec_src")
+    emb.filter("vec_id < 300").coalesce(1).write.parquet(src)
+    hs = Hyperspace(spark, system_path=str(tmp_path / "idx"))
+    hs.create_index(spark.read.parquet(src), Cfg("hyb_pq", n_clusters=6, pq_m=8))
+    emb.filter("vec_id >= 300 and vec_id < 360").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    live = spark.read.parquet(src)
+    got = hs.ann_search(
+        "hyb_pq", query_ids=[0, 310], k=5, n_probe=6, refine_factor=1000
+    ).collect()
+    brute = similarity.cosine_topk(live, [0, 310], k=5).collect()
+    key = lambda rows: sorted((r.query_id, r.rank, r.neighbor_id, r.cosine) for r in rows)
+    assert key(got) == key(brute)
+
+    stale_p2 = hs.ann_search("hyb_pq", query_ids=[0, 310], k=5, n_probe=2).collect()
+    hs.refresh_index("hyb_pq", "quick")  # metadata-only; data still stale
+    quick_p2 = hs.ann_search("hyb_pq", query_ids=[0, 310], k=5, n_probe=2).collect()
+    assert key(stale_p2) == key(quick_p2)
+    hs.refresh_index("hyb_pq", "incremental")
+    fresh_p2 = hs.ann_search("hyb_pq", query_ids=[0, 310], k=5, n_probe=2).collect()
+    assert key(stale_p2) == key(fresh_p2)
