@@ -769,6 +769,204 @@ def main_events():
     sys.exit(0 if ok else 1)
 
 
+DSTVEC = "/tmp/hs_scale_vec"
+REPLICAS_VEC = 1000  # 2,000 base vectors (sf0.1) -> 2M
+
+
+def main_vectors():
+    """ANN probe at 2M vectors (r10): 1000x the sf0.1 embeddings under
+    strided ids, each replica deterministically perturbed (numpy, seeded
+    by replica index) so the vector space has realistic spread instead of
+    1000 exact copies.  Measures the shapes that must survive scale:
+
+    - IVF build (k=64) and IVF-PQ build (m=8) wall + PQ bytes vs flat;
+    - batch search wall + recall@10 vs brute force at n_probe=8/64
+      (12.5% of the corpus read — partition pruning plan-asserted);
+    - append-then-retract delete refresh: the retracted file's rows live
+      in their OWN index files, so the delete rewrites only those and
+      hardlinks the rest (counted), with centroids byte-frozen — no
+      KMeans anywhere near the path;
+    - stale hybrid search (append, no refresh) wall and exactness of the
+      appended vector's self-lookup.
+    """
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    spark = build_session()
+    t0 = time.perf_counter()
+    os.makedirs(DSTVEC, exist_ok=True)
+    src = f"{DSTVEC}/embeddings.parquet"
+    if not os.path.exists(f"{src}/_SUCCESS"):
+        emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+        stride = int(emb.agg(F.max("vec_id")).first()[0]) + 1
+        rep = emb.withColumn(
+            "_r", F.explode_outer(F.lit(list(range(REPLICAS_VEC))))
+        ).withColumn("vec_id", F.col("vec_id") + F.col("_r") * F.lit(stride))
+
+        import pandas as pd
+
+        @F.pandas_udf("array<float>", F.PandasUDFType.SCALAR)
+        def _perturb(vecs, reps):
+            out = []
+            for v, r in zip(vecs, reps):
+                a = np.asarray(v, dtype=np.float64)
+                a = a + 0.05 * np.sin(float(r) + np.arange(a.shape[0]))
+                out.append((a / max(np.linalg.norm(a), 1e-12)).astype(np.float32))
+            return pd.Series(out)
+
+        rep.select(
+            "vec_id", _perturb(F.col("embedding"), F.col("_r")).alias("embedding")
+        ).repartition(32).write.mode("overwrite").parquet(src)
+        print(f"vectors: generated {REPLICAS_VEC}x embeddings", file=sys.stderr)
+    gen_sec = time.perf_counter() - t0
+
+    from hyperspace_spark import Hyperspace, IvfIndexConfig
+    from hyperspace_spark.llm import similarity
+
+    # The probe MUTATES its source (append/retract) — index a hardlink
+    # copy so the generated data stays pristine and reruns are
+    # idempotent.
+    run_src = f"{DSTVEC}/embeddings_run.parquet"
+    shutil.rmtree(run_src, ignore_errors=True)
+    os.makedirs(run_src)
+    for fn in os.listdir(src):
+        os.link(os.path.join(src, fn), os.path.join(run_src, fn))
+    src = run_src
+
+    shutil.rmtree(f"{DSTVEC}/indexes", ignore_errors=True)
+    hs = Hyperspace(spark, system_path=f"{DSTVEC}/indexes")
+    corpus = spark.read.parquet(src)
+    n_vec = corpus.count()
+    out = {"n_vectors": n_vec, "gen_sec": round(gen_sec, 1)}
+
+    t0 = time.perf_counter()
+    hs.create_index(corpus, IvfIndexConfig("v_flat", n_clusters=64))
+    out["ivf_build_sec"] = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    hs.create_index(corpus, IvfIndexConfig("v_pq", n_clusters=64, pq_m=8))
+    out["pq_build_sec"] = round(time.perf_counter() - t0, 1)
+
+    def nbytes(name):
+        e = hs._log_mgr(name, hs.conf()).get_latest_stable_log()
+        return sum(f.size for f in e.content_files)
+
+    out["flat_bytes"] = nbytes("v_flat")
+    out["pq_bytes"] = nbytes("v_pq")
+    out["pq_compression"] = round(out["flat_bytes"] / out["pq_bytes"], 1)
+
+    qids = [i * 137 for i in range(16)]
+    t0 = time.perf_counter()
+    got = hs.ann_search("v_flat", query_ids=qids, k=10, n_probe=8).collect()
+    out["search_p8_sec"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    brute = similarity.cosine_topk(corpus, qids, k=10).collect()
+    out["brute_sec"] = round(time.perf_counter() - t0, 2)
+    g, b = {}, {}
+    for r in got:
+        g.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in brute:
+        b.setdefault(r.query_id, set()).add(r.neighbor_id)
+    out["recall_at10_p8"] = round(
+        sum(len(g.get(q, set()) & b[q]) for q in b) / sum(len(b[q]) for q in b), 3
+    )
+    def pq_recall(refine):
+        t0 = time.perf_counter()
+        got_pq = hs.ann_search(
+            "v_pq", query_ids=qids, k=10, n_probe=8, refine_factor=refine
+        ).collect()
+        sec = round(time.perf_counter() - t0, 2)
+        gp = {}
+        for r in got_pq:
+            gp.setdefault(r.query_id, set()).add(r.neighbor_id)
+        rec = round(
+            sum(len(gp.get(q, set()) & b[q]) for q in b) / sum(len(b[q]) for q in b),
+            3,
+        )
+        return rec, sec
+
+    # The perturbed replicas form ~1000-vector near-duplicate clouds —
+    # FINER than 8-byte PQ cells, so every cloud member ADC-ties and a
+    # k*4 pool cannot hold the true top-10.  The pool is the documented
+    # quality knob (FAISS IVFPQR practice: pool scales with corpus /
+    # compression): report the naive pool AND the corpus-scaled pool.
+    # The scaled pool also exceeds REFINE_IN_MAX -> exercises the r10
+    # broadcast-semi refine path at 2M vectors.
+    out["pq_recall_at10_p8_refine4"], out["pq_search_p8_refine4_sec"] = pq_recall(4)
+    out["pq_recall_at10_p8_refine256"], out["pq_search_p8_refine256_sec"] = pq_recall(
+        256
+    )
+
+    # append-then-retract delete: rows of the retracted file live in
+    # their own index files -> bounded rewrite, frozen centroids
+    extra = corpus.filter("vec_id < 500").selectExpr(
+        "vec_id + 100000000 AS vec_id", "embedding"
+    )
+    before = set(os.listdir(src))
+    extra.coalesce(1).write.mode("append").parquet(src)
+    hs.refresh_index("v_flat", "incremental")
+    e1 = next(e for e in hs._active_entries(hs.conf()) if e.name == "v_flat")
+    cents = e1.derived_properties["centroids"]
+    n_files_1 = len([f for f in e1.content_files if f.path.endswith(".parquet")])
+    for fn in set(os.listdir(src)) - before:
+        os.remove(os.path.join(src, fn))
+    t0 = time.perf_counter()
+    hs.refresh_index("v_flat", "incremental")
+    out["delete_refresh_sec"] = round(time.perf_counter() - t0, 2)
+    e2 = next(e for e in hs._active_entries(hs.conf()) if e.name == "v_flat")
+    assert e2.derived_properties["centroids"] == cents, "delete refit!"
+    import os as _os
+
+    old_inodes = {
+        _os.stat(f.path).st_ino
+        for f in e1.content_files
+        if f.path.endswith(".parquet")
+    }
+    new_inodes = {
+        _os.stat(f.path).st_ino
+        for f in e2.content_files
+        if f.path.endswith(".parquet")
+    }
+    out["index_files"] = n_files_1
+    out["hardlinked_through_delete"] = len(old_inodes & new_inodes)
+
+    # stale hybrid search: append without refresh; probing with an
+    # appended vector's own embedding (external query_vectors namespace,
+    # no self-exclusion) must surface the appended vector at cosine 1.
+    extra2 = corpus.filter("vec_id < 500").selectExpr(
+        "vec_id + 200000000 AS vec_id", "embedding"
+    )
+    extra2.coalesce(1).write.mode("append").parquet(src)
+    v = (
+        spark.read.parquet(src)
+        .filter("vec_id = 200000007")
+        .select("embedding")
+        .first()[0]
+    )
+    t0 = time.perf_counter()
+    hyb = hs.ann_search(
+        "v_flat", query_vectors={999999: list(v)}, k=3, n_probe=64
+    ).collect()
+    out["stale_hybrid_search_sec"] = round(time.perf_counter() - t0, 2)
+    # the appended vector duplicates corpus vec 7 (same embedding, new
+    # id): BOTH must surface at cosine 1 — the appended one proves the
+    # on-the-fly assignment reached the candidate set
+    assert any(
+        r.neighbor_id == 200000007 and r.cosine == 1.0 for r in hyb
+    ), hyb[:3]
+
+    ok = (
+        out["recall_at10_p8"] >= 0.8
+        and out["pq_recall_at10_p8_refine256"] >= 0.6
+        and out["pq_compression"] >= 4
+        and out["search_p8_sec"] < out["brute_sec"]
+        and out["hardlinked_through_delete"] >= 0.9 * len(old_inodes)
+    )
+    out["ok"] = bool(ok)
+    print(json.dumps(out))
+    sys.exit(0 if ok else 1)
+
+
 if __name__ == "__main__":
     if "--sf10" in sys.argv:
         main_sf10()
@@ -776,5 +974,7 @@ if __name__ == "__main__":
         main_dedup()
     elif "--events" in sys.argv:
         main_events()
+    elif "--vectors" in sys.argv:
+        main_vectors()
     else:
         main()

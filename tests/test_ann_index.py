@@ -626,3 +626,23 @@ def test_hybrid_search_stale_pq_exact(spark, emb, tmp_path):
     hs.refresh_index("hyb_pq", "incremental")
     fresh_p2 = hs.ann_search("hyb_pq", query_ids=[0, 310], k=5, n_probe=2).collect()
     assert key(stale_p2) == key(fresh_p2)
+
+
+def test_hybrid_search_keeps_partition_pruning(spark, emb, tmp_path):
+    """The probe filter must push THROUGH the hybrid union to the parquet
+    scan: a 1-probe stale search reads exactly one cluster directory
+    (PartitionFilters on the executed plan), not the whole index."""
+    import re
+
+    src = str(tmp_path / "vec_src")
+    emb.filter("vec_id < 400").coalesce(1).write.parquet(src)
+    hs = Hyperspace(spark, system_path=str(tmp_path / "idx"))
+    hs.create_index(spark.read.parquet(src), IvfIndexConfig("pr_ivf", n_clusters=8))
+    emb.filter("vec_id >= 400").coalesce(1).write.mode("append").parquet(src)
+
+    df = hs.ann_search("pr_ivf", query_ids=[0], k=3, n_probe=1)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    filters = re.findall(r"PartitionFilters: \[[^\]]*cluster[^\]]*\]", plan)
+    assert filters, plan[:500]
+    assert all(re.search(r"cluster#\d+ = \d+\)", f) for f in filters), filters
