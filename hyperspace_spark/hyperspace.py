@@ -660,13 +660,18 @@ class Hyperspace:
                 # quantizer); retained files hardlink through and their
                 # per-file min/max pruning stays exact — the locally-
                 # clustered-delta-over-clustered-base layout production
-                # table formats ship between OPTIMIZE runs.  Deletes
-                # (rows must leave specific z-files) or drift beyond
+                # table formats ship between OPTIMIZE runs.  r10: DELETES
+                # rewrite only the z-files holding deleted rows via the
+                # lineage anti-filter (surviving rows keep their z-sort;
+                # the production DELETE shape) — only lineage-free
+                # legacy entries or drift beyond
                 # zorder.maxIncrementalRatio still re-cluster fully; a
                 # later FULL refresh restores one global interleave.
                 app_bytes = sum(f.size for f in appended)
                 indexed_bytes = max(1, sum(f.size for f in live) - app_bytes)
-                if deleted or app_bytes / indexed_bytes > conf.zorder_max_incremental_ratio:
+                if deleted and not entry.derived_properties.get("lineage"):
+                    raise _FallBackToFull()
+                if app_bytes / indexed_bytes > conf.zorder_max_incremental_ratio:
                     raise _FallBackToFull()
                 from hyperspace_spark.indexes import zorder as zo
 
@@ -675,16 +680,30 @@ class Hyperspace:
                     FileInfo(f.path, f.size, f.mtime, tracker.add_or_get(f))
                     for f in appended
                 ]
-                new_df = _relation_reader(self.spark, rel, with_base_path=True).load(
-                    [f.path for f in appended]
-                )
                 data_dir = mgr.data_dir(version)
-                new_stats, n_new_parts = zo.append_index_data(
-                    self.spark, new_df, entry, conf, appended, tracker, data_dir
-                )
-                self._carry_index_files(fs, entry, data_dir)
+                new_stats, n_new_parts = {}, 0
+                if appended:
+                    new_df = _relation_reader(
+                        self.spark, rel, with_base_path=True
+                    ).load([f.path for f in appended])
+                    new_stats, n_new_parts = zo.append_index_data(
+                        self.spark, new_df, entry, conf, appended, tracker, data_dir
+                    )
+                skip_files: list[str] = []
+                if deleted:
+                    del_ids = [tracker.get(f) for f in deleted]
+                    skip_files, survivor_stats = zo.drop_deleted_rows(
+                        self.spark,
+                        entry,
+                        [i for i in del_ids if i is not None],
+                        data_dir,
+                    )
+                    new_stats = {**new_stats, **survivor_stats}
+                self._carry_index_files(fs, entry, data_dir, skip_files=skip_files)
                 if props.get("fileStats"):
                     merged = dict(props["fileStats"])
+                    for p in skip_files:
+                        merged.pop(p.rsplit("/", 1)[-1], None)
                     merged.update(new_stats)
                     # Same log-size guard collect_file_stats enforces at
                     # build: past the cap, drop the stats (pruning

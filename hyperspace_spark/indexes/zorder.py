@@ -312,6 +312,73 @@ def append_index_data(
     return collect_file_stats(spark, data_dir, list(props["indexedColumns"])), n_parts
 
 
+def drop_deleted_rows(
+    spark: "SparkSession", entry, deleted_ids: list[int], data_dir: str
+) -> tuple[list[str], dict]:
+    """Delete-refresh WITHOUT re-clustering (r10, the ANN discipline
+    applied to the z-layout and the same shape production table formats
+    use for DELETE): only the z-files that contain deleted rows are
+    rewritten — their surviving rows keep their z-sort (a filter
+    preserves order), every other file hardlinks through via the
+    caller's carry.  Clustering is untouched for every surviving row;
+    per-file min/max pruning stays exact because the rewritten files'
+    stats are recomputed from actual values (small affected files that
+    coalesce into one scan partition merge into one output file with a
+    wider range — coarser pruning for that file, never incorrect).
+
+    Returns ``(affected_old_paths, new_file_stats)``: the caller skips
+    the affected files in its hardlink carry, drops their fileStats rows
+    and merges the new ones in."""
+    import os as _os
+    from urllib.parse import unquote
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    props = entry.derived_properties
+    schema = StructType.fromJson(json.loads(props["schemaJson"]))
+    idx = spark.read.schema(schema).parquet(*entry.index_data_dirs)
+    ids = [int(i) for i in deleted_ids if i is not None]
+    affected_uris = [
+        r[0]
+        for r in idx.filter(F.col(DATA_FILE_ID_COLUMN).isin(ids))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    ]
+    if not affected_uris:
+        return [], {}
+    paths = []
+    for u in affected_uris:
+        p = unquote(u)
+        if p.startswith("file://"):
+            p = p[len("file://") :]
+        elif p.startswith("file:"):
+            p = p[len("file:") :]
+        paths.append(p)
+    before = (
+        set(_os.listdir(data_dir)) if _os.path.isdir(data_dir) else set()
+    )
+    (
+        spark.read.schema(schema)
+        .parquet(*paths)
+        .filter(~F.col(DATA_FILE_ID_COLUMN).isin(ids))
+        .write.mode("append")
+        .parquet(data_dir)
+    )
+    written = [
+        _os.path.join(data_dir, f)
+        for f in set(_os.listdir(data_dir)) - before
+        if f.endswith(".parquet")
+    ]
+    stats = (
+        collect_file_stats(spark, data_dir, list(props["indexedColumns"]), paths=written)
+        if written
+        else {}
+    )
+    return paths, stats
+
+
 # ---------------------------------------------------------------------------
 # per-file min/max stats -> driver-side file pruning (zero Spark jobs at
 # query time).  The z/range-clustered layout makes per-file ranges TIGHT
@@ -328,12 +395,15 @@ def append_index_data(
 _FILESTATS_MAX_FILES = 65536  # log-entry size guard: beyond this, skip
 
 
-def collect_file_stats(spark: "SparkSession", data_dir: str, cols: list[str]) -> dict:
+def collect_file_stats(
+    spark: "SparkSession", data_dir: str, cols: list[str], paths: list[str] | None = None
+) -> dict:
     """{file basename: {col: [min, max]}} over the written index data.
 
     Keys are the ORIGINAL (possibly dotted) indexed-column names — the
     spelling query predicates use; physical reads go through the
-    flattened `__hs_nested.` columns."""
+    flattened `__hs_nested.` columns.  ``paths`` scopes the scan to
+    specific files (delete-refresh stats only the files it rewrote)."""
     from pyspark.sql import functions as F
 
     from hyperspace_spark.indexes.covering import flattened_name
@@ -344,8 +414,9 @@ def collect_file_stats(spark: "SparkSession", data_dir: str, cols: list[str]) ->
             F.min(_bq(flattened_name(c))).alias(f"{c}__lo"),
             F.max(_bq(flattened_name(c))).alias(f"{c}__hi"),
         ]
+    src = spark.read.parquet(*paths) if paths else spark.read.parquet(data_dir)
     rows = (
-        spark.read.parquet(data_dir)
+        src
         .groupBy(F.element_at(F.split(F.input_file_name(), "/"), -1).alias("_f"))
         .agg(*aggs)
         .collect()

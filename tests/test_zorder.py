@@ -343,3 +343,133 @@ def test_zorder_incremental_append_local_cluster(spark, tmp_path):
     finally:
         spark.conf.unset("spark.hyperspace.index.zorder.targetSourceBytesPerPartition")
         spark.conf.unset("spark.hyperspace.index.zorder.maxIncrementalRatio")
+
+
+def test_zorder_delete_refresh_per_file_rewrite(spark, tmp_path):
+    """r10: deletes refresh a z-order index WITHOUT re-clustering — the
+    lineage anti-filter rewrites only the z-files holding deleted rows
+    (survivors keep their z-sort), every other file hardlinks through
+    (inode-asserted), fileStats swaps the affected files' rows for the
+    rewritten files', and pruned queries stay row-exact.  A combined
+    delete+append refresh composes both paths; zorderStats (the frozen
+    scaling) never changes on this path."""
+    import os
+
+    src = str(tmp_path / "src")
+    spark.range(0, 20000).select(
+        (F.col("id") % 1000).alias("a"),
+        (F.col("id") % 77).cast("double").alias("b"),
+        F.col("id").alias("payload"),
+    ).write.mode("overwrite").parquet(src)
+    base_files = set(os.listdir(src))
+    # a retractable slice in its own source file, in a DISJOINT key
+    # region (a in 2000..2999) so its rows z-cluster into few files —
+    # the locality that makes per-file delete rewrites bounded
+    spark.range(100000, 103000).select(
+        (F.lit(2000) + F.col("id") % 1000).alias("a"),
+        (F.col("id") % 77).cast("double").alias("b"),
+        F.col("id").alias("payload"),
+    ).coalesce(1).write.mode("append").parquet(src)
+    victim = set(os.listdir(src)) - base_files
+
+    hs = Hyperspace(spark, system_path=str(tmp_path / "idx"))
+    spark.conf.set(
+        "spark.hyperspace.index.zorder.targetSourceBytesPerPartition", "16384"
+    )
+    try:
+        hs.create_index(
+            spark.read.parquet(src),
+            ZOrderCoveringIndexConfig("zdel", ["a", "b"], ["payload"]),
+        )
+        e0 = next(e for e in hs._active_entries(hs.conf()) if e.name == "zdel")
+        base0 = e0.index_data_dirs[-1].rstrip("/")
+        zstats0 = e0.derived_properties["zorderStats"]
+        stats0 = e0.derived_properties["fileStats"]
+        inodes0 = {
+            f.path[len(base0) + 1 :]: os.stat(f.path).st_ino for f in e0.content_files
+        }
+        # which index files hold the victim's rows (payload >= 100000)?
+        idx0 = spark.read.parquet(base0)
+        affected = {
+            r[0].rsplit("/", 1)[-1]
+            for r in idx0.filter("payload >= 100000")
+            .select(F.input_file_name())
+            .distinct()
+            .collect()
+        }
+        assert affected and len(affected) < len(inodes0), affected
+
+        for fn in victim:
+            os.remove(os.path.join(src, fn))
+        hs.refresh_index("zdel", "incremental")
+
+        e1 = next(e for e in hs._active_entries(hs.conf()) if e.name == "zdel")
+        assert e1.data_version > e0.data_version
+        # frozen scaling: no re-cluster happened
+        assert e1.derived_properties["zorderStats"] == zstats0
+        base1 = e1.index_data_dirs[-1].rstrip("/")
+        after = {f.path[len(base1) + 1 :]: f.path for f in e1.content_files}
+        for rel, ino in inodes0.items():
+            norm = rel.rsplit("/", 1)[-1]
+            if norm in affected:
+                assert rel not in after, f"affected file {rel} must not hardlink"
+            else:
+                assert rel in after and os.stat(after[rel]).st_ino == ino, rel
+        # fileStats: affected basenames gone, rewritten files present
+        stats1 = e1.derived_properties["fileStats"]
+        assert not (affected & set(stats1))
+        assert set(stats1) - set(stats0), "no rewritten-file stats recorded"
+
+        # row-exact + no ghost rows, pruning still engages; a >= 2000
+        # covers exactly the deleted region -> must come back EMPTY
+        for pred in ("a BETWEEN 10 AND 20", "a >= 2000"):
+            q = spark.read.parquet(src).filter(pred).select("a", "b", "payload")
+            fast, used = hs._apply_with_info(q)
+            assert used == ["zdel"], (pred, hs.why_not(q))
+            assert sorted(map(tuple, fast.collect())) == sorted(
+                map(tuple, q.collect())
+            ), pred
+        assert (
+            spark.read.parquet(src).filter("a >= 2000").count() == 0
+        ), "staging mishap"
+        q = spark.read.parquet(src).filter("a BETWEEN 10 AND 20").select("a", "payload")
+        fast, _ = hs._apply_with_info(q)
+        assert 0 < len(fast.inputFiles()) < len(e1.content_files)
+
+        # combined delete + bounded append in ONE refresh
+        pre = set(os.listdir(src))
+        spark.range(200000, 202000).select(
+            (F.col("id") % 1000).alias("a"),
+            (F.col("id") % 77).cast("double").alias("b"),
+            F.col("id").alias("payload"),
+        ).coalesce(1).write.mode("append").parquet(src)
+        second_victim = set(os.listdir(src)) - pre
+        hs.refresh_index("zdel", "incremental")  # absorb the append
+        spark.conf.set("spark.hyperspace.index.zorder.maxIncrementalRatio", "0.6")
+        spark.range(300000, 302000).select(
+            (F.col("id") % 1000).alias("a"),
+            (F.col("id") % 77).cast("double").alias("b"),
+            F.col("id").alias("payload"),
+        ).coalesce(1).write.mode("append").parquet(src)
+        for fn in second_victim:
+            os.remove(os.path.join(src, fn))
+        hs.refresh_index("zdel", "incremental")
+        e3 = next(e for e in hs._active_entries(hs.conf()) if e.name == "zdel")
+        assert e3.derived_properties["zorderStats"] == zstats0
+        q = (
+            spark.read.parquet(src)
+            .filter("a BETWEEN 0 AND 1000")
+            .select("a", "payload")
+        )
+        fast, used = hs._apply_with_info(q)
+        assert used == ["zdel"], hs.why_not(q)
+        want = sorted(map(tuple, q.collect()))
+        assert sorted(map(tuple, fast.collect())) == want
+        # second victim's rows (payload 200000..201999) are gone; the
+        # third append's rows (payload 300000..301999) landed
+        pays = {p for _, p in want}
+        assert not any(200000 <= p < 202000 for p in pays)
+        assert any(300000 <= p < 302000 for p in pays)
+    finally:
+        spark.conf.unset("spark.hyperspace.index.zorder.targetSourceBytesPerPartition")
+        spark.conf.unset("spark.hyperspace.index.zorder.maxIncrementalRatio")
