@@ -890,15 +890,23 @@ class Hyperspace:
                 entry.deleted_files = []
                 return entry
             if entry.derived_kind == "TXT":
-                # Append-only posting increment: retained bucket files
-                # hardlink into the new version (flat bucketed layout),
-                # the NEW docs' postings append as extra per-bucket files
-                # under the same bucket spec.  Deletes fall back to a
-                # full rebuild — but a STALE index still answers exactly:
-                # text_search anti-filters deleted files' postings by
-                # lineage id at query time.
-                if deleted:
-                    raise _FallBackToFull()
+                # Posting increment: retained bucket files hardlink into
+                # the new version (flat bucketed layout), the NEW docs'
+                # postings append as extra per-bucket files under the
+                # same bucket spec.  r10: DELETES rewrite only the
+                # posting files holding the deleted docs' rows (lineage
+                # anti-filter — postings carry the source file id), so a
+                # delete costs index-bytes of the affected files, never a
+                # corpus re-tokenize; the rewritten survivors re-enter
+                # through the same bucketed write, so bucket pruning is
+                # untouched.  A STALE index still answers exactly either
+                # way (query-time anti-filter).
+                import json as _json
+
+                from pyspark.sql import functions as _F
+                from pyspark.sql.types import StructType as _ST
+
+                from hyperspace_spark.config import DATA_FILE_ID_COLUMN as _FID
                 from hyperspace_spark.indexes.covering import table_name
                 from hyperspace_spark.indexes.inverted import (
                     InvertedTextIndexConfig,
@@ -913,22 +921,54 @@ class Hyperspace:
                 cfg = InvertedTextIndexConfig(
                     entry.name, props["textCol"], props["idCol"]
                 )
-                new_df = _relation_reader(self.spark, rel, with_base_path=True).load(
-                    [f.path for f in appended]
-                )
-                new_postings = postings_df(
-                    self.spark, new_df, cfg, appended, tracker
-                ).persist()
+                new_postings = None
+                if appended:
+                    new_df = _relation_reader(
+                        self.spark, rel, with_base_path=True
+                    ).load([f.path for f in appended])
+                    new_postings = postings_df(
+                        self.spark, new_df, cfg, appended, tracker
+                    ).persist()
+                skip_files: list[str] = []
+                survivors = None
+                dead_ids: list[int] = []
+                if deleted:
+                    from urllib.parse import unquote as _unq
+
+                    dead_ids = [
+                        i
+                        for i in (tracker.get(f) for f in deleted)
+                        if i is not None
+                    ]
+                    _schema = _ST.fromJson(_json.loads(props["schemaJson"]))
+                    old_postings = self.spark.read.schema(_schema).parquet(
+                        *entry.index_data_dirs
+                    )
+                    affected_uris = [
+                        r[0]
+                        for r in old_postings.filter(_F.col(_FID).isin(dead_ids))
+                        .select(_F.input_file_name())
+                        .distinct()
+                        .collect()
+                    ]
+                    for u in affected_uris:
+                        p = _unq(u)
+                        if p.startswith("file://"):
+                            p = p[len("file://") :]
+                        elif p.startswith("file:"):
+                            p = p[len("file:") :]
+                        skip_files.append(p)
+                    if skip_files:
+                        survivors = (
+                            self.spark.read.schema(_schema)
+                            .parquet(*skip_files)
+                            .filter(~_F.col(_FID).isin(dead_ids))
+                        )
                 data_dir = mgr.data_dir(version)
                 os.makedirs(data_dir, exist_ok=True)
-                self._carry_index_files(fs, entry, data_dir)
+                self._carry_index_files(fs, entry, data_dir, skip_files=skip_files)
                 nb = props["numBuckets"]
                 tbl = table_name(entry.name, version)
-                import json as _json
-
-                from pyspark.sql import functions as _F
-                from pyspark.sql.types import StructType as _ST
-
                 # Register the new version's external bucketed table over
                 # the hardlinked files FIRST: saveAsTable(mode=append) on
                 # a NON-existent table is CTAS and CLEARS the target
@@ -944,36 +984,46 @@ class Hyperspace:
                     f"CLUSTERED BY (`token`) SORTED BY (`token`) "
                     f"INTO {nb} BUCKETS LOCATION '{data_dir}'"
                 )
-                (
-                    new_postings.repartition(nb, _F.col("token"))
-                    .write.format("parquet")
-                    .mode("append")
-                    .bucketBy(nb, "token")
-                    .sortBy("token")
-                    .option("path", data_dir)
-                    .saveAsTable(tbl)
-                )
+                delta = new_postings
+                if survivors is not None:
+                    delta = (
+                        survivors
+                        if delta is None
+                        else delta.unionByName(survivors)
+                    )
+                if delta is not None:
+                    (
+                        delta.repartition(nb, _F.col("token"))
+                        .write.format("parquet")
+                        .mode("append")
+                        .bucketBy(nb, "token")
+                        .sortBy("token")
+                        .option("path", data_dir)
+                        .saveAsTable(tbl)
+                    )
                 props["tableName"] = tbl
                 # Merge the appended files' BM25 corpus stats (docs with
                 # >= 1 token, total tokens) into the per-file stats map —
                 # one tiny aggregate over the (persisted) posting delta,
-                # so ranked retrieval stays exact after refresh.
-                from hyperspace_spark.config import DATA_FILE_ID_COLUMN as _FID
-
-                stat_rows = (
-                    new_postings.groupBy(_FID)
-                    .agg(
-                        _F.count_distinct("_doc").alias("_nd"),
-                        _F.sum("tf").cast("long").alias("_nt"),
-                    )
-                    .collect()
-                )
+                # so ranked retrieval stays exact after refresh; deleted
+                # files' stats rows drop (their postings just left).
                 merged = dict(props.get("fileDocStats") or {})
-                merged.update(
-                    {str(r[0]): [int(r["_nd"]), int(r["_nt"])] for r in stat_rows}
-                )
+                for i in dead_ids:
+                    merged.pop(str(i), None)
+                if new_postings is not None:
+                    stat_rows = (
+                        new_postings.groupBy(_FID)
+                        .agg(
+                            _F.count_distinct("_doc").alias("_nd"),
+                            _F.sum("tf").cast("long").alias("_nt"),
+                        )
+                        .collect()
+                    )
+                    merged.update(
+                        {str(r[0]): [int(r["_nd"]), int(r["_nt"])] for r in stat_rows}
+                    )
+                    new_postings.unpersist()
                 props["fileDocStats"] = merged
-                new_postings.unpersist()
                 new_files = {f.key(): f for f in live}
                 entry.relations[0].files = [
                     FileInfo(f.path, f.size, f.mtime, tracker.add_or_get(f))

@@ -342,3 +342,97 @@ def test_ranked_search_exact_after_append_delete_refresh_quick(
     # and both equal the pure-python replay
     want = _bm25_reference(live, ["quick", "brown"])
     assert got == pytest.approx(want, abs=1e-4), (got, want)
+
+
+def test_delete_incremental_refresh_rewrites_only_affected_postings(
+    spark, tmp_path_factory
+):
+    """r10: a DELETE refreshes the TXT index incrementally — only the
+    posting files holding the deleted docs' rows rewrite (lineage
+    anti-filter; inode-asserted survivors), no corpus re-tokenize, BM25
+    corpus stats drop the dead file's row — and every search mode equals
+    a fresh index built over the live corpus."""
+    import os
+
+    src = str(tmp_path_factory.mktemp("txt_d_src")) + "/data"
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the dog"),
+            (2, "a quick test of incremental deletes"),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(src)
+    victim = next(f for f in os.listdir(src) if f.endswith(".parquet"))
+    spark.createDataFrame(
+        [
+            (3, "brown bears eat fish and honey"),
+            (4, "zzyzx only lives here"),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    hs = Hyperspace(spark, system_path=str(tmp_path_factory.mktemp("hsd_idx")))
+    hs.create_index(
+        spark.read.parquet(src), InvertedTextIndexConfig("txtd", num_buckets=8)
+    )
+    e0 = next(e for e in hs._active_entries(hs.conf()) if e.name == "txtd")
+    base0 = e0.index_data_dirs[-1].rstrip("/")
+    stats0 = dict(e0.derived_properties["fileDocStats"])
+    # posting files holding docs 1/2 (the victim file's rows)
+    from pyspark.sql import functions as F
+
+    affected = {
+        r[0].rsplit("/", 1)[-1]
+        for r in spark.read.parquet(base0)
+        .filter(F.col("_doc").isin([1, 2]))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    inodes0 = {
+        f.path[len(base0) + 1 :]: os.stat(f.path).st_ino
+        for f in e0.content_files
+        if f.path.endswith(".parquet")
+    }
+    assert affected and len(affected) < len(inodes0), (affected, len(inodes0))
+
+    os.remove(os.path.join(src, victim))
+    hs.refresh_index("txtd", "incremental")
+    e1 = next(e for e in hs._active_entries(hs.conf()) if e.name == "txtd")
+    assert e1.data_version > e0.data_version
+    base1 = e1.index_data_dirs[-1].rstrip("/")
+    after = {
+        f.path[len(base1) + 1 :]: f.path
+        for f in e1.content_files
+        if f.path.endswith(".parquet")
+    }
+    for rel, ino in inodes0.items():
+        if rel.rsplit("/", 1)[-1] in affected:
+            assert rel not in after, f"affected posting file {rel} must not carry"
+        else:
+            assert rel in after and os.stat(after[rel]).st_ino == ino, rel
+    # corpus stats: dead source file's row dropped, survivors kept
+    stats1 = e1.derived_properties["fileDocStats"]
+    assert len(stats1) == len(stats0) - 1
+    assert sum(n for n, _ in stats1.values()) == 2  # docs 3 and 4
+
+    # all search modes equal a fresh index over the live corpus
+    hs2 = Hyperspace(spark, system_path=str(tmp_path_factory.mktemp("hsd_idx2")))
+    hs2.create_index(
+        spark.read.parquet(src), InvertedTextIndexConfig("txtd2", num_buckets=8)
+    )
+    assert sorted(
+        r.doc_id for r in hs.text_search("txtd", ["brown"]).collect()
+    ) == sorted(r.doc_id for r in hs2.text_search("txtd2", ["brown"]).collect()) == [3]
+    got = {
+        r.doc_id: r.score
+        for r in hs.text_search_ranked("txtd", ["brown", "honey"], k=10).collect()
+    }
+    fresh = {
+        r.doc_id: r.score
+        for r in hs2.text_search_ranked("txtd2", ["brown", "honey"], k=10).collect()
+    }
+    assert got == pytest.approx(fresh, abs=1e-9), (got, fresh)
+    assert sorted(
+        r.doc_id for r in hs.text_search_phrase("txtd", "bears eat fish").collect()
+    ) == [3]
+    assert hs.text_search("txtd", ["quick"], mode="any").count() == 0
