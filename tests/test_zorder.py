@@ -473,3 +473,44 @@ def test_zorder_delete_refresh_per_file_rewrite(spark, tmp_path):
     finally:
         spark.conf.unset("spark.hyperspace.index.zorder.targetSourceBytesPerPartition")
         spark.conf.unset("spark.hyperspace.index.zorder.maxIncrementalRatio")
+
+
+def test_zorder_stale_query_append_and_delete_exact(spark, tmp_path):
+    """A STALE z-order index (append + delete, NO refresh) answers
+    exactly: appended files union in on the fly, deleted files' rows
+    anti-filter by lineage — same hybrid discipline as covering."""
+    import os
+
+    src = str(tmp_path / "src")
+    spark.range(0, 10000).select(
+        (F.col("id") % 500).alias("a"), F.col("id").alias("p")
+    ).write.mode("overwrite").parquet(src)
+    before = set(os.listdir(src))
+    spark.range(50000, 52000).select(
+        (F.lit(1000) + F.col("id") % 500).alias("a"), F.col("id").alias("p")
+    ).coalesce(1).write.mode("append").parquet(src)
+    victim = set(os.listdir(src)) - before
+    hs = Hyperspace(spark, system_path=str(tmp_path / "idx"))
+    hs.create_index(
+        spark.read.parquet(src), ZOrderCoveringIndexConfig("zs", ["a"], ["p"])
+    )
+    # mutate WITHOUT refresh
+    for fn in victim:
+        os.remove(os.path.join(src, fn))
+    spark.range(90000, 91000).select(
+        (F.col("id") % 500).alias("a"), F.col("id").alias("p")
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    for pred in ("a BETWEEN 5 AND 9", "a >= 900"):
+        q = spark.read.parquet(src).filter(pred).select("a", "p")
+        fast, used = hs._apply_with_info(q)
+        assert used == ["zs"], (pred, hs.why_not(q))
+        assert sorted(map(tuple, fast.collect())) == sorted(
+            map(tuple, q.collect())
+        ), pred
+    # the deleted region is empty, the appended rows are present
+    q = spark.read.parquet(src).filter("a >= 900").select("a", "p")
+    assert q.count() == 0
+    q2 = spark.read.parquet(src).filter("a BETWEEN 5 AND 9").select("a", "p")
+    fast2, _ = hs._apply_with_info(q2)
+    assert any(90000 <= p < 91000 for _, p in map(tuple, fast2.collect()))
