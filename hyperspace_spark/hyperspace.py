@@ -933,7 +933,9 @@ class Hyperspace:
                 survivors = None
                 dead_ids: list[int] = []
                 if deleted:
-                    from urllib.parse import unquote as _unq
+                    from hyperspace_spark.indexes.covering import (
+                        lineage_affected_files,
+                    )
 
                     dead_ids = [
                         i
@@ -944,20 +946,7 @@ class Hyperspace:
                     old_postings = self.spark.read.schema(_schema).parquet(
                         *entry.index_data_dirs
                     )
-                    affected_uris = [
-                        r[0]
-                        for r in old_postings.filter(_F.col(_FID).isin(dead_ids))
-                        .select(_F.input_file_name())
-                        .distinct()
-                        .collect()
-                    ]
-                    for u in affected_uris:
-                        p = _unq(u)
-                        if p.startswith("file://"):
-                            p = p[len("file://") :]
-                        elif p.startswith("file:"):
-                            p = p[len("file:") :]
-                        skip_files.append(p)
+                    skip_files = lineage_affected_files(old_postings, dead_ids)
                     if skip_files:
                         survivors = (
                             self.spark.read.schema(_schema)

@@ -377,20 +377,18 @@ def drop_deleted_rows(
     is untouched by construction.  The covering/skipping delete
     discipline (DataSkippingIndex.scala:90-103) applied to IVF.
 
-    Affected-file detection is one column-pruned scan of the lineage
-    column grouped by input file (driver result is file-count-scale,
-    same bound as the kept-file pruning in DataSkippingFileIndex.scala:
-    40-61).  Surviving rows of ONLY those files are rewritten under
-    ``data_dir``; returns the affected files' OLD paths so the caller's
-    hardlink carry skips them — rewrite bytes are bounded by the files
-    the deleted rows actually live in, not the index size.
+    Affected-file detection and the URI->path normalization are the
+    shared covering.py helpers (lineage_affected_files/uri_to_path).
+    Surviving rows of ONLY those files are rewritten under ``data_dir``;
+    returns the affected files' OLD paths so the caller's hardlink carry
+    skips them — rewrite bytes are bounded by the files the deleted rows
+    actually live in, not the index size.
     """
-    from urllib.parse import unquote
-
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
     from hyperspace_spark.config import DATA_FILE_ID_COLUMN
+    from hyperspace_spark.indexes.covering import lineage_affected_files
 
     props = entry.derived_properties
     schema = StructType.fromJson(json.loads(props["schemaJson"]))
@@ -401,25 +399,9 @@ def drop_deleted_rows(
         .parquet(*entry.index_data_dirs)
     )
     ids = [int(i) for i in deleted_ids if i is not None]
-    affected_uris = [
-        r[0]
-        for r in idx.filter(F.col(DATA_FILE_ID_COLUMN).isin(ids))
-        .select(F.input_file_name())
-        .distinct()
-        .collect()
-    ]
-    if not affected_uris:
+    paths = lineage_affected_files(idx, ids)
+    if not paths:
         return []
-    # input_file_name() yields file: URIs with %XX-escapes; normalize to
-    # plain paths to match entry.content_files.
-    paths = []
-    for u in affected_uris:
-        p = unquote(u)
-        if p.startswith("file://"):
-            p = p[len("file://") :]
-        elif p.startswith("file:"):
-            p = p[len("file:") :]
-        paths.append(p)
     surviving = (
         spark.read.schema(schema)
         .option("basePath", base)
@@ -517,18 +499,34 @@ def ann_search(
     ).parquet(*entry.index_data_dirs)
     if deleted:
         if not props.get("lineage"):
-            from hyperspace_spark.hyperspace import HyperspaceException
+            # Legacy lineage-free entry: exact delete compensation is
+            # impossible, but hard-failing would break every search that
+            # worked before r10 (including external query_vectors calls
+            # that never cared about the deleted rows).  Serve the STALE
+            # index — the pre-r10 behavior — and leave a breadcrumb; a
+            # refresh (incremental falls back to full for these) cleans
+            # it up properly.
+            from hyperspace_spark.telemetry import HyperspaceEvent, emit
 
-            raise HyperspaceException(
-                f"ANN index {entry.name!r} predates lineage and cannot "
-                f"compensate for deleted source files at query time; run "
-                f"refresh_index({entry.name!r}, 'full')"
+            emit(
+                HyperspaceEvent(
+                    kind="ann_stale_deletes",
+                    index_name=entry.name,
+                    detail=(
+                        f"{len(deleted)} deleted source file(s) cannot be "
+                        f"compensated (pre-lineage index); results may "
+                        f"include their vectors until refresh"
+                    ),
+                )
             )
-        tracker = entry.file_id_tracker
-        ids = [tracker.get(f) for f in deleted]
-        idx = idx.filter(
-            ~F.col(DATA_FILE_ID_COLUMN).isin([i for i in ids if i is not None])
-        )
+        else:
+            tracker = entry.file_id_tracker
+            ids = [tracker.get(f) for f in deleted]
+            idx = idx.filter(
+                ~F.col(DATA_FILE_ID_COLUMN).isin(
+                    [i for i in ids if i is not None]
+                )
+            )
     payload = "codes" if props.get("pqM") else "unit_vec"
     idx = idx.select("vec_id", payload, "cluster")
     if appended:
@@ -601,21 +599,23 @@ def ann_search(
             from hyperspace_spark.telemetry import HyperspaceEvent, emit
 
             ids = pool.select("vec_id").distinct().persist()
-            n_pool = ids.count()
+            # ONE job decides the path AND doubles as the collected id
+            # list when small (a separate count() would add a full job
+            # to the dominant point-lookup shape); n_pool in the event
+            # is exact when small, cap+1 (= "exceeded") when large.
+            head = ids.take(REFINE_IN_MAX + 1)
+            small = len(head) <= REFINE_IN_MAX
             emit(
                 HyperspaceEvent(
                     kind="ann_refine",
                     index_name=entry.name,
-                    detail=(
-                        f"path={'in' if n_pool <= REFINE_IN_MAX else 'semi'} "
-                        f"n_pool={n_pool}"
-                    ),
+                    detail=f"path={'in' if small else 'semi'} n_pool={len(head)}",
                 )
             )
-            if n_pool <= REFINE_IN_MAX:
+            if small:
                 # Small pool (the point-lookup API shape): IN literal
                 # pushes into parquet row-group pruning on the source.
-                pool_ids = [r.vec_id for r in ids.collect()]
+                pool_ids = [r.vec_id for r in head]
                 src = source_df.filter(F.col(props["idCol"]).isin(pool_ids))
             else:
                 # Large query batch: bounded plan via broadcast semi-join

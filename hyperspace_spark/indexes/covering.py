@@ -98,6 +98,42 @@ def _as_uri(path: str) -> str:
     return "file://" + uri_quote_path(path)
 
 
+def uri_to_path(uri: str) -> str:
+    """Inverse of _as_uri for local files: a file: URI as produced by
+    input_file_name() back to a plain filesystem path (unquotes the
+    %XX escapes _as_uri/java.net.URI introduce)."""
+    from urllib.parse import unquote
+
+    p = unquote(uri)
+    if p.startswith("file://"):
+        return p[len("file://") :]
+    if p.startswith("file:"):
+        return p[len("file:") :]
+    return p
+
+
+def lineage_affected_files(df: "DataFrame", deleted_ids: list[int]) -> list[str]:
+    """Paths of the index data files (of the frame's scan) that contain
+    any row whose lineage id is in ``deleted_ids`` — the shared
+    affected-file detection behind every per-file delete-refresh (ANN /
+    ZCI / TXT).  One column-pruned scan of the lineage column grouped by
+    input file; the driver result is file-count-scale (the same bound as
+    the kept-file pruning in DataSkippingFileIndex.scala:40-61)."""
+    from pyspark.sql import functions as F
+
+    ids = [int(i) for i in deleted_ids if i is not None]
+    if not ids:
+        return []
+    uris = [
+        r[0]
+        for r in df.filter(F.col(DATA_FILE_ID_COLUMN).isin(ids))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    ]
+    return [uri_to_path(u) for u in uris]
+
+
 def create_index_data(
     spark: "SparkSession",
     df: "DataFrame",

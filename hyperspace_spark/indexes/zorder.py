@@ -330,32 +330,19 @@ def drop_deleted_rows(
     the affected files in its hardlink carry, drops their fileStats rows
     and merges the new ones in."""
     import os as _os
-    from urllib.parse import unquote
 
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
+
+    from hyperspace_spark.indexes.covering import lineage_affected_files
 
     props = entry.derived_properties
     schema = StructType.fromJson(json.loads(props["schemaJson"]))
     idx = spark.read.schema(schema).parquet(*entry.index_data_dirs)
     ids = [int(i) for i in deleted_ids if i is not None]
-    affected_uris = [
-        r[0]
-        for r in idx.filter(F.col(DATA_FILE_ID_COLUMN).isin(ids))
-        .select(F.input_file_name())
-        .distinct()
-        .collect()
-    ]
-    if not affected_uris:
+    paths = lineage_affected_files(idx, ids)
+    if not paths:
         return [], {}
-    paths = []
-    for u in affected_uris:
-        p = unquote(u)
-        if p.startswith("file://"):
-            p = p[len("file://") :]
-        elif p.startswith("file:"):
-            p = p[len("file:") :]
-        paths.append(p)
     before = (
         set(_os.listdir(data_dir)) if _os.path.isdir(data_dir) else set()
     )

@@ -1,12 +1,15 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real and tested — schemas, partition-size
-control, Arrow-batched `mapInPandas` with bounded batch memory — while
-the actual media decoding is STUBBED: the container has no image/audio
-libraries, so `decode=real` raises NotImplementedError with a clear
-message, and `decode=fake` produces deterministic features derived from
-the bytes (stable across runs/engines, good enough to exercise every
-downstream operator).
+control, Arrow-batched `mapInPandas` with bounded batch memory.  Since
+r10 the UNCOMPRESSED formats decode for real with pure numpy+struct
+codecs (24-bit BMP, P6 PPM, PCM16 WAV — `decode_bmp/decode_ppm/
+decode_wav`, surfaced via `decode_features(decode='real')` as decoded
+dims + per-channel means); codec-bound formats (JPEG/PNG/video) raise
+NotImplementedError with a clear message because the container has no
+image/audio libraries.  `decode='fake'` remains the deterministic
+byte-derived feature path (stable across runs/engines, good enough to
+exercise every downstream operator regardless of format).
 
 Scale notes: media bytes dominate row size; keep
 `spark.sql.files.maxPartitionBytes` at default so a partition holds a

@@ -646,3 +646,49 @@ def test_hybrid_search_keeps_partition_pruning(spark, emb, tmp_path):
     filters = re.findall(r"PartitionFilters: \[[^\]]*cluster[^\]]*\]", plan)
     assert filters, plan[:500]
     assert all(re.search(r"cluster#\d+ = \d+\)", f) for f in filters), filters
+
+
+def test_legacy_lineage_free_index_serves_stale_on_delete(spark, emb, tmp_path):
+    """r10 review fix: a pre-lineage ANN index (lineage.enabled=false)
+    must NOT hard-fail when source files are deleted — it serves the
+    stale index (the pre-r10 behavior, ghosts included) and emits an
+    ann_stale_deletes breadcrumb; incremental refresh still falls back
+    to a full refit for these entries."""
+    import os
+
+    from hyperspace_spark import telemetry
+
+    src = str(tmp_path / "vec_src")
+    emb.filter("vec_id < 300").coalesce(1).write.parquet(src)
+    before = set(os.listdir(src))
+    emb.filter("vec_id >= 300 and vec_id < 400").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    victim = set(os.listdir(src)) - before
+    hs = Hyperspace(spark, system_path=str(tmp_path / "idx"))
+    spark.conf.set("spark.hyperspace.index.lineage.enabled", "false")
+    try:
+        hs.create_index(
+            spark.read.parquet(src), IvfIndexConfig("leg_ivf", n_clusters=6)
+        )
+    finally:
+        spark.conf.unset("spark.hyperspace.index.lineage.enabled")
+    e0 = next(e for e in hs._active_entries(hs.conf()) if e.name == "leg_ivf")
+    assert not e0.derived_properties.get("lineage")
+
+    for fn in victim:
+        os.remove(os.path.join(src, fn))
+    events = []
+    telemetry.on_event(events.append)
+    try:
+        got = hs.ann_search("leg_ivf", query_ids=[0, 1], k=3, n_probe=6).collect()
+    finally:
+        telemetry.off_event(events.append)
+    assert len(got) == 6  # served (stale), not raised
+    assert any(e.kind == "ann_stale_deletes" for e in events)
+    # refresh repairs it properly (full refit for lineage-free + deletes)
+    hs.refresh_index("leg_ivf", "incremental")
+    e1 = next(e for e in hs._active_entries(hs.conf()) if e.name == "leg_ivf")
+    assert e1.derived_properties["centroids"] != e0.derived_properties["centroids"]
+    got2 = hs.ann_search("leg_ivf", query_ids=[0, 1], k=3, n_probe=6).collect()
+    assert all(r.neighbor_id < 300 for r in got2)
