@@ -1763,19 +1763,6 @@ class Hyperspace:
                 f"planner (replayed verbatim; relations inside them are not "
                 f"index candidates): {', '.join(kinds)}"
             )
-        # r10: .rdd / .writeStream bypass the planner entirely (the
-        # reference's Catalyst injection covers them for free,
-        # package.scala:40-93) — if this session hit one, say so HERE,
-        # where the user comes asking, not only in the one-time log
-        # breadcrumb they may have missed.
-        unrouted = _UNROUTED_WARNED.get(self.spark) or ()
-        if unrouted:
-            surfaces = ", ".join(sorted(f"DataFrame.{s}" for s in unrouted))
-            lines.append(
-                f"  note: UNROUTED_SURFACE — this session accessed {surfaces}, "
-                f"which never routes through the planner; call hs.apply(df) on "
-                f"the producing query before dropping to that surface"
-            )
         return "\n".join(lines)
 
 
@@ -2035,51 +2022,39 @@ def _make_routed_write(orig_prop):
     return property(routed, doc=orig_prop.__doc__)
 
 
-# Sessions already warned about an unrouted .rdd / .writeStream access —
-# one breadcrumb per (session, surface), mirroring the reference's
-# everything-is-rewritten coverage (ApplyHyperspace covers every query via
-# Catalyst, package.scala:40-93) by at least making the divergence VISIBLE.
-_UNROUTED_WARNED: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+def _make_routed_rdd(orig_prop):
+    # Handles both plain ``property`` and ``functools.cached_property``
+    # (rdd since Spark 4): delegating to the original descriptor's
+    # __get__ preserves cached_property's instance-dict caching when
+    # routing is inactive (the wrapper property is a data descriptor, so
+    # the cached instance attribute never shadows it).  When routing IS
+    # active, the RDD comes from the REWRITTEN frame and is cached on
+    # the instance so repeated accesses return the same object
+    # (``df.rdd is df.rdd`` — callers rely on that identity for
+    # determinism of zipWithIndex-style derivations).
+    def routed(self):
+        hs = _route_for(self)
+        if (
+            hs is None
+            or getattr(_DF_ROUTE_GUARD, "active", False)
+            or getattr(self, "_hs_no_reroute", False)
+        ):
+            return orig_prop.__get__(self, type(self))
+        cached = self.__dict__.get("_hs_routed_rdd")
+        if cached is not None:
+            return cached
+        _DF_ROUTE_GUARD.active = True
+        try:
+            rewritten = hs.apply(self)
+        finally:
+            _DF_ROUTE_GUARD.active = False
+        if rewritten is self:
+            return orig_prop.__get__(self, type(self))
+        out = orig_prop.__get__(rewritten, type(rewritten))
+        self.__dict__["_hs_routed_rdd"] = out
+        return out
 
-
-def _warn_unrouted(df, surface: str) -> None:
-    hs = _route_for(df)
-    if (
-        hs is None
-        or getattr(_DF_ROUTE_GUARD, "active", False)
-        or getattr(df, "_hs_no_reroute", False)
-    ):
-        return
-    try:
-        spark = df.sparkSession
-        seen = _UNROUTED_WARNED.setdefault(spark, set())
-        if surface in seen:
-            return
-        seen.add(surface)
-        from hyperspace_spark.telemetry import HyperspaceEvent, emit, log as _tlog
-
-        msg = (
-            f"DataFrame.{surface} does not route through the Hyperspace "
-            "planner on an enabled session; call hs.apply(df) explicitly "
-            "before it if the producing query should be accelerated"
-        )
-        _tlog.warning(msg)
-        emit(HyperspaceEvent(kind="unrouted", detail=surface, success=True))
-    except Exception:
-        pass  # a breadcrumb must never break the action itself
-
-
-def _make_warned_prop(orig_prop, surface: str):
-    # Handles both plain ``property`` (writeStream) and
-    # ``functools.cached_property`` (rdd since Spark 4): delegating to the
-    # original descriptor's __get__ preserves cached_property's
-    # instance-dict caching (the wrapper property is a data descriptor,
-    # so the cached instance attribute never shadows it).
-    def warned(self):
-        _warn_unrouted(self, surface)
-        return orig_prop.__get__(self, type(self))
-
-    return property(warned, doc=getattr(orig_prop, "__doc__", None))
+    return property(routed, doc=getattr(orig_prop, "__doc__", None))
 
 
 def _install_df_action_routing() -> None:
@@ -2096,16 +2071,18 @@ def _install_df_action_routing() -> None:
     if isinstance(orig_write, property):
         _DF_PATCHED["write"] = orig_write
         setattr(cls, "write", _make_routed_write(orig_write))
-    # .rdd is NOT routed (it exits the Catalyst world entirely) — an
-    # enabled session silently losing acceleration there is a support
-    # trap, so emit a one-time-per-session telemetry warning instead.
+    # .rdd IS routed (r10; previously a one-time warning): the RDD is
+    # built from the REWRITTEN frame, so dropping out of the DataFrame
+    # world keeps the acceleration — the reference gets this for free
+    # because its Catalyst injection rewrites every query regardless of
+    # how the result is consumed (package.scala:40-93).
     import functools as _functools
 
     for name in ("rdd",):
         orig_prop = cls.__dict__.get(name)
         if isinstance(orig_prop, (property, _functools.cached_property)):
             _DF_PATCHED[name] = orig_prop
-            setattr(cls, name, _make_warned_prop(orig_prop, name))
+            setattr(cls, name, _make_routed_rdd(orig_prop))
     # .writeStream IS routed — not for plan acceleration (streaming plans
     # fall back by design) but for index MAINTENANCE: a file sink whose
     # path is the source root of active indexes gets automatic

@@ -676,6 +676,33 @@ def main_dedup():
     n_raw = raw.count()
     out["txt_rawscan_sec"] = round(time.perf_counter() - t0, 2)
 
+    # r10: TXT delete-refresh at 50k docs — per-file posting rewrite vs
+    # the full rebuild (which re-tokenizes the corpus).  Index a
+    # hardlink copy so the generated table stays pristine.
+    txt_src = f"{DST}/txt_delete_src"
+    shutil.rmtree(txt_src, ignore_errors=True)
+    os.makedirs(txt_src)
+    os.link(f"{DST}/documents.parquet", f"{txt_src}/base.parquet")
+    docs2 = spark.read.parquet(txt_src)
+    shutil.rmtree(f"{DST}/txt_idx_d", ignore_errors=True)
+    hs_d = Hyperspace(spark, system_path=f"{DST}/txt_idx_d")
+    hs_d.create_index(docs2, InvertedTextIndexConfig("s1_txtd", num_buckets=32))
+    docs2.filter("doc_id < 1000").selectExpr(
+        "doc_id + 90000000 AS doc_id", "text", "lang", "source", "n_chars"
+    ).coalesce(1).write.mode("append").parquet(txt_src)
+    hs_d.refresh_index("s1_txtd", "incremental")  # absorb the append
+    for fn in os.listdir(txt_src):
+        if fn != "base.parquet" and fn.endswith(".parquet"):
+            os.remove(os.path.join(txt_src, fn))
+    t0 = time.perf_counter()
+    hs_d.refresh_index("s1_txtd", "incremental")
+    out["txt_delete_refresh_sec"] = round(time.perf_counter() - t0, 2)
+    n_del = hs_d.text_search("s1_txtd", terms).count()
+    t0 = time.perf_counter()
+    hs_d.refresh_index("s1_txtd", "full")
+    out["txt_full_refresh_sec"] = round(time.perf_counter() - t0, 2)
+    out["txt_hits_after_delete"] = n_del
+
     ok = (
         out["anti_join_exchanges"] <= 1
         and out["accepted"] == expected_new
@@ -683,6 +710,10 @@ def main_dedup():
         and out["span_tokens_removed"] > 0
         and n_hits == n_raw
         and out["txt_files_probed"] < 32
+        # the appended docs were text copies of doc_id<1000; after their
+        # retraction the hit set must equal the pristine corpus's
+        and n_del == n_hits
+        and out["txt_delete_refresh_sec"] < out["txt_full_refresh_sec"]
     )
     out["ok"] = ok
     print(json.dumps(out))

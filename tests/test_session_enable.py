@@ -150,16 +150,14 @@ def test_enable_dataframe_api_optout_after_optin(indexed, spark):
         hs.disable()
 
 
-def test_unrouted_rdd_warns_once_and_writestream_is_routed(indexed, spark):
-    """r7/r9: .rdd on an enabled session is NOT planner-routed and emits
-    ONE telemetry breadcrumb per session so the lost acceleration is
-    visible (reference rewrites every query via Catalyst, ApplyHyperspace
-    covers all surfaces).  .writeStream no longer warns: since r9 it IS
-    routed — DataStreamWriter.start enrols file sinks over indexed
-    source roots for automatic incremental maintenance (see
-    test_streaming_and_sources.py::
-    test_enabled_writestream_sink_auto_refreshes_index)."""
-    from hyperspace_spark import telemetry
+def test_rdd_routes_through_planner(indexed, spark):
+    """r10 (was warn-only since r7): .rdd on an enabled session builds
+    the RDD from the REWRITTEN frame — the reference's everything-is-
+    rewritten coverage (ApplyHyperspace via Catalyst, package.scala:
+    40-93) now matched on the last unrouted surface.  The routed RDD is
+    cached per frame (`df.rdd is df.rdd`), results are row-exact, the
+    lineage shows the index scan, and disable() restores the stock
+    descriptor.  .writeStream routing (r9) is unchanged."""
     from hyperspace_spark.hyperspace import (
         _df_impl_class,
         _stream_writer_class,
@@ -171,42 +169,42 @@ def test_unrouted_rdd_warns_once_and_writestream_is_routed(indexed, spark):
     Writer = _stream_writer_class()
     pristine_start = Writer.__dict__.get("start")
     hs, src = indexed
-    events = []
-    handler = lambda ev: events.append(ev) if ev.kind == "unrouted" else None
-    telemetry.on_event(handler)
     hs.enable()
     try:
-        df = spark.read.parquet(src).filter("g = 13")
-        df.rdd.count()
-        df.rdd  # second access: no second event
-        spark.read.parquet(src).rdd  # other frame, same session: still once
+        df = spark.read.parquet(src).filter("g = 13").select("k", "v")
+        r1 = df.rdd
+        assert r1 is df.rdd, "routed RDD must be cached per frame"
+        # the routed path was taken (cache marker) and the rewrite this
+        # frame routes through reads the INDEX data, not the source
+        assert "_hs_routed_rdd" in df.__dict__, "stock descriptor served .rdd"
+        rewritten = hs.apply(df)
+        assert rewritten is not df
+        assert rewritten.inputFiles() and all(
+            "sess_idx" in f for f in rewritten.inputFiles()
+        )
+        # row-exact vs the un-routed computation
+        got = sorted(tuple(r) for r in r1.collect())
+        df2 = spark.read.parquet(src).filter("g = 13").select("k", "v")
+        df2._hs_no_reroute = True
+        want = sorted(tuple(r) for r in df2.rdd.collect())
+        assert got == want and got
+        # a frame the planner declines: stock cached_property behavior
+        plain = spark.range(5)
+        assert plain.rdd is plain.rdd
+        # writeStream routing installed while enabled
         stream = spark.readStream.format("rate").load()
         _ = stream.writeStream
-        _ = stream.writeStream
-        surfaces = [ev.detail for ev in events]
-        assert sorted(surfaces) == ["rdd"], surfaces
-        # r10: why_not reports the bypass for the rest of the session —
-        # where the user actually asks, not only in the one-time log line
-        note = hs.why_not(df)
-        assert "UNROUTED_SURFACE" in note and "DataFrame.rdd" in note, note
-        # writeStream routing installed while enabled
         assert _STREAM_PATCHED, "stream sink routing not installed"
         assert Writer.__dict__.get("start") is not pristine_start
     finally:
-        telemetry.off_event(handler)
         hs.disable()
     # pristine descriptors restored (cached_property for rdd on Spark 4;
     # DataStreamWriter.start back to the stock implementation)
     assert DataFrame.__dict__.get("rdd") is pristine_rdd
     assert Writer.__dict__.get("start") is pristine_start
-    # and results through .rdd remain correct while enabled
-    hs.enable()
-    try:
-        got = sorted(spark.read.parquet(src).filter("g = 13").select("k").rdd.map(lambda r: r[0]).collect())
-        want = sorted(r[0] for r in spark.read.parquet(src).filter("g = 13").select("k").collect())
-        assert got == want
-    finally:
-        hs.disable()
+    # disabled: .rdd over the source again
+    df3 = spark.read.parquet(src).filter("g = 13").select("k", "v")
+    assert sorted(tuple(r) for r in df3.rdd.collect()) == want
 
 
 def test_enable_routes_dataframe_write(indexed, spark, tmp_path):
