@@ -2,10 +2,11 @@
 
 The Spark-side plumbing is real and tested — schemas, partition-size
 control, Arrow-batched `mapInPandas` with bounded batch memory.  Since
-r10 the UNCOMPRESSED formats decode for real with pure numpy+struct
-codecs (24-bit BMP, P6 PPM, PCM16 WAV — `decode_bmp/decode_ppm/
-decode_wav`, surfaced via `decode_features(decode='real')` as decoded
-dims + per-channel means); codec-bound formats (JPEG/PNG/video) raise
+r10 the library-free formats decode for real with pure numpy+stdlib
+codecs (24-bit BMP, P6 PPM, PCM16 WAV, and 8-bit PNG via stdlib zlib +
+scanline unfiltering — `decode_bmp/decode_ppm/decode_wav/decode_png`,
+surfaced via `decode_features(decode='real')` as decoded dims +
+per-channel means); codec-bound formats (JPEG/video) raise
 NotImplementedError with a clear message because the container has no
 image/audio libraries.  `decode='fake'` remains the deterministic
 byte-derived feature path (stable across runs/engines, good enough to
@@ -79,15 +80,17 @@ def _fake_features(data: bytes, dim: int = FEATURE_DIM) -> list[float]:
 
 
 # ---------------------------------------------------------------------------
-# r10: REAL decoders for the uncompressed formats — pure numpy + struct,
-# no external media library.  BMP (24-bit uncompressed), PPM (P6 binary),
-# WAV (PCM16 RIFF) cover the "raw bytes with a fixed header" family;
-# JPEG/PNG/video stay env-blocked (entropy coding needs a codec library)
-# and keep the NotImplementedError below.  Encoders exist so tests and
-# contract queries can round-trip deterministic fixtures.
+# r10: REAL decoders with no external media library.  BMP (24-bit
+# uncompressed), PPM (P6 binary) and WAV (PCM16 RIFF) are pure
+# numpy+struct header parses; PNG (8-bit gray/GA/RGB/RGBA,
+# non-interlaced) adds stdlib-zlib inflate + per-scanline unfiltering
+# (None/Sub/Up/Average/Paeth).  JPEG/video stay env-blocked (their
+# entropy coding needs a codec library) and keep the NotImplementedError
+# below.  Encoders exist so tests and contract queries can round-trip
+# deterministic fixtures.
 # ---------------------------------------------------------------------------
 
-REAL_DECODABLE = ("bmp", "ppm", "wav")
+REAL_DECODABLE = ("bmp", "ppm", "png", "wav")
 
 
 def encode_bmp(pixels) -> bytes:
@@ -164,6 +167,143 @@ def decode_ppm(data: bytes):
     return px.reshape(h, w, 3).copy()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type (8-bit depth, non-interlaced)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def encode_png(pixels, filter_type: int = 0) -> bytes:
+    """(h, w, c) or (h, w) uint8 -> PNG (8-bit, color type from the
+    channel count, non-interlaced).  ``filter_type`` 0-4 applies that
+    scanline filter to every row — useful to exercise each unfilter
+    path; real encoders pick per row, the format allows any mix."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = bytearray()
+    prev = np.zeros((w, c), dtype=np.int64)
+    for y in range(h):
+        row = px[y].astype(np.int64)
+        left = np.vstack([np.zeros((1, c), dtype=np.int64), row[:-1]])
+        ul = np.vstack([np.zeros((1, c), dtype=np.int64), prev[:-1]])
+        if filter_type == 0:
+            out = row
+        elif filter_type == 1:  # Sub
+            out = row - left
+        elif filter_type == 2:  # Up
+            out = row - prev
+        elif filter_type == 3:  # Average
+            out = row - (left + prev) // 2
+        elif filter_type == 4:  # Paeth
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+            out = row - pred
+        else:
+            raise ValueError("filter_type must be 0-4")
+        raw.append(filter_type)
+        raw += (out % 256).astype(np.uint8).tobytes()
+        prev = row
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes):
+    """PNG -> (h, w, channels) uint8 numpy array, pure stdlib-zlib +
+    numpy: chunk walk, inflate, per-scanline unfiltering (None / Sub /
+    Up / Average / Paeth).  Supports 8-bit depth, color types 0/2/4/6
+    (grayscale, RGB, gray+alpha, RGBA), non-interlaced — the common
+    web-image shapes; anything else raises NotImplementedError."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos = len(_PNG_SIG)
+    w = h = ctype = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        size, tag = struct.unpack_from(">I4s", data, pos)
+        body = data[pos + 8 : pos + 8 + size]
+        pos += 12 + size  # len + tag + body + crc
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
+            if depth != 8 or ctype not in _PNG_CHANNELS or interlace:
+                raise NotImplementedError(
+                    "only 8-bit non-interlaced grayscale/RGB/GA/RGBA PNG is supported"
+                )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    c = _PNG_CHANNELS[ctype]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int64)
+        if ft == 0:
+            row = line
+        elif ft == 2:  # Up
+            row = (line + prev) % 256
+        elif ft in (1, 3, 4):
+            # left-dependent filters are inherently sequential per pixel;
+            # prior-row terms are vectorized, the walk is per PIXEL (c
+            # lanes at once), fine for thumbnail-scale media
+            row = np.empty(stride, dtype=np.int64)
+            for x in range(0, stride, c):
+                left = row[x - c : x] if x else np.zeros(c, dtype=np.int64)
+                up = prev[x : x + c]
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = (left + up) // 2
+                else:
+                    ul = prev[x - c : x] if x else np.zeros(c, dtype=np.int64)
+                    p = left + up - ul
+                    pa, pb, pc_ = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc_), left, np.where(pb <= pc_, up, ul)
+                    )
+                row[x : x + c] = (line[x : x + c] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = row.astype(np.uint8)
+        prev = row
+    return out.reshape(h, w, c).copy()
+
+
 def encode_wav(samples, sample_rate: int = 16000) -> bytes:
     """int16 mono samples -> canonical 44-byte-header PCM WAV."""
     import struct
@@ -216,10 +356,10 @@ def real_media_stats(data: bytes, fmt: str) -> dict:
     what contract queries verify against a DuckDB oracle."""
     import numpy as np
 
-    if fmt in ("bmp", "ppm"):
-        px = decode_bmp(data) if fmt == "bmp" else decode_ppm(data)
-        h, w, _ = px.shape
-        means = px.reshape(-1, 3).astype(np.float64).mean(axis=0)
+    if fmt in ("bmp", "ppm", "png"):
+        px = {"bmp": decode_bmp, "ppm": decode_ppm, "png": decode_png}[fmt](data)
+        h, w, c = px.shape
+        means = px.reshape(-1, c).astype(np.float64).mean(axis=0)
         return {
             "width": int(w),
             "height": int(h),
@@ -245,10 +385,10 @@ def real_media_stats(data: bytes, fmt: str) -> dict:
 def decode_features(df: "DataFrame", decode: str = "fake") -> "DataFrame":
     """media rows -> per-item feature vectors via Arrow-batched mapInPandas.
 
-    ``decode='real'`` decodes BMP / PPM / WAV payloads with the
+    ``decode='real'`` decodes BMP / PPM / PNG / WAV payloads with the
     pure-numpy codecs above (features = per-channel means; width/height
     from the DECODED header, not the metadata); any other format raises
-    NotImplementedError — JPEG/PNG/video need codec libraries this
+    NotImplementedError — JPEG/video need codec libraries this
     environment doesn't ship.
     """
     if decode not in ("fake", "real"):

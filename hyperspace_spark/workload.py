@@ -4019,6 +4019,10 @@ def multimodal_features_query(spark, sf_dir):
            round(c0, 6) AS c0_mean, round(c1, 6) AS c1_mean, round(c2, 6) AS c2_mean
     FROM bmp
     UNION ALL
+    SELECT vec_id, 'png', 4, 4, NULL, CAST(n_px AS BIGINT),
+           round(c0, 6), round(c1, 6), round(c2, 6)
+    FROM bmp
+    UNION ALL
     SELECT vec_id, 'wav', NULL, NULL, 16000, CAST(n AS BIGINT),
            round(c0, 6), NULL, NULL
     FROM wav
@@ -4032,8 +4036,8 @@ def multimodal_decode_real_query(spark, sf_dir):
     codecs, and reduced to dims + per-channel means.  The oracle computes
     the same stats straight from the embedding values — any decoder bug
     (pixel offset, BGR/RGB order, bottom-up rows, row padding, chunk walk,
-    sample width) shifts a mean and hash-mismatches.  JPEG/PNG/video stay
-    env-blocked (codec libraries absent); BMP/PPM/WAV need none."""
+    sample width) shifts a mean and hash-mismatches.  JPEG/video stay
+    env-blocked (codec libraries absent); BMP/PPM/PNG/WAV need none."""
     from pyspark.sql import functions as F
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -4060,6 +4064,14 @@ def multimodal_decode_real_query(spark, sf_dir):
                 st = mm.real_media_stats(mm.encode_bmp(pix), "bmp")
                 rows.append(
                     (int(mid), "bmp", st["width"], st["height"], None,
+                     st["n_samples"], *st["channel_means"])
+                )
+                # same pixels through a Paeth-filtered PNG: zlib inflate
+                # + unfiltering must reproduce them byte-exactly or the
+                # means shift and the hash mismatches
+                st = mm.real_media_stats(mm.encode_png(pix, filter_type=4), "png")
+                rows.append(
+                    (int(mid), "png", st["width"], st["height"], None,
                      st["n_samples"], *st["channel_means"])
                 )
                 samples = np.floor(v * 10000).astype(np.int16)

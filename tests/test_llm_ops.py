@@ -605,6 +605,23 @@ def test_codec_roundtrips():
     assert (multimodal.decode_ppm(multimodal.encode_ppm(px)) == px).all()
     commented = b"P6\n# c\n7 5\n255\n" + px.tobytes()
     assert (multimodal.decode_ppm(commented) == px).all()
+    # PNG: every scanline filter (None/Sub/Up/Average/Paeth) and every
+    # supported color type round-trips exactly through stdlib zlib
+    for shape in ((5, 7, 3), (4, 4, 1), (6, 3, 4), (3, 9, 2)):
+        pxs = rng.integers(0, 256, shape, dtype=np.uint8)
+        for ft in range(5):
+            dec = multimodal.decode_png(multimodal.encode_png(pxs, filter_type=ft))
+            assert dec.shape == shape and (dec == pxs).all(), (shape, ft)
+    with pytest.raises(NotImplementedError):  # 16-bit depth refused loudly
+        import struct, zlib
+
+        multimodal.decode_png(
+            multimodal._PNG_SIG
+            + struct.pack(">I", 13)
+            + b"IHDR"
+            + struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+            + struct.pack(">I", 0)
+        )
     s = rng.integers(-32768, 32767, 64).astype(np.int16)
     dec, rate = multimodal.decode_wav(multimodal.encode_wav(s, 22050))
     assert rate == 22050 and (dec[:, 0] == s).all()
@@ -617,6 +634,8 @@ def test_codec_roundtrips():
     dec2, rate2 = multimodal.decode_wav(padded)
     assert rate2 == 8000 and (dec2[:, 0] == s).all()
     with pytest.raises(NotImplementedError):
+        multimodal.real_media_stats(b"\xff\xd8\xff", "jpeg")
+    with pytest.raises(ValueError):  # supported format, corrupt stream
         multimodal.real_media_stats(b"\x89PNG\r\n", "png")
 
 
@@ -635,19 +654,21 @@ def test_multimodal_real_decode(spark):
          {"width": None, "height": None, "sample_rate": None, "duration_ms": None, "format": "ppm"}),
         (2, "audio", bytearray(multimodal.encode_wav(s, 16000)),
          {"width": None, "height": None, "sample_rate": None, "duration_ms": None, "format": "wav"}),
+        (3, "image", bytearray(multimodal.encode_png(px, filter_type=4)),
+         {"width": None, "height": None, "sample_rate": None, "duration_ms": None, "format": "png"}),
     ]
     media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
     got = {r.media_id: r for r in multimodal.decode_features(media, decode="real").collect()}
-    for mid in (0, 1):
+    for mid in (0, 1, 3):
         assert (got[mid].width, got[mid].height) == (4, 4)
         expect = px.reshape(-1, 3).mean(axis=0)
         assert np.allclose(got[mid].features, expect)
     assert got[2].width is None
     assert np.allclose(got[2].features, [float(s.mean())])
-    # codec-bound format: loud failure, not silent garbage
-    png = multimodal.synthetic_media_df(spark, n=3).filter("meta.format = 'png'")
+    # codec-bound format (video): loud failure, not silent garbage
+    vid = multimodal.synthetic_media_df(spark, n=3).filter("meta.format = 'mp4'")
     with pytest.raises(Exception, match="NotImplementedError|real decoding"):
-        multimodal.decode_features(png, decode="real").collect()
+        multimodal.decode_features(vid, decode="real").collect()
 
 
 def test_blocked_embedding_kernel_matches_sql(spark, emb):
