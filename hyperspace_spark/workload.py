@@ -4095,6 +4095,65 @@ def multimodal_decode_real_query(spark, sf_dir):
     )
 
 
+@q(
+    "avro_roundtrip",
+    """
+    SELECT o_orderkey, o_custkey, o_orderpriority,
+           round(CAST(o_totalprice AS DOUBLE), 2) AS total
+    FROM orders
+    """,
+)
+def avro_roundtrip_query(spark, sf_dir):
+    """Pure-Python avro container coding, end-to-end verified (r10,
+    sources/avro_io.py — ingestion parity for the reference's avro
+    format without the spark-avro module): every Arrow batch of orders
+    rows is ENCODED into a deflate avro object container (zigzag
+    varints, block framing, sync markers) and DECODED back inside the
+    same mapInPandas; the oracle just selects the source values, so any
+    varint/union/codec bug breaks the hash.  The distributed file path
+    (binaryFile fan-out) is pytest-driven
+    (test_pure_python_avro_read_write_roundtrip)."""
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.sources.avro_io import read_container, write_container
+
+    src = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("total"),
+    )
+    avro_schema = {
+        "type": "record",
+        "name": "orders",
+        "fields": [
+            {"name": "o_orderkey", "type": "long"},
+            {"name": "o_custkey", "type": "long"},
+            {"name": "o_orderpriority", "type": ["null", "string"]},
+            {"name": "total", "type": "double"},
+        ],
+    }
+    names = [f["name"] for f in avro_schema["fields"]]
+
+    def _rt(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = pdf.to_dict("records")
+            blob = write_container(rows, avro_schema, codec="deflate")
+            _, back = read_container(blob)
+            yield (
+                pd.DataFrame({n: [r[n] for r in back] for n in names})
+                if back
+                else pd.DataFrame({n: [] for n in names})
+            )
+
+    out = src.mapInPandas(
+        _rt, "o_orderkey long, o_custkey long, o_orderpriority string, total double"
+    )
+    return out.withColumn("total", F.round("total", 2))
+
+
 # --- PII detection / redaction (llm.pii) -----------------------------------
 _PII_SEED_SQL = (
     "text"
@@ -4997,8 +5056,10 @@ _VERIFY_PRIORITY = [
     "dataskipping_inset",
     "opaque_union_accel",
     "boilerplate_line_removal",
-    # --- new in r10 ---
+    # --- new in r10 (the window slides to 51st place what they displace;
+    # union_distinct rides to r11 with the other r8 leftovers) ---
     "multimodal_decode_real",
+    "avro_roundtrip",
     # --- last green r08, rotating back (r8 order preserved) ---
     "text_search_inverted",
     "metadata_only_agg",

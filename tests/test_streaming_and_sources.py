@@ -304,3 +304,47 @@ def test_avro_source_index(spark, tmp_path):
     assert used == ["avro_idx"], hs.why_not(q)
     assert all("avro_idx" in f for f in fast.inputFiles())
     assert rows_equal(q, fast)
+
+
+def test_pure_python_avro_read_write_roundtrip(spark, tmp_path):
+    """r10: avro ingestion parity WITHOUT the spark-avro module —
+    write_avro encodes one container per partition (deflate codec,
+    deterministic sync marker), read_avro fans the files out via a
+    binaryFile scan and decodes them in mapInPandas (distributed by
+    file).  Values, nulls, arrays and empty partitions roundtrip
+    exactly; indexing over format('avro') scans stays jar-gated and
+    self-skips above."""
+    from hyperspace_spark.sources import avro_io as av
+
+    df = spark.range(0, 1000).selectExpr(
+        "id AS a",
+        "CASE WHEN id % 7 = 0 THEN NULL ELSE concat('s', id) END AS b",
+        "CAST(id * 0.25 AS DOUBLE) AS c",
+        "id % 2 = 0 AS d",
+        "array(CAST(id AS INT), CAST(id + 1 AS INT)) AS e",
+    ).repartition(5)
+    path = str(tmp_path / "avro_out")
+    av.write_avro(df, path)
+    import os
+
+    files = [f for f in os.listdir(path) if f.endswith(".avro")]
+    assert len(files) == 5, files
+
+    back = av.read_avro(spark, path)
+    assert back.schema.simpleString() == (
+        "struct<a:bigint,b:string,c:double,d:boolean,e:array<int>>"
+    )
+    got = sorted(
+        (r.a, r.b, round(r.c, 6), r.d, tuple(r.e)) for r in back.collect()
+    )
+    want = sorted(
+        (r.a, r.b, round(r.c, 6), r.d, tuple(r.e)) for r in df.collect()
+    )
+    assert got == want and len(got) == 1000
+    # distributed: the decode plan reads one row per FILE from the
+    # binaryFile scan (file = split unit)
+    assert len(back.inputFiles()) == 5
+    # an empty partition writes a valid, readable, zero-row container
+    empty = spark.range(0).selectExpr("id AS a").repartition(1)
+    av.write_avro(empty, str(tmp_path / "avro_empty"))
+    assert av.read_avro(spark, str(tmp_path / "avro_empty")).count() == 0
