@@ -6,9 +6,10 @@ r10 the library-free formats decode for real with pure numpy+stdlib
 codecs (24-bit BMP, P6 PPM, PCM16 WAV, and 8-bit PNG via stdlib zlib +
 scanline unfiltering — `decode_bmp/decode_ppm/decode_wav/decode_png`,
 surfaced via `decode_features(decode='real')` as decoded dims +
-per-channel means); codec-bound formats (JPEG/video) raise
-NotImplementedError with a clear message because the container has no
-image/audio libraries.  `decode='fake'` remains the deterministic
+per-channel means), and baseline JPEG decodes through the pure-numpy
+T.81 codec in `llm/jpeg.py` (Huffman + dequant + IDCT, 4:4:4/4:2:0,
+restart intervals); video stays NotImplementedError — containers and
+inter-frame codecs genuinely need external libraries.  `decode='fake'` remains the deterministic
 byte-derived feature path (stable across runs/engines, good enough to
 exercise every downstream operator regardless of format).
 
@@ -84,13 +85,13 @@ def _fake_features(data: bytes, dim: int = FEATURE_DIM) -> list[float]:
 # uncompressed), PPM (P6 binary) and WAV (PCM16 RIFF) are pure
 # numpy+struct header parses; PNG (8-bit gray/GA/RGB/RGBA,
 # non-interlaced) adds stdlib-zlib inflate + per-scanline unfiltering
-# (None/Sub/Up/Average/Paeth).  JPEG/video stay env-blocked (their
-# entropy coding needs a codec library) and keep the NotImplementedError
-# below.  Encoders exist so tests and contract queries can round-trip
-# deterministic fixtures.
+# (None/Sub/Up/Average/Paeth); baseline JPEG lives in llm/jpeg.py
+# (T.81 Huffman + DCT in numpy).  Video stays env-blocked and keeps the
+# NotImplementedError below.  Encoders exist so tests and contract
+# queries can round-trip deterministic fixtures.
 # ---------------------------------------------------------------------------
 
-REAL_DECODABLE = ("bmp", "ppm", "png", "wav")
+REAL_DECODABLE = ("bmp", "ppm", "png", "jpeg", "jpg", "wav")
 
 
 def encode_bmp(pixels) -> bytes:
@@ -356,8 +357,13 @@ def real_media_stats(data: bytes, fmt: str) -> dict:
     what contract queries verify against a DuckDB oracle."""
     import numpy as np
 
-    if fmt in ("bmp", "ppm", "png"):
-        px = {"bmp": decode_bmp, "ppm": decode_ppm, "png": decode_png}[fmt](data)
+    if fmt in ("bmp", "ppm", "png", "jpeg", "jpg"):
+        if fmt in ("jpeg", "jpg"):
+            from hyperspace_spark.llm.jpeg import decode_jpeg
+
+            px = decode_jpeg(data)
+        else:
+            px = {"bmp": decode_bmp, "ppm": decode_ppm, "png": decode_png}[fmt](data)
         h, w, c = px.shape
         means = px.reshape(-1, c).astype(np.float64).mean(axis=0)
         return {
@@ -385,11 +391,11 @@ def real_media_stats(data: bytes, fmt: str) -> dict:
 def decode_features(df: "DataFrame", decode: str = "fake") -> "DataFrame":
     """media rows -> per-item feature vectors via Arrow-batched mapInPandas.
 
-    ``decode='real'`` decodes BMP / PPM / PNG / WAV payloads with the
-    pure-numpy codecs above (features = per-channel means; width/height
-    from the DECODED header, not the metadata); any other format raises
-    NotImplementedError — JPEG/video need codec libraries this
-    environment doesn't ship.
+    ``decode='real'`` decodes BMP / PPM / PNG / JPEG / WAV payloads
+    with the pure-numpy codecs (features = per-channel means;
+    width/height from the DECODED header, not the metadata); video
+    raises NotImplementedError — containers and inter-frame codecs
+    genuinely need external libraries.
     """
     if decode not in ("fake", "real"):
         raise ValueError("decode must be 'fake' or 'real'")

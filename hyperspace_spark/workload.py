@@ -4036,8 +4036,10 @@ def multimodal_decode_real_query(spark, sf_dir):
     codecs, and reduced to dims + per-channel means.  The oracle computes
     the same stats straight from the embedding values — any decoder bug
     (pixel offset, BGR/RGB order, bottom-up rows, row padding, chunk walk,
-    sample width) shifts a mean and hash-mismatches.  JPEG/video stay
-    env-blocked (codec libraries absent); BMP/PPM/PNG/WAV need none."""
+    sample width) shifts a mean and hash-mismatches.  video stays
+    env-blocked (codec libraries absent); BMP/PPM/PNG/WAV need none and
+    baseline JPEG decodes via the pure-numpy T.81 codec (llm/jpeg.py,
+    pytest-verified — its lossy output has no SQL oracle)."""
     from pyspark.sql import functions as F
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")

@@ -633,10 +633,34 @@ def test_codec_roundtrips():
     padded = padded[:4] + struct.pack("<I", len(padded) - 8) + padded[8:]
     dec2, rate2 = multimodal.decode_wav(padded)
     assert rate2 == 8000 and (dec2[:, 0] == s).all()
-    with pytest.raises(NotImplementedError):
-        multimodal.real_media_stats(b"\xff\xd8\xff", "jpeg")
+    with pytest.raises(NotImplementedError):  # video: genuinely codec-bound
+        multimodal.real_media_stats(b"\x00\x00\x00\x18ftyp", "mp4")
     with pytest.raises(ValueError):  # supported format, corrupt stream
         multimodal.real_media_stats(b"\x89PNG\r\n", "png")
+    # baseline JPEG (llm/jpeg.py): lossy roundtrip within tight bounds,
+    # both subsamplings, restart intervals, odd dims
+    from hyperspace_spark.llm import jpeg as _jpeg
+
+    yy, xx = np.mgrid[0:41, 0:53]
+    grad = np.stack(
+        [(xx * 255 / 53), (yy * 255 / 41), ((xx + yy) * 255 / 94)], axis=2
+    ).astype(np.uint8)
+    for sub in ("4:4:4", "4:2:0"):
+        for dri in (0, 5):
+            dec = _jpeg.decode_jpeg(
+                _jpeg.encode_jpeg(grad, 90, sub, restart_interval=dri)
+            )
+            assert dec.shape == grad.shape
+            err = np.abs(dec.astype(float) - grad.astype(float)).mean()
+            assert err < 3, (sub, dri, err)
+    flat = np.full((16, 24, 3), 123, dtype=np.uint8)
+    dec = _jpeg.decode_jpeg(_jpeg.encode_jpeg(flat, 90))
+    assert np.abs(dec.astype(float) - flat).max() <= 2
+    st = multimodal.real_media_stats(_jpeg.encode_jpeg(flat, 90), "jpeg")
+    assert (st["width"], st["height"]) == (24, 16)
+    with pytest.raises(NotImplementedError):  # progressive refused loudly
+        bad = _jpeg.encode_jpeg(flat, 90).replace(b"\xff\xc0", b"\xff\xc2", 1)
+        _jpeg.decode_jpeg(bad)
 
 
 def test_multimodal_real_decode(spark):
