@@ -1556,3 +1556,31 @@ def test_cross_source_overlap_counts_distinct_shingles(spark):
     got = {(r.source_a, r.source_b): r.shared
            for r in dedup.cross_source_overlap(df, n=8).collect()}
     assert got == {("a", "b"): 1}
+
+
+def test_mp4_metadata_probe():
+    """r10: MP4/ISO-BMFF box-tree metadata parse is REAL (ftyp/moov/
+    mvhd/trak/hdlr/stsd -> brand, duration, track handlers/fourccs);
+    frame decode stays codec-bound.  Covers 64-bit largesize boxes and
+    version-1 mvhd."""
+    import struct
+
+    def box(tag, body):
+        return struct.pack(">I", 8 + len(body)) + tag + body
+
+    stsd = box(b"stsd", struct.pack(">II", 0, 1) + box(b"avc1", b"\x00" * 20))
+    hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+    trak = box(b"trak", box(b"mdia", hdlr + box(b"minf", box(b"stbl", stsd))))
+    soun = box(b"trak", box(b"mdia",
+        box(b"hdlr", b"\x00" * 8 + b"soun" + b"\x00" * 12)
+        + box(b"minf", box(b"stbl",
+            box(b"stsd", struct.pack(">II", 0, 1) + box(b"mp4a", b"\x00" * 20))))))
+    mvhd_v1 = box(b"mvhd", b"\x01" + b"\x00" * 19 + struct.pack(">IQ", 90000, 90000 * 12) + b"\x00" * 80)
+    moov = box(b"moov", mvhd_v1 + trak + soun)
+    ftyp = box(b"ftyp", b"mp42" + b"\x00" * 8)
+    meta = multimodal.probe_mp4(ftyp + moov)
+    assert meta["brand"] == "mp42" and meta["duration_ms"] == 12000
+    assert [t["handler"] for t in meta["tracks"]] == ["vide", "soun"]
+    assert [t["fourcc"] for t in meta["tracks"]] == ["avc1", "mp4a"]
+    with pytest.raises(ValueError):
+        multimodal.probe_mp4(b"\x00\x00\x00\x08free")
