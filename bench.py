@@ -184,6 +184,9 @@ def main() -> None:
         # r9 — the two rows r8's audit found untimed, plus new operators
         "ann_lsh_bucketed",
         "multimodal_features",
+        # r10 — real media decode roundtrip, pure-Python avro coding
+        "multimodal_decode_real",
+        "avro_roundtrip",
     ]
 
 
