@@ -8,10 +8,14 @@ scanline unfiltering — `decode_bmp/decode_ppm/decode_wav/decode_png`,
 surfaced via `decode_features(decode='real')` as decoded dims +
 per-channel means), and baseline JPEG decodes through the pure-numpy
 T.81 codec in `llm/jpeg.py` (Huffman + dequant + IDCT, 4:4:4/4:2:0,
-restart intervals); video stays NotImplementedError — containers and
-inter-frame codecs genuinely need external libraries.  `decode='fake'` remains the deterministic
-byte-derived feature path (stable across runs/engines, good enough to
-exercise every downstream operator regardless of format).
+restart intervals), animated GIF through the LZW codec in `llm/gif.py`
+(real frame sampling: `sample_frames(decode='real')` emits PNG frames
+at real animation timestamps), and MP4 gets a real box-tree METADATA
+probe (`probe_mp4`).  True video frame decode stays
+NotImplementedError — inter-frame codecs genuinely need external
+libraries.  `decode='fake'` remains the deterministic byte-derived
+feature path (stable across runs/engines, good enough to exercise
+every downstream operator regardless of format).
 
 Scale notes: media bytes dominate row size; keep
 `spark.sql.files.maxPartitionBytes` at default so a partition holds a
@@ -86,12 +90,13 @@ def _fake_features(data: bytes, dim: int = FEATURE_DIM) -> list[float]:
 # numpy+struct header parses; PNG (8-bit gray/GA/RGB/RGBA,
 # non-interlaced) adds stdlib-zlib inflate + per-scanline unfiltering
 # (None/Sub/Up/Average/Paeth); baseline JPEG lives in llm/jpeg.py
-# (T.81 Huffman + DCT in numpy).  Video stays env-blocked and keeps the
+# (T.81 Huffman + DCT in numpy); animated GIF in llm/gif.py (LZW).
+# True video frame decode stays env-blocked and keeps the
 # NotImplementedError below.  Encoders exist so tests and contract
 # queries can round-trip deterministic fixtures.
 # ---------------------------------------------------------------------------
 
-REAL_DECODABLE = ("bmp", "ppm", "png", "jpeg", "jpg", "wav")
+REAL_DECODABLE = ("bmp", "ppm", "png", "jpeg", "jpg", "gif", "wav")
 
 
 def encode_bmp(pixels) -> bytes:
@@ -357,11 +362,15 @@ def real_media_stats(data: bytes, fmt: str) -> dict:
     what contract queries verify against a DuckDB oracle."""
     import numpy as np
 
-    if fmt in ("bmp", "ppm", "png", "jpeg", "jpg"):
+    if fmt in ("bmp", "ppm", "png", "jpeg", "jpg", "gif"):
         if fmt in ("jpeg", "jpg"):
             from hyperspace_spark.llm.jpeg import decode_jpeg
 
             px = decode_jpeg(data)
+        elif fmt == "gif":
+            from hyperspace_spark.llm.gif import decode_gif
+
+            px = decode_gif(data)[0][0]  # stats over the FIRST frame
         else:
             px = {"bmp": decode_bmp, "ppm": decode_ppm, "png": decode_png}[fmt](data)
         h, w, c = px.shape
@@ -497,12 +506,25 @@ def resize_images(df: "DataFrame", width: int = 224, height: int = 224) -> "Data
     return df.mapInPandas(_batches, RESIZED_SCHEMA)
 
 
-def sample_frames(df: "DataFrame", every_ms: int = 1000, max_frames: int = 8) -> "DataFrame":
+def sample_frames(
+    df: "DataFrame",
+    every_ms: int = 1000,
+    max_frames: int = 8,
+    decode: str = "fake",
+) -> "DataFrame":
     """Video rows -> (media_id, frame_index, frame_ms, frame) rows.
 
-    Frame extraction is stubbed deterministically (slices of the payload);
-    the plumbing — one-to-many mapInPandas with bounded output batches —
-    is the real thing."""
+    ``decode='real'`` (r10) decodes ANIMATED GIF payloads
+    (``meta.format = 'gif'``) with the pure-numpy LZW codec
+    (llm/gif.py), samples at most one frame per ``every_ms`` of real
+    animation time, and emits each sampled frame as PNG bytes — real
+    frames for the one video-adjacent format whose coding needs no
+    external library; other formats raise NotImplementedError.  The
+    default fake path extracts deterministic byte slices, exercising
+    the plumbing — one-to-many mapInPandas with bounded output batches
+    — for every format."""
+    if decode not in ("fake", "real"):
+        raise ValueError("decode must be 'fake' or 'real'")
 
     def _frames(batches):
         import pandas as pd
@@ -513,11 +535,35 @@ def sample_frames(df: "DataFrame", every_ms: int = 1000, max_frames: int = 8) ->
             # zip over columns, not iterrows: no per-row Series
             # construction (the slow shape inside mapInPandas).
             for mid, data, meta in zip(vid["media_id"], vid["data"], vid["meta"]):
+                data = bytes(data)
+                if decode == "real":
+                    fmt = (meta["format"] if meta is not None else "") or ""
+                    if fmt != "gif":
+                        raise NotImplementedError(
+                            f"real frame sampling of {fmt!r} requires a video "
+                            f"codec library not present in this environment; "
+                            f"'gif' decodes via the pure-numpy LZW codec"
+                        )
+                    from hyperspace_spark.llm.gif import decode_gif
+
+                    frames, delays = decode_gif(data)
+                    t = 0
+                    next_at = 0
+                    emitted = 0
+                    for fr, d in zip(frames, delays):
+                        if t >= next_at and emitted < max_frames:
+                            out["media_id"].append(mid)
+                            out["frame_index"].append(emitted)
+                            out["frame_ms"].append(int(t))
+                            out["frame"].append(encode_png(fr))
+                            emitted += 1
+                            next_at = t + every_ms
+                        t += d
+                    continue
                 raw = meta["duration_ms"] if meta is not None else None
                 # Arrow hands nullable ints to pandas as float/NaN.
                 dur = 0 if raw is None or raw != raw else int(raw)
                 n = int(min(max_frames, max(1, dur // every_ms)))
-                data = bytes(data)
                 step = max(1, len(data) // max(n, 1))
                 for fi in range(n):
                     out["media_id"].append(mid)

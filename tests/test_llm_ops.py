@@ -1584,3 +1584,46 @@ def test_mp4_metadata_probe():
     assert [t["fourcc"] for t in meta["tracks"]] == ["avc1", "mp4a"]
     with pytest.raises(ValueError):
         multimodal.probe_mp4(b"\x00\x00\x00\x08free")
+
+
+def test_gif_codec_and_real_frame_sampling(spark):
+    """r10: animated GIF decodes with the pure-numpy LZW codec —
+    palette-exact frames roundtrip losslessly, delays survive — and
+    sample_frames(decode='real') emits PNG-encoded frames at real
+    animation timestamps, one per every_ms, honoring max_frames.
+    Non-GIF video still refuses loudly on the real path."""
+    import numpy as np
+
+    from hyperspace_spark.llm import gif
+
+    pal = gif._cube_palette()
+    rng = np.random.default_rng(9)
+    imgs = [pal[rng.integers(0, 252, (12, 16))] for _ in range(6)]
+    blob = gif.encode_gif(imgs, delays_ms=[500] * 6)
+    frames, delays = gif.decode_gif(blob)
+    assert len(frames) == 6 and delays == [500] * 6
+    for a, b in zip(frames, imgs):
+        assert (a == b).all()
+
+    rows = [
+        (0, "video", bytearray(blob),
+         {"width": 16, "height": 12, "sample_rate": None, "duration_ms": 3000,
+          "format": "gif"}),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = sorted(
+        multimodal.sample_frames(media, every_ms=1000, max_frames=8, decode="real")
+        .collect(),
+        key=lambda r: r.frame_index,
+    )
+    # 6 frames x 500ms, sampled every 1000ms -> frames at 0/1000/2000ms
+    assert [r.frame_ms for r in got] == [0, 1000, 2000]
+    dec = multimodal.decode_png(bytes(got[1].frame))
+    assert (dec == imgs[2]).all()  # the frame covering t=1000ms
+    # real stats over the first frame
+    st = multimodal.real_media_stats(blob, "gif")
+    assert (st["width"], st["height"]) == (16, 12)
+    # non-gif video refuses loudly on the real path
+    mp4 = multimodal.synthetic_media_df(spark, n=3).filter("meta.format = 'mp4'")
+    with pytest.raises(Exception, match="NotImplementedError|real frame"):
+        multimodal.sample_frames(mp4, decode="real").collect()
