@@ -998,6 +998,89 @@ def main_vectors():
     sys.exit(0 if ok else 1)
 
 
+def main_media():
+    """Media-decode probe (r10): 10k mixed blobs (BMP / Paeth-PNG /
+    JPEG 4:2:0 / animated GIF / WAV, built with the repo's own
+    encoders) through ``decode_features(decode='real')`` and 2k GIFs
+    through ``sample_frames(decode='real')`` on local[32] — the real
+    per-blob codec cost under the mapInPandas plumbing, which is what a
+    100 TB media ingest amortizes.  Decode runs in executors; wall
+    scales with blobs/core."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    spark = build_session()
+    from hyperspace_spark.llm import gif as g
+    from hyperspace_spark.llm import jpeg as j
+    from hyperspace_spark.llm import multimodal as mm
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    n = 10_000
+    rows = []
+    pal = g._cube_palette()
+    for i in range(n):
+        img = np.stack(
+            [
+                (xx * (i % 7 + 1)) % 256,
+                (yy * (i % 5 + 1)) % 256,
+                ((xx + yy) * (i % 3 + 1)) % 256,
+            ],
+            axis=2,
+        ).astype(np.uint8)
+        kind_i = i % 5
+        if kind_i == 0:
+            data, fmt, kind = mm.encode_bmp(img), "bmp", "image"
+        elif kind_i == 1:
+            data, fmt, kind = mm.encode_png(img, filter_type=4), "png", "image"
+        elif kind_i == 2:
+            data, fmt, kind = j.encode_jpeg(img, 85, "4:2:0"), "jpeg", "image"
+        elif kind_i == 3:
+            data, fmt, kind = (
+                g.encode_gif([pal[(xx + yy + k) % 252] for k in range(4)],
+                             delays_ms=[250] * 4),
+                "gif",
+                "video",
+            )
+        else:
+            data, fmt, kind = (
+                mm.encode_wav(((np.arange(256) * (i % 11 + 1)) % 4096).astype(
+                    np.int16
+                )),
+                "wav",
+                "audio",
+            )
+        rows.append(
+            (i, kind, bytearray(data),
+             {"width": None, "height": None, "sample_rate": None,
+              "duration_ms": 1000 if fmt == "gif" else None, "format": fmt})
+        )
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA).repartition(32).persist()
+    media.count()
+    out = {"n_blobs": n}
+    t0 = time.perf_counter()
+    feats = mm.decode_features(media, decode="real")
+    n_feats = feats.count()
+    out["decode_real_sec"] = round(time.perf_counter() - t0, 2)
+    out["blobs_per_sec"] = int(n / out["decode_real_sec"])
+    assert n_feats == n
+    # image dims came from DECODED headers
+    dims = feats.filter("kind = 'image'").select("width", "height").distinct().collect()
+    assert {(r.width, r.height) for r in dims} == {(32, 32)}, dims
+    gifs = media.filter("meta.format = 'gif'")
+    n_gifs = gifs.count()
+    t0 = time.perf_counter()
+    frames = mm.sample_frames(gifs, every_ms=500, max_frames=4, decode="real")
+    n_frames = frames.count()
+    out["gif_frames_sec"] = round(time.perf_counter() - t0, 2)
+    out["n_gifs"] = n_gifs
+    out["n_frames"] = n_frames
+    ok = n_feats == n and n_frames == n_gifs * 2  # 4x250ms sampled at 500ms
+    out["ok"] = bool(ok)
+    print(json.dumps(out))
+    sys.exit(0 if ok else 1)
+
+
 if __name__ == "__main__":
     if "--sf10" in sys.argv:
         main_sf10()
@@ -1007,5 +1090,7 @@ if __name__ == "__main__":
         main_events()
     elif "--vectors" in sys.argv:
         main_vectors()
+    elif "--media" in sys.argv:
+        main_media()
     else:
         main()
