@@ -348,6 +348,17 @@ def main() -> None:
     compact["geomean_speedup"] = geomean
     compact["full"] = "BENCH_FULL.json"
     line = json.dumps(compact)
+    # The driver captures only the stdout TAIL (~2000 chars): degrade
+    # gracefully instead of asserting — a hard failure here would cost
+    # the whole BENCH artifact over a few characters of float width.
+    # Sheddable extras leave in order until the line fits; the full
+    # payload always lives in BENCH_FULL.json.
+    for shed in ("speedup_sf1_source", "speedup_sf1", "speedup_vs_unindexed"):
+        if len(line) < 1900:
+            break
+        compact.pop(shed, None)
+        compact["shed_for_length"] = shed + "+ (see BENCH_FULL.json)"
+        line = json.dumps(compact)
     assert len(line) < 1900, f"bench JSON line too long for driver tail: {len(line)}"
     print(line)
 

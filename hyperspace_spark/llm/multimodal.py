@@ -310,18 +310,46 @@ def decode_png(data: bytes):
     return out.reshape(h, w, c).copy()
 
 
-def encode_wav(samples, sample_rate: int = 16000) -> bytes:
-    """int16 mono samples -> canonical 44-byte-header PCM WAV."""
+def encode_wav(samples, sample_rate: int = 16000, bits: int = 16) -> bytes:
+    """Samples -> canonical 44-byte-header RIFF WAV.  ``bits`` selects
+    the encoding: 8 (unsigned PCM), 16/32 (signed PCM), 24 (packed
+    signed PCM), or -32 for IEEE float32.  Mono; 2-D input (n, ch)
+    interleaves channels."""
     import struct
 
     import numpy as np
 
-    s = np.asarray(samples, dtype="<i2")
-    body = s.tobytes()
+    a = np.asarray(samples)
+    channels = a.shape[1] if a.ndim == 2 else 1
+    flat = a.reshape(-1)
+    if bits == 8:
+        body = flat.astype(np.uint8).tobytes()
+        fmt_code, bw = 1, 1
+    elif bits == 16:
+        body = flat.astype("<i2").tobytes()
+        fmt_code, bw = 1, 2
+    elif bits == 24:
+        v = flat.astype(np.int64) & 0xFFFFFF
+        b = np.empty((len(v), 3), dtype=np.uint8)
+        b[:, 0] = v & 0xFF
+        b[:, 1] = (v >> 8) & 0xFF
+        b[:, 2] = (v >> 16) & 0xFF
+        body = b.tobytes()
+        fmt_code, bw = 1, 3
+    elif bits == 32:
+        body = flat.astype("<i4").tobytes()
+        fmt_code, bw = 1, 4
+    elif bits == -32:
+        body = flat.astype("<f4").tobytes()
+        fmt_code, bw = 3, 4
+    else:
+        raise ValueError("bits must be 8, 16, 24, 32 or -32 (float)")
+    block = bw * channels
     return (
         struct.pack("<4sI4s", b"RIFF", 36 + len(body), b"WAVE")
         + struct.pack(
-            "<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+            "<4sIHHIIHH", b"fmt ", 16, fmt_code, channels, sample_rate,
+            sample_rate * block, block, abs(bits) if bits != -32 else 32,
         )
         + struct.pack("<4sI", b"data", len(body))
         + body
@@ -329,29 +357,48 @@ def encode_wav(samples, sample_rate: int = 16000) -> bytes:
 
 
 def decode_wav(data: bytes):
-    """PCM16 RIFF WAV -> ((n, channels) int16 numpy array, sample_rate).
-    Walks the chunk list (fmt / data may be preceded by LIST etc.)."""
+    """RIFF WAV -> ((n, channels) numpy array, sample_rate).  Decodes
+    PCM 8 (unsigned, returned as stored 0..255) / 16 / 24 (packed,
+    sign-extended) / 32-bit and IEEE float32; walks the chunk list
+    (fmt / data may be preceded by LIST etc.)."""
     import struct
 
     import numpy as np
 
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
-    pos, rate, channels, bits, body = 12, None, None, None, None
+    pos, rate, channels, bits, fmt_code, body = 12, None, None, None, None, None
     while pos + 8 <= len(data):
         cid, size = struct.unpack_from("<4sI", data, pos)
         pos += 8
         if cid == b"fmt ":
             fmt_code, channels, rate = struct.unpack_from("<HHI", data, pos)
             bits = struct.unpack_from("<H", data, pos + 14)[0]
-            if fmt_code != 1 or bits != 16:
-                raise NotImplementedError("only PCM16 WAV is supported")
+            if (fmt_code, bits) not in (
+                (1, 8), (1, 16), (1, 24), (1, 32), (3, 32),
+            ):
+                raise NotImplementedError(
+                    f"unsupported WAV encoding (format {fmt_code}, {bits}-bit);"
+                    f" PCM 8/16/24/32 and float32 decode"
+                )
         elif cid == b"data":
             body = data[pos : pos + size]
         pos += size + (size & 1)  # chunks are word-aligned
     if rate is None or body is None:
         raise ValueError("missing fmt/data chunk")
-    s = np.frombuffer(body, dtype="<i2")
+    if fmt_code == 3:
+        s = np.frombuffer(body, dtype="<f4")
+    elif bits == 8:
+        s = np.frombuffer(body, dtype=np.uint8).astype(np.int16)
+    elif bits == 16:
+        s = np.frombuffer(body, dtype="<i2")
+    elif bits == 24:
+        b = np.frombuffer(body, dtype=np.uint8)
+        b = b[: len(b) - len(b) % 3].reshape(-1, 3).astype(np.int64)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        s = np.where(v >= 1 << 23, v - (1 << 24), v)
+    else:
+        s = np.frombuffer(body, dtype="<i4")
     return s.reshape(-1, channels).copy(), int(rate)
 
 

@@ -133,3 +133,31 @@ def test_wav_roundtrip_random_samples(n, rate, seed):
     )
     dec, got_rate = mm.decode_wav(mm.encode_wav(s, rate))
     assert got_rate == rate and (dec[:, 0] == s).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    bits=st.sampled_from([8, 16, 24, 32, -32]),
+    n=st.integers(1, 200),
+    channels=st.sampled_from([1, 2]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_depth_matrix_roundtrip(bits, n, channels, seed):
+    """r10: PCM 8 (unsigned) / 16 / 24 (packed) / 32 and IEEE float32
+    all roundtrip exactly, mono and stereo."""
+    rng = np.random.default_rng(seed)
+    shape = (n,) if channels == 1 else (n, channels)
+    if bits == 8:
+        s = rng.integers(0, 256, shape).astype(np.uint8)
+    elif bits == -32:
+        s = rng.normal(size=shape).astype(np.float32)
+    else:
+        lim = 1 << (bits - 1)
+        s = rng.integers(-lim, lim - 1, shape).astype(np.int64)
+    dec, rate = mm.decode_wav(mm.encode_wav(s, 12345, bits=bits))
+    assert rate == 12345 and dec.shape == (n, channels)
+    flat = s.reshape(n, channels)
+    if bits == -32:
+        assert np.array_equal(dec, flat)
+    else:
+        assert (dec == flat.astype(np.int64)).all()
