@@ -397,3 +397,14 @@ def split_conjuncts(e: Expr) -> list[Expr]:
             out.extend(split_conjuncts(c))
         return out
     return [e]
+
+
+def split_disjuncts(e: Expr) -> list[Expr]:
+    """Top-level OR flattening (the dual of split_conjuncts): the
+    branch list FilterOrIndexRule routes to per-disjunct index scans."""
+    if isinstance(e, BoolOp) and e.op == "or":
+        out: list[Expr] = []
+        for c in e.children:
+            out.extend(split_disjuncts(c))
+        return out
+    return [e]

@@ -27,6 +27,8 @@ NO_COMPATIBLE_JOIN_INDEX_PAIR = "NO_COMPATIBLE_JOIN_INDEX_PAIR"
 NO_AVAIL_JOIN_INDEX_PAIR = "NO_AVAIL_JOIN_INDEX_PAIR"
 ANOTHER_INDEX_APPLIED = "ANOTHER_INDEX_APPLIED"
 INELIGIBLE_FILTER_CONDITION = "INELIGIBLE_FILTER_CONDITION"
+OR_BRANCH_NOT_PRUNABLE = "OR_BRANCH_NOT_PRUNABLE"
+PREDICATE_NOT_IMPLIED = "PREDICATE_NOT_IMPLIED"
 
 
 @dataclass
@@ -249,6 +251,152 @@ class ZOrderFilterIndexRule(FilterIndexRule):
     kind = "ZCI"
     base_score = 60.0
     require_first_indexed = False
+
+
+class FilterOrIndexRule:
+    """Index-union rewrite for DISJUNCTIVE filters — an extension beyond
+    the reference (its FilterIndexRule.scala:62-103 requires the first
+    indexed column in the whole predicate, which an OR satisfies only
+    trivially: the single index still scans fully because no conjunct
+    pins the bucket column).  Classic RDBMS index-OR (bitmap-union)
+    re-expressed for bucketed parquet:
+
+        WHERE a = 1 OR (b = 2 AND ...)
+          ->  union( idx_on_a ⋉ buckets(a=1)  FILTER d1,
+                     idx_on_b ⋉ buckets(b=2)  FILTER d2 AND d1 IS NOT TRUE )
+
+    Each disjunct routes to the covering index whose FIRST indexed column
+    it pins with an equality/IN conjunct, reading only that literal's
+    bucket files (driver-side murmur3, zero Spark jobs).  The k-th branch
+    is guarded by `NOT coalesce(d_j, false)` for every earlier disjunct
+    j < k, so a row satisfying several disjuncts surfaces exactly once —
+    no DISTINCT, no shuffle.  At 100 TB an OR of two point probes reads
+    2/numBuckets of two indexes instead of the full table.
+
+    Declines (plain FilterIndexRule, score 50, still competes) when:
+    any branch can't bucket-prune (a full-index branch scan is worse
+    than one full scan), any candidate is hybrid-stale (appended files
+    would scan once PER BRANCH), or a disjunct touches nested columns
+    (branch guards run on the flattened index frame).
+    """
+
+    kind = "CI"
+    base_score = 55.0  # above CI-50 when it applies; below ZCI-60
+    MAX_BRANCHES = 8  # an OR wider than this is selectivity-free anyway
+
+    def apply(self, node: ir.Node, ctx: RuleContext) -> Applied | None:
+        from hyperspace_spark.planner.expr import BoolOp, split_disjuncts
+
+        m = match_filter_pattern(node)
+        if m is None:
+            return None
+        project, filt, scan = m
+        cond = filt.condition
+        if not isinstance(cond, BoolOp) or cond.op != "or" or not filt.deterministic:
+            return None
+        disjuncts = split_disjuncts(cond)
+        if not (2 <= len(disjuncts) <= self.MAX_BRANCHES):
+            return None
+        cands = ctx.for_scan(scan, self.kind)
+        if not cands:
+            return None
+        required = ir.required_columns(node)
+        if any("." in r for r in cond.references):
+            return None
+
+        plan: list[tuple] = []
+        used: list[str] = []
+        for d in disjuncts:
+            if not d.references:
+                return None
+            eligible = []
+            for c in cands:
+                p = c.entry.derived_properties
+                indexed = p.get("indexedColumns", [])
+                covered = set(indexed) | set(p.get("includedColumns", []))
+                if not indexed or indexed[0] not in d.references:
+                    continue
+                if not required.issubset(covered):
+                    continue
+                if c.appended:
+                    # A stale index would scan its appended files once
+                    # per BRANCH — decline; plain FilterIndexRule's
+                    # single hybrid union handles this case.
+                    continue
+                if _entry_predicate(c.entry) is not None:
+                    # Partial index: sound only if THIS disjunct implies
+                    # the index predicate (other disjuncts' rows are
+                    # served by their own branches).
+                    from hyperspace_spark.planner.implication import implies
+
+                    if not implies(d, _entry_predicate(c.entry)):
+                        continue
+                lits = equality_literals(d, indexed[0])
+                if lits is None:
+                    ctx.tag(c.entry.name, OR_BRANCH_NOT_PRUNABLE, f"no equality on {indexed[0]} in disjunct")
+                    continue
+                from hyperspace_spark.indexes.covering import bucket_pruned_files
+
+                pruned = bucket_pruned_files(c.entry, lits)
+                if pruned is None:
+                    ctx.tag(c.entry.name, OR_BRANCH_NOT_PRUNABLE, "bucket pruning unavailable")
+                    continue
+                eligible.append((c, pruned))
+            if not eligible:
+                return None
+            eligible.sort(
+                key=lambda cp: (
+                    len(cp[1]),
+                    sum(f.size for f in cp[0].entry.content_files),
+                    cp[0].entry.name,
+                )
+            )
+            winner, pruned = eligible[0]
+            plan.append((d, winner, pruned))
+            used.append(winner.entry.name)
+
+        out_cols = [c for c in scan.output if c in required]
+        coverage = min(w.coverage for _, w, _ in plan)
+        branches = [
+            (d.sql, w.entry, list(pruned), w.deleted) for d, w, pruned in plan
+        ]
+
+        def replacement(spark, _branches=branches, _cols=out_cols):
+            from hyperspace_spark.indexes.covering import index_scan_df
+
+            frames = []
+            for i, (dsql, entry, files, deleted) in enumerate(_branches):
+                f = index_scan_df(spark, entry, _cols, deleted=deleted, files=files)
+                guard = f"({dsql})"
+                for j in range(i):
+                    guard += f" AND (NOT coalesce(({_branches[j][0]}), false))"
+                frames.append(f.filter(guard))
+            out = frames[0]
+            for f in frames[1:]:
+                out = out.unionByName(f)
+            return out
+
+        new_node = _substitute_scan(node, scan, replacement, "+".join(used))
+        return Applied(new_node, self.base_score * coverage, sorted(set(used)))
+
+
+def _entry_predicate(entry):
+    """The partial-index build predicate as a parsed Expr, or None for a
+    whole-table index.  Persisted as Expr-JSON at create time
+    (hyperspace.py create path -> implication.expr_to_json); an entry
+    whose JSON cannot round-trip is treated as an OPAQUE predicate —
+    implication then only succeeds on exact-SQL conjunct matches."""
+    j = entry.derived_properties.get("filterPredicateExpr")
+    if not j:
+        return None
+    from hyperspace_spark.planner.implication import expr_from_json
+
+    try:
+        return expr_from_json(j)
+    except Exception:
+        from hyperspace_spark.planner.expr import Unknown
+
+        return Unknown(sql=str(entry.derived_properties.get("filterPredicate", "")))
 
 
 # ---------------------------------------------------------------------------
@@ -1058,6 +1206,7 @@ def default_rules() -> list:
     return [
         FilterIndexRule(),
         ZOrderFilterIndexRule(),
+        FilterOrIndexRule(),
         AggBucketedIndexRule(),
         WindowBucketedIndexRule(),
         MetadataOnlyAggRule(),
