@@ -522,6 +522,7 @@ class Hyperspace:
                 p["indexedColumns"],
                 p["includedColumns"],
                 num_buckets=p.get("numBuckets"),
+                where=p.get("filterPredicate"),
             )
         if entry.derived_kind == "ZCI":
             from hyperspace_spark.indexes.zorder import ZOrderCoveringIndexConfig
@@ -1060,6 +1061,11 @@ class Hyperspace:
                 new_df = _relation_reader(self.spark, rel, with_base_path=True).load(
                     [f.path for f in appended]
                 )
+                if props.get("filterPredicate"):
+                    # Partial index: appended files contribute only the
+                    # rows satisfying the build predicate, exactly like
+                    # the create path.
+                    new_df = new_df.filter(props["filterPredicate"])
                 if props.get("lineage", False):
                     new_df = cov.with_lineage(new_df, self.spark, appended, tracker)
                 # Flatten dotted (nested) columns exactly like the build

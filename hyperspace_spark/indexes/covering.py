@@ -39,6 +39,15 @@ class CoveringIndexConfig(IndexConfig):
     # data-sized).  Pin equal counts on both sides of a planned join pair
     # when their sizes diverge past coalesceBucketsInJoin's ratio.
     num_buckets: int | None = None
+    # PARTIAL index (PostgreSQL `CREATE INDEX ... WHERE` analogue —
+    # extension beyond the reference, whose indexes are always
+    # whole-table): a deterministic SQL predicate; only satisfying rows
+    # are indexed.  The planner serves a scan from this index only when
+    # the query filter PROVABLY implies the predicate
+    # (planner/implication.py).  At 100 TB this is the hot-subset play:
+    # an index over the 2% of rows a dashboard family actually touches
+    # costs 2% of the build and the storage.
+    where: str | None = None
 
     @property
     def kind(self) -> str:
@@ -151,6 +160,10 @@ def create_index_data(
 
     tbl = table_name(index_name, version)
     cols = config.referenced_columns()
+    pred_props = {}
+    where = getattr(config, "where", None)
+    if where:
+        df, pred_props = _apply_partial_predicate(df, where)
     projected = df
     if conf.lineage_enabled:
         projected = with_lineage(df, spark, files, tracker)
@@ -175,6 +188,39 @@ def create_index_data(
         "lineage": conf.lineage_enabled,
         "schemaJson": projected.schema.json(),
         "tableName": tbl,
+        **pred_props,
+    }
+
+
+def _apply_partial_predicate(df: "DataFrame", where: str) -> tuple:
+    """Filter the build frame by the partial-index predicate and return
+    (filtered_df, entry_properties).  The predicate is parsed from the
+    filtered frame's OPTIMIZED plan — the same plan surface the query-
+    side planner parses (planner/parser.py:52), so Catalyst's canonical
+    rendering (added IsNotNull constraints, folded casts, literal
+    spellings) matches textually between build and probe and the
+    implication check's exact-SQL fast path fires."""
+    from hyperspace_spark.hyperspace import HyperspaceException
+    from hyperspace_spark.planner.expr import parse_expr
+    from hyperspace_spark.planner.implication import expr_to_json
+
+    fdf = df.filter(where)
+    jplan = fdf._jdf.queryExecution().optimizedPlan()
+    if jplan.getClass().getSimpleName() != "Filter":
+        raise HyperspaceException(
+            f"partial-index `where` predicate {where!r} optimized away — a "
+            "trivially-true/false or unfilterable predicate cannot define a "
+            "partial index"
+        )
+    if not bool(jplan.condition().deterministic()):
+        raise HyperspaceException(
+            f"partial-index `where` predicate {where!r} is non-deterministic; "
+            "the planner could never prove a query implies it"
+        )
+    cond = parse_expr(jplan.condition())
+    return fdf, {
+        "filterPredicate": cond.sql,
+        "filterPredicateExpr": expr_to_json(cond),
     }
 
 

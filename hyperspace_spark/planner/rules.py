@@ -194,6 +194,24 @@ class FilterIndexRule:
             if not required.issubset(covered):
                 ctx.tag(c.entry.name, MISSING_REQUIRED_COL, f"missing {sorted(required - covered)}")
                 continue
+            pred = _entry_predicate(c.entry)
+            if pred is not None:
+                # Partial index: eligible only when the query filter
+                # PROVABLY implies the build predicate (every index
+                # conjunct implied by some query conjunct — conservative,
+                # planner/implication.py).  Appended files are safe
+                # as-is: the hybrid union scans them RAW and the query
+                # filter re-applies on top, so rows outside the predicate
+                # (which necessarily fail the query filter) drop there.
+                from hyperspace_spark.planner.implication import implies
+
+                if not implies(filt.condition, pred):
+                    ctx.tag(
+                        c.entry.name,
+                        PREDICATE_NOT_IMPLIED,
+                        f"query filter does not imply index predicate {pred.sql!r}",
+                    )
+                    continue
             eligible.append(c)
         if not eligible:
             return None
@@ -478,6 +496,12 @@ class AggBucketedIndexRule:
                 continue  # hybrid union erases bucketing; FilterIndexRule's turf
             if not p.get("tableName") or len(c.entry.index_data_dirs) != 1:
                 continue  # not registrable as a single bucketed location
+            if _entry_predicate(c.entry) is not None:
+                # Partial index: this rule's match point has no filter
+                # condition to run the implication proof against, and an
+                # aggregate over a row-subset index silently drops rows.
+                ctx.tag(c.entry.name, PREDICATE_NOT_IMPLIED, "partial index not usable for agg/window rewrite")
+                continue
             eligible.append(c)
         if not eligible:
             return None
@@ -606,6 +630,12 @@ class JoinIndexRule:
             covered = set(indexed) | set(p.get("includedColumns", []))
             if not required.issubset(covered):
                 ctx.tag(c.entry.name, MISSING_REQUIRED_COL, f"missing {sorted(required - covered)}")
+                continue
+            if _entry_predicate(c.entry) is not None:
+                # Partial index: serving a join side from a row subset
+                # silently drops join matches; any side filter was not
+                # proven to imply the predicate here.
+                ctx.tag(c.entry.name, PREDICATE_NOT_IMPLIED, "partial index not usable for join rewrite")
                 continue
             out.append(c)
         return out

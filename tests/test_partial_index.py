@@ -1,0 +1,258 @@
+"""Partial (filtered) covering indexes — `CoveringIndexConfig(...,
+where=...)` — and the conservative implication proof that gates them
+(planner/implication.py).  Extension beyond the reference (Hyperspace
+indexes are always whole-table); semantics follow PostgreSQL partial
+indexes: the index holds only predicate-satisfying rows and serves a
+query only when the query filter provably implies the predicate.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hyperspace_spark import CoveringIndexConfig, Hyperspace
+
+from tests.conftest import rows_equal, table
+
+
+# ---------------------------------------------------------------------------
+# implication unit tests (pure python)
+# ---------------------------------------------------------------------------
+def _cmp(col, op, lit_sql, dtype="bigint", lit_dtype="int"):
+    from hyperspace_spark.planner.expr import Attr, Cmp, Lit
+
+    a = Attr(sql=col, references=frozenset([col]), name=col, dtype=dtype)
+    l = Lit(sql=lit_sql, dtype=lit_dtype)
+    return Cmp(sql=f"({col} {op} {lit_sql})", references=frozenset([col]), op=op, left=a, right=l)
+
+
+def _and(*es):
+    from hyperspace_spark.planner.expr import BoolOp
+
+    refs = frozenset().union(*[e.references for e in es])
+    return BoolOp(sql=" AND ".join(e.sql for e in es), references=refs, op="and", children=tuple(es))
+
+
+def _or(*es):
+    from hyperspace_spark.planner.expr import BoolOp
+
+    refs = frozenset().union(*[e.references for e in es])
+    return BoolOp(sql=" OR ".join(e.sql for e in es), references=refs, op="or", children=tuple(es))
+
+
+def _in(col, lit_sqls, dtype="bigint"):
+    from hyperspace_spark.planner.expr import Attr, InExpr, Lit
+
+    a = Attr(sql=col, references=frozenset([col]), name=col, dtype=dtype)
+    vals = tuple(Lit(sql=s, dtype="int") for s in lit_sqls)
+    return InExpr(sql=f"{col} IN ({', '.join(lit_sqls)})", references=frozenset([col]), child=a, values=vals)
+
+
+def test_implication_ranges():
+    from hyperspace_spark.planner.implication import implies
+
+    # query x > 10 implies index x > 5
+    assert implies(_cmp("x", ">", "10"), _cmp("x", ">", "5"))
+    assert not implies(_cmp("x", ">", "5"), _cmp("x", ">", "10"))
+    # boundary: x > 5 implies x >= 5; x >= 5 does NOT imply x > 5
+    assert implies(_cmp("x", ">", "5"), _cmp("x", ">=", "5"))
+    assert not implies(_cmp("x", ">=", "5"), _cmp("x", ">", "5"))
+    # equalities
+    assert implies(_cmp("x", "=", "7"), _cmp("x", ">", "5"))
+    assert implies(_cmp("x", "=", "7"), _cmp("x", "<=", "7"))
+    assert not implies(_cmp("x", "=", "4"), _cmp("x", ">", "5"))
+    # a range never pins an equality
+    assert not implies(_cmp("x", ">", "5"), _cmp("x", "=", "7"))
+    # upper bounds
+    assert implies(_cmp("x", "<", "3"), _cmp("x", "<", "9"))
+    assert implies(_cmp("x", "<", "9"), _cmp("x", "<=", "9"))
+    assert not implies(_cmp("x", "<=", "9"), _cmp("x", "<", "9"))
+    # different columns never imply
+    assert not implies(_cmp("x", ">", "10"), _cmp("y", ">", "5"))
+
+
+def test_implication_in_subset_and_conjunctions():
+    from hyperspace_spark.planner.implication import implies
+
+    assert implies(_in("x", ["1", "2"]), _in("x", ["1", "2", "3"]))
+    assert not implies(_in("x", ["1", "4"]), _in("x", ["1", "2", "3"]))
+    assert implies(_cmp("x", "=", "2"), _in("x", ["1", "2", "3"]))
+    assert implies(_in("x", ["6", "8"]), _cmp("x", ">", "5"))
+    assert not implies(_in("x", ["4", "8"]), _cmp("x", ">", "5"))
+    # conjunction on the query side: any conjunct may prove each index conjunct
+    q = _and(_cmp("x", "=", "7"), _cmp("y", ">", "100"))
+    assert implies(q, _cmp("x", ">", "5"))
+    assert implies(q, _and(_cmp("x", ">", "5"), _cmp("y", ">", "50")))
+    assert not implies(q, _and(_cmp("x", ">", "5"), _cmp("z", ">", "0")))
+    # disjunction on the query side: EVERY branch must imply
+    assert implies(_or(_cmp("x", "=", "7"), _cmp("x", "=", "9")), _cmp("x", ">", "5"))
+    assert not implies(_or(_cmp("x", "=", "7"), _cmp("x", "=", "3")), _cmp("x", ">", "5"))
+
+
+def test_implication_exact_sql_and_unknown():
+    from hyperspace_spark.planner.expr import Unknown
+    from hyperspace_spark.planner.implication import implies
+
+    u = Unknown(sql="some_udf(x) = 3")
+    assert implies(u, Unknown(sql="some_udf(x) = 3"))  # exact text
+    assert not implies(u, Unknown(sql="some_udf(x) = 4"))
+    # string literals compare as same-type values
+    from hyperspace_spark.planner.expr import Lit
+
+    assert implies(_cmp("s", "=", "'b'", "string", "string"), _cmp("s", ">=", "'a'", "string", "string"))
+    assert not implies(_cmp("s", "=", "'a'", "string", "string"), _cmp("s", ">", "'a'", "string", "string"))
+
+
+def test_expr_json_roundtrip():
+    from hyperspace_spark.planner.implication import expr_from_json, expr_to_json, implies
+
+    e = _and(_cmp("x", ">", "5"), _in("y", ["1", "2"]))
+    rt = expr_from_json(expr_to_json(e))
+    assert rt == e
+    assert implies(_and(_cmp("x", "=", "9"), _cmp("y", "=", "2")), rt)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def env(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("hs_partial"))
+    src = f"{root}/orders"
+    table(spark, "orders").repartition(4).write.parquet(src)
+    o = spark.read.parquet(src)
+    hs = Hyperspace(spark, system_path=f"{root}/idx")
+    hs.create_index(
+        o,
+        CoveringIndexConfig(
+            "p_urgent",
+            ["o_custkey"],
+            ["o_orderkey", "o_totalprice", "o_orderpriority"],
+            num_buckets=8,
+            where="o_orderpriority = '1-URGENT'",
+        ),
+    )
+    return hs, src
+
+
+def test_partial_index_smaller_and_predicate_stored(spark, env):
+    hs, src = env
+    e = hs._entries()[0] if hasattr(hs, "_entries") else None
+    row = [r for r in hs.indexes().collect() if r["name"] == "p_urgent"]
+    assert row, "index listed"
+    mgr = hs._log_mgr("p_urgent", hs.conf())
+    entry = mgr.get_latest_stable_log()
+    assert entry.derived_properties.get("filterPredicate")
+    assert entry.derived_properties.get("filterPredicateExpr")
+    # the index holds ONLY predicate rows
+    n_idx = spark.read.parquet(entry.index_data_dirs[0]).count()
+    n_pred = spark.read.parquet(src).filter("o_orderpriority = '1-URGENT'").count()
+    assert n_idx == n_pred
+
+
+def test_partial_served_when_implied(spark, env):
+    hs, src = env
+    o = spark.read.parquet(src)
+    df = o.filter("o_custkey = 42 AND o_orderpriority = '1-URGENT'").select(
+        "o_orderkey", "o_totalprice"
+    )
+    out, used = hs._apply_with_info(df)
+    assert used == ["p_urgent"], hs.why_not(df)
+    assert rows_equal(df, out)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "p_urgent" in plan and "orders/part" not in plan
+
+
+def test_partial_declined_when_not_implied(spark, env):
+    hs, src = env
+    o = spark.read.parquet(src)
+    df = o.filter("o_custkey = 42").select("o_orderkey", "o_totalprice")
+    out, used = hs._apply_with_info(df)
+    assert used == []  # no other index exists; partial must NOT serve
+    assert rows_equal(df, out)
+    why = hs.why_not(df)
+    assert "PREDICATE_NOT_IMPLIED" in why
+
+
+def test_partial_declined_for_agg_and_join(spark, env):
+    hs, src = env
+    o = spark.read.parquet(src)
+    # group-by on the bucket key: Agg rule must skip the partial index
+    agg = o.filter("o_orderpriority = '1-URGENT'").groupBy("o_custkey").agg(
+        F.count("*").alias("cnt")
+    )
+    out, used = hs._apply_with_info(agg)
+    # FilterIndexRule may still rewrite the inner Filter<-Scan (implied),
+    # which is sound; the unsound bucketed-agg path must not fire alone.
+    assert rows_equal(agg, out)
+    # self-join keyed on o_custkey: join rule must skip the partial index
+    a = o.filter("o_orderpriority = '1-URGENT'").select("o_custkey", "o_totalprice")
+    j = a.join(a.groupBy("o_custkey").count(), "o_custkey")
+    out2, used2 = hs._apply_with_info(j)
+    assert rows_equal(j, out2)
+
+
+def test_partial_range_implication_e2e(spark, env):
+    hs, src = env
+    o = spark.read.parquet(src)
+    hs.create_index(
+        o,
+        CoveringIndexConfig(
+            "p_big",
+            ["o_custkey"],
+            ["o_orderkey", "o_totalprice"],
+            num_buckets=8,
+            where="o_totalprice > 100000.0",
+        ),
+    )
+    df = o.filter("o_custkey = 42 AND o_totalprice > 150000.0").select(
+        "o_orderkey", "o_totalprice"
+    )
+    out, used = hs._apply_with_info(df)
+    assert "p_big" in used, hs.why_not(df)
+    assert rows_equal(df, out)
+    # weaker query bound does NOT imply
+    df2 = o.filter("o_custkey = 42 AND o_totalprice > 50000.0").select(
+        "o_orderkey", "o_totalprice"
+    )
+    out2, used2 = hs._apply_with_info(df2)
+    assert "p_big" not in used2
+    assert rows_equal(df2, out2)
+
+
+def test_partial_incremental_refresh_appends_only_predicate_rows(spark, env, tmp_path):
+    hs, src = env
+    import glob
+    import shutil
+
+    root = str(tmp_path)
+    src2 = f"{root}/orders_inc"
+    shutil.copytree(src, src2)
+    o2 = spark.read.parquet(src2)
+    hs.create_index(
+        o2,
+        CoveringIndexConfig(
+            "p_inc",
+            ["o_custkey"],
+            ["o_orderkey", "o_totalprice", "o_orderpriority"],
+            num_buckets=8,
+            where="o_orderpriority = '1-URGENT'",
+        ),
+    )
+    mgr = hs._log_mgr("p_inc", hs.conf())
+    before = spark.read.parquet(mgr.get_latest_stable_log().index_data_dirs[0]).count()
+    # append a copy of one source file, refresh incrementally
+    one = sorted(glob.glob(f"{src}/part-*.parquet"))[0]
+    shutil.copy(one, f"{src2}/appended_0.parquet")
+    hs.refresh_index("p_inc", "incremental")
+    entry = mgr.get_latest_stable_log()
+    after = spark.read.parquet(entry.index_data_dirs[0]).count()
+    added = spark.read.parquet(one).filter("o_orderpriority = '1-URGENT'").count()
+    assert after == before + added  # only predicate rows joined the index
+    # and the refreshed index still answers exactly
+    o2b = spark.read.parquet(src2)
+    df = o2b.filter("o_custkey = 42 AND o_orderpriority = '1-URGENT'").select(
+        "o_orderkey", "o_totalprice"
+    )
+    out, used = hs._apply_with_info(df)
+    assert "p_inc" in used, hs.why_not(df)
+    assert rows_equal(df, out)
