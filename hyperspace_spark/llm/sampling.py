@@ -262,6 +262,88 @@ def token_quota_per_source(
     return good_part.unionByName(bad_part)
 
 
+def shard_assign(
+    df: "DataFrame",
+    key_col: str,
+    num_shards: int,
+    seed: str = "",
+    shard_col: str = "shard",
+    order_col: str | None = None,
+    num_partitions: int | None = None,
+) -> "DataFrame":
+    """Deterministic corpus shuffle + balanced shard assignment — the
+    training-order sharding step of a data pipeline (each output shard
+    is one training-data file; the order must be a reproducible global
+    shuffle and shard sizes must balance to ±1 row).
+
+    Rows take the global rank of their md5(seed || key) hash (ties by
+    key, which is unique), then stripe round-robin: shard = rank % k.
+    Changing ``seed`` re-shuffles; the assignment is a pure function of
+    (seed, key), so a re-run, a retry, or another engine reproduces it
+    bit-for-bit (the DuckDB oracle derives the same ranks with one
+    window function).
+
+    Global ranking WITHOUT a single-partition window (the naive
+    row_number() over a global ORDER BY serializes 100 TB through one
+    task): range-repartition by the hash, sort within partitions, count
+    rows per partition (tiny agg), then add each partition's cumulative
+    offset to its local running index inside one Arrow-batched
+    mapInPandas — the zipWithIndex construction, all stages
+    corpus-parallel.  The ranked frame is persisted between the count
+    job and the final pass so the range boundaries (sampled at runtime)
+    cannot drift between the two jobs.
+
+    ``order_col`` names an optional output column carrying the row's
+    position WITHIN its shard (rank // k) — the training read order.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    h = F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string")))
+    n_parts = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    ranked = (
+        df.withColumn("__hs_shuf", h)
+        .repartitionByRange(n_parts, F.col("__hs_shuf"), F.col(key_col))
+        .sortWithinPartitions("__hs_shuf", key_col)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = (
+        ranked.groupBy(F.spark_partition_id().alias("__hs_pid"))
+        .count()
+        .collect()
+    )
+    by_pid = {r["__hs_pid"]: r["count"] for r in counts}
+    offsets, acc = {}, 0
+    for pid in sorted(by_pid):
+        offsets[pid] = acc
+        acc += by_pid[pid]
+
+    out_schema = ranked.drop("__hs_shuf").schema.add(shard_col, "integer")
+    if order_col:
+        out_schema = out_schema.add(order_col, "long")
+
+    def assign(iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        nxt = offsets.get(pid, 0)
+        for pdf in iterator:
+            n = len(pdf)
+            ranks = range(nxt, nxt + n)
+            nxt += n
+            pdf = pdf.drop(columns=["__hs_shuf"])
+            pdf[shard_col] = [r % num_shards for r in ranks]
+            if order_col:
+                pdf[order_col] = [r // num_shards for r in ranks]
+            yield pdf
+
+    return ranked.mapInPandas(assign, schema=out_schema)
+
+
 def weighted_sample(
     df: "DataFrame",
     key_col: str,

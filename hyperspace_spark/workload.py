@@ -64,6 +64,10 @@ ACCELERATED_QUERIES = [
     "metadata_count_distinct",
     # r8: partition-predicate WHERE folded exactly from sketch rows
     "metadata_filtered_agg",
+    # r10: index-OR union (two bucket-pruned index scans vs one full scan)
+    "covering_filter_or",
+    # r10: partial index (range probe on a 5x-smaller predicate subset)
+    "covering_filter_partial",
 ]
 
 
@@ -149,7 +153,7 @@ class Workspace:
     # the workspace marker folds it into the fingerprint, so a layout
     # left by an older code version is wiped and rebuilt instead of
     # serving indexes built under the old configs.
-    _WS_VERSION = 15  # r9: + w_ann_pq IVF-PQ index (8-byte codes, ADC + refine)
+    _WS_VERSION = 16  # r10: + w_o_cov2 (index-OR pair) and w_o_partial (partial index)
 
     def _source_fingerprint(self) -> str:
         parts = [f"v{self._WS_VERSION}"]
@@ -376,6 +380,39 @@ class Workspace:
                         ["o_orderkey"],
                         ["o_orderpriority"],
                         num_buckets=nb_join,
+                    ),
+                ),
+            ),
+            (
+                # Second point-lookup index on orders, keyed by the OTHER
+                # probe column: together with w_o_cov it forms the
+                # index-OR pair (FilterOrIndexRule) — a disjunctive
+                # filter reads one bucket file from EACH index.
+                "w_o_cov2",
+                lambda: self.hs.create_index(
+                    _t(spark, self.sf_dir, "orders"),
+                    CoveringIndexConfig(
+                        "w_o_cov2",
+                        ["o_orderkey"],
+                        ["o_custkey", "o_totalprice"],
+                        num_buckets=nb_point,
+                    ),
+                ),
+            ),
+            (
+                # PARTIAL covering index: only 1-URGENT orders (~20% of
+                # rows).  Serves filters that provably imply the
+                # predicate (planner/implication.py) from a 5x-smaller
+                # sorted index.
+                "w_o_partial",
+                lambda: self.hs.create_index(
+                    _t(spark, self.sf_dir, "orders"),
+                    CoveringIndexConfig(
+                        "w_o_partial",
+                        ["o_custkey"],
+                        ["o_orderkey", "o_totalprice", "o_orderpriority"],
+                        num_buckets=max(2, nb_point // 4),
+                        where="o_orderpriority = '1-URGENT'",
                     ),
                 ),
             ),
@@ -742,6 +779,76 @@ def covering_filter_agg(spark, sf_dir):
             F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
             F.count("*").alias("cnt"),
         )
+    )
+    return ws.hs.apply(df)
+
+
+_OR_OKEY_CACHE: dict[str, int] = {}
+
+
+def _or_probe_orderkey(spark, sf_dir: str) -> int:
+    """Deterministic o_orderkey literal for the index-OR contract query:
+    customer 42's smallest order (computed once per sf, cached — a query
+    PARAMETER, not per-run work; the oracle derives the same key with a
+    scalar subquery).  -1 when the customer is absent (the disjunct then
+    matches nothing, same as the oracle's NULL-equality)."""
+    if sf_dir not in _OR_OKEY_CACHE:
+        from pyspark.sql import functions as F
+
+        row = (
+            _t(spark, sf_dir, "orders")
+            .filter("o_custkey = 42")
+            .agg(F.min("o_orderkey"))
+            .collect()
+        )
+        _OR_OKEY_CACHE[sf_dir] = int(row[0][0]) if row and row[0][0] is not None else -1
+    return _OR_OKEY_CACHE[sf_dir]
+
+
+@q(
+    "covering_filter_or",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_custkey = 42
+       OR o_orderkey = (SELECT min(o_orderkey) FROM orders WHERE o_custkey = 42)
+    """,
+)
+def covering_filter_or(spark, sf_dir):
+    """Disjunctive filter -> FilterOrIndexRule: each disjunct reads ONE
+    bucket file of its own covering index (w_o_cov on o_custkey,
+    w_o_cov2 on o_orderkey), guards dedupe the overlapping row (the
+    probed orderkey BELONGS to customer 42, so the overlap is real).
+    Raw plan: full orders scan with an unprunable OR predicate."""
+    ws = workspace(spark, sf_dir)
+    okey = _or_probe_orderkey(spark, sf_dir)
+    df = (
+        _t(spark, sf_dir, "orders")
+        .filter(f"o_custkey = 42 OR o_orderkey = {okey}")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    return ws.hs.apply(df)
+
+
+@q(
+    "covering_filter_partial",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS total FROM orders
+    WHERE o_custkey BETWEEN 100 AND 200 AND o_orderpriority = '1-URGENT'
+    """,
+)
+def covering_filter_partial(spark, sf_dir):
+    """Filter implied by a PARTIAL index's build predicate -> served from
+    w_o_partial, which holds only 1-URGENT rows (~20%) sorted by
+    o_custkey: the range probe reads a 5x-smaller index with row-group
+    pruning.  A query without the priority conjunct provably does NOT
+    imply the predicate and falls back (PREDICATE_NOT_IMPLIED)."""
+    from pyspark.sql import functions as F
+
+    ws = workspace(spark, sf_dir)
+    df = (
+        _t(spark, sf_dir, "orders")
+        .filter("o_custkey BETWEEN 100 AND 200 AND o_orderpriority = '1-URGENT'")
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
     )
     return ws.hs.apply(df)
 
@@ -4327,6 +4434,42 @@ def quality_weighted_sample(spark, sf_dir):
 
 
 @q(
+    "corpus_shard_assign",
+    """
+    WITH ranked AS (
+      SELECT n_chars,
+             CAST((row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1)
+                  % 16 AS BIGINT) AS shard
+      FROM documents
+    )
+    SELECT shard, count(*) AS docs, sum(n_chars) AS chars
+    FROM ranked GROUP BY shard
+    """,
+)
+def corpus_shard_assign(spark, sf_dir):
+    """Deterministic training-shard assignment (llm/sampling.py
+    shard_assign): rows rank by md5(doc_id) — a reproducible global
+    shuffle — and stripe round-robin over 16 shards, so shard sizes
+    balance to ±1 row.  The global rank is computed WITHOUT a
+    single-partition window: range-repartition on the hash, per-
+    partition counts (tiny agg), cumulative offsets added in one
+    Arrow-batched mapInPandas — every stage corpus-parallel at 100 TB.
+    The oracle replays the same rank with one window function (fine at
+    oracle scale; the operator exists because that window doesn't
+    distribute)."""
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.llm import sampling
+
+    sharded = sampling.shard_assign(
+        _t(spark, sf_dir, "documents"), "doc_id", num_shards=16
+    )
+    return sharded.groupBy(F.col("shard").cast("long").alias("shard")).agg(
+        F.count("*").alias("docs"), F.sum("n_chars").alias("chars")
+    )
+
+
+@q(
     "ngram_topk_by_lang",
     r"""
     WITH t AS (
@@ -5062,6 +5205,9 @@ _VERIFY_PRIORITY = [
     # union_distinct rides to r11 with the other r8 leftovers) ---
     "multimodal_decode_real",
     "avro_roundtrip",
+    "covering_filter_or",
+    "covering_filter_partial",
+    "corpus_shard_assign",
     # --- last green r08, rotating back (r8 order preserved) ---
     "text_search_inverted",
     "metadata_only_agg",

@@ -95,3 +95,44 @@ def test_invalid_args(spark, docs):
         sampling.train_val_test_split(docs, "doc_id", 0.6, 0.5)
     with pytest.raises(ValueError):
         sampling.stratified_sample(docs, "doc_id", "lang", {"en": 2.0})
+
+
+def test_shard_assign_balance_and_determinism(spark, docs):
+    """shard_assign: sizes balance to +-1, the assignment is a pure
+    function of (seed, key) across runs, and order_col enumerates each
+    shard 0..n_i-1 (the training read order)."""
+    out = sampling.shard_assign(docs, "doc_id", 8, order_col="pos")
+    sizes = {r["shard"]: r["count"] for r in out.groupBy("shard").count().collect()}
+    assert set(sizes) == set(range(8))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # deterministic across independent executions
+    a = sorted((r["doc_id"], r["shard"], r["pos"]) for r in
+               sampling.shard_assign(docs, "doc_id", 8, order_col="pos").select("doc_id", "shard", "pos").collect())
+    b = sorted((r["doc_id"], r["shard"], r["pos"]) for r in
+               out.select("doc_id", "shard", "pos").collect())
+    assert a == b
+    # per-shard positions are exactly 0..n-1
+    import collections
+    pos = collections.defaultdict(list)
+    for _, s, p in a:
+        pos[s].append(p)
+    for s, ps in pos.items():
+        assert sorted(ps) == list(range(len(ps)))
+    # a different seed produces a different permutation
+    c = sorted((r["doc_id"], r["shard"]) for r in
+               sampling.shard_assign(docs, "doc_id", 8, seed="v2").select("doc_id", "shard").collect())
+    assert [x[1] for x in a] != [x[1] for x in c]
+
+
+def test_shard_assign_matches_global_rank_oracle(spark, docs):
+    """The distributed rank equals the naive global row_number order."""
+    from pyspark.sql import Window, functions as F
+
+    out = sampling.shard_assign(docs, "doc_id", 5)
+    naive = docs.withColumn("_h", F.md5(F.col("doc_id").cast("string"))).withColumn(
+        "_shard",
+        ((F.row_number().over(Window.orderBy("_h", "doc_id")) - 1) % 5).cast("int"),
+    )
+    got = {r["doc_id"]: r["shard"] for r in out.select("doc_id", "shard").collect()}
+    want = {r["doc_id"]: r["_shard"] for r in naive.select("doc_id", "_shard").collect()}
+    assert got == want
