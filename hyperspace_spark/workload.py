@@ -4902,6 +4902,60 @@ def streaming_tumbling_rollup(spark, sf_dir):
 
 
 @q(
+    "streaming_interval_join",
+    """
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 4 HOUR
+    """,
+)
+def streaming_interval_join(spark, sf_dir):
+    """STREAM-STREAM interval join on the real micro-batch engine
+    (streaming/join.py interval_join_streams): view events joined to
+    purchase events of the same user landing within 4 hours after
+    the view, both sides watermarked (the watermark bounds join state;
+    with availableNow everything arrives in one batch, so the emitted
+    pair set equals the batch interval join — the oracle).  Append-mode
+    memory sink: an inner stream-stream join emits pairs as both sides
+    arrive, deterministically as a SET."""
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.streaming.join import interval_join_streams
+
+    _conf(spark)
+    schema = _t(spark, sf_dir, "events").schema
+    _STREAM_SEQ["n"] += 1
+    qn = f"w_stream_ivjoin_{_STREAM_SEQ['n']}"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    views = stream.filter("event_type = 'view'").select("event_id", "ts", "user_id")
+    buys = stream.filter("event_type = 'purchase'").select("event_id", "ts", "user_id")
+    joined = interval_join_streams(
+        views, buys, key="user_id", window="4 hours", watermark="8 hours"
+    )
+    out = joined.select(
+        F.col("l_event_id").alias("view_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        F.col("l_user_id").alias("user_id"),
+    )
+    handle = (
+        out.writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    handle.awaitTermination()
+    return spark.table(qn)
+
+
+@q(
     "streaming_ingest_dedup",
     """
     SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
@@ -5208,6 +5262,7 @@ _VERIFY_PRIORITY = [
     "covering_filter_or",
     "covering_filter_partial",
     "corpus_shard_assign",
+    "streaming_interval_join",
     # --- last green r08, rotating back (r8 order preserved) ---
     "text_search_inverted",
     "metadata_only_agg",

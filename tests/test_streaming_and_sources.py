@@ -348,3 +348,60 @@ def test_pure_python_avro_read_write_roundtrip(spark, tmp_path):
     empty = spark.range(0).selectExpr("id AS a").repartition(1)
     av.write_avro(empty, str(tmp_path / "avro_empty"))
     assert av.read_avro(spark, str(tmp_path / "avro_empty")).count() == 0
+
+
+def test_stream_stream_interval_join(spark, tmp_path, sf_dir):
+    """streaming/join.py interval_join_streams: the emitted pair set
+    equals the batch interval join (availableNow => one batch holds all
+    rows), and both sides carry watermarks in the analyzed plan (the
+    state-eviction contract — without them Spark would either reject the
+    join or buffer unbounded state)."""
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.streaming.join import interval_join_streams
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    sv = stream.filter("event_type = 'view'").select("event_id", "ts", "user_id")
+    sp = stream.filter("event_type = 'purchase'").select("event_id", "ts", "user_id")
+    joined = interval_join_streams(sv, sp, key="user_id", window="12 hours", watermark="1 day")
+    assert joined.isStreaming
+    # watermark on both sides of the logical plan
+    lp = joined._jdf.queryExecution().analyzed().toString()
+    assert lp.count("EventTimeWatermark") == 2, lp
+    q = (
+        joined.select(
+            F.col("l_event_id").alias("v"), F.col("r_event_id").alias("p")
+        )
+        .writeStream.format("memory")
+        .queryName("t_ivjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.v, r.p) for r in spark.table("t_ivjoin").collect()}
+    bv = ev.filter("event_type = 'view'").select(
+        F.col("event_id").alias("v"), "ts", "user_id"
+    )
+    bp = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("p"), F.col("ts").alias("pts"), F.col("user_id").alias("pu")
+    )
+    want = {
+        (r.v, r.p)
+        for r in bv.join(
+            bp,
+            (bv.user_id == bp.pu)
+            & (bp.pts >= bv.ts)
+            & (bp.pts <= bv.ts + F.expr("INTERVAL 12 hours")),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
