@@ -1164,6 +1164,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 30,
+    small_cutoff: int = 1_000_000,
 ) -> "DataFrame":
     """Cluster near-duplicate pairs: (node, cluster) with cluster = the
     minimum id reachable through the pair graph (connected components).
@@ -1218,15 +1219,22 @@ def connected_components(
         .persist()
     )
     # Near-dup graphs are usually tiny relative to the corpus (only the
-    # duplicated slice appears).  When the edge list is small, collapse
-    # it to one partition so each propagation round is a single task
-    # instead of a fleet of empty shuffle tasks; big graphs keep the
-    # parallel layout.
-    if edges.count() < 1_000_000:
-        small = edges.coalesce(1).persist()
-        small.count()  # materialize from the old cache before dropping it
+    # duplicated slice appears).  When the edge list fits ONE partition,
+    # skip the round loop entirely: a single Arrow-batched union-find
+    # task computes the exact min-label components in one linear pass —
+    # one Spark job instead of O(log diameter) rounds x 4 jobs each
+    # (r10; the job-count floor dominated semantic_dedup's wall time at
+    # bench scale, and on a real cluster scheduler latency makes each
+    # saved round worth far more).  Executor-side, never a driver
+    # collect.  Graphs past the cutoff keep the parallel pointer-jumping
+    # layout below — correctness is identical (min reachable id), only
+    # the schedule differs.
+    # (small_cutoff=0 forces the parallel path — tests and path-by-path
+    # benchmarking use it.)
+    if edges.count() < small_cutoff:
+        labels = _union_find_single_task(edges)
         edges.unpersist()
-        edges = small
+        return labels
     labels = _cut(
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -1299,6 +1307,52 @@ def connected_components(
     return _persist(
         labels.select(F.col("node"), F.col("label").alias("cluster"))
     )
+
+
+def _union_find_single_task(edges: "DataFrame") -> "DataFrame":
+    """Exact connected components of a SMALL symmetric edge list in one
+    executor task: coalesce to a single partition, run union-find with
+    path halving over the Arrow batches, emit (node, cluster=min id of
+    the component).  The output contract matches connected_components'
+    parallel path bit-for-bit; only graphs under its small cutoff come
+    here, so the single task holds at most ~2M dictionary entries."""
+    from pyspark.sql import functions as F
+
+    id_type = dict(edges.dtypes)["src"]
+
+    def cc(batches):
+        import pandas as pd
+
+        parent: dict = {}
+        seen: set = set()
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            # path halving
+            while parent.get(x, x) != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for s, d in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+                seen.add(s)
+                seen.add(d)
+                rs, rd = find(s), find(d)
+                if rs != rd:
+                    parent[max(rs, rd)] = min(rs, rd)
+        roots = {n: find(n) for n in seen}
+        yield pd.DataFrame(
+            {"node": list(roots), "cluster": [roots[n] for n in roots]}
+        )
+
+    out = edges.coalesce(1).mapInPandas(
+        cc, schema=f"node {id_type}, cluster {id_type}"
+    )
+    out = _persist(out)
+    out.count()  # preserve connected_components' eager contract
+    return out
 
 
 def keep_canonical(

@@ -793,8 +793,33 @@ def test_connected_components_warns_when_unconverged(spark):
     )
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        dedup.connected_components(pairs, max_iter=1).collect()
+        # small_cutoff=0 forces the PARALLEL pointer-jumping path (the
+        # single-task union-find fast path is exact in one pass and can
+        # never be unconverged).
+        dedup.connected_components(pairs, max_iter=1, small_cutoff=0).collect()
     assert any("did not converge" in str(w.message) for w in caught)
+
+
+def test_connected_components_paths_agree(spark):
+    """The r10 single-task union-find fast path and the parallel
+    pointer-jumping path must emit identical (node, cluster) labels —
+    including nodes whose only edges are duplicates or self-loops."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(300)]
+    edges += [(5, 5), (7, 7), (9, 9)]  # self-loops
+    edges += edges[:20]  # duplicates
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    fast = {
+        (r.node, r.cluster)
+        for r in dedup.connected_components(pairs).collect()
+    }
+    slow = {
+        (r.node, r.cluster)
+        for r in dedup.connected_components(pairs, small_cutoff=0).collect()
+    }
+    assert fast == slow and len(fast) > 0
 
 
 def test_null_text_docs_do_not_pair_or_blow_up(spark):
