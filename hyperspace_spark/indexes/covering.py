@@ -265,33 +265,58 @@ _BUCKET_FILE_RE = _re.compile(r"_(\d{5})\.c\d+")
 
 
 def bucket_pruned_files(entry, lits) -> list[str] | None:
-    """Index data files that can contain rows matching ANY of the equality
-    literals on the (single) bucket column; None = can't prune (full read).
+    """Single-column form of :func:`bucket_pruned_files_multi` (kept as
+    the point-probe API: equality/IN literals on the one bucket column)."""
+    indexed = entry.derived_properties.get("indexedColumns", [])
+    if len(indexed) != 1:
+        return None
+    return bucket_pruned_files_multi(entry, [lits] if lits else None)
+
+
+_MAX_BUCKET_COMBOS = 64  # IN x IN cartesian cap: plan/driver-work safety
+
+
+def bucket_pruned_files_multi(entry, lits_per_col) -> list[str] | None:
+    """Index data files that can contain rows matching the equality/IN
+    literals pinning EVERY bucket column; None = can't prune (full read).
 
     Driver-side Spark-compatible murmur3 (planner/mmh3.py) maps each
-    literal to its bucket id, then file names select the bucket's files —
-    conf-free bucket pruning that composes with a plain parquet read, so
-    neither autoBucketedScan nor DisableUnnecessaryBucketedScan matters.
-    At 100 TB an equality probe reads numBuckets'th of the index
-    (~bucket_target_bytes) instead of everything.
+    literal combination to its bucket id — for a COMPOSITE bucket key the
+    per-column hashes chain exactly like Spark's Murmur3Hash fold
+    (bucket_id_multi), so a k-column index point probe still reads
+    numBuckets'th of the index.  IN-lists cross-product per column,
+    capped at _MAX_BUCKET_COMBOS combinations.  Conf-free: composes with
+    a plain parquet read, so neither autoBucketedScan nor
+    DisableUnnecessaryBucketedScan matters.
     """
+    import itertools
+
     from hyperspace_spark.indexes.sketches import _lit_python
-    from hyperspace_spark.planner.mmh3 import bucket_id
+    from hyperspace_spark.planner.mmh3 import bucket_id_multi
 
     props = entry.derived_properties
     n = int(props.get("numBuckets", 0))
     indexed = props.get("indexedColumns", [])
-    if n <= 1 or len(indexed) != 1 or not lits:
+    if n <= 1 or not indexed or not lits_per_col or len(lits_per_col) != len(indexed):
         return None
-    col = flattened_name(indexed[0])
+    if any(not col_lits for col_lits in lits_per_col):
+        return None
+    combos = 1
+    for col_lits in lits_per_col:
+        combos *= len(col_lits)
+    if combos > _MAX_BUCKET_COMBOS:
+        return None
     try:
         schema = json.loads(props["schemaJson"])
-        dtypes = {f["name"]: f["type"] for f in schema["fields"]}
+        schema_types = {f["name"]: f["type"] for f in schema["fields"]}
     except Exception:
         return None
-    dtype = dtypes.get(col)
-    if not isinstance(dtype, str):
-        return None  # nested/complex bucket column: skip
+    dtypes = []
+    for c in indexed:
+        dt = schema_types.get(flattened_name(c))
+        if not isinstance(dt, str):
+            return None  # nested/complex bucket column: skip
+        dtypes.append(dt)
     # Catalyst renders TIMESTAMP literals as wall-clock text in the
     # session timezone; the hasher needs it to recover physical micros.
     from pyspark.sql import SparkSession
@@ -304,16 +329,22 @@ def bucket_pruned_files(entry, lits) -> list[str] | None:
     session_tz = (
         active.conf.get("spark.sql.session.timeZone", "UTC") if active else None
     )
-    wanted: set[int] = set()
-    for lit in lits:
-        if lit.is_null:
-            b = bucket_id(None, dtype, n)
-        else:
+    py_per_col = []
+    for col_lits, dtype in zip(lits_per_col, dtypes):
+        vals = []
+        for lit in col_lits:
+            if lit.is_null:
+                vals.append(None)
+                continue
             if lit.dtype != dtype:
                 return None  # type mismatch build-vs-probe: unsound to hash
             if session_tz is None and dtype == "timestamp":
                 return None
-            b = bucket_id(_lit_python(lit), dtype, n, session_tz=session_tz or "UTC")
+            vals.append(_lit_python(lit))
+        py_per_col.append(vals)
+    wanted: set[int] = set()
+    for combo in itertools.product(*py_per_col):
+        b = bucket_id_multi(list(combo), dtypes, n, session_tz=session_tz or "UTC")
         if b is None:
             return None
         wanted.add(b)

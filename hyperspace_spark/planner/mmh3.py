@@ -206,7 +206,22 @@ def spark_hash(value, dtype: str, seed: int = SEED, session_tz: str = "UTC") -> 
 def bucket_id(value, dtype: str, num_buckets: int, session_tz: str = "UTC") -> int | None:
     """Spark bucket id for a single-column bucket key, or None if the
     type isn't supported (no pruning)."""
-    h = spark_hash(value, dtype, session_tz=session_tz)
-    if h is None:
-        return None
+    return bucket_id_multi([value], [dtype], num_buckets, session_tz=session_tz)
+
+
+def bucket_id_multi(
+    values: list, dtypes: list[str], num_buckets: int, session_tz: str = "UTC"
+) -> int | None:
+    """Spark bucket id for a COMPOSITE bucket key, or None if any
+    column's type isn't replicated here (no pruning — always sound).
+
+    Spark's Murmur3Hash expression folds over its children, each
+    column's hash seeding the next (`children.foldLeft(seed)`), so a
+    k-column bucket key chains k single-column hashes.  Verified against
+    ``F.hash(c1, c2, ...)`` in tests/test_bucket_pruning.py."""
+    h = SEED
+    for v, dt in zip(values, dtypes):
+        h = spark_hash(v, dt, seed=h, session_tz=session_tz)
+        if h is None:
+            return None
     return ((h % num_buckets) + num_buckets) % num_buckets

@@ -238,12 +238,16 @@ class FilterIndexRule:
         # the indexed columns, so parquet row-group stats do the pruning.
         pruned: list[str] | None = None
         if ctx.conf.filter_rule_use_bucket_spec and not appended and self.kind == "CI":
-            indexed = entry.derived_properties.get("indexedColumns", [""])
-            lits = equality_literals(filt.condition, indexed[0]) if indexed else None
-            if lits is not None:
-                from hyperspace_spark.indexes.covering import bucket_pruned_files
+            # Composite bucket keys prune too (r10): equality/IN
+            # conjuncts pinning EVERY indexed column chain their hashes
+            # like Spark's Murmur3Hash fold — a k-column point probe
+            # still reads numBuckets'th of the index.
+            indexed = entry.derived_properties.get("indexedColumns", [])
+            lits_per_col = [equality_literals(filt.condition, c) for c in indexed]
+            if indexed and all(l is not None for l in lits_per_col):
+                from hyperspace_spark.indexes.covering import bucket_pruned_files_multi
 
-                pruned = bucket_pruned_files(entry, lits)
+                pruned = bucket_pruned_files_multi(entry, lits_per_col)
         if pruned is None and entry.derived_properties.get("fileStats"):
             # Z-order path: per-file min/max ranges of the indexed columns
             # (tight after z-clustering) prune index files driver-side —
@@ -349,13 +353,13 @@ class FilterOrIndexRule:
 
                     if not implies(d, _entry_predicate(c.entry)):
                         continue
-                lits = equality_literals(d, indexed[0])
-                if lits is None:
-                    ctx.tag(c.entry.name, OR_BRANCH_NOT_PRUNABLE, f"no equality on {indexed[0]} in disjunct")
+                lits_per_col = [equality_literals(d, col) for col in indexed]
+                if any(l is None for l in lits_per_col):
+                    ctx.tag(c.entry.name, OR_BRANCH_NOT_PRUNABLE, f"no equality on all of {indexed} in disjunct")
                     continue
-                from hyperspace_spark.indexes.covering import bucket_pruned_files
+                from hyperspace_spark.indexes.covering import bucket_pruned_files_multi
 
-                pruned = bucket_pruned_files(c.entry, lits)
+                pruned = bucket_pruned_files_multi(c.entry, lits_per_col)
                 if pruned is None:
                     ctx.tag(c.entry.name, OR_BRANCH_NOT_PRUNABLE, "bucket pruning unavailable")
                     continue

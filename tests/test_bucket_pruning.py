@@ -321,3 +321,66 @@ def test_ntz_literal_year_padding():
     micros = int((dt.datetime(5, 1, 1) - dt.datetime(1970, 1, 1)).total_seconds()) * 1_000_000
     s = _render_internal_literal(micros, "timestamp_ntz", None)
     assert s == "TIMESTAMP_NTZ '0005-01-01 00:00:00.000000'", s
+
+
+def test_multi_column_hash_chains_like_spark(spark):
+    """bucket_id_multi's per-column fold must equal F.hash(c1, c2, ...)
+    (Murmur3Hash folds children, each hash seeding the next) — including
+    NULL columns (skipped: seed passes through)."""
+    from hyperspace_spark.planner.mmh3 import bucket_id_multi, spark_hash
+    from hyperspace_spark.planner.mmh3 import SEED, _signed32
+
+    rows = [
+        (1, "a"), (42, "hello"), (-7, ""), (2**40, "héllo"), (0, None), (None, "x"),
+    ]
+    df = spark.createDataFrame(rows, "a long, b string").select(
+        "a", "b", F.hash("a", "b").alias("h")
+    )
+    for r in df.collect():
+        h = SEED
+        h = spark_hash(r.a, "long", seed=h)
+        h = spark_hash(r.b, "string", seed=h)
+        assert _signed32(h) == r.h, (r.a, r.b)
+        # and the bucket id derives from the same fold
+        assert bucket_id_multi([r.a, r.b], ["long", "string"], 16) == ((r.h % 16) + 16) % 16
+
+
+def test_composite_key_filter_pruning_e2e(spark, tmp_path):
+    """A 2-column covering index bucket-prunes when the predicate pins
+    BOTH indexed columns, reads exactly the probed bucket's files, and
+    returns the same rows as the unpruned plan; pinning only one column
+    serves the index WITHOUT pruning (sound fallback)."""
+    from hyperspace_spark import CoveringIndexConfig, Hyperspace
+
+    src = str(tmp_path / "li")
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").repartition(
+        4
+    ).write.parquet(src)
+    li = spark.read.parquet(src)
+    hs = Hyperspace(spark, system_path=str(tmp_path / "idx"))
+    hs.create_index(
+        li,
+        CoveringIndexConfig(
+            "comp_idx",
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice"],
+            num_buckets=16,
+        ),
+    )
+    ok = li.select("l_orderkey").limit(1).collect()[0][0]
+    q = li.filter(f"l_orderkey = {ok} AND l_linenumber IN (1, 2)").select(
+        "l_quantity", "l_extendedprice"
+    )
+    out, used = hs._apply_with_info(q)
+    assert used == ["comp_idx"], hs.why_not(q)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"InMemoryFileIndex\((\d+) paths?\)", plan)
+    assert m and int(m.group(1)) <= 2, plan  # <=2 bucket files, not all 16
+    assert sorted(map(tuple, q.collect())) == sorted(map(tuple, out.collect()))
+    # single-column equality on a composite key: no pruning, still served
+    q2 = li.filter(f"l_orderkey = {ok}").select("l_quantity", "l_extendedprice")
+    out2, used2 = hs._apply_with_info(q2)
+    assert used2 == ["comp_idx"]
+    assert sorted(map(tuple, q2.collect())) == sorted(map(tuple, out2.collect()))
