@@ -282,12 +282,11 @@ class Hyperspace:
     # ``spark.read.parquet(p).filter(...).collect()`` is accelerated with
     # no explicit hs.apply() — closing the DataFrame-API half of the
     # reference's ApplyHyperspace.scala:32-76 coverage.  ``df.write``
-    # IS routed too (r6: a property patch on the DataFrame class).
-    # Still NOT routed: ``df.writeStream`` and RDD-side actions
-    # (``df.rdd``, foreach/foreachPartition) — an enabled session that
-    # sees one emits a one-time telemetry warning so the lost
-    # acceleration is visible; call apply() explicitly before those if
-    # the producing query should be accelerated.
+    # IS routed too (r6: a property patch on the DataFrame class),
+    # ``df.rdd`` builds from the rewritten frame (r10,
+    # _make_routed_rdd), and ``df.writeStream`` sinks trigger automatic
+    # index maintenance (r9, streaming/refresh.py listener).  Every
+    # action surface is now covered.
     # ------------------------------------------------------------------
     def enable(self, dataframe_api: bool = True) -> None:
         """Route this session's queries through the index planner:
@@ -1770,6 +1769,174 @@ class Hyperspace:
                 f"index candidates): {', '.join(kinds)}"
             )
         return "\n".join(lines)
+
+    # ------------------------------------------------------------------
+    # index recommendation (extension: whyNot explains the miss, this
+    # proposes the index that would hit — the advisory loop's other half)
+    # ------------------------------------------------------------------
+    def recommend(self, df: "DataFrame") -> list[dict]:
+        """Covering-index configurations that would accelerate ``df``,
+        derived from the query's own shape: filters suggest an index
+        keyed on the equality-pinned column (bucket-prunable point
+        probes) or the first range column, equi-joins suggest a
+        co-bucketed pair keyed on the join columns, aggregates/windows
+        suggest the grouping keys.  Suggestions already served by an
+        ACTIVE index on the same source are dropped.
+
+        Returns dicts: ``{"config": CoveringIndexConfig, "rule": <the
+        planner rule that would consume it>, "reason": <human line>,
+        "source": <root paths>}`` — pass ``config`` straight to
+        ``create_index``.  Advisory only: nothing is created."""
+        from hyperspace_spark.indexes.covering import CoveringIndexConfig
+        from hyperspace_spark.planner import ir as _ir
+        from hyperspace_spark.planner.parser import parse_df
+        from hyperspace_spark.planner.rules import (
+            equality_literals,
+            match_filter_pattern,
+            match_linear_side,
+        )
+        from hyperspace_spark.planner.expr import split_conjuncts
+
+        try:
+            plan = parse_df(df)
+        except Exception:
+            return []
+        conf = self.conf()
+        entries = [
+            e
+            for e in self._all_latest_entries(conf)
+            if e.state == States.ACTIVE and e.derived_kind in ("CI", "ZCI")
+        ]
+
+        def covered_by_existing(scan, indexed, required):
+            for e in entries:
+                roots = tuple(
+                    sorted(
+                        _norm_path(p) for r in e.relations for p in r.root_paths
+                    )
+                )
+                if roots != scan.normalized_paths():
+                    continue
+                p = e.derived_properties
+                if p.get("filterPredicateExpr"):
+                    continue  # partial: can't assume it serves
+                have = p.get("indexedColumns", [])
+                cov = set(have) | set(p.get("includedColumns", []))
+                if have[: len(indexed)] == list(indexed) and set(required) <= cov:
+                    return True
+            return False
+
+        suggestions: list[dict] = []
+        seen_keys: set[tuple] = set()
+
+        def add(scan, indexed, required, rule, reason):
+            indexed = [c for c in indexed if "." not in c]
+            if not indexed:
+                return
+            included = sorted(c for c in required if c not in indexed and "." not in c)
+            key = (scan.normalized_paths(), tuple(indexed), tuple(included))
+            if key in seen_keys or covered_by_existing(scan, indexed, required):
+                return
+            seen_keys.add(key)
+            name = f"hs_rec_{len(suggestions)}_{indexed[0]}".lower()
+            suggestions.append(
+                {
+                    "config": CoveringIndexConfig(name, list(indexed), included),
+                    "rule": rule,
+                    "reason": reason,
+                    "source": list(scan.normalized_paths()),
+                }
+            )
+
+        seen_filters: set[int] = set()
+
+        def walk(node):
+            m = match_filter_pattern(node)
+            if m is not None and id(m[1]) not in seen_filters:
+                # outermost match wins: Project(Filter(Scan)) also
+                # matches again at the bare Filter child with a wider
+                # required set — suggest once, with the projection.
+                seen_filters.add(id(m[1]))
+                _, filt, scan = m
+                try:
+                    required = sorted(_ir.required_columns(node))
+                except ValueError:
+                    required = sorted(filt.condition.references)
+                refs = [c for c in sorted(filt.condition.references) if "." not in c]
+                eq = [
+                    c
+                    for c in refs
+                    if equality_literals(filt.condition, c) is not None
+                ]
+                if eq:
+                    add(
+                        scan,
+                        eq[:1],
+                        required,
+                        "FilterIndexRule",
+                        f"equality probe on {eq[0]}: bucket-pruned point lookup",
+                    )
+                elif refs:
+                    add(
+                        scan,
+                        refs[:1],
+                        required,
+                        "FilterIndexRule",
+                        f"range predicate on {refs[0]}: sorted index scan with row-group pruning",
+                    )
+            if isinstance(node, _ir.JoinN) and node.equi_keys:
+                for side, keys in (
+                    (node.left, [l for l, _ in node.equi_keys]),
+                    (node.right, [r for _, r in node.equi_keys]),
+                ):
+                    ms = match_linear_side(side)
+                    if ms is None:
+                        continue
+                    scan, required = ms
+                    add(
+                        scan,
+                        keys,
+                        sorted(required),
+                        "JoinIndexRule",
+                        f"equi-join on {', '.join(keys)}: co-bucketed pair eliminates the join shuffle "
+                        "(create BOTH sides' indexes with equal num_buckets)",
+                    )
+            if isinstance(node, _ir.AggregateN) and node.grouping:
+                from hyperspace_spark.planner.rules import _plain_column
+
+                keys = [c for c in (_plain_column(g) for g in node.grouping) if c]
+                ms = match_linear_side(node.child)
+                if keys and ms is not None:
+                    scan, required = ms
+                    add(
+                        scan,
+                        keys,
+                        sorted(required),
+                        "AggBucketedIndexRule",
+                        f"GROUP BY {', '.join(keys)}: bucketed read drops the aggregation exchange",
+                    )
+            if isinstance(node, _ir.WindowN) and node.partition_cols:
+                ms = match_linear_side(node.child)
+                if ms is not None:
+                    scan, required = ms
+                    add(
+                        scan,
+                        list(node.partition_cols),
+                        sorted(required),
+                        "WindowBucketedIndexRule",
+                        f"window PARTITION BY {', '.join(node.partition_cols)}: bucketed read drops the window exchange",
+                    )
+            for k in _ir.children(node):
+                walk(k)
+
+        walk(plan)
+        return suggestions
+
+
+def _norm_path(p: str) -> str:
+    from hyperspace_spark.planner.ir import _normalize_path
+
+    return _normalize_path(p)
 
 
 def _scan_of(rel: Relation) -> ir.Scan:
