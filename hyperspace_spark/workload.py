@@ -4442,7 +4442,7 @@ def quality_weighted_sample(spark, sf_dir):
                   % 16 AS BIGINT) AS shard
       FROM documents
     )
-    SELECT shard, count(*) AS docs, sum(n_chars) AS chars
+    SELECT shard, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
     FROM ranked GROUP BY shard
     """,
 )
@@ -5228,10 +5228,12 @@ _VERIFY_PRIORITY = [
     # whose last green row is r07 — now three rounds old, the oldest
     # evidence in the contract (includes dedup_minhash_lsh, whose kernel
     # is under the r9 verdict's regression triage this round),
-    # (2) multimodal_decode_real, NEW in r10 (pure-numpy BMP/PPM/WAV
-    # decode), (3) the first 29 of the 46 r8-greens, in their r8 order.
-    # The remaining 17 r8-greens (setop_intersect .. nested_filter_index)
-    # plus the 50 r9-greens ride past the cap; the 17 LEAD the r11
+    # (2) the SIX queries NEW in r10 (multimodal_decode_real,
+    # avro_roundtrip, covering_filter_or, covering_filter_partial,
+    # corpus_shard_assign, streaming_interval_join — no prior evidence,
+    # so they must verify this round), (3) the first ~24 of the 46
+    # r8-greens, in their r8 order.  The remaining r8-greens plus the
+    # 50 r9-greens ride past the cap; the r8 leftovers LEAD the r11
     # window so no entry's evidence ever exceeds three rounds.  Every
     # entry is ALSO re-verified each session by the local contract
     # pytest (same DuckDB compare, exact float repr). ---
