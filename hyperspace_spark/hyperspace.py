@@ -531,6 +531,7 @@ class Hyperspace:
                 p["indexedColumns"],
                 p["includedColumns"],
                 target_bytes_per_partition=p.get("targetBytesPerPartition"),
+                where=p.get("filterPredicate"),
             )
         if entry.derived_kind == "DS":
             from hyperspace_spark.indexes.dataskipping import DataSkippingIndexConfig
@@ -686,6 +687,11 @@ class Hyperspace:
                     new_df = _relation_reader(
                         self.spark, rel, with_base_path=True
                     ).load([f.path for f in appended])
+                    if props.get("filterPredicate"):
+                        # Partial z-order index: appended files
+                        # contribute only predicate rows (create-path
+                        # parity).
+                        new_df = new_df.filter(props["filterPredicate"])
                     new_stats, n_new_parts = zo.append_index_data(
                         self.spark, new_df, entry, conf, appended, tracker, data_dir
                     )

@@ -46,6 +46,12 @@ class ZOrderCoveringIndexConfig(IndexConfig):
     # other's range partitioning (and leak a stale value back into the
     # session from the loser's restore).
     target_bytes_per_partition: int | None = None
+    # PARTIAL index predicate — same semantics as
+    # CoveringIndexConfig.where (indexes/covering.py): only satisfying
+    # rows are z-clustered; the planner serves the index only when the
+    # query filter provably implies the predicate (ZOrderFilterIndexRule
+    # inherits FilterIndexRule's implication gate).
+    where: str | None = None
 
     @property
     def kind(self) -> str:
@@ -206,6 +212,12 @@ def create_index_data(
     # reconstruction (covering._select_reconstructed) works unchanged.
     # The flat names CONTAIN dots, so every by-name reference below must
     # go through _bq (backquoted Column).
+    pred_props = {}
+    where = getattr(config, "where", None)
+    if where:
+        from hyperspace_spark.indexes.covering import _apply_partial_predicate
+
+        df, pred_props = _apply_partial_predicate(df, where)
     projected = df
     if conf.lineage_enabled:
         projected = with_lineage(df, spark, files, tracker)
@@ -250,6 +262,7 @@ def create_index_data(
         # sizing the index was created with (not the session default).
         "targetBytesPerPartition": target,
         "fileStats": collect_file_stats(spark, data_dir, list(config.indexed_columns)),
+        **pred_props,
     }
 
 

@@ -256,3 +256,60 @@ def test_partial_incremental_refresh_appends_only_predicate_rows(spark, env, tmp
     out, used = hs._apply_with_info(df)
     assert "p_inc" in used, hs.why_not(df)
     assert rows_equal(df, out)
+
+
+def test_partial_zorder_index(spark, tmp_path):
+    """Partial Z-ORDER index: same where semantics through the z-cluster
+    build, the inherited implication gate, and incremental append."""
+    import glob
+    import shutil
+
+    from hyperspace_spark import Hyperspace, ZOrderCoveringIndexConfig
+
+    root = str(tmp_path)
+    src = f"{root}/li"
+    table(spark, "lineitem").repartition(4).write.parquet(src)
+    li = spark.read.parquet(src)
+    hs = Hyperspace(spark, system_path=f"{root}/idx")
+    hs.create_index(
+        li,
+        ZOrderCoveringIndexConfig(
+            "pz",
+            ["l_quantity", "l_extendedprice"],
+            ["l_orderkey", "l_returnflag"],
+            where="l_returnflag = 'R'",
+        ),
+    )
+    mgr = hs._log_mgr("pz", hs.conf())
+    entry = mgr.get_latest_stable_log()
+    assert entry.derived_properties.get("filterPredicate")
+    n_idx = spark.read.parquet(entry.index_data_dirs[0]).count()
+    n_pred = li.filter("l_returnflag = 'R'").count()
+    assert n_idx == n_pred
+    # implied -> served
+    df = li.filter("l_quantity > 45 AND l_returnflag = 'R'").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    out, used = hs._apply_with_info(df)
+    assert used == ["pz"], hs.why_not(df)
+    assert rows_equal(df, out)
+    # not implied -> declined
+    df2 = li.filter("l_quantity > 45").select("l_orderkey", "l_extendedprice")
+    out2, used2 = hs._apply_with_info(df2)
+    assert used2 == []
+    assert "PREDICATE_NOT_IMPLIED" in hs.why_not(df2)
+    # incremental append adds only predicate rows
+    one = sorted(glob.glob(f"{src}/part-*.parquet"))[0]
+    shutil.copy(one, f"{src}/appended_0.parquet")
+    hs.refresh_index("pz", "incremental")
+    entry2 = mgr.get_latest_stable_log()
+    after = spark.read.parquet(entry2.index_data_dirs[0]).count()
+    added = spark.read.parquet(one).filter("l_returnflag = 'R'").count()
+    assert after == n_idx + added
+    li2 = spark.read.parquet(src)
+    df3 = li2.filter("l_quantity > 45 AND l_returnflag = 'R'").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    out3, used3 = hs._apply_with_info(df3)
+    assert used3 == ["pz"], hs.why_not(df3)
+    assert rows_equal(df3, out3)
