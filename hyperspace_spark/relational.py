@@ -357,3 +357,74 @@ def retention_cohorts(
         )
         .agg(F.count("*").alias("users"))
     )
+
+
+def resample_gapfill(
+    df: "DataFrame",
+    key_col: str,
+    ts_col: str,
+    interval: str = "1 day",
+    agg_col: str = "value",
+    how: str = "locf",
+    bucket_col: str = "bucket",
+    value_col: str = "value",
+    count_col: str = "n",
+) -> "DataFrame":
+    """Per-key regular time series with gap filling — the TimescaleDB
+    ``time_bucket_gapfill`` + ``locf`` shape Spark has no native operator
+    for (r10): bucket events into tumbling ``interval`` windows per key,
+    aggregate, then emit EVERY bucket from each key's first to its last —
+    missing buckets get ``count=0`` and a value filled per ``how``:
+
+    - ``locf``   — last observation carried forward (monitoring /
+      sensor-reading semantics; the first bucket per key always has data,
+      so no leading nulls)
+    - ``zero``   — 0.0 (additive metrics: revenue in an empty day IS 0)
+    - ``null``   — left NULL (the gap stays visible)
+
+    Scale shape: one map-side-combined aggregate (events -> key x bucket,
+    the only pass over the corpus), a per-key min/max (key-scale), the
+    grid EXPLODED from ``sequence()`` executor-side (never a driver
+    loop — a key spanning years of minutes explodes in its own task),
+    one co-keyed left join, and for ``locf`` a window over the key's own
+    buckets.  Every post-aggregate stage is grid-scale (keys x buckets),
+    not event-scale."""
+    from pyspark.sql import Window, functions as F
+
+    if how not in ("locf", "zero", "null"):
+        raise ValueError(f"how must be locf|zero|null, got {how!r}")
+    b = (
+        df.groupBy(
+            F.col(key_col),
+            F.window(F.col(ts_col), interval).start.alias(bucket_col),
+        )
+        .agg(
+            F.sum(agg_col).alias("_hs_v"),
+            F.count("*").alias(count_col),
+        )
+    )
+    grid = (
+        b.groupBy(key_col)
+        .agg(F.min(bucket_col).alias("_hs_lo"), F.max(bucket_col).alias("_hs_hi"))
+        .select(
+            key_col,
+            F.explode(
+                F.sequence("_hs_lo", "_hs_hi", F.expr(f"INTERVAL {interval}"))
+            ).alias(bucket_col),
+        )
+    )
+    j = grid.join(b, [key_col, bucket_col], "left").withColumn(
+        count_col, F.coalesce(F.col(count_col), F.lit(0))
+    )
+    if how == "locf":
+        w = (
+            Window.partitionBy(key_col)
+            .orderBy(bucket_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        j = j.withColumn(value_col, F.last("_hs_v", ignorenulls=True).over(w))
+    elif how == "zero":
+        j = j.withColumn(value_col, F.coalesce(F.col("_hs_v"), F.lit(0.0)))
+    else:
+        j = j.withColumn(value_col, F.col("_hs_v"))
+    return j.drop("_hs_v")

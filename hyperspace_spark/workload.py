@@ -4902,6 +4902,56 @@ def streaming_tumbling_rollup(spark, sf_dir):
 
 
 @q(
+    "resample_gapfill_daily",
+    """
+    WITH b AS (
+      SELECT user_id, date_trunc('day', ts) AS bucket,
+             sum(value) AS v, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    rng AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM b GROUP BY 1),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket
+      FROM rng
+    ),
+    j AS (
+      SELECT g.user_id, g.bucket, b.v, coalesce(b.n, 0) AS n
+      FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket = b.bucket
+    )
+    SELECT user_id, strftime(bucket, '%Y-%m-%d') AS day, n,
+           round(last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS v_filled
+    FROM j
+    """,
+)
+def resample_gapfill_daily(spark, sf_dir):
+    """Per-user daily time series with gap filling (relational.py
+    resample_gapfill): every day from a user's first to last event,
+    empty days carry count 0 and the last observed daily value forward
+    (locf — the TimescaleDB time_bucket_gapfill shape Spark lacks).
+    The grid explodes from sequence() executor-side; every
+    post-aggregate stage is grid-scale, not event-scale."""
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.relational import resample_gapfill
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = resample_gapfill(
+        ev, key_col="user_id", ts_col="ts", interval="1 day", agg_col="value",
+        how="locf",
+    )
+    return out.select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.round("value", 2).alias("v_filled"),
+    )
+
+
+@q(
     "streaming_interval_join",
     """
     SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id
@@ -5228,10 +5278,11 @@ _VERIFY_PRIORITY = [
     # whose last green row is r07 — now three rounds old, the oldest
     # evidence in the contract (includes dedup_minhash_lsh, whose kernel
     # is under the r9 verdict's regression triage this round),
-    # (2) the SIX queries NEW in r10 (multimodal_decode_real,
+    # (2) the SEVEN queries NEW in r10 (multimodal_decode_real,
     # avro_roundtrip, covering_filter_or, covering_filter_partial,
-    # corpus_shard_assign, streaming_interval_join — no prior evidence,
-    # so they must verify this round), (3) the first ~24 of the 46
+    # corpus_shard_assign, streaming_interval_join,
+    # resample_gapfill_daily — no prior evidence, so they must verify
+    # this round), (3) the first ~23 of the 46
     # r8-greens, in their r8 order.  The remaining r8-greens plus the
     # 50 r9-greens ride past the cap; the r8 leftovers LEAD the r11
     # window so no entry's evidence ever exceeds three rounds.  Every
@@ -5265,6 +5316,7 @@ _VERIFY_PRIORITY = [
     "covering_filter_partial",
     "corpus_shard_assign",
     "streaming_interval_join",
+    "resample_gapfill_daily",
     # --- last green r08, rotating back (r8 order preserved) ---
     "text_search_inverted",
     "metadata_only_agg",

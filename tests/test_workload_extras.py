@@ -381,3 +381,46 @@ def test_retention_cohort_triangle(spark):
         ("2024-01-08", 0): 1,
         ("2024-01-08", 1): 1,
     }
+
+
+def test_resample_gapfill_modes(spark):
+    """resample_gapfill: grid completeness per key (first..last bucket,
+    no holes), count 0 on gaps, and the three fill semantics."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.relational import resample_gapfill
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 5), 10.0),
+        (1, datetime.datetime(2024, 1, 1, 7), 20.0),   # day 1: 30
+        (1, datetime.datetime(2024, 1, 4, 1), 5.0),    # days 2-3: gap
+        (2, datetime.datetime(2024, 1, 2, 0), 1.0),    # single day
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, value double")
+    locf = resample_gapfill(df, "user_id", "ts", "1 day", "value", how="locf")
+    got = {
+        (r.user_id, r.bucket.date().isoformat()): (r.n, r.value)
+        for r in locf.collect()
+    }
+    assert got == {
+        (1, "2024-01-01"): (2, 30.0),
+        (1, "2024-01-02"): (0, 30.0),  # carried forward
+        (1, "2024-01-03"): (0, 30.0),
+        (1, "2024-01-04"): (1, 5.0),
+        (2, "2024-01-02"): (1, 1.0),
+    }
+    zero = resample_gapfill(df, "user_id", "ts", "1 day", "value", how="zero")
+    z = {(r.user_id, r.bucket.date().isoformat()): r.value for r in zero.collect()}
+    assert z[(1, "2024-01-02")] == 0.0 and z[(1, "2024-01-01")] == 30.0
+    nul = resample_gapfill(df, "user_id", "ts", "1 day", "value", how="null")
+    nv = {(r.user_id, r.bucket.date().isoformat()): r.value for r in nul.collect()}
+    assert nv[(1, "2024-01-03")] is None
+    # hourly interval works too (sequence step honored)
+    hourly = resample_gapfill(df, "user_id", "ts", "1 hour", "value", how="zero")
+    assert hourly.filter("user_id = 1").count() == 69  # 01-01 05:00 .. 01-04 01:00
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        resample_gapfill(df, "user_id", "ts", "1 day", "value", how="bogus")
