@@ -187,6 +187,14 @@ def main() -> None:
         # r10 — real media decode roundtrip, pure-Python avro coding
         "multimodal_decode_real",
         "avro_roundtrip",
+        # r10b — index-OR union, partial index, shard assignment,
+        # stream-stream interval join, gap-filled resample, boolean text
+        "covering_filter_or",
+        "covering_filter_partial",
+        "corpus_shard_assign",
+        "streaming_interval_join",
+        "resample_gapfill_daily",
+        "text_search_boolean",
     ]
 
 
@@ -276,7 +284,7 @@ def main() -> None:
             raw = timed(name, runs=3)
         finally:
             spark.conf.set("spark.hyperspace.apply.enabled", "true")
-        timings[name] = min(timings[name], accel)
+        timings[name] = min(timings.get(name, accel), accel)
         speedups[name] = round(raw / timings[name], 2)
 
     # Cold-build probe: full create_index cost from scratch (throwaway

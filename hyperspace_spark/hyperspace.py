@@ -1586,6 +1586,20 @@ class Hyperspace:
             deleted=deleted,
         )
 
+    def text_search_boolean(self, index_name: str, query: str) -> "DataFrame":
+        """Doc ids satisfying a boolean term query — ``'(quick AND brown)
+        OR (lazy AND NOT dog)'`` — from the TXT index: ONE bucket-pruned
+        probe for all the query's terms, membership evaluated per doc.
+        Negation-only queries (satisfiable by a doc containing none of
+        the terms) are refused — they'd need a corpus scan.
+        Hybrid-exact like text_search."""
+        from hyperspace_spark.indexes.inverted import text_search_boolean
+
+        entry, appended, deleted = self._txt_entry(index_name)
+        return text_search_boolean(
+            self.spark, entry, query, appended=appended, deleted=deleted
+        )
+
     def text_search_phrase(self, index_name: str, phrase: str) -> "DataFrame":
         """Exact consecutive-token phrase match from the TXT index's
         positional postings: candidates come from the bucket-pruned

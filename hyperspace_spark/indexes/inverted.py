@@ -383,6 +383,125 @@ def text_search(
     )
 
 
+def _parse_bool_query(query: str):
+    """Recursive-descent parser for boolean term queries:
+    ``expr := and_expr (OR and_expr)* ; and_expr := unary (AND unary)* ;
+    unary := NOT unary | '(' expr ')' | TERM``.  Keywords are
+    case-insensitive; terms normalize like indexed tokens.  Returns an
+    AST of ("term", t) / ("not", x) / ("and", [xs]) / ("or", [xs])."""
+    import re
+
+    toks = re.findall(r"\(|\)|[^\s()]+", query)
+    pos = [0]
+
+    def peek():
+        return toks[pos[0]] if pos[0] < len(toks) else None
+
+    def take():
+        t = peek()
+        pos[0] += 1
+        return t
+
+    def kw(t, name):
+        return t is not None and t.upper() == name
+
+    def parse_or():
+        parts = [parse_and()]
+        while kw(peek(), "OR"):
+            take()
+            parts.append(parse_and())
+        return parts[0] if len(parts) == 1 else ("or", parts)
+
+    def parse_and():
+        parts = [parse_unary()]
+        while kw(peek(), "AND"):
+            take()
+            parts.append(parse_unary())
+        return parts[0] if len(parts) == 1 else ("and", parts)
+
+    def parse_unary():
+        t = peek()
+        if kw(t, "NOT"):
+            take()
+            return ("not", parse_unary())
+        if t == "(":
+            take()
+            inner = parse_or()
+            if take() != ")":
+                raise ValueError(f"unbalanced parentheses in query {query!r}")
+            return inner
+        if t is None or t == ")" or kw(t, "AND") or kw(t, "OR"):
+            raise ValueError(f"malformed boolean query {query!r} (at {t!r})")
+        return ("term", normalize_terms([take()])[0])
+
+    ast = parse_or()
+    if peek() is not None:
+        raise ValueError(f"trailing tokens in boolean query {query!r}")
+    return ast
+
+
+def _bool_terms(ast) -> set:
+    if ast[0] == "term":
+        return {ast[1]}
+    if ast[0] == "not":
+        return _bool_terms(ast[1])
+    return set().union(*[_bool_terms(c) for c in ast[1]])
+
+
+def _bool_eval(ast, has):
+    """Evaluate the AST with ``has(term)`` membership — works for both
+    python bools (satisfiability check) and Spark Columns (&, |, ~)."""
+    if ast[0] == "term":
+        return has(ast[1])
+    if ast[0] == "not":
+        v = _bool_eval(ast[1], has)
+        return (not v) if isinstance(v, bool) else ~v
+    vals = [_bool_eval(c, has) for c in ast[1]]
+    out = vals[0]
+    for v in vals[1:]:
+        if isinstance(out, bool):
+            out = (out and v) if ast[0] == "and" else (out or v)
+        else:
+            out = (out & v) if ast[0] == "and" else (out | v)
+    return out
+
+
+def text_search_boolean(
+    spark: "SparkSession",
+    entry,
+    query: str,
+    appended=None,
+    deleted=None,
+) -> "DataFrame":
+    """Doc ids satisfying a boolean term QUERY — ``'(quick AND brown) OR
+    (lazy AND NOT dog)'`` — evaluated over the probed tokens' postings
+    only (one bucket-pruned read for ALL the query's terms; the corpus
+    text is never scanned).
+
+    Membership is per doc id across physical copies (same combined-
+    content semantics as ``text_search(mode='all')``).  Negation is
+    supported only in queries a no-term doc CANNOT satisfy (e.g. ``a AND
+    NOT b``): a query satisfiable with every term absent (``NOT b``,
+    ``a OR NOT b``) would require the corpus's full doc universe — the
+    exact thing the index exists to avoid reading — so it is refused
+    loudly rather than answered wrong."""
+    from pyspark.sql import functions as F
+
+    ast = _parse_bool_query(query)
+    terms = sorted(_bool_terms(ast))
+    if _bool_eval(ast, lambda t: False):
+        raise ValueError(
+            f"boolean query {query!r} is satisfiable by documents containing "
+            "none of its terms; answering it needs a corpus scan, not an "
+            "index probe — add a positive conjunct"
+        )
+    props = entry.derived_properties
+    hits = _probe_hits(spark, entry, terms, appended=appended, deleted=deleted)
+    toks = hits.groupBy("_doc").agg(F.collect_set("token").alias("_toks"))
+    cond = _bool_eval(ast, lambda t: F.array_contains(F.col("_toks"), t))
+    return toks.filter(cond).select(F.col("_doc").alias(props["idCol"]))
+
+
 def text_search_ranked(
     spark: "SparkSession",
     entry,

@@ -1099,6 +1099,30 @@ def text_search_inverted(spark, sf_dir):
 
 
 @q(
+    "text_search_boolean",
+    r"""
+    WITH tk AS (
+      SELECT doc_id, list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id FROM tk
+    WHERE (list_contains(toks, 'data') AND list_contains(toks, 'join'))
+       OR (list_contains(toks, 'scan') AND NOT list_contains(toks, 'query'))
+    """,
+)
+def text_search_boolean(spark, sf_dir):
+    """Boolean retrieval from the TXT index (indexes/inverted.py
+    text_search_boolean): '(data AND join) OR (scan AND NOT query)' —
+    one bucket-pruned probe fetches all four terms' postings, membership
+    evaluates per doc, the corpus text is never read.  The oracle
+    replays the expression over raw tokenized documents."""
+    ws = workspace(spark, sf_dir)
+    return ws.hs.text_search_boolean(
+        "w_doc_txt", "(data AND join) OR (scan AND NOT query)"
+    )
+
+
+@q(
     "text_search_ranked",
     r"""
     WITH tk AS (
@@ -5278,11 +5302,11 @@ _VERIFY_PRIORITY = [
     # whose last green row is r07 — now three rounds old, the oldest
     # evidence in the contract (includes dedup_minhash_lsh, whose kernel
     # is under the r9 verdict's regression triage this round),
-    # (2) the SEVEN queries NEW in r10 (multimodal_decode_real,
+    # (2) the EIGHT queries NEW in r10 (multimodal_decode_real,
     # avro_roundtrip, covering_filter_or, covering_filter_partial,
     # corpus_shard_assign, streaming_interval_join,
-    # resample_gapfill_daily — no prior evidence, so they must verify
-    # this round), (3) the first ~23 of the 46
+    # resample_gapfill_daily, text_search_boolean — no prior evidence,
+    # so they must verify this round), (3) the first ~22 of the 46
     # r8-greens, in their r8 order.  The remaining r8-greens plus the
     # 50 r9-greens ride past the cap; the r8 leftovers LEAD the r11
     # window so no entry's evidence ever exceeds three rounds.  Every
@@ -5317,6 +5341,7 @@ _VERIFY_PRIORITY = [
     "corpus_shard_assign",
     "streaming_interval_join",
     "resample_gapfill_daily",
+    "text_search_boolean",
     # --- last green r08, rotating back (r8 order preserved) ---
     "text_search_inverted",
     "metadata_only_agg",

@@ -436,3 +436,46 @@ def test_delete_incremental_refresh_rewrites_only_affected_postings(
         r.doc_id for r in hs.text_search_phrase("txtd", "bears eat fish").collect()
     ) == [3]
     assert hs.text_search("txtd", ["quick"], mode="any").count() == 0
+
+
+def test_boolean_search_parser_and_semantics(spark, built):
+    """text_search_boolean: parser shapes, membership semantics vs a raw
+    replay, and negation-only refusal."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.indexes.inverted import _bool_eval, _parse_bool_query
+
+    hs, src = built
+    # parser
+    ast = _parse_bool_query("(Quick AND brown) OR (lazy AND NOT dog)")
+    assert ast[0] == "or" and len(ast[1]) == 2
+    assert _bool_eval(ast, lambda t: t in {"quick", "brown"})
+    assert not _bool_eval(ast, lambda t: t in {"lazy", "dog"})
+    with _pytest.raises(ValueError):
+        _parse_bool_query("a AND (b OR")
+    with _pytest.raises(ValueError):
+        _parse_bool_query("AND a")
+    # negation-only refusal (satisfiable with every term absent)
+    for bad in ("NOT fox", "a OR NOT b"):
+        with _pytest.raises(ValueError):
+            hs.text_search_boolean("txt1", bad)
+    # semantics vs raw replay over the fixture corpus
+    got = {
+        r[0]
+        for r in hs.text_search_boolean(
+            "txt1", "(quick AND brown) OR (test AND NOT fox)"
+        ).collect()
+    }
+    raw = spark.read.parquet(src).filter("text IS NOT NULL")
+    toks = raw.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
+    )
+    want = {
+        r[0]
+        for r in toks.filter(
+            (F.array_contains("w", "quick") & F.array_contains("w", "brown"))
+            | (F.array_contains("w", "test") & ~F.array_contains("w", "fox"))
+        ).collect()
+    }
+    assert got == want and len(want) > 0
