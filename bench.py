@@ -195,6 +195,7 @@ def main() -> None:
         "streaming_interval_join",
         "resample_gapfill_daily",
         "text_search_boolean",
+        "ann_filtered_topk",
     ]
 
 

@@ -1632,8 +1632,16 @@ class Hyperspace:
         k: int = 10,
         n_probe: int = 4,
         refine_factor: int = 4,
+        where: str | None = None,
     ) -> "DataFrame":
         """Top-k cosine neighbors from a persisted IVF index (kind ANN).
+
+        ``where`` runs a FILTERED search: neighbors are the exact top-k
+        among LIVE source rows satisfying the predicate (pre-filter
+        semantics; evaluated on the source, joined to candidates by id).
+        A selective filter thins each probed cluster — raise n_probe to
+        hold recall; at n_probe = n_clusters the filtered result is
+        exact.
 
         Pass explicit ``query_vectors`` ({id: vector}), or ``query_ids``
         to look the vectors up in the LIVE corpus (for IVF-PQ entries in
@@ -1727,6 +1735,13 @@ class Hyperspace:
             if missing:
                 raise HyperspaceException(f"query ids not in index: {missing}")
             query_vectors = {r.vec_id: list(r.unit_vec) for r in rows}
+        allowed_df = None
+        if where is not None:
+            from pyspark.sql import functions as F
+
+            allowed_df = self._source_df(entry).filter(where).select(
+                F.col(props["idCol"])
+            )
         return ann_search(
             self.spark,
             entry,
@@ -1738,6 +1753,7 @@ class Hyperspace:
             refine_factor=refine_factor,
             appended=appended,
             deleted=deleted,
+            allowed_df=allowed_df,
         )
 
     def why_not(

@@ -450,6 +450,7 @@ def ann_search(
     refine_factor: int = 4,
     appended=None,
     deleted=None,
+    allowed_df: "DataFrame | None" = None,
 ) -> "DataFrame":
     """(query_id, neighbor_id, cosine, rank) over the persisted IVF index.
 
@@ -568,6 +569,18 @@ def ann_search(
         # that happens to share the number (possibly the true nearest
         # neighbor).
         scored = scored.filter(F.col("vec_id") != F.col("qid"))
+    if allowed_df is not None:
+        # FILTERED ANN (r10, the Milvus/pgvector filtered-search shape):
+        # restrict candidates to the allowed id set BEFORE ranking —
+        # pre-filter semantics, so the result is the exact top-k among
+        # allowed rows within the probed clusters (PQ pools and refine
+        # also operate post-filter).  A selective filter thins each
+        # probed cluster; raise n_probe to hold recall — at
+        # n_probe = n_clusters the result is exact over the allowed set.
+        allowed = allowed_df.select(
+            F.col(allowed_df.columns[0]).alias("vec_id")
+        )
+        scored = scored.join(allowed, "vec_id", "left_semi")
     w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
 
     pq_m = props.get("pqM")

@@ -3965,6 +3965,41 @@ def ann_ivf_topk_query(spark, sf_dir):
 
 
 @q(
+    "ann_filtered_topk",
+    """
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                           CAST(embedding AS DOUBLE[])))) AS u
+      FROM embeddings
+    ), qv AS (SELECT vec_id AS qid, u AS qu FROM v WHERE vec_id IN (0, 1, 2)),
+    scored AS (
+      SELECT qid, v2.vec_id AS nid, round(list_dot_product(qu, v2.u), 6) AS cosine
+      FROM (SELECT * FROM v WHERE label = 1) v2 CROSS JOIN qv
+      WHERE v2.vec_id != qid
+    )
+    SELECT qid AS query_id, nid AS neighbor_id, cosine, rank FROM (
+      SELECT qid, nid, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def ann_filtered_topk(spark, sf_dir):
+    """FILTERED vector search (the Milvus/pgvector production shape):
+    top-5 cosine neighbors among rows whose label = 1, from the
+    persisted flat IVF index — the allowed id set joins candidates by
+    id BEFORE ranking (pre-filter semantics), so the result is the
+    exact top-k over the filtered corpus at all-probe.  The oracle
+    brute-forces cosine over the label-1 subset."""
+    ws = workspace(spark, sf_dir)
+    return ws.hs.ann_search(
+        "w_ann_ivf", query_ids=[0, 1, 2], k=5, n_probe=8, where="label = 1"
+    )
+
+
+@q(
     "ann_pq_topk",
     """
     WITH v AS (
@@ -5302,11 +5337,12 @@ _VERIFY_PRIORITY = [
     # whose last green row is r07 — now three rounds old, the oldest
     # evidence in the contract (includes dedup_minhash_lsh, whose kernel
     # is under the r9 verdict's regression triage this round),
-    # (2) the EIGHT queries NEW in r10 (multimodal_decode_real,
+    # (2) the NINE queries NEW in r10 (multimodal_decode_real,
     # avro_roundtrip, covering_filter_or, covering_filter_partial,
     # corpus_shard_assign, streaming_interval_join,
-    # resample_gapfill_daily, text_search_boolean — no prior evidence,
-    # so they must verify this round), (3) the first ~22 of the 46
+    # resample_gapfill_daily, text_search_boolean, ann_filtered_topk —
+    # no prior evidence, so they must verify this round), (3) the
+    # first ~21 of the 46
     # r8-greens, in their r8 order.  The remaining r8-greens plus the
     # 50 r9-greens ride past the cap; the r8 leftovers LEAD the r11
     # window so no entry's evidence ever exceeds three rounds.  Every
@@ -5342,6 +5378,7 @@ _VERIFY_PRIORITY = [
     "streaming_interval_join",
     "resample_gapfill_daily",
     "text_search_boolean",
+    "ann_filtered_topk",
     # --- last green r08, rotating back (r8 order preserved) ---
     "text_search_inverted",
     "metadata_only_agg",

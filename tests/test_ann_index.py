@@ -692,3 +692,39 @@ def test_legacy_lineage_free_index_serves_stale_on_delete(spark, emb, tmp_path):
     assert e1.derived_properties["centroids"] != e0.derived_properties["centroids"]
     got2 = hs.ann_search("leg_ivf", query_ids=[0, 1], k=3, n_probe=6).collect()
     assert all(r.neighbor_id < 300 for r in got2)
+
+
+def test_filtered_search_exact_over_subset(spark, hs, emb):
+    """where= runs pre-filter semantics: at all-probe the result is the
+    exact top-k among rows satisfying the predicate; neighbors outside
+    the subset never appear."""
+    got = hs.ann_search(
+        "ann_ivf", query_ids=[0, 1], k=5, n_probe=8, where="label = 1"
+    ).collect()
+    allowed = {r.vec_id for r in emb.filter("label = 1").select("vec_id").collect()}
+    assert got and all(r.neighbor_id in allowed for r in got)
+    # brute force over the subset agrees exactly
+    sub = emb.filter("label = 1 OR vec_id IN (0, 1)")
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(sub, [0, 1], k=5).collect()
+        if r.neighbor_id in allowed
+    }
+    g = {(r.query_id, r.neighbor_id) for r in got}
+    # cosine_topk over the subset may rank an anchor (0/1) if it has
+    # label 1 — both sides exclude self, and anchors not in the subset
+    # are extra rows on the brute side only; compare on allowed pairs.
+    assert g == {p for p in brute if p[1] in allowed}
+
+
+def test_filtered_search_pq_path(spark, emb, tmp_path_factory):
+    """The PQ pipeline (ADC pool -> exact refine) honors the filter too."""
+    hs2 = Hyperspace(spark, system_path=str(tmp_path_factory.mktemp("hsidx_annf")))
+    hs2.create_index(emb, IvfIndexConfig("ann_pqf", n_clusters=4, pq_m=8))
+    n = emb.count()
+    got = hs2.ann_search(
+        "ann_pqf", query_ids=[0], k=5, n_probe=4,
+        refine_factor=max(1000, -(-n // 5)), where="label = 1",
+    ).collect()
+    allowed = {r.vec_id for r in emb.filter("label = 1").select("vec_id").collect()}
+    assert len(got) == 5 and all(r.neighbor_id in allowed for r in got)
