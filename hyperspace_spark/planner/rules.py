@@ -92,6 +92,20 @@ def match_linear_side(node: ir.Node):
         return None
 
 
+def linear_side_filter(node: ir.Node):
+    """The deterministic Filter condition of a linear [Project] <-
+    [Filter] <- Scan subtree, or None — what the partial-index
+    implication proof runs against in the join/agg rules (the filter
+    replays ON TOP of the index scan, so cond ⇒ predicate means every
+    needed row is in the partial index)."""
+    cur = node
+    if isinstance(cur, ir.ProjectN):
+        cur = cur.child
+    if isinstance(cur, ir.FilterN) and isinstance(cur.child, ir.Scan):
+        return cur.condition if cur.deterministic else None
+    return None
+
+
 def _substitute_scans(node: ir.Node, subs: dict[int, tuple]) -> ir.Node:
     """Deep-copy the subtree installing replacements for the scans in
     ``subs`` (id(scan) -> (replacement_fn, index_name)) in ONE pass —
@@ -500,12 +514,22 @@ class AggBucketedIndexRule:
                 continue  # hybrid union erases bucketing; FilterIndexRule's turf
             if not p.get("tableName") or len(c.entry.index_data_dirs) != 1:
                 continue  # not registrable as a single bucketed location
-            if _entry_predicate(c.entry) is not None:
-                # Partial index: this rule's match point has no filter
-                # condition to run the implication proof against, and an
-                # aggregate over a row-subset index silently drops rows.
-                ctx.tag(c.entry.name, PREDICATE_NOT_IMPLIED, "partial index not usable for agg/window rewrite")
-                continue
+            pred = _entry_predicate(c.entry)
+            if pred is not None:
+                # Partial index: usable only when the subtree's own
+                # filter provably implies the predicate (the filter
+                # replays on top of the index scan, so every aggregated
+                # row is in the index); an unfiltered aggregate over a
+                # row subset would silently drop rows.
+                side_cond = linear_side_filter(node.child)
+                ok = False
+                if side_cond is not None:
+                    from hyperspace_spark.planner.implication import implies
+
+                    ok = implies(side_cond, pred)
+                if not ok:
+                    ctx.tag(c.entry.name, PREDICATE_NOT_IMPLIED, "agg/window subtree filter does not imply index predicate")
+                    continue
             eligible.append(c)
         if not eligible:
             return None
@@ -582,8 +606,8 @@ class JoinIndexRule:
         lkeys = [a for a, _ in node.equi_keys]
         rkeys = [b for _, b in node.equi_keys]
 
-        lc = self._eligible(ctx, lscan, lkeys, lreq)
-        rc = self._eligible(ctx, rscan, rkeys, rreq)
+        lc = self._eligible(ctx, lscan, lkeys, lreq, node.left)
+        rc = self._eligible(ctx, rscan, rkeys, rreq, node.right)
         if not lc or not rc:
             # One side has eligible indexes but the other has none: tag
             # the orphans (reference FilterReason NO_AVAIL_JOIN_INDEX_PAIR,
@@ -621,7 +645,8 @@ class JoinIndexRule:
         new_node = _substitute_scans(node, subs)
         return Applied(new_node, 70.0 + 70.0 * coverage, [lwin.entry.name, rwin.entry.name])
 
-    def _eligible(self, ctx, scan, keys, required):
+    def _eligible(self, ctx, scan, keys, required, side_node=None):
+        side_cond = linear_side_filter(side_node) if side_node is not None else None
         out = []
         for c in ctx.for_scan(scan, "CI"):
             p = c.entry.derived_properties
@@ -635,12 +660,20 @@ class JoinIndexRule:
             if not required.issubset(covered):
                 ctx.tag(c.entry.name, MISSING_REQUIRED_COL, f"missing {sorted(required - covered)}")
                 continue
-            if _entry_predicate(c.entry) is not None:
-                # Partial index: serving a join side from a row subset
-                # silently drops join matches; any side filter was not
-                # proven to imply the predicate here.
-                ctx.tag(c.entry.name, PREDICATE_NOT_IMPLIED, "partial index not usable for join rewrite")
-                continue
+            pred = _entry_predicate(c.entry)
+            if pred is not None:
+                # Partial index: usable only when THIS side's own filter
+                # provably implies the predicate (the filter replays on
+                # top of the index scan); otherwise a row-subset index
+                # silently drops join matches.
+                ok = False
+                if side_cond is not None:
+                    from hyperspace_spark.planner.implication import implies
+
+                    ok = implies(side_cond, pred)
+                if not ok:
+                    ctx.tag(c.entry.name, PREDICATE_NOT_IMPLIED, "join-side filter does not imply index predicate")
+                    continue
             out.append(c)
         return out
 

@@ -313,3 +313,73 @@ def test_partial_zorder_index(spark, tmp_path):
     out3, used3 = hs._apply_with_info(df3)
     assert used3 == ["pz"], hs.why_not(df3)
     assert rows_equal(df3, out3)
+
+
+def test_partial_index_serves_join_and_agg_when_side_filter_implies(spark, tmp_path):
+    """r10: a partial index CAN serve join/agg rewrites when the
+    subtree's own filter provably implies the build predicate (the
+    filter replays on top of the index scan)."""
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark import Hyperspace
+
+    root = str(tmp_path)
+    src_o = f"{root}/orders"
+    src_l = f"{root}/li"
+    table(spark, "orders").repartition(4).write.parquet(src_o)
+    table(spark, "lineitem").repartition(4).write.parquet(src_l)
+    o = spark.read.parquet(src_o)
+    li = spark.read.parquet(src_l)
+    hs = Hyperspace(spark, system_path=f"{root}/idx")
+    hs.create_index(
+        o,
+        CoveringIndexConfig(
+            "pj_o", ["o_orderkey"], ["o_orderpriority"],
+            num_buckets=8, where="o_orderpriority = '1-URGENT'",
+        ),
+    )
+    hs.create_index(
+        li,
+        CoveringIndexConfig("pj_l", ["l_orderkey"], ["l_quantity"], num_buckets=8),
+    )
+    # join: urgent orders only — the side filter implies the predicate
+    j = (
+        li.join(
+            o.filter("o_orderpriority = '1-URGENT'"),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+    out, used = hs._apply_with_info(j)
+    assert set(used) == {"pj_o", "pj_l"}, hs.why_not(j)
+    assert rows_equal(j, out)
+    # same join WITHOUT the implying filter: partial side declines
+    j2 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+    out2, used2 = hs._apply_with_info(j2)
+    assert "pj_o" not in used2
+    assert rows_equal(j2, out2)
+    # agg keyed on the partial index's bucket column with an implying
+    # filter: bucketed-agg path fires
+    hs.create_index(
+        o,
+        CoveringIndexConfig(
+            "pa_o", ["o_custkey"], ["o_totalprice", "o_orderpriority"],
+            num_buckets=8, where="o_orderpriority = '1-URGENT'",
+        ),
+    )
+    a = (
+        o.filter("o_orderpriority = '1-URGENT'")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("s"))
+    )
+    out3, used3 = hs._apply_with_info(a)
+    assert "pa_o" in used3, hs.why_not(a)
+    assert rows_equal(a, out3)
+    plan = out3._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in final, final  # bucketed read: shuffle-free agg
