@@ -725,6 +725,19 @@ class DataSkippingIndexRule:
         cands = ctx.for_scan(scan, "DS")
         if not cands:
             return None
+        # INTERSECT across every eligible skipping index on this scan
+        # (r10 — the reference applies one index per relation,
+        # ApplyDataSkippingIndex.scala:33-105): a file is skippable the
+        # moment ANY index's sketch rules it out, and each per-index
+        # kept set is a sound superset of the matching files, so the
+        # intersection is too.  Two single-sketch indexes (say MinMax on
+        # ship date + Bloom on order key) now compose instead of the
+        # smaller one winning outright.  Cost: one driver-side
+        # sketch-frame probe per index (memoized per condition).
+        live_paths: list[str] | None = None
+        pruned_out: set[str] = set()
+        contributors: list[str] = []
+        fallback_file: str | None = None
         for cand in _rank_smallest(cands):
             entry = cand.entry
             sketches = [sketch_from_json(s) for s in entry.derived_properties["sketches"]]
@@ -743,38 +756,44 @@ class DataSkippingIndexRule:
             tracker = entry.file_id_tracker
             deleted_keys = {f.key() for f in cand.deleted}
             common = [f for f in entry.source_files if f.key() not in deleted_keys]
-            kept = [f.path for f in common if tracker.get(f) in kept_ids]
-            kept += [f.path for f in cand.appended]  # un-indexed files: must scan
-            total_live = len(common) + len(cand.appended)
-            if len(kept) >= total_live:
+            if live_paths is None:
+                # The live file set is scan-time reality — identical
+                # through every candidate's (common + appended) view.
+                live_paths = [f.path for f in common] + [f.path for f in cand.appended]
+                fallback_file = (common or cand.appended or [None])[0]
+            pruned_here = {f.path for f in common if tracker.get(f) not in kept_ids}
+            if not pruned_here:
                 ctx.tag(entry.name, INELIGIBLE_FILTER_CONDITION, "predicate prunes no file")
                 continue
+            pruned_out |= pruned_here
+            contributors.append(entry.name)
+        if not contributors or live_paths is None:
+            return None
+        kept = [p for p in live_paths if p not in pruned_out]
 
-            if not kept and scan.partition_columns:
-                # Empty read can't reconstruct partition columns from paths;
-                # keep one file — the filter above still yields zero rows.
-                fallback = common or cand.appended
-                kept = [fallback[0].path] if fallback else []
+        if not kept and scan.partition_columns:
+            # Empty read can't reconstruct partition columns from paths;
+            # keep one file — the filter above still yields zero rows.
+            kept = [fallback_file.path] if fallback_file is not None else []
 
-            def replacement(spark, _scan=scan, _kept=tuple(kept)):
-                import json as _json
+        def replacement(spark, _scan=scan, _kept=tuple(kept)):
+            import json as _json
 
-                from pyspark.sql.types import StructType
+            from pyspark.sql.types import StructType
 
-                schema = StructType.fromJson(_json.loads(_scan.data_schema_json))
-                if not _kept:
-                    return spark.createDataFrame([], schema).select(*_scan.output)
-                reader = spark.read.format(_scan.file_format).schema(schema)
-                opts = {k: v for k, v in _scan.options.items() if k != "path"}
-                if _scan.partition_columns:
-                    opts["basePath"] = _scan.root_paths[0]
-                if opts:
-                    reader = reader.options(**opts)
-                return reader.load(list(_kept)).select(*_scan.output)
+            schema = StructType.fromJson(_json.loads(_scan.data_schema_json))
+            if not _kept:
+                return spark.createDataFrame([], schema).select(*_scan.output)
+            reader = spark.read.format(_scan.file_format).schema(schema)
+            opts = {k: v for k, v in _scan.options.items() if k != "path"}
+            if _scan.partition_columns:
+                opts["basePath"] = _scan.root_paths[0]
+            if opts:
+                reader = reader.options(**opts)
+            return reader.load(list(_kept)).select(*_scan.output)
 
-            new_node = _substitute_scan(node, scan, replacement, entry.name)
-            return Applied(new_node, 1.0, [entry.name])
-        return None
+        new_node = _substitute_scan(node, scan, replacement, "+".join(contributors))
+        return Applied(new_node, 1.0, sorted(contributors))
 
 
 import re as _re

@@ -374,6 +374,24 @@ def main_sf10():
                 "s10_o_join", ["o_orderkey"], ["o_orderpriority"], num_buckets=nb_join
             ),
         )
+    if "s10_o_cov2" not in have:
+        hs.create_index(
+            orders,
+            CoveringIndexConfig(
+                "s10_o_cov2", ["o_orderkey"], ["o_custkey", "o_totalprice"], num_buckets=nb_point
+            ),
+        )
+    if "s10_o_partial" not in have:
+        hs.create_index(
+            orders,
+            CoveringIndexConfig(
+                "s10_o_partial",
+                ["o_custkey"],
+                ["o_orderkey", "o_totalprice", "o_orderpriority"],
+                num_buckets=max(2, nb_point // 4),
+                where="o_orderpriority = '1-URGENT'",
+            ),
+        )
     if "s10_li_skip" not in have:
         hs.create_index(
             byship, DataSkippingIndexConfig("s10_li_skip", [MinMaxSketch(["l_shipdate"])])
@@ -466,6 +484,25 @@ def main_sf10():
             )
         )
 
+    or_key = orders.filter("o_custkey = 42").agg(F.min("o_orderkey")).collect()[0][0]
+
+    def q_or():
+        # index-OR union: two bucket files at any scale vs a raw scan
+        # whose OR predicate prunes nothing
+        return hs.apply(
+            orders.filter(f"o_custkey = 42 OR o_orderkey = {or_key}").select(
+                "o_orderkey", "o_custkey", "o_totalprice"
+            )
+        )
+
+    def q_partial():
+        # partial index: range probe over the ~20% 1-URGENT subset
+        return hs.apply(
+            orders.filter(
+                "o_custkey BETWEEN 100 AND 200 AND o_orderpriority = '1-URGENT'"
+            ).select("o_orderkey", "o_totalprice")
+        )
+
     probes = {
         "covering_filter_point": q_point,
         "join_cobucketed": q_join,
@@ -473,6 +510,8 @@ def main_sf10():
         "selfjoin_agg_cobucketed": q_selfjoin,
         "window_latest_lineitem": q_window,
         "metadata_only_agg": q_meta,
+        "covering_filter_or": q_or,
+        "covering_filter_partial": q_partial,
     }
 
     # plan probe: co-bucketed SMJ stays Exchange-free under AQE at sf10

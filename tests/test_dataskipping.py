@@ -296,3 +296,67 @@ def test_minmax_large_in_list_prunes(spark, hs, tmp_path_factory):
     finally:
         hs.delete_index("li_inset")
         hs.vacuum_index("li_inset")
+
+
+def test_multi_skipping_index_intersection(spark, tmp_path):
+    """r10: two separate skipping indexes on the same source COMPOSE — a
+    file skips when EITHER index's sketch rules it out, so the read is
+    the intersection of the per-index kept sets (each a sound superset
+    of the matching files)."""
+    import datetime
+    import os
+    import re
+
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark import (
+        BloomFilterSketch,
+        DataSkippingIndexConfig,
+        Hyperspace,
+        MinMaxSketch,
+    )
+
+    src = str(tmp_path / "li")
+    (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .repartitionByRange(8, "l_shipdate")
+        .write.parquet(src)
+    )
+    li = spark.read.parquet(src)
+    hs = Hyperspace(spark, system_path=str(tmp_path / "idx"))
+    # index A prunes on the range-layout ship date; index B blooms on
+    # l_orderkey (any one key lives in few files) — a predicate touching
+    # both prunes more through the intersection than either alone.
+    hs.create_index(li, DataSkippingIndexConfig("ds_ship", [MinMaxSketch(["l_shipdate"])]))
+    hs.create_index(
+        li, DataSkippingIndexConfig("ds_okey", [BloomFilterSketch(["l_orderkey"], 0.01, 4000)])
+    )
+    lo, hi = li.agg(F.min("l_shipdate"), F.max("l_shipdate")).collect()[0]
+    span = (hi - lo).days
+    a = lo + datetime.timedelta(days=span // 4)
+    b = lo + datetime.timedelta(days=3 * span // 4)
+    okey = li.filter(f"l_shipdate >= '{a}'").select("l_orderkey").limit(1).collect()[0][0]
+    q = li.filter(
+        f"l_shipdate >= '{a}' AND l_shipdate < '{b}' AND l_orderkey = {okey}"
+    ).select("l_orderkey", "l_quantity")
+    out, used = hs._apply_with_info(q)
+    assert set(used) == {"ds_ship", "ds_okey"}, hs.why_not(q)
+    assert sorted(map(tuple, q.collect())) == sorted(map(tuple, out.collect()))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"InMemoryFileIndex\((\d+) paths?\)", plan)
+    n_files = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert m and int(m.group(1)) < n_files, plan  # some files pruned
+
+    # the intersection reads no more files than either index alone would
+    def kept_with(name, sketch):
+        hs2 = Hyperspace(spark, system_path=str(tmp_path / f"idx_{name}"))
+        hs2.create_index(li, DataSkippingIndexConfig(f"one_{name}", [sketch]))
+        o2, u2 = hs2._apply_with_info(q)
+        assert u2 == [f"one_{name}"]
+        p2 = o2._jdf.queryExecution().executedPlan().toString()
+        mm = re.search(r"InMemoryFileIndex\((\d+) paths?\)", p2)
+        return int(mm.group(1)) if mm else n_files
+
+    both = int(m.group(1))
+    assert both <= kept_with("ship", MinMaxSketch(["l_shipdate"]))
+    assert both <= kept_with("okey", BloomFilterSketch(["l_orderkey"], 0.01, 4000))
