@@ -196,6 +196,7 @@ def main() -> None:
         "resample_gapfill_daily",
         "text_search_boolean",
         "ann_filtered_topk",
+        "quantile_estimate_prices",
     ]
 
 

@@ -428,3 +428,63 @@ def resample_gapfill(
     else:
         j = j.withColumn(value_col, F.col("_hs_v"))
     return j.drop("_hs_v")
+
+
+def quantile_estimate(
+    df: "DataFrame",
+    col: str,
+    probs: Sequence[float],
+    key_cols: Sequence[str],
+    prefix_len: int = 2,
+    keep_below: str = "10",
+) -> "DataFrame":
+    """Deterministic sampled quantiles: (prob, value) rows where value is
+    the exact ``floor(p·(n-1))``-ranked element of a deterministic row
+    sample — the cross-engine-reproducible cousin of
+    ``percentile_approx`` (r10, same philosophy as
+    :func:`distinct_count_sketch`: Spark's internal sketch state no
+    other engine replays; an md5-threshold sample of the ROWS is a pure
+    function of the data, so DuckDB derives the identical estimate).
+
+    A row enters the sample iff ``substr(md5(key), 1, prefix_len) <
+    keep_below`` with ``key = concat_ws('|', key_cols)`` — key columns
+    must identify rows (an id, or the table's natural key) so duplicate
+    VALUES sample independently and the sample is an unbiased row
+    sample of fraction ``p = int(keep_below, 16)/16^prefix_len``.
+    Standard rank error ≈ ``sqrt(p·(1-p)·n)`` sample positions.
+
+    Scale shape: the hash filter runs at the scan (narrow, no shuffle);
+    only the ~p·n sample sorts — pick ``keep_below`` so the sample is
+    thousands of rows regardless of corpus size, then the rank
+    selection is one tiny window over the sample."""
+    from pyspark.sql import Window, functions as F
+
+    if not key_cols:
+        raise ValueError("key_cols must identify rows (sampling key)")
+    if not (1 <= prefix_len <= 8) or len(keep_below) != prefix_len:
+        raise ValueError("keep_below must be a hex string of length prefix_len (1..8)")
+    bad = [p for p in probs if not 0.0 <= p <= 1.0]
+    if bad:
+        raise ValueError(f"probs must be in [0, 1], got {bad}")
+    keep_below = keep_below.lower()
+    key = F.concat_ws("|", *[F.col(k).cast("string") for k in key_cols])
+    sample = df.filter(
+        (F.substring(F.md5(key), 1, prefix_len) < keep_below)
+        & F.col(col).isNotNull()
+    ).select(F.col(col).alias("_v"))
+    # The sample is sample-sized by construction; rank it in one window.
+    # Ties break on value only (rank of equal values is interchangeable
+    # for quantiles).
+    w = Window.orderBy("_v")
+    ranked = sample.select(
+        "_v",
+        (F.row_number().over(w) - 1).alias("_rn"),
+        F.count("*").over(Window.partitionBy()).alias("_n"),
+    )
+    spark = df.sparkSession
+    pdf = spark.createDataFrame([(float(p),) for p in probs], "prob double")
+    return (
+        ranked.crossJoin(F.broadcast(pdf))
+        .filter(F.col("_rn") == F.floor(F.col("prob") * (F.col("_n") - 1)).cast("long"))
+        .select("prob", F.col("_v").alias("value"))
+    )

@@ -4493,6 +4493,40 @@ def quality_weighted_sample(spark, sf_dir):
 
 
 @q(
+    "quantile_estimate_prices",
+    """
+    WITH s AS (
+      SELECT o_totalprice AS v FROM orders
+      WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '10'
+        AND o_totalprice IS NOT NULL
+    ),
+    r AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS rn,
+                 count(*) OVER () AS n
+          FROM s)
+    SELECT p AS prob, v AS value
+    FROM (VALUES (0.25), (0.5), (0.9), (0.99)) probs(p)
+    JOIN r ON rn = CAST(floor(p * (n - 1)) AS BIGINT)
+    """,
+)
+def quantile_estimate_prices(spark, sf_dir):
+    """Deterministic sampled quantiles (relational.py quantile_estimate):
+    order-price p25/p50/p90/p99 from an md5-threshold row sample
+    (p = 1/16) — the cross-engine-reproducible percentile_approx
+    (Spark's own sketch state no other engine replays; this sample is a
+    pure function of the rows, so DuckDB derives the identical
+    estimate).  The hash filter runs at the scan; only the sample
+    sorts."""
+    from hyperspace_spark.relational import quantile_estimate
+
+    return quantile_estimate(
+        _t(spark, sf_dir, "orders"),
+        "o_totalprice",
+        [0.25, 0.5, 0.9, 0.99],
+        key_cols=["o_orderkey"],
+    )
+
+
+@q(
     "corpus_shard_assign",
     """
     WITH ranked AS (
@@ -5337,12 +5371,12 @@ _VERIFY_PRIORITY = [
     # whose last green row is r07 — now three rounds old, the oldest
     # evidence in the contract (includes dedup_minhash_lsh, whose kernel
     # is under the r9 verdict's regression triage this round),
-    # (2) the NINE queries NEW in r10 (multimodal_decode_real,
+    # (2) the TEN queries NEW in r10 (multimodal_decode_real,
     # avro_roundtrip, covering_filter_or, covering_filter_partial,
     # corpus_shard_assign, streaming_interval_join,
-    # resample_gapfill_daily, text_search_boolean, ann_filtered_topk —
-    # no prior evidence, so they must verify this round), (3) the
-    # first ~21 of the 46
+    # resample_gapfill_daily, text_search_boolean, ann_filtered_topk,
+    # quantile_estimate_prices — no prior evidence, so they must verify
+    # this round), (3) the first ~20 of the 46
     # r8-greens, in their r8 order.  The remaining r8-greens plus the
     # 50 r9-greens ride past the cap; the r8 leftovers LEAD the r11
     # window so no entry's evidence ever exceeds three rounds.  Every
@@ -5379,6 +5413,7 @@ _VERIFY_PRIORITY = [
     "resample_gapfill_daily",
     "text_search_boolean",
     "ann_filtered_topk",
+    "quantile_estimate_prices",
     # --- last green r08, rotating back (r8 order preserved) ---
     "text_search_inverted",
     "metadata_only_agg",

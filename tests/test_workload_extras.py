@@ -424,3 +424,38 @@ def test_resample_gapfill_modes(spark):
 
     with _pytest.raises(ValueError):
         resample_gapfill(df, "user_id", "ts", "1 day", "value", how="bogus")
+
+
+def test_quantile_estimate_properties(spark):
+    """quantile_estimate: accuracy within sampling error on a known
+    distribution, determinism, and argument validation."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.relational import quantile_estimate
+
+    df = spark.range(20000).select(
+        F.col("id"), (F.col("id") % 10000).cast("double").alias("v")
+    )
+    got = {
+        r.prob: r.value
+        for r in quantile_estimate(df, "v", [0.1, 0.5, 0.9], key_cols=["id"]).collect()
+    }
+    # ids are uniform so v's true quantiles are ~1000/5000/9000; a 1/16
+    # sample of 20k rows has rank s.e. ~35 positions (~ +-60 in value at
+    # 3 sigma against 10k distinct values -> generous 500 bound)
+    assert abs(got[0.1] - 1000) < 500
+    assert abs(got[0.5] - 5000) < 500
+    assert abs(got[0.9] - 9000) < 500
+    # determinism across executions
+    again = {
+        r.prob: r.value
+        for r in quantile_estimate(df, "v", [0.1, 0.5, 0.9], key_cols=["id"]).collect()
+    }
+    assert again == got
+    with _pytest.raises(ValueError):
+        quantile_estimate(df, "v", [0.5], key_cols=[])
+    with _pytest.raises(ValueError):
+        quantile_estimate(df, "v", [1.5], key_cols=["id"])
+    with _pytest.raises(ValueError):
+        quantile_estimate(df, "v", [0.5], key_cols=["id"], keep_below="XYZ", prefix_len=2)
