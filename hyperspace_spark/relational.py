@@ -435,6 +435,7 @@ def quantile_estimate(
     col: str,
     probs: Sequence[float],
     key_cols: Sequence[str],
+    group_cols: Sequence[str] = (),
     prefix_len: int = 2,
     keep_below: str = "10",
 ) -> "DataFrame":
@@ -453,10 +454,15 @@ def quantile_estimate(
     sample of fraction ``p = int(keep_below, 16)/16^prefix_len``.
     Standard rank error ≈ ``sqrt(p·(1-p)·n)`` sample positions.
 
+    ``group_cols`` computes per-group quantiles: the sample windows
+    partition by group, so output is (group..., prob, value) — groups
+    whose sample is empty are absent (their estimate is undefined).
+
     Scale shape: the hash filter runs at the scan (narrow, no shuffle);
     only the ~p·n sample sorts — pick ``keep_below`` so the sample is
     thousands of rows regardless of corpus size, then the rank
-    selection is one tiny window over the sample."""
+    selection is one tiny window over the sample (per group when
+    grouped; a skewed group's sample is still p of that group)."""
     from pyspark.sql import Window, functions as F
 
     if not key_cols:
@@ -468,23 +474,25 @@ def quantile_estimate(
         raise ValueError(f"probs must be in [0, 1], got {bad}")
     keep_below = keep_below.lower()
     key = F.concat_ws("|", *[F.col(k).cast("string") for k in key_cols])
+    gcols = list(group_cols)
     sample = df.filter(
         (F.substring(F.md5(key), 1, prefix_len) < keep_below)
         & F.col(col).isNotNull()
-    ).select(F.col(col).alias("_v"))
-    # The sample is sample-sized by construction; rank it in one window.
-    # Ties break on value only (rank of equal values is interchangeable
-    # for quantiles).
-    w = Window.orderBy("_v")
+    ).select(*gcols, F.col(col).alias("_v"))
+    # The sample is sample-sized by construction; rank it in one window
+    # (per group when grouped).  Ties break on value only (the rank of
+    # equal values is interchangeable for quantiles).
+    w = Window.partitionBy(*gcols).orderBy("_v")
     ranked = sample.select(
+        *gcols,
         "_v",
         (F.row_number().over(w) - 1).alias("_rn"),
-        F.count("*").over(Window.partitionBy()).alias("_n"),
+        F.count("*").over(Window.partitionBy(*gcols)).alias("_n"),
     )
     spark = df.sparkSession
     pdf = spark.createDataFrame([(float(p),) for p in probs], "prob double")
     return (
         ranked.crossJoin(F.broadcast(pdf))
         .filter(F.col("_rn") == F.floor(F.col("prob") * (F.col("_n") - 1)).cast("long"))
-        .select("prob", F.col("_v").alias("value"))
+        .select(*gcols, "prob", F.col("_v").alias("value"))
     )

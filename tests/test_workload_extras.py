@@ -459,3 +459,32 @@ def test_quantile_estimate_properties(spark):
         quantile_estimate(df, "v", [1.5], key_cols=["id"])
     with _pytest.raises(ValueError):
         quantile_estimate(df, "v", [0.5], key_cols=["id"], keep_below="XYZ", prefix_len=2)
+
+
+def test_quantile_estimate_grouped(spark):
+    """group_cols: per-group quantiles match running the estimator on
+    each group's rows alone."""
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.relational import quantile_estimate
+
+    df = spark.range(30000).select(
+        "id",
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") % 7000).cast("double").alias("v"),
+    )
+    got = {
+        (r.g, r.prob): r.value
+        for r in quantile_estimate(
+            df, "v", [0.5, 0.9], key_cols=["id"], group_cols=["g"]
+        ).collect()
+    }
+    assert len(got) == 6
+    for g in (0, 1, 2):
+        alone = {
+            r.prob: r.value
+            for r in quantile_estimate(
+                df.filter(F.col("g") == g), "v", [0.5, 0.9], key_cols=["id"]
+            ).collect()
+        }
+        assert got[(g, 0.5)] == alone[0.5] and got[(g, 0.9)] == alone[0.9]
