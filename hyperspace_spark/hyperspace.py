@@ -1427,12 +1427,14 @@ class Hyperspace:
                     len(e.content_files),
                     e.data_version,
                     ",".join(e.index_data_dirs),
+                    p.get("filterPredicate"),
                 )
             )
         return self.spark.createDataFrame(
             rows,
             "name string, kind string, indexedColumns array<string>, includedColumns array<string>, "
-            "numBuckets int, state string, indexSizeBytes long, numIndexFiles int, version int, dataDirs string",
+            "numBuckets int, state string, indexSizeBytes long, numIndexFiles int, version int, dataDirs string, "
+            "wherePredicate string",
         )
 
     def index(self, name: str) -> "DataFrame":
