@@ -309,15 +309,24 @@ class FilterOrIndexRule:
     no DISTINCT, no shuffle.  At 100 TB an OR of two point probes reads
     2/numBuckets of two indexes instead of the full table.
 
-    Declines (plain FilterIndexRule, score 50, still competes) when:
-    any branch can't bucket-prune (a full-index branch scan is worse
-    than one full scan), any candidate is hybrid-stale (appended files
-    would scan once PER BRANCH), or a disjunct touches nested columns
-    (branch guards run on the flattened index frame).
+    Declines (plain FilterIndexRule/ZOrderFilterIndexRule still
+    compete) when: any branch can't prune (a full-index branch scan is
+    worse than one full scan), any candidate is hybrid-stale (appended
+    files would scan once PER BRANCH), a disjunct touches nested
+    columns (branch guards run on the flattened index frame), or every
+    branch resolved to the SAME z-order index (one stats-pruned scan
+    of that index reads the union of the branches' files ONCE — the
+    single-index rule's plan strictly dominates there).
+
+    Score 65: when every branch prunes, the union reads a few bucket
+    files / stats-kept files per branch — strictly less than the
+    single-index rules' full scan (neither CI bucket pruning nor ZCI
+    stats pruning fires on a disjunction: no conjunct pins anything),
+    so it must out-rank ZCI's 60.
     """
 
     kind = "CI"
-    base_score = 55.0  # above CI-50 when it applies; below ZCI-60
+    base_score = 65.0  # beats CI-50 and ZCI-60: every branch is pruned
     MAX_BRANCHES = 8  # an OR wider than this is selectivity-free anyway
 
     def apply(self, node: ir.Node, ctx: RuleContext) -> Applied | None:
@@ -333,8 +342,9 @@ class FilterOrIndexRule:
         disjuncts = split_disjuncts(cond)
         if not (2 <= len(disjuncts) <= self.MAX_BRANCHES):
             return None
-        cands = ctx.for_scan(scan, self.kind)
-        if not cands:
+        cands = ctx.for_scan(scan, "CI")
+        z_cands = ctx.for_scan(scan, "ZCI")
+        if not cands and not z_cands:
             return None
         required = ir.required_columns(node)
         if any("." in r for r in cond.references):
@@ -346,12 +356,18 @@ class FilterOrIndexRule:
             if not d.references:
                 return None
             eligible = []
-            for c in cands:
+            for c in cands + z_cands:
                 p = c.entry.derived_properties
+                is_z = c.entry.derived_kind == "ZCI"
                 indexed = p.get("indexedColumns", [])
                 covered = set(indexed) | set(p.get("includedColumns", []))
-                if not indexed or indexed[0] not in d.references:
+                if not indexed:
                     continue
+                if is_z:
+                    if not set(indexed) & d.references:
+                        continue  # stats prune on any indexed column
+                elif indexed[0] not in d.references:
+                    continue  # bucket pruning needs the first key pinned
                 if not required.issubset(covered):
                     continue
                 if c.appended:
@@ -367,16 +383,29 @@ class FilterOrIndexRule:
 
                     if not implies(d, _entry_predicate(c.entry)):
                         continue
-                lits_per_col = [equality_literals(d, col) for col in indexed]
-                if any(l is None for l in lits_per_col):
-                    ctx.tag(c.entry.name, OR_BRANCH_NOT_PRUNABLE, f"no equality on all of {indexed} in disjunct")
-                    continue
-                from hyperspace_spark.indexes.covering import bucket_pruned_files_multi
+                if is_z:
+                    # Z-order branch (r10b): per-file min/max stats prune
+                    # RANGE disjuncts — mixed-kind unions compose an
+                    # equality branch on one index with a range branch
+                    # on a z-clustered one.  stats_pruned_files returns
+                    # None unless it actually drops files.
+                    from hyperspace_spark.indexes.zorder import stats_pruned_files
 
-                pruned = bucket_pruned_files_multi(c.entry, lits_per_col)
-                if pruned is None:
-                    ctx.tag(c.entry.name, OR_BRANCH_NOT_PRUNABLE, "bucket pruning unavailable")
-                    continue
+                    pruned = stats_pruned_files(c.entry, d)
+                    if pruned is None:
+                        ctx.tag(c.entry.name, OR_BRANCH_NOT_PRUNABLE, "file stats prune nothing for disjunct")
+                        continue
+                else:
+                    lits_per_col = [equality_literals(d, col) for col in indexed]
+                    if any(l is None for l in lits_per_col):
+                        ctx.tag(c.entry.name, OR_BRANCH_NOT_PRUNABLE, f"no equality on all of {indexed} in disjunct")
+                        continue
+                    from hyperspace_spark.indexes.covering import bucket_pruned_files_multi
+
+                    pruned = bucket_pruned_files_multi(c.entry, lits_per_col)
+                    if pruned is None:
+                        ctx.tag(c.entry.name, OR_BRANCH_NOT_PRUNABLE, "bucket pruning unavailable")
+                        continue
                 eligible.append((c, pruned))
             if not eligible:
                 return None
@@ -391,6 +420,12 @@ class FilterOrIndexRule:
             plan.append((d, winner, pruned))
             used.append(winner.entry.name)
 
+        winners = {id(w.entry) for _, w, _ in plan}
+        if len(winners) == 1 and plan[0][1].entry.derived_kind == "ZCI":
+            # Every branch resolved to the same z-order index: one
+            # stats-pruned scan of it reads the same files once each —
+            # let ZOrderFilterIndexRule serve the whole disjunction.
+            return None
         out_cols = [c for c in scan.output if c in required]
         coverage = min(w.coverage for _, w, _ in plan)
         branches = [

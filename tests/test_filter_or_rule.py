@@ -158,3 +158,43 @@ def test_or_declines_on_stale_index(spark, env):
     out, used = hs._apply_with_info(df)
     assert not {"ors_cust", "ors_okey"}.issubset(set(used))
     assert rows_equal(df, out)
+
+
+def test_or_union_mixed_kind_zorder_range_branch(spark, env, tmp_path_factory):
+    """r10b: a RANGE disjunct rides a z-order index's per-file stats
+    pruning while the equality disjunct rides bucket pruning — the
+    union composes index KINDS."""
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark import Hyperspace, ZOrderCoveringIndexConfig, CoveringIndexConfig
+
+    root = str(tmp_path_factory.mktemp("hs_or_z"))
+    src = f"{root}/orders"
+    table(spark, "orders").repartition(8).write.parquet(src)
+    o = spark.read.parquet(src)
+    hs = Hyperspace(spark, system_path=f"{root}/idx")
+    hs.create_index(
+        o,
+        CoveringIndexConfig(
+            "mz_cust", ["o_custkey"], ["o_orderkey", "o_totalprice"], num_buckets=8
+        ),
+    )
+    # z-order on totalprice: range-clustered files -> tight min/max stats
+    hs.create_index(
+        o,
+        ZOrderCoveringIndexConfig(
+            "mz_price",
+            ["o_totalprice"],
+            ["o_orderkey", "o_custkey"],
+            target_bytes_per_partition=16 * 1024,
+        ),
+    )
+    hi = o.agg(F.expr("percentile(o_totalprice, 0.99)")).collect()[0][0]
+    df = o.filter(f"o_custkey = 42 OR o_totalprice > {hi}").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    out, used = hs._apply_with_info(df)
+    assert set(used) == {"mz_cust", "mz_price"}, hs.why_not(df)
+    assert rows_equal(df, out)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "mz_cust" in plan and "mz_price" in plan
