@@ -211,6 +211,16 @@ def _conjunct_implies(q: Expr, p: Expr) -> bool:
     # exact textual match always works (same Catalyst rendering)
     if q.sql == p.sql:
         return True
+    # boolean decomposition (each step preserves soundness):
+    # (q1 OR q2) ⇒ p  iff every branch implies p
+    if isinstance(q, BoolOp) and q.op == "or":
+        return all(_conjunct_implies(qi, p) for qi in split_disjuncts(q))
+    # q ⇒ (p1 AND p2)  iff q implies every conjunct
+    if isinstance(p, BoolOp) and p.op == "and":
+        return all(_conjunct_implies(q, pi) for pi in split_conjuncts(p))
+    # q ⇒ (p1 OR p2)  if q implies SOME disjunct
+    if isinstance(p, BoolOp) and p.op == "or":
+        return any(_conjunct_implies(q, pi) for pi in split_disjuncts(p))
     # IN/= subset: q pins x to values ⊆ p's allowed set
     qi, pi = _in_values(q), _in_values(p)
     if qi is not None and pi is not None and qi[0] == pi[0]:
