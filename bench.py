@@ -197,6 +197,7 @@ def main() -> None:
         "text_search_boolean",
         "ann_filtered_topk",
         "quantile_estimate_prices",
+        "ann_knn_join",
     ]
 
 

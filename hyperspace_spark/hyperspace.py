@@ -1758,6 +1758,46 @@ class Hyperspace:
             allowed_df=allowed_df,
         )
 
+    def ann_join(
+        self,
+        index_name: str,
+        queries_df: "DataFrame",
+        k: int = 10,
+        n_probe: int = 4,
+        id_col: str = "qid",
+        vec_col: str = "qvec",
+        exclude_self: bool = False,
+    ) -> "DataFrame":
+        """Distributed k-NN JOIN: top-k cosine neighbors for EVERY row of
+        ``queries_df`` from a persisted flat IVF index — the query side
+        stays a DataFrame end-to-end (probe assignment is an Arrow
+        matmul over query partitions), so million-query batches never
+        touch the driver.  Hybrid-exact like ann_search: deleted files'
+        vectors anti-filter by lineage, appended files' vectors assign
+        to the frozen centroids on the fly."""
+        from hyperspace_spark.indexes.ann import ann_join
+
+        conf = self.conf()
+        entry = next(
+            (e for e in self._active_entries(conf) if e.name == index_name), None
+        )
+        if entry is None or entry.derived_kind != "ANN":
+            raise HyperspaceException(f"No ACTIVE ANN index named {index_name!r}.")
+        fs = self._fs(conf)
+        _live, appended, deleted = self._source_delta(entry, fs)
+        return ann_join(
+            self.spark,
+            entry,
+            queries_df,
+            k=k,
+            n_probe=n_probe,
+            id_col=id_col,
+            vec_col=vec_col,
+            exclude_self=exclude_self,
+            appended=appended,
+            deleted=deleted,
+        )
+
     def why_not(
         self, df: "DataFrame", index_name: str | None = None, extended: bool = False
     ) -> str:

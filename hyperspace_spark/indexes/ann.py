@@ -681,3 +681,117 @@ def ann_search(
             "rank",
         )
     )
+
+
+def ann_join(
+    spark: "SparkSession",
+    entry,
+    queries_df: "DataFrame",
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "qid",
+    vec_col: str = "qvec",
+    exclude_self: bool = False,
+    appended=None,
+    deleted=None,
+) -> "DataFrame":
+    """Distributed k-NN JOIN against the persisted IVF index: top-k
+    cosine neighbors for EVERY row of ``queries_df`` — the bulk-retrieval
+    shape (embed a corpus, retrieve for all of it at once).
+
+    Unlike ``ann_search`` (a point-lookup API whose query dict lives on
+    the driver), the query side here stays a DataFrame end-to-end:
+    probe-cluster assignment is an Arrow-batched matmul over the query
+    partitions, candidates join queries on the cluster id (index side
+    partition-pruned to the probed clusters), and the top-k window runs
+    per query id — a million-query batch never touches the driver.
+    At all-probe (n_probe = n_clusters) the result is the exact kNN
+    join; smaller probes trade recall exactly like ann_search.
+
+    Flat (non-PQ) entries only: a PQ entry's exact refine needs the
+    source re-join that ann_search's large-batch semi path provides —
+    use that for PQ.  Returns (query_id, neighbor_id, cosine, rank).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from hyperspace_spark.config import DATA_FILE_ID_COLUMN
+    from hyperspace_spark.llm.similarity import dot_expr, unit_expr
+
+    props = entry.derived_properties
+    if props.get("pqM"):
+        raise ValueError(
+            "ann_join supports flat IVF entries; for IVF-PQ use ann_search "
+            "(its refine path re-ranks exactly against the source)"
+        )
+    cents = np.asarray(props["centroids"], dtype=np.float64)
+    cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    n_probe = max(1, min(int(n_probe), len(cents)))
+
+    @F.pandas_udf("array<int>", F.PandasUDFType.SCALAR)
+    def _probes(vecs):
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        norms = np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        scores = (m / norms) @ cents.T
+        order = np.argsort(-scores, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    q = queries_df.select(
+        F.col(id_col).alias("_qid"),
+        unit_expr(F.col(vec_col).cast("array<double>")).alias("_qv"),
+    ).withColumn("_probe", F.explode(_probes(F.col("_qv"))))
+
+    schema = StructType.fromJson(json.loads(props["schemaJson"]))
+    idx = spark.read.schema(schema).option(
+        "basePath", entry.index_data_dirs[-1]
+    ).parquet(*entry.index_data_dirs)
+    if deleted:
+        if not props.get("lineage"):
+            raise ValueError("cannot compensate deletes on a lineage-free entry")
+        tracker = entry.file_id_tracker
+        dead = [tracker.get(f) for f in deleted]
+        idx = idx.filter(
+            ~F.col(DATA_FILE_ID_COLUMN).isin([i for i in dead if i is not None])
+        )
+    idx = idx.select("vec_id", "unit_vec", "cluster")
+    if appended:
+        # Hybrid-exact, mirroring ann_search: appended files' vectors
+        # assign to the FROZEN centroids on the fly (what incremental
+        # refresh would persist) and join the same probe path.
+        from hyperspace_spark.hyperspace import _relation_reader
+
+        new_df = _relation_reader(spark, entry.relations[0], with_base_path=True).load(
+            [f.path for f in appended]
+        )
+        ap = assign_to_centroids(
+            new_df, props["centroids"], props["idCol"], props["vecCol"]
+        ).select("vec_id", "unit_vec", "cluster")
+        ap = ap.localCheckpoint(eager=False)
+        idx = idx.unionByName(ap)
+    idx = idx.withColumnRenamed("cluster", "_probe")
+    scored = idx.join(q, "_probe").select(
+        "_qid",
+        "vec_id",
+        dot_expr(F.col("unit_vec"), F.col("_qv")).alias("_dot"),
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("vec_id") != F.col("_qid"))
+    # a vector can sit in several probed clusters only if the index holds
+    # duplicate ids (re-appended copies) — keep the best copy per pair
+    best = scored.groupBy("_qid", "vec_id").agg(F.max("_dot").alias("_dot"))
+    w = W.partitionBy("_qid").orderBy(F.col("_dot").desc(), F.col("vec_id"))
+    return (
+        best.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.col("_dot"), 6).alias("cosine"),
+            "rank",
+        )
+    )

@@ -3965,6 +3965,47 @@ def ann_ivf_topk_query(spark, sf_dir):
 
 
 @q(
+    "ann_knn_join",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                           CAST(embedding AS DOUBLE[])))) AS u
+      FROM embeddings
+    ), qv AS (SELECT vec_id AS qid, u AS qu FROM v WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT qid, v.vec_id AS nid, round(list_dot_product(qu, v.u), 6) AS cosine
+      FROM v CROSS JOIN qv WHERE v.vec_id != qid
+    )
+    SELECT qid AS query_id, nid AS neighbor_id, cosine, rank FROM (
+      SELECT qid, nid, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def ann_knn_join(spark, sf_dir):
+    """Distributed k-NN JOIN (indexes/ann.py ann_join): top-3 neighbors
+    for EVERY 50th embedding in one shot — the query side stays a
+    DataFrame end-to-end (probe assignment is an Arrow matmul over the
+    query partitions; nothing query-scale touches the driver, unlike
+    the point-lookup ann_search API).  All-probe here, so the result is
+    the exact kNN join and DuckDB's brute-force oracle applies."""
+    from pyspark.sql import functions as F
+
+    ws = workspace(spark, sf_dir)
+    queries = (
+        _t(spark, sf_dir, "embeddings")
+        .filter("vec_id % 50 = 0")
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    )
+    return ws.hs.ann_join(
+        "w_ann_ivf", queries, k=3, n_probe=8, exclude_self=True
+    )
+
+
+@q(
     "ann_filtered_topk",
     """
     WITH v AS (
@@ -5371,12 +5412,12 @@ _VERIFY_PRIORITY = [
     # whose last green row is r07 — now three rounds old, the oldest
     # evidence in the contract (includes dedup_minhash_lsh, whose kernel
     # is under the r9 verdict's regression triage this round),
-    # (2) the TEN queries NEW in r10 (multimodal_decode_real,
+    # (2) the ELEVEN queries NEW in r10 (multimodal_decode_real,
     # avro_roundtrip, covering_filter_or, covering_filter_partial,
     # corpus_shard_assign, streaming_interval_join,
     # resample_gapfill_daily, text_search_boolean, ann_filtered_topk,
-    # quantile_estimate_prices — no prior evidence, so they must verify
-    # this round), (3) the first ~20 of the 46
+    # quantile_estimate_prices, ann_knn_join — no prior evidence, so
+    # they must verify this round), (3) the first ~19 of the 46
     # r8-greens, in their r8 order.  The remaining r8-greens plus the
     # 50 r9-greens ride past the cap; the r8 leftovers LEAD the r11
     # window so no entry's evidence ever exceeds three rounds.  Every
@@ -5414,6 +5455,7 @@ _VERIFY_PRIORITY = [
     "text_search_boolean",
     "ann_filtered_topk",
     "quantile_estimate_prices",
+    "ann_knn_join",
     # --- last green r08, rotating back (r8 order preserved) ---
     "text_search_inverted",
     "metadata_only_agg",

@@ -728,3 +728,46 @@ def test_filtered_search_pq_path(spark, emb, tmp_path_factory):
     ).collect()
     allowed = {r.vec_id for r in emb.filter("label = 1").select("vec_id").collect()}
     assert len(got) == 5 and all(r.neighbor_id in allowed for r in got)
+
+
+def test_ann_join_matches_search_and_handles_hybrid(spark, hs, emb, tmp_path):
+    """ann_join == per-query ann_search at the same probe count, queries
+    never collect on the driver, and hybrid append compensates."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark import Hyperspace, IvfIndexConfig
+
+    qdf = emb.filter("vec_id IN (0, 1, 2)").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    joined = hs.ann_join("ann_ivf", qdf, k=5, n_probe=8, exclude_self=True)
+    got = {(r.query_id, r.neighbor_id, r.rank) for r in joined.collect()}
+    point = hs.ann_search("ann_ivf", query_ids=[0, 1, 2], k=5, n_probe=8)
+    want = {(r.query_id, r.neighbor_id, r.rank) for r in point.collect()}
+    assert got == want
+    # PQ entries refuse with direction to ann_search
+    import pytest as _pytest
+
+    hs2 = Hyperspace(spark, system_path=str(tmp_path / "pq"))
+    hs2.create_index(emb, IvfIndexConfig("aj_pq", n_clusters=4, pq_m=8))
+    with _pytest.raises(Exception, match="ann_search"):
+        hs2.ann_join("aj_pq", qdf, k=5)
+    # hybrid: appended vectors surface through the frozen-centroid assign
+    src = str(tmp_path / "emb")
+    emb.write.parquet(src)
+    e2 = spark.read.parquet(src)
+    hs3 = Hyperspace(spark, system_path=str(tmp_path / "idx3"))
+    hs3.create_index(e2, IvfIndexConfig("aj_flat", n_clusters=8))
+    mx = emb.agg(F.max("vec_id")).collect()[0][0]
+    emb.filter("vec_id = 5").select(
+        (F.col("vec_id") + mx + 1).alias("vec_id"), "embedding", "label"
+    ).write.mode("append").parquet(src)
+    q5 = emb.filter("vec_id = 5").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    res = hs3.ann_join("aj_flat", q5, k=1, n_probe=8, exclude_self=True).collect()
+    # the appended clone of vector 5 (id shifted by mx+1) is its exact
+    # nearest neighbor
+    assert res[0].neighbor_id == 5 + mx + 1 and abs(res[0].cosine - 1.0) < 1e-6
