@@ -1566,6 +1566,7 @@ class Hyperspace:
         k: int = 10,
         k1: float = 1.2,
         b: float = 0.75,
+        filter_query: str | None = None,
     ) -> "DataFrame":
         """BM25 top-k retrieval from a persisted TXT index: docs matching
         ANY term, ranked by the Lucene-default BM25 score computed over
@@ -1573,7 +1574,9 @@ class Hyperspace:
         avgdl come from per-file stats in the entry — no corpus job).
         Returns (id_col, score) with ties ranked by id.  Hybrid-exact:
         appended source files score on the fly, deleted files' postings
-        and corpus stats are subtracted."""
+        and corpus stats are subtracted.  ``filter_query`` restricts
+        candidates to docs satisfying a boolean term query (Lucene
+        filter-context semantics: the filter never affects scoring)."""
         from hyperspace_spark.indexes.inverted import text_search_ranked
 
         entry, appended, deleted = self._txt_entry(index_name)
@@ -1584,6 +1587,7 @@ class Hyperspace:
             k=k,
             k1=k1,
             b=b,
+            filter_query=filter_query,
             appended=appended,
             deleted=deleted,
         )
@@ -1767,6 +1771,7 @@ class Hyperspace:
         id_col: str = "qid",
         vec_col: str = "qvec",
         exclude_self: bool = False,
+        where: str | None = None,
     ) -> "DataFrame":
         """Distributed k-NN JOIN: top-k cosine neighbors for EVERY row of
         ``queries_df`` from a persisted flat IVF index — the query side
@@ -1774,7 +1779,8 @@ class Hyperspace:
         matmul over query partitions), so million-query batches never
         touch the driver.  Hybrid-exact like ann_search: deleted files'
         vectors anti-filter by lineage, appended files' vectors assign
-        to the frozen centroids on the fly."""
+        to the frozen centroids on the fly.  ``where`` runs a FILTERED
+        join (pre-filter semantics, like ann_search's where=)."""
         from hyperspace_spark.indexes.ann import ann_join
 
         conf = self.conf()
@@ -1785,6 +1791,13 @@ class Hyperspace:
             raise HyperspaceException(f"No ACTIVE ANN index named {index_name!r}.")
         fs = self._fs(conf)
         _live, appended, deleted = self._source_delta(entry, fs)
+        allowed_df = None
+        if where is not None:
+            from pyspark.sql import functions as F
+
+            allowed_df = self._source_df(entry).filter(where).select(
+                F.col(entry.derived_properties["idCol"])
+            )
         return ann_join(
             self.spark,
             entry,
@@ -1796,6 +1809,7 @@ class Hyperspace:
             exclude_self=exclude_self,
             appended=appended,
             deleted=deleted,
+            allowed_df=allowed_df,
         )
 
     def why_not(

@@ -694,6 +694,7 @@ def ann_join(
     exclude_self: bool = False,
     appended=None,
     deleted=None,
+    allowed_df: "DataFrame | None" = None,
 ) -> "DataFrame":
     """Distributed k-NN JOIN against the persisted IVF index: top-k
     cosine neighbors for EVERY row of ``queries_df`` — the bulk-retrieval
@@ -781,6 +782,10 @@ def ann_join(
     )
     if exclude_self:
         scored = scored.filter(F.col("vec_id") != F.col("_qid"))
+    if allowed_df is not None:
+        # filtered k-NN join: same pre-filter semantics as ann_search
+        allowed = allowed_df.select(F.col(allowed_df.columns[0]).alias("vec_id"))
+        scored = scored.join(allowed, "vec_id", "left_semi")
     # a vector can sit in several probed clusters only if the index holds
     # duplicate ids (re-appended copies) — keep the best copy per pair
     best = scored.groupBy("_qid", "vec_id").agg(F.max("_dot").alias("_dot"))

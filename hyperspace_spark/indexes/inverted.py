@@ -509,6 +509,7 @@ def text_search_ranked(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    filter_query: str | None = None,
     appended=None,
     deleted=None,
 ) -> "DataFrame":
@@ -540,7 +541,20 @@ def text_search_ranked(
     hits = _probe_hits(spark, entry, norm, appended=appended, deleted=deleted)
     n_docs, avgdl = _corpus_stats(spark, entry, appended=appended, deleted=deleted)
 
+    # df per term from the UNFILTERED hits: BM25 statistics (df, N,
+    # avgdl) stay CORPUS-level under a filter_query — the filter narrows
+    # candidates, never the collection, matching Lucene filter-context
+    # semantics (filters do not affect scoring).
     dfc = hits.groupBy("token").agg(F.count_distinct("_doc").alias("_df"))
+    if filter_query:
+        # Ranked retrieval over a BOOLEAN-filtered candidate set (the
+        # "filter then rank" search-engine composition, r10): the
+        # boolean probe shares the same bucket-pruned read path and the
+        # allowed doc ids semi-join the scoring hits.
+        allowed = text_search_boolean(
+            spark, entry, filter_query, appended=appended, deleted=deleted
+        ).select(F.col(props["idCol"]).alias("_doc"))
+        hits = hits.join(allowed, "_doc", "left_semi")
     idf = F.log(
         (F.lit(float(n_docs)) - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0
     )

@@ -771,3 +771,25 @@ def test_ann_join_matches_search_and_handles_hybrid(spark, hs, emb, tmp_path):
     # the appended clone of vector 5 (id shifted by mx+1) is its exact
     # nearest neighbor
     assert res[0].neighbor_id == 5 + mx + 1 and abs(res[0].cosine - 1.0) < 1e-6
+
+
+def test_ann_join_filtered(spark, hs, emb):
+    """ann_join(where=) keeps only satisfying neighbors, exact at
+    all-probe over the subset."""
+    from pyspark.sql import functions as F
+
+    qdf = emb.filter("vec_id IN (0, 1)").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    res = hs.ann_join("ann_ivf", qdf, k=5, n_probe=8, exclude_self=True, where="label = 1")
+    got = {(r.query_id, r.neighbor_id) for r in res.collect()}
+    allowed = {r.vec_id for r in emb.filter("label = 1").select("vec_id").collect()}
+    assert got and all(n in allowed for _, n in got)
+    # agrees with filtered point-lookup search
+    want = {
+        (r.query_id, r.neighbor_id)
+        for r in hs.ann_search(
+            "ann_ivf", query_ids=[0, 1], k=5, n_probe=8, where="label = 1"
+        ).collect()
+    }
+    assert got == want

@@ -479,3 +479,23 @@ def test_boolean_search_parser_and_semantics(spark, built):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_ranked_with_boolean_filter(spark, built):
+    """filter_query restricts BM25 candidates without touching scoring
+    (Lucene filter-context semantics): surviving docs keep exactly the
+    score they get unfiltered."""
+    hs, src = built
+    unfiltered = {r[0]: r[1] for r in hs.text_search_ranked("txt1", ["quick", "brown"]).collect()}
+    filtered = {
+        r[0]: r[1]
+        for r in hs.text_search_ranked(
+            "txt1", ["quick", "brown"], filter_query="quick AND NOT fox"
+        ).collect()
+    }
+    assert filtered, "filter should keep some docs"
+    # every surviving doc keeps its unfiltered score
+    for doc, score in filtered.items():
+        assert score == unfiltered[doc], (doc, score, unfiltered[doc])
+    # docs containing 'fox' are gone; doc 1 has fox
+    assert 1 in unfiltered and 1 not in filtered
