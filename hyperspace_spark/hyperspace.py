@@ -1976,6 +1976,42 @@ class Hyperspace:
                         "FilterIndexRule",
                         f"range predicate on {refs[0]}: sorted index scan with row-group pruning",
                     )
+                # A LITERAL equality conjunct alongside other predicates
+                # also admits a PARTIAL index scoped to that conjunct —
+                # predicate-fraction build/storage cost for the same
+                # query family (CoveringIndexConfig(where=...)).
+                from hyperspace_spark.planner.expr import Cmp, Lit
+                from hyperspace_spark.planner.expr import (
+                    split_conjuncts as _split,
+                )
+
+                conjs = _split(filt.condition)
+                lit_eq = [
+                    c
+                    for c in conjs
+                    if isinstance(c, Cmp)
+                    and c.op == "="
+                    and isinstance(c.right, Lit)
+                    and c.references
+                ]
+                others = [c for c in refs if c not in {
+                    next(iter(c2.references)) for c2 in lit_eq
+                }]
+                if lit_eq and others:
+                    pred = lit_eq[0]
+                    suggestions_before = len(suggestions)
+                    add(
+                        scan,
+                        others[:1],
+                        required,
+                        "FilterIndexRule",
+                        f"partial index WHERE {pred.sql}: indexes only the "
+                        f"queried subset at predicate-fraction cost",
+                    )
+                    if len(suggestions) > suggestions_before:
+                        cfg = suggestions[-1]["config"]
+                        cfg.where = pred.sql
+                        suggestions[-1]["config"] = cfg
             if isinstance(node, _ir.JoinN) and node.equi_keys:
                 for side, keys in (
                     (node.left, [l for l, _ in node.equi_keys]),

@@ -70,3 +70,27 @@ def test_recommend_range_and_join_and_agg(spark, hs, tmp_path):
 def test_recommend_never_raises_on_odd_plans(spark, hs):
     assert hs.recommend(spark.range(5)) == []
     assert hs.recommend(spark.createDataFrame([(1,)], ["x"])) == []
+
+
+def test_recommend_partial_index_variant(spark, hs, tmp_path):
+    """A literal equality conjunct alongside other predicates also
+    yields a partial-index suggestion scoped to that conjunct — and
+    creating it makes the planner serve the query."""
+    from tests.conftest import rows_equal
+
+    src = str(tmp_path / "o2")
+    table(spark, "orders").repartition(4).write.parquet(src)
+    o = spark.read.parquet(src)
+    df = o.filter(
+        "o_custkey BETWEEN 100 AND 200 AND o_orderpriority = '1-URGENT'"
+    ).select("o_orderkey", "o_totalprice")
+    recs = hs.recommend(df)
+    partial = [r for r in recs if getattr(r["config"], "where", None)]
+    assert partial, recs
+    cfg = partial[0]["config"]
+    assert "1-URGENT" in cfg.where
+    assert cfg.indexed_columns == ["o_custkey"]
+    hs.create_index(o, cfg)
+    out, used = hs._apply_with_info(df)
+    assert cfg.name in used, hs.why_not(df)
+    assert rows_equal(df, out)
