@@ -371,3 +371,34 @@ def weighted_sample(
     w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0))
     thr = F.floor(w * F.lit(float(rate)) * F.lit(float(num_buckets))).cast("long")
     return df.filter(hash_bucket(F.col(key_col), num_buckets) < thr)
+
+
+def write_training_shards(
+    df: "DataFrame",
+    path: str,
+    key_col: str,
+    num_shards: int,
+    seed: str = "",
+    file_format: str = "parquet",
+) -> None:
+    """Materialize :func:`shard_assign` as the training-data layout:
+    ``path/shard=K/`` holds shard K's rows physically ORDERED by the
+    deterministic shuffle position (one sorted file per shard), so a
+    trainer streams each shard sequentially in the reproducible global
+    order without sorting at read time.
+
+    One extra shuffle on top of shard_assign's ranking pass
+    (repartition by shard so each shard writes as one sorted unit);
+    shard sizes balance to ±1 row so the write skews only as much as
+    row widths do."""
+    from pyspark.sql import functions as F
+
+    out = shard_assign(df, key_col, num_shards, seed=seed, order_col="_hs_pos")
+    (
+        out.repartition(num_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "_hs_pos")
+        .write.format(file_format)
+        .partitionBy("shard")
+        .mode("overwrite")
+        .save(path)
+    )

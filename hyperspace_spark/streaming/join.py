@@ -32,9 +32,13 @@ def interval_join_streams(
     window: str = "10 minutes",
     watermark: str = "1 hour",
     prefix: tuple[str, str] = ("l_", "r_"),
+    how: str = "inner",
 ) -> "DataFrame":
-    """Inner stream-stream join: rows pair when they share ``key`` and
-    ``right_ts`` falls in [left_ts, left_ts + window].
+    """Stream-stream join: rows pair when they share ``key`` and
+    ``right_ts`` falls in [left_ts, left_ts + window].  ``how`` may be
+    ``inner`` or ``leftOuter`` — the outer form emits an unmatched left
+    row (NULL right side) once its window fully passes the watermark,
+    the attribution-with-dropoff shape (views that never converted).
 
     Both inputs must be streaming DataFrames; every column of each side
     is returned under its prefix (Spark forbids ambiguous names across
@@ -60,4 +64,6 @@ def interval_join_streams(
             <= F.col(f"{lp}{left_ts}") + F.expr(f"INTERVAL {window}")
         )
     )
-    return l.join(r, cond, "inner")
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"how must be inner|leftOuter, got {how!r}")
+    return l.join(r, cond, how)

@@ -136,3 +136,26 @@ def test_shard_assign_matches_global_rank_oracle(spark, docs):
     got = {r["doc_id"]: r["shard"] for r in out.select("doc_id", "shard").collect()}
     want = {r["doc_id"]: r["_shard"] for r in naive.select("doc_id", "_shard").collect()}
     assert got == want
+
+
+def test_write_training_shards_ordered(spark, docs, tmp_path):
+    """write_training_shards: one directory per shard, rows inside each
+    shard stored in the deterministic shuffle order."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "shards")
+    sampling.write_training_shards(docs, path, "doc_id", 4)
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    assert {r.shard for r in back.select("shard").distinct().collect()} == {0, 1, 2, 3}
+    # physical order within a shard's files == the assignment's order_col
+    want = {
+        r["doc_id"]: r["pos"]
+        for r in sampling.shard_assign(docs, "doc_id", 4, order_col="pos").collect()
+    }
+    for k in range(4):
+        got_ids = [
+            r.doc_id
+            for r in spark.read.parquet(f"{path}/shard={k}").collect()
+        ]
+        assert got_ids == sorted(got_ids, key=lambda d: want[d]), f"shard {k} out of order"

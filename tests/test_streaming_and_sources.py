@@ -405,3 +405,64 @@ def test_stream_stream_interval_join(spark, tmp_path, sf_dir):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_stream_interval_join_left_outer(spark, sf_dir):
+    """leftOuter interval join: views that never converted emit with a
+    NULL right side once the watermark passes their window."""
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.streaming.join import interval_join_streams
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    sv = stream.filter("event_type = 'view'").select("event_id", "ts", "user_id")
+    sp = stream.filter("event_type = 'purchase'").select("event_id", "ts", "user_id")
+    joined = interval_join_streams(
+        sv, sp, key="user_id", window="4 hours", watermark="6 hours", how="leftOuter"
+    )
+    q = (
+        joined.select(
+            F.col("l_event_id").alias("v"), F.col("r_event_id").alias("p")
+        )
+        .writeStream.format("memory")
+        .queryName("t_ivjoin_outer")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("t_ivjoin_outer").collect()
+    matched = {(r.v, r.p) for r in rows if r.p is not None}
+    unmatched = {r.v for r in rows if r.p is None}
+    # batch truth
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    bv = ev.filter("event_type = 'view'").select(
+        F.col("event_id").alias("v"), "ts", "user_id"
+    )
+    bp = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("p"), F.col("ts").alias("pts"), F.col("user_id").alias("pu")
+    )
+    want_matched = {
+        (r.v, r.p)
+        for r in bv.join(
+            bp,
+            (bv.user_id == bp.pu) & (bp.pts >= bv.ts)
+            & (bp.pts <= bv.ts + F.expr("INTERVAL 4 hours")),
+        ).collect()
+    }
+    assert matched == want_matched
+    # every matched view is not in unmatched; most views never convert
+    assert unmatched.isdisjoint({v for v, _ in matched})
+    n_views = bv.count()
+    # outer rows for non-converting views whose window closed under the
+    # final watermark (events near the stream's end may stay buffered —
+    # that is the documented outer-join semantics, not data loss)
+    assert len(unmatched) > 0.5 * (n_views - len({v for v, _ in matched}))
