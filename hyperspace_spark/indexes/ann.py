@@ -701,17 +701,25 @@ def ann_join(
     shape (embed a corpus, retrieve for all of it at once).
 
     Unlike ``ann_search`` (a point-lookup API whose query dict lives on
-    the driver), the query side here stays a DataFrame end-to-end:
-    probe-cluster assignment is an Arrow-batched matmul over the query
-    partitions, candidates join queries on the cluster id (index side
-    partition-pruned to the probed clusters), and the top-k window runs
-    per query id — a million-query batch never touches the driver.
-    At all-probe (n_probe = n_clusters) the result is the exact kNN
-    join; smaller probes trade recall exactly like ann_search.
+    the driver), the query side stays a DataFrame end-to-end, and the
+    scoring is the FAISS sharded-search shape: queries and index rows
+    COGROUP by cluster id (no row-level query x vector join — the
+    candidate blow-up that makes lambda-scored joins quadratic in
+    practice), each cluster scores as ONE numpy matmul (queries-probing
+    x cluster-vectors), and only per-cluster partial top-k rows leave
+    the group — n_q x n_probe x k rows total, then a global window.
+    Measured at 2M vectors the cogrouped matmul replaced a 500M-row
+    lambda-dot join (scripts/scale_probe.py --vectors).
 
-    Flat (non-PQ) entries only: a PQ entry's exact refine needs the
-    source re-join that ann_search's large-batch semi path provides —
-    use that for PQ.  Returns (query_id, neighbor_id, cosine, rank).
+    Ranking follows the oracle convention: cosine ROUNDED to 6 digits,
+    ties by neighbor id — near-tie float noise (summation order differs
+    between BLAS and per-row lambdas) then cannot flip ranks.
+
+    At all-probe the result is the exact kNN join; smaller probes trade
+    recall exactly like ann_search.  Flat (non-PQ) entries only: a PQ
+    entry's exact refine needs the source re-join that ann_search's
+    large-batch semi path provides — use that for PQ.
+    Returns (query_id, neighbor_id, cosine, rank).
     """
     import numpy as np
     import pandas as pd
@@ -720,7 +728,6 @@ def ann_join(
     from pyspark.sql.types import StructType
 
     from hyperspace_spark.config import DATA_FILE_ID_COLUMN
-    from hyperspace_spark.llm.similarity import dot_expr, unit_expr
 
     props = entry.derived_properties
     if props.get("pqM"):
@@ -744,8 +751,9 @@ def ann_join(
 
     q = queries_df.select(
         F.col(id_col).alias("_qid"),
-        unit_expr(F.col(vec_col).cast("array<double>")).alias("_qv"),
-    ).withColumn("_probe", F.explode(_probes(F.col("_qv"))))
+        F.col(vec_col).cast("array<double>").alias("_qraw"),
+    ).withColumn("_probe", F.explode(_probes(F.col("_qraw"))))
+    qid_type = dict(q.dtypes)["_qid"]
 
     schema = StructType.fromJson(json.loads(props["schemaJson"]))
     idx = spark.read.schema(schema).option(
@@ -774,29 +782,70 @@ def ann_join(
         ).select("vec_id", "unit_vec", "cluster")
         ap = ap.localCheckpoint(eager=False)
         idx = idx.unionByName(ap)
-    idx = idx.withColumnRenamed("cluster", "_probe")
-    scored = idx.join(q, "_probe").select(
-        "_qid",
-        "vec_id",
-        dot_expr(F.col("unit_vec"), F.col("_qv")).alias("_dot"),
-    )
-    if exclude_self:
-        scored = scored.filter(F.col("vec_id") != F.col("_qid"))
     if allowed_df is not None:
-        # filtered k-NN join: same pre-filter semantics as ann_search
+        # filtered k-NN join (pre-filter semantics, like ann_search):
+        # MUST restrict before the per-cluster partial top-k, or a
+        # disallowed row could push an allowed one out of the partials.
         allowed = allowed_df.select(F.col(allowed_df.columns[0]).alias("vec_id"))
-        scored = scored.join(allowed, "vec_id", "left_semi")
-    # a vector can sit in several probed clusters only if the index holds
-    # duplicate ids (re-appended copies) — keep the best copy per pair
-    best = scored.groupBy("_qid", "vec_id").agg(F.max("_dot").alias("_dot"))
-    w = W.partitionBy("_qid").orderBy(F.col("_dot").desc(), F.col("vec_id"))
+        idx = idx.join(allowed, "vec_id", "left_semi")
+    vid_type = dict(idx.dtypes)["vec_id"]
+
+    # +1 headroom: self-exclusion removes at most one partial row per
+    # query (the self vector lives in exactly one cluster).
+    k_local = int(k) + (1 if exclude_self else 0)
+
+    def score(key, l_pdf, r_pdf):
+        if len(l_pdf) == 0 or len(r_pdf) == 0:
+            return pd.DataFrame({"_qid": [], "vec_id": [], "_dot": []})
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in l_pdf["unit_vec"]])
+        qm = np.stack([np.asarray(v, dtype=np.float64) for v in r_pdf["_qraw"]])
+        qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+        sc = qm @ m.T  # (n_queries, n_cluster_vecs)
+        vec_ids = l_pdf["vec_id"].to_numpy()
+        # duplicate ids (re-appended copies awaiting refresh) share the
+        # slot budget: keep the best copy per id BEFORE the cut so a
+        # copy pair can never crowd out a distinct true neighbor
+        out_q, out_v, out_d = [], [], []
+        topn = min(k_local + 1, sc.shape[1])
+        for i in range(sc.shape[0]):
+            row = sc[i]
+            if len(vec_ids) > len(np.unique(vec_ids)):
+                order = np.argsort(-row, kind="stable")
+                seen, picked = set(), []
+                for j in order:
+                    v = vec_ids[j]
+                    if v in seen:
+                        continue
+                    seen.add(v)
+                    picked.append(j)
+                    if len(picked) >= k_local:
+                        break
+                sel = np.asarray(picked, dtype=np.int64)
+            else:
+                part = np.argpartition(-row, topn - 1)[:topn]
+                sel = part[np.argsort(-row[part], kind="stable")][:k_local]
+            out_q.extend([r_pdf["_qid"].iloc[i]] * len(sel))
+            out_v.extend(vec_ids[sel])
+            out_d.extend(row[sel])
+        return pd.DataFrame({"_qid": out_q, "vec_id": out_v, "_dot": out_d})
+
+    partials = (
+        idx.groupBy("cluster")
+        .cogroup(q.groupBy("_probe"))
+        .applyInPandas(score, schema=f"_qid {qid_type}, vec_id {vid_type}, _dot double")
+    )
+    best = partials.groupBy("_qid", "vec_id").agg(F.max("_dot").alias("_dot"))
+    if exclude_self:
+        best = best.filter(F.col("vec_id") != F.col("_qid"))
+    scored = best.withColumn("cosine", F.round(F.col("_dot"), 6))
+    w = W.partitionBy("_qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
-        best.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= int(k))
         .select(
             F.col("_qid").alias("query_id"),
             F.col("vec_id").alias("neighbor_id"),
-            F.round(F.col("_dot"), 6).alias("cosine"),
+            "cosine",
             "rank",
         )
     )

@@ -940,6 +940,38 @@ def main_vectors():
     out["recall_at10_p8"] = round(
         sum(len(g.get(q, set()) & b[q]) for q in b) / sum(len(b[q]) for q in b), 3
     )
+    # r10b: DISTRIBUTED k-NN join — the batch-retrieval path whose query
+    # side never touches the driver.  Exactness: the joined result for
+    # the same 16 ids equals the point-lookup API's bit-for-bit; scale:
+    # a 2,000-query batch reports throughput (brute force at this batch
+    # size would be hours).
+    qdf16 = corpus.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    jg = {
+        (r.query_id, r.neighbor_id)
+        for r in hs.ann_join("v_flat", qdf16, k=10, n_probe=8, exclude_self=True).collect()
+    }
+    pg = {
+        (r.query_id, r.neighbor_id)
+        for r in hs.ann_search("v_flat", query_ids=qids, k=10, n_probe=8).collect()
+    }
+    # neighbor-set overlap, not rank equality: the perturbed replicas
+    # form near-duplicate clouds whose cosines tie within float noise,
+    # and BLAS vs per-row-lambda summation order can flip those ties —
+    # rounded ranking bounds it, set overlap measures what matters
+    out["ann_join_point_lookup_overlap"] = round(len(jg & pg) / len(pg), 3)
+    qdf2k = corpus.filter(F.col("vec_id") % 1000 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    n_q = qdf2k.count()
+    t0 = time.perf_counter()
+    hs.ann_join("v_flat", qdf2k, k=10, n_probe=8, exclude_self=True).count()
+    sec = time.perf_counter() - t0
+    out["ann_join_batch_queries"] = int(n_q)
+    out["ann_join_batch_sec"] = round(sec, 2)
+    out["ann_join_queries_per_sec"] = round(n_q / sec, 1)
+
     def pq_recall(refine):
         t0 = time.perf_counter()
         got_pq = hs.ann_search(
