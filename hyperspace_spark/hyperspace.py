@@ -1772,6 +1772,7 @@ class Hyperspace:
         vec_col: str = "qvec",
         exclude_self: bool = False,
         where: str | None = None,
+        refine_factor: int = 4,
     ) -> "DataFrame":
         """Distributed k-NN JOIN: top-k cosine neighbors for EVERY row of
         ``queries_df`` from a persisted flat IVF index — the query side
@@ -1780,7 +1781,10 @@ class Hyperspace:
         touch the driver.  Hybrid-exact like ann_search: deleted files'
         vectors anti-filter by lineage, appended files' vectors assign
         to the frozen centroids on the fly.  ``where`` runs a FILTERED
-        join (pre-filter semantics, like ann_search's where=)."""
+        join (pre-filter semantics, like ann_search's where=).  IVF-PQ
+        entries score codes with per-query ADC tables in the same
+        cogrouped kernel, then re-rank a k x refine_factor pool exactly
+        against the source."""
         from hyperspace_spark.indexes.ann import ann_join
 
         conf = self.conf()
@@ -1798,6 +1802,7 @@ class Hyperspace:
             allowed_df = self._source_df(entry).filter(where).select(
                 F.col(entry.derived_properties["idCol"])
             )
+        pq = bool(entry.derived_properties.get("pqM"))
         return ann_join(
             self.spark,
             entry,
@@ -1810,6 +1815,8 @@ class Hyperspace:
             appended=appended,
             deleted=deleted,
             allowed_df=allowed_df,
+            source_df=self._source_df(entry) if pq else None,
+            refine_factor=refine_factor,
         )
 
     def why_not(

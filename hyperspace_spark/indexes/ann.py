@@ -695,6 +695,8 @@ def ann_join(
     appended=None,
     deleted=None,
     allowed_df: "DataFrame | None" = None,
+    source_df: "DataFrame | None" = None,
+    refine_factor: int = 4,
 ) -> "DataFrame":
     """Distributed k-NN JOIN against the persisted IVF index: top-k
     cosine neighbors for EVERY row of ``queries_df`` — the bulk-retrieval
@@ -716,9 +718,16 @@ def ann_join(
     between BLAS and per-row lambdas) then cannot flip ranks.
 
     At all-probe the result is the exact kNN join; smaller probes trade
-    recall exactly like ann_search.  Flat (non-PQ) entries only: a PQ
-    entry's exact refine needs the source re-join that ann_search's
-    large-batch semi path provides — use that for PQ.
+    recall exactly like ann_search.
+
+    IVF-PQ entries (r10b): the cogroup kernel scores 8-byte codes with
+    per-query ADC lookup tables (one einsum builds each query's (m,256)
+    LUT, scoring a cluster is a gather+sum), partials pool to
+    k x refine_factor candidates per query, and the pool re-ranks
+    EXACTLY against the source vectors (``source_df``) via a broadcast
+    semi-join — the bounded batch shape, never an id roundtrip through
+    the driver.  Without ``source_df`` the ADC score returns as-is
+    (approximate, column still named cosine).
     Returns (query_id, neighbor_id, cosine, rank).
     """
     import numpy as np
@@ -730,11 +739,7 @@ def ann_join(
     from hyperspace_spark.config import DATA_FILE_ID_COLUMN
 
     props = entry.derived_properties
-    if props.get("pqM"):
-        raise ValueError(
-            "ann_join supports flat IVF entries; for IVF-PQ use ann_search "
-            "(its refine path re-ranks exactly against the source)"
-        )
+    pq_m = props.get("pqM")
     cents = np.asarray(props["centroids"], dtype=np.float64)
     cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
     n_probe = max(1, min(int(n_probe), len(cents)))
@@ -767,11 +772,13 @@ def ann_join(
         idx = idx.filter(
             ~F.col(DATA_FILE_ID_COLUMN).isin([i for i in dead if i is not None])
         )
-    idx = idx.select("vec_id", "unit_vec", "cluster")
+    payload = "codes" if pq_m else "unit_vec"
+    idx = idx.select("vec_id", payload, "cluster")
     if appended:
         # Hybrid-exact, mirroring ann_search: appended files' vectors
         # assign to the FROZEN centroids on the fly (what incremental
-        # refresh would persist) and join the same probe path.
+        # refresh would persist) and join the same probe path (encoding
+        # with the frozen codebooks for PQ).
         from hyperspace_spark.hyperspace import _relation_reader
 
         new_df = _relation_reader(spark, entry.relations[0], with_base_path=True).load(
@@ -779,7 +786,15 @@ def ann_join(
         )
         ap = assign_to_centroids(
             new_df, props["centroids"], props["idCol"], props["vecCol"]
-        ).select("vec_id", "unit_vec", "cluster")
+        )
+        if pq_m:
+            ap = ap.select(
+                "vec_id",
+                _encode_udf(props["codebooks"])(F.col("unit_vec")).alias("codes"),
+                "cluster",
+            )
+        else:
+            ap = ap.select("vec_id", "unit_vec", "cluster")
         ap = ap.localCheckpoint(eager=False)
         idx = idx.unionByName(ap)
     if allowed_df is not None:
@@ -791,16 +806,38 @@ def ann_join(
     vid_type = dict(idx.dtypes)["vec_id"]
 
     # +1 headroom: self-exclusion removes at most one partial row per
-    # query (the self vector lives in exactly one cluster).
-    k_local = int(k) + (1 if exclude_self else 0)
+    # query (the self vector lives in exactly one cluster).  PQ partials
+    # carry the refine pool per cluster (any global pool member is
+    # within its own cluster's top pool_n).
+    pool_n = int(k) * max(int(refine_factor), 1) if pq_m else int(k)
+    k_local = pool_n + (1 if exclude_self else 0)
+    books = (
+        np.stack([np.asarray(b, dtype=np.float64) for b in props["codebooks"]])
+        if pq_m
+        else None
+    )
 
     def score(key, l_pdf, r_pdf):
         if len(l_pdf) == 0 or len(r_pdf) == 0:
             return pd.DataFrame({"_qid": [], "vec_id": [], "_dot": []})
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in l_pdf["unit_vec"]])
         qm = np.stack([np.asarray(v, dtype=np.float64) for v in r_pdf["_qraw"]])
         qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
-        sc = qm @ m.T  # (n_queries, n_cluster_vecs)
+        if books is not None:
+            # ADC: per-query LUT (m, 256) from the query's subvectors,
+            # then scoring the cluster is one gather + sum per query.
+            mm, _kk, dsub = books.shape
+            codes = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in l_pdf["codes"]]
+            )  # (n, m)
+            qs = qm.reshape(qm.shape[0], mm, dsub)  # (q, m, dsub)
+            luts = np.einsum("qmd,mkd->qmk", qs, books)  # (q, m, 256)
+            jj = np.arange(mm)[:, None]  # (m, 1) to pair with codes.T (m, n)
+            sc = np.stack(
+                [luts[i][jj, codes.T].sum(axis=0) for i in range(qm.shape[0])]
+            )  # (q, n)
+        else:
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in l_pdf["unit_vec"]])
+            sc = qm @ m.T  # (n_queries, n_cluster_vecs)
         vec_ids = l_pdf["vec_id"].to_numpy()
         # duplicate ids (re-appended copies awaiting refresh) share the
         # slot budget: keep the best copy per id BEFORE the cut so a
@@ -837,6 +874,34 @@ def ann_join(
     best = partials.groupBy("_qid", "vec_id").agg(F.max("_dot").alias("_dot"))
     if exclude_self:
         best = best.filter(F.col("vec_id") != F.col("_qid"))
+    if pq_m and source_df is not None:
+        from hyperspace_spark.llm.similarity import dot_expr, unit_expr
+
+        wp = W.partitionBy("_qid").orderBy(F.col("_dot").desc(), F.col("vec_id"))
+        pool = (
+            best.withColumn("_r", F.row_number().over(wp))
+            .filter(F.col("_r") <= pool_n)
+            .select("_qid", "vec_id")
+            .persist()
+        )
+        ids = pool.select("vec_id").distinct()
+        src = source_df.join(
+            F.broadcast(ids.withColumnRenamed("vec_id", props["idCol"])),
+            props["idCol"],
+            "left_semi",
+        ).select(
+            F.col(props["idCol"]).alias("vec_id"),
+            unit_expr(F.col(props["vecCol"]).cast("array<double>")).alias("_sv"),
+        )
+        qmap = queries_df.select(
+            F.col(id_col).alias("_qid"),
+            unit_expr(F.col(vec_col).cast("array<double>")).alias("_uq"),
+        )
+        best = (
+            pool.join(src, "vec_id")
+            .join(qmap, "_qid")
+            .select("_qid", "vec_id", dot_expr(F.col("_uq"), F.col("_sv")).alias("_dot"))
+        )
     scored = best.withColumn("cosine", F.round(F.col("_dot"), 6))
     w = W.partitionBy("_qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (

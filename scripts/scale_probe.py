@@ -971,6 +971,13 @@ def main_vectors():
     out["ann_join_batch_queries"] = int(n_q)
     out["ann_join_batch_sec"] = round(sec, 2)
     out["ann_join_queries_per_sec"] = round(n_q / sec, 1)
+    # PQ batch: ADC tables in the same cogrouped kernel + exact refine
+    # of the pooled candidates against the source (broadcast semi)
+    t0 = time.perf_counter()
+    hs.ann_join("v_pq", qdf2k, k=10, n_probe=8, refine_factor=256).count()
+    sec_pq = time.perf_counter() - t0
+    out["ann_join_pq_batch_sec"] = round(sec_pq, 2)
+    out["ann_join_pq_queries_per_sec"] = round(n_q / sec_pq, 1)
 
     def pq_recall(refine):
         t0 = time.perf_counter()
@@ -1012,6 +1019,11 @@ def main_vectors():
     n_files_1 = len([f for f in e1.content_files if f.path.endswith(".parquet")])
     for fn in set(os.listdir(src)) - before:
         os.remove(os.path.join(src, fn))
+    # the probe mutates src in place; Spark's shared InMemoryFileIndex
+    # for the path may have cached a between-mutation listing (which
+    # listing depends on which earlier action touched the path first),
+    # so invalidate explicitly before the next derivation reads it
+    spark.catalog.refreshByPath(src)
     t0 = time.perf_counter()
     hs.refresh_index("v_flat", "incremental")
     out["delete_refresh_sec"] = round(time.perf_counter() - t0, 2)
@@ -1035,10 +1047,11 @@ def main_vectors():
     # stale hybrid search: append without refresh; probing with an
     # appended vector's own embedding (external query_vectors namespace,
     # no self-exclusion) must surface the appended vector at cosine 1.
-    extra2 = corpus.filter("vec_id < 500").selectExpr(
+    extra2 = spark.read.parquet(src).filter("vec_id < 500").selectExpr(
         "vec_id + 200000000 AS vec_id", "embedding"
     )
     extra2.coalesce(1).write.mode("append").parquet(src)
+    spark.catalog.refreshByPath(src)
     v = (
         spark.read.parquet(src)
         .filter("vec_id = 200000007")

@@ -747,13 +747,26 @@ def test_ann_join_matches_search_and_handles_hybrid(spark, hs, emb, tmp_path):
     point = hs.ann_search("ann_ivf", query_ids=[0, 1, 2], k=5, n_probe=8)
     want = {(r.query_id, r.neighbor_id, r.rank) for r in point.collect()}
     assert got == want
-    # PQ entries refuse with direction to ann_search
-    import pytest as _pytest
-
+    # PQ entries: ADC pool + exact refine inside the same cogrouped
+    # kernel — at a corpus-covering pool the result equals the
+    # point-lookup PQ path exactly
     hs2 = Hyperspace(spark, system_path=str(tmp_path / "pq"))
     hs2.create_index(emb, IvfIndexConfig("aj_pq", n_clusters=4, pq_m=8))
-    with _pytest.raises(Exception, match="ann_search"):
-        hs2.ann_join("aj_pq", qdf, k=5)
+    n = emb.count()
+    rf = max(1000, -(-n // 5))
+    jpq = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in hs2.ann_join(
+            "aj_pq", qdf, k=5, n_probe=4, exclude_self=True, refine_factor=rf
+        ).collect()
+    }
+    ppq = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in hs2.ann_search(
+            "aj_pq", query_ids=[0, 1, 2], k=5, n_probe=4, refine_factor=rf
+        ).collect()
+    }
+    assert jpq == ppq
     # hybrid: appended vectors surface through the frozen-centroid assign
     src = str(tmp_path / "emb")
     emb.write.parquet(src)
