@@ -5408,74 +5408,16 @@ def session_window_events(spark, sf_dir):
 # them every session).
 # ---------------------------------------------------------------------------
 _VERIFY_PRIORITY = [
-    # --- r10 window (driver verifies the FIRST ~50): (1) the 20 entries
-    # whose last green row is r07 — now three rounds old, the oldest
-    # evidence in the contract (includes dedup_minhash_lsh, whose kernel
-    # is under the r9 verdict's regression triage this round),
-    # (2) the ELEVEN queries NEW in r10 (multimodal_decode_real,
-    # avro_roundtrip, covering_filter_or, covering_filter_partial,
-    # corpus_shard_assign, streaming_interval_join,
-    # resample_gapfill_daily, text_search_boolean, ann_filtered_topk,
-    # quantile_estimate_prices, ann_knn_join — no prior evidence, so
-    # they must verify this round), (3) the first ~19 of the 46
-    # r8-greens, in their r8 order.  The remaining r8-greens plus the
-    # 50 r9-greens ride past the cap; the r8 leftovers LEAD the r11
-    # window so no entry's evidence ever exceeds three rounds.  Every
-    # entry is ALSO re-verified each session by the local contract
-    # pytest (same DuckDB compare, exact float repr). ---
-    "clean_corpus_census",
-    "percentile_stats",
-    "window_lag_lead",
-    "unigram_logprob",
-    "udtf_chunk_text",
-    "lang_quality",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_keep_canonical",
-    "hybrid_scan_append",
-    "asof_join_events",
-    "distinct_count_sketch",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "dataskipping_valuelist",
-    "dataskipping_minmax",
-    "dataskipping_inset",
-    "opaque_union_accel",
-    "boilerplate_line_removal",
-    # --- new in r10 (the window slides to 51st place what they displace;
-    # union_distinct rides to r11 with the other r8 leftovers) ---
-    "multimodal_decode_real",
-    "avro_roundtrip",
-    "covering_filter_or",
-    "covering_filter_partial",
-    "corpus_shard_assign",
-    "streaming_interval_join",
-    "resample_gapfill_daily",
-    "text_search_boolean",
-    "ann_filtered_topk",
-    "quantile_estimate_prices",
-    "ann_knn_join",
-    # --- last green r08, rotating back (r8 order preserved) ---
-    "text_search_inverted",
-    "metadata_only_agg",
-    "metadata_group_agg",
-    "metadata_count_distinct",
-    "metadata_filtered_agg",
-    "dedup_incremental",
-    "streaming_ledger_dedup",
-    "dsir_importance_en",
-    "window_latest_lineitem",
-    "streaming_stateful_sessionize",
-    "semantic_dedup",
-    "covering_filter_point",
-    "join_cobucketed",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q12_priority_shipping",
-    "q20_excess_stock",
-    "session_window_events",
-    "streaming_tumbling_rollup",
+    # --- r11 window (driver verifies the FIRST ~50): (1) the 27 entries
+    # whose last green row is r08 — three rounds old, the oldest
+    # evidence in the contract (VERDICT r10 "What's wrong" #1 names this
+    # exact set; the ann_*/multimodal_* members sit on code r10 rewrote),
+    # (2) queries NEW in r11 (no prior evidence, must verify this
+    # round), (3) the oldest r09-greens, in their r9 order, filling to
+    # ~50.  The r10-greens (all 50, freshest evidence) ride past the
+    # cap; the r9 leftovers LEAD the r12 window so no entry's evidence
+    # ever exceeds three rounds.  Every entry is ALSO re-verified each
+    # session by the local contract pytest (same DuckDB compare). ---
     "window_tumbling_events",
     "window_sliding_events",
     "window_top_orders",
@@ -5503,8 +5445,9 @@ _VERIFY_PRIORITY = [
     "multimodal_resize",
     "dataskipping_bloom",
     "nested_filter_index",
-    # --- verified green in r09 (CORRECTNESS_r09.json) — freshest
-    # evidence, past the cap; they follow the 17 r8 riders in r11. ---
+    # --- new in r11 ---
+    # (inserted here as they land)
+    # --- last green r09 (CORRECTNESS_r09.json order), rotating back ---
     "pipeline_end_to_end",
     "selfjoin_agg_cobucketed",
     "text_search_ranked",
@@ -5528,6 +5471,7 @@ _VERIFY_PRIORITY = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",
+    # --- r9-greens below here ride to the r12 window ---
     "q5_region_revenue",
     "q6_revenue_change",
     "q7_nation_volume",
@@ -5555,6 +5499,58 @@ _VERIFY_PRIORITY = [
     "source_token_quota",
     "json_props_extract",
     "recursive_month_series",
+    # --- verified green in r10 (CORRECTNESS_r10.json) — freshest
+    # evidence, past the cap; they follow the r9 riders in r12. ---
+    "clean_corpus_census",
+    "percentile_stats",
+    "window_lag_lead",
+    "unigram_logprob",
+    "udtf_chunk_text",
+    "lang_quality",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_keep_canonical",
+    "hybrid_scan_append",
+    "asof_join_events",
+    "distinct_count_sketch",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "dataskipping_valuelist",
+    "dataskipping_minmax",
+    "dataskipping_inset",
+    "opaque_union_accel",
+    "boilerplate_line_removal",
+    "multimodal_decode_real",
+    "avro_roundtrip",
+    "covering_filter_or",
+    "covering_filter_partial",
+    "corpus_shard_assign",
+    "streaming_interval_join",
+    "resample_gapfill_daily",
+    "text_search_boolean",
+    "ann_filtered_topk",
+    "quantile_estimate_prices",
+    "ann_knn_join",
+    "text_search_inverted",
+    "metadata_only_agg",
+    "metadata_group_agg",
+    "metadata_count_distinct",
+    "metadata_filtered_agg",
+    "dedup_incremental",
+    "streaming_ledger_dedup",
+    "dsir_importance_en",
+    "window_latest_lineitem",
+    "streaming_stateful_sessionize",
+    "semantic_dedup",
+    "covering_filter_point",
+    "join_cobucketed",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q12_priority_shipping",
+    "q20_excess_stock",
+    "session_window_events",
+    "streaming_tumbling_rollup",
 ]
 
 
