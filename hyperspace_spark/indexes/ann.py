@@ -839,15 +839,23 @@ def ann_join(
             m = np.stack([np.asarray(v, dtype=np.float64) for v in l_pdf["unit_vec"]])
             sc = qm @ m.T  # (n_queries, n_cluster_vecs)
         vec_ids = l_pdf["vec_id"].to_numpy()
-        # duplicate ids (re-appended copies awaiting refresh) share the
-        # slot budget: keep the best copy per id BEFORE the cut so a
-        # copy pair can never crowd out a distinct true neighbor
+        # The partial cut follows the GLOBAL ranking convention exactly:
+        # round(score, 6) desc, ties by neighbor id asc.  Cutting on the
+        # raw score instead can drop a 6th-decimal-tied candidate that
+        # the final window (and the DuckDB oracle) would keep — caught
+        # by test_ann_join_overlap_on_near_duplicate_clouds.  Typical
+        # path stays O(n): an argpartition threshold preselects, and
+        # only the >=threshold candidates (k_local + ties) pay the sort.
         out_q, out_v, out_d = [], [], []
-        topn = min(k_local + 1, sc.shape[1])
+        has_dups = len(vec_ids) > len(np.unique(vec_ids))
         for i in range(sc.shape[0]):
             row = sc[i]
-            if len(vec_ids) > len(np.unique(vec_ids)):
-                order = np.argsort(-row, kind="stable")
+            rr = np.round(row, 6)
+            if has_dups:
+                # duplicate ids (re-appended copies awaiting refresh)
+                # share the slot budget: keep the best copy per id so a
+                # copy pair can never crowd out a distinct true neighbor
+                order = np.lexsort((vec_ids, -rr))
                 seen, picked = set(), []
                 for j in order:
                     v = vec_ids[j]
@@ -859,8 +867,13 @@ def ann_join(
                         break
                 sel = np.asarray(picked, dtype=np.int64)
             else:
-                part = np.argpartition(-row, topn - 1)[:topn]
-                sel = part[np.argsort(-row[part], kind="stable")][:k_local]
+                if k_local < len(rr):
+                    part = np.argpartition(-rr, k_local - 1)[:k_local]
+                    thresh = rr[part].min()
+                    cand = np.flatnonzero(rr >= thresh)
+                else:
+                    cand = np.arange(len(rr))
+                sel = cand[np.lexsort((vec_ids[cand], -rr[cand]))][:k_local]
             out_q.extend([r_pdf["_qid"].iloc[i]] * len(sel))
             out_v.extend(vec_ids[sel])
             out_d.extend(row[sel])

@@ -4006,6 +4006,69 @@ def ann_knn_join(spark, sf_dir):
 
 
 @q(
+    "ann_knn_join_brute",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                           CAST(embedding AS DOUBLE[])))) AS u
+      FROM embeddings
+    ), qv AS (SELECT vec_id AS qid, u AS qu FROM v WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT qid, v.vec_id AS nid, round(list_dot_product(qu, v.u), 6) AS cosine
+      FROM v CROSS JOIN qv WHERE v.vec_id != qid
+    )
+    SELECT qid AS query_id, nid AS neighbor_id, cosine, rank FROM (
+      SELECT qid, nid, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def ann_knn_join_brute(spark, sf_dir):
+    """Brute-force k-NN join baseline: the SAME result set as
+    ann_knn_join (identical oracle — the indexed join is exact at
+    all-probe) computed with NO index, as a plain broadcast crossJoin
+    of the query rows against the full corpus + a rank window.  Exists
+    so the bench can track an API-paired speedup for ann_join every
+    round (BENCH `speedup_api_paired`): the ann_join path has no
+    planner kill-switch baseline, and without a tracked pair a kernel
+    regression would be invisible.  At sf0.1 (2k vectors) both sides
+    are overhead-bound; the scale evidence is the 2M-vector probe
+    (scripts/scale_probe.py --vectors, 925 s -> 10.1 s)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.llm.similarity import cosine_expr
+
+    _conf(spark)
+    v = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").cast("array<double>").alias("nv"),
+    )
+    qv = v.filter("nid % 50 = 0").select(
+        F.col("nid").alias("qid"), F.col("nv").alias("qv")
+    )
+    scored = (
+        v.crossJoin(F.broadcast(qv))
+        .filter(F.col("nid") != F.col("qid"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("qv"), F.col("nv")), 6))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
+@q(
     "ann_filtered_topk",
     """
     WITH v AS (
@@ -5446,7 +5509,7 @@ _VERIFY_PRIORITY = [
     "dataskipping_bloom",
     "nested_filter_index",
     # --- new in r11 ---
-    # (inserted here as they land)
+    "ann_knn_join_brute",
     # --- last green r09 (CORRECTNESS_r09.json order), rotating back ---
     "pipeline_end_to_end",
     "selfjoin_agg_cobucketed",

@@ -786,6 +786,74 @@ def test_ann_join_matches_search_and_handles_hybrid(spark, hs, emb, tmp_path):
     assert res[0].neighbor_id == 5 + mx + 1 and abs(res[0].cosine - 1.0) < 1e-6
 
 
+def test_ann_join_overlap_on_near_duplicate_clouds(spark, tmp_path):
+    """Regression guard for the 2M-vector probe's 0.95 join-vs-lookup
+    overlap (SCALE.md r10b, adjudicated benign): both APIs rank on
+    round(cosine, 6), and a clouds-shaped corpus puts many candidates
+    within 1e-7 of each other, so a few pairs may straddle a 6th-decimal
+    rounding boundary between the join's BLAS matmul and the lookup's
+    summation order.  That explanation is only safe while the overlap
+    stays HIGH — a real kernel bug (transposed matmul, probe/id
+    misalignment) returns neighbors from the WRONG clouds and collapses
+    the overlap toward 0.  Pin: overlap >= 0.9 on the adversarial
+    fixture.  (Exact equality on spread embeddings is already pinned by
+    test_ann_join_matches_search_and_handles_hybrid.)"""
+    import hashlib
+    import struct
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark import Hyperspace, IvfIndexConfig
+
+    def _unit(seed: str, scale: float = 1.0) -> np.ndarray:
+        vals = []
+        for i in range(32):
+            d = hashlib.md5(f"{seed}-{i}".encode()).digest()
+            (u,) = struct.unpack("<Q", d[:8])
+            vals.append(u / float(1 << 64) * 2.0 - 1.0)
+        return np.asarray(vals) * scale
+
+    rows = []
+    n_clouds, per = 12, 8
+    for c in range(n_clouds):
+        base = _unit(f"cloud-{c}")
+        base = base / np.linalg.norm(base)
+        for m in range(per):
+            # 5e-4 perturbation => within-cloud cosines differ around the
+            # 6th decimal — the exact straddle zone from the 2M probe
+            v = base + _unit(f"eps-{c}-{m}", scale=5e-4)
+            rows.append((c * per + m, [float(x) for x in v], c % 2))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    src = str(tmp_path / "clouds")
+    df.coalesce(2).write.parquet(src)
+    emb2 = spark.read.parquet(src)
+    hs2 = Hyperspace(spark, system_path=str(tmp_path / "idx"))
+    hs2.create_index(emb2, IvfIndexConfig("clouds_ivf", n_clusters=4))
+
+    qids = [c * per for c in range(n_clouds)]
+    qdf = emb2.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    joined = {
+        (r.query_id, r.neighbor_id)
+        for r in hs2.ann_join(
+            "clouds_ivf", qdf, k=5, n_probe=4, exclude_self=True
+        ).collect()
+    }
+    point = {
+        (r.query_id, r.neighbor_id)
+        for r in hs2.ann_search("clouds_ivf", query_ids=qids, k=5, n_probe=4).collect()
+    }
+    assert len(point) == n_clouds * 5
+    overlap = len(joined & point) / len(point)
+    assert overlap >= 0.9, f"join/lookup overlap {overlap} on clouds fixture"
+    # every returned neighbor must come from the query's OWN cloud —
+    # rounding can flip near-ties inside a cloud, never across clouds
+    for q_, n_ in joined | point:
+        assert q_ // per == n_ // per, (q_, n_)
+
+
 def test_ann_join_filtered(spark, hs, emb):
     """ann_join(where=) keeps only satisfying neighbors, exact at
     all-probe over the subset."""
