@@ -1500,7 +1500,25 @@ class Hyperspace:
         'html' (a <pre> block with <b> highlights, notebook-embeddable)."""
         if mode not in ("plaintext", "console", "html"):
             raise HyperspaceException("explain mode must be 'plaintext', 'console', or 'html'")
-        accelerated, used = self._apply_with_info(df)
+        # Collect per-branch index-OR statistics emitted when the winning
+        # plan replays (FilterOrIndexRule's replacement): which index
+        # serves each disjunct and how many index files the branch reads.
+        from hyperspace_spark.telemetry import off_event, on_event
+
+        or_branches: list[str] = []
+
+        def _collect_or(ev) -> None:
+            if ev.kind == "or_branch":
+                or_branches.append(ev.detail)
+
+        on_event(_collect_or)
+        try:
+            # Fresh Reasons bypasses the apply cache: explain is a
+            # diagnostic, and a cache hit would skip the replay that
+            # emits the per-branch events.
+            accelerated, used = self._apply_with_info(df, reasons=Reasons())
+        finally:
+            off_event(_collect_or)
         orig_plan = df._jdf.queryExecution().executedPlan().toString()
         out = []
         out.append("=" * 60)
@@ -1524,6 +1542,10 @@ class Hyperspace:
                 a, b = orig_ops.get(op_name, 0), new_ops.get(op_name, 0)
                 if a != b:
                     out.append(f"  {op_name}: {a} -> {b}")
+            if or_branches:
+                out.append("Index-OR branches:")
+                for line in or_branches:
+                    out.append(f"  {line}")
         text = "\n".join(out)
         if mode == "plaintext":
             return text
@@ -1873,6 +1895,66 @@ class Hyperspace:
     # index recommendation (extension: whyNot explains the miss, this
     # proposes the index that would hit — the advisory loop's other half)
     # ------------------------------------------------------------------
+    def _sampled_distinct_ratio(self, scan, col: str, sample_rows: int = 100_000):
+        """Distinct-value ratio of ``col`` over a bounded sample of the
+        scan, for recommend()'s sketch-kind choice.  LIMIT keeps the job
+        O(sample), never O(table) — advisory APIs must stay cheap at
+        100 TB.  None on any failure (callers fall back to Bloom, the
+        safe generic for equality probes)."""
+        try:
+            import json as _json
+
+            from pyspark.sql import functions as F
+            from pyspark.sql.types import StructType
+
+            r = self.spark.read.format(scan.file_format)
+            if scan.data_schema_json:
+                r = r.schema(StructType.fromJson(_json.loads(scan.data_schema_json)))
+            opts = {k: v for k, v in (scan.options or {}).items() if k.lower() != "path"}
+            if opts:
+                r = r.options(**opts)
+            row = (
+                r.load(list(scan.root_paths))
+                .select(col)
+                .limit(int(sample_rows))
+                .agg(F.approx_count_distinct(col).alias("d"), F.count(F.lit(1)).alias("n"))
+                .first()
+            )
+            if not row or not row["n"]:
+                return None
+            return float(row["d"]) / float(row["n"])
+        except Exception:
+            return None
+
+    def _ds_covered(self, scan, sketches) -> bool:
+        """An ACTIVE skipping index on the same source already holds an
+        equivalent sketch for every proposed (kind, column) — a
+        ValueList also answers the equality probes a Bloom would."""
+        from hyperspace_spark.indexes.sketches import sketch_from_json
+
+        want = {(s.kind, s.column) for s in sketches}
+        for e in self._all_latest_entries(self.conf()):
+            if e.state != States.ACTIVE or e.derived_kind != "DS":
+                continue
+            roots = tuple(
+                sorted(_norm_path(p) for r in e.relations for p in r.root_paths)
+            )
+            if roots != scan.normalized_paths():
+                continue
+            have = set()
+            for sj in e.derived_properties.get("sketches", []):
+                try:
+                    sk = sketch_from_json(sj)
+                    have.add((sk.kind, sk.column))
+                except Exception:
+                    continue
+            if all(
+                (k, c) in have or (k == "Bloom" and ("ValueList", c) in have)
+                for k, c in want
+            ):
+                return True
+        return False
+
     def recommend(self, df: "DataFrame") -> list[dict]:
         """Covering-index configurations that would accelerate ``df``,
         derived from the query's own shape: filters suggest an index
@@ -1962,12 +2044,52 @@ class Hyperspace:
                 except ValueError:
                     required = sorted(filt.condition.references)
                 refs = [c for c in sorted(filt.condition.references) if "." not in c]
+                # Disjunctive filter family (r11): when every OR branch
+                # pins some column with an equality/IN, propose ONE index
+                # per distinct branch column — together they let
+                # FilterOrIndexRule serve the disjunction as a union of
+                # bucket-pruned branch scans.  Creating the set closes
+                # the loop: covered_by_existing then drops each proposal.
+                from hyperspace_spark.planner.expr import BoolOp, split_disjuncts
+                from hyperspace_spark.planner.rules import FilterOrIndexRule
+
+                handled_or = False
+                cond = filt.condition
+                if isinstance(cond, BoolOp) and cond.op == "or":
+                    disjuncts = split_disjuncts(cond)
+                    branch_cols: list[str] = []
+                    if 2 <= len(disjuncts) <= FilterOrIndexRule.MAX_BRANCHES:
+                        for d in disjuncts:
+                            deq = [
+                                c
+                                for c in sorted(d.references)
+                                if "." not in c
+                                and equality_literals(d, c) is not None
+                            ]
+                            if not deq:
+                                branch_cols = []
+                                break
+                            branch_cols.append(deq[0])
+                    if branch_cols:
+                        handled_or = True
+                        for col in dict.fromkeys(branch_cols):
+                            add(
+                                scan,
+                                [col],
+                                required,
+                                "FilterOrIndexRule",
+                                f"OR branch pins {col}: index-OR union reads "
+                                "only that literal's buckets per branch "
+                                "(create the full set of branch indexes)",
+                            )
                 eq = [
                     c
                     for c in refs
                     if equality_literals(filt.condition, c) is not None
                 ]
-                if eq:
+                if handled_or:
+                    pass
+                elif eq:
                     add(
                         scan,
                         eq[:1],
@@ -2019,6 +2141,69 @@ class Hyperspace:
                         cfg = suggestions[-1]["config"]
                         cfg.where = pred.sql
                         suggestions[-1]["config"] = cfg
+                # Data-skipping sketch recommendation (r11; the advisory
+                # role of the reference's MinMaxAnalysisUtil.analyze):
+                # one DataSkippingIndexConfig whose sketch kind fits
+                # each predicate shape — MinMax for ranges; for
+                # equality/IN a sampled cardinality estimate picks
+                # ValueList (low cardinality: exact per-file lists) vs
+                # Bloom (high cardinality: constant bytes per file).
+                from hyperspace_spark.indexes.dataskipping import (
+                    DataSkippingIndexConfig,
+                )
+                from hyperspace_spark.indexes.sketches import (
+                    BloomFilterSketch,
+                    MinMaxSketch,
+                    ValueListSketch,
+                )
+
+                ds_sketches: list = []
+                ds_reasons: list[str] = []
+                for col in refs:
+                    if col in (scan.partition_columns or []):
+                        continue  # Spark prunes partition values natively
+                    if equality_literals(filt.condition, col) is not None:
+                        ratio = self._sampled_distinct_ratio(scan, col)
+                        if ratio is not None and ratio <= 0.05:
+                            ds_sketches.append(ValueListSketch([col]))
+                            ds_reasons.append(
+                                f"ValueList({col}): equality probe on a "
+                                f"low-cardinality column (~{ratio:.1%} "
+                                "distinct in sample)"
+                            )
+                        else:
+                            ds_sketches.append(BloomFilterSketch([col]))
+                            ds_reasons.append(
+                                f"Bloom({col}): equality probe on a "
+                                "high-cardinality column"
+                            )
+                    elif any(
+                        isinstance(cj, Cmp)
+                        and cj.op in ("<", "<=", ">", ">=")
+                        and cj.references == frozenset([col])
+                        for cj in conjs
+                    ):
+                        ds_sketches.append(MinMaxSketch([col]))
+                        ds_reasons.append(f"MinMax({col}): range predicate")
+                first_key = eq[:1] if eq else refs[:1]
+                if (
+                    ds_sketches
+                    and not self._ds_covered(scan, ds_sketches)
+                    # an ACTIVE covering index that already serves this
+                    # query makes a skipping index redundant advice
+                    and not covered_by_existing(scan, first_key, required)
+                ):
+                    ds_name = f"hs_rec_ds_{len(suggestions)}_{ds_sketches[0].column}".lower()
+                    suggestions.append(
+                        {
+                            "config": DataSkippingIndexConfig(
+                                ds_name, sketches=ds_sketches
+                            ),
+                            "rule": "DataSkippingIndexRule",
+                            "reason": "; ".join(ds_reasons),
+                            "source": list(scan.normalized_paths()),
+                        }
+                    )
             if isinstance(node, _ir.JoinN) and node.equi_keys:
                 for side, keys in (
                     (node.left, [l for l, _ in node.equi_keys]),

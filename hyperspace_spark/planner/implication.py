@@ -96,14 +96,125 @@ def expr_from_json(d: dict) -> Expr:
 
 
 # ---------------------------------------------------------------------------
+# NOT normalization (r11)
+# ---------------------------------------------------------------------------
+_NEG_OP = {"<": ">=", "<=": ">", ">": "<=", ">=": "<"}
+
+
+def push_not(e: Expr) -> Expr:
+    """TRUE-satisfaction-preserving Not elimination, sound under SQL's
+    three-valued logic: a WHERE predicate keeps a row iff it evaluates
+    to TRUE, and each rewrite below preserves exactly the TRUE set.
+
+    - NOT(NOT e)      == e          (TRUE iff e TRUE)
+    - NOT(a AND b)    == NOT a OR NOT b   (De Morgan holds in 3VL)
+    - NOT(a OR b)     == NOT a AND NOT b
+    - NOT(a < b)      == a >= b     (both TRUE exactly when both sides
+      are non-null and the comparison holds — null operands make both
+      forms non-TRUE), and likewise for <=, >, >=
+    - NOT(x IS NULL)  == x IS NOT NULL (and vice versa)
+
+    NOT over = / <=> / IN has no single positive form (x <> 5 is a
+    range PAIR plus a null guard) — those stay residual NotExpr nodes
+    for the residual rules in _conjunct_implies."""
+    if isinstance(e, BoolOp):
+        return BoolOp(
+            sql=e.sql,
+            references=e.references,
+            op=e.op,
+            children=tuple(push_not(c) for c in e.children),
+        )
+    if not isinstance(e, NotExpr) or e.child is None:
+        return e
+    c = push_not(e.child)
+    if isinstance(c, NotExpr) and c.child is not None:
+        return c.child  # already pushed by the recursive call
+    if isinstance(c, BoolOp) and c.op in ("and", "or"):
+        kids = tuple(
+            push_not(NotExpr(sql=f"(NOT {k.sql})", references=k.references, child=k))
+            for k in c.children
+        )
+        return BoolOp(
+            sql=e.sql,
+            references=e.references,
+            op="or" if c.op == "and" else "and",
+            children=kids,
+        )
+    if isinstance(c, Cmp) and c.op in _NEG_OP:
+        op = _NEG_OP[c.op]
+        return Cmp(
+            sql=f"({c.left.sql} {op} {c.right.sql})",
+            references=c.references,
+            op=op,
+            left=c.left,
+            right=c.right,
+        )
+    if isinstance(c, NullTest):
+        return NullTest(
+            sql=e.sql, references=c.references, child=c.child, is_null=not c.is_null
+        )
+    return NotExpr(sql=e.sql, references=e.references, child=c)
+
+
+def _not_in_values(e: Expr):
+    """(col, excluded_values) of a residual NOT over =/IN on a plain
+    attribute — TRUE iff col is NON-NULL and not among the values.
+    NOT(x <=> v) is excluded: it is also TRUE when x is null."""
+    if not isinstance(e, NotExpr) or e.child is None:
+        return None
+    inner = e.child
+    if isinstance(inner, Cmp):
+        n = _norm_cmp(inner)
+        if n is not None and n[1] == "=":
+            return n[0], [n[2]]
+        return None
+    if isinstance(inner, InExpr):
+        return _in_values(inner)
+    return None
+
+
+def _range_excludes(op_q: str, vq, v) -> bool:
+    """Does `x op_q vq` (TRUE) guarantee x != v?  Exactly when v itself
+    fails the comparison; incomparable literals conservatively False."""
+    c = _cmp_values(v, vq)
+    if c is None:
+        return False
+    return not {"<": c < 0, "<=": c <= 0, ">": c > 0, ">=": c >= 0}[op_q]
+
+
+def _excludes_all(q: Expr, col: str, values) -> bool:
+    """Does q (TRUE) guarantee col is NON-NULL and outside ``values``?"""
+    qi = _in_values(q)
+    if qi is not None and qi[0] == col:
+        try:
+            return not set(qi[1]) & set(values)
+        except TypeError:
+            return False
+    if isinstance(q, Cmp):
+        nq = _norm_cmp(q)
+        if nq is not None and nq[0] == col and nq[1] in _NEG_OP:
+            return all(_range_excludes(nq[1], nq[2], v) for v in values)
+    nq2 = _not_in_values(q)
+    if nq2 is not None and nq2[0] == col:
+        try:
+            return set(values).issubset(set(nq2[1]))
+        except TypeError:
+            return False
+    return False
+
+
+# ---------------------------------------------------------------------------
 # implication
 # ---------------------------------------------------------------------------
 def implies(query: Expr, index_pred: Expr) -> bool:
     """query ⇒ index_pred, conservatively.
 
-    Every conjunct of the index predicate must be implied by the query.
-    The query side distributes over its own top-level OR: (q1 OR q2) ⇒ p
-    iff q1 ⇒ p and q2 ⇒ p."""
+    Both sides are NOT-normalized first (push_not), so `x <> 5` style
+    filters can ride range/null reasoning.  Every conjunct of the index
+    predicate must be implied by the query.  The query side distributes
+    over its own top-level OR: (q1 OR q2) ⇒ p iff q1 ⇒ p and q2 ⇒ p."""
+    query = push_not(query)
+    index_pred = push_not(index_pred)
     branches = split_disjuncts(query)
     if len(branches) > 1:
         return all(implies(b, index_pred) for b in branches)
@@ -238,6 +349,11 @@ def _conjunct_implies(q: Expr, p: Expr) -> bool:
         np_ = _norm_cmp(p)
         if np_ is not None and qi[0] == np_[0]:
             return all(_range_implies("=", v, np_[1], np_[2]) for v in qi[1])
+    # residual NOT on the index side: q must guarantee the excluded
+    # values can't occur AND the column is non-null
+    npn = _not_in_values(p)
+    if npn is not None:
+        return _excludes_all(q, npn[0], npn[1])
     # any non-null-preserving conjunct on x implies x IS NOT NULL
     if isinstance(p, NullTest) and not p.is_null and _attr_of(p.child) is not None:
         col = p.child.name
@@ -246,6 +362,10 @@ def _conjunct_implies(q: Expr, p: Expr) -> bool:
             if nq is not None and nq[0] == col and nq[1] != "<=>":
                 return True
         if qi is not None and qi[0] == col:
+            return True
+        # NOT(x = v) / NOT(x IN ...) is TRUE only on non-null x
+        nqn = _not_in_values(q)
+        if nqn is not None and nqn[0] == col:
             return True
         if isinstance(q, NullTest) and not q.is_null and _attr_of(q.child) is not None and q.child.name == col:
             return True

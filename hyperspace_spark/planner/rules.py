@@ -434,9 +434,24 @@ class FilterOrIndexRule:
 
         def replacement(spark, _branches=branches, _cols=out_cols):
             from hyperspace_spark.indexes.covering import index_scan_df
+            from hyperspace_spark.telemetry import HyperspaceEvent, emit
 
             frames = []
             for i, (dsql, entry, files, deleted) in enumerate(_branches):
+                # Per-branch statistics, consumed by explain(verbose=True):
+                # which index serves the disjunct and how hard it prunes.
+                # Emitted here (replay of the WINNING plan), never from
+                # apply() — rules run speculatively during scoring.
+                emit(
+                    HyperspaceEvent(
+                        kind="or_branch",
+                        index_name=entry.name,
+                        detail=(
+                            f"branch {i}: ({dsql}) -> {entry.name}, "
+                            f"reads {len(files)}/{len(entry.content_files)} index files"
+                        ),
+                    )
+                )
                 f = index_scan_df(spark, entry, _cols, deleted=deleted, files=files)
                 guard = f"({dsql})"
                 for j in range(i):

@@ -69,6 +69,33 @@ def test_or_union_both_indexes_and_dedup(spark, env):
     assert "orders/part" not in plan  # no source scan
 
 
+def test_or_explain_verbose_branch_stats(spark, env):
+    """explain(verbose=True) surfaces per-branch statistics: which index
+    serves each disjunct and how many of its files the branch reads —
+    so a user can see which disjunct prunes and which full-scans."""
+    import re
+
+    hs, src = env
+    okey = _overlap_orderkey(spark, src)
+    o = spark.read.parquet(src)
+    df = o.filter(f"o_custkey = 42 OR o_orderkey = {okey}").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    txt = hs.explain(df, verbose=True)
+    assert "Index-OR branches:" in txt
+    lines = [l for l in txt.splitlines() if "index files" in l]
+    assert len(lines) == 2, txt
+    assert any("or_cust" in l for l in lines) and any("or_okey" in l for l in lines)
+    for l in lines:
+        m = re.search(r"reads (\d+)/(\d+) index files", l)
+        assert m, l
+        read, total = int(m.group(1)), int(m.group(2))
+        # a point probe reads a strict subset of the index's buckets
+        assert 0 < read < total, l
+    # non-verbose explain stays unchanged (no branch section)
+    assert "Index-OR branches:" not in hs.explain(df)
+
+
 def test_or_union_in_probe_and_conjunct_branch(spark, env):
     hs, src = env
     o = spark.read.parquet(src)

@@ -102,6 +102,54 @@ def test_implication_exact_sql_and_unknown():
     assert not implies(_cmp("s", "=", "'a'", "string", "string"), _cmp("s", ">", "'a'", "string", "string"))
 
 
+def _not(e):
+    from hyperspace_spark.planner.expr import NotExpr
+
+    return NotExpr(sql=f"(NOT {e.sql})", references=e.references, child=e)
+
+
+def _null_test(col, is_null=True, dtype="bigint"):
+    from hyperspace_spark.planner.expr import Attr, NullTest
+
+    a = Attr(sql=col, references=frozenset([col]), name=col, dtype=dtype)
+    word = "IS NULL" if is_null else "IS NOT NULL"
+    return NullTest(sql=f"({col} {word})", references=frozenset([col]), child=a, is_null=is_null)
+
+
+def test_implication_not_support():
+    """r11: NOT handling — range negation, x <> v reasoning, and the
+    IS NULL / IS NOT NULL interplay (all 3VL-sound: a WHERE NOT(x=5)
+    row always has x non-null)."""
+    from hyperspace_spark.planner.implication import implies
+
+    # NOT over ranges normalizes: NOT(x < 5) == x >= 5, both directions
+    assert implies(_not(_cmp("x", "<", "5")), _cmp("x", ">=", "5"))
+    assert implies(_cmp("x", ">=", "5"), _not(_cmp("x", "<", "5")))
+    assert not implies(_not(_cmp("x", "<=", "5")), _cmp("x", ">", "6"))
+    # x <> 5 implies x IS NOT NULL (the verdict's e2e shape)
+    assert implies(_not(_cmp("x", "=", "5")), _null_test("x", is_null=False))
+    # pinned/range queries imply x <> 5 when they exclude 5
+    assert implies(_cmp("x", "=", "3"), _not(_cmp("x", "=", "5")))
+    assert not implies(_cmp("x", "=", "5"), _not(_cmp("x", "=", "5")))
+    assert implies(_cmp("x", "<", "5"), _not(_cmp("x", "=", "5")))
+    assert not implies(_cmp("x", "<=", "5"), _not(_cmp("x", "=", "5")))
+    assert implies(_in("x", ["1", "2"]), _not(_in("x", ["3", "4"])))
+    assert not implies(_in("x", ["1", "3"]), _not(_in("x", ["3", "4"])))
+    # NOT-IN superset reasoning
+    assert implies(_not(_in("x", ["1", "2", "3"])), _not(_in("x", ["1", "2"])))
+    assert not implies(_not(_in("x", ["1"])), _not(_in("x", ["1", "2"])))
+    # x IS NULL does NOT imply x <> 5 (NOT(x=5) is never TRUE on null x)
+    assert not implies(_null_test("x", is_null=True), _not(_cmp("x", "=", "5")))
+    # double negation and De Morgan
+    assert implies(_not(_not(_cmp("x", ">", "5"))), _cmp("x", ">", "5"))
+    assert implies(
+        _not(_or(_cmp("x", "=", "1"), _cmp("x", "=", "2"))),
+        _not(_cmp("x", "=", "1")),
+    )
+    # NOT(IS NULL) == IS NOT NULL
+    assert implies(_not(_null_test("x", is_null=True)), _null_test("x", is_null=False))
+
+
 def test_expr_json_roundtrip():
     from hyperspace_spark.planner.implication import expr_from_json, expr_to_json, implies
 
@@ -217,6 +265,32 @@ def test_partial_range_implication_e2e(spark, env):
     out2, used2 = hs._apply_with_info(df2)
     assert "p_big" not in used2
     assert rows_equal(df2, out2)
+
+
+def test_partial_not_predicate_e2e(spark, env):
+    """A `x <> lit` query rides a `where="x IS NOT NULL"` partial index
+    (the r10 verdict's item-8 shape): WHERE NOT(x = lit) keeps only
+    non-null x, so the implication is provable and the index serves."""
+    hs, src = env
+    o = spark.read.parquet(src)
+    hs.create_index(
+        o,
+        CoveringIndexConfig(
+            "p_nn",
+            ["o_custkey"],
+            ["o_orderkey", "o_orderpriority"],
+            num_buckets=8,
+            where="o_orderpriority IS NOT NULL",
+        ),
+    )
+    df = o.filter("o_custkey = 42 AND o_orderpriority <> '1-URGENT'").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    out, used = hs._apply_with_info(df)
+    assert "p_nn" in used, hs.why_not(df)
+    assert rows_equal(df, out)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "p_nn" in plan and "orders/part" not in plan
 
 
 def test_partial_incremental_refresh_appends_only_predicate_rows(spark, env, tmp_path):
