@@ -198,8 +198,10 @@ def main() -> None:
         "ann_filtered_topk",
         "quantile_estimate_prices",
         "ann_knn_join",
-        # r11 — brute baseline for the API-paired ann_join speedup
+        # r11 — brute baseline for the API-paired ann_join speedup, and
+        # the TPC-DS q48-shaped index-OR contract query
         "ann_knn_join_brute",
+        "tpcds_q48_or_shape",
     ]
 
 

@@ -200,6 +200,17 @@ def _jsql(jexpr) -> str:
     would dangle.  Replace each attribute's qualified rendering with its
     bare (quoted-if-needed) name.
     """
+    try:
+        # An Alias can CARRY a view qualifier itself (e.g. the analyzer's
+        # grouping-sets re-aliases render as `expr AS t.a`) — rebuild it
+        # bare; Alias.sql() would otherwise emit an unparseable name.
+        if (
+            jexpr.getClass().getSimpleName() == "Alias"
+            and jexpr.qualifier().size() > 0
+        ):
+            return _jsql(jexpr.child()) + " AS " + _quote_if_needed(str(jexpr.name()))
+    except Exception:
+        pass
     sql = str(jexpr.sql())
     try:
         it = jexpr.references().iterator()

@@ -83,6 +83,23 @@ class AggregateN(Node):
 
 
 @dataclass
+class GroupingSetsN(Node):
+    """Aggregate over Expand — GROUP BY ROLLUP / CUBE / GROUPING SETS —
+    recovered from the Expand's spark_grouping_id bit patterns (r11).
+    Before this node existed the whole subtree went OpaqueN and every
+    relation under a rollup was invisible to index rules; TPC-DS q27 and
+    q67 (rollups over fact-dim stars) could never accelerate.  Replays
+    as explicit GROUP BY GROUPING SETS SQL; grouping()/grouping_id()
+    projections are re-derived from their shiftright(gid) pattern."""
+
+    child: Node = None
+    grouping_sets: list[list[str]] = field(default_factory=list)  # column names per set
+    aggs: list[str] = field(default_factory=list)  # SQL incl. aliases, full output order
+    output: list[str] = field(default_factory=list)
+    references: frozenset[str] = field(default_factory=frozenset)
+
+
+@dataclass
 class SortN(Node):
     child: Node = None
     orders: list[str] = field(default_factory=list)  # "expr ASC NULLS FIRST" SQL fragments
@@ -252,7 +269,7 @@ def required_columns(node: Node) -> frozenset[str]:
         # A Window passes its child's FULL output upward plus the new
         # window columns — like Filter, everything below is still needed.
         return node.references | required_columns(node.child)
-    if isinstance(node, AggregateN):
+    if isinstance(node, (AggregateN, GroupingSetsN)):
         # An Aggregate narrows to its grouping + aggregate references;
         # like Project, any Filter below still needs its predicate
         # columns (AggBucketedIndexRule matches Aggregate over a linear

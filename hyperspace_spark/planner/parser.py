@@ -10,6 +10,8 @@ UnsupportedPlan, which the engine turns into "leave the query as-is"
 
 from __future__ import annotations
 
+import re
+
 from hyperspace_spark.planner import ir
 from hyperspace_spark.planner.expr import (
     Attr,
@@ -157,6 +159,106 @@ def _parse_or_opaque(jnode) -> ir.Node:
         return _opaque(jnode)
 
 
+_GID = "spark_grouping_id"
+_GROUPING_BIT = re.compile(
+    r"CAST\(\(shiftright\(spark_grouping_id, (\d+)\) & 1L?\) AS TINYINT\)"
+)
+
+
+def _parse_grouping_sets(jagg) -> ir.Node:
+    """Aggregate(Expand) -> GroupingSetsN (GROUP BY ROLLUP/CUBE/
+    GROUPING SETS).
+
+    Spark lowers grouping sets to an Expand emitting one projection per
+    set: grouping columns are NULLed out where absent and a
+    spark_grouping_id literal encodes membership (bit k set = the
+    (m-1-k)-th grouping column is absent — the analyzer's bit order).
+    The sets are recovered from those gid literals, cross-checked
+    against the null pattern, and grouping()/grouping_id() projections
+    (rendered by Catalyst as shiftright-of-gid) are rewritten back to
+    grouping(col) so the whole node replays as explicit GROUPING SETS
+    SQL.  Conservative: only PLAIN column grouping keys qualify —
+    computed keys raise UnsupportedPlan and the subtree stays opaque
+    (the pre-r11 behavior)."""
+    jex = jagg.child()
+    out_attrs = list(scala_seq(jex.output()))
+    out_names = [str(a.name()) for a in out_attrs]
+    if _GID not in out_names:
+        raise UnsupportedPlan("expand without spark_grouping_id")
+    gid_pos = out_names.index(_GID)
+
+    # grouping columns in groupingExpressions order (first = highest bit),
+    # located in the Expand output by exprId (names can collide with the
+    # raw pass-through attributes the aggregates consume)
+    gcols: list[str] = []
+    gpos: list[int] = []
+    ids = {int(a.exprId().id()): i for i, a in enumerate(out_attrs)}
+    for ge in scala_seq(jagg.groupingExpressions()):
+        if ge.getClass().getSimpleName() != "AttributeReference":
+            raise UnsupportedPlan("computed grouping-set key")
+        if str(ge.name()) == _GID:
+            continue
+        pos = ids.get(int(ge.exprId().id()))
+        if pos is None:
+            raise UnsupportedPlan("grouping key not in expand output")
+        gcols.append(str(ge.name()))
+        gpos.append(pos)
+    m = len(gcols)
+    if m == 0 or m > 62:
+        raise UnsupportedPlan("grouping-set arity")
+
+    sets: list[list[str]] = []
+    for p in scala_seq(jex.projections()):
+        elems = list(scala_seq(p))
+        if len(elems) != len(out_attrs):
+            raise UnsupportedPlan("ragged expand projection")
+        gid_e = elems[gid_pos]
+        if gid_e.getClass().getSimpleName() != "Literal" or gid_e.value() is None:
+            raise UnsupportedPlan("non-literal grouping id")
+        gid = int(gid_e.value())
+        included = [not ((gid >> (m - 1 - j)) & 1) for j in range(m)]
+        for j in range(m):
+            e = elems[gpos[j]]
+            ecls = e.getClass().getSimpleName()
+            if included[j]:
+                # plain-column guard: the source must be the attribute
+                # itself, or the regenerated GROUP BY text would diverge
+                if ecls != "AttributeReference" or str(e.name()) != gcols[j]:
+                    raise UnsupportedPlan("non-attribute grouping source")
+            elif not (ecls == "Literal" and e.value() is None):
+                raise UnsupportedPlan("expand null pattern mismatch")
+        sets.append([gcols[j] for j in range(m) if included[j]])
+    if not sets:
+        raise UnsupportedPlan("empty grouping sets")
+
+    aggs: list[str] = []
+    refs: frozenset[str] = frozenset()
+    for je in scala_seq(jagg.aggregateExpressions()):
+        s = expr_sql(je)
+
+        def _to_grouping(match) -> str:
+            k = int(match.group(1))
+            if k >= m:
+                raise UnsupportedPlan("grouping bit out of range")
+            return f"grouping({gcols[m - 1 - k]})"
+
+        s = _GROUPING_BIT.sub(_to_grouping, s)
+        if _GID in s:
+            # grouping_id()/other gid arithmetic: not re-derived (rare);
+            # stay opaque rather than regenerate wrong SQL
+            raise UnsupportedPlan("unrecognized grouping-id expression")
+        aggs.append(s)
+        refs = refs | (parse_expr(je).references - {_GID})
+
+    return ir.GroupingSetsN(
+        child=_parse_or_opaque(jex.child()),
+        grouping_sets=sets,
+        aggs=aggs,
+        output=[n for n in _out_names(jagg)],
+        references=refs | frozenset(gcols),
+    )
+
+
 def _parse(jnode) -> ir.Node:
     cls = jnode.getClass().getSimpleName()
 
@@ -177,6 +279,18 @@ def _parse(jnode) -> ir.Node:
 
     if cls == "Filter":
         try:
+            # An UNCORRELATED scalar subquery survives optimization as a
+            # ScalarSubquery expression (correlated ones decorrelate to
+            # joins); its rendered SQL (`scalarsubquery()`) cannot be
+            # regenerated.  Keep the whole Filter subtree verbatim — the
+            # rest of the query can still accelerate (TPC-DS q6 shape).
+            if "scalarsubquery" in expr_sql(jnode.condition()).lower():
+                raise UnsupportedPlan("filter with scalar subquery")
+        except UnsupportedPlan:
+            raise
+        except Exception:
+            pass
+        try:
             det = bool(jnode.condition().deterministic())
         except Exception:
             det = False  # unknown -> treat as non-deterministic (safe)
@@ -187,6 +301,21 @@ def _parse(jnode) -> ir.Node:
         )
 
     if cls == "Aggregate":
+        if jnode.child().getClass().getSimpleName() == "Expand":
+            # GROUP BY ROLLUP / CUBE / GROUPING SETS lowers to Aggregate
+            # over Expand; recover the grouping sets from the gid bit
+            # patterns so the relations UNDERNEATH stay index candidates
+            # (an opaque Expand hid them before r11).
+            try:
+                return _parse_grouping_sets(jnode)
+            except UnsupportedPlan:
+                # Unrecoverable shape (computed grouping key, exotic gid
+                # expression): keep the WHOLE aggregate verbatim.  An
+                # AggregateN over an opaque Expand would re-render the
+                # Expand's synthesized output names ("round(l_q, 0)") as
+                # SQL text that re-parses as a function call over a
+                # column the view does not expose.
+                return _opaque(jnode)
         grouping = [expr_sql(e) for e in scala_seq(jnode.groupingExpressions())]
         aggs = [expr_sql(e) for e in scala_seq(jnode.aggregateExpressions())]
         refs = frozenset().union(

@@ -103,6 +103,23 @@ def _sql(spark: "SparkSession", node: ir.Node, views: list[str]) -> str:
             return f"SELECT {cols} FROM {child} GROUP BY {', '.join(node.grouping)}"
         return f"SELECT {cols} FROM {child}"
 
+    if isinstance(node, ir.GroupingSetsN):
+        # ROLLUP/CUBE lowered forms re-render as the explicit GROUPING
+        # SETS spelling — semantically identical (that is what the
+        # analyzer expands them to), and exact for arbitrary set lists.
+        # Names are backtick-quoted: a computed rollup key arrives as a
+        # child-Project column literally named "round(x, 0)", which
+        # unquoted would re-parse as a function call.
+        from hyperspace_spark.planner.expr import _quote_if_needed
+
+        child = _sub(spark, node.child, views)
+        cols = ", ".join(node.aggs)
+        sets_sql = ", ".join(
+            "(" + ", ".join(_quote_if_needed(c) for c in s) + ")"
+            for s in node.grouping_sets
+        )
+        return f"SELECT {cols} FROM {child} GROUP BY GROUPING SETS ({sets_sql})"
+
     if isinstance(node, ir.SortN):
         child = _sub(spark, node.child, views)
         return f"SELECT * FROM {child} ORDER BY {', '.join(node.orders)}"

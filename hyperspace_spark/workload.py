@@ -68,6 +68,9 @@ ACCELERATED_QUERIES = [
     "covering_filter_or",
     # r10: partial index (range probe on a 5x-smaller predicate subset)
     "covering_filter_partial",
+    # r11: TPC-DS q48/q13 OR-of-conjunctions shape (same-column equality
+    # pins per branch -> index-OR union of bucket-pruned scans)
+    "tpcds_q48_or_shape",
 ]
 
 
@@ -825,6 +828,50 @@ def covering_filter_or(spark, sf_dir):
         _t(spark, sf_dir, "orders")
         .filter(f"o_custkey = 42 OR o_orderkey = {okey}")
         .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    return ws.hs.apply(df)
+
+
+_Q48_OR_FILTER = (
+    "(o_custkey = 42 AND o_totalprice BETWEEN 50000 AND 200000)"
+    " OR (o_custkey = 97 AND o_totalprice BETWEEN 100000 AND 300000)"
+    " OR (o_custkey = 3 AND o_totalprice BETWEEN 0 AND 150000)"
+)
+
+
+@q(
+    "tpcds_q48_or_shape",
+    f"""
+    SELECT round(sum(o_totalprice), 2) AS sum_price, count(*) AS n,
+           min(o_orderkey) AS min_okey
+    FROM orders
+    WHERE {_Q48_OR_FILTER}
+    """,
+)
+def tpcds_q48_or_shape(spark, sf_dir):
+    """TPC-DS q48/q13's signature predicate shape — an OR of
+    conjunction branches, each pinning the SAME column to a different
+    constant with a different range riding along (reference
+    src/test/resources/tpcds/queries/q48.sql) — over the orders table.
+    FilterOrIndexRule serves it: every branch's equality conjunct pins
+    w_o_cov's bucket column, so the union reads ~one bucket file per
+    branch; the raw plan full-scans (no conjunct pins anything across
+    the whole OR).  The aggregate on top survives the rewrite.
+    min(o_orderkey) keeps o_orderkey in the required set so the
+    z-order index (which covers only custkey+totalprice) can't serve
+    the whole disjunction as one stats-pruned scan — both strategies
+    stay separately exercised, like w_o_z's own comment prescribes."""
+    from pyspark.sql import functions as F
+
+    ws = workspace(spark, sf_dir)
+    df = (
+        _t(spark, sf_dir, "orders")
+        .filter(_Q48_OR_FILTER)
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.count("*").alias("n"),
+            F.min("o_orderkey").alias("min_okey"),
+        )
     )
     return ws.hs.apply(df)
 
@@ -5510,6 +5557,7 @@ _VERIFY_PRIORITY = [
     "nested_filter_index",
     # --- new in r11 ---
     "ann_knn_join_brute",
+    "tpcds_q48_or_shape",
     # --- last green r09 (CORRECTNESS_r09.json order), rotating back ---
     "pipeline_end_to_end",
     "selfjoin_agg_cobucketed",

@@ -52,6 +52,43 @@ def test_aggregate(spark):
     roundtrip(spark, df)
 
 
+def test_grouping_sets_rollup_cube(spark):
+    """ROLLUP / CUBE / GROUPING SETS parse to GroupingSetsN (r11) —
+    recovered from the Expand's gid bit patterns — and replay as
+    explicit GROUPING SETS SQL, grouping() projections included."""
+    li = table(spark, "lineitem")
+    li.createOrReplaceTempView("li_gs")
+    for sql, nsets in [
+        (
+            "SELECT l_returnflag, l_linestatus, grouping(l_linestatus) g,"
+            " sum(l_quantity) s, count(*) n FROM li_gs"
+            " GROUP BY ROLLUP(l_returnflag, l_linestatus)",
+            3,
+        ),
+        (
+            "SELECT l_returnflag, l_linestatus, avg(l_extendedprice) a"
+            " FROM li_gs GROUP BY CUBE(l_returnflag, l_linestatus)",
+            4,
+        ),
+        (
+            "SELECT l_returnflag, l_linestatus, sum(l_discount) d FROM li_gs"
+            " GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())",
+            3,
+        ),
+    ]:
+        node = roundtrip(spark, spark.sql(sql))
+        assert isinstance(node, ir.GroupingSetsN), sql
+        assert len(node.grouping_sets) == nsets, (sql, node.grouping_sets)
+    # computed grouping key: the optimizer pre-computes it in a child
+    # Project, so the Expand still sees a plain (oddly named) attribute
+    # — modeled, with backtick-quoted grouping names in the replay SQL
+    q = spark.sql(
+        "SELECT round(l_quantity) rq, sum(l_discount) d FROM li_gs"
+        " GROUP BY ROLLUP(round(l_quantity))"
+    )
+    roundtrip(spark, q)
+
+
 def test_global_aggregate_no_grouping(spark):
     df = table(spark, "lineitem").agg(F.sum("l_quantity").alias("total"))
     roundtrip(spark, df)

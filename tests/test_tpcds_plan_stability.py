@@ -243,16 +243,241 @@ LIMIT 100
 """
 
 
+# Official texts VERBATIM (reference: src/test/resources/tpcds/queries/
+# q{6,13,27,48,67}.sql) — the r11 tranche: ROLLUP + grouping() (q27), a
+# rank window atop an 8-column ROLLUP (q67), the OR-of-conjunction
+# filter families (q13/q48 — the FilterOrIndexRule's adversarial
+# workout: the ORs mix join keys and constants, so the planner must
+# accelerate the extracted equi-joins while declining the OR itself),
+# and correlated scalar subqueries with HAVING (q6).
+TPCDS_Q27 = """
+SELECT
+  i_item_id,
+  s_state,
+  grouping(s_state) g_state,
+  avg(ss_quantity) agg1,
+  avg(ss_list_price) agg2,
+  avg(ss_coupon_amt) agg3,
+  avg(ss_sales_price) agg4
+FROM store_sales, customer_demographics, date_dim, store, item
+WHERE ss_sold_date_sk = d_date_sk AND
+  ss_item_sk = i_item_sk AND
+  ss_store_sk = s_store_sk AND
+  ss_cdemo_sk = cd_demo_sk AND
+  cd_gender = 'M' AND
+  cd_marital_status = 'S' AND
+  cd_education_status = 'College' AND
+  d_year = 2002 AND
+  s_state IN ('TN', 'TN', 'TN', 'TN', 'TN', 'TN')
+GROUP BY ROLLUP (i_item_id, s_state)
+ORDER BY i_item_id, s_state
+LIMIT 100
+"""
+
+TPCDS_Q67 = """
+SELECT *
+FROM
+  (SELECT
+    i_category,
+    i_class,
+    i_brand,
+    i_product_name,
+    d_year,
+    d_qoy,
+    d_moy,
+    s_store_id,
+    sumsales,
+    rank()
+    OVER (PARTITION BY i_category
+      ORDER BY sumsales DESC) rk
+  FROM
+    (SELECT
+      i_category,
+      i_class,
+      i_brand,
+      i_product_name,
+      d_year,
+      d_qoy,
+      d_moy,
+      s_store_id,
+      sum(coalesce(ss_sales_price * ss_quantity, 0)) sumsales
+    FROM store_sales, date_dim, store, item
+    WHERE ss_sold_date_sk = d_date_sk
+      AND ss_item_sk = i_item_sk
+      AND ss_store_sk = s_store_sk
+      AND d_month_seq BETWEEN 1200 AND 1200 + 11
+    GROUP BY ROLLUP (i_category, i_class, i_brand, i_product_name, d_year, d_qoy,
+      d_moy, s_store_id)) dw1) dw2
+WHERE rk <= 100
+ORDER BY
+  i_category, i_class, i_brand, i_product_name, d_year,
+  d_qoy, d_moy, s_store_id, sumsales, rk
+LIMIT 100
+"""
+
+TPCDS_Q13 = """
+SELECT
+  avg(ss_quantity),
+  avg(ss_ext_sales_price),
+  avg(ss_ext_wholesale_cost),
+  sum(ss_ext_wholesale_cost)
+FROM store_sales
+  , store
+  , customer_demographics
+  , household_demographics
+  , customer_address
+  , date_dim
+WHERE s_store_sk = ss_store_sk
+  AND ss_sold_date_sk = d_date_sk AND d_year = 2001
+  AND ((ss_hdemo_sk = hd_demo_sk
+  AND cd_demo_sk = ss_cdemo_sk
+  AND cd_marital_status = 'M'
+  AND cd_education_status = 'Advanced Degree'
+  AND ss_sales_price BETWEEN 100.00 AND 150.00
+  AND hd_dep_count = 3
+) OR
+  (ss_hdemo_sk = hd_demo_sk
+    AND cd_demo_sk = ss_cdemo_sk
+    AND cd_marital_status = 'S'
+    AND cd_education_status = 'College'
+    AND ss_sales_price BETWEEN 50.00 AND 100.00
+    AND hd_dep_count = 1
+  ) OR
+  (ss_hdemo_sk = hd_demo_sk
+    AND cd_demo_sk = ss_cdemo_sk
+    AND cd_marital_status = 'W'
+    AND cd_education_status = '2 yr Degree'
+    AND ss_sales_price BETWEEN 150.00 AND 200.00
+    AND hd_dep_count = 1
+  ))
+  AND ((ss_addr_sk = ca_address_sk
+  AND ca_country = 'United States'
+  AND ca_state IN ('TX', 'OH', 'TX')
+  AND ss_net_profit BETWEEN 100 AND 200
+) OR
+  (ss_addr_sk = ca_address_sk
+    AND ca_country = 'United States'
+    AND ca_state IN ('OR', 'NM', 'KY')
+    AND ss_net_profit BETWEEN 150 AND 300
+  ) OR
+  (ss_addr_sk = ca_address_sk
+    AND ca_country = 'United States'
+    AND ca_state IN ('VA', 'TX', 'MS')
+    AND ss_net_profit BETWEEN 50 AND 250
+  ))
+"""
+
+TPCDS_Q48 = """
+SELECT sum(ss_quantity)
+FROM store_sales, store, customer_demographics, customer_address, date_dim
+WHERE s_store_sk = ss_store_sk
+  AND ss_sold_date_sk = d_date_sk AND d_year = 2001
+  AND
+  (
+    (
+      cd_demo_sk = ss_cdemo_sk
+        AND
+        cd_marital_status = 'M'
+        AND
+        cd_education_status = '4 yr Degree'
+        AND
+        ss_sales_price BETWEEN 100.00 AND 150.00
+    )
+      OR
+      (
+        cd_demo_sk = ss_cdemo_sk
+          AND
+          cd_marital_status = 'D'
+          AND
+          cd_education_status = '2 yr Degree'
+          AND
+          ss_sales_price BETWEEN 50.00 AND 100.00
+      )
+      OR
+      (
+        cd_demo_sk = ss_cdemo_sk
+          AND
+          cd_marital_status = 'S'
+          AND
+          cd_education_status = 'College'
+          AND
+          ss_sales_price BETWEEN 150.00 AND 200.00
+      )
+  )
+  AND
+  (
+    (
+      ss_addr_sk = ca_address_sk
+        AND
+        ca_country = 'United States'
+        AND
+        ca_state IN ('CO', 'OH', 'TX')
+        AND ss_net_profit BETWEEN 0 AND 2000
+    )
+      OR
+      (ss_addr_sk = ca_address_sk
+        AND
+        ca_country = 'United States'
+        AND
+        ca_state IN ('OR', 'MN', 'KY')
+        AND ss_net_profit BETWEEN 150 AND 3000
+      )
+      OR
+      (ss_addr_sk = ca_address_sk
+        AND
+        ca_country = 'United States'
+        AND
+        ca_state IN ('VA', 'CA', 'MS')
+        AND ss_net_profit BETWEEN 50 AND 25000
+      )
+  )
+"""
+
+TPCDS_Q6 = """
+SELECT
+  a.ca_state state,
+  count(*) cnt
+FROM
+  customer_address a, customer c, store_sales s, date_dim d, item i
+WHERE a.ca_address_sk = c.c_current_addr_sk
+  AND c.c_customer_sk = s.ss_customer_sk
+  AND s.ss_sold_date_sk = d.d_date_sk
+  AND s.ss_item_sk = i.i_item_sk
+  AND d.d_month_seq =
+  (SELECT DISTINCT (d_month_seq)
+  FROM date_dim
+  WHERE d_year = 2000 AND d_moy = 1)
+  AND i.i_current_price > 1.2 *
+  (SELECT avg(j.i_current_price)
+  FROM item j
+  WHERE j.i_category = i.i_category)
+GROUP BY a.ca_state
+HAVING count(*) >= 10
+ORDER BY cnt
+LIMIT 100
+"""
+
+
 def _sales(spark, prefix: str, n: int, salt: int):
     """Deterministic fact table: date keys target the 1998-05 / 1999-11 /
-    2000-11 windows the queries filter (date_dim sk 1..1460 maps
-    d_year = 1998 + (sk-1)//365, d_moy = ((sk-1)%365)//31 + 1)."""
+    2000-11 windows the queries filter (date_dim sk 1..1825 maps
+    d_year = 1998 + (sk-1)//365, d_moy = ((sk-1)%365)//31 + 1).
+    store_sales additionally lands rows in 2000-01 (q6's scalar month),
+    2001-06 (q13/q48's d_year and q67's d_month_seq range), and 2002-01
+    (q27's d_year)."""
     windows = [125 + salt, 676 + salt, 1041 + salt]  # 1998-05, 1999-11, 2000-11
-    date_sk = (
-        F.when(F.col("id") % 3 == 0, windows[0] + (F.col("id") % 29))
-        .when(F.col("id") % 3 == 1, windows[1] + (F.col("id") % 29))
-        .otherwise(windows[2] + (F.col("id") % 29))
-    )
+    if prefix == "ss":
+        windows += [731, 1251, 1466]  # 2000-01, 2001-06, 2002-01
+    # Select the window by floor(id/500), NOT id % len(windows): the
+    # item key is id % 500, so a mod-6 selector would freeze each
+    # window's item-key PARITY (id ≡ 2 mod 6 is always even), making
+    # odd i_manager_id filters empty in exactly one window.  A 500-wide
+    # block selector sweeps every item key inside every window.
+    sel = F.floor(F.col("id") / 500) % len(windows)
+    date_sk = F.when(sel == 0, windows[0] + (F.col("id") % 29))
+    for i in range(1, len(windows) - 1):
+        date_sk = date_sk.when(sel == i, windows[i] + (F.col("id") % 29))
+    date_sk = date_sk.otherwise(windows[-1] + (F.col("id") % 29))
     cols = [
         date_sk.alias(f"{prefix}_sold_date_sk"),
         (F.col("id") % 500).alias(f"{prefix}_item_sk"),
@@ -263,13 +488,25 @@ def _sales(spark, prefix: str, n: int, salt: int):
     ]
     if prefix == "ss":  # q7 demographic/promo star columns + q65 store key
         cols += [
-            (F.col("id") % 50).alias("ss_cdemo_sk"),
+            # cycles over the cd rows that satisfy the q7/q13/q27/q48
+            # demographic branches (see the cd fixture comment), so the
+            # OR-of-conjunctions queries return rows deterministically
+            F.when(F.col("id") % 4 == 0, 24)
+            .when(F.col("id") % 4 == 1, 2)
+            .when(F.col("id") % 4 == 2, 20)
+            .otherwise(42)
+            .alias("ss_cdemo_sk"),
             (F.col("id") % 20).alias("ss_promo_sk"),
             (F.col("id") % 100 + 1).alias("ss_quantity"),
             (((F.col("id") * 3 + 11) % 499) / 2.0).alias("ss_list_price"),
             (((F.col("id") * 5 + 3) % 97) / 4.0).alias("ss_coupon_amt"),
             (((F.col("id") * 2 + 7) % 463) / 2.0).alias("ss_sales_price"),
             (F.col("id") % 7).alias("ss_store_sk"),
+            # q13/q48/q6 columns
+            (F.col("id") % 30).alias("ss_hdemo_sk"),
+            (50.0 + ((F.col("id") * 11 + 5) % 250)).alias("ss_net_profit"),
+            (((F.col("id") * 13 + 3) % 701) / 2.0).alias("ss_ext_wholesale_cost"),
+            (F.col("id") % 97).alias("ss_customer_sk"),
         ]
     return spark.range(n).select(*cols)
 
@@ -293,24 +530,29 @@ def tpcds(spark, tmp_path_factory):
             + F.when(F.col("id") % 89 == 0, 900.0).otherwise(0.0)
         ).alias("sr_return_amt"),
     )
-    # 4 synthetic years 1998..2001 of 365 "days"; month m covers day-of-
+    # 5 synthetic years 1998..2002 of 365 "days"; month m covers day-of-
     # year index [31(m-1), 31m) — regular 31-day months keep every key a
     # pure function of d_date_sk.
-    dd = spark.range(1, 1461).select(
+    d_year = (F.lit(1998) + F.floor((F.col("id") - 1) / 365)).cast("int")
+    d_moy = (F.floor(((F.col("id") - 1) % 365) / 31) + 1).cast("int")
+    dd = spark.range(1, 1826).select(
         F.col("id").alias("d_date_sk"),
-        (F.lit(1998) + F.floor((F.col("id") - 1) / 365)).cast("int").alias("d_year"),
-        (F.floor(((F.col("id") - 1) % 365) / 31) + 1).cast("int").alias("d_moy"),
-        # q98's calendar date and q65's month sequence — deterministic
-        # functions of the sk, anchored so the official queries' literal
-        # ranges land on the 1999-11 fact window (sk 676..705):
-        #   d_date = 1997-04-22 + sk days  -> sk 671..701 covers
-        #   1999-02-22 .. +30 days;
-        #   d_month_seq = 1164 + (sk-1)//31 -> [1176, 1187] covers
-        #   sk 373..744.
+        d_year.alias("d_year"),
+        d_moy.alias("d_moy"),
+        ((d_moy - 1) / 3 + 1).cast("int").alias("d_qoy"),
+        # q98's calendar date — anchored so the official query's literal
+        # range lands on the 1999-11 fact window: d_date = 1997-04-22 +
+        # sk days -> sk 671..701 covers 1999-02-22 .. +30 days.
         F.date_add(F.lit("1997-04-22").cast("date"), F.col("id").cast("int")).alias(
             "d_date"
         ),
-        (F.lit(1164) + F.floor((F.col("id") - 1) / 31)).cast("int").alias(
+        # month sequence = a pure function of (year, month), CONSTANT
+        # within a calendar month (the real TPC-DS invariant; q6's
+        # scalar subquery `SELECT DISTINCT d_month_seq WHERE d_year=2000
+        # AND d_moy=1` requires exactly one value).  1999 = [1176, 1187]
+        # keeps q65's official range on the 1999-11 fact window; q67's
+        # [1200, 1211] = calendar 2001, landing on the 2001-06 window.
+        (F.lit(1164) + (d_year - 1998) * 12 + (d_moy - 1)).cast("int").alias(
             "d_month_seq"
         ),
     )
@@ -320,12 +562,16 @@ def tpcds(spark, tmp_path_factory):
         F.concat(F.lit("Store"), F.lpad(F.col("id").cast("string"), 2, "0")).alias(
             "s_store_name"
         ),
+        F.concat(F.lit("SID"), F.lpad(F.col("id").cast("string"), 3, "0")).alias(
+            "s_store_id"
+        ),
     )
     cu = spark.range(97).select(
         F.col("id").alias("c_customer_sk"),
         F.concat(F.lit("C"), F.lpad(F.col("id").cast("string"), 5, "0")).alias(
             "c_customer_id"
         ),
+        (F.col("id") % 100).alias("c_current_addr_sk"),
     )
     # star tables for q3/q42/q52/q55/q33
     it = spark.range(500).select(
@@ -349,21 +595,58 @@ def tpcds(spark, tmp_path_factory):
         F.concat(F.lit("CL"), (F.col("id") % 16).cast("string")).alias("i_class"),
         ((F.col("id") % 100) / 2.0).alias("i_current_price"),
         ((F.col("id") % 80) / 2.0).alias("i_wholesale_cost"),
+        F.concat(F.lit("P"), F.lpad(F.col("id").cast("string"), 5, "0")).alias(
+            "i_product_name"
+        ),
     )
-    cd = spark.range(50).select(
+    # Independent-ish demographic axes (gender by id, marital by id//2,
+    # education by id//8) so every (gender, marital, education) combo the
+    # official queries name EXISTS: q7/q27 ('M','S','College') -> cd 2;
+    # q13 ('M','Advanced Degree') -> 24, ('S','College') -> 2/42,
+    # ('W','2 yr Degree') -> 20; q48 ('M','4 yr Degree') -> 8,
+    # ('D','2 yr Degree') -> 22, ('S','College') -> 2/42.  ss_cdemo_sk
+    # cycles over {24, 2, 20, 42} to keep the branches populated.
+    marital = ["M", "S", "W", "D"]
+    education = ["College", "4 yr Degree", "2 yr Degree", "Advanced Degree", "Other"]
+    mar_col = F.when(F.floor(F.col("id") / 2) % 4 == 0, marital[0])
+    for i in range(1, 3):
+        mar_col = mar_col.when(F.floor(F.col("id") / 2) % 4 == i, marital[i])
+    mar_col = mar_col.otherwise(marital[3])
+    edu_col = F.when(F.floor(F.col("id") / 8) % 5 == 0, education[0])
+    for i in range(1, 4):
+        edu_col = edu_col.when(F.floor(F.col("id") / 8) % 5 == i, education[i])
+    edu_col = edu_col.otherwise(education[4])
+    cd = spark.range(80).select(
         F.col("id").alias("cd_demo_sk"),
         F.when(F.col("id") % 2 == 0, "M").otherwise("F").alias("cd_gender"),
-        F.when(F.col("id") % 3 == 0, "S").otherwise("M").alias("cd_marital_status"),
-        F.when(F.col("id") % 4 == 0, "College").otherwise("Other").alias("cd_education_status"),
+        mar_col.alias("cd_marital_status"),
+        edu_col.alias("cd_education_status"),
+    )
+    # q13/q48 household-demographics dim: dep_count alternates over the
+    # two values the official branches name (3 and 1)
+    hd = spark.range(30).select(
+        F.col("id").alias("hd_demo_sk"),
+        F.when(F.col("id") % 2 == 0, 1).otherwise(3).alias("hd_dep_count"),
     )
     pr = spark.range(20).select(
         F.col("id").alias("p_promo_sk"),
         F.when(F.col("id") % 2 == 0, "N").otherwise("Y").alias("p_channel_email"),
         F.when(F.col("id") % 3 == 0, "N").otherwise("Y").alias("p_channel_event"),
     )
+    states = ["TX", "OH", "OR", "NM", "KY", "VA", "MS", "CO", "MN", "CA", "TN"]
+    st_col = F.when(F.col("id") % 11 == 0, states[0])
+    for i in range(1, 10):
+        st_col = st_col.when(F.col("id") % 11 == i, states[i])
+    st_col = st_col.otherwise(states[10])
     ca = spark.range(100).select(
         F.col("id").alias("ca_address_sk"),
         F.when(F.col("id") % 2 == 0, -5).otherwise(-6).alias("ca_gmt_offset"),
+        # q13/q48/q6 address columns: every state the official IN-lists
+        # name occurs; one in ten addresses is foreign
+        F.when(F.col("id") % 10 == 9, "Canada")
+        .otherwise("United States")
+        .alias("ca_country"),
+        st_col.alias("ca_state"),
     )
     ss = _sales(spark, "ss", 20000, 0)
     cs = _sales(spark, "cs", 15000, 1)
@@ -373,6 +656,7 @@ def tpcds(spark, tmp_path_factory):
         ("store_returns", sr, 4), ("date_dim", dd, 1), ("store", st, 1),
         ("customer", cu, 1), ("item", it, 1), ("customer_address", ca, 1),
         ("customer_demographics", cd, 1), ("promotion", pr, 1),
+        ("household_demographics", hd, 1),
         ("store_sales", ss, 4), ("catalog_sales", cs, 4), ("web_sales", ws, 4),
     ]
     paths = {}
@@ -400,7 +684,7 @@ def tpcds(spark, tmp_path_factory):
         CoveringIndexConfig(
             "tpcds_dd_cov",
             ["d_date_sk"],
-            ["d_year", "d_moy", "d_date", "d_month_seq"],
+            ["d_year", "d_moy", "d_date", "d_month_seq", "d_qoy"],
             num_buckets=4,
         ),
     )
@@ -413,7 +697,8 @@ def tpcds(spark, tmp_path_factory):
                 "ss_item_sk", "ss_ext_sales_price", "ss_addr_sk",
                 "ss_cdemo_sk", "ss_promo_sk", "ss_quantity",
                 "ss_list_price", "ss_coupon_amt", "ss_sales_price",
-                "ss_store_sk",
+                "ss_store_sk", "ss_hdemo_sk", "ss_net_profit",
+                "ss_ext_wholesale_cost", "ss_customer_sk",
             ],
             num_buckets=4,
         ),
@@ -518,6 +803,47 @@ def test_tpcds_q65_plan_stability(spark, tpcds):
     store/item dims join the filtered result."""
     hs, _ = tpcds
     _check_plan_stability(spark, hs, "q65", TPCDS_Q65, expect_indexes=True)
+
+
+def test_tpcds_q27_plan_stability(spark, tpcds):
+    """ROLLUP + grouping() over the 5-table demographics star: the
+    Expand/rollup machinery sits ON TOP of the accelerated fact-dim
+    date join — the planner must rewrite the join underneath without
+    disturbing the grouping-sets aggregate."""
+    hs, _ = tpcds
+    _check_plan_stability(spark, hs, "q27", TPCDS_Q27, expect_indexes=True)
+
+
+def test_tpcds_q67_plan_stability(spark, tpcds):
+    """rank() window over an 8-column ROLLUP over the accelerated star
+    (the heaviest grouping shape in the official corpus): Expand ->
+    HashAggregate -> Window -> rank filter, all above the index-served
+    date join."""
+    hs, _ = tpcds
+    _check_plan_stability(spark, hs, "q67", TPCDS_Q67, expect_indexes=True)
+
+
+@pytest.mark.parametrize("qname,sql", [("q13", TPCDS_Q13), ("q48", TPCDS_Q48)])
+def test_tpcds_or_heavy_plan_stability(spark, tpcds, qname, sql):
+    """The OR-of-conjunction filter families: Catalyst extracts the
+    common equi-conjuncts (cd/hd/ca join keys) out of the DNF, so the
+    star joins accelerate on their covering indexes while the residual
+    OR stays a post-join filter.  FilterOrIndexRule's adversarial case:
+    the disjuncts reference multiple tables' columns, so the index-OR
+    union must NOT fire on them (it requires a Filter directly over one
+    scan) — the golden pins that the planner neither breaks nor
+    mis-serves the official spelling."""
+    hs, _ = tpcds
+    _check_plan_stability(spark, hs, qname, sql, expect_indexes=True)
+
+
+def test_tpcds_q6_plan_stability(spark, tpcds):
+    """Correlated scalar subqueries (per-category average price, the
+    DISTINCT month-seq scalar) + HAVING over a 5-table chain: the date
+    join accelerates; both subqueries survive decorrelation above the
+    rewrite."""
+    hs, _ = tpcds
+    _check_plan_stability(spark, hs, "q6", TPCDS_Q6, expect_indexes=True)
 
 
 def test_tpcds_q33_plan_stability(spark, tpcds):
