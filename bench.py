@@ -202,6 +202,7 @@ def main() -> None:
         # the TPC-DS q48-shaped index-OR contract query
         "ann_knn_join_brute",
         "tpcds_q48_or_shape",
+        "rollup_join_cobucketed",
     ]
 
 

@@ -71,6 +71,10 @@ ACCELERATED_QUERIES = [
     # r11: TPC-DS q48/q13 OR-of-conjunctions shape (same-column equality
     # pins per branch -> index-OR union of bucket-pruned scans)
     "tpcds_q48_or_shape",
+    # r11: ROLLUP over the co-bucketed join (GroupingSetsN models the
+    # Aggregate-over-Expand lowering; JoinIndexRule drops the join
+    # Exchange underneath the rollup)
+    "rollup_join_cobucketed",
 ]
 
 
@@ -896,6 +900,41 @@ def covering_filter_partial(spark, sf_dir):
         _t(spark, sf_dir, "orders")
         .filter("o_custkey BETWEEN 100 AND 200 AND o_orderpriority = '1-URGENT'")
         .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+    return ws.hs.apply(df)
+
+
+@q(
+    "rollup_join_cobucketed",
+    """
+    SELECT o_orderpriority, l_linenumber, grouping(l_linenumber) AS g,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY ROLLUP(o_orderpriority, l_linenumber)
+    """,
+)
+def rollup_join_cobucketed(spark, sf_dir):
+    """ROLLUP over the co-bucketed join (TPC-DS q27's shape on TPC-H
+    tables): before r11 the Aggregate-over-Expand lowering went opaque
+    and hid the join from the planner entirely; GroupingSetsN now
+    models it, so JoinIndexRule drops the join Exchange underneath the
+    rollup (the rollup's own aggregation still shuffles — its keys
+    include the grouping id, which no bucketing satisfies).  Subtotals
+    per (priority, linenumber), per priority, and the grand total."""
+    from pyspark.sql import functions as F
+
+    ws = workspace(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    df = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .rollup("o_orderpriority", "l_linenumber")
+        .agg(
+            F.grouping("l_linenumber").alias("g"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .select("o_orderpriority", "l_linenumber", "g", "sum_qty", "n")
     )
     return ws.hs.apply(df)
 
@@ -5558,6 +5597,7 @@ _VERIFY_PRIORITY = [
     # --- new in r11 ---
     "ann_knn_join_brute",
     "tpcds_q48_or_shape",
+    "rollup_join_cobucketed",
     # --- last green r09 (CORRECTNESS_r09.json order), rotating back ---
     "pipeline_end_to_end",
     "selfjoin_agg_cobucketed",
