@@ -868,12 +868,27 @@ def ann_join(
                 sel = np.asarray(picked, dtype=np.int64)
             else:
                 if k_local < len(rr):
+                    # O(n) exact cut: everything strictly above the
+                    # k_local-th rounded score survives; the remaining
+                    # slots go to the LOWEST neighbor ids within the
+                    # tied-at-threshold group (argpartition, not a sort
+                    # — on tie-dense corpora the tied group can be a
+                    # large fraction of the cluster, and a lexsort over
+                    # it tripled the 2M-vector join's wall time).  Only
+                    # the emitted SET matters: the global window
+                    # re-ranks on the same (rounded, id) order.
                     part = np.argpartition(-rr, k_local - 1)[:k_local]
                     thresh = rr[part].min()
-                    cand = np.flatnonzero(rr >= thresh)
+                    above = np.flatnonzero(rr > thresh)
+                    tied = np.flatnonzero(rr == thresh)
+                    need = k_local - len(above)
+                    if 0 < need < len(tied):
+                        tied = tied[np.argpartition(vec_ids[tied], need - 1)[:need]]
+                    elif need <= 0:
+                        tied = tied[:0]
+                    sel = np.concatenate([above, tied])
                 else:
-                    cand = np.arange(len(rr))
-                sel = cand[np.lexsort((vec_ids[cand], -rr[cand]))][:k_local]
+                    sel = np.arange(len(rr))
             out_q.extend([r_pdf["_qid"].iloc[i]] * len(sel))
             out_v.extend(vec_ids[sel])
             out_d.extend(row[sel])
