@@ -503,6 +503,35 @@ def main_sf10():
             ).select("o_orderkey", "o_totalprice")
         )
 
+    def q_or_conj():
+        # r11: TPC-DS q48 shape — OR of same-column conjunction branches
+        # -> index-OR union of bucket-pruned scans (mirrors the
+        # tpcds_q48_or_shape contract query, min(o_orderkey) included)
+        return hs.apply(
+            orders.filter(
+                "(o_custkey = 42 AND o_totalprice BETWEEN 50000 AND 200000)"
+                " OR (o_custkey = 97 AND o_totalprice BETWEEN 100000 AND 300000)"
+                " OR (o_custkey = 3 AND o_totalprice BETWEEN 0 AND 150000)"
+            ).agg(
+                F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+                F.count("*").alias("n"),
+                F.min("o_orderkey").alias("min_okey"),
+            )
+        )
+
+    def q_rollup_join():
+        # r11: ROLLUP over the co-bucketed join (GroupingSetsN) — the
+        # raw side pays the join shuffle AND the rollup shuffle; the
+        # indexed side only the rollup's own aggregation exchange
+        return hs.apply(
+            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+            .rollup("o_orderpriority", "l_linenumber")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.count("*").alias("n"),
+            )
+        )
+
     probes = {
         "covering_filter_point": q_point,
         "join_cobucketed": q_join,
@@ -512,6 +541,8 @@ def main_sf10():
         "metadata_only_agg": q_meta,
         "covering_filter_or": q_or,
         "covering_filter_partial": q_partial,
+        "tpcds_q48_or_shape": q_or_conj,
+        "rollup_join_cobucketed": q_rollup_join,
     }
 
     # plan probe: co-bucketed SMJ stays Exchange-free under AQE at sf10

@@ -433,6 +433,61 @@ WHERE s_store_sk = ss_store_sk
   )
 """
 
+TPCDS_Q26 = """
+SELECT
+  i_item_id,
+  avg(cs_quantity) agg1,
+  avg(cs_list_price) agg2,
+  avg(cs_coupon_amt) agg3,
+  avg(cs_sales_price) agg4
+FROM catalog_sales, customer_demographics, date_dim, item, promotion
+WHERE cs_sold_date_sk = d_date_sk AND
+  cs_item_sk = i_item_sk AND
+  cs_bill_cdemo_sk = cd_demo_sk AND
+  cs_promo_sk = p_promo_sk AND
+  cd_gender = 'M' AND
+  cd_marital_status = 'S' AND
+  cd_education_status = 'College' AND
+  (p_channel_email = 'N' OR p_channel_event = 'N') AND
+  d_year = 2000
+GROUP BY i_item_id
+ORDER BY i_item_id
+LIMIT 100
+"""
+
+TPCDS_Q73 = """
+SELECT
+  c_last_name,
+  c_first_name,
+  c_salutation,
+  c_preferred_cust_flag,
+  ss_ticket_number,
+  cnt
+FROM
+  (SELECT
+    ss_ticket_number,
+    ss_customer_sk,
+    count(*) cnt
+  FROM store_sales, date_dim, store, household_demographics
+  WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+    AND store_sales.ss_store_sk = store.s_store_sk
+    AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+    AND date_dim.d_dom BETWEEN 1 AND 2
+    AND (household_demographics.hd_buy_potential = '>10000' OR
+    household_demographics.hd_buy_potential = 'unknown')
+    AND household_demographics.hd_vehicle_count > 0
+    AND CASE WHEN household_demographics.hd_vehicle_count > 0
+    THEN
+      household_demographics.hd_dep_count / household_demographics.hd_vehicle_count
+        ELSE NULL END > 1
+    AND date_dim.d_year IN (1999, 1999 + 1, 1999 + 2)
+    AND store.s_county IN ('Williamson County', 'Franklin Parish', 'Bronx County', 'Orange County')
+  GROUP BY ss_ticket_number, ss_customer_sk) dj, customer
+WHERE ss_customer_sk = c_customer_sk
+  AND cnt BETWEEN 1 AND 5
+ORDER BY cnt DESC
+"""
+
 TPCDS_Q6 = """
 SELECT
   a.ca_state state,
@@ -486,6 +541,19 @@ def _sales(spark, prefix: str, n: int, salt: int):
         ),
         (((F.col("id") * 7 + salt) % 997) / 4.0).alias(f"{prefix}_ext_sales_price"),
     ]
+    if prefix == "cs":  # q26: the catalog twin of q7's demographic star
+        cols += [
+            F.when(F.col("id") % 4 == 0, 24)
+            .when(F.col("id") % 4 == 1, 2)
+            .when(F.col("id") % 4 == 2, 20)
+            .otherwise(42)
+            .alias("cs_bill_cdemo_sk"),
+            (F.col("id") % 20).alias("cs_promo_sk"),
+            (F.col("id") % 100 + 1).alias("cs_quantity"),
+            (((F.col("id") * 3 + 13) % 499) / 2.0).alias("cs_list_price"),
+            (((F.col("id") * 5 + 7) % 97) / 4.0).alias("cs_coupon_amt"),
+            (((F.col("id") * 2 + 9) % 463) / 2.0).alias("cs_sales_price"),
+        ]
     if prefix == "ss":  # q7 demographic/promo star columns + q65 store key
         cols += [
             # cycles over the cd rows that satisfy the q7/q13/q27/q48
@@ -502,11 +570,12 @@ def _sales(spark, prefix: str, n: int, salt: int):
             (((F.col("id") * 5 + 3) % 97) / 4.0).alias("ss_coupon_amt"),
             (((F.col("id") * 2 + 7) % 463) / 2.0).alias("ss_sales_price"),
             (F.col("id") % 7).alias("ss_store_sk"),
-            # q13/q48/q6 columns
+            # q13/q48/q6/q73 columns
             (F.col("id") % 30).alias("ss_hdemo_sk"),
             (50.0 + ((F.col("id") * 11 + 5) % 250)).alias("ss_net_profit"),
             (((F.col("id") * 13 + 3) % 701) / 2.0).alias("ss_ext_wholesale_cost"),
             (F.col("id") % 97).alias("ss_customer_sk"),
+            (F.col("id") % 5000).alias("ss_ticket_number"),
         ]
     return spark.range(n).select(*cols)
 
@@ -540,6 +609,8 @@ def tpcds(spark, tmp_path_factory):
         d_year.alias("d_year"),
         d_moy.alias("d_moy"),
         ((d_moy - 1) / 3 + 1).cast("int").alias("d_qoy"),
+        # day-of-month within the synthetic 31-day months (q73)
+        (((F.col("id") - 1) % 365) % 31 + 1).cast("int").alias("d_dom"),
         # q98's calendar date — anchored so the official query's literal
         # range lands on the 1999-11 fact window: d_date = 1997-04-22 +
         # sk days -> sk 671..701 covers 1999-02-22 .. +30 days.
@@ -565,6 +636,9 @@ def tpcds(spark, tmp_path_factory):
         F.concat(F.lit("SID"), F.lpad(F.col("id").cast("string"), 3, "0")).alias(
             "s_store_id"
         ),
+        F.when(F.col("id") % 2 == 0, "Williamson County")
+        .otherwise("Bronx County")
+        .alias("s_county"),
     )
     cu = spark.range(97).select(
         F.col("id").alias("c_customer_sk"),
@@ -572,6 +646,12 @@ def tpcds(spark, tmp_path_factory):
             "c_customer_id"
         ),
         (F.col("id") % 100).alias("c_current_addr_sk"),
+        F.concat(F.lit("First"), F.col("id").cast("string")).alias("c_first_name"),
+        F.concat(F.lit("Last"), F.col("id").cast("string")).alias("c_last_name"),
+        F.when(F.col("id") % 2 == 0, "Mr.").otherwise("Ms.").alias("c_salutation"),
+        F.when(F.col("id") % 3 == 0, "Y").otherwise("N").alias(
+            "c_preferred_cust_flag"
+        ),
     )
     # star tables for q3/q42/q52/q55/q33
     it = spark.range(500).select(
@@ -627,6 +707,14 @@ def tpcds(spark, tmp_path_factory):
     hd = spark.range(30).select(
         F.col("id").alias("hd_demo_sk"),
         F.when(F.col("id") % 2 == 0, 1).otherwise(3).alias("hd_dep_count"),
+        # q73 columns: both named buy potentials occur, vehicle counts
+        # 0..3 so dep/vehicle > 1 holds for dep-3 households with 1-2
+        # vehicles
+        F.when(F.col("id") % 3 == 0, ">10000")
+        .when(F.col("id") % 3 == 1, "unknown")
+        .otherwise("5001-10000")
+        .alias("hd_buy_potential"),
+        (F.col("id") % 4).alias("hd_vehicle_count"),
     )
     pr = spark.range(20).select(
         F.col("id").alias("p_promo_sk"),
@@ -684,7 +772,7 @@ def tpcds(spark, tmp_path_factory):
         CoveringIndexConfig(
             "tpcds_dd_cov",
             ["d_date_sk"],
-            ["d_year", "d_moy", "d_date", "d_month_seq", "d_qoy"],
+            ["d_year", "d_moy", "d_date", "d_month_seq", "d_qoy", "d_dom"],
             num_buckets=4,
         ),
     )
@@ -698,7 +786,7 @@ def tpcds(spark, tmp_path_factory):
                 "ss_cdemo_sk", "ss_promo_sk", "ss_quantity",
                 "ss_list_price", "ss_coupon_amt", "ss_sales_price",
                 "ss_store_sk", "ss_hdemo_sk", "ss_net_profit",
-                "ss_ext_wholesale_cost", "ss_customer_sk",
+                "ss_ext_wholesale_cost", "ss_customer_sk", "ss_ticket_number",
             ],
             num_buckets=4,
         ),
@@ -708,7 +796,11 @@ def tpcds(spark, tmp_path_factory):
         CoveringIndexConfig(
             "tpcds_cs_cov",
             ["cs_sold_date_sk"],
-            ["cs_item_sk", "cs_ext_sales_price", "cs_bill_addr_sk"],
+            [
+                "cs_item_sk", "cs_ext_sales_price", "cs_bill_addr_sk",
+                "cs_bill_cdemo_sk", "cs_promo_sk", "cs_quantity",
+                "cs_list_price", "cs_coupon_amt", "cs_sales_price",
+            ],
             num_buckets=4,
         ),
     )
@@ -835,6 +927,23 @@ def test_tpcds_or_heavy_plan_stability(spark, tpcds, qname, sql):
     mis-serves the official spelling."""
     hs, _ = tpcds
     _check_plan_stability(spark, hs, qname, sql, expect_indexes=True)
+
+
+def test_tpcds_q26_plan_stability(spark, tpcds):
+    """The catalog-channel twin of q7 (5-table demographic star over
+    catalog_sales): the cs/dd covering pair must serve the date join
+    exactly like the ss pair does — channel symmetry of the planner."""
+    hs, _ = tpcds
+    _check_plan_stability(spark, hs, "q26", TPCDS_Q26, expect_indexes=True)
+
+
+def test_tpcds_q73_plan_stability(spark, tpcds):
+    """Join ON an aggregate: the per-(ticket, customer) GROUP BY over
+    the 4-table star becomes a derived table joined back to customer —
+    the index-served date join sits UNDER the aggregate, and the outer
+    customer join + HAVING-style cnt filter survive above it."""
+    hs, _ = tpcds
+    _check_plan_stability(spark, hs, "q73", TPCDS_Q73, expect_indexes=True)
 
 
 def test_tpcds_q6_plan_stability(spark, tpcds):
