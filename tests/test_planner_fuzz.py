@@ -1,0 +1,159 @@
+"""Planner soundness fuzz: for RANDOM filter predicates over a source
+with every index kind active at once, `hs.apply(df)` must return exactly
+the raw result — whichever rule wins (plain filter rewrite, index-OR
+union, partial-index implication, skipping intersection, z-order stats
+pruning) and however they interact.
+
+This is the adversarial complement to the per-rule suites: each of those
+pins ONE rule's happy path; real queries hand the optimizer arbitrary
+predicate shapes where the WRONG winner (or a wrong guard in the OR
+union, or an unsound implication) silently drops or duplicates rows.
+The hypothesis grammar covers =, <>, ranges, BETWEEN, IN, IS [NOT]
+NULL, AND/OR/NOT nesting — over the bucket column, the z-order column,
+the partial predicate's column, and a never-indexed column.
+"""
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from hyperspace_spark import (
+    CoveringIndexConfig,
+    DataSkippingIndexConfig,
+    Hyperspace,
+    MinMaxSketch,
+    ZOrderCoveringIndexConfig,
+)
+from hyperspace_spark.indexes.sketches import BloomFilterSketch, ValueListSketch
+
+from tests.conftest import table
+
+
+@pytest.fixture(scope="module")
+def fuzz_env(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("hs_fuzz"))
+    src = f"{root}/orders"
+    table(spark, "orders").repartition(4).write.parquet(src)
+    o = spark.read.parquet(src)
+    hs = Hyperspace(spark, system_path=f"{root}/idx")
+    hs.create_index(
+        o,
+        CoveringIndexConfig(
+            "fz_cust",
+            ["o_custkey"],
+            ["o_orderkey", "o_totalprice", "o_orderpriority"],
+            num_buckets=8,
+        ),
+    )
+    hs.create_index(
+        o,
+        CoveringIndexConfig(
+            "fz_okey",
+            ["o_orderkey"],
+            ["o_custkey", "o_totalprice", "o_orderpriority"],
+            num_buckets=8,
+        ),
+    )
+    hs.create_index(
+        o,
+        CoveringIndexConfig(
+            "fz_partial",
+            ["o_custkey"],
+            ["o_orderkey", "o_totalprice", "o_orderpriority"],
+            num_buckets=4,
+            where="o_orderpriority = '1-URGENT'",
+        ),
+    )
+    hs.create_index(
+        o,
+        ZOrderCoveringIndexConfig(
+            "fz_z",
+            ["o_custkey", "o_totalprice"],
+            ["o_orderkey", "o_orderpriority"],
+        ),
+    )
+    hs.create_index(
+        o,
+        DataSkippingIndexConfig(
+            "fz_skip",
+            [
+                MinMaxSketch(["o_totalprice"]),
+                BloomFilterSketch(["o_orderkey"]),
+                ValueListSketch(["o_orderpriority"]),
+            ],
+        ),
+    )
+    # zero apply-cache TTL: every fuzz case must RE-PLAN (a cache hit
+    # would silently re-test the previous example's rewrite)
+    spark.conf.set("spark.hyperspace.apply.cacheTtlSeconds", "0")
+    yield hs, src
+    spark.conf.unset("spark.hyperspace.apply.cacheTtlSeconds")
+
+
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _leaf() -> st.SearchStrategy[str]:
+    custkey = st.integers(0, 1500)
+    okey = st.integers(0, 60000)
+    price = st.integers(0, 400000)
+    return st.one_of(
+        st.tuples(st.sampled_from(["=", "<", "<=", ">", ">=", "<>"]), custkey).map(
+            lambda t: f"o_custkey {t[0]} {t[1]}"
+        ),
+        st.tuples(st.sampled_from(["=", "<", ">"]), okey).map(
+            lambda t: f"o_orderkey {t[0]} {t[1]}"
+        ),
+        st.tuples(price, price).map(
+            lambda t: f"o_totalprice BETWEEN {min(t)} AND {max(t)}.5"
+        ),
+        st.lists(custkey, min_size=1, max_size=5, unique=True).map(
+            lambda v: f"o_custkey IN ({', '.join(map(str, v))})"
+        ),
+        st.sampled_from(PRIORITIES).map(lambda p: f"o_orderpriority = '{p}'"),
+        st.sampled_from(PRIORITIES).map(lambda p: f"o_orderpriority <> '{p}'"),
+        st.sampled_from(
+            ["o_orderpriority IS NOT NULL", "o_orderpriority IS NULL"]
+        ),
+    )
+
+
+def _expr(depth: int = 2) -> st.SearchStrategy[str]:
+    if depth == 0:
+        return _leaf()
+    sub = _expr(depth - 1)
+    return st.one_of(
+        _leaf(),
+        st.tuples(sub, sub).map(lambda t: f"({t[0]} AND {t[1]})"),
+        st.tuples(sub, sub).map(lambda t: f"({t[0]} OR {t[1]})"),
+        sub.map(lambda s: f"(NOT {s})"),
+    )
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pred=_expr(2), proj=st.sampled_from(["narrow", "wide", "agg"]))
+def test_apply_matches_raw_on_random_predicates(spark, fuzz_env, pred, proj):
+    hs, src = fuzz_env
+    o = spark.read.parquet(src)
+    if proj == "narrow":
+        df = o.filter(pred).select("o_orderkey", "o_totalprice")
+    elif proj == "wide":
+        df = o.filter(pred).select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+        )
+    else:
+        df = o.filter(pred).agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("s"),
+            F.min("o_orderkey").alias("mk"),
+        )
+    out, used = hs._apply_with_info(df)
+    key = lambda r: tuple((x is None, x) for x in r)
+    raw = sorted(map(key, df.collect()))
+    got = sorted(map(key, out.collect()))
+    assert got == raw, (pred, proj, used, len(raw), len(got))
