@@ -132,6 +132,40 @@ def _expr(depth: int = 2) -> st.SearchStrategy[str]:
 
 @pytest.mark.slow
 @settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pred=_expr(1), shape=st.sampled_from(["plain", "rollup", "postfilter"]))
+def test_apply_matches_raw_on_random_join_shapes(spark, fuzz_env, pred, shape):
+    """Join-shaped fuzz: the same index set under an equi self-join of
+    orders aggregates (the q65 skeleton) with a random side filter —
+    JoinIndexRule / partial-side implication / the co-bucketed agg path
+    must never change results, including under a rollup on top."""
+    hs, src = fuzz_env
+    o = spark.read.parquet(src)
+    left = o.filter(pred).groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("spend")
+    )
+    right = o.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    j = left.join(right, "o_custkey")
+    if shape == "rollup":
+        df = j.rollup("o_custkey").agg(
+            F.round(F.sum("spend"), 2).alias("s"), F.sum("n_orders").alias("n")
+        )
+    elif shape == "postfilter":
+        df = j.filter("n_orders >= 2").select("o_custkey", "spend", "n_orders")
+    else:
+        df = j.select("o_custkey", "spend", "n_orders")
+    out, used = hs._apply_with_info(df)
+    key = lambda r: tuple((x is None, x) for x in r)
+    raw = sorted(map(key, df.collect()))
+    got = sorted(map(key, out.collect()))
+    assert got == raw, (pred, shape, used, len(raw), len(got))
+
+
+@pytest.mark.slow
+@settings(
     max_examples=60,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
