@@ -461,7 +461,7 @@ def _names(node: ir.Node) -> list[str]:
         return node.output
     if isinstance(node, ir.OpaqueN):
         return node.output
-    if isinstance(node, (ir.ProjectN, ir.AggregateN, ir.WindowN)):
+    if isinstance(node, (ir.ProjectN, ir.AggregateN, ir.WindowN, ir.GroupingSetsN)):
         return node.output
     if isinstance(node, (ir.FilterN, ir.LimitN, ir.SortN, ir.DistinctN)):
         return _names(node.child)

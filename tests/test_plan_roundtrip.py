@@ -89,6 +89,39 @@ def test_grouping_sets_rollup_cube(spark):
     roundtrip(spark, q)
 
 
+def test_join_above_grouping_sets(spark):
+    """A join whose LEFT side is a rollup (GroupingSetsN) — the join
+    parse resolves the rollup's output NAMES (r11: _names handles
+    GroupingSetsN; an empty name set would weaken the ambiguity guard
+    and could mis-replay a shared-name residual)."""
+    li = table(spark, "lineitem")
+    li.createOrReplaceTempView("li_gs_join")
+    agg = spark.sql(
+        "SELECT l_returnflag, l_linestatus, sum(l_quantity) q FROM li_gs_join"
+        " GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+    )
+    dim = li.select("l_returnflag").distinct()
+    node = roundtrip(spark, agg.join(dim, "l_returnflag"))
+    kinds = set()
+    def walk(n):
+        kinds.add(type(n).__name__)
+        for c in ir.children(n):
+            walk(c)
+    walk(node)
+    assert "JoinN" in kinds, kinds
+    # the name-resolution unit itself (Catalyst may restructure the e2e
+    # plan above, so pin the helper directly): a join side that IS a
+    # grouping-sets node must expose its output names to the ambiguity
+    # guard — an empty list would weaken it
+    from hyperspace_spark.planner.parser import _names
+
+    gs = ir.GroupingSetsN(
+        child=None, grouping_sets=[["a"], []], aggs=["a", "sum(b) AS s"],
+        output=["a", "s"],
+    )
+    assert _names(gs) == ["a", "s"]
+
+
 def test_global_aggregate_no_grouping(spark):
     df = table(spark, "lineitem").agg(F.sum("l_quantity").alias("total"))
     roundtrip(spark, df)

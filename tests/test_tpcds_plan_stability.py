@@ -488,6 +488,72 @@ WHERE ss_customer_sk = c_customer_sk
 ORDER BY cnt DESC
 """
 
+TPCDS_Q47 = """
+WITH v1 AS (
+  SELECT
+    i_category,
+    i_brand,
+    s_store_name,
+    s_company_name,
+    d_year,
+    d_moy,
+    sum(ss_sales_price) sum_sales,
+    avg(sum(ss_sales_price))
+    OVER
+    (PARTITION BY i_category, i_brand,
+      s_store_name, s_company_name, d_year)
+    avg_monthly_sales,
+    rank()
+    OVER
+    (PARTITION BY i_category, i_brand,
+      s_store_name, s_company_name
+      ORDER BY d_year, d_moy) rn
+  FROM item, store_sales, date_dim, store
+  WHERE ss_item_sk = i_item_sk AND
+    ss_sold_date_sk = d_date_sk AND
+    ss_store_sk = s_store_sk AND
+    (
+      d_year = 1999 OR
+        (d_year = 1999 - 1 AND d_moy = 12) OR
+        (d_year = 1999 + 1 AND d_moy = 1)
+    )
+  GROUP BY i_category, i_brand,
+    s_store_name, s_company_name,
+    d_year, d_moy),
+    v2 AS (
+    SELECT
+      v1.i_category,
+      v1.i_brand,
+      v1.s_store_name,
+      v1.s_company_name,
+      v1.d_year,
+      v1.d_moy,
+      v1.avg_monthly_sales,
+      v1.sum_sales,
+      v1_lag.sum_sales psum,
+      v1_lead.sum_sales nsum
+    FROM v1, v1 v1_lag, v1 v1_lead
+    WHERE v1.i_category = v1_lag.i_category AND
+      v1.i_category = v1_lead.i_category AND
+      v1.i_brand = v1_lag.i_brand AND
+      v1.i_brand = v1_lead.i_brand AND
+      v1.s_store_name = v1_lag.s_store_name AND
+      v1.s_store_name = v1_lead.s_store_name AND
+      v1.s_company_name = v1_lag.s_company_name AND
+      v1.s_company_name = v1_lead.s_company_name AND
+      v1.rn = v1_lag.rn + 1 AND
+      v1.rn = v1_lead.rn - 1)
+SELECT *
+FROM v2
+WHERE d_year = 1999 AND
+  avg_monthly_sales > 0 AND
+  CASE WHEN avg_monthly_sales > 0
+    THEN abs(sum_sales - avg_monthly_sales) / avg_monthly_sales
+  ELSE NULL END > 0.1
+ORDER BY sum_sales - avg_monthly_sales, 3
+LIMIT 100
+"""
+
 TPCDS_Q6 = """
 SELECT
   a.ca_state state,
@@ -522,17 +588,24 @@ def _sales(spark, prefix: str, n: int, salt: int):
     (q27's d_year)."""
     windows = [125 + salt, 676 + salt, 1041 + salt]  # 1998-05, 1999-11, 2000-11
     if prefix == "ss":
-        windows += [731, 1251, 1466]  # 2000-01, 2001-06, 2002-01
+        # 2000-01, 2001-06, 2002-01, 1998-12, 1999-03 — the last two give
+        # q47 a four-month qualifying rank sequence (1998-12, 1999-03,
+        # 1999-11, 2000-01) AND two 1999 months, so the per-year monthly
+        # average differs from each month's sum (a single 1999 month
+        # would make every deviation ratio exactly 0 and the query empty)
+        windows += [731, 1251, 1466, 342, 428]
     # Select the window by floor(id/500), NOT id % len(windows): the
     # item key is id % 500, so a mod-6 selector would freeze each
     # window's item-key PARITY (id ≡ 2 mod 6 is always even), making
     # odd i_manager_id filters empty in exactly one window.  A 500-wide
     # block selector sweeps every item key inside every window.
     sel = F.floor(F.col("id") / 500) % len(windows)
-    date_sk = F.when(sel == 0, windows[0] + (F.col("id") % 29))
+    # jitter 23 (not 29): the 1998-12 window starts at sk 342 and the
+    # synthetic year ends at sk 365 — a wider jitter would leak into 1999
+    date_sk = F.when(sel == 0, windows[0] + (F.col("id") % 23))
     for i in range(1, len(windows) - 1):
-        date_sk = date_sk.when(sel == i, windows[i] + (F.col("id") % 29))
-    date_sk = date_sk.otherwise(windows[-1] + (F.col("id") % 29))
+        date_sk = date_sk.when(sel == i, windows[i] + (F.col("id") % 23))
+    date_sk = date_sk.otherwise(windows[-1] + (F.col("id") % 23))
     cols = [
         date_sk.alias(f"{prefix}_sold_date_sk"),
         (F.col("id") % 500).alias(f"{prefix}_item_sk"),
@@ -639,6 +712,9 @@ def tpcds(spark, tmp_path_factory):
         F.when(F.col("id") % 2 == 0, "Williamson County")
         .otherwise("Bronx County")
         .alias("s_county"),
+        F.when(F.col("id") % 2 == 0, "Unknown").otherwise("ConglomCo").alias(
+            "s_company_name"
+        ),
     )
     cu = spark.range(97).select(
         F.col("id").alias("c_customer_sk"),
@@ -944,6 +1020,25 @@ def test_tpcds_q73_plan_stability(spark, tpcds):
     customer join + HAVING-style cnt filter survive above it."""
     hs, _ = tpcds
     _check_plan_stability(spark, hs, "q73", TPCDS_Q73, expect_indexes=True)
+
+
+def test_tpcds_q47_plan_stability(spark, tpcds):
+    """The moving-average shape: a CTE with TWO window functions over
+    the grouped star, instantiated three times and self-joined on five
+    SAME-NAMED columns plus rank arithmetic (v1.rn = v1_lag.rn + 1).
+
+    DOCUMENTED DIVERGENCE (the OpaqueN soundness guard, planner/ir.py):
+    that join is inexpressible by name-based SQL replay — a residual
+    over columns both sides expose would replay ambiguously — and the
+    join subtree cannot even go opaque (its output carries duplicate
+    names), so the cascade keeps the whole query verbatim and NO index
+    applies (the reference's in-place JVM rule would accelerate the
+    scans underneath).  The golden pins the safe fallback: results stay
+    exactly correct, `used` stays empty, and a future replay change
+    that starts mis-attributing the rank-offset join gets caught by the
+    rows_equal oracle here."""
+    hs, _ = tpcds
+    _check_plan_stability(spark, hs, "q47", TPCDS_Q47, expect_indexes=False)
 
 
 def test_tpcds_q6_plan_stability(spark, tpcds):
