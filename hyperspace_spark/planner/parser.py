@@ -16,6 +16,7 @@ from hyperspace_spark.planner import ir
 from hyperspace_spark.planner.expr import (
     Attr,
     Cmp,
+    _quote_if_needed,
     expr_sql,
     parse_expr,
     scala_map,
@@ -395,6 +396,7 @@ def _parse(jnode) -> ir.Node:
         equi: list[tuple[str, str]] = []
         residual: list[str] = []
         shared_keys: list[str] = []
+        needs_unique_output = False
         if cond_opt.isDefined():
             condition = parse_expr(cond_opt.get())
             lcols = frozenset(_names(left))
@@ -428,22 +430,30 @@ def _parse(jnode) -> ir.Node:
                 else:
                     # A residual referencing a column BOTH sides expose
                     # (e.g. df1.join(df2, "id")) cannot be replayed by
-                    # name — the SQL would be ambiguous and every sibling
-                    # rewrite would die at replay.  Bail out loudly so
-                    # apply() falls back before doing any work.  Compared
-                    # case-insensitively: references carry the USER's
-                    # spelling (over-bailing under caseSensitive=true is
-                    # the safe direction — plain fallback, never a wrong
-                    # replay).
+                    # bare name — the SQL would be ambiguous and every
+                    # sibling rewrite would die at replay.  r11: the raw
+                    # JVM conjunct is in hand, so first try rendering it
+                    # with the replay's own side aliases (__hs_l/__hs_r),
+                    # attributing each attribute by exprId — the
+                    # range-band self-join shape (a.id = b.id AND a.ts
+                    # BETWEEN b.lo AND b.hi) then parses instead of
+                    # bailing the whole query.  Unrenderable conjuncts
+                    # keep the loud bail (fallback, never a wrong
+                    # replay); unambiguous residuals keep bare SQL.
                     shared_ci = {c.lower() for c in shared}
                     if any(r.lower() in shared_ci for r in conj.references):
-                        raise UnsupportedPlan("join:ambiguous-column-condition")
-                    residual.append(conj.sql)
+                        qualified = _qualified_residual(jconj, jnode)
+                        if qualified is None:
+                            raise UnsupportedPlan("join:ambiguous-column-condition")
+                        residual.append(qualified)
+                        needs_unique_output = True
+                    else:
+                        residual.append(conj.sql)
         right_keep = None
         if shared_keys:
             drop = {c.lower() for c in shared_keys}
             right_keep = [c for c in _names(right) if c.lower() not in drop]
-        return ir.JoinN(
+        out = ir.JoinN(
             left=left,
             right=right,
             join_type=jt,
@@ -452,6 +462,15 @@ def _parse(jnode) -> ir.Node:
             residual_sql=" AND ".join(residual) if residual else None,
             right_keep=right_keep,
         )
+        if needs_unique_output:
+            # A side-qualified residual is only safe when the join's own
+            # OUTPUT stays name-unambiguous — ancestors reference columns
+            # by bare name (the q47 self-join, whose payload columns
+            # collide on both sides, must keep the old loud bail).
+            names = [n.lower() for n in _names(out)]
+            if len(set(names)) != len(names):
+                raise UnsupportedPlan("join:ambiguous-column-condition")
+        return out
 
     raise UnsupportedPlan(cls)
 
@@ -485,6 +504,70 @@ def _java_conjuncts(jcond) -> list:
     if jcond.getClass().getSimpleName() == "And":
         return _java_conjuncts(jcond.left()) + _java_conjuncts(jcond.right())
     return [jcond]
+
+
+# bounded expression grammar for side-qualified residual rendering:
+# comparisons, arithmetic, boolean glue — enough for range-band and
+# offset conditions; anything else falls back to the loud bail
+_RESIDUAL_BINOPS = {
+    "EqualTo": "=",
+    "EqualNullSafe": "<=>",
+    "LessThan": "<",
+    "LessThanOrEqual": "<=",
+    "GreaterThan": ">",
+    "GreaterThanOrEqual": ">=",
+    "Add": "+",
+    "Subtract": "-",
+    "Multiply": "*",
+    "Divide": "/",
+    "And": "AND",
+    "Or": "OR",
+}
+
+
+def _qualified_residual(jconj, jnode) -> str | None:
+    """Render a residual join conjunct with the REPLAY's side aliases
+    (__hs_l/__hs_r), attributing every attribute to its side by exprId —
+    the only sound spelling when both sides expose the same column name.
+    None when the expression leaves the bounded grammar or an attribute
+    resolves to neither/both sides (planner falls back loudly)."""
+    lset, rset = jnode.left().outputSet(), jnode.right().outputSet()
+
+    def render(e) -> str | None:
+        cls = e.getClass().getSimpleName()
+        if cls == "AttributeReference":
+            in_l, in_r = lset.contains(e), rset.contains(e)
+            if in_l == in_r:
+                return None
+            side = "__hs_l" if in_l else "__hs_r"
+            return f"{side}.{_quote_if_needed(str(e.name()))}"
+        if cls == "Literal":
+            return str(e.sql())
+        if cls in _RESIDUAL_BINOPS:
+            a, b = render(e.left()), render(e.right())
+            if a is None or b is None:
+                return None
+            return f"({a} {_RESIDUAL_BINOPS[cls]} {b})"
+        if cls == "Not":
+            c = render(e.child())
+            return None if c is None else f"(NOT {c})"
+        if cls == "Cast":
+            c = render(e.child())
+            if c is None:
+                return None
+            try:
+                return f"CAST({c} AS {e.dataType().sql()})"
+            except Exception:
+                return None
+        if cls == "IsNull":
+            c = render(e.child())
+            return None if c is None else f"({c} IS NULL)"
+        if cls == "IsNotNull":
+            c = render(e.child())
+            return None if c is None else f"({c} IS NOT NULL)"
+        return None
+
+    return render(jconj)
 
 
 def _equi_pair_by_exprid(jconj, jnode) -> tuple[str, str] | None:

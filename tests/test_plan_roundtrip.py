@@ -89,6 +89,38 @@ def test_grouping_sets_rollup_cube(spark):
     roundtrip(spark, q)
 
 
+def test_semi_join_qualified_band_residual(spark):
+    """EXISTS with a same-column band condition decorrelates to a
+    left-semi self-join whose residual compares o_totalprice across
+    BOTH sides — unreplayable by bare name.  r11: the residual renders
+    with the replay's side aliases (__hs_l/__hs_r) attributed by
+    exprId, so the query parses and replays instead of bailing the
+    whole plan (semi output is left-only, so no name collides)."""
+    o = table(spark, "orders")
+    o.createOrReplaceTempView("orders_band")
+    q = spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders_band a
+        WHERE o_totalprice > 1000 AND EXISTS (
+          SELECT 1 FROM orders_band b
+          WHERE a.o_custkey = b.o_custkey
+            AND b.o_totalprice > a.o_totalprice * 2
+        )
+        """
+    )
+    node = roundtrip(spark, q)
+    joins = []
+    def walk(n):
+        if isinstance(n, ir.JoinN):
+            joins.append(n)
+        for c in ir.children(n):
+            walk(c)
+    walk(node)
+    semi = [j for j in joins if j.join_type == "left_semi"]
+    assert semi, "EXISTS did not decorrelate to a modeled semi join"
+    assert semi[0].residual_sql and "__hs_" in semi[0].residual_sql, semi[0].residual_sql
+
+
 def test_join_above_grouping_sets(spark):
     """A join whose LEFT side is a rollup (GroupingSetsN) — the join
     parse resolves the rollup's output NAMES (r11: _names handles
