@@ -203,6 +203,7 @@ def main() -> None:
         "ann_knn_join_brute",
         "tpcds_q48_or_shape",
         "rollup_join_cobucketed",
+        "exists_band_semijoin",
     ]
 
 

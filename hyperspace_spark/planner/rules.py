@@ -640,13 +640,24 @@ class JoinIndexRule:
     continuous ingest "no appends" is never true, so bailing out meant
     the join acceleration was effectively always off.  Pairs with no
     appends still rank first.
+
+    r11 extension beyond the reference's simple-CNF-equi gate
+    (JoinIndexRule.scala:164-170): LEFT SEMI / LEFT ANTI joins and
+    joins carrying a residual conjunct also qualify.  Sound because the
+    rewrite substitutes only the SCANS — the join node itself (type,
+    equi keys, residual) replays unchanged, and an index scan produces
+    exactly the source's rows; semi/anti SMJs hash-partition on the
+    same equi keys, so co-bucketed reads drop their Exchanges the same
+    way (the decorrelated-EXISTS band shape rides the pair).
     """
 
+    SERVED_JOIN_TYPES = ("inner", "left_semi", "left_anti")
+
     def apply(self, node: ir.Node, ctx: RuleContext) -> Applied | None:
-        if not isinstance(node, ir.JoinN) or node.join_type != "inner":
+        if not isinstance(node, ir.JoinN) or node.join_type not in self.SERVED_JOIN_TYPES:
             return None
-        if not node.equi_keys or node.residual_sql is not None:
-            return None  # reference: simple CNF equi-join only (JoinIndexRule.scala:164-170)
+        if not node.equi_keys:
+            return None
         lm = match_linear_side(node.left)
         rm = match_linear_side(node.right)
         if lm is None or rm is None:

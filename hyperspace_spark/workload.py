@@ -75,6 +75,9 @@ ACCELERATED_QUERIES = [
     # Aggregate-over-Expand lowering; JoinIndexRule drops the join
     # Exchange underneath the rollup)
     "rollup_join_cobucketed",
+    # r11: decorrelated-EXISTS band semi-join (side-qualified residual +
+    # semi-join support in JoinIndexRule -> Exchange-free semi SMJ)
+    "exists_band_semijoin",
 ]
 
 
@@ -935,6 +938,47 @@ def rollup_join_cobucketed(spark, sf_dir):
             F.count("*").alias("n"),
         )
         .select("o_orderpriority", "l_linenumber", "g", "sum_qty", "n")
+    )
+    return ws.hs.apply(df)
+
+
+@q(
+    "exists_band_semijoin",
+    """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+    FROM orders a
+    WHERE EXISTS (
+      SELECT 1 FROM orders b
+      WHERE a.o_custkey = b.o_custkey
+        AND b.o_totalprice > a.o_totalprice * 2
+    )
+    """,
+)
+def exists_band_semijoin(spark, sf_dir):
+    """Decorrelated-EXISTS band shape: orders dwarfed by another order
+    of the SAME customer — a LEFT SEMI self-join whose residual
+    compares o_totalprice across both sides.  r11 twice over: the
+    residual replays side-qualified (__hs_l/__hs_r by exprId), and
+    JoinIndexRule now serves semi joins — BOTH sides read w_o_cov
+    co-bucketed on o_custkey, so the semi SMJ runs Exchange-free.  The
+    raw plan shuffles both full scans."""
+    from pyspark.sql import functions as F
+
+    ws = workspace(spark, sf_dir)
+    a = _t(spark, sf_dir, "orders").alias("a")
+    b = _t(spark, sf_dir, "orders").alias("b")
+    df = (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("b.o_totalprice") > F.col("a.o_totalprice") * 2),
+            "left_semi",
+        )
+        .select(
+            F.col("a.o_orderkey").alias("o_orderkey"),
+            F.col("a.o_custkey").alias("o_custkey"),
+            F.round(F.col("a.o_totalprice"), 2).alias("total"),
+        )
     )
     return ws.hs.apply(df)
 
@@ -5598,6 +5642,7 @@ _VERIFY_PRIORITY = [
     "ann_knn_join_brute",
     "tpcds_q48_or_shape",
     "rollup_join_cobucketed",
+    "exists_band_semijoin",
     # --- last green r09 (CORRECTNESS_r09.json order), rotating back ---
     "pipeline_end_to_end",
     "selfjoin_agg_cobucketed",
