@@ -554,6 +554,20 @@ ORDER BY sum_sales - avg_monthly_sales, 3
 LIMIT 100
 """
 
+TPCDS_Q96 = """
+SELECT count(*)
+FROM store_sales, household_demographics, time_dim, store
+WHERE ss_sold_time_sk = time_dim.t_time_sk
+  AND ss_hdemo_sk = household_demographics.hd_demo_sk
+  AND ss_store_sk = s_store_sk
+  AND time_dim.t_hour = 20
+  AND time_dim.t_minute >= 30
+  AND household_demographics.hd_dep_count = 7
+  AND store.s_store_name = 'ese'
+ORDER BY count(*)
+LIMIT 100
+"""
+
 TPCDS_Q6 = """
 SELECT
   a.ca_state state,
@@ -649,6 +663,8 @@ def _sales(spark, prefix: str, n: int, salt: int):
             (((F.col("id") * 13 + 3) % 701) / 2.0).alias("ss_ext_wholesale_cost"),
             (F.col("id") % 97).alias("ss_customer_sk"),
             (F.col("id") % 5000).alias("ss_ticket_number"),
+            # q96: time-of-day key, coprime stride covers every t_time_sk
+            ((F.col("id") * 7) % 2000).alias("ss_sold_time_sk"),
         ]
     return spark.range(n).select(*cols)
 
@@ -703,9 +719,12 @@ def tpcds(spark, tmp_path_factory):
     st = spark.range(7).select(
         F.col("id").alias("s_store_sk"),
         F.when(F.col("id") % 2 == 0, "TN").otherwise("CA").alias("s_state"),
-        F.concat(F.lit("Store"), F.lpad(F.col("id").cast("string"), 2, "0")).alias(
-            "s_store_name"
-        ),
+        # store 3 carries q96's official qualification name 'ese'
+        F.when(F.col("id") == 3, "ese")
+        .otherwise(
+            F.concat(F.lit("Store"), F.lpad(F.col("id").cast("string"), 2, "0"))
+        )
+        .alias("s_store_name"),
         F.concat(F.lit("SID"), F.lpad(F.col("id").cast("string"), 3, "0")).alias(
             "s_store_id"
         ),
@@ -780,9 +799,20 @@ def tpcds(spark, tmp_path_factory):
     )
     # q13/q48 household-demographics dim: dep_count alternates over the
     # two values the official branches name (3 and 1)
+    # q96's synthetic clock: 2000 seconds-of-day keys, hour/minute pure
+    # functions of the sk so t_hour = 20 AND t_minute >= 30 is non-empty
+    td = spark.range(2000).select(
+        F.col("id").alias("t_time_sk"),
+        (F.floor(F.col("id") / 60) % 24).cast("int").alias("t_hour"),
+        (F.col("id") % 60).cast("int").alias("t_minute"),
+    )
     hd = spark.range(30).select(
         F.col("id").alias("hd_demo_sk"),
-        F.when(F.col("id") % 2 == 0, 1).otherwise(3).alias("hd_dep_count"),
+        # q13/q48 need dep counts 3 and 1, q96 needs 7
+        F.when(F.col("id") % 3 == 0, 1)
+        .when(F.col("id") % 3 == 1, 3)
+        .otherwise(7)
+        .alias("hd_dep_count"),
         # q73 columns: both named buy potentials occur, vehicle counts
         # 0..3 so dep/vehicle > 1 holds for dep-3 households with 1-2
         # vehicles
@@ -820,7 +850,7 @@ def tpcds(spark, tmp_path_factory):
         ("store_returns", sr, 4), ("date_dim", dd, 1), ("store", st, 1),
         ("customer", cu, 1), ("item", it, 1), ("customer_address", ca, 1),
         ("customer_demographics", cd, 1), ("promotion", pr, 1),
-        ("household_demographics", hd, 1),
+        ("household_demographics", hd, 1), ("time_dim", td, 1),
         ("store_sales", ss, 4), ("catalog_sales", cs, 4), ("web_sales", ws, 4),
     ]
     paths = {}
@@ -865,6 +895,25 @@ def tpcds(spark, tmp_path_factory):
                 "ss_ext_wholesale_cost", "ss_customer_sk", "ss_ticket_number",
             ],
             num_buckets=4,
+        ),
+    )
+    # q96's time-of-day pair: a SECOND covering index on store_sales
+    # keyed by the time key (date joins keep picking tpcds_ss_cov —
+    # JoinIndexRule requires indexed == join keys, so the two never
+    # compete) plus the time_dim side.
+    hs.create_index(
+        rd("store_sales"),
+        CoveringIndexConfig(
+            "tpcds_ss_time_cov",
+            ["ss_sold_time_sk"],
+            ["ss_hdemo_sk", "ss_store_sk"],
+            num_buckets=4,
+        ),
+    )
+    hs.create_index(
+        rd("time_dim"),
+        CoveringIndexConfig(
+            "tpcds_td_cov", ["t_time_sk"], ["t_hour", "t_minute"], num_buckets=4
         ),
     )
     hs.create_index(
@@ -1003,6 +1052,16 @@ def test_tpcds_or_heavy_plan_stability(spark, tpcds, qname, sql):
     mis-serves the official spelling."""
     hs, _ = tpcds
     _check_plan_stability(spark, hs, qname, sql, expect_indexes=True)
+
+
+def test_tpcds_q96_plan_stability(spark, tpcds):
+    """The time-of-day star: the fact joins a CLOCK dimension instead of
+    the calendar — served by a second store_sales covering index keyed
+    on ss_sold_time_sk paired with the time_dim index (JoinIndexRule
+    requires indexed == join keys, so the date- and time-keyed ss
+    indexes never compete for the same join)."""
+    hs, _ = tpcds
+    _check_plan_stability(spark, hs, "q96", TPCDS_Q96, expect_indexes=True)
 
 
 def test_tpcds_q26_plan_stability(spark, tpcds):
