@@ -166,6 +166,46 @@ def test_apply_matches_raw_on_random_join_shapes(spark, fuzz_env, pred, shape):
 
 @pytest.mark.slow
 @settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pred=_expr(1),
+    part=st.sampled_from(["o_custkey", "o_orderpriority"]),
+    fn=st.sampled_from(["row_number", "rank", "sum", "lag"]),
+)
+def test_apply_matches_raw_on_random_windows(spark, fuzz_env, pred, part, fn):
+    """Window fuzz: a random filter under a window function partitioned
+    by the bucket key or a non-key — WindowBucketedIndexRule (when the
+    partition key matches the index bucketing) and the plain filter
+    rewrite must never change results.  Ties are broken with a full
+    deterministic ORDER BY so rank comparisons are stable."""
+    from pyspark.sql import Window as W
+
+    hs, src = fuzz_env
+    o = spark.read.parquet(src)
+    w = W.partitionBy(part).orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    col = {
+        "row_number": F.row_number().over(w),
+        "rank": F.rank().over(w),
+        "sum": F.round(F.sum("o_totalprice").over(w), 2),
+        "lag": F.lag("o_orderkey", 1).over(w),
+    }[fn]
+    df = (
+        o.filter(pred)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .withColumn("wv", col)
+    )
+    out, used = hs._apply_with_info(df)
+    key = lambda r: tuple((x is None, x) for x in r)
+    raw = sorted(map(key, df.collect()))
+    got = sorted(map(key, out.collect()))
+    assert got == raw, (pred, part, fn, used, len(raw), len(got))
+
+
+@pytest.mark.slow
+@settings(
     max_examples=60,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],

@@ -147,6 +147,34 @@ def test_recommend_skipping_sketch_roundtrip(spark, hs, tmp_path):
     ] == []
 
 
+def test_recommend_window_roundtrip(spark, hs, tmp_path):
+    """A window PARTITION BY proposes a bucketed index on the partition
+    key (rule WindowBucketedIndexRule); creating it serves the window
+    Exchange-free and the suggestion disappears."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "orders_w")
+    table(spark, "orders").repartition(4).write.parquet(src)
+    o = spark.read.parquet(src)
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    df = (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+    )
+    recs = [r for r in hs.recommend(df) if r["rule"] == "WindowBucketedIndexRule"]
+    assert len(recs) == 1 and recs[0]["config"].indexed_columns == ["o_custkey"]
+    hs.create_index(o, recs[0]["config"])
+    out, used = hs._apply_with_info(df)
+    assert used == [recs[0]["config"].name], hs.why_not(df)
+    assert rows_equal(df, out)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "Exchange" not in plan, plan
+    assert [r for r in hs.recommend(df) if r["rule"] == "WindowBucketedIndexRule"] == []
+
+
 def test_recommend_never_raises_on_odd_plans(spark, hs):
     assert hs.recommend(spark.range(5)) == []
     assert hs.recommend(spark.createDataFrame([(1,)], ["x"])) == []
