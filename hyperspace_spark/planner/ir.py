@@ -121,6 +121,15 @@ class JoinN(Node):
     # Equi-join key pairs resolved to sides: [(left_col, right_col), ...]
     equi_keys: list[tuple[str, str]] = field(default_factory=list)
     residual_sql: str | None = None  # non-equi remainder of the condition
+    # Band residual (r12): set when join_type is left_semi/left_anti and
+    # the ENTIRE residual is one comparison with strict side separation —
+    # `expr(right) <op> expr(left)` with op in {>, >=, <, <=}.  The shape
+    # EXISTS/NOT-EXISTS subqueries decorrelate to (b.total > a.total*2
+    # under an equi key).  BandExistsAggRule rewrites the right side to a
+    # per-key MAX/MIN aggregate, turning the within-group pair scan into
+    # one comparison per key — the scale-safe plan for skewed keys.
+    # Tuple: (op, right_expr_bare_sql, left_expr_qualified_sql, r_refs).
+    band: tuple | None = None
     # Inner-join self-key dedup (r7): when an equi key has the SAME name
     # on both sides (resolved by exprId, parser._equi_pair_by_exprid),
     # replaying `SELECT *` would expose the name twice and make every

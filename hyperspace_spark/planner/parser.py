@@ -395,6 +395,7 @@ def _parse(jnode) -> ir.Node:
         condition = None
         equi: list[tuple[str, str]] = []
         residual: list[str] = []
+        residual_jconjs: list = []
         shared_keys: list[str] = []
         needs_unique_output = False
         if cond_opt.isDefined():
@@ -449,6 +450,7 @@ def _parse(jnode) -> ir.Node:
                         needs_unique_output = True
                     else:
                         residual.append(conj.sql)
+                    residual_jconjs.append(jconj)
         right_keep = None
         if shared_keys:
             drop = {c.lower() for c in shared_keys}
@@ -462,6 +464,13 @@ def _parse(jnode) -> ir.Node:
             residual_sql=" AND ".join(residual) if residual else None,
             right_keep=right_keep,
         )
+        if jt in ("left_semi", "left_anti") and equi and len(residual_jconjs) == 1:
+            # EXISTS/NOT-EXISTS band shape: the whole residual is one
+            # side-separated comparison — record the structured form so
+            # BandExistsAggRule can rewrite the pair scan to a per-key
+            # aggregate (sound for anti too: a key-group match exists in
+            # the MAX/MIN aggregate iff one exists in the raw rows).
+            out.band = _band_conjunct(residual_jconjs[0], jnode)
         if needs_unique_output:
             # A side-qualified residual is only safe when the join's own
             # OUTPUT stays name-unambiguous — ancestors reference columns
@@ -568,6 +577,82 @@ def _qualified_residual(jconj, jnode) -> str | None:
         return None
 
     return render(jconj)
+
+
+_BAND_OPS = {
+    "GreaterThan": ">",
+    "GreaterThanOrEqual": ">=",
+    "LessThan": "<",
+    "LessThanOrEqual": "<=",
+}
+_BAND_FLIP = {">": "<", ">=": "<=", "<": ">", "<=": ">="}
+
+
+def _render_side(e, allowed_set, alias: str | None):
+    """Render an expression whose every attribute belongs to
+    ``allowed_set`` (a JVM AttributeSet, exprId-exact) — bare names when
+    alias is None, alias-qualified otherwise.  Same bounded grammar as
+    ``_qualified_residual`` minus boolean glue (band operands are
+    arithmetic).  Returns (sql, refs) or None."""
+    refs: set[str] = set()
+
+    def render(x) -> str | None:
+        cls = x.getClass().getSimpleName()
+        if cls == "AttributeReference":
+            if not allowed_set.contains(x):
+                return None
+            name = str(x.name())
+            refs.add(name)
+            q = _quote_if_needed(name)
+            return f"{alias}.{q}" if alias else q
+        if cls == "Literal":
+            return str(x.sql())
+        if cls in ("Add", "Subtract", "Multiply", "Divide"):
+            a, b = render(x.left()), render(x.right())
+            if a is None or b is None:
+                return None
+            return f"({a} {_RESIDUAL_BINOPS[cls]} {b})"
+        if cls == "Cast":
+            c = render(x.child())
+            if c is None:
+                return None
+            try:
+                return f"CAST({c} AS {x.dataType().sql()})"
+            except Exception:
+                return None
+        return None
+
+    sql = render(e)
+    return None if sql is None else (sql, frozenset(refs))
+
+
+def _band_conjunct(jconj, jnode) -> tuple | None:
+    """(op, right_expr_bare_sql, left_expr_qualified_sql, r_refs) when
+    the conjunct is one comparison whose operands separate cleanly by
+    side: the right operand references ONLY right attributes (at least
+    one — the aggregate needs something to aggregate), the left operand
+    ONLY left attributes (or none).  Normalized so the right expression
+    sits first: ``r_expr <op> l_expr`` — then
+    EXISTS(b: b.k = a.k AND r_expr(b) > l_expr(a))
+      ⇔  MAX(r_expr) per k  >  l_expr(a)
+    (MIN for </<=; the same equivalence makes NOT EXISTS / anti sound).
+    None when the shape doesn't hold — the plain semi/anti join serving
+    still applies."""
+    cls = jconj.getClass().getSimpleName()
+    if cls not in _BAND_OPS:
+        return None
+    op = _BAND_OPS[cls]
+    lset, rset = jnode.left().outputSet(), jnode.right().outputSet()
+    a, b = jconj.left(), jconj.right()
+    for r_operand, l_operand, o in ((a, b, op), (b, a, _BAND_FLIP[op])):
+        r = _render_side(r_operand, rset, None)
+        if r is None or not r[1]:
+            continue
+        l = _render_side(l_operand, lset, "__hs_l")
+        if l is None:
+            continue
+        return (o, r[0], l[0], r[1])
+    return None
 
 
 def _equi_pair_by_exprid(jconj, jnode) -> tuple[str, str] | None:

@@ -765,6 +765,96 @@ class JoinIndexRule:
         return pairs[0][1]
 
 
+class BandExistsAggRule(JoinIndexRule):
+    """Band-EXISTS -> per-key-aggregate rewrite (r12, VERDICT r11 #5).
+
+    A decorrelated EXISTS / NOT EXISTS whose residual is ONE
+    side-separated comparison — JoinN(left_semi|left_anti, equi keys K,
+    residual ``r_expr(b) > l_expr(a)``) — makes the SMJ scan candidate
+    PAIRS inside each key group: worst-case O(group²) on a skewed key.
+    The equivalence
+
+        EXISTS(b: b.K = a.K AND r_expr(b) > l_expr(a))
+          <=>  (per-K MAX(r_expr)) > l_expr(a)        (MIN for < / <=)
+
+    collapses the probe side to one row per key BEFORE the join, so the
+    join does one comparison per left row — linear no matter how skewed
+    K is.  Anti is the same equivalence negated row-wise: a key-group
+    match exists against the aggregate iff one exists against the raw
+    rows (an all-NULL group aggregates to NULL, the comparison is NULL,
+    no match — exactly the raw rows' behavior).
+
+    Serving mirrors JoinIndexRule: both sides read the covering index
+    co-bucketed on K, so the pre-aggregate (grouped on the bucket key)
+    AND the semi/anti SMJ run Exchange-free.  Scores 80 + 70·cov — above
+    the plain join serving (70 + 70·cov): the aggregate shape strictly
+    dominates at any scale.  No reference counterpart
+    (covering/JoinIndexRule.scala serves the join as written); this is a
+    rewrite the 100 TB target demands.
+    """
+
+    def apply(self, node: ir.Node, ctx: RuleContext) -> Applied | None:
+        if (
+            not isinstance(node, ir.JoinN)
+            or node.join_type not in ("left_semi", "left_anti")
+            or node.band is None
+            or not node.equi_keys
+        ):
+            return None
+        lm = match_linear_side(node.left)
+        rm = match_linear_side(node.right)
+        if lm is None or rm is None:
+            return None
+        lscan, lreq = lm
+        rscan, rreq = rm
+        lkeys = [a for a, _ in node.equi_keys]
+        rkeys = [b for _, b in node.equi_keys]
+        lc = self._eligible(ctx, lscan, lkeys, lreq, node.left)
+        rc = self._eligible(ctx, rscan, rkeys, rreq, node.right)
+        if not lc or not rc:
+            return None  # JoinIndexRule's own pass does the whyNot tagging
+        pair = self._best_pair(node, lc, rc)
+        if pair is None:
+            return None
+        lwin, rwin = pair
+        coverage = min(lwin.coverage, rwin.coverage)
+
+        subs = {}
+        for scan, win, req in ((lscan, lwin, lreq), (rscan, rwin, rreq)):
+            out_cols = [c for c in scan.output if c in req] + sorted(
+                c for c in req if "." in c
+            )
+
+            def replacement(spark, _e=win.entry, _cols=out_cols, _a=win.appended, _d=win.deleted):
+                from hyperspace_spark.indexes.covering import index_scan_df
+
+                return index_scan_df(
+                    spark, _e, _cols, appended=_a, deleted=_d, bucketed=not _a
+                )
+
+            subs[id(scan)] = (replacement, win.entry.name)
+        new_node = _substitute_scans(node, subs)
+
+        from hyperspace_spark.planner.expr import _quote_if_needed
+
+        op, r_expr, l_expr, r_refs = node.band
+        agg_fn = "MAX" if op in (">", ">=") else "MIN"
+        gkeys = list(dict.fromkeys(rkeys))
+        gcols = [_quote_if_needed(k) for k in gkeys]
+        new_node.right = ir.AggregateN(
+            child=new_node.right,
+            grouping=gcols,
+            aggs=gcols + [f"{agg_fn}({r_expr}) AS __hs_band"],
+            output=gkeys + ["__hs_band"],
+            references=frozenset(gkeys) | r_refs,
+        )
+        new_node.residual_sql = f"(__hs_r.`__hs_band` {op} {l_expr})"
+        new_node.band = None
+        return Applied(
+            new_node, 80.0 + 70.0 * coverage, [lwin.entry.name, rwin.entry.name]
+        )
+
+
 # ---------------------------------------------------------------------------
 # ApplyDataSkippingIndex
 # ---------------------------------------------------------------------------
@@ -1358,5 +1448,6 @@ def default_rules() -> list:
         WindowBucketedIndexRule(),
         MetadataOnlyAggRule(),
         JoinIndexRule(),
+        BandExistsAggRule(),
         DataSkippingIndexRule(),
     ]

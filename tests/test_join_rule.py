@@ -262,3 +262,131 @@ def test_join_no_shuffle_after_incremental_refresh(spark, tmp_path_factory):
         assert rows_equal(q, fast)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+@pytest.fixture(scope="module")
+def band_hs(spark, tmp_path_factory):
+    """Orders parquet + covering index bucketed on o_custkey, shared by
+    the band-EXISTS rewrite tests."""
+    root = str(tmp_path_factory.mktemp("hs_band"))
+    src = f"{root}/orders"
+    table(spark, "orders").repartition(4).write.parquet(src)
+    o = spark.read.parquet(src)
+    hs = Hyperspace(spark, system_path=f"{root}/idx")
+    hs.create_index(
+        o,
+        CoveringIndexConfig(
+            "band_cov", ["o_custkey"], ["o_orderkey", "o_totalprice"], num_buckets=8
+        ),
+    )
+    o.createOrReplaceTempView("orders_band")
+    return hs
+
+
+def _band_sql(spark, sql):
+    return spark.sql(sql)
+
+
+def test_band_exists_rewrites_to_per_key_max(spark, band_hs):
+    """r12 BandExistsAggRule: the EXISTS band semi join must serve as a
+    per-key MAX aggregate joined once per key — no within-group pair
+    scan — and stay Exchange-free on the co-bucketed index."""
+    q = _band_sql(
+        spark,
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders_band a
+        WHERE EXISTS (
+          SELECT 1 FROM orders_band b
+          WHERE a.o_custkey = b.o_custkey
+            AND b.o_totalprice > a.o_totalprice * 2
+        )
+        """,
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fast, used = band_hs._apply_with_info(q)
+        assert used == ["band_cov", "band_cov"], band_hs.why_not(q)
+        fast.collect()
+        plan = physical(fast).split("== Initial Plan ==")[0]
+        assert "__hs_band" in plan, plan  # the aggregate shape, not the pair scan
+        assert "max(" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert "LeftSemi" in plan, plan
+        assert rows_equal(q, fast)
+        assert q.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_band_not_exists_anti_rewrites(spark, band_hs):
+    """NOT EXISTS lowers to LEFT ANTI with the same band residual; the
+    per-key aggregate equivalence holds negated row-wise (a key-group
+    match exists against MAX iff one exists against the raw rows)."""
+    q = _band_sql(
+        spark,
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders_band a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders_band b
+          WHERE a.o_custkey = b.o_custkey
+            AND b.o_totalprice > a.o_totalprice * 2
+        )
+        """,
+    )
+    fast, used = band_hs._apply_with_info(q)
+    assert used == ["band_cov", "band_cov"], band_hs.why_not(q)
+    fast.collect()
+    plan = physical(fast)
+    assert "__hs_band" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert rows_equal(q, fast)
+    assert 0 < fast.count() < table(spark, "orders").count()
+
+
+def test_band_lt_comparison_uses_min(spark, band_hs):
+    """b.x < f(a) band: exists a smaller row  <=>  per-key MIN < f(a).
+    Also exercises the flipped spelling (left expr written first)."""
+    q = _band_sql(
+        spark,
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders_band a
+        WHERE EXISTS (
+          SELECT 1 FROM orders_band b
+          WHERE a.o_custkey = b.o_custkey
+            AND a.o_totalprice / 2 > b.o_totalprice
+        )
+        """,
+    )
+    fast, used = band_hs._apply_with_info(q)
+    assert used == ["band_cov", "band_cov"], band_hs.why_not(q)
+    fast.collect()
+    plan = physical(fast)
+    assert "__hs_band" in plan, plan
+    assert "min(" in plan, plan
+    assert rows_equal(q, fast)
+    assert 0 < fast.count()
+
+
+def test_band_declines_on_conjunct_pair_but_join_still_serves(spark, band_hs):
+    """TWO residual comparisons on the probe side are NOT max-
+    decomposable (EXISTS(b: P1(b) AND P2(b)) != P1-max AND P2-max);
+    the band rule must decline and the r11 plain semi serving takes
+    over — correct rows, no __hs_band in the plan."""
+    q = _band_sql(
+        spark,
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders_band a
+        WHERE EXISTS (
+          SELECT 1 FROM orders_band b
+          WHERE a.o_custkey = b.o_custkey
+            AND b.o_totalprice > a.o_totalprice * 2
+            AND b.o_orderkey < a.o_orderkey
+        )
+        """,
+    )
+    fast, used = band_hs._apply_with_info(q)
+    assert used == ["band_cov", "band_cov"], band_hs.why_not(q)
+    fast.collect()
+    plan = physical(fast)
+    assert "__hs_band" not in plan, plan
+    assert rows_equal(q, fast)
