@@ -231,3 +231,65 @@ def test_apply_matches_raw_on_random_predicates(spark, fuzz_env, pred, proj):
     raw = sorted(map(key, df.collect()))
     got = sorted(map(key, out.collect()))
     assert got == raw, (pred, proj, used, len(raw), len(got))
+
+
+def _band_residual() -> st.SearchStrategy:
+    """(build_fn, n_conjuncts) strategies for a both-side residual: a
+    comparison between arithmetic over the left row and arithmetic over
+    the right row.  >,>=,<,<= single-conjunct shapes are the
+    BandExistsAggRule surface; =, <> and multi-conjunct shapes force the
+    plain r11 semi/anti serving — both must stay result-exact."""
+    ops = st.sampled_from([">", ">=", "<", "<=", "=", "<>"])
+    lexpr = st.sampled_from(
+        [
+            "a.o_totalprice",
+            "(a.o_totalprice * 2)",
+            "(a.o_totalprice + 1000)",
+            "a.o_orderkey",
+        ]
+    )
+    rexpr = st.sampled_from(
+        ["b.o_totalprice", "(b.o_totalprice / 2)", "b.o_orderkey"]
+    )
+    one = st.tuples(rexpr, ops, lexpr).map(lambda t: f"{t[0]} {t[1]} {t[2]}")
+    return st.lists(one, min_size=1, max_size=2)
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    jt=st.sampled_from(["left_semi", "left_anti"]),
+    residual=_band_residual(),
+    pred=_expr(1),
+    filt=st.sampled_from(["none", "left", "right", "both"]),
+)
+def test_apply_matches_raw_on_semi_anti_band_joins(
+    spark, fuzz_env, jt, residual, pred, filt
+):
+    """Semi/anti + residual fuzz (r12, VERDICT r11 #3): the trickiest
+    attribution code — side-qualified residual rendering by exprId and
+    the band-to-aggregate rewrite — under random both-side arithmetic
+    comparisons, random side filters, every index kind active.  apply()
+    must be row-exact whichever of {BandExistsAggRule, plain semi/anti
+    serving, single-side rewrites, opaque fallback} wins."""
+    hs, src = fuzz_env
+    o = spark.read.parquet(src)
+    a = (o.filter(pred) if filt in ("left", "both") else o).alias("a")
+    b = (o.filter(pred) if filt in ("right", "both") else o).alias("b")
+    cond = F.col("a.o_custkey") == F.col("b.o_custkey")
+    for r in residual:
+        cond = cond & F.expr(r)
+    df = a.join(b, cond, jt).select(
+        F.col("a.o_orderkey").alias("o_orderkey"),
+        F.col("a.o_custkey").alias("o_custkey"),
+        F.round(F.col("a.o_totalprice"), 2).alias("total"),
+    )
+    out, used = hs._apply_with_info(df)
+    key = lambda r: tuple((x is None, x) for x in r)
+    raw = sorted(map(key, df.collect()))
+    got = sorted(map(key, out.collect()))
+    assert got == raw, (jt, residual, pred, filt, used, len(raw), len(got))

@@ -593,6 +593,207 @@ LIMIT 100
 """
 
 
+# Official texts (reference: src/test/resources/tpcds/queries/q{16,94,95}.sql)
+# — the EXISTS / NOT-EXISTS shipping stars, the adversarial workout for the
+# r11 semi/anti + side-qualified-residual join path (the <>-residual EXISTS
+# self-join is NOT band-aggregatable, so it must ride the plain serving).
+TPCDS_Q16 = """
+SELECT
+  count(DISTINCT cs_order_number) AS `order count `,
+  sum(cs_ext_ship_cost) AS `total shipping cost `,
+  sum(cs_net_profit) AS `total net profit `
+FROM
+  catalog_sales cs1, date_dim, customer_address, call_center
+WHERE
+  d_date BETWEEN '2002-02-01' AND (CAST('2002-02-01' AS DATE) + INTERVAL 60 days)
+    AND cs1.cs_ship_date_sk = d_date_sk
+    AND cs1.cs_ship_addr_sk = ca_address_sk
+    AND ca_state = 'GA'
+    AND cs1.cs_call_center_sk = cc_call_center_sk
+    AND cc_county IN
+    ('Williamson County', 'Williamson County', 'Williamson County', 'Williamson County', 'Williamson County')
+    AND EXISTS(SELECT *
+               FROM catalog_sales cs2
+               WHERE cs1.cs_order_number = cs2.cs_order_number
+                 AND cs1.cs_warehouse_sk <> cs2.cs_warehouse_sk)
+    AND NOT EXISTS(SELECT *
+                   FROM catalog_returns cr1
+                   WHERE cs1.cs_order_number = cr1.cr_order_number)
+ORDER BY count(DISTINCT cs_order_number)
+LIMIT 100
+"""
+
+TPCDS_Q94 = """
+SELECT
+  count(DISTINCT ws_order_number) AS `order count `,
+  sum(ws_ext_ship_cost) AS `total shipping cost `,
+  sum(ws_net_profit) AS `total net profit `
+FROM
+  web_sales ws1, date_dim, customer_address, web_site
+WHERE
+  d_date BETWEEN '1999-02-01' AND
+  (CAST('1999-02-01' AS DATE) + INTERVAL 60 days)
+    AND ws1.ws_ship_date_sk = d_date_sk
+    AND ws1.ws_ship_addr_sk = ca_address_sk
+    AND ca_state = 'IL'
+    AND ws1.ws_web_site_sk = web_site_sk
+    AND web_company_name = 'pri'
+    AND EXISTS(SELECT *
+               FROM web_sales ws2
+               WHERE ws1.ws_order_number = ws2.ws_order_number
+                 AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+    AND NOT EXISTS(SELECT *
+                   FROM web_returns wr1
+                   WHERE ws1.ws_order_number = wr1.wr_order_number)
+ORDER BY count(DISTINCT ws_order_number)
+LIMIT 100
+"""
+
+TPCDS_Q95 = """
+WITH ws_wh AS
+(SELECT
+    ws1.ws_order_number,
+    ws1.ws_warehouse_sk wh1,
+    ws2.ws_warehouse_sk wh2
+  FROM web_sales ws1, web_sales ws2
+  WHERE ws1.ws_order_number = ws2.ws_order_number
+    AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+SELECT
+  count(DISTINCT ws_order_number) AS `order count `,
+  sum(ws_ext_ship_cost) AS `total shipping cost `,
+  sum(ws_net_profit) AS `total net profit `
+FROM
+  web_sales ws1, date_dim, customer_address, web_site
+WHERE
+  d_date BETWEEN '1999-02-01' AND
+  (CAST('1999-02-01' AS DATE) + INTERVAL 60 DAY)
+    AND ws1.ws_ship_date_sk = d_date_sk
+    AND ws1.ws_ship_addr_sk = ca_address_sk
+    AND ca_state = 'IL'
+    AND ws1.ws_web_site_sk = web_site_sk
+    AND web_company_name = 'pri'
+    AND ws1.ws_order_number IN (SELECT ws_order_number
+  FROM ws_wh)
+    AND ws1.ws_order_number IN (SELECT wr_order_number
+  FROM web_returns, ws_wh
+  WHERE wr_order_number = ws_wh.ws_order_number)
+ORDER BY count(DISTINCT ws_order_number)
+LIMIT 100
+"""
+
+# Official texts (reference: src/test/resources/tpcds/queries/q{53,63,89}.sql)
+# — the windowed-rank family: avg() OVER a grouped star, WITHOUT q47's
+# payload-name collision, so they accelerate instead of pinning a verbatim
+# fallback.
+TPCDS_Q53 = """
+SELECT *
+FROM
+  (SELECT
+    i_manufact_id,
+    sum(ss_sales_price) sum_sales,
+    avg(sum(ss_sales_price))
+    OVER (PARTITION BY i_manufact_id) avg_quarterly_sales
+  FROM item, store_sales, date_dim, store
+  WHERE ss_item_sk = i_item_sk AND
+    ss_sold_date_sk = d_date_sk AND
+    ss_store_sk = s_store_sk AND
+    d_month_seq IN (1200, 1200 + 1, 1200 + 2, 1200 + 3, 1200 + 4, 1200 + 5, 1200 + 6,
+                          1200 + 7, 1200 + 8, 1200 + 9, 1200 + 10, 1200 + 11) AND
+    ((i_category IN ('Books', 'Children', 'Electronics') AND
+      i_class IN ('personal', 'portable', 'reference', 'self-help') AND
+      i_brand IN ('scholaramalgamalg #14', 'scholaramalgamalg #7',
+                  'exportiunivamalg #9', 'scholaramalgamalg #9'))
+      OR
+      (i_category IN ('Women', 'Music', 'Men') AND
+        i_class IN ('accessories', 'classical', 'fragrances', 'pants') AND
+        i_brand IN ('amalgimporto #1', 'edu packscholar #1', 'exportiimporto #1',
+                    'importoamalg #1')))
+  GROUP BY i_manufact_id, d_qoy) tmp1
+WHERE CASE WHEN avg_quarterly_sales > 0
+  THEN abs(sum_sales - avg_quarterly_sales) / avg_quarterly_sales
+      ELSE NULL END > 0.1
+ORDER BY avg_quarterly_sales,
+  sum_sales,
+  i_manufact_id
+LIMIT 100
+"""
+
+TPCDS_Q63 = """
+SELECT *
+FROM (SELECT
+  i_manager_id,
+  sum(ss_sales_price) sum_sales,
+  avg(sum(ss_sales_price))
+  OVER (PARTITION BY i_manager_id) avg_monthly_sales
+FROM item
+  , store_sales
+  , date_dim
+  , store
+WHERE ss_item_sk = i_item_sk
+  AND ss_sold_date_sk = d_date_sk
+  AND ss_store_sk = s_store_sk
+  AND d_month_seq IN (1200, 1200 + 1, 1200 + 2, 1200 + 3, 1200 + 4, 1200 + 5, 1200 + 6, 1200 + 7,
+                            1200 + 8, 1200 + 9, 1200 + 10, 1200 + 11)
+  AND ((i_category IN ('Books', 'Children', 'Electronics')
+  AND i_class IN ('personal', 'portable', 'refernece', 'self-help')
+  AND i_brand IN ('scholaramalgamalg #14', 'scholaramalgamalg #7',
+                  'exportiunivamalg #9', 'scholaramalgamalg #9'))
+  OR (i_category IN ('Women', 'Music', 'Men')
+  AND i_class IN ('accessories', 'classical', 'fragrances', 'pants')
+  AND i_brand IN ('amalgimporto #1', 'edu packscholar #1', 'exportiimporto #1',
+                  'importoamalg #1')))
+GROUP BY i_manager_id, d_moy) tmp1
+WHERE CASE WHEN avg_monthly_sales > 0
+  THEN abs(sum_sales - avg_monthly_sales) / avg_monthly_sales
+      ELSE NULL END > 0.1
+ORDER BY i_manager_id
+  , avg_monthly_sales
+  , sum_sales
+LIMIT 100
+"""
+
+TPCDS_Q89 = """
+SELECT *
+FROM (
+       SELECT
+         i_category,
+         i_class,
+         i_brand,
+         s_store_name,
+         s_company_name,
+         d_moy,
+         sum(ss_sales_price) sum_sales,
+         avg(sum(ss_sales_price))
+         OVER
+         (PARTITION BY i_category, i_brand, s_store_name, s_company_name)
+         avg_monthly_sales
+       FROM item, store_sales, date_dim, store
+       WHERE ss_item_sk = i_item_sk AND
+         ss_sold_date_sk = d_date_sk AND
+         ss_store_sk = s_store_sk AND
+         d_year IN (1999) AND
+         ((i_category IN ('Books', 'Electronics', 'Sports') AND
+           i_class IN ('computers', 'stereo', 'football'))
+           OR (i_category IN ('Men', 'Jewelry', 'Women') AND
+           i_class IN ('shirts', 'birdal', 'dresses')))
+       GROUP BY i_category, i_class, i_brand,
+         s_store_name, s_company_name, d_moy) tmp1
+WHERE CASE WHEN (avg_monthly_sales <> 0)
+  THEN (abs(sum_sales - avg_monthly_sales) / avg_monthly_sales)
+      ELSE NULL END > 0.1
+ORDER BY sum_sales - avg_monthly_sales, s_store_name
+LIMIT 100
+"""
+
+
+def _pick(idx_col, values: list[str]):
+    """CASE chain mapping an integer column 0..len-1 onto literal values."""
+    c = F.when(idx_col == 0, values[0])
+    for i in range(1, len(values) - 1):
+        c = c.when(idx_col == i, values[i])
+    return c.otherwise(values[-1])
+
+
 def _sales(spark, prefix: str, n: int, salt: int):
     """Deterministic fact table: date keys target the 1998-05 / 1999-11 /
     2000-11 windows the queries filter (date_dim sk 1..1825 maps
@@ -602,12 +803,19 @@ def _sales(spark, prefix: str, n: int, salt: int):
     (q27's d_year)."""
     windows = [125 + salt, 676 + salt, 1041 + salt]  # 1998-05, 1999-11, 2000-11
     if prefix == "ss":
-        # 2000-01, 2001-06, 2002-01, 1998-12, 1999-03 — the last two give
-        # q47 a four-month qualifying rank sequence (1998-12, 1999-03,
-        # 1999-11, 2000-01) AND two 1999 months, so the per-year monthly
-        # average differs from each month's sum (a single 1999 month
-        # would make every deviation ratio exactly 0 and the query empty)
-        windows += [731, 1251, 1466, 342, 428]
+        # 2000-01, 2001-06, 2002-01, 1998-12, 1999-03, 2001-09 — 342/428
+        # give q47 a four-month qualifying rank sequence (1998-12,
+        # 1999-03, 1999-11, 2000-01) AND two 1999 months, so the per-year
+        # monthly average differs from each month's sum; 1344 (2001-09,
+        # d_month_seq 1208) gives q53/q63 a SECOND month inside their
+        # official 1200..1211 range — with a single qualifying month the
+        # per-partition average equals every sum and the deviation
+        # filter returns empty.
+        # 1251 is listed twice: 2001-06 gets ~2x the rows of 2001-09, so
+        # the q53/q63 deviation ratios land well past the 0.1 filter even
+        # when AGGREGATED per manager/manufact (balanced windows nearly
+        # cancel: the measured manager-level deviation was 0.015).
+        windows += [731, 1251, 1466, 342, 428, 1344, 1251]
     # Select the window by floor(id/500), NOT id % len(windows): the
     # item key is id % 500, so a mod-6 selector would freeze each
     # window's item-key PARITY (id ≡ 2 mod 6 is always even), making
@@ -640,6 +848,29 @@ def _sales(spark, prefix: str, n: int, salt: int):
             (((F.col("id") * 3 + 13) % 499) / 2.0).alias("cs_list_price"),
             (((F.col("id") * 5 + 7) % 97) / 4.0).alias("cs_coupon_amt"),
             (((F.col("id") * 2 + 9) % 463) / 2.0).alias("cs_sales_price"),
+            # q16 shipping star: '2002-02-01' = sk 1746 (the fixture's
+            # d_date anchor 1997-04-22 + sk), 61-day official window,
+            # %80 jitter leaves ~1/4 of shipments outside it.  The
+            # warehouse key is CONSTANT within an order (id%3000 strides
+            # by 3000, floor(id/3000) differs) so the <>-EXISTS is
+            # non-trivially selective.
+            (F.lit(1746) + (F.col("id") % 80)).alias("cs_ship_date_sk"),
+            (F.col("id") % 100).alias("cs_ship_addr_sk"),
+            (F.col("id") % 4).alias("cs_call_center_sk"),
+            (F.floor(F.col("id") / 3000) % 5).alias("cs_warehouse_sk"),
+            (F.col("id") % 3000).alias("cs_order_number"),
+            (((F.col("id") * 7 + 3) % 211) / 4.0).alias("cs_ext_ship_cost"),
+            (((F.col("id") * 11 + 1) % 331) / 2.0 - 40.0).alias("cs_net_profit"),
+        ]
+    if prefix == "ws":  # q94/q95 shipping star ('1999-02-01' = sk 650)
+        cols += [
+            (F.lit(650) + (F.col("id") % 80)).alias("ws_ship_date_sk"),
+            (F.col("id") % 100).alias("ws_ship_addr_sk"),
+            (F.col("id") % 4).alias("ws_web_site_sk"),
+            (F.floor(F.col("id") / 2000) % 5).alias("ws_warehouse_sk"),
+            (F.col("id") % 2000).alias("ws_order_number"),
+            (((F.col("id") * 7 + 5) % 211) / 4.0).alias("ws_ext_ship_cost"),
+            (((F.col("id") * 11 + 3) % 331) / 2.0 - 40.0).alias("ws_net_profit"),
         ]
     if prefix == "ss":  # q7 demographic/promo star columns + q65 store key
         cols += [
@@ -753,7 +984,20 @@ def tpcds(spark, tmp_path_factory):
         F.col("id").alias("i_item_sk"),
         F.concat(F.lit("I"), F.lpad(F.col("id").cast("string"), 5, "0")).alias("i_item_id"),
         (F.col("id") % 37).alias("i_brand_id"),
-        F.concat(F.lit("B"), F.lpad((F.col("id") % 37).cast("string"), 3, "0")).alias("i_brand"),
+        # brand residues 1..8 carry the official q53/q63 IN-list names;
+        # the rest keep the synthetic B-codes
+        F.when(F.col("id") % 37 == 1, "scholaramalgamalg #14")
+        .when(F.col("id") % 37 == 2, "scholaramalgamalg #7")
+        .when(F.col("id") % 37 == 3, "exportiunivamalg #9")
+        .when(F.col("id") % 37 == 4, "scholaramalgamalg #9")
+        .when(F.col("id") % 37 == 5, "amalgimporto #1")
+        .when(F.col("id") % 37 == 6, "edu packscholar #1")
+        .when(F.col("id") % 37 == 7, "exportiimporto #1")
+        .when(F.col("id") % 37 == 8, "importoamalg #1")
+        .otherwise(
+            F.concat(F.lit("B"), F.lpad((F.col("id") % 37).cast("string"), 3, "0"))
+        )
+        .alias("i_brand"),
         (F.col("id") % 10).alias("i_category_id"),
         F.when(F.col("id") % 10 == 0, "Electronics")
         .when(F.col("id") % 10 == 1, "Sports")
@@ -767,7 +1011,20 @@ def tpcds(spark, tmp_path_factory):
         F.concat(F.lit("Desc"), F.lpad(F.col("id").cast("string"), 5, "0")).alias(
             "i_item_desc"
         ),
-        F.concat(F.lit("CL"), (F.col("id") % 16).cast("string")).alias("i_class"),
+        # class cycles over the official q53/q63/q89 IN-list names on an
+        # axis INDEPENDENT of category (floor(id/10), category is id%10)
+        # so the (category, class) combos those queries name exist: item
+        # 2 = (Books, personal, scholaramalgamalg #7) satisfies q53/q63
+        # branch 1; item 80 = (Electronics, computers) satisfies q89.
+        _pick(
+            F.floor(F.col("id") / 10) % 16,
+            [
+                "personal", "portable", "reference", "self-help",
+                "accessories", "classical", "fragrances", "pants",
+                "computers", "stereo", "football", "shirts",
+                "birdal", "dresses", "CL14", "CL15",
+            ],
+        ).alias("i_class"),
         ((F.col("id") % 100) / 2.0).alias("i_current_price"),
         ((F.col("id") % 80) / 2.0).alias("i_wholesale_cost"),
         F.concat(F.lit("P"), F.lpad(F.col("id").cast("string"), 5, "0")).alias(
@@ -827,11 +1084,13 @@ def tpcds(spark, tmp_path_factory):
         F.when(F.col("id") % 2 == 0, "N").otherwise("Y").alias("p_channel_email"),
         F.when(F.col("id") % 3 == 0, "N").otherwise("Y").alias("p_channel_event"),
     )
-    states = ["TX", "OH", "OR", "NM", "KY", "VA", "MS", "CO", "MN", "CA", "TN"]
-    st_col = F.when(F.col("id") % 11 == 0, states[0])
-    for i in range(1, 10):
-        st_col = st_col.when(F.col("id") % 11 == i, states[i])
-    st_col = st_col.otherwise(states[10])
+    # GA / IL appended for q16 / q94-q95's ship-address filters; the
+    # q13/q48/q6 states all stay present under the widened modulus.
+    states = [
+        "TX", "OH", "OR", "NM", "KY", "VA", "MS", "CO", "MN", "CA", "TN",
+        "GA", "IL",
+    ]
+    st_col = _pick(F.col("id") % len(states), states)
     ca = spark.range(100).select(
         F.col("id").alias("ca_address_sk"),
         F.when(F.col("id") % 2 == 0, -5).otherwise(-6).alias("ca_gmt_offset"),
@@ -845,12 +1104,30 @@ def tpcds(spark, tmp_path_factory):
     ss = _sales(spark, "ss", 20000, 0)
     cs = _sales(spark, "cs", 15000, 1)
     ws = _sales(spark, "ws", 10000, 2)
+    # q16/q94/q95 shipping dims + returns: every 3rd order has a return,
+    # so the NOT-EXISTS anti join keeps a non-trivial remainder.
+    cc = spark.range(4).select(
+        F.col("id").alias("cc_call_center_sk"),
+        F.when(F.col("id") % 2 == 0, "Williamson County")
+        .otherwise("Bronx County")
+        .alias("cc_county"),
+    )
+    wsite = spark.range(4).select(
+        F.col("id").alias("web_site_sk"),
+        F.when(F.col("id") % 2 == 0, "pri").otherwise("ConglomCo").alias(
+            "web_company_name"
+        ),
+    )
+    cr = spark.range(1000).select(((F.col("id") * 3) % 3000).alias("cr_order_number"))
+    wr = spark.range(800).select(((F.col("id") * 3) % 2000).alias("wr_order_number"))
 
     tables = [
         ("store_returns", sr, 4), ("date_dim", dd, 1), ("store", st, 1),
         ("customer", cu, 1), ("item", it, 1), ("customer_address", ca, 1),
         ("customer_demographics", cd, 1), ("promotion", pr, 1),
         ("household_demographics", hd, 1), ("time_dim", td, 1),
+        ("call_center", cc, 1), ("web_site", wsite, 1),
+        ("catalog_returns", cr, 1), ("web_returns", wr, 1),
         ("store_sales", ss, 4), ("catalog_sales", cs, 4), ("web_sales", ws, 4),
     ]
     paths = {}
@@ -935,6 +1212,34 @@ def tpcds(spark, tmp_path_factory):
             "tpcds_ws_cov",
             ["ws_sold_date_sk"],
             ["ws_item_sk", "ws_ext_sales_price", "ws_bill_addr_sk"],
+            num_buckets=4,
+        ),
+    )
+    # q16/q94: ship-date-keyed fact indexes pair with tpcds_dd_cov (the
+    # sold-date indexes never compete — JoinIndexRule requires indexed
+    # == join keys).  Coverage includes everything the shipping star
+    # references above the date join.
+    hs.create_index(
+        rd("catalog_sales"),
+        CoveringIndexConfig(
+            "tpcds_cs_ship_cov",
+            ["cs_ship_date_sk"],
+            [
+                "cs_ship_addr_sk", "cs_call_center_sk", "cs_warehouse_sk",
+                "cs_order_number", "cs_ext_ship_cost", "cs_net_profit",
+            ],
+            num_buckets=4,
+        ),
+    )
+    hs.create_index(
+        rd("web_sales"),
+        CoveringIndexConfig(
+            "tpcds_ws_ship_cov",
+            ["ws_ship_date_sk"],
+            [
+                "ws_ship_addr_sk", "ws_web_site_sk", "ws_warehouse_sk",
+                "ws_order_number", "ws_ext_ship_cost", "ws_net_profit",
+            ],
             num_buckets=4,
         ),
     )
@@ -1119,3 +1424,34 @@ def test_tpcds_q33_plan_stability(spark, tpcds):
     identical)."""
     hs, _ = tpcds
     _check_plan_stability(spark, hs, "q33", TPCDS_Q33, expect_indexes=True)
+
+
+@pytest.mark.parametrize("qname,sql", [("q16", TPCDS_Q16), ("q94", TPCDS_Q94)])
+def test_tpcds_exists_shipping_plan_stability(spark, tpcds, qname, sql):
+    """EXISTS + NOT EXISTS shipping stars (the r11 semi/anti workout on
+    official texts): the <>-residual EXISTS self-join and the returns
+    anti join sit ABOVE the accelerated ship-date join — the planner
+    must serve the date pair and replay the semi/anti stack with
+    side-qualified residuals, row-exactly."""
+    hs, _ = tpcds
+    _check_plan_stability(spark, hs, qname, sql, expect_indexes=True)
+
+
+def test_tpcds_q95_plan_stability(spark, tpcds):
+    """q95's ws_wh CTE is a full self-join of web_sales whose output
+    carries the SAME-NAMED warehouse column from both sides — the IN
+    subqueries then semi-join against it twice."""
+    hs, _ = tpcds
+    _check_plan_stability(spark, hs, "q95", TPCDS_Q95, expect_indexes=True)
+
+
+@pytest.mark.parametrize(
+    "qname,sql", [("q53", TPCDS_Q53), ("q63", TPCDS_Q63), ("q89", TPCDS_Q89)]
+)
+def test_tpcds_windowed_rank_plan_stability(spark, tpcds, qname, sql):
+    """The q47 window family WITHOUT the payload-name collision:
+    avg() OVER (PARTITION BY ...) above the grouped star must accelerate
+    through the ss/dd covering pair instead of pinning a verbatim
+    fallback (VERDICT r11 item 7)."""
+    hs, _ = tpcds
+    _check_plan_stability(spark, hs, qname, sql, expect_indexes=True)
