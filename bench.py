@@ -204,6 +204,10 @@ def main() -> None:
         "tpcds_q48_or_shape",
         "rollup_join_cobucketed",
         "exists_band_semijoin",
+        # r12 — the band-to-aggregate rewrite pair: the <>-EXISTS shape
+        # the band rule must decline, and the anti-join shape it serves
+        "exists_distinct_order_semijoin",
+        "not_exists_band_antijoin",
     ]
 
 

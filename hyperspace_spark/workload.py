@@ -76,8 +76,14 @@ ACCELERATED_QUERIES = [
     # Exchange underneath the rollup)
     "rollup_join_cobucketed",
     # r11: decorrelated-EXISTS band semi-join (side-qualified residual +
-    # semi-join support in JoinIndexRule -> Exchange-free semi SMJ)
+    # semi-join support in JoinIndexRule); r12: BandExistsAggRule
+    # collapses the probe side to a per-key MAX (no within-group scan)
     "exists_band_semijoin",
+    # r12: TPC-DS q16's <>-residual EXISTS (two residual conjuncts ->
+    # band rule declines, plain Exchange-free semi serving)
+    "exists_distinct_order_semijoin",
+    # r12: NOT-EXISTS band -> per-key-aggregate anti join
+    "not_exists_band_antijoin",
 ]
 
 
@@ -957,11 +963,14 @@ def rollup_join_cobucketed(spark, sf_dir):
 def exists_band_semijoin(spark, sf_dir):
     """Decorrelated-EXISTS band shape: orders dwarfed by another order
     of the SAME customer — a LEFT SEMI self-join whose residual
-    compares o_totalprice across both sides.  r11 twice over: the
-    residual replays side-qualified (__hs_l/__hs_r by exprId), and
-    JoinIndexRule now serves semi joins — BOTH sides read w_o_cov
-    co-bucketed on o_custkey, so the semi SMJ runs Exchange-free.  The
-    raw plan shuffles both full scans."""
+    compares o_totalprice across both sides.  r11: the residual replays
+    side-qualified (__hs_l/__hs_r by exprId) and JoinIndexRule serves
+    semi joins.  r12: BandExistsAggRule outbids that plain serving —
+    the probe side collapses to a per-customer MAX(o_totalprice) read
+    Exchange-free from w_o_cov's bucketing, so the semi join compares
+    each row against ONE row per key instead of scanning the group
+    (linear on skewed customers; the raw plan's SMJ pair-scans within
+    each key group after shuffling both full scans)."""
     from pyspark.sql import functions as F
 
     ws = workspace(spark, sf_dir)
@@ -979,6 +988,91 @@ def exists_band_semijoin(spark, sf_dir):
             F.col("a.o_custkey").alias("o_custkey"),
             F.round(F.col("a.o_totalprice"), 2).alias("total"),
         )
+    )
+    return ws.hs.apply(df)
+
+
+@q(
+    "exists_distinct_order_semijoin",
+    # The oracle spells the semi join as DISTINCT-over-join: DuckDB
+    # 1.0.0 mis-decorrelates a correlated EXISTS whose predicate mixes
+    # <> and > over both sides (returns 0 rows where the equivalent
+    # plain join finds 75200 matches at sf0.01) — o_orderkey is unique,
+    # so DISTINCT over the a-side projection is exactly semi semantics.
+    """
+    SELECT DISTINCT a.o_orderkey AS o_orderkey, a.o_custkey AS o_custkey,
+           round(a.o_totalprice, 2) AS total
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey <> b.o_orderkey
+     AND b.o_totalprice > a.o_totalprice
+    """,
+)
+def exists_distinct_order_semijoin(spark, sf_dir):
+    """TPC-DS q16/q94's EXISTS shape on TPC-H tables: 'another row of
+    the same group' via a <>-residual (cs1.cs_warehouse_sk <>
+    cs2.cs_warehouse_sk in the official texts, reference
+    src/test/resources/tpcds/queries/q16.sql:17-19) plus a band
+    conjunct.  TWO residual conjuncts are not max-decomposable —
+    EXISTS(b: P1(b) AND P2(b)) is weaker than both maxima — so r12's
+    BandExistsAggRule must DECLINE and the r11 plain semi serving takes
+    the pair: both sides read w_o_cov co-bucketed on o_custkey,
+    Exchange-free semi SMJ, both residuals replayed side-qualified by
+    exprId."""
+    from pyspark.sql import functions as F
+
+    ws = workspace(spark, sf_dir)
+    a = _t(spark, sf_dir, "orders").alias("a")
+    b = _t(spark, sf_dir, "orders").alias("b")
+    df = a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("a.o_orderkey") != F.col("b.o_orderkey"))
+        & (F.col("b.o_totalprice") > F.col("a.o_totalprice")),
+        "left_semi",
+    ).select(
+        F.col("a.o_orderkey").alias("o_orderkey"),
+        F.col("a.o_custkey").alias("o_custkey"),
+        F.round(F.col("a.o_totalprice"), 2).alias("total"),
+    )
+    return ws.hs.apply(df)
+
+
+@q(
+    "not_exists_band_antijoin",
+    """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+    FROM orders a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders b
+      WHERE a.o_custkey = b.o_custkey
+        AND b.o_totalprice > a.o_totalprice * 2
+    )
+    """,
+)
+def not_exists_band_antijoin(spark, sf_dir):
+    """NOT-EXISTS band (TPC-DS q16/q94's anti half with a band probe
+    instead of an equality): orders NOT dwarfed by another order of the
+    same customer.  r12 BandExistsAggRule on the LEFT ANTI join: the
+    probe side collapses to a per-customer MAX(o_totalprice) — sound
+    negated row-wise (a key-group match exists against the aggregate
+    iff one exists against the raw rows) — and both sides read w_o_cov
+    co-bucketed on o_custkey, so the aggregate AND the anti join run
+    Exchange-free."""
+    from pyspark.sql import functions as F
+
+    ws = workspace(spark, sf_dir)
+    a = _t(spark, sf_dir, "orders").alias("a")
+    b = _t(spark, sf_dir, "orders").alias("b")
+    df = a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("b.o_totalprice") > F.col("a.o_totalprice") * 2),
+        "left_anti",
+    ).select(
+        F.col("a.o_orderkey").alias("o_orderkey"),
+        F.col("a.o_custkey").alias("o_custkey"),
+        F.round(F.col("a.o_totalprice"), 2).alias("total"),
     )
     return ws.hs.apply(df)
 
@@ -5601,73 +5695,23 @@ def session_window_events(spark, sf_dir):
 # them every session).
 # ---------------------------------------------------------------------------
 _VERIFY_PRIORITY = [
-    # --- r11 window (driver verifies the FIRST ~50): (1) the 27 entries
-    # whose last green row is r08 — three rounds old, the oldest
-    # evidence in the contract (VERDICT r10 "What's wrong" #1 names this
-    # exact set; the ann_*/multimodal_* members sit on code r10 rewrote),
-    # (2) queries NEW in r11 (no prior evidence, must verify this
-    # round), (3) the oldest r09-greens, in their r9 order, filling to
-    # ~50.  The r10-greens (all 50, freshest evidence) ride past the
-    # cap; the r9 leftovers LEAD the r12 window so no entry's evidence
-    # ever exceeds three rounds.  Every entry is ALSO re-verified each
-    # session by the local contract pytest (same DuckDB compare). ---
-    "window_tumbling_events",
-    "window_sliding_events",
-    "window_top_orders",
-    "pivot_linestatus",
-    "unpivot_measures",
-    "rollup_agg",
-    "cube_returnflag_status",
-    "grouping_sets_agg",
-    "exists_subquery",
-    "union_distinct",
-    "setop_intersect",
-    "setop_except_all",
-    "salted_skew_agg",
-    "events_hourly_rollup",
-    "mixture_stratified_sample",
-    "split_train_val_test",
-    "sample_hash_deterministic",
-    "contamination_check",
-    "dedup_simhash",
-    "ann_cosine_topk",
-    "ann_lsh_bucketed",
-    "ann_ivf_topk",
-    "pii_detect",
-    "multimodal_meta",
-    "multimodal_resize",
-    "dataskipping_bloom",
-    "nested_filter_index",
-    # --- new in r11 ---
-    "ann_knn_join_brute",
-    "tpcds_q48_or_shape",
-    "rollup_join_cobucketed",
-    "exists_band_semijoin",
-    # --- last green r09 (CORRECTNESS_r09.json order), rotating back ---
-    "pipeline_end_to_end",
-    "selfjoin_agg_cobucketed",
-    "text_search_ranked",
-    "text_search_phrase",
-    "quality_weighted_sample",
-    "ngram_topk_by_lang",
-    "cross_source_overlap",
-    "ann_pq_topk",
-    "funnel_view_click_purchase",
-    "retention_weekly_cohorts",
-    "zorder_filter_2d",
-    "dedup_repeated_spans",
-    "range_join_buckets",
-    "zorder_range_agg",
-    "streaming_ingest_dedup",
-    "text_stats",
-    "covering_filter_agg",
-    "delta_filter_index",
-    "iceberg_filter_index",
+    # --- r12 window (driver verifies the FIRST 50): (1) the 31 entries
+    # whose last green row is r09 — at the two-round evidence ceiling
+    # (tests/test_evidence_rotation.py now gates this) — led by
+    # hybrid_join_append and the time-travel rows, whose join-replay
+    # path sits under the r11 parser changes (VERDICT r11 item 1);
+    # (2) queries NEW in r12 plus exists_band_semijoin, whose plan the
+    # r12 BandExistsAggRule rewrote (changed => re-verify); (3) the
+    # oldest r10-greens filling to 50.  The remaining r10-greens lead
+    # the r13 window; the r11-greens ride their one-round-old evidence
+    # past the cap.  Every entry is ALSO re-verified each session by
+    # the local contract pytest (same DuckDB compare). ---
     "hybrid_join_append",
+    "delta_time_travel_index",
+    "iceberg_time_travel_index",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",
-    # --- r9-greens below here ride to the r12 window ---
     "q5_region_revenue",
     "q6_revenue_change",
     "q7_nation_volume",
@@ -5687,16 +5731,17 @@ _VERIFY_PRIORITY = [
     "scalar_functions",
     "multimodal_features",
     "salted_join_orders",
-    "delta_time_travel_index",
     "sequence_packing",
     "dedup_paragraph",
-    "iceberg_time_travel_index",
     "repetition_stats",
     "source_token_quota",
     "json_props_extract",
     "recursive_month_series",
-    # --- verified green in r10 (CORRECTNESS_r10.json) — freshest
-    # evidence, past the cap; they follow the r9 riders in r12. ---
+    # --- new or plan-changed in r12 ---
+    "exists_distinct_order_semijoin",
+    "not_exists_band_antijoin",
+    "exists_band_semijoin",
+    # --- last green r10, oldest first; the cap falls inside this run ---
     "clean_corpus_census",
     "percentile_stats",
     "window_lag_lead",
@@ -5713,6 +5758,7 @@ _VERIFY_PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "dataskipping_valuelist",
+    # --- r10-greens below here lead the r13 window ---
     "dataskipping_minmax",
     "dataskipping_inset",
     "opaque_union_accel",
@@ -5747,6 +5793,56 @@ _VERIFY_PRIORITY = [
     "q20_excess_stock",
     "session_window_events",
     "streaming_tumbling_rollup",
+    # --- verified green in r11 (freshest evidence), past the cap ---
+    "window_tumbling_events",
+    "window_sliding_events",
+    "window_top_orders",
+    "pivot_linestatus",
+    "unpivot_measures",
+    "rollup_agg",
+    "cube_returnflag_status",
+    "grouping_sets_agg",
+    "exists_subquery",
+    "union_distinct",
+    "setop_intersect",
+    "setop_except_all",
+    "salted_skew_agg",
+    "events_hourly_rollup",
+    "mixture_stratified_sample",
+    "split_train_val_test",
+    "sample_hash_deterministic",
+    "contamination_check",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "ann_ivf_topk",
+    "pii_detect",
+    "multimodal_meta",
+    "multimodal_resize",
+    "dataskipping_bloom",
+    "nested_filter_index",
+    "ann_knn_join_brute",
+    "tpcds_q48_or_shape",
+    "rollup_join_cobucketed",
+    "pipeline_end_to_end",
+    "selfjoin_agg_cobucketed",
+    "text_search_ranked",
+    "text_search_phrase",
+    "quality_weighted_sample",
+    "ngram_topk_by_lang",
+    "cross_source_overlap",
+    "ann_pq_topk",
+    "funnel_view_click_purchase",
+    "retention_weekly_cohorts",
+    "zorder_filter_2d",
+    "dedup_repeated_spans",
+    "range_join_buckets",
+    "zorder_range_agg",
+    "streaming_ingest_dedup",
+    "text_stats",
+    "covering_filter_agg",
+    "delta_filter_index",
+    "iceberg_filter_index",
 ]
 
 

@@ -37,6 +37,12 @@ SNAPSHOT_QUERIES = [
     # r7: shuffle-elimination rules
     "selfjoin_agg_cobucketed",
     "window_latest_lineitem",
+    # r12: semi/anti band family — the per-key-aggregate rewrite fires
+    # on the band shapes (0 Exchanges, w_o_cov both sides) and declines
+    # on the two-conjunct <> shape (plain Exchange-free semi serving)
+    "exists_band_semijoin",
+    "exists_distinct_order_semijoin",
+    "not_exists_band_antijoin",
 ]
 
 
