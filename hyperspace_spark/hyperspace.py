@@ -1983,11 +1983,38 @@ class Hyperspace:
         except Exception:
             return []
         conf = self.conf()
-        entries = [
-            e
-            for e in self._all_latest_entries(conf)
-            if e.state == States.ACTIVE and e.derived_kind in ("CI", "ZCI")
+        entries_all = [
+            e for e in self._all_latest_entries(conf) if e.state == States.ACTIVE
         ]
+        entries = [e for e in entries_all if e.derived_kind in ("CI", "ZCI")]
+
+        def same_source(e, scan) -> bool:
+            roots = tuple(
+                sorted(_norm_path(p) for r in e.relations for p in r.root_paths)
+            )
+            return roots == scan.normalized_paths()
+
+        def scan_col_types(scan) -> dict:
+            import json as _json
+
+            try:
+                fields = _json.loads(scan.data_schema_json)["fields"]
+            except Exception:
+                return {}
+            out = {}
+            for f in fields:
+                t = f.get("type")
+                if isinstance(t, dict) and t.get("type") == "array":
+                    out[f["name"]] = f"array<{t.get('elementType')}>"
+                elif isinstance(t, str):
+                    out[f["name"]] = t
+            return out
+
+        def pick_id_col(scan) -> str:
+            for c in scan.output:
+                if c.lower().endswith("id") or c.lower().endswith("key"):
+                    return c
+            return scan.output[0] if scan.output else "id"
 
         def covered_by_existing(scan, indexed, required):
             for e in entries:
@@ -2204,6 +2231,169 @@ class Hyperspace:
                             "source": list(scan.normalized_paths()),
                         }
                     )
+                # Z-order recommendation (r12; reference
+                # ZOrderCoveringIndex.scala:28-189): a MULTI-column
+                # predicate family with at least one range is the shape
+                # a single-key covering index serves poorly (bucket
+                # pruning pins only the first key; the other columns
+                # scan every bucket).  Z-clustering interleaves all the
+                # predicate columns, so per-file min/max stats prune on
+                # ANY of them.
+                range_cols = [
+                    c
+                    for c in refs
+                    if any(
+                        isinstance(cj, Cmp)
+                        and cj.op in ("<", "<=", ">", ">=")
+                        and cj.references == frozenset([c])
+                        for cj in conjs
+                    )
+                ]
+                zcols = list(dict.fromkeys(eq + range_cols))
+                if len(zcols) >= 2 and range_cols:
+                    z_served = any(
+                        e.derived_kind == "ZCI"
+                        and same_source(e, scan)
+                        and not e.derived_properties.get("filterPredicateExpr")
+                        and set(zcols)
+                        <= set(e.derived_properties.get("indexedColumns", []))
+                        and set(required)
+                        <= set(e.derived_properties.get("indexedColumns", []))
+                        | set(e.derived_properties.get("includedColumns", []))
+                        for e in entries_all
+                    )
+                    zkey = (scan.normalized_paths(), "ZCI", tuple(zcols))
+                    if not z_served and zkey not in seen_keys:
+                        seen_keys.add(zkey)
+                        from hyperspace_spark.indexes.zorder import (
+                            ZOrderCoveringIndexConfig,
+                        )
+
+                        zname = f"hs_rec_z_{len(suggestions)}_{zcols[0]}".lower()
+                        suggestions.append(
+                            {
+                                "config": ZOrderCoveringIndexConfig(
+                                    zname,
+                                    list(zcols),
+                                    sorted(
+                                        c
+                                        for c in required
+                                        if c not in zcols and "." not in c
+                                    ),
+                                ),
+                                "rule": "ZOrderFilterIndexRule",
+                                "reason": (
+                                    f"multi-column predicate on {', '.join(zcols)} "
+                                    "with a range: z-clustering prunes files on "
+                                    "ANY of the columns (a single-key covering "
+                                    "index pins only its first key)"
+                                ),
+                                "source": list(scan.normalized_paths()),
+                            }
+                        )
+                # Inverted-text recommendation (r12): substring/term
+                # predicates (LIKE '%..%', contains, instr, locate)
+                # re-scan and re-tokenize every row per query; a TXT
+                # index serves term/phrase/boolean/BM25 probes from
+                # bucket-pruned postings.
+                import re as _re
+
+                types = scan_col_types(scan)
+                for cj in conjs:
+                    if len(cj.references) != 1:
+                        continue
+                    (tcol,) = cj.references
+                    if types.get(tcol) != "string":
+                        continue
+                    if not _re.search(
+                        r"\bcontains\(|\binstr\(|\blocate\(|LIKE\s+'%",
+                        cj.sql,
+                        _re.IGNORECASE,
+                    ):
+                        continue
+                    tkey = (scan.normalized_paths(), "TXT", tcol)
+                    if tkey in seen_keys:
+                        continue
+                    seen_keys.add(tkey)
+                    if any(
+                        e.derived_kind == "TXT"
+                        and same_source(e, scan)
+                        and e.derived_properties.get("textCol") == tcol
+                        for e in entries_all
+                    ):
+                        continue
+                    from hyperspace_spark.indexes.inverted import (
+                        InvertedTextIndexConfig,
+                    )
+
+                    suggestions.append(
+                        {
+                            "config": InvertedTextIndexConfig(
+                                f"hs_rec_txt_{len(suggestions)}_{tcol}".lower(),
+                                text_col=tcol,
+                                id_col=pick_id_col(scan),
+                            ),
+                            "rule": "text_search (explicit API)",
+                            "reason": (
+                                f"substring predicate on {tcol} re-scans every "
+                                "row per query; an inverted TXT index serves "
+                                "term/phrase/boolean/BM25 probes from "
+                                "bucket-pruned postings (verify id_col is a "
+                                "unique row id)"
+                            ),
+                            "source": list(scan.normalized_paths()),
+                        }
+                    )
+            # ANN recommendation (r12): a top-k ordered by an expression
+            # over a float-vector column is a brute-force O(corpus)
+            # similarity scan PER QUERY; an IVF index bounds each probe
+            # to n_probe clusters.
+            if (
+                isinstance(node, _ir.LimitN)
+                and isinstance(node.child, _ir.SortN)
+                and node.n <= 1000
+            ):
+                ms = match_linear_side(node.child.child)
+                if ms is not None:
+                    scan, required = ms
+                    types = scan_col_types(scan)
+                    vec_cols = [
+                        c
+                        for c in sorted(required)
+                        if types.get(c) in ("array<float>", "array<double>")
+                    ]
+                    for vcol in vec_cols[:1]:
+                        akey = (scan.normalized_paths(), "ANN", vcol)
+                        if akey in seen_keys:
+                            continue
+                        seen_keys.add(akey)
+                        if any(
+                            e.derived_kind == "ANN"
+                            and same_source(e, scan)
+                            and e.derived_properties.get("vecCol") == vcol
+                            for e in entries_all
+                        ):
+                            continue
+                        from hyperspace_spark.indexes.ann import IvfIndexConfig
+
+                        suggestions.append(
+                            {
+                                "config": IvfIndexConfig(
+                                    f"hs_rec_ann_{len(suggestions)}_{vcol}".lower(),
+                                    vec_col=vcol,
+                                    id_col=pick_id_col(scan),
+                                ),
+                                "rule": "ann_search / ann_join (explicit API)",
+                                "reason": (
+                                    f"top-{node.n} ordered by an expression over "
+                                    f"vector column {vcol}: brute force scores the "
+                                    "whole corpus per query; IVF probes n_probe "
+                                    "clusters (add pq_m for the PQ layout at "
+                                    "billion-vector scale)"
+                                ),
+                                "source": list(scan.normalized_paths()),
+                            }
+                        )
             if isinstance(node, _ir.JoinN) and node.equi_keys:
                 for side, keys in (
                     (node.left, [l for l, _ in node.equi_keys]),

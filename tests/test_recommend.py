@@ -202,3 +202,83 @@ def test_recommend_partial_index_variant(spark, hs, tmp_path):
     out, used = hs._apply_with_info(df)
     assert cfg.name in used, hs.why_not(df)
     assert rows_equal(df, out)
+
+
+def test_recommend_zorder_roundtrip(spark, hs, tmp_path):
+    """Multi-column range family (VERDICT r11 item 6): two range columns
+    propose a ZOrderCoveringIndexConfig keyed on BOTH; creating it makes
+    ZOrderFilterIndexRule serve the query, and the proposal disappears."""
+    src = str(tmp_path / "orders_z")
+    table(spark, "orders").repartition(4).write.parquet(src)
+    o = spark.read.parquet(src)
+    df = o.filter(
+        "o_custkey BETWEEN 100 AND 400 AND o_totalprice > 150000"
+    ).select("o_orderkey", "o_totalprice")
+    recs = hs.recommend(df)
+    z = [r for r in recs if r["rule"] == "ZOrderFilterIndexRule"]
+    assert len(z) == 1, recs
+    cfg = z[0]["config"]
+    assert set(cfg.indexed_columns) == {"o_custkey", "o_totalprice"}
+    assert "o_orderkey" in cfg.included_columns
+    hs.create_index(o, cfg)
+    out, used = hs._apply_with_info(df)
+    assert used == [cfg.name], hs.why_not(df)
+    assert rows_equal(df, out)
+    assert [
+        r for r in hs.recommend(df) if r["rule"] == "ZOrderFilterIndexRule"
+    ] == [], "z-order proposal must drop once the index serves the family"
+
+
+def test_recommend_txt_roundtrip(spark, hs, tmp_path):
+    """A substring predicate over a string column proposes an inverted
+    TXT index; creating it serves text_search and the proposal drops."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "docs_txt")
+    table(spark, "documents").repartition(4).write.parquet(src)
+    d = spark.read.parquet(src)
+    df = d.filter(F.col("text").contains("data")).select("doc_id")
+    recs = hs.recommend(df)
+    txt = [r for r in recs if r["config"].__class__.__name__ == "InvertedTextIndexConfig"]
+    assert len(txt) == 1, recs
+    cfg = txt[0]["config"]
+    assert cfg.text_col == "text" and cfg.id_col == "doc_id"
+    hs.create_index(d, cfg)
+    hits = hs.text_search(cfg.name, ["data"])
+    assert hits.count() > 0
+    assert [
+        r
+        for r in hs.recommend(df)
+        if r["config"].__class__.__name__ == "InvertedTextIndexConfig"
+    ] == [], "TXT proposal must drop once the index exists"
+
+
+def test_recommend_ann_roundtrip(spark, hs, tmp_path):
+    """A top-k ordered by an expression over a float-vector column
+    proposes an IVF ANN index; creating it serves ann_search and the
+    proposal drops."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "emb_ann")
+    table(spark, "embeddings").repartition(4).write.parquet(src)
+    e = spark.read.parquet(src)
+    score = F.expr(
+        "aggregate(zip_with(embedding, array(0.1, 0.2, 0.3, 0.4), (x, y) -> x * y),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+    df = e.select("vec_id", score.alias("score")).orderBy(F.desc("score")).limit(10)
+    recs = hs.recommend(df)
+    ann = [r for r in recs if r["config"].__class__.__name__ == "IvfIndexConfig"]
+    assert len(ann) == 1, recs
+    cfg = ann[0]["config"]
+    assert cfg.vec_col == "embedding" and cfg.id_col == "vec_id"
+    cfg.n_clusters = 4
+    hs.create_index(e, cfg)
+    first = e.select("embedding").first()["embedding"]
+    hits = hs.ann_search(cfg.name, {0: list(first)}, k=3)
+    assert hits.count() == 3
+    assert [
+        r
+        for r in hs.recommend(df)
+        if r["config"].__class__.__name__ == "IvfIndexConfig"
+    ] == [], "ANN proposal must drop once the index exists"
