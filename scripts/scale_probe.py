@@ -549,6 +549,25 @@ def main_sf10():
             )
         )
 
+    def q_band_exists():
+        # r12: band-EXISTS -> per-key aggregate (BandExistsAggRule): the
+        # probe side collapses to one MAX row per customer BEFORE the
+        # semi join, so the accelerated plan does one comparison per row
+        # instead of the raw SMJ's within-group pair scan.  Agg-wrapped
+        # so the timing measures the pipeline, not a driver collect.
+        a = orders.alias("a")
+        b = orders.alias("b")
+        semi = a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("b.o_totalprice") > F.col("a.o_totalprice") * 2),
+            "left_semi",
+        )
+        return hs.apply(semi).agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("t"),
+        )
+
     probes = {
         "covering_filter_point": q_point,
         "join_cobucketed": q_join,
@@ -560,6 +579,7 @@ def main_sf10():
         "covering_filter_partial": q_partial,
         "tpcds_q48_or_shape": q_or_conj,
         "rollup_join_cobucketed": q_rollup_join,
+        "exists_band_semijoin": q_band_exists,
     }
 
     # plan probe: co-bucketed SMJ stays Exchange-free under AQE at sf10
