@@ -1238,6 +1238,108 @@ def main_media():
     sys.exit(0 if ok else 1)
 
 
+def main_bandskew():
+    """Skewed-key probe for the r12 band-EXISTS -> per-key-aggregate
+    rewrite (BandExistsAggRule).  On UNIFORM keys the rewrite is
+    cost-neutral (sf1 A/B: band 1.15 s vs plain serving 0.96-1.06 s —
+    the semi SMJ's within-group scan is cheap when groups are ~100 rows
+    and most rows early-exit on a match); its value is the BOUNDED WORST
+    CASE: a semi SMJ's non-matching rows scan their ENTIRE key group, so
+    one hot key of g rows costs O(g²) comparisons in a single task,
+    while the aggregate plan pays O(g) whatever the skew.  This probe
+    builds a 1.5M-row orders table whose hottest customer holds 30k rows
+    with a band threshold almost no row meets (the adversarial case),
+    and times raw vs plain-serving vs band."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    spark = build_session()
+    import hyperspace_spark.hyperspace as H
+    from hyperspace_spark import CoveringIndexConfig, Hyperspace
+
+    root = "/tmp/hs_scale_bandskew"
+    src = f"{root}/orders"
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    # 1.5M rows; key 0 holds 30k (2%), the rest spread over 50k keys.
+    spark.range(1_500_000).select(
+        F.when(F.col("id") % 50 == 0, 0)
+        .otherwise(F.col("id") % 50_000)
+        .alias("o_custkey"),
+        F.col("id").alias("o_orderkey"),
+        (((F.col("id") * 7919) % 1_000_003) / 2.0).alias("o_totalprice"),
+    ).repartition(8).write.parquet(src)
+    o = spark.read.parquet(src)
+    hs = Hyperspace(spark, system_path=f"{root}/idx")
+    hs.create_index(
+        o,
+        CoveringIndexConfig(
+            "skew_cov", ["o_custkey"], ["o_orderkey", "o_totalprice"], num_buckets=16
+        ),
+    )
+    spark.conf.set("spark.hyperspace.apply.cacheTtlSeconds", "0")
+
+    def build_q():
+        a = o.alias("a")
+        b = o.alias("b")
+        # threshold ~ the max: nearly every row is a NON-match, so the
+        # raw/plain semi SMJ scans each hot-group row against all 30k.
+        return a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("b.o_totalprice") > F.col("a.o_totalprice") + 499_000.0),
+            "left_semi",
+        )
+
+    def timed(df, runs=2):
+        best = float("inf")
+        for _ in range(runs):
+            t0 = _time.perf_counter()
+            df.agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("o_totalprice"), 2).alias("t"),
+            ).collect()
+            best = min(best, _time.perf_counter() - t0)
+        return round(best, 3)
+
+    spark.conf.set("spark.hyperspace.apply.enabled", "false")
+    raw = timed(hs.apply(build_q()), runs=1)  # the slow side: one run
+    spark.conf.set("spark.hyperspace.apply.enabled", "true")
+    band_df = hs.apply(build_q())
+    band = timed(band_df)
+    from hyperspace_spark.workload import executed_plan_final
+
+    band_plan_ok = "__hs_band" in executed_plan_final(band_df)
+    orig = H.default_rules
+
+    def no_band():
+        from hyperspace_spark.planner.rules import default_rules as d
+
+        return [r for r in d() if type(r).__name__ != "BandExistsAggRule"]
+
+    H.default_rules = no_band
+    try:
+        plain = timed(hs.apply(build_q()), runs=1)
+    finally:
+        H.default_rules = orig
+    out = {
+        "probe": "band_skew",
+        "n_rows": 1_500_000,
+        "hot_group": 30_000,
+        "rows_semi": build_q().count(),
+        "raw_sec": raw,
+        "plain_serving_sec": plain,
+        "band_sec": band,
+        "band_vs_raw": round(raw / band, 2),
+        "band_vs_plain_serving": round(plain / band, 2),
+        "band_plan_has_aggregate": band_plan_ok,
+    }
+    print(json.dumps(out))
+    sys.exit(0 if band_plan_ok and band < plain and band < raw else 1)
+
+
 if __name__ == "__main__":
     if "--sf10" in sys.argv:
         main_sf10()
@@ -1249,5 +1351,7 @@ if __name__ == "__main__":
         main_vectors()
     elif "--media" in sys.argv:
         main_media()
+    elif "--bandskew" in sys.argv:
+        main_bandskew()
     else:
         main()
