@@ -562,7 +562,12 @@ def main_sf10():
             (F.col("a.o_custkey") == F.col("b.o_custkey"))
             & (F.col("b.o_totalprice") > F.col("a.o_totalprice") * 2),
             "left_semi",
-        )
+        ).select("o_custkey", "o_totalprice")
+        # The projection BEFORE apply mirrors the contract query: without
+        # it the semi's left side requires every orders column, the
+        # covering pair is ineligible, and only a one-sided scan
+        # replacement fires (the r12 sf10 probe measured exactly that
+        # mistake at 0.89x before this fix).
         return hs.apply(semi).agg(
             F.count("*").alias("n"),
             F.round(F.sum("o_totalprice"), 2).alias("t"),
