@@ -208,6 +208,7 @@ def main() -> None:
         # the band rule must decline, and the anti-join shape it serves
         "exists_distinct_order_semijoin",
         "not_exists_band_antijoin",
+        "exists_sibling_order_semijoin",
     ]
 
 

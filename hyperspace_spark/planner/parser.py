@@ -585,7 +585,7 @@ _BAND_OPS = {
     "LessThan": "<",
     "LessThanOrEqual": "<=",
 }
-_BAND_FLIP = {">": "<", ">=": "<=", "<": ">", "<=": ">="}
+_BAND_FLIP = {">": "<", ">=": "<=", "<": ">", "<=": ">=", "<>": "<>"}
 
 
 def _render_side(e, allowed_set, alias: str | None):
@@ -637,11 +637,25 @@ def _band_conjunct(jconj, jnode) -> tuple | None:
       ⇔  MAX(r_expr) per k  >  l_expr(a)
     (MIN for </<=; the same equivalence makes NOT EXISTS / anti sound).
     None when the shape doesn't hold — the plain semi/anti join serving
-    still applies."""
+    still applies.
+
+    ``<>`` (Catalyst: Not(EqualTo)) also qualifies — TPC-DS q16/q94's
+    exact EXISTS residual ('another row of the same group with a
+    DIFFERENT value'):
+        EXISTS(b: b.K = a.K AND r_expr(b) <> l_expr(a))
+          <=>  per-K MIN(r_expr) <> l_expr OR per-K MAX(r_expr) <> l_expr
+    (all non-null group values equal l_expr iff min = max = l_expr; an
+    all-NULL group aggregates to NULL, the comparison is NULL, no match
+    — exactly the raw rows' behavior, for semi and negated anti alike)."""
     cls = jconj.getClass().getSimpleName()
-    if cls not in _BAND_OPS:
+    if cls == "Not" and jconj.child().getClass().getSimpleName() == "EqualTo":
+        jconj = jconj.child()
+        cls = "NotEqualTo"
+        op = "<>"
+    elif cls in _BAND_OPS:
+        op = _BAND_OPS[cls]
+    else:
         return None
-    op = _BAND_OPS[cls]
     lset, rset = jnode.left().outputSet(), jnode.right().outputSet()
     a, b = jconj.left(), jconj.right()
     for r_operand, l_operand, o in ((a, b, op), (b, a, _BAND_FLIP[op])):

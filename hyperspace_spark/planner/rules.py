@@ -838,17 +838,35 @@ class BandExistsAggRule(JoinIndexRule):
         from hyperspace_spark.planner.expr import _quote_if_needed
 
         op, r_expr, l_expr, r_refs = node.band
-        agg_fn = "MAX" if op in (">", ">=") else "MIN"
         gkeys = list(dict.fromkeys(rkeys))
         gcols = [_quote_if_needed(k) for k in gkeys]
+        if op == "<>":
+            # 'another row with a DIFFERENT value' (the TPC-DS q16/q94
+            # residual): all non-null group values equal l_expr iff
+            # min = max = l_expr, so one min/max pair per key decides
+            # every row of the group.
+            aggs = gcols + [
+                f"MIN({r_expr}) AS __hs_band_min",
+                f"MAX({r_expr}) AS __hs_band_max",
+            ]
+            out_names = gkeys + ["__hs_band_min", "__hs_band_max"]
+            residual = (
+                f"((__hs_r.`__hs_band_min` <> {l_expr}) OR "
+                f"(__hs_r.`__hs_band_max` <> {l_expr}))"
+            )
+        else:
+            agg_fn = "MAX" if op in (">", ">=") else "MIN"
+            aggs = gcols + [f"{agg_fn}({r_expr}) AS __hs_band"]
+            out_names = gkeys + ["__hs_band"]
+            residual = f"(__hs_r.`__hs_band` {op} {l_expr})"
         new_node.right = ir.AggregateN(
             child=new_node.right,
             grouping=gcols,
-            aggs=gcols + [f"{agg_fn}({r_expr}) AS __hs_band"],
-            output=gkeys + ["__hs_band"],
+            aggs=aggs,
+            output=out_names,
             references=frozenset(gkeys) | r_refs,
         )
-        new_node.residual_sql = f"(__hs_r.`__hs_band` {op} {l_expr})"
+        new_node.residual_sql = residual
         new_node.band = None
         return Applied(
             new_node, 80.0 + 70.0 * coverage, [lwin.entry.name, rwin.entry.name]

@@ -84,6 +84,8 @@ ACCELERATED_QUERIES = [
     "exists_distinct_order_semijoin",
     # r12: NOT-EXISTS band -> per-key-aggregate anti join
     "not_exists_band_antijoin",
+    # r12: <>-band (the TPC-DS q16/q94 residual) -> per-key MIN/MAX pair
+    "exists_sibling_order_semijoin",
 ]
 
 
@@ -1073,6 +1075,45 @@ def not_exists_band_antijoin(spark, sf_dir):
         F.col("a.o_orderkey").alias("o_orderkey"),
         F.col("a.o_custkey").alias("o_custkey"),
         F.round(F.col("a.o_totalprice"), 2).alias("total"),
+    )
+    return ws.hs.apply(df)
+
+
+@q(
+    "exists_sibling_order_semijoin",
+    """
+    SELECT o_orderkey, o_custkey
+    FROM orders a
+    WHERE EXISTS (
+      SELECT 1 FROM orders b
+      WHERE a.o_custkey = b.o_custkey
+        AND b.o_orderkey <> a.o_orderkey
+    )
+    """,
+)
+def exists_sibling_order_semijoin(spark, sf_dir):
+    """The <>-band rewrite (r12): TPC-DS q16/q94's exact residual shape
+    ('another row of the same group with a DIFFERENT value' —
+    cs1.cs_warehouse_sk <> cs2.cs_warehouse_sk in the official texts,
+    reference src/test/resources/tpcds/queries/q16.sql:17-19) as a
+    single-conjunct EXISTS: orders of customers with MORE THAN ONE
+    order.  BandExistsAggRule serves it as a per-customer MIN/MAX pair
+    read Exchange-free from w_o_cov — all group values equal a's order
+    key iff min = max = it — instead of the raw plan's within-group
+    pair scan."""
+    from pyspark.sql import functions as F
+
+    ws = workspace(spark, sf_dir)
+    a = _t(spark, sf_dir, "orders").alias("a")
+    b = _t(spark, sf_dir, "orders").alias("b")
+    df = a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("b.o_orderkey") != F.col("a.o_orderkey")),
+        "left_semi",
+    ).select(
+        F.col("a.o_orderkey").alias("o_orderkey"),
+        F.col("a.o_custkey").alias("o_custkey"),
     )
     return ws.hs.apply(df)
 
@@ -5740,6 +5781,7 @@ _VERIFY_PRIORITY = [
     # --- new or plan-changed in r12 ---
     "exists_distinct_order_semijoin",
     "not_exists_band_antijoin",
+    "exists_sibling_order_semijoin",
     "exists_band_semijoin",
     # --- last green r10, oldest first; the cap falls inside this run ---
     "clean_corpus_census",

@@ -390,3 +390,58 @@ def test_band_declines_on_conjunct_pair_but_join_still_serves(spark, band_hs):
     plan = physical(fast)
     assert "__hs_band" not in plan, plan
     assert rows_equal(q, fast)
+
+
+def test_band_neq_exists_rewrites_to_min_max(spark, band_hs):
+    """r12 <>-band: EXISTS 'another order of the same customer' (the
+    TPC-DS q16/q94 residual shape) serves as a per-key MIN/MAX pair —
+    all non-null group values equal a's iff min = max = a's value."""
+    q = _band_sql(
+        spark,
+        """
+        SELECT o_orderkey, o_custkey FROM orders_band a
+        WHERE EXISTS (
+          SELECT 1 FROM orders_band b
+          WHERE a.o_custkey = b.o_custkey
+            AND b.o_orderkey <> a.o_orderkey
+        )
+        """,
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fast, used = band_hs._apply_with_info(q)
+        assert used == ["band_cov", "band_cov"], band_hs.why_not(q)
+        fast.collect()
+        plan = physical(fast).split("== Initial Plan ==")[0]
+        assert "__hs_band_min" in plan and "__hs_band_max" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert rows_equal(q, fast)
+        assert q.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_band_neq_not_exists_anti(spark, band_hs):
+    """NOT EXISTS <>: 'customers with exactly one order keep it' — the
+    anti side of the min/max rewrite, negated row-wise."""
+    q = _band_sql(
+        spark,
+        """
+        SELECT o_orderkey, o_custkey FROM orders_band a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders_band b
+          WHERE a.o_custkey = b.o_custkey
+            AND b.o_orderkey <> a.o_orderkey
+        )
+        """,
+    )
+    fast, used = band_hs._apply_with_info(q)
+    assert used == ["band_cov", "band_cov"], band_hs.why_not(q)
+    fast.collect()
+    plan = physical(fast)
+    assert "__hs_band_min" in plan and "LeftAnti" in plan, plan
+    assert rows_equal(q, fast)
+    # raw orders: some customers have a single order at this scale; if
+    # not, equality on an empty pair still proves nothing — require the
+    # two sides agree AND the anti kept strictly fewer rows than all.
+    assert fast.count() < table(spark, "orders").count()

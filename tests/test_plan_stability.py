@@ -43,6 +43,7 @@ SNAPSHOT_QUERIES = [
     "exists_band_semijoin",
     "exists_distinct_order_semijoin",
     "not_exists_band_antijoin",
+    "exists_sibling_order_semijoin",
 ]
 
 
