@@ -5799,8 +5799,8 @@ _VERIFY_PRIORITY = [
     "distinct_count_sketch",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
+    # --- r10-greens below here (position 51+) lead the r13 window ---
     "dataskipping_valuelist",
-    # --- r10-greens below here lead the r13 window ---
     "dataskipping_minmax",
     "dataskipping_inset",
     "opaque_union_accel",
