@@ -130,6 +130,17 @@ class JoinN(Node):
     # one comparison per key — the scale-safe plan for skewed keys.
     # Tuple: (op, right_expr_bare_sql, left_expr_qualified_sql, r_refs).
     band: tuple | None = None
+    # Fused parent Project (r12): when an inner self-join's output
+    # carries the SAME column name from both sides (TPC-DS q95's ws_wh
+    # CTE: ws1.ws_warehouse_sk wh1, ws2.ws_warehouse_sk wh2), name-based
+    # `SELECT *` replay is ambiguous and the subtree used to go opaque.
+    # If the plan has a Project DIRECTLY above that disambiguates by
+    # exprId-aliasing, the parser fuses it in: select_exprs are fully
+    # side-qualified (__hs_l/__hs_r) SELECT items replayed in place of
+    # `SELECT *`, select_output the resulting names.  The join's scans
+    # become visible to index rules again.
+    select_exprs: list[str] | None = None
+    select_output: list[str] | None = None
     # Inner-join self-key dedup (r7): when an equi key has the SAME name
     # on both sides (resolved by exprId, parser._equi_pair_by_exprid),
     # replaying `SELECT *` would expose the name twice and make every

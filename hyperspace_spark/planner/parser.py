@@ -270,6 +270,10 @@ def _parse(jnode) -> ir.Node:
         return _parse_relation(jnode)
 
     if cls == "Project":
+        if jnode.child().getClass().getSimpleName() == "Join":
+            fused = _try_fuse_project_join(jnode, jnode.child())
+            if fused is not None:
+                return fused
         exprs = [expr_sql(e) for e in scala_seq(jnode.projectList())]
         refs = frozenset().union(
             *[parse_expr(e).references for e in scala_seq(jnode.projectList())]
@@ -388,6 +392,18 @@ def _parse(jnode) -> ir.Node:
         return ir.UnionN(kids=[_parse_or_opaque(c) for c in scala_seq(jnode.children())])
 
     if cls == "Join":
+        return _parse_join(jnode)
+
+    raise UnsupportedPlan(cls)
+
+
+def _parse_join(jnode, allow_collision: bool = False) -> "ir.JoinN":
+    """The Join branch of _parse, extracted so the Project-fusion path
+    (_try_fuse_project_join) can parse a COLLIDING-output join without
+    the ambiguity bail: with ``allow_collision`` the duplicate-name
+    check is skipped — the caller must install select_exprs that
+    disambiguate every output column before the node is used."""
+    if True:
         left = _parse_or_opaque(jnode.left())
         right = _parse_or_opaque(jnode.right())
         jt = str(jnode.joinType().sql()).lower().replace(" ", "_")
@@ -471,7 +487,7 @@ def _parse(jnode) -> ir.Node:
             # aggregate (sound for anti too: a key-group match exists in
             # the MAX/MIN aggregate iff one exists in the raw rows).
             out.band = _band_conjunct(residual_jconjs[0], jnode)
-        if needs_unique_output:
+        if needs_unique_output and not allow_collision:
             # A side-qualified residual is only safe when the join's own
             # OUTPUT stays name-unambiguous — ancestors reference columns
             # by bare name (the q47 self-join, whose payload columns
@@ -480,8 +496,6 @@ def _parse(jnode) -> ir.Node:
             if len(set(names)) != len(names):
                 raise UnsupportedPlan("join:ambiguous-column-condition")
         return out
-
-    raise UnsupportedPlan(cls)
 
 
 def _names(node: ir.Node) -> list[str]:
@@ -498,7 +512,10 @@ def _names(node: ir.Node) -> list[str]:
     if isinstance(node, ir.JoinN):
         # Semi/anti joins expose ONLY the left side (Catalyst semantics
         # and the replayed SQL agree); a dedup'd inner self-join drops
-        # the right key copies.
+        # the right key copies; a fused parent Project defines the
+        # output outright.
+        if node.select_output is not None:
+            return list(node.select_output)
         if node.join_type in ("left_semi", "left_anti"):
             return _names(node.left)
         if node.right_keep is not None:
@@ -541,6 +558,12 @@ def _qualified_residual(jconj, jnode) -> str | None:
     None when the expression leaves the bounded grammar or an attribute
     resolves to neither/both sides (planner falls back loudly)."""
     lset, rset = jnode.left().outputSet(), jnode.right().outputSet()
+    return _render_qualified(jconj, lset, rset)
+
+
+def _render_qualified(jexpr, lset, rset) -> str | None:
+    """Side-qualified rendering over the bounded residual grammar,
+    shared by _qualified_residual and the Project-over-join fusion."""
 
     def render(e) -> str | None:
         cls = e.getClass().getSimpleName()
@@ -576,7 +599,49 @@ def _qualified_residual(jconj, jnode) -> str | None:
             return None if c is None else f"({c} IS NOT NULL)"
         return None
 
-    return render(jconj)
+    return render(jexpr)
+
+
+def _try_fuse_project_join(jproj, jjoin) -> "ir.JoinN | None":
+    """Project DIRECTLY above an inner join whose output carries the
+    same column name from both sides (TPC-DS q95's ws_wh CTE:
+    ``SELECT ws1.ws_order_number, ws1.ws_warehouse_sk wh1,
+    ws2.ws_warehouse_sk wh2 FROM web_sales ws1, web_sales ws2 ...``) —
+    name-based replay of the bare join is ambiguous, so the subtree
+    used to go opaque and its scans were invisible to every index rule.
+    The Project's own expressions are attributed by exprId, so when each
+    renders under the bounded grammar the Project FUSES into the join as
+    an explicit side-qualified SELECT list.  None = not applicable or
+    out of grammar (callers fall through to the old opaque path)."""
+    names = _out_names(jjoin)
+    if len({n.lower() for n in names}) == len(names):
+        return None  # no collision: the generic path replays fine
+    try:
+        join_node = _parse_join(jjoin, allow_collision=True)
+    except UnsupportedPlan:
+        return None
+    if join_node.join_type != "inner":
+        return None
+    lset, rset = jjoin.left().outputSet(), jjoin.right().outputSet()
+    sel: list[str] = []
+    out_names: list[str] = []
+    for je in scala_seq(jproj.projectList()):
+        jcls = je.getClass().getSimpleName()
+        body_expr = je.child() if jcls == "Alias" else je
+        if jcls not in ("Alias", "AttributeReference"):
+            return None
+        body = _render_qualified(body_expr, lset, rset)
+        if body is None:
+            return None
+        name = str(je.name())
+        sel.append(f"{body} AS {_quote_if_needed(name)}")
+        out_names.append(name)
+    if len({n.lower() for n in out_names}) != len(out_names):
+        return None  # the project output itself is ambiguous
+    join_node.select_exprs = sel
+    join_node.select_output = out_names
+    join_node.right_keep = None
+    return join_node
 
 
 _BAND_OPS = {

@@ -250,11 +250,14 @@ def test_union_under_agg(spark):
 
 
 def test_opaque_subtree_roundtrip(spark):
-    """r7: a subtree the parser cannot model (here a NON-equi self-
-    comparison on a shared column name, which has no unambiguous
-    name-based replay) degrades to an OpaqueN leaf replayed verbatim —
-    the query round-trips instead of raising, and scans OUTSIDE the
-    opaque corner stay visible to the rules."""
+    """r7: a subtree the parser cannot model degrades to an OpaqueN leaf
+    replayed verbatim — the query round-trips instead of raising, and
+    scans OUTSIDE the opaque corner stay visible to the rules.  r12
+    note: the original example (a plain-attribute Project over a
+    colliding self-join) now FUSES and parses fully, so this pins the
+    still-opaque case — a projected expression OUTSIDE the bounded
+    fusion grammar (greatest(), chosen because a.p_partkey = b.p_partkey
+    makes it semantically the key itself)."""
     li = table(spark, "lineitem")
     pa = table(spark, "part")
     li.createOrReplaceTempView("rt_lineitem")
@@ -263,7 +266,8 @@ def test_opaque_subtree_roundtrip(spark):
         """
         SELECT l_orderkey, l_extendedprice
         FROM rt_lineitem
-        WHERE l_partkey IN (SELECT a.p_partkey FROM rt_part a JOIN rt_part b
+        WHERE l_partkey IN (SELECT greatest(a.p_partkey, b.p_partkey)
+                            FROM rt_part a JOIN rt_part b
                             ON a.p_partkey = b.p_partkey AND a.p_size < b.p_size)
           AND l_quantity > 30
         """
@@ -276,6 +280,35 @@ def test_opaque_subtree_roundtrip(spark):
         isinstance(n, ir.Scan) and any("lineitem" in p for p in n.root_paths)
         for n in _walk(node)
     )
+
+
+def test_project_over_colliding_join_fuses(spark):
+    """r12: the q95 ws_wh CTE shape — a Project aliasing SAME-NAMED
+    columns from both sides of an inner self-join — fuses into the
+    JoinN as a side-qualified SELECT list instead of going opaque, so
+    the scans underneath stay visible to index rules."""
+    pa = table(spark, "part")
+    pa.createOrReplaceTempView("rtf_part")
+    df = spark.sql(
+        """
+        SELECT l_orderkey, l_extendedprice
+        FROM rt_lineitem
+        WHERE l_partkey IN (SELECT a.p_partkey FROM rtf_part a JOIN rtf_part b
+                            ON a.p_partkey = b.p_partkey AND a.p_size < b.p_size)
+          AND l_quantity > 30
+        """
+    )
+    node = roundtrip(spark, df)
+    kinds = {type(n).__name__ for n in _walk(node)}
+    assert "OpaqueN" not in kinds, kinds
+    fused = [
+        n
+        for n in _walk(node)
+        if isinstance(n, ir.JoinN) and n.select_exprs is not None
+    ]
+    assert fused and all("__hs_" in e for f in fused for e in f.select_exprs)
+    # every scan visible (two part sides + lineitem)
+    assert sum(isinstance(n, ir.Scan) for n in _walk(node)) == 3
 
 
 def test_in_subquery_selfjoin_now_fully_modeled(spark):
