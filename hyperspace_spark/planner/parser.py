@@ -616,6 +616,10 @@ def _try_fuse_project_join(jproj, jjoin) -> "ir.JoinN | None":
     names = _out_names(jjoin)
     if len({n.lower() for n in names}) == len(names):
         return None  # no collision: the generic path replays fine
+    if not list(scala_seq(jproj.projectList())):
+        # an EMPTY pruning Project (count(*) over the join) would fuse
+        # to `SELECT FROM ...` — not a statement; keep the opaque path
+        return None
     try:
         join_node = _parse_join(jjoin, allow_collision=True)
     except UnsupportedPlan:

@@ -1243,6 +1243,18 @@ def tpcds(spark, tmp_path_factory):
             num_buckets=4,
         ),
     )
+    # q95's ws_wh CTE: the same-named-output self-join on ws_order_number
+    # is VISIBLE since the r12 Project fusion — this pair makes it
+    # Exchange-free (both CTE sides read the same bucketed index).
+    hs.create_index(
+        rd("web_sales"),
+        CoveringIndexConfig(
+            "tpcds_ws_onum_cov",
+            ["ws_order_number"],
+            ["ws_warehouse_sk"],
+            num_buckets=4,
+        ),
+    )
     return hs, paths
 
 
@@ -1439,8 +1451,12 @@ def test_tpcds_exists_shipping_plan_stability(spark, tpcds, qname, sql):
 
 def test_tpcds_q95_plan_stability(spark, tpcds):
     """q95's ws_wh CTE is a full self-join of web_sales whose output
-    carries the SAME-NAMED warehouse column from both sides — the IN
-    subqueries then semi-join against it twice."""
+    carries the SAME-NAMED warehouse column from both sides (wh1/wh2
+    aliased by the CTE's projection) — the IN subqueries then semi-join
+    against it twice.  r12: the Project-over-colliding-join fusion
+    models the CTE instead of going opaque, and every instantiation's
+    self-join rides tpcds_ws_onum_cov (the golden pins SIX applied
+    index instances: 4 CTE sides + the outer ship-date pair)."""
     hs, _ = tpcds
     _check_plan_stability(spark, hs, "q95", TPCDS_Q95, expect_indexes=True)
 
