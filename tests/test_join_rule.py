@@ -445,3 +445,30 @@ def test_band_neq_not_exists_anti(spark, band_hs):
     # not, equality on an empty pair still proves nothing — require the
     # two sides agree AND the anti kept strictly fewer rows than all.
     assert fast.count() < table(spark, "orders").count()
+
+
+def test_fused_colliding_selfjoin_rides_pair_exchange_free(spark, band_hs):
+    """r12 fusion + JoinIndexRule: the q95 ws_wh CTE shape — a Project
+    aliasing the SAME column from both sides of an inner self-join —
+    parses via fusion AND rides the co-bucketed pair: both sides read
+    band_cov and the SMJ runs Exchange-free."""
+    q = _band_sql(
+        spark,
+        """
+        SELECT a.o_custkey AS ck, a.o_totalprice AS p1, b.o_totalprice AS p2
+        FROM orders_band a JOIN orders_band b
+          ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+        """,
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fast, used = band_hs._apply_with_info(q)
+        assert used == ["band_cov", "band_cov"], band_hs.why_not(q)
+        fast.collect()
+        plan = physical(fast).split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert rows_equal(q, fast)
+        assert q.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")

@@ -293,3 +293,60 @@ def test_apply_matches_raw_on_semi_anti_band_joins(
     raw = sorted(map(key, df.collect()))
     got = sorted(map(key, out.collect()))
     assert got == raw, (jt, residual, pred, filt, used, len(raw), len(got))
+
+
+def _fuse_proj() -> st.SearchStrategy:
+    """Random side-attributed projection lists over a colliding inner
+    self-join — the r12 Project-fusion surface.  Both sides expose the
+    same column names, so every projected expression must attribute by
+    exprId; the apply-vs-raw oracle catches any mis-attribution."""
+    atom = st.sampled_from(
+        [
+            "a.o_totalprice",
+            "b.o_totalprice",
+            "a.o_orderkey",
+            "b.o_orderkey",
+            "(a.o_totalprice + b.o_totalprice)",
+            "(b.o_totalprice - a.o_totalprice)",
+            "(a.o_totalprice * 2)",
+            "CAST(b.o_orderkey AS DOUBLE)",
+        ]
+    )
+    return st.lists(atom, min_size=1, max_size=4)
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    projs=_fuse_proj(),
+    residual=st.sampled_from(
+        [
+            "a.o_orderkey <> b.o_orderkey",
+            "b.o_totalprice > a.o_totalprice",
+            "a.o_orderkey < b.o_orderkey",
+        ]
+    ),
+    pred=_expr(1),
+)
+def test_apply_matches_raw_on_fused_projections(spark, fuzz_env, projs, residual, pred):
+    """Fusion fuzz (r12): a Project of random both-side expressions over
+    a colliding inner self-join must stay row-exact under apply() —
+    whichever of {fusion + pair serving, fusion alone, opaque fallback}
+    the planner lands on."""
+    hs, src = fuzz_env
+    o = spark.read.parquet(src)
+    a = o.filter(pred).alias("a")
+    b = o.alias("b")
+    cond = (F.col("a.o_custkey") == F.col("b.o_custkey")) & F.expr(residual)
+    df = a.join(b, cond, "inner").select(
+        *[F.expr(p).alias(f"c{i}") for i, p in enumerate(projs)]
+    )
+    out, used = hs._apply_with_info(df)
+    key = lambda r: tuple((x is None, x) for x in r)
+    raw = sorted(map(key, df.collect()))
+    got = sorted(map(key, out.collect()))
+    assert got == raw, (projs, residual, pred, used, len(raw), len(got))
