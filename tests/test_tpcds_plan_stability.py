@@ -786,6 +786,128 @@ LIMIT 100
 """
 
 
+# Official texts (reference: src/test/resources/tpcds/queries/q{12,20}.sql)
+# — the web/catalog twins of q98's windowed item-revenue star.
+TPCDS_Q12 = """
+SELECT
+  i_item_desc,
+  i_category,
+  i_class,
+  i_current_price,
+  sum(ws_ext_sales_price) AS itemrevenue,
+  sum(ws_ext_sales_price) * 100 / sum(sum(ws_ext_sales_price))
+  OVER
+  (PARTITION BY i_class) AS revenueratio
+FROM
+  web_sales, item, date_dim
+WHERE
+  ws_item_sk = i_item_sk
+    AND i_category IN ('Sports', 'Books', 'Home')
+    AND ws_sold_date_sk = d_date_sk
+    AND d_date BETWEEN cast('1999-02-22' AS DATE)
+  AND (cast('1999-02-22' AS DATE) + INTERVAL 30 days)
+GROUP BY
+  i_item_id, i_item_desc, i_category, i_class, i_current_price
+ORDER BY
+  i_category, i_class, i_item_id, i_item_desc, revenueratio
+LIMIT 100
+"""
+
+TPCDS_Q20 = """
+SELECT
+  i_item_desc,
+  i_category,
+  i_class,
+  i_current_price,
+  sum(cs_ext_sales_price) AS itemrevenue,
+  sum(cs_ext_sales_price) * 100 / sum(sum(cs_ext_sales_price))
+  OVER
+  (PARTITION BY i_class) AS revenueratio
+FROM catalog_sales, item, date_dim
+WHERE cs_item_sk = i_item_sk
+  AND i_category IN ('Sports', 'Books', 'Home')
+  AND cs_sold_date_sk = d_date_sk
+  AND d_date BETWEEN cast('1999-02-22' AS DATE)
+AND (cast('1999-02-22' AS DATE) + INTERVAL 30 days)
+GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price
+ORDER BY i_category, i_class, i_item_id, i_item_desc, revenueratio
+LIMIT 100
+"""
+
+# Official texts (reference: src/test/resources/tpcds/queries/q{36,70}.sql)
+# — grouping()-arithmetic rank windows over ROLLUPs (the GroupingSetsN +
+# gid-derivation surface under a Window).
+TPCDS_Q36 = """
+SELECT
+  sum(ss_net_profit) / sum(ss_ext_sales_price) AS gross_margin,
+  i_category,
+  i_class,
+  grouping(i_category) + grouping(i_class) AS lochierarchy,
+  rank()
+  OVER (
+    PARTITION BY grouping(i_category) + grouping(i_class),
+      CASE WHEN grouping(i_class) = 0
+        THEN i_category END
+    ORDER BY sum(ss_net_profit) / sum(ss_ext_sales_price) ASC) AS rank_within_parent
+FROM
+  store_sales, date_dim d1, item, store
+WHERE
+  d1.d_year = 2001
+    AND d1.d_date_sk = ss_sold_date_sk
+    AND i_item_sk = ss_item_sk
+    AND s_store_sk = ss_store_sk
+    AND s_state IN ('TN', 'TN', 'TN', 'TN', 'TN', 'TN', 'TN', 'TN')
+GROUP BY ROLLUP (i_category, i_class)
+ORDER BY
+  lochierarchy DESC
+  , CASE WHEN lochierarchy = 0
+  THEN i_category END
+  , rank_within_parent
+LIMIT 100
+"""
+
+TPCDS_Q70 = """
+SELECT
+  sum(ss_net_profit) AS total_sum,
+  s_state,
+  s_county,
+  grouping(s_state) + grouping(s_county) AS lochierarchy,
+  rank()
+  OVER (
+    PARTITION BY grouping(s_state) + grouping(s_county),
+      CASE WHEN grouping(s_county) = 0
+        THEN s_state END
+    ORDER BY sum(ss_net_profit) DESC) AS rank_within_parent
+FROM
+  store_sales, date_dim d1, store
+WHERE
+  d1.d_month_seq BETWEEN 1200 AND 1200 + 11
+    AND d1.d_date_sk = ss_sold_date_sk
+    AND s_store_sk = ss_store_sk
+    AND s_state IN
+    (SELECT s_state
+    FROM
+      (SELECT
+        s_state AS s_state,
+        rank()
+        OVER (PARTITION BY s_state
+          ORDER BY sum(ss_net_profit) DESC) AS ranking
+      FROM store_sales, store, date_dim
+      WHERE d_month_seq BETWEEN 1200 AND 1200 + 11
+        AND d_date_sk = ss_sold_date_sk
+        AND s_store_sk = ss_store_sk
+      GROUP BY s_state) tmp1
+    WHERE ranking <= 5)
+GROUP BY ROLLUP (s_state, s_county)
+ORDER BY
+  lochierarchy DESC
+  , CASE WHEN lochierarchy = 0
+  THEN s_state END
+  , rank_within_parent
+LIMIT 100
+"""
+
+
 def _pick(idx_col, values: list[str]):
     """CASE chain mapping an integer column 0..len-1 onto literal values."""
     c = F.when(idx_col == 0, values[0])
@@ -1469,5 +1591,24 @@ def test_tpcds_windowed_rank_plan_stability(spark, tpcds, qname, sql):
     avg() OVER (PARTITION BY ...) above the grouped star must accelerate
     through the ss/dd covering pair instead of pinning a verbatim
     fallback (VERDICT r11 item 7)."""
+    hs, _ = tpcds
+    _check_plan_stability(spark, hs, qname, sql, expect_indexes=True)
+
+
+@pytest.mark.parametrize("qname,sql", [("q12", TPCDS_Q12), ("q20", TPCDS_Q20)])
+def test_tpcds_channel_revenue_ratio_plan_stability(spark, tpcds, qname, sql):
+    """q98's web/catalog twins: the windowed item-revenue star must
+    accelerate through each channel's sold-date covering pair — channel
+    symmetry of the planner on the window-over-aggregate shape."""
+    hs, _ = tpcds
+    _check_plan_stability(spark, hs, qname, sql, expect_indexes=True)
+
+
+@pytest.mark.parametrize("qname,sql", [("q36", TPCDS_Q36), ("q70", TPCDS_Q70)])
+def test_tpcds_grouping_rank_plan_stability(spark, tpcds, qname, sql):
+    """grouping()-arithmetic rank windows over ROLLUPs: the gid-derived
+    partition expressions sit ABOVE the GroupingSetsN aggregate, which
+    sits above the accelerated date join (q70 adds a windowed-rank
+    IN-subquery over the same star)."""
     hs, _ = tpcds
     _check_plan_stability(spark, hs, qname, sql, expect_indexes=True)
