@@ -908,6 +908,110 @@ LIMIT 100
 """
 
 
+# Official texts (reference: src/test/resources/tpcds/queries/q{97,38,43}.sql).
+TPCDS_Q97 = """
+WITH ssci AS (
+  SELECT
+    ss_customer_sk customer_sk,
+    ss_item_sk item_sk
+  FROM store_sales, date_dim
+  WHERE ss_sold_date_sk = d_date_sk
+    AND d_month_seq BETWEEN 1200 AND 1200 + 11
+  GROUP BY ss_customer_sk, ss_item_sk),
+    csci AS (
+    SELECT
+      cs_bill_customer_sk customer_sk,
+      cs_item_sk item_sk
+    FROM catalog_sales, date_dim
+    WHERE cs_sold_date_sk = d_date_sk
+      AND d_month_seq BETWEEN 1200 AND 1200 + 11
+    GROUP BY cs_bill_customer_sk, cs_item_sk)
+SELECT
+  sum(CASE WHEN ssci.customer_sk IS NOT NULL AND csci.customer_sk IS NULL
+    THEN 1
+      ELSE 0 END) store_only,
+  sum(CASE WHEN ssci.customer_sk IS NULL AND csci.customer_sk IS NOT NULL
+    THEN 1
+      ELSE 0 END) catalog_only,
+  sum(CASE WHEN ssci.customer_sk IS NOT NULL AND csci.customer_sk IS NOT NULL
+    THEN 1
+      ELSE 0 END) store_and_catalog
+FROM ssci
+  FULL OUTER JOIN csci ON (ssci.customer_sk = csci.customer_sk
+    AND ssci.item_sk = csci.item_sk)
+LIMIT 100
+"""
+
+TPCDS_Q38 = """
+SELECT count(*)
+FROM (
+       SELECT DISTINCT
+         c_last_name,
+         c_first_name,
+         d_date
+       FROM store_sales, date_dim, customer
+       WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+         AND store_sales.ss_customer_sk = customer.c_customer_sk
+         AND d_month_seq BETWEEN 1200 AND 1200 + 11
+       INTERSECT
+       SELECT DISTINCT
+         c_last_name,
+         c_first_name,
+         d_date
+       FROM catalog_sales, date_dim, customer
+       WHERE catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+         AND catalog_sales.cs_bill_customer_sk = customer.c_customer_sk
+         AND d_month_seq BETWEEN 1200 AND 1200 + 11
+       INTERSECT
+       SELECT DISTINCT
+         c_last_name,
+         c_first_name,
+         d_date
+       FROM web_sales, date_dim, customer
+       WHERE web_sales.ws_sold_date_sk = date_dim.d_date_sk
+         AND web_sales.ws_bill_customer_sk = customer.c_customer_sk
+         AND d_month_seq BETWEEN 1200 AND 1200 + 11
+     ) hot_cust
+LIMIT 100
+"""
+
+TPCDS_Q43 = """
+SELECT
+  s_store_name,
+  s_store_id,
+  sum(CASE WHEN (d_day_name = 'Sunday')
+    THEN ss_sales_price
+      ELSE NULL END) sun_sales,
+  sum(CASE WHEN (d_day_name = 'Monday')
+    THEN ss_sales_price
+      ELSE NULL END) mon_sales,
+  sum(CASE WHEN (d_day_name = 'Tuesday')
+    THEN ss_sales_price
+      ELSE NULL END) tue_sales,
+  sum(CASE WHEN (d_day_name = 'Wednesday')
+    THEN ss_sales_price
+      ELSE NULL END) wed_sales,
+  sum(CASE WHEN (d_day_name = 'Thursday')
+    THEN ss_sales_price
+      ELSE NULL END) thu_sales,
+  sum(CASE WHEN (d_day_name = 'Friday')
+    THEN ss_sales_price
+      ELSE NULL END) fri_sales,
+  sum(CASE WHEN (d_day_name = 'Saturday')
+    THEN ss_sales_price
+      ELSE NULL END) sat_sales
+FROM date_dim, store_sales, store
+WHERE d_date_sk = ss_sold_date_sk AND
+  s_store_sk = ss_store_sk AND
+  s_gmt_offset = -5 AND
+  d_year = 2000
+GROUP BY s_store_name, s_store_id
+ORDER BY s_store_name, s_store_id, sun_sales, mon_sales, tue_sales, wed_sales,
+  thu_sales, fri_sales, sat_sales
+LIMIT 100
+"""
+
+
 def _pick(idx_col, values: list[str]):
     """CASE chain mapping an integer column 0..len-1 onto literal values."""
     c = F.when(idx_col == 0, values[0])
@@ -923,7 +1027,10 @@ def _sales(spark, prefix: str, n: int, salt: int):
     store_sales additionally lands rows in 2000-01 (q6's scalar month),
     2001-06 (q13/q48's d_year and q67's d_month_seq range), and 2002-01
     (q27's d_year)."""
-    windows = [125 + salt, 676 + salt, 1041 + salt]  # 1998-05, 1999-11, 2000-11
+    # 1998-05, 1999-11, 2000-11 + 2001-06 (the cs/ws rows q38/q97's
+    # official d_month_seq 1200..1211 range needs; ss gets 2001 windows
+    # from its own extension list below)
+    windows = [125 + salt, 676 + salt, 1041 + salt, 1251 + salt]
     if prefix == "ss":
         # 2000-01, 2001-06, 2002-01, 1998-12, 1999-03, 2001-09 — 342/428
         # give q47 a four-month qualifying rank sequence (1998-12,
@@ -976,6 +1083,7 @@ def _sales(spark, prefix: str, n: int, salt: int):
             # warehouse key is CONSTANT within an order (id%3000 strides
             # by 3000, floor(id/3000) differs) so the <>-EXISTS is
             # non-trivially selective.
+            (F.col("id") % 97).alias("cs_bill_customer_sk"),
             (F.lit(1746) + (F.col("id") % 80)).alias("cs_ship_date_sk"),
             (F.col("id") % 100).alias("cs_ship_addr_sk"),
             (F.col("id") % 4).alias("cs_call_center_sk"),
@@ -986,6 +1094,7 @@ def _sales(spark, prefix: str, n: int, salt: int):
         ]
     if prefix == "ws":  # q94/q95 shipping star ('1999-02-01' = sk 650)
         cols += [
+            (F.col("id") % 97).alias("ws_bill_customer_sk"),
             (F.lit(650) + (F.col("id") % 80)).alias("ws_ship_date_sk"),
             (F.col("id") % 100).alias("ws_ship_addr_sk"),
             (F.col("id") % 4).alias("ws_web_site_sk"),
@@ -1068,6 +1177,13 @@ def tpcds(spark, tmp_path_factory):
         (F.lit(1164) + (d_year - 1998) * 12 + (d_moy - 1)).cast("int").alias(
             "d_month_seq"
         ),
+        # q43's weekday pivot: a pure sk%7 cycle (the synthetic calendar
+        # has no real weekdays; every name occurs in every window)
+        _pick(
+            F.col("id") % 7,
+            ["Sunday", "Monday", "Tuesday", "Wednesday", "Thursday",
+             "Friday", "Saturday"],
+        ).alias("d_day_name"),
     )
     st = spark.range(7).select(
         F.col("id").alias("s_store_sk"),
@@ -1087,6 +1203,7 @@ def tpcds(spark, tmp_path_factory):
         F.when(F.col("id") % 2 == 0, "Unknown").otherwise("ConglomCo").alias(
             "s_company_name"
         ),
+        F.when(F.col("id") % 2 == 0, -5).otherwise(-6).alias("s_gmt_offset"),
     )
     cu = spark.range(97).select(
         F.col("id").alias("c_customer_sk"),
@@ -1324,6 +1441,7 @@ def tpcds(spark, tmp_path_factory):
                 "cs_item_sk", "cs_ext_sales_price", "cs_bill_addr_sk",
                 "cs_bill_cdemo_sk", "cs_promo_sk", "cs_quantity",
                 "cs_list_price", "cs_coupon_amt", "cs_sales_price",
+                "cs_bill_customer_sk",
             ],
             num_buckets=4,
         ),
@@ -1333,7 +1451,8 @@ def tpcds(spark, tmp_path_factory):
         CoveringIndexConfig(
             "tpcds_ws_cov",
             ["ws_sold_date_sk"],
-            ["ws_item_sk", "ws_ext_sales_price", "ws_bill_addr_sk"],
+            ["ws_item_sk", "ws_ext_sales_price", "ws_bill_addr_sk",
+             "ws_bill_customer_sk"],
             num_buckets=4,
         ),
     )
@@ -1612,3 +1731,34 @@ def test_tpcds_grouping_rank_plan_stability(spark, tpcds, qname, sql):
     IN-subquery over the same star)."""
     hs, _ = tpcds
     _check_plan_stability(spark, hs, qname, sql, expect_indexes=True)
+
+
+def test_tpcds_q97_plan_stability(spark, tpcds):
+    """FULL OUTER join of two aggregated channel CTEs on SAME-NAMED
+    keys (both sides expose customer_sk/item_sk).
+
+    DOCUMENTED DIVERGENCE (the q47 class): a full-outer join cannot
+    drop either key copy (they differ where unmatched), the pruning
+    Project above keeps BOTH under the same name (Catalyst
+    disambiguates by exprId only), and the r12 fusion declines when its
+    own output would stay ambiguous — so the whole query replays
+    verbatim and no index applies.  The golden pins the safe fallback;
+    rows_equal is the oracle against any future mis-attribution."""
+    hs, _ = tpcds
+    _check_plan_stability(spark, hs, "q97", TPCDS_Q97, expect_indexes=False)
+
+
+def test_tpcds_q38_plan_stability(spark, tpcds):
+    """INTERSECT of three channel stars (hot customers in ALL channels):
+    set-op replay above three accelerated date joins; the cs/ws 2001
+    window keeps the three-way intersection non-empty."""
+    hs, _ = tpcds
+    _check_plan_stability(spark, hs, "q38", TPCDS_Q38, expect_indexes=True)
+
+
+def test_tpcds_q43_plan_stability(spark, tpcds):
+    """Weekday CASE pivot over the store star (d_day_name, s_gmt_offset
+    fixture columns): the ss/dd pair serves the date join under the
+    7-way conditional aggregation."""
+    hs, _ = tpcds
+    _check_plan_stability(spark, hs, "q43", TPCDS_Q43, expect_indexes=True)
