@@ -1012,6 +1012,162 @@ LIMIT 100
 """
 
 
+# Official texts (reference: src/test/resources/tpcds/queries/q{87,32,92,86,28}.sql).
+TPCDS_Q87 = """
+SELECT count(*)
+FROM ((SELECT DISTINCT
+  c_last_name,
+  c_first_name,
+  d_date
+FROM store_sales, date_dim, customer
+WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+  AND store_sales.ss_customer_sk = customer.c_customer_sk
+  AND d_month_seq BETWEEN 1200 AND 1200 + 11)
+      EXCEPT
+      (SELECT DISTINCT
+        c_last_name,
+        c_first_name,
+        d_date
+      FROM catalog_sales, date_dim, customer
+      WHERE catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+        AND catalog_sales.cs_bill_customer_sk = customer.c_customer_sk
+        AND d_month_seq BETWEEN 1200 AND 1200 + 11)
+      EXCEPT
+      (SELECT DISTINCT
+        c_last_name,
+        c_first_name,
+        d_date
+      FROM web_sales, date_dim, customer
+      WHERE web_sales.ws_sold_date_sk = date_dim.d_date_sk
+        AND web_sales.ws_bill_customer_sk = customer.c_customer_sk
+        AND d_month_seq BETWEEN 1200 AND 1200 + 11)
+     ) cool_cust
+"""
+
+TPCDS_Q32 = """
+SELECT 1 AS `excess discount amount `
+FROM
+  catalog_sales, item, date_dim
+WHERE
+  i_manufact_id = 977
+    AND i_item_sk = cs_item_sk
+    AND d_date BETWEEN '2000-01-27' AND (cast('2000-01-27' AS DATE) + interval 90 days)
+    AND d_date_sk = cs_sold_date_sk
+    AND cs_ext_discount_amt > (
+    SELECT 1.3 * avg(cs_ext_discount_amt)
+    FROM catalog_sales, date_dim
+    WHERE cs_item_sk = i_item_sk
+      AND d_date BETWEEN '2000-01-27' AND (cast('2000-01-27' AS DATE) + interval 90 days)
+      AND d_date_sk = cs_sold_date_sk)
+LIMIT 100
+"""
+
+TPCDS_Q92 = """
+SELECT sum(ws_ext_discount_amt) AS `Excess Discount Amount `
+FROM web_sales, item, date_dim
+WHERE i_manufact_id = 350
+  AND i_item_sk = ws_item_sk
+  AND d_date BETWEEN '2000-01-27' AND (cast('2000-01-27' AS DATE) + INTERVAL 90 days)
+  AND d_date_sk = ws_sold_date_sk
+  AND ws_ext_discount_amt >
+  (
+    SELECT 1.3 * avg(ws_ext_discount_amt)
+    FROM web_sales, date_dim
+    WHERE ws_item_sk = i_item_sk
+      AND d_date BETWEEN '2000-01-27' AND (cast('2000-01-27' AS DATE) + INTERVAL 90 days)
+      AND d_date_sk = ws_sold_date_sk
+  )
+ORDER BY sum(ws_ext_discount_amt)
+LIMIT 100
+"""
+
+TPCDS_Q86 = """
+SELECT
+  sum(ws_net_paid) AS total_sum,
+  i_category,
+  i_class,
+  grouping(i_category) + grouping(i_class) AS lochierarchy,
+  rank()
+  OVER (
+    PARTITION BY grouping(i_category) + grouping(i_class),
+      CASE WHEN grouping(i_class) = 0
+        THEN i_category END
+    ORDER BY sum(ws_net_paid) DESC) AS rank_within_parent
+FROM
+  web_sales, date_dim d1, item
+WHERE
+  d1.d_month_seq BETWEEN 1200 AND 1200 + 11
+    AND d1.d_date_sk = ws_sold_date_sk
+    AND i_item_sk = ws_item_sk
+GROUP BY ROLLUP (i_category, i_class)
+ORDER BY
+  lochierarchy DESC,
+  CASE WHEN lochierarchy = 0
+    THEN i_category END,
+  rank_within_parent
+LIMIT 100
+"""
+
+TPCDS_Q28 = """
+SELECT *
+FROM (SELECT
+  avg(ss_list_price) B1_LP,
+  count(ss_list_price) B1_CNT,
+  count(DISTINCT ss_list_price) B1_CNTD
+FROM store_sales
+WHERE ss_quantity BETWEEN 0 AND 5
+  AND (ss_list_price BETWEEN 8 AND 8 + 10
+  OR ss_coupon_amt BETWEEN 459 AND 459 + 1000
+  OR ss_wholesale_cost BETWEEN 57 AND 57 + 20)) B1,
+  (SELECT
+    avg(ss_list_price) B2_LP,
+    count(ss_list_price) B2_CNT,
+    count(DISTINCT ss_list_price) B2_CNTD
+  FROM store_sales
+  WHERE ss_quantity BETWEEN 6 AND 10
+    AND (ss_list_price BETWEEN 90 AND 90 + 10
+    OR ss_coupon_amt BETWEEN 2323 AND 2323 + 1000
+    OR ss_wholesale_cost BETWEEN 31 AND 31 + 20)) B2,
+  (SELECT
+    avg(ss_list_price) B3_LP,
+    count(ss_list_price) B3_CNT,
+    count(DISTINCT ss_list_price) B3_CNTD
+  FROM store_sales
+  WHERE ss_quantity BETWEEN 11 AND 15
+    AND (ss_list_price BETWEEN 142 AND 142 + 10
+    OR ss_coupon_amt BETWEEN 12214 AND 12214 + 1000
+    OR ss_wholesale_cost BETWEEN 79 AND 79 + 20)) B3,
+  (SELECT
+    avg(ss_list_price) B4_LP,
+    count(ss_list_price) B4_CNT,
+    count(DISTINCT ss_list_price) B4_CNTD
+  FROM store_sales
+  WHERE ss_quantity BETWEEN 16 AND 20
+    AND (ss_list_price BETWEEN 135 AND 135 + 10
+    OR ss_coupon_amt BETWEEN 6071 AND 6071 + 1000
+    OR ss_wholesale_cost BETWEEN 38 AND 38 + 20)) B4,
+  (SELECT
+    avg(ss_list_price) B5_LP,
+    count(ss_list_price) B5_CNT,
+    count(DISTINCT ss_list_price) B5_CNTD
+  FROM store_sales
+  WHERE ss_quantity BETWEEN 21 AND 25
+    AND (ss_list_price BETWEEN 122 AND 122 + 10
+    OR ss_coupon_amt BETWEEN 836 AND 836 + 1000
+    OR ss_wholesale_cost BETWEEN 17 AND 17 + 20)) B5,
+  (SELECT
+    avg(ss_list_price) B6_LP,
+    count(ss_list_price) B6_CNT,
+    count(DISTINCT ss_list_price) B6_CNTD
+  FROM store_sales
+  WHERE ss_quantity BETWEEN 26 AND 30
+    AND (ss_list_price BETWEEN 154 AND 154 + 10
+    OR ss_coupon_amt BETWEEN 7326 AND 7326 + 1000
+    OR ss_wholesale_cost BETWEEN 7 AND 7 + 20)) B6
+LIMIT 100
+"""
+
+
 def _pick(idx_col, values: list[str]):
     """CASE chain mapping an integer column 0..len-1 onto literal values."""
     c = F.when(idx_col == 0, values[0])
@@ -1084,6 +1240,7 @@ def _sales(spark, prefix: str, n: int, salt: int):
             # by 3000, floor(id/3000) differs) so the <>-EXISTS is
             # non-trivially selective.
             (F.col("id") % 97).alias("cs_bill_customer_sk"),
+            (((F.col("id") * 9 + 1) % 331) / 4.0).alias("cs_ext_discount_amt"),
             (F.lit(1746) + (F.col("id") % 80)).alias("cs_ship_date_sk"),
             (F.col("id") % 100).alias("cs_ship_addr_sk"),
             (F.col("id") % 4).alias("cs_call_center_sk"),
@@ -1095,6 +1252,8 @@ def _sales(spark, prefix: str, n: int, salt: int):
     if prefix == "ws":  # q94/q95 shipping star ('1999-02-01' = sk 650)
         cols += [
             (F.col("id") % 97).alias("ws_bill_customer_sk"),
+            (((F.col("id") * 9 + 5) % 331) / 4.0).alias("ws_ext_discount_amt"),
+            (((F.col("id") * 13 + 7) % 997) / 3.0).alias("ws_net_paid"),
             (F.lit(650) + (F.col("id") % 80)).alias("ws_ship_date_sk"),
             (F.col("id") % 100).alias("ws_ship_addr_sk"),
             (F.col("id") % 4).alias("ws_web_site_sk"),
@@ -1123,6 +1282,7 @@ def _sales(spark, prefix: str, n: int, salt: int):
             (F.col("id") % 30).alias("ss_hdemo_sk"),
             (50.0 + ((F.col("id") * 11 + 5) % 250)).alias("ss_net_profit"),
             (((F.col("id") * 13 + 3) % 701) / 2.0).alias("ss_ext_wholesale_cost"),
+            (((F.col("id") * 7 + 17) % 199) / 2.0).alias("ss_wholesale_cost"),
             (F.col("id") % 97).alias("ss_customer_sk"),
             (F.col("id") % 5000).alias("ss_ticket_number"),
             # q96: time-of-day key, coprime stride covers every t_time_sk
@@ -1244,7 +1404,12 @@ def tpcds(spark, tmp_path_factory):
         .when(F.col("id") % 10 == 3, "Home")
         .otherwise("Other")
         .alias("i_category"),
-        (F.col("id") % 200).alias("i_manufact_id"),
+        # items 77/150 carry q32/q92's official manufact literals (977 and
+        # 350 are beyond the id%200 range); everything else keeps the cycle
+        F.when(F.col("id") == 77, 977)
+        .when(F.col("id") == 150, 350)
+        .otherwise(F.col("id") % 200)
+        .alias("i_manufact_id"),
         (F.col("id") % 40).alias("i_manager_id"),
         # q98/q65 item detail columns
         F.concat(F.lit("Desc"), F.lpad(F.col("id").cast("string"), 5, "0")).alias(
@@ -1441,7 +1606,7 @@ def tpcds(spark, tmp_path_factory):
                 "cs_item_sk", "cs_ext_sales_price", "cs_bill_addr_sk",
                 "cs_bill_cdemo_sk", "cs_promo_sk", "cs_quantity",
                 "cs_list_price", "cs_coupon_amt", "cs_sales_price",
-                "cs_bill_customer_sk",
+                "cs_bill_customer_sk", "cs_ext_discount_amt",
             ],
             num_buckets=4,
         ),
@@ -1452,7 +1617,7 @@ def tpcds(spark, tmp_path_factory):
             "tpcds_ws_cov",
             ["ws_sold_date_sk"],
             ["ws_item_sk", "ws_ext_sales_price", "ws_bill_addr_sk",
-             "ws_bill_customer_sk"],
+             "ws_bill_customer_sk", "ws_ext_discount_amt", "ws_net_paid"],
             num_buckets=4,
         ),
     )
@@ -1762,3 +1927,38 @@ def test_tpcds_q43_plan_stability(spark, tpcds):
     7-way conditional aggregation."""
     hs, _ = tpcds
     _check_plan_stability(spark, hs, "q43", TPCDS_Q43, expect_indexes=True)
+
+
+def test_tpcds_q87_plan_stability(spark, tpcds):
+    """EXCEPT chain of the three channel stars (q38's complement:
+    store-channel shoppers absent from catalog AND web): set-difference
+    replay above three accelerated date joins."""
+    hs, _ = tpcds
+    _check_plan_stability(spark, hs, "q87", TPCDS_Q87, expect_indexes=True)
+
+
+@pytest.mark.parametrize("qname,sql", [("q32", TPCDS_Q32), ("q92", TPCDS_Q92)])
+def test_tpcds_excess_discount_plan_stability(spark, tpcds, qname, sql):
+    """Correlated 1.3x-average discount subqueries (the q1 decorrelation
+    class, per channel): the subquery becomes an aggregate join on the
+    item key; BOTH the outer star and the decorrelated aggregate's date
+    join serve from the channel's sold-date pair."""
+    hs, _ = tpcds
+    _check_plan_stability(spark, hs, qname, sql, expect_indexes=True)
+
+
+def test_tpcds_q86_plan_stability(spark, tpcds):
+    """q36's web twin: grouping()-arithmetic rank window over the ROLLUP
+    of the ws/dd star."""
+    hs, _ = tpcds
+    _check_plan_stability(spark, hs, "q86", TPCDS_Q86, expect_indexes=True)
+
+
+def test_tpcds_q28_plan_stability(spark, tpcds):
+    """Six single-row aggregate subqueries cross-joined (list-price
+    bucket stats): REPLAY-coverage golden — there is no date filter or
+    join for an index to serve (the quantity/price disjunctions don't
+    pin tpcds_ss_cov's first key), so the pinned expectation is a
+    faithful verbatim-free replay with no index applied."""
+    hs, _ = tpcds
+    _check_plan_stability(spark, hs, "q28", TPCDS_Q28, expect_indexes=False)
