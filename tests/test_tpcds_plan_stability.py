@@ -1168,6 +1168,26 @@ LIMIT 100
 """
 
 
+# Official text (reference: src/test/resources/tpcds/queries/q15.sql).
+TPCDS_Q15 = """
+SELECT
+  ca_zip,
+  sum(cs_sales_price)
+FROM catalog_sales, customer, customer_address, date_dim
+WHERE cs_bill_customer_sk = c_customer_sk
+  AND c_current_addr_sk = ca_address_sk
+  AND (substr(ca_zip, 1, 5) IN ('85669', '86197', '88274', '83405', '86475',
+                                '85392', '85460', '80348', '81792')
+  OR ca_state IN ('CA', 'WA', 'GA')
+  OR cs_sales_price > 500)
+  AND cs_sold_date_sk = d_date_sk
+  AND d_qoy = 2 AND d_year = 2001
+GROUP BY ca_zip
+ORDER BY ca_zip
+LIMIT 100
+"""
+
+
 def _pick(idx_col, values: list[str]):
     """CASE chain mapping an integer column 0..len-1 onto literal values."""
     c = F.when(idx_col == 0, values[0])
@@ -1504,6 +1524,14 @@ def tpcds(spark, tmp_path_factory):
         .otherwise("United States")
         .alias("ca_country"),
         st_col.alias("ca_state"),
+        # q15's zip probe: residues 0-3 carry official IN-list zips, the
+        # rest synthetic 5-digit codes
+        F.when(F.col("id") % 20 == 0, "85669")
+        .when(F.col("id") % 20 == 1, "86197")
+        .when(F.col("id") % 20 == 2, "88274")
+        .when(F.col("id") % 20 == 3, "83405")
+        .otherwise(F.concat(F.lit("9"), F.lpad((F.col("id") % 1000).cast("string"), 4, "0")))
+        .alias("ca_zip"),
     )
     ss = _sales(spark, "ss", 20000, 0)
     cs = _sales(spark, "cs", 15000, 1)
@@ -1962,3 +1990,13 @@ def test_tpcds_q28_plan_stability(spark, tpcds):
     faithful verbatim-free replay with no index applied."""
     hs, _ = tpcds
     _check_plan_stability(spark, hs, "q28", TPCDS_Q28, expect_indexes=False)
+
+
+def test_tpcds_q15_plan_stability(spark, tpcds):
+    """Cross-table OR residual (zip-prefix IN-list OR state OR price)
+    over the catalog customer-address star: Catalyst keeps the common
+    equi-conjuncts so the cs/dd date join serves while the three-way OR
+    stays a post-join filter (the q13/q48 no-misfire family with a
+    substr() branch)."""
+    hs, _ = tpcds
+    _check_plan_stability(spark, hs, "q15", TPCDS_Q15, expect_indexes=True)
