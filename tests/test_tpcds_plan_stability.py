@@ -1188,6 +1188,141 @@ LIMIT 100
 """
 
 
+# Official texts (reference: src/test/resources/tpcds/queries/q{56,60}.sql).
+TPCDS_Q56 = """
+WITH ss AS (
+  SELECT
+    i_item_id,
+    sum(ss_ext_sales_price) total_sales
+  FROM
+    store_sales, date_dim, customer_address, item
+  WHERE
+    i_item_id IN (SELECT i_item_id
+    FROM item
+    WHERE i_color IN ('slate', 'blanched', 'burnished'))
+      AND ss_item_sk = i_item_sk
+      AND ss_sold_date_sk = d_date_sk
+      AND d_year = 2001
+      AND d_moy = 2
+      AND ss_addr_sk = ca_address_sk
+      AND ca_gmt_offset = -5
+  GROUP BY i_item_id),
+    cs AS (
+    SELECT
+      i_item_id,
+      sum(cs_ext_sales_price) total_sales
+    FROM
+      catalog_sales, date_dim, customer_address, item
+    WHERE
+      i_item_id IN (SELECT i_item_id
+      FROM item
+      WHERE i_color IN ('slate', 'blanched', 'burnished'))
+        AND cs_item_sk = i_item_sk
+        AND cs_sold_date_sk = d_date_sk
+        AND d_year = 2001
+        AND d_moy = 2
+        AND cs_bill_addr_sk = ca_address_sk
+        AND ca_gmt_offset = -5
+    GROUP BY i_item_id),
+    ws AS (
+    SELECT
+      i_item_id,
+      sum(ws_ext_sales_price) total_sales
+    FROM
+      web_sales, date_dim, customer_address, item
+    WHERE
+      i_item_id IN (SELECT i_item_id
+      FROM item
+      WHERE i_color IN ('slate', 'blanched', 'burnished'))
+        AND ws_item_sk = i_item_sk
+        AND ws_sold_date_sk = d_date_sk
+        AND d_year = 2001
+        AND d_moy = 2
+        AND ws_bill_addr_sk = ca_address_sk
+        AND ca_gmt_offset = -5
+    GROUP BY i_item_id)
+SELECT
+  i_item_id,
+  sum(total_sales) total_sales
+FROM (SELECT *
+      FROM ss
+      UNION ALL
+      SELECT *
+      FROM cs
+      UNION ALL
+      SELECT *
+      FROM ws) tmp1
+GROUP BY i_item_id
+ORDER BY total_sales
+LIMIT 100
+"""
+
+TPCDS_Q60 = """
+WITH ss AS (
+  SELECT
+    i_item_id,
+    sum(ss_ext_sales_price) total_sales
+  FROM store_sales, date_dim, customer_address, item
+  WHERE
+    i_item_id IN (SELECT i_item_id
+    FROM item
+    WHERE i_category IN ('Music'))
+      AND ss_item_sk = i_item_sk
+      AND ss_sold_date_sk = d_date_sk
+      AND d_year = 1998
+      AND d_moy = 9
+      AND ss_addr_sk = ca_address_sk
+      AND ca_gmt_offset = -5
+  GROUP BY i_item_id),
+    cs AS (
+    SELECT
+      i_item_id,
+      sum(cs_ext_sales_price) total_sales
+    FROM catalog_sales, date_dim, customer_address, item
+    WHERE
+      i_item_id IN (SELECT i_item_id
+      FROM item
+      WHERE i_category IN ('Music'))
+        AND cs_item_sk = i_item_sk
+        AND cs_sold_date_sk = d_date_sk
+        AND d_year = 1998
+        AND d_moy = 9
+        AND cs_bill_addr_sk = ca_address_sk
+        AND ca_gmt_offset = -5
+    GROUP BY i_item_id),
+    ws AS (
+    SELECT
+      i_item_id,
+      sum(ws_ext_sales_price) total_sales
+    FROM web_sales, date_dim, customer_address, item
+    WHERE
+      i_item_id IN (SELECT i_item_id
+      FROM item
+      WHERE i_category IN ('Music'))
+        AND ws_item_sk = i_item_sk
+        AND ws_sold_date_sk = d_date_sk
+        AND d_year = 1998
+        AND d_moy = 9
+        AND ws_bill_addr_sk = ca_address_sk
+        AND ca_gmt_offset = -5
+    GROUP BY i_item_id)
+SELECT
+  i_item_id,
+  sum(total_sales) total_sales
+FROM (SELECT *
+      FROM ss
+      UNION ALL
+      SELECT *
+      FROM cs
+      UNION ALL
+      SELECT *
+      FROM ws) tmp1
+GROUP BY i_item_id
+ORDER BY i_item_id, total_sales
+LIMIT 100
+"""
+
+
 def _pick(idx_col, values: list[str]):
     """CASE chain mapping an integer column 0..len-1 onto literal values."""
     c = F.when(idx_col == 0, values[0])
@@ -1206,7 +1341,9 @@ def _sales(spark, prefix: str, n: int, salt: int):
     # 1998-05, 1999-11, 2000-11 + 2001-06 (the cs/ws rows q38/q97's
     # official d_month_seq 1200..1211 range needs; ss gets 2001 windows
     # from its own extension list below)
-    windows = [125 + salt, 676 + salt, 1041 + salt, 1251 + salt]
+    # + 2001-02 (q56) and 1998-09 (q60) in every channel
+    windows = [125 + salt, 676 + salt, 1041 + salt, 1251 + salt,
+               1127 + salt, 249 + salt]
     if prefix == "ss":
         # 2000-01, 2001-06, 2002-01, 1998-12, 1999-03, 2001-09 — 342/428
         # give q47 a four-month qualifying rank sequence (1998-12,
@@ -1220,7 +1357,7 @@ def _sales(spark, prefix: str, n: int, salt: int):
         # the q53/q63 deviation ratios land well past the 0.1 filter even
         # when AGGREGATED per manager/manufact (balanced windows nearly
         # cancel: the measured manager-level deviation was 0.015).
-        windows += [731, 1251, 1466, 342, 428, 1344, 1251]
+        windows += [731, 1251, 1466, 342, 428, 1344, 1251, 1127, 249]
     # Select the window by floor(id/500), NOT id % len(windows): the
     # item key is id % 500, so a mod-6 selector would freeze each
     # window's item-key PARITY (id ≡ 2 mod 6 is always even), making
@@ -1422,8 +1559,14 @@ def tpcds(spark, tmp_path_factory):
         .when(F.col("id") % 10 == 1, "Sports")
         .when(F.col("id") % 10 == 2, "Books")
         .when(F.col("id") % 10 == 3, "Home")
+        .when(F.col("id") % 10 == 4, "Music")  # q60's channel union
         .otherwise("Other")
         .alias("i_category"),
+        _pick(
+            F.floor(F.col("id") / 3) % 8,
+            ["slate", "blanched", "burnished", "floral",
+             "deep", "light", "honeydew", "powder"],
+        ).alias("i_color"),
         # items 77/150 carry q32/q92's official manufact literals (977 and
         # 350 are beyond the id%200 range); everything else keeps the cycle
         F.when(F.col("id") == 77, 977)
@@ -2000,3 +2143,14 @@ def test_tpcds_q15_plan_stability(spark, tpcds):
     substr() branch)."""
     hs, _ = tpcds
     _check_plan_stability(spark, hs, "q15", TPCDS_Q15, expect_indexes=True)
+
+
+@pytest.mark.parametrize("qname,sql", [("q56", TPCDS_Q56), ("q60", TPCDS_Q60)])
+def test_tpcds_three_channel_union_plan_stability(spark, tpcds, qname, sql):
+    """q33's siblings: three-channel UNION of item-attribute stars (q56
+    filters by i_color, q60 by the Music category) — each channel's
+    4-table star must serve its sold-date pair, with the
+    item-attribute IN-subquery (a semi self-join of item) replayed
+    above all three."""
+    hs, _ = tpcds
+    _check_plan_stability(spark, hs, qname, sql, expect_indexes=True)
