@@ -1415,6 +1415,180 @@ LIMIT 100
 """
 
 
+# Official texts (reference: src/test/resources/tpcds/queries/q{71,88}.sql).
+TPCDS_Q71 = """
+SELECT
+  i_brand_id brand_id,
+  i_brand brand,
+  t_hour,
+  t_minute,
+  sum(ext_price) ext_price
+FROM item,
+  (SELECT
+     ws_ext_sales_price AS ext_price,
+     ws_sold_date_sk AS sold_date_sk,
+     ws_item_sk AS sold_item_sk,
+     ws_sold_time_sk AS time_sk
+   FROM web_sales, date_dim
+   WHERE d_date_sk = ws_sold_date_sk
+     AND d_moy = 11
+     AND d_year = 1999
+   UNION ALL
+   SELECT
+     cs_ext_sales_price AS ext_price,
+     cs_sold_date_sk AS sold_date_sk,
+     cs_item_sk AS sold_item_sk,
+     cs_sold_time_sk AS time_sk
+   FROM catalog_sales, date_dim
+   WHERE d_date_sk = cs_sold_date_sk
+     AND d_moy = 11
+     AND d_year = 1999
+   UNION ALL
+   SELECT
+     ss_ext_sales_price AS ext_price,
+     ss_sold_date_sk AS sold_date_sk,
+     ss_item_sk AS sold_item_sk,
+     ss_sold_time_sk AS time_sk
+   FROM store_sales, date_dim
+   WHERE d_date_sk = ss_sold_date_sk
+     AND d_moy = 11
+     AND d_year = 1999
+  ) AS tmp, time_dim
+WHERE
+  sold_item_sk = i_item_sk
+    AND i_manager_id = 1
+    AND time_sk = t_time_sk
+    AND (t_meal_time = 'breakfast' OR t_meal_time = 'dinner')
+GROUP BY i_brand, i_brand_id, t_hour, t_minute
+ORDER BY ext_price DESC, brand_id
+"""
+
+TPCDS_Q88 = """
+SELECT *
+FROM
+  (SELECT count(*) h8_30_to_9
+  FROM store_sales, household_demographics, time_dim, store
+  WHERE ss_sold_time_sk = time_dim.t_time_sk
+    AND ss_hdemo_sk = household_demographics.hd_demo_sk
+    AND ss_store_sk = s_store_sk
+    AND time_dim.t_hour = 8
+    AND time_dim.t_minute >= 30
+    AND (
+    (household_demographics.hd_dep_count = 4 AND household_demographics.hd_vehicle_count <= 4 + 2)
+      OR
+      (household_demographics.hd_dep_count = 2 AND household_demographics.hd_vehicle_count <= 2 + 2)
+      OR
+      (household_demographics.hd_dep_count = 0 AND
+        household_demographics.hd_vehicle_count <= 0 + 2))
+    AND store.s_store_name = 'ese') s1,
+  (SELECT count(*) h9_to_9_30
+  FROM store_sales, household_demographics, time_dim, store
+  WHERE ss_sold_time_sk = time_dim.t_time_sk
+    AND ss_hdemo_sk = household_demographics.hd_demo_sk
+    AND ss_store_sk = s_store_sk
+    AND time_dim.t_hour = 9
+    AND time_dim.t_minute < 30
+    AND (
+    (household_demographics.hd_dep_count = 4 AND household_demographics.hd_vehicle_count <= 4 + 2)
+      OR
+      (household_demographics.hd_dep_count = 2 AND household_demographics.hd_vehicle_count <= 2 + 2)
+      OR
+      (household_demographics.hd_dep_count = 0 AND
+        household_demographics.hd_vehicle_count <= 0 + 2))
+    AND store.s_store_name = 'ese') s2,
+  (SELECT count(*) h9_30_to_10
+  FROM store_sales, household_demographics, time_dim, store
+  WHERE ss_sold_time_sk = time_dim.t_time_sk
+    AND ss_hdemo_sk = household_demographics.hd_demo_sk
+    AND ss_store_sk = s_store_sk
+    AND time_dim.t_hour = 9
+    AND time_dim.t_minute >= 30
+    AND (
+    (household_demographics.hd_dep_count = 4 AND household_demographics.hd_vehicle_count <= 4 + 2)
+      OR
+      (household_demographics.hd_dep_count = 2 AND household_demographics.hd_vehicle_count <= 2 + 2)
+      OR
+      (household_demographics.hd_dep_count = 0 AND
+        household_demographics.hd_vehicle_count <= 0 + 2))
+    AND store.s_store_name = 'ese') s3,
+  (SELECT count(*) h10_to_10_30
+  FROM store_sales, household_demographics, time_dim, store
+  WHERE ss_sold_time_sk = time_dim.t_time_sk
+    AND ss_hdemo_sk = household_demographics.hd_demo_sk
+    AND ss_store_sk = s_store_sk
+    AND time_dim.t_hour = 10
+    AND time_dim.t_minute < 30
+    AND (
+    (household_demographics.hd_dep_count = 4 AND household_demographics.hd_vehicle_count <= 4 + 2)
+      OR
+      (household_demographics.hd_dep_count = 2 AND household_demographics.hd_vehicle_count <= 2 + 2)
+      OR
+      (household_demographics.hd_dep_count = 0 AND
+        household_demographics.hd_vehicle_count <= 0 + 2))
+    AND store.s_store_name = 'ese') s4,
+  (SELECT count(*) h10_30_to_11
+  FROM store_sales, household_demographics, time_dim, store
+  WHERE ss_sold_time_sk = time_dim.t_time_sk
+    AND ss_hdemo_sk = household_demographics.hd_demo_sk
+    AND ss_store_sk = s_store_sk
+    AND time_dim.t_hour = 10
+    AND time_dim.t_minute >= 30
+    AND (
+    (household_demographics.hd_dep_count = 4 AND household_demographics.hd_vehicle_count <= 4 + 2)
+      OR
+      (household_demographics.hd_dep_count = 2 AND household_demographics.hd_vehicle_count <= 2 + 2)
+      OR
+      (household_demographics.hd_dep_count = 0 AND
+        household_demographics.hd_vehicle_count <= 0 + 2))
+    AND store.s_store_name = 'ese') s5,
+  (SELECT count(*) h11_to_11_30
+  FROM store_sales, household_demographics, time_dim, store
+  WHERE ss_sold_time_sk = time_dim.t_time_sk
+    AND ss_hdemo_sk = household_demographics.hd_demo_sk
+    AND ss_store_sk = s_store_sk
+    AND time_dim.t_hour = 11
+    AND time_dim.t_minute < 30
+    AND (
+    (household_demographics.hd_dep_count = 4 AND household_demographics.hd_vehicle_count <= 4 + 2)
+      OR
+      (household_demographics.hd_dep_count = 2 AND household_demographics.hd_vehicle_count <= 2 + 2)
+      OR
+      (household_demographics.hd_dep_count = 0 AND
+        household_demographics.hd_vehicle_count <= 0 + 2))
+    AND store.s_store_name = 'ese') s6,
+  (SELECT count(*) h11_30_to_12
+  FROM store_sales, household_demographics, time_dim, store
+  WHERE ss_sold_time_sk = time_dim.t_time_sk
+    AND ss_hdemo_sk = household_demographics.hd_demo_sk
+    AND ss_store_sk = s_store_sk
+    AND time_dim.t_hour = 11
+    AND time_dim.t_minute >= 30
+    AND (
+    (household_demographics.hd_dep_count = 4 AND household_demographics.hd_vehicle_count <= 4 + 2)
+      OR
+      (household_demographics.hd_dep_count = 2 AND household_demographics.hd_vehicle_count <= 2 + 2)
+      OR
+      (household_demographics.hd_dep_count = 0 AND
+        household_demographics.hd_vehicle_count <= 0 + 2))
+    AND store.s_store_name = 'ese') s7,
+  (SELECT count(*) h12_to_12_30
+  FROM store_sales, household_demographics, time_dim, store
+  WHERE ss_sold_time_sk = time_dim.t_time_sk
+    AND ss_hdemo_sk = household_demographics.hd_demo_sk
+    AND ss_store_sk = s_store_sk
+    AND time_dim.t_hour = 12
+    AND time_dim.t_minute < 30
+    AND (
+    (household_demographics.hd_dep_count = 4 AND household_demographics.hd_vehicle_count <= 4 + 2)
+      OR
+      (household_demographics.hd_dep_count = 2 AND household_demographics.hd_vehicle_count <= 2 + 2)
+      OR
+      (household_demographics.hd_dep_count = 0 AND
+        household_demographics.hd_vehicle_count <= 0 + 2))
+    AND store.s_store_name = 'ese') s8
+"""
+
+
 def _pick(idx_col, values: list[str]):
     """CASE chain mapping an integer column 0..len-1 onto literal values."""
     c = F.when(idx_col == 0, values[0])
@@ -1490,6 +1664,7 @@ def _sales(spark, prefix: str, n: int, salt: int):
             # non-trivially selective.
             (F.col("id") % 97).alias("cs_bill_customer_sk"),
             (((F.col("id") * 9 + 1) % 331) / 4.0).alias("cs_ext_discount_amt"),
+            ((F.col("id") * 7 + 1) % 2000).alias("cs_sold_time_sk"),
             (F.lit(1746) + (F.col("id") % 80)).alias("cs_ship_date_sk"),
             (F.col("id") % 100).alias("cs_ship_addr_sk"),
             (F.col("id") % 4).alias("cs_call_center_sk"),
@@ -1503,6 +1678,7 @@ def _sales(spark, prefix: str, n: int, salt: int):
             (F.col("id") % 97).alias("ws_bill_customer_sk"),
             (((F.col("id") * 9 + 5) % 331) / 4.0).alias("ws_ext_discount_amt"),
             (((F.col("id") * 13 + 7) % 997) / 3.0).alias("ws_net_paid"),
+            ((F.col("id") * 7 + 2) % 2000).alias("ws_sold_time_sk"),
             (F.lit(650) + (F.col("id") % 80)).alias("ws_ship_date_sk"),
             (F.col("id") % 100).alias("ws_ship_addr_sk"),
             (F.col("id") % 4).alias("ws_web_site_sk"),
@@ -1528,7 +1704,7 @@ def _sales(spark, prefix: str, n: int, salt: int):
             (((F.col("id") * 2 + 7) % 463) / 2.0).alias("ss_sales_price"),
             (F.col("id") % 7).alias("ss_store_sk"),
             # q13/q48/q6/q73 columns
-            (F.col("id") % 30).alias("ss_hdemo_sk"),
+            (F.col("id") % 60).alias("ss_hdemo_sk"),
             (50.0 + ((F.col("id") * 11 + 5) % 250)).alias("ss_net_profit"),
             (((F.col("id") * 13 + 3) % 701) / 2.0).alias("ss_ext_wholesale_cost"),
             (((F.col("id") * 7 + 17) % 199) / 2.0).alias("ss_wholesale_cost"),
@@ -1724,13 +1900,17 @@ def tpcds(spark, tmp_path_factory):
         F.col("id").alias("t_time_sk"),
         (F.floor(F.col("id") / 60) % 24).cast("int").alias("t_hour"),
         (F.col("id") % 60).cast("int").alias("t_minute"),
+        # q71's meal buckets, a pure function of the hour
+        F.when((F.floor(F.col("id") / 60) % 24).between(6, 8), "breakfast")
+        .when((F.floor(F.col("id") / 60) % 24).between(17, 19), "dinner")
+        .otherwise("other")
+        .alias("t_meal_time"),
     )
-    hd = spark.range(30).select(
+    hd = spark.range(60).select(
         F.col("id").alias("hd_demo_sk"),
-        # q13/q48 need dep counts 3 and 1, q96 needs 7
-        F.when(F.col("id") % 3 == 0, 1)
-        .when(F.col("id") % 3 == 1, 3)
-        .otherwise(7)
+        # q13/q48 need dep counts 3 and 1, q96 needs 7, q88 needs 4/2/0
+        _pick(F.col("id") % 6, ["1", "3", "7", "4", "2", "0"])
+        .cast("int")
         .alias("hd_dep_count"),
         # q73 columns: both named buy potentials occur, vehicle counts
         # 0..3 so dep/vehicle > 1 holds for dep-3 households with 1-2
@@ -1843,6 +2023,7 @@ def tpcds(spark, tmp_path_factory):
                 "ss_list_price", "ss_coupon_amt", "ss_sales_price",
                 "ss_store_sk", "ss_hdemo_sk", "ss_net_profit",
                 "ss_ext_wholesale_cost", "ss_customer_sk", "ss_ticket_number",
+                "ss_sold_time_sk",
             ],
             num_buckets=4,
         ),
@@ -1876,6 +2057,7 @@ def tpcds(spark, tmp_path_factory):
                 "cs_bill_cdemo_sk", "cs_promo_sk", "cs_quantity",
                 "cs_list_price", "cs_coupon_amt", "cs_sales_price",
                 "cs_bill_customer_sk", "cs_ext_discount_amt",
+                "cs_sold_time_sk",
             ],
             num_buckets=4,
         ),
@@ -1886,7 +2068,8 @@ def tpcds(spark, tmp_path_factory):
             "tpcds_ws_cov",
             ["ws_sold_date_sk"],
             ["ws_item_sk", "ws_ext_sales_price", "ws_bill_addr_sk",
-             "ws_bill_customer_sk", "ws_ext_discount_amt", "ws_net_paid"],
+             "ws_bill_customer_sk", "ws_ext_discount_amt", "ws_net_paid",
+             "ws_sold_time_sk"],
             num_buckets=4,
         ),
     )
@@ -2262,3 +2445,20 @@ def test_tpcds_q8_plan_stability(spark, tpcds):
     serves from the pair."""
     hs, _ = tpcds
     _check_plan_stability(spark, hs, "q8", TPCDS_Q8, expect_indexes=True)
+
+
+def test_tpcds_q71_plan_stability(spark, tpcds):
+    """Breakfast/dinner brands: a three-channel UNION (each branch's
+    date join serves its channel pair) joined to time_dim and item
+    above the union — the time join stays above the non-linear union
+    while all three date joins accelerate."""
+    hs, _ = tpcds
+    _check_plan_stability(spark, hs, "q71", TPCDS_Q71, expect_indexes=True)
+
+
+def test_tpcds_q88_plan_stability(spark, tpcds):
+    """Eight cross-joined half-hour counters over the time-of-day star:
+    EVERY subquery's time join serves from the tpcds_ss_time_cov /
+    tpcds_td_cov pair (the q96 shape x8 in one statement)."""
+    hs, _ = tpcds
+    _check_plan_stability(spark, hs, "q88", TPCDS_Q88, expect_indexes=True)
