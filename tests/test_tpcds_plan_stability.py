@@ -1589,6 +1589,90 @@ FROM
 """
 
 
+# Official texts (reference: src/test/resources/tpcds/queries/q{22,21,37,82}.sql)
+# — the inventory family.
+TPCDS_Q22 = """
+SELECT
+  i_product_name,
+  i_brand,
+  i_class,
+  i_category,
+  avg(inv_quantity_on_hand) qoh
+FROM inventory, date_dim, item, warehouse
+WHERE inv_date_sk = d_date_sk
+  AND inv_item_sk = i_item_sk
+  AND inv_warehouse_sk = w_warehouse_sk
+  AND d_month_seq BETWEEN 1200 AND 1200 + 11
+GROUP BY ROLLUP (i_product_name, i_brand, i_class, i_category)
+ORDER BY qoh, i_product_name, i_brand, i_class, i_category
+LIMIT 100
+"""
+
+TPCDS_Q21 = """
+SELECT *
+FROM (
+       SELECT
+         w_warehouse_name,
+         i_item_id,
+         sum(CASE WHEN (cast(d_date AS DATE) < cast('2000-03-11' AS DATE))
+           THEN inv_quantity_on_hand
+             ELSE 0 END) AS inv_before,
+         sum(CASE WHEN (cast(d_date AS DATE) >= cast('2000-03-11' AS DATE))
+           THEN inv_quantity_on_hand
+             ELSE 0 END) AS inv_after
+       FROM inventory, warehouse, item, date_dim
+       WHERE i_current_price BETWEEN 0.99 AND 1.49
+         AND i_item_sk = inv_item_sk
+         AND inv_warehouse_sk = w_warehouse_sk
+         AND inv_date_sk = d_date_sk
+         AND d_date BETWEEN (cast('2000-03-11' AS DATE) - INTERVAL 30 days)
+       AND (cast('2000-03-11' AS DATE) + INTERVAL 30 days)
+       GROUP BY w_warehouse_name, i_item_id) x
+WHERE (CASE WHEN inv_before > 0
+  THEN inv_after / inv_before
+       ELSE NULL
+       END) BETWEEN 2.0 / 3.0 AND 3.0 / 2.0
+ORDER BY w_warehouse_name, i_item_id
+LIMIT 100
+"""
+
+TPCDS_Q37 = """
+SELECT
+  i_item_id,
+  i_item_desc,
+  i_current_price
+FROM item, inventory, date_dim, catalog_sales
+WHERE i_current_price BETWEEN 68 AND 68 + 30
+  AND inv_item_sk = i_item_sk
+  AND d_date_sk = inv_date_sk
+  AND d_date BETWEEN cast('2000-02-01' AS DATE) AND (cast('2000-02-01' AS DATE) + INTERVAL 60 days)
+  AND i_manufact_id IN (677, 940, 694, 808)
+  AND inv_quantity_on_hand BETWEEN 100 AND 500
+  AND cs_item_sk = i_item_sk
+GROUP BY i_item_id, i_item_desc, i_current_price
+ORDER BY i_item_id
+LIMIT 100
+"""
+
+TPCDS_Q82 = """
+SELECT
+  i_item_id,
+  i_item_desc,
+  i_current_price
+FROM item, inventory, date_dim, store_sales
+WHERE i_current_price BETWEEN 62 AND 62 + 30
+  AND inv_item_sk = i_item_sk
+  AND d_date_sk = inv_date_sk
+  AND d_date BETWEEN cast('2000-05-25' AS DATE) AND (cast('2000-05-25' AS DATE) + INTERVAL 60 days)
+  AND i_manufact_id IN (129, 270, 821, 423)
+  AND inv_quantity_on_hand BETWEEN 100 AND 500
+  AND ss_item_sk = i_item_sk
+GROUP BY i_item_id, i_item_desc, i_current_price
+ORDER BY i_item_id
+LIMIT 100
+"""
+
+
 def _pick(idx_col, values: list[str]):
     """CASE chain mapping an integer column 0..len-1 onto literal values."""
     c = F.when(idx_col == 0, values[0])
@@ -1839,9 +1923,12 @@ def tpcds(spark, tmp_path_factory):
              "deep", "light", "honeydew", "powder"],
         ).alias("i_color"),
         # items 77/150 carry q32/q92's official manufact literals (977 and
-        # 350 are beyond the id%200 range); everything else keeps the cycle
+        # 350 are beyond the id%200 range); 68/62 carry q37/q82's (677,
+        # 129); everything else keeps the cycle
         F.when(F.col("id") == 77, 977)
         .when(F.col("id") == 150, 350)
+        .when(F.col("id") == 68, 677)
+        .when(F.col("id") == 62, 129)
         .otherwise(F.col("id") % 200)
         .alias("i_manufact_id"),
         (F.col("id") % 40).alias("i_manager_id"),
@@ -1863,7 +1950,12 @@ def tpcds(spark, tmp_path_factory):
                 "birdal", "dresses", "CL14", "CL15",
             ],
         ).alias("i_class"),
-        ((F.col("id") % 100) / 2.0).alias("i_current_price"),
+        # items 68/62 sit inside q37/q82's official price bands (68..98 /
+        # 62..92 — beyond the synthetic 0..49.5 range)
+        F.when(F.col("id") == 68, 83.0)
+        .when(F.col("id") == 62, 77.0)
+        .otherwise((F.col("id") % 100) / 2.0)
+        .alias("i_current_price"),
         ((F.col("id") % 80) / 2.0).alias("i_wholesale_cost"),
         F.concat(F.lit("P"), F.lpad(F.col("id").cast("string"), 5, "0")).alias(
             "i_product_name"
@@ -1971,6 +2063,30 @@ def tpcds(spark, tmp_path_factory):
             "web_company_name"
         ),
     )
+    # inventory fact (q21/q22/q37/q82): 4 date windows — 1030/1060
+    # straddle q21's 2000-03-11 split inside its +-30d range and cover
+    # q37's 2000-02..04 window; 1140 covers q82's 2000-05-25+60d; 1251
+    # (2001-06, month_seq 1205) covers q22's official range.  Quantity
+    # 200..300 keeps q21's before/after ratio near 1 (inside the official
+    # 2/3..3/2 band) and q37/q82's 100..500 gate satisfied.
+    inv_windows = [1030, 1060, 1140, 1251]
+    inv_sel = F.floor(F.col("id") / 500) % len(inv_windows)
+    inv_date = F.when(inv_sel == 0, inv_windows[0] + (F.col("id") % 23))
+    for i in range(1, len(inv_windows) - 1):
+        inv_date = inv_date.when(inv_sel == i, inv_windows[i] + (F.col("id") % 23))
+    inv_date = inv_date.otherwise(inv_windows[-1] + (F.col("id") % 23))
+    inv = spark.range(40000).select(
+        inv_date.alias("inv_date_sk"),
+        (F.col("id") % 500).alias("inv_item_sk"),
+        (F.col("id") % 5).alias("inv_warehouse_sk"),
+        (200 + (F.col("id") % 101)).alias("inv_quantity_on_hand"),
+    )
+    wh = spark.range(5).select(
+        F.col("id").alias("w_warehouse_sk"),
+        F.concat(F.lit("Warehouse"), F.col("id").cast("string")).alias(
+            "w_warehouse_name"
+        ),
+    )
     cr = spark.range(1000).select(((F.col("id") * 3) % 3000).alias("cr_order_number"))
     wr = spark.range(800).select(((F.col("id") * 3) % 2000).alias("wr_order_number"))
 
@@ -1980,6 +2096,7 @@ def tpcds(spark, tmp_path_factory):
         ("customer_demographics", cd, 1), ("promotion", pr, 1),
         ("household_demographics", hd, 1), ("time_dim", td, 1),
         ("call_center", cc, 1), ("web_site", wsite, 1),
+        ("inventory", inv, 4), ("warehouse", wh, 1),
         ("catalog_returns", cr, 1), ("web_returns", wr, 1),
         ("store_sales", ss, 4), ("catalog_sales", cs, 4), ("web_sales", ws, 4),
     ]
@@ -2070,6 +2187,15 @@ def tpcds(spark, tmp_path_factory):
             ["ws_item_sk", "ws_ext_sales_price", "ws_bill_addr_sk",
              "ws_bill_customer_sk", "ws_ext_discount_amt", "ws_net_paid",
              "ws_sold_time_sk"],
+            num_buckets=4,
+        ),
+    )
+    hs.create_index(
+        rd("inventory"),
+        CoveringIndexConfig(
+            "tpcds_inv_cov",
+            ["inv_date_sk"],
+            ["inv_item_sk", "inv_warehouse_sk", "inv_quantity_on_hand"],
             num_buckets=4,
         ),
     )
@@ -2462,3 +2588,27 @@ def test_tpcds_q88_plan_stability(spark, tpcds):
     tpcds_td_cov pair (the q96 shape x8 in one statement)."""
     hs, _ = tpcds
     _check_plan_stability(spark, hs, "q88", TPCDS_Q88, expect_indexes=True)
+
+
+def test_tpcds_q22_plan_stability(spark, tpcds):
+    """Inventory ROLLUP over the 4-level product hierarchy: the
+    GroupingSetsN aggregate sits above the inv/dd date join served from
+    the new inventory pair."""
+    hs, _ = tpcds
+    _check_plan_stability(spark, hs, "q22", TPCDS_Q22, expect_indexes=True)
+
+
+def test_tpcds_q21_plan_stability(spark, tpcds):
+    """Before/after inventory split around a date literal: CASE sums
+    over the accelerated inv/dd join with the ratio HAVING above."""
+    hs, _ = tpcds
+    _check_plan_stability(spark, hs, "q21", TPCDS_Q21, expect_indexes=True)
+
+
+@pytest.mark.parametrize("qname,sql", [("q37", TPCDS_Q37), ("q82", TPCDS_Q82)])
+def test_tpcds_inventory_price_band_plan_stability(spark, tpcds, qname, sql):
+    """Price-band items in stock with channel sales (q37 catalog, q82
+    store): the inv/dd pair serves the date join; items 68/62 carry the
+    official price-band and manufact literals."""
+    hs, _ = tpcds
+    _check_plan_stability(spark, hs, qname, sql, expect_indexes=True)
