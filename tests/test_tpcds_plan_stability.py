@@ -1673,6 +1673,84 @@ LIMIT 100
 """
 
 
+# Official texts (reference: src/test/resources/tpcds/queries/q{62,99}.sql)
+# — the shipping-latency pivots.
+TPCDS_Q62 = """
+SELECT
+  substr(w_warehouse_name, 1, 20),
+  sm_type,
+  web_name,
+  sum(CASE WHEN (ws_ship_date_sk - ws_sold_date_sk <= 30)
+    THEN 1
+      ELSE 0 END)  AS `30 days `,
+  sum(CASE WHEN (ws_ship_date_sk - ws_sold_date_sk > 30) AND
+    (ws_ship_date_sk - ws_sold_date_sk <= 60)
+    THEN 1
+      ELSE 0 END)  AS `31 - 60 days `,
+  sum(CASE WHEN (ws_ship_date_sk - ws_sold_date_sk > 60) AND
+    (ws_ship_date_sk - ws_sold_date_sk <= 90)
+    THEN 1
+      ELSE 0 END)  AS `61 - 90 days `,
+  sum(CASE WHEN (ws_ship_date_sk - ws_sold_date_sk > 90) AND
+    (ws_ship_date_sk - ws_sold_date_sk <= 120)
+    THEN 1
+      ELSE 0 END)  AS `91 - 120 days `,
+  sum(CASE WHEN (ws_ship_date_sk - ws_sold_date_sk > 120)
+    THEN 1
+      ELSE 0 END)  AS `>120 days `
+FROM
+  web_sales, warehouse, ship_mode, web_site, date_dim
+WHERE
+  d_month_seq BETWEEN 1200 AND 1200 + 11
+    AND ws_ship_date_sk = d_date_sk
+    AND ws_warehouse_sk = w_warehouse_sk
+    AND ws_ship_mode_sk = sm_ship_mode_sk
+    AND ws_web_site_sk = web_site_sk
+GROUP BY
+  substr(w_warehouse_name, 1, 20), sm_type, web_name
+ORDER BY
+  substr(w_warehouse_name, 1, 20), sm_type, web_name
+LIMIT 100
+"""
+
+TPCDS_Q99 = """
+SELECT
+  substr(w_warehouse_name, 1, 20),
+  sm_type,
+  cc_name,
+  sum(CASE WHEN (cs_ship_date_sk - cs_sold_date_sk <= 30)
+    THEN 1
+      ELSE 0 END)  AS `30 days `,
+  sum(CASE WHEN (cs_ship_date_sk - cs_sold_date_sk > 30) AND
+    (cs_ship_date_sk - cs_sold_date_sk <= 60)
+    THEN 1
+      ELSE 0 END)  AS `31 - 60 days `,
+  sum(CASE WHEN (cs_ship_date_sk - cs_sold_date_sk > 60) AND
+    (cs_ship_date_sk - cs_sold_date_sk <= 90)
+    THEN 1
+      ELSE 0 END)  AS `61 - 90 days `,
+  sum(CASE WHEN (cs_ship_date_sk - cs_sold_date_sk > 90) AND
+    (cs_ship_date_sk - cs_sold_date_sk <= 120)
+    THEN 1
+      ELSE 0 END)  AS `91 - 120 days `,
+  sum(CASE WHEN (cs_ship_date_sk - cs_sold_date_sk > 120)
+    THEN 1
+      ELSE 0 END)  AS `>120 days `
+FROM
+  catalog_sales, warehouse, ship_mode, call_center, date_dim
+WHERE
+  d_month_seq BETWEEN 1200 AND 1200 + 11
+    AND cs_ship_date_sk = d_date_sk
+    AND cs_warehouse_sk = w_warehouse_sk
+    AND cs_ship_mode_sk = sm_ship_mode_sk
+    AND cs_call_center_sk = cc_call_center_sk
+GROUP BY
+  substr(w_warehouse_name, 1, 20), sm_type, cc_name
+ORDER BY substr(w_warehouse_name, 1, 20), sm_type, cc_name
+LIMIT 100
+"""
+
+
 def _pick(idx_col, values: list[str]):
     """CASE chain mapping an integer column 0..len-1 onto literal values."""
     c = F.when(idx_col == 0, values[0])
@@ -1749,7 +1827,10 @@ def _sales(spark, prefix: str, n: int, salt: int):
             (F.col("id") % 97).alias("cs_bill_customer_sk"),
             (((F.col("id") * 9 + 1) % 331) / 4.0).alias("cs_ext_discount_amt"),
             ((F.col("id") * 7 + 1) % 2000).alias("cs_sold_time_sk"),
-            (F.lit(1746) + (F.col("id") % 80)).alias("cs_ship_date_sk"),
+            F.when(F.col("id") % 2 == 0, F.lit(1746) + (F.col("id") % 80))
+            .otherwise(F.lit(1251) + (F.col("id") % 80))
+            .alias("cs_ship_date_sk"),
+            (F.col("id") % 5).alias("cs_ship_mode_sk"),
             (F.col("id") % 100).alias("cs_ship_addr_sk"),
             (F.col("id") % 4).alias("cs_call_center_sk"),
             (F.floor(F.col("id") / 3000) % 5).alias("cs_warehouse_sk"),
@@ -1763,7 +1844,10 @@ def _sales(spark, prefix: str, n: int, salt: int):
             (((F.col("id") * 9 + 5) % 331) / 4.0).alias("ws_ext_discount_amt"),
             (((F.col("id") * 13 + 7) % 997) / 3.0).alias("ws_net_paid"),
             ((F.col("id") * 7 + 2) % 2000).alias("ws_sold_time_sk"),
-            (F.lit(650) + (F.col("id") % 80)).alias("ws_ship_date_sk"),
+            F.when(F.col("id") % 2 == 0, F.lit(650) + (F.col("id") % 80))
+            .otherwise(F.lit(1251) + (F.col("id") % 80))
+            .alias("ws_ship_date_sk"),
+            (F.col("id") % 5).alias("ws_ship_mode_sk"),
             (F.col("id") % 100).alias("ws_ship_addr_sk"),
             (F.col("id") % 4).alias("ws_web_site_sk"),
             (F.floor(F.col("id") / 2000) % 5).alias("ws_warehouse_sk"),
@@ -2056,12 +2140,21 @@ def tpcds(spark, tmp_path_factory):
         F.when(F.col("id") % 2 == 0, "Williamson County")
         .otherwise("Bronx County")
         .alias("cc_county"),
+        F.concat(F.lit("center_"), F.col("id").cast("string")).alias("cc_name"),
     )
     wsite = spark.range(4).select(
         F.col("id").alias("web_site_sk"),
         F.when(F.col("id") % 2 == 0, "pri").otherwise("ConglomCo").alias(
             "web_company_name"
         ),
+        F.concat(F.lit("site_"), F.col("id").cast("string")).alias("web_name"),
+    )
+    sm = spark.range(5).select(
+        F.col("id").alias("sm_ship_mode_sk"),
+        _pick(
+            F.col("id") % 5,
+            ["EXPRESS", "OVERNIGHT", "TWO DAY", "LIBRARY", "REGULAR"],
+        ).alias("sm_type"),
     )
     # inventory fact (q21/q22/q37/q82): 4 date windows — 1030/1060
     # straddle q21's 2000-03-11 split inside its +-30d range and cover
@@ -2096,7 +2189,7 @@ def tpcds(spark, tmp_path_factory):
         ("customer_demographics", cd, 1), ("promotion", pr, 1),
         ("household_demographics", hd, 1), ("time_dim", td, 1),
         ("call_center", cc, 1), ("web_site", wsite, 1),
-        ("inventory", inv, 4), ("warehouse", wh, 1),
+        ("inventory", inv, 4), ("warehouse", wh, 1), ("ship_mode", sm, 1),
         ("catalog_returns", cr, 1), ("web_returns", wr, 1),
         ("store_sales", ss, 4), ("catalog_sales", cs, 4), ("web_sales", ws, 4),
     ]
@@ -2211,6 +2304,7 @@ def tpcds(spark, tmp_path_factory):
             [
                 "cs_ship_addr_sk", "cs_call_center_sk", "cs_warehouse_sk",
                 "cs_order_number", "cs_ext_ship_cost", "cs_net_profit",
+                "cs_ship_mode_sk", "cs_sold_date_sk",
             ],
             num_buckets=4,
         ),
@@ -2223,6 +2317,7 @@ def tpcds(spark, tmp_path_factory):
             [
                 "ws_ship_addr_sk", "ws_web_site_sk", "ws_warehouse_sk",
                 "ws_order_number", "ws_ext_ship_cost", "ws_net_profit",
+                "ws_ship_mode_sk", "ws_sold_date_sk",
             ],
             num_buckets=4,
         ),
@@ -2610,5 +2705,15 @@ def test_tpcds_inventory_price_band_plan_stability(spark, tpcds, qname, sql):
     """Price-band items in stock with channel sales (q37 catalog, q82
     store): the inv/dd pair serves the date join; items 68/62 carry the
     official price-band and manufact literals."""
+    hs, _ = tpcds
+    _check_plan_stability(spark, hs, qname, sql, expect_indexes=True)
+
+
+@pytest.mark.parametrize("qname,sql", [("q62", TPCDS_Q62), ("q99", TPCDS_Q99)])
+def test_tpcds_ship_latency_plan_stability(spark, tpcds, qname, sql):
+    """Shipping-latency day-bucket pivots (q62 web, q99 catalog): CASE
+    sums over ship-minus-sold day deltas with warehouse/ship-mode/site
+    dims — the SHIP-date join serves from the channel's ship-date pair
+    (covers widened with the mode and sold-date keys)."""
     hs, _ = tpcds
     _check_plan_stability(spark, hs, qname, sql, expect_indexes=True)
