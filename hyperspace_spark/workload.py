@@ -5736,70 +5736,14 @@ def session_window_events(spark, sf_dir):
 # them every session).
 # ---------------------------------------------------------------------------
 _VERIFY_PRIORITY = [
-    # --- r12 window (driver verifies the FIRST 50): (1) the 31 entries
-    # whose last green row is r09 — at the two-round evidence ceiling
-    # (tests/test_evidence_rotation.py now gates this) — led by
-    # hybrid_join_append and the time-travel rows, whose join-replay
-    # path sits under the r11 parser changes (VERDICT r11 item 1);
-    # (2) queries NEW in r12 plus exists_band_semijoin, whose plan the
-    # r12 BandExistsAggRule rewrote (changed => re-verify); (3) the
-    # oldest r10-greens filling to 50.  The remaining r10-greens lead
-    # the r13 window; the r11-greens ride their one-round-old evidence
-    # past the cap.  Every entry is ALSO re-verified each session by
-    # the local contract pytest (same DuckDB compare). ---
-    "hybrid_join_append",
-    "delta_time_travel_index",
-    "iceberg_time_travel_index",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_region_revenue",
-    "q6_revenue_change",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_revenue",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q19_discounted_revenue",
-    "q21_waiting_supplier",
-    "q22_dormant_customers",
-    "anti_join_customers",
-    "scalar_functions",
-    "multimodal_features",
-    "salted_join_orders",
-    "sequence_packing",
-    "dedup_paragraph",
-    "repetition_stats",
-    "source_token_quota",
-    "json_props_extract",
-    "recursive_month_series",
-    # --- new or plan-changed in r12 ---
-    "exists_distinct_order_semijoin",
-    "not_exists_band_antijoin",
-    "exists_sibling_order_semijoin",
-    "exists_band_semijoin",
-    # --- last green r10, oldest first; the cap falls inside this run ---
-    "clean_corpus_census",
-    "percentile_stats",
-    "window_lag_lead",
-    "unigram_logprob",
-    "udtf_chunk_text",
-    "lang_quality",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_keep_canonical",
-    "hybrid_scan_append",
-    "asof_join_events",
-    "distinct_count_sketch",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    # --- r10-greens below here (position 51+) lead the r13 window ---
+    # --- r13 window (driver verifies the FIRST 50): (1) the 35 entries
+    # whose last green row is r10 — at the two-round evidence ceiling
+    # (tests/test_evidence_rotation.py gates this) — in their r12
+    # queue order; (2) anything new in r13; (3) 15 r11-greens filling
+    # to 50.  The remaining 34 r11-greens lead the r14 window; the 50
+    # r12-greens ride their one-round-old evidence past the cap.
+    # Every entry is ALSO re-verified each session by the local
+    # contract pytest (same DuckDB compare). ---
     "dataskipping_valuelist",
     "dataskipping_minmax",
     "dataskipping_inset",
@@ -5835,7 +5779,9 @@ _VERIFY_PRIORITY = [
     "q20_excess_stock",
     "session_window_events",
     "streaming_tumbling_rollup",
-    # --- verified green in r11 (freshest evidence), past the cap ---
+    # --- new in r13 would go here (none yet) ---
+    # --- r11-green fills to 50 (re-verified a round early so the r14
+    # window only owes the 34 below) ---
     "window_tumbling_events",
     "window_sliding_events",
     "window_top_orders",
@@ -5851,6 +5797,7 @@ _VERIFY_PRIORITY = [
     "salted_skew_agg",
     "events_hourly_rollup",
     "mixture_stratified_sample",
+    # --- r11-greens below here (position 51+) lead the r14 window ---
     "split_train_val_test",
     "sample_hash_deterministic",
     "contamination_check",
@@ -5885,6 +5832,57 @@ _VERIFY_PRIORITY = [
     "covering_filter_agg",
     "delta_filter_index",
     "iceberg_filter_index",
+    # --- verified green in r12 (freshest evidence), past the cap ---
+    "hybrid_join_append",
+    "delta_time_travel_index",
+    "iceberg_time_travel_index",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_region_revenue",
+    "q6_revenue_change",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_revenue",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "q21_waiting_supplier",
+    "q22_dormant_customers",
+    "anti_join_customers",
+    "scalar_functions",
+    "multimodal_features",
+    "salted_join_orders",
+    "sequence_packing",
+    "dedup_paragraph",
+    "repetition_stats",
+    "source_token_quota",
+    "json_props_extract",
+    "recursive_month_series",
+    "exists_distinct_order_semijoin",
+    "not_exists_band_antijoin",
+    "exists_sibling_order_semijoin",
+    "exists_band_semijoin",
+    "clean_corpus_census",
+    "percentile_stats",
+    "window_lag_lead",
+    "unigram_logprob",
+    "udtf_chunk_text",
+    "lang_quality",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_keep_canonical",
+    "hybrid_scan_append",
+    "asof_join_events",
+    "distinct_count_sketch",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
 ]
 
 
