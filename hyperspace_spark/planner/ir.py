@@ -123,12 +123,17 @@ class JoinN(Node):
     residual_sql: str | None = None  # non-equi remainder of the condition
     # Band residual (r12): set when join_type is left_semi/left_anti and
     # the ENTIRE residual is one comparison with strict side separation —
-    # `expr(right) <op> expr(left)` with op in {>, >=, <, <=}.  The shape
-    # EXISTS/NOT-EXISTS subqueries decorrelate to (b.total > a.total*2
-    # under an equi key).  BandExistsAggRule rewrites the right side to a
-    # per-key MAX/MIN aggregate, turning the within-group pair scan into
-    # one comparison per key — the scale-safe plan for skewed keys.
-    # Tuple: (op, right_expr_bare_sql, left_expr_qualified_sql, r_refs).
+    # `expr(right) <op> expr(left)` with op in {>, >=, <, <=, <>}.  The
+    # shape EXISTS/NOT-EXISTS subqueries decorrelate to (b.total >
+    # a.total*2 under an equi key; b.key <> a.key is TPC-DS q16/q94's
+    # residual).  BandExistsAggRule rewrites the right side to a per-key
+    # MAX/MIN aggregate (a MIN+MAX pair for <>), turning the within-group
+    # pair scan into one comparison per key — the scale-safe plan for
+    # skewed keys.  It DECLINES on multi-conjunct residuals (the parser
+    # only sets band for a single conjunct) and, under ANSI mode, on a
+    # right operand containing Divide/Cast (r13 — see _render_side).
+    # Tuple: (op, right_expr_bare_sql, left_expr_qualified_sql, r_refs,
+    # r_total).
     band: tuple | None = None
     # Fused parent Project (r12): when an inner self-join's output
     # carries the SAME column name from both sides (TPC-DS q95's ws_wh

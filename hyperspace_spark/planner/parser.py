@@ -662,8 +662,16 @@ def _render_side(e, allowed_set, alias: str | None):
     ``allowed_set`` (a JVM AttributeSet, exprId-exact) — bare names when
     alias is None, alias-qualified otherwise.  Same bounded grammar as
     ``_qualified_residual`` minus boolean glue (band operands are
-    arithmetic).  Returns (sql, refs) or None."""
+    arithmetic).  Returns (sql, refs, total) or None; ``total`` is False
+    when the expression contains a construct that can THROW under ANSI
+    mode (Divide → divide-by-zero, Cast → overflow/format) — the band
+    rewrite evaluates the right operand over EVERY right-side row, while
+    the raw semi/anti SMJ only reaches key groups actually probed, so a
+    throwing operand in a never-probed group would error the rewritten
+    plan where the raw plan succeeds (integer Add/Multiply overflow is
+    a residual theoretical gap, negligible against real column ranges)."""
     refs: set[str] = set()
+    throwing: list[str] = []
 
     def render(x) -> str | None:
         cls = x.getClass().getSimpleName()
@@ -677,11 +685,14 @@ def _render_side(e, allowed_set, alias: str | None):
         if cls == "Literal":
             return str(x.sql())
         if cls in ("Add", "Subtract", "Multiply", "Divide"):
+            if cls == "Divide":
+                throwing.append(cls)
             a, b = render(x.left()), render(x.right())
             if a is None or b is None:
                 return None
             return f"({a} {_RESIDUAL_BINOPS[cls]} {b})"
         if cls == "Cast":
+            throwing.append(cls)
             c = render(x.child())
             if c is None:
                 return None
@@ -692,16 +703,19 @@ def _render_side(e, allowed_set, alias: str | None):
         return None
 
     sql = render(e)
-    return None if sql is None else (sql, frozenset(refs))
+    return None if sql is None else (sql, frozenset(refs), not throwing)
 
 
 def _band_conjunct(jconj, jnode) -> tuple | None:
-    """(op, right_expr_bare_sql, left_expr_qualified_sql, r_refs) when
-    the conjunct is one comparison whose operands separate cleanly by
-    side: the right operand references ONLY right attributes (at least
-    one — the aggregate needs something to aggregate), the left operand
-    ONLY left attributes (or none).  Normalized so the right expression
-    sits first: ``r_expr <op> l_expr`` — then
+    """(op, right_expr_bare_sql, left_expr_qualified_sql, r_refs,
+    r_total) when the conjunct is one comparison whose operands separate
+    cleanly by side: the right operand references ONLY right attributes
+    (at least one — the aggregate needs something to aggregate), the
+    left operand ONLY left attributes (or none).  ``r_total`` is False
+    when the right operand can throw under ANSI mode (Divide/Cast) —
+    BandExistsAggRule declines then, because the aggregate evaluates it
+    over rows the raw SMJ never probes.  Normalized so the right
+    expression sits first: ``r_expr <op> l_expr`` — then
     EXISTS(b: b.k = a.k AND r_expr(b) > l_expr(a))
       ⇔  MAX(r_expr) per k  >  l_expr(a)
     (MIN for </<=; the same equivalence makes NOT EXISTS / anti sound).
@@ -734,7 +748,7 @@ def _band_conjunct(jconj, jnode) -> tuple | None:
         l = _render_side(l_operand, lset, "__hs_l")
         if l is None:
             continue
-        return (o, r[0], l[0], r[1])
+        return (o, r[0], l[0], r[1], r[2])
     return None
 
 

@@ -765,6 +765,13 @@ class JoinIndexRule:
         return pairs[0][1]
 
 
+def _ansi_enabled(spark) -> bool:
+    try:
+        return str(spark.conf.get("spark.sql.ansi.enabled", "true")).lower() == "true"
+    except Exception:
+        return True  # assume the strict default when unreadable
+
+
 class BandExistsAggRule(JoinIndexRule):
     """Band-EXISTS -> per-key-aggregate rewrite (r12, VERDICT r11 #5).
 
@@ -800,6 +807,15 @@ class BandExistsAggRule(JoinIndexRule):
             or node.band is None
             or not node.equi_keys
         ):
+            return None
+        op, r_expr, l_expr, r_refs, r_total = node.band
+        if not r_total and _ansi_enabled(ctx.spark):
+            # The aggregate evaluates r_expr over EVERY right row; the
+            # raw SMJ residual only runs inside probed key groups.  A
+            # throwing r_expr (Divide/Cast under ANSI) in a never-probed
+            # group would error the rewrite where the raw plan succeeds
+            # — never wrong rows, but a new runtime error.  Decline; the
+            # plain semi/anti serving still applies.
             return None
         lm = match_linear_side(node.left)
         rm = match_linear_side(node.right)
@@ -837,7 +853,6 @@ class BandExistsAggRule(JoinIndexRule):
 
         from hyperspace_spark.planner.expr import _quote_if_needed
 
-        op, r_expr, l_expr, r_refs = node.band
         gkeys = list(dict.fromkeys(rkeys))
         gcols = [_quote_if_needed(k) for k in gkeys]
         if op == "<>":

@@ -83,10 +83,36 @@ def fuzz_env(spark, tmp_path_factory):
             ],
         ),
     )
+    # Nullable twin (r13, VERDICT r12 #2): NULLs injected into the JOIN
+    # KEY and the BAND column so the semi/anti band fuzz exercises 3VL —
+    # TPC-H orders has no NULLs anywhere, so without this arm the
+    # all-NULL-group / NULL-probe cases were never generated.
+    src_nulls = f"{root}/orders_nulls"
+    (
+        o.withColumn(
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 11 == 0, None).otherwise(F.col("o_custkey")),
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 7 == 0, None).otherwise(F.col("o_totalprice")),
+        )
+        .repartition(4)
+        .write.parquet(src_nulls)
+    )
+    hs.create_index(
+        spark.read.parquet(src_nulls),
+        CoveringIndexConfig(
+            "fz_cust_n",
+            ["o_custkey"],
+            ["o_orderkey", "o_totalprice", "o_orderpriority"],
+            num_buckets=8,
+        ),
+    )
     # zero apply-cache TTL: every fuzz case must RE-PLAN (a cache hit
     # would silently re-test the previous example's rewrite)
     spark.conf.set("spark.hyperspace.apply.cacheTtlSeconds", "0")
-    yield hs, src
+    yield hs, src, src_nulls
     spark.conf.unset("spark.hyperspace.apply.cacheTtlSeconds")
 
 
@@ -142,7 +168,7 @@ def test_apply_matches_raw_on_random_join_shapes(spark, fuzz_env, pred, shape):
     orders aggregates (the q65 skeleton) with a random side filter —
     JoinIndexRule / partial-side implication / the co-bucketed agg path
     must never change results, including under a rollup on top."""
-    hs, src = fuzz_env
+    hs, src, _ = fuzz_env
     o = spark.read.parquet(src)
     left = o.filter(pred).groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 2).alias("spend")
@@ -183,7 +209,7 @@ def test_apply_matches_raw_on_random_windows(spark, fuzz_env, pred, part, fn):
     deterministic ORDER BY so rank comparisons are stable."""
     from pyspark.sql import Window as W
 
-    hs, src = fuzz_env
+    hs, src, _ = fuzz_env
     o = spark.read.parquet(src)
     w = W.partitionBy(part).orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     col = {
@@ -212,7 +238,7 @@ def test_apply_matches_raw_on_random_windows(spark, fuzz_env, pred, part, fn):
 )
 @given(pred=_expr(2), proj=st.sampled_from(["narrow", "wide", "agg"]))
 def test_apply_matches_raw_on_random_predicates(spark, fuzz_env, pred, proj):
-    hs, src = fuzz_env
+    hs, src, _ = fuzz_env
     o = spark.read.parquet(src)
     if proj == "narrow":
         df = o.filter(pred).select("o_orderkey", "o_totalprice")
@@ -266,18 +292,23 @@ def _band_residual() -> st.SearchStrategy:
     residual=_band_residual(),
     pred=_expr(1),
     filt=st.sampled_from(["none", "left", "right", "both"]),
+    src_kind=st.sampled_from(["plain", "nulls"]),
 )
 def test_apply_matches_raw_on_semi_anti_band_joins(
-    spark, fuzz_env, jt, residual, pred, filt
+    spark, fuzz_env, jt, residual, pred, filt, src_kind
 ):
     """Semi/anti + residual fuzz (r12, VERDICT r11 #3): the trickiest
     attribution code — side-qualified residual rendering by exprId and
     the band-to-aggregate rewrite — under random both-side arithmetic
     comparisons, random side filters, every index kind active.  apply()
     must be row-exact whichever of {BandExistsAggRule, plain semi/anti
-    serving, single-side rewrites, opaque fallback} wins."""
-    hs, src = fuzz_env
-    o = spark.read.parquet(src)
+    serving, single-side rewrites, opaque fallback} wins.  The "nulls"
+    arm (r13) runs the same shapes over the NULL-injected twin — NULL
+    join keys (never equi-match), all-NULL and mixed band groups, NULL
+    probe values — so the rewrite's 3VL argument is fuzzed, not just
+    argued."""
+    hs, src, src_nulls = fuzz_env
+    o = spark.read.parquet(src if src_kind == "plain" else src_nulls)
     a = (o.filter(pred) if filt in ("left", "both") else o).alias("a")
     b = (o.filter(pred) if filt in ("right", "both") else o).alias("b")
     cond = F.col("a.o_custkey") == F.col("b.o_custkey")
@@ -337,7 +368,7 @@ def test_apply_matches_raw_on_fused_projections(spark, fuzz_env, projs, residual
     a colliding inner self-join must stay row-exact under apply() —
     whichever of {fusion + pair serving, fusion alone, opaque fallback}
     the planner lands on."""
-    hs, src = fuzz_env
+    hs, src, _ = fuzz_env
     o = spark.read.parquet(src)
     a = o.filter(pred).alias("a")
     b = o.alias("b")
