@@ -2010,11 +2010,40 @@ class Hyperspace:
                     out[f["name"]] = t
             return out
 
-        def pick_id_col(scan) -> str:
-            for c in scan.output:
-                if c.lower().endswith("id") or c.lower().endswith("key"):
-                    return c
-            return scan.output[0] if scan.output else "id"
+        def pick_id_col(scan) -> tuple[str, str]:
+            """(id_col, caveat) for TXT/ANN suggestions.  The first
+            *id/*key column can be a NON-unique foreign key (a *_sk
+            dimension key on a fact table), and TXT/ANN indexes key rows
+            by id_col — so run a sampled-uniqueness probe (r13, ADVICE
+            r12): prefer the first candidate whose sample has no
+            duplicate and no NULL (countDistinct == count implies both).
+            A sample can't prove global uniqueness, so the caveat states
+            what was checked; when the probe can't run (non-parquet
+            source), the 'verify it yourself' caveat stands."""
+            cands = [
+                c
+                for c in scan.output
+                if c.lower().endswith("id") or c.lower().endswith("key")
+            ] or ([scan.output[0]] if scan.output else ["id"])
+            try:
+                from pyspark.sql import functions as F
+
+                sample = (
+                    self.spark.read.parquet(*scan.normalized_paths())
+                    .select(*cands)
+                    .limit(100_000)
+                )
+                row = sample.agg(
+                    F.count(F.lit(1)).alias("__hs_n"),
+                    *[F.countDistinct(c).alias(c) for c in cands],
+                ).collect()[0]
+                n = row["__hs_n"]
+                for c in cands:
+                    if n and row[c] == n:
+                        return c, f"id_col {c} unique over a {n}-row sample"
+            except Exception:
+                pass
+            return cands[0], f"verify id_col {cands[0]} is a unique row id"
 
         def covered_by_existing(scan, indexed, required):
             for e in entries:
@@ -2326,20 +2355,20 @@ class Hyperspace:
                         InvertedTextIndexConfig,
                     )
 
+                    id_col, id_caveat = pick_id_col(scan)
                     suggestions.append(
                         {
                             "config": InvertedTextIndexConfig(
                                 f"hs_rec_txt_{len(suggestions)}_{tcol}".lower(),
                                 text_col=tcol,
-                                id_col=pick_id_col(scan),
+                                id_col=id_col,
                             ),
                             "rule": "text_search (explicit API)",
                             "reason": (
                                 f"substring predicate on {tcol} re-scans every "
                                 "row per query; an inverted TXT index serves "
                                 "term/phrase/boolean/BM25 probes from "
-                                "bucket-pruned postings (verify id_col is a "
-                                "unique row id)"
+                                f"bucket-pruned postings ({id_caveat})"
                             ),
                             "source": list(scan.normalized_paths()),
                         }
@@ -2376,12 +2405,13 @@ class Hyperspace:
                             continue
                         from hyperspace_spark.indexes.ann import IvfIndexConfig
 
+                        id_col, id_caveat = pick_id_col(scan)
                         suggestions.append(
                             {
                                 "config": IvfIndexConfig(
                                     f"hs_rec_ann_{len(suggestions)}_{vcol}".lower(),
                                     vec_col=vcol,
-                                    id_col=pick_id_col(scan),
+                                    id_col=id_col,
                                 ),
                                 "rule": "ann_search / ann_join (explicit API)",
                                 "reason": (
@@ -2389,7 +2419,7 @@ class Hyperspace:
                                     f"vector column {vcol}: brute force scores the "
                                     "whole corpus per query; IVF probes n_probe "
                                     "clusters (add pq_m for the PQ layout at "
-                                    "billion-vector scale)"
+                                    f"billion-vector scale; {id_caveat})"
                                 ),
                                 "source": list(scan.normalized_paths()),
                             }

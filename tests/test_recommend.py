@@ -282,3 +282,29 @@ def test_recommend_ann_roundtrip(spark, hs, tmp_path):
         for r in hs.recommend(df)
         if r["config"].__class__.__name__ == "IvfIndexConfig"
     ] == [], "ANN proposal must drop once the index exists"
+
+
+def test_recommend_id_col_skips_nonunique_foreign_key(spark, hs, tmp_path):
+    """r13 (ADVICE r12): the first *key/*id column on a fact-like table
+    is a NON-unique foreign key; pick_id_col's sampled-uniqueness probe
+    must skip it and key the TXT suggestion by the unique row id, with
+    the reason stating what was checked."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "fact_txt")
+    (
+        spark.range(200)
+        .select(
+            (F.col("id") % 7).alias("cust_key"),  # FK, first candidate
+            F.col("id").alias("doc_id"),  # unique row id
+            F.concat(F.lit("data point "), F.col("id")).alias("text"),
+        )
+        .write.parquet(src)
+    )
+    d = spark.read.parquet(src)
+    df = d.filter(F.col("text").contains("data")).select("doc_id")
+    recs = hs.recommend(df)
+    txt = [r for r in recs if r["config"].__class__.__name__ == "InvertedTextIndexConfig"]
+    assert len(txt) == 1, recs
+    assert txt[0]["config"].id_col == "doc_id", txt[0]
+    assert "unique over a" in txt[0]["reason"], txt[0]["reason"]
