@@ -88,6 +88,22 @@ ACCELERATED_QUERIES = [
     "exists_sibling_order_semijoin",
 ]
 
+# Accelerated contract queries whose RESULT is O(input) rows (the
+# semi/anti band family returns nearly every order): at sf1+ a collect()
+# arm measures driver row transfer, not the pipeline, and the paired
+# ratio collapses to noise around 1 (VERDICT r12 'What's wrong' #3).
+# scripts/scale_probe.py times these with a count()-wrapped arm on BOTH
+# sides so the committed sf1 artifact carries the pipeline number; the
+# sf0.1 bench keeps raw walls (result sets are small there).
+RESULT_HEAVY_QUERIES = frozenset(
+    {
+        "exists_band_semijoin",
+        "not_exists_band_antijoin",
+        "exists_sibling_order_semijoin",
+        "exists_distinct_order_semijoin",
+    }
+)
+
 
 def executed_plan_final(df) -> str:
     """The AQE-finalized executed plan text (the section BEFORE

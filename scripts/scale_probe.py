@@ -116,12 +116,20 @@ def generate(spark) -> None:
 
 
 def timed(spark, name, runs=3):
-    from hyperspace_spark.workload import QUERIES
+    """min-of-N wall.  Result-heavy queries (RESULT_HEAVY_QUERIES) are
+    count()-wrapped on BOTH arms: their result is O(input) rows, so a
+    collect() arm times the driver transfer instead of the pipeline and
+    the paired ratio degenerates to ~1 whatever the plan (r13, VERDICT
+    r12 #6).  count() keeps the join/aggregate pipeline intact — the
+    rewrite under test — and drops only the row shipment."""
+    from hyperspace_spark.workload import QUERIES, RESULT_HEAVY_QUERIES
 
+    agg_wrap = name in RESULT_HEAVY_QUERIES
     best = float("inf")
     for _ in range(runs):
         t0 = time.perf_counter()
-        QUERIES[name](spark, DST).collect()
+        df = QUERIES[name](spark, DST)
+        df.count() if agg_wrap else df.collect()
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -135,7 +143,12 @@ def main():
     from hyperspace_spark.workload import (
         ACCELERATED_QUERIES as ACCELERATED,
     )
-    from hyperspace_spark.workload import QUERIES, executed_plan_final, workspace
+    from hyperspace_spark.workload import (
+        QUERIES,
+        RESULT_HEAVY_QUERIES,
+        executed_plan_final,
+        workspace,
+    )
 
     t0 = time.perf_counter()
     ws = workspace(spark, DST)
@@ -250,6 +263,7 @@ def main():
         "geomean_speedup": geomean,
         "aqe_exchange_free_join": aqe_ok,
         "metadata_decline_ok": decline_ok,
+        "agg_wrapped_pairs": sorted(n for n in speedups if n in RESULT_HEAVY_QUERIES),
         "cpus": 32,
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -110,3 +110,26 @@ def test_cobucketed_join_survives_aqe(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.conf.unset("spark.hyperspace.apply.cacheTtlSeconds")
+
+
+def test_bench_stdout_line_fits_with_headroom():
+    """r13 (VERDICT r12 #5): the one driver-visible stdout line, built
+    from the COMMITTED full payload, must fit the driver's tail window
+    with >=200 chars of headroom — so the next round's pair names can't
+    silently truncate the artifact.  The per-pair speedup map must be
+    gone from stdout (it lives in BENCH_FULL.json) while the geomean
+    and the evidence histogram stay."""
+    import json
+    import os
+
+    import bench
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BENCH_FULL.json")) as f:
+        payload = json.load(f)
+    line = bench.compact_stdout_line(payload, payload["queries"])
+    assert len(line) <= bench.STDOUT_BUDGET - 200, len(line)
+    parsed = json.loads(line)
+    assert "speedup_vs_unindexed" not in parsed
+    assert "geomean_speedup" in parsed and "evidence_age" in parsed
+    assert "shed_for_length" not in parsed, "shedding means headroom is gone"
