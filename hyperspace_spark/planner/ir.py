@@ -66,6 +66,32 @@ class FilterN(Node):
 
 
 @dataclass
+class ExistsFilterN(Node):
+    """Filter over a chain of Catalyst ExistenceJoins (r13): the
+    decorrelated form of EXISTS subqueries under a DISJUNCTION (TPC-DS
+    q10/q35's `EXISTS(web) OR EXISTS(catalog)`).  Catalyst cannot lower
+    these to semi/anti joins (the OR needs both truth values), so it
+    emits boolean flag columns — ALL named `exists`, distinguished only
+    by exprId — making name-based SQL replay of the raw shape
+    impossible (and ExistenceJoin.sql() throws, so the generic join
+    path can't even see the type).  This composite captures the whole
+    Filter+chain and replays it as correlated EXISTS subqueries, which
+    Catalyst re-decorrelates to the same ExistenceJoins — an exact
+    round trip — while every scan inside the branch subtrees stays
+    visible to the index rules (each channel star's date join can serve
+    from its co-bucketed pair).
+
+    cond_template: SQL over the child's columns with one ``{token}``
+    placeholder per branch; branches: (token, right_subtree,
+    side-qualified join condition under aliases __hs_l / <token>)."""
+
+    child: Node = None
+    cond_template: str = ""
+    branches: list = field(default_factory=list)
+    references: frozenset = frozenset()
+
+
+@dataclass
 class ProjectN(Node):
     child: Node = None
     exprs: list[str] = field(default_factory=list)  # SQL incl. aliases, in order
@@ -201,6 +227,8 @@ def children(node: Node) -> list[Node]:
         return [node.left, node.right]
     if isinstance(node, UnionN):
         return list(node.kids)
+    if isinstance(node, ExistsFilterN):
+        return [node.child] + [r for _, r, _ in node.branches]
     child = getattr(node, "child", None)
     return [child] if child is not None else []
 
@@ -213,6 +241,12 @@ def with_children(node: Node, new_children: list[Node]) -> Node:
         out.left, out.right = new_children
     elif isinstance(node, UnionN):
         out.kids = list(new_children)
+    elif isinstance(node, ExistsFilterN):
+        out.child = new_children[0]
+        out.branches = [
+            (t, nc, c)
+            for (t, _, c), nc in zip(node.branches, new_children[1:])
+        ]
     elif new_children:
         out.child = new_children[0]
     return out
@@ -281,6 +315,12 @@ def required_columns(node: Node) -> frozenset[str]:
         # A Filter passes its child's FULL output upward, so everything the
         # scan produces is still needed — plus the predicate's columns.
         return node.condition.references | required_columns(node.child)
+    if isinstance(node, ExistsFilterN):
+        # Same shape as FilterN: the child's full output passes upward
+        # (flag columns are consumed here and dropped); references carry
+        # the template's plain conjuncts and each branch's correlated
+        # left-side columns.
+        return frozenset(node.references) | required_columns(node.child)
     if isinstance(node, ProjectN):
         # A Project narrows the output to its own references, but any Filter
         # BETWEEN it and the scan still needs its predicate columns.

@@ -283,6 +283,9 @@ def _parse(jnode) -> ir.Node:
         )
 
     if cls == "Filter":
+        ej = _try_parse_exists_filter(jnode)
+        if ej is not None:
+            return ej
         try:
             # An UNCORRELATED scalar subquery survives optimization as a
             # ScalarSubquery expression (correlated ones decorrelate to
@@ -397,6 +400,124 @@ def _parse(jnode) -> ir.Node:
     raise UnsupportedPlan(cls)
 
 
+def _try_parse_exists_filter(jnode) -> "ir.ExistsFilterN | None":
+    """Filter over a chain of ExistenceJoins -> ir.ExistsFilterN (r13).
+
+    Catalyst decorrelates EXISTS subqueries under a DISJUNCTION (TPC-DS
+    q10/q35's `EXISTS(web) OR EXISTS(catalog)`) into ExistenceJoin
+    nodes that emit boolean flag columns consumed by this Filter.  The
+    flags are all NAMED `exists` (exprId-distinguished), so name-based
+    replay of the raw shape is ambiguous — and ExistenceJoin.sql()
+    throws outright.  Instead the whole Filter+chain re-renders as
+    correlated EXISTS subqueries (Catalyst re-decorrelates on replay —
+    an exact round trip), keeping the branch subtrees' scans visible to
+    the index rules.  None when the shape doesn't hold or any piece
+    leaves the bounded grammar (the Filter then goes opaque as before)."""
+    def _is_ej(n) -> bool:
+        return (
+            n.getClass().getSimpleName() == "Join"
+            and n.joinType().getClass().getSimpleName() == "ExistenceJoin"
+        )
+
+    chain = []
+    cur = jnode.child()
+    while True:
+        if _is_ej(cur):
+            chain.append(cur)
+            cur = cur.left()
+            continue
+        # Catalyst column pruning inserts attribute-only Projects BETWEEN
+        # stacked ExistenceJoins; replay re-prunes, so a pure passthrough
+        # list is safe to step over (an Alias is not — it renames).
+        if (
+            cur.getClass().getSimpleName() == "Project"
+            and _is_ej(cur.child())
+            and all(
+                e.getClass().getSimpleName() == "AttributeReference"
+                for e in scala_seq(cur.projectList())
+            )
+        ):
+            cur = cur.child()
+            continue
+        break
+    if not chain:
+        return None
+    flag_tokens: dict[int, str] = {}
+    for j in chain:
+        att = j.joinType().exists()
+        flag_tokens[int(att.exprId().id())] = f"__hs_ex{att.exprId().id()}"
+    base_out = cur.outputSet()
+    refs: set[str] = set()
+
+    def has_flag(e) -> bool:
+        it = e.references().iterator()
+        while it.hasNext():
+            if int(it.next().exprId().id()) in flag_tokens:
+                return True
+        return False
+
+    def render(e) -> str | None:
+        cls = e.getClass().getSimpleName()
+        if cls == "AttributeReference":
+            tok = flag_tokens.get(int(e.exprId().id()))
+            if tok is not None:
+                return "{" + tok + "}"
+            if not base_out.contains(e):
+                return None
+            refs.add(str(e.name()))
+            return _quote_if_needed(str(e.name()))
+        if cls in ("And", "Or"):
+            a, b = render(e.left()), render(e.right())
+            if a is None or b is None:
+                return None
+            return f"({a} {'AND' if cls == 'And' else 'OR'} {b})"
+        if cls == "Not":
+            c = render(e.child())
+            return None if c is None else f"(NOT {c})"
+        # Flag-free leaf predicate over the child's columns: the generic
+        # expression renderer (same one plain FilterN replay uses).
+        if has_flag(e):
+            return None
+        pe = parse_expr(e)
+        if "<unparseable>" in pe.sql:
+            return None
+        refs.update(pe.references)
+        return pe.sql
+
+    tmpl = render(jnode.condition())
+    if tmpl is None:
+        return None
+    branches = []
+    for j in chain:
+        att = j.joinType().exists()
+        tok = flag_tokens[int(att.exprId().id())]
+        cond_opt = j.condition()
+        if not cond_opt.isDefined() or has_flag(cond_opt.get()):
+            return None
+        cond_sql = _render_qualified(
+            cond_opt.get(),
+            j.left().outputSet(),
+            j.right().outputSet(),
+            lalias="__hs_l",
+            ralias=tok,
+        )
+        if cond_sql is None:
+            return None
+        # correlated left-side columns must stay available on the child
+        it = cond_opt.get().references().iterator()
+        while it.hasNext():
+            a = it.next()
+            if j.left().outputSet().contains(a):
+                refs.add(str(a.name()))
+        branches.append((tok, _parse_or_opaque(j.right()), cond_sql))
+    return ir.ExistsFilterN(
+        child=_parse_or_opaque(cur),
+        cond_template=tmpl,
+        branches=branches,
+        references=frozenset(refs),
+    )
+
+
 def _parse_join(jnode, allow_collision: bool = False) -> "ir.JoinN":
     """The Join branch of _parse, extracted so the Project-fusion path
     (_try_fuse_project_join) can parse a COLLIDING-output join without
@@ -404,9 +525,17 @@ def _parse_join(jnode, allow_collision: bool = False) -> "ir.JoinN":
     check is skipped — the caller must install select_exprs that
     disambiguate every output column before the node is used."""
     if True:
+        try:
+            # ExistenceJoin (and any future internal type) THROWS from
+            # .sql(); that Java exception must become a clean decline,
+            # not a crash that opaques the whole statement.
+            jt = str(jnode.joinType().sql()).lower().replace(" ", "_")
+        except Exception:
+            raise UnsupportedPlan(
+                f"join:{jnode.joinType().getClass().getSimpleName()}"
+            )
         left = _parse_or_opaque(jnode.left())
         right = _parse_or_opaque(jnode.right())
-        jt = str(jnode.joinType().sql()).lower().replace(" ", "_")
         cond_opt = jnode.condition()
         condition = None
         equi: list[tuple[str, str]] = []
@@ -505,7 +634,7 @@ def _names(node: ir.Node) -> list[str]:
         return node.output
     if isinstance(node, (ir.ProjectN, ir.AggregateN, ir.WindowN, ir.GroupingSetsN)):
         return node.output
-    if isinstance(node, (ir.FilterN, ir.LimitN, ir.SortN, ir.DistinctN)):
+    if isinstance(node, (ir.FilterN, ir.ExistsFilterN, ir.LimitN, ir.SortN, ir.DistinctN)):
         return _names(node.child)
     if isinstance(node, ir.UnionN):
         return _names(node.kids[0]) if node.kids else []
@@ -561,9 +690,10 @@ def _qualified_residual(jconj, jnode) -> str | None:
     return _render_qualified(jconj, lset, rset)
 
 
-def _render_qualified(jexpr, lset, rset) -> str | None:
+def _render_qualified(jexpr, lset, rset, lalias="__hs_l", ralias="__hs_r") -> str | None:
     """Side-qualified rendering over the bounded residual grammar,
-    shared by _qualified_residual and the Project-over-join fusion."""
+    shared by _qualified_residual, the Project-over-join fusion, and the
+    ExistenceJoin-chain branch conditions (custom aliases)."""
 
     def render(e) -> str | None:
         cls = e.getClass().getSimpleName()
@@ -571,7 +701,7 @@ def _render_qualified(jexpr, lset, rset) -> str | None:
             in_l, in_r = lset.contains(e), rset.contains(e)
             if in_l == in_r:
                 return None
-            side = "__hs_l" if in_l else "__hs_r"
+            side = lalias if in_l else ralias
             return f"{side}.{_quote_if_needed(str(e.name()))}"
         if cls == "Literal":
             return str(e.sql())

@@ -91,6 +91,22 @@ def _sql(spark: "SparkSession", node: ir.Node, views: list[str]) -> str:
         child = _sub(spark, node.child, views)
         return f"SELECT * FROM {child} WHERE {node.condition.sql}"
 
+    if isinstance(node, ir.ExistsFilterN):
+        # Correlated-EXISTS re-rendering of a Catalyst ExistenceJoin
+        # chain (see ir.ExistsFilterN): each branch substitutes its
+        # placeholder with `EXISTS (SELECT 1 FROM <branch> WHERE cond)`;
+        # Catalyst decorrelates the round trip back to the same
+        # ExistenceJoins over the (possibly index-rewritten) subtrees.
+        child = _sub(spark, node.child, views, alias="__hs_l")
+        cond = node.cond_template
+        for token, right, cond_sql in node.branches:
+            rsql = _sub(spark, right, views, alias=token)
+            cond = cond.replace(
+                "{" + token + "}",
+                f"EXISTS (SELECT 1 FROM {rsql} WHERE {cond_sql})",
+            )
+        return f"SELECT * FROM {child} WHERE {cond}"
+
     if isinstance(node, ir.ProjectN):
         child = _sub(spark, node.child, views)
         cols = ", ".join(node.exprs) if node.exprs else "*"

@@ -1135,6 +1135,53 @@ def exists_sibling_order_semijoin(spark, sf_dir):
 
 
 @q(
+    "exists_or_channels",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+      )
+      OR EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000
+      )
+    """,
+)
+def exists_or_channels(spark, sf_dir):
+    """EXISTS subqueries under a DISJUNCTION (TPC-DS q10/q35's shape on
+    TPC-H tables): Catalyst lowers the OR-ed pair to ExistenceJoins —
+    boolean flag columns all NAMED `exists`, whose joinType.sql() even
+    throws — so before r13 the whole statement went opaque and every
+    scan under it was invisible to the index rules.  The r13
+    ExistsFilterN composite (planner/parser.py::_try_parse_exists_filter,
+    replay.py) re-renders the filter as correlated EXISTS subqueries
+    (Catalyst re-decorrelates — an exact round trip) with each branch
+    subtree fully visible.  TPC-DS q10/q35 goldens pin the accelerated
+    star shape (6 index instances); this row is the driver's DuckDB
+    correctness gate for the same path."""
+    ws = workspace(spark, sf_dir)
+    for t in ("customer", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"w_{t}")
+    df = spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM w_customer c
+        WHERE EXISTS (
+            SELECT 1 FROM w_orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+          )
+          OR EXISTS (
+            SELECT 1 FROM w_orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000
+          )
+        """
+    )
+    return ws.hs.apply(df)
+
+
+@q(
     "join_cobucketed",
     """
     SELECT o_orderpriority,
@@ -5795,7 +5842,8 @@ _VERIFY_PRIORITY = [
     "q20_excess_stock",
     "session_window_events",
     "streaming_tumbling_rollup",
-    # --- new in r13 would go here (none yet) ---
+    # --- new in r13: the ExistsFilterN (EXISTS-under-OR) path ---
+    "exists_or_channels",
     # --- r11-green fills to 50 (re-verified a round early so the r14
     # window only owes the 34 below) ---
     "window_tumbling_events",
@@ -5812,8 +5860,8 @@ _VERIFY_PRIORITY = [
     "setop_except_all",
     "salted_skew_agg",
     "events_hourly_rollup",
-    "mixture_stratified_sample",
     # --- r11-greens below here (position 51+) lead the r14 window ---
+    "mixture_stratified_sample",
     "split_train_val_test",
     "sample_hash_deterministic",
     "contamination_check",

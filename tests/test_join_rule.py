@@ -707,3 +707,70 @@ def test_band_hybrid_appended_files_still_serve(spark, tmp_path_factory):
         assert q.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_exists_or_filter_parses_replays_exact(spark, band_hs):
+    """r13 ExistsFilterN: EXISTS subqueries under a DISJUNCTION lower to
+    Catalyst ExistenceJoins whose flag columns are all NAMED `exists`
+    (and whose joinType.sql() throws) — previously the whole statement
+    went opaque.  The composite must parse (ExistsFilterN in the IR),
+    replay as correlated EXISTS (exact round trip), and keep the branch
+    scans visible to the rules."""
+    from hyperspace_spark.planner import ir as _ir
+    from hyperspace_spark.planner.parser import _parse
+
+    q = spark.sql(
+        """
+        SELECT o_orderkey, o_custkey FROM orders_band a
+        WHERE EXISTS (SELECT 1 FROM orders_band b
+                      WHERE b.o_custkey = a.o_custkey
+                        AND b.o_totalprice > a.o_totalprice * 2)
+           OR EXISTS (SELECT 1 FROM orders_band b
+                      WHERE b.o_custkey = a.o_custkey
+                        AND b.o_orderkey <> a.o_orderkey)
+        """
+    )
+    node = _parse(q._jdf.queryExecution().optimizedPlan())
+
+    def find(n):
+        if isinstance(n, _ir.ExistsFilterN):
+            return n
+        for k in _ir.children(n):
+            f = find(k)
+            if f is not None:
+                return f
+        return None
+
+    ej = find(node)
+    assert ej is not None, "ExistenceJoin chain did not parse to ExistsFilterN"
+    assert len(ej.branches) == 2 and " OR " in ej.cond_template
+    # every branch subtree bottoms out in a VISIBLE scan (not opaque)
+    for _, right, _ in ej.branches:
+        leaf = right
+        while _ir.children(leaf):
+            leaf = _ir.children(leaf)[0]
+        assert isinstance(leaf, _ir.Scan), type(leaf).__name__
+    fast, used = band_hs._apply_with_info(q)
+    assert rows_equal(q, fast)
+    assert q.count() > 0
+
+
+def test_exists_or_with_plain_conjunct_and_not(spark, band_hs):
+    """The template grammar: ordinary predicates AND NOT over a flag mix
+    with the EXISTS branches; rows must stay exact (NOT EXISTS via the
+    flag is the 3VL-sensitive path)."""
+    q = spark.sql(
+        """
+        SELECT o_orderkey FROM orders_band a
+        WHERE o_totalprice > 1000
+          AND (EXISTS (SELECT 1 FROM orders_band b
+                       WHERE b.o_custkey = a.o_custkey
+                         AND b.o_totalprice > a.o_totalprice * 2)
+               OR NOT EXISTS (SELECT 1 FROM orders_band b
+                              WHERE b.o_custkey = a.o_custkey
+                                AND b.o_orderkey <> a.o_orderkey))
+        """
+    )
+    fast, used = band_hs._apply_with_info(q)
+    assert rows_equal(q, fast)
+    assert 0 < fast.count() < table(spark, "orders").count()

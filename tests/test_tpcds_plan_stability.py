@@ -1750,6 +1750,164 @@ ORDER BY substr(w_warehouse_name, 1, 20), sm_type, cc_name
 LIMIT 100
 """
 
+# Official text (reference: src/test/resources/tpcds/queries/q10.sql):
+# the customer-demographics EXISTS/IN family — a conjunctive store-channel
+# EXISTS AND a DISJUNCTION of web/catalog EXISTS (Catalyst decorrelates
+# the OR-ed pair to ExistenceJoins feeding a boolean filter).
+TPCDS_Q10 = """
+SELECT
+  cd_gender,
+  cd_marital_status,
+  cd_education_status,
+  count(*) cnt1,
+  cd_purchase_estimate,
+  count(*) cnt2,
+  cd_credit_rating,
+  count(*) cnt3,
+  cd_dep_count,
+  count(*) cnt4,
+  cd_dep_employed_count,
+  count(*) cnt5,
+  cd_dep_college_count,
+  count(*) cnt6
+FROM
+  customer c, customer_address ca, customer_demographics
+WHERE
+  c.c_current_addr_sk = ca.ca_address_sk AND
+    ca_county IN ('Rush County', 'Toole County', 'Jefferson County',
+                  'Dona Ana County', 'La Porte County') AND
+    cd_demo_sk = c.c_current_cdemo_sk AND
+    exists(SELECT *
+           FROM store_sales, date_dim
+           WHERE c.c_customer_sk = ss_customer_sk AND
+             ss_sold_date_sk = d_date_sk AND
+             d_year = 2002 AND
+             d_moy BETWEEN 1 AND 1 + 3) AND
+    (exists(SELECT *
+            FROM web_sales, date_dim
+            WHERE c.c_customer_sk = ws_bill_customer_sk AND
+              ws_sold_date_sk = d_date_sk AND
+              d_year = 2002 AND
+              d_moy BETWEEN 1 AND 1 + 3) OR
+      exists(SELECT *
+             FROM catalog_sales, date_dim
+             WHERE c.c_customer_sk = cs_ship_customer_sk AND
+               cs_sold_date_sk = d_date_sk AND
+               d_year = 2002 AND
+               d_moy BETWEEN 1 AND 1 + 3))
+GROUP BY cd_gender,
+  cd_marital_status,
+  cd_education_status,
+  cd_purchase_estimate,
+  cd_credit_rating,
+  cd_dep_count,
+  cd_dep_employed_count,
+  cd_dep_college_count
+ORDER BY cd_gender,
+  cd_marital_status,
+  cd_education_status,
+  cd_purchase_estimate,
+  cd_credit_rating,
+  cd_dep_count,
+  cd_dep_employed_count,
+  cd_dep_college_count
+LIMIT 100
+"""
+
+# Official text (reference: src/test/resources/tpcds/queries/q35.sql).
+TPCDS_Q35 = """
+SELECT
+  ca_state,
+  cd_gender,
+  cd_marital_status,
+  count(*) cnt1,
+  min(cd_dep_count),
+  max(cd_dep_count),
+  avg(cd_dep_count),
+  cd_dep_employed_count,
+  count(*) cnt2,
+  min(cd_dep_employed_count),
+  max(cd_dep_employed_count),
+  avg(cd_dep_employed_count),
+  cd_dep_college_count,
+  count(*) cnt3,
+  min(cd_dep_college_count),
+  max(cd_dep_college_count),
+  avg(cd_dep_college_count)
+FROM
+  customer c, customer_address ca, customer_demographics
+WHERE
+  c.c_current_addr_sk = ca.ca_address_sk AND
+    cd_demo_sk = c.c_current_cdemo_sk AND
+    exists(SELECT *
+           FROM store_sales, date_dim
+           WHERE c.c_customer_sk = ss_customer_sk AND
+             ss_sold_date_sk = d_date_sk AND
+             d_year = 2002 AND
+             d_qoy < 4) AND
+    (exists(SELECT *
+            FROM web_sales, date_dim
+            WHERE c.c_customer_sk = ws_bill_customer_sk AND
+              ws_sold_date_sk = d_date_sk AND
+              d_year = 2002 AND
+              d_qoy < 4) OR
+      exists(SELECT *
+             FROM catalog_sales, date_dim
+             WHERE c.c_customer_sk = cs_ship_customer_sk AND
+               cs_sold_date_sk = d_date_sk AND
+               d_year = 2002 AND
+               d_qoy < 4))
+GROUP BY ca_state, cd_gender, cd_marital_status, cd_dep_count,
+  cd_dep_employed_count, cd_dep_college_count
+ORDER BY ca_state, cd_gender, cd_marital_status, cd_dep_count,
+  cd_dep_employed_count, cd_dep_college_count
+LIMIT 100
+"""
+
+# Official text (reference: src/test/resources/tpcds/queries/q69.sql):
+# q10's anti twin — store EXISTS AND NOT EXISTS web AND NOT EXISTS
+# catalog, all conjunctive (left-semi + two left-anti joins).
+TPCDS_Q69 = """
+SELECT
+  cd_gender,
+  cd_marital_status,
+  cd_education_status,
+  count(*) cnt1,
+  cd_purchase_estimate,
+  count(*) cnt2,
+  cd_credit_rating,
+  count(*) cnt3
+FROM
+  customer c, customer_address ca, customer_demographics
+WHERE
+  c.c_current_addr_sk = ca.ca_address_sk AND
+    ca_state IN ('KY', 'GA', 'NM') AND
+    cd_demo_sk = c.c_current_cdemo_sk AND
+    exists(SELECT *
+           FROM store_sales, date_dim
+           WHERE c.c_customer_sk = ss_customer_sk AND
+             ss_sold_date_sk = d_date_sk AND
+             d_year = 2001 AND
+             d_moy BETWEEN 4 AND 4 + 2) AND
+    (NOT exists(SELECT *
+                FROM web_sales, date_dim
+                WHERE c.c_customer_sk = ws_bill_customer_sk AND
+                  ws_sold_date_sk = d_date_sk AND
+                  d_year = 2001 AND
+                  d_moy BETWEEN 4 AND 4 + 2) AND
+      NOT exists(SELECT *
+                 FROM catalog_sales, date_dim
+                 WHERE c.c_customer_sk = cs_ship_customer_sk AND
+                   cs_sold_date_sk = d_date_sk AND
+                   d_year = 2001 AND
+                   d_moy BETWEEN 4 AND 4 + 2))
+GROUP BY cd_gender, cd_marital_status, cd_education_status,
+  cd_purchase_estimate, cd_credit_rating
+ORDER BY cd_gender, cd_marital_status, cd_education_status,
+  cd_purchase_estimate, cd_credit_rating
+LIMIT 100
+"""
+
 
 def _pick(idx_col, values: list[str]):
     """CASE chain mapping an integer column 0..len-1 onto literal values."""
@@ -1786,6 +1944,11 @@ def _sales(spark, prefix: str, n: int, salt: int):
         # when AGGREGATED per manager/manufact (balanced windows nearly
         # cancel: the measured manager-level deviation was 0.015).
         windows += [731, 1251, 1466, 342, 428, 1344, 1251, 1127, 249]
+    if prefix == "cs":
+        # 2002-01 (sk 1466): q10/q35's (ws OR cs) EXISTS arm — catalog is
+        # the only non-store channel with 2002 rows, so the disjunct
+        # hinges on cs_ship_customer_sk's stratum there (see below).
+        windows += [1466]
     # Select the window by floor(id/500), NOT id % len(windows): the
     # item key is id % 500, so a mod-6 selector would freeze each
     # window's item-key PARITY (id ≡ 2 mod 6 is always even), making
@@ -1825,6 +1988,12 @@ def _sales(spark, prefix: str, n: int, salt: int):
             # by 3000, floor(id/3000) differs) so the <>-EXISTS is
             # non-trivially selective.
             (F.col("id") % 97).alias("cs_bill_customer_sk"),
+            # q10/q35/q69's catalog arm: ship-to customers are a MIDDLE
+            # stratum (31..83) — customers 84..96 have no catalog
+            # shipments and no web orders (ws bills only 0..60), so
+            # q69's NOT-EXISTS pair keeps a non-empty remainder while
+            # q10/q35's EXISTS arms stay non-trivially selective.
+            (31 + F.col("id") % 53).alias("cs_ship_customer_sk"),
             (((F.col("id") * 9 + 1) % 331) / 4.0).alias("cs_ext_discount_amt"),
             ((F.col("id") * 7 + 1) % 2000).alias("cs_sold_time_sk"),
             F.when(F.col("id") % 2 == 0, F.lit(1746) + (F.col("id") % 80))
@@ -1840,7 +2009,10 @@ def _sales(spark, prefix: str, n: int, salt: int):
         ]
     if prefix == "ws":  # q94/q95 shipping star ('1999-02-01' = sk 650)
         cols += [
-            (F.col("id") % 97).alias("ws_bill_customer_sk"),
+            # web bills only customers 0..60 (r13): q69's NOT-EXISTS web
+            # arm needs customers with NO web orders; q38/q87's channel
+            # INTERSECT/EXCEPT stay non-empty on the shared 0..60 range.
+            (F.col("id") % 61).alias("ws_bill_customer_sk"),
             (((F.col("id") * 9 + 5) % 331) / 4.0).alias("ws_ext_discount_amt"),
             (((F.col("id") * 13 + 7) % 997) / 3.0).alias("ws_net_paid"),
             ((F.col("id") * 7 + 2) % 2000).alias("ws_sold_time_sk"),
@@ -1973,6 +2145,8 @@ def tpcds(spark, tmp_path_factory):
         F.when(F.col("id") % 3 == 0, "Y").otherwise("N").alias(
             "c_preferred_cust_flag"
         ),
+        # q10/q35/q69: the demographics foreign key, covering every cd row
+        (F.col("id") % 80).alias("c_current_cdemo_sk"),
     )
     # star tables for q3/q42/q52/q55/q33
     it = spark.range(500).select(
@@ -2067,6 +2241,15 @@ def tpcds(spark, tmp_path_factory):
         F.when(F.col("id") % 2 == 0, "M").otherwise("F").alias("cd_gender"),
         mar_col.alias("cd_marital_status"),
         edu_col.alias("cd_education_status"),
+        # q10/q35/q69 profile columns — small cycles so the GROUP BYs
+        # fold to a handful of rows and every min/max/avg is non-trivial
+        (500 * (F.col("id") % 10 + 1)).alias("cd_purchase_estimate"),
+        _pick(
+            F.col("id") % 4, ["Low Risk", "Good", "High Risk", "Unknown"]
+        ).alias("cd_credit_rating"),
+        (F.col("id") % 7).alias("cd_dep_count"),
+        (F.col("id") % 5).alias("cd_dep_employed_count"),
+        (F.col("id") % 3).alias("cd_dep_college_count"),
     )
     # q13/q48 household-demographics dim: dep_count alternates over the
     # two values the official branches name (3 and 1)
@@ -2129,6 +2312,15 @@ def tpcds(spark, tmp_path_factory):
         .when((F.col("id") % 20 >= 4) & (F.col("id") % 20 <= 13), "24128")
         .otherwise(F.concat(F.lit("9"), F.lpad((F.col("id") % 1000).cast("string"), 4, "0")))
         .alias("ca_zip"),
+        # q10's county gate: residues 0-4 carry the official IN-list
+        # counties (half the addresses qualify), the rest synthetic
+        _pick(
+            F.col("id") % 10,
+            ["Rush County", "Toole County", "Jefferson County",
+             "Dona Ana County", "La Porte County", "Walker County",
+             "Richland County", "Gaines County", "Fulton County",
+             "Dodge County"],
+        ).alias("ca_county"),
     )
     ss = _sales(spark, "ss", 20000, 0)
     cs = _sales(spark, "cs", 15000, 1)
@@ -2267,7 +2459,7 @@ def tpcds(spark, tmp_path_factory):
                 "cs_bill_cdemo_sk", "cs_promo_sk", "cs_quantity",
                 "cs_list_price", "cs_coupon_amt", "cs_sales_price",
                 "cs_bill_customer_sk", "cs_ext_discount_amt",
-                "cs_sold_time_sk",
+                "cs_sold_time_sk", "cs_ship_customer_sk",
             ],
             num_buckets=4,
         ),
@@ -2715,5 +2907,19 @@ def test_tpcds_ship_latency_plan_stability(spark, tpcds, qname, sql):
     sums over ship-minus-sold day deltas with warehouse/ship-mode/site
     dims — the SHIP-date join serves from the channel's ship-date pair
     (covers widened with the mode and sold-date keys)."""
+    hs, _ = tpcds
+    _check_plan_stability(spark, hs, qname, sql, expect_indexes=True)
+
+
+@pytest.mark.parametrize(
+    "qname,sql",
+    [("q10", TPCDS_Q10), ("q35", TPCDS_Q35), ("q69", TPCDS_Q69)],
+)
+def test_tpcds_customer_exists_plan_stability(spark, tpcds, qname, sql):
+    """The customer-demographics EXISTS family (q10/q35/q69): the
+    official adversarial workout for the decorrelated semi/anti path —
+    q10/q35's OR-of-EXISTS lowers to ExistenceJoins, q69 to a semi plus
+    two anti joins; each channel subquery's date join serves from its
+    sold-date pair."""
     hs, _ = tpcds
     _check_plan_stability(spark, hs, qname, sql, expect_indexes=True)
