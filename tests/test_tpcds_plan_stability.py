@@ -1750,6 +1750,112 @@ ORDER BY substr(w_warehouse_name, 1, 20), sm_type, cc_name
 LIMIT 100
 """
 
+# Official text (reference: src/test/resources/tpcds/queries/q50.sql):
+# store returns latency — day-bucket CASE sums over return-minus-sold
+# deltas, the store twin of q62/q99, with a FACT-FACT join on the sale
+# identity triple (ticket, item, customer).
+TPCDS_Q50 = """
+SELECT
+  s_store_name,
+  s_company_id,
+  s_street_number,
+  s_street_name,
+  s_street_type,
+  s_suite_number,
+  s_city,
+  s_county,
+  s_state,
+  s_zip,
+  sum(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk <= 30)
+    THEN 1
+      ELSE 0 END)  AS `30 days `,
+  sum(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 30) AND
+    (sr_returned_date_sk - ss_sold_date_sk <= 60)
+    THEN 1
+      ELSE 0 END)  AS `31 - 60 days `,
+  sum(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 60) AND
+    (sr_returned_date_sk - ss_sold_date_sk <= 90)
+    THEN 1
+      ELSE 0 END)  AS `61 - 90 days `,
+  sum(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 90) AND
+    (sr_returned_date_sk - ss_sold_date_sk <= 120)
+    THEN 1
+      ELSE 0 END)  AS `91 - 120 days `,
+  sum(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 120)
+    THEN 1
+      ELSE 0 END)  AS `>120 days `
+FROM
+  store_sales, store_returns, store, date_dim d1, date_dim d2
+WHERE
+  d2.d_year = 2001
+    AND d2.d_moy = 8
+    AND ss_ticket_number = sr_ticket_number
+    AND ss_item_sk = sr_item_sk
+    AND ss_sold_date_sk = d1.d_date_sk
+    AND sr_returned_date_sk = d2.d_date_sk
+    AND ss_customer_sk = sr_customer_sk
+    AND ss_store_sk = s_store_sk
+GROUP BY
+  s_store_name, s_company_id, s_street_number, s_street_name, s_street_type,
+  s_suite_number, s_city, s_county, s_state, s_zip
+ORDER BY
+  s_store_name, s_company_id, s_street_number, s_street_name, s_street_type,
+  s_suite_number, s_city, s_county, s_state, s_zip
+LIMIT 100
+"""
+
+# Official text (reference: src/test/resources/tpcds/queries/q90.sql):
+# am/pm web-sales ratio — two cross-joined scalar counts over the
+# time-of-day star (q88's ratio twin on the web channel).
+TPCDS_Q90 = """
+SELECT cast(amc AS DECIMAL(15, 4)) / cast(pmc AS DECIMAL(15, 4)) am_pm_ratio
+FROM (SELECT count(*) amc
+FROM web_sales, household_demographics, time_dim, web_page
+WHERE ws_sold_time_sk = time_dim.t_time_sk
+  AND ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+  AND ws_web_page_sk = web_page.wp_web_page_sk
+  AND time_dim.t_hour BETWEEN 8 AND 8 + 1
+  AND household_demographics.hd_dep_count = 6
+  AND web_page.wp_char_count BETWEEN 5000 AND 5200) at,
+  (SELECT count(*) pmc
+  FROM web_sales, household_demographics, time_dim, web_page
+  WHERE ws_sold_time_sk = time_dim.t_time_sk
+    AND ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+    AND ws_web_page_sk = web_page.wp_web_page_sk
+    AND time_dim.t_hour BETWEEN 19 AND 19 + 1
+    AND household_demographics.hd_dep_count = 6
+    AND web_page.wp_char_count BETWEEN 5000 AND 5200) pt
+ORDER BY am_pm_ratio
+LIMIT 100
+"""
+
+# Official text (reference: src/test/resources/tpcds/queries/q93.sql):
+# actual sales after returns — store_sales LEFT OUTER store_returns on
+# (item, ticket); the WHERE on sr_reason_sk null-filters the right side,
+# so Catalyst eliminates the outer join and the (item, ticket) pair can
+# serve the fact-fact join.
+TPCDS_Q93 = """
+SELECT
+  ss_customer_sk,
+  sum(act_sales) sumsales
+FROM (SELECT
+  ss_item_sk,
+  ss_ticket_number,
+  ss_customer_sk,
+  CASE WHEN sr_return_quantity IS NOT NULL
+    THEN (ss_quantity - sr_return_quantity) * ss_sales_price
+  ELSE (ss_quantity * ss_sales_price) END act_sales
+FROM store_sales
+  LEFT OUTER JOIN store_returns
+    ON (sr_item_sk = ss_item_sk AND sr_ticket_number = ss_ticket_number)
+  ,
+  reason
+WHERE sr_reason_sk = r_reason_sk AND r_reason_desc = 'reason 28') t
+GROUP BY ss_customer_sk
+ORDER BY sumsales, ss_customer_sk
+LIMIT 100
+"""
+
 # Official text (reference: src/test/resources/tpcds/queries/q10.sql):
 # the customer-demographics EXISTS/IN family — a conjunctive store-channel
 # EXISTS AND a DISJUNCTION of web/catalog EXISTS (Catalyst decorrelates
@@ -2022,6 +2128,11 @@ def _sales(spark, prefix: str, n: int, salt: int):
             (F.col("id") % 5).alias("ws_ship_mode_sk"),
             (F.col("id") % 100).alias("ws_ship_addr_sk"),
             (F.col("id") % 4).alias("ws_web_site_sk"),
+            # q90: ship-household and web-page keys (hd row 59 carries
+            # the official dep_count 6; wp rows 0..6 sit in the official
+            # 5000..5200 char band)
+            (F.col("id") % 60).alias("ws_ship_hdemo_sk"),
+            (F.col("id") % 10).alias("ws_web_page_sk"),
             (F.floor(F.col("id") / 2000) % 5).alias("ws_warehouse_sk"),
             (F.col("id") % 2000).alias("ws_order_number"),
             (((F.col("id") * 7 + 5) % 211) / 4.0).alias("ws_ext_ship_cost"),
@@ -2062,11 +2173,21 @@ def tpcds(spark, tmp_path_factory):
     ids, no randomness, so the data (and therefore any size-driven
     planner choice) is identical on every run."""
     root = str(tmp_path_factory.mktemp("tpcds"))
-    # q1 tables.  sr date keys live in d_year=2000 (sk 731..1095).
+    # q1 tables.  sr date keys live in d_year=2000 (sk 731..1095), except
+    # a fifth of returns routed to 2001-08 (sk 1313..1343) for q50's
+    # official d2 window.  sr row r RETURNS ss row r: the triple
+    # (ticket, item, customer) below reuses ss's exact id arithmetic, so
+    # q50/q93's ss-sr equi joins match 1:1 without touching ss.
     sr = spark.range(20000).select(
-        ((F.col("id") % 365) + 731).alias("sr_returned_date_sk"),
+        F.when(F.col("id") % 5 == 4, F.lit(1313) + (F.col("id") % 31))
+        .otherwise((F.col("id") % 365) + 731)
+        .alias("sr_returned_date_sk"),
         (F.col("id") % 97).alias("sr_customer_sk"),
         (F.col("id") % 7).alias("sr_store_sk"),
+        (F.col("id") % 500).alias("sr_item_sk"),
+        (F.col("id") % 5000).alias("sr_ticket_number"),
+        (1 + F.col("id") % 50).alias("sr_return_quantity"),
+        (F.col("id") % 35).alias("sr_reason_sk"),
         # quadratic mix + per-customer outliers so some customers exceed
         # 1.2x their store's average and q1 returns rows (0 == 0 would
         # prove nothing)
@@ -2132,6 +2253,13 @@ def tpcds(spark, tmp_path_factory):
         # q8's zip-prefix match: even stores share the '24' prefix with
         # the clustered customer zip
         F.when(F.col("id") % 2 == 0, "24228").otherwise("86198").alias("s_zip"),
+        # q50's store address block
+        (F.col("id") % 3).alias("s_company_id"),
+        F.lpad(F.col("id").cast("string"), 3, "1").alias("s_street_number"),
+        F.concat(F.lit("Street"), F.col("id").cast("string")).alias("s_street_name"),
+        F.when(F.col("id") % 2 == 0, "Ave").otherwise("Blvd").alias("s_street_type"),
+        F.concat(F.lit("Suite "), F.col("id").cast("string")).alias("s_suite_number"),
+        F.when(F.col("id") % 2 == 0, "Midway").otherwise("Fairview").alias("s_city"),
     )
     cu = spark.range(97).select(
         F.col("id").alias("c_customer_sk"),
@@ -2267,9 +2395,14 @@ def tpcds(spark, tmp_path_factory):
     )
     hd = spark.range(60).select(
         F.col("id").alias("hd_demo_sk"),
-        # q13/q48 need dep counts 3 and 1, q96 needs 7, q88 needs 4/2/0
-        _pick(F.col("id") % 6, ["1", "3", "7", "4", "2", "0"])
-        .cast("int")
+        # q13/q48 need dep counts 3 and 1, q96 needs 7, q88 needs 4/2/0;
+        # row 53 (one of ten residue-5 zeros) carries q90's official 6 —
+        # NOT row 59: id%60==59 forces id%10==9, and ws_web_page_sk=id%10
+        # would then never land on the official 5000..5200 char band
+        F.when(F.col("id") == 53, F.lit(6))
+        .otherwise(
+            _pick(F.col("id") % 6, ["1", "3", "7", "4", "2", "0"]).cast("int")
+        )
         .alias("hd_dep_count"),
         # q73 columns: both named buy potentials occur, vehicle counts
         # 0..3 so dep/vehicle > 1 holds for dep-3 households with 1-2
@@ -2374,6 +2507,16 @@ def tpcds(spark, tmp_path_factory):
     )
     cr = spark.range(1000).select(((F.col("id") * 3) % 3000).alias("cr_order_number"))
     wr = spark.range(800).select(((F.col("id") * 3) % 2000).alias("wr_order_number"))
+    # q90: web pages 0..6 fall inside the official 5000..5200 char band
+    wp = spark.range(10).select(
+        F.col("id").alias("wp_web_page_sk"),
+        (5000 + F.col("id") * 30).cast("int").alias("wp_char_count"),
+    )
+    # q93: return reasons; sk 28 carries the official desc
+    rsn = spark.range(35).select(
+        F.col("id").alias("r_reason_sk"),
+        F.concat(F.lit("reason "), F.col("id").cast("string")).alias("r_reason_desc"),
+    )
 
     tables = [
         ("store_returns", sr, 4), ("date_dim", dd, 1), ("store", st, 1),
@@ -2383,6 +2526,7 @@ def tpcds(spark, tmp_path_factory):
         ("call_center", cc, 1), ("web_site", wsite, 1),
         ("inventory", inv, 4), ("warehouse", wh, 1), ("ship_mode", sm, 1),
         ("catalog_returns", cr, 1), ("web_returns", wr, 1),
+        ("web_page", wp, 1), ("reason", rsn, 1),
         ("store_sales", ss, 4), ("catalog_sales", cs, 4), ("web_sales", ws, 4),
     ]
     paths = {}
@@ -2511,6 +2655,58 @@ def tpcds(spark, tmp_path_factory):
                 "ws_order_number", "ws_ext_ship_cost", "ws_net_profit",
                 "ws_ship_mode_sk", "ws_sold_date_sk",
             ],
+            num_buckets=4,
+        ),
+    )
+    # q90's am/pm ratio: the web twin of the q96/q88 time-of-day pair
+    hs.create_index(
+        rd("web_sales"),
+        CoveringIndexConfig(
+            "tpcds_ws_time_cov",
+            ["ws_sold_time_sk"],
+            ["ws_ship_hdemo_sk", "ws_web_page_sk"],
+            num_buckets=4,
+        ),
+    )
+    # q50's returns-latency star: ss and sr co-bucketed on the SALE
+    # IDENTITY triple (ticket, item, customer) — the fact-fact join is
+    # the one that shuffles both sides at scale; the date/store dims
+    # join above it.
+    hs.create_index(
+        rd("store_sales"),
+        CoveringIndexConfig(
+            "tpcds_ss_ret_cov",
+            ["ss_ticket_number", "ss_item_sk", "ss_customer_sk"],
+            ["ss_sold_date_sk", "ss_store_sk"],
+            num_buckets=4,
+        ),
+    )
+    hs.create_index(
+        rd("store_returns"),
+        CoveringIndexConfig(
+            "tpcds_sr_ret_cov",
+            ["sr_ticket_number", "sr_item_sk", "sr_customer_sk"],
+            ["sr_returned_date_sk"],
+            num_buckets=4,
+        ),
+    )
+    # q93's (item, ticket) pair — a DIFFERENT key set than q50's triple,
+    # so the two never compete (JoinIndexRule requires indexed == keys).
+    hs.create_index(
+        rd("store_sales"),
+        CoveringIndexConfig(
+            "tpcds_ss_it_cov",
+            ["ss_item_sk", "ss_ticket_number"],
+            ["ss_customer_sk", "ss_quantity", "ss_sales_price"],
+            num_buckets=4,
+        ),
+    )
+    hs.create_index(
+        rd("store_returns"),
+        CoveringIndexConfig(
+            "tpcds_sr_it_cov",
+            ["sr_item_sk", "sr_ticket_number"],
+            ["sr_return_quantity", "sr_reason_sk"],
             num_buckets=4,
         ),
     )
@@ -2921,5 +3117,19 @@ def test_tpcds_customer_exists_plan_stability(spark, tpcds, qname, sql):
     q10/q35's OR-of-EXISTS lowers to ExistenceJoins, q69 to a semi plus
     two anti joins; each channel subquery's date join serves from its
     sold-date pair."""
+    hs, _ = tpcds
+    _check_plan_stability(spark, hs, qname, sql, expect_indexes=True)
+
+
+@pytest.mark.parametrize(
+    "qname,sql",
+    [("q50", TPCDS_Q50), ("q90", TPCDS_Q90), ("q93", TPCDS_Q93)],
+)
+def test_tpcds_returns_family_plan_stability(spark, tpcds, qname, sql):
+    """The store-returns family: q50 (returns latency day buckets over
+    the ss-sr sale-identity triple join — the fact-fact join rides the
+    co-bucketed (ticket, item, customer) pair), q90 (am/pm ratio, the
+    web twin of q88's time-of-day pair), q93 (actual sales after
+    returns: outer-join-eliminated (item, ticket) pair)."""
     hs, _ = tpcds
     _check_plan_stability(spark, hs, qname, sql, expect_indexes=True)
