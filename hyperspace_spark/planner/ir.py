@@ -97,6 +97,10 @@ class ProjectN(Node):
     exprs: list[str] = field(default_factory=list)  # SQL incl. aliases, in order
     output: list[str] = field(default_factory=list)
     references: frozenset[str] = field(default_factory=frozenset)
+    # exprId-keyed renames carried through an attribute-only pruning
+    # Project whose child is a renamed join (see JoinN.renames) — set
+    # only when this Project's own output still carries dup names.
+    renames: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -180,6 +184,17 @@ class JoinN(Node):
     # `__hs_l.*` plus exactly these right-side columns (the right key
     # copies dropped).  None = normal `SELECT *` replay.
     right_keep: list[str] | None = None
+    # exprId-keyed internal renames (r13, the q47 collision class): when
+    # duplicate payload names survive INTO this node's output (a self-
+    # join chain where the disambiguating Project sits levels ABOVE),
+    # the parser synthesizes a select_exprs list that renames second
+    # copies to __hs_dupN and records {jvm exprId -> exposed name} here.
+    # CONSUMERS: only map-aware nodes may sit above a renamed node — a
+    # parent join (key/residual rendering translates through the map), a
+    # fused or attribute-only pruning Project (which re-establishes
+    # unique naming).  Any other consumer declines (parser guard) so a
+    # name-based ancestor can never silently read the wrong copy.
+    renames: dict = field(default_factory=dict)
 
 
 @dataclass

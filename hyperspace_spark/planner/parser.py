@@ -153,9 +153,17 @@ def _opaque(jnode) -> ir.Node:
     return ir.OpaqueN(jplan=jnode, output=names)
 
 
-def _parse_or_opaque(jnode) -> ir.Node:
+def _parse_or_opaque(jnode, allow_renamed: bool = False) -> ir.Node:
     try:
-        return _parse(jnode)
+        node = _parse(jnode)
+        if not allow_renamed and getattr(node, "renames", None):
+            # A renamed subtree (JoinN/ProjectN.renames, r13) is only
+            # consumable by map-aware parents (a join or a fused /
+            # pruning Project).  A name-based ancestor would silently
+            # read the FIRST copy of a renamed column — decline instead,
+            # which degrades to the old opaque cascade (never wrong).
+            raise UnsupportedPlan("renamed-child-under-name-based-parent")
+        return node
     except UnsupportedPlan:
         return _opaque(jnode)
 
@@ -274,6 +282,9 @@ def _parse(jnode) -> ir.Node:
             fused = _try_fuse_project_join(jnode, jnode.child())
             if fused is not None:
                 return fused
+            pruned = _try_parse_pruning_project(jnode)
+            if pruned is not None:
+                return pruned
         exprs = [expr_sql(e) for e in scala_seq(jnode.projectList())]
         refs = frozenset().union(
             *[parse_expr(e).references for e in scala_seq(jnode.projectList())]
@@ -534,8 +545,14 @@ def _parse_join(jnode, allow_collision: bool = False) -> "ir.JoinN":
             raise UnsupportedPlan(
                 f"join:{jnode.joinType().getClass().getSimpleName()}"
             )
-        left = _parse_or_opaque(jnode.left())
-        right = _parse_or_opaque(jnode.right())
+        left = _parse_or_opaque(jnode.left(), allow_renamed=True)
+        right = _parse_or_opaque(jnode.right(), allow_renamed=True)
+        # exprId-keyed rename maps from renamed children (r13, the q47
+        # collision class): every name-based resolution below is unsound
+        # against a renamed side (it would silently bind the FIRST copy),
+        # so non-empty maps force the exprId paths throughout.
+        lmap = getattr(left, "renames", None) or {}
+        rmap = getattr(right, "renames", None) or {}
         cond_opt = jnode.condition()
         condition = None
         equi: list[tuple[str, str]] = []
@@ -550,7 +567,7 @@ def _parse_join(jnode, allow_collision: bool = False) -> "ir.JoinN":
             shared = lcols & rcols
             for jconj in _java_conjuncts(cond_opt.get()):
                 conj = parse_expr(jconj)
-                pair = _equi_pair(conj, lcols, rcols)
+                pair = None if (lmap or rmap) else _equi_pair(conj, lcols, rcols)
                 if pair is None:
                     # Name resolution failed — the reference resolves by
                     # exprId (JoinIndexRule.scala:179-317); we have the
@@ -558,7 +575,7 @@ def _parse_join(jnode, allow_collision: bool = False) -> "ir.JoinN":
                     # a self-join whose key has the SAME name on both
                     # sides (TPC-DS q65's sb.ss_store_sk =
                     # sc.ss_store_sk) still yields an attributed pair.
-                    pair = _equi_pair_by_exprid(jconj, jnode)
+                    pair = _equi_pair_by_exprid(jconj, jnode, lmap, rmap)
                     if pair is not None and pair[0].lower() == pair[1].lower():
                         # The replayed join must not expose the name
                         # twice; only an INNER equi join guarantees the
@@ -567,10 +584,13 @@ def _parse_join(jnode, allow_collision: bool = False) -> "ir.JoinN":
                         # expose right columns at all — nothing to drop).
                         if jt == "inner":
                             shared_keys.append(pair[1])
-                        elif jt not in ("left_semi", "left_anti"):
-                            raise UnsupportedPlan(
-                                "join:shared-name-key-non-inner"
-                            )
+                        # Other join types keep BOTH copies (an outer
+                        # join's copies are not value-equal — neither
+                        # can be dropped); the ON clause references the
+                        # CHILD-level names (__hs_l/__hs_r aliases), so
+                        # the pair is unambiguous as-is, and the output
+                        # collision triggers the r13 rename synthesis
+                        # below instead of the old loud bail.
                 if pair is not None:
                     equi.append(pair)
                 else:
@@ -587,8 +607,16 @@ def _parse_join(jnode, allow_collision: bool = False) -> "ir.JoinN":
                     # keep the loud bail (fallback, never a wrong
                     # replay); unambiguous residuals keep bare SQL.
                     shared_ci = {c.lower() for c in shared}
-                    if any(r.lower() in shared_ci for r in conj.references):
-                        qualified = _qualified_residual(jconj, jnode)
+                    if (
+                        lmap
+                        or rmap
+                        or any(r.lower() in shared_ci for r in conj.references)
+                    ):
+                        # Renamed children force the exprId-qualified
+                        # path even without a shared name: the residual's
+                        # ORIGINAL names may bind the wrong copy in the
+                        # replayed child.
+                        qualified = _qualified_residual(jconj, jnode, lmap, rmap)
                         if qualified is None:
                             raise UnsupportedPlan("join:ambiguous-column-condition")
                         residual.append(qualified)
@@ -609,22 +637,148 @@ def _parse_join(jnode, allow_collision: bool = False) -> "ir.JoinN":
             residual_sql=" AND ".join(residual) if residual else None,
             right_keep=right_keep,
         )
-        if jt in ("left_semi", "left_anti") and equi and len(residual_jconjs) == 1:
+        if (
+            jt in ("left_semi", "left_anti")
+            and equi
+            and len(residual_jconjs) == 1
+            and not lmap
+            and not rmap
+        ):
             # EXISTS/NOT-EXISTS band shape: the whole residual is one
             # side-separated comparison — record the structured form so
             # BandExistsAggRule can rewrite the pair scan to a per-key
             # aggregate (sound for anti too: a key-group match exists in
             # the MAX/MIN aggregate iff one exists in the raw rows).
+            # Skipped under child renames: _band_conjunct renders by
+            # original name.
             out.band = _band_conjunct(residual_jconjs[0], jnode)
-        if needs_unique_output and not allow_collision:
-            # A side-qualified residual is only safe when the join's own
-            # OUTPUT stays name-unambiguous — ancestors reference columns
-            # by bare name (the q47 self-join, whose payload columns
-            # collide on both sides, must keep the old loud bail).
+        if jt in ("left_semi", "left_anti"):
+            # Output is the left side only — no collision possible here,
+            # but a renamed LEFT child's map passes through verbatim.
+            out.renames = dict(lmap)
+        elif not allow_collision:
             names = [n.lower() for n in _names(out)]
-            if len(set(names)) != len(names):
-                raise UnsupportedPlan("join:ambiguous-column-condition")
+            if len(set(names)) != len(names) or lmap or rmap:
+                # Duplicate payload names survive INTO this join's output
+                # (the q47 self-join chain: the disambiguating Project
+                # sits LEVELS above), or a child carries renames that
+                # `SELECT *` would mis-expose.  r13: synthesize an
+                # explicit exprId-keyed SELECT list — second copies
+                # become __hs_dupN — and record the map for map-aware
+                # consumers (a parent join or a fused/pruning Project).
+                _synthesize_renamed_select(out, jnode, lmap, rmap)
         return out
+
+
+def _try_parse_pruning_project(jnode) -> "ir.ProjectN | None":
+    """Attribute-only Project directly above a JOIN that carries exprId
+    renames (or whose kept names still collide): Catalyst's column
+    pruning inserts these between the levels of a self-join chain —
+    q47's Project between the v1×v1_lag join and the outer join keeps
+    BOTH sum_sales copies under one name.  Each attribute is translated
+    through the child's map, the output re-deduped (__hs_dupN), and the
+    COMPOSED map carried upward; only map-aware consumers may sit above
+    (the _parse_or_opaque guard).  None = the generic path applies."""
+    jlist = list(scala_seq(jnode.projectList()))
+    if not jlist or any(
+        e.getClass().getSimpleName() != "AttributeReference" for e in jlist
+    ):
+        return None
+    names = [str(e.name()) for e in jlist]
+    try:
+        child = _parse(jnode.child())
+    except UnsupportedPlan:
+        return None  # generic path re-parses and runs the opaque cascade
+    cmap = getattr(child, "renames", None) or {}
+    if not cmap and len({n.lower() for n in names}) == len(names):
+        return None  # nothing renamed, nothing colliding
+    exprs: list[str] = []
+    out: list[str] = []
+    renames: dict[int, str] = {}
+    used: set[str] = set()
+    counter = [0]
+
+    def mint() -> str:
+        while True:
+            cand = f"__hs_dup{counter[0]}"
+            counter[0] += 1
+            if cand not in used:
+                return cand
+
+    for e in jlist:
+        eid = int(e.exprId().id())
+        base = str(e.name())
+        exposed = cmap.get(eid, base)
+        final = exposed if exposed.lower() not in used else mint()
+        used.add(final.lower())
+        q = _quote_if_needed(exposed)
+        exprs.append(
+            f"{q} AS {_quote_if_needed(final)}" if final != exposed else q
+        )
+        out.append(final)
+        if final != base:
+            renames[eid] = final
+    return ir.ProjectN(
+        child=child,
+        exprs=exprs,
+        output=out,
+        references=frozenset(names),
+        renames=renames,
+    )
+
+
+def _synthesize_renamed_select(out: "ir.JoinN", jnode, lmap: dict, rmap: dict) -> None:
+    """Install an explicit exprId-attributed SELECT list on a join whose
+    output carries duplicate names (r13, VERDICT r12 #4 — the q47
+    moving-average self-join chain).  First occurrences keep their
+    exposed name; later copies rename to __hs_dupN; {exprId -> exposed
+    name} lands in out.renames for map-aware consumers.  Child renames
+    compose: an attribute a child already renamed is referenced by its
+    child-exposed name and re-recorded under its final name here."""
+    keep = None
+    if out.right_keep is not None:
+        keep = {c.lower() for c in out.right_keep}
+    sel: list[str] = []
+    out_names: list[str] = []
+    renames: dict[int, str] = {}
+    used: set[str] = set()
+    counter = [0]
+
+    def mint() -> str:
+        while True:
+            cand = f"__hs_dup{counter[0]}"
+            counter[0] += 1
+            if cand not in used:
+                return cand
+
+    def add(side: str, amap: dict, jattr) -> None:
+        eid = int(jattr.exprId().id())
+        base = str(jattr.name())
+        exposed = amap.get(eid, base)
+        final = exposed if exposed.lower() not in used else mint()
+        used.add(final.lower())
+        q = _quote_if_needed(exposed)
+        if final != exposed:
+            sel.append(f"{side}.{q} AS {_quote_if_needed(final)}")
+        else:
+            sel.append(f"{side}.{q}")
+        out_names.append(final)
+        if final != base:
+            renames[eid] = final
+
+    for a in scala_seq(jnode.left().output()):
+        add("__hs_l", lmap, a)
+    for a in scala_seq(jnode.right().output()):
+        if keep is not None:
+            eid = int(a.exprId().id())
+            exposed = rmap.get(eid, str(a.name()))
+            if exposed.lower() not in keep:
+                continue  # a right key copy the inner-equi dedup drops
+        add("__hs_r", rmap, a)
+    out.select_exprs = sel
+    out.select_output = out_names
+    out.right_keep = None
+    out.renames = renames
 
 
 def _names(node: ir.Node) -> list[str]:
@@ -680,20 +834,26 @@ _RESIDUAL_BINOPS = {
 }
 
 
-def _qualified_residual(jconj, jnode) -> str | None:
+def _qualified_residual(jconj, jnode, lmap=None, rmap=None) -> str | None:
     """Render a residual join conjunct with the REPLAY's side aliases
     (__hs_l/__hs_r), attributing every attribute to its side by exprId —
     the only sound spelling when both sides expose the same column name.
     None when the expression leaves the bounded grammar or an attribute
     resolves to neither/both sides (planner falls back loudly)."""
     lset, rset = jnode.left().outputSet(), jnode.right().outputSet()
-    return _render_qualified(jconj, lset, rset)
+    return _render_qualified(jconj, lset, rset, lmap=lmap, rmap=rmap)
 
 
-def _render_qualified(jexpr, lset, rset, lalias="__hs_l", ralias="__hs_r") -> str | None:
+def _render_qualified(
+    jexpr, lset, rset, lalias="__hs_l", ralias="__hs_r", lmap=None, rmap=None
+) -> str | None:
     """Side-qualified rendering over the bounded residual grammar,
     shared by _qualified_residual, the Project-over-join fusion, and the
-    ExistenceJoin-chain branch conditions (custom aliases)."""
+    ExistenceJoin-chain branch conditions (custom aliases).  lmap/rmap
+    (r13): exprId -> exposed-name maps for RENAMED children — an
+    attribute a child renamed must be referenced by its __hs_dupN name."""
+    lmap = lmap or {}
+    rmap = rmap or {}
 
     def render(e) -> str | None:
         cls = e.getClass().getSimpleName()
@@ -702,7 +862,9 @@ def _render_qualified(jexpr, lset, rset, lalias="__hs_l", ralias="__hs_r") -> st
             if in_l == in_r:
                 return None
             side = lalias if in_l else ralias
-            return f"{side}.{_quote_if_needed(str(e.name()))}"
+            amap = lmap if in_l else rmap
+            name = amap.get(int(e.exprId().id()), str(e.name()))
+            return f"{side}.{_quote_if_needed(name)}"
         if cls == "Literal":
             return str(e.sql())
         if cls in _RESIDUAL_BINOPS:
@@ -757,6 +919,8 @@ def _try_fuse_project_join(jproj, jjoin) -> "ir.JoinN | None":
     if join_node.join_type != "inner":
         return None
     lset, rset = jjoin.left().outputSet(), jjoin.right().outputSet()
+    lmap = getattr(join_node.left, "renames", None) or {}
+    rmap = getattr(join_node.right, "renames", None) or {}
     sel: list[str] = []
     out_names: list[str] = []
     for je in scala_seq(jproj.projectList()):
@@ -764,7 +928,7 @@ def _try_fuse_project_join(jproj, jjoin) -> "ir.JoinN | None":
         body_expr = je.child() if jcls == "Alias" else je
         if jcls not in ("Alias", "AttributeReference"):
             return None
-        body = _render_qualified(body_expr, lset, rset)
+        body = _render_qualified(body_expr, lset, rset, lmap=lmap, rmap=rmap)
         if body is None:
             return None
         name = str(je.name())
@@ -775,6 +939,7 @@ def _try_fuse_project_join(jproj, jjoin) -> "ir.JoinN | None":
     join_node.select_exprs = sel
     join_node.select_output = out_names
     join_node.right_keep = None
+    join_node.renames = {}  # the fused list re-establishes unique names
     return join_node
 
 
@@ -882,14 +1047,15 @@ def _band_conjunct(jconj, jnode) -> tuple | None:
     return None
 
 
-def _equi_pair_by_exprid(jconj, jnode) -> tuple[str, str] | None:
+def _equi_pair_by_exprid(jconj, jnode, lmap=None, rmap=None) -> tuple[str, str] | None:
     """Attribute an EqualTo(attr, attr) conjunct to join sides by exprId
     membership in the JVM children's outputSet — the reference rule's
     own resolution (JoinIndexRule.scala:179-317), reachable here because
     the raw Catalyst conjunct is still in hand.  Name-based resolution
     (_equi_pair) cannot attribute a key that exists on BOTH sides; the
     exprId is unambiguous by construction.  Returns (left_col,
-    right_col) in schema case, or None."""
+    right_col) in the name each side's replay EXPOSES (a renamed child's
+    __hs_dupN via lmap/rmap, schema case otherwise), or None."""
     if jconj.getClass().getSimpleName() != "EqualTo":
         return None
     a, b = jconj.left(), jconj.right()
@@ -899,6 +1065,8 @@ def _equi_pair_by_exprid(jconj, jnode) -> tuple[str, str] | None:
     ):
         return None
     lset, rset = jnode.left().outputSet(), jnode.right().outputSet()
+    lmap = lmap or {}
+    rmap = rmap or {}
 
     def side(attr):
         in_l, in_r = lset.contains(attr), rset.contains(attr)
@@ -908,11 +1076,17 @@ def _equi_pair_by_exprid(jconj, jnode) -> tuple[str, str] | None:
             return "r"
         return None
 
+    def lname(attr):
+        return lmap.get(int(attr.exprId().id()), str(attr.name()))
+
+    def rname(attr):
+        return rmap.get(int(attr.exprId().id()), str(attr.name()))
+
     sa, sb = side(a), side(b)
     if sa == "l" and sb == "r":
-        return (str(a.name()), str(b.name()))
+        return (lname(a), rname(b))
     if sa == "r" and sb == "l":
-        return (str(b.name()), str(a.name()))
+        return (lname(b), rname(a))
     return None
 
 

@@ -1182,6 +1182,63 @@ def exists_or_channels(spark, sf_dir):
 
 
 @q(
+    "selfjoin_moving_window",
+    """
+    WITH v1 AS (
+      SELECT o_custkey,
+             CAST(month(o_orderdate) AS INT) AS m,
+             round(sum(o_totalprice), 2) AS sum_spend,
+             rank() OVER (PARTITION BY o_custkey
+                          ORDER BY CAST(month(o_orderdate) AS INT)) AS rn
+      FROM orders
+      WHERE year(o_orderdate) = 1995
+      GROUP BY o_custkey, month(o_orderdate))
+    SELECT v1.o_custkey AS o_custkey, v1.m AS m, v1.sum_spend AS sum_spend,
+           v1_lag.sum_spend AS psum, v1_lead.sum_spend AS nsum
+    FROM v1, v1 v1_lag, v1 v1_lead
+    WHERE v1.o_custkey = v1_lag.o_custkey
+      AND v1.o_custkey = v1_lead.o_custkey
+      AND v1.rn = v1_lag.rn + 1
+      AND v1.rn = v1_lead.rn - 1
+    """,
+)
+def selfjoin_moving_window(spark, sf_dir):
+    """TPC-DS q47/q57's moving-average skeleton on TPC-H orders: the
+    same CTE instantiated three times and self-joined on a same-named
+    key plus rank-offset residuals, with same-named payloads (sum_spend
+    x3) disambiguated only by the TOP projection.  r13: the exprId-keyed
+    rename synthesis (parser._synthesize_renamed_select + the map
+    threaded through pruning Projects to the fused top Project) renders
+    the chain unambiguously — before r13 the whole statement replayed
+    verbatim and its scans were invisible.  TPC-DS q47/q57 goldens pin
+    the accelerated plans (6 index instances each); this row is the
+    driver's DuckDB gate for the same path."""
+    ws = workspace(spark, sf_dir)
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("w_orders_mw")
+    df = spark.sql(
+        """
+        WITH v1 AS (
+          SELECT o_custkey,
+                 CAST(month(o_orderdate) AS INT) AS m,
+                 round(sum(o_totalprice), 2) AS sum_spend,
+                 rank() OVER (PARTITION BY o_custkey
+                              ORDER BY CAST(month(o_orderdate) AS INT)) AS rn
+          FROM w_orders_mw
+          WHERE year(o_orderdate) = 1995
+          GROUP BY o_custkey, month(o_orderdate))
+        SELECT v1.o_custkey AS o_custkey, v1.m AS m, v1.sum_spend AS sum_spend,
+               v1_lag.sum_spend AS psum, v1_lead.sum_spend AS nsum
+        FROM v1, v1 v1_lag, v1 v1_lead
+        WHERE v1.o_custkey = v1_lag.o_custkey
+          AND v1.o_custkey = v1_lead.o_custkey
+          AND v1.rn = v1_lag.rn + 1
+          AND v1.rn = v1_lead.rn - 1
+        """
+    )
+    return ws.hs.apply(df)
+
+
+@q(
     "join_cobucketed",
     """
     SELECT o_orderpriority,
@@ -5842,8 +5899,10 @@ _VERIFY_PRIORITY = [
     "q20_excess_stock",
     "session_window_events",
     "streaming_tumbling_rollup",
-    # --- new in r13: the ExistsFilterN (EXISTS-under-OR) path ---
+    # --- new in r13: the ExistsFilterN (EXISTS-under-OR) path and the
+    # q47-class rename-synthesis path ---
     "exists_or_channels",
+    "selfjoin_moving_window",
     # --- r11-green fills to 50 (re-verified a round early so the r14
     # window only owes the 34 below) ---
     "window_tumbling_events",
@@ -5859,8 +5918,8 @@ _VERIFY_PRIORITY = [
     "setop_intersect",
     "setop_except_all",
     "salted_skew_agg",
-    "events_hourly_rollup",
     # --- r11-greens below here (position 51+) lead the r14 window ---
+    "events_hourly_rollup",
     "mixture_stratified_sample",
     "split_train_val_test",
     "sample_hash_deterministic",

@@ -774,3 +774,85 @@ def test_exists_or_with_plain_conjunct_and_not(spark, band_hs):
     fast, used = band_hs._apply_with_info(q)
     assert rows_equal(q, fast)
     assert 0 < fast.count() < table(spark, "orders").count()
+
+
+def test_renamed_selfjoin_chain_parses_and_accelerates(spark, band_hs):
+    """r13 rename synthesis (the TPC-DS q47 class): a three-way
+    self-join of the same aggregate on same-named key AND payload
+    columns, rank-offset residuals, disambiguating Project only at the
+    TOP.  Previously the colliding joins raised and the whole statement
+    replayed verbatim; now second copies rename to __hs_dupN with the
+    exprId map threaded through the pruning Projects to the fused top
+    Project — rows exact and the aggregate's scans visible."""
+    from hyperspace_spark.planner import ir as _ir
+    from hyperspace_spark.planner.parser import _parse
+
+    q = spark.sql(
+        """
+        WITH v1 AS (
+          SELECT o_custkey, count(*) AS n_orders,
+                 round(sum(o_totalprice), 2) AS sum_spend,
+                 rank() OVER (PARTITION BY o_custkey
+                              ORDER BY round(sum(o_totalprice), 2)) rn
+          FROM orders_band
+          GROUP BY o_custkey, o_orderpriority)
+        SELECT v1.o_custkey, v1.sum_spend,
+               v1_lag.sum_spend psum, v1_lead.sum_spend nsum
+        FROM v1, v1 v1_lag, v1 v1_lead
+        WHERE v1.o_custkey = v1_lag.o_custkey
+          AND v1.o_custkey = v1_lead.o_custkey
+          AND v1.rn = v1_lag.rn + 1
+          AND v1.rn = v1_lead.rn - 1
+        """
+    )
+    node = _parse(q._jdf.queryExecution().optimizedPlan())
+
+    def walk(n):
+        yield n
+        for k in _ir.children(n):
+            yield from walk(k)
+
+    nodes = list(walk(node))
+    # the inner colliding join synthesized an explicit renamed SELECT
+    assert any(
+        isinstance(n, _ir.JoinN)
+        and n.select_exprs
+        and any("__hs_dup" in s for s in n.select_exprs)
+        for n in nodes
+    ), [type(n).__name__ for n in nodes]
+    # no opaque residue: every leaf is a visible Scan
+    leaves = [n for n in nodes if not _ir.children(n)]
+    assert all(isinstance(n, _ir.Scan) for n in leaves), [
+        type(n).__name__ for n in leaves
+    ]
+    fast, used = band_hs._apply_with_info(q)
+    assert rows_equal(q, fast)
+    assert q.count() > 0
+
+
+def test_renamed_left_outer_keeps_both_key_copies(spark, band_hs):
+    """A LEFT OUTER self-join on a same-named key used to raise
+    (neither copy can be dropped — they are not value-equal under an
+    outer join).  r13: both copies survive with the right one renamed;
+    the replayed rows must match raw exactly, including NULLs on
+    unmatched rows."""
+    from hyperspace_spark.planner.parser import _parse
+    from hyperspace_spark.planner.replay import replay
+
+    q = spark.sql(
+        """
+        SELECT * FROM
+          (SELECT o_custkey, count(*) n FROM orders_band
+           WHERE o_totalprice > 150000 GROUP BY o_custkey) a
+        LEFT OUTER JOIN
+          (SELECT o_custkey, count(*) m FROM orders_band
+           WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) b
+        ON a.o_custkey = b.o_custkey
+        """
+    )
+    node = _parse(q._jdf.queryExecution().optimizedPlan())
+    df = replay(spark, node)
+    key = lambda r: tuple((x is None, x) for x in r)
+    assert sorted(map(key, df.collect())) == sorted(map(key, q.collect()))
+    # the right key copy is exposed under a rename, not dropped
+    assert len(df.columns) == len(q.columns) == 4

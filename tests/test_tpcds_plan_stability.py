@@ -1750,6 +1750,68 @@ ORDER BY substr(w_warehouse_name, 1, 20), sm_type, cc_name
 LIMIT 100
 """
 
+# Official text (reference: src/test/resources/tpcds/queries/q57.sql):
+# q47's catalog twin — moving-average deviation over the catalog /
+# call-center star, three-way self-join on same-named columns.
+TPCDS_Q57 = """
+WITH v1 AS (
+  SELECT
+    i_category,
+    i_brand,
+    cc_name,
+    d_year,
+    d_moy,
+    sum(cs_sales_price) sum_sales,
+    avg(sum(cs_sales_price))
+    OVER
+    (PARTITION BY i_category, i_brand, cc_name, d_year)
+    avg_monthly_sales,
+    rank()
+    OVER
+    (PARTITION BY i_category, i_brand, cc_name
+      ORDER BY d_year, d_moy) rn
+  FROM item, catalog_sales, date_dim, call_center
+  WHERE cs_item_sk = i_item_sk AND
+    cs_sold_date_sk = d_date_sk AND
+    cc_call_center_sk = cs_call_center_sk AND
+    (
+      d_year = 1999 OR
+        (d_year = 1999 - 1 AND d_moy = 12) OR
+        (d_year = 1999 + 1 AND d_moy = 1)
+    )
+  GROUP BY i_category, i_brand,
+    cc_name, d_year, d_moy),
+    v2 AS (
+    SELECT
+      v1.i_category,
+      v1.i_brand,
+      v1.cc_name,
+      v1.d_year,
+      v1.d_moy,
+      v1.avg_monthly_sales,
+      v1.sum_sales,
+      v1_lag.sum_sales psum,
+      v1_lead.sum_sales nsum
+    FROM v1, v1 v1_lag, v1 v1_lead
+    WHERE v1.i_category = v1_lag.i_category AND
+      v1.i_category = v1_lead.i_category AND
+      v1.i_brand = v1_lag.i_brand AND
+      v1.i_brand = v1_lead.i_brand AND
+      v1.cc_name = v1_lag.cc_name AND
+      v1.cc_name = v1_lead.cc_name AND
+      v1.rn = v1_lag.rn + 1 AND
+      v1.rn = v1_lead.rn - 1)
+SELECT *
+FROM v2
+WHERE d_year = 1999 AND
+  avg_monthly_sales > 0 AND
+  CASE WHEN avg_monthly_sales > 0
+    THEN abs(sum_sales - avg_monthly_sales) / avg_monthly_sales
+  ELSE NULL END > 0.1
+ORDER BY sum_sales - avg_monthly_sales, 3
+LIMIT 100
+"""
+
 # Official text (reference: src/test/resources/tpcds/queries/q50.sql):
 # store returns latency — day-bucket CASE sums over return-minus-sold
 # deltas, the store twin of q62/q99, with a FACT-FACT join on the sale
@@ -2054,7 +2116,12 @@ def _sales(spark, prefix: str, n: int, salt: int):
         # 2002-01 (sk 1466): q10/q35's (ws OR cs) EXISTS arm — catalog is
         # the only non-store channel with 2002 rows, so the disjunct
         # hinges on cs_ship_customer_sk's stratum there (see below).
-        windows += [1466]
+        # 343/429/732 (1998-12, 1999-03, 2000-01): q57's moving-average
+        # rank needs >=3 consecutive qualifying catalog months around
+        # 1999, and TWO 1999 months so the per-year average differs from
+        # each month's sum (a single month zeroes the deviation filter —
+        # the q53/q63 lesson).
+        windows += [1466, 343, 429, 732]
     # Select the window by floor(id/500), NOT id % len(windows): the
     # item key is id % 500, so a mod-6 selector would freeze each
     # window's item-key PARITY (id ≡ 2 mod 6 is always even), making
@@ -2100,7 +2167,13 @@ def _sales(spark, prefix: str, n: int, salt: int):
             # q69's NOT-EXISTS pair keeps a non-empty remainder while
             # q10/q35's EXISTS arms stay non-trivially selective.
             (31 + F.col("id") % 53).alias("cs_ship_customer_sk"),
-            (((F.col("id") * 9 + 1) % 331) / 4.0).alias("cs_ext_discount_amt"),
+            # id 1077 = item 77 (manufact 977) inside q32's 2000-01-27
+            # +90d window: with ten cs windows only 3 such rows remain
+            # and the synthetic spread no longer clears the 1.3x-average
+            # gate — one outlier discount keeps q32 non-empty.
+            F.when(F.col("id") == 1077, 90.0)
+            .otherwise(((F.col("id") * 9 + 1) % 331) / 4.0)
+            .alias("cs_ext_discount_amt"),
             ((F.col("id") * 7 + 1) % 2000).alias("cs_sold_time_sk"),
             F.when(F.col("id") % 2 == 0, F.lit(1746) + (F.col("id") % 80))
             .otherwise(F.lit(1251) + (F.col("id") % 80))
@@ -2604,6 +2677,7 @@ def tpcds(spark, tmp_path_factory):
                 "cs_list_price", "cs_coupon_amt", "cs_sales_price",
                 "cs_bill_customer_sk", "cs_ext_discount_amt",
                 "cs_sold_time_sk", "cs_ship_customer_sk",
+                "cs_call_center_sk",
             ],
             num_buckets=4,
         ),
@@ -2870,18 +2944,23 @@ def test_tpcds_q47_plan_stability(spark, tpcds):
     the grouped star, instantiated three times and self-joined on five
     SAME-NAMED columns plus rank arithmetic (v1.rn = v1_lag.rn + 1).
 
-    DOCUMENTED DIVERGENCE (the OpaqueN soundness guard, planner/ir.py):
-    that join is inexpressible by name-based SQL replay — a residual
-    over columns both sides expose would replay ambiguously — and the
-    join subtree cannot even go opaque (its output carries duplicate
-    names), so the cascade keeps the whole query verbatim and NO index
-    applies (the reference's in-place JVM rule would accelerate the
-    scans underneath).  The golden pins the safe fallback: results stay
-    exactly correct, `used` stays empty, and a future replay change
-    that starts mis-attributing the rank-offset join gets caught by the
-    rows_equal oracle here."""
+    UN-PINNED in r13 (VERDICT r12 #4): the exprId-keyed rename
+    synthesis (__hs_dupN at the colliding joins, the map threaded
+    through Catalyst's pruning Projects to the fused top Project) makes
+    the whole chain render unambiguously — all THREE v1 instantiations'
+    ss/dd date pairs now serve (6 applied index instances) where the
+    query used to replay verbatim with zero."""
     hs, _ = tpcds
-    _check_plan_stability(spark, hs, "q47", TPCDS_Q47, expect_indexes=False)
+    _check_plan_stability(spark, hs, "q47", TPCDS_Q47, expect_indexes=True)
+
+
+def test_tpcds_q57_plan_stability(spark, tpcds):
+    """q47's catalog twin (moving average over the cs/call_center star):
+    same three-way self-join on same-named columns plus rank offsets;
+    rides the r13 rename synthesis and serves the cs/dd pair in all
+    three CTE instantiations."""
+    hs, _ = tpcds
+    _check_plan_stability(spark, hs, "q57", TPCDS_Q57, expect_indexes=True)
 
 
 def test_tpcds_q6_plan_stability(spark, tpcds):
