@@ -1750,6 +1750,103 @@ ORDER BY substr(w_warehouse_name, 1, 20), sm_type, cc_name
 LIMIT 100
 """
 
+# Official text (reference: src/test/resources/tpcds/queries/q45.sql):
+# web zip/city revenue with an IN-subquery under OR — the subquery
+# decorrelates to an ExistenceJoin, riding the r13 ExistsFilterN path.
+TPCDS_Q45 = """
+SELECT
+  ca_zip,
+  ca_city,
+  sum(ws_sales_price)
+FROM web_sales, customer, customer_address, date_dim, item
+WHERE ws_bill_customer_sk = c_customer_sk
+  AND c_current_addr_sk = ca_address_sk
+  AND ws_item_sk = i_item_sk
+  AND (substr(ca_zip, 1, 5) IN
+  ('85669', '86197', '88274', '83405', '86475', '85392', '85460', '80348', '81792')
+  OR
+  i_item_id IN (SELECT i_item_id
+  FROM item
+  WHERE i_item_sk IN (2, 3, 5, 7, 11, 13, 17, 19, 23, 29)
+  )
+)
+  AND ws_sold_date_sk = d_date_sk
+  AND d_qoy = 2 AND d_year = 2001
+GROUP BY ca_zip, ca_city
+ORDER BY ca_zip, ca_city
+LIMIT 100
+"""
+
+# Official text (reference: src/test/resources/tpcds/queries/q46.sql):
+# two customer_address instances — the purchase address inside the
+# grouped star (aliased bought_city) vs the customer's current address,
+# joined with a <> residual between the two city columns.
+TPCDS_Q46 = """
+SELECT
+  c_last_name,
+  c_first_name,
+  ca_city,
+  bought_city,
+  ss_ticket_number,
+  amt,
+  profit
+FROM
+  (SELECT
+    ss_ticket_number,
+    ss_customer_sk,
+    ca_city bought_city,
+    sum(ss_coupon_amt) amt,
+    sum(ss_net_profit) profit
+  FROM store_sales, date_dim, store, household_demographics, customer_address
+  WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+    AND store_sales.ss_store_sk = store.s_store_sk
+    AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+    AND store_sales.ss_addr_sk = customer_address.ca_address_sk
+    AND (household_demographics.hd_dep_count = 4 OR
+    household_demographics.hd_vehicle_count = 3)
+    AND date_dim.d_dow IN (6, 0)
+    AND date_dim.d_year IN (1999, 1999 + 1, 1999 + 2)
+    AND store.s_city IN ('Fairview', 'Midway', 'Fairview', 'Fairview', 'Fairview')
+  GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, ca_city) dn, customer,
+  customer_address current_addr
+WHERE ss_customer_sk = c_customer_sk
+  AND customer.c_current_addr_sk = current_addr.ca_address_sk
+  AND current_addr.ca_city <> bought_city
+ORDER BY c_last_name, c_first_name, ca_city, bought_city, ss_ticket_number
+LIMIT 100
+"""
+
+# Official text (reference: src/test/resources/tpcds/queries/q79.sql).
+TPCDS_Q79 = """
+SELECT
+  c_last_name,
+  c_first_name,
+  substr(s_city, 1, 30),
+  ss_ticket_number,
+  amt,
+  profit
+FROM
+  (SELECT
+    ss_ticket_number,
+    ss_customer_sk,
+    store.s_city,
+    sum(ss_coupon_amt) amt,
+    sum(ss_net_profit) profit
+  FROM store_sales, date_dim, store, household_demographics
+  WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+    AND store_sales.ss_store_sk = store.s_store_sk
+    AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+    AND (household_demographics.hd_dep_count = 6 OR
+    household_demographics.hd_vehicle_count > 2)
+    AND date_dim.d_dow = 1
+    AND date_dim.d_year IN (1999, 1999 + 1, 1999 + 2)
+    AND store.s_number_employees BETWEEN 200 AND 295
+  GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, store.s_city) ms, customer
+WHERE ss_customer_sk = c_customer_sk
+ORDER BY c_last_name, c_first_name, substr(s_city, 1, 30), profit
+LIMIT 100
+"""
+
 # Official text (reference: src/test/resources/tpcds/queries/q57.sql):
 # q47's catalog twin — moving-average deviation over the catalog /
 # call-center star, three-way self-join on same-named columns.
@@ -2206,6 +2303,8 @@ def _sales(spark, prefix: str, n: int, salt: int):
             # 5000..5200 char band)
             (F.col("id") % 60).alias("ws_ship_hdemo_sk"),
             (F.col("id") % 10).alias("ws_web_page_sk"),
+            # q45's revenue measure (the web twin of cs/ss_sales_price)
+            (((F.col("id") * 2 + 5) % 463) / 2.0).alias("ws_sales_price"),
             (F.floor(F.col("id") / 2000) % 5).alias("ws_warehouse_sk"),
             (F.col("id") % 2000).alias("ws_order_number"),
             (((F.col("id") * 7 + 5) % 211) / 4.0).alias("ws_ext_ship_cost"),
@@ -2303,6 +2402,8 @@ def tpcds(spark, tmp_path_factory):
             ["Sunday", "Monday", "Tuesday", "Wednesday", "Thursday",
              "Friday", "Saturday"],
         ).alias("d_day_name"),
+        # q46/q79's weekday filters: same sk%7 cycle as d_day_name
+        (F.col("id") % 7).cast("int").alias("d_dow"),
     )
     st = spark.range(7).select(
         F.col("id").alias("s_store_sk"),
@@ -2333,6 +2434,8 @@ def tpcds(spark, tmp_path_factory):
         F.when(F.col("id") % 2 == 0, "Ave").otherwise("Blvd").alias("s_street_type"),
         F.concat(F.lit("Suite "), F.col("id").cast("string")).alias("s_suite_number"),
         F.when(F.col("id") % 2 == 0, "Midway").otherwise("Fairview").alias("s_city"),
+        # q79's staffing band: all stores inside the official 200..295
+        (200 + (F.col("id") * 13) % 96).alias("s_number_employees"),
     )
     cu = spark.range(97).select(
         F.col("id").alias("c_customer_sk"),
@@ -2527,6 +2630,13 @@ def tpcds(spark, tmp_path_factory):
              "Richland County", "Gaines County", "Fulton County",
              "Dodge County"],
         ).alias("ca_county"),
+        # q45/q46's address city: 8-city cycle so 'current city <>
+        # bought city' keeps a non-trivial remainder
+        _pick(
+            F.col("id") % 8,
+            ["Fairview", "Midway", "Pleasant Hill", "Oak Grove",
+             "Riverside", "Centerville", "Union", "Salem"],
+        ).alias("ca_city"),
     )
     ss = _sales(spark, "ss", 20000, 0)
     cs = _sales(spark, "cs", 15000, 1)
@@ -2627,7 +2737,8 @@ def tpcds(spark, tmp_path_factory):
         CoveringIndexConfig(
             "tpcds_dd_cov",
             ["d_date_sk"],
-            ["d_year", "d_moy", "d_date", "d_month_seq", "d_qoy", "d_dom"],
+            ["d_year", "d_moy", "d_date", "d_month_seq", "d_qoy", "d_dom",
+             "d_dow"],
             num_buckets=4,
         ),
     )
@@ -2689,7 +2800,7 @@ def tpcds(spark, tmp_path_factory):
             ["ws_sold_date_sk"],
             ["ws_item_sk", "ws_ext_sales_price", "ws_bill_addr_sk",
              "ws_bill_customer_sk", "ws_ext_discount_amt", "ws_net_paid",
-             "ws_sold_time_sk"],
+             "ws_sold_time_sk", "ws_sales_price"],
             num_buckets=4,
         ),
     )
@@ -3210,5 +3321,18 @@ def test_tpcds_returns_family_plan_stability(spark, tpcds, qname, sql):
     co-bucketed (ticket, item, customer) pair), q90 (am/pm ratio, the
     web twin of q88's time-of-day pair), q93 (actual sales after
     returns: outer-join-eliminated (item, ticket) pair)."""
+    hs, _ = tpcds
+    _check_plan_stability(spark, hs, qname, sql, expect_indexes=True)
+
+
+@pytest.mark.parametrize(
+    "qname,sql",
+    [("q45", TPCDS_Q45), ("q46", TPCDS_Q46), ("q79", TPCDS_Q79)],
+)
+def test_tpcds_city_dow_family_plan_stability(spark, tpcds, qname, sql):
+    """q45 (web zip/city star with an IN-subquery under OR — the r13
+    ExistsFilterN path), q46 (purchase-address vs current-address city
+    <> join over the weekend store star), q79 (Monday staffing-band
+    star).  Each channel's date join serves from its sold-date pair."""
     hs, _ = tpcds
     _check_plan_stability(spark, hs, qname, sql, expect_indexes=True)
