@@ -134,12 +134,18 @@ class SortN(Node):
     child: Node = None
     orders: list[str] = field(default_factory=list)  # "expr ASC NULLS FIRST" SQL fragments
     references: frozenset[str] = field(default_factory=frozenset)
+    # exprId renames carried through from a renamed child (r13): sort
+    # keys were rendered against the child's EXPOSED (__hs_dupN) names;
+    # parse_df's root restoration puts the user's duplicate names back.
+    renames: dict = field(default_factory=dict)
 
 
 @dataclass
 class LimitN(Node):
     child: Node = None
     n: int = 0
+    # pass-through of a renamed child's map (r13) — LIMIT changes no names
+    renames: dict = field(default_factory=dict)
 
 
 @dataclass

@@ -53,7 +53,31 @@ _PASS_THROUGH = {
 
 
 def parse_df(df) -> ir.Node:
-    plan = _parse(df._jdf.queryExecution().optimizedPlan())
+    jroot = df._jdf.queryExecution().optimizedPlan()
+    plan = _parse(jroot)
+    rmap = getattr(plan, "renames", None) or {}
+    if rmap:
+        # Root restoration (r13): the subtree renamed duplicate columns
+        # to __hs_dupN internally (the q47/q39 self-join collision
+        # class); the USER's schema — which may legitimately carry
+        # duplicate names, e.g. TPC-DS q39 selects both sides' columns
+        # verbatim — is restored by one final projection with duplicate
+        # aliases, legal at the root where nothing above references the
+        # output by name.
+        exprs, out, refs = [], [], set()
+        for a in scala_seq(jroot.output()):
+            base = str(a.name())
+            exposed = rmap.get(int(a.exprId().id()), base)
+            refs.add(exposed)
+            exprs.append(
+                f"{_quote_if_needed(exposed)} AS {_quote_if_needed(base)}"
+                if exposed != base
+                else _quote_if_needed(exposed)
+            )
+            out.append(base)
+        plan = ir.ProjectN(
+            child=plan, exprs=exprs, output=out, references=frozenset(refs)
+        )
     try:
         cs = df.sparkSession.conf.get("spark.sql.caseSensitive", "false") == "true"
     except Exception:
@@ -355,10 +379,24 @@ def _parse(jnode) -> ir.Node:
         )
 
     if cls == "Sort":
+        child = _parse_or_opaque(jnode.child(), allow_renamed=True)
+        cmap = getattr(child, "renames", None) or {}
         orders = []
         refs: frozenset[str] = frozenset()
         for so in scala_seq(jnode.order()):
-            child_sql = expr_sql(so.child())
+            key = so.child()
+            if cmap:
+                # A renamed child exposes second copies as __hs_dupN:
+                # bare-attribute keys translate through the map; any
+                # other key shape over a renamed child declines (the
+                # rendered name could bind the wrong copy).
+                if key.getClass().getSimpleName() != "AttributeReference":
+                    raise UnsupportedPlan("sort:non-attr-key-over-renamed-child")
+                child_sql = _quote_if_needed(
+                    cmap.get(int(key.exprId().id()), str(key.name()))
+                )
+            else:
+                child_sql = expr_sql(key)
             direction = "ASC" if "Ascending" in str(so.direction().getClass().getSimpleName()) else "DESC"
             nulls = (
                 "NULLS FIRST"
@@ -366,18 +404,28 @@ def _parse(jnode) -> ir.Node:
                 else "NULLS LAST"
             )
             orders.append(f"{child_sql} {direction} {nulls}")
-            refs = refs | parse_expr(so.child()).references
-        return ir.SortN(child=_parse_or_opaque(jnode.child()), orders=orders, references=refs)
+            refs = refs | parse_expr(key).references
+        return ir.SortN(
+            child=child, orders=orders, references=refs, renames=dict(cmap)
+        )
 
     if cls == "GlobalLimit":
         n = int(jnode.limitExpr().value())
         inner = jnode.child()
         if inner.getClass().getSimpleName() == "LocalLimit":
             inner = inner.child()
-        return ir.LimitN(child=_parse_or_opaque(inner), n=n)
+        child = _parse_or_opaque(inner, allow_renamed=True)
+        return ir.LimitN(
+            child=child, n=n, renames=dict(getattr(child, "renames", None) or {})
+        )
 
     if cls == "LocalLimit":
-        return ir.LimitN(child=_parse_or_opaque(jnode.child()), n=int(jnode.limitExpr().value()))
+        child = _parse_or_opaque(jnode.child(), allow_renamed=True)
+        return ir.LimitN(
+            child=child,
+            n=int(jnode.limitExpr().value()),
+            renames=dict(getattr(child, "renames", None) or {}),
+        )
 
     if cls == "Window":
         wexprs = [expr_sql(e) for e in scala_seq(jnode.windowExpressions())]

@@ -856,3 +856,31 @@ def test_renamed_left_outer_keeps_both_key_copies(spark, band_hs):
     assert sorted(map(key, df.collect())) == sorted(map(key, q.collect()))
     # the right key copy is exposed under a rename, not dropped
     assert len(df.columns) == len(q.columns) == 4
+
+
+def test_renamed_root_restores_duplicate_output_names(spark, band_hs):
+    """r13 root restoration (the TPC-DS q39 shape): the user's FINAL
+    schema legitimately carries duplicate names (both sides' columns
+    selected verbatim) with an ORDER BY over both sides.  Internally
+    the join renames to __hs_dupN and the Sort renders its keys against
+    the exposed names; parse_df's final projection restores the
+    original duplicate aliases — schema AND rows must match raw."""
+    q = spark.sql(
+        """
+        WITH v AS (
+          SELECT o_custkey, o_orderpriority,
+                 round(avg(o_totalprice), 2) mean
+          FROM orders_band GROUP BY o_custkey, o_orderpriority)
+        SELECT v1.o_custkey, v1.mean, v2.o_custkey, v2.mean
+        FROM v v1, v v2
+        WHERE v1.o_custkey = v2.o_custkey
+          AND v1.o_orderpriority = '1-URGENT'
+          AND v2.o_orderpriority = '5-LOW'
+        ORDER BY v1.o_custkey, v1.mean, v2.mean
+        """
+    )
+    fast, used = band_hs._apply_with_info(q)
+    assert fast.columns == q.columns == ["o_custkey", "mean", "o_custkey", "mean"]
+    raw = sorted(map(tuple, q.collect()))
+    got = sorted(map(tuple, fast.collect()))
+    assert raw == got and len(raw) > 0

@@ -1750,6 +1750,97 @@ ORDER BY substr(w_warehouse_name, 1, 20), sm_type, cc_name
 LIMIT 100
 """
 
+# Official text (reference: src/test/resources/tpcds/queries/q39a.sql):
+# inventory demand-variance pairs — per-(warehouse, item, month)
+# stddev/mean over the inventory star, self-joined January-vs-February.
+TPCDS_Q39A = """
+WITH inv AS
+(SELECT
+    w_warehouse_name,
+    w_warehouse_sk,
+    i_item_sk,
+    d_moy,
+    stdev,
+    mean,
+    CASE mean
+    WHEN 0
+      THEN NULL
+    ELSE stdev / mean END cov
+  FROM (SELECT
+    w_warehouse_name,
+    w_warehouse_sk,
+    i_item_sk,
+    d_moy,
+    stddev_samp(inv_quantity_on_hand) stdev,
+    avg(inv_quantity_on_hand) mean
+  FROM inventory, item, warehouse, date_dim
+  WHERE inv_item_sk = i_item_sk
+    AND inv_warehouse_sk = w_warehouse_sk
+    AND inv_date_sk = d_date_sk
+    AND d_year = 2001
+  GROUP BY w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy) foo
+  WHERE CASE mean
+        WHEN 0
+          THEN 0
+        ELSE stdev / mean END > 1)
+SELECT
+  inv1.w_warehouse_sk,
+  inv1.i_item_sk,
+  inv1.d_moy,
+  inv1.mean,
+  inv1.cov,
+  inv2.w_warehouse_sk,
+  inv2.i_item_sk,
+  inv2.d_moy,
+  inv2.mean,
+  inv2.cov
+FROM inv inv1, inv inv2
+WHERE inv1.i_item_sk = inv2.i_item_sk
+  AND inv1.w_warehouse_sk = inv2.w_warehouse_sk
+  AND inv1.d_moy = 1
+  AND inv2.d_moy = 1 + 1
+ORDER BY inv1.w_warehouse_sk, inv1.i_item_sk, inv1.d_moy, inv1.mean, inv1.cov
+  , inv2.d_moy, inv2.mean, inv2.cov
+"""
+
+# Official text (reference: src/test/resources/tpcds/queries/q39b.sql):
+# identical up to one extra gate on the January side.
+TPCDS_Q39B = TPCDS_Q39A.replace(
+    "  AND inv1.d_moy = 1\n  AND inv2.d_moy = 1 + 1",
+    "  AND inv1.d_moy = 1\n  AND inv2.d_moy = 1 + 1\n  AND inv1.cov > 1.5",
+)
+
+# Official text (reference: src/test/resources/tpcds/queries/q40.sql):
+# catalog sales net of refunds, before/after a split date — the cs-cr
+# LEFT OUTER on (order, item) under the warehouse/item/date star.
+TPCDS_Q40 = """
+SELECT
+  w_state,
+  i_item_id,
+  sum(CASE WHEN (cast(d_date AS DATE) < cast('2000-03-11' AS DATE))
+    THEN cs_sales_price - coalesce(cr_refunded_cash, 0)
+      ELSE 0 END) AS sales_before,
+  sum(CASE WHEN (cast(d_date AS DATE) >= cast('2000-03-11' AS DATE))
+    THEN cs_sales_price - coalesce(cr_refunded_cash, 0)
+      ELSE 0 END) AS sales_after
+FROM
+  catalog_sales
+  LEFT OUTER JOIN catalog_returns ON
+                                    (cs_order_number = cr_order_number
+                                      AND cs_item_sk = cr_item_sk)
+  , warehouse, item, date_dim
+WHERE
+  i_current_price BETWEEN 0.99 AND 1.49
+    AND i_item_sk = cs_item_sk
+    AND cs_warehouse_sk = w_warehouse_sk
+    AND cs_sold_date_sk = d_date_sk
+    AND d_date BETWEEN (cast('2000-03-11' AS DATE) - INTERVAL 30 days)
+  AND (cast('2000-03-11' AS DATE) + INTERVAL 30 days)
+GROUP BY w_state, i_item_id
+ORDER BY w_state, i_item_id
+LIMIT 100
+"""
+
 # Official text (reference: src/test/resources/tpcds/queries/q45.sql):
 # web zip/city revenue with an IN-subquery under OR — the subquery
 # decorrelates to an ExistenceJoin, riding the r13 ExistsFilterN path.
@@ -2670,7 +2761,8 @@ def tpcds(spark, tmp_path_factory):
     # (2001-06, month_seq 1205) covers q22's official range.  Quantity
     # 200..300 keeps q21's before/after ratio near 1 (inside the official
     # 2/3..3/2 band) and q37/q82's 100..500 gate satisfied.
-    inv_windows = [1030, 1060, 1140, 1251]
+    # 1096/1127 (2001-01, 2001-02): q39's month-pair variance join
+    inv_windows = [1030, 1060, 1140, 1251, 1096, 1127]
     inv_sel = F.floor(F.col("id") / 500) % len(inv_windows)
     inv_date = F.when(inv_sel == 0, inv_windows[0] + (F.col("id") % 23))
     for i in range(1, len(inv_windows) - 1):
@@ -2680,15 +2772,32 @@ def tpcds(spark, tmp_path_factory):
         inv_date.alias("inv_date_sk"),
         (F.col("id") % 500).alias("inv_item_sk"),
         (F.col("id") % 5).alias("inv_warehouse_sk"),
-        (200 + (F.col("id") % 101)).alias("inv_quantity_on_hand"),
+        # every 31st row spikes to 3000: a 2-3 row (item, warehouse,
+        # month) group containing one spike gets stddev/mean > 1, so
+        # q39's cov filter keeps a non-trivial subset; the spikes fall
+        # OUTSIDE q21/q37/q82's 100..500 quantity gate (~3% row loss,
+        # ratio-neutral)
+        F.when(F.col("id") % 31 == 0, F.lit(3000))
+        .otherwise(200 + (F.col("id") % 101))
+        .alias("inv_quantity_on_hand"),
     )
     wh = spark.range(5).select(
         F.col("id").alias("w_warehouse_sk"),
         F.concat(F.lit("Warehouse"), F.col("id").cast("string")).alias(
             "w_warehouse_name"
         ),
+        # q40's before/after pivot groups by warehouse state
+        F.when(F.col("id") % 2 == 0, "TN").otherwise("OH").alias("w_state"),
     )
-    cr = spark.range(1000).select(((F.col("id") * 3) % 3000).alias("cr_order_number"))
+    # q40: cr row r refunds the catalog order family id ≡ 3r (mod 3000);
+    # cr_item_sk copies that family's item so the (order, item) LEFT
+    # OUTER join matches coherently (q16's EXISTS still sees only
+    # cr_order_number)
+    cr = spark.range(1000).select(
+        ((F.col("id") * 3) % 3000).alias("cr_order_number"),
+        (((F.col("id") * 3) % 3000) % 500).alias("cr_item_sk"),
+        (((F.col("id") * 7 + 3) % 197) / 2.0).alias("cr_refunded_cash"),
+    )
     wr = spark.range(800).select(((F.col("id") * 3) % 2000).alias("wr_order_number"))
     # q90: web pages 0..6 fall inside the official 5000..5200 char band
     wp = spark.range(10).select(
@@ -2788,7 +2897,7 @@ def tpcds(spark, tmp_path_factory):
                 "cs_list_price", "cs_coupon_amt", "cs_sales_price",
                 "cs_bill_customer_sk", "cs_ext_discount_amt",
                 "cs_sold_time_sk", "cs_ship_customer_sk",
-                "cs_call_center_sk",
+                "cs_call_center_sk", "cs_warehouse_sk", "cs_order_number",
             ],
             num_buckets=4,
         ),
@@ -3334,5 +3443,19 @@ def test_tpcds_city_dow_family_plan_stability(spark, tpcds, qname, sql):
     ExistsFilterN path), q46 (purchase-address vs current-address city
     <> join over the weekend store star), q79 (Monday staffing-band
     star).  Each channel's date join serves from its sold-date pair."""
+    hs, _ = tpcds
+    _check_plan_stability(spark, hs, qname, sql, expect_indexes=True)
+
+
+@pytest.mark.parametrize(
+    "qname,sql",
+    [("q39a", TPCDS_Q39A), ("q39b", TPCDS_Q39B), ("q40", TPCDS_Q40)],
+)
+def test_tpcds_inventory_returns_family_plan_stability(spark, tpcds, qname, sql):
+    """q39a/q39b (demand-variance month pairs: stddev/mean per
+    (warehouse, item, month) over the inventory star, self-joined
+    Jan-vs-Feb — the inv/dd pair serves BOTH CTE instantiations), q40
+    (catalog net-of-refund before/after pivot over the cs-cr LEFT OUTER
+    join)."""
     hs, _ = tpcds
     _check_plan_stability(spark, hs, qname, sql, expect_indexes=True)
