@@ -937,6 +937,23 @@ def _render_qualified(
         if cls == "IsNotNull":
             c = render(e.child())
             return None if c is None else f"({c} IS NOT NULL)"
+        if cls == "CaseWhen":
+            # TPC-DS q74/q11/q4's year-over-year ratio residuals compare
+            # CASE expressions across self-join instances.
+            parts = []
+            for b in scala_seq(e.branches()):
+                w, t = render(b._1()), render(b._2())
+                if w is None or t is None:
+                    return None
+                parts.append(f"WHEN {w} THEN {t}")
+            tail = ""
+            ev = e.elseValue()
+            if ev.isDefined():
+                el = render(ev.get())
+                if el is None:
+                    return None
+                tail = f" ELSE {el}"
+            return f"(CASE {' '.join(parts)}{tail} END)"
         return None
 
     return render(jexpr)

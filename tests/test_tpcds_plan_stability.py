@@ -1841,6 +1841,273 @@ ORDER BY w_state, i_item_id
 LIMIT 100
 """
 
+# Official text (reference: src/test/resources/tpcds/queries/q11.sql):
+# q74's wide twin — the year_total keys carry the full customer profile.
+TPCDS_Q11 = """
+WITH year_total AS (
+  SELECT
+    c_customer_id customer_id,
+    c_first_name customer_first_name,
+    c_last_name customer_last_name,
+    c_preferred_cust_flag customer_preferred_cust_flag,
+    c_birth_country customer_birth_country,
+    c_login customer_login,
+    c_email_address customer_email_address,
+    d_year dyear,
+    sum(ss_ext_list_price - ss_ext_discount_amt) year_total,
+    's' sale_type
+  FROM customer, store_sales, date_dim
+  WHERE c_customer_sk = ss_customer_sk
+    AND ss_sold_date_sk = d_date_sk
+  GROUP BY c_customer_id
+    , c_first_name
+    , c_last_name
+    , d_year
+    , c_preferred_cust_flag
+    , c_birth_country
+    , c_login
+    , c_email_address
+    , d_year
+  UNION ALL
+  SELECT
+    c_customer_id customer_id,
+    c_first_name customer_first_name,
+    c_last_name customer_last_name,
+    c_preferred_cust_flag customer_preferred_cust_flag,
+    c_birth_country customer_birth_country,
+    c_login customer_login,
+    c_email_address customer_email_address,
+    d_year dyear,
+    sum(ws_ext_list_price - ws_ext_discount_amt) year_total,
+    'w' sale_type
+  FROM customer, web_sales, date_dim
+  WHERE c_customer_sk = ws_bill_customer_sk
+    AND ws_sold_date_sk = d_date_sk
+  GROUP BY
+    c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag, c_birth_country,
+    c_login, c_email_address, d_year)
+SELECT t_s_secyear.customer_preferred_cust_flag
+FROM year_total t_s_firstyear
+  , year_total t_s_secyear
+  , year_total t_w_firstyear
+  , year_total t_w_secyear
+WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+  AND t_s_firstyear.sale_type = 's'
+  AND t_w_firstyear.sale_type = 'w'
+  AND t_s_secyear.sale_type = 's'
+  AND t_w_secyear.sale_type = 'w'
+  AND t_s_firstyear.dyear = 2001
+  AND t_s_secyear.dyear = 2001 + 1
+  AND t_w_firstyear.dyear = 2001
+  AND t_w_secyear.dyear = 2001 + 1
+  AND t_s_firstyear.year_total > 0
+  AND t_w_firstyear.year_total > 0
+  AND CASE WHEN t_w_firstyear.year_total > 0
+  THEN t_w_secyear.year_total / t_w_firstyear.year_total
+      ELSE NULL END
+  > CASE WHEN t_s_firstyear.year_total > 0
+  THEN t_s_secyear.year_total / t_s_firstyear.year_total
+    ELSE NULL END
+ORDER BY t_s_secyear.customer_preferred_cust_flag
+LIMIT 100
+"""
+
+# Official text (reference: src/test/resources/tpcds/queries/q4.sql):
+# the three-channel year-over-year monster: ONE CTE instantiated SIX
+# times (store/catalog/web x first/second year) with two CASE-ratio
+# residual comparisons across the chain.
+TPCDS_Q4 = """
+WITH year_total AS (
+  SELECT
+    c_customer_id customer_id,
+    c_first_name customer_first_name,
+    c_last_name customer_last_name,
+    c_preferred_cust_flag customer_preferred_cust_flag,
+    c_birth_country customer_birth_country,
+    c_login customer_login,
+    c_email_address customer_email_address,
+    d_year dyear,
+    sum(((ss_ext_list_price - ss_ext_wholesale_cost - ss_ext_discount_amt) +
+      ss_ext_sales_price) / 2) year_total,
+    's' sale_type
+  FROM customer, store_sales, date_dim
+  WHERE c_customer_sk = ss_customer_sk AND ss_sold_date_sk = d_date_sk
+  GROUP BY c_customer_id,
+    c_first_name,
+    c_last_name,
+    c_preferred_cust_flag,
+    c_birth_country,
+    c_login,
+    c_email_address,
+    d_year
+  UNION ALL
+  SELECT
+    c_customer_id customer_id,
+    c_first_name customer_first_name,
+    c_last_name customer_last_name,
+    c_preferred_cust_flag customer_preferred_cust_flag,
+    c_birth_country customer_birth_country,
+    c_login customer_login,
+    c_email_address customer_email_address,
+    d_year dyear,
+    sum((((cs_ext_list_price - cs_ext_wholesale_cost - cs_ext_discount_amt) +
+      cs_ext_sales_price) / 2)) year_total,
+    'c' sale_type
+  FROM customer, catalog_sales, date_dim
+  WHERE c_customer_sk = cs_bill_customer_sk AND cs_sold_date_sk = d_date_sk
+  GROUP BY c_customer_id,
+    c_first_name,
+    c_last_name,
+    c_preferred_cust_flag,
+    c_birth_country,
+    c_login,
+    c_email_address,
+    d_year
+  UNION ALL
+  SELECT
+    c_customer_id customer_id,
+    c_first_name customer_first_name,
+    c_last_name customer_last_name,
+    c_preferred_cust_flag customer_preferred_cust_flag,
+    c_birth_country customer_birth_country,
+    c_login customer_login,
+    c_email_address customer_email_address,
+    d_year dyear,
+    sum((((ws_ext_list_price - ws_ext_wholesale_cost - ws_ext_discount_amt) + ws_ext_sales_price) /
+      2)) year_total,
+    'w' sale_type
+  FROM customer, web_sales, date_dim
+  WHERE c_customer_sk = ws_bill_customer_sk AND ws_sold_date_sk = d_date_sk
+  GROUP BY c_customer_id,
+    c_first_name,
+    c_last_name,
+    c_preferred_cust_flag,
+    c_birth_country,
+    c_login,
+    c_email_address,
+    d_year)
+SELECT
+  t_s_secyear.customer_id,
+  t_s_secyear.customer_first_name,
+  t_s_secyear.customer_last_name,
+  t_s_secyear.customer_preferred_cust_flag,
+  t_s_secyear.customer_birth_country,
+  t_s_secyear.customer_login,
+  t_s_secyear.customer_email_address
+FROM year_total t_s_firstyear, year_total t_s_secyear, year_total t_c_firstyear,
+  year_total t_c_secyear, year_total t_w_firstyear, year_total t_w_secyear
+WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_c_secyear.customer_id
+  AND t_s_firstyear.customer_id = t_c_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+  AND t_s_firstyear.sale_type = 's'
+  AND t_c_firstyear.sale_type = 'c'
+  AND t_w_firstyear.sale_type = 'w'
+  AND t_s_secyear.sale_type = 's'
+  AND t_c_secyear.sale_type = 'c'
+  AND t_w_secyear.sale_type = 'w'
+  AND t_s_firstyear.dyear = 2001
+  AND t_s_secyear.dyear = 2001 + 1
+  AND t_c_firstyear.dyear = 2001
+  AND t_c_secyear.dyear = 2001 + 1
+  AND t_w_firstyear.dyear = 2001
+  AND t_w_secyear.dyear = 2001 + 1
+  AND t_s_firstyear.year_total > 0
+  AND t_c_firstyear.year_total > 0
+  AND t_w_firstyear.year_total > 0
+  AND CASE WHEN t_c_firstyear.year_total > 0
+  THEN t_c_secyear.year_total / t_c_firstyear.year_total
+      ELSE NULL END
+  > CASE WHEN t_s_firstyear.year_total > 0
+  THEN t_s_secyear.year_total / t_s_firstyear.year_total
+    ELSE NULL END
+  AND CASE WHEN t_c_firstyear.year_total > 0
+  THEN t_c_secyear.year_total / t_c_firstyear.year_total
+      ELSE NULL END
+  > CASE WHEN t_w_firstyear.year_total > 0
+  THEN t_w_secyear.year_total / t_w_firstyear.year_total
+    ELSE NULL END
+ORDER BY
+  t_s_secyear.customer_id,
+  t_s_secyear.customer_first_name,
+  t_s_secyear.customer_last_name,
+  t_s_secyear.customer_preferred_cust_flag,
+  t_s_secyear.customer_birth_country,
+  t_s_secyear.customer_login,
+  t_s_secyear.customer_email_address
+LIMIT 100
+"""
+
+# Official text (reference: src/test/resources/tpcds/queries/q74.sql):
+# year-over-year customer growth — ONE CTE instantiated FOUR times
+# (store/web x first/second year), self-joined on customer_id with a
+# CASE-ratio residual across all four instances; the r13 rename
+# corridor (multi-level __hs_dupN + CaseWhen in the qualified grammar)
+# renders the chain unambiguously.
+TPCDS_Q74 = """
+WITH year_total AS (
+  SELECT
+    c_customer_id customer_id,
+    c_first_name customer_first_name,
+    c_last_name customer_last_name,
+    d_year AS year,
+    sum(ss_net_paid) year_total,
+    's' sale_type
+  FROM
+    customer, store_sales, date_dim
+  WHERE c_customer_sk = ss_customer_sk
+    AND ss_sold_date_sk = d_date_sk
+    AND d_year IN (2001, 2001 + 1)
+  GROUP BY
+    c_customer_id, c_first_name, c_last_name, d_year
+  UNION ALL
+  SELECT
+    c_customer_id customer_id,
+    c_first_name customer_first_name,
+    c_last_name customer_last_name,
+    d_year AS year,
+    sum(ws_net_paid) year_total,
+    'w' sale_type
+  FROM
+    customer, web_sales, date_dim
+  WHERE c_customer_sk = ws_bill_customer_sk
+    AND ws_sold_date_sk = d_date_sk
+    AND d_year IN (2001, 2001 + 1)
+  GROUP BY
+    c_customer_id, c_first_name, c_last_name, d_year)
+SELECT
+  t_s_secyear.customer_id,
+  t_s_secyear.customer_first_name,
+  t_s_secyear.customer_last_name
+FROM
+  year_total t_s_firstyear, year_total t_s_secyear,
+  year_total t_w_firstyear, year_total t_w_secyear
+WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+  AND t_s_firstyear.sale_type = 's'
+  AND t_w_firstyear.sale_type = 'w'
+  AND t_s_secyear.sale_type = 's'
+  AND t_w_secyear.sale_type = 'w'
+  AND t_s_firstyear.year = 2001
+  AND t_s_secyear.year = 2001 + 1
+  AND t_w_firstyear.year = 2001
+  AND t_w_secyear.year = 2001 + 1
+  AND t_s_firstyear.year_total > 0
+  AND t_w_firstyear.year_total > 0
+  AND CASE WHEN t_w_firstyear.year_total > 0
+  THEN t_w_secyear.year_total / t_w_firstyear.year_total
+      ELSE NULL END
+  > CASE WHEN t_s_firstyear.year_total > 0
+  THEN t_s_secyear.year_total / t_s_firstyear.year_total
+    ELSE NULL END
+ORDER BY 1, 1, 1
+LIMIT 100
+"""
+
 # Official text (reference: src/test/resources/tpcds/queries/q45.sql):
 # web zip/city revenue with an IN-subquery under OR — the subquery
 # decorrelates to an ExistenceJoin, riding the r13 ExistsFilterN path.
@@ -2310,6 +2577,10 @@ def _sales(spark, prefix: str, n: int, salt: int):
         # each month's sum (a single month zeroes the deviation filter —
         # the q53/q63 lesson).
         windows += [1466, 343, 429, 732]
+    if prefix == "ws":
+        # 1468 (2002-01): the year-over-year family (q74/q11/q4) compares
+        # 2001 vs 2002 per channel; web needs second-year rows too
+        windows += [1468]
     # Select the window by floor(id/500), NOT id % len(windows): the
     # item key is id % 500, so a mod-6 selector would freeze each
     # window's item-key PARITY (id ≡ 2 mod 6 is always even), making
@@ -2355,6 +2626,8 @@ def _sales(spark, prefix: str, n: int, salt: int):
             # q69's NOT-EXISTS pair keeps a non-empty remainder while
             # q10/q35's EXISTS arms stay non-trivially selective.
             (31 + F.col("id") % 53).alias("cs_ship_customer_sk"),
+            (((F.col("id") * 5 + 1) % 503) / 2.0).alias("cs_ext_list_price"),
+            (((F.col("id") * 7 + 13) % 401) / 2.0).alias("cs_ext_wholesale_cost"),
             # id 1077 = item 77 (manufact 977) inside q32's 2000-01-27
             # +90d window: with ten cs windows only 3 such rows remain
             # and the synthetic spread no longer clears the 1.3x-average
@@ -2382,6 +2655,8 @@ def _sales(spark, prefix: str, n: int, salt: int):
             (F.col("id") % 61).alias("ws_bill_customer_sk"),
             (((F.col("id") * 9 + 5) % 331) / 4.0).alias("ws_ext_discount_amt"),
             (((F.col("id") * 13 + 7) % 997) / 3.0).alias("ws_net_paid"),
+            (((F.col("id") * 5 + 3) % 503) / 2.0).alias("ws_ext_list_price"),
+            (((F.col("id") * 7 + 11) % 401) / 2.0).alias("ws_ext_wholesale_cost"),
             ((F.col("id") * 7 + 2) % 2000).alias("ws_sold_time_sk"),
             F.when(F.col("id") % 2 == 0, F.lit(650) + (F.col("id") % 80))
             .otherwise(F.lit(1251) + (F.col("id") % 80))
@@ -2423,6 +2698,9 @@ def _sales(spark, prefix: str, n: int, salt: int):
             (((F.col("id") * 13 + 3) % 701) / 2.0).alias("ss_ext_wholesale_cost"),
             (((F.col("id") * 7 + 17) % 199) / 2.0).alias("ss_wholesale_cost"),
             (F.col("id") % 97).alias("ss_customer_sk"),
+            (((F.col("id") * 13 + 5) % 997) / 3.0).alias("ss_net_paid"),
+            (((F.col("id") * 5 + 9) % 503) / 2.0).alias("ss_ext_list_price"),
+            (((F.col("id") * 9 + 7) % 331) / 4.0).alias("ss_ext_discount_amt"),
             (F.col("id") % 5000).alias("ss_ticket_number"),
             # q96: time-of-day key, coprime stride covers every t_time_sk
             ((F.col("id") * 7) % 2000).alias("ss_sold_time_sk"),
@@ -2542,6 +2820,14 @@ def tpcds(spark, tmp_path_factory):
         ),
         # q10/q35/q69: the demographics foreign key, covering every cd row
         (F.col("id") % 80).alias("c_current_cdemo_sk"),
+        # q11/q4's year_total grouping keys
+        F.when(F.col("id") % 4 == 0, "CANADA")
+        .otherwise("UNITED STATES")
+        .alias("c_birth_country"),
+        F.concat(F.lit("login"), F.col("id").cast("string")).alias("c_login"),
+        F.concat(F.lit("c"), F.col("id").cast("string"), F.lit("@example.com")).alias(
+            "c_email_address"
+        ),
     )
     # star tables for q3/q42/q52/q55/q33
     it = spark.range(500).select(
@@ -2862,7 +3148,8 @@ def tpcds(spark, tmp_path_factory):
                 "ss_list_price", "ss_coupon_amt", "ss_sales_price",
                 "ss_store_sk", "ss_hdemo_sk", "ss_net_profit",
                 "ss_ext_wholesale_cost", "ss_customer_sk", "ss_ticket_number",
-                "ss_sold_time_sk",
+                "ss_sold_time_sk", "ss_net_paid", "ss_ext_list_price",
+                "ss_ext_discount_amt",
             ],
             num_buckets=4,
         ),
@@ -2898,6 +3185,7 @@ def tpcds(spark, tmp_path_factory):
                 "cs_bill_customer_sk", "cs_ext_discount_amt",
                 "cs_sold_time_sk", "cs_ship_customer_sk",
                 "cs_call_center_sk", "cs_warehouse_sk", "cs_order_number",
+                "cs_ext_list_price", "cs_ext_wholesale_cost",
             ],
             num_buckets=4,
         ),
@@ -2909,7 +3197,8 @@ def tpcds(spark, tmp_path_factory):
             ["ws_sold_date_sk"],
             ["ws_item_sk", "ws_ext_sales_price", "ws_bill_addr_sk",
              "ws_bill_customer_sk", "ws_ext_discount_amt", "ws_net_paid",
-             "ws_sold_time_sk", "ws_sales_price"],
+             "ws_sold_time_sk", "ws_sales_price", "ws_ext_list_price",
+             "ws_ext_wholesale_cost"],
             num_buckets=4,
         ),
     )
@@ -3457,5 +3746,25 @@ def test_tpcds_inventory_returns_family_plan_stability(spark, tpcds, qname, sql)
     Jan-vs-Feb — the inv/dd pair serves BOTH CTE instantiations), q40
     (catalog net-of-refund before/after pivot over the cs-cr LEFT OUTER
     join)."""
+    hs, _ = tpcds
+    _check_plan_stability(spark, hs, qname, sql, expect_indexes=True)
+
+
+def test_tpcds_q74_plan_stability(spark, tpcds):
+    """Year-over-year customer growth: the year_total CTE instantiated
+    four times (store/web x 2001/2002), self-joined on customer_id with
+    a cross-instance CASE-ratio residual.  Rides the r13 rename
+    corridor; every instance's channel star serves its date pair."""
+    hs, _ = tpcds
+    _check_plan_stability(spark, hs, "q74", TPCDS_Q74, expect_indexes=True)
+
+
+@pytest.mark.parametrize("qname,sql", [("q11", TPCDS_Q11), ("q4", TPCDS_Q4)])
+def test_tpcds_year_over_year_plan_stability(spark, tpcds, qname, sql):
+    """q74's siblings: q11 (store/web, full customer profile in the
+    grouping keys), q4 (the three-channel monster — ONE CTE
+    instantiated SIX times with two cross-instance CASE-ratio
+    residuals).  Every instantiation's channel star serves its
+    sold-date pair through the rename corridor."""
     hs, _ = tpcds
     _check_plan_stability(spark, hs, qname, sql, expect_indexes=True)
