@@ -1841,6 +1841,112 @@ ORDER BY w_state, i_item_id
 LIMIT 100
 """
 
+# Official text (reference: src/test/resources/tpcds/queries/q31.sql):
+# county-level web-vs-store quarter-over-quarter growth — TWO CTEs
+# instantiated three times each (six join sides), CASE-ratio residuals.
+TPCDS_Q31 = """
+WITH ss AS
+(SELECT
+    ca_county,
+    d_qoy,
+    d_year,
+    sum(ss_ext_sales_price) AS store_sales
+  FROM store_sales, date_dim, customer_address
+  WHERE ss_sold_date_sk = d_date_sk
+    AND ss_addr_sk = ca_address_sk
+  GROUP BY ca_county, d_qoy, d_year),
+    ws AS
+  (SELECT
+    ca_county,
+    d_qoy,
+    d_year,
+    sum(ws_ext_sales_price) AS web_sales
+  FROM web_sales, date_dim, customer_address
+  WHERE ws_sold_date_sk = d_date_sk
+    AND ws_bill_addr_sk = ca_address_sk
+  GROUP BY ca_county, d_qoy, d_year)
+SELECT
+  ss1.ca_county,
+  ss1.d_year,
+  ws2.web_sales / ws1.web_sales web_q1_q2_increase,
+  ss2.store_sales / ss1.store_sales store_q1_q2_increase,
+  ws3.web_sales / ws2.web_sales web_q2_q3_increase,
+  ss3.store_sales / ss2.store_sales store_q2_q3_increase
+FROM
+  ss ss1, ss ss2, ss ss3, ws ws1, ws ws2, ws ws3
+WHERE
+  ss1.d_qoy = 1
+    AND ss1.d_year = 2000
+    AND ss1.ca_county = ss2.ca_county
+    AND ss2.d_qoy = 2
+    AND ss2.d_year = 2000
+    AND ss2.ca_county = ss3.ca_county
+    AND ss3.d_qoy = 3
+    AND ss3.d_year = 2000
+    AND ss1.ca_county = ws1.ca_county
+    AND ws1.d_qoy = 1
+    AND ws1.d_year = 2000
+    AND ws1.ca_county = ws2.ca_county
+    AND ws2.d_qoy = 2
+    AND ws2.d_year = 2000
+    AND ws1.ca_county = ws3.ca_county
+    AND ws3.d_qoy = 3
+    AND ws3.d_year = 2000
+    AND CASE WHEN ws1.web_sales > 0
+    THEN ws2.web_sales / ws1.web_sales
+        ELSE NULL END
+    > CASE WHEN ss1.store_sales > 0
+    THEN ss2.store_sales / ss1.store_sales
+      ELSE NULL END
+    AND CASE WHEN ws2.web_sales > 0
+    THEN ws3.web_sales / ws2.web_sales
+        ELSE NULL END
+    > CASE WHEN ss2.store_sales > 0
+    THEN ss3.store_sales / ss2.store_sales
+      ELSE NULL END
+ORDER BY ss1.ca_county
+"""
+
+# Official text (reference: src/test/resources/tpcds/queries/q17.sql):
+# store->returns->catalog chain: the sale-identity triple join (q50's
+# pair) extended through the returned items' catalog re-purchases, with
+# per-quarter date gates on all three legs.
+TPCDS_Q17 = """
+SELECT
+  i_item_id,
+  i_item_desc,
+  s_state,
+  count(ss_quantity) AS store_sales_quantitycount,
+  avg(ss_quantity) AS store_sales_quantityave,
+  stddev_samp(ss_quantity) AS store_sales_quantitystdev,
+  stddev_samp(ss_quantity) / avg(ss_quantity) AS store_sales_quantitycov,
+  count(sr_return_quantity) as_store_returns_quantitycount,
+  avg(sr_return_quantity) as_store_returns_quantityave,
+  stddev_samp(sr_return_quantity) as_store_returns_quantitystdev,
+  stddev_samp(sr_return_quantity) / avg(sr_return_quantity) AS store_returns_quantitycov,
+  count(cs_quantity) AS catalog_sales_quantitycount,
+  avg(cs_quantity) AS catalog_sales_quantityave,
+  stddev_samp(cs_quantity) / avg(cs_quantity) AS catalog_sales_quantitystdev,
+  stddev_samp(cs_quantity) / avg(cs_quantity) AS catalog_sales_quantitycov
+FROM store_sales, store_returns, catalog_sales, date_dim d1, date_dim d2, date_dim d3, store, item
+WHERE d1.d_quarter_name = '2001Q1'
+  AND d1.d_date_sk = ss_sold_date_sk
+  AND i_item_sk = ss_item_sk
+  AND s_store_sk = ss_store_sk
+  AND ss_customer_sk = sr_customer_sk
+  AND ss_item_sk = sr_item_sk
+  AND ss_ticket_number = sr_ticket_number
+  AND sr_returned_date_sk = d2.d_date_sk
+  AND d2.d_quarter_name IN ('2001Q1', '2001Q2', '2001Q3')
+  AND sr_customer_sk = cs_bill_customer_sk
+  AND sr_item_sk = cs_item_sk
+  AND cs_sold_date_sk = d3.d_date_sk
+  AND d3.d_quarter_name IN ('2001Q1', '2001Q2', '2001Q3')
+GROUP BY i_item_id, i_item_desc, s_state
+ORDER BY i_item_id, i_item_desc, s_state
+LIMIT 100
+"""
+
 # Official text (reference: src/test/resources/tpcds/queries/q11.sql):
 # q74's wide twin — the year_total keys carry the full customer profile.
 TPCDS_Q11 = """
@@ -2566,7 +2672,14 @@ def _sales(spark, prefix: str, n: int, salt: int):
         # the q53/q63 deviation ratios land well past the 0.1 filter even
         # when AGGREGATED per manager/manufact (balanced windows nearly
         # cancel: the measured manager-level deviation was 0.015).
-        windows += [731, 1251, 1466, 342, 428, 1344, 1251, 1127, 249]
+        # 840/930 (2000-04 Q2, 2000-07 Q3): q31's quarter-over-quarter
+        # county ratios need three consecutive 2000 quarters (731 = Q1).
+        # 676 is re-listed so 1999-11 outweighs 1999-03 — q89's per-group
+        # monthly deviation vs the yearly average needs an imbalanced
+        # month pair (the 17-window layout had rebalanced them to ~1:1
+        # and q89's >0.1 gate went empty — the q53/q63 lesson again).
+        windows += [731, 1251, 1466, 342, 428, 1344, 1251, 1127, 249, 840,
+                    930, 676]
     if prefix == "cs":
         # 2002-01 (sk 1466): q10/q35's (ws OR cs) EXISTS arm — catalog is
         # the only non-store channel with 2002 rows, so the disjunct
@@ -2579,8 +2692,13 @@ def _sales(spark, prefix: str, n: int, salt: int):
         windows += [1466, 343, 429, 732]
     if prefix == "ws":
         # 1468 (2002-01): the year-over-year family (q74/q11/q4) compares
-        # 2001 vs 2002 per channel; web needs second-year rows too
-        windows += [1468]
+        # 2001 vs 2002 per channel; 760/841/931 (2000 Q1/Q2/Q3): q31's
+        # web-vs-store quarter ratios need the same three quarters — and
+        # the WEB side must GROW (both of q31's inequalities are strict,
+        # and near-identical synthetic sums tie at ~1.0), so Q2 is
+        # double- and Q3 quadruple-weighted: web grows ~2x per quarter
+        # while store stays flat
+        windows += [1468, 760, 841, 841, 931, 931, 931, 931]
     # Select the window by floor(id/500), NOT id % len(windows): the
     # item key is id % 500, so a mod-6 selector would freeze each
     # window's item-key PARITY (id ≡ 2 mod 6 is always even), making
@@ -2773,6 +2891,12 @@ def tpcds(spark, tmp_path_factory):
         ).alias("d_day_name"),
         # q46/q79's weekday filters: same sk%7 cycle as d_day_name
         (F.col("id") % 7).cast("int").alias("d_dow"),
+        # q17's quarter label, a pure function of (year, qoy)
+        F.concat(
+            d_year.cast("string"),
+            F.lit("Q"),
+            ((d_moy - 1) / 3 + 1).cast("int").cast("string"),
+        ).alias("d_quarter_name"),
     )
     st = spark.range(7).select(
         F.col("id").alias("s_store_sk"),
@@ -3133,7 +3257,7 @@ def tpcds(spark, tmp_path_factory):
             "tpcds_dd_cov",
             ["d_date_sk"],
             ["d_year", "d_moy", "d_date", "d_month_seq", "d_qoy", "d_dom",
-             "d_dow"],
+             "d_dow", "d_quarter_name"],
             num_buckets=4,
         ),
     )
@@ -3766,5 +3890,16 @@ def test_tpcds_year_over_year_plan_stability(spark, tpcds, qname, sql):
     instantiated SIX times with two cross-instance CASE-ratio
     residuals).  Every instantiation's channel star serves its
     sold-date pair through the rename corridor."""
+    hs, _ = tpcds
+    _check_plan_stability(spark, hs, qname, sql, expect_indexes=True)
+
+
+@pytest.mark.parametrize("qname,sql", [("q31", TPCDS_Q31), ("q17", TPCDS_Q17)])
+def test_tpcds_quarter_chain_plan_stability(spark, tpcds, qname, sql):
+    """q31 (county quarter-over-quarter growth: two CTEs instantiated
+    three times each, six join sides with CASE-ratio residuals across
+    the chain), q17 (store->returns->catalog quantity statistics: the
+    sale-identity triple pair extended through catalog re-purchases
+    with three per-quarter date legs)."""
     hs, _ = tpcds
     _check_plan_stability(spark, hs, qname, sql, expect_indexes=True)
