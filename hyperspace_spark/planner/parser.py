@@ -310,6 +310,12 @@ def _parse(jnode) -> ir.Node:
             if pruned is not None:
                 return pruned
         exprs = [expr_sql(e) for e in scala_seq(jnode.projectList())]
+        if any("scalarsubquery" in e.lower() for e in exprs):
+            # An UNCORRELATED scalar subquery in the SELECT list (TPC-DS
+            # q9's 15 bucket probes) renders as `scalarsubquery()` —
+            # not regenerable SQL.  Same verbatim guard as the Filter
+            # branch; the rest of the query can still accelerate.
+            raise UnsupportedPlan("project with scalar subquery")
         refs = frozenset().union(
             *[parse_expr(e).references for e in scala_seq(jnode.projectList())]
         ) if exprs else frozenset()

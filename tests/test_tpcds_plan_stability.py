@@ -1841,6 +1841,226 @@ ORDER BY w_state, i_item_id
 LIMIT 100
 """
 
+# Official text (reference: src/test/resources/tpcds/queries/q2.sql):
+# weekday-share ratios, each 2001 week against the 2002 week exactly 53
+# week-seqs later, over the ws+cs union.
+TPCDS_Q2 = """
+WITH wscs AS
+( SELECT
+    sold_date_sk,
+    sales_price
+  FROM (SELECT
+    ws_sold_date_sk sold_date_sk,
+    ws_ext_sales_price sales_price
+  FROM web_sales) x
+  UNION ALL
+  (SELECT
+    cs_sold_date_sk sold_date_sk,
+    cs_ext_sales_price sales_price
+  FROM catalog_sales)),
+    wswscs AS
+  ( SELECT
+    d_week_seq,
+    sum(CASE WHEN (d_day_name = 'Sunday')
+      THEN sales_price
+        ELSE NULL END)
+    sun_sales,
+    sum(CASE WHEN (d_day_name = 'Monday')
+      THEN sales_price
+        ELSE NULL END)
+    mon_sales,
+    sum(CASE WHEN (d_day_name = 'Tuesday')
+      THEN sales_price
+        ELSE NULL END)
+    tue_sales,
+    sum(CASE WHEN (d_day_name = 'Wednesday')
+      THEN sales_price
+        ELSE NULL END)
+    wed_sales,
+    sum(CASE WHEN (d_day_name = 'Thursday')
+      THEN sales_price
+        ELSE NULL END)
+    thu_sales,
+    sum(CASE WHEN (d_day_name = 'Friday')
+      THEN sales_price
+        ELSE NULL END)
+    fri_sales,
+    sum(CASE WHEN (d_day_name = 'Saturday')
+      THEN sales_price
+        ELSE NULL END)
+    sat_sales
+  FROM wscs, date_dim
+  WHERE d_date_sk = sold_date_sk
+  GROUP BY d_week_seq)
+SELECT
+  d_week_seq1,
+  round(sun_sales1 / sun_sales2, 2),
+  round(mon_sales1 / mon_sales2, 2),
+  round(tue_sales1 / tue_sales2, 2),
+  round(wed_sales1 / wed_sales2, 2),
+  round(thu_sales1 / thu_sales2, 2),
+  round(fri_sales1 / fri_sales2, 2),
+  round(sat_sales1 / sat_sales2, 2)
+FROM
+  (SELECT
+    wswscs.d_week_seq d_week_seq1,
+    sun_sales sun_sales1,
+    mon_sales mon_sales1,
+    tue_sales tue_sales1,
+    wed_sales wed_sales1,
+    thu_sales thu_sales1,
+    fri_sales fri_sales1,
+    sat_sales sat_sales1
+  FROM wswscs, date_dim
+  WHERE date_dim.d_week_seq = wswscs.d_week_seq AND d_year = 2001) y,
+  (SELECT
+    wswscs.d_week_seq d_week_seq2,
+    sun_sales sun_sales2,
+    mon_sales mon_sales2,
+    tue_sales tue_sales2,
+    wed_sales wed_sales2,
+    thu_sales thu_sales2,
+    fri_sales fri_sales2,
+    sat_sales sat_sales2
+  FROM wswscs, date_dim
+  WHERE date_dim.d_week_seq = wswscs.d_week_seq AND d_year = 2001 + 1) z
+WHERE d_week_seq1 = d_week_seq2 - 53
+ORDER BY d_week_seq1
+"""
+
+# Official text (reference: src/test/resources/tpcds/queries/q59.sql):
+# store weekly pivots joined 52 weeks apart per store.
+TPCDS_Q59 = """
+WITH wss AS
+(SELECT
+    d_week_seq,
+    ss_store_sk,
+    sum(CASE WHEN (d_day_name = 'Sunday')
+      THEN ss_sales_price
+        ELSE NULL END) sun_sales,
+    sum(CASE WHEN (d_day_name = 'Monday')
+      THEN ss_sales_price
+        ELSE NULL END) mon_sales,
+    sum(CASE WHEN (d_day_name = 'Tuesday')
+      THEN ss_sales_price
+        ELSE NULL END) tue_sales,
+    sum(CASE WHEN (d_day_name = 'Wednesday')
+      THEN ss_sales_price
+        ELSE NULL END) wed_sales,
+    sum(CASE WHEN (d_day_name = 'Thursday')
+      THEN ss_sales_price
+        ELSE NULL END) thu_sales,
+    sum(CASE WHEN (d_day_name = 'Friday')
+      THEN ss_sales_price
+        ELSE NULL END) fri_sales,
+    sum(CASE WHEN (d_day_name = 'Saturday')
+      THEN ss_sales_price
+        ELSE NULL END) sat_sales
+  FROM store_sales, date_dim
+  WHERE d_date_sk = ss_sold_date_sk
+  GROUP BY d_week_seq, ss_store_sk
+)
+SELECT
+  s_store_name1,
+  s_store_id1,
+  d_week_seq1,
+  sun_sales1 / sun_sales2,
+  mon_sales1 / mon_sales2,
+  tue_sales1 / tue_sales2,
+  wed_sales1 / wed_sales2,
+  thu_sales1 / thu_sales2,
+  fri_sales1 / fri_sales2,
+  sat_sales1 / sat_sales2
+FROM
+  (SELECT
+    s_store_name s_store_name1,
+    wss.d_week_seq d_week_seq1,
+    s_store_id s_store_id1,
+    sun_sales sun_sales1,
+    mon_sales mon_sales1,
+    tue_sales tue_sales1,
+    wed_sales wed_sales1,
+    thu_sales thu_sales1,
+    fri_sales fri_sales1,
+    sat_sales sat_sales1
+  FROM wss, store, date_dim d
+  WHERE d.d_week_seq = wss.d_week_seq AND
+    ss_store_sk = s_store_sk AND
+    d_month_seq BETWEEN 1212 AND 1212 + 11) y,
+  (SELECT
+    s_store_name s_store_name2,
+    wss.d_week_seq d_week_seq2,
+    s_store_id s_store_id2,
+    sun_sales sun_sales2,
+    mon_sales mon_sales2,
+    tue_sales tue_sales2,
+    wed_sales wed_sales2,
+    thu_sales thu_sales2,
+    fri_sales fri_sales2,
+    sat_sales sat_sales2
+  FROM wss, store, date_dim d
+  WHERE d.d_week_seq = wss.d_week_seq AND
+    ss_store_sk = s_store_sk AND
+    d_month_seq BETWEEN 1212 + 12 AND 1212 + 23) x
+WHERE s_store_id1 = s_store_id2
+  AND d_week_seq1 = d_week_seq2 - 52
+ORDER BY s_store_name1, s_store_id1, d_week_seq1
+LIMIT 100
+"""
+
+# Official text (reference: src/test/resources/tpcds/queries/q9.sql):
+# fifteen uncorrelated scalar-subquery bucket probes (the q28 class).
+TPCDS_Q9 = """
+SELECT
+  CASE WHEN (SELECT count(*)
+  FROM store_sales
+  WHERE ss_quantity BETWEEN 1 AND 20) > 62316685
+    THEN (SELECT avg(ss_ext_discount_amt)
+    FROM store_sales
+    WHERE ss_quantity BETWEEN 1 AND 20)
+  ELSE (SELECT avg(ss_net_paid)
+  FROM store_sales
+  WHERE ss_quantity BETWEEN 1 AND 20) END bucket1,
+  CASE WHEN (SELECT count(*)
+  FROM store_sales
+  WHERE ss_quantity BETWEEN 21 AND 40) > 19045798
+    THEN (SELECT avg(ss_ext_discount_amt)
+    FROM store_sales
+    WHERE ss_quantity BETWEEN 21 AND 40)
+  ELSE (SELECT avg(ss_net_paid)
+  FROM store_sales
+  WHERE ss_quantity BETWEEN 21 AND 40) END bucket2,
+  CASE WHEN (SELECT count(*)
+  FROM store_sales
+  WHERE ss_quantity BETWEEN 41 AND 60) > 365541424
+    THEN (SELECT avg(ss_ext_discount_amt)
+    FROM store_sales
+    WHERE ss_quantity BETWEEN 41 AND 60)
+  ELSE (SELECT avg(ss_net_paid)
+  FROM store_sales
+  WHERE ss_quantity BETWEEN 41 AND 60) END bucket3,
+  CASE WHEN (SELECT count(*)
+  FROM store_sales
+  WHERE ss_quantity BETWEEN 61 AND 80) > 216357808
+    THEN (SELECT avg(ss_ext_discount_amt)
+    FROM store_sales
+    WHERE ss_quantity BETWEEN 61 AND 80)
+  ELSE (SELECT avg(ss_net_paid)
+  FROM store_sales
+  WHERE ss_quantity BETWEEN 61 AND 80) END bucket4,
+  CASE WHEN (SELECT count(*)
+  FROM store_sales
+  WHERE ss_quantity BETWEEN 81 AND 100) > 184483884
+    THEN (SELECT avg(ss_ext_discount_amt)
+    FROM store_sales
+    WHERE ss_quantity BETWEEN 81 AND 100)
+  ELSE (SELECT avg(ss_net_paid)
+  FROM store_sales
+  WHERE ss_quantity BETWEEN 81 AND 100) END bucket5
+FROM reason
+WHERE r_reason_sk = 1
+"""
+
 # Official text (reference: src/test/resources/tpcds/queries/q31.sql):
 # county-level web-vs-store quarter-over-quarter growth — TWO CTEs
 # instantiated three times each (six join sides), CASE-ratio residuals.
@@ -2678,8 +2898,10 @@ def _sales(spark, prefix: str, n: int, salt: int):
         # monthly deviation vs the yearly average needs an imbalanced
         # month pair (the 17-window layout had rebalanced them to ~1:1
         # and q89's >0.1 gate went empty — the q53/q63 lesson again).
+        # 1830 = 1466 + 364 (52 weeks x 7): q59 joins each 2002 store
+        # week to the 2003 week exactly 52 week-seqs later
         windows += [731, 1251, 1466, 342, 428, 1344, 1251, 1127, 249, 840,
-                    930, 676]
+                    930, 676, 1830]
     if prefix == "cs":
         # 2002-01 (sk 1466): q10/q35's (ws OR cs) EXISTS arm — catalog is
         # the only non-store channel with 2002 rows, so the disjunct
@@ -2689,7 +2911,9 @@ def _sales(spark, prefix: str, n: int, salt: int):
         # 1999, and TWO 1999 months so the per-year average differs from
         # each month's sum (a single month zeroes the deviation filter —
         # the q53/q63 lesson).
-        windows += [1466, 343, 429, 732]
+        # 1623 = 1252 + 371 (53 weeks x 7): q2 joins each 2001 week to
+        # the 2002 week exactly 53 week-seqs later
+        windows += [1466, 343, 429, 732, 1623]
     if prefix == "ws":
         # 1468 (2002-01): the year-over-year family (q74/q11/q4) compares
         # 2001 vs 2002 per channel; 760/841/931 (2000 Q1/Q2/Q3): q31's
@@ -2698,7 +2922,7 @@ def _sales(spark, prefix: str, n: int, salt: int):
         # and near-identical synthetic sums tie at ~1.0), so Q2 is
         # double- and Q3 quadruple-weighted: web grows ~2x per quarter
         # while store stays flat
-        windows += [1468, 760, 841, 841, 931, 931, 931, 931]
+        windows += [1468, 760, 841, 841, 931, 931, 931, 931, 1624]
     # Select the window by floor(id/500), NOT id % len(windows): the
     # item key is id % 500, so a mod-6 selector would freeze each
     # window's item-key PARITY (id ≡ 2 mod 6 is always even), making
@@ -2855,12 +3079,14 @@ def tpcds(spark, tmp_path_factory):
             + F.when(F.col("id") % 89 == 0, 900.0).otherwise(0.0)
         ).alias("sr_return_amt"),
     )
-    # 5 synthetic years 1998..2002 of 365 "days"; month m covers day-of-
+    # Synthetic years of 365 "days" (1998..2003); month m covers day-of-
     # year index [31(m-1), 31m) — regular 31-day months keep every key a
     # pure function of d_date_sk.
     d_year = (F.lit(1998) + F.floor((F.col("id") - 1) / 365)).cast("int")
     d_moy = (F.floor(((F.col("id") - 1) % 365) / 31) + 1).cast("int")
-    dd = spark.range(1, 1826).select(
+    # six synthetic years 1998..2003 (2003 added in r13: q59's second
+    # month_seq block 1224..1235 IS calendar 2003)
+    dd = spark.range(1, 2191).select(
         F.col("id").alias("d_date_sk"),
         d_year.alias("d_year"),
         d_moy.alias("d_moy"),
@@ -2891,6 +3117,9 @@ def tpcds(spark, tmp_path_factory):
         ).alias("d_day_name"),
         # q46/q79's weekday filters: same sk%7 cycle as d_day_name
         (F.col("id") % 7).cast("int").alias("d_dow"),
+        # q2/q59's week sequence: 7-day weeks over the whole synthetic
+        # calendar (weeks straddle year boundaries like the real one)
+        (F.floor((F.col("id") - 1) / 7) + 1).cast("int").alias("d_week_seq"),
         # q17's quarter label, a pure function of (year, qoy)
         F.concat(
             d_year.cast("string"),
@@ -3257,7 +3486,7 @@ def tpcds(spark, tmp_path_factory):
             "tpcds_dd_cov",
             ["d_date_sk"],
             ["d_year", "d_moy", "d_date", "d_month_seq", "d_qoy", "d_dom",
-             "d_dow", "d_quarter_name"],
+             "d_dow", "d_quarter_name", "d_week_seq"],
             num_buckets=4,
         ),
     )
@@ -3903,3 +4132,22 @@ def test_tpcds_quarter_chain_plan_stability(spark, tpcds, qname, sql):
     with three per-quarter date legs)."""
     hs, _ = tpcds
     _check_plan_stability(spark, hs, qname, sql, expect_indexes=True)
+
+
+@pytest.mark.parametrize("qname,sql", [("q2", TPCDS_Q2), ("q59", TPCDS_Q59)])
+def test_tpcds_weekly_pivot_plan_stability(spark, tpcds, qname, sql):
+    """Weekday-pivot CTEs self-joined across years by week-seq offset
+    (q2: ws+cs union, 53 weeks; q59: per-store, 52 weeks).  The pivot
+    aggregate's date join serves from the channel pairs through the
+    rename corridor."""
+    hs, _ = tpcds
+    _check_plan_stability(spark, hs, qname, sql, expect_indexes=True)
+
+
+def test_tpcds_q9_plan_stability(spark, tpcds):
+    """Fifteen uncorrelated scalar-subquery bucket probes over
+    store_sales quantity ranges (the q28 class): replay-coverage golden
+    — the Project-level scalar-subquery guard keeps the statement
+    verbatim (correctly NO index), rows exact."""
+    hs, _ = tpcds
+    _check_plan_stability(spark, hs, "q9", TPCDS_Q9, expect_indexes=False)
