@@ -1841,6 +1841,111 @@ ORDER BY w_state, i_item_id
 LIMIT 100
 """
 
+# Official text (reference: src/test/resources/tpcds/queries/q68.sql):
+# q46's month-start twin (d_dom 1..2), same dual-address city shape.
+TPCDS_Q68 = """
+SELECT
+  c_last_name,
+  c_first_name,
+  ca_city,
+  bought_city,
+  ss_ticket_number,
+  extended_price,
+  extended_tax,
+  list_price
+FROM (SELECT
+  ss_ticket_number,
+  ss_customer_sk,
+  ca_city bought_city,
+  sum(ss_ext_sales_price) extended_price,
+  sum(ss_ext_list_price) list_price,
+  sum(ss_ext_tax) extended_tax
+FROM store_sales, date_dim, store, household_demographics, customer_address
+WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+  AND store_sales.ss_store_sk = store.s_store_sk
+  AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+  AND store_sales.ss_addr_sk = customer_address.ca_address_sk
+  AND date_dim.d_dom BETWEEN 1 AND 2
+  AND (household_demographics.hd_dep_count = 4 OR
+  household_demographics.hd_vehicle_count = 3)
+  AND date_dim.d_year IN (1999, 1999 + 1, 1999 + 2)
+  AND store.s_city IN ('Midway', 'Fairview')
+GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, ca_city) dn,
+  customer,
+  customer_address current_addr
+WHERE ss_customer_sk = c_customer_sk
+  AND customer.c_current_addr_sk = current_addr.ca_address_sk
+  AND current_addr.ca_city <> bought_city
+ORDER BY c_last_name, ss_ticket_number
+LIMIT 100
+"""
+
+# Official text (reference: src/test/resources/tpcds/queries/q58.sql):
+# cross-channel item-revenue parity for one calendar week, selected via
+# nested scalar/IN date subqueries (the q6 verbatim-filter class under
+# three accelerable channel stars).
+TPCDS_Q58 = """
+WITH ss_items AS
+(SELECT
+    i_item_id item_id,
+    sum(ss_ext_sales_price) ss_item_rev
+  FROM store_sales, item, date_dim
+  WHERE ss_item_sk = i_item_sk
+    AND d_date IN (SELECT d_date
+  FROM date_dim
+  WHERE d_week_seq = (SELECT d_week_seq
+  FROM date_dim
+  WHERE d_date = '2000-01-03'))
+    AND ss_sold_date_sk = d_date_sk
+  GROUP BY i_item_id),
+    cs_items AS
+  (SELECT
+    i_item_id item_id,
+    sum(cs_ext_sales_price) cs_item_rev
+  FROM catalog_sales, item, date_dim
+  WHERE cs_item_sk = i_item_sk
+    AND d_date IN (SELECT d_date
+  FROM date_dim
+  WHERE d_week_seq = (SELECT d_week_seq
+  FROM date_dim
+  WHERE d_date = '2000-01-03'))
+    AND cs_sold_date_sk = d_date_sk
+  GROUP BY i_item_id),
+    ws_items AS
+  (SELECT
+    i_item_id item_id,
+    sum(ws_ext_sales_price) ws_item_rev
+  FROM web_sales, item, date_dim
+  WHERE ws_item_sk = i_item_sk
+    AND d_date IN (SELECT d_date
+  FROM date_dim
+  WHERE d_week_seq = (SELECT d_week_seq
+  FROM date_dim
+  WHERE d_date = '2000-01-03'))
+    AND ws_sold_date_sk = d_date_sk
+  GROUP BY i_item_id)
+SELECT
+  ss_items.item_id,
+  ss_item_rev,
+  ss_item_rev / (ss_item_rev + cs_item_rev + ws_item_rev) / 3 * 100 ss_dev,
+  cs_item_rev,
+  cs_item_rev / (ss_item_rev + cs_item_rev + ws_item_rev) / 3 * 100 cs_dev,
+  ws_item_rev,
+  ws_item_rev / (ss_item_rev + cs_item_rev + ws_item_rev) / 3 * 100 ws_dev,
+  (ss_item_rev + cs_item_rev + ws_item_rev) / 3 average
+FROM ss_items, cs_items, ws_items
+WHERE ss_items.item_id = cs_items.item_id
+  AND ss_items.item_id = ws_items.item_id
+  AND ss_item_rev BETWEEN 0.9 * cs_item_rev AND 1.1 * cs_item_rev
+  AND ss_item_rev BETWEEN 0.9 * ws_item_rev AND 1.1 * ws_item_rev
+  AND cs_item_rev BETWEEN 0.9 * ss_item_rev AND 1.1 * ss_item_rev
+  AND cs_item_rev BETWEEN 0.9 * ws_item_rev AND 1.1 * ws_item_rev
+  AND ws_item_rev BETWEEN 0.9 * ss_item_rev AND 1.1 * ss_item_rev
+  AND ws_item_rev BETWEEN 0.9 * cs_item_rev AND 1.1 * cs_item_rev
+ORDER BY item_id, ss_item_rev
+LIMIT 100
+"""
+
 # Official text (reference: src/test/resources/tpcds/queries/q2.sql):
 # weekday-share ratios, each 2001 week against the 2002 week exactly 53
 # week-seqs later, over the ws+cs union.
@@ -2900,8 +3005,11 @@ def _sales(spark, prefix: str, n: int, salt: int):
         # and q89's >0.1 gate went empty — the q53/q63 lesson again).
         # 1830 = 1466 + 364 (52 weeks x 7): q59 joins each 2002 store
         # week to the 2003 week exactly 52 week-seqs later
+        # 981: q58's shared calendar week (d_date 2000-01-03 = sk 986,
+        # week 141 = sks 981..987) — all three channels stock the same
+        # week so the cross-channel ±10% item-revenue gate can match
         windows += [731, 1251, 1466, 342, 428, 1344, 1251, 1127, 249, 840,
-                    930, 676, 1830]
+                    930, 676, 1830, 981]
     if prefix == "cs":
         # 2002-01 (sk 1466): q10/q35's (ws OR cs) EXISTS arm — catalog is
         # the only non-store channel with 2002 rows, so the disjunct
@@ -2913,7 +3021,7 @@ def _sales(spark, prefix: str, n: int, salt: int):
         # the q53/q63 lesson).
         # 1623 = 1252 + 371 (53 weeks x 7): q2 joins each 2001 week to
         # the 2002 week exactly 53 week-seqs later
-        windows += [1466, 343, 429, 732, 1623]
+        windows += [1466, 343, 429, 732, 1623, 981]
     if prefix == "ws":
         # 1468 (2002-01): the year-over-year family (q74/q11/q4) compares
         # 2001 vs 2002 per channel; 760/841/931 (2000 Q1/Q2/Q3): q31's
@@ -2922,7 +3030,7 @@ def _sales(spark, prefix: str, n: int, salt: int):
         # and near-identical synthetic sums tie at ~1.0), so Q2 is
         # double- and Q3 quadruple-weighted: web grows ~2x per quarter
         # while store stays flat
-        windows += [1468, 760, 841, 841, 931, 931, 931, 931, 1624]
+        windows += [1468, 760, 841, 841, 931, 931, 931, 931, 1624, 981]
     # Select the window by floor(id/500), NOT id % len(windows): the
     # item key is id % 500, so a mod-6 selector would freeze each
     # window's item-key PARITY (id ≡ 2 mod 6 is always even), making
@@ -3042,6 +3150,7 @@ def _sales(spark, prefix: str, n: int, salt: int):
             (F.col("id") % 97).alias("ss_customer_sk"),
             (((F.col("id") * 13 + 5) % 997) / 3.0).alias("ss_net_paid"),
             (((F.col("id") * 5 + 9) % 503) / 2.0).alias("ss_ext_list_price"),
+            (((F.col("id") * 3 + 7) % 211) / 4.0).alias("ss_ext_tax"),
             (((F.col("id") * 9 + 7) % 331) / 4.0).alias("ss_ext_discount_amt"),
             (F.col("id") % 5000).alias("ss_ticket_number"),
             # q96: time-of-day key, coprime stride covers every t_time_sk
@@ -3502,7 +3611,7 @@ def tpcds(spark, tmp_path_factory):
                 "ss_store_sk", "ss_hdemo_sk", "ss_net_profit",
                 "ss_ext_wholesale_cost", "ss_customer_sk", "ss_ticket_number",
                 "ss_sold_time_sk", "ss_net_paid", "ss_ext_list_price",
-                "ss_ext_discount_amt",
+                "ss_ext_discount_amt", "ss_ext_tax",
             ],
             num_buckets=4,
         ),
@@ -4151,3 +4260,13 @@ def test_tpcds_q9_plan_stability(spark, tpcds):
     verbatim (correctly NO index), rows exact."""
     hs, _ = tpcds
     _check_plan_stability(spark, hs, "q9", TPCDS_Q9, expect_indexes=False)
+
+
+@pytest.mark.parametrize("qname,sql", [("q68", TPCDS_Q68), ("q58", TPCDS_Q58)])
+def test_tpcds_city_week_parity_plan_stability(spark, tpcds, qname, sql):
+    """q68 (q46's month-start twin: the dual customer_address city
+    shape over the store star), q58 (cross-channel item-revenue parity
+    in one calendar week: the d_week_seq scalar/IN date filters stay
+    verbatim while each channel's star serves its date pair)."""
+    hs, _ = tpcds
+    _check_plan_stability(spark, hs, qname, sql, expect_indexes=True)
