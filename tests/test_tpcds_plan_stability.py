@@ -1841,6 +1841,90 @@ ORDER BY w_state, i_item_id
 LIMIT 100
 """
 
+# Official text (reference: src/test/resources/tpcds/queries/q30.sql):
+# q1's web twin — per-customer web returns vs 1.2x the state average
+# (correlated-avg decorrelation class).
+TPCDS_Q30 = """
+WITH customer_total_return AS
+(SELECT
+    wr_returning_customer_sk AS ctr_customer_sk,
+    ca_state AS ctr_state,
+    sum(wr_return_amt) AS ctr_total_return
+  FROM web_returns, date_dim, customer_address
+  WHERE wr_returned_date_sk = d_date_sk
+    AND d_year = 2002
+    AND wr_returning_addr_sk = ca_address_sk
+  GROUP BY wr_returning_customer_sk, ca_state)
+SELECT
+  c_customer_id,
+  c_salutation,
+  c_first_name,
+  c_last_name,
+  c_preferred_cust_flag,
+  c_birth_day,
+  c_birth_month,
+  c_birth_year,
+  c_birth_country,
+  c_login,
+  c_email_address,
+  c_last_review_date,
+  ctr_total_return
+FROM customer_total_return ctr1, customer_address, customer
+WHERE ctr1.ctr_total_return > (SELECT avg(ctr_total_return) * 1.2
+FROM customer_total_return ctr2
+WHERE ctr1.ctr_state = ctr2.ctr_state)
+  AND ca_address_sk = c_current_addr_sk
+  AND ca_state = 'GA'
+  AND ctr1.ctr_customer_sk = c_customer_sk
+ORDER BY c_customer_id, c_salutation, c_first_name, c_last_name, c_preferred_cust_flag
+  , c_birth_day, c_birth_month, c_birth_year, c_birth_country, c_login, c_email_address
+  , c_last_review_date, ctr_total_return
+LIMIT 100
+"""
+
+# Official text (reference: src/test/resources/tpcds/queries/q81.sql):
+# q1's catalog twin with the full address block in the output.
+TPCDS_Q81 = """
+WITH customer_total_return AS
+(SELECT
+    cr_returning_customer_sk AS ctr_customer_sk,
+    ca_state AS ctr_state,
+    sum(cr_return_amt_inc_tax) AS ctr_total_return
+  FROM catalog_returns, date_dim, customer_address
+  WHERE cr_returned_date_sk = d_date_sk
+    AND d_year = 2000
+    AND cr_returning_addr_sk = ca_address_sk
+  GROUP BY cr_returning_customer_sk, ca_state )
+SELECT
+  c_customer_id,
+  c_salutation,
+  c_first_name,
+  c_last_name,
+  ca_street_number,
+  ca_street_name,
+  ca_street_type,
+  ca_suite_number,
+  ca_city,
+  ca_county,
+  ca_state,
+  ca_zip,
+  ca_country,
+  ca_gmt_offset,
+  ca_location_type,
+  ctr_total_return
+FROM customer_total_return ctr1, customer_address, customer
+WHERE ctr1.ctr_total_return > (SELECT avg(ctr_total_return) * 1.2
+FROM customer_total_return ctr2
+WHERE ctr1.ctr_state = ctr2.ctr_state)
+  AND ca_address_sk = c_current_addr_sk
+  AND ca_state = 'GA'
+  AND ctr1.ctr_customer_sk = c_customer_sk
+ORDER BY c_customer_id, c_salutation, c_first_name, c_last_name, ca_street_number, ca_street_name
+  , ca_street_type, ca_suite_number, ca_city, ca_county, ca_state, ca_zip, ca_country, ca_gmt_offset
+  , ca_location_type, ctr_total_return
+LIMIT 100
+"""
+
 # Official text (reference: src/test/resources/tpcds/queries/q68.sql):
 # q46's month-start twin (d_dom 1..2), same dual-address city shape.
 TPCDS_Q68 = """
@@ -3282,6 +3366,13 @@ def tpcds(spark, tmp_path_factory):
         ),
         # q10/q35/q69: the demographics foreign key, covering every cd row
         (F.col("id") % 80).alias("c_current_cdemo_sk"),
+        # q30's birth/review profile
+        (1 + F.col("id") % 28).alias("c_birth_day"),
+        (1 + F.col("id") % 12).alias("c_birth_month"),
+        (1930 + F.col("id") % 60).alias("c_birth_year"),
+        F.concat(F.lit("2452"), F.lpad((F.col("id") % 1000).cast("string"), 3, "0")).alias(
+            "c_last_review_date"
+        ),
         # q11/q4's year_total grouping keys
         F.when(F.col("id") % 4 == 0, "CANADA")
         .otherwise("UNITED STATES")
@@ -3476,6 +3567,14 @@ def tpcds(spark, tmp_path_factory):
             ["Fairview", "Midway", "Pleasant Hill", "Oak Grove",
              "Riverside", "Centerville", "Union", "Salem"],
         ).alias("ca_city"),
+        # q81's address block
+        F.lpad(F.col("id").cast("string"), 3, "2").alias("ca_street_number"),
+        F.concat(F.lit("Elm"), F.col("id").cast("string")).alias("ca_street_name"),
+        F.when(F.col("id") % 2 == 0, "Ave").otherwise("Ln").alias("ca_street_type"),
+        F.concat(F.lit("Apt "), F.col("id").cast("string")).alias("ca_suite_number"),
+        _pick(F.col("id") % 3, ["condo", "single family", "apartment"]).alias(
+            "ca_location_type"
+        ),
     )
     ss = _sales(spark, "ss", 20000, 0)
     cs = _sales(spark, "cs", 15000, 1)
@@ -3545,8 +3644,28 @@ def tpcds(spark, tmp_path_factory):
         ((F.col("id") * 3) % 3000).alias("cr_order_number"),
         (((F.col("id") * 3) % 3000) % 500).alias("cr_item_sk"),
         (((F.col("id") * 7 + 3) % 197) / 2.0).alias("cr_refunded_cash"),
+        # q81's customer-return star: returns in 2000, quadratic amounts
+        # with per-customer outliers so the 1.2x-state-average gate
+        # keeps rows (the q1 recipe)
+        (731 + F.col("id") % 365).alias("cr_returned_date_sk"),
+        (F.col("id") % 97).alias("cr_returning_customer_sk"),
+        (F.col("id") % 100).alias("cr_returning_addr_sk"),
+        (
+            ((F.col("id") * F.col("id") + 31) % 997) / 3.0
+            + F.when(F.col("id") % 89 == 0, 900.0).otherwise(0.0)
+        ).alias("cr_return_amt_inc_tax"),
     )
-    wr = spark.range(800).select(((F.col("id") * 3) % 2000).alias("wr_order_number"))
+    wr = spark.range(800).select(
+        ((F.col("id") * 3) % 2000).alias("wr_order_number"),
+        # q30's web twin: returns in 2002
+        (1461 + F.col("id") % 365).alias("wr_returned_date_sk"),
+        (F.col("id") % 97).alias("wr_returning_customer_sk"),
+        (F.col("id") % 100).alias("wr_returning_addr_sk"),
+        (
+            ((F.col("id") * F.col("id") + 17) % 997) / 3.0
+            + F.when(F.col("id") % 89 == 0, 900.0).otherwise(0.0)
+        ).alias("wr_return_amt"),
+    )
     # q90: web pages 0..6 fall inside the official 5000..5200 char band
     wp = spark.range(10).select(
         F.col("id").alias("wp_web_page_sk"),
@@ -3752,6 +3871,26 @@ def tpcds(spark, tmp_path_factory):
             "tpcds_sr_it_cov",
             ["sr_item_sk", "sr_ticket_number"],
             ["sr_return_quantity", "sr_reason_sk"],
+            num_buckets=4,
+        ),
+    )
+    # q30/q81's customer-return stars: date-keyed covers pair with dd
+    hs.create_index(
+        rd("web_returns"),
+        CoveringIndexConfig(
+            "tpcds_wr_cov",
+            ["wr_returned_date_sk"],
+            ["wr_returning_customer_sk", "wr_returning_addr_sk", "wr_return_amt"],
+            num_buckets=4,
+        ),
+    )
+    hs.create_index(
+        rd("catalog_returns"),
+        CoveringIndexConfig(
+            "tpcds_cr_cov",
+            ["cr_returned_date_sk"],
+            ["cr_returning_customer_sk", "cr_returning_addr_sk",
+             "cr_return_amt_inc_tax"],
             num_buckets=4,
         ),
     )
@@ -4268,5 +4407,14 @@ def test_tpcds_city_week_parity_plan_stability(spark, tpcds, qname, sql):
     shape over the store star), q58 (cross-channel item-revenue parity
     in one calendar week: the d_week_seq scalar/IN date filters stay
     verbatim while each channel's star serves its date pair)."""
+    hs, _ = tpcds
+    _check_plan_stability(spark, hs, qname, sql, expect_indexes=True)
+
+
+@pytest.mark.parametrize("qname,sql", [("q30", TPCDS_Q30), ("q81", TPCDS_Q81)])
+def test_tpcds_customer_returns_family_plan_stability(spark, tpcds, qname, sql):
+    """q1's web and catalog twins: per-customer returns vs 1.2x the
+    state average (correlated-avg decorrelation), the returns star
+    serving from the new date-keyed wr/cr covers."""
     hs, _ = tpcds
     _check_plan_stability(spark, hs, qname, sql, expect_indexes=True)
