@@ -1841,6 +1841,58 @@ ORDER BY w_state, i_item_id
 LIMIT 100
 """
 
+# Official text (reference: src/test/resources/tpcds/queries/q91.sql):
+# call-center return losses for a demographic slice.
+TPCDS_Q91 = """
+SELECT
+  cc_call_center_id Call_Center,
+  cc_name Call_Center_Name,
+  cc_manager Manager,
+  sum(cr_net_loss) Returns_Loss
+FROM
+  call_center, catalog_returns, date_dim, customer, customer_address,
+  customer_demographics, household_demographics
+WHERE
+  cr_call_center_sk = cc_call_center_sk
+    AND cr_returned_date_sk = d_date_sk
+    AND cr_returning_customer_sk = c_customer_sk
+    AND cd_demo_sk = c_current_cdemo_sk
+    AND hd_demo_sk = c_current_hdemo_sk
+    AND ca_address_sk = c_current_addr_sk
+    AND d_year = 1998
+    AND d_moy = 11
+    AND ((cd_marital_status = 'M' AND cd_education_status = 'Unknown')
+    OR (cd_marital_status = 'W' AND cd_education_status = 'Advanced Degree'))
+    AND hd_buy_potential LIKE 'Unknown%'
+    AND ca_gmt_offset = -7
+GROUP BY cc_call_center_id, cc_name, cc_manager, cd_marital_status, cd_education_status
+ORDER BY sum(cr_net_loss) DESC
+"""
+
+# Official text (reference: src/test/resources/tpcds/queries/q19.sql):
+# brand revenue where the customer's zip prefix differs from the store's.
+TPCDS_Q19 = """
+SELECT
+  i_brand_id brand_id,
+  i_brand brand,
+  i_manufact_id,
+  i_manufact,
+  sum(ss_ext_sales_price) ext_price
+FROM date_dim, store_sales, item, customer, customer_address, store
+WHERE d_date_sk = ss_sold_date_sk
+  AND ss_item_sk = i_item_sk
+  AND i_manager_id = 8
+  AND d_moy = 11
+  AND d_year = 1998
+  AND ss_customer_sk = c_customer_sk
+  AND c_current_addr_sk = ca_address_sk
+  AND substr(ca_zip, 1, 5) <> substr(s_zip, 1, 5)
+  AND ss_store_sk = s_store_sk
+GROUP BY i_brand, i_brand_id, i_manufact_id, i_manufact
+ORDER BY ext_price DESC, brand, brand_id, i_manufact_id, i_manufact
+LIMIT 100
+"""
+
 # Official text (reference: src/test/resources/tpcds/queries/q30.sql):
 # q1's web twin — per-customer web returns vs 1.2x the state average
 # (correlated-avg decorrelation class).
@@ -3092,8 +3144,9 @@ def _sales(spark, prefix: str, n: int, salt: int):
         # 981: q58's shared calendar week (d_date 2000-01-03 = sk 986,
         # week 141 = sks 981..987) — all three channels stock the same
         # week so the cross-channel ±10% item-revenue gate can match
+        # 311 (1998-11): q19/q91's official month
         windows += [731, 1251, 1466, 342, 428, 1344, 1251, 1127, 249, 840,
-                    930, 676, 1830, 981]
+                    930, 676, 1830, 981, 311]
     if prefix == "cs":
         # 2002-01 (sk 1466): q10/q35's (ws OR cs) EXISTS arm — catalog is
         # the only non-store channel with 2002 rows, so the disjunct
@@ -3224,7 +3277,13 @@ def _sales(spark, prefix: str, n: int, salt: int):
             (F.col("id") % 100 + 1).alias("ss_quantity"),
             (((F.col("id") * 3 + 11) % 499) / 2.0).alias("ss_list_price"),
             (((F.col("id") * 5 + 3) % 97) / 4.0).alias("ss_coupon_amt"),
-            (((F.col("id") * 2 + 7) % 463) / 2.0).alias("ss_sales_price"),
+            # item 499 is a structural long-tail item (~zero revenue in
+            # every store): q65's `revenue <= 0.1 * store average` gate
+            # needs at least one such item, and the 21-window layout
+            # reshuffled away the accidental tail it used to find
+            F.when(F.col("id") % 500 == 499, 0.01)
+            .otherwise(((F.col("id") * 2 + 7) % 463) / 2.0)
+            .alias("ss_sales_price"),
             (F.col("id") % 7).alias("ss_store_sk"),
             # q13/q48/q6/q73 columns
             (F.col("id") % 60).alias("ss_hdemo_sk"),
@@ -3366,6 +3425,8 @@ def tpcds(spark, tmp_path_factory):
         ),
         # q10/q35/q69: the demographics foreign key, covering every cd row
         (F.col("id") % 80).alias("c_current_cdemo_sk"),
+        # q91's household key, covering every hd row
+        (F.col("id") % 60).alias("c_current_hdemo_sk"),
         # q30's birth/review profile
         (1 + F.col("id") % 28).alias("c_birth_day"),
         (1 + F.col("id") % 12).alias("c_birth_month"),
@@ -3424,6 +3485,10 @@ def tpcds(spark, tmp_path_factory):
         .otherwise(F.col("id") % 200)
         .alias("i_manufact_id"),
         (F.col("id") % 40).alias("i_manager_id"),
+        # q19's manufacturer label (display-only twin of i_manufact_id)
+        F.concat(F.lit("Mfg#"), (F.col("id") % 200).cast("string")).alias(
+            "i_manufact"
+        ),
         # q98/q65 item detail columns
         F.concat(F.lit("Desc"), F.lpad(F.col("id").cast("string"), 5, "0")).alias(
             "i_item_desc"
@@ -3461,7 +3526,9 @@ def tpcds(spark, tmp_path_factory):
     # ('D','2 yr Degree') -> 22, ('S','College') -> 2/42.  ss_cdemo_sk
     # cycles over {24, 2, 20, 42} to keep the branches populated.
     marital = ["M", "S", "W", "D"]
-    education = ["College", "4 yr Degree", "2 yr Degree", "Advanced Degree", "Other"]
+    # the fifth residue carries q91/q18's official 'Unknown' (no query
+    # ever filtered the old 'Other')
+    education = ["College", "4 yr Degree", "2 yr Degree", "Advanced Degree", "Unknown"]
     mar_col = F.when(F.floor(F.col("id") / 2) % 4 == 0, marital[0])
     for i in range(1, 3):
         mar_col = mar_col.when(F.floor(F.col("id") / 2) % 4 == i, marital[i])
@@ -3513,8 +3580,14 @@ def tpcds(spark, tmp_path_factory):
         # q73 columns: both named buy potentials occur, vehicle counts
         # 0..3 so dep/vehicle > 1 holds for dep-3 households with 1-2
         # vehicles
-        F.when(F.col("id") % 3 == 0, ">10000")
-        .when(F.col("id") % 3 == 1, "unknown")
+        # row 29 carries q91's 'Unknown%' — customer 29 is the one
+        # residue solution passing q91's address (-7) AND demographic
+        # (W, Advanced Degree) gates, and 29 % 4 == 1 would land on the
+        # lowercase q73 value
+        F.when(F.col("id") == 29, "Unknown")
+        .when(F.col("id") % 4 == 0, ">10000")
+        .when(F.col("id") % 4 == 1, "unknown")
+        .when(F.col("id") % 4 == 2, "Unknown")
         .otherwise("5001-10000")
         .alias("hd_buy_potential"),
         (F.col("id") % 4).alias("hd_vehicle_count"),
@@ -3533,7 +3606,10 @@ def tpcds(spark, tmp_path_factory):
     st_col = _pick(F.col("id") % len(states), states)
     ca = spark.range(100).select(
         F.col("id").alias("ca_address_sk"),
-        F.when(F.col("id") % 2 == 0, -5).otherwise(-6).alias("ca_gmt_offset"),
+        F.when(F.col("id") % 10 == 9, -7)
+        .when(F.col("id") % 2 == 0, -5)
+        .otherwise(-6)
+        .alias("ca_gmt_offset"),
         # q13/q48/q6 address columns: every state the official IN-lists
         # name occurs; one in ten addresses is foreign
         F.when(F.col("id") % 10 == 9, "Canada")
@@ -3587,6 +3663,10 @@ def tpcds(spark, tmp_path_factory):
         .otherwise("Bronx County")
         .alias("cc_county"),
         F.concat(F.lit("center_"), F.col("id").cast("string")).alias("cc_name"),
+        F.concat(F.lit("CC"), F.lpad(F.col("id").cast("string"), 2, "0")).alias(
+            "cc_call_center_id"
+        ),
+        F.concat(F.lit("Manager"), F.col("id").cast("string")).alias("cc_manager"),
     )
     wsite = spark.range(4).select(
         F.col("id").alias("web_site_sk"),
@@ -3647,7 +3727,11 @@ def tpcds(spark, tmp_path_factory):
         # q81's customer-return star: returns in 2000, quadratic amounts
         # with per-customer outliers so the 1.2x-state-average gate
         # keeps rows (the q1 recipe)
-        (731 + F.col("id") % 365).alias("cr_returned_date_sk"),
+        F.when(F.col("id") % 5 == 4, F.lit(311) + (F.col("id") % 31))
+        .otherwise(731 + F.col("id") % 365)
+        .alias("cr_returned_date_sk"),
+        (F.col("id") % 4).alias("cr_call_center_sk"),
+        (((F.col("id") * 11 + 7) % 499) / 2.0).alias("cr_net_loss"),
         (F.col("id") % 97).alias("cr_returning_customer_sk"),
         (F.col("id") % 100).alias("cr_returning_addr_sk"),
         (
@@ -3890,7 +3974,7 @@ def tpcds(spark, tmp_path_factory):
             "tpcds_cr_cov",
             ["cr_returned_date_sk"],
             ["cr_returning_customer_sk", "cr_returning_addr_sk",
-             "cr_return_amt_inc_tax"],
+             "cr_return_amt_inc_tax", "cr_call_center_sk", "cr_net_loss"],
             num_buckets=4,
         ),
     )
@@ -4416,5 +4500,15 @@ def test_tpcds_customer_returns_family_plan_stability(spark, tpcds, qname, sql):
     """q1's web and catalog twins: per-customer returns vs 1.2x the
     state average (correlated-avg decorrelation), the returns star
     serving from the new date-keyed wr/cr covers."""
+    hs, _ = tpcds
+    _check_plan_stability(spark, hs, qname, sql, expect_indexes=True)
+
+
+@pytest.mark.parametrize("qname,sql", [("q91", TPCDS_Q91), ("q19", TPCDS_Q19)])
+def test_tpcds_cc_brand_family_plan_stability(spark, tpcds, qname, sql):
+    """q91 (call-center catalog-return losses over a marital/education
+    OR slice with Unknown-potential households — the cr/dd pair
+    serves), q19 (brand revenue with a zip-prefix <> residual between
+    customer and store addresses — the ss/dd pair serves)."""
     hs, _ = tpcds
     _check_plan_stability(spark, hs, qname, sql, expect_indexes=True)
