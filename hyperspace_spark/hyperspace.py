@@ -2010,6 +2010,8 @@ class Hyperspace:
                     out[f["name"]] = t
             return out
 
+        _id_col_memo: dict[tuple, tuple[str, str]] = {}
+
         def pick_id_col(scan) -> tuple[str, str]:
             """(id_col, caveat) for TXT/ANN suggestions.  The first
             *id/*key column can be a NON-unique foreign key (a *_sk
@@ -2019,12 +2021,21 @@ class Hyperspace:
             duplicate and no NULL (countDistinct == count implies both).
             A sample can't prove global uniqueness, so the caveat states
             what was checked; when the probe can't run (non-parquet
-            source), the 'verify it yourself' caveat stands."""
+            source), the 'verify it yourself' caveat stands.
+
+            Memoized per (paths, candidate set) within this recommend()
+            call: the probe is a full sampled Spark job, and a table
+            with several TXT/ANN candidate columns would otherwise pay
+            the identical probe once per column (ADVICE r13)."""
             cands = [
                 c
                 for c in scan.output
                 if c.lower().endswith("id") or c.lower().endswith("key")
             ] or ([scan.output[0]] if scan.output else ["id"])
+            memo_key = (scan.normalized_paths(), tuple(cands))
+            hit = _id_col_memo.get(memo_key)
+            if hit is not None:
+                return hit
             try:
                 from pyspark.sql import functions as F
 
@@ -2040,10 +2051,14 @@ class Hyperspace:
                 n = row["__hs_n"]
                 for c in cands:
                     if n and row[c] == n:
-                        return c, f"id_col {c} unique over a {n}-row sample"
+                        out = (c, f"id_col {c} unique over a {n}-row sample")
+                        _id_col_memo[memo_key] = out
+                        return out
             except Exception:
                 pass
-            return cands[0], f"verify id_col {cands[0]} is a unique row id"
+            out = (cands[0], f"verify id_col {cands[0]} is a unique row id")
+            _id_col_memo[memo_key] = out
+            return out
 
         def covered_by_existing(scan, indexed, required):
             for e in entries:

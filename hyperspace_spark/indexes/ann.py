@@ -478,7 +478,7 @@ def ann_search(
     from pyspark.sql.types import StructType
 
     from hyperspace_spark.config import DATA_FILE_ID_COLUMN
-    from hyperspace_spark.llm.similarity import dot_expr, unit_expr
+    from hyperspace_spark.llm.similarity import dot_kernel, unit_expr
 
     props = entry.derived_properties
     cents = np.array(props["centroids"], dtype=np.float64)
@@ -649,7 +649,8 @@ def ann_search(
             refined = (
                 pool.join(src, "vec_id")
                 .withColumn(
-                    "cosine", F.round(dot_expr(F.col("qv"), F.col("unit_vec")), 6)
+                    "cosine",
+                    F.round(dot_kernel()(F.col("qv"), F.col("unit_vec")), 6),
                 )
                 .withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k)
@@ -668,8 +669,11 @@ def ann_search(
                 ids.unpersist()
         return out
 
+    # Arrow-batched dot (r14): bit-identical to the dot_expr HOF form but
+    # one vectorized kernel instead of per-element interpreted lambdas —
+    # this is the hot projection of every cluster scan.
     scored = scored.withColumn(
-        "cosine", F.round(dot_expr(F.col("qv"), F.col("unit_vec")), 6)
+        "cosine", F.round(dot_kernel()(F.col("qv"), F.col("unit_vec")), 6)
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -903,7 +907,7 @@ def ann_join(
     if exclude_self:
         best = best.filter(F.col("vec_id") != F.col("_qid"))
     if pq_m and source_df is not None:
-        from hyperspace_spark.llm.similarity import dot_expr, unit_expr
+        from hyperspace_spark.llm.similarity import dot_kernel, unit_expr
 
         wp = W.partitionBy("_qid").orderBy(F.col("_dot").desc(), F.col("vec_id"))
         pool = (
@@ -928,7 +932,11 @@ def ann_join(
         best = (
             pool.join(src, "vec_id")
             .join(qmap, "_qid")
-            .select("_qid", "vec_id", dot_expr(F.col("_uq"), F.col("_sv")).alias("_dot"))
+            .select(
+                "_qid",
+                "vec_id",
+                dot_kernel()(F.col("_uq"), F.col("_sv")).alias("_dot"),
+            )
         )
     scored = best.withColumn("cosine", F.round(F.col("_dot"), 6))
     w = W.partitionBy("_qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))

@@ -19,6 +19,15 @@ if TYPE_CHECKING:
     from pyspark.sql import Column, DataFrame
 
 
+# lsh_bucketed_pairs verify-strategy gate: inputs whose FILE bytes are
+# at or below this take the broadcast-matrix verify (driver + every
+# executor hold the full corpus matrix — float64 in memory is ~4-8x the
+# parquet bytes, so 64 MiB of files is roughly a 256-512 MB broadcast,
+# the conventional comfortable broadcast size).  Above it, the join
+# verify scales out.
+_BROADCAST_VERIFY_MAX_BYTES = 64 << 20
+
+
 def dot_expr(a: "Column", b: "Column") -> "Column":
     from pyspark.sql import functions as F
 
@@ -73,6 +82,173 @@ def unit_expr(a: "Column") -> "Column":
     )
 
 
+# ---------------------------------------------------------------------------
+# Arrow-batched kernels (r14): vectorized twins of the HOF expressions
+# above.  Catalyst evaluates higher-order-function lambdas per ELEMENT
+# with no codegen — a 32-plane signature over dim-64 vectors measured
+# seconds per 2k rows, the dominant cost of every LSH/ANN query (same
+# finding, and same fix, as llm/dedup.minhash_signatures' permutation
+# kernel).  Each kernel reproduces the JVM arithmetic BIT-FOR-BIT:
+# products are taken elementwise and accumulated SEQUENTIALLY over the
+# array index (acc = acc + x_i*y_i, one numpy op per index, vectorized
+# across rows), which is exactly the fp-add order of
+# F.aggregate(F.zip_with(...)); comparisons/int packing are exact.
+# Asserted against the HOF forms in tests/test_llm_ops.py.  Purely an
+# execution-strategy change — plans swap a chain of interpreted lambda
+# nodes for one ArrowEvalPython node.
+# ---------------------------------------------------------------------------
+
+
+# NOTE: every kernel below is a fully self-contained nested closure —
+# helpers are (re)defined INSIDE the factory, never referenced from
+# module level.  Cloudpickle serializes module-level functions of an
+# importable module BY REFERENCE, and the Python workers of a driver
+# that put this repo on sys.path manually (the verify drive, embedding
+# users) cannot import ``hyperspace_spark`` — the by-value closure is
+# the only shape that runs everywhere (same convention as
+# llm/dedup.minhash_signatures' kernel).
+
+
+def _make_seq_dot_norms():
+    """(dot, norm_a, norm_b) with sequential per-index accumulation —
+    the exact op order of dot_expr/norm_expr.  X, Y: (n, dim) float64."""
+    import numpy as np
+
+    def seq_dot_norms(X, Y):
+        n = X.shape[0]
+        dot = np.zeros(n)
+        na = np.zeros(n)
+        nb = np.zeros(n)
+        for d in range(X.shape[1]):
+            x = X[:, d]
+            y = Y[:, d]
+            dot = dot + x * y
+            na = na + x * x
+            nb = nb + y * y
+        return dot, np.sqrt(na), np.sqrt(nb)
+
+    return seq_dot_norms
+
+
+def _make_pair_groups():
+    """Row indices grouped by (equal) vector length, skipping rows the
+    HOF forms NULL out (either side NULL, or lengths differ)."""
+
+    def pair_groups(a_vals, b_vals):
+        groups = {}
+        for i in range(len(a_vals)):
+            a, b = a_vals[i], b_vals[i]
+            if a is None or b is None or len(a) != len(b):
+                continue
+            groups.setdefault(len(a), []).append(i)
+        return groups
+
+    return pair_groups
+
+
+def cosine_kernel():
+    """pandas_udf twin of ``cosine_expr`` (zero-norm guard included)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    seq_dot_norms = _make_seq_dot_norms()
+    pair_groups = _make_pair_groups()
+
+    @F.pandas_udf("double", F.PandasUDFType.SCALAR)
+    def _cos(a_col, b_col):
+        out = [None] * len(a_col)
+        a_vals = a_col.to_numpy()
+        b_vals = b_col.to_numpy()
+        for dim, idxs in pair_groups(a_vals, b_vals).items():
+            if dim == 0:
+                for i in idxs:
+                    out[i] = 0.0  # dot 0.0 / guarded den 1.0
+                continue
+            X = np.stack([a_vals[i] for i in idxs]).astype(np.float64, copy=False)
+            Y = np.stack([b_vals[i] for i in idxs]).astype(np.float64, copy=False)
+            dot, na, nb = seq_dot_norms(X, Y)
+            den = na * nb
+            res = dot / np.where(den == 0.0, 1.0, den)
+            for row, i in enumerate(idxs):
+                out[i] = float(res[row])
+        return pd.Series(out)
+
+    return _cos
+
+
+def dot_kernel():
+    """pandas_udf twin of ``dot_expr`` (sequential accumulation)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    pair_groups = _make_pair_groups()
+
+    @F.pandas_udf("double", F.PandasUDFType.SCALAR)
+    def _dot(a_col, b_col):
+        out = [None] * len(a_col)
+        a_vals = a_col.to_numpy()
+        b_vals = b_col.to_numpy()
+        for dim, idxs in pair_groups(a_vals, b_vals).items():
+            if dim == 0:
+                for i in idxs:
+                    out[i] = 0.0
+                continue
+            X = np.stack([a_vals[i] for i in idxs]).astype(np.float64, copy=False)
+            Y = np.stack([b_vals[i] for i in idxs]).astype(np.float64, copy=False)
+            acc = np.zeros(len(idxs))
+            for d in range(dim):
+                acc = acc + X[:, d] * Y[:, d]
+            for row, i in enumerate(idxs):
+                out[i] = float(acc[row])
+        return pd.Series(out)
+
+    return _dot
+
+
+def band_sigs_kernel(dim: int, nbits: int, bands: int, seed_prefix: str = "hs-lsh-band"):
+    """pandas_udf twin of ``F.array(lsh_bucket_col(... band b) for b)``:
+    vec (array<double>) -> array<long> of the ``bands`` band signatures.
+    Dots accumulate sequentially per index (bit-identical signs); bit
+    packing is integer-exact.  Rows whose vector is NULL or not ``dim``
+    long yield all-NULL signatures — exactly what the zip_with form
+    produces (null dot -> null bit -> null sig per band)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    planes = np.array(
+        [_hyperplanes(dim, nbits, seed=f"{seed_prefix}{b}") for b in range(bands)],
+        dtype=np.float64,
+    ).reshape(bands * nbits, dim)
+    weights = np.tile((1 << np.arange(nbits, dtype=np.int64)), bands)
+
+    @F.pandas_udf("array<long>", F.PandasUDFType.SCALAR)
+    def _sigs(v_col):
+        nulls = [None] * bands
+        out = [nulls] * len(v_col)
+        vals = v_col.to_numpy()
+        idxs = [
+            i for i in range(len(vals)) if vals[i] is not None and len(vals[i]) == dim
+        ]
+        if idxs:
+            X = np.stack([vals[i] for i in idxs]).astype(np.float64, copy=False)
+            acc = np.zeros((len(idxs), planes.shape[0]))
+            for d in range(dim):
+                acc = acc + X[:, d : d + 1] * planes[None, :, d][0]
+            bits = (acc > 0).astype(np.int64) * weights
+            sigs = bits.reshape(len(idxs), bands, nbits).sum(axis=2)
+            for row, i in enumerate(idxs):
+                out[i] = [int(s) for s in sigs[row]]
+        return pd.Series(out)
+
+    return _sigs
+
+
 def cosine_topk(
     emb: "DataFrame",
     query_ids: list[int],
@@ -95,7 +271,7 @@ def cosine_topk(
     scored = (
         v.crossJoin(F.broadcast(q))
         .filter(F.col("nid") != F.col("qid"))
-        .withColumn("cosine", F.round(cosine_expr(F.col("qv"), F.col("nv")), 6))
+        .withColumn("cosine", F.round(cosine_kernel()(F.col("qv"), F.col("nv")), 6))
     )
     w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
     return (
@@ -188,9 +364,11 @@ def lsh_bucketed_pairs(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    sigs = F.array(
-        *[lsh_bucket_col(F.col("_v"), dim, nbits, seed=f"hs-lsh-band{b}") for b in range(bands)]
-    )
+    # All bands*nbits plane dots in ONE Arrow-batched numpy kernel —
+    # bit-identical to the lsh_bucket_col HOF form (see band_sigs_kernel;
+    # r14: the interpreted per-element lambdas were the query's dominant
+    # cost, ~5 s for 2k dim-64 vectors at 32 planes).
+    sigs = band_sigs_kernel(dim, nbits, bands)(F.col("_v"))
     # Persist the (id, band, sig) frame: it feeds the bucket-size cap,
     # BOTH sides of the candidate self-join, and is tiny (3 longs per
     # band-row) — without the cache the signature dot products run up to
@@ -213,24 +391,95 @@ def lsh_bucketed_pairs(
         )
         keyed = keyed.join(ok, ["band", "sig"])  # AQE broadcasts when small
     a, b = keyed.alias("a"), keyed.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a._id") < F.col("b._id")),
+    # NOTE (r14): no .distinct() here.  A pair that collides in k of the
+    # ``bands`` bands appears k times; deduplicating BEFORE verification
+    # cost a full exchange of the candidate set (820k rows for the 2k-
+    # corpus contract settings — the pipeline's largest shuffle), while
+    # re-verifying a duplicate costs ~dim vectorized flops.  The
+    # duplicates are collapsed by the post-filter distinct below, which
+    # runs on the (threshold-selective) SURVIVORS — guide §2.4, remove
+    # shuffles outright / shuffle only what survives.
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.sig") == F.col("b.sig"))
+        & (F.col("a._id") < F.col("b._id")),
+    ).select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+    # Exact-cosine verification of the candidates.  Two strategies, same
+    # bit-exact arithmetic (sequential per-index accumulation — the
+    # dot_expr/cosine_expr op order):
+    #
+    # - broadcast (small corpora): ship ONLY the (id_a, id_b) pairs to
+    #   the Python workers and gather both vectors from a broadcast
+    #   (n x dim) numpy matrix.  At honest LSH widths the candidate set
+    #   is many times the corpus (e.g. 820k pairs from a 2k corpus at
+    #   the 4-bit contract settings), so joining vectors onto pairs
+    #   moves |cand| x 2 x dim doubles through the Arrow boundary —
+    #   ~840 MB where the id pairs are 13 MB (guide §8: decide with
+    #   small rows, attach heavy bytes once... or here, never).
+    # - join (the 100 TB path): equi-join each side's vectors onto the
+    #   pairs (broadcast or shuffle, Spark's choice) and run the
+    #   pairwise kernel.  Scales with |cand|, needs no driver copy.
+    #
+    # The broadcast path gates on the DRIVER-SIDE file size of the
+    # input (zero jobs, same helper as embedding_near_dup_pairs' guard);
+    # unsizable or large inputs take the join path.
+    from hyperspace_spark.llm.dedup import _file_input_bytes
+
+    corpus_bytes = _file_input_bytes(emb)
+    if corpus_bytes is not None and corpus_bytes <= _BROADCAST_VERIFY_MAX_BYTES:
+        import numpy as np
+
+        rows = v.collect()
+        ids = np.array([r[0] for r in rows if r[1] is not None and len(r[1]) == dim])
+        mat = np.array(
+            [r[1] for r in rows if r[1] is not None and len(r[1]) == dim],
+            dtype=np.float64,
         )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .distinct()
-    )
+        sc = emb.sparkSession.sparkContext
+        b_ids = sc.broadcast(ids)
+        b_mat = sc.broadcast(mat)
+        seq_dot_norms = _make_seq_dot_norms()
+
+        def _verify(batches):
+            import numpy as np
+            import pandas as pd
+
+            index = {int(i): p for p, i in enumerate(b_ids.value)}
+            corpus = b_mat.value
+            for pdf in batches:
+                ia = pdf["id_a"].map(index).to_numpy()
+                ib = pdf["id_b"].map(index).to_numpy()
+                X = corpus[ia.astype(np.int64)]
+                Y = corpus[ib.astype(np.int64)]
+                dot, na, nb = seq_dot_norms(X, Y)
+                den = na * nb
+                cos = dot / np.where(den == 0.0, 1.0, den)
+                yield pd.DataFrame(
+                    {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "_raw": cos}
+                )
+
+        id_type = dict(cand.dtypes)["id_a"]
+        scored = cand.mapInPandas(
+            _verify, f"id_a {id_type}, id_b {id_type}, _raw double"
+        )
+        return (
+            # round JVM-side (HALF_UP), exactly as the join path does
+            scored.withColumn("cosine", F.round(F.col("_raw"), 6))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine")
+            .distinct()  # collapse multi-band duplicates (survivors only)
+        )
+
     va = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
     vb = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6))
+        .withColumn("cosine", F.round(cosine_kernel()(F.col("_va"), F.col("_vb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+        .distinct()  # collapse multi-band duplicates (survivors only)
     )
 
 
@@ -269,7 +518,7 @@ def ivf_topk(
     # Each query picks its n_probe nearest centroids (tiny cross join).
     qc = (
         q.crossJoin(F.broadcast(cent_df))
-        .withColumn("cdist", F.round(cosine_expr(F.col("qv"), F.col("cv")), 9))
+        .withColumn("cdist", F.round(cosine_kernel()(F.col("qv"), F.col("cv")), 9))
         .withColumn("crank", F.row_number().over(W.partitionBy("qid").orderBy(F.col("cdist").desc(), F.col("cluster"))))
         .filter(F.col("crank") <= n_probe)
         .select("qid", "qv", "cluster")
@@ -277,7 +526,7 @@ def ivf_topk(
     scored = (
         assigned.join(F.broadcast(qc), "cluster")
         .filter(F.col("nid") != F.col("qid"))
-        .withColumn("cosine", F.round(cosine_expr(F.col("qv"), F.col("nv")), 6))
+        .withColumn("cosine", F.round(cosine_kernel()(F.col("qv"), F.col("nv")), 6))
     )
     w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
     return (

@@ -411,6 +411,13 @@ def _parse(jnode) -> ir.Node:
             )
             orders.append(f"{child_sql} {direction} {nulls}")
             refs = refs | parse_expr(key).references
+            if cmap and key.getClass().getSimpleName() == "AttributeReference":
+                # The rendered key uses the child's exposed __hs_dupN
+                # name; keep SortN.references consistent with the SQL
+                # actually replayed (both names — original and exposed).
+                refs = refs | frozenset(
+                    {cmap.get(int(key.exprId().id()), str(key.name()))}
+                )
         return ir.SortN(
             child=child, orders=orders, references=refs, renames=dict(cmap)
         )
@@ -545,6 +552,13 @@ def _try_parse_exists_filter(jnode) -> "ir.ExistsFilterN | None":
             return None
         pe = parse_expr(e)
         if "<unparseable>" in pe.sql:
+            return None
+        # A ScalarSubquery conjunct renders as the bare token
+        # 'scalarsubquery()' — syntactically valid in the template but
+        # unreplayable; decline at parse time like the Filter/Project
+        # branches do, instead of deferring the failure to replay
+        # analysis (where apply() swallows it opaquely).
+        if "scalarsubquery" in pe.sql.lower():
             return None
         refs.update(pe.references)
         return pe.sql

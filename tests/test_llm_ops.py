@@ -547,6 +547,61 @@ def test_lsh_hot_bucket_cap_drops_degenerate_buckets(spark):
     assert all(a >= 100 for a, _ in got), "hot-bucket pairs must be dropped"
 
 
+def test_similarity_kernels_bit_identical_to_hof_forms(spark, emb):
+    """r14: the Arrow-batched kernels (cosine_kernel / dot_kernel /
+    band_sigs_kernel) must reproduce the interpreted HOF expressions
+    BIT-FOR-BIT — they are an execution-strategy change only (sequential
+    per-index fp accumulation preserved), and the LSH/ANN oracles hash
+    exact values.  Compares raw doubles (no rounding) and signatures on
+    the fixture corpus plus NULL / length-mismatch / zero-vector edges."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from hyperspace_spark.llm import similarity as sim
+
+    edge = spark.createDataFrame(
+        [
+            (10_001, None),
+            (10_002, [1.0, 2.0]),  # wrong dim for the 64-dim planes
+            (10_003, [0.0] * 64),  # zero norm: guarded division
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    v = (
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .unionByName(edge)
+        .select(
+            "vec_id",
+            F.col("embedding").alias("a"),
+            F.reverse(F.col("embedding")).alias("b"),
+        )
+    )
+    both = v.select(
+        "vec_id",
+        sim.cosine_expr(F.col("a"), F.col("b")).alias("cos_hof"),
+        sim.cosine_kernel()(F.col("a"), F.col("b")).alias("cos_k"),
+        sim.dot_expr(F.col("a"), F.col("b")).alias("dot_hof"),
+        sim.dot_kernel()(F.col("a"), F.col("b")).alias("dot_k"),
+        F.array(
+            *[
+                sim.lsh_bucket_col(F.col("a"), 64, 4, seed=f"hs-lsh-band{b}")
+                for b in range(8)
+            ]
+        ).alias("sig_hof"),
+        sim.band_sigs_kernel(64, 4, 8)(F.col("a")).alias("sig_k"),
+    ).collect()
+
+    def bits(x):
+        return None if x is None else struct.pack("<d", x)
+
+    assert len(both) == emb.count() + 3
+    for r in both:
+        assert bits(r.cos_hof) == bits(r.cos_k), r.vec_id
+        assert bits(r.dot_hof) == bits(r.dot_k), r.vec_id
+        assert list(r.sig_hof) == list(r.sig_k), r.vec_id
+
+
 def test_ivf_topk_mostly_agrees_with_brute(spark, emb):
     brute = similarity.cosine_topk(emb, [0, 1], k=5).collect()
     ivf = similarity.ivf_topk(emb, [0, 1], k=5, n_clusters=8, n_probe=3).collect()

@@ -466,3 +466,42 @@ def test_stream_stream_interval_join_left_outer(spark, sf_dir):
     # final watermark (events near the stream's end may stay buffered —
     # that is the documented outer-join semantics, not data loss)
     assert len(unmatched) > 0.5 * (n_views - len({v for v, _ in matched}))
+
+
+# ---------------------------------------------------------------------------
+# scale-adaptive state partitions (r14, streaming/state.py)
+# ---------------------------------------------------------------------------
+def test_scaled_state_partitions_derivation_and_restore(spark, tmp_path):
+    from hyperspace_spark.streaming.state import (
+        _parse_bytes,
+        derive_state_partitions,
+        scaled_state_partitions,
+    )
+
+    assert _parse_bytes("64m") == 64 << 20
+    assert _parse_bytes("256MB") == 256 << 20
+    assert _parse_bytes("1g") == 1 << 30
+    assert _parse_bytes("1024") == 1024
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    session_default = int(old)
+    advisory = 64 << 20
+    # tiny input -> floor of 1; huge input -> clamped at session default
+    assert derive_state_partitions(spark, 10) == 1
+    assert derive_state_partitions(spark, advisory * (session_default + 50)) == session_default
+    # mid-size: ceil(bytes/advisory), below the session default
+    if session_default >= 3:
+        assert derive_state_partitions(spark, advisory * 2 + 1) == 3
+    assert derive_state_partitions(spark, None) is None
+
+    p = tmp_path / "part.bin"
+    p.write_bytes(b"x" * 1000)
+    with scaled_state_partitions(spark, str(p)) as target:
+        assert target == 1
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "1"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old
+
+    # unsized (remote scheme) input: no-op, conf untouched
+    with scaled_state_partitions(spark, "s3://bucket/path") as target:
+        assert target is None
+        assert spark.conf.get("spark.sql.shuffle.partitions") == old
