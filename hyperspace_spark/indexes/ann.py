@@ -478,7 +478,7 @@ def ann_search(
     from pyspark.sql.types import StructType
 
     from hyperspace_spark.config import DATA_FILE_ID_COLUMN
-    from hyperspace_spark.llm.similarity import dot_kernel, unit_expr
+    from hyperspace_spark.llm.similarity import dot_expr, dot_kernel, unit_expr
 
     props = entry.derived_properties
     cents = np.array(props["centroids"], dtype=np.float64)
@@ -646,11 +646,15 @@ def ann_search(
                     "unit_vec"
                 ),
             )
+            # dot_expr (HOF), not dot_kernel: the refine pool is bounded
+            # at k x refine_factor rows by construction, and a pandas_udf
+            # stage costs a fixed Python round trip that only amortizes
+            # on scan-proportional row counts (r14: kernel here measured
+            # +0.3-0.8 s per query at sf0.1 for zero scale benefit).
             refined = (
                 pool.join(src, "vec_id")
                 .withColumn(
-                    "cosine",
-                    F.round(dot_kernel()(F.col("qv"), F.col("unit_vec")), 6),
+                    "cosine", F.round(dot_expr(F.col("qv"), F.col("unit_vec")), 6)
                 )
                 .withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k)
@@ -907,7 +911,7 @@ def ann_join(
     if exclude_self:
         best = best.filter(F.col("vec_id") != F.col("_qid"))
     if pq_m and source_df is not None:
-        from hyperspace_spark.llm.similarity import dot_kernel, unit_expr
+        from hyperspace_spark.llm.similarity import dot_expr, unit_expr
 
         wp = W.partitionBy("_qid").orderBy(F.col("_dot").desc(), F.col("vec_id"))
         pool = (
@@ -932,10 +936,12 @@ def ann_join(
         best = (
             pool.join(src, "vec_id")
             .join(qmap, "_qid")
+            # HOF dot: pool-sized frame (k x refine_factor rows) — see
+            # the ann_search refine note on why a kernel loses here.
             .select(
                 "_qid",
                 "vec_id",
-                dot_kernel()(F.col("_uq"), F.col("_sv")).alias("_dot"),
+                dot_expr(F.col("_uq"), F.col("_sv")).alias("_dot"),
             )
         )
     scored = best.withColumn("cosine", F.round(F.col("_dot"), 6))

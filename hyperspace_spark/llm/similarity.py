@@ -516,9 +516,11 @@ def ivf_topk(
         F.col("nid").alias("qid"), F.col("nv").alias("qv")
     )
     # Each query picks its n_probe nearest centroids (tiny cross join).
+    # HOF cosine for the centroid pick: queries x n_clusters rows — a
+    # kernel's fixed Python round trip loses on bounded-small frames.
     qc = (
         q.crossJoin(F.broadcast(cent_df))
-        .withColumn("cdist", F.round(cosine_kernel()(F.col("qv"), F.col("cv")), 9))
+        .withColumn("cdist", F.round(cosine_expr(F.col("qv"), F.col("cv")), 9))
         .withColumn("crank", F.row_number().over(W.partitionBy("qid").orderBy(F.col("cdist").desc(), F.col("cluster"))))
         .filter(F.col("crank") <= n_probe)
         .select("qid", "qv", "cluster")
