@@ -5889,13 +5889,13 @@ _VERIFY_PRIORITY = [
     # --- r14 window (driver verifies the FIRST 50): (1) the 36 entries
     # whose last green row is r11 — at the two-round evidence ceiling
     # (tests/test_evidence_rotation.py gates this) — in their r13 queue
-    # order; (2) 14 r12-greens filling to 50, chosen as the operators
-    # this optimization round touches or re-times (heavy tail, band
-    # family, dedup family) so any plan change is re-oracled.  The
-    # remaining 36 r12-greens lead the r15 window; the 50 r13-greens
-    # ride their one-round-old evidence past the cap.  Every entry is
-    # ALSO re-verified each session by the local contract pytest (same
-    # DuckDB compare). ---
+    # order; (2) 14 fills to 50: the queries whose PLANS this
+    # optimization round changed (LSH/ANN kernels + broadcast verify,
+    # streaming state layout) plus the re-paired band family and the
+    # heavy r12 rows, so every behavior-adjacent change is re-oracled.
+    # The r12-greens left outside ride at exactly the latest-2 ceiling;
+    # r13-greens are one round old.  Every entry is ALSO re-verified
+    # each session by the local contract pytest (same DuckDB compare). ---
     "events_hourly_rollup",
     "mixture_stratified_sample",
     "split_train_val_test",
@@ -5932,23 +5932,28 @@ _VERIFY_PRIORITY = [
     "covering_filter_agg",
     "delta_filter_index",
     "iceberg_filter_index",
-    # --- r12-green fills to 50 (the round's touched/re-timed set) ---
+    # --- fills to 50: r14 plan-changed queries + re-paired/heavy rows ---
+    "semantic_dedup",
+    "ann_filtered_topk",
+    "ann_knn_join",
+    "streaming_tumbling_rollup",
+    "streaming_interval_join",
+    "streaming_ledger_dedup",
     "q1_pricing_summary",
     "q18_large_volume_customer",
     "dedup_minhash_lsh",
-    "dedup_exact",
-    "hybrid_scan_append",
-    "hybrid_join_append",
     "exists_band_semijoin",
     "not_exists_band_antijoin",
     "exists_sibling_order_semijoin",
     "exists_distinct_order_semijoin",
+    "dedup_exact",
+    # --- past the cap (r13/r12 evidence) ---
+    "hybrid_scan_append",
+    "hybrid_join_append",
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "dedup_keep_canonical",
     "dedup_paragraph",
-    # --- past the cap: r13-greens (freshest evidence), then the
-    #     remaining r12-greens (these lead the r15 window) ---
     "dataskipping_valuelist",
     "dataskipping_minmax",
     "dataskipping_inset",
@@ -5959,23 +5964,18 @@ _VERIFY_PRIORITY = [
     "covering_filter_or",
     "covering_filter_partial",
     "corpus_shard_assign",
-    "streaming_interval_join",
     "resample_gapfill_daily",
     "text_search_boolean",
-    "ann_filtered_topk",
     "quantile_estimate_prices",
-    "ann_knn_join",
     "text_search_inverted",
     "metadata_only_agg",
     "metadata_group_agg",
     "metadata_count_distinct",
     "metadata_filtered_agg",
     "dedup_incremental",
-    "streaming_ledger_dedup",
     "dsir_importance_en",
     "window_latest_lineitem",
     "streaming_stateful_sessionize",
-    "semantic_dedup",
     "covering_filter_point",
     "join_cobucketed",
     "q2_min_cost_supplier",
@@ -5983,7 +5983,6 @@ _VERIFY_PRIORITY = [
     "q12_priority_shipping",
     "q20_excess_stock",
     "session_window_events",
-    "streaming_tumbling_rollup",
     "exists_or_channels",
     "selfjoin_moving_window",
     "window_tumbling_events",
