@@ -350,7 +350,31 @@ def lsh_bucketed_pairs(
     """
     from pyspark.sql import functions as F
 
-    if dim is None:
+    # Verify-strategy gate decided up front (driver-side file size, zero
+    # jobs) so the broadcast path's corpus collect can double as the dim
+    # probe — one job and one scan instead of two (r14).
+    from hyperspace_spark.llm.dedup import _file_input_bytes
+
+    corpus_bytes = _file_input_bytes(emb)
+    use_broadcast = (
+        corpus_bytes is not None and corpus_bytes <= _BROADCAST_VERIFY_MAX_BYTES
+    )
+    v = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    corpus_rows = None
+    if use_broadcast:
+        corpus_rows = v.collect()
+        if dim is None:
+            # Same semantics as the one-row probe below: empty or
+            # null-FIRST corpora yield an empty result.
+            if not corpus_rows or corpus_rows[0][1] is None:
+                return emb.sparkSession.createDataFrame(
+                    [], "id_a long, id_b long, cosine double"
+                )
+            dim = len(corpus_rows[0][1])
+    elif dim is None:
         # One-row probe to size the hyperplanes; pass dim explicitly to
         # skip the extra job.  Empty/null-first corpora yield an empty
         # result instead of a TypeError.
@@ -360,10 +384,6 @@ def lsh_bucketed_pairs(
                 [], "id_a long, id_b long, cosine double"
             )
         dim = len(first[0])
-    v = emb.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-    )
     # All bands*nbits plane dots in ONE Arrow-batched numpy kernel —
     # bit-identical to the lsh_bucket_col HOF form (see band_sigs_kernel;
     # r14: the interpreted per-element lambdas were the query's dominant
@@ -423,14 +443,12 @@ def lsh_bucketed_pairs(
     #
     # The broadcast path gates on the DRIVER-SIDE file size of the
     # input (zero jobs, same helper as embedding_near_dup_pairs' guard);
-    # unsizable or large inputs take the join path.
-    from hyperspace_spark.llm.dedup import _file_input_bytes
-
-    corpus_bytes = _file_input_bytes(emb)
-    if corpus_bytes is not None and corpus_bytes <= _BROADCAST_VERIFY_MAX_BYTES:
+    # unsizable or large inputs take the join path.  ``corpus_rows`` was
+    # collected once above (doubling as the dim probe).
+    if use_broadcast:
         import numpy as np
 
-        rows = v.collect()
+        rows = corpus_rows
         ids = np.array([r[0] for r in rows if r[1] is not None and len(r[1]) == dim])
         mat = np.array(
             [r[1] for r in rows if r[1] is not None and len(r[1]) == dim],

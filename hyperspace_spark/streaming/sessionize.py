@@ -174,7 +174,12 @@ def sessionize(
         # true epoch seconds, zone- and DST-independent); sort by the
         # instant — across a fall-back transition wall-clock order and
         # event order disagree, and _advance requires ts_ms sorted.
-        rows = pd.concat(list(pdfs)).sort_values("_hs_utc_ms")
+        # fn runs once per KEY; skipping the concat copy for the common
+        # single-chunk delivery trims per-key Python overhead (r14).
+        chunks = list(pdfs)
+        rows = (chunks[0] if len(chunks) == 1 else pd.concat(chunks)).sort_values(
+            "_hs_utc_ms"
+        )
         ts_ms = rows["_hs_utc_ms"].tolist()
         vals = rows[value_col].tolist()
         if state.exists:
