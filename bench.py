@@ -337,6 +337,15 @@ def main() -> None:
         timings[brute_name] = min(timings.get(brute_name, raw), raw)
         api_paired[accel_name] = round(raw / timings[accel_name], 2)
 
+    # END-of-run canary (r14): the start canary alone cannot certify a
+    # ~15-minute run on this hardware class — one r14 run started at a
+    # clean 0.238 canary and still carried a mid-run host collapse (an
+    # untouched query at 25x its stable wall).  canary_end + the spread
+    # let any reader judge whether the machine HELD for the window the
+    # timings were taken in.
+    canary_end_sec = _canary()
+    canary_spread = round(max(canary_sec, canary_end_sec) / max(min(canary_sec, canary_end_sec), 1e-9), 2)
+
     # Cold-build probe: full create_index cost from scratch (throwaway
     # system path), vs. the warm log-reuse number above.  Runs AFTER the
     # query timings so its page-cache churn can't skew them.
@@ -408,6 +417,8 @@ def main() -> None:
         "cpus": cpus,
         "canary_sec": canary_sec,
         "canary_drift": canary_drift,
+        "canary_end_sec": canary_end_sec,
+        "canary_spread": canary_spread,
     }
     # sf1 speedups ride along so the headline artifact can't be misread
     # as erosion: the skipping/z-order/point-lookup rows are
