@@ -146,28 +146,48 @@ def sessionize(
     def fn(
         key: Tuple[Any, ...], pdfs: Iterator["Any"], state: "GroupState"
     ) -> Iterable["Any"]:
+        import numpy as np
         import pandas as pd
 
         (user_id,) = key
-        def out_ts(ms):
-            return (
-                pd.Timestamp(ms, unit="ms", tz="UTC")
+
+        def out_frame(closed):
+            # Vectorized output conversion (r14): one pd.to_datetime per
+            # column instead of a 3-op pd.Timestamp chain PER SESSION —
+            # the scalar chain plus a list-of-Timestamps DataFrame build
+            # measured 2.8 s of the 3.2 s single-threaded kernel pass at
+            # sf0.1 (93,965 sessions).  Integer-ns arithmetic on int64
+            # epoch millis is identical to the scalar path; tz_convert/
+            # tz_localize are the same instant->wall mapping columnwise.
+            m = len(closed)
+            st = np.fromiter((c[0] for c in closed), dtype=np.int64, count=m)
+            en = np.fromiter((c[1] for c in closed), dtype=np.int64, count=m)
+            cnt = np.fromiter((c[2] for c in closed), dtype=np.int32, count=m)
+            tot = np.fromiter((c[3] for c in closed), dtype=np.float64, count=m)
+            ss = (
+                pd.to_datetime(st, unit="ms", utc=True)
                 .tz_convert(session_tz)
                 .tz_localize(None)
+            )
+            ee = (
+                pd.to_datetime(en, unit="ms", utc=True)
+                .tz_convert(session_tz)
+                .tz_localize(None)
+            )
+            return pd.DataFrame(
+                {
+                    key_col: [user_id] * m,
+                    "session_start": pd.Series(ss),
+                    "session_end": pd.Series(ee),
+                    "n_events": cnt,
+                    "total_value": tot,
+                }
             )
 
         if state.hasTimedOut:
             start, last, n, total = state.get
             state.remove()
-            yield pd.DataFrame(
-                {
-                    key_col: [user_id],
-                    "session_start": [out_ts(start)],
-                    "session_end": [out_ts(last)],
-                    "n_events": [n],
-                    "total_value": [total],
-                }
-            )
+            yield out_frame([(start, last, n, total)])
             return
 
         # _hs_utc_ms was computed JVM-side (timestamp cast to double =
@@ -177,11 +197,15 @@ def sessionize(
         # fn runs once per KEY; skipping the concat copy for the common
         # single-chunk delivery trims per-key Python overhead (r14).
         chunks = list(pdfs)
-        rows = (chunks[0] if len(chunks) == 1 else pd.concat(chunks)).sort_values(
-            "_hs_utc_ms"
-        )
-        ts_ms = rows["_hs_utc_ms"].tolist()
-        vals = rows[value_col].tolist()
+        rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        # numpy argsort instead of sort_values: pandas delegates a
+        # single-column sort to np.argsort(kind='quicksort') (nargsort),
+        # so the permutation — including tie order — is identical; this
+        # skips building a sorted DataFrame copy per key (r14).
+        ms = rows["_hs_utc_ms"].to_numpy()
+        order = np.argsort(ms, kind="quicksort")
+        ts_ms = ms[order].tolist()
+        vals = rows[value_col].to_numpy()[order].tolist()
         if state.exists:
             start, last, n, total = state.get
         else:
@@ -189,19 +213,10 @@ def sessionize(
         (start, last, n, total), closed = _advance(
             start, last, n, total, ts_ms, vals, gap_ms
         )
-        out = [(user_id, s, e, c, v) for s, e, c, v in closed]
         state.update((start, last, n, total))
         state.setTimeoutTimestamp(last + gap_ms)
-        if out:
-            yield pd.DataFrame(
-                {
-                    key_col: [o[0] for o in out],
-                    "session_start": [out_ts(o[1]) for o in out],
-                    "session_end": [out_ts(o[2]) for o in out],
-                    "n_events": [o[3] for o in out],
-                    "total_value": [o[4] for o in out],
-                }
-            )
+        if closed:
+            yield out_frame(closed)
 
     from pyspark.sql import functions as F
 
