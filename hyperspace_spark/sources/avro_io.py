@@ -200,6 +200,367 @@ def _record_fields(schema: dict):
 
 
 # ---------------------------------------------------------------------------
+# columnar fast paths (r14): the per-row encode/decode loops above are the
+# general (and fixture) surface; the hot mapInPandas sites move whole Arrow
+# batches through these vectorized twins instead.  Byte-identity with the
+# row loops is load-bearing and tested (tests/test_codec_properties.py):
+# the encode path must produce the IDENTICAL container (zigzag varints are
+# canonical minimal-length, field order fixed, deflate level pinned), and
+# the decode path the identical column values.  Supported surface: flat
+# records of primitives and [null, T] unions — exactly the schema class
+# the contract query and the warehouse fixtures use; arrays or nested
+# records fall back to the row loops.
+# ---------------------------------------------------------------------------
+
+
+def _columnar_fields(schema: dict):
+    """Field spec [(name, type_str, nullable)] when every field is a flat
+    primitive (optionally nullable), else None -> caller falls back."""
+    try:
+        fields = _record_fields(schema)
+    except NotImplementedError:
+        return None
+    for _name, t, _nullable in fields:
+        if not isinstance(t, str) or t not in _PRIMITIVE_SPARK:
+            return None
+    return fields
+
+
+def _varint_matrix(values):
+    """int64 ndarray -> (bytes_matrix (n,10) uint8, nbytes (n) int64) of
+    the zigzag base-128 varint encoding — identical bytes to _write_long."""
+    import numpy as np
+
+    v = np.asarray(values, dtype=np.int64)
+    z = ((v << np.int64(1)) ^ (v >> np.int64(63))).view(np.uint64)
+    nb = np.ones(len(v), dtype=np.int64)
+    for k in range(1, 10):
+        nb += (z >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    mat = np.zeros((len(v), 10), dtype=np.uint8)
+    for k in range(10):
+        byte_k = ((z >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (k < nb - 1).astype(np.uint8) << 7
+        mat[:, k] = byte_k | cont
+    return mat, nb
+
+
+def _encode_container_columnar(arrays, n, fields, schema, codec):
+    """pyarrow arrays (one per field, length n) -> container bytes.
+    Exactly write_container's output for the same logical rows."""
+    import numpy as np
+    import pyarrow as pa
+
+    # Per-field piece plan: [(dst_extra?), lengths, scatter closures].
+    # Assembly: per row, fields concatenate in declaration order; a
+    # nullable field contributes 1 tag byte (zigzag(0)=0x00/zigzag(1)=
+    # 0x02) plus, when present, its value bytes.
+    piece_lens = []   # list of (n,) int64 arrays, row-major piece order
+    scatters = []     # list of (piece_index, fn(out, dst)) applied later
+    pieces = 0
+
+    def add_piece(lens, fn):
+        nonlocal pieces
+        piece_lens.append(lens)
+        scatters.append((pieces, fn))
+        pieces += 1
+
+    zeros = np.zeros(n, dtype=np.int64)
+    for (name, t, nullable), arr in zip(fields, arrays):
+        if arr.null_count and not nullable:
+            raise ValueError(f"null in non-nullable field {name!r}")
+        valid = (
+            np.ones(n, dtype=bool)
+            if arr.null_count == 0
+            else np.asarray(arr.is_valid())
+        )
+        if nullable:
+            tags = np.where(valid, np.uint8(2), np.uint8(0))
+            add_piece(
+                zeros + 1,
+                lambda out, dst, tags=tags: out.__setitem__(dst, tags),
+            )
+        if t in ("int", "long"):
+            vals = arr.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            mat, nb = _varint_matrix(vals)
+            lens = np.where(valid, nb, 0)
+
+            def scat(out, dst, mat=mat, nb=nb, valid=valid):
+                for k in range(10):
+                    m = valid & (nb > k)
+                    out[dst[m] + k] = mat[m, k]
+
+            add_piece(lens, scat)
+        elif t in ("double", "float"):
+            width = 8 if t == "double" else 4
+            dt = "<f8" if t == "double" else "<f4"
+            vals = arr.fill_null(0).to_numpy(zero_copy_only=False).astype(dt)
+            raw = vals.view(np.uint8).reshape(n, width)
+
+            def scat(out, dst, raw=raw, valid=valid, width=width):
+                for k in range(width):
+                    out[dst[valid] + k] = raw[valid, k]
+
+            add_piece(np.where(valid, width, 0), scat)
+        elif t == "boolean":
+            vals = np.asarray(arr.fill_null(False)).astype(np.uint8)
+
+            def scat(out, dst, vals=vals, valid=valid):
+                out[dst[valid]] = vals[valid]
+
+            add_piece(np.where(valid, 1, 0), scat)
+        elif t in ("string", "bytes"):
+            sarr = arr.cast(pa.large_binary())
+            buffers = sarr.buffers()
+            offsets = np.frombuffer(buffers[1], dtype=np.int64)[
+                sarr.offset : sarr.offset + n + 1
+            ]
+            data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] else np.zeros(0, np.uint8)
+            slens = np.diff(offsets)
+            lmat, lnb = _varint_matrix(slens)
+            llens = np.where(valid, lnb, 0)
+
+            def scat_len(out, dst, lmat=lmat, lnb=lnb, valid=valid):
+                for k in range(10):
+                    m = valid & (lnb > k)
+                    out[dst[m] + k] = lmat[m, k]
+
+            add_piece(llens, scat_len)
+            plens = np.where(valid, slens, 0)
+
+            def scat_pay(out, dst, data=data, offsets=offsets, plens=plens):
+                total = int(plens.sum())
+                if not total:
+                    return
+                src = np.repeat(offsets[:-1], plens) + _ramp(plens)
+                dpos = np.repeat(dst, plens) + _ramp(plens)
+                out[dpos] = data[src]
+
+            add_piece(plens, scat_pay)
+        else:  # pragma: no cover — guarded by _columnar_fields
+            raise NotImplementedError(t)
+
+    L = np.stack(piece_lens, axis=1) if pieces else np.zeros((n, 0), np.int64)
+    row_lens = L.sum(axis=1)
+    rec_off = np.zeros(n, dtype=np.int64)
+    np.cumsum(row_lens[:-1], out=rec_off[1:])
+    body = np.zeros(int(row_lens.sum()), dtype=np.uint8)
+    running = rec_off.copy()
+    for idx, fn in scatters:
+        fn(body, running)
+        running = running + L[:, idx]
+    payload = body.tobytes()
+    if codec == "deflate":
+        co = zlib.compressobj(level=6, wbits=-15)
+        payload = co.compress(payload) + co.flush()
+    import hashlib
+
+    sync = hashlib.md5(json.dumps(schema, sort_keys=True).encode()).digest()
+    out = bytearray(_MAGIC)
+    meta = {
+        "avro.schema": json.dumps(schema).encode(),
+        "avro.codec": codec.encode(),
+    }
+    _write_long(out, len(meta))
+    for k, v in meta.items():
+        kb = k.encode()
+        _write_long(out, len(kb))
+        out += kb
+        _write_long(out, len(v))
+        out += v
+    _write_long(out, 0)
+    out += sync
+    if n:
+        _write_long(out, n)
+        _write_long(out, len(payload))
+        out += payload
+        out += sync
+    return bytes(out)
+
+
+def _ramp(lens):
+    """Concatenated [0..l) ranges for a length array — the standard
+    ragged-copy index: arange(total) - repeat(exclusive_cumsum, lens)."""
+    import numpy as np
+
+    total = int(lens.sum())
+    if not total:
+        return np.zeros(0, dtype=np.int64)
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+
+
+def write_container_from_pandas(pdf, schema: dict, codec: str = "deflate") -> bytes:
+    """pandas DataFrame -> container bytes, vectorized when the schema is
+    flat; identical bytes to write_container(pdf.to_dict('records'), ...)."""
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"unsupported avro codec {codec!r}")
+    fields = _columnar_fields(schema)
+    if fields is None:
+        return write_container(pdf.to_dict("records"), schema, codec=codec)
+    import pyarrow as pa
+
+    _PA = {
+        "boolean": pa.bool_(),
+        "int": pa.int64(),
+        "long": pa.int64(),
+        "float": pa.float32(),
+        "double": pa.float64(),
+        "string": pa.string(),
+        "bytes": pa.binary(),
+    }
+    arrays = [
+        pa.array(pdf[name], type=_PA[t], from_pandas=True)
+        for name, t, _nullable in fields
+    ]
+    return _encode_container_columnar(arrays, len(pdf), fields, schema, codec)
+
+
+def read_container_to_pandas(blob: bytes):
+    """Container bytes -> (schema dict, pandas DataFrame) with the same
+    column values as read_container + the old per-row DataFrame build."""
+    import pandas as pd
+
+    if blob[:4] != _MAGIC:
+        raise ValueError("not an avro object container")
+    r = _Reader(blob, 4)
+    meta = {}
+    while True:
+        n = r.read_long()
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            r.read_long()
+        for _ in range(n):
+            k = r.read_bytes().decode("utf-8")
+            meta[k] = r.read_bytes()
+    sync = r.read_fixed(16)
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"unsupported avro codec {codec!r}")
+    fields = _columnar_fields(schema)
+    names_all = [f["name"] for f in schema["fields"]]
+    if fields is None:
+        _, rows = read_container(blob)
+        return schema, pd.DataFrame(
+            {n: [row[n] for row in rows] for n in names_all}
+            if rows
+            else {n: [] for n in names_all}
+        )
+    parts = {name: [] for name, _t, _n in fields}
+    while r.pos < len(r.data):
+        count = r.read_long()
+        size = r.read_long()
+        payload = r.read_fixed(size)
+        if codec == "deflate":
+            payload = zlib.decompress(payload, -15)
+        cols, consumed = _decode_block_fast(bytes(payload), count, fields)
+        if consumed != len(payload):
+            raise ValueError("avro block decode length mismatch")
+        for name in parts:
+            parts[name].extend(cols[name])
+        if r.read_fixed(16) != sync:
+            raise ValueError("avro sync marker mismatch (corrupt block)")
+    return schema, pd.DataFrame(parts if any(parts.values()) else {n: [] for n in names_all})
+
+
+def _decode_block_fast(data: bytes, count: int, fields):
+    """One block payload -> ({name: list}, consumed_bytes); values match
+    the per-row walk exactly.  Fixed-width numerics record (slot, pos)
+    during the walk and are gathered with one vectorized read."""
+    import numpy as np
+
+    cols = {name: [None] * count for name, _t, _n in fields}
+    fixed = {name: ([], []) for name, t, _n in fields if t in ("double", "float")}
+    spec = [(name, t, nullable, cols[name], fixed.get(name)) for name, t, nullable in fields]
+    pos = 0
+    for row in range(count):
+        for name, t, nullable, col, fx in spec:
+            if nullable:
+                b = data[pos]
+                pos += 1
+                if b & 0x80:  # non-canonical multi-byte tag (never ours)
+                    acc = b & 0x7F
+                    shift = 7
+                    while True:
+                        b = data[pos]
+                        pos += 1
+                        acc |= (b & 0x7F) << shift
+                        if not b & 0x80:
+                            break
+                        shift += 7
+                    branch = (acc >> 1) ^ -(acc & 1)
+                else:
+                    branch = (b >> 1) ^ -(b & 1)
+                if branch == 0:
+                    continue  # col[row] stays None
+            if t in ("int", "long"):
+                b = data[pos]
+                pos += 1
+                if b & 0x80:
+                    acc = b & 0x7F
+                    shift = 7
+                    while True:
+                        b = data[pos]
+                        pos += 1
+                        acc |= (b & 0x7F) << shift
+                        if not b & 0x80:
+                            break
+                        shift += 7
+                else:
+                    acc = b
+                col[row] = (acc >> 1) ^ -(acc & 1)
+            elif t == "double":
+                fx[0].append(row)
+                fx[1].append(pos)
+                pos += 8
+            elif t == "float":
+                fx[0].append(row)
+                fx[1].append(pos)
+                pos += 4
+            elif t in ("string", "bytes"):
+                b = data[pos]
+                pos += 1
+                if b & 0x80:
+                    acc = b & 0x7F
+                    shift = 7
+                    while True:
+                        b = data[pos]
+                        pos += 1
+                        acc |= (b & 0x7F) << shift
+                        if not b & 0x80:
+                            break
+                        shift += 7
+                else:
+                    acc = b
+                ln = (acc >> 1) ^ -(acc & 1)
+                raw = data[pos : pos + ln]
+                pos += ln
+                col[row] = raw.decode("utf-8") if t == "string" else bytes(raw)
+            elif t == "boolean":
+                col[row] = data[pos] == 1
+                pos += 1
+            else:  # pragma: no cover — guarded by _columnar_fields
+                raise NotImplementedError(t)
+    if fixed:
+        arr = np.frombuffer(data, dtype=np.uint8)
+        for name, t, _n in fields:
+            fx = fixed.get(name)
+            if not fx or not fx[0]:
+                continue
+            width = 8 if t == "double" else 4
+            dt = "<f8" if t == "double" else "<f4"
+            idx = np.asarray(fx[1], dtype=np.int64)[:, None] + np.arange(width)
+            vals = arr[idx].copy().view(dt).ravel()
+            col = cols[name]
+            for slot, v in zip(fx[0], vals.tolist()):
+                col[slot] = v
+    return cols, pos
+
+
+# ---------------------------------------------------------------------------
 # container coding
 # ---------------------------------------------------------------------------
 
