@@ -302,13 +302,17 @@ def _parse(jnode) -> ir.Node:
         return _parse_relation(jnode)
 
     if cls == "Project":
-        if jnode.child().getClass().getSimpleName() == "Join":
-            fused = _try_fuse_project_join(jnode, jnode.child())
+        reuse_child = None
+        jchild = jnode.child()
+        if jchild.getClass().getSimpleName() == "Join":
+            fused, reuse_child = _try_fuse_project_join(jnode, jchild)
             if fused is not None:
                 return fused
-            pruned = _try_parse_pruning_project(jnode)
+            pruned, reuse2 = _try_parse_pruning_project(jnode, reuse_child)
             if pruned is not None:
                 return pruned
+            if reuse2 is not None:
+                reuse_child = reuse2
         exprs = [expr_sql(e) for e in scala_seq(jnode.projectList())]
         if any("scalarsubquery" in e.lower() for e in exprs):
             # An UNCORRELATED scalar subquery in the SELECT list (TPC-DS
@@ -319,8 +323,28 @@ def _parse(jnode) -> ir.Node:
         refs = frozenset().union(
             *[parse_expr(e).references for e in scala_seq(jnode.projectList())]
         ) if exprs else frozenset()
+        # Reuse the child parse from the pruning probe (r15): the old
+        # shape parsed a Project-over-Join child TWICE on the common
+        # no-rename path (once inside _try_parse_pruning_project, once
+        # here) — and each _parse walks the JVM tree over py4j, so
+        # nested join chains re-parsed 2^depth times (TPC-DS q17's
+        # 7-join plan measured 38 s of apply() latency, ~95% of it py4j
+        # round trips from exactly this).  _try_parse_pruning_project now
+        # hands back the clean parsed child (or its UnsupportedPlan) for
+        # this generic path to consume.
+        if reuse_child is _CHILD_UNSUPPORTED:
+            child_node = _opaque(jchild)
+        elif reuse_child is not None:
+            # mirror _parse_or_opaque's guard: a renamed child under this
+            # name-based Project would silently bind the first copy
+            if getattr(reuse_child, "renames", None):
+                child_node = _opaque(jchild)
+            else:
+                child_node = reuse_child
+        else:
+            child_node = _parse_or_opaque(jchild)
         return ir.ProjectN(
-            child=_parse_or_opaque(jnode.child()), exprs=exprs, output=_out_names(jnode), references=refs
+            child=child_node, exprs=exprs, output=_out_names(jnode), references=refs
         )
 
     if cls == "Filter":
@@ -725,20 +749,45 @@ def _parse_join(jnode, allow_collision: bool = False) -> "ir.JoinN":
             # but a renamed LEFT child's map passes through verbatim.
             out.renames = dict(lmap)
         elif not allow_collision:
-            names = [n.lower() for n in _names(out)]
-            if len(set(names)) != len(names) or lmap or rmap:
-                # Duplicate payload names survive INTO this join's output
-                # (the q47 self-join chain: the disambiguating Project
-                # sits LEVELS above), or a child carries renames that
-                # `SELECT *` would mis-expose.  r13: synthesize an
-                # explicit exprId-keyed SELECT list — second copies
-                # become __hs_dupN — and record the map for map-aware
-                # consumers (a parent join or a fused/pruning Project).
-                _synthesize_renamed_select(out, jnode, lmap, rmap)
+            _finalize_join_collision(out, jnode)
         return out
 
 
-def _try_parse_pruning_project(jnode) -> "ir.ProjectN | None":
+def _finalize_join_collision(out: "ir.JoinN", jnode) -> "ir.JoinN":
+    """The allow_collision=False tail of _parse_join, callable post-hoc
+    (r15): when the fusion probe parsed a join with allow_collision=True
+    and then bailed, this converts its node into exactly what
+    _parse_join(allow_collision=False) would have returned — so the
+    pruning/generic paths can REUSE the parse instead of re-walking the
+    JVM subtree (the collision-join re-parse was the residual 2x-3x
+    amplification after the pruning-project reuse fix)."""
+    if out.join_type in ("left_semi", "left_anti"):
+        return out
+    lmap = getattr(out.left, "renames", None) or {}
+    rmap = getattr(out.right, "renames", None) or {}
+    names = [n.lower() for n in _names(out)]
+    if len(set(names)) != len(names) or lmap or rmap:
+        # Duplicate payload names survive INTO this join's output
+        # (the q47 self-join chain: the disambiguating Project
+        # sits LEVELS above), or a child carries renames that
+        # `SELECT *` would mis-expose.  r13: synthesize an
+        # explicit exprId-keyed SELECT list — second copies
+        # become __hs_dupN — and record the map for map-aware
+        # consumers (a parent join or a fused/pruning Project).
+        _synthesize_renamed_select(out, jnode, lmap, rmap)
+    return out
+
+
+class _ChildUnsupported:
+    """Sentinel: the pruning probe parsed the Project's child and it
+    raised UnsupportedPlan — the generic path should go straight to the
+    opaque wrap instead of re-walking the subtree over py4j."""
+
+
+_CHILD_UNSUPPORTED = _ChildUnsupported()
+
+
+def _try_parse_pruning_project(jnode, precomputed_child=None):
     """Attribute-only Project directly above a JOIN that carries exprId
     renames (or whose kept names still collide): Catalyst's column
     pruning inserts these between the levels of a self-join chain —
@@ -746,20 +795,35 @@ def _try_parse_pruning_project(jnode) -> "ir.ProjectN | None":
     BOTH sum_sales copies under one name.  Each attribute is translated
     through the child's map, the output re-deduped (__hs_dupN), and the
     COMPOSED map carried upward; only map-aware consumers may sit above
-    (the _parse_or_opaque guard).  None = the generic path applies."""
+    (the _parse_or_opaque guard).
+
+    ``precomputed_child`` carries an already-parsed child (from the
+    fusion probe, r15) so the subtree is never walked twice over py4j.
+
+    Returns ``(node, reused_child)``: ``(ProjectN, None)`` when handled;
+    ``(None, child)`` when not applicable but the child parsed clean
+    (no renames — the generic path must consume it instead of re-parsing
+    the whole subtree, r15); ``(None, _CHILD_UNSUPPORTED)`` when the
+    child parse raised; ``(None, None)`` when the child was never
+    parsed (non-attribute project list)."""
     jlist = list(scala_seq(jnode.projectList()))
     if not jlist or any(
         e.getClass().getSimpleName() != "AttributeReference" for e in jlist
     ):
-        return None
+        return None, None
     names = [str(e.name()) for e in jlist]
-    try:
-        child = _parse(jnode.child())
-    except UnsupportedPlan:
-        return None  # generic path re-parses and runs the opaque cascade
+    if precomputed_child is _CHILD_UNSUPPORTED:
+        return None, _CHILD_UNSUPPORTED
+    if precomputed_child is not None:
+        child = precomputed_child
+    else:
+        try:
+            child = _parse(jnode.child())
+        except UnsupportedPlan:
+            return None, _CHILD_UNSUPPORTED  # generic path wraps opaque
     cmap = getattr(child, "renames", None) or {}
     if not cmap and len({n.lower() for n in names}) == len(names):
-        return None  # nothing renamed, nothing colliding
+        return None, child  # nothing renamed/colliding: reuse the parse
     exprs: list[str] = []
     out: list[str] = []
     renames: dict[int, str] = {}
@@ -786,12 +850,15 @@ def _try_parse_pruning_project(jnode) -> "ir.ProjectN | None":
         out.append(final)
         if final != base:
             renames[eid] = final
-    return ir.ProjectN(
-        child=child,
-        exprs=exprs,
-        output=out,
-        references=frozenset(names),
-        renames=renames,
+    return (
+        ir.ProjectN(
+            child=child,
+            exprs=exprs,
+            output=out,
+            references=frozenset(names),
+            renames=renames,
+        ),
+        None,
     )
 
 
@@ -979,7 +1046,7 @@ def _render_qualified(
     return render(jexpr)
 
 
-def _try_fuse_project_join(jproj, jjoin) -> "ir.JoinN | None":
+def _try_fuse_project_join(jproj, jjoin):
     """Project DIRECTLY above an inner join whose output carries the
     same column name from both sides (TPC-DS q95's ws_wh CTE:
     ``SELECT ws1.ws_order_number, ws1.ws_warehouse_sk wh1,
@@ -988,21 +1055,34 @@ def _try_fuse_project_join(jproj, jjoin) -> "ir.JoinN | None":
     used to go opaque and its scans were invisible to every index rule.
     The Project's own expressions are attributed by exprId, so when each
     renders under the bounded grammar the Project FUSES into the join as
-    an explicit side-qualified SELECT list.  None = not applicable or
-    out of grammar (callers fall through to the old opaque path)."""
+    an explicit side-qualified SELECT list.
+
+    Returns ``(fused, reusable_child)`` (r15): on success the fused
+    JoinN rides in the first slot; when the probe bails AFTER parsing
+    the join, the parse is finished through _finalize_join_collision —
+    exactly the allow_collision=False result — and handed back so the
+    pruning/generic paths never re-walk the subtree over py4j;
+    ``(None, None)`` = bailed before parsing anything."""
     names = _out_names(jjoin)
     if len({n.lower() for n in names}) == len(names):
-        return None  # no collision: the generic path replays fine
+        return None, None  # no collision: the generic path replays fine
     if not list(scala_seq(jproj.projectList())):
         # an EMPTY pruning Project (count(*) over the join) would fuse
         # to `SELECT FROM ...` — not a statement; keep the opaque path
-        return None
+        return None, None
     try:
         join_node = _parse_join(jjoin, allow_collision=True)
     except UnsupportedPlan:
-        return None
+        return None, _CHILD_UNSUPPORTED
+
+    def bail():
+        try:
+            return None, _finalize_join_collision(join_node, jjoin)
+        except UnsupportedPlan:
+            return None, _CHILD_UNSUPPORTED
+
     if join_node.join_type != "inner":
-        return None
+        return bail()
     lset, rset = jjoin.left().outputSet(), jjoin.right().outputSet()
     lmap = getattr(join_node.left, "renames", None) or {}
     rmap = getattr(join_node.right, "renames", None) or {}
@@ -1010,22 +1090,22 @@ def _try_fuse_project_join(jproj, jjoin) -> "ir.JoinN | None":
     out_names: list[str] = []
     for je in scala_seq(jproj.projectList()):
         jcls = je.getClass().getSimpleName()
-        body_expr = je.child() if jcls == "Alias" else je
         if jcls not in ("Alias", "AttributeReference"):
-            return None
+            return bail()
+        body_expr = je.child() if jcls == "Alias" else je
         body = _render_qualified(body_expr, lset, rset, lmap=lmap, rmap=rmap)
         if body is None:
-            return None
+            return bail()
         name = str(je.name())
         sel.append(f"{body} AS {_quote_if_needed(name)}")
         out_names.append(name)
     if len({n.lower() for n in out_names}) != len(out_names):
-        return None  # the project output itself is ambiguous
+        return bail()  # the project output itself is ambiguous
     join_node.select_exprs = sel
     join_node.select_output = out_names
     join_node.right_keep = None
     join_node.renames = {}  # the fused list re-establishes unique names
-    return join_node
+    return join_node, None
 
 
 _BAND_OPS = {
