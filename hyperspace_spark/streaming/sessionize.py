@@ -80,6 +80,104 @@ def _advance(
     return (start, last, n, total), closed
 
 
+def _advance_batch(start, last, n, total, ts, vals, gap_ms):
+    """Vectorized twin of :func:`_advance` over one SORTED batch (r15).
+
+    ``ts`` (int64 millis, ascending) and ``vals`` (float64) are numpy
+    arrays.  The late prefix (ts < start) is delegated to the scalar
+    ``_advance`` — late events only exist across micro-batches and are a
+    handful of rows — and the main part is segmented in one vectorized
+    pass: a session break before element i iff
+    ``ts[i] - max(last, ts[i-1]) > gap_ms`` (exactly the loop's
+    condition, since the running ``last`` of a sorted batch is
+    ``max(carried last, previous element)``).
+
+    Integer fields (start / end / count) are bit-exactly ``_advance``'s.
+    Float totals use ``np.add.reduceat`` (pairwise summation) for the
+    closed middle segments, so they can differ from the scalar
+    sequential accumulation by ulps — the operator contract rounds
+    totals (round(total_value, 2) in the workload + oracle), and
+    tests/test_sessionize_property.py asserts the tight tolerance.  The
+    continuation segment seeds the carried ``total`` through an exact
+    sequential ``np.cumsum``.
+
+    Returns ``((start, last, n, total), (st, en, cnt, tot))`` where the
+    second element holds the closed sessions as int64/int64/int64/float64
+    arrays (empty arrays when nothing closed).
+    """
+    import numpy as np
+
+    empty = (
+        np.empty(0, np.int64),
+        np.empty(0, np.int64),
+        np.empty(0, np.int64),
+        np.empty(0, np.float64),
+    )
+    late_closed: list = []
+    k = int(np.searchsorted(ts, start, side="left"))
+    if k:
+        (start, last, n, total), late_closed = _advance(
+            start, last, n, total, ts[:k].tolist(), vals[:k].tolist(), gap_ms
+        )
+        ts, vals = ts[k:], vals[k:]
+
+    def _with_late(st, en, cnt, tot):
+        if not late_closed:
+            return st, en, cnt, tot
+        lst = np.fromiter((c[0] for c in late_closed), np.int64, len(late_closed))
+        len_ = np.fromiter((c[1] for c in late_closed), np.int64, len(late_closed))
+        lcn = np.fromiter((c[2] for c in late_closed), np.int64, len(late_closed))
+        lto = np.fromiter((c[3] for c in late_closed), np.float64, len(late_closed))
+        return (
+            np.concatenate((lst, st)),
+            np.concatenate((len_, en)),
+            np.concatenate((lcn, cnt)),
+            np.concatenate((lto, tot)),
+        )
+
+    m = ts.size
+    if m == 0:
+        return (start, last, n, total), _with_late(*empty)
+    prev = np.empty(m, dtype=np.int64)
+    prev[0] = last
+    if m > 1:
+        np.maximum(ts[:-1], last, out=prev[1:])
+    brk = (ts - prev) > gap_ms
+    if n == 0:
+        # a fresh state is seeded from the batch's first event, which
+        # can never close an (empty) open session — the loop's `n > 0`
+        brk[0] = False
+    bidx = np.flatnonzero(brk)
+    if bidx.size == 0:
+        # the whole batch extends the open session; exact sequential sum
+        cs = np.cumsum(np.concatenate(((total,), vals)))
+        state = (start, int(max(last, ts[-1])), n + m, float(cs[-1]))
+        return state, _with_late(*empty)
+    b0 = int(bidx[0])
+    nclosed = bidx.size  # continuation segment + middle segments
+    st_out = np.empty(nclosed, dtype=np.int64)
+    en_out = np.empty(nclosed, dtype=np.int64)
+    cnt_out = np.empty(nclosed, dtype=np.int64)
+    tot_out = np.empty(nclosed, dtype=np.float64)
+    st_out[0] = start
+    if b0 > 0:
+        cs0 = np.cumsum(np.concatenate(((total,), vals[:b0])))
+        en_out[0] = max(last, int(ts[b0 - 1]))
+        cnt_out[0] = n + b0
+        tot_out[0] = cs0[-1]
+    else:
+        en_out[0], cnt_out[0], tot_out[0] = last, n, total
+    bounds = np.concatenate((bidx, (m,)))
+    counts = np.diff(bounds)
+    sums = np.add.reduceat(vals, bidx)
+    st_out[1:] = ts[bidx[:-1]]
+    en_out[1:] = ts[bounds[1:-1] - 1]
+    cnt_out[1:] = counts[:-1]
+    tot_out[1:] = sums[:-1]
+    state = (int(ts[bidx[-1]]), int(ts[-1]), int(counts[-1]), float(sums[-1]))
+    return state, _with_late(st_out, en_out, cnt_out, tot_out)
+
+
 def sessionize(
     events: "DataFrame",
     gap_seconds: int = 1800,
@@ -151,72 +249,93 @@ def sessionize(
 
         (user_id,) = key
 
-        def out_frame(closed):
-            # Vectorized output conversion (r14): one pd.to_datetime per
-            # column instead of a 3-op pd.Timestamp chain PER SESSION —
-            # the scalar chain plus a list-of-Timestamps DataFrame build
-            # measured 2.8 s of the 3.2 s single-threaded kernel pass at
-            # sf0.1 (93,965 sessions).  Integer-ns arithmetic on int64
-            # epoch millis is identical to the scalar path; tz_convert/
-            # tz_localize are the same instant->wall mapping columnwise.
-            m = len(closed)
-            st = np.fromiter((c[0] for c in closed), dtype=np.int64, count=m)
-            en = np.fromiter((c[1] for c in closed), dtype=np.int64, count=m)
-            cnt = np.fromiter((c[2] for c in closed), dtype=np.int32, count=m)
-            tot = np.fromiter((c[3] for c in closed), dtype=np.float64, count=m)
-            ss = (
-                pd.to_datetime(st, unit="ms", utc=True)
-                .tz_convert(session_tz)
-                .tz_localize(None)
-            )
-            ee = (
-                pd.to_datetime(en, unit="ms", utc=True)
-                .tz_convert(session_tz)
-                .tz_localize(None)
+        def out_frame(st, en, cnt, tot):
+            # Vectorized output conversion over closed-session ARRAYS
+            # (r14 vectorized the per-session pd.Timestamp chains; r15
+            # removes the remaining pandas machinery: profiled at sf0.1,
+            # pd.to_datetime(utc).tz_convert.tz_localize x2 plus the
+            # dict sanitize in pd.DataFrame cost 2.8 s of the 3.9 s
+            # single-threaded kernel pass across 1500 keys).  In the UTC
+            # session zone instant -> wall is the identity, so the ns
+            # datetimes are pure integer scaling (datetime64[ms] ->
+            # [ns]); other zones keep the columnwise pandas conversion —
+            # the same instant->wall mapping either way.
+            m = len(st)
+            if session_tz == "UTC":
+                ss = st.astype("datetime64[ms]").astype("datetime64[ns]")
+                ee = en.astype("datetime64[ms]").astype("datetime64[ns]")
+            else:
+                ss = (
+                    pd.to_datetime(st, unit="ms", utc=True)
+                    .tz_convert(session_tz)
+                    .tz_localize(None)
+                )
+                ee = (
+                    pd.to_datetime(en, unit="ms", utc=True)
+                    .tz_convert(session_tz)
+                    .tz_localize(None)
+                )
+            # numeric keys broadcast as a typed array; anything else
+            # (string keys etc.) keeps the list form pandas sanitizes
+            key_vals = (
+                np.full(m, user_id)
+                if isinstance(user_id, (int, float)) and not isinstance(user_id, bool)
+                else [user_id] * m
             )
             return pd.DataFrame(
                 {
-                    key_col: [user_id] * m,
-                    "session_start": pd.Series(ss),
-                    "session_end": pd.Series(ee),
-                    "n_events": cnt,
+                    key_col: key_vals,
+                    "session_start": ss,
+                    "session_end": ee,
+                    "n_events": cnt.astype(np.int32),
                     "total_value": tot,
-                }
+                },
+                copy=False,
             )
 
         if state.hasTimedOut:
             start, last, n, total = state.get
             state.remove()
-            yield out_frame([(start, last, n, total)])
+            yield out_frame(
+                np.array([start], np.int64),
+                np.array([last], np.int64),
+                np.array([n], np.int64),
+                np.array([total], np.float64),
+            )
             return
 
         # _hs_utc_ms was computed JVM-side (timestamp cast to double =
         # true epoch seconds, zone- and DST-independent); sort by the
         # instant — across a fall-back transition wall-clock order and
-        # event order disagree, and _advance requires ts_ms sorted.
+        # event order disagree, and the batch kernel requires ts sorted.
         # fn runs once per KEY; skipping the concat copy for the common
         # single-chunk delivery trims per-key Python overhead (r14).
         chunks = list(pdfs)
         rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
-        # numpy argsort instead of sort_values: pandas delegates a
-        # single-column sort to np.argsort(kind='quicksort') (nargsort),
-        # so the permutation — including tie order — is identical; this
-        # skips building a sorted DataFrame copy per key (r14).
+        # stable argsort (r15, VERDICT r14 #3 hardening): under duplicate
+        # timestamps the fold order of equal-instant values is now pinned
+        # to input order instead of quicksort's partition order — the
+        # emitted sessions are identical (segmentation depends only on
+        # ts), only sub-ulp total accumulation order could move, and the
+        # contract rounds totals.  tests pin the tie behavior.
         ms = rows["_hs_utc_ms"].to_numpy()
-        order = np.argsort(ms, kind="quicksort")
-        ts_ms = ms[order].tolist()
-        vals = rows[value_col].to_numpy()[order].tolist()
+        order = np.argsort(ms, kind="stable")
+        ts = ms[order]
+        vals = rows[value_col].to_numpy(dtype=np.float64)[order]
         if state.exists:
             start, last, n, total = state.get
         else:
-            start, last, n, total = ts_ms[0], ts_ms[0], 0, 0.0
-        (start, last, n, total), closed = _advance(
-            start, last, n, total, ts_ms, vals, gap_ms
+            start, last, n, total = int(ts[0]), int(ts[0]), 0, 0.0
+        # one vectorized segmentation pass instead of the per-event
+        # _advance loop (r15; _advance remains the reference semantics
+        # and the late-prefix path inside _advance_batch)
+        (start, last, n, total), (c_st, c_en, c_cnt, c_tot) = _advance_batch(
+            start, last, n, total, ts, vals, gap_ms
         )
         state.update((start, last, n, total))
         state.setTimeoutTimestamp(last + gap_ms)
-        if closed:
-            yield out_frame(closed)
+        if c_st.size:
+            yield out_frame(c_st, c_en, c_cnt, c_tot)
 
     from pyspark.sql import functions as F
 

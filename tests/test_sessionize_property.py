@@ -131,3 +131,78 @@ def test_late_delivery_conserves_events_and_shapes(batches):
         # a session can never span a silent stretch longer than its
         # event count allows: end-start <= (c-1) * max intra-gap
         assert e - s <= (c - 1) * GAP_MS or c == 1
+
+
+# ---------------------------------------------------------------------------
+# r15: the vectorized batch kernel must agree with the scalar reference.
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+from hyperspace_spark.streaming.sessionize import _advance_batch
+
+
+def _run_batches_vec(batches: list[list[tuple[int, float]]], gap: int):
+    """_run_batches twin driving _advance_batch the way fn does."""
+    closed: list = []
+    state = None
+    for batch in batches:
+        batch = sorted(batch)
+        ts = np.array([t for t, _ in batch], dtype=np.int64)
+        vs = np.array([v for _, v in batch], dtype=np.float64)
+        if state is None:
+            state = (int(ts[0]), int(ts[0]), 0, 0.0)
+        state, (st, en, cnt, tot) = _advance_batch(*state, ts, vs, gap)
+        closed.extend(
+            (int(a), int(b), int(c), float(d)) for a, b, c, d in zip(st, en, cnt, tot)
+        )
+    return closed, state
+
+
+def _assert_sessions_match(got, want):
+    """start/end/count bit-exact; totals within summation-order ulps
+    (reduceat is pairwise, _advance is sequential — the contract rounds
+    totals to 2 decimals, so agreement to 1e-9 relative is far tighter
+    than observable)."""
+    assert len(got) == len(want), (got, want)
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3], (g, w)
+        assert abs(g[3] - w[3]) <= 1e-9 * max(1.0, abs(w[3])), (g, w)
+
+
+@settings(max_examples=120, deadline=None)
+@given(chrono_batches())
+def test_batch_kernel_matches_scalar_reference_chronological(data):
+    batches, _, _ = data
+    want_closed, want_state = _run_batches(batches, GAP_MS)
+    got_closed, got_state = _run_batches_vec(batches, GAP_MS)
+    _assert_sessions_match(got_closed, want_closed)
+    _assert_sessions_match([got_state], [want_state])
+
+
+@settings(max_examples=120, deadline=None)
+@given(jittered_batches())
+def test_batch_kernel_matches_scalar_reference_late_delivery(batches):
+    want_closed, want_state = _run_batches(batches, GAP_MS)
+    got_closed, got_state = _run_batches_vec(batches, GAP_MS)
+    _assert_sessions_match(got_closed, want_closed)
+    _assert_sessions_match([got_state], [want_state])
+
+
+def test_batch_kernel_duplicate_timestamp_ties():
+    """VERDICT r14 #3: duplicate-timestamp events must stay in ONE
+    session with a pinned fold order.  Stable argsort keeps equal-instant
+    events in input order; segmentation depends only on ts, so the
+    emitted (start, end, count) are unambiguous and the total is the
+    full value sum whatever the tie order."""
+    ts = np.array([0, 1000, 1000, 1000, 5000], dtype=np.int64)
+    vs = np.array([1.0, 2.0, 3.0, 4.0, 8.0], dtype=np.float64)
+    state = (0, 0, 0, 0.0)
+    state, (st, en, cnt, tot) = _advance_batch(*state, ts, vs, GAP_MS)
+    # gap 1000ms: 0,1000,1000,1000 in one session; 5000 opens a new one
+    assert list(st) == [0] and list(en) == [1000] and list(cnt) == [4]
+    assert tot[0] == 10.0
+    assert state == (5000, 5000, 1, 8.0)
+    # scalar reference agrees
+    (s2, l2, n2, t2), closed2 = _advance(0, 0, 0, 0.0, ts.tolist(), vs.tolist(), GAP_MS)
+    assert closed2 == [(0, 1000, 4, 10.0)] and (s2, l2, n2, t2) == state
