@@ -767,31 +767,39 @@ def minhash_lsh_pairs(
             .select(F.col("_bmin").alias("id_a"), F.col("_id").alias("id_b"))
         )
         a, b = cold.alias("a"), cold.alias("b")
-        pairs = (
+        cand = (
             a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a._id") < F.col("b._id")))
             .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
             .unionByName(star)
-            .distinct()
         )
     else:
         a, b = stacked.alias("a"), stacked.alias("b")
-        pairs = (
+        cand = (
             a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a._id") < F.col("b._id")))
             .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-            .distinct()
         )
     if verify_threshold is None:
-        return pairs
+        # candidate-only API keeps the de-duplicated pair set
+        return cand.distinct()
     # Verify ONLY the candidate pairs (that is the point of LSH): fetch
     # each pair's shingle arrays (two equi-joins on id — broadcast or
     # shuffle, Spark's choice) and intersect INSIDE the row.  Cost scales
     # with |candidates| x shingles/doc, never N², and needs no
     # shingle-level join at all.
+    #
+    # NOTE (r15): no .distinct() on the candidates before verification —
+    # the same §2.4 move as lsh_bucketed_pairs (r14).  A pair colliding
+    # in k of the ``bands`` bands appears k times; de-duplicating first
+    # cost a full exchange of the candidate set, while a duplicate
+    # re-verify is one broadcast-hash probe + one array_intersect.  The
+    # distinct now runs on the threshold SURVIVORS (duplicates carry
+    # identical jaccard values, so the collapsed set is provably the
+    # same).
     a_docs = docs.select(F.col("_id").alias("id_a"), F.col("sh").alias("_sh_a"))
     b_docs = docs.select(F.col("_id").alias("id_b"), F.col("sh").alias("_sh_b"))
     inter = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
     return (
-        pairs.join(a_docs, "id_a")
+        cand.join(a_docs, "id_a")
         .join(b_docs, "id_b")
         .withColumn(
             "jaccard",
@@ -803,6 +811,7 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= verify_threshold)
         .select("id_a", "id_b", "jaccard")
+        .distinct()
     )
 
 
