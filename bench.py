@@ -283,68 +283,112 @@ def main() -> None:
         return None
 
     prev = _prev_canary()
+
+    def _measure_attempt(start_canary: float) -> dict:
+        """One full timing pass over the headline + paired sets, bracketed
+        by the start canary (passed in) and a fresh end canary."""
+        timings: dict[str, float] = {}
+        for name in headline:
+            # minhash is the suite's most cache-sensitive timing: its
+            # min-of-N spans a cold run (builds+persists the shingle/
+            # signature frames) and a reuse run, so one pressured run can
+            # set the record in a busy session (the r9 "+24%" was exactly
+            # this — SCALE.md r10 entry).  min-of-3 keeps the warm run in
+            # the sample.
+            timings[name] = timed(name, runs=3 if name == "dedup_minhash_lsh" else 2)
+
+        # With/without-index speedups (the reference's E2E methodology and
+        # BASELINE.md's tracked metric): same min-of-2 protocol with the
+        # planner disabled, interleaved right after the accelerated runs
+        # so page-cache state is comparable.
+        speedups: dict[str, float] = {}
+        from hyperspace_spark.workload import ACCELERATED_QUERIES, RESULT_HEAVY_QUERIES
+
+        for name in ACCELERATED_QUERIES:
+            # Result-heavy band queries: count()-wrap BOTH paired arms so
+            # the ratio measures the pipeline, not driver row transfer
+            # (VERDICT r13 #1 — the sf0.1 collect ratios 1.03-1.33 were
+            # pure measurement noise; the same plans show 3.4-6x
+            # agg-wrapped at sf1).  Headline walls stay collect()-timed.
+            wrap = name in RESULT_HEAVY_QUERIES
+            accel = timed(name, runs=3, agg_wrap=wrap)
+            spark.conf.set("spark.hyperspace.apply.enabled", "false")
+            try:
+                raw = timed(name, runs=3, agg_wrap=wrap)
+            finally:
+                spark.conf.set("spark.hyperspace.apply.enabled", "true")
+            if not wrap:
+                timings[name] = min(timings.get(name, accel), accel)
+                speedups[name] = round(raw / timings[name], 2)
+            else:
+                # keep the collect()-timed headline wall; the ratio comes
+                # from the wrapped arms alone.
+                speedups[name] = round(raw / accel, 2)
+
+        # API-paired speedups (r11): explicit index APIs (ann_join) have
+        # no planner kill-switch, so the with/without pair times the
+        # indexed API against its brute-force DataFrame equivalent (same
+        # oracle, same result set).  Kept OUT of speedup_vs_unindexed so
+        # the headline geomean's pair set stays comparable across rounds;
+        # at sf0.1 (2k vectors) both sides are overhead-bound — the scale
+        # number is the 2M-vector probe in SCALE.md.
+        api_paired: dict[str, float] = {}
+        for accel_name, brute_name in {"ann_knn_join": "ann_knn_join_brute"}.items():
+            accel = timed(accel_name, runs=3)
+            raw = timed(brute_name, runs=3)
+            timings[accel_name] = min(timings.get(accel_name, accel), accel)
+            timings[brute_name] = min(timings.get(brute_name, raw), raw)
+            api_paired[accel_name] = round(raw / timings[accel_name], 2)
+
+        # END-of-run canary (r14): the start canary alone cannot certify
+        # a ~15-minute run on this hardware class — one r14 run started
+        # at a clean 0.238 canary and still carried a mid-run host
+        # collapse (an untouched query at 25x its stable wall).
+        end_canary = _canary()
+        return {
+            "timings": timings,
+            "speedups": speedups,
+            "api_paired": api_paired,
+            "canary_sec": start_canary,
+            "canary_end_sec": end_canary,
+            "canary_spread": round(
+                max(start_canary, end_canary)
+                / max(min(start_canary, end_canary), 1e-9),
+                2,
+            ),
+        }
+
+    def _in_protocol(att: dict) -> bool:
+        """SCALE.md r14 canary protocol, mechanized (VERDICT r14 #6):
+        the window must HOLD (spread <= 1.3) and, when a committed
+        artifact exists to compare against, the machine must be in the
+        same speed class (start canary within 1.15x of the artifact's) —
+        otherwise per-query cross-round deltas are host noise."""
+        if att["canary_spread"] > 1.3:
+            return False
+        if prev is not None and att["canary_sec"] > 1.15 * prev:
+            return False
+        return True
+
+    # Refuse-and-retry ONCE on an out-of-protocol window: a bad window's
+    # per-query numbers are what burned the r11/r13/r14 triage.  If the
+    # retry is also out of protocol, keep the attempt with the smaller
+    # spread and say so in the artifact rather than fail the bench.
+    attempt = _measure_attempt(canary_sec)
+    bench_attempts = 1
+    if not _in_protocol(attempt):
+        retry = _measure_attempt(_canary())
+        bench_attempts = 2
+        if _in_protocol(retry) or retry["canary_spread"] < attempt["canary_spread"]:
+            attempt = retry
+    timings = attempt["timings"]
+    speedups = attempt["speedups"]
+    api_paired = attempt["api_paired"]
+    canary_sec = attempt["canary_sec"]
     canary_drift = round(canary_sec / prev, 3) if prev else None
-
-    timings: dict[str, float] = {}
-    for name in headline:
-        # minhash is the suite's most cache-sensitive timing: its min-of-N
-        # spans a cold run (builds+persists the shingle/signature frames)
-        # and a reuse run, so one pressured run can set the record in a
-        # busy session (the r9 "+24%" was exactly this — SCALE.md r10
-        # entry).  min-of-3 keeps the warm run in the sample.
-        timings[name] = timed(name, runs=3 if name == "dedup_minhash_lsh" else 2)
-
-    # With/without-index speedups (the reference's E2E methodology and
-    # BASELINE.md's tracked metric): same min-of-2 protocol with the
-    # planner disabled, interleaved right after the accelerated runs so
-    # page-cache state is comparable.
-    speedups: dict[str, float] = {}
-    from hyperspace_spark.workload import ACCELERATED_QUERIES, RESULT_HEAVY_QUERIES
-
-    for name in ACCELERATED_QUERIES:
-        # Result-heavy band queries: count()-wrap BOTH paired arms so the
-        # ratio measures the pipeline, not driver row transfer (VERDICT
-        # r13 #1 — the sf0.1 collect ratios 1.03-1.33 were pure
-        # measurement noise; the same plans show 3.4-6x agg-wrapped at
-        # sf1).  Their headline walls above stay collect()-timed.
-        wrap = name in RESULT_HEAVY_QUERIES
-        accel = timed(name, runs=3, agg_wrap=wrap)
-        spark.conf.set("spark.hyperspace.apply.enabled", "false")
-        try:
-            raw = timed(name, runs=3, agg_wrap=wrap)
-        finally:
-            spark.conf.set("spark.hyperspace.apply.enabled", "true")
-        if not wrap:
-            timings[name] = min(timings.get(name, accel), accel)
-            speedups[name] = round(raw / timings[name], 2)
-        else:
-            # keep the collect()-timed headline wall; the ratio comes
-            # from the wrapped arms alone.
-            speedups[name] = round(raw / accel, 2)
-
-    # API-paired speedups (r11): explicit index APIs (ann_join) have no
-    # planner kill-switch, so the with/without pair times the indexed
-    # API against its brute-force DataFrame equivalent (same oracle,
-    # same result set).  Kept OUT of speedup_vs_unindexed so the
-    # headline geomean's pair set stays comparable across rounds; at
-    # sf0.1 (2k vectors) both sides are overhead-bound — the scale
-    # number is the 2M-vector probe in SCALE.md.
-    api_paired: dict[str, float] = {}
-    for accel_name, brute_name in {"ann_knn_join": "ann_knn_join_brute"}.items():
-        accel = timed(accel_name, runs=3)
-        raw = timed(brute_name, runs=3)
-        timings[accel_name] = min(timings.get(accel_name, accel), accel)
-        timings[brute_name] = min(timings.get(brute_name, raw), raw)
-        api_paired[accel_name] = round(raw / timings[accel_name], 2)
-
-    # END-of-run canary (r14): the start canary alone cannot certify a
-    # ~15-minute run on this hardware class — one r14 run started at a
-    # clean 0.238 canary and still carried a mid-run host collapse (an
-    # untouched query at 25x its stable wall).  canary_end + the spread
-    # let any reader judge whether the machine HELD for the window the
-    # timings were taken in.
-    canary_end_sec = _canary()
-    canary_spread = round(max(canary_sec, canary_end_sec) / max(min(canary_sec, canary_end_sec), 1e-9), 2)
+    canary_end_sec = attempt["canary_end_sec"]
+    canary_spread = attempt["canary_spread"]
+    canary_in_protocol = _in_protocol(attempt)
 
     # Cold-build probe: full create_index cost from scratch (throwaway
     # system path), vs. the warm log-reuse number above.  Runs AFTER the
@@ -419,6 +463,8 @@ def main() -> None:
         "canary_drift": canary_drift,
         "canary_end_sec": canary_end_sec,
         "canary_spread": canary_spread,
+        "canary_in_protocol": canary_in_protocol,
+        "bench_attempts": bench_attempts,
     }
     # sf1 speedups ride along so the headline artifact can't be misread
     # as erosion: the skipping/z-order/point-lookup rows are

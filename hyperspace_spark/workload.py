@@ -3657,6 +3657,17 @@ def pipeline_end_to_end(spark, sf_dir):
     # Persist the survivors: BOTH the span stage and the census join fan
     # out from here — without it the repetition kernel + dedup window
     # execute twice per run (r8 review finding).
+    #
+    # MEASURED AND KEPT AS-IS (r15, VERDICT r14 #5): an eager
+    # localCheckpoint would truncate the 38-Exchange static plan to one
+    # materialized scan, but the interleaved A/B (scripts/r15_ab.py)
+    # measured it 1.9x SLOWER (1.54 -> 2.88 s at sf0.1): the persist
+    # path materializes lazily into a columnar in-memory cache during
+    # the first branch, while localCheckpoint pays an eager extra
+    # materialization pass into row-format RDD blocks and both branches
+    # then scan the slower row format.  The static-plan lineage repeat
+    # stays (cache-served at runtime) — plan aesthetics do not justify a
+    # measured 1.9x wall regression (guide §1).
     deduped = dedup._persist(dedup.exact_dedup(kept))
     spans = dedup.remove_repeated_spans(deduped, n=8)
     return (
@@ -5887,81 +5898,75 @@ def session_window_events(spark, sf_dir):
 # them every session).
 # ---------------------------------------------------------------------------
 _VERIFY_PRIORITY = [
-    # --- r14 window (driver verifies the FIRST 50): (1) the 36 entries
-    # whose last green row is r11 — at the two-round evidence ceiling
-    # (tests/test_evidence_rotation.py gates this) — in their r13 queue
-    # order; (2) 14 fills to 50: the queries whose PLANS this
-    # optimization round changed (LSH/ANN kernels + broadcast verify,
-    # streaming state layout) plus the re-paired band family and the
-    # heavy r12 rows, so every behavior-adjacent change is re-oracled.
-    # The r12-greens left outside ride at exactly the latest-2 ceiling;
-    # r13-greens are one round old.  Every entry is ALSO re-verified
+    # --- r15 window (driver verifies the FIRST 50): (1) the two r14
+    # behavior changes that missed the r14 oracle window
+    # (streaming_stateful_sessionize, avro_roundtrip — VERDICT r14 #1/#2)
+    # plus the queries whose PLANS or kernels THIS round changes
+    # (ann_lsh_bucketed/semantic_dedup: broadcast-gate + hot-bucket-cap
+    # rework; dedup_minhash_lsh: distinct-after-verify; pipeline_end_to_end:
+    # localCheckpoint lineage cut); (2) the 42 entries whose last green
+    # row is r12 — at the two-round evidence ceiling once CORRECTNESS_r15
+    # lands (tests/test_evidence_rotation.py gates this); (3) 2 fills from
+    # the r13-aged accelerated core.  r13/r14 greens ride outside the
+    # window within the latest-2 ceiling.  Every entry is ALSO re-verified
     # each session by the local contract pytest (same DuckDB compare). ---
-    "events_hourly_rollup",
-    "mixture_stratified_sample",
-    "split_train_val_test",
-    "sample_hash_deterministic",
-    "contamination_check",
-    "dedup_simhash",
-    "ann_cosine_topk",
+    "streaming_stateful_sessionize",
+    "avro_roundtrip",
     "ann_lsh_bucketed",
-    "ann_ivf_topk",
-    "pii_detect",
-    "multimodal_meta",
-    "multimodal_resize",
-    "dataskipping_bloom",
-    "nested_filter_index",
-    "ann_knn_join_brute",
-    "tpcds_q48_or_shape",
-    "rollup_join_cobucketed",
-    "pipeline_end_to_end",
-    "selfjoin_agg_cobucketed",
-    "text_search_ranked",
-    "text_search_phrase",
-    "quality_weighted_sample",
-    "ngram_topk_by_lang",
-    "cross_source_overlap",
-    "ann_pq_topk",
-    "funnel_view_click_purchase",
-    "retention_weekly_cohorts",
-    "zorder_filter_2d",
-    "dedup_repeated_spans",
-    "range_join_buckets",
-    "zorder_range_agg",
-    "streaming_ingest_dedup",
-    "text_stats",
-    "covering_filter_agg",
-    "delta_filter_index",
-    "iceberg_filter_index",
-    # --- fills to 50: r14 plan-changed queries + re-paired/heavy rows ---
     "semantic_dedup",
-    "ann_filtered_topk",
-    "ann_knn_join",
-    "streaming_tumbling_rollup",
-    "streaming_interval_join",
-    "streaming_ledger_dedup",
-    "q1_pricing_summary",
-    "q18_large_volume_customer",
     "dedup_minhash_lsh",
-    "exists_band_semijoin",
-    "not_exists_band_antijoin",
-    "exists_sibling_order_semijoin",
-    "exists_distinct_order_semijoin",
-    "dedup_exact",
-    # --- past the cap (r13/r12 evidence) ---
-    "hybrid_scan_append",
-    "hybrid_join_append",
-    "dedup_ngram_jaccard",
+    "pipeline_end_to_end",
+    "anti_join_customers",
+    "asof_join_events",
+    "clean_corpus_census",
     "dedup_clusters",
+    "dedup_embedding_cosine",
     "dedup_keep_canonical",
+    "dedup_ngram_jaccard",
     "dedup_paragraph",
+    "delta_time_travel_index",
+    "distinct_count_sketch",
+    "hybrid_join_append",
+    "hybrid_scan_append",
+    "iceberg_time_travel_index",
+    "json_props_extract",
+    "lang_quality",
+    "multimodal_features",
+    "percentile_stats",
+    "q10_returned_revenue",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q21_waiting_supplier",
+    "q22_dormant_customers",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_region_revenue",
+    "q6_revenue_change",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "recursive_month_series",
+    "repetition_stats",
+    "salted_join_orders",
+    "scalar_functions",
+    "sequence_packing",
+    "source_token_quota",
+    "udtf_chunk_text",
+    "unigram_logprob",
+    "window_lag_lead",
+    "covering_filter_point",
+    "join_cobucketed",
+    # --- past the cap (r13 evidence — at the ceiling, rotate r16) ---
     "dataskipping_valuelist",
     "dataskipping_minmax",
     "dataskipping_inset",
     "opaque_union_accel",
     "boilerplate_line_removal",
     "multimodal_decode_real",
-    "avro_roundtrip",
     "covering_filter_or",
     "covering_filter_partial",
     "corpus_shard_assign",
@@ -5976,9 +5981,6 @@ _VERIFY_PRIORITY = [
     "dedup_incremental",
     "dsir_importance_en",
     "window_latest_lineitem",
-    "streaming_stateful_sessionize",
-    "covering_filter_point",
-    "join_cobucketed",
     "q2_min_cost_supplier",
     "q11_important_stock",
     "q12_priority_shipping",
@@ -5999,42 +6001,53 @@ _VERIFY_PRIORITY = [
     "setop_intersect",
     "setop_except_all",
     "salted_skew_agg",
-    "delta_time_travel_index",
-    "iceberg_time_travel_index",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_region_revenue",
-    "q6_revenue_change",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_revenue",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "q21_waiting_supplier",
-    "q22_dormant_customers",
-    "anti_join_customers",
-    "scalar_functions",
-    "multimodal_features",
-    "salted_join_orders",
-    "sequence_packing",
-    "repetition_stats",
-    "source_token_quota",
-    "json_props_extract",
-    "recursive_month_series",
-    "clean_corpus_census",
-    "percentile_stats",
-    "window_lag_lead",
-    "unigram_logprob",
-    "udtf_chunk_text",
-    "lang_quality",
-    "asof_join_events",
-    "distinct_count_sketch",
-    "dedup_embedding_cosine",
+    # --- r14 evidence (one round old) ---
+    "events_hourly_rollup",
+    "mixture_stratified_sample",
+    "split_train_val_test",
+    "sample_hash_deterministic",
+    "contamination_check",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "pii_detect",
+    "multimodal_meta",
+    "multimodal_resize",
+    "dataskipping_bloom",
+    "nested_filter_index",
+    "ann_knn_join_brute",
+    "tpcds_q48_or_shape",
+    "rollup_join_cobucketed",
+    "selfjoin_agg_cobucketed",
+    "text_search_ranked",
+    "text_search_phrase",
+    "quality_weighted_sample",
+    "ngram_topk_by_lang",
+    "cross_source_overlap",
+    "ann_pq_topk",
+    "funnel_view_click_purchase",
+    "retention_weekly_cohorts",
+    "zorder_filter_2d",
+    "dedup_repeated_spans",
+    "range_join_buckets",
+    "zorder_range_agg",
+    "streaming_ingest_dedup",
+    "text_stats",
+    "covering_filter_agg",
+    "delta_filter_index",
+    "iceberg_filter_index",
+    "ann_filtered_topk",
+    "ann_knn_join",
+    "streaming_tumbling_rollup",
+    "streaming_interval_join",
+    "streaming_ledger_dedup",
+    "q1_pricing_summary",
+    "q18_large_volume_customer",
+    "exists_band_semijoin",
+    "not_exists_band_antijoin",
+    "exists_sibling_order_semijoin",
+    "exists_distinct_order_semijoin",
+    "dedup_exact",
 ]
 
 
