@@ -576,6 +576,16 @@ def test_similarity_kernels_bit_identical_to_hof_forms(spark, emb):
             F.col("embedding").alias("a"),
             F.reverse(F.col("embedding")).alias("b"),
         )
+        # ADVICE r14: reverse(a) always matches a's length, so the
+        # kernels' length-mismatch branch (zip_with null-padding -> NULL)
+        # was never compared against the HOF forms — pair a 64-dim a with
+        # a 2-dim b; both forms must yield NULL.
+        .unionByName(
+            spark.createDataFrame(
+                [(10_004, [1.0] * 64, [1.0, 2.0])],
+                "vec_id long, a array<double>, b array<double>",
+            )
+        )
     )
     both = v.select(
         "vec_id",
@@ -595,11 +605,14 @@ def test_similarity_kernels_bit_identical_to_hof_forms(spark, emb):
     def bits(x):
         return None if x is None else struct.pack("<d", x)
 
-    assert len(both) == emb.count() + 3
+    assert len(both) == emb.count() + 4
     for r in both:
         assert bits(r.cos_hof) == bits(r.cos_k), r.vec_id
         assert bits(r.dot_hof) == bits(r.dot_k), r.vec_id
         assert list(r.sig_hof) == list(r.sig_k), r.vec_id
+    mism = next(r for r in both if r.vec_id == 10_004)
+    assert mism.cos_hof is None and mism.cos_k is None
+    assert mism.dot_hof is None and mism.dot_k is None
 
 
 def test_ivf_topk_mostly_agrees_with_brute(spark, emb):

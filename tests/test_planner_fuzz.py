@@ -15,6 +15,8 @@ the partial predicate's column, and a never-indexed column.
 
 import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
+
+from tests.conftest import hyp_examples
 from pyspark.sql import functions as F
 
 from hyperspace_spark import (
@@ -158,7 +160,7 @@ def _expr(depth: int = 2) -> st.SearchStrategy[str]:
 
 @pytest.mark.slow
 @settings(
-    max_examples=20,
+    max_examples=hyp_examples(20),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -192,7 +194,7 @@ def test_apply_matches_raw_on_random_join_shapes(spark, fuzz_env, pred, shape):
 
 @pytest.mark.slow
 @settings(
-    max_examples=20,
+    max_examples=hyp_examples(20),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -232,7 +234,7 @@ def test_apply_matches_raw_on_random_windows(spark, fuzz_env, pred, part, fn):
 
 @pytest.mark.slow
 @settings(
-    max_examples=60,
+    max_examples=hyp_examples(60),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -283,7 +285,7 @@ def _band_residual() -> st.SearchStrategy:
 
 @pytest.mark.slow
 @settings(
-    max_examples=25,
+    max_examples=hyp_examples(25),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -348,7 +350,7 @@ def _fuse_proj() -> st.SearchStrategy:
 
 @pytest.mark.slow
 @settings(
-    max_examples=20,
+    max_examples=hyp_examples(20),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

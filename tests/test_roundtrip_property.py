@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import pytest
 from hypothesis import HealthCheck, given, settings
+
+from tests.conftest import hyp_examples
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -95,7 +97,7 @@ def _query(draw, df_getter):
 
 
 @settings(
-    max_examples=30,
+    max_examples=hyp_examples(30),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

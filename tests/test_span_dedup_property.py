@@ -15,6 +15,8 @@ from collections import defaultdict
 
 import pytest
 from hypothesis import HealthCheck, given, settings
+
+from tests.conftest import hyp_examples
 from hypothesis import strategies as st
 
 N = 3  # small n so tiny random docs actually produce duplicate spans
@@ -52,7 +54,7 @@ corpus_strategy = st.dictionaries(
 
 
 @pytest.mark.usefixtures("spark")
-@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=hyp_examples(25), deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(corpus=corpus_strategy)
 def test_remove_repeated_spans_matches_reference(spark, corpus):
     from hyperspace_spark.llm import dedup
