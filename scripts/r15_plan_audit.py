@@ -4,10 +4,12 @@ Builds every declared query's DataFrame and scans its FORMATTED plan for
 operator counts (Exchange / Python-eval nodes / join strategies /
 cartesians).  Writes plans/r15/plan_audit_all_queries.txt.
 
-VERDICT r14 #7: the r14 audit doc claimed "BNLJ: 0" while six queries
-carry BroadcastNestedLoopJoin=1 — those are deliberate broadcast-tiny-
-frame cross joins (a literal query set of <= ~20 rows broadcast against
-the corpus scan).  This audit encodes them as an ALLOWLIST with their
+VERDICT r14 #7: the r14 audit doc claimed "BNLJ: 0" while the r14 audit
+file shows EIGHT queries with BroadcastNestedLoopJoin=1 (VERDICT's own
+enumeration listed six and missed salted_join_orders/unigram_logprob) —
+all are deliberate broadcast-tiny-frame cross joins (a literal/aggregate
+frame of <= ~20 rows broadcast against the corpus scan).  This audit
+encodes them as an ALLOWLIST with their
 broadcast-side row bounds and FAILS (exit 1) when a BNLJ or
 CartesianProduct shows up anywhere else, so a regression to an
 unbounded nested-loop join is caught instead of hand-waved.
@@ -40,6 +42,10 @@ BNLJ_ALLOWED = {
     "ann_filtered_topk": (16, "literal query-id frame"),
     "quantile_estimate_prices": (8, "scalar quantile-bound row"),
     "dsir_importance_en": (8, "scalar corpus-stat row"),
+    # Two more pre-existing bounded shapes the VERDICT r14 six-query list
+    # missed (both BNLJ=1 in the r14 audit file as well — not new):
+    "salted_join_orders": (8, "literal salt frame range(salt_buckets=8) crossJoined to replicate the small join side (scale.salted_join)"),
+    "unigram_logprob": (1, "1-row corpus-total aggregate broadcast as crossJoin (llm/text.unigram_logprob)"),
 }
 
 OPS = [
